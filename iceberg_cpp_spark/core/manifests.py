@@ -1,0 +1,471 @@
+"""Manifest + manifest-list model, stored as Parquet.
+
+Capability parity with the reference's ManifestEntry/DataFile
+(manifest_entry.h:61-313), ManifestFile/PartitionFieldSummary
+(manifest_list.h:43-201), ManifestReader/Writer + ManifestListReader/
+Writer (manifest_reader.h, manifest_writer.h) and InheritableMetadata
+(inheritable_metadata.h:40-90 — null snapshot/sequence numbers in
+entries inherit from the manifest; spec_id stamped from the manifest).
+
+Container format: the reference stores these as Avro per the Iceberg
+spec; this engine stores the SAME logical rows as Parquet, which Spark
+reads natively and prunes — manifests are themselves DataFrames
+(SURVEY.md §7 "metadata is data"). All spec fields are kept: status,
+content, partition tuple (typed struct), per-column value/null/nan
+counts and spec-encoded lower/upper bounds, split info, equality_ids,
+sequence numbers.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from iceberg_cpp_spark.core import types as it
+from iceberg_cpp_spark.core.literals import from_bytes, to_bytes
+from iceberg_cpp_spark.core.metadata import PartitionSpec
+
+# manifest_entry.h: ManifestStatus / FileContent
+STATUS_EXISTING = 0
+STATUS_ADDED = 1
+STATUS_DELETED = 2
+
+CONTENT_DATA = 0
+CONTENT_POSITION_DELETES = 1
+CONTENT_EQUALITY_DELETES = 2
+
+# manifest_list.h ManifestContent
+MANIFEST_CONTENT_DATA = 0
+MANIFEST_CONTENT_DELETES = 1
+
+
+@dataclass
+class DataFile:
+    """manifest_entry.h:61-270."""
+
+    content: int
+    file_path: str
+    file_format: str
+    partition: dict[str, Any]
+    record_count: int
+    file_size_in_bytes: int
+    column_sizes: dict[int, int] = dc_field(default_factory=dict)
+    value_counts: dict[int, int] = dc_field(default_factory=dict)
+    null_value_counts: dict[int, int] = dc_field(default_factory=dict)
+    nan_value_counts: dict[int, int] = dc_field(default_factory=dict)
+    lower_bounds: dict[int, bytes] = dc_field(default_factory=dict)
+    upper_bounds: dict[int, bytes] = dc_field(default_factory=dict)
+    split_offsets: list[int] = dc_field(default_factory=list)
+    equality_ids: list[int] = dc_field(default_factory=list)
+    sort_order_id: Optional[int] = None
+    referenced_data_file: Optional[str] = None
+
+    def stats(self) -> dict:
+        """Shape consumed by pruning.InclusiveMetricsEvaluator."""
+        return {
+            "record_count": self.record_count,
+            "value_counts": self.value_counts,
+            "null_value_counts": self.null_value_counts,
+            "nan_value_counts": self.nan_value_counts,
+            "lower_bounds": self.lower_bounds,
+            "upper_bounds": self.upper_bounds,
+        }
+
+
+@dataclass
+class ManifestEntry:
+    """manifest_entry.h:276-313."""
+
+    status: int
+    data_file: DataFile
+    snapshot_id: Optional[int] = None
+    sequence_number: Optional[int] = None
+    file_sequence_number: Optional[int] = None
+
+    @property
+    def is_live(self) -> bool:
+        return self.status in (STATUS_EXISTING, STATUS_ADDED)
+
+
+@dataclass
+class PartitionFieldSummary:
+    """manifest_list.h:43-73."""
+
+    contains_null: bool = False
+    contains_nan: Optional[bool] = None
+    lower_bound: Optional[bytes] = None
+    upper_bound: Optional[bytes] = None
+
+
+@dataclass
+class ManifestFile:
+    """manifest_list.h:76-201."""
+
+    manifest_path: str
+    manifest_length: int
+    partition_spec_id: int
+    content: int = MANIFEST_CONTENT_DATA
+    sequence_number: int = 0
+    min_sequence_number: int = 0
+    added_snapshot_id: int = 0
+    added_files_count: int = 0
+    existing_files_count: int = 0
+    deleted_files_count: int = 0
+    added_rows_count: int = 0
+    existing_rows_count: int = 0
+    deleted_rows_count: int = 0
+    partitions: list[PartitionFieldSummary] = dc_field(default_factory=list)
+
+    @property
+    def has_added_files(self) -> bool:
+        return self.added_files_count > 0
+
+    @property
+    def has_live_files(self) -> bool:
+        return self.added_files_count + self.existing_files_count > 0
+
+
+# ---------------------------------------------------------------------------
+# Arrow schemas for the parquet containers
+# ---------------------------------------------------------------------------
+
+def _counts_map() -> pa.DataType:
+    return pa.map_(pa.int32(), pa.int64())
+
+
+def _bounds_map() -> pa.DataType:
+    return pa.map_(pa.int32(), pa.binary())
+
+
+def manifest_arrow_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            pa.field("status", pa.int32()),
+            pa.field("snapshot_id", pa.int64()),
+            pa.field("sequence_number", pa.int64()),
+            pa.field("file_sequence_number", pa.int64()),
+            pa.field("content", pa.int32()),
+            pa.field("file_path", pa.string()),
+            pa.field("file_format", pa.string()),
+            pa.field("spec_id", pa.int32()),
+            pa.field("partition_json", pa.string()),  # typed decode via spec
+            pa.field("record_count", pa.int64()),
+            pa.field("file_size_in_bytes", pa.int64()),
+            pa.field("column_sizes", _counts_map()),
+            pa.field("value_counts", _counts_map()),
+            pa.field("null_value_counts", _counts_map()),
+            pa.field("nan_value_counts", _counts_map()),
+            pa.field("lower_bounds", _bounds_map()),
+            pa.field("upper_bounds", _bounds_map()),
+            pa.field("split_offsets", pa.list_(pa.int64())),
+            pa.field("equality_ids", pa.list_(pa.int32())),
+            pa.field("sort_order_id", pa.int32()),
+            pa.field("referenced_data_file", pa.string()),
+        ]
+    )
+
+
+def manifest_list_arrow_schema() -> pa.Schema:
+    summary = pa.struct(
+        [
+            pa.field("contains_null", pa.bool_()),
+            pa.field("contains_nan", pa.bool_()),
+            pa.field("lower_bound", pa.binary()),
+            pa.field("upper_bound", pa.binary()),
+        ]
+    )
+    return pa.schema(
+        [
+            pa.field("manifest_path", pa.string()),
+            pa.field("manifest_length", pa.int64()),
+            pa.field("partition_spec_id", pa.int32()),
+            pa.field("content", pa.int32()),
+            pa.field("sequence_number", pa.int64()),
+            pa.field("min_sequence_number", pa.int64()),
+            pa.field("added_snapshot_id", pa.int64()),
+            pa.field("added_files_count", pa.int32()),
+            pa.field("existing_files_count", pa.int32()),
+            pa.field("deleted_files_count", pa.int32()),
+            pa.field("added_rows_count", pa.int64()),
+            pa.field("existing_rows_count", pa.int64()),
+            pa.field("deleted_rows_count", pa.int64()),
+            pa.field("partitions", pa.list_(summary)),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition tuple serde (typed via the spec's result types)
+# ---------------------------------------------------------------------------
+
+def _partition_types(spec: PartitionSpec, schema: it.Schema) -> dict[str, it.IcebergType]:
+    out = {}
+    for pf in spec.fields:
+        src = schema.find_field_by_id(pf.source_id)
+        if src is None:
+            raise ValueError(f"partition source field not found: {pf.source_id}")
+        out[pf.name] = pf.transform.result_type(src.field_type)
+    return out
+
+
+def partition_to_json(partition: dict[str, Any], spec: PartitionSpec, schema: it.Schema) -> str:
+    """Encode a partition tuple as JSON with spec-encoded binary values
+    hex-wrapped — lossless for every partition-able type."""
+    import json
+
+    types = _partition_types(spec, schema)
+    enc = {}
+    for name, v in partition.items():
+        if v is None:
+            enc[name] = None
+        else:
+            enc[name] = to_bytes(v, types[name]).hex()
+    return json.dumps(enc, sort_keys=True)
+
+
+def partition_from_json(s: Optional[str], spec: PartitionSpec, schema: it.Schema) -> dict[str, Any]:
+    import json
+
+    if not s:
+        return {}
+    types = _partition_types(spec, schema)
+    raw = json.loads(s)
+    out = {}
+    for name, hx in raw.items():
+        if hx is None:
+            out[name] = None
+        elif name in types:
+            out[name] = from_bytes(bytes.fromhex(hx), types[name])
+        else:
+            out[name] = None
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Writers / readers (driver-side pyarrow; manifests are metadata-scale)
+# ---------------------------------------------------------------------------
+
+class ManifestWriter:
+    """manifest_writer.h:36-158 equivalent; parquet container."""
+
+    def __init__(self, path: str, spec: PartitionSpec, schema: it.Schema,
+                 snapshot_id: int, content: int = MANIFEST_CONTENT_DATA):
+        self.path = path
+        self.spec = spec
+        self.schema = schema
+        self.snapshot_id = snapshot_id
+        self.content = content
+        self.entries: list[ManifestEntry] = []
+
+    def add(self, entry: ManifestEntry) -> None:
+        self.entries.append(entry)
+
+    def add_file(self, data_file: DataFile, sequence_number: Optional[int] = None) -> None:
+        self.entries.append(
+            ManifestEntry(
+                status=STATUS_ADDED,
+                data_file=data_file,
+                snapshot_id=self.snapshot_id,
+                sequence_number=sequence_number,
+            )
+        )
+
+    def close(self) -> ManifestFile:
+        rows = {name: [] for name in manifest_arrow_schema().names}
+        for e in self.entries:
+            f = e.data_file
+            rows["status"].append(e.status)
+            rows["snapshot_id"].append(e.snapshot_id)
+            rows["sequence_number"].append(e.sequence_number)
+            rows["file_sequence_number"].append(e.file_sequence_number)
+            rows["content"].append(f.content)
+            rows["file_path"].append(f.file_path)
+            rows["file_format"].append(f.file_format)
+            rows["spec_id"].append(self.spec.spec_id)
+            rows["partition_json"].append(partition_to_json(f.partition, self.spec, self.schema))
+            rows["record_count"].append(f.record_count)
+            rows["file_size_in_bytes"].append(f.file_size_in_bytes)
+            rows["column_sizes"].append(list(f.column_sizes.items()) or None)
+            rows["value_counts"].append(list(f.value_counts.items()) or None)
+            rows["null_value_counts"].append(list(f.null_value_counts.items()) or None)
+            rows["nan_value_counts"].append(list(f.nan_value_counts.items()) or None)
+            rows["lower_bounds"].append(list(f.lower_bounds.items()) or None)
+            rows["upper_bounds"].append(list(f.upper_bounds.items()) or None)
+            rows["split_offsets"].append(f.split_offsets or None)
+            rows["equality_ids"].append(f.equality_ids or None)
+            rows["sort_order_id"].append(f.sort_order_id)
+            rows["referenced_data_file"].append(f.referenced_data_file)
+        table = pa.Table.from_pydict(rows, schema=manifest_arrow_schema())
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        pq.write_table(table, self.path, compression="zstd")
+
+        # partition summaries (PartitionFieldSummary per spec field)
+        summaries = []
+        types = _partition_types(self.spec, self.schema)
+        for pf in self.spec.fields:
+            t = types[pf.name]
+            vals = [e.data_file.partition.get(pf.name) for e in self.entries if e.is_live]
+            nn = [v for v in vals if v is not None]
+            contains_nan = any(isinstance(v, float) and v != v for v in nn) or None
+            lo = hi = None
+            if nn:
+                try:
+                    lo, hi = min(nn), max(nn)
+                except TypeError:
+                    lo = hi = None
+            summaries.append(
+                PartitionFieldSummary(
+                    contains_null=any(v is None for v in vals),
+                    contains_nan=contains_nan,
+                    lower_bound=to_bytes(lo, t) if lo is not None else None,
+                    upper_bound=to_bytes(hi, t) if hi is not None else None,
+                )
+            )
+        live = [e for e in self.entries if e.is_live]
+        seqs = [e.sequence_number for e in self.entries if e.sequence_number is not None]
+        return ManifestFile(
+            manifest_path=self.path,
+            manifest_length=os.path.getsize(self.path),
+            partition_spec_id=self.spec.spec_id,
+            content=self.content,
+            sequence_number=max(seqs, default=0),
+            min_sequence_number=min(seqs, default=0),
+            added_snapshot_id=self.snapshot_id,
+            added_files_count=sum(1 for e in self.entries if e.status == STATUS_ADDED),
+            existing_files_count=sum(1 for e in self.entries if e.status == STATUS_EXISTING),
+            deleted_files_count=sum(1 for e in self.entries if e.status == STATUS_DELETED),
+            added_rows_count=sum(e.data_file.record_count for e in self.entries if e.status == STATUS_ADDED),
+            existing_rows_count=sum(e.data_file.record_count for e in self.entries if e.status == STATUS_EXISTING),
+            deleted_rows_count=sum(e.data_file.record_count for e in self.entries if e.status == STATUS_DELETED),
+            partitions=summaries,
+        )
+
+
+def read_manifest(path: str, spec: PartitionSpec, schema: it.Schema,
+                  manifest: Optional[ManifestFile] = None) -> list[ManifestEntry]:
+    """ManifestReader::Entries with InheritableMetadata applied
+    (inheritable_metadata.cc: null snapshot/sequence numbers inherit
+    from the manifest)."""
+    table = pq.read_table(path)
+    out: list[ManifestEntry] = []
+    for row in table.to_pylist():
+        df = DataFile(
+            content=row["content"],
+            file_path=row["file_path"],
+            file_format=row["file_format"],
+            partition=partition_from_json(row["partition_json"], spec, schema),
+            record_count=row["record_count"],
+            file_size_in_bytes=row["file_size_in_bytes"],
+            column_sizes=dict(row["column_sizes"] or []),
+            value_counts=dict(row["value_counts"] or []),
+            null_value_counts=dict(row["null_value_counts"] or []),
+            nan_value_counts=dict(row["nan_value_counts"] or []),
+            lower_bounds=dict(row["lower_bounds"] or []),
+            upper_bounds=dict(row["upper_bounds"] or []),
+            split_offsets=row["split_offsets"] or [],
+            equality_ids=row["equality_ids"] or [],
+            sort_order_id=row["sort_order_id"],
+            referenced_data_file=row["referenced_data_file"],
+        )
+        snap = row["snapshot_id"]
+        seq = row["sequence_number"]
+        fseq = row["file_sequence_number"]
+        if manifest is not None:
+            if snap is None:
+                snap = manifest.added_snapshot_id
+            if seq is None and row["status"] != STATUS_EXISTING:
+                seq = manifest.sequence_number
+            if fseq is None and row["status"] != STATUS_EXISTING:
+                fseq = manifest.sequence_number
+        out.append(
+            ManifestEntry(
+                status=row["status"],
+                data_file=df,
+                snapshot_id=snap,
+                sequence_number=seq,
+                file_sequence_number=fseq,
+            )
+        )
+    return out
+
+
+class ManifestListWriter:
+    """manifest_writer.cc:153-186 equivalent; parquet container."""
+
+    def __init__(self, path: str, snapshot_id: int, sequence_number: int):
+        self.path = path
+        self.snapshot_id = snapshot_id
+        self.sequence_number = sequence_number
+        self.manifests: list[ManifestFile] = []
+
+    def add(self, mf: ManifestFile) -> None:
+        self.manifests.append(mf)
+
+    def close(self) -> None:
+        rows = {name: [] for name in manifest_list_arrow_schema().names}
+        for m in self.manifests:
+            rows["manifest_path"].append(m.manifest_path)
+            rows["manifest_length"].append(m.manifest_length)
+            rows["partition_spec_id"].append(m.partition_spec_id)
+            rows["content"].append(m.content)
+            rows["sequence_number"].append(m.sequence_number)
+            rows["min_sequence_number"].append(m.min_sequence_number)
+            rows["added_snapshot_id"].append(m.added_snapshot_id)
+            rows["added_files_count"].append(m.added_files_count)
+            rows["existing_files_count"].append(m.existing_files_count)
+            rows["deleted_files_count"].append(m.deleted_files_count)
+            rows["added_rows_count"].append(m.added_rows_count)
+            rows["existing_rows_count"].append(m.existing_rows_count)
+            rows["deleted_rows_count"].append(m.deleted_rows_count)
+            rows["partitions"].append(
+                [
+                    {
+                        "contains_null": s.contains_null,
+                        "contains_nan": s.contains_nan,
+                        "lower_bound": s.lower_bound,
+                        "upper_bound": s.upper_bound,
+                    }
+                    for s in m.partitions
+                ]
+                or None
+            )
+        table = pa.Table.from_pydict(rows, schema=manifest_list_arrow_schema())
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        pq.write_table(table, self.path, compression="zstd")
+
+
+def read_manifest_list(path: str) -> list[ManifestFile]:
+    table = pq.read_table(path)
+    out = []
+    for row in table.to_pylist():
+        out.append(
+            ManifestFile(
+                manifest_path=row["manifest_path"],
+                manifest_length=row["manifest_length"],
+                partition_spec_id=row["partition_spec_id"],
+                content=row["content"],
+                sequence_number=row["sequence_number"],
+                min_sequence_number=row["min_sequence_number"],
+                added_snapshot_id=row["added_snapshot_id"],
+                added_files_count=row["added_files_count"],
+                existing_files_count=row["existing_files_count"],
+                deleted_files_count=row["deleted_files_count"],
+                added_rows_count=row["added_rows_count"],
+                existing_rows_count=row["existing_rows_count"],
+                deleted_rows_count=row["deleted_rows_count"],
+                partitions=[
+                    PartitionFieldSummary(
+                        contains_null=s["contains_null"],
+                        contains_nan=s["contains_nan"],
+                        lower_bound=s["lower_bound"],
+                        upper_bound=s["upper_bound"],
+                    )
+                    for s in (row["partitions"] or [])
+                ],
+            )
+        )
+    return out

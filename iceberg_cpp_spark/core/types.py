@@ -1,0 +1,465 @@
+"""Iceberg type system + schema with field IDs, mapped to Spark SQL types.
+
+Capability parity with the reference's type system (type.h:108-463,
+schema.h, schema_field.h:38-88 in /root/reference/src/iceberg/): every
+field carries a unique int32 field ID, an optional/required flag and an
+optional doc; schemas support lookup by id, by name (case-sensitive or
+not) and by dotted nested short names; JSON serde mirrors the Iceberg
+table-spec type JSON (json_internal.cc:393-449).
+
+Spark mapping (SURVEY.md §1.2): field IDs ride in
+``StructField.metadata['iceberg.field-id']`` (plus ``parquet.field.id``
+so Spark's parquet writer can persist them); time → LongType µs,
+uuid → StringType, fixed(L) → BinaryType with an engine-level tag.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Iterator, Optional
+
+from pyspark.sql import types as T
+
+FIELD_ID_KEY = "iceberg.field-id"
+PARQUET_FIELD_ID_KEY = "parquet.field.id"
+DOC_KEY = "iceberg.doc"
+ENGINE_TYPE_KEY = "iceberg.type"  # tags types Spark can't represent (time/uuid/fixed)
+
+
+class IcebergType:
+    """Base class; subclasses are value-compared."""
+
+    def is_primitive(self) -> bool:
+        return not isinstance(self, (StructType, ListType, MapType))
+
+    def __eq__(self, other: object) -> bool:
+        return type(self) is type(other) and self.__dict__ == other.__dict__
+
+    def __hash__(self) -> int:
+        return hash((type(self).__name__, tuple(sorted(self.__dict__.items(), key=lambda kv: kv[0]))))
+
+    # --- JSON serde (Iceberg table spec `type` JSON) -------------------
+    def to_json(self) -> Any:
+        raise NotImplementedError
+
+    def __repr__(self) -> str:
+        j = self.to_json()
+        return j if isinstance(j, str) else type(self).__name__
+
+
+class _Singleton(IcebergType):
+    _NAME: str = ""
+
+    def to_json(self) -> str:
+        return self._NAME
+
+
+class BooleanType(_Singleton):
+    _NAME = "boolean"
+
+
+class IntegerType(_Singleton):
+    _NAME = "int"
+
+
+class LongType(_Singleton):
+    _NAME = "long"
+
+
+class FloatType(_Singleton):
+    _NAME = "float"
+
+
+class DoubleType(_Singleton):
+    _NAME = "double"
+
+
+class DateType(_Singleton):
+    _NAME = "date"
+
+
+class TimeType(_Singleton):
+    # µs of day; Spark has no time type → LongType + engine tag
+    _NAME = "time"
+
+
+class TimestampType(_Singleton):
+    # µs, no tz → Spark TimestampNTZType
+    _NAME = "timestamp"
+
+
+class TimestampTzType(_Singleton):
+    # µs, UTC-adjusted → Spark TimestampType
+    _NAME = "timestamptz"
+
+
+class StringType(_Singleton):
+    _NAME = "string"
+
+
+class BinaryType(_Singleton):
+    _NAME = "binary"
+
+
+class UuidType(_Singleton):
+    _NAME = "uuid"
+
+
+class DecimalType(IcebergType):
+    def __init__(self, precision: int, scale: int):
+        if not (0 < precision <= 38):
+            raise ValueError(f"decimal precision out of range [1, 38]: {precision}")
+        self.precision = precision
+        self.scale = scale
+
+    def to_json(self) -> str:
+        return f"decimal({self.precision}, {self.scale})"
+
+
+class FixedType(IcebergType):
+    def __init__(self, length: int):
+        if length < 0:
+            raise ValueError(f"fixed length must be >= 0: {length}")
+        self.length = length
+
+    def to_json(self) -> str:
+        return f"fixed[{self.length}]"
+
+
+@dataclass(frozen=True)
+class NestedField:
+    """A named, ID'd field (reference: schema_field.h:38-88)."""
+
+    field_id: int
+    name: str
+    field_type: IcebergType
+    required: bool = False
+    doc: Optional[str] = None
+
+    def to_json(self) -> dict:
+        j: dict[str, Any] = {
+            "id": self.field_id,
+            "name": self.name,
+            "required": self.required,
+            "type": self.field_type.to_json(),
+        }
+        if self.doc is not None:
+            j["doc"] = self.doc
+        return j
+
+
+class StructType(IcebergType):
+    def __init__(self, fields: list[NestedField]):
+        self.fields = list(fields)
+        self._by_id = {f.field_id: f for f in self.fields}
+        self._by_name = {f.name: f for f in self.fields}
+        self._by_lower = {}
+        for f in self.fields:
+            self._by_lower.setdefault(f.name.lower(), f)
+
+    def field_by_id(self, field_id: int) -> Optional[NestedField]:
+        return self._by_id.get(field_id)
+
+    def field_by_name(self, name: str, case_sensitive: bool = True) -> Optional[NestedField]:
+        if case_sensitive:
+            return self._by_name.get(name)
+        return self._by_lower.get(name.lower())
+
+    def to_json(self) -> dict:
+        return {"type": "struct", "fields": [f.to_json() for f in self.fields]}
+
+    def __eq__(self, other: object) -> bool:
+        return isinstance(other, StructType) and type(self) is type(other) and self.fields == other.fields
+
+    def __hash__(self) -> int:
+        return hash(tuple(self.fields))
+
+
+class ListType(IcebergType):
+    def __init__(self, element_id: int, element_type: IcebergType, element_required: bool = False):
+        self.element_id = element_id
+        self.element_type = element_type
+        self.element_required = element_required
+
+    def to_json(self) -> dict:
+        return {
+            "type": "list",
+            "element-id": self.element_id,
+            "element": self.element_type.to_json(),
+            "element-required": self.element_required,
+        }
+
+
+class MapType(IcebergType):
+    def __init__(self, key_id: int, key_type: IcebergType, value_id: int,
+                 value_type: IcebergType, value_required: bool = False):
+        self.key_id = key_id
+        self.key_type = key_type
+        self.value_id = value_id
+        self.value_type = value_type
+        self.value_required = value_required
+
+    def to_json(self) -> dict:
+        return {
+            "type": "map",
+            "key-id": self.key_id,
+            "key": self.key_type.to_json(),
+            "value-id": self.value_id,
+            "value": self.value_type.to_json(),
+            "value-required": self.value_required,
+        }
+
+
+_PRIMITIVES: dict[str, IcebergType] = {
+    "boolean": BooleanType(),
+    "int": IntegerType(),
+    "long": LongType(),
+    "float": FloatType(),
+    "double": DoubleType(),
+    "date": DateType(),
+    "time": TimeType(),
+    "timestamp": TimestampType(),
+    "timestamptz": TimestampTzType(),
+    "string": StringType(),
+    "binary": BinaryType(),
+    "uuid": UuidType(),
+}
+
+_UNSUPPORTED_V3 = {"timestamp_ns", "timestamptz_ns", "variant", "geometry", "geography", "unknown"}
+
+
+def type_from_json(j: Any) -> IcebergType:
+    """Parse the Iceberg spec's type JSON (json_internal.cc:393-449)."""
+    if isinstance(j, str):
+        if j in _PRIMITIVES:
+            return _PRIMITIVES[j]
+        if j.startswith("decimal"):
+            inner = j[j.index("(") + 1 : j.index(")")]
+            p, s = (int(x.strip()) for x in inner.split(","))
+            return DecimalType(p, s)
+        if j.startswith("fixed"):
+            inner = j[j.index("[") + 1 : j.index("]")]
+            return FixedType(int(inner))
+        if j in _UNSUPPORTED_V3:
+            raise ValueError(f"unsupported type (v3/unsupported in reference too): {j}")
+        raise ValueError(f"unknown primitive type: {j}")
+    t = j.get("type")
+    if t == "struct":
+        return StructType([field_from_json(f) for f in j["fields"]])
+    if t == "list":
+        return ListType(j["element-id"], type_from_json(j["element"]), j.get("element-required", False))
+    if t == "map":
+        return MapType(
+            j["key-id"], type_from_json(j["key"]),
+            j["value-id"], type_from_json(j["value"]), j.get("value-required", False),
+        )
+    raise ValueError(f"unknown complex type: {t}")
+
+
+def field_from_json(j: dict) -> NestedField:
+    return NestedField(
+        field_id=j["id"],
+        name=j["name"],
+        field_type=type_from_json(j["type"]),
+        required=j.get("required", False),
+        doc=j.get("doc"),
+    )
+
+
+class Schema(StructType):
+    """Schema = StructType + schema_id (reference: schema.h:46)."""
+
+    def __init__(self, fields: list[NestedField], schema_id: int = 0,
+                 identifier_field_ids: Optional[list[int]] = None):
+        super().__init__(fields)
+        self.schema_id = schema_id
+        self.identifier_field_ids = identifier_field_ids or []
+        self._index: dict[str, tuple[int, NestedField]] = {}
+        self._index_lower: dict[str, tuple[int, NestedField]] = {}
+        self._id_to_name: dict[int, str] = {}
+        self._build_index("", self.fields)
+
+    # --- nested name index (schema.cc:90-137: dotted short names) ------
+    def _build_index(self, prefix: str, fields: list[NestedField]) -> None:
+        for f in fields:
+            full = f"{prefix}{f.name}"
+            self._index[full] = (f.field_id, f)
+            self._index_lower.setdefault(full.lower(), (f.field_id, f))
+            self._id_to_name[f.field_id] = full
+            ft = f.field_type
+            if isinstance(ft, StructType):
+                self._build_index(full + ".", ft.fields)
+            elif isinstance(ft, ListType) and isinstance(ft.element_type, StructType):
+                self._build_index(full + ".element.", ft.element_type.fields)
+            elif isinstance(ft, MapType) and isinstance(ft.value_type, StructType):
+                self._build_index(full + ".value.", ft.value_type.fields)
+
+    def find_field(self, name: str, case_sensitive: bool = True) -> Optional[NestedField]:
+        hit = (self._index if case_sensitive else self._index_lower).get(
+            name if case_sensitive else name.lower()
+        )
+        return hit[1] if hit else None
+
+    def find_field_by_id(self, field_id: int) -> Optional[NestedField]:
+        name = self._id_to_name.get(field_id)
+        return self._index[name][1] if name else None
+
+    def name_of(self, field_id: int) -> Optional[str]:
+        return self._id_to_name.get(field_id)
+
+    def column_names(self) -> list[str]:
+        return [f.name for f in self.fields]
+
+    def highest_field_id(self) -> int:
+        return max(self._id_to_name.keys(), default=0)
+
+    # --- projection (schema.cc:357-430) ---------------------------------
+    def select(self, names: list[str], case_sensitive: bool = True) -> "Schema":
+        """Select top-level subtrees by (possibly dotted) name."""
+        out: list[NestedField] = []
+        seen: set[int] = set()
+        for n in names:
+            f = self.find_field(n, case_sensitive)
+            if f is None:
+                raise ValueError(f"column not found: {n}")
+            top = self.field_by_name(n.split(".")[0], case_sensitive)
+            pick = top if top is not None else f
+            if pick.field_id not in seen:
+                seen.add(pick.field_id)
+                out.append(pick)
+        return Schema(out, schema_id=self.schema_id)
+
+    def project(self, field_ids: list[int]) -> "Schema":
+        out = [f for f in self.fields if f.field_id in set(field_ids)]
+        return Schema(out, schema_id=self.schema_id)
+
+    def to_json(self) -> dict:
+        j = super().to_json()
+        j["schema-id"] = self.schema_id
+        if self.identifier_field_ids:
+            j["identifier-field-ids"] = self.identifier_field_ids
+        return j
+
+    @staticmethod
+    def from_json(j: dict) -> "Schema":
+        return Schema(
+            [field_from_json(f) for f in j["fields"]],
+            schema_id=j.get("schema-id", 0),
+            identifier_field_ids=j.get("identifier-field-ids"),
+        )
+
+    def __eq__(self, other: object) -> bool:
+        return (
+            isinstance(other, Schema)
+            and self.schema_id == other.schema_id
+            and self.fields == other.fields
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.schema_id, tuple(self.fields)))
+
+
+# --------------------------------------------------------------------------
+# Iceberg ↔ Spark type mapping (SURVEY.md §1.2 table)
+# --------------------------------------------------------------------------
+
+def to_spark_type(t: IcebergType) -> T.DataType:
+    if isinstance(t, BooleanType):
+        return T.BooleanType()
+    if isinstance(t, IntegerType):
+        return T.IntegerType()
+    if isinstance(t, LongType):
+        return T.LongType()
+    if isinstance(t, FloatType):
+        return T.FloatType()
+    if isinstance(t, DoubleType):
+        return T.DoubleType()
+    if isinstance(t, DecimalType):
+        return T.DecimalType(t.precision, t.scale)
+    if isinstance(t, DateType):
+        return T.DateType()
+    if isinstance(t, TimeType):
+        return T.LongType()  # µs of day, engine-tagged
+    if isinstance(t, TimestampType):
+        return T.TimestampNTZType()
+    if isinstance(t, TimestampTzType):
+        return T.TimestampType()
+    if isinstance(t, (StringType, UuidType)):
+        return T.StringType()
+    if isinstance(t, (BinaryType, FixedType)):
+        return T.BinaryType()
+    if isinstance(t, Schema) or isinstance(t, StructType):
+        return T.StructType([_to_spark_field(f) for f in t.fields])
+    if isinstance(t, ListType):
+        return T.ArrayType(to_spark_type(t.element_type), containsNull=not t.element_required)
+    if isinstance(t, MapType):
+        return T.MapType(to_spark_type(t.key_type), to_spark_type(t.value_type),
+                         valueContainsNull=not t.value_required)
+    raise ValueError(f"no spark mapping for {t!r}")
+
+
+def _to_spark_field(f: NestedField) -> T.StructField:
+    md: dict[str, Any] = {FIELD_ID_KEY: f.field_id, PARQUET_FIELD_ID_KEY: f.field_id}
+    if f.doc:
+        md[DOC_KEY] = f.doc
+    if isinstance(f.field_type, (TimeType, UuidType, FixedType)):
+        md[ENGINE_TYPE_KEY] = f.field_type.to_json()
+    return T.StructField(f.name, to_spark_type(f.field_type), nullable=not f.required, metadata=md)
+
+
+def to_spark_schema(schema: Schema) -> T.StructType:
+    return T.StructType([_to_spark_field(f) for f in schema.fields])
+
+
+def from_spark_type(dt: T.DataType, next_id: Iterator[int]) -> IcebergType:
+    """Best-effort inverse mapping; fresh IDs drawn from ``next_id`` for
+    nested element/key/value fields (used when importing a plain Spark
+    DataFrame into an Iceberg table)."""
+    if isinstance(dt, T.BooleanType):
+        return BooleanType()
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return IntegerType()
+    if isinstance(dt, T.LongType):
+        return LongType()
+    if isinstance(dt, T.FloatType):
+        return FloatType()
+    if isinstance(dt, T.DoubleType):
+        return DoubleType()
+    if isinstance(dt, T.DecimalType):
+        return DecimalType(dt.precision, dt.scale)
+    if isinstance(dt, T.DateType):
+        return DateType()
+    if isinstance(dt, T.TimestampNTZType):
+        return TimestampType()
+    if isinstance(dt, T.TimestampType):
+        return TimestampTzType()
+    if isinstance(dt, T.StringType):
+        return StringType()
+    if isinstance(dt, T.BinaryType):
+        return BinaryType()
+    if isinstance(dt, T.StructType):
+        return StructType([
+            NestedField(next(next_id), f.name, from_spark_type(f.dataType, next_id), not f.nullable)
+            for f in dt.fields
+        ])
+    if isinstance(dt, T.ArrayType):
+        return ListType(next(next_id), from_spark_type(dt.elementType, next_id), not dt.containsNull)
+    if isinstance(dt, T.MapType):
+        kid = next(next_id)
+        vid = next(next_id)
+        return MapType(kid, from_spark_type(dt.keyType, iter(next_id)), vid,
+                       from_spark_type(dt.valueType, next_id), not dt.valueContainsNull)
+    raise ValueError(f"no iceberg mapping for spark type {dt}")
+
+
+def schema_from_spark(st: T.StructType, schema_id: int = 0) -> Schema:
+    """Import a Spark schema, assigning fresh sequential field IDs
+    (honoring any existing ``iceberg.field-id`` metadata)."""
+    counter = iter(range(10_000, 1_000_000))
+    fields = []
+    next_top = 1
+    for f in st.fields:
+        fid = (f.metadata or {}).get(FIELD_ID_KEY, next_top)
+        next_top = max(next_top, int(fid)) + 1
+        fields.append(NestedField(int(fid), f.name, from_spark_type(f.dataType, counter), not f.nullable))
+    return Schema(fields, schema_id=schema_id)

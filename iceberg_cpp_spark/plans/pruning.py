@@ -1,0 +1,379 @@
+"""Metadata-level scan pruning: inclusive projection of predicates onto
+partition tuples, partition-summary filtering, and per-file metrics
+(bounds/null-counts) evaluation.
+
+This implements what the reference explicitly left TODO at
+table_scan.cc:280 ("Apply filters to manifest files and data files") —
+the data model for it exists there (PartitionFieldSummary bounds,
+manifest_list.h:43-73; DataFile value/null/nan counts + lower/upper
+bounds, manifest_entry.h:95-124), and the semantics follow the Iceberg
+table spec's scan-planning section (inclusive projection + inclusive
+metrics evaluation). Rows are only *excluded* when the evaluator proves
+no row can match; any uncertainty keeps the file.
+
+Evaluators are driver-side python over manifest rows (metadata scale),
+mirroring where the reference would run them; the partition-tuple
+filter is ALSO compiled to a Spark Column so manifest-entry DataFrames
+can be pruned distributed when a table has many files.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from iceberg_cpp_spark.core import types as it
+from iceberg_cpp_spark.core.literals import from_bytes, to_comparable
+from iceberg_cpp_spark.core.metadata import PartitionSpec
+from iceberg_cpp_spark.plans import expressions as ex
+
+ROWS_MIGHT_MATCH = True
+ROWS_CANNOT_MATCH = False
+
+
+# ---------------------------------------------------------------------------
+# Inclusive projection: predicate on source columns → predicate on
+# partition fields (spec "Scan Planning"; reference TODO table_scan.cc:280)
+# ---------------------------------------------------------------------------
+
+def project_to_partition(expr: ex.Expression, spec: PartitionSpec, schema: it.Schema,
+                         case_sensitive: bool = True) -> ex.Expression:
+    """Project a bound/unbound row filter to an expression over partition
+    *values* (referenced by partition field name). Inclusive: the result
+    may be weaker (match more) than the row filter, never stronger."""
+    if isinstance(expr, (ex.UnboundPredicate,)):
+        expr = expr.bind(schema, case_sensitive)
+    return _project(expr, spec, schema)
+
+
+def _project(expr: ex.Expression, spec: PartitionSpec, schema: it.Schema) -> ex.Expression:
+    if isinstance(expr, (ex.TrueExp, ex.FalseExp)):
+        return expr
+    if isinstance(expr, ex.And):
+        return ex.and_(_project(expr.left, spec, schema), _project(expr.right, spec, schema))
+    if isinstance(expr, ex.Or):
+        # inclusive projection of OR must stay OR; a non-projectable side
+        # degrades the whole disjunct to always-true
+        left = _project(expr.left, spec, schema)
+        right = _project(expr.right, spec, schema)
+        return ex.or_(left, right)
+    if isinstance(expr, ex.Not):
+        return ex.ALWAYS_TRUE  # inclusive: can't safely project negation
+    if isinstance(expr, ex.BoundPredicate):
+        parts = []
+        for pf in spec.fields:
+            if pf.source_id != expr.term.field_id:
+                continue
+            p = _project_predicate(expr, pf, schema)
+            if p is not None:
+                parts.append(p)
+        if not parts:
+            return ex.ALWAYS_TRUE
+        return ex.and_(*parts)
+    return ex.ALWAYS_TRUE
+
+
+def _project_predicate(pred: ex.BoundPredicate, pf, schema: it.Schema) -> Optional[ex.Expression]:
+    """One bound predicate through one partition field's transform →
+    predicate keyed by partition field NAME (bound later against the
+    manifest partition struct)."""
+    from iceberg_cpp_spark.functions import transforms as tr
+
+    t = pf.transform
+    src_type = pred.term.bref.field_type if hasattr(pred.term, "bref") else pred.term.field_type
+    op = pred.op
+
+    if pred.term.transform is not None:
+        # predicate already on a transform term: project only onto the
+        # matching partition transform
+        if str(pred.term.transform) != str(t):
+            return None
+        return _PartitionPredicate(op, pf.name, pred.literals)
+
+    if isinstance(t, tr.VoidTransform):
+        return None
+    if isinstance(t, tr.IdentityTransform):
+        return _PartitionPredicate(op, pf.name, pred.literals)
+
+    if op in (ex.Op.IS_NULL, ex.Op.NOT_NULL):
+        # transforms are null-preserving: null source ⇔ null partition value
+        return _PartitionPredicate(op, pf.name, None)
+    if op in (ex.Op.IS_NAN, ex.Op.NOT_NAN):
+        return None
+
+    def tx(v):
+        return t.pyvalue(_from_comparable(v, src_type), src_type)
+
+    if op == ex.Op.EQ:
+        return _PartitionPredicate(ex.Op.EQ, pf.name, [tx(pred.literal)])
+    if op == ex.Op.IN:
+        return _PartitionPredicate(ex.Op.IN, pf.name, sorted({tx(v) for v in pred.literals}, key=repr))
+    if t.preserves_order:
+        # x < v ⇒ T(x) <= T(v); x > v ⇒ T(x) >= T(v)   (monotonic T)
+        if op in (ex.Op.LT, ex.Op.LT_EQ):
+            return _PartitionPredicate(ex.Op.LT_EQ, pf.name, [tx(pred.literal)])
+        if op in (ex.Op.GT, ex.Op.GT_EQ):
+            return _PartitionPredicate(ex.Op.GT_EQ, pf.name, [tx(pred.literal)])
+    if op == ex.Op.STARTS_WITH and isinstance(t, tr.TruncateTransform) \
+            and isinstance(src_type, it.StringType):
+        w = t.width
+        prefix = pred.literal
+        if len(prefix) >= w:
+            return _PartitionPredicate(ex.Op.STARTS_WITH, pf.name, [prefix[:w]])
+        return _PartitionPredicate(ex.Op.STARTS_WITH, pf.name, [prefix])
+    return None
+
+
+def _from_comparable(v: Any, src_type: it.IcebergType) -> Any:
+    """Inverse of literals.to_comparable for transform input."""
+    import datetime as dt
+
+    if isinstance(src_type, it.DateType) and isinstance(v, int):
+        return dt.date(1970, 1, 1) + dt.timedelta(days=v)
+    return v
+
+
+class _PartitionPredicate(ex.Expression):
+    """Predicate over a partition field by name; compilable to a Spark
+    Column over the manifest entries' ``partition`` struct and testable
+    against a python partition dict."""
+
+    def __init__(self, op: str, name: str, literals):
+        self.op = op
+        self.name = name
+        self.literals = literals
+
+    @property
+    def literal(self):
+        return self.literals[0] if self.literals else None
+
+    def negate(self):
+        return _PartitionPredicate(ex._NEGATIONS[self.op], self.name, self.literals)
+
+    def test(self, partition: dict) -> bool:
+        v = partition.get(self.name)
+        op = self.op
+        if op == ex.Op.IS_NULL:
+            return v is None
+        if op == ex.Op.NOT_NULL:
+            return v is not None
+        if v is None:
+            return False
+        v = _normalize(v)
+        lits = [_normalize(x) for x in (self.literals or [])]
+        if op == ex.Op.EQ:
+            return v == lits[0]
+        if op == ex.Op.NOT_EQ:
+            return v != lits[0]
+        if op == ex.Op.LT:
+            return v < lits[0]
+        if op == ex.Op.LT_EQ:
+            return v <= lits[0]
+        if op == ex.Op.GT:
+            return v > lits[0]
+        if op == ex.Op.GT_EQ:
+            return v >= lits[0]
+        if op == ex.Op.IN:
+            return v in set(lits)
+        if op == ex.Op.NOT_IN:
+            return v not in set(lits)
+        if op == ex.Op.STARTS_WITH:
+            return str(v).startswith(str(lits[0]))
+        if op == ex.Op.NOT_STARTS_WITH:
+            return not str(v).startswith(str(lits[0]))
+        raise ValueError(f"cannot test partition predicate op {op}")
+
+    def spark_column(self, struct_col: str = "partition") -> Column:
+        c = F.col(f"{struct_col}.`{self.name}`")
+        op = self.op
+        if op == ex.Op.IS_NULL:
+            return c.isNull()
+        if op == ex.Op.NOT_NULL:
+            return c.isNotNull()
+        if op == ex.Op.EQ:
+            return c == F.lit(self.literal)
+        if op == ex.Op.NOT_EQ:
+            return c != F.lit(self.literal)
+        if op == ex.Op.LT:
+            return c < F.lit(self.literal)
+        if op == ex.Op.LT_EQ:
+            return c <= F.lit(self.literal)
+        if op == ex.Op.GT:
+            return c > F.lit(self.literal)
+        if op == ex.Op.GT_EQ:
+            return c >= F.lit(self.literal)
+        if op == ex.Op.IN:
+            return c.isin(list(self.literals))
+        if op == ex.Op.NOT_IN:
+            return ~c.isin(list(self.literals))
+        if op == ex.Op.STARTS_WITH:
+            return c.startswith(str(self.literal))
+        if op == ex.Op.NOT_STARTS_WITH:
+            return ~c.startswith(str(self.literal))
+        raise ValueError(f"cannot compile partition predicate op {op}")
+
+    def __repr__(self):
+        return f"partition:{self.op}({self.name}, {self.literals!r})"
+
+
+def evaluate_partition_expr(expr: ex.Expression, partition: dict) -> bool:
+    """Evaluate a projected partition expression against one partition
+    tuple (dict name→value). True = file might match."""
+    if isinstance(expr, ex.TrueExp):
+        return True
+    if isinstance(expr, ex.FalseExp):
+        return False
+    if isinstance(expr, ex.And):
+        return evaluate_partition_expr(expr.left, partition) and evaluate_partition_expr(expr.right, partition)
+    if isinstance(expr, ex.Or):
+        return evaluate_partition_expr(expr.left, partition) or evaluate_partition_expr(expr.right, partition)
+    if isinstance(expr, _PartitionPredicate):
+        return expr.test(partition)
+    return True
+
+
+def partition_expr_to_column(expr: ex.Expression, struct_col: str = "partition") -> Column:
+    """Projected partition expression → Spark Column over manifest rows."""
+    if isinstance(expr, ex.TrueExp):
+        return F.lit(True)
+    if isinstance(expr, ex.FalseExp):
+        return F.lit(False)
+    if isinstance(expr, ex.And):
+        return partition_expr_to_column(expr.left, struct_col) & partition_expr_to_column(expr.right, struct_col)
+    if isinstance(expr, ex.Or):
+        return partition_expr_to_column(expr.left, struct_col) | partition_expr_to_column(expr.right, struct_col)
+    if isinstance(expr, _PartitionPredicate):
+        return expr.spark_column(struct_col)
+    return F.lit(True)
+
+
+def _normalize(v: Any) -> Any:
+    import datetime as dt
+    from decimal import Decimal
+
+    if isinstance(v, dt.datetime):
+        return to_comparable(v, it.TimestampType())
+    if isinstance(v, dt.date):
+        return (v - dt.date(1970, 1, 1)).days
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Inclusive metrics evaluator: per-file column stats vs row filter
+# (spec scan planning; stats fields from manifest_entry.h:95-124)
+# ---------------------------------------------------------------------------
+
+class InclusiveMetricsEvaluator:
+    """Decides rows_might_match from a data file's column statistics:
+    record_count, value_counts, null_value_counts, nan_value_counts,
+    lower_bounds, upper_bounds (keyed by field id, bounds spec-encoded
+    bytes decoded via literals.from_bytes)."""
+
+    def __init__(self, schema: it.Schema, expr: ex.Expression, case_sensitive: bool = True):
+        self.schema = schema
+        self.expr = expr.bind(schema, case_sensitive) if isinstance(
+            expr, (ex.UnboundPredicate, ex.And, ex.Or, ex.Not)
+        ) else expr
+
+    def eval(self, stats: dict) -> bool:
+        if stats.get("record_count") == 0:
+            return ROWS_CANNOT_MATCH
+        return self._visit(self.expr, stats)
+
+    def _visit(self, e: ex.Expression, st: dict) -> bool:
+        if isinstance(e, ex.TrueExp):
+            return ROWS_MIGHT_MATCH
+        if isinstance(e, ex.FalseExp):
+            return ROWS_CANNOT_MATCH
+        if isinstance(e, ex.And):
+            return self._visit(e.left, st) and self._visit(e.right, st)
+        if isinstance(e, ex.Or):
+            return self._visit(e.left, st) or self._visit(e.right, st)
+        if isinstance(e, ex.BoundPredicate):
+            return self._pred(e, st)
+        return ROWS_MIGHT_MATCH
+
+    def _pred(self, p: ex.BoundPredicate, st: dict) -> bool:
+        if p.term.transform is not None:
+            return ROWS_MIGHT_MATCH  # no stats for transformed values
+        fid = p.term.field_id
+        t = p.term.field_type
+        nulls = _mget(st, "null_value_counts", fid)
+        values = _mget(st, "value_counts", fid)
+        nans = _mget(st, "nan_value_counts", fid)
+        lower = _bound(st, "lower_bounds", fid, t)
+        upper = _bound(st, "upper_bounds", fid, t)
+        op = p.op
+
+        def all_null() -> bool:
+            return values is not None and nulls is not None and values == nulls
+
+        if op == ex.Op.IS_NULL:
+            return ROWS_CANNOT_MATCH if nulls == 0 else ROWS_MIGHT_MATCH
+        if op == ex.Op.NOT_NULL:
+            return ROWS_CANNOT_MATCH if all_null() else ROWS_MIGHT_MATCH
+        if op == ex.Op.IS_NAN:
+            return ROWS_CANNOT_MATCH if nans == 0 else ROWS_MIGHT_MATCH
+        if op == ex.Op.NOT_NAN:
+            return ROWS_CANNOT_MATCH if (nans is not None and values is not None and nans == values) else ROWS_MIGHT_MATCH
+        if all_null():
+            return ROWS_CANNOT_MATCH
+        v = p.literal
+        if op == ex.Op.LT:
+            if lower is not None and not _is_nan(lower) and lower >= v:
+                return ROWS_CANNOT_MATCH
+        elif op == ex.Op.LT_EQ:
+            if lower is not None and not _is_nan(lower) and lower > v:
+                return ROWS_CANNOT_MATCH
+        elif op == ex.Op.GT:
+            if upper is not None and not _is_nan(upper) and upper <= v:
+                return ROWS_CANNOT_MATCH
+        elif op == ex.Op.GT_EQ:
+            if upper is not None and not _is_nan(upper) and upper < v:
+                return ROWS_CANNOT_MATCH
+        elif op == ex.Op.EQ:
+            if lower is not None and not _is_nan(lower) and lower > v:
+                return ROWS_CANNOT_MATCH
+            if upper is not None and not _is_nan(upper) and upper < v:
+                return ROWS_CANNOT_MATCH
+        elif op == ex.Op.IN:
+            vals = p.literals
+            if lower is not None and not _is_nan(lower) and all(lower > x for x in vals):
+                return ROWS_CANNOT_MATCH
+            if upper is not None and not _is_nan(upper) and all(upper < x for x in vals):
+                return ROWS_CANNOT_MATCH
+        elif op == ex.Op.STARTS_WITH:
+            prefix = str(v)
+            if lower is not None and isinstance(lower, str):
+                lo = lower[: len(prefix)]
+                if lo > prefix:
+                    return ROWS_CANNOT_MATCH
+            if upper is not None and isinstance(upper, str):
+                up = upper[: len(prefix)]
+                if up < prefix:
+                    return ROWS_CANNOT_MATCH
+        # NOT_EQ / NOT_IN / NOT_STARTS_WITH can't exclude via inclusive bounds
+        return ROWS_MIGHT_MATCH
+
+
+def _mget(st: dict, key: str, fid: int):
+    m = st.get(key)
+    if m is None:
+        return None
+    return m.get(fid, m.get(str(fid)))
+
+
+def _bound(st: dict, key: str, fid: int, t: it.IcebergType):
+    raw = _mget(st, key, fid)
+    if raw is None:
+        return None
+    if isinstance(raw, (bytes, bytearray)):
+        return to_comparable(from_bytes(bytes(raw), t), t)
+    return to_comparable(raw, t)
+
+
+def _is_nan(v: Any) -> bool:
+    return isinstance(v, float) and math.isnan(v)
