@@ -141,6 +141,43 @@ def _bounds_map() -> pa.DataType:
     return pa.map_(pa.int32(), pa.binary())
 
 
+def _arrow_type(t: it.IcebergType) -> pa.DataType:
+    """Iceberg type → arrow type for partition-tuple columns."""
+    if isinstance(t, it.BooleanType):
+        return pa.bool_()
+    if isinstance(t, it.IntegerType):
+        return pa.int32()
+    if isinstance(t, (it.LongType, it.TimeType)):
+        return pa.int64()
+    if isinstance(t, it.FloatType):
+        return pa.float32()
+    if isinstance(t, it.DoubleType):
+        return pa.float64()
+    if isinstance(t, it.DateType):
+        return pa.date32()
+    if isinstance(t, it.TimestampType):
+        return pa.timestamp("us")
+    if isinstance(t, it.TimestampTzType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(t, (it.StringType, it.UuidType)):
+        return pa.string()
+    if isinstance(t, (it.BinaryType, it.FixedType)):
+        return pa.binary()
+    if isinstance(t, it.DecimalType):
+        return pa.decimal128(t.precision, t.scale)
+    raise ValueError(f"no arrow mapping for partition type {t!r}")
+
+
+def partition_arrow_struct(spec: "PartitionSpec", schema: it.Schema) -> Optional[pa.DataType]:
+    """Typed ``partition`` struct for a spec — written alongside
+    ``partition_json`` so Spark can prune manifest entries with plain
+    Column filters (distributed scan planning at 100 TB file counts)."""
+    if not spec.fields:
+        return None
+    types = _partition_types(spec, schema)
+    return pa.struct([pa.field(pf.name, _arrow_type(types[pf.name])) for pf in spec.fields])
+
+
 def manifest_arrow_schema() -> pa.Schema:
     return pa.schema(
         [
@@ -275,8 +312,14 @@ class ManifestWriter:
         )
 
     def close(self) -> ManifestFile:
-        rows = {name: [] for name in manifest_arrow_schema().names}
+        arrow_schema = manifest_arrow_schema()
+        pstruct = partition_arrow_struct(self.spec, self.schema)
+        if pstruct is not None:
+            arrow_schema = arrow_schema.append(pa.field("partition", pstruct))
+        rows = {name: [] for name in arrow_schema.names}
         for e in self.entries:
+            if pstruct is not None:
+                rows["partition"].append(e.data_file.partition)
             f = e.data_file
             rows["status"].append(e.status)
             rows["snapshot_id"].append(e.snapshot_id)
@@ -299,7 +342,7 @@ class ManifestWriter:
             rows["equality_ids"].append(f.equality_ids or None)
             rows["sort_order_id"].append(f.sort_order_id)
             rows["referenced_data_file"].append(f.referenced_data_file)
-        table = pa.Table.from_pydict(rows, schema=manifest_arrow_schema())
+        table = pa.Table.from_pydict(rows, schema=arrow_schema)
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         pq.write_table(table, self.path, compression="zstd")
 
@@ -310,7 +353,12 @@ class ManifestWriter:
             t = types[pf.name]
             vals = [e.data_file.partition.get(pf.name) for e in self.entries if e.is_live]
             nn = [v for v in vals if v is not None]
-            contains_nan = any(isinstance(v, float) and v != v for v in nn) or None
+            # keep the definite False for NaN-capable types — None means
+            # "unknown" and would disable NaN-based manifest pruning
+            if isinstance(t, (it.FloatType, it.DoubleType)):
+                contains_nan = any(isinstance(v, float) and v != v for v in nn)
+            else:
+                contains_nan = None
             lo = hi = None
             if nn:
                 try:

@@ -180,6 +180,9 @@ class Snapshot:
     summary: dict[str, str] = dc_field(default_factory=dict)
     parent_snapshot_id: Optional[int] = None
     schema_id: Optional[int] = None
+    # format-version 1 allows an inline `manifests` array instead of a
+    # manifest-list file (spec v1; json_internal.cc snapshot parsing)
+    manifests: Optional[list[str]] = None
 
     @property
     def operation(self) -> Optional[str]:
@@ -190,9 +193,12 @@ class Snapshot:
             "snapshot-id": self.snapshot_id,
             "sequence-number": self.sequence_number,
             "timestamp-ms": self.timestamp_ms,
-            "manifest-list": self.manifest_list,
             "summary": self.summary,
         }
+        if self.manifest_list:
+            j["manifest-list"] = self.manifest_list
+        elif self.manifests is not None:
+            j["manifests"] = self.manifests
         if self.parent_snapshot_id is not None:
             j["parent-snapshot-id"] = self.parent_snapshot_id
         if self.schema_id is not None:
@@ -201,14 +207,17 @@ class Snapshot:
 
     @staticmethod
     def from_json(j: dict) -> "Snapshot":
+        if "manifest-list" not in j and "manifests" not in j:
+            raise ValueError("snapshot missing both manifest-list and manifests")
         return Snapshot(
             snapshot_id=j["snapshot-id"],
             sequence_number=j.get("sequence-number", 0),
             timestamp_ms=j["timestamp-ms"],
-            manifest_list=j["manifest-list"],
+            manifest_list=j.get("manifest-list", ""),
             summary=j.get("summary", {}),
             parent_snapshot_id=j.get("parent-snapshot-id"),
             schema_id=j.get("schema-id"),
+            manifests=j.get("manifests"),
         )
 
 
@@ -426,7 +435,11 @@ def read_table_metadata(path: str) -> TableMetadata:
     return TableMetadata.from_json(json.loads(raw.decode("utf-8")))
 
 
-def write_table_metadata(meta: TableMetadata, path: str) -> None:
+def write_table_metadata(meta: TableMetadata, path: str, exclusive: bool = False) -> None:
+    """Write metadata JSON. With ``exclusive=True`` the version-file
+    creation itself is the compare-and-swap: the hard-link into place
+    fails with FileExistsError if a concurrent writer won the version,
+    closing the check-then-replace TOCTOU window."""
     data = json.dumps(meta.to_json(), indent=2).encode("utf-8")
     if path.endswith(".gz.metadata.json"):
         data = gzip.compress(data)
@@ -434,7 +447,13 @@ def write_table_metadata(meta: TableMetadata, path: str) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(tmp, "wb") as f:
         f.write(data)
-    os.replace(tmp, path)
+    if exclusive:
+        try:
+            os.link(tmp, path)  # atomic create-if-absent (EEXIST on loss)
+        finally:
+            os.unlink(tmp)
+    else:
+        os.replace(tmp, path)
 
 
 def new_table_uuid() -> str:

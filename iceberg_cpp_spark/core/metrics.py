@@ -1,0 +1,162 @@
+"""Per-file column metrics for DataFile entries.
+
+Capability parity with the reference's write-side ``Metrics``
+(metrics.h:33-42, populated by parquet_writer.cc:51-165): record count,
+per-column sizes, value/null/nan counts and spec-encoded lower/upper
+bounds. The reference collects them from its Arrow writer; this engine
+harvests the identical statistics from the Parquet footers Spark already
+wrote — a metadata-only read (no data pages touched).
+
+Scale: footer harvesting is embarrassingly parallel. Below a threshold
+the driver reads footers directly; above it, the path list is shipped to
+executors via ``mapInPandas`` so a 10^5-file append never serializes
+through the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Any, Iterable, Iterator, Optional
+
+import pyarrow.parquet as pq
+
+from iceberg_cpp_spark.core import types as it
+from iceberg_cpp_spark.core.literals import to_bytes
+
+# switch from driver-side to executor-side footer harvesting
+DISTRIBUTED_THRESHOLD = 64
+
+
+def _field_map(schema: it.Schema) -> dict[str, tuple[int, it.IcebergType]]:
+    """Top-level column name → (field_id, iceberg type)."""
+    return {f.name: (f.field_id, f.field_type) for f in schema.fields
+            if f.field_type.is_primitive}
+
+
+def _stat_value(v: Any, t: it.IcebergType) -> Any:
+    """Normalize a pyarrow footer statistic to the python value shape
+    that ``literals.to_bytes`` expects for the given Iceberg type."""
+    if v is None:
+        return None
+    if isinstance(t, it.StringType) and isinstance(v, bytes):
+        return v.decode("utf-8", errors="replace")
+    if isinstance(t, (it.FloatType, it.DoubleType)) and isinstance(v, float) and math.isnan(v):
+        return None  # NaN is not a usable bound (spec: bounds skip NaN)
+    return v
+
+
+def file_metrics(path: str, fields: dict[str, tuple[int, it.IcebergType]]) -> dict:
+    """Read one Parquet footer → Iceberg metrics dict (bounds spec-encoded
+    as bytes keyed by field id)."""
+    meta = pq.ParquetFile(path).metadata
+    column_sizes: dict[int, int] = {}
+    value_counts: dict[int, int] = {}
+    null_counts: dict[int, int] = {}
+    nan_counts: dict[int, int] = {}
+    lowers: dict[int, Any] = {}
+    uppers: dict[int, Any] = {}
+    bounds_ok: dict[int, bool] = {}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name not in fields:
+                continue  # nested leaves: counted at top level only
+            fid, t = fields[name]
+            column_sizes[fid] = column_sizes.get(fid, 0) + col.total_compressed_size
+            value_counts[fid] = value_counts.get(fid, 0) + col.num_values
+            st = col.statistics
+            if st is None:
+                bounds_ok[fid] = False
+                continue
+            if st.null_count is not None:
+                null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+            if st.has_min_max and bounds_ok.get(fid, True):
+                lo = _stat_value(st.min, t)
+                hi = _stat_value(st.max, t)
+                if lo is None or hi is None:
+                    bounds_ok[fid] = False
+                else:
+                    bounds_ok[fid] = True
+                    lowers[fid] = lo if fid not in lowers or _lt(lo, lowers[fid]) else lowers[fid]
+                    uppers[fid] = hi if fid not in uppers or _lt(uppers[fid], hi) else uppers[fid]
+            else:
+                bounds_ok[fid] = False
+    lower_bounds = {}
+    upper_bounds = {}
+    for fid, ok in bounds_ok.items():
+        if not ok:
+            lowers.pop(fid, None)
+            uppers.pop(fid, None)
+    by_id = {fid: t for _, (fid, t) in fields.items()}
+    for fid, v in lowers.items():
+        try:
+            lower_bounds[fid] = to_bytes(v, by_id[fid])
+        except Exception:
+            pass
+    for fid, v in uppers.items():
+        try:
+            upper_bounds[fid] = to_bytes(v, by_id[fid])
+        except Exception:
+            pass
+    return {
+        "record_count": meta.num_rows,
+        "file_size_in_bytes": os.path.getsize(path),
+        "column_sizes": column_sizes,
+        "value_counts": value_counts,
+        "null_value_counts": null_counts,
+        "nan_value_counts": nan_counts,
+        "lower_bounds": lower_bounds,
+        "upper_bounds": upper_bounds,
+    }
+
+
+def _lt(a: Any, b: Any) -> bool:
+    try:
+        return a < b
+    except TypeError:
+        return False
+
+
+def _metrics_json(path: str, fields) -> str:
+    m = file_metrics(path, fields)
+    enc = dict(m)
+    enc["lower_bounds"] = {k: v.hex() for k, v in m["lower_bounds"].items()}
+    enc["upper_bounds"] = {k: v.hex() for k, v in m["upper_bounds"].items()}
+    return json.dumps(enc)
+
+
+def _decode_metrics_json(s: str) -> dict:
+    m = json.loads(s)
+    for key in ("column_sizes", "value_counts", "null_value_counts", "nan_value_counts"):
+        m[key] = {int(k): v for k, v in m[key].items()}
+    m["lower_bounds"] = {int(k): bytes.fromhex(v) for k, v in m["lower_bounds"].items()}
+    m["upper_bounds"] = {int(k): bytes.fromhex(v) for k, v in m["upper_bounds"].items()}
+    return m
+
+
+def collect_metrics(spark, paths: list[str], schema: it.Schema) -> dict[str, dict]:
+    """Metrics for every path. Driver-side for small appends; shipped to
+    executors (Arrow-batched ``mapInPandas``) past DISTRIBUTED_THRESHOLD
+    so scan-plan metadata work never bottlenecks on the driver."""
+    fields = _field_map(schema)
+    if spark is None or len(paths) <= DISTRIBUTED_THRESHOLD:
+        return {p: file_metrics(p, fields) for p in paths}
+
+    import pandas as pd
+
+    def harvest(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            yield pd.DataFrame({
+                "path": b["path"],
+                "metrics_json": [_metrics_json(p, fields) for p in b["path"]],
+            })
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    rows = pdf.repartition(min(len(paths), 256)).mapInPandas(
+        harvest, schema="path string, metrics_json string"
+    ).collect()
+    return {r["path"]: _decode_metrics_json(r["metrics_json"]) for r in rows}

@@ -44,7 +44,7 @@ def project_to_partition(expr: ex.Expression, spec: PartitionSpec, schema: it.Sc
     """Project a bound/unbound row filter to an expression over partition
     *values* (referenced by partition field name). Inclusive: the result
     may be weaker (match more) than the row filter, never stronger."""
-    if isinstance(expr, (ex.UnboundPredicate,)):
+    if isinstance(expr, (ex.UnboundPredicate, ex.And, ex.Or, ex.Not)):
         expr = expr.bind(schema, case_sensitive)
     return _project(expr, spec, schema)
 
@@ -259,6 +259,77 @@ def _normalize(v: Any) -> Any:
     if isinstance(v, dt.date):
         return (v - dt.date(1970, 1, 1)).days
     return v
+
+
+# ---------------------------------------------------------------------------
+# Manifest-level evaluator: projected partition expression vs a
+# manifest-list row's PartitionFieldSummary bounds (manifest_list.h:43-73).
+# Prunes whole manifests before their entries are ever read.
+# ---------------------------------------------------------------------------
+
+def evaluate_partition_summaries(expr: ex.Expression, spec, schema: it.Schema,
+                                 summaries: list) -> bool:
+    """True = manifest might contain matching files (inclusive). ``expr``
+    is a projected partition expression (from project_to_partition);
+    ``summaries`` is the manifest's PartitionFieldSummary list, positionally
+    aligned with ``spec.fields``."""
+    if not summaries:
+        return ROWS_MIGHT_MATCH
+    by_name: dict[str, tuple] = {}
+    for i, pf in enumerate(spec.fields):
+        if i >= len(summaries):
+            break
+        src = schema.find_field_by_id(pf.source_id)
+        if src is None:
+            continue
+        rt = pf.transform.result_type(src.field_type)
+        s = summaries[i]
+        lo = to_comparable(from_bytes(s.lower_bound, rt), rt) if s.lower_bound is not None else None
+        hi = to_comparable(from_bytes(s.upper_bound, rt), rt) if s.upper_bound is not None else None
+        by_name[pf.name] = (s.contains_null, s.contains_nan, lo, hi)
+    return _visit_summary(expr, by_name)
+
+
+def _visit_summary(e: ex.Expression, by_name: dict) -> bool:
+    if isinstance(e, ex.TrueExp):
+        return ROWS_MIGHT_MATCH
+    if isinstance(e, ex.FalseExp):
+        return ROWS_CANNOT_MATCH
+    if isinstance(e, ex.And):
+        return _visit_summary(e.left, by_name) and _visit_summary(e.right, by_name)
+    if isinstance(e, ex.Or):
+        return _visit_summary(e.left, by_name) or _visit_summary(e.right, by_name)
+    if not isinstance(e, _PartitionPredicate) or e.name not in by_name:
+        return ROWS_MIGHT_MATCH
+    contains_null, contains_nan, lo, hi = by_name[e.name]
+    op = e.op
+    if op == ex.Op.IS_NULL:
+        return ROWS_MIGHT_MATCH if contains_null else ROWS_CANNOT_MATCH
+    if op == ex.Op.NOT_NULL:
+        # cannot-match only when the summary proves all values are null
+        if lo is None and hi is None and contains_null:
+            return ROWS_CANNOT_MATCH
+        return ROWS_MIGHT_MATCH
+    if lo is None or hi is None:
+        return ROWS_MIGHT_MATCH
+    lits = [_normalize(x) for x in (e.literals or [])]
+    if op == ex.Op.EQ:
+        return ROWS_CANNOT_MATCH if (lits[0] < lo or lits[0] > hi) else ROWS_MIGHT_MATCH
+    if op == ex.Op.IN:
+        return ROWS_CANNOT_MATCH if all(v < lo or v > hi for v in lits) else ROWS_MIGHT_MATCH
+    if op == ex.Op.LT:
+        return ROWS_CANNOT_MATCH if lo >= lits[0] else ROWS_MIGHT_MATCH
+    if op == ex.Op.LT_EQ:
+        return ROWS_CANNOT_MATCH if lo > lits[0] else ROWS_MIGHT_MATCH
+    if op == ex.Op.GT:
+        return ROWS_CANNOT_MATCH if hi <= lits[0] else ROWS_MIGHT_MATCH
+    if op == ex.Op.GT_EQ:
+        return ROWS_CANNOT_MATCH if hi < lits[0] else ROWS_MIGHT_MATCH
+    if op == ex.Op.STARTS_WITH and isinstance(lo, str) and isinstance(hi, str):
+        p = str(lits[0])
+        if lo[: len(p)] > p or hi[: len(p)] < p:
+            return ROWS_CANNOT_MATCH
+    return ROWS_MIGHT_MATCH
 
 
 # ---------------------------------------------------------------------------

@@ -438,9 +438,11 @@ class FileSystemCatalog(Catalog):
             r.check(base)
         version = base_version + 1
         loc = os.path.join(new_metadata.location, "metadata", f"v{version}.metadata.json")
-        if os.path.exists(loc):
+        try:
+            # the exclusive create IS the CAS — no exists() pre-check race
+            write_table_metadata(new_metadata, loc, exclusive=True)
+        except FileExistsError:
             raise CommitFailedError(f"metadata version exists (concurrent writer): v{version}")
-        write_table_metadata(new_metadata, loc)
         self._write_hint(ident, version, expected_current=base_version if base else None)
         return loc
 

@@ -1,0 +1,694 @@
+"""IceTable: the table abstraction (reference table.h:35-130) plus the
+scan pipeline (table_scan.h/cc) and the append/commit write path
+(transaction.h:31-51, manifest_writer.cc:69-186, snapshot.h:121-216 —
+the reference declares AppendFiles but never implemented it; this
+engine does).
+
+Spark-first execution model:
+  * scan planning = manifest-list read (driver, tiny) → manifest-level
+    pruning via PartitionFieldSummary bounds → entry-level pruning.
+    Entry pruning runs DISTRIBUTED for large tables: manifests are
+    parquet, read as ONE Spark DataFrame, partition predicates compiled
+    to Columns (plans.pruning.partition_expr_to_column) and per-file
+    metrics evaluated in executors via mapInPandas — only surviving
+    file paths return to the driver. Small tables use a driver-side
+    fast path (no Spark job for a 5-file table).
+  * the data plane ends in ``spark.read.parquet(*files)`` with the
+    residual filter + projection as Catalyst expressions, so predicate
+    pushdown / column pruning / row-group skipping / whole-stage
+    codegen all apply.
+  * append = ``df.write.parquet`` (partition transforms as derived
+    ``_p_*`` columns so data files keep every user column) → footer
+    metrics harvest → manifest/manifest-list → snapshot → CAS commit.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+import urllib.parse
+import uuid as uuid_mod
+from dataclasses import dataclass, replace as dc_replace
+from decimal import Decimal
+from typing import Any, Iterable, Iterator, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_cpp_spark.core import manifests as mf
+from iceberg_cpp_spark.core import types as it
+from iceberg_cpp_spark.core.metadata import (
+    MAIN_BRANCH,
+    DataOperation,
+    PartitionSpec,
+    Snapshot,
+    SnapshotRef,
+    SortOrder,
+    TableMetadata,
+    read_table_metadata,
+    write_table_metadata,
+)
+from iceberg_cpp_spark.core.metrics import collect_metrics
+from iceberg_cpp_spark.plans import expressions as ex
+from iceberg_cpp_spark.plans import pruning
+from iceberg_cpp_spark.plans.spark_compiler import to_spark_column
+
+# below this many live files, scan planning stays on the driver
+DISTRIBUTED_PLAN_THRESHOLD = 2048
+
+_PART_PREFIX = "_p_"  # write-side partition dir columns (keeps user cols in files)
+
+
+@dataclass
+class FileScanTask:
+    """table_scan.h:32-66 — one data file to scan."""
+
+    file_path: str
+    file_format: str
+    record_count: int
+    file_size_in_bytes: int
+    partition: dict[str, Any]
+    spec_id: int = 0
+
+    @property
+    def size_bytes(self) -> int:
+        return self.file_size_in_bytes
+
+    @property
+    def estimated_row_count(self) -> int:
+        return self.record_count
+
+
+class TableScan:
+    """TableScanBuilder + DataTableScan (table_scan.cc:165-296).
+
+    Fluent config then ``plan_files()`` / ``to_df()``. Implements the
+    partition/metrics pruning the reference left TODO (table_scan.cc:280).
+    """
+
+    def __init__(self, table: "IceTable"):
+        self._table = table
+        self._snapshot_id: Optional[int] = None
+        self._ref: Optional[str] = None
+        self._as_of_ms: Optional[int] = None
+        self._filter: ex.Expression = ex.ALWAYS_TRUE
+        self._columns: Optional[list[str]] = None
+        self._limit: Optional[int] = None
+        self._case_sensitive = True
+        self._with_meta_cols = False
+        self._options: dict[str, str] = {}
+
+    # --- builder (table_scan.cc:171-205) --------------------------------
+    def use_snapshot(self, snapshot_id: int) -> "TableScan":
+        self._snapshot_id = snapshot_id
+        return self
+
+    def use_ref(self, name: str) -> "TableScan":
+        self._ref = name
+        return self
+
+    def as_of(self, timestamp_ms: int) -> "TableScan":
+        self._as_of_ms = timestamp_ms
+        return self
+
+    def filter(self, expr: ex.Expression) -> "TableScan":
+        self._filter = ex.and_(self._filter, expr)
+        return self
+
+    def select(self, *columns: str) -> "TableScan":
+        self._columns = [c for group in columns for c in (group if isinstance(group, (list, tuple)) else [group])]
+        return self
+
+    def limit(self, n: int) -> "TableScan":
+        self._limit = n
+        return self
+
+    def case_sensitive(self, v: bool) -> "TableScan":
+        self._case_sensitive = v
+        return self
+
+    def with_metadata_columns(self) -> "TableScan":
+        """Adds `_file` / `_pos` (metadata_columns.h:42-96) via Spark's
+        hidden `_metadata` struct — no per-row python."""
+        self._with_meta_cols = True
+        return self
+
+    def option(self, k: str, v: str) -> "TableScan":
+        self._options[k] = v
+        return self
+
+    # --- resolution (table_scan.cc:207-246) -----------------------------
+    def snapshot(self) -> Optional[Snapshot]:
+        meta = self._table.metadata
+        if self._snapshot_id is not None:
+            s = meta.snapshot_by_id(self._snapshot_id)
+            if s is None:
+                raise ValueError(f"snapshot not found: {self._snapshot_id}")
+            return s
+        if self._ref is not None:
+            r = meta.ref(self._ref)
+            if r is None:
+                raise ValueError(f"ref not found: {self._ref}")
+            return meta.snapshot_by_id(r.snapshot_id)
+        if self._as_of_ms is not None:
+            return meta.snapshot_as_of(self._as_of_ms)
+        return meta.current_snapshot()
+
+    def read_schema(self) -> it.Schema:
+        snap = self.snapshot()
+        meta = self._table.metadata
+        s = meta.schema_by_id(snap.schema_id) if snap and snap.schema_id is not None else None
+        return s or meta.schema()
+
+    # --- planning (table_scan.cc:264-296 + the TODO:280 pruning) --------
+    def plan_files(self) -> list[FileScanTask]:
+        snap = self.snapshot()
+        if snap is None:
+            return []
+        schema = self.read_schema()
+        meta = self._table.metadata
+        bound = (
+            self._filter.bind(schema, self._case_sensitive)
+            if isinstance(self._filter, (ex.UnboundPredicate, ex.And, ex.Or, ex.Not))
+            else self._filter
+        )
+
+        manifest_files = mf.read_manifest_list(snap.manifest_list)
+        # manifest-level pruning via PartitionFieldSummary bounds
+        surviving: list[mf.ManifestFile] = []
+        projected_by_spec: dict[int, ex.Expression] = {}
+        for m in manifest_files:
+            if m.content != mf.MANIFEST_CONTENT_DATA:
+                continue
+            spec = meta.spec_by_id(m.partition_spec_id) or PartitionSpec.unpartitioned()
+            if m.partition_spec_id not in projected_by_spec:
+                projected_by_spec[m.partition_spec_id] = pruning.project_to_partition(
+                    bound, spec, schema, self._case_sensitive
+                )
+            proj = projected_by_spec[m.partition_spec_id]
+            if pruning.evaluate_partition_summaries(proj, spec, schema, m.partitions):
+                surviving.append(m)
+        if not surviving:
+            return []
+
+        total_files = sum(m.added_files_count + m.existing_files_count for m in surviving)
+        evaluator = pruning.InclusiveMetricsEvaluator(schema, bound, self._case_sensitive)
+        if total_files <= DISTRIBUTED_PLAN_THRESHOLD or self._table.spark is None:
+            return self._plan_files_driver(surviving, meta, schema, projected_by_spec, evaluator)
+        return self._plan_files_distributed(surviving, meta, schema, projected_by_spec, evaluator)
+
+    def _plan_files_driver(self, manifests, meta, schema, projected_by_spec, evaluator):
+        tasks: list[FileScanTask] = []
+        for m in manifests:
+            spec = meta.spec_by_id(m.partition_spec_id) or PartitionSpec.unpartitioned()
+            proj = projected_by_spec[m.partition_spec_id]
+            for e in mf.read_manifest(m.manifest_path, spec, schema, manifest=m):
+                if not e.is_live or e.data_file.content != mf.CONTENT_DATA:
+                    continue
+                if not pruning.evaluate_partition_expr(proj, e.data_file.partition):
+                    continue
+                if not evaluator.eval(e.data_file.stats()):
+                    continue
+                tasks.append(self._task(e.data_file, m.partition_spec_id))
+        return tasks
+
+    def _plan_files_distributed(self, manifests, meta, schema, projected_by_spec, evaluator):
+        """Scale path: manifests for each spec read as ONE DataFrame;
+        partition pruning as Columns (JVM-side), metrics evaluation in
+        executors via mapInPandas; only surviving file metadata is
+        collected. Keeps 10^5-file scan planning off the driver."""
+        import pandas as pd
+
+        spark = self._table.spark
+        tasks: list[FileScanTask] = []
+        by_spec: dict[int, list[mf.ManifestFile]] = {}
+        for m in manifests:
+            by_spec.setdefault(m.partition_spec_id, []).append(m)
+        out_schema = ("file_path string, file_format string, record_count long, "
+                      "file_size_in_bytes long, partition_json string")
+
+        for spec_id, group in by_spec.items():
+            spec = meta.spec_by_id(spec_id) or PartitionSpec.unpartitioned()
+            proj = projected_by_spec[spec_id]
+            df = spark.read.parquet(*[m.manifest_path for m in group])
+            df = df.filter(
+                (F.col("status") != mf.STATUS_DELETED) & (F.col("content") == mf.CONTENT_DATA)
+            )
+            if spec.fields and "partition" in df.columns:
+                df = df.filter(pruning.partition_expr_to_column(proj, "partition"))
+
+            ev = evaluator
+
+            def survive(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+                for b in batches:
+                    keep = []
+                    for i in range(len(b)):
+                        stats = {
+                            "record_count": b["record_count"].iloc[i],
+                            "value_counts": _as_dict(b["value_counts"].iloc[i]),
+                            "null_value_counts": _as_dict(b["null_value_counts"].iloc[i]),
+                            "nan_value_counts": _as_dict(b["nan_value_counts"].iloc[i]),
+                            "lower_bounds": _as_dict(b["lower_bounds"].iloc[i]),
+                            "upper_bounds": _as_dict(b["upper_bounds"].iloc[i]),
+                        }
+                        keep.append(bool(ev.eval(stats)))
+                    yield b.loc[keep, ["file_path", "file_format", "record_count",
+                                       "file_size_in_bytes", "partition_json"]]
+
+            cols = ["file_path", "file_format", "record_count", "file_size_in_bytes",
+                    "partition_json", "value_counts", "null_value_counts",
+                    "nan_value_counts", "lower_bounds", "upper_bounds"]
+            rows = df.select(*cols).mapInPandas(survive, schema=out_schema).collect()
+            for r in rows:
+                tasks.append(
+                    FileScanTask(
+                        file_path=r["file_path"],
+                        file_format=r["file_format"],
+                        record_count=r["record_count"],
+                        file_size_in_bytes=r["file_size_in_bytes"],
+                        partition=mf.partition_from_json(r["partition_json"], spec, schema),
+                        spec_id=spec_id,
+                    )
+                )
+        return tasks
+
+    def _task(self, f: mf.DataFile, spec_id: int) -> FileScanTask:
+        return FileScanTask(
+            file_path=f.file_path,
+            file_format=f.file_format,
+            record_count=f.record_count,
+            file_size_in_bytes=f.file_size_in_bytes,
+            partition=f.partition,
+            spec_id=spec_id,
+        )
+
+    # --- execution ------------------------------------------------------
+    def to_df(self) -> DataFrame:
+        spark = self._table.spark
+        if spark is None:
+            raise ValueError("table has no SparkSession; pass spark= to load_table")
+        schema = self.read_schema()
+        spark_schema = it.to_spark_schema(schema)
+        tasks = self.plan_files()
+        if not tasks:
+            df = spark.createDataFrame([], spark_schema)
+        else:
+            df = spark.read.schema(spark_schema).parquet(*[t.file_path for t in tasks])
+        if self._with_meta_cols and tasks:
+            df = df.select(
+                "*",
+                F.col("_metadata.file_path").alias("_file"),
+                F.col("_metadata.row_index").alias("_pos"),
+            )
+        if not isinstance(self._filter, ex.TrueExp):
+            df = df.filter(to_spark_column(self._filter, schema, self._case_sensitive))
+        if self._columns is not None:
+            df = df.select(*self._columns)
+        if self._limit is not None:
+            df = df.limit(self._limit)
+        return df
+
+
+def _as_dict(v: Any) -> dict:
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return {int(k): bytes(x) if isinstance(x, (bytes, bytearray)) else x
+                for k, x in v.items()}
+    # arrow map → list of (k, v) tuples in pandas
+    return {int(k): bytes(x) if isinstance(x, (bytes, bytearray)) else x for k, x in v}
+
+
+class IceTable:
+    """table.h:35-130 — identifier + metadata + location (+ catalog)."""
+
+    def __init__(self, identifier: str, metadata: TableMetadata,
+                 metadata_location: str, catalog=None,
+                 spark: Optional[SparkSession] = None):
+        self.identifier = identifier
+        self.metadata = metadata
+        self.metadata_location = metadata_location
+        self.catalog = catalog
+        self.spark = spark
+
+    # --- accessors (table.h:58-129) -------------------------------------
+    def schema(self) -> it.Schema:
+        return self.metadata.schema()
+
+    def schemas(self) -> dict[int, it.Schema]:
+        return {s.schema_id: s for s in self.metadata.schemas}
+
+    def spec(self) -> PartitionSpec:
+        return self.metadata.spec()
+
+    def specs(self) -> dict[int, PartitionSpec]:
+        return {s.spec_id: s for s in self.metadata.partition_specs}
+
+    def sort_order(self) -> SortOrder:
+        return self.metadata.sort_order()
+
+    def properties(self) -> dict[str, str]:
+        return self.metadata.properties
+
+    def location(self) -> str:
+        return self.metadata.location
+
+    def current_snapshot(self) -> Optional[Snapshot]:
+        return self.metadata.current_snapshot()
+
+    def snapshots(self) -> list[Snapshot]:
+        return self.metadata.snapshots
+
+    def history(self) -> list[dict]:
+        return self.metadata.snapshot_log
+
+    # --- scan -----------------------------------------------------------
+    def scan(self, filter: Optional[ex.Expression] = None,
+             columns: Optional[list[str]] = None,
+             snapshot_id: Optional[int] = None,
+             limit: Optional[int] = None) -> TableScan:
+        s = TableScan(self)
+        if filter is not None:
+            s.filter(filter)
+        if columns is not None:
+            s.select(*columns)
+        if snapshot_id is not None:
+            s.use_snapshot(snapshot_id)
+        if limit is not None:
+            s.limit(limit)
+        return s
+
+    new_scan = scan  # reference naming (table.h:117)
+
+    def to_df(self) -> DataFrame:
+        return self.scan().to_df()
+
+    # --- inspection (metadata tables) ------------------------------------
+    def files_df(self) -> DataFrame:
+        """Live data files as a DataFrame (one row per file)."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return self.spark.createDataFrame(
+                [], "file_path string, record_count long, file_size_in_bytes long")
+        paths = [m.manifest_path for m in mf.read_manifest_list(snap.manifest_list)]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        return df.filter(F.col("status") != mf.STATUS_DELETED)
+
+    def manifests_df(self) -> DataFrame:
+        snap = self.current_snapshot()
+        if snap is None:
+            return self.spark.createDataFrame([], "manifest_path string")
+        return self.spark.read.parquet(snap.manifest_list)
+
+    def snapshots_df(self) -> DataFrame:
+        rows = [
+            (s.snapshot_id, s.parent_snapshot_id, s.sequence_number, s.timestamp_ms,
+             s.operation or "", s.manifest_list)
+            for s in self.metadata.snapshots
+        ]
+        return self.spark.createDataFrame(
+            rows, "snapshot_id long, parent_id long, sequence_number long, "
+                  "committed_at_ms long, operation string, manifest_list string")
+
+    # --- write path (W4/W5/W6; reference transaction.h — unimplemented
+    # there, implemented here) --------------------------------------------
+    def append(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "IceTable":
+        """AppendFiles: write parquet → footer metrics → manifest →
+        manifest list (carrying prior manifests) → snapshot → CAS commit."""
+        new_files = self._write_data_files(df)
+        return self._commit_files(new_files, operation=DataOperation.APPEND, branch=branch)
+
+    def overwrite(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "IceTable":
+        """Replace the whole table contents in one snapshot."""
+        new_files = self._write_data_files(df)
+        return self._commit_files(new_files, operation=DataOperation.OVERWRITE,
+                                  branch=branch, carry_existing=False)
+
+    def delete_where(self, expr: ex.Expression, branch: str = MAIN_BRANCH) -> "IceTable":
+        """Row-level delete, copy-on-write: rewrite only the files whose
+        stats say they may contain matching rows (the reference errors on
+        any delete — table_scan.cc:288-291; this goes beyond it)."""
+        schema = self.schema()
+        affected = {t.file_path for t in self.scan(filter=expr).plan_files()}
+        if not affected:
+            return self
+        spark_schema = it.to_spark_schema(schema)
+        kept = (
+            self.spark.read.schema(spark_schema).parquet(*sorted(affected))
+            .filter(~to_spark_column(expr, schema))
+        )
+        new_files = self._write_data_files(kept) if kept.limit(1).count() else []
+        return self._commit_files(
+            new_files, operation=DataOperation.OVERWRITE, branch=branch,
+            carry_existing=True, drop_paths=affected)
+
+    def rewrite_data_files(self, target_file_count: Optional[int] = None,
+                           branch: str = MAIN_BRANCH) -> "IceTable":
+        """Compaction (M9): read all live files, re-cluster, replace.
+        snapshot operation = replace (snapshot.h:209)."""
+        df = self.to_df()
+        if target_file_count:
+            df = df.repartition(target_file_count)
+        new_files = self._write_data_files(df)
+        return self._commit_files(new_files, operation=DataOperation.REPLACE,
+                                  branch=branch, carry_existing=False)
+
+    # --- write internals -------------------------------------------------
+    def _write_data_files(self, df: DataFrame) -> list[mf.DataFile]:
+        schema = self.schema()
+        spec = self.spec()
+        location = self.metadata.location
+        write_dir = os.path.join(location, "data", uuid_mod.uuid4().hex)
+        # align to the table schema and stamp parquet field IDs
+        # (schema_util.h field-ID resolution depends on files carrying IDs)
+        spark_fields = it.to_spark_schema(schema).fields
+        df = df.select([
+            F.col(sf.name).cast(sf.dataType).alias(sf.name, metadata=sf.metadata)
+            for sf in spark_fields
+        ])
+        part_names: list[str] = []
+        if spec.fields:
+            # transforms as derived columns (prefixed so data files keep
+            # every user column even under identity partitioning), then
+            # cluster writes by partition (LocationProvider role, W6)
+            for pf in spec.fields:
+                src = schema.find_field_by_id(pf.source_id)
+                col = pf.transform.spark_column(F.col(src.name), src.field_type)
+                df = df.withColumn(_PART_PREFIX + pf.name, col)
+                part_names.append(_PART_PREFIX + pf.name)
+            writer = df.repartition(*[F.col(n) for n in part_names]).write.partitionBy(*part_names)
+        else:
+            writer = df.write
+        writer.mode("overwrite").parquet(write_dir)
+
+        paths = []
+        for root, _dirs, files in os.walk(write_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    paths.append(os.path.join(root, fn))
+        paths.sort()
+        metrics = collect_metrics(self.spark, paths, schema)
+        out: list[mf.DataFile] = []
+        for p in paths:
+            m = metrics[p]
+            if m["record_count"] == 0:
+                continue
+            out.append(
+                mf.DataFile(
+                    content=mf.CONTENT_DATA,
+                    file_path=p,
+                    file_format="parquet",
+                    partition=_partition_from_path(p, write_dir, spec, schema),
+                    record_count=m["record_count"],
+                    file_size_in_bytes=m["file_size_in_bytes"],
+                    column_sizes=m["column_sizes"],
+                    value_counts=m["value_counts"],
+                    null_value_counts=m["null_value_counts"],
+                    nan_value_counts=m["nan_value_counts"],
+                    lower_bounds=m["lower_bounds"],
+                    upper_bounds=m["upper_bounds"],
+                )
+            )
+        return out
+
+    def _commit_files(self, new_files: list[mf.DataFile], operation: str,
+                      branch: str = MAIN_BRANCH, carry_existing: bool = True,
+                      drop_paths: Optional[set] = None) -> "IceTable":
+        meta = self.metadata
+        schema = self.schema()
+        spec = self.spec()
+        snapshot_id = random.getrandbits(62)
+        seq = meta.last_sequence_number + 1
+        now_ms = int(time.time() * 1000)
+        meta_dir = os.path.join(meta.location, "metadata")
+
+        manifest_path = os.path.join(meta_dir, f"manifest-{uuid_mod.uuid4().hex}.parquet")
+        writer = mf.ManifestWriter(manifest_path, spec, schema, snapshot_id)
+        for f in new_files:
+            writer.add_file(f, sequence_number=seq)
+        new_manifest = writer.close() if new_files else None
+
+        carried: list[mf.ManifestFile] = []
+        parent = meta.current_snapshot()
+        if carry_existing and parent is not None:
+            for m in mf.read_manifest_list(parent.manifest_list):
+                if drop_paths:
+                    pspec = meta.spec_by_id(m.partition_spec_id) or spec
+                    entries = mf.read_manifest(m.manifest_path, pspec, schema, manifest=m)
+                    keep = [e for e in entries
+                            if e.is_live and e.data_file.file_path not in drop_paths]
+                    if len(keep) == len([e for e in entries if e.is_live]):
+                        carried.append(m)
+                    elif keep:
+                        w = mf.ManifestWriter(
+                            os.path.join(meta_dir, f"manifest-{uuid_mod.uuid4().hex}.parquet"),
+                            pspec, schema, snapshot_id)
+                        for e in keep:
+                            w.add(mf.ManifestEntry(
+                                status=mf.STATUS_EXISTING, data_file=e.data_file,
+                                snapshot_id=e.snapshot_id, sequence_number=e.sequence_number,
+                                file_sequence_number=e.file_sequence_number))
+                        carried.append(w.close())
+                else:
+                    carried.append(m)
+
+        manifest_list = os.path.join(meta_dir, f"snap-{snapshot_id}-{uuid_mod.uuid4().hex}.parquet")
+        lw = mf.ManifestListWriter(manifest_list, snapshot_id, seq)
+        if new_manifest is not None:
+            lw.add(new_manifest)
+        for m in carried:
+            lw.add(m)
+        lw.close()
+
+        added_records = sum(f.record_count for f in new_files)
+        added_size = sum(f.file_size_in_bytes for f in new_files)
+        total_records = added_records + sum(m.added_rows_count + m.existing_rows_count for m in carried)
+        total_files = len(new_files) + sum(m.added_files_count + m.existing_files_count for m in carried)
+        summary = {  # snapshot.h:121-216 standard keys
+            "operation": operation,
+            "added-data-files": str(len(new_files)),
+            "added-records": str(added_records),
+            "added-files-size": str(added_size),
+            "total-data-files": str(total_files),
+            "total-records": str(total_records),
+            "total-delete-files": "0",
+            "total-equality-deletes": "0",
+            "total-position-deletes": "0",
+        }
+        snap = Snapshot(
+            snapshot_id=snapshot_id,
+            sequence_number=seq,
+            timestamp_ms=now_ms,
+            manifest_list=manifest_list,
+            summary=summary,
+            parent_snapshot_id=parent.snapshot_id if parent else None,
+            schema_id=meta.current_schema_id,
+        )
+        new_meta = dc_replace(
+            meta,
+            last_sequence_number=seq,
+            last_updated_ms=now_ms,
+            current_snapshot_id=snapshot_id,
+            snapshots=meta.snapshots + [snap],
+            snapshot_log=meta.snapshot_log + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+            metadata_log=meta.metadata_log + [
+                {"timestamp-ms": meta.last_updated_ms, "metadata-file": self.metadata_location}
+            ],
+            refs={**meta.refs, branch: SnapshotRef(snapshot_id=snapshot_id, type="branch")},
+        )
+        return self._commit(new_meta, branch, parent)
+
+    def _commit(self, new_meta: TableMetadata, branch: str, parent: Optional[Snapshot]) -> "IceTable":
+        if self.catalog is not None:
+            from iceberg_cpp_spark.sources.catalog import AssertRefSnapshotId
+
+            reqs = [AssertRefSnapshotId(branch, parent.snapshot_id if parent else None)]
+            loc = self.catalog.commit_table(self.identifier, reqs, new_meta)
+        else:
+            base = os.path.basename(self.metadata_location)
+            version = int(base.split(".")[0][1:]) if base.startswith("v") else 0
+            loc = os.path.join(new_meta.location, "metadata", f"v{version + 1}.metadata.json")
+            write_table_metadata(new_meta, loc, exclusive=True)
+        self.metadata = new_meta
+        self.metadata_location = loc
+        return self
+
+    def refresh(self) -> "IceTable":
+        if self.catalog is not None:
+            self.metadata, self.metadata_location = self.catalog.load_metadata(self.identifier)
+        else:
+            self.metadata = read_table_metadata(self.metadata_location)
+        return self
+
+    # --- standalone (catalog-less) constructors --------------------------
+    @staticmethod
+    def create(spark: SparkSession, location: str, schema: it.Schema,
+               spec: Optional[PartitionSpec] = None,
+               properties: Optional[dict] = None,
+               identifier: str = "") -> "IceTable":
+        from iceberg_cpp_spark.sources.catalog import Catalog
+
+        meta = Catalog()._new_metadata(schema, spec, None, properties, location)
+        loc = os.path.join(location, "metadata", "v1.metadata.json")
+        write_table_metadata(meta, loc, exclusive=True)
+        return IceTable(identifier or os.path.basename(location.rstrip("/")),
+                        meta, loc, spark=spark)
+
+    @staticmethod
+    def load(spark: SparkSession, location: str) -> "IceTable":
+        meta_dir = os.path.join(location, "metadata")
+        versions = sorted(
+            (int(f.split(".")[0][1:]), f) for f in os.listdir(meta_dir)
+            if f.startswith("v") and f.endswith(".metadata.json")
+        )
+        if not versions:
+            raise FileNotFoundError(f"no metadata at {location}")
+        loc = os.path.join(meta_dir, versions[-1][1])
+        return IceTable(os.path.basename(location.rstrip("/")),
+                        read_table_metadata(loc), loc, spark=spark)
+
+
+# ---------------------------------------------------------------------------
+# Partition-path parsing (inverse of Spark's hive-style dir layout)
+# ---------------------------------------------------------------------------
+
+def _partition_from_path(path: str, base_dir: str, spec: PartitionSpec,
+                         schema: it.Schema) -> dict[str, Any]:
+    if not spec.fields:
+        return {}
+    rel = os.path.relpath(os.path.dirname(path), base_dir)
+    raw: dict[str, str] = {}
+    for comp in rel.split(os.sep):
+        if "=" in comp:
+            k, v = comp.split("=", 1)
+            if k.startswith(_PART_PREFIX):
+                raw[k[len(_PART_PREFIX):]] = v
+    out: dict[str, Any] = {}
+    for pf in spec.fields:
+        v = raw.get(pf.name)
+        src = schema.find_field_by_id(pf.source_id)
+        rt = pf.transform.result_type(src.field_type)
+        out[pf.name] = _parse_partition_value(v, rt)
+    return out
+
+
+def _parse_partition_value(v: Optional[str], t: it.IcebergType) -> Any:
+    if v is None or v == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    s = urllib.parse.unquote(v)
+    import datetime as dt
+
+    if isinstance(t, (it.IntegerType, it.LongType, it.TimeType)):
+        return int(s)
+    if isinstance(t, (it.FloatType, it.DoubleType)):
+        return float(s)
+    if isinstance(t, it.BooleanType):
+        return s.lower() == "true"
+    if isinstance(t, it.DateType):
+        return dt.date.fromisoformat(s)
+    if isinstance(t, (it.TimestampType, it.TimestampTzType)):
+        return dt.datetime.fromisoformat(s.replace("T", " "))
+    if isinstance(t, it.DecimalType):
+        return Decimal(s)
+    return s
