@@ -1,0 +1,268 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's scope (iceberg-cpp is a table-format SDK), these
+are the data-pipeline operators a 100 TB corpus needs. Every design is
+BUCKETED — candidate generation is always a hash/band bucket join, never
+an all-pairs cross join, so the shuffle volume is O(n·bands), not O(n²).
+
+- exact_dedup:        sha2 content key → groupBy → keep min id (one shuffle)
+- minhash_lsh_dedup:  shingles → k minhash perms (vectorized numpy in a
+                      pandas UDF) → b bands → explode → band-bucket join →
+                      keep docs that never share a bucket with a smaller id
+- simhash_dedup:      64-bit simhash → 4×16-bit bands → same bucket scheme
+                      (catches hamming-distance ≤ small dups)
+- ngram_jaccard_verify: exact n-gram Jaccard on candidate PAIRS only
+- embedding_dedup:    random-hyperplane LSH buckets over array<float> →
+                      within-bucket cosine ≥ threshold → drop larger id
+
+All deterministic (fixed seeds, min-id representatives) so results are
+stable across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterable, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_MERSENNE = (1 << 61) - 1
+_SEED = 42
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def content_key(col: Column, normalize: bool = True) -> Column:
+    """Stable 256-bit content key. With normalize, case/whitespace
+    differences don't defeat dedup."""
+    c = col
+    if normalize:
+        c = F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    return F.sha2(c, 256)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                normalize: bool = True) -> DataFrame:
+    """Keep one row (min id) per distinct content. Single hash-partition
+    shuffle on the 256-bit key; partial aggregation map-side."""
+    key = content_key(F.col(text_col), normalize).alias("_ck")
+    winners = (
+        df.select(key, F.col(id_col))
+        .groupBy("_ck")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(winners, on=id_col, how="leftsemi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _perm_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rs = np.random.RandomState(_SEED)
+    a = rs.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rs.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def _shingle_hashes(text: str, width: int) -> np.ndarray:
+    """Word-level shingles → stable 32-bit hashes (crc32: fast, seedless,
+    identical on every worker — python's hash() is salted per process)."""
+    words = text.split()
+    if len(words) < width:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [" ".join(words[i:i + width]) for i in range(len(words) - width + 1)]
+    return np.unique(np.array(
+        [zlib.crc32(g.encode("utf-8")) for g in grams], dtype=np.int64))
+
+
+def minhash_signature_udf(num_perm: int = 128, shingle_width: int = 3):
+    """array<long> minhash signature as a vectorized pandas UDF."""
+    a, b = _perm_params(num_perm)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            x = _shingle_hashes(t, shingle_width)
+            # (a ⊗ x + b) mod p, min over shingles — one numpy broadcast
+            m = ((a[:, None] * x[None, :] + b[:, None]) % _MERSENNE).min(axis=1)
+            out.append(m.tolist())
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 128, bands: int = 32,
+                      shingle_width: int = 3) -> DataFrame:
+    """Fuzzy dedup. b bands × r rows (r = num_perm//bands): docs agreeing
+    on all r minhashes of any band land in the same bucket. A doc is a
+    duplicate iff some bucket contains a smaller id. The only shuffle is
+    the band-bucket groupBy (exploded rows: n·bands) — 100 TB-viable;
+    there is no pairwise comparison."""
+    assert num_perm % bands == 0, "num_perm must divide evenly into bands"
+    r = num_perm // bands
+    sig = minhash_signature_udf(num_perm, shingle_width)
+    with_sig = df.select(F.col(id_col), sig(F.col(text_col)).alias("_sig"))
+    band_hashes = F.array(*[
+        F.xxhash64(F.concat_ws(",", F.slice("_sig", i * r + 1, r).cast("array<string>")))
+        for i in range(bands)
+    ])
+    banded = with_sig.select(id_col, F.posexplode(band_hashes).alias("_band", "_bucket"))
+    min_per_bucket = banded.groupBy("_band", "_bucket").agg(F.min(id_col).alias("_rep"))
+    dup_ids = (
+        banded.join(min_per_bucket, on=["_band", "_bucket"])
+        .filter(F.col(id_col) > F.col("_rep"))
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(dup_ids, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_udf(shingle_width: int = 2):
+    """64-bit simhash as long (vectorized per batch)."""
+
+    @pandas_udf(T.LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            words = t.lower().split()
+            if len(words) < shingle_width:
+                grams = [" ".join(words)] if words else [""]
+            else:
+                grams = [" ".join(words[i:i + shingle_width])
+                         for i in range(len(words) - shingle_width + 1)]
+            hs = np.array([zlib.crc32(g.encode()) | (zlib.crc32(g[::-1].encode()) << 32)
+                           for g in grams], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+            v = np.where(bits, 1, -1).sum(axis=0)
+            h = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+            out.append(h - (1 << 64) if h >= (1 << 63) else h)  # to signed
+        return pd.Series(out, dtype="object")
+
+    return sh
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  bands: int = 4) -> DataFrame:
+    """Near-dup removal via simhash band buckets: 64/bands-bit chunks;
+    hamming-close docs agree on ≥1 chunk (pigeonhole) and collide there."""
+    width = 64 // bands
+    sh = simhash_udf()
+    with_h = df.select(F.col(id_col), sh(F.col(text_col)).alias("_sh"))
+    band_vals = F.array(*[
+        F.shiftrightunsigned("_sh", i * width).bitwiseAND(F.lit((1 << width) - 1))
+        for i in range(bands)
+    ])
+    banded = with_h.select(id_col, F.posexplode(band_vals).alias("_band", "_bucket"))
+    min_per_bucket = banded.groupBy("_band", "_bucket").agg(F.min(id_col).alias("_rep"))
+    dup_ids = (
+        banded.join(min_per_bucket, on=["_band", "_bucket"])
+        .filter(F.col(id_col) > F.col("_rep"))
+        .select(id_col).distinct()
+    )
+    return df.join(dup_ids, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification on candidate pairs)
+# ---------------------------------------------------------------------------
+
+def ngram_set(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram array, JVM-side (no python)."""
+    words = F.split(F.trim(F.lower(col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3) -> DataFrame:
+    """Exact Jaccard for given (id_a, id_b) candidate pairs — the verify
+    step after LSH banding. Two broadcast-able joins + JVM set ops."""
+    grams = df.select(F.col(id_col), ngram_set(F.col(text_col), n).alias("_g"))
+    a = grams.select(F.col(id_col).alias("id_a"), F.col("_g").alias("_ga"))
+    b = grams.select(F.col(id_col).alias("id_b"), F.col("_g").alias("_gb"))
+    joined = pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = F.size(F.array_union("_ga", "_gb")).cast("double")
+    return joined.select(
+        "id_a", "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(1.0)).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-duplicate (cosine) via hyperplane LSH
+# ---------------------------------------------------------------------------
+
+def embedding_dedup(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+                    threshold: float = 0.95, planes: int = 16,
+                    dim: Optional[int] = None) -> DataFrame:
+    """Cosine near-dup removal without an n² cross join: sign-pattern of
+    ``planes`` random hyperplanes buckets similar vectors together; the
+    exact cosine check runs only inside buckets (arrow-batched)."""
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        if first is None:
+            return df
+        dim = first[0]
+    rs = np.random.RandomState(_SEED)
+    H = rs.normal(size=(planes, dim)).astype(np.float64)
+
+    @pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            sig = (H @ x) > 0
+            out.append(int(sig.astype(np.uint64) @ (1 << np.arange(planes, dtype=np.uint64))))
+        return pd.Series(out, dtype="int64")
+
+    keyed = df.select(F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("_b"))
+
+    def find_dups(grp: pd.DataFrame) -> pd.DataFrame:
+        # one call per LSH bucket (applyInPandas guarantees whole groups,
+        # unlike mapInPandas batch boundaries)
+        if len(grp) < 2:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64")})
+        ids = grp[id_col].to_numpy()
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in grp[vec_col]])
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        Mn = M / norms[:, None]
+        order = np.argsort(ids)
+        ids, Mn = ids[order], Mn[order]
+        sims = Mn @ Mn.T
+        dups = [int(ids[j]) for j in range(1, len(ids))
+                if (sims[j, :j] >= threshold).any()]
+        return pd.DataFrame({id_col: pd.Series(dups, dtype="int64")})
+
+    dup_ids = (
+        keyed.groupBy("_b")
+        .applyInPandas(find_dups, schema=f"{id_col} long")
+        .distinct()
+    )
+    return df.join(dup_ids, on=id_col, how="left_anti")

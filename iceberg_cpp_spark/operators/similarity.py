@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two strategies, both avoiding an unbucketed n×n blow-up:
+
+- cosine_topk: brute-force exact top-k. The (small) query set is
+  broadcast; the dot products run JVM-side as higher-order array
+  functions (zip_with + aggregate — whole-stage codegen, no python in
+  the hot path); ranking is one window over (query, score).
+- ivf_topk: IVF (inverted-file) approximate top-k for the 100 TB
+  path: k-means-lite centroids from a sample, every vector assigned to
+  its nearest centroid once (a materializable clustered layout), and a
+  query probes only ``nprobe`` nearest centroid partitions — scanning
+  nprobe/ncentroids of the corpus instead of all of it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import broadcast, pandas_udf
+from pyspark.sql.window import Window
+
+_SEED = 42
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two float arrays (no python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                query_id_col: str = "query_id",
+                query_vec_col: str = "query_vec") -> DataFrame:
+    """Exact top-k by cosine for each query vector. queries must be small
+    (broadcast); corpus any size. Ties broken by corpus id (ascending)
+    for determinism. Returns (query_id, vec_id, score, rank)."""
+    joined = corpus.join(broadcast(queries))
+    scored = joined.select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF: coarse quantization so queries touch a fraction of the corpus
+# ---------------------------------------------------------------------------
+
+def train_centroids(corpus: DataFrame, ncentroids: int = 16,
+                    vec_col: str = "embedding", sample_rows: int = 10_000,
+                    iters: int = 10) -> np.ndarray:
+    """k-means on a driver-side sample (centroid training is always
+    sample-based at scale; assignment below is distributed)."""
+    sample = corpus.select(vec_col).limit(sample_rows).toPandas()
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    rs = np.random.RandomState(_SEED)
+    C = X[rs.choice(len(X), size=min(ncentroids, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def assign_centroids(corpus: DataFrame, centroids: np.ndarray,
+                     vec_col: str = "embedding") -> DataFrame:
+    """Adds `_cell` (nearest-centroid index). At scale this result is
+    written back partitioned by `_cell` — the IVF index layout."""
+    C = centroids
+
+    @pandas_udf(T.IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            out.append(int(((C - x) ** 2).sum(axis=1).argmin()))
+        return pd.Series(out, dtype="int32")
+
+    return corpus.withColumn("_cell", cell(F.col(vec_col)))
+
+
+def ivf_topk(indexed: DataFrame, centroids: np.ndarray, queries: DataFrame,
+             k: int = 5, nprobe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             query_id_col: str = "query_id",
+             query_vec_col: str = "query_vec") -> DataFrame:
+    """Approximate top-k: each query probes only its nprobe nearest
+    cells. ``indexed`` is assign_centroids() output (or a table written
+    partitioned by _cell, in which case the probe filter partition-prunes
+    the scan)."""
+    C = centroids
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            d = ((C - x) ** 2).sum(axis=1)
+            out.append([int(i) for i in np.argsort(d)[:nprobe]])
+        return pd.Series(out)
+
+    q = queries.withColumn("_probes", probes(F.col(query_vec_col)))
+    joined = indexed.join(
+        broadcast(q), on=F.array_contains(F.col("_probes"), F.col("_cell")))
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

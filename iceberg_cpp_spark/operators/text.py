@@ -1,0 +1,132 @@
+"""Text-analysis operators over document tables — all pure Column
+expressions (JVM-side, whole-stage codegen; no python in the hot path).
+
+- token counting (whitespace + BPE-ish subword estimate)
+- quality scoring (length / punctuation / stopword / word-shape ratios)
+- language ID (stopword-hit n-gram heuristic)
+- document fingerprinting (normalized md5 + positional rolling sample)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"],
+    "fr": ["le", "la", "les", "et", "de", "des", "est", "une", "dans", "que"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "es", "por"],
+}
+
+
+def words(col: Column) -> Column:
+    """Lower-cased whitespace tokens; empty string → empty array."""
+    trimmed = F.trim(F.lower(col))
+    return F.when(F.length(trimmed) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(trimmed, r"\s+"))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(col))
+
+
+def subword_token_estimate(col: Column) -> Column:
+    """BPE-ish token estimate: word-piece boundaries approximated by
+    splitting on non-alphanumerics plus a long-word correction —
+    the standard ~4-chars-per-token heuristic, computable JVM-side."""
+    pieces = F.size(F.filter(
+        F.split(F.lower(col), r"[^\p{L}\p{N}]+"), lambda w: F.length(w) > 0))
+    long_corr = F.floor(F.length(col) / F.lit(16))
+    return (pieces + long_corr).cast("long")
+
+
+def punct_ratio(col: Column) -> Column:
+    total = F.greatest(F.length(col), F.lit(1)).cast("double")
+    puncts = F.length(F.regexp_replace(col, r"[^\p{Punct}]", ""))
+    return puncts / total
+
+
+def alpha_ratio(col: Column) -> Column:
+    total = F.greatest(F.length(col), F.lit(1)).cast("double")
+    alphas = F.length(F.regexp_replace(col, r"[^\p{L}]", ""))
+    return alphas / total
+
+
+def mean_word_len(col: Column) -> Column:
+    w = words(col)
+    n = F.greatest(F.size(w), F.lit(1)).cast("double")
+    return F.aggregate(w, F.lit(0.0), lambda acc, x: acc + F.length(x)) / n
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    w = words(col)
+    n = F.greatest(F.size(w), F.lit(1)).cast("double")
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS[lang]])
+    hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    return hits / n
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, mostly letters,
+    sane word lengths, not punctuation soup, has common-word mass."""
+    length_ok = F.least(F.length(col).cast("double") / F.lit(200.0), F.lit(1.0))
+    alpha = alpha_ratio(col)
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(col) * 4.0, F.lit(1.0))
+    mwl = mean_word_len(col)
+    wordlen_ok = F.when((mwl >= 3.0) & (mwl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    sw = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    return (length_ok * 0.25 + alpha * 0.25 + punct_pen * 0.2
+            + wordlen_ok * 0.15 + sw * 0.15)
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Total stopword occurrences for one language (counts, not distinct)."""
+    w = words(col)
+    sw = F.array(*[F.lit(s) for s in _STOPWORDS[lang]])
+    return F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+
+
+def language_id(col: Column) -> Column:
+    """argmax over per-language stopword hits; 'und' (undetermined) when
+    no language scores. Deterministic tie-break: language order."""
+    langs = list(_STOPWORDS)
+    hits = [stopword_hits(col, l) for l in langs]
+    best = F.greatest(*hits)
+    expr = F.lit("und")
+    for l, h in zip(reversed(langs), reversed(hits)):
+        expr = F.when((best > 0) & (h == best), F.lit(l)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Content fingerprint: md5 of whitespace/case-normalized text."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+
+def rolling_fingerprint(col: Column, window: int = 64, step: int = 32) -> Column:
+    """Positional fingerprint: md5 of each window-sized slice sampled
+    every ``step`` chars (first 8 slices) — for partial-overlap detection."""
+    starts = F.sequence(F.lit(0), F.least(
+        F.greatest((F.length(col) - window), F.lit(0)), F.lit(step * 7)), F.lit(step))
+    return F.transform(starts, lambda s: F.md5(F.substring(col, s + 1, window)))
+
+
+def analyze_documents(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Full per-document feature set in one JVM-side projection."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars"),
+        token_count(c).alias("n_tokens"),
+        subword_token_estimate(c).alias("n_subword_tokens"),
+        F.round(alpha_ratio(c), 4).alias("alpha_ratio"),
+        F.round(punct_ratio(c), 4).alias("punct_ratio"),
+        F.round(mean_word_len(c), 4).alias("mean_word_len"),
+        F.round(stopword_ratio(c), 4).alias("stopword_ratio"),
+        F.round(quality_score(c), 4).alias("quality"),
+        language_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,74 @@
+"""Incremental + streaming reads.
+
+The reference has no streaming executor — its incremental unit is the
+snapshot (snapshot log, table_metadata.h:104-107). This module supplies
+both halves Spark-natively:
+
+- incremental_read: the files added between two snapshots, as a
+  DataFrame (changelog-style append reads; exact parity with what an
+  engine built on the reference would diff from manifest lists).
+- stream_events: Structured Streaming over a directory of files with
+  watermarked tumbling-window aggregation (the standard late-data
+  pattern); runs with availableNow for bounded verification.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_cpp_spark.core import manifests as mf
+from iceberg_cpp_spark.core import types as it
+from iceberg_cpp_spark.table import IceTable
+
+
+def _snapshot_files(table: IceTable, snapshot_id: Optional[int]) -> set[str]:
+    if snapshot_id is None:
+        return set()
+    snap = table.metadata.snapshot_by_id(snapshot_id)
+    if snap is None:
+        raise ValueError(f"snapshot not found: {snapshot_id}")
+    out: set[str] = set()
+    schema = table.schema()
+    meta = table.metadata
+    for m in mf.read_manifest_list(snap.manifest_list):
+        spec = meta.spec_by_id(m.partition_spec_id)
+        for e in mf.read_manifest(m.manifest_path, spec, schema, manifest=m):
+            if e.is_live and e.data_file.content == mf.CONTENT_DATA:
+                out.add(e.data_file.file_path)
+    return out
+
+
+def incremental_read(table: IceTable, from_snapshot_id: Optional[int],
+                     to_snapshot_id: Optional[int] = None) -> DataFrame:
+    """Rows in files added after ``from_snapshot_id`` up to
+    ``to_snapshot_id`` (default: current). The append-only changelog:
+    reading only the NEW files, not a diff of row sets."""
+    to_id = to_snapshot_id if to_snapshot_id is not None else (
+        table.current_snapshot().snapshot_id if table.current_snapshot() else None)
+    new_files = sorted(_snapshot_files(table, to_id) - _snapshot_files(table, from_snapshot_id))
+    spark_schema = it.to_spark_schema(table.schema())
+    if not new_files:
+        return table.spark.createDataFrame([], spark_schema)
+    return table.spark.read.schema(spark_schema).parquet(*new_files)
+
+
+def stream_events(spark, source_dir: str, schema: str,
+                  ts_col: str = "ts", value_col: str = "value",
+                  window: str = "1 hour", watermark: str = "2 hours",
+                  group_col: str = "event_type") -> DataFrame:
+    """Watermarked tumbling-window aggregation over a file stream.
+    Returns the streaming DataFrame; caller picks sink + trigger
+    (tests use ``availableNow`` + memory sink for bounded runs)."""
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+    return (
+        stream
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(group_col))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+        )
+    )
