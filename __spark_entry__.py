@@ -1,38 +1,731 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001. ``queries()`` maps
+operator names → (spark, sf_dir) → DataFrame, one entry per implemented
+operator family from SURVEY.md §2 plus the LLM-pipeline operators.
+``oracle_sql()`` carries the DuckDB-equivalent SQL; keys omitted there
+are genuinely non-SQL-expressible (LSH dedup, bucket murmur3) and fall
+back to the driver's rows-only check.
+
+Float determinism policy: monetary aggregates are summed as
+DECIMAL(18,2) (exact, order-independent) and only then cast to DOUBLE,
+so Spark and DuckDB agree bit-for-bit.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
 
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(col, p=18, s=2):
+    return F.col(col).cast(f"decimal({p},{s})") if isinstance(col, str) else col.cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY §2.4 — demonstrated through the engine)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((_dec("l_extendedprice") * (F.lit(1.0).cast("decimal(18,2)") - _dec("l_discount", 18, 4)))
+                  .cast("decimal(28,6)")).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum((_dec("l_extendedprice") * (F.lit(1.0).cast("decimal(18,2)") - _dec("l_discount", 18, 4)))
+                   .cast("decimal(28,6)")).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, (li.l_suppkey == supplier.s_suppkey)
+              & (customer.c_nationkey == supplier.s_nationkey))
+        .join(broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum((_dec("l_extendedprice") * (F.lit(1.0).cast("decimal(18,2)") - _dec("l_discount", 18, 4)))
+                   .cast("decimal(28,6)")).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "leftsemi")
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "leftanti")
+    return (
+        with_orders.groupBy("c_mktsegment").agg(F.count("*").alias("n_with"))
+        .join(
+            without.groupBy("c_mktsegment").agg(F.count("*").alias("n_without")),
+            "c_mktsegment", "fullouter")
+        .select("c_mktsegment",
+                F.coalesce("n_with", F.lit(0)).alias("n_with"),
+                F.coalesce("n_without", F.lit(0)).alias("n_without"))
+    )
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+    )
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"))
+    )
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", _dec("l_quantity"))
+              .otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double").alias("qty_a"),
+        F.sum(F.when(F.col("l_returnflag") == "R", _dec("l_quantity"))
+              .otherwise(F.lit(0).cast("decimal(18,2)"))).cast("double").alias("qty_r"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+
+
+def window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ordered = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    never_ordered = cust.exceptAll(ordered).distinct()
+    both = cust.intersect(ordered)
+    return (
+        never_ordered.withColumn("src", F.lit("never_ordered"))
+        .unionAll(both.withColumn("src", F.lit("both")))
+    )
+
+
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(20)
+    )
+
+
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.datediff(F.to_date(F.lit("1998-12-31")), F.to_date("o_orderdate")).alias("days_to_end"),
+        F.round(F.abs(_dec("o_totalprice")), 0).cast("double").alias("abs_price"),
+        F.concat_ws("-", "o_orderstatus", F.col("o_orderkey").cast("string")).alias("status_key"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("OPEN")).alias("status_or_open"),
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is timestamp[ns], which Spark's parquet reader rejects;
+    read as long (legacy conf) and floor to µs — Spark's native unit."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return ev
+
+
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(_dec("value", 18, 4)).cast("double").alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-native: transforms, write path, scan path (SURVEY §2.1-2.3, §2.6)
+# ---------------------------------------------------------------------------
+
+def ice_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """truncate/year/month/day/hour partition-transform values computed
+    through the engine's Transform.spark_column compilers."""
+    from iceberg_cpp_spark.core import types as it
+    from iceberg_cpp_spark.functions import transforms as tr
+
+    li = _t(spark, sf_dir, "lineitem")
+    ts = it.TimestampType()
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        tr.TruncateTransform(10).spark_column(F.col("l_orderkey"), it.LongType()).alias("trunc10"),
+        tr.YearTransform().spark_column(F.col("l_shipdate"), ts).alias("ship_year"),
+        tr.MonthTransform().spark_column(F.col("l_shipdate"), ts).alias("ship_month"),
+        tr.DayTransform().spark_column(F.col("l_shipdate"), ts).alias("ship_day"),
+        tr.HourTransform().spark_column(F.col("l_shipdate"), ts).alias("ship_hour"),
+    )
+
+
+def ice_bucket_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """murmur3 bucket[16] — spec-exact; no SQL oracle exists (DuckDB has
+    no seed-0 murmur3), correctness pinned by golden vectors in tests."""
+    from iceberg_cpp_spark.core import types as it
+    from iceberg_cpp_spark.functions import transforms as tr
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        tr.BucketTransform(16).spark_column(F.col("l_orderkey"), it.LongType()).alias("bucket16"),
+        tr.BucketTransform(8).spark_column(F.col("l_returnflag"), it.StringType()).alias("bucket8_str"),
+    )
+
+
+def _fresh_table(spark, sf_dir, schema_src, name):
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core.types import schema_from_spark
+
+    loc = os.path.join(tempfile.mkdtemp(prefix=f"ice_{name}_"), name)
+    return IceTable.create(spark, loc, schema_from_spark(schema_src.schema))
+
+
+def ice_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create → append → scan round-trip through the full table-format
+    stack (metadata JSON, manifests, snapshot, footer metrics)."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "rt")
+    t.append(li)
+    return (
+        t.to_df()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"))
+    )
+
+
+def ice_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """month(l_shipdate)-partitioned table; the filtered scan plans only
+    matching partitions (verified separately in tests), result must equal
+    the plain SQL filter."""
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core.metadata import PartitionField, PartitionSpec
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.functions import transforms as tr
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    li = _t(spark, sf_dir, "lineitem")
+    schema = schema_from_spark(li.schema)
+    sd = schema.find_field("l_shipdate")
+    spec = PartitionSpec([PartitionField(sd.field_id, 1000, "ship_month", tr.MonthTransform())])
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_pp_"), "li")
+    t = IceTable.create(spark, loc, schema, spec=spec)
+    t.append(li)
+    import datetime as dt
+
+    flt = ex.gt_eq(ex.Reference("l_shipdate"), dt.datetime(1996, 1, 1)) \
+        & ex.lt(ex.Reference("l_shipdate"), dt.datetime(1997, 1, 1))
+    return (
+        t.scan(filter=flt).to_df()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+    )
+
+
+def ice_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """two appends; scanning the first snapshot sees only the first half."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "tt")
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    first = t.current_snapshot().snapshot_id
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    return (
+        t.scan(snapshot_id=first).to_df()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def ice_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """copy-on-write row-level delete (beyond the reference, which errors
+    on deletes — table_scan.cc:288-291)."""
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "del")
+    t.append(li)
+    t.delete_where(ex.eq(ex.Reference("l_returnflag"), "A"))
+    return t.to_df().groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+def ice_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rename-by-field-id: files written under the old name are read
+    under the new one (schema_util.h:91-93 semantics via parquet
+    field-id resolution)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity", "l_returnflag")
+    t = _fresh_table(spark, sf_dir, li, "evo")
+    t.append(li)
+    t.rename_column("l_quantity", "qty")
+    return (
+        t.to_df()
+        .groupBy("l_returnflag")
+        .agg(F.sum(_dec("qty")).cast("double").alias("sum_qty"))
+    )
+
+
+def ice_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_file/_pos metadata columns (metadata_columns.h:42-96). Not
+    SQL-expressible (paths are engine-specific) → rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "mc")
+    t.append(li)
+    df = t.scan().with_metadata_columns().to_df()
+    return df.groupBy("_file").agg(F.count("*").alias("n"), F.max("_pos").alias("max_pos"))
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH fuzzy dedup — banded bucket join, no SQL equivalent."""
+    from iceberg_cpp_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(docs, num_perm=64, bands=16).select("doc_id")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_cpp_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_dedup(docs).select("doc_id")
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from iceberg_cpp_spark.operators import dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_dedup(emb, threshold=0.98).select("vec_id")
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact 3-gram Jaccard on consecutive-id candidate pairs."""
+    from iceberg_cpp_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    pairs = (ids.alias("a").join(
+        ids.alias("b"), F.col("a.doc_id") + 1 == F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")))
+    out = dedup.ngram_jaccard_pairs(docs, pairs)
+    return out.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """brute-force cosine top-5 for 8 query vectors (broadcast side)."""
+    from iceberg_cpp_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")))
+    out = similarity.cosine_topk(emb, q, k=5)
+    return out.select("query_id", "vec_id", "rank")
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k — the 100 TB scale path (nprobe cells)."""
+    from iceberg_cpp_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    C = similarity.train_centroids(emb, ncentroids=16, sample_rows=4000)
+    idx = similarity.assign_centroids(emb, C)
+    q = (emb.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")))
+    return similarity.ivf_topk(idx, C, q, k=5, nprobe=4).select("query_id", "vec_id", "rank")
+
+
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    from iceberg_cpp_spark.operators import text as tx
+
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        tx.token_count(F.col("text")).alias("n_tokens"),
+        tx.fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """full analyzer incl. quality score + language ID (heuristics are
+    engine-defined — rows-only check; unit tests pin the semantics)."""
+    from iceberg_cpp_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return tx.analyze_documents(docs)
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1-style pricing summary through the full engine
+    stack at sf0.001 — create table, append (write path + metrics +
+    snapshot), scan (manifest planning), relational aggregation."""
+    li = _t(spark, SF0001, "lineitem")
+    t = _fresh_table(spark, SF0001, li, "entry")
+    t.append(li)
+    return (
+        t.to_df()
+        .filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational surface
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_local_supplier": q5_local_supplier,
+        "join_semi_anti": join_semi_anti,
+        "agg_rollup": agg_rollup,
+        "agg_cube": agg_cube,
+        "agg_stats": agg_stats,
+        "conditional_agg": conditional_agg,
+        "window_top_orders": window_top_orders,
+        "window_running_sum": window_running_sum,
+        "set_ops": set_ops,
+        "sort_limit": sort_limit,
+        "scalar_functions": scalar_functions,
+        "events_window_agg": events_window_agg,
+        # iceberg-native
+        "ice_transforms": ice_transforms,
+        "ice_bucket_transform": ice_bucket_transform,
+        "ice_roundtrip_agg": ice_roundtrip_agg,
+        "ice_partition_pruned": ice_partition_pruned,
+        "ice_time_travel": ice_time_travel,
+        "ice_delete_where": ice_delete_where,
+        "ice_schema_evolution": ice_schema_evolution,
+        "ice_metadata_columns": ice_metadata_columns,
+        # LLM pipeline
+        "dedup_exact": dedup_exact,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding": dedup_embedding,
+        "ngram_jaccard": ngram_jaccard,
+        "ann_topk": ann_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "text_stats": text_stats,
+        "text_quality": text_quality,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_REVENUE = ("CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+            "(CAST(1.0 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,4))) "
+            "AS DECIMAL(28,6))) AS DOUBLE)")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   {_REVENUE} AS sum_disc_price,
+                   COUNT(*) AS count_order,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": f"""
+            SELECT l_orderkey, o_orderdate, o_orderpriority, {_REVENUE} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_local_supplier": f"""
+            SELECT n_name, {_REVENUE} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+        """,
+        "join_semi_anti": """
+            WITH w AS (
+              SELECT c_mktsegment, COUNT(*) AS n_with FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              GROUP BY c_mktsegment),
+            wo AS (
+              SELECT c_mktsegment, COUNT(*) AS n_without FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              GROUP BY c_mktsegment)
+            SELECT COALESCE(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+                   COALESCE(n_with, 0) AS n_with,
+                   COALESCE(n_without, 0) AS n_without
+            FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+        """,
+        "agg_rollup": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "agg_cube": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "agg_stats": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   COUNT(DISTINCT o_custkey) AS n_cust,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "conditional_agg": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN l_returnflag = 'A'
+                        THEN CAST(l_quantity AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(l_quantity AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r,
+                   COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS n_discounted
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "window_top_orders": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders) WHERE rn <= 3
+        """,
+        "window_running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     AS running_total
+            FROM orders
+        """,
+        "set_ops": """
+            SELECT k, 'never_ordered' AS src FROM (
+              SELECT c_custkey AS k FROM customer
+              EXCEPT
+              SELECT o_custkey AS k FROM orders)
+            UNION ALL
+            SELECT k, 'both' AS src FROM (
+              SELECT c_custkey AS k FROM customer
+              INTERSECT
+              SELECT o_custkey AS k FROM orders)
+        """,
+        "sort_limit": """
+            SELECT l_orderkey, l_linenumber, l_extendedprice
+            FROM lineitem
+            ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+            LIMIT 20
+        """,
+        "scalar_functions": """
+            SELECT o_orderkey,
+                   UPPER(SUBSTRING(o_orderpriority, 1, 3)) AS prio3,
+                   CAST(YEAR(o_orderdate) AS INT) AS order_year,
+                   CAST(MONTH(o_orderdate) AS INT) AS order_month,
+                   CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT)
+                     AS days_to_end,
+                   CAST(ROUND(ABS(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS abs_price,
+                   CONCAT(o_orderstatus, '-', CAST(o_orderkey AS VARCHAR)) AS status_key,
+                   CAST(LENGTH(o_orderpriority) AS INT) AS prio_len,
+                   COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open
+            FROM orders
+        """,
+        "events_window_agg": """
+            SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY DATE_TRUNC('hour', ts), event_type
+        """,
+        "ice_transforms": """
+            SELECT l_orderkey, l_linenumber,
+                   l_orderkey - ((l_orderkey % 10) + 10) % 10 AS trunc10,
+                   CAST(YEAR(l_shipdate) - 1970 AS INT) AS ship_year,
+                   CAST((YEAR(l_shipdate) - 1970) * 12 + MONTH(l_shipdate) - 1 AS INT)
+                     AS ship_month,
+                   CAST(DATEDIFF('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS INT)
+                     AS ship_day,
+                   CAST(FLOOR(EPOCH(l_shipdate) / 3600) AS INT) AS ship_hour
+            FROM lineitem
+        """,
+        "ice_roundtrip_agg": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "ice_partition_pruned": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_returnflag
+        """,
+        "ice_time_travel": """
+            SELECT l_returnflag, COUNT(*) AS n
+            FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY l_returnflag
+        """,
+        "ice_delete_where": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+            FROM lineitem WHERE l_returnflag <> 'A'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "ice_schema_evolution": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "ngram_jaccard": """
+            WITH grams AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(words[i:i+2], ' ')
+                                    FOR i IN range(1, GREATEST(len(words) - 2, 1) + 1)]) AS g
+              FROM (SELECT doc_id,
+                           regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS words
+                    FROM documents))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+                         CAST(len(list_distinct(list_concat(a.g, b.g))) AS DOUBLE), 4)
+                     AS jaccard
+            FROM grams a JOIN grams b ON a.doc_id + 1 = b.doc_id
+        """,
+        "ann_topk": """
+            SELECT query_id, vec_id, rank FROM (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+                                c.vec_id ASC) AS rank
+              FROM embeddings c, embeddings q
+              WHERE q.vec_id < 8)
+            WHERE rank <= 5
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CAST(LENGTH(text) AS INT) AS n_chars,
+                   CAST(CASE WHEN TRIM(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))
+                        END AS INT) AS n_tokens,
+                   MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
+            FROM documents
+        """,
+    }

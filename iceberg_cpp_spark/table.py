@@ -156,8 +156,11 @@ class TableScan:
         return meta.current_snapshot()
 
     def read_schema(self) -> it.Schema:
-        snap = self.snapshot()
         meta = self._table.metadata
+        if self._snapshot_id is None and self._ref is None and self._as_of_ms is None:
+            return meta.schema()  # head scans follow the current schema
+        # time travel pins the snapshot's schema (table_scan.cc:222)
+        snap = self.snapshot()
         s = meta.schema_by_id(snap.schema_id) if snap and snap.schema_id is not None else None
         return s or meta.schema()
 
@@ -613,6 +616,50 @@ class IceTable:
         self.metadata = new_meta
         self.metadata_location = loc
         return self
+
+    # --- schema evolution (table_metadata.h Add/SetCurrentSchema;
+    # read-side resolution is by parquet field ID, schema_util.h:91-93) --
+    def rename_column(self, old: str, new: str) -> "IceTable":
+        """Rename keeps the field ID, so files written under the old
+        name keep resolving (field-id based read)."""
+        schema = self.schema()
+        f = schema.find_field(old)
+        if f is None:
+            raise ValueError(f"column not found: {old}")
+        fields = [it.NestedField(x.field_id, new if x.name == old else x.name,
+                                 x.field_type, x.required, x.doc)
+                  for x in schema.fields]
+        return self._evolve_schema(fields)
+
+    def add_column(self, name: str, field_type: it.IcebergType,
+                   required: bool = False) -> "IceTable":
+        """New field gets a fresh ID; old files read it as null."""
+        schema = self.schema()
+        if schema.find_field(name) is not None:
+            raise ValueError(f"column exists: {name}")
+        fid = self.metadata.last_column_id + 1
+        fields = list(schema.fields) + [it.NestedField(fid, name, field_type, required)]
+        return self._evolve_schema(fields, last_column_id=fid)
+
+    def drop_column(self, name: str) -> "IceTable":
+        schema = self.schema()
+        if schema.find_field(name) is None:
+            raise ValueError(f"column not found: {name}")
+        fields = [x for x in schema.fields if x.name != name]
+        return self._evolve_schema(fields)
+
+    def _evolve_schema(self, fields: list, last_column_id: Optional[int] = None) -> "IceTable":
+        meta = self.metadata
+        old = self.schema()
+        new_schema = it.Schema(fields, schema_id=max(s.schema_id for s in meta.schemas) + 1)
+        new_meta = dc_replace(
+            meta,
+            schemas=meta.schemas + [new_schema],
+            current_schema_id=new_schema.schema_id,
+            last_column_id=last_column_id or meta.last_column_id,
+            last_updated_ms=int(time.time() * 1000),
+        )
+        return self._commit(new_meta, MAIN_BRANCH, meta.current_snapshot())
 
     def refresh(self) -> "IceTable":
         if self.catalog is not None:
