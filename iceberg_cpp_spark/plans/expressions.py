@@ -356,6 +356,18 @@ def _convert_literal(v: Any, col_type: it.IcebergType) -> Any:
     date/timestamp values to comparable ints."""
     if v is None:
         return None
+    # integer range folding against the column's width (predicate.cc:200)
+    if isinstance(v, int) and not isinstance(v, bool):
+        if isinstance(col_type, it.IntegerType):
+            if v < -(2**31):
+                return BELOW_MIN
+            if v > 2**31 - 1:
+                return ABOVE_MAX
+        if isinstance(col_type, it.LongType):
+            if v < -(2**63):
+                return BELOW_MIN
+            if v > 2**63 - 1:
+                return ABOVE_MAX
     src = _infer_type(v)
     if src == col_type or src is None:
         return to_comparable(v, col_type)

@@ -1,0 +1,224 @@
+"""LLM-pipeline operators: dedup correctness on constructed duplicates,
+ANN vs numpy brute force, text metrics vs python, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_cpp_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """50 mutually-distinct base docs (disjoint-ish random vocab draws);
+    ids 1000+ are near-copies (one word changed) of 0-9, ids 2000+ are
+    exact copies of 0-4."""
+    import random
+
+    vocab = [f"w{k}" for k in range(400)]
+    base = []
+    for i in range(50):
+        rng = random.Random(1000 + i)
+        base.append((i, " ".join(rng.sample(vocab, 30))))
+    near = [(1000 + i, "changed " + base[i][1].split(" ", 1)[1]) for i in range(10)]
+    exact = [(2000 + i, base[i][1]) for i in range(5)]
+    return spark.createDataFrame(base + near + exact, "doc_id long, text string")
+
+
+class TestExactDedup:
+    def test_removes_exact_keeps_near(self, dup_docs):
+        out = dedup.exact_dedup(dup_docs)
+        ids = {r["doc_id"] for r in out.collect()}
+        assert len(ids) == 60  # 65 - 5 exact copies
+        assert all(2000 + i not in ids for i in range(5))  # min-id wins
+        assert all(i in ids for i in range(50))
+
+    def test_normalization(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world"), (3, "HELLO   WORLD")],
+            "doc_id long, text string")
+        assert dedup.exact_dedup(df).count() == 1
+        assert dedup.exact_dedup(df, normalize=False).count() == 3
+
+
+class TestMinHash:
+    def test_catches_near_duplicates(self, dup_docs):
+        out = dedup.minhash_lsh_dedup(dup_docs, num_perm=64, bands=16)
+        ids = {r["doc_id"] for r in out.collect()}
+        # all exact copies removed, most near-copies removed
+        assert all(2000 + i not in ids for i in range(5))
+        removed_near = sum(1 for i in range(10) if 1000 + i not in ids)
+        assert removed_near >= 8
+        assert all(i in ids for i in range(50))  # originals survive
+
+    def test_deterministic(self, dup_docs):
+        a = sorted(r["doc_id"] for r in dedup.minhash_lsh_dedup(
+            dup_docs, num_perm=64, bands=16).collect())
+        b = sorted(r["doc_id"] for r in dedup.minhash_lsh_dedup(
+            dup_docs.repartition(7), num_perm=64, bands=16).collect())
+        assert a == b
+
+
+class TestSimHash:
+    def test_catches_near_duplicates(self, dup_docs):
+        out = dedup.simhash_dedup(dup_docs)
+        ids = {r["doc_id"] for r in out.collect()}
+        assert all(2000 + i not in ids for i in range(5))
+        assert sum(1 for i in range(10) if 1000 + i not in ids) >= 5
+
+
+class TestNgramJaccard:
+    def test_exact_values(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d"), (3, "x y z w")],
+            "doc_id long, text string")
+        pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+        rows = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in dedup.ngram_jaccard_pairs(df, pairs).collect()}
+        assert rows[(1, 2)] == 1.0
+        assert rows[(1, 3)] == 0.0
+
+
+class TestEmbeddingDedup:
+    def test_near_duplicate_vectors_removed(self, spark):
+        rng = np.random.RandomState(7)
+        base = rng.normal(size=(30, 16)).astype("float32")
+        rows = [(i, base[i].tolist()) for i in range(30)]
+        # 100+i: tiny perturbation of i → cosine ≈ 1
+        rows += [(100 + i, (base[i] + 1e-4).tolist()) for i in range(5)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = dedup.embedding_dedup(df, threshold=0.999, planes=8)
+        ids = {r["vec_id"] for r in out.collect()}
+        assert sum(1 for i in range(5) if 100 + i not in ids) >= 4
+        assert all(i in ids for i in range(30))
+
+
+class TestSimilarity:
+    def test_topk_matches_numpy(self, spark, embeddings):
+        emb = embeddings.limit(200).cache()
+        pdf = emb.toPandas()
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        ids = pdf["vec_id"].to_numpy()
+        Mn = M / np.linalg.norm(M, axis=1)[:, None]
+
+        q = emb.filter(F.col("vec_id") == int(ids[0])).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        got = [r["vec_id"] for r in similarity.cosine_topk(emb, q, k=5)
+               .orderBy("rank").collect()]
+        qi = int(np.where(ids == ids[0])[0][0])
+        sims = Mn @ Mn[qi]
+        # numpy tie-break: score desc then id asc, like the operator
+        order = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))[:5]
+        assert got == [int(ids[j]) for j in order]
+
+    def test_ivf_mostly_agrees_with_brute(self, spark, embeddings):
+        emb = embeddings.cache()
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        brute = {(r["query_id"], r["vec_id"]) for r in
+                 similarity.cosine_topk(emb, q, k=3).collect()}
+        C = similarity.train_centroids(emb, ncentroids=8, sample_rows=500)
+        ivf = {(r["query_id"], r["vec_id"]) for r in
+               similarity.ivf_topk(similarity.assign_centroids(emb, C), C, q,
+                                   k=3, nprobe=4).collect()}
+        # recall ≥ 60% with half the cells probed
+        assert len(brute & ivf) >= 0.6 * len(brute)
+
+
+class TestText:
+    def test_token_count(self, spark):
+        df = spark.createDataFrame(
+            [(1, "one two three"), (2, ""), (3, "   "), (4, "single")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["n"] for r in
+               df.select("doc_id", text.token_count(F.col("text")).alias("n")).collect()}
+        assert got == {1: 3, 2: 0, 3: 0, 4: 1}
+
+    def test_fingerprint_normalizes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello   World"), (2, "hello world")], "doc_id long, text string")
+        fps = [r["fp"] for r in
+               df.select(text.fingerprint(F.col("text")).alias("fp")).collect()]
+        assert fps[0] == fps[1]
+
+    def test_language_id(self, spark):
+        df = spark.createDataFrame([
+            (1, "the cat sat on the mat and it was happy"),
+            (2, "der Hund ist nicht mit der Katze und die Maus"),
+            (3, "le chat est dans la maison et les oiseaux"),
+            (4, "el perro y el gato en la casa es grande"),
+            (5, "xyzzy plugh qwerty"),
+        ], "doc_id long, text string")
+        got = {r["doc_id"]: r["lang"] for r in
+               df.select("doc_id", text.language_id(F.col("text")).alias("lang")).collect()}
+        assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "und"}
+
+    def test_quality_ranges(self, documents):
+        rows = text.analyze_documents(documents).collect()
+        assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+        assert all(r["n_tokens"] > 0 for r in rows)
+
+
+class TestMultimodal:
+    @pytest.fixture()
+    def media(self, spark, documents):
+        return documents.limit(20).select(
+            F.col("doc_id").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"))
+
+    def test_metadata_jvm_side(self, media):
+        out = multimodal.with_media_metadata(media)
+        r = out.first()
+        assert r["byte_size"] > 0
+        assert len(r["content_sha256"]) == 64
+        assert r["sniffed_mime"] == "application/octet-stream"
+
+    def test_magic_sniff(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xd8\xff\xe0rest")),
+             (2, bytearray(b"\x89PNG\r\n")),
+             (3, bytearray(b"RIFFxxxx"))],
+            "media_id long, payload binary")
+        got = {r["media_id"]: r["sniffed_mime"]
+               for r in multimodal.with_media_metadata(df).collect()}
+        assert got == {1: "image/jpeg", 2: "image/png", 3: "audio/wav"}
+
+    def test_decode_stub_raises_without_fake(self, media):
+        with pytest.raises(Exception):
+            multimodal.decode_images(media, fake=False).collect()
+
+    def test_fake_decode_deterministic(self, media):
+        a = multimodal.decode_images(media, fake=True).orderBy("media_id").collect()
+        b = multimodal.decode_images(media, fake=True).orderBy("media_id").collect()
+        assert [(r["media_id"], r["width"], r["height"]) for r in a] == \
+            [(r["media_id"], r["width"], r["height"]) for r in b]
+
+    def test_frame_sampling_shape(self, media):
+        out = multimodal.sample_frames(media, fake=True)
+        assert out.filter(F.col("frame_idx") < 0).count() == 0
+        per = out.groupBy("media_id").count()
+        assert per.filter((F.col("count") < 1) | (F.col("count") > 5)).count() == 0
+
+
+class TestStreaming:
+    def test_windowed_agg_matches_batch(self, spark, tmp_loc):
+        import os
+
+        from iceberg_cpp_spark.streaming.incremental import stream_events
+
+        # bounded file stream: copy events (µs ts) to a stage dir
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        src = os.path.join(tmp_loc, "events_src")
+        ev.write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        sdf = stream_events(spark, src, schema, window="1 hour", watermark="2 hours")
+        q = (sdf.writeStream.format("memory").queryName("evagg")
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql("select count(*) as n, sum(n_events) as tot from evagg").first()
+        batch = ev.groupBy(F.window("ts", "1 hour"), "event_type").count()
+        assert got["n"] == batch.count()
+        assert got["tot"] == ev.count()

@@ -1,0 +1,192 @@
+"""End-to-end IceTable behavior: write→scan round trips, pruning file
+counts, time travel, refs, deletes, compaction, schema evolution,
+incremental reads (the reference's file_scan_task_test.cc end-to-end
+pattern, extended to the write path it never had)."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_cpp_spark import IceTable
+from iceberg_cpp_spark.core.metadata import PartitionField, PartitionSpec
+from iceberg_cpp_spark.core.types import schema_from_spark
+from iceberg_cpp_spark.functions import transforms as tr
+from iceberg_cpp_spark.plans import expressions as ex
+
+
+@pytest.fixture()
+def li_table(spark, lineitem, tmp_loc):
+    t = IceTable.create(spark, os.path.join(tmp_loc, "li"),
+                        schema_from_spark(lineitem.schema))
+    t.append(lineitem)
+    return t
+
+
+class TestRoundTrip:
+    def test_counts_and_values(self, spark, lineitem, li_table):
+        got = li_table.to_df()
+        assert got.count() == lineitem.count()
+        a = got.agg(F.sum("l_orderkey"), F.sum("l_quantity")).first()
+        b = lineitem.agg(F.sum("l_orderkey"), F.sum("l_quantity")).first()
+        assert a == b
+
+    def test_snapshot_summary(self, li_table):
+        s = li_table.current_snapshot()
+        assert s.summary["operation"] == "append"
+        assert int(s.summary["added-records"]) == 6000
+        assert int(s.summary["total-records"]) == 6000
+        assert int(s.summary["added-data-files"]) >= 1
+
+    def test_files_have_metrics(self, li_table):
+        tasks = li_table.scan().plan_files()
+        assert all(t.record_count > 0 and t.file_size_in_bytes > 0 for t in tasks)
+
+    def test_empty_scan_filter(self, li_table):
+        n = li_table.scan(filter=ex.eq(ex.Reference("l_returnflag"), "ZZZ")).to_df().count()
+        assert n == 0
+
+
+class TestPartitionPruning:
+    def test_fewer_files_scanned(self, spark, lineitem, tmp_loc):
+        schema = schema_from_spark(lineitem.schema)
+        sd = schema.find_field("l_shipdate")
+        spec = PartitionSpec([PartitionField(sd.field_id, 1000, "m", tr.MonthTransform())])
+        t = IceTable.create(spark, os.path.join(tmp_loc, "p"), schema, spec=spec)
+        t.append(lineitem)
+        total = len(t.scan().plan_files())
+        flt = ex.gt_eq(ex.Reference("l_shipdate"), dt.datetime(1997, 1, 1))
+        pruned = len(t.scan(filter=flt).plan_files())
+        assert 0 < pruned < total
+        got = t.scan(filter=flt).to_df().count()
+        want = lineitem.filter("l_shipdate >= '1997-01-01'").count()
+        assert got == want
+
+    def test_metrics_pruning_unpartitioned(self, spark, lineitem, tmp_loc):
+        """bounds-based file skipping without any partition spec: append
+        sorted halves in two snapshots → orderkey ranges disjoint."""
+        schema = schema_from_spark(lineitem.schema)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "m"), schema)
+        mid = 750  # sf0.001 orderkeys span 0..1499
+        t.append(lineitem.filter(F.col("l_orderkey") < mid).coalesce(1))
+        t.append(lineitem.filter(F.col("l_orderkey") >= mid).coalesce(1))
+        total = len(t.scan().plan_files())
+        hit = t.scan(filter=ex.lt(ex.Reference("l_orderkey"), 10)).plan_files()
+        assert len(hit) < total
+
+
+class TestTimeTravelAndRefs:
+    def test_snapshot_scan(self, spark, lineitem, li_table):
+        s1 = li_table.current_snapshot().snapshot_id
+        li_table.append(lineitem.limit(10))
+        assert li_table.scan(snapshot_id=s1).to_df().count() == 6000
+        assert li_table.to_df().count() == 6010
+
+    def test_as_of_timestamp(self, spark, lineitem, li_table):
+        s1 = li_table.current_snapshot()
+        li_table.append(lineitem.limit(10))
+        scan = li_table.scan()
+        assert scan.as_of(s1.timestamp_ms).to_df().count() == 6000
+
+    def test_branch_ref(self, li_table):
+        assert li_table.metadata.ref("main").snapshot_id == \
+            li_table.current_snapshot().snapshot_id
+
+    def test_snapshot_log(self, lineitem, li_table):
+        li_table.append(lineitem.limit(5))
+        log = li_table.history()
+        assert len(log) == 2
+        assert log[0]["snapshot-id"] != log[1]["snapshot-id"]
+
+
+class TestMutations:
+    def test_overwrite(self, spark, lineitem, li_table):
+        li_table.overwrite(lineitem.limit(50))
+        assert li_table.to_df().count() == 50
+        assert li_table.current_snapshot().summary["operation"] == "overwrite"
+
+    def test_delete_where(self, spark, lineitem, li_table):
+        n_a = lineitem.filter("l_returnflag = 'A'").count()
+        li_table.delete_where(ex.eq(ex.Reference("l_returnflag"), "A"))
+        got = li_table.to_df()
+        assert got.filter("l_returnflag = 'A'").count() == 0
+        assert got.count() == 6000 - n_a
+
+    def test_delete_nothing_is_noop(self, li_table):
+        before = li_table.current_snapshot().snapshot_id
+        li_table.delete_where(ex.eq(ex.Reference("l_returnflag"), "ZZZ"))
+        assert li_table.current_snapshot().snapshot_id == before
+
+    def test_compaction_unpartitioned(self, spark, lineitem, tmp_loc):
+        schema = schema_from_spark(lineitem.schema)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "c"), schema)
+        for i in range(4):
+            t.append(lineitem.filter(F.col("l_linenumber") == i + 1))
+        before = len(t.scan().plan_files())
+        n = t.to_df().count()
+        t.rewrite_data_files(target_file_count=2)
+        assert len(t.scan().plan_files()) <= 2 < before
+        assert t.to_df().count() == n
+        assert t.current_snapshot().summary["operation"] == "replace"
+
+
+class TestSchemaEvolution:
+    def test_rename_reads_old_files(self, spark, lineitem, li_table):
+        before = li_table.to_df().agg(F.sum("l_quantity")).first()[0]
+        li_table.rename_column("l_quantity", "qty")
+        df = li_table.to_df()
+        assert "qty" in df.columns and "l_quantity" not in df.columns
+        assert df.agg(F.sum("qty")).first()[0] == before
+
+    def test_add_column_null_for_old_files(self, spark, lineitem, li_table):
+        from iceberg_cpp_spark.core import types as it
+
+        li_table.add_column("extra", it.StringType())
+        df = li_table.to_df()
+        assert df.filter(F.col("extra").isNotNull()).count() == 0
+
+    def test_add_column_then_append_mixed_files(self, spark, lineitem, li_table):
+        from iceberg_cpp_spark.core import types as it
+
+        li_table.add_column("extra", it.StringType())
+        li_table.append(lineitem.limit(7).withColumn("extra", F.lit("new")))
+        df = li_table.to_df()
+        assert df.count() == 6007
+        assert df.filter(F.col("extra") == "new").count() == 7
+
+    def test_drop_column(self, spark, lineitem, li_table):
+        li_table.drop_column("l_comment") if "l_comment" in [
+            f.name for f in li_table.schema().fields] else None
+        li_table.drop_column("l_tax")
+        assert "l_tax" not in li_table.to_df().columns
+
+    def test_time_travel_uses_old_schema(self, spark, lineitem, li_table):
+        s1 = li_table.current_snapshot().snapshot_id
+        li_table.rename_column("l_quantity", "qty")
+        old = li_table.scan(snapshot_id=s1).to_df()
+        assert "l_quantity" in old.columns
+
+
+class TestIncremental:
+    def test_incremental_read(self, spark, lineitem, li_table):
+        from iceberg_cpp_spark.streaming.incremental import incremental_read
+
+        s1 = li_table.current_snapshot().snapshot_id
+        li_table.append(lineitem.limit(25))
+        inc = incremental_read(li_table, from_snapshot_id=s1)
+        assert inc.count() == 25
+        full = incremental_read(li_table, from_snapshot_id=None)
+        assert full.count() == 6025
+
+
+class TestMetadataTables:
+    def test_files_df(self, spark, li_table):
+        fdf = li_table.files_df()
+        assert fdf.count() == len(li_table.scan().plan_files())
+
+    def test_snapshots_df(self, spark, lineitem, li_table):
+        li_table.append(lineitem.limit(1))
+        sdf = li_table.snapshots_df()
+        assert sdf.count() == 2
+        assert sdf.filter(F.col("operation") == "append").count() == 2
