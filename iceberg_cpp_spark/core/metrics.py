@@ -25,8 +25,13 @@ import pyarrow.parquet as pq
 from iceberg_cpp_spark.core import types as it
 from iceberg_cpp_spark.core.literals import to_bytes
 
-# switch from driver-side to executor-side footer harvesting
-DISTRIBUTED_THRESHOLD = 64
+# switch from driver-side to executor-side footer harvesting. Footer
+# reads are ~ms each; a Spark job costs python-worker startup per task,
+# so the crossover is high — thousands of files, i.e. genuinely large
+# appends where the driver would otherwise serialize minutes of I/O.
+DISTRIBUTED_THRESHOLD = 2048
+_DRIVER_THREADS = 16
+_PATHS_PER_TASK = 64
 
 
 def _field_map(schema: it.Schema) -> dict[str, tuple[int, it.IcebergType]]:
@@ -144,7 +149,12 @@ def collect_metrics(spark, paths: list[str], schema: it.Schema) -> dict[str, dic
     so scan-plan metadata work never bottlenecks on the driver."""
     fields = _field_map(schema)
     if spark is None or len(paths) <= DISTRIBUTED_THRESHOLD:
-        return {p: file_metrics(p, fields) for p in paths}
+        if len(paths) <= 8:
+            return {p: file_metrics(p, fields) for p in paths}
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(_DRIVER_THREADS) as ex:
+            return dict(zip(paths, ex.map(lambda p: file_metrics(p, fields), paths)))
 
     import pandas as pd
 
@@ -156,7 +166,7 @@ def collect_metrics(spark, paths: list[str], schema: it.Schema) -> dict[str, dic
             })
 
     pdf = spark.createDataFrame([(p,) for p in paths], "path string")
-    rows = pdf.repartition(min(len(paths), 256)).mapInPandas(
+    rows = pdf.repartition(max(1, len(paths) // _PATHS_PER_TASK)).mapInPandas(
         harvest, schema="path string, metrics_json string"
     ).collect()
     return {r["path"]: _decode_metrics_json(r["metrics_json"]) for r in rows}

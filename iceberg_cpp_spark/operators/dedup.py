@@ -121,9 +121,13 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         for i in range(bands)
     ])
     banded = with_sig.select(id_col, F.posexplode(band_hashes).alias("_band", "_bucket"))
-    min_per_bucket = banded.groupBy("_band", "_bucket").agg(F.min(id_col).alias("_rep"))
+    # window-min instead of groupBy+self-join: one shuffle, and the
+    # signature UDF is evaluated exactly once per document
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_band", "_bucket")
     dup_ids = (
-        banded.join(min_per_bucket, on=["_band", "_bucket"])
+        banded.withColumn("_rep", F.min(id_col).over(w))
         .filter(F.col(id_col) > F.col("_rep"))
         .select(id_col)
         .distinct()
@@ -174,9 +178,11 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         for i in range(bands)
     ])
     banded = with_h.select(id_col, F.posexplode(band_vals).alias("_band", "_bucket"))
-    min_per_bucket = banded.groupBy("_band", "_bucket").agg(F.min(id_col).alias("_rep"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_band", "_bucket")
     dup_ids = (
-        banded.join(min_per_bucket, on=["_band", "_bucket"])
+        banded.withColumn("_rep", F.min(id_col).over(w))
         .filter(F.col(id_col) > F.col("_rep"))
         .select(id_col).distinct()
     )
