@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import gzip
 import json
-import os
 import uuid as uuid_mod
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Optional
@@ -427,33 +426,27 @@ class TableMetadata:
 # File read/write with gzip codec sniffing (table_metadata.cc:165-220)
 # --------------------------------------------------------------------------
 
-def read_table_metadata(path: str) -> TableMetadata:
-    with open(path, "rb") as f:
-        raw = f.read()
+def read_table_metadata(path: str, io=None) -> TableMetadata:
+    from iceberg_cpp_spark.core.io import default_io
+
+    raw = (io or default_io()).read_bytes(path)
     if path.endswith(".gz.metadata.json") or raw[:2] == b"\x1f\x8b":
         raw = gzip.decompress(raw)
     return TableMetadata.from_json(json.loads(raw.decode("utf-8")))
 
 
-def write_table_metadata(meta: TableMetadata, path: str, exclusive: bool = False) -> None:
-    """Write metadata JSON. With ``exclusive=True`` the version-file
-    creation itself is the compare-and-swap: the hard-link into place
-    fails with FileExistsError if a concurrent writer won the version,
-    closing the check-then-replace TOCTOU window."""
+def write_table_metadata(meta: TableMetadata, path: str, exclusive: bool = False,
+                         io=None) -> None:
+    """Write metadata JSON through FileIO. With ``exclusive=True`` the
+    version-file creation itself is the compare-and-swap: creation fails
+    with FileExistsError if a concurrent writer won the version, closing
+    the check-then-replace TOCTOU window."""
+    from iceberg_cpp_spark.core.io import default_io
+
     data = json.dumps(meta.to_json(), indent=2).encode("utf-8")
     if path.endswith(".gz.metadata.json"):
         data = gzip.compress(data)
-    tmp = f"{path}.tmp.{uuid_mod.uuid4().hex}"
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(tmp, "wb") as f:
-        f.write(data)
-    if exclusive:
-        try:
-            os.link(tmp, path)  # atomic create-if-absent (EEXIST on loss)
-        finally:
-            os.unlink(tmp)
-    else:
-        os.replace(tmp, path)
+    (io or default_io()).write_bytes(path, data, exclusive=exclusive)
 
 
 def new_table_uuid() -> str:

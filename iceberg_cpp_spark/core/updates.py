@@ -1,0 +1,381 @@
+"""TableUpdate hierarchy + TableMetadataBuilder (reference
+table_update.h:41-360, table_metadata.h:161-406).
+
+Every mutation is a declarative ``TableUpdate`` that (a) applies itself
+to a ``TableMetadataBuilder`` and (b) generates the optimistic-
+concurrency ``Requirement`` guarding it (table_requirements.h:43-90).
+The builder records the update log, validates on ``build()``, and the
+catalog CAS-commits with the collected requirements — the REST-catalog
+commit model, filesystem-backed.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field as dc_field, replace as dc_replace
+from typing import Any, Optional
+
+from iceberg_cpp_spark.core.metadata import (
+    MAIN_BRANCH,
+    PartitionSpec,
+    Snapshot,
+    SnapshotRef,
+    SortOrder,
+    TableMetadata,
+    new_table_uuid,
+)
+from iceberg_cpp_spark.core.types import Schema
+from iceberg_cpp_spark.sources.catalog import (
+    AssertCurrentSchemaId,
+    AssertDefaultSpecId,
+    AssertRefSnapshotId,
+    AssertTableUUID,
+    Requirement,
+)
+
+
+class TableUpdate:
+    """table_update.h:41 — one declarative metadata mutation."""
+
+    action: str = ""
+
+    def apply_to(self, b: "TableMetadataBuilder") -> None:
+        raise NotImplementedError
+
+    def generate_requirements(self, base: Optional[TableMetadata]) -> list[Requirement]:
+        return []
+
+
+@dataclass
+class AssignUuid(TableUpdate):
+    uuid: str
+    action = "assign-uuid"
+
+    def apply_to(self, b):
+        b._set(table_uuid=self.uuid)
+
+    def generate_requirements(self, base):
+        return [AssertTableUUID(base.table_uuid)] if base and base.table_uuid else []
+
+
+@dataclass
+class UpgradeFormatVersion(TableUpdate):
+    format_version: int
+    action = "upgrade-format-version"
+
+    def apply_to(self, b):
+        if self.format_version < b.metadata.format_version:
+            raise ValueError("cannot downgrade format version")
+        b._set(format_version=self.format_version)
+
+
+@dataclass
+class AddSchema(TableUpdate):
+    schema: Schema
+    action = "add-schema"
+
+    def apply_to(self, b):
+        if any(s.schema_id == self.schema.schema_id for s in b.metadata.schemas):
+            raise ValueError(f"schema id exists: {self.schema.schema_id}")
+        b._set(schemas=b.metadata.schemas + [self.schema],
+               last_column_id=max(b.metadata.last_column_id, self.schema.highest_field_id()))
+
+
+@dataclass
+class SetCurrentSchema(TableUpdate):
+    schema_id: int
+    action = "set-current-schema"
+
+    def apply_to(self, b):
+        if b.metadata.schema_by_id(self.schema_id) is None:
+            raise ValueError(f"schema not found: {self.schema_id}")
+        b._set(current_schema_id=self.schema_id)
+
+    def generate_requirements(self, base):
+        return [AssertCurrentSchemaId(base.current_schema_id)] if base else []
+
+
+@dataclass
+class AddPartitionSpec(TableUpdate):
+    spec: PartitionSpec
+    action = "add-spec"
+
+    def apply_to(self, b):
+        if any(s.spec_id == self.spec.spec_id for s in b.metadata.partition_specs):
+            raise ValueError(f"spec id exists: {self.spec.spec_id}")
+        last = max([f.field_id for f in self.spec.fields] + [b.metadata.last_partition_id])
+        b._set(partition_specs=b.metadata.partition_specs + [self.spec],
+               last_partition_id=last)
+
+
+@dataclass
+class SetDefaultSpec(TableUpdate):
+    spec_id: int
+    action = "set-default-spec"
+
+    def apply_to(self, b):
+        if b.metadata.spec_by_id(self.spec_id) is None:
+            raise ValueError(f"spec not found: {self.spec_id}")
+        b._set(default_spec_id=self.spec_id)
+
+    def generate_requirements(self, base):
+        return [AssertDefaultSpecId(base.default_spec_id)] if base else []
+
+
+@dataclass
+class AddSortOrder(TableUpdate):
+    sort_order: SortOrder
+    action = "add-sort-order"
+
+    def apply_to(self, b):
+        if any(s.order_id == self.sort_order.order_id for s in b.metadata.sort_orders):
+            raise ValueError(f"sort order id exists: {self.sort_order.order_id}")
+        b._set(sort_orders=b.metadata.sort_orders + [self.sort_order])
+
+
+@dataclass
+class SetDefaultSortOrder(TableUpdate):
+    order_id: int
+    action = "set-default-sort-order"
+
+    def apply_to(self, b):
+        if all(s.order_id != self.order_id for s in b.metadata.sort_orders):
+            raise ValueError(f"sort order not found: {self.order_id}")
+        b._set(default_sort_order_id=self.order_id)
+
+
+@dataclass
+class AddSnapshot(TableUpdate):
+    snapshot: Snapshot
+    action = "add-snapshot"
+
+    def apply_to(self, b):
+        m = b.metadata
+        if m.snapshot_by_id(self.snapshot.snapshot_id) is not None:
+            raise ValueError(f"snapshot id exists: {self.snapshot.snapshot_id}")
+        if self.snapshot.sequence_number <= m.last_sequence_number and m.format_version > 1:
+            raise ValueError("snapshot sequence number must advance")
+        b._set(snapshots=m.snapshots + [self.snapshot],
+               last_sequence_number=self.snapshot.sequence_number,
+               last_updated_ms=self.snapshot.timestamp_ms)
+
+
+@dataclass
+class SetSnapshotRef(TableUpdate):
+    ref_name: str
+    snapshot_id: int
+    type: str = "branch"
+    action = "set-snapshot-ref"
+
+    def apply_to(self, b):
+        m = b.metadata
+        if m.snapshot_by_id(self.snapshot_id) is None:
+            raise ValueError(f"snapshot not found: {self.snapshot_id}")
+        refs = dict(m.refs)
+        refs[self.ref_name] = SnapshotRef(self.snapshot_id, type=self.type)
+        out = {"refs": refs}
+        if self.ref_name == MAIN_BRANCH:
+            out["current_snapshot_id"] = self.snapshot_id
+            out["snapshot_log"] = m.snapshot_log + [{
+                "timestamp-ms": m.last_updated_ms, "snapshot-id": self.snapshot_id}]
+        b._set(**out)
+
+    def generate_requirements(self, base):
+        old = base.ref(self.ref_name) if base else None
+        return [AssertRefSnapshotId(self.ref_name, old.snapshot_id if old else None)]
+
+
+@dataclass
+class RemoveSnapshots(TableUpdate):
+    snapshot_ids: list[int]
+    action = "remove-snapshots"
+
+    def apply_to(self, b):
+        drop = set(self.snapshot_ids)
+        m = b.metadata
+        kept = [s for s in m.snapshots if s.snapshot_id not in drop]
+        b._set(snapshots=kept,
+               snapshot_log=[e for e in m.snapshot_log if e["snapshot-id"] not in drop])
+
+
+@dataclass
+class RemoveSnapshotRef(TableUpdate):
+    ref_name: str
+    action = "remove-snapshot-ref"
+
+    def apply_to(self, b):
+        refs = dict(b.metadata.refs)
+        refs.pop(self.ref_name, None)
+        out: dict[str, Any] = {"refs": refs}
+        if self.ref_name == MAIN_BRANCH:
+            out["current_snapshot_id"] = None
+        b._set(**out)
+
+
+@dataclass
+class SetLocation(TableUpdate):
+    location: str
+    action = "set-location"
+
+    def apply_to(self, b):
+        b._set(location=self.location)
+
+
+@dataclass
+class SetProperties(TableUpdate):
+    updates: dict[str, str]
+    action = "set-properties"
+
+    def apply_to(self, b):
+        b._set(properties={**b.metadata.properties, **self.updates})
+
+
+@dataclass
+class RemoveProperties(TableUpdate):
+    removals: list[str]
+    action = "remove-properties"
+
+    def apply_to(self, b):
+        props = {k: v for k, v in b.metadata.properties.items() if k not in self.removals}
+        b._set(properties=props)
+
+
+@dataclass
+class SetStatistics(TableUpdate):
+    statistics: dict
+    action = "set-statistics"
+
+    def apply_to(self, b):
+        sid = self.statistics["snapshot-id"]
+        kept = [s for s in b.metadata.statistics if s.get("snapshot-id") != sid]
+        b._set(statistics=kept + [self.statistics])
+
+
+@dataclass
+class RemoveStatistics(TableUpdate):
+    snapshot_id: int
+    action = "remove-statistics"
+
+    def apply_to(self, b):
+        b._set(statistics=[s for s in b.metadata.statistics
+                           if s.get("snapshot-id") != self.snapshot_id])
+
+
+@dataclass
+class SetPartitionStatistics(TableUpdate):
+    partition_statistics: dict
+    action = "set-partition-statistics"
+
+    def apply_to(self, b):
+        sid = self.partition_statistics["snapshot-id"]
+        kept = [s for s in b.metadata.partition_statistics if s.get("snapshot-id") != sid]
+        b._set(partition_statistics=kept + [self.partition_statistics])
+
+
+@dataclass
+class RemovePartitionStatistics(TableUpdate):
+    snapshot_id: int
+    action = "remove-partition-statistics"
+
+    def apply_to(self, b):
+        b._set(partition_statistics=[s for s in b.metadata.partition_statistics
+                                     if s.get("snapshot-id") != self.snapshot_id])
+
+
+class TableMetadataBuilder:
+    """table_metadata.h:161-406 — fluent mutators, each recorded as a
+    TableUpdate; ``build()`` validates and returns (metadata, updates,
+    requirements)."""
+
+    def __init__(self, base: Optional[TableMetadata] = None):
+        self.base = base
+        self.metadata = dc_replace(base) if base else TableMetadata(table_uuid=new_table_uuid())
+        self.updates: list[TableUpdate] = []
+
+    @staticmethod
+    def build_from(base: TableMetadata) -> "TableMetadataBuilder":
+        return TableMetadataBuilder(base)
+
+    def _set(self, **kwargs) -> None:
+        self.metadata = dc_replace(self.metadata, **kwargs)
+
+    def apply(self, update: TableUpdate) -> "TableMetadataBuilder":
+        update.apply_to(self)
+        self.updates.append(update)
+        return self
+
+    # fluent mutators (one per update class)
+    def assign_uuid(self, uuid: str):
+        return self.apply(AssignUuid(uuid))
+
+    def upgrade_format_version(self, v: int):
+        return self.apply(UpgradeFormatVersion(v))
+
+    def add_schema(self, schema: Schema):
+        return self.apply(AddSchema(schema))
+
+    def set_current_schema(self, schema_id: int):
+        return self.apply(SetCurrentSchema(schema_id))
+
+    def add_partition_spec(self, spec: PartitionSpec):
+        return self.apply(AddPartitionSpec(spec))
+
+    def set_default_spec(self, spec_id: int):
+        return self.apply(SetDefaultSpec(spec_id))
+
+    def add_sort_order(self, order: SortOrder):
+        return self.apply(AddSortOrder(order))
+
+    def set_default_sort_order(self, order_id: int):
+        return self.apply(SetDefaultSortOrder(order_id))
+
+    def add_snapshot(self, snapshot: Snapshot):
+        return self.apply(AddSnapshot(snapshot))
+
+    def set_branch_snapshot(self, snapshot_id: int, branch: str = MAIN_BRANCH):
+        return self.apply(SetSnapshotRef(branch, snapshot_id, type="branch"))
+
+    def set_ref(self, name: str, snapshot_id: int, type: str = "branch"):
+        return self.apply(SetSnapshotRef(name, snapshot_id, type=type))
+
+    def remove_ref(self, name: str):
+        return self.apply(RemoveSnapshotRef(name))
+
+    def remove_snapshots(self, snapshot_ids: list[int]):
+        return self.apply(RemoveSnapshots(snapshot_ids))
+
+    def set_location(self, location: str):
+        return self.apply(SetLocation(location))
+
+    def set_properties(self, props: dict[str, str]):
+        return self.apply(SetProperties(props))
+
+    def remove_properties(self, keys: list[str]):
+        return self.apply(RemoveProperties(keys))
+
+    def set_statistics(self, stats: dict):
+        return self.apply(SetStatistics(stats))
+
+    def remove_statistics(self, snapshot_id: int):
+        return self.apply(RemoveStatistics(snapshot_id))
+
+    def build(self) -> tuple[TableMetadata, list[TableUpdate], list[Requirement]]:
+        m = self.metadata
+        if not m.schemas:
+            raise ValueError("metadata requires at least one schema")
+        if m.schema_by_id(m.current_schema_id) is None:
+            raise ValueError(f"current schema not found: {m.current_schema_id}")
+        if m.spec_by_id(m.default_spec_id) is None and m.partition_specs:
+            raise ValueError(f"default spec not found: {m.default_spec_id}")
+        if m.current_snapshot_id is not None and m.snapshot_by_id(m.current_snapshot_id) is None:
+            raise ValueError(f"current snapshot not found: {m.current_snapshot_id}")
+        m = dc_replace(m, last_updated_ms=max(m.last_updated_ms, int(time.time() * 1000)))
+        reqs: list[Requirement] = []
+        seen: set[str] = set()
+        for u in self.updates:
+            for r in u.generate_requirements(self.base):
+                k = repr(vars(r)) + type(r).__name__
+                if k not in seen:
+                    seen.add(k)
+                    reqs.append(r)
+        return m, self.updates, reqs

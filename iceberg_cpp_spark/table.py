@@ -293,6 +293,12 @@ class TableScan:
             raise ValueError("table has no SparkSession; pass spark= to load_table")
         schema = self.read_schema()
         spark_schema = it.to_spark_schema(schema)
+        if self._table.properties().get("engine.read.name-based") == "true":
+            # imported (ID-less) files present: resolve columns by name
+            from pyspark.sql import types as T
+
+            spark_schema = T.StructType([
+                T.StructField(f.name, f.dataType, f.nullable) for f in spark_schema.fields])
         tasks = self.plan_files()
         if not tasks:
             df = spark.createDataFrame([], spark_schema)
@@ -457,6 +463,45 @@ class IceTable:
         return self._commit_files(new_files, operation=DataOperation.REPLACE,
                                   branch=branch, carry_existing=False)
 
+    def add_files(self, paths: list[str],
+                  aliases: Optional[dict[str, list[str]]] = None,
+                  branch: str = MAIN_BRANCH) -> "IceTable":
+        """Register existing parquet files into the table WITHOUT
+        rewriting them (metadata-only import). Files lacking parquet
+        field IDs are resolved through a name mapping
+        (name_mapping.h:22-113) stored as the
+        ``schema.name-mapping.default`` table property; subsequent scans
+        resolve columns by name for this table."""
+        import pyarrow.parquet as pq
+
+        from iceberg_cpp_spark.core import name_mapping as nm
+        from iceberg_cpp_spark.core.metrics import file_metrics
+
+        schema = self.schema()
+        if self.spec().fields:
+            raise ValueError("add_files supports unpartitioned tables only")
+        mapping = nm.NameMapping.from_schema(schema, aliases)
+        new_files: list[mf.DataFile] = []
+        for p in paths:
+            cols = [f.name for f in pq.read_schema(p)]
+            fields = nm.apply_to_file_columns(mapping, cols, schema)
+            if not fields:
+                raise ValueError(f"no columns of {p} map into the table schema")
+            m = file_metrics(p, fields)
+            new_files.append(mf.DataFile(
+                content=mf.CONTENT_DATA, file_path=p, file_format="parquet",
+                partition={}, record_count=m["record_count"],
+                file_size_in_bytes=m["file_size_in_bytes"],
+                column_sizes=m["column_sizes"], value_counts=m["value_counts"],
+                null_value_counts=m["null_value_counts"],
+                nan_value_counts=m["nan_value_counts"],
+                lower_bounds=m["lower_bounds"], upper_bounds=m["upper_bounds"]))
+        self.update_properties({
+            nm.PROPERTY_KEY: mapping.to_json_string(),
+            "engine.read.name-based": "true",  # files lack IDs → by-name reads
+        })
+        return self._commit_files(new_files, operation=DataOperation.APPEND, branch=branch)
+
     # --- write internals -------------------------------------------------
     def _write_data_files(self, df: DataFrame) -> list[mf.DataFile]:
         schema = self.schema()
@@ -533,7 +578,9 @@ class IceTable:
         new_manifest = writer.close() if new_files else None
 
         carried: list[mf.ManifestFile] = []
-        parent = meta.current_snapshot()
+        branch_ref = meta.ref(branch)
+        parent = (meta.snapshot_by_id(branch_ref.snapshot_id) if branch_ref
+                  else meta.current_snapshot())
         if carry_existing and parent is not None:
             for m in mf.read_manifest_list(parent.manifest_list):
                 if drop_paths:
@@ -588,25 +635,29 @@ class IceTable:
             parent_snapshot_id=parent.snapshot_id if parent else None,
             schema_id=meta.current_schema_id,
         )
+        # declarative commit: AddSnapshot + SetSnapshotRef updates through
+        # the builder (table_update.h), requirements generated from them
+        from iceberg_cpp_spark.core.updates import TableMetadataBuilder
+
+        b = TableMetadataBuilder.build_from(meta)
+        b.add_snapshot(snap)
+        b.set_ref(branch, snapshot_id)
+        new_meta, _updates, reqs = b.build()
         new_meta = dc_replace(
-            meta,
-            last_sequence_number=seq,
-            last_updated_ms=now_ms,
-            current_snapshot_id=snapshot_id,
-            snapshots=meta.snapshots + [snap],
-            snapshot_log=meta.snapshot_log + [{"timestamp-ms": now_ms, "snapshot-id": snapshot_id}],
+            new_meta,
             metadata_log=meta.metadata_log + [
                 {"timestamp-ms": meta.last_updated_ms, "metadata-file": self.metadata_location}
             ],
-            refs={**meta.refs, branch: SnapshotRef(snapshot_id=snapshot_id, type="branch")},
         )
-        return self._commit(new_meta, branch, parent)
+        return self._commit(new_meta, branch, parent, requirements=reqs)
 
-    def _commit(self, new_meta: TableMetadata, branch: str, parent: Optional[Snapshot]) -> "IceTable":
+    def _commit(self, new_meta: TableMetadata, branch: str, parent: Optional[Snapshot],
+                requirements: Optional[list] = None) -> "IceTable":
         if self.catalog is not None:
             from iceberg_cpp_spark.sources.catalog import AssertRefSnapshotId
 
-            reqs = [AssertRefSnapshotId(branch, parent.snapshot_id if parent else None)]
+            reqs = requirements if requirements is not None else [
+                AssertRefSnapshotId(branch, parent.snapshot_id if parent else None)]
             loc = self.catalog.commit_table(self.identifier, reqs, new_meta)
         else:
             base = os.path.basename(self.metadata_location)
@@ -616,6 +667,70 @@ class IceTable:
         self.metadata = new_meta
         self.metadata_location = loc
         return self
+
+    # --- snapshot maintenance + refs (M7/M9) ------------------------------
+    def expire_snapshots(self, older_than_ms: Optional[int] = None,
+                         keep_last: int = 1) -> "IceTable":
+        """Remove unreachable old snapshots from metadata (RemoveSnapshots
+        update). Keeps every snapshot referenced by a branch/tag, plus the
+        ``keep_last`` most recent."""
+        meta = self.metadata
+        referenced = {r.snapshot_id for r in meta.refs.values()}
+        if meta.current_snapshot_id is not None:
+            referenced.add(meta.current_snapshot_id)
+        by_time = sorted(meta.snapshots, key=lambda s: s.timestamp_ms, reverse=True)
+        keep = referenced | {s.snapshot_id for s in by_time[:keep_last]}
+        drop = [s.snapshot_id for s in meta.snapshots
+                if s.snapshot_id not in keep
+                and (older_than_ms is None or s.timestamp_ms < older_than_ms)]
+        if not drop:
+            return self
+        from iceberg_cpp_spark.core.updates import TableMetadataBuilder
+
+        b = TableMetadataBuilder.build_from(meta)
+        b.remove_snapshots(drop)
+        new_meta, _u, reqs = b.build()
+        return self._commit(new_meta, MAIN_BRANCH, meta.current_snapshot(), requirements=reqs)
+
+    def create_branch(self, name: str, snapshot_id: Optional[int] = None) -> "IceTable":
+        return self._set_ref(name, snapshot_id, "branch")
+
+    def create_tag(self, name: str, snapshot_id: Optional[int] = None) -> "IceTable":
+        return self._set_ref(name, snapshot_id, "tag")
+
+    def remove_ref(self, name: str) -> "IceTable":
+        from iceberg_cpp_spark.core.updates import TableMetadataBuilder
+
+        meta = self.metadata
+        b = TableMetadataBuilder.build_from(meta)
+        b.remove_ref(name)
+        new_meta, _u, reqs = b.build()
+        return self._commit(new_meta, MAIN_BRANCH, meta.current_snapshot(), requirements=reqs)
+
+    def _set_ref(self, name: str, snapshot_id: Optional[int], type: str) -> "IceTable":
+        from iceberg_cpp_spark.core.updates import TableMetadataBuilder
+
+        meta = self.metadata
+        sid = snapshot_id if snapshot_id is not None else meta.current_snapshot_id
+        if sid is None:
+            raise ValueError("table has no snapshot to reference")
+        b = TableMetadataBuilder.build_from(meta)
+        b.set_ref(name, sid, type=type)
+        new_meta, _u, reqs = b.build()
+        return self._commit(new_meta, name, meta.current_snapshot(), requirements=reqs)
+
+    def update_properties(self, updates: Optional[dict] = None,
+                          removals: Optional[list] = None) -> "IceTable":
+        from iceberg_cpp_spark.core.updates import TableMetadataBuilder
+
+        meta = self.metadata
+        b = TableMetadataBuilder.build_from(meta)
+        if updates:
+            b.set_properties(updates)
+        if removals:
+            b.remove_properties(removals)
+        new_meta, _u, reqs = b.build()
+        return self._commit(new_meta, MAIN_BRANCH, meta.current_snapshot(), requirements=reqs)
 
     # --- schema evolution (table_metadata.h Add/SetCurrentSchema;
     # read-side resolution is by parquet field ID, schema_util.h:91-93) --

@@ -1,0 +1,256 @@
+"""TableMetadataBuilder + TableUpdate hierarchy (shapes from the
+reference's table_metadata_builder_test.cc) plus name mapping, the
+format registry, FileIO, and foreign-file import."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_cpp_spark.core import types as it
+from iceberg_cpp_spark.core.metadata import (
+    PartitionField,
+    PartitionSpec,
+    Snapshot,
+    SortOrder,
+    TableMetadata,
+)
+from iceberg_cpp_spark.core.updates import TableMetadataBuilder
+from iceberg_cpp_spark.functions import transforms as tr
+
+
+def _schema(schema_id=0):
+    return it.Schema([
+        it.NestedField(1, "id", it.LongType(), True),
+        it.NestedField(2, "data", it.StringType(), False),
+    ], schema_id=schema_id)
+
+
+def _base():
+    return TableMetadata(
+        format_version=2, table_uuid="u-1", location="/tmp/t",
+        last_column_id=2, schemas=[_schema()], current_schema_id=0,
+        partition_specs=[PartitionSpec.unpartitioned()], default_spec_id=0,
+        sort_orders=[SortOrder.unsorted()],
+    )
+
+
+class TestBuilder:
+    def test_add_and_set_schema(self):
+        b = TableMetadataBuilder.build_from(_base())
+        s2 = _schema(schema_id=1)
+        b.add_schema(s2).set_current_schema(1)
+        meta, updates, reqs = b.build()
+        assert meta.current_schema_id == 1
+        assert [u.action for u in updates] == ["add-schema", "set-current-schema"]
+        assert any(type(r).__name__ == "AssertCurrentSchemaId" for r in reqs)
+
+    def test_duplicate_schema_id_rejected(self):
+        b = TableMetadataBuilder.build_from(_base())
+        with pytest.raises(ValueError, match="schema id exists"):
+            b.add_schema(_schema(schema_id=0))
+
+    def test_add_snapshot_and_branch(self):
+        b = TableMetadataBuilder.build_from(_base())
+        snap = Snapshot(9, 1, 1234, "/ml", summary={"operation": "append"})
+        b.add_snapshot(snap).set_branch_snapshot(9)
+        meta, _u, reqs = b.build()
+        assert meta.current_snapshot_id == 9
+        assert meta.last_sequence_number == 1
+        assert meta.ref("main").snapshot_id == 9
+        assert len(meta.snapshot_log) == 1
+        assert any(type(r).__name__ == "AssertRefSnapshotId" for r in reqs)
+
+    def test_sequence_number_must_advance(self):
+        base = _base()
+        base.last_sequence_number = 5
+        b = TableMetadataBuilder.build_from(base)
+        with pytest.raises(ValueError, match="sequence number"):
+            b.add_snapshot(Snapshot(9, 5, 1234, "/ml"))
+
+    def test_remove_snapshots(self):
+        base = _base()
+        base.snapshots = [Snapshot(1, 1, 10, "a"), Snapshot(2, 2, 20, "b")]
+        base.last_sequence_number = 2
+        base.current_snapshot_id = 2
+        base.snapshot_log = [{"timestamp-ms": 10, "snapshot-id": 1},
+                             {"timestamp-ms": 20, "snapshot-id": 2}]
+        b = TableMetadataBuilder.build_from(base)
+        b.remove_snapshots([1])
+        meta, _u, _r = b.build()
+        assert [s.snapshot_id for s in meta.snapshots] == [2]
+        assert len(meta.snapshot_log) == 1
+
+    def test_properties(self):
+        b = TableMetadataBuilder.build_from(_base())
+        b.set_properties({"a": "1", "b": "2"}).remove_properties(["a"])
+        meta, _u, _r = b.build()
+        assert meta.properties == {"b": "2"}
+
+    def test_format_downgrade_rejected(self):
+        b = TableMetadataBuilder.build_from(_base())
+        with pytest.raises(ValueError, match="downgrade"):
+            b.upgrade_format_version(1)
+
+    def test_add_spec(self):
+        b = TableMetadataBuilder.build_from(_base())
+        spec = PartitionSpec([PartitionField(1, 1001, "idb", tr.BucketTransform(4))],
+                             spec_id=1)
+        b.add_partition_spec(spec).set_default_spec(1)
+        meta, _u, _r = b.build()
+        assert meta.default_spec_id == 1
+        assert meta.last_partition_id == 1001
+
+    def test_build_validates_current_snapshot(self):
+        base = _base()
+        base.current_snapshot_id = 42  # dangling
+        with pytest.raises(ValueError, match="current snapshot"):
+            TableMetadataBuilder.build_from(base).build()
+
+
+class TestNameMapping:
+    def test_roundtrip_and_lookup(self):
+        from iceberg_cpp_spark.core.name_mapping import NameMapping
+
+        m = NameMapping.from_schema(_schema(), aliases={"id": ["record_id"]})
+        s = m.to_json_string()
+        back = NameMapping.from_json_string(s)
+        assert back.id_for("id") == 1
+        assert back.id_for("record_id") == 1
+        assert back.id_for("data") == 2
+        assert back.id_for("nope") is None
+        assert back.names_for(1) == ["id", "record_id"]
+
+    def test_apply_to_file_columns(self):
+        from iceberg_cpp_spark.core import name_mapping as nm
+
+        m = nm.NameMapping.from_schema(_schema(), aliases={"id": ["record_id"]})
+        out = nm.apply_to_file_columns(m, ["record_id", "data", "junk"], _schema())
+        assert out["record_id"][0] == 1
+        assert out["data"][0] == 2
+        assert "junk" not in out
+
+
+class TestAddFiles:
+    def test_import_foreign_parquet(self, spark, tmp_loc):
+        """files written by a plain writer (no field IDs) import without
+        rewrite and scan correctly by name."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from iceberg_cpp_spark import IceTable
+
+        foreign = os.path.join(tmp_loc, "foreign.parquet")
+        pq.write_table(pa.table({"id": [1, 2, 3], "data": ["a", "b", "c"]}), foreign)
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "t"), _schema())
+        t.add_files([foreign])
+        df = t.to_df()
+        assert df.count() == 3
+        assert {r["data"] for r in df.collect()} == {"a", "b", "c"}
+        # metrics came from the footer
+        task = t.scan().plan_files()[0]
+        assert task.record_count == 3
+        # bounds present → pruning works on imported files
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        assert t.scan(filter=ex.gt(ex.Reference("id"), 100)).plan_files() == []
+
+    def test_mixed_native_and_foreign(self, spark, tmp_loc):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from iceberg_cpp_spark import IceTable
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "t"), _schema())
+        native = spark.createDataFrame([(10, "n1"), (11, "n2")], "id long, data string")
+        t.append(native)
+        foreign = os.path.join(tmp_loc, "f.parquet")
+        pq.write_table(pa.table({"id": [1], "data": ["f1"]}), foreign)
+        t.add_files([foreign])
+        assert t.to_df().count() == 3
+
+
+class TestFormats:
+    def test_registry_dispatch(self, spark, tmp_loc):
+        from iceberg_cpp_spark.sources import formats
+
+        df = spark.createDataFrame([(1, "x"), (2, "y")], "id long, data string")
+        for fmt in ("parquet", "json", "csv"):
+            path = os.path.join(tmp_loc, fmt)
+            formats.open_writer(fmt, df, path)
+            back = formats.open_reader(fmt, spark, [path])
+            assert back.count() == 2
+
+    def test_unknown_format(self, spark):
+        from iceberg_cpp_spark.sources import formats
+
+        with pytest.raises(formats.UnknownFormatError):
+            formats.open_reader("nope", spark, ["/tmp/x"])
+
+    def test_custom_registration(self, spark, tmp_loc):
+        from iceberg_cpp_spark.sources import formats
+
+        calls = []
+        formats.register_reader("fake", lambda s, p, sc: calls.append(p) or s.range(1))
+        formats.open_reader("fake", spark, ["/p"])
+        assert calls == [["/p"]]
+
+
+class TestFileIO:
+    def test_local_io(self, tmp_loc):
+        from iceberg_cpp_spark.core.io import LocalFileIO
+
+        io = LocalFileIO()
+        p = os.path.join(tmp_loc, "sub", "x.bin")
+        io.write_bytes(p, b"abc")
+        assert io.read_bytes(p) == b"abc"
+        assert io.exists(p)
+        with pytest.raises(FileExistsError):
+            io.write_bytes(p, b"other", exclusive=True)
+        io.delete(p)
+        assert not io.exists(p)
+
+
+class TestTableMaintenance:
+    def test_expire_snapshots(self, spark, lineitem, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "e"),
+                            schema_from_spark(lineitem.schema))
+        for i in range(3):
+            t.append(lineitem.limit(5))
+        assert len(t.snapshots()) == 3
+        t.expire_snapshots(keep_last=1)
+        assert len(t.snapshots()) == 1
+        assert t.to_df().count() == 15  # current data untouched
+
+    def test_branch_and_tag(self, spark, lineitem, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "b"),
+                            schema_from_spark(lineitem.schema))
+        t.append(lineitem.limit(10))
+        s1 = t.current_snapshot().snapshot_id
+        t.create_tag("v1")
+        t.create_branch("dev")
+        t.append(lineitem.limit(5))  # main moves on
+        assert t.scan().use_ref("v1").to_df().count() == 10
+        assert t.scan().use_ref("dev").to_df().count() == 10
+        assert t.to_df().count() == 15
+        assert t.metadata.ref("v1").snapshot_id == s1
+        t.remove_ref("dev")
+        assert t.metadata.ref("dev") is None
+
+    def test_update_properties(self, spark, lineitem, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "p"),
+                            schema_from_spark(lineitem.schema))
+        t.update_properties({"owner": "me"})
+        assert t.properties()["owner"] == "me"
+        t.update_properties(removals=["owner"])
+        assert "owner" not in t.properties()
