@@ -336,6 +336,28 @@ def ice_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.to_df().groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
 
 
+def ice_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge-on-read position deletes: scan anti-joins the delete file,
+    data files untouched."""
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "mor")
+    t.append(li)
+    t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"), mode="merge-on-read")
+    return t.to_df().groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+def ice_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """equality-delete file keyed on (l_returnflag, l_linestatus)."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "eqd")
+    t.append(li)
+    keys = spark.createDataFrame([("A", "F")], "l_returnflag string, l_linestatus string")
+    t.delete_by_keys(keys)
+    return t.to_df().groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
 def ice_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rename-by-field-id: files written under the old name are read
     under the new one (schema_util.h:91-93 semantics via parquet
@@ -501,6 +523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_partition_pruned": ice_partition_pruned,
         "ice_time_travel": ice_time_travel,
         "ice_delete_where": ice_delete_where,
+        "ice_mor_delete": ice_mor_delete,
+        "ice_equality_delete": ice_equality_delete,
         "ice_schema_evolution": ice_schema_evolution,
         "ice_metadata_columns": ice_metadata_columns,
         # LLM pipeline
@@ -683,6 +707,15 @@ def oracle_sql() -> dict[str, str]:
         "ice_delete_where": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n
             FROM lineitem WHERE l_returnflag <> 'A'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "ice_mor_delete": """
+            SELECT l_returnflag, COUNT(*) AS n
+            FROM lineitem WHERE l_returnflag <> 'R' GROUP BY l_returnflag
+        """,
+        "ice_equality_delete": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+            FROM lineitem WHERE NOT (l_returnflag = 'A' AND l_linestatus = 'F')
             GROUP BY l_returnflag, l_linestatus
         """,
         "ice_schema_evolution": """

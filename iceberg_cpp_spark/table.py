@@ -70,6 +70,21 @@ class FileScanTask:
     file_size_in_bytes: int
     partition: dict[str, Any]
     spec_id: int = 0
+    sequence_number: int = 0
+
+
+@dataclass
+class DeleteFileTask:
+    """A position- or equality-delete file visible to the scan
+    (manifest_entry.h content=POSITION_DELETES/EQUALITY_DELETES — the
+    reference rejects these at table_scan.cc:288-291; here they merge
+    on read)."""
+
+    file_path: str
+    content: int
+    sequence_number: int
+    equality_ids: list[int]
+    record_count: int
 
     @property
     def size_bytes(self) -> int:
@@ -183,7 +198,7 @@ class TableScan:
         projected_by_spec: dict[int, ex.Expression] = {}
         for m in manifest_files:
             if m.content != mf.MANIFEST_CONTENT_DATA:
-                continue
+                continue  # delete manifests handled by plan_deletes()
             spec = meta.spec_by_id(m.partition_spec_id) or PartitionSpec.unpartitioned()
             if m.partition_spec_id not in projected_by_spec:
                 projected_by_spec[m.partition_spec_id] = pruning.project_to_partition(
@@ -213,7 +228,8 @@ class TableScan:
                     continue
                 if not evaluator.eval(e.data_file.stats()):
                     continue
-                tasks.append(self._task(e.data_file, m.partition_spec_id))
+                tasks.append(self._task(e.data_file, m.partition_spec_id,
+                                        e.sequence_number or 0))
         return tasks
 
     def _plan_files_distributed(self, manifests, meta, schema, projected_by_spec, evaluator):
@@ -229,7 +245,8 @@ class TableScan:
         for m in manifests:
             by_spec.setdefault(m.partition_spec_id, []).append(m)
         out_schema = ("file_path string, file_format string, record_count long, "
-                      "file_size_in_bytes long, partition_json string")
+                      "file_size_in_bytes long, partition_json string, "
+                      "sequence_number long")
 
         for spec_id, group in by_spec.items():
             spec = meta.spec_by_id(spec_id) or PartitionSpec.unpartitioned()
@@ -256,12 +273,16 @@ class TableScan:
                             "upper_bounds": _as_dict(b["upper_bounds"].iloc[i]),
                         }
                         keep.append(bool(ev.eval(stats)))
-                    yield b.loc[keep, ["file_path", "file_format", "record_count",
-                                       "file_size_in_bytes", "partition_json"]]
+                    out = b.loc[keep, ["file_path", "file_format", "record_count",
+                                       "file_size_in_bytes", "partition_json",
+                                       "sequence_number"]]
+                    out["sequence_number"] = out["sequence_number"].fillna(0)
+                    yield out
 
             cols = ["file_path", "file_format", "record_count", "file_size_in_bytes",
-                    "partition_json", "value_counts", "null_value_counts",
-                    "nan_value_counts", "lower_bounds", "upper_bounds"]
+                    "partition_json", "sequence_number", "value_counts",
+                    "null_value_counts", "nan_value_counts", "lower_bounds",
+                    "upper_bounds"]
             rows = df.select(*cols).mapInPandas(survive, schema=out_schema).collect()
             for r in rows:
                 tasks.append(
@@ -272,11 +293,12 @@ class TableScan:
                         file_size_in_bytes=r["file_size_in_bytes"],
                         partition=mf.partition_from_json(r["partition_json"], spec, schema),
                         spec_id=spec_id,
+                        sequence_number=r["sequence_number"] or 0,
                     )
                 )
         return tasks
 
-    def _task(self, f: mf.DataFile, spec_id: int) -> FileScanTask:
+    def _task(self, f: mf.DataFile, spec_id: int, seq: int = 0) -> FileScanTask:
         return FileScanTask(
             file_path=f.file_path,
             file_format=f.file_format,
@@ -284,7 +306,33 @@ class TableScan:
             file_size_in_bytes=f.file_size_in_bytes,
             partition=f.partition,
             spec_id=spec_id,
+            sequence_number=seq,
         )
+
+    def plan_deletes(self) -> list[DeleteFileTask]:
+        """Live delete files in the scanned snapshot (delete manifests
+        are few and small — driver-side read)."""
+        snap = self.snapshot()
+        if snap is None:
+            return []
+        meta = self._table.metadata
+        schema = self.read_schema()
+        out: list[DeleteFileTask] = []
+        for m in mf.read_manifest_list(snap.manifest_list):
+            if m.content != mf.MANIFEST_CONTENT_DELETES:
+                continue
+            spec = meta.spec_by_id(m.partition_spec_id) or PartitionSpec.unpartitioned()
+            for e in mf.read_manifest(m.manifest_path, spec, schema, manifest=m):
+                if not e.is_live or e.data_file.content == mf.CONTENT_DATA:
+                    continue
+                out.append(DeleteFileTask(
+                    file_path=e.data_file.file_path,
+                    content=e.data_file.content,
+                    sequence_number=e.sequence_number or 0,
+                    equality_ids=e.data_file.equality_ids,
+                    record_count=e.data_file.record_count,
+                ))
+        return out
 
     # --- execution ------------------------------------------------------
     def to_df(self) -> DataFrame:
@@ -304,18 +352,63 @@ class TableScan:
             df = spark.createDataFrame([], spark_schema)
         else:
             df = spark.read.schema(spark_schema).parquet(*[t.file_path for t in tasks])
-        if self._with_meta_cols and tasks:
+        deletes = self.plan_deletes() if tasks else []
+        if deletes or (self._with_meta_cols and tasks):
             df = df.select(
                 "*",
                 F.col("_metadata.file_path").alias("_file"),
                 F.col("_metadata.row_index").alias("_pos"),
             )
+        if deletes:
+            df = self._apply_deletes(df, tasks, deletes, schema)
+            if not self._with_meta_cols:
+                df = df.drop("_file", "_pos")
         if not isinstance(self._filter, ex.TrueExp):
             df = df.filter(to_spark_column(self._filter, schema, self._case_sensitive))
         if self._columns is not None:
             df = df.select(*self._columns)
         if self._limit is not None:
             df = df.limit(self._limit)
+        return df
+
+    def _apply_deletes(self, df: DataFrame, tasks: list[FileScanTask],
+                       deletes: list["DeleteFileTask"], schema: it.Schema) -> DataFrame:
+        """Merge-on-read: anti-join position deletes on (_file,_pos);
+        equality deletes by key with sequence-number visibility (a delete
+        applies only to data files older than it). Delete files are small
+        → broadcast joins, no extra shuffle of the data side."""
+        from pyspark.sql.functions import broadcast
+
+        spark = self._table.spark
+        pos = [d for d in deletes if d.content == mf.CONTENT_POSITION_DELETES]
+        eqs = [d for d in deletes if d.content == mf.CONTENT_EQUALITY_DELETES]
+        if pos:
+            dels = spark.read.parquet(*[d.file_path for d in pos]).select("file_path", "pos")
+            df = df.join(
+                broadcast(dels),
+                (df["_file"] == dels["file_path"]) & (df["_pos"] == dels["pos"]),
+                "left_anti",
+            )
+        if eqs:
+            seq_map = spark.createDataFrame(
+                [(t.file_path, t.sequence_number) for t in tasks], "_seq_path string, _seq long")
+            norm = F.regexp_replace(F.col("_file"), "^file:(//)?", "")
+            df = df.join(broadcast(seq_map), norm == F.col("_seq_path"), "left") \
+                   .drop("_seq_path")
+            for d in sorted(eqs, key=lambda d: d.sequence_number):
+                key_cols = []
+                for fid in d.equality_ids:
+                    f = schema.find_field_by_id(fid)
+                    if f is None:
+                        raise ValueError(f"equality delete references unknown field {fid}")
+                    key_cols.append(f.name)
+                keys = (spark.read.parquet(d.file_path)
+                        .select(*key_cols).withColumn("_hit", F.lit(1)))
+                df = df.join(broadcast(keys), on=key_cols, how="left")
+                drop_cond = (F.coalesce(F.col("_hit"), F.lit(0)) == 1) & \
+                    (F.coalesce(F.col("_seq"), F.lit(2**62)) < F.lit(d.sequence_number))
+                df = df.filter(~drop_cond).drop("_hit")
+            df = df.drop("_seq")
         return df
 
 
@@ -434,10 +527,18 @@ class IceTable:
         return self._commit_files(new_files, operation=DataOperation.OVERWRITE,
                                   branch=branch, carry_existing=False)
 
-    def delete_where(self, expr: ex.Expression, branch: str = MAIN_BRANCH) -> "IceTable":
-        """Row-level delete, copy-on-write: rewrite only the files whose
-        stats say they may contain matching rows (the reference errors on
-        any delete — table_scan.cc:288-291; this goes beyond it)."""
+    def delete_where(self, expr: ex.Expression, branch: str = MAIN_BRANCH,
+                     mode: str = "copy-on-write") -> "IceTable":
+        """Row-level delete (the reference errors on any delete —
+        table_scan.cc:288-291; this goes beyond it).
+
+        copy-on-write: rewrite only files that may contain matches (read
+        amplification at delete time, none at scan time).
+        merge-on-read: write a position-delete file; scans anti-join it
+        (cheap deletes, small scan-side join — the streaming/CDC shape).
+        """
+        if mode == "merge-on-read":
+            return self._position_delete(expr, branch)
         schema = self.schema()
         affected = {t.file_path for t in self.scan(filter=expr).plan_files()}
         if not affected:
@@ -451,6 +552,62 @@ class IceTable:
         return self._commit_files(
             new_files, operation=DataOperation.OVERWRITE, branch=branch,
             carry_existing=True, drop_paths=affected)
+
+    def _position_delete(self, expr: ex.Expression, branch: str) -> "IceTable":
+        """Write (file_path, pos) tuples of matching rows as a
+        position-delete file (spec reserved field IDs 2147483546/45)."""
+        schema = self.schema()
+        affected = [t.file_path for t in self.scan(filter=expr).plan_files()]
+        if not affected:
+            return self
+        spark_schema = it.to_spark_schema(schema)
+        rows = (
+            self.spark.read.schema(spark_schema).parquet(*sorted(affected))
+            .select(
+                F.col("_metadata.file_path").alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+                "*",
+            )
+            .filter(to_spark_column(expr, schema))
+            .select("file_path", "pos")
+        )
+        del_dir = os.path.join(self.metadata.location, "deletes", uuid_mod.uuid4().hex)
+        rows.repartition(1).sortWithinPartitions("file_path", "pos") \
+            .write.mode("overwrite").parquet(del_dir)
+        return self._commit_delete_files(del_dir, mf.CONTENT_POSITION_DELETES, [], branch)
+
+    def delete_by_keys(self, keys: DataFrame, branch: str = MAIN_BRANCH) -> "IceTable":
+        """Equality delete: every row matching any key tuple (on the key
+        DataFrame's columns) is deleted. Applies to data files with a
+        sequence number below the delete's (new appends unaffected)."""
+        schema = self.schema()
+        eq_ids = []
+        for c in keys.columns:
+            f = schema.find_field(c)
+            if f is None:
+                raise ValueError(f"equality column not in schema: {c}")
+            eq_ids.append(f.field_id)
+        del_dir = os.path.join(self.metadata.location, "deletes", uuid_mod.uuid4().hex)
+        keys.distinct().repartition(1).write.mode("overwrite").parquet(del_dir)
+        return self._commit_delete_files(del_dir, mf.CONTENT_EQUALITY_DELETES, eq_ids, branch)
+
+    def _commit_delete_files(self, del_dir: str, content: int,
+                             equality_ids: list[int], branch: str) -> "IceTable":
+        paths = sorted(
+            os.path.join(r, fn) for r, _d, fs in os.walk(del_dir)
+            for fn in fs if fn.endswith(".parquet"))
+        files = []
+        for p in paths:
+            meta = __import__("pyarrow.parquet", fromlist=["ParquetFile"]).ParquetFile(p).metadata
+            if meta.num_rows == 0:
+                continue
+            files.append(mf.DataFile(
+                content=content, file_path=p, file_format="parquet", partition={},
+                record_count=meta.num_rows, file_size_in_bytes=os.path.getsize(p),
+                equality_ids=list(equality_ids)))
+        if not files:
+            return self
+        return self._commit_files(files, operation=DataOperation.DELETE, branch=branch)
 
     def rewrite_data_files(self, target_file_count: Optional[int] = None,
                            branch: str = MAIN_BRANCH) -> "IceTable":
@@ -571,11 +728,23 @@ class IceTable:
         now_ms = int(time.time() * 1000)
         meta_dir = os.path.join(meta.location, "metadata")
 
-        manifest_path = os.path.join(meta_dir, f"manifest-{uuid_mod.uuid4().hex}.parquet")
-        writer = mf.ManifestWriter(manifest_path, spec, schema, snapshot_id)
-        for f in new_files:
-            writer.add_file(f, sequence_number=seq)
-        new_manifest = writer.close() if new_files else None
+        new_data = [f for f in new_files if f.content == mf.CONTENT_DATA]
+        new_dels = [f for f in new_files if f.content != mf.CONTENT_DATA]
+        new_manifests: list[mf.ManifestFile] = []
+        if new_data:
+            writer = mf.ManifestWriter(
+                os.path.join(meta_dir, f"manifest-{uuid_mod.uuid4().hex}.parquet"),
+                spec, schema, snapshot_id)
+            for f in new_data:
+                writer.add_file(f, sequence_number=seq)
+            new_manifests.append(writer.close())
+        if new_dels:
+            dwriter = mf.ManifestWriter(
+                os.path.join(meta_dir, f"manifest-{uuid_mod.uuid4().hex}.parquet"),
+                spec, schema, snapshot_id, content=mf.MANIFEST_CONTENT_DELETES)
+            for f in new_dels:
+                dwriter.add_file(f, sequence_number=seq)
+            new_manifests.append(dwriter.close())
 
         carried: list[mf.ManifestFile] = []
         branch_ref = meta.ref(branch)
@@ -605,26 +774,37 @@ class IceTable:
 
         manifest_list = os.path.join(meta_dir, f"snap-{snapshot_id}-{uuid_mod.uuid4().hex}.parquet")
         lw = mf.ManifestListWriter(manifest_list, snapshot_id, seq)
-        if new_manifest is not None:
-            lw.add(new_manifest)
+        for m in new_manifests:
+            lw.add(m)
         for m in carried:
             lw.add(m)
         lw.close()
 
-        added_records = sum(f.record_count for f in new_files)
+        carried_data = [m for m in carried if m.content == mf.MANIFEST_CONTENT_DATA]
+        carried_dels = [m for m in carried if m.content == mf.MANIFEST_CONTENT_DELETES]
+        added_records = sum(f.record_count for f in new_data)
         added_size = sum(f.file_size_in_bytes for f in new_files)
-        total_records = added_records + sum(m.added_rows_count + m.existing_rows_count for m in carried)
-        total_files = len(new_files) + sum(m.added_files_count + m.existing_files_count for m in carried)
+        total_records = added_records + sum(m.added_rows_count + m.existing_rows_count
+                                            for m in carried_data)
+        total_files = len(new_data) + sum(m.added_files_count + m.existing_files_count
+                                          for m in carried_data)
+        pos_dels = sum(f.record_count for f in new_dels
+                       if f.content == mf.CONTENT_POSITION_DELETES)
+        eq_dels = sum(f.record_count for f in new_dels
+                      if f.content == mf.CONTENT_EQUALITY_DELETES)
+        total_del_files = len(new_dels) + sum(m.added_files_count + m.existing_files_count
+                                              for m in carried_dels)
         summary = {  # snapshot.h:121-216 standard keys
             "operation": operation,
-            "added-data-files": str(len(new_files)),
+            "added-data-files": str(len(new_data)),
             "added-records": str(added_records),
             "added-files-size": str(added_size),
             "total-data-files": str(total_files),
             "total-records": str(total_records),
-            "total-delete-files": "0",
-            "total-equality-deletes": "0",
-            "total-position-deletes": "0",
+            "added-delete-files": str(len(new_dels)),
+            "added-position-deletes": str(pos_dels),
+            "added-equality-deletes": str(eq_dels),
+            "total-delete-files": str(total_del_files),
         }
         snap = Snapshot(
             snapshot_id=snapshot_id,

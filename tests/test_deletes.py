@@ -1,0 +1,111 @@
+"""Merge-on-read deletes: position-delete and equality-delete files
+applied at scan time (the reference rejects delete files outright —
+table_scan.cc:288-291)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_cpp_spark import IceTable
+from iceberg_cpp_spark.core import manifests as mf
+from iceberg_cpp_spark.core.types import schema_from_spark
+from iceberg_cpp_spark.plans import expressions as ex
+
+
+@pytest.fixture()
+def li_table(spark, lineitem, tmp_loc):
+    t = IceTable.create(spark, os.path.join(tmp_loc, "li"),
+                        schema_from_spark(lineitem.schema))
+    t.append(lineitem)
+    return t
+
+
+class TestPositionDeletes:
+    def test_mor_delete_matches_cow_result(self, spark, lineitem, li_table):
+        n_a = lineitem.filter("l_returnflag = 'A'").count()
+        li_table.delete_where(ex.eq(ex.Reference("l_returnflag"), "A"),
+                              mode="merge-on-read")
+        got = li_table.to_df()
+        assert got.filter("l_returnflag = 'A'").count() == 0
+        assert got.count() == 6000 - n_a
+        # data files untouched (no rewrite): snapshot only added deletes
+        s = li_table.current_snapshot()
+        assert s.summary["operation"] == "delete"
+        assert int(s.summary["added-delete-files"]) >= 1
+        assert int(s.summary["added-position-deletes"]) == n_a
+
+    def test_delete_files_planned(self, li_table):
+        li_table.delete_where(ex.lt(ex.Reference("l_orderkey"), 10),
+                              mode="merge-on-read")
+        dels = li_table.scan().plan_deletes()
+        assert len(dels) == 1
+        assert dels[0].content == mf.CONTENT_POSITION_DELETES
+        assert dels[0].record_count > 0
+
+    def test_two_mor_deletes_compose(self, spark, lineitem, li_table):
+        li_table.delete_where(ex.eq(ex.Reference("l_returnflag"), "A"),
+                              mode="merge-on-read")
+        li_table.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                              mode="merge-on-read")
+        got = li_table.to_df()
+        assert got.filter("l_returnflag in ('A','R')").count() == 0
+        want = lineitem.filter("l_returnflag not in ('A','R')").count()
+        assert got.count() == want
+
+    def test_append_after_mor_delete_unaffected(self, spark, lineitem, li_table):
+        li_table.delete_where(ex.eq(ex.Reference("l_returnflag"), "A"),
+                              mode="merge-on-read")
+        n = li_table.to_df().count()
+        new_rows = lineitem.filter("l_returnflag = 'A'").limit(20)
+        li_table.append(new_rows)
+        got = li_table.to_df()
+        # freshly appended 'A' rows are new files → position deletes
+        # (file-scoped) cannot touch them
+        assert got.count() == n + 20
+        assert got.filter("l_returnflag = 'A'").count() == 20
+
+    def test_compaction_materializes_deletes(self, spark, lineitem, li_table):
+        li_table.delete_where(ex.eq(ex.Reference("l_returnflag"), "A"),
+                              mode="merge-on-read")
+        n = li_table.to_df().count()
+        li_table.rewrite_data_files(target_file_count=2)
+        assert li_table.scan().plan_deletes() == []
+        assert li_table.to_df().count() == n
+
+    def test_time_travel_before_delete(self, spark, lineitem, li_table):
+        s1 = li_table.current_snapshot().snapshot_id
+        li_table.delete_where(ex.eq(ex.Reference("l_returnflag"), "A"),
+                              mode="merge-on-read")
+        assert li_table.scan(snapshot_id=s1).to_df().count() == 6000
+
+
+class TestEqualityDeletes:
+    def test_delete_by_keys(self, spark, lineitem, li_table):
+        keys = spark.createDataFrame([("A", "F")], "l_returnflag string, l_linestatus string")
+        li_table.delete_by_keys(keys)
+        got = li_table.to_df()
+        assert got.filter("l_returnflag='A' and l_linestatus='F'").count() == 0
+        want = lineitem.filter("not (l_returnflag='A' and l_linestatus='F')").count()
+        assert got.count() == want
+
+    def test_sequence_visibility(self, spark, lineitem, li_table):
+        """rows appended AFTER the equality delete keep the deleted key."""
+        keys = spark.createDataFrame([("A",)], "l_returnflag string")
+        li_table.delete_by_keys(keys)
+        assert li_table.to_df().filter("l_returnflag='A'").count() == 0
+        li_table.append(lineitem.filter("l_returnflag='A'").limit(15))
+        got = li_table.to_df()
+        assert got.filter("l_returnflag='A'").count() == 15
+
+    def test_unknown_key_column_rejected(self, spark, li_table):
+        keys = spark.createDataFrame([(1,)], "nope int")
+        with pytest.raises(ValueError, match="equality column"):
+            li_table.delete_by_keys(keys)
+
+    def test_metadata_columns_with_deletes(self, spark, li_table):
+        li_table.delete_where(ex.lt(ex.Reference("l_orderkey"), 5),
+                              mode="merge-on-read")
+        df = li_table.scan().with_metadata_columns().to_df()
+        assert "_file" in df.columns and "_pos" in df.columns
+        assert df.count() == li_table.to_df().count()
