@@ -46,6 +46,18 @@ MICROS_PER_DAY = 86_400_000_000
 _TEMPORAL = (it.DateType, it.TimestampType, it.TimestampTzType)
 
 
+def _unique_memo(series: "pd.Series", fn):
+    """value → fn(value) computed once per DISTINCT non-null value in the
+    batch. Turns per-row python hashing into per-distinct hashing — for
+    key-like bucket columns the batch cardinality is far below its size."""
+    memo = {v: fn(v) for v in series.dropna().unique()}
+
+    def lookup(v):
+        return None if v is None else memo[v]
+
+    return lookup
+
+
 def _is_ts(source_type: it.IcebergType) -> bool:
     return isinstance(source_type, (it.TimestampType, it.TimestampTzType))
 
@@ -217,29 +229,27 @@ class BucketTransform(Transform):
         if isinstance(source_type, it.StringType):
             @pandas_udf(ST.IntegerType())
             def _bucket_str(s: pd.Series) -> pd.Series:
-                return s.map(
-                    lambda v: None if v is None
-                    else (murmur3.hash_bytes(v.encode("utf-8")) & 0x7FFFFFFF) % n
-                )
+                # hash each DISTINCT value once per batch, then map — the
+                # variable-length murmur3 can't be numpy-vectorized, but
+                # real bucket columns are keys with heavy repetition
+                return s.map(_unique_memo(
+                    s, lambda v: (murmur3.hash_bytes(v.encode("utf-8")) & 0x7FFFFFFF) % n))
 
             return _bucket_str(col)
         if isinstance(source_type, (it.BinaryType, it.FixedType, it.UuidType)):
             @pandas_udf(ST.IntegerType())
             def _bucket_bytes(s: pd.Series) -> pd.Series:
-                return s.map(
-                    lambda v: None if v is None
-                    else (murmur3.hash_bytes(bytes(v)) & 0x7FFFFFFF) % n
-                )
+                return s.map(_unique_memo(
+                    s, lambda v: (murmur3.hash_bytes(bytes(v)) & 0x7FFFFFFF) % n))
 
             if isinstance(source_type, it.UuidType):
                 import uuid as uuid_mod
 
                 @pandas_udf(ST.IntegerType())
                 def _bucket_uuid(s: pd.Series) -> pd.Series:
-                    return s.map(
-                        lambda v: None if v is None
-                        else (murmur3.hash_bytes(uuid_mod.UUID(v).bytes) & 0x7FFFFFFF) % n
-                    )
+                    return s.map(_unique_memo(
+                        s, lambda v: (murmur3.hash_bytes(uuid_mod.UUID(v).bytes)
+                                      & 0x7FFFFFFF) % n))
 
                 return _bucket_uuid(col)
             return _bucket_bytes(col)
@@ -249,12 +259,10 @@ class BucketTransform(Transform):
             @pandas_udf(ST.IntegerType())
             def _bucket_dec(s: pd.Series) -> pd.Series:
                 def one(v):
-                    if v is None:
-                        return None
                     unscaled = int(Decimal(v).scaleb(scale).to_integral_value())
                     return (murmur3.hash_bytes(_minimal_big_endian(unscaled)) & 0x7FFFFFFF) % n
 
-                return s.map(one)
+                return s.map(_unique_memo(s, one))
 
             return _bucket_dec(col)
         raise ValueError(f"cannot bucket {source_type!r}")
