@@ -373,6 +373,78 @@ def ice_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metadata-only import of a foreign parquet file (no field IDs) via
+    name mapping, then scan + aggregate."""
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core.types import schema_from_spark
+
+    li = _t(spark, sf_dir, "lineitem")
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_addf_"), "t")
+    t = IceTable.create(spark, loc, schema_from_spark(li.schema))
+    t.add_files([os.path.join(sf_dir, "lineitem.parquet")])
+    return (
+        t.to_df().groupBy("l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec("l_discount", 18, 4)).cast("double").alias("sum_disc"))
+    )
+
+
+def ice_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4 small appends compacted into 2 files; results unchanged."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "cmp")
+    for i in range(1, 5):
+        t.append(li.filter(F.col("l_linenumber") == i))
+    t.append(li.filter(F.col("l_linenumber") > 4))
+    t.rewrite_data_files(target_file_count=2)
+    return t.to_df().groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+def ice_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table with a sort order: writes cluster by l_orderkey, tightening
+    file bounds; scan result identical to plain SQL."""
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core.metadata import SortField, SortOrder
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.functions import transforms as tr
+
+    li = _t(spark, sf_dir, "lineitem")
+    schema = schema_from_spark(li.schema)
+    ok = schema.find_field("l_orderkey")
+    order = SortOrder([SortField(ok.field_id, tr.IdentityTransform())], order_id=1)
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_sort_"), "t")
+    t = IceTable.create(spark, loc, schema, sort_order=order)
+    t.append(li.repartition(4))
+    return (
+        t.to_df().filter(F.col("l_orderkey") < 100)
+        .groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    )
+
+
+def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming (availableNow, bounded): watermarked hourly
+    tumbling window over events, returned as the final batch table."""
+    import uuid
+
+    from iceberg_cpp_spark.streaming.incremental import stream_events
+
+    ev = _events(spark, sf_dir)
+    stage = os.path.join(tempfile.mkdtemp(prefix="ice_stream_"), "src")
+    ev.write.parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    sdf = stream_events(spark, stage, schema, window="1 hour", watermark="2 hours")
+    qname = f"evagg_{uuid.uuid4().hex[:8]}"
+    q = (sdf.writeStream.format("memory").queryName(qname)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.col("window.start").alias("hour"),
+        "event_type", "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 def ice_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """_file/_pos metadata columns (metadata_columns.h:42-96). Not
     SQL-expressible (paths are engine-specific) → rows-only check."""
@@ -527,6 +599,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_equality_delete": ice_equality_delete,
         "ice_schema_evolution": ice_schema_evolution,
         "ice_metadata_columns": ice_metadata_columns,
+        "ice_add_files": ice_add_files,
+        "ice_compaction": ice_compaction,
+        "ice_sorted_write": ice_sorted_write,
+        "stream_hourly": stream_hourly,
         # LLM pipeline
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
@@ -722,6 +798,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "ice_add_files": """
+            SELECT l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+            FROM lineitem GROUP BY l_linestatus
+        """,
+        "ice_compaction": """
+            SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag
+        """,
+        "ice_sorted_write": """
+            SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+            WHERE l_orderkey < 100 GROUP BY l_returnflag
+        """,
+        "stream_hourly": """
+            SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY DATE_TRUNC('hour', ts), event_type
         """,
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies

@@ -182,6 +182,23 @@ class Catalog:
         meta, loc = self.load_metadata(ident)
         return IceTable(ident, meta, loc, catalog=self, spark=spark)
 
+    def stage_create_table(self, ident: str, schema: Schema,
+                           spec: Optional[PartitionSpec] = None,
+                           sort_order: Optional[SortOrder] = None,
+                           properties: Optional[dict] = None,
+                           location: Optional[str] = None) -> TableMetadata:
+        """StageCreateTable (catalog.h:152-165): build + persist metadata
+        for a transaction WITHOUT registering the table; a later
+        register_table/commit makes it visible."""
+        if self.table_exists(ident):
+            raise AlreadyExistsError(ident)
+        location = location or os.path.join(getattr(self, "warehouse", "/tmp"),
+                                            *ident.split("."))
+        meta = self._new_metadata(schema, spec, sort_order, properties, location)
+        loc = os.path.join(location, "metadata", "v0.staged.metadata.json")
+        write_table_metadata(meta, loc)
+        return meta
+
     def _new_metadata(self, schema: Schema, spec: Optional[PartitionSpec],
                       sort_order: Optional[SortOrder], properties: Optional[dict],
                       location: str) -> TableMetadata:

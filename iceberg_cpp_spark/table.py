@@ -60,6 +60,30 @@ DISTRIBUTED_PLAN_THRESHOLD = 2048
 _PART_PREFIX = "_p_"  # write-side partition dir columns (keeps user cols in files)
 
 
+class LocationProvider:
+    """Data/delete/metadata file path layout (location_provider.h:29-54).
+    Override to customize layout (e.g. object-store key salting, where a
+    hash prefix spreads load across S3 partitions)."""
+
+    def __init__(self, table_location: str):
+        self.table_location = table_location
+
+    def new_data_dir(self) -> str:
+        return os.path.join(self.table_location, "data", uuid_mod.uuid4().hex)
+
+    def new_delete_dir(self) -> str:
+        return os.path.join(self.table_location, "deletes", uuid_mod.uuid4().hex)
+
+    def new_manifest_path(self, meta_dir: str) -> str:
+        return os.path.join(meta_dir, f"manifest-{uuid_mod.uuid4().hex}.parquet")
+
+    def new_manifest_list_path(self, meta_dir: str, snapshot_id: int) -> str:
+        return os.path.join(meta_dir, f"snap-{snapshot_id}-{uuid_mod.uuid4().hex}.parquet")
+
+    def metadata_dir(self) -> str:
+        return os.path.join(self.table_location, "metadata")
+
+
 @dataclass
 class FileScanTask:
     """table_scan.h:32-66 — one data file to scan."""
@@ -71,6 +95,14 @@ class FileScanTask:
     partition: dict[str, Any]
     spec_id: int = 0
     sequence_number: int = 0
+
+    @property
+    def size_bytes(self) -> int:
+        return self.file_size_in_bytes
+
+    @property
+    def estimated_row_count(self) -> int:
+        return self.record_count
 
 
 @dataclass
@@ -85,10 +117,6 @@ class DeleteFileTask:
     sequence_number: int
     equality_ids: list[int]
     record_count: int
-
-    @property
-    def size_bytes(self) -> int:
-        return self.file_size_in_bytes
 
     @property
     def estimated_row_count(self) -> int:
@@ -459,6 +487,9 @@ class IceTable:
     def current_snapshot(self) -> Optional[Snapshot]:
         return self.metadata.current_snapshot()
 
+    def location_provider(self) -> LocationProvider:
+        return LocationProvider(self.metadata.location)
+
     def snapshots(self) -> list[Snapshot]:
         return self.metadata.snapshots
 
@@ -571,7 +602,7 @@ class IceTable:
             .filter(to_spark_column(expr, schema))
             .select("file_path", "pos")
         )
-        del_dir = os.path.join(self.metadata.location, "deletes", uuid_mod.uuid4().hex)
+        del_dir = self.location_provider().new_delete_dir()
         rows.repartition(1).sortWithinPartitions("file_path", "pos") \
             .write.mode("overwrite").parquet(del_dir)
         return self._commit_delete_files(del_dir, mf.CONTENT_POSITION_DELETES, [], branch)
@@ -587,7 +618,7 @@ class IceTable:
             if f is None:
                 raise ValueError(f"equality column not in schema: {c}")
             eq_ids.append(f.field_id)
-        del_dir = os.path.join(self.metadata.location, "deletes", uuid_mod.uuid4().hex)
+        del_dir = self.location_provider().new_delete_dir()
         keys.distinct().repartition(1).write.mode("overwrite").parquet(del_dir)
         return self._commit_delete_files(del_dir, mf.CONTENT_EQUALITY_DELETES, eq_ids, branch)
 
@@ -664,7 +695,7 @@ class IceTable:
         schema = self.schema()
         spec = self.spec()
         location = self.metadata.location
-        write_dir = os.path.join(location, "data", uuid_mod.uuid4().hex)
+        write_dir = self.location_provider().new_data_dir()
         # align to the table schema and stamp parquet field IDs
         # (schema_util.h field-ID resolution depends on files carrying IDs)
         spark_fields = it.to_spark_schema(schema).fields
@@ -682,9 +713,11 @@ class IceTable:
                 col = pf.transform.spark_column(F.col(src.name), src.field_type)
                 df = df.withColumn(_PART_PREFIX + pf.name, col)
                 part_names.append(_PART_PREFIX + pf.name)
-            writer = df.repartition(*[F.col(n) for n in part_names]).write.partitionBy(*part_names)
+            df = df.repartition(*[F.col(n) for n in part_names])
+            df = self._apply_sort_order(df, schema)
+            writer = df.write.partitionBy(*part_names)
         else:
-            writer = df.write
+            writer = self._apply_sort_order(df, schema).write
         writer.mode("overwrite").parquet(write_dir)
 
         paths = []
@@ -717,6 +750,27 @@ class IceTable:
             )
         return out
 
+    def _apply_sort_order(self, df: DataFrame, schema: it.Schema) -> DataFrame:
+        """Cluster writes by the table's default sort order (sort_order.h
+        metadata → sortWithinPartitions, no extra shuffle): tightens
+        per-file min/max bounds so metrics pruning skips more files."""
+        order = self.sort_order()
+        if order.is_unsorted:
+            return df
+        cols = []
+        for sf in order.fields:
+            src = schema.find_field_by_id(sf.source_id)
+            if src is None:
+                continue
+            c = sf.transform.spark_column(F.col(src.name), src.field_type)
+            c = c.asc_nulls_first() if sf.direction == "asc" else c.desc_nulls_last()
+            if sf.null_order == "nulls-last" and sf.direction == "asc":
+                c = sf.transform.spark_column(F.col(src.name), src.field_type).asc_nulls_last()
+            elif sf.null_order == "nulls-first" and sf.direction == "desc":
+                c = sf.transform.spark_column(F.col(src.name), src.field_type).desc_nulls_first()
+            cols.append(c)
+        return df.sortWithinPartitions(*cols) if cols else df
+
     def _commit_files(self, new_files: list[mf.DataFile], operation: str,
                       branch: str = MAIN_BRANCH, carry_existing: bool = True,
                       drop_paths: Optional[set] = None) -> "IceTable":
@@ -733,14 +787,14 @@ class IceTable:
         new_manifests: list[mf.ManifestFile] = []
         if new_data:
             writer = mf.ManifestWriter(
-                os.path.join(meta_dir, f"manifest-{uuid_mod.uuid4().hex}.parquet"),
+                self.location_provider().new_manifest_path(meta_dir),
                 spec, schema, snapshot_id)
             for f in new_data:
                 writer.add_file(f, sequence_number=seq)
             new_manifests.append(writer.close())
         if new_dels:
             dwriter = mf.ManifestWriter(
-                os.path.join(meta_dir, f"manifest-{uuid_mod.uuid4().hex}.parquet"),
+                self.location_provider().new_manifest_path(meta_dir),
                 spec, schema, snapshot_id, content=mf.MANIFEST_CONTENT_DELETES)
             for f in new_dels:
                 dwriter.add_file(f, sequence_number=seq)
@@ -761,7 +815,7 @@ class IceTable:
                         carried.append(m)
                     elif keep:
                         w = mf.ManifestWriter(
-                            os.path.join(meta_dir, f"manifest-{uuid_mod.uuid4().hex}.parquet"),
+                            self.location_provider().new_manifest_path(meta_dir),
                             pspec, schema, snapshot_id)
                         for e in keep:
                             w.add(mf.ManifestEntry(
@@ -772,7 +826,7 @@ class IceTable:
                 else:
                     carried.append(m)
 
-        manifest_list = os.path.join(meta_dir, f"snap-{snapshot_id}-{uuid_mod.uuid4().hex}.parquet")
+        manifest_list = self.location_provider().new_manifest_list_path(meta_dir, snapshot_id)
         lw = mf.ManifestListWriter(manifest_list, snapshot_id, seq)
         for m in new_manifests:
             lw.add(m)
@@ -967,11 +1021,12 @@ class IceTable:
     @staticmethod
     def create(spark: SparkSession, location: str, schema: it.Schema,
                spec: Optional[PartitionSpec] = None,
+               sort_order: Optional[SortOrder] = None,
                properties: Optional[dict] = None,
                identifier: str = "") -> "IceTable":
         from iceberg_cpp_spark.sources.catalog import Catalog
 
-        meta = Catalog()._new_metadata(schema, spec, None, properties, location)
+        meta = Catalog()._new_metadata(schema, spec, sort_order, properties, location)
         loc = os.path.join(location, "metadata", "v1.metadata.json")
         write_table_metadata(meta, loc, exclusive=True)
         return IceTable(identifier or os.path.basename(location.rstrip("/")),
