@@ -213,6 +213,44 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev
 
 
+def unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wide → long (melt/stack)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.expr("stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)")
+        .alias("measure", "value"),
+    )
+
+
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ordered string aggregation per group."""
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"))
+    )
+
+
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exact interpolated percentiles per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_price"),
+    )
+
+
+def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """band→verify pipeline: LSH nominates, exact n-gram Jaccard
+    confirms before dropping (rows-only: LSH has no SQL equivalent)."""
+    from iceberg_cpp_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup(docs, num_perm=64, bands=16,
+                                   verify_jaccard=0.7).select("doc_id")
+
+
 def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
@@ -587,7 +625,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": set_ops,
         "sort_limit": sort_limit,
         "scalar_functions": scalar_functions,
+        "unpivot": unpivot,
+        "agg_listagg": agg_listagg,
+        "agg_percentile": agg_percentile,
         "events_window_agg": events_window_agg,
+        "dedup_minhash_verified": dedup_minhash_verified,
         # iceberg-native
         "ice_transforms": ice_transforms,
         "ice_bucket_transform": ice_bucket_transform,
@@ -745,6 +787,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(LENGTH(o_orderpriority) AS INT) AS prio_len,
                    COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_or_open
             FROM orders
+        """,
+        "unpivot": """
+            SELECT l_orderkey, l_linenumber, measure, value
+            FROM lineitem
+            UNPIVOT (value FOR measure IN (l_quantity AS quantity,
+                                           l_discount AS discount,
+                                           l_tax AS tax))
+        """,
+        "agg_listagg": """
+            SELECT n_regionkey, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation GROUP BY n_regionkey
+        """,
+        "agg_percentile": """
+            SELECT l_returnflag,
+                   QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
+                   QUANTILE_CONT(l_extendedprice, 0.9) AS p90_price
+            FROM lineitem GROUP BY l_returnflag
         """,
         "events_window_agg": """
             SELECT DATE_TRUNC('hour', ts) AS hour, event_type,

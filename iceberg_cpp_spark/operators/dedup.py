@@ -106,12 +106,18 @@ def minhash_signature_udf(num_perm: int = 128, shingle_width: int = 3):
 
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 128, bands: int = 32,
-                      shingle_width: int = 3) -> DataFrame:
+                      shingle_width: int = 3,
+                      verify_jaccard: Optional[float] = None) -> DataFrame:
     """Fuzzy dedup. b bands × r rows (r = num_perm//bands): docs agreeing
     on all r minhashes of any band land in the same bucket. A doc is a
     duplicate iff some bucket contains a smaller id. The only shuffle is
     the band-bucket groupBy (exploded rows: n·bands) — 100 TB-viable;
-    there is no pairwise comparison."""
+    there is no pairwise comparison.
+
+    With ``verify_jaccard`` set, LSH only *nominates* candidate pairs;
+    each is then verified with exact n-gram Jaccard and dropped only
+    when similarity ≥ the threshold (the canonical band→verify
+    pipeline: verification cost is O(candidates), not O(n²))."""
     assert num_perm % bands == 0, "num_perm must divide evenly into bands"
     r = num_perm // bands
     sig = minhash_signature_udf(num_perm, shingle_width)
@@ -126,12 +132,19 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("_band", "_bucket")
-    dup_ids = (
+    candidates = (
         banded.withColumn("_rep", F.min(id_col).over(w))
         .filter(F.col(id_col) > F.col("_rep"))
-        .select(id_col)
-        .distinct()
     )
+    if verify_jaccard is None:
+        dup_ids = candidates.select(id_col).distinct()
+    else:
+        pairs = candidates.select(F.col("_rep").alias("id_a"),
+                                  F.col(id_col).alias("id_b")).distinct()
+        verified = ngram_jaccard_pairs(df, pairs, text_col=text_col,
+                                       id_col=id_col, n=shingle_width)
+        dup_ids = (verified.filter(F.col("jaccard") >= verify_jaccard)
+                   .select(F.col("id_b").alias(id_col)).distinct())
     return df.join(dup_ids, on=id_col, how="left_anti")
 
 
