@@ -251,6 +251,40 @@ def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    verify_jaccard=0.7).select("doc_id")
 
 
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """as-of (point-in-time) join: each click gets the value of the
+    user's latest prior purchase — single-shuffle union+window plan."""
+    from iceberg_cpp_spark.operators.temporal_joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts").agg(F.max("value").alias("value")))
+    out = asof_join(clicks, purchases, on="ts", by="user_id", right_cols=["value"])
+    return out.select("event_id", "user_id", F.col("value").alias("last_purchase_value"))
+
+
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bucketed interval join: clicks within 1 hour after a purchase by
+    the same user (no cross join — equi-join on hour buckets)."""
+    from iceberg_cpp_spark.operators.temporal_joins import range_join
+
+    ev = _events(spark, sf_dir)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id",
+                      F.unix_micros("ts").alias("click_us")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.unix_micros("ts").alias("start_us"),
+                         (F.unix_micros("ts") + F.lit(3_600_000_000)).alias("end_us")))
+    out = range_join(
+        clicks.withColumnRenamed("user_id", "u"),
+        purchases.withColumnRenamed("p_user", "u"),
+        "click_us", "start_us", "end_us", bucket_width=3_600_000_000, on="u")
+    return out.select("click_id", "purchase_id")
+
+
 def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     return (
@@ -629,6 +663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_listagg": agg_listagg,
         "agg_percentile": agg_percentile,
         "events_window_agg": events_window_agg,
+        "asof_join_events": asof_join_events,
+        "range_join_events": range_join_events,
         "dedup_minhash_verified": dedup_minhash_verified,
         # iceberg-native
         "ice_transforms": ice_transforms,
@@ -804,6 +840,25 @@ def oracle_sql() -> dict[str, str]:
                    QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
                    QUANTILE_CONT(l_extendedprice, 0.9) AS p90_price
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "asof_join_events": """
+            SELECT l.event_id, l.user_id, r.value AS last_purchase_value
+            FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                  FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS value
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY user_id, CAST(ts AS TIMESTAMP)) r
+            ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_events": """
+            SELECT c.event_id AS click_id, p.event_id AS purchase_id
+            FROM (SELECT event_id, user_id, EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+                  FROM events WHERE event_type = 'click') c
+            JOIN (SELECT event_id, user_id, EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+                  FROM events WHERE event_type = 'purchase') p
+            ON c.user_id = p.user_id
+               AND c.us >= p.us AND c.us <= p.us + 3600000000
         """,
         "events_window_agg": """
             SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
