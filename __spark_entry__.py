@@ -494,6 +494,45 @@ def ice_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO upsert (copy-on-write): matched keys updated, new keys
+    inserted, only files containing a match rewritten."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "mrg")
+    t.append(li)
+    upd = li.filter("l_orderkey <= 100").withColumn("l_returnflag", F.lit("Z"))
+    ins = upd.withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000)
+    t.merge_into(upd.unionByName(ins), on=["l_orderkey", "l_linenumber"])
+    return (
+        t.to_df().groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+    )
+
+
+def ice_avro_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-Avro manifest interop: table commits write Iceberg-spec Avro
+    manifests + manifest lists (pure-Python avro container codec); scan
+    reads them back. Same codec decodes the reference's real fixtures
+    (tests/test_avro.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_avro_"), "t")
+    t = IceTable.create(spark, loc, schema_from_spark(li.schema),
+                        properties={"write.metadata.manifest-format": "avro"})
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    return (
+        t.scan(filter=ex.gt(ex.Reference("l_quantity"), 25)).to_df()
+        .groupBy("l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"))
+    )
+
+
 def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming (availableNow, bounded): watermarked hourly
     tumbling window over events, returned as the final batch table."""
@@ -619,6 +658,49 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.analyze_documents(docs)
 
 
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing, JVM-side half: binary payload +
+    content-address (sha256), byte size, magic-byte mime sniff — all
+    built-in Columns, SQL-expressible, so this one is oracle-checked."""
+    from iceberg_cpp_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    return (
+        mm.with_media_metadata(media)
+        .groupBy("sniffed_mime")
+        .agg(F.count("*").alias("n"),
+             F.count_distinct("content_sha256").alias("n_distinct"),
+             F.sum("byte_size").alias("total_bytes"))
+    )
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode/resize/frame-sample plumbing over binary
+    payloads (codec layer stubbed deterministically — no image libs in
+    this container; the Spark batch shape is the real artifact).
+    Engine-defined fake decode → rows-only check."""
+    from iceberg_cpp_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    decoded = mm.decode_images(media, fake=True)
+    frames = mm.sample_frames(media, fake=True)
+    return (
+        decoded.join(
+            frames.groupBy("media_id").agg(F.count("*").alias("n_frames")),
+            "media_id")
+        .select("media_id", "width", "height", "n_frames",
+                F.round(F.element_at("features", 1), 4).alias("mean_byte"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -680,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_add_files": ice_add_files,
         "ice_compaction": ice_compaction,
         "ice_sorted_write": ice_sorted_write,
+        "ice_merge_into": ice_merge_into,
+        "ice_avro_manifests": ice_avro_manifests,
         "stream_hourly": stream_hourly,
         # LLM pipeline
         "dedup_exact": dedup_exact,
@@ -691,6 +775,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "text_stats": text_stats,
         "text_quality": text_quality,
+        "multimodal_metadata": multimodal_metadata,
+        "multimodal_decode": multimodal_decode,
     }
 
 
@@ -924,6 +1010,38 @@ def oracle_sql() -> dict[str, str]:
         "ice_sorted_write": """
             SELECT l_returnflag, COUNT(*) AS n FROM lineitem
             WHERE l_orderkey < 100 GROUP BY l_returnflag
+        """,
+        "ice_merge_into": """
+            WITH upd AS (
+              SELECT * REPLACE ('Z' AS l_returnflag)
+              FROM lineitem WHERE l_orderkey <= 100),
+            ins AS (
+              SELECT * REPLACE (l_orderkey + 10000000 AS l_orderkey,
+                                'Z' AS l_returnflag)
+              FROM lineitem WHERE l_orderkey <= 100),
+            src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+            kept AS (
+              SELECT t.* FROM lineitem t
+              ANTI JOIN src s
+                ON s.l_orderkey = t.l_orderkey
+               AND s.l_linenumber = t.l_linenumber),
+            merged AS (SELECT * FROM kept UNION ALL SELECT * FROM src)
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM merged GROUP BY l_returnflag
+        """,
+        "ice_avro_manifests": """
+            SELECT l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM lineitem WHERE l_quantity > 25 GROUP BY l_linestatus
+        """,
+        "multimodal_metadata": """
+            SELECT CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'audio/wav'
+                        ELSE 'application/octet-stream' END AS sniffed_mime,
+                   COUNT(*) AS n,
+                   COUNT(DISTINCT sha256(text)) AS n_distinct,
+                   SUM(octet_length(encode(text))) AS total_bytes
+            FROM documents GROUP BY 1
         """,
         "stream_hourly": """
             SELECT DATE_TRUNC('hour', ts) AS hour, event_type,

@@ -287,15 +287,19 @@ def partition_from_json(s: Optional[str], spec: PartitionSpec, schema: it.Schema
 # ---------------------------------------------------------------------------
 
 class ManifestWriter:
-    """manifest_writer.h:36-158 equivalent; parquet container."""
+    """manifest_writer.h:36-158 equivalent. Container is Parquet by
+    default (this engine's native format, distributed-prunable) or spec
+    Avro (``format="avro"``) for interop with other Iceberg engines."""
 
     def __init__(self, path: str, spec: PartitionSpec, schema: it.Schema,
-                 snapshot_id: int, content: int = MANIFEST_CONTENT_DATA):
+                 snapshot_id: int, content: int = MANIFEST_CONTENT_DATA,
+                 format: str = "parquet"):
         self.path = path
         self.spec = spec
         self.schema = schema
         self.snapshot_id = snapshot_id
         self.content = content
+        self.format = format
         self.entries: list[ManifestEntry] = []
 
     def add(self, entry: ManifestEntry) -> None:
@@ -312,6 +316,105 @@ class ManifestWriter:
         )
 
     def close(self) -> ManifestFile:
+        if self.format == "avro":
+            self._write_avro()
+        else:
+            self._write_parquet()
+
+        # partition summaries (PartitionFieldSummary per spec field)
+        summaries = []
+        types = _partition_types(self.spec, self.schema)
+        for pf in self.spec.fields:
+            t = types[pf.name]
+            vals = [e.data_file.partition.get(pf.name) for e in self.entries if e.is_live]
+            nn = [v for v in vals if v is not None]
+            # keep the definite False for NaN-capable types — None means
+            # "unknown" and would disable NaN-based manifest pruning
+            if isinstance(t, (it.FloatType, it.DoubleType)):
+                contains_nan = any(isinstance(v, float) and v != v for v in nn)
+            else:
+                contains_nan = None
+            lo = hi = None
+            if nn:
+                try:
+                    lo, hi = min(nn), max(nn)
+                except TypeError:
+                    lo = hi = None
+            summaries.append(
+                PartitionFieldSummary(
+                    contains_null=any(v is None for v in vals),
+                    contains_nan=contains_nan,
+                    lower_bound=to_bytes(lo, t) if lo is not None else None,
+                    upper_bound=to_bytes(hi, t) if hi is not None else None,
+                )
+            )
+        seqs = [e.sequence_number for e in self.entries if e.sequence_number is not None]
+        return ManifestFile(
+            manifest_path=self.path,
+            manifest_length=os.path.getsize(self.path),
+            partition_spec_id=self.spec.spec_id,
+            content=self.content,
+            sequence_number=max(seqs, default=0),
+            min_sequence_number=min(seqs, default=0),
+            added_snapshot_id=self.snapshot_id,
+            added_files_count=sum(1 for e in self.entries if e.status == STATUS_ADDED),
+            existing_files_count=sum(1 for e in self.entries if e.status == STATUS_EXISTING),
+            deleted_files_count=sum(1 for e in self.entries if e.status == STATUS_DELETED),
+            added_rows_count=sum(e.data_file.record_count for e in self.entries if e.status == STATUS_ADDED),
+            existing_rows_count=sum(e.data_file.record_count for e in self.entries if e.status == STATUS_EXISTING),
+            deleted_rows_count=sum(e.data_file.record_count for e in self.entries if e.status == STATUS_DELETED),
+            partitions=summaries,
+        )
+
+    def _write_avro(self) -> None:
+        """Spec-compliant Avro manifest (Iceberg spec §Manifests);
+        readable by any Iceberg engine. Reference: manifest_writer.cc +
+        avro adapters."""
+        import json as _json
+
+        from iceberg_cpp_spark.core import avro as av
+
+        entry_schema = av.manifest_entry_avro_schema(self.spec, self.schema)
+        records = []
+        for e in self.entries:
+            f = e.data_file
+            records.append({
+                "status": e.status,
+                "snapshot_id": e.snapshot_id,
+                "sequence_number": e.sequence_number,
+                "file_sequence_number": e.file_sequence_number,
+                "data_file": {
+                    "content": f.content,
+                    "file_path": f.file_path,
+                    "file_format": f.file_format.upper(),
+                    "partition": {pf.name: f.partition.get(pf.name)
+                                  for pf in self.spec.fields},
+                    "record_count": f.record_count,
+                    "file_size_in_bytes": f.file_size_in_bytes,
+                    "column_sizes": f.column_sizes or None,
+                    "value_counts": f.value_counts or None,
+                    "null_value_counts": f.null_value_counts or None,
+                    "nan_value_counts": f.nan_value_counts or None,
+                    "lower_bounds": f.lower_bounds or None,
+                    "upper_bounds": f.upper_bounds or None,
+                    "split_offsets": f.split_offsets or None,
+                    "equality_ids": f.equality_ids or None,
+                    "sort_order_id": f.sort_order_id,
+                    "referenced_data_file": f.referenced_data_file,
+                },
+            })
+        meta = {
+            "schema": _json.dumps(self.schema.to_json()),
+            "schema-id": str(self.schema.schema_id),
+            "partition-spec": _json.dumps([pf.to_json() for pf in self.spec.fields]),
+            "partition-spec-id": str(self.spec.spec_id),
+            "format-version": "2",
+            "content": "data" if self.content == MANIFEST_CONTENT_DATA else "deletes",
+        }
+        av.write_avro(self.path, entry_schema, records,
+                      metadata={k: v.encode() for k, v in meta.items()})
+
+    def _write_parquet(self) -> None:
         arrow_schema = manifest_arrow_schema()
         pstruct = partition_arrow_struct(self.spec, self.schema)
         if pstruct is not None:
@@ -346,58 +449,18 @@ class ManifestWriter:
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         pq.write_table(table, self.path, compression="zstd")
 
-        # partition summaries (PartitionFieldSummary per spec field)
-        summaries = []
-        types = _partition_types(self.spec, self.schema)
-        for pf in self.spec.fields:
-            t = types[pf.name]
-            vals = [e.data_file.partition.get(pf.name) for e in self.entries if e.is_live]
-            nn = [v for v in vals if v is not None]
-            # keep the definite False for NaN-capable types — None means
-            # "unknown" and would disable NaN-based manifest pruning
-            if isinstance(t, (it.FloatType, it.DoubleType)):
-                contains_nan = any(isinstance(v, float) and v != v for v in nn)
-            else:
-                contains_nan = None
-            lo = hi = None
-            if nn:
-                try:
-                    lo, hi = min(nn), max(nn)
-                except TypeError:
-                    lo = hi = None
-            summaries.append(
-                PartitionFieldSummary(
-                    contains_null=any(v is None for v in vals),
-                    contains_nan=contains_nan,
-                    lower_bound=to_bytes(lo, t) if lo is not None else None,
-                    upper_bound=to_bytes(hi, t) if hi is not None else None,
-                )
-            )
-        live = [e for e in self.entries if e.is_live]
-        seqs = [e.sequence_number for e in self.entries if e.sequence_number is not None]
-        return ManifestFile(
-            manifest_path=self.path,
-            manifest_length=os.path.getsize(self.path),
-            partition_spec_id=self.spec.spec_id,
-            content=self.content,
-            sequence_number=max(seqs, default=0),
-            min_sequence_number=min(seqs, default=0),
-            added_snapshot_id=self.snapshot_id,
-            added_files_count=sum(1 for e in self.entries if e.status == STATUS_ADDED),
-            existing_files_count=sum(1 for e in self.entries if e.status == STATUS_EXISTING),
-            deleted_files_count=sum(1 for e in self.entries if e.status == STATUS_DELETED),
-            added_rows_count=sum(e.data_file.record_count for e in self.entries if e.status == STATUS_ADDED),
-            existing_rows_count=sum(e.data_file.record_count for e in self.entries if e.status == STATUS_EXISTING),
-            deleted_rows_count=sum(e.data_file.record_count for e in self.entries if e.status == STATUS_DELETED),
-            partitions=summaries,
-        )
-
 
 def read_manifest(path: str, spec: PartitionSpec, schema: it.Schema,
                   manifest: Optional[ManifestFile] = None) -> list[ManifestEntry]:
     """ManifestReader::Entries with InheritableMetadata applied
     (inheritable_metadata.cc: null snapshot/sequence numbers inherit
-    from the manifest)."""
+    from the manifest). Container format is sniffed: spec Avro
+    manifests (written by this engine or any other Iceberg engine)
+    and this engine's Parquet manifests both read through here."""
+    from iceberg_cpp_spark.core import avro as av
+
+    if av.is_avro(path):
+        return av.manifest_entries_from_avro(path, manifest=manifest)
     table = pq.read_table(path)
     out: list[ManifestEntry] = []
     for row in table.to_pylist():
@@ -442,18 +505,66 @@ def read_manifest(path: str, spec: PartitionSpec, schema: it.Schema,
 
 
 class ManifestListWriter:
-    """manifest_writer.cc:153-186 equivalent; parquet container."""
+    """manifest_writer.cc:153-186 equivalent; parquet container by
+    default, spec Avro with ``format="avro"``."""
 
-    def __init__(self, path: str, snapshot_id: int, sequence_number: int):
+    def __init__(self, path: str, snapshot_id: int, sequence_number: int,
+                 format: str = "parquet",
+                 parent_snapshot_id: Optional[int] = None):
         self.path = path
         self.snapshot_id = snapshot_id
         self.sequence_number = sequence_number
+        self.format = format
+        self.parent_snapshot_id = parent_snapshot_id
         self.manifests: list[ManifestFile] = []
 
     def add(self, mf: ManifestFile) -> None:
         self.manifests.append(mf)
 
     def close(self) -> None:
+        if self.format == "avro":
+            self._write_avro()
+        else:
+            self._write_parquet()
+
+    def _write_avro(self) -> None:
+        from iceberg_cpp_spark.core import avro as av
+
+        records = []
+        for m in self.manifests:
+            records.append({
+                "manifest_path": m.manifest_path,
+                "manifest_length": m.manifest_length,
+                "partition_spec_id": m.partition_spec_id,
+                "content": m.content,
+                "sequence_number": m.sequence_number,
+                "min_sequence_number": m.min_sequence_number,
+                "added_snapshot_id": m.added_snapshot_id,
+                "added_files_count": m.added_files_count,
+                "existing_files_count": m.existing_files_count,
+                "deleted_files_count": m.deleted_files_count,
+                "added_rows_count": m.added_rows_count,
+                "existing_rows_count": m.existing_rows_count,
+                "deleted_rows_count": m.deleted_rows_count,
+                "partitions": [
+                    {"contains_null": s.contains_null,
+                     "contains_nan": s.contains_nan,
+                     "lower_bound": s.lower_bound,
+                     "upper_bound": s.upper_bound}
+                    for s in m.partitions
+                ] or None,
+            })
+        meta = {
+            "snapshot-id": str(self.snapshot_id),
+            "sequence-number": str(self.sequence_number),
+            "format-version": "2",
+        }
+        if self.parent_snapshot_id is not None:
+            meta["parent-snapshot-id"] = str(self.parent_snapshot_id)
+        av.write_avro(self.path, av.manifest_list_avro_schema(), records,
+                      metadata={k: v.encode() for k, v in meta.items()})
+
+    def _write_parquet(self) -> None:
         rows = {name: [] for name in manifest_list_arrow_schema().names}
         for m in self.manifests:
             rows["manifest_path"].append(m.manifest_path)
@@ -487,6 +598,10 @@ class ManifestListWriter:
 
 
 def read_manifest_list(path: str) -> list[ManifestFile]:
+    from iceberg_cpp_spark.core import avro as av
+
+    if av.is_avro(path):
+        return av.manifest_list_from_avro(path)
     table = pq.read_table(path)
     out = []
     for row in table.to_pylist():

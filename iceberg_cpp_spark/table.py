@@ -74,11 +74,12 @@ class LocationProvider:
     def new_delete_dir(self) -> str:
         return os.path.join(self.table_location, "deletes", uuid_mod.uuid4().hex)
 
-    def new_manifest_path(self, meta_dir: str) -> str:
-        return os.path.join(meta_dir, f"manifest-{uuid_mod.uuid4().hex}.parquet")
+    def new_manifest_path(self, meta_dir: str, ext: str = "parquet") -> str:
+        return os.path.join(meta_dir, f"manifest-{uuid_mod.uuid4().hex}.{ext}")
 
-    def new_manifest_list_path(self, meta_dir: str, snapshot_id: int) -> str:
-        return os.path.join(meta_dir, f"snap-{snapshot_id}-{uuid_mod.uuid4().hex}.parquet")
+    def new_manifest_list_path(self, meta_dir: str, snapshot_id: int,
+                               ext: str = "parquet") -> str:
+        return os.path.join(meta_dir, f"snap-{snapshot_id}-{uuid_mod.uuid4().hex}.{ext}")
 
     def metadata_dir(self) -> str:
         return os.path.join(self.table_location, "metadata")
@@ -279,6 +280,13 @@ class TableScan:
         for spec_id, group in by_spec.items():
             spec = meta.spec_by_id(spec_id) or PartitionSpec.unpartitioned()
             proj = projected_by_spec[spec_id]
+            avro_group = [m for m in group if m.manifest_path.endswith(".avro")]
+            group = [m for m in group if not m.manifest_path.endswith(".avro")]
+            if avro_group:
+                tasks.extend(self._plan_avro_distributed(
+                    avro_group, spec, schema, proj, evaluator))
+            if not group:
+                continue
             df = spark.read.parquet(*[m.manifest_path for m in group])
             df = df.filter(
                 (F.col("status") != mf.STATUS_DELETED) & (F.col("content") == mf.CONTENT_DATA)
@@ -325,6 +333,68 @@ class TableScan:
                     )
                 )
         return tasks
+
+    def _plan_avro_distributed(self, group, spec, schema, proj, evaluator):
+        """Avro manifests (spec format / external tables) decoded in
+        EXECUTORS via the pure-Python reader — one task per manifest, so
+        10^4 external manifests plan in parallel, not on the driver."""
+        import pandas as pd
+
+        spark = self._table.spark
+        spec_id = spec.spec_id
+        payload = [(m.manifest_path, m.added_snapshot_id, m.sequence_number)
+                   for m in group]
+        pay_df = spark.createDataFrame(
+            payload, "manifest_path string, added_snapshot_id long, sequence_number long")
+        out_schema = ("file_path string, file_format string, record_count long, "
+                      "file_size_in_bytes long, partition_json string, "
+                      "sequence_number long")
+        ev = evaluator
+
+        def decode(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            from iceberg_cpp_spark.core import avro as av
+
+            for b in batches:
+                rows = []
+                for path, snap_id, mseq in zip(b["manifest_path"],
+                                               b["added_snapshot_id"],
+                                               b["sequence_number"]):
+                    stub = mf.ManifestFile(
+                        manifest_path=path, manifest_length=0,
+                        partition_spec_id=spec_id,
+                        added_snapshot_id=int(snap_id),
+                        sequence_number=int(mseq))
+                    for e in av.manifest_entries_from_avro(path, manifest=stub):
+                        f = e.data_file
+                        if not e.is_live or f.content != mf.CONTENT_DATA:
+                            continue
+                        if not pruning.evaluate_partition_expr(proj, f.partition):
+                            continue
+                        if not ev.eval(f.stats()):
+                            continue
+                        rows.append((f.file_path, f.file_format, f.record_count,
+                                     f.file_size_in_bytes,
+                                     mf.partition_to_json(f.partition, spec, schema),
+                                     e.sequence_number or 0))
+                yield pd.DataFrame(rows, columns=[
+                    "file_path", "file_format", "record_count",
+                    "file_size_in_bytes", "partition_json", "sequence_number"])
+
+        n_parts = max(1, min(len(group), 256))
+        rows = (pay_df.repartition(n_parts)
+                .mapInPandas(decode, schema=out_schema).collect())
+        return [
+            FileScanTask(
+                file_path=r["file_path"],
+                file_format=r["file_format"],
+                record_count=r["record_count"],
+                file_size_in_bytes=r["file_size_in_bytes"],
+                partition=mf.partition_from_json(r["partition_json"], spec, schema),
+                spec_id=spec_id,
+                sequence_number=r["sequence_number"] or 0,
+            )
+            for r in rows
+        ]
 
     def _task(self, f: mf.DataFile, spec_id: int, seq: int = 0) -> FileScanTask:
         return FileScanTask(
@@ -640,6 +710,78 @@ class IceTable:
             return self
         return self._commit_files(files, operation=DataOperation.DELETE, branch=branch)
 
+    def merge_into(self, source: DataFrame, on: list[str],
+                   when_matched: Optional[str] = "update",
+                   when_not_matched: Optional[str] = "insert",
+                   branch: str = MAIN_BRANCH) -> "IceTable":
+        """MERGE INTO (upsert) — ``MERGE INTO t USING s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET * | DELETE
+        WHEN NOT MATCHED THEN INSERT *``. Beyond the reference (which
+        has no write path at all); copy-on-write: only files containing
+        a matched key are rewritten.
+
+        Source keys must be unique per ``on`` tuple (standard MERGE
+        cardinality rule); ``source`` must carry the table's columns for
+        update/insert. Scale shape: file discovery is a key+_file
+        semi-join with parquet column pruning (only the key columns and
+        ``_metadata`` are read); unmatched files are untouched.
+        """
+        if when_matched not in ("update", "delete", None):
+            raise ValueError("when_matched must be 'update', 'delete', or None")
+        if when_not_matched not in ("insert", None):
+            raise ValueError("when_not_matched must be 'insert' or None")
+        schema = self.schema()
+        for c in on:
+            if schema.find_field(c) is None:
+                raise ValueError(f"merge key not in table schema: {c}")
+        cols = [f.name for f in schema.fields]
+        src = source.select(*cols)
+        keys = src.select(*on).distinct()
+
+        # 1) which files contain a matched key? (reads keys + _metadata only)
+        # _file is a URI (file:/... or file:///...); manifests store plain paths
+        def _plain(p: str) -> str:
+            if p.startswith("file:"):
+                p = p[5:]
+                while p.startswith("//"):
+                    p = p[1:]
+            return p
+
+        tgt = self.scan().with_metadata_columns().to_df()
+        affected = (
+            set() if when_matched is None else {
+                _plain(r["_file"])
+                for r in tgt.select("_file", *on).join(keys, on, "left_semi")
+                            .select("_file").distinct().collect()
+            })
+
+        # 2) inserts = source keys absent from the WHOLE table
+        inserts = (src.join(tgt.select(*on), on, "left_anti")
+                   if when_not_matched == "insert" else None)
+
+        if not affected:
+            if inserts is not None:
+                new_files = self._write_data_files(inserts)
+                if new_files:
+                    return self._commit_files(new_files, operation=DataOperation.APPEND,
+                                              branch=branch)
+            return self
+        spark_schema = it.to_spark_schema(schema)
+        affected_df = self.spark.read.schema(spark_schema).parquet(*sorted(affected))
+        parts = [affected_df.join(keys, on, "left_anti")]  # unmatched rows kept
+        if when_matched == "update":
+            # matched source rows replace the target rows (UPDATE SET *)
+            parts.append(src.join(affected_df.select(*on).distinct(), on, "left_semi"))
+        if inserts is not None:
+            parts.append(inserts)
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        new_files = self._write_data_files(merged) if merged.limit(1).count() else []
+        return self._commit_files(
+            new_files, operation=DataOperation.OVERWRITE, branch=branch,
+            carry_existing=True, drop_paths=affected)
+
     def rewrite_data_files(self, target_file_count: Optional[int] = None,
                            branch: str = MAIN_BRANCH) -> "IceTable":
         """Compaction (M9): read all live files, re-cluster, replace.
@@ -781,21 +923,26 @@ class IceTable:
         seq = meta.last_sequence_number + 1
         now_ms = int(time.time() * 1000)
         meta_dir = os.path.join(meta.location, "metadata")
+        # write.metadata.manifest-format=avro produces spec Avro manifests
+        # readable by any Iceberg engine (parquet: this engine's native,
+        # distributed-prunable container; see README)
+        mfmt = meta.properties.get("write.metadata.manifest-format", "parquet")
 
         new_data = [f for f in new_files if f.content == mf.CONTENT_DATA]
         new_dels = [f for f in new_files if f.content != mf.CONTENT_DATA]
         new_manifests: list[mf.ManifestFile] = []
         if new_data:
             writer = mf.ManifestWriter(
-                self.location_provider().new_manifest_path(meta_dir),
-                spec, schema, snapshot_id)
+                self.location_provider().new_manifest_path(meta_dir, ext=mfmt),
+                spec, schema, snapshot_id, format=mfmt)
             for f in new_data:
                 writer.add_file(f, sequence_number=seq)
             new_manifests.append(writer.close())
         if new_dels:
             dwriter = mf.ManifestWriter(
-                self.location_provider().new_manifest_path(meta_dir),
-                spec, schema, snapshot_id, content=mf.MANIFEST_CONTENT_DELETES)
+                self.location_provider().new_manifest_path(meta_dir, ext=mfmt),
+                spec, schema, snapshot_id, content=mf.MANIFEST_CONTENT_DELETES,
+                format=mfmt)
             for f in new_dels:
                 dwriter.add_file(f, sequence_number=seq)
             new_manifests.append(dwriter.close())
@@ -815,8 +962,8 @@ class IceTable:
                         carried.append(m)
                     elif keep:
                         w = mf.ManifestWriter(
-                            self.location_provider().new_manifest_path(meta_dir),
-                            pspec, schema, snapshot_id)
+                            self.location_provider().new_manifest_path(meta_dir, ext=mfmt),
+                            pspec, schema, snapshot_id, format=mfmt)
                         for e in keep:
                             w.add(mf.ManifestEntry(
                                 status=mf.STATUS_EXISTING, data_file=e.data_file,
@@ -826,8 +973,11 @@ class IceTable:
                 else:
                     carried.append(m)
 
-        manifest_list = self.location_provider().new_manifest_list_path(meta_dir, snapshot_id)
-        lw = mf.ManifestListWriter(manifest_list, snapshot_id, seq)
+        manifest_list = self.location_provider().new_manifest_list_path(
+            meta_dir, snapshot_id, ext=mfmt)
+        lw = mf.ManifestListWriter(
+            manifest_list, snapshot_id, seq, format=mfmt,
+            parent_snapshot_id=parent.snapshot_id if parent else None)
         for m in new_manifests:
             lw.add(m)
         for m in carried:

@@ -118,6 +118,47 @@ class TestMutations:
         li_table.delete_where(ex.eq(ex.Reference("l_returnflag"), "ZZZ"))
         assert li_table.current_snapshot().snapshot_id == before
 
+    def test_merge_into_upsert(self, spark, lineitem, li_table):
+        n0 = lineitem.count()
+        upd = (lineitem.filter("l_orderkey <= 100")
+               .withColumn("l_returnflag", F.lit("Z")))
+        n_upd = upd.count()
+        ins = upd.withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000)
+        li_table.merge_into(upd.unionByName(ins),
+                            on=["l_orderkey", "l_linenumber"])
+        got = li_table.to_df()
+        assert got.count() == n0 + n_upd
+        assert got.filter("l_returnflag = 'Z'").count() == 2 * n_upd
+        # unmatched rows untouched
+        assert got.filter("l_orderkey > 100 and l_orderkey < 10000000 "
+                          "and l_returnflag = 'Z'").count() == 0
+
+    def test_merge_into_delete_mode(self, spark, lineitem, li_table):
+        n0 = lineitem.count()
+        src = lineitem.filter("l_orderkey <= 100")
+        li_table.merge_into(src, on=["l_orderkey", "l_linenumber"],
+                            when_matched="delete", when_not_matched=None)
+        got = li_table.to_df()
+        assert got.count() == n0 - src.count()
+        assert got.filter("l_orderkey <= 100").count() == 0
+
+    def test_merge_into_insert_only(self, spark, lineitem, li_table):
+        n0 = lineitem.count()
+        before_files = {t.file_path for t in li_table.scan().plan_files()}
+        ins = (lineitem.filter("l_orderkey <= 50")
+               .withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000))
+        li_table.merge_into(ins, on=["l_orderkey", "l_linenumber"],
+                            when_matched=None)
+        assert li_table.to_df().count() == n0 + ins.count()
+        # no existing file rewritten on insert-only merge
+        assert before_files <= {t.file_path for t in li_table.scan().plan_files()}
+
+    def test_merge_bad_args(self, lineitem, li_table):
+        with pytest.raises(ValueError):
+            li_table.merge_into(lineitem, on=["nope"])
+        with pytest.raises(ValueError):
+            li_table.merge_into(lineitem, on=["l_orderkey"], when_matched="x")
+
     def test_compaction_unpartitioned(self, spark, lineitem, tmp_loc):
         schema = schema_from_spark(lineitem.schema)
         t = IceTable.create(spark, os.path.join(tmp_loc, "c"), schema)
