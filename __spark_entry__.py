@@ -92,6 +92,186 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rev():
+    """Order-independent revenue: exact DECIMAL sum, cast to double last."""
+    return F.sum((_dec("l_extendedprice")
+                  * (F.lit(1.0).cast("decimal(18,2)") - _dec("l_discount", 18, 4)))
+                 .cast("decimal(28,6)")).cast("double")
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: single-table filter + global agg — the plan must be a
+    pushed-down scan with no shuffle beyond the final partial agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(F.sum((_dec("l_extendedprice") * _dec("l_discount", 18, 4))
+                   .cast("decimal(28,6)")).cast("double").alias("revenue"))
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (no comment/address cols in testdata): revenue shipped
+    between two nations by year. Nation broadcast twice."""
+    nation = _t(spark, sf_dir, "nation")
+    n1 = broadcast(nation.select(F.col("n_nationkey").alias("s_nk"),
+                                 F.col("n_name").alias("supp_nation")))
+    n2 = broadcast(nation.select(F.col("n_nationkey").alias("c_nk"),
+                                 F.col("n_name").alias("cust_nation")))
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(n1, supplier.s_nationkey == F.col("s_nk"))
+        .join(n2, customer.c_nationkey == F.col("c_nk"))
+        .filter((
+            (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(_rev().alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's share of ASIA STANDARD-part revenue by year."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    n_cust = nation.select(F.col("n_nationkey").alias("cn_k"),
+                           F.col("n_regionkey").alias("cn_rk"))
+    n_supp = nation.select(F.col("n_nationkey").alias("sn_k"),
+                           F.col("n_name").alias("supp_nation"))
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    vol = (_dec("l_extendedprice")
+           * (F.lit(1.0).cast("decimal(18,2)") - _dec("l_discount", 18, 4))
+           ).cast("decimal(28,6)")
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(broadcast(n_cust), customer.c_nationkey == F.col("cn_k"))
+        .join(broadcast(region), F.col("cn_rk") == region.r_regionkey)
+        .join(broadcast(n_supp), supplier.s_nationkey == F.col("sn_k"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg((F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                    .otherwise(F.lit(0).cast("decimal(28,6)"))).cast("double")
+              / F.sum(vol).cast("double")).alias("mkt_share"))
+        .select("o_year", F.round("mkt_share", 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (adapted to testdata columns): top customers by revenue
+    lost to returns in one quarter."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_rev().alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: % of one month's revenue from PROMO parts. Broadcast
+    part-side join."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01"))
+    vol = (_dec("l_extendedprice")
+           * (F.lit(1.0).cast("decimal(18,2)") - _dec("l_discount", 18, 4))
+           ).cast("decimal(28,6)")
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .agg((F.lit(100.0)
+              * F.sum(F.when(F.col("p_type") == "PROMO", vol)
+                      .otherwise(F.lit(0).cast("decimal(28,6)"))).cast("double")
+              / F.sum(vol).cast("double")).alias("promo_revenue"))
+        .select(F.round("promo_revenue", 6).alias("promo_revenue"))
+    )
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (adapted: brand filter only): yearly revenue loss if
+    small-quantity orders for a brand were not taken. Correlated avg
+    via a per-part agg join — Catalyst plans the subquery as a
+    broadcast-able aggregate, no per-row subquery execution."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = _t(spark, sf_dir, "lineitem")
+    avg_qty = (
+        li.join(broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy(F.col("l_partkey").alias("ap_key"))
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut"))
+    )
+    return (
+        li.join(broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(broadcast(avg_qty), li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg((F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0))
+             .alias("avg_yearly"))
+        .select(F.round("avg_yearly", 4).alias("avg_yearly"))
+    )
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers with any order totaling > 250 units."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey").agg(F.sum(_dec("l_quantity")).alias("tq"))
+           .filter(F.col("tq") > 250).select(F.col("l_orderkey").alias("big_ok")))
+    return (
+        li.join(big, li.l_orderkey == F.col("big_ok"), "leftsemi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: nationkey stands in for the phone country
+    code): well-funded customers in 7 nations with no orders."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
+    in_scope = cust.filter(F.col("c_nationkey").isin(list(range(7, 14))))
+    avg_bal = (in_scope.filter(F.col("c_acctbal") > 0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    return (
+        in_scope.crossJoin(broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(orders, in_scope.c_custkey == orders.o_custkey, "leftanti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"),
+             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )
+
+
 def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -731,6 +911,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "q5_local_supplier": q5_local_supplier,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q8_market_share": q8_market_share,
+        "q10_returned_items": q10_returned_items,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q17_small_qty_revenue": q17_small_qty_revenue,
+        "q18_large_volume_customer": q18_large_volume_customer,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "join_semi_anti": join_semi_anti,
         "agg_rollup": agg_rollup,
         "agg_cube": agg_cube,
@@ -822,6 +1010,121 @@ def oracle_sql() -> dict[str, str]:
             WHERE r_name = 'ASIA'
             GROUP BY n_name
             ORDER BY revenue DESC, n_name ASC
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                                 CAST(l_discount AS DECIMAL(18,4))
+                                 AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= CAST(0.05 AS DOUBLE)
+              AND l_discount <= CAST(0.07 AS DOUBLE)
+              AND l_quantity < 24
+        """,
+        "q7_volume_shipping": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(YEAR(l_shipdate) AS INT) AS l_year,
+                   {_REVENUE} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY n1.n_name, n2.n_name, YEAR(l_shipdate)
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "q8_market_share": """
+            WITH vols AS (
+              SELECT CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                          (CAST(1.0 AS DECIMAL(18,2)) -
+                           CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,6)) AS vol,
+                     n2.n_name AS supp_nation
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey)
+            SELECT o_year,
+                   ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                                       ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                         / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share
+            FROM vols GROUP BY o_year ORDER BY o_year
+        """,
+        "q10_returned_items": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name, {_REVENUE} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q14_promo_revenue": """
+            SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1.0 AS DECIMAL(18,2)) -
+                             CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,6))
+                       ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+                   / CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (CAST(1.0 AS DECIMAL(18,2)) -
+                             CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,6)))
+                          AS DOUBLE), 6) AS promo_revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        """,
+        "q17_small_qty_revenue": """
+            WITH brand_parts AS (
+              SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+            avgq AS (
+              SELECT l_partkey AS ap_key, 0.2 * AVG(l_quantity) AS qty_cut
+              FROM lineitem JOIN brand_parts ON l_partkey = p_partkey
+              GROUP BY l_partkey)
+            SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                              AS DOUBLE) / 7.0, 4) AS avg_yearly
+            FROM lineitem
+            JOIN brand_parts ON l_partkey = p_partkey
+            JOIN avgq ON l_partkey = ap_key
+            WHERE l_quantity < qty_cut
+        """,
+        "q18_large_volume_customer": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE l_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "q22_global_sales_opportunity": """
+            SELECT c_nationkey, COUNT(*) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+            FROM customer
+            WHERE c_nationkey BETWEEN 7 AND 13
+              AND c_acctbal > (
+                SELECT AVG(c_acctbal) FROM customer
+                WHERE c_acctbal > 0 AND c_nationkey BETWEEN 7 AND 13)
+              AND NOT EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+            GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "join_semi_anti": """
             WITH w AS (

@@ -23,6 +23,9 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q18_large_volume_customer",
     "window_top_orders",
     "agg_rollup",
     "set_ops",
