@@ -713,6 +713,34 @@ def ice_avro_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution: unpartitioned files + month-partitioned files
+    coexist; the planner prunes each manifest under its own spec. Result
+    must equal the plain filter over all rows."""
+    import datetime as dt
+
+    from iceberg_cpp_spark.core.metadata import PartitionField
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.functions import transforms as tr
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    li = _t(spark, sf_dir, "lineitem")
+    schema = schema_from_spark(li.schema)
+    t = _fresh_table(spark, sf_dir, li, "pe")
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    sd = schema.find_field("l_shipdate")
+    t.update_spec([PartitionField(sd.field_id, 0, "ship_month", tr.MonthTransform())])
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    flt = (ex.gt_eq(ex.Reference("l_shipdate"), dt.datetime(1996, 1, 1))
+           & ex.lt(ex.Reference("l_shipdate"), dt.datetime(1996, 7, 1)))
+    return (
+        t.scan(filter=flt).to_df()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+    )
+
+
 def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming (availableNow, bounded): watermarked hourly
     tumbling window over events, returned as the final batch table."""
@@ -952,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_sorted_write": ice_sorted_write,
         "ice_merge_into": ice_merge_into,
         "ice_avro_manifests": ice_avro_manifests,
+        "ice_partition_evolution": ice_partition_evolution,
         "stream_hourly": stream_hourly,
         # LLM pipeline
         "dedup_exact": dedup_exact,
@@ -1337,6 +1366,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_linestatus, COUNT(*) AS n,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
             FROM lineitem WHERE l_quantity > 25 GROUP BY l_linestatus
+        """,
+        "ice_partition_evolution": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+            GROUP BY l_returnflag
         """,
         "multimodal_metadata": """
             SELECT CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'audio/wav'

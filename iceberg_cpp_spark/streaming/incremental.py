@@ -55,6 +55,28 @@ def incremental_read(table: IceTable, from_snapshot_id: Optional[int],
     return table.spark.read.schema(spark_schema).parquet(*new_files)
 
 
+def append_stream(stream_df, table: IceTable, checkpoint_dir: str,
+                  trigger_available_now: bool = True):
+    """Structured-Streaming sink into an IceTable: each micro-batch is
+    one atomic append snapshot (foreachBatch — the standard Spark
+    pattern for transactional sinks). Combined with incremental_read
+    this gives an end-to-end exactly-once-per-batch pipeline:
+    stream in → snapshots → incremental consumers.
+
+    Returns the StreamingQuery; caller awaits termination."""
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.append(batch_df)
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch) \
+        .option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_events(spark, source_dir: str, schema: str,
                   ts_col: str = "ts", value_col: str = "value",
                   window: str = "1 hour", watermark: str = "2 hours",

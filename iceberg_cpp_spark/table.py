@@ -41,6 +41,7 @@ from iceberg_cpp_spark.core import types as it
 from iceberg_cpp_spark.core.metadata import (
     MAIN_BRANCH,
     DataOperation,
+    PartitionField,
     PartitionSpec,
     Snapshot,
     SnapshotRef,
@@ -1146,6 +1147,41 @@ class IceTable:
             raise ValueError(f"column not found: {name}")
         fields = [x for x in schema.fields if x.name != name]
         return self._evolve_schema(fields)
+
+    def update_spec(self, fields: list) -> "IceTable":
+        """Partition evolution (partition_spec.h — spec list + default):
+        register a new PartitionSpec and make it the default. Existing
+        files keep their old spec_id; new appends partition by the new
+        spec; scan planning prunes each manifest under ITS spec
+        (projected_by_spec per spec_id), so a 100 TB table re-partitions
+        by metadata only — no data rewrite.
+
+        ``fields`` are PartitionFields; field_ids are assigned from
+        last_partition_id when 0.
+        """
+        from iceberg_cpp_spark.core.updates import TableMetadataBuilder
+
+        meta = self.metadata
+        schema = self.schema()
+        next_fid = meta.last_partition_id + 1
+        assigned = []
+        for pf in fields:
+            src = schema.find_field_by_id(pf.source_id)
+            if src is None:
+                raise ValueError(f"partition source field not found: {pf.source_id}")
+            fid = pf.field_id
+            if not fid:
+                fid = next_fid
+                next_fid += 1
+            assigned.append(PartitionField(pf.source_id, fid, pf.name, pf.transform))
+        new_spec = PartitionSpec(
+            assigned, spec_id=max(s.spec_id for s in meta.partition_specs) + 1)
+        b = TableMetadataBuilder.build_from(meta)
+        b.add_partition_spec(new_spec)
+        b.set_default_spec(new_spec.spec_id)
+        new_meta, _u, reqs = b.build()
+        return self._commit(new_meta, MAIN_BRANCH, meta.current_snapshot(),
+                            requirements=reqs)
 
     def _evolve_schema(self, fields: list, last_column_id: Optional[int] = None) -> "IceTable":
         meta = self.metadata

@@ -153,6 +153,31 @@ class TestMutations:
         # no existing file rewritten on insert-only merge
         assert before_files <= {t.file_path for t in li_table.scan().plan_files()}
 
+    def test_partition_evolution(self, spark, lineitem, tmp_loc):
+        schema = schema_from_spark(lineitem.schema)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "pe"), schema)
+        t.append(lineitem.filter("l_orderkey % 2 = 0"))
+        sd = schema.find_field("l_shipdate")
+        t.update_spec([PartitionField(sd.field_id, 0, "ship_month",
+                                      tr.MonthTransform())])
+        t.append(lineitem.filter("l_orderkey % 2 = 1"))
+        assert [s.spec_id for s in t.metadata.partition_specs] == [0, 1]
+        assert t.spec().fields[0].name == "ship_month"
+
+        n_all = len(t.scan().plan_files())
+        flt = (ex.gt_eq(ex.Reference("l_shipdate"), dt.datetime(1996, 1, 1))
+               & ex.lt(ex.Reference("l_shipdate"), dt.datetime(1996, 2, 1)))
+        pruned = t.scan(filter=flt).plan_files()
+        # old-spec files can't be partition-pruned, new-spec ones can
+        assert len(pruned) < n_all
+        exp = lineitem.filter(
+            "l_shipdate >= '1996-01-01' and l_shipdate < '1996-02-01'").count()
+        assert t.scan(filter=flt).to_df().count() == exp
+
+    def test_update_spec_bad_source(self, li_table):
+        with pytest.raises(ValueError):
+            li_table.update_spec([PartitionField(99999, 0, "x", tr.MonthTransform())])
+
     def test_merge_bad_args(self, lineitem, li_table):
         with pytest.raises(ValueError):
             li_table.merge_into(lineitem, on=["nope"])
@@ -219,6 +244,30 @@ class TestIncremental:
         assert inc.count() == 25
         full = incremental_read(li_table, from_snapshot_id=None)
         assert full.count() == 6025
+
+
+class TestStreamingAppend:
+    def test_append_stream_commits_snapshots(self, spark, lineitem, tmp_loc):
+        from iceberg_cpp_spark.streaming.incremental import (
+            append_stream, incremental_read)
+
+        src = os.path.join(tmp_loc, "src")
+        lineitem.limit(200).repartition(4).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "sink"),
+                            schema_from_spark(schema))
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 2).parquet(src))
+        q = append_stream(stream, t, os.path.join(tmp_loc, "ckpt"))
+        q.awaitTermination(300)
+        assert t.to_df().count() == 200
+        # one snapshot per non-empty micro-batch
+        appends = [s for s in t.snapshots()
+                   if s.summary.get("operation") == "append"]
+        assert len(appends) >= 2
+        # incremental read across the streamed snapshots sees all rows
+        assert incremental_read(t, from_snapshot_id=None).count() == 200
 
 
 class TestMetadataTables:
