@@ -741,6 +741,25 @@ def ice_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot changelog (CDC): per-commit insert/delete rows diffed
+    from manifests; merge-on-read deletes surface as delete rows."""
+    from iceberg_cpp_spark.plans import expressions as ex
+    from iceberg_cpp_spark.streaming.changelog import changes
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "cdc")
+    t.append(li)
+    s1 = t.current_snapshot().snapshot_id
+    t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"), mode="merge-on-read")
+    t.append(li.filter(F.col("l_orderkey") <= 100))
+    return (
+        changes(t, from_snapshot_id=s1)
+        .groupBy("_change_type", "l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming (availableNow, bounded): watermarked hourly
     tumbling window over events, returned as the final batch table."""
@@ -981,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_merge_into": ice_merge_into,
         "ice_avro_manifests": ice_avro_manifests,
         "ice_partition_evolution": ice_partition_evolution,
+        "ice_changelog": ice_changelog,
         "stream_hourly": stream_hourly,
         # LLM pipeline
         "dedup_exact": dedup_exact,
@@ -1374,6 +1394,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
             GROUP BY l_returnflag
+        """,
+        "ice_changelog": """
+            SELECT 'delete' AS _change_type, l_returnflag, COUNT(*) AS n
+            FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag
+            UNION ALL
+            SELECT 'insert' AS _change_type, l_returnflag, COUNT(*) AS n
+            FROM lineitem WHERE l_orderkey <= 100 GROUP BY l_returnflag
         """,
         "multimodal_metadata": """
             SELECT CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'audio/wav'

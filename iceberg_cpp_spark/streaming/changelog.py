@@ -1,0 +1,163 @@
+"""Snapshot changelog (CDC) reads.
+
+The reference carries the snapshot log (table_metadata.h:104-107) and
+reserves changelog metadata columns (metadata_columns.h:84-96) but has
+no change-reader. This implements the standard Iceberg changelog
+semantics Spark-natively:
+
+- per commit in (from, to]: rows of data files ADDED by the commit are
+  ``insert`` rows; rows of data files REMOVED are ``delete`` rows;
+  position-delete files added by the commit mark the matched rows of
+  surviving files as ``delete``.
+- copy-on-write rewrites therefore emit carry-over delete+insert pairs
+  for unchanged rows (exactly as engine changelogs do); ``net=True``
+  cancels identical pairs within the range, leaving the net row delta.
+
+Scale shape: each commit's diff is a file-set difference computed from
+manifests (metadata-scale); row reads are plain pruned parquet scans
+unioned lazily, and the net-cancel is one hash aggregation over the
+change rows — no driver-side row handling.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_cpp_spark.core import manifests as mf
+from iceberg_cpp_spark.core import types as it
+from iceberg_cpp_spark.streaming.incremental import _snapshot_files
+from iceberg_cpp_spark.table import IceTable
+
+CHANGE_TYPE = "_change_type"
+COMMIT_SNAPSHOT = "_commit_snapshot_id"
+COMMIT_ORDER = "_change_ordinal"
+
+
+def _delete_files(table: IceTable, snapshot_id: Optional[int]) -> set[str]:
+    if snapshot_id is None:
+        return set()
+    snap = table.metadata.snapshot_by_id(snapshot_id)
+    out: set[str] = set()
+    schema = table.schema()
+    meta = table.metadata
+    for m in mf.read_manifest_list(snap.manifest_list):
+        spec = meta.spec_by_id(m.partition_spec_id)
+        for e in mf.read_manifest(m.manifest_path, spec, schema, manifest=m):
+            if e.is_live and e.data_file.content == mf.CONTENT_POSITION_DELETES:
+                out.add(e.data_file.file_path)
+    return out
+
+
+def changes(table: IceTable, from_snapshot_id: Optional[int] = None,
+            to_snapshot_id: Optional[int] = None, net: bool = False) -> DataFrame:
+    """Change rows for every commit in ``(from_snapshot_id,
+    to_snapshot_id]``, with ``_change_type`` ('insert' | 'delete'),
+    ``_commit_snapshot_id`` and ``_change_ordinal`` columns."""
+    spark = table.spark
+    meta = table.metadata
+    to_id = to_snapshot_id if to_snapshot_id is not None else (
+        table.current_snapshot().snapshot_id if table.current_snapshot() else None)
+    if to_id is None:
+        raise ValueError("table has no snapshots")
+
+    # walk parent links from `to` back to (exclusive) `from`
+    chain = []
+    cur = meta.snapshot_by_id(to_id)
+    while cur is not None and cur.snapshot_id != from_snapshot_id:
+        chain.append(cur)
+        cur = (meta.snapshot_by_id(cur.parent_snapshot_id)
+               if cur.parent_snapshot_id is not None else None)
+    if from_snapshot_id is not None and cur is None:
+        raise ValueError(
+            f"snapshot {from_snapshot_id} is not an ancestor of {to_id}")
+    chain.reverse()
+
+    spark_schema = it.to_spark_schema(table.schema())
+    cols = [f.name for f in spark_schema.fields]
+    parts: list[DataFrame] = []
+    prev_id = from_snapshot_id
+    for ordinal, snap in enumerate(chain):
+        before = _snapshot_files(table, prev_id)
+        after = _snapshot_files(table, snap.snapshot_id)
+        added = sorted(after - before)
+        removed = sorted(before - after)
+        new_pos_deletes = sorted(
+            _delete_files(table, snap.snapshot_id) - _delete_files(table, prev_id))
+
+        def tag(df: DataFrame, kind: str) -> DataFrame:
+            return df.select(
+                *cols,
+                F.lit(kind).alias(CHANGE_TYPE),
+                F.lit(snap.snapshot_id).alias(COMMIT_SNAPSHOT),
+                F.lit(ordinal).alias(COMMIT_ORDER),
+            )
+
+        prev_deletes = _delete_files(table, prev_id)
+
+        def _rows(paths: list[str], mask_deleted: bool) -> DataFrame:
+            """Read data-file rows; with mask_deleted, drop positions
+            already dead in the BEFORE state (delete-file paths are
+            stored as the same URIs `_metadata.file_path` yields)."""
+            df = (spark.read.schema(spark_schema).parquet(*paths)
+                  .select("*", F.col("_metadata.file_path").alias("_f"),
+                          F.col("_metadata.row_index").alias("_p")))
+            if mask_deleted and prev_deletes:
+                dels = (spark.read.parquet(*sorted(prev_deletes))
+                        .select("file_path", "pos"))
+                df = df.join(
+                    F.broadcast(dels),
+                    (df["_f"] == dels["file_path"]) & (df["_p"] == dels["pos"]),
+                    "left_anti")
+            return df
+
+        if added:
+            parts.append(tag(_rows(added, False).drop("_f", "_p"), "insert"))
+        if removed:
+            parts.append(tag(_rows(removed, True).drop("_f", "_p"), "delete"))
+        if new_pos_deletes:
+            # matched (file, pos) rows of files still live become deletes
+            dels = (spark.read.parquet(*new_pos_deletes)
+                    .select("file_path", "pos"))
+            live = sorted(after)
+            if live:
+                data = _rows(live, True)
+                hit = data.join(
+                    F.broadcast(dels),
+                    (data["_f"] == dels["file_path"]) & (data["_p"] == dels["pos"]),
+                    "left_semi").drop("_f", "_p")
+                parts.append(tag(hit, "delete"))
+        prev_id = snap.snapshot_id
+
+    if not parts:
+        empty = spark.createDataFrame([], spark_schema)
+        return empty.select(
+            "*", F.lit("insert").alias(CHANGE_TYPE),
+            F.lit(0).cast("long").alias(COMMIT_SNAPSHOT),
+            F.lit(0).alias(COMMIT_ORDER)).limit(0)
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if net:
+        # cancel identical insert/delete pairs: one hash-agg, keep surplus
+        counts = (out.groupBy(*cols).agg(
+            F.sum(F.when(F.col(CHANGE_TYPE) == "insert", 1).otherwise(0)).alias("_ins"),
+            F.sum(F.when(F.col(CHANGE_TYPE) == "delete", 1).otherwise(0)).alias("_del"),
+            F.max(COMMIT_SNAPSHOT).alias(COMMIT_SNAPSHOT),
+            F.max(COMMIT_ORDER).alias(COMMIT_ORDER),
+        ))
+        surplus = counts.withColumn("_net", F.col("_ins") - F.col("_del")) \
+                        .filter(F.col("_net") != 0)
+        ins = (surplus.filter(F.col("_net") > 0)
+               .withColumn("_r", F.explode(F.sequence(F.lit(1), F.col("_net"))))
+               .select(*cols, F.lit("insert").alias(CHANGE_TYPE),
+                       COMMIT_SNAPSHOT, COMMIT_ORDER))
+        dels = (surplus.filter(F.col("_net") < 0)
+                .withColumn("_r", F.explode(F.sequence(F.lit(1), -F.col("_net"))))
+                .select(*cols, F.lit("delete").alias(CHANGE_TYPE),
+                        COMMIT_SNAPSHOT, COMMIT_ORDER))
+        out = ins.unionByName(dels)
+    return out

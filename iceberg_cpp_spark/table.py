@@ -458,6 +458,20 @@ class TableScan:
                 F.col("_metadata.file_path").alias("_file"),
                 F.col("_metadata.row_index").alias("_pos"),
             )
+        if self._with_meta_cols and tasks:
+            # _spec_id/_partition (metadata_columns.h:42-96): constants per
+            # file, joined from the plan as a broadcast map — no python
+            meta = self._table.metadata
+            rows = []
+            for t in tasks:
+                spec = meta.spec_by_id(t.spec_id) or PartitionSpec.unpartitioned()
+                rows.append((t.file_path, t.spec_id,
+                             mf.partition_to_json(t.partition, spec, schema)))
+            mdf = spark.createDataFrame(
+                rows, "_mc_path string, _spec_id int, _partition string")
+            norm = F.regexp_replace(F.col("_file"), "^file:(//)?", "")
+            df = (df.join(F.broadcast(mdf), norm == F.col("_mc_path"), "left")
+                  .drop("_mc_path"))
         if deletes:
             df = self._apply_deletes(df, tasks, deletes, schema)
             if not self._with_meta_cols:
@@ -645,15 +659,35 @@ class IceTable:
         affected = {t.file_path for t in self.scan(filter=expr).plan_files()}
         if not affected:
             return self
-        spark_schema = it.to_spark_schema(schema)
         kept = (
-            self.spark.read.schema(spark_schema).parquet(*sorted(affected))
+            self._read_files_with_deletes(affected)
             .filter(~to_spark_column(expr, schema))
         )
         new_files = self._write_data_files(kept) if kept.limit(1).count() else []
         return self._commit_files(
             new_files, operation=DataOperation.OVERWRITE, branch=branch,
             carry_existing=True, drop_paths=affected)
+
+    def _read_files_with_deletes(self, paths) -> DataFrame:
+        """Rows of specific data files with the table's live position/
+        equality deletes applied — the correct input for copy-on-write
+        rewrites (reading the raw parquet would resurrect rows already
+        dead under merge-on-read deletes)."""
+        schema = self.schema()
+        spark_schema = it.to_spark_schema(schema)
+        scan = self.scan()
+        df = self.spark.read.schema(spark_schema).parquet(*sorted(paths))
+        deletes = scan.plan_deletes()
+        if deletes:
+            tasks = [t for t in scan.plan_files() if t.file_path in set(paths)]
+            df = df.select(
+                "*",
+                F.col("_metadata.file_path").alias("_file"),
+                F.col("_metadata.row_index").alias("_pos"),
+            )
+            df = scan._apply_deletes(df, tasks, deletes, schema)
+            df = df.drop("_file", "_pos")
+        return df
 
     def _position_delete(self, expr: ex.Expression, branch: str) -> "IceTable":
         """Write (file_path, pos) tuples of matching rows as a
@@ -767,8 +801,7 @@ class IceTable:
                     return self._commit_files(new_files, operation=DataOperation.APPEND,
                                               branch=branch)
             return self
-        spark_schema = it.to_spark_schema(schema)
-        affected_df = self.spark.read.schema(spark_schema).parquet(*sorted(affected))
+        affected_df = self._read_files_with_deletes(affected)
         parts = [affected_df.join(keys, on, "left_anti")]  # unmatched rows kept
         if when_matched == "update":
             # matched source rows replace the target rows (UPDATE SET *)

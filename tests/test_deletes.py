@@ -109,3 +109,76 @@ class TestEqualityDeletes:
         df = li_table.scan().with_metadata_columns().to_df()
         assert "_file" in df.columns and "_pos" in df.columns
         assert df.count() == li_table.to_df().count()
+
+
+class TestCowWithMorInteraction:
+    def test_cow_delete_does_not_resurrect_mor_deleted_rows(
+            self, spark, lineitem, li_table):
+        """Regression: copy-on-write rewrite of a file carrying live
+        position deletes must apply them, not resurrect the dead rows."""
+        li_table.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                              mode="merge-on-read")
+        alive = li_table.to_df().count()
+        f_alive = li_table.to_df().filter("l_linestatus = 'F'").count()
+        li_table.delete_where(ex.eq(ex.Reference("l_linestatus"), "F"))
+        got = li_table.to_df()
+        assert got.count() == alive - f_alive
+        assert got.filter("l_returnflag = 'R'").count() == 0
+
+    def test_merge_into_respects_mor_deletes(self, spark, lineitem, li_table):
+        from pyspark.sql import functions as F
+
+        li_table.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                              mode="merge-on-read")
+        alive = li_table.to_df().count()
+        src = (lineitem.filter("l_orderkey <= 100 and l_returnflag <> 'R'")
+               .withColumn("l_returnflag", F.lit("Z")))
+        li_table.merge_into(src, on=["l_orderkey", "l_linenumber"],
+                            when_not_matched=None)
+        got = li_table.to_df()
+        assert got.count() == alive
+        assert got.filter("l_returnflag = 'R'").count() == 0
+
+
+class TestChangelog:
+    def test_changes_inserts_and_mor_deletes(self, spark, lineitem, li_table):
+        from iceberg_cpp_spark.streaming.changelog import changes
+
+        s1 = li_table.current_snapshot().snapshot_id
+        li_table.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                              mode="merge-on-read")
+        li_table.append(lineitem.filter("l_orderkey <= 50"))
+        c = changes(li_table, from_snapshot_id=s1)
+        by_type = {r["_change_type"]: r["n"] for r in
+                   c.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+        assert by_type["delete"] == lineitem.filter("l_returnflag = 'R'").count()
+        assert by_type["insert"] == lineitem.filter("l_orderkey <= 50").count()
+        # ordinals increase per commit
+        assert set(r["_change_ordinal"] for r in
+                   c.select("_change_ordinal").distinct().collect()) == {0, 1}
+
+    def test_changes_net_cancels_carryover(self, spark, lineitem, li_table):
+        from iceberg_cpp_spark.streaming.changelog import changes
+
+        s1 = li_table.current_snapshot().snapshot_id
+        n_a = lineitem.filter("l_returnflag = 'A'").count()
+        li_table.delete_where(ex.eq(ex.Reference("l_returnflag"), "A"))
+        raw = changes(li_table, from_snapshot_id=s1)
+        net = changes(li_table, from_snapshot_id=s1, net=True)
+        # raw carries rewrite pairs; net is exactly the A-row deletes
+        assert raw.filter("_change_type = 'insert'").count() > 0
+        by_type = {r["_change_type"]: r["n"] for r in
+                   net.groupBy("_change_type").agg(F.count("*").alias("n")).collect()}
+        assert by_type == {"delete": n_a}
+
+    def test_changes_full_history(self, spark, lineitem, li_table):
+        from iceberg_cpp_spark.streaming.changelog import changes
+
+        c = changes(li_table)  # since table creation
+        assert c.filter("_change_type = 'insert'").count() == lineitem.count()
+
+    def test_changes_bad_ancestor(self, spark, li_table):
+        from iceberg_cpp_spark.streaming.changelog import changes
+
+        with pytest.raises(ValueError, match="ancestor"):
+            changes(li_table, from_snapshot_id=123456789)
