@@ -484,6 +484,21 @@ class TableScan:
             df = df.limit(self._limit)
         return df
 
+    def to_arrow(self):
+        """FileScanTask::ToArrow parity (table_scan.cc:139-163): the scan
+        result as a pyarrow Table (Spark's vectorized reader → Arrow)."""
+        return self.to_df().toArrow()
+
+    def count(self) -> int:
+        """COUNT(*). Unfiltered, delete-free scans are answered from
+        manifest record counts alone — zero data I/O, the metadata-only
+        count every table format owes its users at 100 TB. Filters or
+        live deletes fall back to the real scan."""
+        if (isinstance(self._filter, ex.TrueExp) and self._limit is None
+                and not self.plan_deletes()):
+            return sum(t.record_count for t in self.plan_files())
+        return self.to_df().count()
+
     def _apply_deletes(self, df: DataFrame, tasks: list[FileScanTask],
                        deletes: list["DeleteFileTask"], schema: it.Schema) -> DataFrame:
         """Merge-on-read: anti-join position deletes on (_file,_pos);
@@ -1253,16 +1268,43 @@ class IceTable:
 
     @staticmethod
     def load(spark: SparkSession, location: str) -> "IceTable":
+        """Load the latest metadata version from a table directory.
+        Understands all three on-disk layouts: this engine's / Hadoop
+        catalog's ``vN.metadata.json`` (+ optional version-hint.text),
+        and the object-store layout ``NNNNN-<uuid>.metadata.json``
+        (sequence-prefixed, as REST/Glue-managed warehouses write)."""
         meta_dir = os.path.join(location, "metadata")
+        hint = os.path.join(meta_dir, "version-hint.text")
+        if os.path.exists(hint):
+            with open(hint) as f:
+                v = f.read().strip()
+            cand = os.path.join(meta_dir, f"v{v}.metadata.json")
+            if os.path.exists(cand):
+                return IceTable.from_metadata_file(spark, cand)
         versions = sorted(
             (int(f.split(".")[0][1:]), f) for f in os.listdir(meta_dir)
             if f.startswith("v") and f.endswith(".metadata.json")
+            and f.split(".")[0][1:].isdigit()
         )
+        if not versions:  # NNNNN-uuid.metadata.json layout
+            versions = sorted(
+                (int(f.split("-")[0]), f) for f in os.listdir(meta_dir)
+                if f.endswith(".metadata.json") and f.split("-")[0].isdigit()
+            )
         if not versions:
             raise FileNotFoundError(f"no metadata at {location}")
         loc = os.path.join(meta_dir, versions[-1][1])
         return IceTable(os.path.basename(location.rstrip("/")),
                         read_table_metadata(loc), loc, spark=spark)
+
+    @staticmethod
+    def from_metadata_file(spark: SparkSession, metadata_location: str) -> "IceTable":
+        """StaticTable: open a table from one specific metadata JSON
+        (catalog-less read of any Iceberg table whose metadata +
+        manifests are reachable)."""
+        meta = read_table_metadata(metadata_location)
+        return IceTable(os.path.basename(meta.location.rstrip("/")) or "table",
+                        meta, metadata_location, spark=spark)
 
 
 # ---------------------------------------------------------------------------

@@ -244,6 +244,37 @@ class TestAvroTable:
         t = t.delete_where(ex.eq(ex.Reference("l_returnflag"), "A"))
         assert t.to_df().count() == lineitem.count() - n_a
 
+    def test_load_external_layout(self, spark, tmp_loc, lineitem):
+        """A table laid out as a foreign warehouse would write it —
+        sequence-prefixed metadata name, avro manifests — loads through
+        IceTable.load and scans correctly."""
+        import shutil
+
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        loc = os.path.join(tmp_loc, "ext")
+        t = IceTable.create(
+            spark, loc, schema_from_spark(lineitem.schema),
+            properties={"write.metadata.manifest-format": "avro"})
+        t.append(lineitem.limit(500))
+        # rename v2.metadata.json -> 00002-<uuid>.metadata.json, drop v1
+        md = os.path.join(loc, "metadata")
+        vs = sorted(f for f in os.listdir(md) if f.endswith(".metadata.json"))
+        latest = vs[-1]
+        shutil.move(os.path.join(md, latest),
+                    os.path.join(md, "00002-abc123.metadata.json"))
+        for f in vs[:-1]:
+            os.remove(os.path.join(md, f))
+
+        t2 = IceTable.load(spark, loc)
+        assert t2.to_df().count() == 500
+        assert t2.scan().count() == 500  # metadata-only count
+
+        t3 = IceTable.from_metadata_file(
+            spark, os.path.join(md, "00002-abc123.metadata.json"))
+        assert t3.scan().count() == 500
+
     def test_distributed_avro_planning(self, spark, tmp_loc, lineitem, monkeypatch):
         import iceberg_cpp_spark.table as tbl
         from iceberg_cpp_spark import IceTable

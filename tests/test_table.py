@@ -246,6 +246,28 @@ class TestIncremental:
         assert full.count() == 6025
 
 
+class TestScanExtras:
+    def test_metadata_only_count(self, spark, lineitem, li_table):
+        # no filter, no deletes: answered from manifests (no data read)
+        assert li_table.scan().count() == lineitem.count()
+        # with a filter it falls back to the real scan
+        n = li_table.scan(filter=ex.eq(ex.Reference("l_returnflag"), "A")).count()
+        assert n == lineitem.filter("l_returnflag = 'A'").count()
+
+    def test_count_with_deletes_falls_back(self, spark, lineitem, li_table):
+        li_table.delete_where(ex.lt(ex.Reference("l_orderkey"), 10),
+                              mode="merge-on-read")
+        exp = lineitem.filter("l_orderkey >= 10").count()
+        assert li_table.scan().count() == exp
+
+    def test_to_arrow(self, spark, lineitem, li_table):
+        tbl = li_table.scan(filter=ex.lt(ex.Reference("l_orderkey"), 5)).to_arrow()
+        import pyarrow as pa
+
+        assert isinstance(tbl, pa.Table)
+        assert tbl.num_rows == lineitem.filter("l_orderkey < 5").count()
+
+
 class TestStreamingAppend:
     def test_append_stream_commits_snapshots(self, spark, lineitem, tmp_loc):
         from iceberg_cpp_spark.streaming.incremental import (
