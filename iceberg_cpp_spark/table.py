@@ -842,6 +842,45 @@ class IceTable:
         return self._commit_files(new_files, operation=DataOperation.REPLACE,
                                   branch=branch, carry_existing=False)
 
+    def remove_orphan_files(self, older_than_ms: Optional[int] = None,
+                            dry_run: bool = False) -> list[str]:
+        """Maintenance: delete files under the table's data/delete dirs
+        referenced by NO snapshot (failed writes, aborted compactions).
+        Metadata files are never touched. Returns the removed paths."""
+        referenced: set[str] = set()
+        schema = self.schema()
+        meta = self.metadata
+        for snap in meta.snapshots:
+            for m in mf.read_manifest_list(snap.manifest_list):
+                spec = meta.spec_by_id(m.partition_spec_id) or PartitionSpec.unpartitioned()
+                for e in mf.read_manifest(m.manifest_path, spec, schema, manifest=m):
+                    referenced.add(e.data_file.file_path)
+        orphans: list[str] = []
+        for sub in ("data", "deletes"):
+            root = os.path.join(meta.location, sub)
+            for r, _d, fs in os.walk(root):
+                for fn in fs:
+                    p = os.path.join(r, fn)
+                    if p in referenced or fn.startswith(("_", ".")):
+                        continue
+                    if older_than_ms is not None and \
+                            os.path.getmtime(p) * 1000 >= older_than_ms:
+                        continue
+                    orphans.append(p)
+        if not dry_run:
+            for p in orphans:
+                os.remove(p)
+        return sorted(orphans)
+
+    def fast_forward(self, branch: str, to_branch: str) -> "IceTable":
+        """Write-audit-publish: point ``branch`` (e.g. main) at
+        ``to_branch``'s head — publishing audited staged commits without
+        rewriting anything."""
+        ref = self.metadata.ref(to_branch)
+        if ref is None:
+            raise ValueError(f"ref not found: {to_branch}")
+        return self._set_ref(branch, ref.snapshot_id, "branch")
+
     def add_files(self, paths: list[str],
                   aliases: Optional[dict[str, list[str]]] = None,
                   branch: str = MAIN_BRANCH) -> "IceTable":

@@ -254,3 +254,37 @@ class TestTableMaintenance:
         assert t.properties()["owner"] == "me"
         t.update_properties(removals=["owner"])
         assert "owner" not in t.properties()
+
+    def test_remove_orphan_files(self, spark, lineitem, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "o"),
+                            schema_from_spark(lineitem.schema))
+        t.append(lineitem.limit(20))
+        orphan = os.path.join(t.location(), "data", "stray.parquet")
+        with open(orphan, "wb") as f:
+            f.write(b"junk")
+        listed = t.remove_orphan_files(dry_run=True)
+        assert listed == [orphan] and os.path.exists(orphan)
+        removed = t.remove_orphan_files()
+        assert removed == [orphan] and not os.path.exists(orphan)
+        assert t.to_df().count() == 20  # live data untouched
+        assert t.remove_orphan_files() == []
+
+    def test_wap_fast_forward(self, spark, lineitem, tmp_loc):
+        """write-audit-publish: stage on a branch, publish by fast-forward."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "w"),
+                            schema_from_spark(lineitem.schema))
+        t.append(lineitem.limit(10))
+        t.create_branch("audit")
+        t.append(lineitem.limit(5), branch="audit")
+        assert t.to_df().count() == 10              # main unchanged
+        assert t.scan().use_ref("audit").to_df().count() == 15
+        t.fast_forward("main", "audit")
+        assert t.to_df().count() == 15              # published
+        with pytest.raises(ValueError, match="ref not found"):
+            t.fast_forward("main", "nope")
