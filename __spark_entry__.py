@@ -741,6 +741,29 @@ def ice_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The "icecpp" Spark Python DataSource: write through
+    df.write.format("icecpp"), read back via spark.read.format("icecpp")
+    with a pushed filter pruning files."""
+    from iceberg_cpp_spark.sources.spark_datasource import IcebergCppDataSource
+
+    try:
+        spark.dataSource.register(IcebergCppDataSource)
+    except Exception:
+        pass  # already registered in this session
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "dsq")
+    loc = t.location()
+    li.write.format("icecpp").mode("append").save(loc)
+    return (
+        spark.read.format("icecpp").load(loc)
+        .filter(F.col("l_quantity") > 40)
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"))
+    )
+
+
 def ice_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot changelog (CDC): per-commit insert/delete rows diffed
     from manifests; merge-on-read deletes surface as delete rows."""
@@ -1001,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_avro_manifests": ice_avro_manifests,
         "ice_partition_evolution": ice_partition_evolution,
         "ice_changelog": ice_changelog,
+        "ice_datasource": ice_datasource,
         "stream_hourly": stream_hourly,
         # LLM pipeline
         "dedup_exact": dedup_exact,
@@ -1401,6 +1425,11 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'insert' AS _change_type, l_returnflag, COUNT(*) AS n
             FROM lineitem WHERE l_orderkey <= 100 GROUP BY l_returnflag
+        """,
+        "ice_datasource": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM lineitem WHERE l_quantity > 40 GROUP BY l_returnflag
         """,
         "multimodal_metadata": """
             SELECT CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'audio/wav'

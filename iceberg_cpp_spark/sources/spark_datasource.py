@@ -1,0 +1,333 @@
+"""Spark Python DataSource ("icecpp"): the engine's table format as a
+first-class `spark.read.format(...)` source/sink.
+
+This is the DSv2-style integration surface the reference leaves to
+"the engine embedding the SDK" (its C-ABI ArrowArrayStream hand-off,
+table_scan.cc:139-163) — realized here with Spark 4's Python DataSource
+API:
+
+- batch read with partition-per-FileScanTask, manifest pruning driven
+  by pushed filters (``pushFilters``), merge-on-read position deletes
+  applied per partition;
+- transactional batch write (append/overwrite): executors stream Arrow
+  batches into parquet files with Iceberg field-id metadata, the driver
+  commits ONE snapshot from the collected commit messages (exactly the
+  AppendFiles two-phase shape, transaction.h:31-51);
+- streaming source: snapshot-sequence offsets; each microbatch reads
+  files whose sequence number falls in (start, end] — replayable via
+  ``readBetweenOffsets``.
+
+Usage::
+
+    spark.dataSource.register(IcebergCppDataSource)
+    df = spark.read.format("icecpp").load("/path/to/table")
+    df.write.format("icecpp").mode("append").save("/path/to/table")
+    s = spark.readStream.format("icecpp").load("/path/to/table")
+"""
+
+from __future__ import annotations
+
+import os
+import uuid as uuid_mod
+from dataclasses import dataclass, field as dc_field
+from typing import Iterator, Optional
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+    StringStartsWith,
+    WriterCommitMessage,
+)
+
+from iceberg_cpp_spark.plans import expressions as ex
+
+
+def _load_table(options):
+    from iceberg_cpp_spark.table import IceTable
+
+    path = options.get("path")
+    if not path:
+        raise ValueError("icecpp requires a table path: .load('/path/to/table')")
+    return IceTable.load(None, path)
+
+
+def _filter_to_expr(f) -> Optional[ex.Expression]:
+    """DSv2 Filter → engine expression. Only top-level single-column
+    filters arrive here (Spark pre-splits the AND)."""
+    col = ".".join(f.attribute)
+    r = ex.Reference(col)
+    if isinstance(f, EqualTo):
+        return ex.eq(r, f.value)
+    if isinstance(f, GreaterThan):
+        return ex.gt(r, f.value)
+    if isinstance(f, GreaterThanOrEqual):
+        return ex.gt_eq(r, f.value)
+    if isinstance(f, LessThan):
+        return ex.lt(r, f.value)
+    if isinstance(f, LessThanOrEqual):
+        return ex.lt_eq(r, f.value)
+    if isinstance(f, In):
+        return ex.in_(r, list(f.value))
+    if isinstance(f, IsNull):
+        return ex.is_null(r)
+    if isinstance(f, IsNotNull):
+        return ex.not_null(r)
+    if isinstance(f, StringStartsWith):
+        return ex.starts_with(r, f.value)
+    return None
+
+
+def _cast_to_declared(tbl, spark_schema):
+    """Cast a parquet-read Arrow table to the declared source schema.
+    Files store tz-adjusted timestamps; the declared Spark schema may be
+    NTZ — Spark's runner asserts batch schema == declared schema, so the
+    tz must be dropped here (wall-clock values are unchanged)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(spark_schema)
+    if tbl.schema != target:
+        tbl = tbl.cast(target)
+    return tbl
+
+
+@dataclass
+class ScanPartition(InputPartition):
+    file_path: str = ""
+    pos_delete_paths: list = dc_field(default_factory=list)
+
+
+@dataclass
+class FilesCommit(WriterCommitMessage):
+    paths: list = dc_field(default_factory=list)
+
+
+class IcebergCppReader(DataSourceReader):
+    def __init__(self, options, schema):
+        self.options = options
+        self.spark_schema = schema
+        self.pushed: list[ex.Expression] = []
+
+    def pushFilters(self, filters):
+        for f in filters:
+            e = _filter_to_expr(f)
+            if e is not None:
+                self.pushed.append(e)
+            # every filter is still re-applied by Spark (we prune FILES
+            # with it; row-level residual evaluation stays in Spark)
+            yield f
+
+    def partitions(self):
+        table = _load_table(self.options)
+        flt: ex.Expression = ex.TrueExp()
+        for e in self.pushed:
+            flt = e if isinstance(flt, ex.TrueExp) else (flt & e)
+        scan = table.scan(filter=None if isinstance(flt, ex.TrueExp) else flt)
+        if self.options.get("snapshot-id"):
+            scan = scan.use_snapshot(int(self.options["snapshot-id"]))
+        deletes = scan.plan_deletes()
+        if any(d.content == 2 for d in deletes):  # CONTENT_EQUALITY_DELETES
+            # NB: must not be NotImplementedError — Spark treats that
+            # as "source has no partitioning" and passes read() None
+            raise ValueError(
+                "icecpp source does not apply equality deletes; use "
+                "IceTable.scan().to_df() for this table")
+        pos = [d.file_path for d in deletes]
+        return [ScanPartition(file_path=t.file_path, pos_delete_paths=pos)
+                for t in scan.plan_files()]
+
+    def read(self, partition: ScanPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        names = [f.name for f in self.spark_schema.fields]
+        tbl = _cast_to_declared(pq.read_table(partition.file_path, columns=names),
+                                self.spark_schema)
+        if partition.pos_delete_paths:
+            dels = pq.read_table(partition.pos_delete_paths,
+                                 columns=["file_path", "pos"])
+            import pyarrow.compute as pc
+
+            uri = "file:" + partition.file_path
+            mask = pc.is_in(
+                dels.column("file_path"),
+                value_set=pa.array([partition.file_path, uri,
+                                    "file://" + partition.file_path]))
+            positions = dels.filter(mask).column("pos").to_pylist()
+            if positions:
+                keep = [i for i in range(tbl.num_rows) if i not in set(positions)]
+                tbl = tbl.take(keep)
+        for batch in tbl.to_batches(max_chunksize=65536):
+            yield batch
+
+
+class IcebergCppWriter(DataSourceArrowWriter):
+    def __init__(self, options, overwrite: bool):
+        self.options = options
+        self.overwrite = overwrite
+        table = _load_table(options)  # driver-side validation
+        if table.spec().fields:
+            raise ValueError(
+                "icecpp writer supports unpartitioned tables; use "
+                "IceTable.append for partitioned writes")
+        self.location = table.location()
+        schema = table.schema()
+        self.field_ids = {f.name: f.field_id for f in schema.fields}
+        self.write_dir = os.path.join(
+            self.location, "data", uuid_mod.uuid4().hex)
+
+    def write(self, iterator) -> FilesCommit:
+        """Executor-side: stream Arrow batches into one parquet file with
+        Iceberg field-id metadata (so field-id based reads resolve)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.write_dir, exist_ok=True)
+        path = os.path.join(self.write_dir, f"part-{uuid_mod.uuid4().hex}.parquet")
+        writer = None
+        n = 0
+        for batch in iterator:
+            if writer is None:
+                fields = []
+                for f in batch.schema:
+                    fid = self.field_ids.get(f.name)
+                    md = {b"PARQUET:field_id": str(fid).encode()} if fid else None
+                    fields.append(pa.field(f.name, f.type, f.nullable, metadata=md))
+                schema = pa.schema(fields)
+                writer = pq.ParquetWriter(path, schema, compression="zstd")
+            writer.write_batch(batch.cast(writer.schema))
+            n += batch.num_rows
+        if writer is not None:
+            writer.close()
+        return FilesCommit(paths=[path] if n else [])
+
+    def commit(self, messages) -> None:
+        """Driver-side: ONE snapshot for all executor files (two-phase
+        commit; the table's CAS protects against concurrent writers)."""
+        from iceberg_cpp_spark.core import manifests as mf
+        from iceberg_cpp_spark.core.metadata import DataOperation
+        from iceberg_cpp_spark.core.metrics import collect_metrics
+
+        table = _load_table(self.options)
+        paths = sorted(p for m in messages if m for p in m.paths)
+        if not paths:
+            return
+        metrics = collect_metrics(None, paths, table.schema())
+        files = []
+        for p in paths:
+            m = metrics[p]
+            files.append(mf.DataFile(
+                content=mf.CONTENT_DATA, file_path=p, file_format="parquet",
+                partition={}, record_count=m["record_count"],
+                file_size_in_bytes=os.path.getsize(p),
+                column_sizes=m.get("column_sizes", {}),
+                value_counts=m.get("value_counts", {}),
+                null_value_counts=m.get("null_value_counts", {}),
+                nan_value_counts=m.get("nan_value_counts", {}),
+                lower_bounds=m.get("lower_bounds", {}),
+                upper_bounds=m.get("upper_bounds", {}),
+                split_offsets=m.get("split_offsets", []),
+            ))
+        op = DataOperation.OVERWRITE if self.overwrite else DataOperation.APPEND
+        table._commit_files(files, operation=op,
+                            carry_existing=not self.overwrite)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if not m:
+                continue
+            for p in m.paths:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
+
+
+class IcebergCppStreamReader(SimpleDataSourceStreamReader):
+    """Snapshot-sequence offsets: each batch is the set of data files
+    whose sequence_number lands in (start, end]. Deterministic replay
+    between any two offsets."""
+
+    def __init__(self, options, schema):
+        self.options = options
+        self.spark_schema = schema
+
+    def initialOffset(self) -> dict:
+        if self.options.get("starting-sequence") is not None:
+            return {"seq": int(self.options["starting-sequence"])}
+        return {"seq": 0}
+
+    def _files_between(self, table, lo: int, hi: int) -> list[str]:
+        return sorted(
+            t.file_path for t in table.scan().plan_files()
+            if lo < (t.sequence_number or 0) <= hi)
+
+    def _rows(self, table, lo: int, hi: int):
+        """Materialized row list (Spark's prefetch cache shallow-copies
+        the iterator, so it must not be a generator). Microbatches are
+        snapshot-sized — bounded by what one commit appended."""
+        import pyarrow.parquet as pq
+
+        names = [f.name for f in self.spark_schema.fields]
+        rows = []
+        for p in self._files_between(table, lo, hi):
+            tbl = _cast_to_declared(pq.read_table(p, columns=names),
+                                    self.spark_schema)
+            rows.extend(tuple(r[n] for n in names) for r in tbl.to_pylist())
+        return iter(rows)
+
+    def read(self, start: dict):
+        table = _load_table(self.options)
+        hi = table.metadata.last_sequence_number
+        lo = start.get("seq", 0)
+        if hi <= lo:
+            return iter([]), start
+        return self._rows(table, lo, hi), {"seq": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        table = _load_table(self.options)
+        return self._rows(table, start.get("seq", 0), end.get("seq", 0))
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class IcebergCppDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "icecpp"
+
+    def schema(self):
+        from pyspark.sql import types as T
+
+        from iceberg_cpp_spark.core import types as it
+
+        s = it.to_spark_schema(_load_table(self.options).schema())
+        # surface tz-aware timestamps: the parquet files store
+        # UTC-adjusted values, and Spark's python-source arrow runner
+        # round-trips tz-aware batches losslessly
+        return T.StructType([
+            T.StructField(f.name,
+                          T.TimestampType() if isinstance(f.dataType, T.TimestampNTZType)
+                          else f.dataType,
+                          f.nullable)
+            for f in s.fields])
+
+    def reader(self, schema) -> IcebergCppReader:
+        return IcebergCppReader(self.options, schema)
+
+    def writer(self, schema, overwrite: bool) -> IcebergCppWriter:
+        return IcebergCppWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema) -> IcebergCppStreamReader:
+        return IcebergCppStreamReader(self.options, schema)

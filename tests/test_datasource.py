@@ -1,0 +1,134 @@
+"""The "icecpp" Spark Python DataSource: batch read (with filter-driven
+file pruning + MOR position deletes), transactional write, and the
+snapshot-sequence streaming source."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_cpp_spark import IceTable
+from iceberg_cpp_spark.core.types import schema_from_spark
+from iceberg_cpp_spark.plans import expressions as ex
+from iceberg_cpp_spark.sources.spark_datasource import (
+    IcebergCppDataSource,
+    IcebergCppReader,
+)
+
+
+@pytest.fixture(scope="session")
+def registered(spark):
+    spark.dataSource.register(IcebergCppDataSource)
+    return spark
+
+
+@pytest.fixture()
+def table_loc(registered, lineitem, tmp_loc):
+    loc = os.path.join(tmp_loc, "t")
+    t = IceTable.create(registered, loc, schema_from_spark(lineitem.schema))
+    t.append(lineitem)
+    return loc, t
+
+
+class TestBatchRead:
+    def test_counts_and_values(self, registered, lineitem, table_loc):
+        loc, _ = table_loc
+        df = registered.read.format("icecpp").load(loc)
+        assert df.count() == lineitem.count()
+        a = df.agg(F.sum("l_orderkey"), F.max("l_shipdate")).first()
+        b = lineitem.agg(F.sum("l_orderkey"), F.max("l_shipdate")).first()
+        assert tuple(a) == tuple(b)
+
+    def test_filter(self, registered, lineitem, table_loc):
+        loc, _ = table_loc
+        df = registered.read.format("icecpp").load(loc)
+        assert (df.filter("l_returnflag = 'A'").count()
+                == lineitem.filter("l_returnflag = 'A'").count())
+
+    def test_mor_position_deletes_applied(self, registered, lineitem, table_loc):
+        loc, t = table_loc
+        t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                       mode="merge-on-read")
+        df = registered.read.format("icecpp").load(loc)
+        assert df.count() == t.to_df().count()
+        assert df.filter("l_returnflag = 'R'").count() == 0
+
+    def test_equality_deletes_rejected(self, registered, table_loc):
+        loc, t = table_loc
+        keys = registered.createDataFrame([("A",)], "l_returnflag string")
+        t.delete_by_keys(keys)
+        with pytest.raises(Exception, match="equality deletes"):
+            registered.read.format("icecpp").load(loc).count()
+
+    def test_pushed_filter_prunes_partitions(self, registered, lineitem, tmp_loc):
+        """with a month-partitioned table, a pushed range filter must
+        plan fewer partitions than the unfiltered scan."""
+        from pyspark.sql.datasource import GreaterThan
+
+        from iceberg_cpp_spark.core.metadata import PartitionField, PartitionSpec
+        from iceberg_cpp_spark.functions import transforms as tr
+
+        schema = schema_from_spark(lineitem.schema)
+        sd = schema.find_field("l_shipdate")
+        spec = PartitionSpec(
+            [PartitionField(sd.field_id, 1000, "m", tr.MonthTransform())])
+        loc = os.path.join(tmp_loc, "pp")
+        t = IceTable.create(registered, loc, schema, spec=spec)
+        t.append(lineitem)
+
+        r_all = IcebergCppReader({"path": loc}, None)
+        n_all = len(r_all.partitions())
+        r_f = IcebergCppReader({"path": loc}, None)
+        import datetime as dt
+
+        list(r_f.pushFilters([GreaterThan(("l_shipdate",),
+                                          dt.datetime(2001, 6, 1))]))
+        assert 0 < len(r_f.partitions()) < n_all
+
+
+class TestWrite:
+    def test_append_and_overwrite(self, registered, lineitem, table_loc):
+        loc, _ = table_loc
+        n0 = lineitem.count()
+        lineitem.limit(100).write.format("icecpp").mode("append").save(loc)
+        assert registered.read.format("icecpp").load(loc).count() == n0 + 100
+        t = IceTable.load(registered, loc)
+        assert t.current_snapshot().summary["operation"] == "append"
+        # field ids survive so the table-library scan also reads it
+        t.spark = registered
+        assert t.to_df().count() == n0 + 100
+
+        lineitem.limit(10).write.format("icecpp").mode("overwrite").save(loc)
+        assert registered.read.format("icecpp").load(loc).count() == 10
+
+    def test_partitioned_write_rejected(self, registered, lineitem, tmp_loc):
+        from iceberg_cpp_spark.core.metadata import PartitionField, PartitionSpec
+        from iceberg_cpp_spark.functions import transforms as tr
+
+        schema = schema_from_spark(lineitem.schema)
+        sd = schema.find_field("l_shipdate")
+        loc = os.path.join(tmp_loc, "pw")
+        IceTable.create(registered, loc, schema, spec=PartitionSpec(
+            [PartitionField(sd.field_id, 1000, "m", tr.MonthTransform())]))
+        with pytest.raises(Exception, match="unpartitioned"):
+            lineitem.limit(5).write.format("icecpp").mode("append").save(loc)
+
+
+class TestStreamRead:
+    def test_stream_all_then_delta(self, registered, lineitem, tmp_loc):
+        loc = os.path.join(tmp_loc, "s")
+        t = IceTable.create(registered, loc, schema_from_spark(lineitem.schema))
+        t.append(lineitem.limit(30))
+        q = (registered.readStream.format("icecpp").load(loc)
+             .writeStream.format("memory").queryName("ds_stream_t1")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        assert registered.table("ds_stream_t1").count() == 30
+
+        t.append(lineitem.limit(50))
+        q2 = (registered.readStream.format("icecpp")
+              .option("starting-sequence", 1).load(loc)
+              .writeStream.format("memory").queryName("ds_stream_t2")
+              .trigger(availableNow=True).start())
+        q2.awaitTermination(300)
+        assert registered.table("ds_stream_t2").count() == 50
