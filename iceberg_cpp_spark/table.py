@@ -1004,6 +1004,32 @@ class IceTable:
     def _commit_files(self, new_files: list[mf.DataFile], operation: str,
                       branch: str = MAIN_BRANCH, carry_existing: bool = True,
                       drop_paths: Optional[set] = None) -> "IceTable":
+        """Optimistic-concurrency commit with retry (reference
+        commit.retry.*, table_properties.h:80-85): on CAS conflict the
+        metadata is refreshed and the snapshot REBUILT against the new
+        base — data files are reused, only manifests are rewritten."""
+        import time as _time
+
+        from iceberg_cpp_spark.sources.catalog import CommitFailedError
+
+        retries = int(self.properties().get("commit.retry.num-retries", "4"))
+        backoff_ms = int(self.properties().get("commit.retry.min-wait-ms", "100"))
+        last: Exception = None
+        for attempt in range(retries + 1):
+            try:
+                return self._commit_files_once(
+                    new_files, operation, branch, carry_existing, drop_paths)
+            except (CommitFailedError, FileExistsError) as e:
+                last = e
+                if attempt == retries:
+                    break
+                _time.sleep(min(backoff_ms * (2 ** attempt), 60_000) / 1000.0)
+                self.refresh()
+        raise last
+
+    def _commit_files_once(self, new_files: list[mf.DataFile], operation: str,
+                           branch: str = MAIN_BRANCH, carry_existing: bool = True,
+                           drop_paths: Optional[set] = None) -> "IceTable":
         meta = self.metadata
         schema = self.schema()
         spec = self.spec()
@@ -1287,7 +1313,11 @@ class IceTable:
         if self.catalog is not None:
             self.metadata, self.metadata_location = self.catalog.load_metadata(self.identifier)
         else:
-            self.metadata = read_table_metadata(self.metadata_location)
+            # re-resolve the LATEST version in the metadata dir (the held
+            # location may be stale after a concurrent commit)
+            latest = IceTable.load(None, self.metadata.location)
+            self.metadata = latest.metadata
+            self.metadata_location = latest.metadata_location
         return self
 
     # --- standalone (catalog-less) constructors --------------------------

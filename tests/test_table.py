@@ -268,6 +268,56 @@ class TestScanExtras:
         assert tbl.num_rows == lineitem.filter("l_orderkey < 5").count()
 
 
+class TestNestedTypes:
+    def test_struct_array_map_roundtrip(self, spark, tmp_loc):
+        df = spark.range(100).select(
+            F.col("id"),
+            F.struct(F.col("id").alias("a"), (F.col("id") * 2).alias("b")).alias("s"),
+            F.array(F.col("id"), F.col("id") + 1).alias("arr"),
+            F.create_map(F.lit("k"), F.col("id")).alias("m"),
+        )
+        t = IceTable.create(spark, os.path.join(tmp_loc, "n"),
+                            schema_from_spark(df.schema))
+        t.append(df)
+        out = t.to_df()
+        assert out.count() == 100
+        got = out.selectExpr("s.b", "arr[1]", "m['k'] as mk") \
+                 .agg(F.sum("b"), F.sum("mk")).first()
+        assert tuple(got) == (9900, 4950)
+        # top-level pruning still works alongside nested columns
+        assert t.scan(filter=ex.lt(ex.Reference("id"), 10)).to_df().count() == 10
+
+
+class TestConcurrentCommits:
+    def test_stale_handle_commit_retries_and_rebases(self, spark, lineitem, tmp_loc):
+        """reference commit.retry.*: a commit from a stale handle reloads
+        the base and reapplies — no lost updates, no failure."""
+        loc = os.path.join(tmp_loc, "cc")
+        t1 = IceTable.create(spark, loc, schema_from_spark(lineitem.schema))
+        t1.append(lineitem.limit(10))
+        t2 = IceTable.load(spark, loc)
+        t1.append(lineitem.limit(20))   # t2 now stale
+        t2.append(lineitem.limit(5))    # must retry + rebase
+        assert t2.to_df().count() == 35
+        assert len(t2.snapshots()) == 3
+        t1.refresh()
+        assert t1.to_df().count() == 35
+
+    def test_retries_exhausted_raises(self, spark, lineitem, tmp_loc, monkeypatch):
+        loc = os.path.join(tmp_loc, "cx")
+        t1 = IceTable.create(
+            spark, loc, schema_from_spark(lineitem.schema),
+            properties={"commit.retry.num-retries": "1",
+                        "commit.retry.min-wait-ms": "1"})
+        t1.append(lineitem.limit(5))
+        t2 = IceTable.load(spark, loc)
+        # refresh() becomes a no-op so the conflict never resolves
+        monkeypatch.setattr(IceTable, "refresh", lambda self: self)
+        t1.append(lineitem.limit(5))
+        with pytest.raises(FileExistsError):
+            t2.append(lineitem.limit(5))
+
+
 class TestStreamingAppend:
     def test_append_stream_commits_snapshots(self, spark, lineitem, tmp_loc):
         from iceberg_cpp_spark.streaming.incremental import (
