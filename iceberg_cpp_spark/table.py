@@ -832,15 +832,110 @@ class IceTable:
             carry_existing=True, drop_paths=affected)
 
     def rewrite_data_files(self, target_file_count: Optional[int] = None,
-                           branch: str = MAIN_BRANCH) -> "IceTable":
+                           branch: str = MAIN_BRANCH,
+                           zorder_by: Optional[list] = None) -> "IceTable":
         """Compaction (M9): read all live files, re-cluster, replace.
-        snapshot operation = replace (snapshot.h:209)."""
+        snapshot operation = replace (snapshot.h:209).
+
+        ``zorder_by``: multi-dimensional clustering — rows are ordered by
+        an interleaved-bit z-value over the given columns, so file
+        min/max bounds stay tight on EVERY listed column and filters on
+        any of them prune files. Codes are equal-width buckets from a
+        distributed min/max pass; the interleave is pure JVM Column
+        arithmetic (no UDF), and the final layout is one range shuffle."""
         df = self.to_df()
-        if target_file_count:
+        if zorder_by:
+            df = self._zorder(df, zorder_by, target_file_count or 8)
+        elif target_file_count:
             df = df.repartition(target_file_count)
         new_files = self._write_data_files(df)
         return self._commit_files(new_files, operation=DataOperation.REPLACE,
                                   branch=branch, carry_existing=False)
+
+    def _zorder(self, df: DataFrame, cols: list, n_parts: int,
+                bits: int = 8) -> DataFrame:
+        stats = df.agg(*[f(c) for c in cols
+                         for f in (F.min, F.max)]).first()
+        z = F.lit(0)
+        n = len(cols)
+        for ci, c in enumerate(cols):
+            lo, hi = stats[2 * ci], stats[2 * ci + 1]
+            span = (F.lit(hi).cast("double") - F.lit(lo).cast("double"))
+            norm = F.when(F.lit(hi == lo) | F.col(c).isNull(), F.lit(0)) \
+                .otherwise(((F.col(c).cast("double") - F.lit(lo).cast("double"))
+                            / span * ((1 << bits) - 1)).cast("int"))
+            code = F.least(F.greatest(norm, F.lit(0)), F.lit((1 << bits) - 1))
+            for b in range(bits):
+                z = z + (F.shiftright(code, b).bitwiseAND(F.lit(1))
+                         .cast("long") * F.lit(1 << (b * n + ci)))
+        return (df.withColumn("_z", z)
+                .repartitionByRange(n_parts, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z"))
+
+    def compute_statistics(self) -> "IceTable":
+        """ANALYZE: one distributed agg pass computes per-column NDV
+        (HLL-sketch approx_count_distinct) + null counts, written as a
+        statistics file and registered on the current snapshot via
+        SetStatistics (statistics_file.h:33-60 shape; payload is JSON
+        where the reference carries opaque Puffin pointers)."""
+        import json as _json
+
+        from iceberg_cpp_spark.core.updates import TableMetadataBuilder
+
+        snap = self.current_snapshot()
+        if snap is None:
+            raise ValueError("no snapshot to analyze")
+        schema = self.schema()
+        cols = [f for f in schema.fields if f.field_type.is_primitive]
+        df = self.to_df()
+        aggs = []
+        for f in cols:
+            aggs.append(F.approx_count_distinct(f.name).alias(f"ndv_{f.field_id}"))
+            aggs.append(F.count(F.when(F.col(f.name).isNull(), 1))
+                        .alias(f"nulls_{f.field_id}"))
+        row = df.agg(*aggs).first()
+        blobs = []
+        for f in cols:
+            blobs.append({
+                "type": "ndv-json-v1",
+                "snapshot-id": snap.snapshot_id,
+                "sequence-number": snap.sequence_number,
+                "fields": [f.field_id],
+                "properties": {"ndv": str(row[f"ndv_{f.field_id}"]),
+                               "null-count": str(row[f"nulls_{f.field_id}"])},
+            })
+        path = os.path.join(self.location_provider().metadata_dir(),
+                            f"stats-{snap.snapshot_id}.json")
+        with open(path, "w") as fh:
+            _json.dump({"blobs": blobs}, fh)
+        entry = {
+            "snapshot-id": snap.snapshot_id,
+            "statistics-path": path,
+            "file-size-in-bytes": os.path.getsize(path),
+            "file-footer-size-in-bytes": 0,
+            "blob-metadata": blobs,
+        }
+        b = TableMetadataBuilder.build_from(self.metadata)
+        b.set_statistics(entry)
+        new_meta, _u, reqs = b.build()
+        return self._commit(new_meta, MAIN_BRANCH,
+                            self.metadata.current_snapshot(), requirements=reqs)
+
+    def ndv(self, column: str) -> Optional[int]:
+        """Approximate distinct count for a column from the current
+        snapshot's registered statistics (None if not analyzed)."""
+        f = self.schema().find_field(column)
+        snap = self.current_snapshot()
+        if f is None or snap is None:
+            return None
+        for entry in self.metadata.statistics:
+            if entry.get("snapshot-id") != snap.snapshot_id:
+                continue
+            for blob in entry.get("blob-metadata", []):
+                if blob.get("fields") == [f.field_id]:
+                    return int(blob["properties"]["ndv"])
+        return None
 
     def remove_orphan_files(self, older_than_ms: Optional[int] = None,
                             dry_run: bool = False) -> list[str]:

@@ -268,6 +268,31 @@ class TestScanExtras:
         assert tbl.num_rows == lineitem.filter("l_orderkey < 5").count()
 
 
+class TestAnalyzeAndZorder:
+    def test_compute_statistics_ndv(self, spark, lineitem, li_table):
+        li_table.compute_statistics()
+        assert li_table.ndv("l_returnflag") == 3
+        actual = lineitem.select("l_orderkey").distinct().count()
+        ndv = li_table.ndv("l_orderkey")
+        assert abs(ndv - actual) / actual < 0.15  # HLL approximation
+        assert li_table.ndv("no_such_column") is None
+        # registered on the snapshot, survives metadata round-trip
+        assert li_table.metadata.statistics[0]["snapshot-id"] == \
+            li_table.current_snapshot().snapshot_id
+
+    def test_zorder_prunes_both_dimensions(self, spark, lineitem, li_table):
+        # before: single append → no per-column clustering on l_partkey
+        li_table.rewrite_data_files(target_file_count=8,
+                                    zorder_by=["l_orderkey", "l_partkey"])
+        n_all = len(li_table.scan().plan_files())
+        by_ok = len(li_table.scan(
+            filter=ex.lt(ex.Reference("l_orderkey"), 100)).plan_files())
+        by_pk = len(li_table.scan(
+            filter=ex.lt(ex.Reference("l_partkey"), 50)).plan_files())
+        assert by_ok < n_all and by_pk < n_all
+        assert li_table.to_df().count() == lineitem.count()
+
+
 class TestNestedTypes:
     def test_struct_array_map_roundtrip(self, spark, tmp_loc):
         df = spark.range(100).select(
