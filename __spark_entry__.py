@@ -764,6 +764,42 @@ def ice_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark SQL over the table: register the scan as a temp view and run
+    a windowed SQL query against it."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "sqlv")
+    t.append(li)
+    t.create_or_replace_view("ice_li_view")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus, n, rnk FROM (
+          SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                 RANK() OVER (PARTITION BY l_returnflag ORDER BY COUNT(*) DESC,
+                              l_linestatus) AS rnk
+          FROM ice_li_view GROUP BY l_returnflag, l_linestatus)
+        WHERE rnk <= 2
+    """)
+
+
+def ice_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """z-order compaction: rewrite clustered on (l_orderkey, l_partkey),
+    then a filtered aggregate — results must be unchanged by the rewrite
+    (pruning improvements are asserted in tests)."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "zo")
+    t.append(li)
+    t.rewrite_data_files(target_file_count=8,
+                         zorder_by=["l_orderkey", "l_partkey"])
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    return (
+        t.scan(filter=ex.lt(ex.Reference("l_partkey"), 1000)).to_df()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+    )
+
+
 def ice_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot changelog (CDC): per-commit insert/delete rows diffed
     from manifests; merge-on-read deletes surface as delete rows."""
@@ -1025,6 +1061,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_partition_evolution": ice_partition_evolution,
         "ice_changelog": ice_changelog,
         "ice_datasource": ice_datasource,
+        "ice_sql_view": ice_sql_view,
+        "ice_zorder": ice_zorder,
         "stream_hourly": stream_hourly,
         # LLM pipeline
         "dedup_exact": dedup_exact,
@@ -1430,6 +1468,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, COUNT(*) AS n,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
             FROM lineitem WHERE l_quantity > 40 GROUP BY l_returnflag
+        """,
+        "ice_sql_view": """
+            SELECT l_returnflag, l_linestatus, n, rnk FROM (
+              SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                     RANK() OVER (PARTITION BY l_returnflag ORDER BY COUNT(*) DESC,
+                                  l_linestatus) AS rnk
+              FROM lineitem GROUP BY l_returnflag, l_linestatus)
+            WHERE rnk <= 2
+        """,
+        "ice_zorder": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem WHERE l_partkey < 1000 GROUP BY l_returnflag
         """,
         "multimodal_metadata": """
             SELECT CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'audio/wav'

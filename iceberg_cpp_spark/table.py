@@ -1404,6 +1404,13 @@ class IceTable:
         )
         return self._commit(new_meta, MAIN_BRANCH, meta.current_snapshot())
 
+    def create_or_replace_view(self, name: str) -> "IceTable":
+        """Register the table's current state as a Spark SQL temp view so
+        the full SQL surface (joins, windows, CTEs...) runs against it:
+        ``t.create_or_replace_view("li"); spark.sql("SELECT ... FROM li")``."""
+        self.to_df().createOrReplaceTempView(name)
+        return self
+
     def refresh(self) -> "IceTable":
         if self.catalog is not None:
             self.metadata, self.metadata_location = self.catalog.load_metadata(self.identifier)
