@@ -747,6 +747,7 @@ def ice_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a pushed filter pruning files."""
     from iceberg_cpp_spark.sources.spark_datasource import IcebergCppDataSource
 
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     try:
         spark.dataSource.register(IcebergCppDataSource)
     except Exception:

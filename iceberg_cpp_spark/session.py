@@ -48,6 +48,7 @@ def configure_existing(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.parquet.fieldId.write.enabled", "true"),
         ("spark.sql.parquet.fieldId.read.enabled", "true"),
+        ("spark.sql.python.filterPushdown.enabled", "true"),
     ]:
         try:
             spark.conf.set(k, v)

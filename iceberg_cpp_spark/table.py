@@ -561,6 +561,12 @@ class IceTable:
         self.metadata_location = metadata_location
         self.catalog = catalog
         self.spark = spark
+        if spark is not None:
+            # field-ID parquet read/write etc. are required for correct
+            # table behavior regardless of who built the session
+            from iceberg_cpp_spark.session import configure_existing
+
+            configure_existing(spark)
 
     # --- accessors (table.h:58-129) -------------------------------------
     def schema(self) -> it.Schema:
