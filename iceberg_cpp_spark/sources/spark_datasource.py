@@ -172,44 +172,91 @@ class IcebergCppReader(DataSourceReader):
 
 
 class IcebergCppWriter(DataSourceArrowWriter):
+    """Fanout writer: each executor splits its Arrow batches by
+    partition tuple (the table's transforms applied per batch) and
+    streams one parquet file per live partition; the driver commits ONE
+    snapshot from all commit messages (AppendFiles two-phase shape,
+    transaction.h:31-51)."""
+
     def __init__(self, options, overwrite: bool):
         self.options = options
         self.overwrite = overwrite
         table = _load_table(options)  # driver-side validation
-        if table.spec().fields:
-            raise ValueError(
-                "icecpp writer supports unpartitioned tables; use "
-                "IceTable.append for partitioned writes")
         self.location = table.location()
         schema = table.schema()
         self.field_ids = {f.name: f.field_id for f in schema.fields}
+        # picklable partition recipe: (partition name, source column,
+        # transform string, source IcebergType)
+        self.part_fields = []
+        for pf in table.spec().fields:
+            src = schema.find_field_by_id(pf.source_id)
+            self.part_fields.append(
+                (pf.name, src.name, str(pf.transform), src.field_type))
         self.write_dir = os.path.join(
             self.location, "data", uuid_mod.uuid4().hex)
 
+    def _partition_codes(self, batch):
+        """Per-row partition tuples for one arrow batch."""
+        from iceberg_cpp_spark.functions.transforms import from_string
+
+        cols = []
+        for _name, src, tstr, stype in self.part_fields:
+            t = from_string(tstr)
+            vals = batch.column(src).to_pylist()
+            cols.append([t.pyvalue(v, stype) for v in vals])
+        return list(zip(*cols)) if cols else [()] * batch.num_rows
+
+    def _arrow_schema(self, batch):
+        import pyarrow as pa
+
+        fields = []
+        for f in batch.schema:
+            fid = self.field_ids.get(f.name)
+            md = {b"PARQUET:field_id": str(fid).encode()} if fid else None
+            fields.append(pa.field(f.name, f.type, f.nullable, metadata=md))
+        return pa.schema(fields)
+
     def write(self, iterator) -> FilesCommit:
-        """Executor-side: stream Arrow batches into one parquet file with
-        Iceberg field-id metadata (so field-id based reads resolve)."""
+        """Executor-side: one open ParquetWriter per partition tuple."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         os.makedirs(self.write_dir, exist_ok=True)
-        path = os.path.join(self.write_dir, f"part-{uuid_mod.uuid4().hex}.parquet")
-        writer = None
-        n = 0
+        writers: dict = {}  # partition tuple -> (path, ParquetWriter, n)
+        schema = None
         for batch in iterator:
-            if writer is None:
-                fields = []
-                for f in batch.schema:
-                    fid = self.field_ids.get(f.name)
-                    md = {b"PARQUET:field_id": str(fid).encode()} if fid else None
-                    fields.append(pa.field(f.name, f.type, f.nullable, metadata=md))
-                schema = pa.schema(fields)
-                writer = pq.ParquetWriter(path, schema, compression="zstd")
-            writer.write_batch(batch.cast(writer.schema))
-            n += batch.num_rows
-        if writer is not None:
-            writer.close()
-        return FilesCommit(paths=[path] if n else [])
+            if schema is None:
+                schema = self._arrow_schema(batch)
+            batch = batch.cast(schema)
+            if not self.part_fields:
+                groups = {(): batch}
+            else:
+                codes = self._partition_codes(batch)
+                idx: dict = {}
+                for i, key in enumerate(codes):
+                    idx.setdefault(key, []).append(i)
+                groups = {k: batch.take(pa.array(v)) for k, v in idx.items()}
+            for key, part in groups.items():
+                if key not in writers:
+                    path = os.path.join(
+                        self.write_dir, f"part-{uuid_mod.uuid4().hex}.parquet")
+                    writers[key] = [path, pq.ParquetWriter(
+                        path, schema, compression="zstd"), 0]
+                ent = writers[key]
+                if isinstance(part, pa.Table):
+                    for b in part.to_batches():
+                        ent[1].write_batch(b)
+                else:
+                    ent[1].write_batch(part)
+                ent[2] += part.num_rows
+        out = []
+        pnames = [p[0] for p in self.part_fields]
+        for key, (path, w, n) in writers.items():
+            w.close()
+            if n:
+                out.append({"path": path,
+                            "partition": dict(zip(pnames, key))})
+        return FilesCommit(paths=out)
 
     def commit(self, messages) -> None:
         """Driver-side: ONE snapshot for all executor files (two-phase
@@ -219,16 +266,19 @@ class IcebergCppWriter(DataSourceArrowWriter):
         from iceberg_cpp_spark.core.metrics import collect_metrics
 
         table = _load_table(self.options)
-        paths = sorted(p for m in messages if m for p in m.paths)
-        if not paths:
+        entries = sorted((e for m in messages if m for e in m.paths),
+                         key=lambda e: e["path"])
+        if not entries:
             return
-        metrics = collect_metrics(None, paths, table.schema())
+        metrics = collect_metrics(None, [e["path"] for e in entries],
+                                  table.schema())
         files = []
-        for p in paths:
+        for e in entries:
+            p = e["path"]
             m = metrics[p]
             files.append(mf.DataFile(
                 content=mf.CONTENT_DATA, file_path=p, file_format="parquet",
-                partition={}, record_count=m["record_count"],
+                partition=e.get("partition", {}), record_count=m["record_count"],
                 file_size_in_bytes=os.path.getsize(p),
                 column_sizes=m.get("column_sizes", {}),
                 value_counts=m.get("value_counts", {}),
@@ -246,9 +296,9 @@ class IcebergCppWriter(DataSourceArrowWriter):
         for m in messages:
             if not m:
                 continue
-            for p in m.paths:
+            for e in m.paths:
                 try:
-                    os.remove(p)
+                    os.remove(e["path"] if isinstance(e, dict) else e)
                 except OSError:
                     pass
 

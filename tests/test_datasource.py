@@ -101,17 +101,30 @@ class TestWrite:
         lineitem.limit(10).write.format("icecpp").mode("overwrite").save(loc)
         assert registered.read.format("icecpp").load(loc).count() == 10
 
-    def test_partitioned_write_rejected(self, registered, lineitem, tmp_loc):
+    def test_partitioned_fanout_write(self, registered, lineitem, tmp_loc):
+        """the executor-side fanout writer computes partition tuples with
+        the table's transforms; resulting files prune like library-written
+        ones."""
+        import datetime as dt
+
         from iceberg_cpp_spark.core.metadata import PartitionField, PartitionSpec
         from iceberg_cpp_spark.functions import transforms as tr
 
         schema = schema_from_spark(lineitem.schema)
         sd = schema.find_field("l_shipdate")
         loc = os.path.join(tmp_loc, "pw")
-        IceTable.create(registered, loc, schema, spec=PartitionSpec(
+        t = IceTable.create(registered, loc, schema, spec=PartitionSpec(
             [PartitionField(sd.field_id, 1000, "m", tr.MonthTransform())]))
-        with pytest.raises(Exception, match="unpartitioned"):
-            lineitem.limit(5).write.format("icecpp").mode("append").save(loc)
+        lineitem.write.format("icecpp").mode("append").save(loc)
+        t.refresh()
+        assert t.to_df().count() == lineitem.count()
+        flt = (ex.gt_eq(ex.Reference("l_shipdate"), dt.datetime(1996, 1, 1))
+               & ex.lt(ex.Reference("l_shipdate"), dt.datetime(1996, 2, 1)))
+        pruned = t.scan(filter=flt).plan_files()
+        assert 0 < len(pruned) < len(t.scan().plan_files())
+        exp = lineitem.filter(
+            "l_shipdate >= '1996-01-01' and l_shipdate < '1996-02-01'").count()
+        assert t.scan(filter=flt).to_df().count() == exp
 
 
 class TestStreamRead:
