@@ -945,6 +945,41 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.analyze_documents(docs)
 
 
+def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed KMeans over the embeddings table (iterative MLlib —
+    not SQL-expressible; rows-only check)."""
+    from iceberg_cpp_spark.operators.similarity import kmeans_clusters
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cl = kmeans_clusters(emb, k=8)
+    return cl.groupBy("cluster").agg(F.count("*").alias("n")).orderBy("cluster")
+
+
+def dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure fuzzy dedup: LSH nominates pairs, exact
+    Jaccard verifies, connected components picks ONE survivor per
+    duplicate cluster (iterative label propagation; rows-only)."""
+    from iceberg_cpp_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature_udf(64, 3)
+    with_sig = docs.select("doc_id", sig(F.col("text")).alias("_sig"))
+    r = 64 // 16
+    band_hashes = F.array(*[
+        F.xxhash64(F.concat_ws(",", F.slice("_sig", i * r + 1, r).cast("array<string>")))
+        for i in range(16)
+    ])
+    banded = with_sig.select("doc_id", F.posexplode(band_hashes).alias("_band", "_bucket"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("_band", "_bucket")
+    pairs = (banded.withColumn("_rep", F.min("doc_id").over(w))
+             .filter(F.col("doc_id") > F.col("_rep"))
+             .select(F.col("_rep").alias("id_a"), F.col("doc_id").alias("id_b"))
+             .distinct())
+    return dedup.transitive_dedup(docs, pairs).select("doc_id").orderBy("doc_id")
+
+
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal column plumbing, JVM-side half: binary payload +
     content-address (sha256), byte size, magic-byte mime sniff — all
@@ -1077,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "multimodal_metadata": multimodal_metadata,
         "multimodal_decode": multimodal_decode,
+        "embedding_clusters": embedding_clusters,
+        "dedup_transitive": dedup_transitive,
     }
 
 

@@ -285,3 +285,41 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding", id_col: str = "ve
         .distinct()
     )
     return df.join(dup_ids, on=id_col, how="left_anti")
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over a duplicate-pair graph by min-label
+    propagation (iterative; converges in O(component diameter) rounds,
+    each one join + one aggregation — no driver-side graph). Returns
+    (id, component) where component = min id in the component."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=False)
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("comp", F.col("id")))
+    for _ in range(max_iter):
+        prop = (edges.join(labels, edges.src == labels.id)
+                .select(F.col("dst").alias("id"), F.col("comp")))
+        new_labels = (labels.union(prop)
+                      .groupBy("id").agg(F.min("comp").alias("comp"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter("n.comp <> o.comp").count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def transitive_dedup(df: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Keep ONE representative (min id) per connected component of the
+    duplicate-pair graph — the transitive closure bucket-min LSH alone
+    does not give (A~B, B~C but A≁C still collapses to one survivor)."""
+    comps = connected_components(pairs)
+    drop = comps.filter(F.col("id") != F.col("comp")) \
+                .select(F.col("id").alias(id_col))
+    return df.join(drop, on=id_col, how="left_anti")

@@ -135,3 +135,25 @@ def ivf_topk(indexed: DataFrame, centroids: np.ndarray, queries: DataFrame,
         cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kmeans_clusters(df: DataFrame, k: int = 8, vec_col: str = "embedding",
+                    id_col: str = "vec_id", seed: int = 42,
+                    max_iter: int = 10) -> DataFrame:
+    """Embedding clustering via MLlib's distributed Lloyd's KMeans
+    (iterative — the class of algorithm the reference cannot express).
+    Returns (id, cluster). Also the natural coarse quantizer for IVF:
+    the fitted centers can seed ``ivf_topk``.
+
+    Scale shape: each iteration is one map (assign) + one reduce
+    (recenter) over the data; k centers broadcast; no driver-side rows.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+    return (model.transform(feat)
+            .select(id_col, F.col("prediction").alias("cluster")))

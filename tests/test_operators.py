@@ -222,3 +222,41 @@ class TestStreaming:
         batch = ev.groupBy(F.window("ts", "1 hour"), "event_type").count()
         assert got["n"] == batch.count()
         assert got["tot"] == ev.count()
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        from iceberg_cpp_spark.operators.dedup import (
+            connected_components, transitive_dedup)
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+        comps = {r["id"]: r["comp"]
+                 for r in connected_components(pairs).collect()}
+        assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+        docs = spark.createDataFrame(
+            [(i,) for i in [1, 2, 3, 4, 5, 10, 11]], "doc_id long")
+        kept = sorted(r["doc_id"]
+                      for r in transitive_dedup(docs, pairs).collect())
+        assert kept == [1, 5, 10]
+
+    def test_empty_pairs(self, spark):
+        from iceberg_cpp_spark.operators.dedup import transitive_dedup
+
+        docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        assert transitive_dedup(docs, pairs).count() == 2
+
+
+class TestKMeans:
+    def test_clusters_cover_all_rows(self, spark, embeddings):
+        from iceberg_cpp_spark.operators.similarity import kmeans_clusters
+
+        cl = kmeans_clusters(embeddings, k=5)
+        assert cl.count() == embeddings.count()
+        ks = {r["cluster"] for r in cl.select("cluster").distinct().collect()}
+        assert ks <= set(range(5)) and len(ks) >= 2
+        # deterministic under a fixed seed
+        cl2 = kmeans_clusters(embeddings, k=5)
+        assert cl.subtract(cl2).count() == 0
