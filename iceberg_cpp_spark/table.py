@@ -640,6 +640,24 @@ class IceTable:
             return self.spark.createDataFrame([], "manifest_path string")
         return self.spark.read.parquet(snap.manifest_list)
 
+    def partitions_df(self) -> DataFrame:
+        """Per-partition row/file counts (the `partitions` metadata
+        table): aggregated from manifest entries, no data read."""
+        tasks = self.scan().plan_files()
+        rows = [(mf.partition_to_json(t.partition,
+                                      self.metadata.spec_by_id(t.spec_id)
+                                      or PartitionSpec.unpartitioned(),
+                                      self.schema()),
+                 t.spec_id, t.record_count, t.file_size_in_bytes)
+                for t in tasks]
+        df = self.spark.createDataFrame(
+            rows, "partition string, spec_id int, record_count long, "
+                  "file_size_in_bytes long")
+        return (df.groupBy("partition", "spec_id")
+                .agg(F.count("*").alias("file_count"),
+                     F.sum("record_count").alias("record_count"),
+                     F.sum("file_size_in_bytes").alias("total_size_bytes")))
+
     def snapshots_df(self) -> DataFrame:
         rows = [
             (s.snapshot_id, s.parent_snapshot_id, s.sequence_number, s.timestamp_ms,
@@ -765,6 +783,66 @@ class IceTable:
         if not files:
             return self
         return self._commit_files(files, operation=DataOperation.DELETE, branch=branch)
+
+    def rewrite_manifests(self, entries_per_manifest: int = 100_000,
+                          branch: str = MAIN_BRANCH) -> "IceTable":
+        """Manifest compaction (reference commit.manifest.*,
+        table_properties.h:97-100): consolidate many small manifests
+        into few large ones — same data files, new metadata. Scan
+        planning cost is proportional to manifest count, so this is the
+        maintenance op that keeps 10^5-commit tables plannable."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return self
+        meta = self.metadata
+        schema = self.schema()
+        meta_dir = os.path.join(meta.location, "metadata")
+        mfmt = meta.properties.get("write.metadata.manifest-format", "parquet")
+        snapshot_id = random.getrandbits(62)
+
+        by_group: dict[tuple, list] = {}
+        for m in mf.read_manifest_list(snap.manifest_list):
+            spec = meta.spec_by_id(m.partition_spec_id) or PartitionSpec.unpartitioned()
+            for e in mf.read_manifest(m.manifest_path, spec, schema, manifest=m):
+                if e.is_live:
+                    by_group.setdefault((m.partition_spec_id, m.content), []).append(e)
+
+        lw = mf.ManifestListWriter(
+            self.location_provider().new_manifest_list_path(
+                meta_dir, snapshot_id, ext=mfmt),
+            snapshot_id, snap.sequence_number, format=mfmt,
+            parent_snapshot_id=snap.snapshot_id)
+        for (spec_id, content), entries in sorted(by_group.items()):
+            spec = meta.spec_by_id(spec_id) or PartitionSpec.unpartitioned()
+            for i in range(0, len(entries), entries_per_manifest):
+                w = mf.ManifestWriter(
+                    self.location_provider().new_manifest_path(meta_dir, ext=mfmt),
+                    spec, schema, snapshot_id, content=content, format=mfmt)
+                for e in entries[i:i + entries_per_manifest]:
+                    w.add(mf.ManifestEntry(
+                        status=mf.STATUS_EXISTING, data_file=e.data_file,
+                        snapshot_id=e.snapshot_id,
+                        sequence_number=e.sequence_number,
+                        file_sequence_number=e.file_sequence_number))
+                lw.add(w.close())
+        lw.close()
+
+        new_snap = Snapshot(
+            snapshot_id=snapshot_id,
+            sequence_number=meta.last_sequence_number + 1,
+            timestamp_ms=int(time.time() * 1000),
+            manifest_list=lw.path,
+            summary=dict(snap.summary or {}, operation=DataOperation.REPLACE),
+            parent_snapshot_id=snap.snapshot_id,
+            schema_id=meta.current_schema_id,
+        )
+        from iceberg_cpp_spark.core.updates import TableMetadataBuilder
+
+        b = TableMetadataBuilder.build_from(meta)
+        b.add_snapshot(new_snap)
+        b.set_ref(branch, snapshot_id)
+        new_meta, _u, reqs = b.build()
+        return self._commit(new_meta, branch, snap, requirements=reqs)
 
     def merge_into(self, source: DataFrame, on: list[str],
                    when_matched: Optional[str] = "update",

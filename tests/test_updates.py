@@ -288,3 +288,41 @@ class TestTableMaintenance:
         assert t.to_df().count() == 15              # published
         with pytest.raises(ValueError, match="ref not found"):
             t.fast_forward("main", "nope")
+
+    def test_rewrite_manifests(self, spark, lineitem, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core import manifests as mf
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "rm"),
+                            schema_from_spark(lineitem.schema))
+        for i in range(1, 5):
+            t.append(lineitem.filter(F.col("l_linenumber") == i))
+        n0 = t.to_df().count()
+        before = len(mf.read_manifest_list(t.current_snapshot().manifest_list))
+        old_snap = t.current_snapshot().snapshot_id
+        t.rewrite_manifests()
+        after = len(mf.read_manifest_list(t.current_snapshot().manifest_list))
+        assert after < before
+        assert t.to_df().count() == n0
+        # data files untouched; old snapshot still scans
+        assert t.scan(snapshot_id=old_snap).to_df().count() == n0
+        assert t.current_snapshot().summary["operation"] == "replace"
+
+    def test_partitions_df(self, spark, lineitem, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.metadata import PartitionField, PartitionSpec
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.functions import transforms as tr
+
+        schema = schema_from_spark(lineitem.schema)
+        f = schema.find_field("l_linenumber")
+        t = IceTable.create(
+            spark, os.path.join(tmp_loc, "pd"), schema,
+            spec=PartitionSpec([PartitionField(f.field_id, 1000, "ln",
+                                               tr.IdentityTransform())]))
+        t.append(lineitem)
+        pdf = t.partitions_df()
+        n_parts = lineitem.select("l_linenumber").distinct().count()
+        assert pdf.count() == n_parts
+        assert pdf.agg(F.sum("record_count")).first()[0] == lineitem.count()
