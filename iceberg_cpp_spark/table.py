@@ -1122,11 +1122,21 @@ class IceTable:
                 col = pf.transform.spark_column(F.col(src.name), src.field_type)
                 df = df.withColumn(_PART_PREFIX + pf.name, col)
                 part_names.append(_PART_PREFIX + pf.name)
-            df = df.repartition(*[F.col(n) for n in part_names])
+            # range-partition on (partition cols, source col) rather than
+            # hash on partition cols alone: a hash pins each partition to
+            # ONE task, which serializes (and can OOM) a hot partition at
+            # scale; ranges keep partition-locality while splitting large
+            # partitions across tasks
+            tiebreak = [schema.find_field_by_id(pf.source_id).name
+                        for pf in spec.fields]
+            df = df.repartitionByRange(*(part_names + tiebreak))
             df = self._apply_sort_order(df, schema)
             writer = df.write.partitionBy(*part_names)
         else:
             writer = self._apply_sort_order(df, schema).write
+        max_records = self.properties().get("write.target-max-records-per-file")
+        if max_records:
+            writer = writer.option("maxRecordsPerFile", int(max_records))
         writer.mode("overwrite").parquet(write_dir)
 
         paths = []

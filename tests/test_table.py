@@ -293,6 +293,19 @@ class TestAnalyzeAndZorder:
         assert li_table.to_df().count() == lineitem.count()
 
 
+class TestWriteSizing:
+    def test_max_records_per_file(self, spark, lineitem, tmp_loc):
+        t = IceTable.create(
+            spark, os.path.join(tmp_loc, "mr"),
+            schema_from_spark(lineitem.schema),
+            properties={"write.target-max-records-per-file": "1000"})
+        t.append(lineitem.coalesce(1))
+        tasks = t.scan().plan_files()
+        assert len(tasks) >= 6  # 6000 rows / 1000 cap
+        assert all(task.record_count <= 1000 for task in tasks)
+        assert t.to_df().count() == lineitem.count()
+
+
 class TestNestedTypes:
     def test_struct_array_map_roundtrip(self, spark, tmp_loc):
         df = spark.range(100).select(
