@@ -80,8 +80,14 @@ def file_metrics(path: str, fields: dict[str, tuple[int, it.IcebergType]]) -> di
             if st.null_count is not None:
                 null_counts[fid] = null_counts.get(fid, 0) + st.null_count
             if st.has_min_max and bounds_ok.get(fid, True):
-                lo = _stat_value(st.min, t)
-                hi = _stat_value(st.max, t)
+                try:
+                    lo = _stat_value(st.min, t)
+                    hi = _stat_value(st.max, t)
+                except Exception:
+                    # pyarrow can't cast some logical-type stats (e.g.
+                    # decimal): decode the raw physical values directly
+                    lo = _raw_stat_value(st.min_raw, t)
+                    hi = _raw_stat_value(st.max_raw, t)
                 if lo is None or hi is None:
                     bounds_ok[fid] = False
                 else:
@@ -117,6 +123,21 @@ def file_metrics(path: str, fields: dict[str, tuple[int, it.IcebergType]]) -> di
         "lower_bounds": lower_bounds,
         "upper_bounds": upper_bounds,
     }
+
+
+def _raw_stat_value(raw: Any, t: it.IcebergType) -> Any:
+    """Physical-value statistics → python value. Decimals arrive as
+    big-endian two's-complement unscaled bytes (FLBA) or plain ints
+    (int32/int64 physical)."""
+    if raw is None:
+        return None
+    if isinstance(t, it.DecimalType):
+        from decimal import Decimal
+
+        unscaled = (int.from_bytes(raw, "big", signed=True)
+                    if isinstance(raw, (bytes, bytearray)) else int(raw))
+        return Decimal(unscaled).scaleb(-t.scale)
+    return _stat_value(raw, t)
 
 
 def _lt(a: Any, b: Any) -> bool:

@@ -293,6 +293,31 @@ class TestAnalyzeAndZorder:
         assert li_table.to_df().count() == lineitem.count()
 
 
+class TestDecimalColumns:
+    def test_decimal_roundtrip_and_pruning(self, spark, tmp_loc):
+        """Regression: pyarrow cannot cast decimal footer statistics —
+        metrics must fall back to raw physical decode, keeping
+        bounds-based file pruning alive for decimal columns."""
+        from decimal import Decimal
+
+        df = spark.range(1000).select(
+            F.col("id"),
+            (F.col("id").cast("decimal(12,2)")
+             * F.lit("1.50").cast("decimal(4,2)"))
+            .cast("decimal(14,2)").alias("amount"))
+        t = IceTable.create(spark, os.path.join(tmp_loc, "dec"),
+                            schema_from_spark(df.schema))
+        t.append(df.orderBy("id").coalesce(4).sortWithinPartitions("id"))
+        assert t.to_df().count() == 1000
+        got = t.scan(filter=ex.lt(ex.Reference("amount"),
+                                  Decimal("150.00"))).to_df().count()
+        assert got == 100
+        # bounds present -> file-level pruning works on the decimal col
+        pruned = t.scan(filter=ex.lt(ex.Reference("amount"),
+                                     Decimal("0.75"))).plan_files()
+        assert len(pruned) < len(t.scan().plan_files())
+
+
 class TestWriteSizing:
     def test_max_records_per_file(self, spark, lineitem, tmp_loc):
         t = IceTable.create(
