@@ -28,6 +28,12 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamp semantics (year()/date_trunc/grouping) must match the
+    # DuckDB oracle regardless of the caller session's local timezone
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
