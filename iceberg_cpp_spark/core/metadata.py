@@ -395,6 +395,12 @@ class TableMetadata:
         sort_orders = [SortOrder.from_json(s) for s in j.get("sort-orders", [])]
         if fv >= 2 and "sort-orders" not in j:
             raise ValueError("missing sort orders")
+        # v2 requires explicit partition-specs and last-partition-id
+        # (reference json_internal.cc / table_metadata_test expectations)
+        if fv >= 2 and "partition-specs" not in j:
+            raise ValueError("missing partition specs")
+        if fv >= 2 and "last-partition-id" not in j:
+            raise ValueError("missing last-partition-id")
         cs = j.get("current-snapshot-id", -1)
         return TableMetadata(
             format_version=fv,
