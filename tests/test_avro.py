@@ -151,6 +151,38 @@ def _datafile(i, part=None):
     )
 
 
+class TestV1NameMapping:
+    def test_v1_field_names_resolve_by_id(self, tmp_loc):
+        """v1 manifests name the count columns differently
+        (added_data_files_count, id 504); the adapter maps by field-id,
+        so names must not matter."""
+        schema = {
+            "type": "record", "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string", "field-id": 500},
+                {"name": "manifest_length", "type": "long", "field-id": 501},
+                {"name": "partition_spec_id", "type": "int", "field-id": 502},
+                {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+                {"name": "added_data_files_count", "type": "int", "field-id": 504},
+                {"name": "existing_data_files_count", "type": "int", "field-id": 505},
+                {"name": "deleted_data_files_count", "type": "int", "field-id": 506},
+            ],
+        }
+        rec = {"manifest_path": "/m/x.avro", "manifest_length": 9,
+               "partition_spec_id": 0, "added_snapshot_id": 7,
+               "added_data_files_count": 3, "existing_data_files_count": 1,
+               "deleted_data_files_count": 0}
+        path = os.path.join(tmp_loc, "v1.avro")
+        av.write_avro(path, schema, [rec])
+        back = av.manifest_list_from_avro(path)
+        assert back[0].added_files_count == 3
+        assert back[0].existing_files_count == 1
+        assert back[0].added_snapshot_id == 7
+        # v2-only fields default sanely
+        assert back[0].content == mf.MANIFEST_CONTENT_DATA
+        assert back[0].sequence_number == 0
+
+
 class TestAvroManifestWriter:
     def test_roundtrip_unpartitioned(self, tmp_loc):
         schema = _schema()
