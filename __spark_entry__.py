@@ -1483,7 +1483,17 @@ def oracle_sql() -> dict[str, str]:
               ANTI JOIN src s
                 ON s.l_orderkey = t.l_orderkey
                AND s.l_linenumber = t.l_linenumber),
-            merged AS (SELECT * FROM kept UNION ALL SELECT * FROM src)
+            updated AS (
+              SELECT s.* FROM lineitem t
+              JOIN src s ON s.l_orderkey = t.l_orderkey
+                        AND s.l_linenumber = t.l_linenumber),
+            inserted AS (
+              SELECT s.* FROM src s
+              ANTI JOIN lineitem t
+                ON s.l_orderkey = t.l_orderkey
+               AND s.l_linenumber = t.l_linenumber),
+            merged AS (SELECT * FROM kept UNION ALL SELECT * FROM updated
+                       UNION ALL SELECT * FROM inserted)
             SELECT l_returnflag, COUNT(*) AS n,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM merged GROUP BY l_returnflag

@@ -77,6 +77,30 @@ def append_stream(stream_df, table: IceTable, checkpoint_dir: str,
     return writer.start()
 
 
+def upsert_stream(stream_df, table: IceTable, on: list[str],
+                  checkpoint_dir: str,
+                  trigger_available_now: bool = True):
+    """Streaming MERGE INTO (the CDC-apply pattern): each micro-batch is
+    deduplicated on the merge keys (last row wins within the batch) and
+    upserted into the table as one copy-on-write snapshot."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = Window.partitionBy(*on).orderBy(F.monotonically_increasing_id().desc())
+        deduped = (batch_df.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+        table.merge_into(deduped, on=on)
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch) \
+        .option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_events(spark, source_dir: str, schema: str,
                   ts_col: str = "ts", value_col: str = "value",
                   window: str = "1 hour", watermark: str = "2 hours",

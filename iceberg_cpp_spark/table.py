@@ -903,8 +903,11 @@ class IceTable:
         affected_df = self._read_files_with_deletes(affected)
         parts = [affected_df.join(keys, on, "left_anti")]  # unmatched rows kept
         if when_matched == "update":
-            # matched source rows replace the target rows (UPDATE SET *)
-            parts.append(src.join(affected_df.select(*on).distinct(), on, "left_semi"))
+            # SQL MERGE semantics: EVERY matched target row becomes the
+            # matching source row (duplicate target keys each update;
+            # source keys must be unique per the MERGE cardinality rule)
+            parts.append(
+                affected_df.select(*on).join(src, on, "inner").select(*cols))
         if inserts is not None:
             parts.append(inserts)
         merged = parts[0]

@@ -132,6 +132,7 @@ class TestCowWithMorInteraction:
                               mode="merge-on-read")
         alive = li_table.to_df().count()
         src = (lineitem.filter("l_orderkey <= 100 and l_returnflag <> 'R'")
+               .dropDuplicates(["l_orderkey", "l_linenumber"])
                .withColumn("l_returnflag", F.lit("Z")))
         li_table.merge_into(src, on=["l_orderkey", "l_linenumber"],
                             when_not_matched=None)

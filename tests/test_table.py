@@ -119,16 +119,21 @@ class TestMutations:
         assert li_table.current_snapshot().snapshot_id == before
 
     def test_merge_into_upsert(self, spark, lineitem, li_table):
+        # source keys must be unique (MERGE cardinality rule); the
+        # synthetic lineitem has duplicate (orderkey, linenumber) pairs
         n0 = lineitem.count()
         upd = (lineitem.filter("l_orderkey <= 100")
+               .dropDuplicates(["l_orderkey", "l_linenumber"])
                .withColumn("l_returnflag", F.lit("Z")))
         n_upd = upd.count()
+        n_matched = lineitem.filter("l_orderkey <= 100").count()
         ins = upd.withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000)
         li_table.merge_into(upd.unionByName(ins),
                             on=["l_orderkey", "l_linenumber"])
         got = li_table.to_df()
+        # every matched target row updates (duplicate-keyed rows too)
         assert got.count() == n0 + n_upd
-        assert got.filter("l_returnflag = 'Z'").count() == 2 * n_upd
+        assert got.filter("l_returnflag = 'Z'").count() == n_matched + n_upd
         # unmatched rows untouched
         assert got.filter("l_orderkey > 100 and l_orderkey < 10000000 "
                           "and l_returnflag = 'Z'").count() == 0
@@ -403,6 +408,44 @@ class TestStreamingAppend:
         assert len(appends) >= 2
         # incremental read across the streamed snapshots sees all rows
         assert incremental_read(t, from_snapshot_id=None).count() == 200
+
+
+class TestUpsertStream:
+    def test_streaming_merge_applies_upserts(self, spark, lineitem, tmp_loc):
+        from iceberg_cpp_spark.streaming.incremental import upsert_stream
+
+        base = lineitem.select("l_orderkey", "l_linenumber", "l_quantity",
+                               "l_returnflag").filter("l_orderkey <= 200")
+        t = IceTable.create(spark, os.path.join(tmp_loc, "u"),
+                            schema_from_spark(base.schema))
+        t.append(base)
+        n0 = base.count()
+
+        # source stream: updates for existing keys + brand-new keys
+        # (keys hash-split across files so each key arrives exactly once)
+        upd = (base.filter("l_orderkey <= 50")
+               .dropDuplicates(["l_orderkey", "l_linenumber"])
+               .withColumn("l_returnflag", F.lit("Z")))
+        n_matched = base.filter("l_orderkey <= 50").count()
+        ins = upd.withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000)
+        src_dir = os.path.join(tmp_loc, "src")
+        (upd.unionByName(ins)
+         .repartition(3, F.xxhash64("l_orderkey", "l_linenumber"))
+         .write.parquet(src_dir))
+        schema = spark.read.parquet(src_dir).schema
+
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src_dir))
+        q = upsert_stream(stream, t, on=["l_orderkey", "l_linenumber"],
+                          checkpoint_dir=os.path.join(tmp_loc, "ck"))
+        q.awaitTermination(300)
+
+        got = t.to_df()
+        assert got.count() == n0 + ins.count()
+        assert got.filter("l_returnflag = 'Z'").count() == n_matched + ins.count()
+        # unmatched rows untouched
+        assert got.filter("l_orderkey > 50 and l_orderkey < 10000000 "
+                          "and l_returnflag = 'Z'").count() == 0
 
 
 class TestMetadataTables:
