@@ -1,0 +1,164 @@
+"""Property-based tests (hypothesis) for the pure kernels: single-value
+serde, transforms, murmur3 vectorization parity, expression folding.
+These complement the fixed golden vectors in test_transforms/test_core
+with randomized coverage of the full input domains."""
+
+import datetime as dt
+from decimal import Decimal
+from uuid import UUID
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from iceberg_cpp_spark.core import types as it
+from iceberg_cpp_spark.core.literals import from_bytes, to_bytes
+from iceberg_cpp_spark.functions import murmur3
+from iceberg_cpp_spark.functions import transforms as tr
+from iceberg_cpp_spark.plans import expressions as ex
+
+I32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+I64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+class TestLiteralSerde:
+    @given(I32)
+    @settings(max_examples=60)
+    def test_int_roundtrip(self, v):
+        assert from_bytes(to_bytes(v, it.IntegerType()), it.IntegerType()) == v
+
+    @given(I64)
+    @settings(max_examples=60)
+    def test_long_roundtrip(self, v):
+        assert from_bytes(to_bytes(v, it.LongType()), it.LongType()) == v
+
+    @given(st.text(max_size=80))
+    @settings(max_examples=60)
+    def test_string_roundtrip(self, s):
+        assert from_bytes(to_bytes(s, it.StringType()), it.StringType()) == s
+
+    @given(st.binary(max_size=64))
+    @settings(max_examples=60)
+    def test_binary_roundtrip(self, b):
+        assert from_bytes(to_bytes(b, it.BinaryType()), it.BinaryType()) == b
+
+    @given(st.floats(allow_nan=False, allow_infinity=False, width=64))
+    @settings(max_examples=60)
+    def test_double_roundtrip(self, f):
+        assert from_bytes(to_bytes(f, it.DoubleType()), it.DoubleType()) == f
+
+    @given(st.integers(min_value=-(10**15), max_value=10**15))
+    @settings(max_examples=60)
+    def test_decimal_roundtrip(self, unscaled):
+        t = it.DecimalType(18, 3)
+        v = Decimal(unscaled).scaleb(-3)
+        assert from_bytes(to_bytes(v, t), t) == v
+
+    @given(st.uuids())
+    @settings(max_examples=30)
+    def test_uuid_roundtrip(self, u):
+        got = from_bytes(to_bytes(u, it.UuidType()), it.UuidType())
+        assert got == UUID(str(u))
+
+    @given(st.dates(min_value=dt.date(1, 1, 1), max_value=dt.date(9999, 1, 1)))
+    @settings(max_examples=60)
+    def test_date_roundtrip(self, d):
+        days = (d - dt.date(1970, 1, 1)).days
+        assert from_bytes(to_bytes(d, it.DateType()), it.DateType()) == days
+
+
+class TestTransformProperties:
+    @given(I64, st.integers(min_value=1, max_value=10**6))
+    @settings(max_examples=80)
+    def test_truncate_long_floor(self, v, w):
+        t = tr.TruncateTransform(w)
+        r = t.pyvalue(v, it.LongType())
+        assert r <= v < r + w
+        assert r % w == 0 or (r % w) + w == w  # width-aligned (floor mod)
+        # idempotent
+        assert t.pyvalue(r, it.LongType()) == r
+
+    @given(st.text(max_size=40), st.integers(min_value=1, max_value=20))
+    @settings(max_examples=60)
+    def test_truncate_string_codepoints(self, s, w):
+        r = tr.TruncateTransform(w).pyvalue(s, it.StringType())
+        assert len(r) <= w and s.startswith(r)
+
+    @given(I64, st.integers(min_value=1, max_value=4096))
+    @settings(max_examples=80)
+    def test_bucket_range(self, v, n):
+        b = tr.BucketTransform(n).pyvalue(v, it.LongType())
+        assert 0 <= b < n
+
+    @given(st.text(max_size=40), st.integers(min_value=1, max_value=512))
+    @settings(max_examples=60)
+    def test_bucket_string_range_and_determinism(self, s, n):
+        t = tr.BucketTransform(n)
+        b1 = t.pyvalue(s, it.StringType())
+        b2 = t.pyvalue(s, it.StringType())
+        assert b1 == b2 and 0 <= b1 < n
+
+    @given(st.lists(I64, min_size=1, max_size=50))
+    @settings(max_examples=40)
+    def test_murmur3_vectorized_matches_scalar(self, vals):
+        vec = murmur3.hash_longs_vectorized(np.array(vals, dtype=np.int64))
+        for v, h in zip(vals, vec):
+            assert murmur3.hash_long(v) == int(h)
+
+    @given(st.integers(min_value=-100_000, max_value=100_000))
+    @settings(max_examples=60)
+    def test_day_month_year_consistent(self, days):
+        d = dt.date(1970, 1, 1) + dt.timedelta(days=days)
+        y = tr.YearTransform().pyvalue(d, it.DateType())
+        m = tr.MonthTransform().pyvalue(d, it.DateType())
+        dd = tr.DayTransform().pyvalue(d, it.DateType())
+        assert y == d.year - 1970
+        assert m == (d.year - 1970) * 12 + d.month - 1
+        assert dd == days
+        # month of the year boundary is consistent
+        assert m // 12 == y
+
+    @given(st.one_of(st.none(), I64))
+    @settings(max_examples=20)
+    def test_null_in_null_out(self, v):
+        for t in (tr.BucketTransform(8), tr.TruncateTransform(10),
+                  tr.IdentityTransform(), tr.VoidTransform()):
+            r = t.pyvalue(v, it.LongType())
+            if v is None or isinstance(t, tr.VoidTransform):
+                assert r is None
+
+
+SCHEMA = it.Schema([
+    it.NestedField(1, "a", it.LongType(), required=True),
+    it.NestedField(2, "s", it.StringType()),
+])
+
+
+class TestExpressionFolding:
+    @given(I64)
+    @settings(max_examples=40)
+    def test_double_negation(self, v):
+        p = ex.lt(ex.Reference("a"), v)
+        b = (~(~p)).bind(SCHEMA)
+        assert repr(b) == repr(p.bind(SCHEMA))
+
+    @given(st.lists(I64, min_size=0, max_size=5))
+    @settings(max_examples=40)
+    def test_empty_and_single_in(self, vals):
+        p = ex.in_(ex.Reference("a"), vals).bind(SCHEMA)
+        if not vals:
+            assert isinstance(p, ex.FalseExp)
+
+    @given(I64)
+    @settings(max_examples=40)
+    def test_and_or_short_circuit(self, v):
+        p = ex.lt(ex.Reference("a"), v)
+        assert isinstance((p & ex.FalseExp()).bind(SCHEMA), ex.FalseExp)
+        assert isinstance((p | ex.TrueExp()).bind(SCHEMA), ex.TrueExp)
+
+    @given(st.integers(min_value=2**31, max_value=2**40))
+    @settings(max_examples=30)
+    def test_out_of_range_int_folds(self, v):
+        schema = it.Schema([it.NestedField(1, "i", it.IntegerType())])
+        assert isinstance(ex.gt(ex.Reference("i"), v).bind(schema), ex.FalseExp)
+        assert isinstance(ex.lt(ex.Reference("i"), v).bind(schema), ex.TrueExp)
