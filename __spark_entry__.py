@@ -395,7 +395,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division: ns epochs (~1.7e18) overflow double precision
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return ev
 
 
@@ -717,6 +718,53 @@ def ice_avro_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"),
              F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"))
     )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch form): a new session starts when
+    a user's inter-event gap exceeds 30 min — lag + running sum of
+    boundaries, two window passes over one shuffle key."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    with_bound = ev.withColumn(
+        "_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    with_sess = with_bound.withColumn(
+        "session_seq", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        with_sess.groupBy("user_id", "session_seq")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL STREAMING operator (applyInPandasWithState):
+    per-user session state with processing-time timeout — genuinely not
+    SQL-expressible as a stream; rows-only check (the batch-equivalent
+    semantics are oracle-checked by sessionize_events)."""
+    import uuid
+
+    from iceberg_cpp_spark.streaming.stateful import sessionize
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    stage = os.path.join(tempfile.mkdtemp(prefix="ice_sess_"), "src")
+    ev.write.parquet(stage)
+    schema = spark.read.parquet(stage).schema
+    stream = spark.readStream.schema(schema).parquet(stage)
+    out = sessionize(stream, gap_seconds=1800, event_time=True)
+    qname = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    sess = spark.table(qname)
+    return (sess.groupBy("user_id")
+            .agg(F.count("*").alias("n_sessions"),
+                 F.sum("n_events").alias("n_events"))
+            .orderBy("user_id"))
 
 
 def ice_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1083,6 +1131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": events_window_agg,
         "asof_join_events": asof_join_events,
         "range_join_events": range_join_events,
+        "sessionize_events": sessionize_events,
+        "stream_sessionize": stream_sessionize,
         "dedup_minhash_verified": dedup_minhash_verified,
         # iceberg-native
         "ice_transforms": ice_transforms,
@@ -1502,6 +1552,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_linestatus, COUNT(*) AS n,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
             FROM lineitem WHERE l_quantity > 25 GROUP BY l_linestatus
+        """,
+        "sessionize_events": """
+            WITH ev AS (
+              SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events),
+            b AS (
+              SELECT *,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR CAST(floor(epoch(ts)) AS BIGINT)
+                               - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                          THEN 1 ELSE 0 END AS newf
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, SUM(newf) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM b)
+            SELECT user_id, session_seq,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+            FROM s GROUP BY user_id, session_seq
         """,
         "ice_partition_evolution": """
             SELECT l_returnflag, COUNT(*) AS n,

@@ -19,7 +19,7 @@ OUTPUT_SCHEMA = ("user_id long, session_start timestamp, session_end timestamp, 
 STATE_SCHEMA = "start long, last long, n long, total double"
 
 
-def _sessionize_fn(gap_seconds: int):
+def _sessionize_fn(gap_seconds: int, event_time: bool = False):
     gap_us = gap_seconds * 1_000_000
 
     def fn(key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame],
@@ -46,7 +46,12 @@ def _sessionize_fn(gap_seconds: int):
                     start, last, n, total = us, us, 1, v
         if start is not None:
             state.update((start, last, n, total))
-            state.setTimeoutDuration(gap_seconds * 1000)
+            if event_time:
+                # fires when the WATERMARK passes session_end + gap:
+                # deterministic, data-driven, terminates under availableNow
+                state.setTimeoutTimestamp(last // 1000 + gap_seconds * 1000)
+            else:
+                state.setTimeoutDuration(gap_seconds * 1000)
         for c in closed:
             yield _row(user_id, *c)
 
@@ -64,17 +69,29 @@ def _row(user_id, start, last, n, total) -> pd.DataFrame:
 
 
 def sessionize(events_stream, gap_seconds: int = 1800,
-               user_col: str = "user_id"):
+               user_col: str = "user_id", event_time: bool = False,
+               watermark_delay: str = "0 seconds"):
     """events (user_id, ts, value) stream → closed-session rows.
-    Update-mode stateful op; idle sessions flush on timeout."""
+    Update-mode stateful op; idle sessions flush on timeout.
+
+    ``event_time=True`` uses a watermark + event-time timeouts: session
+    flushes are driven by the DATA clock, so results are deterministic
+    and a bounded (availableNow) run terminates — processing-time
+    timeouts instead keep scheduling empty batches while state remains
+    and flush wall-clock-dependently."""
+    stream = events_stream
+    timeout = GroupStateTimeout.ProcessingTimeTimeout
+    if event_time:
+        stream = stream.withWatermark("ts", watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return (
-        events_stream
+        stream
         .groupBy(user_col)
         .applyInPandasWithState(
-            _sessionize_fn(gap_seconds),
+            _sessionize_fn(gap_seconds, event_time=event_time),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=timeout,
         )
     )

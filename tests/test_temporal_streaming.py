@@ -106,3 +106,34 @@ class TestSessionize:
         # within one batch only the CLOSED session flushes: user 1's
         # first session (3 events); the open ones stay in state
         assert (1, 3, 6.0) in got
+
+
+class TestSessionizeEventTime:
+    def test_event_time_flushes_all_closed_sessions(self, spark, tmp_loc):
+        import datetime as dt
+
+        from iceberg_cpp_spark.streaming.stateful import sessionize
+
+        rows = []
+        for ts, u, v in [(0, 1, 1.0), (30, 1, 2.0), (50, 1, 3.0),
+                         (200, 1, 4.0), (230, 1, 5.0),
+                         (10, 2, 9.0), (500, 2, 1.0)]:
+            rows.append((u, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=ts), v))
+        src = os.path.join(tmp_loc, "sess_et")
+        spark.createDataFrame(rows, "user_id long, ts timestamp, value double") \
+            .write.parquet(src)
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double").parquet(src)
+        q = (sessionize(stream, gap_seconds=60, event_time=True)
+             .writeStream.format("memory").queryName("sessions_et")
+             .outputMode("update").trigger(availableNow=True).start())
+        finished = q.awaitTermination(300)
+        assert finished  # event-time timeouts terminate the bounded run
+        got = {(r["user_id"], r["n_events"], r["sum_value"])
+               for r in spark.sql("select * from sessions_et").collect()}
+        # ALL sessions closed by the data clock flush deterministically:
+        # user 1 session A (3 ev), user 2 session A (1 ev). The final
+        # open sessions (u1: 2 ev @200s, u2: 1 ev @500s) stay in state
+        # because the watermark stops at the max event time.
+        assert (1, 3, 6.0) in got
+        assert (2, 1, 9.0) in got
