@@ -278,6 +278,236 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: testdata has no partsupp — lineitem is the
+    part×supplier offer source, unit price = extendedprice/quantity):
+    cheapest EUROPE supplier per LARGE size-15 part. Correlated min via
+    a per-part agg join; dims broadcast."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    li = _t(spark, sf_dir, "lineitem")
+    eu_sup = (supplier
+              .join(broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+              .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+              .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    offers = (
+        li.join(broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(broadcast(eu_sup), li.l_suppkey == F.col("s_suppkey"))
+        .select("p_partkey", "s_name", "s_acctbal", "n_name",
+                (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")))
+    min_price = (offers.groupBy(F.col("p_partkey").alias("mp_key"))
+                 .agg(F.min("unit_price").alias("min_price")))
+    return (
+        offers.join(broadcast(min_price),
+                    (offers.p_partkey == F.col("mp_key"))
+                    & (offers.unit_price == F.col("min_price")))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_price")
+        .distinct()
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted: l_shipdate > o_orderdate stands in for
+    commitdate < receiptdate): priority counts of 1996Q3 orders with at
+    least one late-shipped line. EXISTS → left-semi join with a
+    compound (key + correlated inequality) condition."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, (orders.o_orderkey == li.l_orderkey)
+                    & (li.l_shipdate > orders.o_orderdate), "leftsemi")
+        .groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: no partsupp → profit omits supplycost): profit
+    on red parts by supplier nation and order year."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(_rev().alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: no partsupp → lineitem value of parts sold by
+    nations 0-4's suppliers): parts whose value exceeds 0.01% of the
+    total. HAVING against a broadcast global scalar."""
+    supplier = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
+    li = _t(spark, sf_dir, "lineitem")
+    scoped = li.join(broadcast(supplier.select("s_suppkey")),
+                     li.l_suppkey == F.col("s_suppkey"))
+    total = scoped.agg((F.sum(_dec("l_extendedprice")).cast("double")
+                        * F.lit(0.0001)).alias("cutoff"))
+    return (
+        scoped.groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).cast("double").alias("part_value"))
+        .crossJoin(broadcast(total))
+        .filter(F.col("part_value") > F.col("cutoff"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: no shipmode/commit/receipt dates — lateness
+    bucket = shipped >30 days after order date): 1996 line counts by
+    lateness class, split by order priority."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("ship_class",
+                    F.when(F.col("l_shipdate")
+                           > F.expr("o_orderdate + INTERVAL 30 DAYS"), "late")
+                    .otherwise("ontime"))
+        .groupBy("ship_class")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+             F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+        .orderBy("ship_class")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of customers by order count (priority
+    filter stands in for the comment filter). LEFT OUTER join keeps
+    zero-order customers; two-level aggregation."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the max quarterly revenue. The max is
+    matched on the exact DECIMAL sum (order-independent), cast to double
+    only for output."""
+    supplier = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01"))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum((_dec("l_extendedprice")
+                       * (F.lit(1.0).cast("decimal(18,2)") - _dec("l_discount", 18, 4)))
+                      .cast("decimal(28,6)")).alias("rev_exact")))
+    mx = rev.agg(F.max("rev_exact").alias("mx"))
+    return (
+        rev.join(broadcast(mx), rev.rev_exact == F.col("mx"))
+        .join(supplier, rev.l_suppkey == supplier.s_suppkey)
+        .select("s_suppkey", "s_name",
+                F.col("rev_exact").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q16_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: supplier relationships come from lineitem,
+    not partsupp): distinct supplier count per brand/type/size."""
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (~F.col("p_type").like("MEDIUM%"))
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted: no container/shipmode): revenue from an OR of
+    three (brand, size-range, quantity-range) conjuncts — one scan, one
+    broadcast join, disjunctive pushdown."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    j = li.join(broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30)))
+    return j.filter(cond).agg(_rev().alias("revenue"))
+
+
+def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: availability from shipped quantity, no
+    partsupp): suppliers who moved >300 units of red parts in 1996."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supplier = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+    movers = (
+        li.join(broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).alias("moved"))
+        .filter(F.col("moved") > 300))
+    return (
+        supplier.join(movers, supplier.s_suppkey == F.col("l_suppkey"), "leftsemi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: late = shipped >60 days after order date):
+    nation-3 suppliers whose line was the only late one in a finished
+    multi-supplier order. EXISTS → left-semi, NOT EXISTS → left-anti,
+    both self-joins on lineitem."""
+    supplier = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 3)
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    lines = (li.join(orders.select("o_orderkey", "o_orderdate"),
+                     li.l_orderkey == F.col("o_orderkey"))
+             .withColumn("late", F.col("l_shipdate")
+                         > F.expr("o_orderdate + INTERVAL 60 DAYS"))
+             .select("l_orderkey", "l_suppkey", "late"))
+    l1 = (lines.filter(F.col("late"))
+          .join(broadcast(supplier.select("s_suppkey", "s_name")),
+                F.col("l_suppkey") == F.col("s_suppkey")))
+    other = lines.select(F.col("l_orderkey").alias("o_key"),
+                         F.col("l_suppkey").alias("o_supp"), "late")
+    l1 = l1.join(other.select("o_key", "o_supp"),
+                 (l1.l_orderkey == F.col("o_key"))
+                 & (l1.l_suppkey != F.col("o_supp")), "leftsemi")
+    l1 = l1.join(other.filter(F.col("late")).select("o_key", "o_supp"),
+                 (l1.l_orderkey == F.col("o_key"))
+                 & (l1.l_suppkey != F.col("o_supp")), "leftanti")
+    return (
+        l1.groupBy("s_name").agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
@@ -1105,15 +1335,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational surface
         "q1_pricing_summary": q1_pricing_summary,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
         "q3_shipping_priority": q3_shipping_priority,
+        "q4_order_priority": q4_order_priority,
         "q5_local_supplier": q5_local_supplier,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q7_volume_shipping": q7_volume_shipping,
         "q8_market_share": q8_market_share,
+        "q9_product_type_profit": q9_product_type_profit,
         "q10_returned_items": q10_returned_items,
+        "q11_important_stock": q11_important_stock,
+        "q12_shipping_modes": q12_shipping_modes,
+        "q13_customer_distribution": q13_customer_distribution,
         "q14_promo_revenue": q14_promo_revenue,
+        "q15_top_supplier": q15_top_supplier,
+        "q16_parts_supplier": q16_parts_supplier,
         "q17_small_qty_revenue": q17_small_qty_revenue,
         "q18_large_volume_customer": q18_large_volume_customer,
+        "q19_discounted_revenue": q19_discounted_revenue,
+        "q20_part_promotion": q20_part_promotion,
+        "q21_suppliers_waiting": q21_suppliers_waiting,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "join_semi_anti": join_semi_anti,
         "agg_rollup": agg_rollup,
@@ -1191,6 +1432,159 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "q2_min_cost_supplier": """
+            WITH eu_sup AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+            offers AS (
+              SELECT p_partkey, s_name, s_acctbal, n_name,
+                     l_extendedprice / l_quantity AS unit_price
+              FROM lineitem
+              JOIN (SELECT p_partkey FROM part
+                    WHERE p_size = 15 AND p_type = 'LARGE') p
+                ON l_partkey = p_partkey
+              JOIN eu_sup ON l_suppkey = s_suppkey)
+            SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, unit_price
+            FROM offers o
+            WHERE unit_price = (SELECT MIN(unit_price) FROM offers o2
+                                WHERE o2.p_partkey = o.p_partkey)
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q9_product_type_profit": f"""
+            SELECT n_name AS nation,
+                   EXTRACT(year FROM o_orderdate) AS o_year,
+                   {_REVENUE} AS sum_profit
+            FROM lineitem
+            JOIN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%') p
+              ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+            ORDER BY 1, 2 DESC
+        """,
+        "q11_important_stock": """
+            WITH scoped AS (
+              SELECT l_partkey, l_extendedprice
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              WHERE s_nationkey < 5),
+            tot AS (
+              SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                          AS DOUBLE) * 0.0001 AS cutoff
+              FROM scoped)
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS part_value
+            FROM scoped
+            GROUP BY l_partkey
+            HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) > (SELECT cutoff FROM tot)
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "q12_shipping_modes": """
+            SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                        THEN 'late' ELSE 'ontime' END AS ship_class,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY ship_class
+            ORDER BY ship_class
+        """,
+        "q13_customer_distribution": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey
+               AND o_orderpriority <> '4-NOT SPECIFIED'
+              GROUP BY c_custkey) c_orders
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                         (CAST(1.0 AS DECIMAL(18,2))
+                          - CAST(l_discount AS DECIMAL(18,4)))
+                         AS DECIMAL(28,6))) AS rev_exact
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, CAST(rev_exact AS DOUBLE) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev_exact = (SELECT MAX(rev_exact) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q16_parts_supplier": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'MEDIUM%'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q19_discounted_revenue": f"""
+            SELECT {_REVENUE} AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "q20_part_promotion": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey IN (
+              SELECT l_suppkey FROM lineitem
+              JOIN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%') p
+                ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1997-01-01'
+              GROUP BY l_suppkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+            ORDER BY s_suppkey
+        """,
+        "q21_suppliers_waiting": """
+            WITH lines AS (
+              SELECT l_orderkey, l_suppkey,
+                     l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F')
+            SELECT s_name, COUNT(*) AS numwait
+            FROM lines l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE s_nationkey = 3 AND l1.late
+              AND EXISTS (SELECT 1 FROM lines l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lines l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.late)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
         """,
         "q3_shipping_priority": f"""
             SELECT l_orderkey, o_orderdate, o_orderpriority, {_REVENUE} AS revenue
