@@ -837,6 +837,25 @@ def ice_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.to_df().groupBy("l_returnflag").agg(F.count("*").alias("n"))
 
 
+def ice_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 deletion vectors: roaring-bitmap blobs in a puffin sidecar,
+    one per data file; the second delete MERGES into (replaces) the
+    first file's vector, and scans probe the broadcast bitmap — no
+    join, no shuffle (core/roaring.py, core/puffin.py)."""
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "dv")
+    t.append(li)
+    t = t.delete_where(ex.gt(ex.Reference("l_quantity"), 45.0),
+                       mode="deletion-vector")
+    t = t.delete_where(ex.lt(ex.Reference("l_quantity"), 3.0),
+                       mode="deletion-vector")
+    return t.to_df().groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+
+
 def ice_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """equality-delete file keyed on (l_returnflag, l_linestatus)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1383,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_time_travel": ice_time_travel,
         "ice_delete_where": ice_delete_where,
         "ice_mor_delete": ice_mor_delete,
+        "ice_deletion_vector": ice_deletion_vector,
         "ice_equality_delete": ice_equality_delete,
         "ice_schema_evolution": ice_schema_evolution,
         "ice_metadata_columns": ice_metadata_columns,
@@ -1890,6 +1910,12 @@ def oracle_sql() -> dict[str, str]:
         "ice_mor_delete": """
             SELECT l_returnflag, COUNT(*) AS n
             FROM lineitem WHERE l_returnflag <> 'R' GROUP BY l_returnflag
+        """,
+        "ice_deletion_vector": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem WHERE l_quantity <= 45 AND l_quantity >= 3
+            GROUP BY l_returnflag
         """,
         "ice_equality_delete": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n

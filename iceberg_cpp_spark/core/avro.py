@@ -78,6 +78,8 @@ _DF_IDS = {
     135: "equality_ids",
     140: "sort_order_id",
     143: "referenced_data_file",
+    144: "content_offset",
+    145: "content_size_in_bytes",
 }
 
 
@@ -519,6 +521,8 @@ def manifest_entries_from_avro(path_or_bytes, manifest=None) -> list:
             equality_ids=list(gd(135, []) or []),
             sort_order_id=gd(140),
             referenced_data_file=gd(143),
+            content_offset=gd(144),
+            content_size_in_bytes=gd(145),
         )
         status = rec.get(enames[0], mf.STATUS_ADDED)
         snap = rec.get(enames.get(1))
@@ -689,6 +693,10 @@ def manifest_entry_avro_schema(spec, schema) -> dict:
              "field-id": 140},
             {"name": "referenced_data_file", "type": _opt("string"),
              "default": None, "field-id": 143},
+            {"name": "content_offset", "type": _opt("long"),
+             "default": None, "field-id": 144},
+            {"name": "content_size_in_bytes", "type": _opt("long"),
+             "default": None, "field-id": 145},
         ],
     }
     return {

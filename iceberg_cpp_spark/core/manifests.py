@@ -63,6 +63,9 @@ class DataFile:
     equality_ids: list[int] = dc_field(default_factory=list)
     sort_order_id: Optional[int] = None
     referenced_data_file: Optional[str] = None
+    # v3 deletion vectors: blob location inside a puffin file
+    content_offset: Optional[int] = None
+    content_size_in_bytes: Optional[int] = None
 
     def stats(self) -> dict:
         """Shape consumed by pruning.InclusiveMetricsEvaluator."""
@@ -202,6 +205,8 @@ def manifest_arrow_schema() -> pa.Schema:
             pa.field("equality_ids", pa.list_(pa.int32())),
             pa.field("sort_order_id", pa.int32()),
             pa.field("referenced_data_file", pa.string()),
+            pa.field("content_offset", pa.int64()),
+            pa.field("content_size_in_bytes", pa.int64()),
         ]
     )
 
@@ -401,6 +406,8 @@ class ManifestWriter:
                     "equality_ids": f.equality_ids or None,
                     "sort_order_id": f.sort_order_id,
                     "referenced_data_file": f.referenced_data_file,
+                    "content_offset": f.content_offset,
+                    "content_size_in_bytes": f.content_size_in_bytes,
                 },
             })
         meta = {
@@ -445,6 +452,8 @@ class ManifestWriter:
             rows["equality_ids"].append(f.equality_ids or None)
             rows["sort_order_id"].append(f.sort_order_id)
             rows["referenced_data_file"].append(f.referenced_data_file)
+            rows["content_offset"].append(f.content_offset)
+            rows["content_size_in_bytes"].append(f.content_size_in_bytes)
         table = pa.Table.from_pydict(rows, schema=arrow_schema)
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         pq.write_table(table, self.path, compression="zstd")
@@ -481,6 +490,8 @@ def read_manifest(path: str, spec: PartitionSpec, schema: it.Schema,
             equality_ids=row["equality_ids"] or [],
             sort_order_id=row["sort_order_id"],
             referenced_data_file=row["referenced_data_file"],
+            content_offset=row.get("content_offset"),
+            content_size_in_bytes=row.get("content_size_in_bytes"),
         )
         snap = row["snapshot_id"]
         seq = row["sequence_number"]

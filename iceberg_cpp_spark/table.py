@@ -75,6 +75,10 @@ class LocationProvider:
     def new_delete_dir(self) -> str:
         return os.path.join(self.table_location, "deletes", uuid_mod.uuid4().hex)
 
+    def new_dv_path(self) -> str:
+        return os.path.join(self.table_location, "deletes",
+                            f"dv-{uuid_mod.uuid4().hex}.puffin")
+
     def new_manifest_path(self, meta_dir: str, ext: str = "parquet") -> str:
         return os.path.join(meta_dir, f"manifest-{uuid_mod.uuid4().hex}.{ext}")
 
@@ -119,6 +123,15 @@ class DeleteFileTask:
     sequence_number: int
     equality_ids: list[int]
     record_count: int
+    # deletion vectors (v3): puffin blob location + the one data file it covers
+    file_format: str = "parquet"
+    referenced_data_file: Optional[str] = None
+    content_offset: Optional[int] = None
+    content_size_in_bytes: Optional[int] = None
+
+    @property
+    def is_deletion_vector(self) -> bool:
+        return self.file_format == "puffin"
 
     @property
     def estimated_row_count(self) -> int:
@@ -430,6 +443,10 @@ class TableScan:
                     sequence_number=e.sequence_number or 0,
                     equality_ids=e.data_file.equality_ids,
                     record_count=e.data_file.record_count,
+                    file_format=e.data_file.file_format,
+                    referenced_data_file=e.data_file.referenced_data_file,
+                    content_offset=e.data_file.content_offset,
+                    content_size_in_bytes=e.data_file.content_size_in_bytes,
                 ))
         return out
 
@@ -508,8 +525,45 @@ class TableScan:
         from pyspark.sql.functions import broadcast
 
         spark = self._table.spark
-        pos = [d for d in deletes if d.content == mf.CONTENT_POSITION_DELETES]
+        dvs = [d for d in deletes if d.content == mf.CONTENT_POSITION_DELETES
+               and d.is_deletion_vector]
+        pos = [d for d in deletes if d.content == mf.CONTENT_POSITION_DELETES
+               and not d.is_deletion_vector]
         eqs = [d for d in deletes if d.content == mf.CONTENT_EQUALITY_DELETES]
+        if dvs:
+            # DV blobs are tiny vs data (bitmap per file): broadcast the
+            # raw blob bytes; executors decode once (lru by blob bytes)
+            # and test row positions vectorized — no join, no shuffle.
+            from iceberg_cpp_spark.core import puffin as pf
+
+            blobs: dict[str, bytes] = {}
+            for d in dvs:
+                meta = pf.BlobMetadata(type=pf.DELETION_VECTOR_V1,
+                                       offset=d.content_offset or 0,
+                                       length=d.content_size_in_bytes or 0)
+                blobs[d.referenced_data_file] = pf.read_blob(d.file_path, meta)
+            bc = spark.sparkContext.broadcast(blobs)
+
+            @F.pandas_udf("boolean")
+            def _dv_keep(file_s, pos_s):
+                import numpy as np
+                import pandas as pd
+
+                from iceberg_cpp_spark.core.puffin import _decode_dv_cached
+
+                files = file_s.str.replace(r"^file:(//)?", "", regex=True).to_numpy()
+                keep = np.ones(len(files), dtype=bool)
+                positions = pos_s.to_numpy(dtype=np.int64)
+                for fp in pd.unique(files):
+                    raw = bc.value.get(fp)
+                    if raw is None:
+                        continue
+                    arr = _decode_dv_cached(raw)
+                    m = files == fp
+                    keep[m] = ~np.isin(positions[m].astype(np.uint64), arr)
+                return pd.Series(keep)
+
+            df = df.filter(_dv_keep(F.col("_file"), F.col("_pos")))
         if pos:
             dels = spark.read.parquet(*[d.file_path for d in pos]).select("file_path", "pos")
             df = df.join(
@@ -691,9 +745,15 @@ class IceTable:
         amplification at delete time, none at scan time).
         merge-on-read: write a position-delete file; scans anti-join it
         (cheap deletes, small scan-side join — the streaming/CDC shape).
+        deletion-vector: v3 — one roaring bitmap per data file in a
+        puffin sidecar; a new DV REPLACES the file's previous DV (the
+        write merges them), so scan-side work stays one bitmap probe
+        per row however many deletes have accumulated.
         """
         if mode == "merge-on-read":
             return self._position_delete(expr, branch)
+        if mode == "deletion-vector":
+            return self._vector_delete(expr, branch)
         schema = self.schema()
         affected = {t.file_path for t in self.scan(filter=expr).plan_files()}
         if not affected:
@@ -750,6 +810,68 @@ class IceTable:
         rows.repartition(1).sortWithinPartitions("file_path", "pos") \
             .write.mode("overwrite").parquet(del_dir)
         return self._commit_delete_files(del_dir, mf.CONTENT_POSITION_DELETES, [], branch)
+
+    def _vector_delete(self, expr: ex.Expression, branch: str) -> "IceTable":
+        """Deletion vectors (Iceberg v3; beyond the reference, which
+        carries only the roaring util — util/roaring.h, roaring_test.cc).
+        Matching row positions are bitmap-ed PER FILE in executors
+        (applyInPandas keyed by file — only serialized bitmaps reach the
+        driver), merged with the file's existing DV, and written as one
+        puffin file with one deletion-vector-v1 blob per data file."""
+        from iceberg_cpp_spark.core import puffin as pf
+        from iceberg_cpp_spark.core.roaring import Roaring64
+
+        schema = self.schema()
+        affected = [t.file_path for t in self.scan(filter=expr).plan_files()]
+        if not affected:
+            return self
+        spark_schema = it.to_spark_schema(schema)
+
+        def _build(pdf):
+            import pandas as pd
+            rb = Roaring64.from_array(pdf["pos"].to_numpy())
+            return pd.DataFrame({"file_path": [pdf["file_path"].iloc[0]],
+                                 "dv": [rb.serialize()]})
+
+        built = (
+            self.spark.read.schema(spark_schema).parquet(*sorted(affected))
+            .select(
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+                .alias("file_path"),
+                F.col("_metadata.row_index").alias("pos"),
+                "*",
+            )
+            .filter(to_spark_column(expr, schema))
+            .select("file_path", "pos")
+            .groupBy("file_path")
+            .applyInPandas(_build, "file_path string, dv binary")
+            .collect()
+        )
+        if not built:
+            return self
+        dvs = {r["file_path"]: Roaring64.deserialize(bytes(r["dv"])) for r in built}
+        # merge with current DVs: the new vector must supersede, not stack
+        replaced = set()
+        for d in self.scan().plan_deletes():
+            if d.is_deletion_vector and d.referenced_data_file in dvs:
+                meta = pf.BlobMetadata(type=pf.DELETION_VECTOR_V1,
+                                       offset=d.content_offset or 0,
+                                       length=d.content_size_in_bytes or 0)
+                old = pf.parse_dv_blob(pf.read_blob(d.file_path, meta))
+                dvs[d.referenced_data_file] = dvs[d.referenced_data_file].union(old)
+                replaced.add(d.referenced_data_file)
+        path = self.location_provider().new_dv_path()
+        blob_meta = pf.write_deletion_vectors(path, dvs)
+        size = os.path.getsize(path)
+        files = [mf.DataFile(
+            content=mf.CONTENT_POSITION_DELETES, file_path=path,
+            file_format="puffin", partition={},
+            record_count=dvs[p].cardinality, file_size_in_bytes=size,
+            referenced_data_file=p, content_offset=m.offset,
+            content_size_in_bytes=m.length,
+        ) for p, m in blob_meta.items()]
+        return self._commit_files(files, operation=DataOperation.DELETE,
+                                  branch=branch, drop_dv_for=replaced)
 
     def delete_by_keys(self, keys: DataFrame, branch: str = MAIN_BRANCH) -> "IceTable":
         """Equality delete: every row matching any key tuple (on the key
@@ -963,11 +1085,16 @@ class IceTable:
     def compute_statistics(self) -> "IceTable":
         """ANALYZE: one distributed agg pass computes per-column NDV
         (HLL-sketch approx_count_distinct) + null counts, written as a
-        statistics file and registered on the current snapshot via
-        SetStatistics (statistics_file.h:33-60 shape; payload is JSON
-        where the reference carries opaque Puffin pointers)."""
+        real Puffin statistics file (core/puffin.py) and registered on
+        the current snapshot via SetStatistics (statistics_file.h:33-60;
+        the reference only carries the pointers). The NDV estimate rides
+        in blob properties["ndv"], the standard spot consumers read;
+        blob payloads are JSON (no theta-sketch library here, so the
+        blob type is the engine-specific ``ndv-json-v1``, not
+        ``apache-datasketches-theta-v1``)."""
         import json as _json
 
+        from iceberg_cpp_spark.core import puffin as pf
         from iceberg_cpp_spark.core.updates import TableMetadataBuilder
 
         snap = self.current_snapshot()
@@ -984,24 +1111,23 @@ class IceTable:
         row = df.agg(*aggs).first()
         blobs = []
         for f in cols:
-            blobs.append({
-                "type": "ndv-json-v1",
-                "snapshot-id": snap.snapshot_id,
-                "sequence-number": snap.sequence_number,
-                "fields": [f.field_id],
-                "properties": {"ndv": str(row[f"ndv_{f.field_id}"]),
-                               "null-count": str(row[f"nulls_{f.field_id}"])},
-            })
+            props = {"ndv": str(row[f"ndv_{f.field_id}"]),
+                     "null-count": str(row[f"nulls_{f.field_id}"])}
+            payload = _json.dumps(props).encode("utf-8")
+            blobs.append((pf.BlobMetadata(
+                type="ndv-json-v1", offset=0, length=0, fields=[f.field_id],
+                snapshot_id=snap.snapshot_id,
+                sequence_number=snap.sequence_number,
+                properties=props), payload))
         path = os.path.join(self.location_provider().metadata_dir(),
-                            f"stats-{snap.snapshot_id}.json")
-        with open(path, "w") as fh:
-            _json.dump({"blobs": blobs}, fh)
+                            f"stats-{snap.snapshot_id}.puffin")
+        written = pf.write_puffin(path, blobs)
         entry = {
             "snapshot-id": snap.snapshot_id,
             "statistics-path": path,
             "file-size-in-bytes": os.path.getsize(path),
             "file-footer-size-in-bytes": 0,
-            "blob-metadata": blobs,
+            "blob-metadata": [m.to_json() for m in written],
         }
         b = TableMetadataBuilder.build_from(self.metadata)
         b.set_statistics(entry)
@@ -1195,7 +1321,8 @@ class IceTable:
 
     def _commit_files(self, new_files: list[mf.DataFile], operation: str,
                       branch: str = MAIN_BRANCH, carry_existing: bool = True,
-                      drop_paths: Optional[set] = None) -> "IceTable":
+                      drop_paths: Optional[set] = None,
+                      drop_dv_for: Optional[set] = None) -> "IceTable":
         """Optimistic-concurrency commit with retry (reference
         commit.retry.*, table_properties.h:80-85): on CAS conflict the
         metadata is refreshed and the snapshot REBUILT against the new
@@ -1210,7 +1337,8 @@ class IceTable:
         for attempt in range(retries + 1):
             try:
                 return self._commit_files_once(
-                    new_files, operation, branch, carry_existing, drop_paths)
+                    new_files, operation, branch, carry_existing, drop_paths,
+                    drop_dv_for)
             except (CommitFailedError, FileExistsError) as e:
                 last = e
                 if attempt == retries:
@@ -1221,7 +1349,8 @@ class IceTable:
 
     def _commit_files_once(self, new_files: list[mf.DataFile], operation: str,
                            branch: str = MAIN_BRANCH, carry_existing: bool = True,
-                           drop_paths: Optional[set] = None) -> "IceTable":
+                           drop_paths: Optional[set] = None,
+                           drop_dv_for: Optional[set] = None) -> "IceTable":
         meta = self.metadata
         schema = self.schema()
         spec = self.spec()
@@ -1258,12 +1387,23 @@ class IceTable:
         parent = (meta.snapshot_by_id(branch_ref.snapshot_id) if branch_ref
                   else meta.current_snapshot())
         if carry_existing and parent is not None:
+            def _dropped(e: mf.ManifestEntry) -> bool:
+                if drop_paths and e.data_file.file_path in drop_paths:
+                    return True
+                if e.data_file.content == mf.CONTENT_DATA:
+                    return False
+                ref = e.data_file.referenced_data_file
+                # a rewritten DV supersedes its predecessor for that file;
+                # a DV whose data file is dropped is dead weight
+                return bool(ref and ((drop_dv_for and ref in drop_dv_for)
+                                     or (drop_paths and ref in drop_paths)))
+
             for m in mf.read_manifest_list(parent.manifest_list):
-                if drop_paths:
+                if drop_paths or drop_dv_for:
                     pspec = meta.spec_by_id(m.partition_spec_id) or spec
                     entries = mf.read_manifest(m.manifest_path, pspec, schema, manifest=m)
                     keep = [e for e in entries
-                            if e.is_live and e.data_file.file_path not in drop_paths]
+                            if e.is_live and not _dropped(e)]
                     if len(keep) == len([e for e in entries if e.is_live]):
                         carried.append(m)
                     elif keep:

@@ -1,0 +1,150 @@
+"""Deletion vectors: roaring bitmap serde, puffin container, and the
+table-level DV delete path (reference groundwork: util/roaring.h,
+test/roaring_test.cc; v3 spec deletion-vector-v1 blobs)."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from iceberg_cpp_spark.core import puffin
+from iceberg_cpp_spark.core.roaring import (
+    ARRAY_MAX, SERIAL_COOKIE_RUN, Roaring64, _parse32, _serialize32)
+
+
+class TestRoaring:
+    def test_roundtrip_shapes(self):
+        rs = np.random.RandomState(7)
+        cases = [
+            np.array([], dtype=np.uint64),
+            np.array([0, 1, 65535, 65536, 2**32 - 1, 2**32, 2**40 + 5],
+                     dtype=np.uint64),
+            rs.randint(0, 2**20, 10000).astype(np.uint64),   # bitset containers
+            np.arange(100000, 101000, dtype=np.uint64),      # contiguous
+            rs.randint(0, 2**63, 5000).astype(np.uint64),    # sparse 64-bit
+        ]
+        for vals in cases:
+            rb = Roaring64.from_array(vals)
+            back = Roaring64.deserialize(rb.serialize())
+            assert rb == back
+            assert np.array_equal(back.to_array(), np.sort(np.unique(vals)))
+
+    def test_container_encoding_boundary(self):
+        # exactly ARRAY_MAX stays an array; one more becomes a bitset
+        # (both serialize to 8192 container bytes at the boundary — the
+        # header cardinality decides the decode path)
+        for n in (ARRAY_MAX, ARRAY_MAX + 1):
+            rb = Roaring64.from_array(np.arange(n, dtype=np.uint64))
+            back = Roaring64.deserialize(rb.serialize())
+            assert back == rb and back.cardinality == n
+
+    def test_union_and_membership(self):
+        a = Roaring64.from_array(np.array([1, 5, 9], dtype=np.uint64))
+        b = Roaring64.from_array(np.array([5, 7], dtype=np.uint64))
+        u = a.union(b)
+        assert u.to_array().tolist() == [1, 5, 7, 9]
+        assert u.cardinality == 4
+        got = u.contains_many(np.array([1, 2, 7], dtype=np.uint64))
+        assert got.tolist() == [True, False, True]
+
+    def test_parse_run_container(self):
+        # hand-build a RUN-cookie serialization: {key 0: runs [3..6],[10..10]}
+        n = 1
+        buf = struct.pack("<I", SERIAL_COOKIE_RUN | ((n - 1) << 16))
+        buf += bytes([0b1])                       # run flag for container 0
+        buf += struct.pack("<HH", 0, 5 - 1)       # key, cardinality-1
+        buf += struct.pack("<H", 2)               # n_runs (< offset threshold)
+        buf += struct.pack("<HH", 3, 3)           # [3, 3+3]
+        buf += struct.pack("<HH", 10, 0)          # [10]
+        containers, _ = _parse32(buf, 0)
+        assert containers[0].tolist() == [3, 4, 5, 6, 10]
+
+    def test_serialize32_offsets_are_correct(self):
+        c = {0: np.array([1, 2], dtype=np.uint16),
+             7: np.array([9], dtype=np.uint16)}
+        buf = _serialize32(c)
+        (off0,) = struct.unpack_from("<I", buf, 8 + 8)
+        (off1,) = struct.unpack_from("<I", buf, 8 + 8 + 4)
+        assert np.frombuffer(buf, "<u2", 2, off0).tolist() == [1, 2]
+        assert np.frombuffer(buf, "<u2", 1, off1).tolist() == [9]
+
+
+class TestPuffin:
+    def test_roundtrip(self, tmp_loc):
+        a = Roaring64.from_array(np.array([0, 3, 2**33], dtype=np.uint64))
+        b = Roaring64.from_array(np.arange(5000, dtype=np.uint64))
+        p = os.path.join(tmp_loc, "dv.puffin")
+        metas = puffin.write_deletion_vectors(
+            p, {"/d/a.parquet": a, "/d/b.parquet": b},
+            snapshot_id=42, sequence_number=7)
+        blobs, _props = puffin.read_puffin_metadata(p)
+        assert [bm.type for bm in blobs] == [puffin.DELETION_VECTOR_V1] * 2
+        assert blobs[0].snapshot_id == 42 and blobs[0].sequence_number == 7
+        got = puffin.parse_dv_blob(puffin.read_blob(p, metas["/d/a.parquet"]))
+        assert got == a
+        assert metas["/d/b.parquet"].properties["cardinality"] == "5000"
+
+    def test_dv_blob_crc_guard(self):
+        blob = bytearray(puffin.dv_blob_bytes(
+            Roaring64.from_array(np.array([1], dtype=np.uint64))))
+        blob[-1] ^= 0xFF
+        with pytest.raises(ValueError, match="crc"):
+            puffin.parse_dv_blob(bytes(blob))
+
+    def test_magic_guard(self, tmp_loc):
+        p = os.path.join(tmp_loc, "not.puffin")
+        with open(p, "wb") as f:
+            f.write(b"nope")
+        with pytest.raises(ValueError, match="puffin"):
+            puffin.read_puffin_metadata(p)
+
+
+class TestDeletionVectorTable:
+    def test_dv_delete_merge_and_cow(self, spark, tmp_loc, lineitem):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        li = lineitem.limit(600)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "t"),
+                            schema_from_spark(li.schema))
+        t.append(li)
+        t = t.delete_where(ex.gt(ex.Reference("l_quantity"), 40.0),
+                           mode="deletion-vector")
+        assert t.to_df().count() == li.filter("l_quantity <= 40").count()
+
+        # second DV merges into (replaces) the first — one live DV per file
+        t = t.delete_where(ex.lt_eq(ex.Reference("l_quantity"), 5.0),
+                           mode="deletion-vector")
+        expect = li.filter("l_quantity <= 40 and l_quantity > 5").count()
+        assert t.to_df().count() == expect
+        dvs = [d for d in t.scan().plan_deletes() if d.is_deletion_vector]
+        refs = [d.referenced_data_file for d in dvs]
+        assert len(refs) == len(set(refs)) > 0
+        assert all(d.content_offset is not None and d.content_size_in_bytes
+                   for d in dvs)
+
+        # copy-on-write rewrite applies the DVs and retires them
+        t = t.delete_where(ex.eq(ex.Reference("l_returnflag"), "A"))
+        expect = li.filter(
+            "l_quantity <= 40 and l_quantity > 5 and l_returnflag <> 'A'").count()
+        assert t.to_df().count() == expect
+        assert not [d for d in t.scan().plan_deletes() if d.is_deletion_vector]
+
+    def test_dv_roundtrips_through_avro_manifests(self, spark, tmp_loc, lineitem):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        li = lineitem.limit(200)
+        t = IceTable.create(
+            spark, os.path.join(tmp_loc, "tav"), schema_from_spark(li.schema),
+            properties={"write.metadata.manifest-format": "avro"})
+        t.append(li)
+        t = t.delete_where(ex.lt(ex.Reference("l_quantity"), 10.0),
+                           mode="deletion-vector")
+        assert t.to_df().count() == li.filter("l_quantity >= 10").count()
+        d = [d for d in t.scan().plan_deletes() if d.is_deletion_vector][0]
+        # offsets/refs survived the spec-avro manifest (field-ids 143-145)
+        assert d.referenced_data_file and d.content_size_in_bytes > 0
