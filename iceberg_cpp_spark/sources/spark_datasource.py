@@ -105,6 +105,8 @@ def _cast_to_declared(tbl, spark_schema):
 class ScanPartition(InputPartition):
     file_path: str = ""
     pos_delete_paths: list = dc_field(default_factory=list)
+    # deletion vector for THIS file: (puffin path, blob offset, blob length)
+    dv_blob: Optional[tuple] = None
 
 
 @dataclass
@@ -142,8 +144,13 @@ class IcebergCppReader(DataSourceReader):
             raise ValueError(
                 "icecpp source does not apply equality deletes; use "
                 "IceTable.scan().to_df() for this table")
-        pos = [d.file_path for d in deletes]
-        return [ScanPartition(file_path=t.file_path, pos_delete_paths=pos)
+        pos = [d.file_path for d in deletes
+               if d.content == 1 and not d.is_deletion_vector]
+        dvs = {d.referenced_data_file: (d.file_path, d.content_offset,
+                                        d.content_size_in_bytes)
+               for d in deletes if d.is_deletion_vector}
+        return [ScanPartition(file_path=t.file_path, pos_delete_paths=pos,
+                              dv_blob=dvs.get(t.file_path))
                 for t in scan.plan_files()]
 
     def read(self, partition: ScanPartition):
@@ -153,6 +160,7 @@ class IcebergCppReader(DataSourceReader):
         names = [f.name for f in self.spark_schema.fields]
         tbl = _cast_to_declared(pq.read_table(partition.file_path, columns=names),
                                 self.spark_schema)
+        dead: set = set()
         if partition.pos_delete_paths:
             dels = pq.read_table(partition.pos_delete_paths,
                                  columns=["file_path", "pos"])
@@ -163,10 +171,22 @@ class IcebergCppReader(DataSourceReader):
                 dels.column("file_path"),
                 value_set=pa.array([partition.file_path, uri,
                                     "file://" + partition.file_path]))
-            positions = dels.filter(mask).column("pos").to_pylist()
-            if positions:
-                keep = [i for i in range(tbl.num_rows) if i not in set(positions)]
-                tbl = tbl.take(keep)
+            dead.update(dels.filter(mask).column("pos").to_pylist())
+        if partition.dv_blob is not None:
+            from iceberg_cpp_spark.core import puffin as pf
+
+            path, off, length = partition.dv_blob
+            dead.update(pf.parse_dv_blob(pf.read_blob(
+                path, pf.BlobMetadata(type=pf.DELETION_VECTOR_V1,
+                                      offset=off, length=length)))
+                .to_array().tolist())
+        if dead:
+            # all delete kinds refer to ORIGINAL file positions: one take
+            import numpy as np
+
+            keep = np.setdiff1d(np.arange(tbl.num_rows, dtype=np.int64),
+                                np.fromiter(dead, dtype=np.int64, count=len(dead)))
+            tbl = tbl.take(keep)
         for batch in tbl.to_batches(max_chunksize=65536):
             yield batch
 

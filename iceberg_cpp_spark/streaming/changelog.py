@@ -37,6 +37,8 @@ COMMIT_ORDER = "_change_ordinal"
 
 
 def _delete_files(table: IceTable, snapshot_id: Optional[int]) -> set[str]:
+    """Parquet position-delete files live in a snapshot (DVs excluded —
+    they are positional too but puffin-encoded; see _dv_blobs)."""
     if snapshot_id is None:
         return set()
     snap = table.metadata.snapshot_by_id(snapshot_id)
@@ -46,9 +48,62 @@ def _delete_files(table: IceTable, snapshot_id: Optional[int]) -> set[str]:
     for m in mf.read_manifest_list(snap.manifest_list):
         spec = meta.spec_by_id(m.partition_spec_id)
         for e in mf.read_manifest(m.manifest_path, spec, schema, manifest=m):
-            if e.is_live and e.data_file.content == mf.CONTENT_POSITION_DELETES:
+            if (e.is_live and e.data_file.content == mf.CONTENT_POSITION_DELETES
+                    and e.data_file.file_format != "puffin"):
                 out.add(e.data_file.file_path)
     return out
+
+
+def _dv_blobs(table: IceTable, snapshot_id: Optional[int]) -> dict[str, bytes]:
+    """{referenced data file: raw deletion-vector blob} in a snapshot
+    (driver-side read — DV blobs are metadata-scale)."""
+    from iceberg_cpp_spark.core import puffin as pf
+
+    if snapshot_id is None:
+        return {}
+    snap = table.metadata.snapshot_by_id(snapshot_id)
+    out: dict[str, bytes] = {}
+    schema = table.schema()
+    meta = table.metadata
+    for m in mf.read_manifest_list(snap.manifest_list):
+        spec = meta.spec_by_id(m.partition_spec_id)
+        for e in mf.read_manifest(m.manifest_path, spec, schema, manifest=m):
+            d = e.data_file
+            if (e.is_live and d.content == mf.CONTENT_POSITION_DELETES
+                    and d.file_format == "puffin" and d.referenced_data_file):
+                out[d.referenced_data_file] = pf.read_blob(
+                    d.file_path, pf.BlobMetadata(
+                        type=pf.DELETION_VECTOR_V1,
+                        offset=d.content_offset or 0,
+                        length=d.content_size_in_bytes or 0))
+    return out
+
+
+def _dv_member_udf(spark, blobs: dict[str, bytes]):
+    """Boolean pandas UDF: is (file, pos) marked deleted in `blobs`?
+    Blob bytes broadcast; decoded once per worker (lru)."""
+    bc = spark.sparkContext.broadcast(blobs)
+
+    @F.pandas_udf("boolean")
+    def member(file_s, pos_s):
+        import numpy as np
+        import pandas as pd
+
+        from iceberg_cpp_spark.core.puffin import _decode_dv_cached
+
+        files = file_s.str.replace(r"^file:(//)?", "", regex=True).to_numpy()
+        out = np.zeros(len(files), dtype=bool)
+        positions = pos_s.to_numpy(dtype=np.int64)
+        for fp in pd.unique(files):
+            raw = bc.value.get(fp)
+            if raw is None:
+                continue
+            m = files == fp
+            out[m] = np.isin(positions[m].astype(np.uint64),
+                             _decode_dv_cached(raw))
+        return pd.Series(out)
+
+    return member
 
 
 def changes(table: IceTable, from_snapshot_id: Optional[int] = None,
@@ -86,6 +141,10 @@ def changes(table: IceTable, from_snapshot_id: Optional[int] = None,
         removed = sorted(before - after)
         new_pos_deletes = sorted(
             _delete_files(table, snap.snapshot_id) - _delete_files(table, prev_id))
+        prev_dvs = _dv_blobs(table, prev_id)
+        cur_dvs = _dv_blobs(table, snap.snapshot_id)
+        changed_dvs = {p: b for p, b in cur_dvs.items()
+                       if prev_dvs.get(p) != b}
 
         def tag(df: DataFrame, kind: str) -> DataFrame:
             return df.select(
@@ -111,6 +170,9 @@ def changes(table: IceTable, from_snapshot_id: Optional[int] = None,
                     F.broadcast(dels),
                     (df["_f"] == dels["file_path"]) & (df["_p"] == dels["pos"]),
                     "left_anti")
+            if mask_deleted and prev_dvs:
+                dead = _dv_member_udf(spark, prev_dvs)
+                df = df.filter(~dead(F.col("_f"), F.col("_p")))
             return df
 
         if added:
@@ -128,6 +190,16 @@ def changes(table: IceTable, from_snapshot_id: Optional[int] = None,
                     F.broadcast(dels),
                     (data["_f"] == dels["file_path"]) & (data["_p"] == dels["pos"]),
                     "left_semi").drop("_f", "_p")
+                parts.append(tag(hit, "delete"))
+        if changed_dvs:
+            # a rewritten DV supersedes its predecessor: the commit's
+            # delete rows are positions in the NEW vector but not the old
+            live = sorted(after & set(changed_dvs))
+            if live:
+                data = _rows(live, True)  # masks prev parquet deletes + prev DVs
+                in_cur = _dv_member_udf(spark, changed_dvs)
+                hit = data.filter(in_cur(F.col("_f"), F.col("_p"))) \
+                          .drop("_f", "_p")
                 parts.append(tag(hit, "delete"))
         prev_id = snap.snapshot_id
 

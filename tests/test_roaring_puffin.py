@@ -132,6 +132,51 @@ class TestDeletionVectorTable:
         assert t.to_df().count() == expect
         assert not [d for d in t.scan().plan_deletes() if d.is_deletion_vector]
 
+    def test_dv_applied_by_datasource(self, spark, tmp_loc, lineitem):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+        from iceberg_cpp_spark.sources.spark_datasource import IcebergCppDataSource
+
+        spark.dataSource.register(IcebergCppDataSource)
+        li = lineitem.limit(400)
+        loc = os.path.join(tmp_loc, "tds")
+        t = IceTable.create(spark, loc, schema_from_spark(li.schema))
+        t.append(li)
+        t = t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                           mode="deletion-vector")
+        df = spark.read.format("icecpp").load(loc)
+        assert df.count() == li.filter("l_returnflag <> 'R'").count()
+        assert df.filter("l_returnflag = 'R'").count() == 0
+
+    def test_dv_changelog_deltas(self, spark, tmp_loc, lineitem):
+        """Each DV commit's change rows are the NEW positions only —
+        a rewritten (merged) vector must not re-report old deletes."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+        from iceberg_cpp_spark.streaming.changelog import changes
+
+        li = lineitem.limit(400)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "tcl"),
+                            schema_from_spark(li.schema))
+        t.append(li)
+        s1 = t.current_snapshot().snapshot_id
+        t = t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                           mode="deletion-vector")
+        t = t.delete_where(ex.eq(ex.Reference("l_returnflag"), "A"),
+                           mode="deletion-vector")
+        c = changes(t, from_snapshot_id=s1)
+        assert c.filter("_change_type = 'insert'").count() == 0
+        dels = c.filter("_change_type = 'delete'")
+        n_r = li.filter("l_returnflag = 'R'").count()
+        n_a = li.filter("l_returnflag = 'A'").count()
+        got = {r["_change_ordinal"]: r["n"] for r in
+               dels.groupBy("_change_ordinal")
+               .agg(__import__("pyspark.sql.functions", fromlist=["count"])
+                    .count("*").alias("n")).collect()}
+        assert got == {0: n_r, 1: n_a}
+
     def test_dv_roundtrips_through_avro_manifests(self, spark, tmp_loc, lineitem):
         from iceberg_cpp_spark import IceTable
         from iceberg_cpp_spark.core.types import schema_from_spark
