@@ -873,6 +873,66 @@ class IceTable:
         return self._commit_files(files, operation=DataOperation.DELETE,
                                   branch=branch, drop_dv_for=replaced)
 
+    def rewrite_position_deletes(self, branch: str = MAIN_BRANCH) -> "IceTable":
+        """Maintenance: fold accumulated parquet position-delete files
+        (plus any existing DVs) into ONE merged deletion vector per data
+        file. Scan-side delete cost drops from k broadcast anti-joins to
+        a single bitmap probe per row, and stays there however many
+        delete commits accumulated. Equality deletes are left as-is
+        (folding them requires materializing matches — compaction's job).
+        Metadata-only for the data files: no data is rewritten."""
+        from iceberg_cpp_spark.core import puffin as pf
+        from iceberg_cpp_spark.core.roaring import Roaring64
+
+        deletes = self.scan().plan_deletes()
+        pos = [d for d in deletes
+               if d.content == mf.CONTENT_POSITION_DELETES and not d.is_deletion_vector]
+        old_dvs = [d for d in deletes if d.is_deletion_vector]
+        if not pos:
+            return self
+
+        def _build(pdf):
+            import pandas as pd
+            rb = Roaring64.from_array(pdf["pos"].to_numpy())
+            return pd.DataFrame({"file_path": [pdf["file_path"].iloc[0]],
+                                 "dv": [rb.serialize()]})
+
+        built = (
+            self.spark.read.parquet(*sorted(d.file_path for d in pos))
+            .select(F.regexp_replace("file_path", "^file:(//)?", "")
+                    .alias("file_path"), "pos")
+            .groupBy("file_path")
+            .applyInPandas(_build, "file_path string, dv binary")
+            .collect()
+        )
+        dvs = {r["file_path"]: Roaring64.deserialize(bytes(r["dv"])) for r in built}
+        for d in old_dvs:
+            meta = pf.BlobMetadata(type=pf.DELETION_VECTOR_V1,
+                                   offset=d.content_offset or 0,
+                                   length=d.content_size_in_bytes or 0)
+            rb = pf.parse_dv_blob(pf.read_blob(d.file_path, meta))
+            ref = d.referenced_data_file
+            dvs[ref] = dvs[ref].union(rb) if ref in dvs else rb
+        live = {t.file_path for t in self.scan().plan_files()}
+        dvs = {p: rb for p, rb in dvs.items() if p in live}
+        drop = {d.file_path for d in pos}
+        if not dvs:
+            return self._commit_files([], operation=DataOperation.REPLACE,
+                                      branch=branch, drop_paths=drop)
+        path = self.location_provider().new_dv_path()
+        blob_meta = pf.write_deletion_vectors(path, dvs)
+        size = os.path.getsize(path)
+        files = [mf.DataFile(
+            content=mf.CONTENT_POSITION_DELETES, file_path=path,
+            file_format="puffin", partition={},
+            record_count=dvs[p].cardinality, file_size_in_bytes=size,
+            referenced_data_file=p, content_offset=m.offset,
+            content_size_in_bytes=m.length,
+        ) for p, m in blob_meta.items()]
+        return self._commit_files(files, operation=DataOperation.REPLACE,
+                                  branch=branch, drop_paths=drop,
+                                  drop_dv_for=set(dvs))
+
     def delete_by_keys(self, keys: DataFrame, branch: str = MAIN_BRANCH) -> "IceTable":
         """Equality delete: every row matching any key tuple (on the key
         DataFrame's columns) is deleted. Applies to data files with a

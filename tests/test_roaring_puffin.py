@@ -177,6 +177,36 @@ class TestDeletionVectorTable:
                     .count("*").alias("n")).collect()}
         assert got == {0: n_r, 1: n_a}
 
+    def test_rewrite_position_deletes_to_dvs(self, spark, tmp_loc, lineitem):
+        """Parquet position-delete files + an existing DV fold into one
+        merged vector per data file; rows unchanged; the conversion
+        commit is invisible to the changelog (no logical change)."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+        from iceberg_cpp_spark.streaming.changelog import changes
+
+        li = lineitem.limit(500)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "trw"),
+                            schema_from_spark(li.schema))
+        t.append(li)
+        t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                       mode="merge-on-read")
+        t.delete_where(ex.gt(ex.Reference("l_quantity"), 45.0),
+                       mode="merge-on-read")
+        t = t.delete_where(ex.lt(ex.Reference("l_quantity"), 2.0),
+                           mode="deletion-vector")
+        before = t.to_df().count()
+        s_before = t.current_snapshot().snapshot_id
+        t = t.rewrite_position_deletes()
+        assert t.to_df().count() == before
+        dels = t.scan().plan_deletes()
+        assert all(d.is_deletion_vector for d in dels)
+        refs = [d.referenced_data_file for d in dels]
+        assert len(refs) == len(set(refs))
+        c = changes(t, from_snapshot_id=s_before)
+        assert c.count() == 0
+
     def test_dv_roundtrips_through_avro_manifests(self, spark, tmp_loc, lineitem):
         from iceberg_cpp_spark import IceTable
         from iceberg_cpp_spark.core.types import schema_from_spark
