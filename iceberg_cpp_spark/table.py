@@ -155,6 +155,7 @@ class TableScan:
         self._limit: Optional[int] = None
         self._case_sensitive = True
         self._with_meta_cols = False
+        self._include_deleted = False
         self._options: dict[str, str] = {}
 
     # --- builder (table_scan.cc:171-205) --------------------------------
@@ -190,6 +191,13 @@ class TableScan:
         """Adds `_file` / `_pos` (metadata_columns.h:42-96) via Spark's
         hidden `_metadata` struct — no per-row python."""
         self._with_meta_cols = True
+        return self
+
+    def include_deleted(self) -> "TableScan":
+        """Keep rows dead under merge-on-read deletes and tag them with
+        the reserved `_deleted` boolean column (metadata_columns.h:56-59)
+        instead of filtering them out — the changelog/debugging view."""
+        self._include_deleted = True
         return self
 
     def option(self, k: str, v: str) -> "TableScan":
@@ -490,9 +498,12 @@ class TableScan:
             df = (df.join(F.broadcast(mdf), norm == F.col("_mc_path"), "left")
                   .drop("_mc_path"))
         if deletes:
-            df = self._apply_deletes(df, tasks, deletes, schema)
+            df = self._apply_deletes(df, tasks, deletes, schema,
+                                     tag=self._include_deleted)
             if not self._with_meta_cols:
                 df = df.drop("_file", "_pos")
+        if self._include_deleted and "_deleted" not in df.columns:
+            df = df.withColumn("_deleted", F.lit(False))
         if not isinstance(self._filter, ex.TrueExp):
             df = df.filter(to_spark_column(self._filter, schema, self._case_sensitive))
         if self._columns is not None:
@@ -517,14 +528,21 @@ class TableScan:
         return self.to_df().count()
 
     def _apply_deletes(self, df: DataFrame, tasks: list[FileScanTask],
-                       deletes: list["DeleteFileTask"], schema: it.Schema) -> DataFrame:
+                       deletes: list["DeleteFileTask"], schema: it.Schema,
+                       tag: bool = False) -> DataFrame:
         """Merge-on-read: anti-join position deletes on (_file,_pos);
         equality deletes by key with sequence-number visibility (a delete
         applies only to data files older than it). Delete files are small
-        → broadcast joins, no extra shuffle of the data side."""
+        → broadcast joins, no extra shuffle of the data side.
+
+        With ``tag``, dead rows are kept and flagged in a `_deleted`
+        column instead of dropped (anti-joins become flagged left
+        joins)."""
         from pyspark.sql.functions import broadcast
 
         spark = self._table.spark
+        if tag:
+            df = df.withColumn("_deleted", F.lit(False))
         dvs = [d for d in deletes if d.content == mf.CONTENT_POSITION_DELETES
                and d.is_deletion_vector]
         pos = [d for d in deletes if d.content == mf.CONTENT_POSITION_DELETES
@@ -545,14 +563,14 @@ class TableScan:
             bc = spark.sparkContext.broadcast(blobs)
 
             @F.pandas_udf("boolean")
-            def _dv_keep(file_s, pos_s):
+            def _dv_dead(file_s, pos_s):
                 import numpy as np
                 import pandas as pd
 
                 from iceberg_cpp_spark.core.puffin import _decode_dv_cached
 
                 files = file_s.str.replace(r"^file:(//)?", "", regex=True).to_numpy()
-                keep = np.ones(len(files), dtype=bool)
+                dead = np.zeros(len(files), dtype=bool)
                 positions = pos_s.to_numpy(dtype=np.int64)
                 for fp in pd.unique(files):
                     raw = bc.value.get(fp)
@@ -560,17 +578,29 @@ class TableScan:
                         continue
                     arr = _decode_dv_cached(raw)
                     m = files == fp
-                    keep[m] = ~np.isin(positions[m].astype(np.uint64), arr)
-                return pd.Series(keep)
+                    dead[m] = np.isin(positions[m].astype(np.uint64), arr)
+                return pd.Series(dead)
 
-            df = df.filter(_dv_keep(F.col("_file"), F.col("_pos")))
+            hit = _dv_dead(F.col("_file"), F.col("_pos"))
+            df = (df.withColumn("_deleted", F.col("_deleted") | hit) if tag
+                  else df.filter(~hit))
         if pos:
             dels = spark.read.parquet(*[d.file_path for d in pos]).select("file_path", "pos")
-            df = df.join(
-                broadcast(dels),
-                (df["_file"] == dels["file_path"]) & (df["_pos"] == dels["pos"]),
-                "left_anti",
-            )
+            if tag:
+                marked = dels.distinct().withColumn("_pd_hit", F.lit(True))
+                df = (df.join(
+                        broadcast(marked),
+                        (df["_file"] == marked["file_path"])
+                        & (df["_pos"] == marked["pos"]), "left")
+                      .withColumn("_deleted", F.col("_deleted")
+                                  | F.coalesce("_pd_hit", F.lit(False)))
+                      .drop("file_path", "pos", "_pd_hit"))
+            else:
+                df = df.join(
+                    broadcast(dels),
+                    (df["_file"] == dels["file_path"]) & (df["_pos"] == dels["pos"]),
+                    "left_anti",
+                )
         if eqs:
             seq_map = spark.createDataFrame(
                 [(t.file_path, t.sequence_number) for t in tasks], "_seq_path string, _seq long")
@@ -585,11 +615,12 @@ class TableScan:
                         raise ValueError(f"equality delete references unknown field {fid}")
                     key_cols.append(f.name)
                 keys = (spark.read.parquet(d.file_path)
-                        .select(*key_cols).withColumn("_hit", F.lit(1)))
+                        .select(*key_cols).distinct().withColumn("_hit", F.lit(1)))
                 df = df.join(broadcast(keys), on=key_cols, how="left")
                 drop_cond = (F.coalesce(F.col("_hit"), F.lit(0)) == 1) & \
                     (F.coalesce(F.col("_seq"), F.lit(2**62)) < F.lit(d.sequence_number))
-                df = df.filter(~drop_cond).drop("_hit")
+                df = (df.withColumn("_deleted", F.col("_deleted") | drop_cond)
+                      if tag else df.filter(~drop_cond)).drop("_hit")
             df = df.drop("_seq")
         return df
 

@@ -207,6 +207,33 @@ class TestDeletionVectorTable:
         c = changes(t, from_snapshot_id=s_before)
         assert c.count() == 0
 
+    def test_include_deleted_tags_rows(self, spark, tmp_loc, lineitem):
+        """scan().include_deleted(): dead rows stay, flagged `_deleted`
+        (metadata_columns.h:56-59), across DV + parquet-pos + equality."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        li = lineitem.limit(300)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "tid"),
+                            schema_from_spark(li.schema))
+        t.append(li)
+        t = t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                           mode="deletion-vector")
+        t.delete_where(ex.gt(ex.Reference("l_quantity"), 45.0),
+                       mode="merge-on-read")
+        keys = spark.createDataFrame([("A", "F")],
+                                     "l_returnflag string, l_linestatus string")
+        t.delete_by_keys(keys)
+        tagged = t.scan().include_deleted().to_df()
+        assert tagged.count() == li.count()  # nothing filtered
+        n_live_tagged = tagged.filter("NOT _deleted").count()
+        assert n_live_tagged == t.to_df().count()  # flag == filter semantics
+        expect_live = li.filter(
+            "l_returnflag <> 'R' AND l_quantity <= 45 "
+            "AND NOT (l_returnflag = 'A' AND l_linestatus = 'F')").count()
+        assert n_live_tagged == expect_live
+
     def test_dv_roundtrips_through_avro_manifests(self, spark, tmp_loc, lineitem):
         from iceberg_cpp_spark import IceTable
         from iceberg_cpp_spark.core.types import schema_from_spark
