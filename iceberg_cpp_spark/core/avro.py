@@ -77,6 +77,7 @@ _DF_IDS = {
     132: "split_offsets",
     135: "equality_ids",
     140: "sort_order_id",
+    142: "first_row_id",
     143: "referenced_data_file",
     144: "content_offset",
     145: "content_size_in_bytes",
@@ -523,6 +524,7 @@ def manifest_entries_from_avro(path_or_bytes, manifest=None) -> list:
             referenced_data_file=gd(143),
             content_offset=gd(144),
             content_size_in_bytes=gd(145),
+            first_row_id=gd(142),
         )
         status = rec.get(enames[0], mf.STATUS_ADDED)
         snap = rec.get(enames.get(1))
@@ -697,6 +699,8 @@ def manifest_entry_avro_schema(spec, schema) -> dict:
              "default": None, "field-id": 144},
             {"name": "content_size_in_bytes", "type": _opt("long"),
              "default": None, "field-id": 145},
+            {"name": "first_row_id", "type": _opt("long"),
+             "default": None, "field-id": 142},
         ],
     }
     return {

@@ -66,6 +66,8 @@ class DataFile:
     # v3 deletion vectors: blob location inside a puffin file
     content_offset: Optional[int] = None
     content_size_in_bytes: Optional[int] = None
+    # v3 row lineage: _row_id of this file's first row
+    first_row_id: Optional[int] = None
 
     def stats(self) -> dict:
         """Shape consumed by pruning.InclusiveMetricsEvaluator."""
@@ -207,6 +209,7 @@ def manifest_arrow_schema() -> pa.Schema:
             pa.field("referenced_data_file", pa.string()),
             pa.field("content_offset", pa.int64()),
             pa.field("content_size_in_bytes", pa.int64()),
+            pa.field("first_row_id", pa.int64()),
         ]
     )
 
@@ -408,6 +411,7 @@ class ManifestWriter:
                     "referenced_data_file": f.referenced_data_file,
                     "content_offset": f.content_offset,
                     "content_size_in_bytes": f.content_size_in_bytes,
+                    "first_row_id": f.first_row_id,
                 },
             })
         meta = {
@@ -454,6 +458,7 @@ class ManifestWriter:
             rows["referenced_data_file"].append(f.referenced_data_file)
             rows["content_offset"].append(f.content_offset)
             rows["content_size_in_bytes"].append(f.content_size_in_bytes)
+            rows["first_row_id"].append(f.first_row_id)
         table = pa.Table.from_pydict(rows, schema=arrow_schema)
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
         pq.write_table(table, self.path, compression="zstd")
@@ -492,6 +497,7 @@ def read_manifest(path: str, spec: PartitionSpec, schema: it.Schema,
             referenced_data_file=row["referenced_data_file"],
             content_offset=row.get("content_offset"),
             content_size_in_bytes=row.get("content_size_in_bytes"),
+            first_row_id=row.get("first_row_id"),
         )
         snap = row["snapshot_id"]
         seq = row["sequence_number"]

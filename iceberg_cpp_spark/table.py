@@ -101,6 +101,7 @@ class FileScanTask:
     partition: dict[str, Any]
     spec_id: int = 0
     sequence_number: int = 0
+    first_row_id: Optional[int] = None  # v3 row lineage base
 
     @property
     def size_bytes(self) -> int:
@@ -297,7 +298,7 @@ class TableScan:
             by_spec.setdefault(m.partition_spec_id, []).append(m)
         out_schema = ("file_path string, file_format string, record_count long, "
                       "file_size_in_bytes long, partition_json string, "
-                      "sequence_number long")
+                      "sequence_number long, first_row_id long")
 
         for spec_id, group in by_spec.items():
             spec = meta.spec_by_id(spec_id) or PartitionSpec.unpartitioned()
@@ -335,12 +336,18 @@ class TableScan:
                                        "file_size_in_bytes", "partition_json",
                                        "sequence_number"]]
                     out["sequence_number"] = out["sequence_number"].fillna(0)
+                    out["first_row_id"] = (
+                        b.loc[keep, "first_row_id"].astype("Int64")
+                        if "first_row_id" in b
+                        else pd.array([None] * len(out), dtype="Int64"))
                     yield out
 
             cols = ["file_path", "file_format", "record_count", "file_size_in_bytes",
                     "partition_json", "sequence_number", "value_counts",
                     "null_value_counts", "nan_value_counts", "lower_bounds",
                     "upper_bounds"]
+            if "first_row_id" in df.columns:  # absent in pre-lineage manifests
+                cols.append("first_row_id")
             rows = df.select(*cols).mapInPandas(survive, schema=out_schema).collect()
             for r in rows:
                 tasks.append(
@@ -352,6 +359,7 @@ class TableScan:
                         partition=mf.partition_from_json(r["partition_json"], spec, schema),
                         spec_id=spec_id,
                         sequence_number=r["sequence_number"] or 0,
+                        first_row_id=r["first_row_id"],
                     )
                 )
         return tasks
@@ -370,7 +378,7 @@ class TableScan:
             payload, "manifest_path string, added_snapshot_id long, sequence_number long")
         out_schema = ("file_path string, file_format string, record_count long, "
                       "file_size_in_bytes long, partition_json string, "
-                      "sequence_number long")
+                      "sequence_number long, first_row_id long")
         ev = evaluator
 
         def decode(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -397,10 +405,13 @@ class TableScan:
                         rows.append((f.file_path, f.file_format, f.record_count,
                                      f.file_size_in_bytes,
                                      mf.partition_to_json(f.partition, spec, schema),
-                                     e.sequence_number or 0))
-                yield pd.DataFrame(rows, columns=[
+                                     e.sequence_number or 0, f.first_row_id))
+                out = pd.DataFrame(rows, columns=[
                     "file_path", "file_format", "record_count",
-                    "file_size_in_bytes", "partition_json", "sequence_number"])
+                    "file_size_in_bytes", "partition_json", "sequence_number",
+                    "first_row_id"])
+                out["first_row_id"] = out["first_row_id"].astype("Int64")
+                yield out
 
         n_parts = max(1, min(len(group), 256))
         rows = (pay_df.repartition(n_parts)
@@ -414,6 +425,7 @@ class TableScan:
                 partition=mf.partition_from_json(r["partition_json"], spec, schema),
                 spec_id=spec_id,
                 sequence_number=r["sequence_number"] or 0,
+                first_row_id=r["first_row_id"],
             )
             for r in rows
         ]
@@ -427,6 +439,7 @@ class TableScan:
             partition=f.partition,
             spec_id=spec_id,
             sequence_number=seq,
+            first_row_id=f.first_row_id,
         )
 
     def plan_deletes(self) -> list[DeleteFileTask]:
@@ -484,19 +497,24 @@ class TableScan:
                 F.col("_metadata.row_index").alias("_pos"),
             )
         if self._with_meta_cols and tasks:
-            # _spec_id/_partition (metadata_columns.h:42-96): constants per
-            # file, joined from the plan as a broadcast map — no python
+            # _spec_id/_partition/_row_id/_last_updated_sequence_number
+            # (metadata_columns.h:42-96): per-file constants joined from
+            # the plan as a broadcast map — no python. _row_id is the
+            # file's v3 first_row_id base + the row's position.
             meta = self._table.metadata
             rows = []
             for t in tasks:
                 spec = meta.spec_by_id(t.spec_id) or PartitionSpec.unpartitioned()
                 rows.append((t.file_path, t.spec_id,
-                             mf.partition_to_json(t.partition, spec, schema)))
+                             mf.partition_to_json(t.partition, spec, schema),
+                             t.first_row_id, t.sequence_number))
             mdf = spark.createDataFrame(
-                rows, "_mc_path string, _spec_id int, _partition string")
+                rows, "_mc_path string, _spec_id int, _partition string, "
+                      "_mc_frid long, _last_updated_sequence_number long")
             norm = F.regexp_replace(F.col("_file"), "^file:(//)?", "")
             df = (df.join(F.broadcast(mdf), norm == F.col("_mc_path"), "left")
-                  .drop("_mc_path"))
+                  .withColumn("_row_id", F.col("_mc_frid") + F.col("_pos"))
+                  .drop("_mc_path", "_mc_frid"))
         if deletes:
             df = self._apply_deletes(df, tasks, deletes, schema,
                                      tag=self._include_deleted)
@@ -1456,6 +1474,15 @@ class IceTable:
 
         new_data = [f for f in new_files if f.content == mf.CONTENT_DATA]
         new_dels = [f for f in new_files if f.content != mf.CONTENT_DATA]
+        # v3 row lineage: every new data file gets a fresh first_row_id
+        # range (assigned unconditionally — a CAS retry re-bases against
+        # the refreshed counter). Tracked in a table property because the
+        # metadata JSON layout predates v3's top-level next-row-id.
+        next_row_id = int(meta.properties.get("engine.next-row-id", "0"))
+        rid = next_row_id
+        for f in new_data:
+            f.first_row_id = rid
+            rid += f.record_count
         new_manifests: list[mf.ManifestFile] = []
         if new_data:
             writer = mf.ManifestWriter(
@@ -1563,6 +1590,8 @@ class IceTable:
         b = TableMetadataBuilder.build_from(meta)
         b.add_snapshot(snap)
         b.set_ref(branch, snapshot_id)
+        if rid != next_row_id:
+            b.set_properties({"engine.next-row-id": str(rid)})
         new_meta, _updates, reqs = b.build()
         new_meta = dc_replace(
             new_meta,
