@@ -856,6 +856,23 @@ def ice_deletion_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
 
 
+def ice_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v3 row lineage: two appends assign dense unique _row_id ranges;
+    the invariants (distinct ids == rows, ids cover [0, n)) are checked
+    against the oracle's row count."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "lineage")
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    df = t.scan().with_metadata_columns().to_df()
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("_row_id").alias("n_ids"),
+        F.min("_row_id").alias("min_id"),
+        (F.max("_row_id") + 1).alias("max_id_plus1"),
+        F.countDistinct("_last_updated_sequence_number").alias("n_commits"))
+
+
 def ice_equality_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """equality-delete file keyed on (l_returnflag, l_linestatus)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1403,6 +1420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_delete_where": ice_delete_where,
         "ice_mor_delete": ice_mor_delete,
         "ice_deletion_vector": ice_deletion_vector,
+        "ice_row_lineage": ice_row_lineage,
         "ice_equality_delete": ice_equality_delete,
         "ice_schema_evolution": ice_schema_evolution,
         "ice_metadata_columns": ice_metadata_columns,
@@ -1916,6 +1934,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem WHERE l_quantity <= 45 AND l_quantity >= 3
             GROUP BY l_returnflag
+        """,
+        "ice_row_lineage": """
+            SELECT COUNT(*) AS n_rows, COUNT(*) AS n_ids,
+                   0 AS min_id, COUNT(*) AS max_id_plus1, 2 AS n_commits
+            FROM lineitem
         """,
         "ice_equality_delete": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n
