@@ -7,8 +7,10 @@ table_scan.cc:139-163) — realized here with Spark 4's Python DataSource
 API:
 
 - batch read with partition-per-FileScanTask, manifest pruning driven
-  by pushed filters (``pushFilters``), merge-on-read position deletes
-  applied per partition;
+  by pushed filters (``pushFilters``); merge-on-read deletes applied
+  per partition (parquet position deletes + deletion vectors as one
+  original-position mask, then equality deletes as sequence-gated
+  arrow anti-joins);
 - transactional batch write (append/overwrite): executors stream Arrow
   batches into parquet files with Iceberg field-id metadata, the driver
   commits ONE snapshot from the collected commit messages (exactly the
@@ -107,6 +109,9 @@ class ScanPartition(InputPartition):
     pos_delete_paths: list = dc_field(default_factory=list)
     # deletion vector for THIS file: (puffin path, blob offset, blob length)
     dv_blob: Optional[tuple] = None
+    # equality deletes: (path, delete sequence number, [key column names])
+    eq_deletes: list = dc_field(default_factory=list)
+    file_sequence_number: int = 0
 
 
 @dataclass
@@ -138,19 +143,21 @@ class IcebergCppReader(DataSourceReader):
         if self.options.get("snapshot-id"):
             scan = scan.use_snapshot(int(self.options["snapshot-id"]))
         deletes = scan.plan_deletes()
-        if any(d.content == 2 for d in deletes):  # CONTENT_EQUALITY_DELETES
-            # NB: must not be NotImplementedError — Spark treats that
-            # as "source has no partitioning" and passes read() None
-            raise ValueError(
-                "icecpp source does not apply equality deletes; use "
-                "IceTable.scan().to_df() for this table")
         pos = [d.file_path for d in deletes
                if d.content == 1 and not d.is_deletion_vector]
         dvs = {d.referenced_data_file: (d.file_path, d.content_offset,
                                         d.content_size_in_bytes)
                for d in deletes if d.is_deletion_vector}
+        schema = table.schema()
+        eq = []
+        for d in deletes:
+            if d.content == 2:  # CONTENT_EQUALITY_DELETES
+                cols = [schema.find_field_by_id(fid).name
+                        for fid in d.equality_ids]
+                eq.append((d.file_path, d.sequence_number, cols))
         return [ScanPartition(file_path=t.file_path, pos_delete_paths=pos,
-                              dv_blob=dvs.get(t.file_path))
+                              dv_blob=dvs.get(t.file_path), eq_deletes=eq,
+                              file_sequence_number=t.sequence_number)
                 for t in scan.plan_files()]
 
     def read(self, partition: ScanPartition):
@@ -187,6 +194,15 @@ class IcebergCppReader(DataSourceReader):
             keep = np.setdiff1d(np.arange(tbl.num_rows, dtype=np.int64),
                                 np.fromiter(dead, dtype=np.int64, count=len(dead)))
             tbl = tbl.take(keep)
+        for path, seq, cols in sorted(partition.eq_deletes, key=lambda e: e[1]):
+            # sequence visibility: a delete only hits OLDER data files
+            # (same rule as TableScan._apply_deletes); null keys don't
+            # match, matching the engine's Spark-join semantics
+            if partition.file_sequence_number >= seq:
+                continue
+            keys = (pq.read_table(path, columns=cols)
+                    .group_by(cols).aggregate([]))
+            tbl = tbl.join(keys, keys=cols, join_type="left anti")
         for batch in tbl.to_batches(max_chunksize=65536):
             yield batch
 

@@ -53,12 +53,18 @@ class TestBatchRead:
         assert df.count() == t.to_df().count()
         assert df.filter("l_returnflag = 'R'").count() == 0
 
-    def test_equality_deletes_rejected(self, registered, table_loc):
+    def test_equality_deletes_applied(self, registered, lineitem, table_loc):
         loc, t = table_loc
         keys = registered.createDataFrame([("A",)], "l_returnflag string")
         t.delete_by_keys(keys)
-        with pytest.raises(Exception, match="equality deletes"):
-            registered.read.format("icecpp").load(loc).count()
+        df = registered.read.format("icecpp").load(loc)
+        assert df.count() == lineitem.filter("l_returnflag <> 'A'").count()
+        assert df.filter("l_returnflag = 'A'").count() == 0
+        # sequence visibility: rows appended AFTER the delete survive
+        t.append(lineitem.filter("l_returnflag = 'A'").limit(37))
+        df2 = registered.read.format("icecpp").load(loc)
+        assert df2.filter("l_returnflag = 'A'").count() == 37
+        assert df2.count() == t.to_df().count()
 
     def test_pushed_filter_prunes_partitions(self, registered, lineitem, tmp_loc):
         """with a month-partitioned table, a pushed range filter must
