@@ -142,6 +142,10 @@ class IcebergCppReader(DataSourceReader):
         scan = table.scan(filter=None if isinstance(flt, ex.TrueExp) else flt)
         if self.options.get("snapshot-id"):
             scan = scan.use_snapshot(int(self.options["snapshot-id"]))
+        if self.options.get("branch"):
+            scan = scan.use_ref(self.options["branch"])
+        if self.options.get("as-of-timestamp-ms"):
+            scan = scan.as_of(int(self.options["as-of-timestamp-ms"]))
         deletes = scan.plan_deletes()
         pos = [d.file_path for d in deletes
                if d.content == 1 and not d.is_deletion_vector]

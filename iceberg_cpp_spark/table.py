@@ -1360,14 +1360,25 @@ class IceTable:
                 col = pf.transform.spark_column(F.col(src.name), src.field_type)
                 df = df.withColumn(_PART_PREFIX + pf.name, col)
                 part_names.append(_PART_PREFIX + pf.name)
-            # range-partition on (partition cols, source col) rather than
-            # hash on partition cols alone: a hash pins each partition to
-            # ONE task, which serializes (and can OOM) a hot partition at
-            # scale; ranges keep partition-locality while splitting large
-            # partitions across tasks
-            tiebreak = [schema.find_field_by_id(pf.source_id).name
-                        for pf in spec.fields]
-            df = df.repartitionByRange(*(part_names + tiebreak))
+            # write.distribution-mode (table_properties parity):
+            #   range (default) — range-partition on (partition cols,
+            #     source col) rather than hash on partition cols alone:
+            #     a hash pins each partition to ONE task, which
+            #     serializes (and can OOM) a hot partition at scale;
+            #     ranges keep partition-locality while splitting large
+            #     partitions across tasks
+            #   hash — co-locate each partition on one task (fewest
+            #     files; only safe when partitions are known-small)
+            #   none — keep the incoming distribution (caller clustered)
+            mode = self.properties().get("write.distribution-mode", "range")
+            if mode == "range":
+                tiebreak = [schema.find_field_by_id(pf.source_id).name
+                            for pf in spec.fields]
+                df = df.repartitionByRange(*(part_names + tiebreak))
+            elif mode == "hash":
+                df = df.repartition(*part_names)
+            elif mode != "none":
+                raise ValueError(f"unknown write.distribution-mode: {mode}")
             df = self._apply_sort_order(df, schema)
             writer = df.write.partitionBy(*part_names)
         else:
