@@ -711,6 +711,34 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) window aggregation: 2-hour windows every hour —
+    each event lands in two windows. F.window with slideDuration; the
+    oracle unions the two phase-shifted tumbling decompositions."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+    )
+
+
+def ice_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot-diff read: only rows appended AFTER the
+    first snapshot (the CDC-lite 'what changed since' primitive)."""
+    from iceberg_cpp_spark.streaming.incremental import incremental_read
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "incr")
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    s1 = t.current_snapshot().snapshot_id
+    t.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    inc = incremental_read(t, s1, t.current_snapshot().snapshot_id)
+    return inc.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+
+
 # ---------------------------------------------------------------------------
 # Iceberg-native: transforms, write path, scan path (SURVEY §2.1-2.3, §2.6)
 # ---------------------------------------------------------------------------
@@ -1406,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_listagg": agg_listagg,
         "agg_percentile": agg_percentile,
         "events_window_agg": events_window_agg,
+        "events_sliding_window": events_sliding_window,
         "asof_join_events": asof_join_events,
         "range_join_events": range_join_events,
         "sessionize_events": sessionize_events,
@@ -1421,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_mor_delete": ice_mor_delete,
         "ice_deletion_vector": ice_deletion_vector,
         "ice_row_lineage": ice_row_lineage,
+        "ice_incremental_read": ice_incremental_read,
         "ice_equality_delete": ice_equality_delete,
         "ice_schema_evolution": ice_schema_evolution,
         "ice_metadata_columns": ice_metadata_columns,
@@ -1891,6 +1921,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
             FROM events GROUP BY DATE_TRUNC('hour', ts), event_type
+        """,
+        "events_sliding_window": """
+            WITH ev AS (
+              SELECT DATE_TRUNC('hour', ts) AS h, event_type FROM events),
+            phases AS (
+              SELECT h AS w_start, event_type FROM ev
+              UNION ALL
+              SELECT h - INTERVAL 1 HOUR AS w_start, event_type FROM ev)
+            SELECT w_start, event_type, COUNT(*) AS n_events
+            FROM phases GROUP BY w_start, event_type
+        """,
+        "ice_incremental_read": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY l_returnflag
         """,
         "ice_transforms": """
             SELECT l_orderkey, l_linenumber,
