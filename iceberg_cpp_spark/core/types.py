@@ -135,6 +135,12 @@ class NestedField:
     field_type: IcebergType
     required: bool = False
     doc: Optional[str] = None
+    # v3 default values (spec: JSON single-value encoding).
+    # initial-default: value rows in PRE-EXISTING files read as
+    # (schema_util.h Project::Default); write-default: value stamped
+    # when a writer omits the column.
+    initial_default: Any = None
+    write_default: Any = None
 
     def to_json(self) -> dict:
         j: dict[str, Any] = {
@@ -145,6 +151,10 @@ class NestedField:
         }
         if self.doc is not None:
             j["doc"] = self.doc
+        if self.initial_default is not None:
+            j["initial-default"] = self.initial_default
+        if self.write_default is not None:
+            j["write-default"] = self.write_default
         return j
 
 
@@ -263,6 +273,8 @@ def field_from_json(j: dict) -> NestedField:
         field_type=type_from_json(j["type"]),
         required=j.get("required", False),
         doc=j.get("doc"),
+        initial_default=j.get("initial-default"),
+        write_default=j.get("write-default"),
     )
 
 

@@ -489,6 +489,27 @@ class TableScan:
             df = spark.createDataFrame([], spark_schema)
         else:
             df = spark.read.schema(spark_schema).parquet(*[t.file_path for t in tasks])
+        dflt = [f for f in schema.fields if f.initial_default is not None]
+        if dflt and tasks:
+            # v3 initial-default (schema_util.h Project::Default): rows
+            # in files that predate the column (sequence-gated, per-file
+            # broadcast map) read the default, not null
+            props = self._table.properties()
+            fmap = spark.createDataFrame(
+                [(t.file_path, t.sequence_number) for t in tasks],
+                "_df_path string, _df_seq long")
+            norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+            df = df.join(F.broadcast(fmap), norm == F.col("_df_path"), "left")
+            for f in dflt:
+                gate = int(props.get(
+                    f"engine.default-added-seq.{f.field_id}", "-1"))
+                sp_type = it.to_spark_schema(
+                    it.Schema([f], schema_id=0)).fields[0].dataType
+                df = df.withColumn(f.name, F.when(
+                    F.col("_df_seq") <= F.lit(gate),
+                    F.lit(f.initial_default).cast(sp_type))
+                    .otherwise(F.col(f.name)))
+            df = df.drop("_df_path", "_df_seq")
         deletes = self.plan_deletes() if tasks else []
         if deletes or (self._with_meta_cols and tasks):
             df = df.select(
@@ -1346,10 +1367,19 @@ class IceTable:
         # align to the table schema and stamp parquet field IDs
         # (schema_util.h field-ID resolution depends on files carrying IDs)
         spark_fields = it.to_spark_schema(schema).fields
-        df = df.select([
-            F.col(sf.name).cast(sf.dataType).alias(sf.name, metadata=sf.metadata)
-            for sf in spark_fields
-        ])
+        incoming = set(df.columns)
+        cols = []
+        for sf in spark_fields:
+            if sf.name not in incoming:
+                f = schema.find_field(sf.name)
+                if f is not None and f.write_default is not None:
+                    # v3 write-default: omitted column gets the default
+                    cols.append(F.lit(f.write_default).cast(sf.dataType)
+                                .alias(sf.name, metadata=sf.metadata))
+                    continue
+            cols.append(F.col(sf.name).cast(sf.dataType)
+                        .alias(sf.name, metadata=sf.metadata))
+        df = df.select(cols)
         part_names: list[str] = []
         if spec.fields:
             # transforms as derived columns (prefixed so data files keep
@@ -1708,14 +1738,27 @@ class IceTable:
         return self._evolve_schema(fields)
 
     def add_column(self, name: str, field_type: it.IcebergType,
-                   required: bool = False) -> "IceTable":
-        """New field gets a fresh ID; old files read it as null."""
+                   required: bool = False, default=None) -> "IceTable":
+        """New field gets a fresh ID; old files read it as null — or as
+        ``default`` (v3 initial-default, the reference's
+        schema_util.h Project::Default case). The default also becomes
+        the write-default for writers that omit the column. Old files
+        are identified by sequence number (every file this engine
+        writes after the add carries the column), so genuine nulls
+        written later are never masked."""
         schema = self.schema()
         if schema.find_field(name) is not None:
             raise ValueError(f"column exists: {name}")
         fid = self.metadata.last_column_id + 1
-        fields = list(schema.fields) + [it.NestedField(fid, name, field_type, required)]
-        return self._evolve_schema(fields, last_column_id=fid)
+        fields = list(schema.fields) + [it.NestedField(
+            fid, name, field_type, required,
+            initial_default=default, write_default=default)]
+        t = self._evolve_schema(fields, last_column_id=fid)
+        if default is not None:
+            t = t.update_properties({
+                f"engine.default-added-seq.{fid}":
+                    str(t.metadata.last_sequence_number)})
+        return t
 
     def drop_column(self, name: str) -> "IceTable":
         schema = self.schema()

@@ -226,6 +226,25 @@ class TestSchemaEvolution:
         assert df.count() == 6007
         assert df.filter(F.col("extra") == "new").count() == 7
 
+    def test_add_column_with_default(self, spark, lineitem, li_table):
+        """v3 initial/write defaults (schema_util.h Project::Default):
+        pre-existing files read the default, omitted-column appends get
+        the write-default, explicit nulls stay null."""
+        from iceberg_cpp_spark.core import types as it
+
+        n0 = li_table.to_df().count()
+        t = li_table.add_column("source", it.StringType(), default="web")
+        t.append(lineitem.limit(11))  # column omitted -> write-default
+        t.append(lineitem.limit(16).subtract(lineitem.limit(11))
+                 .withColumn("source", F.lit(None).cast("string")))
+        got = {r["source"]: r["n"] for r in
+               t.to_df().groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert got.get("web") == n0 + 11
+        assert got.get(None) == 5
+        # defaults survive the metadata JSON round trip
+        f = t.refresh().schema().find_field("source")
+        assert f.initial_default == "web" and f.write_default == "web"
+
     def test_drop_column(self, spark, lineitem, li_table):
         li_table.drop_column("l_comment") if "l_comment" in [
             f.name for f in li_table.schema().fields] else None
