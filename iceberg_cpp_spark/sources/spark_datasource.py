@@ -112,6 +112,8 @@ class ScanPartition(InputPartition):
     # equality deletes: (path, delete sequence number, [key column names])
     eq_deletes: list = dc_field(default_factory=list)
     file_sequence_number: int = 0
+    # v3 initial-defaults: (column name, default value, added-at sequence)
+    column_defaults: list = dc_field(default_factory=list)
 
 
 @dataclass
@@ -159,9 +161,15 @@ class IcebergCppReader(DataSourceReader):
                 cols = [schema.find_field_by_id(fid).name
                         for fid in d.equality_ids]
                 eq.append((d.file_path, d.sequence_number, cols))
+        props = table.properties()
+        defaults = [
+            (f.name, f.initial_default,
+             int(props.get(f"engine.default-added-seq.{f.field_id}", "-1")))
+            for f in schema.fields if f.initial_default is not None]
         return [ScanPartition(file_path=t.file_path, pos_delete_paths=pos,
                               dv_blob=dvs.get(t.file_path), eq_deletes=eq,
-                              file_sequence_number=t.sequence_number)
+                              file_sequence_number=t.sequence_number,
+                              column_defaults=defaults)
                 for t in scan.plan_files()]
 
     def read(self, partition: ScanPartition):
@@ -169,8 +177,21 @@ class IcebergCppReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         names = [f.name for f in self.spark_schema.fields]
-        tbl = _cast_to_declared(pq.read_table(partition.file_path, columns=names),
-                                self.spark_schema)
+        pf = pq.ParquetFile(partition.file_path)
+        present = set(pf.schema_arrow.names)
+        tbl = pq.read_table(partition.file_path,
+                            columns=[n for n in names if n in present])
+        # schema evolution: files predating a column read null — or the
+        # column's v3 initial-default when this file is older than it
+        defaults = {n: v for n, v, gate in partition.column_defaults
+                    if partition.file_sequence_number <= gate}
+        for n in names:
+            if n not in present:
+                v = defaults.get(n)
+                col = (pa.nulls(tbl.num_rows) if v is None
+                       else pa.array([v] * tbl.num_rows))
+                tbl = tbl.append_column(n, col)
+        tbl = _cast_to_declared(tbl.select(names), self.spark_schema)
         dead: set = set()
         if partition.pos_delete_paths:
             dels = pq.read_table(partition.pos_delete_paths,

@@ -66,6 +66,24 @@ class TestBatchRead:
         assert df2.filter("l_returnflag = 'A'").count() == 37
         assert df2.count() == t.to_df().count()
 
+    def test_schema_evolution_and_defaults(self, registered, lineitem, tmp_loc):
+        """Old files missing an added column read null — or its v3
+        initial-default — identically to IceTable.scan()."""
+        from iceberg_cpp_spark.core import types as it
+
+        li = lineitem.limit(100)
+        loc = os.path.join(tmp_loc, "evo")
+        t = IceTable.create(registered, loc, schema_from_spark(li.schema))
+        t.append(li)
+        t = t.add_column("source", it.StringType(), default="web")
+        t.append(li.limit(20).withColumn("source", F.lit("api")))
+        df = registered.read.format("icecpp").load(loc)
+        got = {r["source"]: r["count"] for r in df.groupBy("source").count().collect()}
+        assert got == {"web": 100, "api": 20}
+        eng = {r["source"]: r["count"]
+               for r in t.to_df().groupBy("source").count().collect()}
+        assert eng == got
+
     def test_pushed_filter_prunes_partitions(self, registered, lineitem, tmp_loc):
         """with a month-partitioned table, a pushed range filter must
         plan fewer partitions than the unfiltered scan."""
