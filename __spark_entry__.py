@@ -954,6 +954,32 @@ def ice_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.to_df().groupBy("l_returnflag").agg(F.count("*").alias("n"))
 
 
+def ice_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full maintenance loop a production table lives through:
+    fragmented appends → MOR deletes → rewrite_position_deletes (fold to
+    DVs) → rewrite_data_files (compaction applies the DVs) →
+    rewrite_manifests → expire_snapshots. Data integrity oracle-checked
+    at the end — maintenance must never change query results."""
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "mnt")
+    for i in range(1, 4):
+        t.append(li.filter(F.col("l_linenumber") == i))
+    t.append(li.filter(F.col("l_linenumber") > 3))
+    t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                   mode="merge-on-read")
+    t = t.delete_where(ex.gt(ex.Reference("l_quantity"), 48.0),
+                       mode="deletion-vector")
+    t = t.rewrite_position_deletes()
+    t.rewrite_data_files(target_file_count=2)
+    t.rewrite_manifests()
+    t.expire_snapshots(keep_last=1)
+    return t.to_df().groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+
+
 def ice_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """table with a sort order: writes cluster by l_orderkey, tightening
     file bounds; scan result identical to plain SQL."""
@@ -1456,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_metadata_columns": ice_metadata_columns,
         "ice_add_files": ice_add_files,
         "ice_compaction": ice_compaction,
+        "ice_maintenance_lifecycle": ice_maintenance_lifecycle,
         "ice_sorted_write": ice_sorted_write,
         "ice_merge_into": ice_merge_into,
         "ice_avro_manifests": ice_avro_manifests,
@@ -2002,6 +2029,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ice_compaction": """
             SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag
+        """,
+        "ice_maintenance_lifecycle": """
+            SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem WHERE l_returnflag <> 'R' AND l_quantity <= 48
+            GROUP BY l_returnflag, l_linestatus
         """,
         "ice_sorted_write": """
             SELECT l_returnflag, COUNT(*) AS n FROM lineitem
