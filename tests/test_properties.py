@@ -162,3 +162,56 @@ class TestExpressionFolding:
         schema = it.Schema([it.NestedField(1, "i", it.IntegerType())])
         assert isinstance(ex.gt(ex.Reference("i"), v).bind(schema), ex.FalseExp)
         assert isinstance(ex.lt(ex.Reference("i"), v).bind(schema), ex.TrueExp)
+
+
+class TestRoaringProperties:
+    """Portable-serde invariants for core/roaring.py (the DV encoding):
+    any uint64 set round-trips; union == set union; membership == set
+    membership. Mixed densities force array AND bitset containers."""
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                    min_size=0, max_size=300))
+    @settings(max_examples=50, deadline=None)
+    def test_roundtrip_any_set(self, vals):
+        import numpy as np
+
+        from iceberg_cpp_spark.core.roaring import Roaring64
+
+        arr = np.array(vals, dtype=np.uint64)
+        rb = Roaring64.from_array(arr)
+        back = Roaring64.deserialize(rb.serialize())
+        assert back == rb
+        assert back.to_array().tolist() == sorted(set(vals))
+
+    @given(st.lists(st.integers(min_value=0, max_value=2**20), min_size=0,
+                    max_size=200),
+           st.lists(st.integers(min_value=0, max_value=2**20), min_size=0,
+                    max_size=200))
+    @settings(max_examples=40, deadline=None)
+    def test_union_and_membership(self, a, b):
+        import numpy as np
+
+        from iceberg_cpp_spark.core.roaring import Roaring64
+
+        ra = Roaring64.from_array(np.array(a, dtype=np.uint64))
+        rbm = Roaring64.from_array(np.array(b, dtype=np.uint64))
+        u = ra.union(rbm)
+        assert u.to_array().tolist() == sorted(set(a) | set(b))
+        probe = np.array((a[:20] + b[:20] + [0, 1, 2**19]), dtype=np.uint64)
+        got = u.contains_many(probe)
+        want = [int(v) in (set(a) | set(b)) for v in probe]
+        assert got.tolist() == want
+
+    @given(st.integers(min_value=0, max_value=2**16 - 1),
+           st.integers(min_value=1, max_value=2**16))
+    @settings(max_examples=25, deadline=None)
+    def test_dense_ranges_cross_container_boundary(self, start, n):
+        import numpy as np
+
+        from iceberg_cpp_spark.core.roaring import Roaring64
+
+        vals = np.arange(start, start + n, dtype=np.uint64)
+        rb = Roaring64.deserialize(
+            Roaring64.from_array(vals).serialize())
+        assert rb.cardinality == n
+        assert rb.to_array()[0] == start and rb.to_array()[-1] == start + n - 1
