@@ -54,6 +54,18 @@ def main() -> None:
     t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
                    mode="merge-on-read")
     print(f"after merge-on-read delete: {t.to_df().count()} rows")
+    t = t.delete_where(ex.gt(ex.Reference("l_quantity"), 49.0),
+                       mode="deletion-vector")
+    print(f"after deletion-vector delete: {t.to_df().count()} rows")
+    t = t.rewrite_position_deletes()  # fold parquet deletes into DVs
+    dvs = [d for d in t.scan().plan_deletes() if d.is_deletion_vector]
+    print(f"after rewrite_position_deletes: {len(dvs)} deletion vectors, "
+          f"{t.to_df().count()} rows")
+    lineage = (t.scan().with_metadata_columns().to_df()
+               .agg(F.countDistinct("_row_id").alias("ids"),
+                    F.count("*").alias("rows")).first())
+    print(f"row lineage: {lineage['ids']} distinct _row_id over "
+          f"{lineage['rows']} rows")
     t.rewrite_data_files(target_file_count=2)
     print(f"after compaction: {len(t.scan().plan_files())} files, "
           f"{t.to_df().count()} rows")
