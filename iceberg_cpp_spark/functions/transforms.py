@@ -429,9 +429,46 @@ HOUR = HourTransform()
 _PAT = re.compile(r"^(bucket|truncate)\[(\d+)\]$")
 
 
+class UnknownTransform(Transform):
+    """transform.h:41 kUnknown: a transform this engine doesn't know,
+    parsed and carried losslessly (metadata written by another/newer
+    engine must load), failing only if something tries to EVALUATE it.
+    Result type is string, matching the Iceberg spec's rule for unknown
+    transforms."""
+
+    def __init__(self, name: str):
+        self.name = name
+
+    def result_type(self, source_type: it.IcebergType) -> it.IcebergType:
+        return it.StringType()
+
+    def can_transform(self, source_type: it.IcebergType) -> bool:
+        return True  # carried, not evaluated
+
+    def spark_column(self, col: Column, source_type: it.IcebergType) -> Column:
+        raise NotImplementedError(
+            f"cannot evaluate unknown transform: {self.name}")
+
+    def pyvalue(self, v: Any, source_type: it.IcebergType) -> Any:
+        raise NotImplementedError(
+            f"cannot evaluate unknown transform: {self.name}")
+
+
+# §2.5 registry extension point (file_reader.h:100-113 pattern applied
+# to transforms): engines register custom transforms by name and
+# from_string dispatches to them before falling back to UnknownTransform.
+_CUSTOM: dict[str, "Transform"] = {}
+
+
+def register(name: str, transform: Transform) -> None:
+    _CUSTOM[name] = transform
+
+
 def from_string(s: str) -> Transform:
     """Parse ``identity | void | year | month | day | hour | bucket[N] |
-    truncate[W]`` (transform.h:188 TransformFromString)."""
+    truncate[W]`` (transform.h:188 TransformFromString); registered
+    custom transforms next; anything else parses as UnknownTransform
+    (carried, evaluation fails) rather than erroring at load time."""
     simple = {
         "identity": IDENTITY,
         "void": VOID,
@@ -446,7 +483,9 @@ def from_string(s: str) -> Transform:
     if m:
         n = int(m.group(2))
         return BucketTransform(n) if m.group(1) == "bucket" else TruncateTransform(n)
-    raise ValueError(f"unknown transform: {s}")
+    if s in _CUSTOM:
+        return _CUSTOM[s]
+    return UnknownTransform(s)
 
 
 def bucket(n: int) -> BucketTransform:

@@ -150,6 +150,39 @@ class TestFromString:
         assert isinstance(t, cls)
         assert str(t) == s
 
+    def test_unknown_transform_carried_not_evaluated(self):
+        """transform.h:41 kUnknown: foreign metadata loads; evaluation
+        fails; string form round-trips; result type is string."""
+        from iceberg_cpp_spark.core import types as it
+
+        t = tr.from_string("zorder[4]")
+        assert isinstance(t, tr.UnknownTransform)
+        assert str(t) == "zorder[4]"
+        assert isinstance(t.result_type(it.LongType()), it.StringType)
+        import pytest as _pytest
+        with _pytest.raises(NotImplementedError, match="zorder"):
+            t.pyvalue(1, it.LongType())
+
+    def test_custom_transform_registry(self):
+        """§2.5 registry pattern: a registered transform wins over the
+        UnknownTransform fallback."""
+        class Always7(tr.Transform):
+            name = "always7"
+
+            def result_type(self, st):
+                return st
+
+            def can_transform(self, st):
+                return True
+
+            def pyvalue(self, v, st):
+                return 7
+
+        tr.register("always7", Always7())
+        from iceberg_cpp_spark.core import types as it
+        t = tr.from_string("always7")
+        assert t.pyvalue(123, it.LongType()) == 7
+
 
 class TestSparkColumnParity:
     """Column compilation must agree with pyvalue on real data."""
