@@ -93,7 +93,9 @@ def _project_predicate(pred: ex.BoundPredicate, pf, schema: it.Schema) -> Option
             return None
         return _PartitionPredicate(op, pf.name, pred.literals)
 
-    if isinstance(t, tr.VoidTransform):
+    if isinstance(t, (tr.VoidTransform, tr.UnknownTransform)):
+        # void: no information; unknown: carried but not evaluable —
+        # either way the field is un-projectable (prune conservatively)
         return None
     if isinstance(t, tr.IdentityTransform):
         return _PartitionPredicate(op, pf.name, pred.literals)
