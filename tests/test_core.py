@@ -83,6 +83,27 @@ class TestMetadataSerde:
         assert back.schema() == meta.schema()
         assert back.spec().fields[0].transform == tr.BucketTransform(4)
 
+    def test_unknown_transform_spec_roundtrips(self, tmp_loc):
+        """Metadata written by another engine with a transform we don't
+        implement must load, round-trip losslessly, and plan scans
+        (pruning just skips the un-projectable field)."""
+        import dataclasses
+
+        from iceberg_cpp_spark.core.metadata import PartitionField, PartitionSpec
+
+        meta = _meta(tmp_loc)
+        spec = PartitionSpec(spec_id=7, fields=[PartitionField(
+            source_id=1, field_id=1001, name="z",
+            transform=tr.from_string("zorder[16]"))])
+        meta = dataclasses.replace(
+            meta, partition_specs=meta.partition_specs + [spec],
+            default_spec_id=7)
+        path = os.path.join(tmp_loc, "metadata", "vz.metadata.json")
+        write_table_metadata(meta, path)
+        back = read_table_metadata(path)
+        t = back.spec().fields[0].transform
+        assert isinstance(t, tr.UnknownTransform) and str(t) == "zorder[16]"
+
     def test_gzip_roundtrip(self, tmp_loc):
         meta = _meta(tmp_loc)
         path = os.path.join(tmp_loc, "metadata", "v1.gz.metadata.json")
