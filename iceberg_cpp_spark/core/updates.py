@@ -379,3 +379,149 @@ class TableMetadataBuilder:
                     seen.add(k)
                     reqs.append(r)
         return m, self.updates, reqs
+
+
+# ---------------------------------------------------------------------------
+# REST wire format (public Iceberg REST catalog OpenAPI): updates and
+# requirements as JSON, so a client can POST CommitTableRequest and a
+# server can re-apply the updates against its own base metadata.
+# ---------------------------------------------------------------------------
+
+def update_to_json(u: TableUpdate) -> dict:
+    j: dict[str, Any] = {"action": u.action}
+    if isinstance(u, AssignUuid):
+        j["uuid"] = u.uuid
+    elif isinstance(u, UpgradeFormatVersion):
+        j["format-version"] = u.format_version
+    elif isinstance(u, AddSchema):
+        j["schema"] = u.schema.to_json()
+    elif isinstance(u, SetCurrentSchema):
+        j["schema-id"] = u.schema_id
+    elif isinstance(u, AddPartitionSpec):
+        j["spec"] = u.spec.to_json()
+    elif isinstance(u, SetDefaultSpec):
+        j["spec-id"] = u.spec_id
+    elif isinstance(u, AddSortOrder):
+        j["sort-order"] = u.sort_order.to_json()
+    elif isinstance(u, SetDefaultSortOrder):
+        j["sort-order-id"] = u.order_id
+    elif isinstance(u, AddSnapshot):
+        j["snapshot"] = u.snapshot.to_json()
+    elif isinstance(u, SetSnapshotRef):
+        j.update({"ref-name": u.ref_name, "snapshot-id": u.snapshot_id,
+                  "type": u.type})
+    elif isinstance(u, RemoveSnapshots):
+        j["snapshot-ids"] = list(u.snapshot_ids)
+    elif isinstance(u, RemoveSnapshotRef):
+        j["ref-name"] = u.ref_name
+    elif isinstance(u, SetLocation):
+        j["location"] = u.location
+    elif isinstance(u, SetProperties):
+        j["updates"] = dict(u.updates)
+    elif isinstance(u, RemoveProperties):
+        j["removals"] = list(u.removals)
+    elif isinstance(u, SetStatistics):
+        j["statistics"] = u.statistics
+    elif isinstance(u, RemoveStatistics):
+        j["snapshot-id"] = u.snapshot_id
+    elif isinstance(u, SetPartitionStatistics):
+        j["partition-statistics"] = u.partition_statistics
+    elif isinstance(u, RemovePartitionStatistics):
+        j["snapshot-id"] = u.snapshot_id
+    else:
+        raise ValueError(f"unserializable update: {type(u).__name__}")
+    return j
+
+
+def update_from_json(j: dict) -> TableUpdate:
+    from iceberg_cpp_spark.core.metadata import (
+        PartitionSpec, Snapshot, SortOrder)
+    from iceberg_cpp_spark.core.types import Schema
+
+    a = j["action"]
+    if a == "assign-uuid":
+        return AssignUuid(j["uuid"])
+    if a == "upgrade-format-version":
+        return UpgradeFormatVersion(j["format-version"])
+    if a == "add-schema":
+        return AddSchema(Schema.from_json(j["schema"]))
+    if a == "set-current-schema":
+        return SetCurrentSchema(j["schema-id"])
+    if a == "add-spec":
+        return AddPartitionSpec(PartitionSpec.from_json(j["spec"]))
+    if a == "set-default-spec":
+        return SetDefaultSpec(j["spec-id"])
+    if a == "add-sort-order":
+        return AddSortOrder(SortOrder.from_json(j["sort-order"]))
+    if a == "set-default-sort-order":
+        return SetDefaultSortOrder(j["sort-order-id"])
+    if a == "add-snapshot":
+        return AddSnapshot(Snapshot.from_json(j["snapshot"]))
+    if a == "set-snapshot-ref":
+        return SetSnapshotRef(j["ref-name"], j["snapshot-id"],
+                              type=j.get("type", "branch"))
+    if a == "remove-snapshots":
+        return RemoveSnapshots(j["snapshot-ids"])
+    if a == "remove-snapshot-ref":
+        return RemoveSnapshotRef(j["ref-name"])
+    if a == "set-location":
+        return SetLocation(j["location"])
+    if a == "set-properties":
+        return SetProperties(j["updates"])
+    if a == "remove-properties":
+        return RemoveProperties(j["removals"])
+    if a == "set-statistics":
+        return SetStatistics(j["statistics"])
+    if a == "remove-statistics":
+        return RemoveStatistics(j["snapshot-id"])
+    if a == "set-partition-statistics":
+        return SetPartitionStatistics(j["partition-statistics"])
+    if a == "remove-partition-statistics":
+        return RemovePartitionStatistics(j["snapshot-id"])
+    raise ValueError(f"unknown update action: {a}")
+
+
+def requirement_to_json(r: Requirement) -> dict:
+    from iceberg_cpp_spark.sources.catalog import (
+        AssertCurrentSchemaId, AssertDefaultSpecId,
+        AssertLastAssignedFieldId, AssertRefSnapshotId,
+        AssertTableDoesNotExist, AssertTableUUID)
+
+    if isinstance(r, AssertTableDoesNotExist):
+        return {"type": "assert-create"}
+    if isinstance(r, AssertTableUUID):
+        return {"type": "assert-table-uuid", "uuid": r.table_uuid}
+    if isinstance(r, AssertRefSnapshotId):
+        return {"type": "assert-ref-snapshot-id", "ref": r.ref,
+                "snapshot-id": r.snapshot_id}
+    if isinstance(r, AssertCurrentSchemaId):
+        return {"type": "assert-current-schema-id",
+                "current-schema-id": r.schema_id}
+    if isinstance(r, AssertDefaultSpecId):
+        return {"type": "assert-default-spec-id", "default-spec-id": r.spec_id}
+    if isinstance(r, AssertLastAssignedFieldId):
+        return {"type": "assert-last-assigned-field-id",
+                "last-assigned-field-id": r.field_id}
+    raise ValueError(f"unserializable requirement: {type(r).__name__}")
+
+
+def requirement_from_json(j: dict) -> Requirement:
+    from iceberg_cpp_spark.sources.catalog import (
+        AssertCurrentSchemaId, AssertDefaultSpecId,
+        AssertLastAssignedFieldId, AssertRefSnapshotId,
+        AssertTableDoesNotExist, AssertTableUUID)
+
+    t = j["type"]
+    if t == "assert-create":
+        return AssertTableDoesNotExist()
+    if t == "assert-table-uuid":
+        return AssertTableUUID(j["uuid"])
+    if t == "assert-ref-snapshot-id":
+        return AssertRefSnapshotId(j["ref"], j.get("snapshot-id"))
+    if t == "assert-current-schema-id":
+        return AssertCurrentSchemaId(j["current-schema-id"])
+    if t == "assert-default-spec-id":
+        return AssertDefaultSpecId(j["default-spec-id"])
+    if t == "assert-last-assigned-field-id":
+        return AssertLastAssignedFieldId(j["last-assigned-field-id"])
+    raise ValueError(f"unknown requirement type: {t}")

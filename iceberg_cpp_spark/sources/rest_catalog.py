@@ -1,0 +1,384 @@
+"""REST catalog: client + in-process conformance server speaking the
+public Apache Iceberg REST catalog protocol (the reference ships the
+same pairing — `catalog/rest_catalog` client tested against a local
+stub in `test/rest_catalog_test.cc`).
+
+Client (`RestCatalog`): stdlib urllib, no extra deps. Commits follow
+the REST model — the client does NOT ship whole metadata; it sends
+``CommitTableRequest{requirements, updates}`` and the SERVER re-applies
+the updates against its own current base (optimistic concurrency lives
+server-side, HTTP 409 → CommitFailedError). Because the engine's
+commit paths hand the catalog a full new ``TableMetadata``,
+``synthesize_updates`` diffs base→new into the standard update actions
+(add-snapshot, set-snapshot-ref, set-properties, ...) so every engine
+commit maps onto the wire format.
+
+Server (`serve_rest_catalog`): ThreadingHTTPServer over an in-memory
+store; applies requirements then updates through TableMetadataBuilder —
+the same code path a real deployment would run.
+
+Endpoints: /v1/config, /v1/namespaces CRUD (+/properties),
+/v1/namespaces/{ns}/tables CRUD, table commit (POST), /register.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+from typing import Optional
+
+from iceberg_cpp_spark.core import updates as up
+from iceberg_cpp_spark.core.metadata import (
+    PartitionSpec,
+    SortOrder,
+    TableMetadata,
+)
+from iceberg_cpp_spark.core.types import Schema
+from iceberg_cpp_spark.sources.catalog import (
+    AlreadyExistsError,
+    Catalog,
+    CommitFailedError,
+    NoSuchNamespaceError,
+    NoSuchTableError,
+    Requirement,
+)
+
+
+# ---------------------------------------------------------------------------
+# base → new metadata diff as standard REST update actions
+# ---------------------------------------------------------------------------
+
+def synthesize_updates(base: TableMetadata, new: TableMetadata) -> list[up.TableUpdate]:
+    ups: list[up.TableUpdate] = []
+    if new.table_uuid != base.table_uuid:
+        ups.append(up.AssignUuid(new.table_uuid))
+    if new.format_version != base.format_version:
+        ups.append(up.UpgradeFormatVersion(new.format_version))
+    base_schema_ids = {s.schema_id for s in base.schemas}
+    for s in new.schemas:
+        if s.schema_id not in base_schema_ids:
+            ups.append(up.AddSchema(s))
+    if new.current_schema_id != base.current_schema_id:
+        ups.append(up.SetCurrentSchema(new.current_schema_id))
+    base_spec_ids = {s.spec_id for s in base.partition_specs}
+    for s in new.partition_specs:
+        if s.spec_id not in base_spec_ids:
+            ups.append(up.AddPartitionSpec(s))
+    if new.default_spec_id != base.default_spec_id:
+        ups.append(up.SetDefaultSpec(new.default_spec_id))
+    base_so = {s.order_id for s in base.sort_orders}
+    for s in new.sort_orders:
+        if s.order_id not in base_so:
+            ups.append(up.AddSortOrder(s))
+    if new.default_sort_order_id != base.default_sort_order_id:
+        ups.append(up.SetDefaultSortOrder(new.default_sort_order_id))
+    base_snaps = {s.snapshot_id for s in base.snapshots}
+    new_snaps = {s.snapshot_id for s in new.snapshots}
+    for s in sorted((s for s in new.snapshots if s.snapshot_id not in base_snaps),
+                    key=lambda s: s.sequence_number):
+        ups.append(up.AddSnapshot(s))
+    for name, ref in new.refs.items():
+        old = base.refs.get(name)
+        if old is None or old.snapshot_id != ref.snapshot_id or old.type != ref.type:
+            ups.append(up.SetSnapshotRef(name, ref.snapshot_id, type=ref.type))
+    for name in base.refs:
+        if name not in new.refs:
+            ups.append(up.RemoveSnapshotRef(name))
+    removed = sorted(base_snaps - new_snaps)
+    if removed:
+        ups.append(up.RemoveSnapshots(removed))
+    set_props = {k: v for k, v in new.properties.items()
+                 if base.properties.get(k) != v}
+    if set_props:
+        ups.append(up.SetProperties(set_props))
+    dropped = [k for k in base.properties if k not in new.properties]
+    if dropped:
+        ups.append(up.RemoveProperties(dropped))
+    if new.location != base.location:
+        ups.append(up.SetLocation(new.location))
+    base_stats = {s.get("snapshot-id"): s for s in base.statistics}
+    for s in new.statistics:
+        if base_stats.get(s.get("snapshot-id")) != s:
+            ups.append(up.SetStatistics(s))
+    new_stat_ids = {s.get("snapshot-id") for s in new.statistics}
+    for sid in base_stats:
+        if sid not in new_stat_ids:
+            ups.append(up.RemoveStatistics(sid))
+    return ups
+
+
+# ---------------------------------------------------------------------------
+# Client
+# ---------------------------------------------------------------------------
+
+class RestCatalog(Catalog):
+    def __init__(self, uri: str, name: str = "rest"):
+        self.name = name
+        self.uri = uri.rstrip("/")
+        self._config = self._request("GET", "/v1/config")
+
+    # -- plumbing --------------------------------------------------------
+    def _request(self, method: str, path: str, body: Optional[dict] = None) -> dict:
+        req = urllib.request.Request(
+            self.uri + path, method=method,
+            data=json.dumps(body).encode() if body is not None else None,
+            headers={"Content-Type": "application/json"})
+        try:
+            with urllib.request.urlopen(req) as resp:
+                data = resp.read()
+                return json.loads(data) if data else {}
+        except urllib.error.HTTPError as e:
+            msg = e.read().decode(errors="replace")[:300]
+            if e.code == 404:
+                raise (NoSuchNamespaceError(msg) if "amespace" in msg
+                       else NoSuchTableError(msg))
+            if e.code == 409:
+                if "exists" in msg and "version" not in msg:
+                    raise AlreadyExistsError(msg)
+                raise CommitFailedError(msg)
+            raise
+
+    # -- namespaces ------------------------------------------------------
+    def create_namespace(self, ns, properties=None):
+        self._request("POST", "/v1/namespaces",
+                      {"namespace": ns.split("."), "properties": properties or {}})
+
+    def list_namespaces(self, parent=""):
+        j = self._request("GET", "/v1/namespaces")
+        names = [".".join(n) for n in j.get("namespaces", [])]
+        if parent:
+            names = [n for n in names if n.startswith(parent + ".")]
+        return sorted(names)
+
+    def namespace_exists(self, ns):
+        try:
+            self._request("GET", f"/v1/namespaces/{ns}")
+            return True
+        except NoSuchNamespaceError:
+            return False
+
+    def drop_namespace(self, ns):
+        self._request("DELETE", f"/v1/namespaces/{ns}")
+
+    def get_namespace_properties(self, ns):
+        return self._request("GET", f"/v1/namespaces/{ns}").get("properties", {})
+
+    def update_namespace_properties(self, ns, updates, removals=None):
+        self._request("POST", f"/v1/namespaces/{ns}/properties",
+                      {"updates": updates, "removals": removals or []})
+
+    # -- tables ----------------------------------------------------------
+    def _split(self, ident: str) -> tuple[str, str]:
+        ns, _, name = ident.rpartition(".")
+        return ns or "default", name
+
+    def list_tables(self, ns):
+        j = self._request("GET", f"/v1/namespaces/{ns}/tables")
+        return sorted(f"{'.'.join(i['namespace'])}.{i['name']}"
+                      for i in j.get("identifiers", []))
+
+    def load_metadata(self, ident):
+        ns, name = self._split(ident)
+        j = self._request("GET", f"/v1/namespaces/{ns}/tables/{name}")
+        return (TableMetadata.from_json(j["metadata"]), j["metadata-location"])
+
+    def create_table(self, ident, schema, spec=None, sort_order=None,
+                     properties=None, location=None):
+        ns, name = self._split(ident)
+        body = {"name": name, "schema": schema.to_json(),
+                "properties": properties or {}}
+        if spec is not None:
+            body["partition-spec"] = spec.to_json()
+        if sort_order is not None:
+            body["write-order"] = sort_order.to_json()
+        if location:
+            body["location"] = location
+        j = self._request("POST", f"/v1/namespaces/{ns}/tables", body)
+        return TableMetadata.from_json(j["metadata"])
+
+    def drop_table(self, ident):
+        ns, name = self._split(ident)
+        self._request("DELETE", f"/v1/namespaces/{ns}/tables/{name}")
+
+    def register_table(self, ident, metadata_location):
+        ns, name = self._split(ident)
+        self._request("POST", f"/v1/namespaces/{ns}/register",
+                      {"name": name, "metadata-location": metadata_location})
+
+    def commit_table(self, ident, requirements: list[Requirement],
+                     new_metadata: TableMetadata) -> str:
+        ns, name = self._split(ident)
+        base, _loc = self.load_metadata(ident)
+        body = {
+            "requirements": [up.requirement_to_json(r) for r in requirements],
+            "updates": [up.update_to_json(u)
+                        for u in synthesize_updates(base, new_metadata)],
+        }
+        j = self._request("POST", f"/v1/namespaces/{ns}/tables/{name}", body)
+        return j["metadata-location"]
+
+
+# ---------------------------------------------------------------------------
+# Conformance server (in-memory; for tests and local development)
+# ---------------------------------------------------------------------------
+
+def serve_rest_catalog(port: int = 0):
+    """Start the stub server on ``port`` (0 = ephemeral). Returns
+    (http.server instance, base_uri); call ``server.shutdown()`` when
+    done. State is in-memory and thread-safe."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    lock = threading.Lock()
+    namespaces: dict[str, dict] = {}
+    tables: dict[tuple[str, str], dict] = {}  # -> {"metadata", "version"}
+
+    def _loc(meta: TableMetadata, version: int) -> str:
+        return f"{meta.location}/metadata/v{version}.metadata.json"
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silence
+            pass
+
+        def _send(self, code: int, payload: Optional[dict] = None):
+            body = json.dumps(payload or {}).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _error(self, code: int, msg: str):
+            self._send(code, {"error": {"message": msg, "code": code}})
+
+        def _body(self) -> dict:
+            n = int(self.headers.get("Content-Length") or 0)
+            return json.loads(self.rfile.read(n)) if n else {}
+
+        def _route(self):
+            return [p for p in self.path.split("?")[0].split("/") if p]
+
+        def do_GET(self):
+            parts = self._route()
+            with lock:
+                if parts == ["v1", "config"]:
+                    return self._send(200, {"defaults": {}, "overrides": {}})
+                if parts == ["v1", "namespaces"]:
+                    return self._send(200, {"namespaces": [
+                        ns.split(".") for ns in sorted(namespaces)]})
+                if len(parts) == 3 and parts[:2] == ["v1", "namespaces"]:
+                    ns = parts[2]
+                    if ns not in namespaces:
+                        return self._error(404, f"namespace not found: {ns}")
+                    return self._send(200, {"namespace": ns.split("."),
+                                            "properties": namespaces[ns]})
+                if len(parts) == 4 and parts[3] == "tables":
+                    ns = parts[2]
+                    idents = [{"namespace": k[0].split("."), "name": k[1]}
+                              for k in sorted(tables) if k[0] == ns]
+                    return self._send(200, {"identifiers": idents})
+                if len(parts) == 5 and parts[3] == "tables":
+                    t = tables.get((parts[2], parts[4]))
+                    if t is None:
+                        return self._error(404, f"table not found: {parts[4]}")
+                    return self._send(200, {
+                        "metadata-location": _loc(t["metadata"], t["version"]),
+                        "metadata": t["metadata"].to_json()})
+            self._error(404, "no route")
+
+        def do_DELETE(self):
+            parts = self._route()
+            with lock:
+                if len(parts) == 3 and parts[:2] == ["v1", "namespaces"]:
+                    ns = parts[2]
+                    if ns not in namespaces:
+                        return self._error(404, f"namespace not found: {ns}")
+                    if any(k[0] == ns for k in tables):
+                        return self._error(409, f"namespace not empty: {ns}")
+                    del namespaces[ns]
+                    return self._send(204)
+                if len(parts) == 5 and parts[3] == "tables":
+                    if tables.pop((parts[2], parts[4]), None) is None:
+                        return self._error(404, f"table not found: {parts[4]}")
+                    return self._send(204)
+            self._error(404, "no route")
+
+        def do_POST(self):
+            parts = self._route()
+            body = self._body()
+            with lock:
+                if parts == ["v1", "namespaces"]:
+                    ns = ".".join(body["namespace"])
+                    if ns in namespaces:
+                        return self._error(409, f"namespace exists: {ns}")
+                    namespaces[ns] = body.get("properties") or {}
+                    return self._send(200, {"namespace": body["namespace"],
+                                            "properties": namespaces[ns]})
+                if len(parts) == 4 and parts[3] == "properties":
+                    ns = parts[2]
+                    if ns not in namespaces:
+                        return self._error(404, f"namespace not found: {ns}")
+                    for k in body.get("removals") or []:
+                        namespaces[ns].pop(k, None)
+                    namespaces[ns].update(body.get("updates") or {})
+                    return self._send(200, {"updated": sorted(body.get("updates") or {}),
+                                            "removed": body.get("removals") or []})
+                if len(parts) == 4 and parts[3] == "register":
+                    from iceberg_cpp_spark.core.metadata import read_table_metadata
+
+                    key = (parts[2], body["name"])
+                    if key in tables:
+                        return self._error(409, f"table exists: {body['name']}")
+                    meta = read_table_metadata(body["metadata-location"])
+                    tables[key] = {"metadata": meta, "version": 1}
+                    return self._send(200, {
+                        "metadata-location": body["metadata-location"],
+                        "metadata": meta.to_json()})
+                if len(parts) == 4 and parts[3] == "tables":
+                    ns = parts[2]
+                    if ns not in namespaces:
+                        return self._error(404, f"namespace not found: {ns}")
+                    key = (ns, body["name"])
+                    if key in tables:
+                        return self._error(409, f"table exists: {body['name']}")
+                    helper = Catalog()
+                    meta = helper._new_metadata(
+                        Schema.from_json(body["schema"]),
+                        PartitionSpec.from_json(body["partition-spec"])
+                        if body.get("partition-spec") else None,
+                        SortOrder.from_json(body["write-order"])
+                        if body.get("write-order") else None,
+                        body.get("properties") or {},
+                        body.get("location") or f"/tmp/rest-wh/{ns}/{body['name']}")
+                    tables[key] = {"metadata": meta, "version": 1}
+                    return self._send(200, {
+                        "metadata-location": _loc(meta, 1),
+                        "metadata": meta.to_json()})
+                if len(parts) == 5 and parts[3] == "tables":
+                    key = (parts[2], parts[4])
+                    t = tables.get(key)
+                    if t is None:
+                        return self._error(404, f"table not found: {parts[4]}")
+                    base = t["metadata"]
+                    try:
+                        for rj in body.get("requirements", []):
+                            up.requirement_from_json(rj).check(base)
+                        b = up.TableMetadataBuilder.build_from(base)
+                        for uj in body.get("updates", []):
+                            up.update_from_json(uj).apply_to(b)
+                        new_meta, _u, _r = b.build()
+                    except CommitFailedError as e:
+                        return self._error(409, str(e))
+                    except (ValueError, KeyError) as e:
+                        return self._error(400, str(e))
+                    t["metadata"] = new_meta
+                    t["version"] += 1
+                    return self._send(200, {
+                        "metadata-location": _loc(new_meta, t["version"]),
+                        "metadata": new_meta.to_json()})
+            self._error(404, "no route")
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server, f"http://127.0.0.1:{server.server_address[1]}"
