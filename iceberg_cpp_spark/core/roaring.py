@@ -163,7 +163,11 @@ def _parse32(buf: bytes, off: int) -> tuple[dict[int, np.ndarray], int]:
                 off += 2
                 runs = np.frombuffer(buf, "<u2", 2 * n_runs, off).reshape(-1, 2)
                 off += 4 * n_runs
-                vals = [np.arange(s, s + ln + 1, dtype=np.uint16)
+                # Python-int arithmetic: numpy-2 (NEP 50) keeps uint16 for
+                # s+ln+1, so a run ending at 65535 would wrap to 0 and drop
+                # every deleted position in the run
+                vals = [np.arange(int(s), int(s) + int(ln) + 1,
+                                  dtype=np.uint32).astype(np.uint16)
                         for s, ln in runs]
                 containers[key] = (np.unique(np.concatenate(vals)) if vals
                                    else np.empty(0, np.uint16))

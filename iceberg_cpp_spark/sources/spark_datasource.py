@@ -114,6 +114,10 @@ class ScanPartition(InputPartition):
     file_sequence_number: int = 0
     # v3 initial-defaults: (column name, default value, added-at sequence)
     column_defaults: list = dc_field(default_factory=list)
+    # logical column name -> iceberg field id (read-side resolution is
+    # by field ID, schema_util.h:91-93 — name is only the fallback for
+    # imported ID-less files)
+    field_ids: dict = dc_field(default_factory=dict)
 
 
 @dataclass
@@ -166,10 +170,11 @@ class IcebergCppReader(DataSourceReader):
             (f.name, f.initial_default,
              int(props.get(f"engine.default-added-seq.{f.field_id}", "-1")))
             for f in schema.fields if f.initial_default is not None]
+        fids = {f.name: f.field_id for f in schema.fields}
         return [ScanPartition(file_path=t.file_path, pos_delete_paths=pos,
                               dv_blob=dvs.get(t.file_path), eq_deletes=eq,
                               file_sequence_number=t.sequence_number,
-                              column_defaults=defaults)
+                              column_defaults=defaults, field_ids=fids)
                 for t in scan.plan_files()]
 
     def read(self, partition: ScanPartition):
@@ -178,15 +183,38 @@ class IcebergCppReader(DataSourceReader):
 
         names = [f.name for f in self.spark_schema.fields]
         pf = pq.ParquetFile(partition.file_path)
-        present = set(pf.schema_arrow.names)
+        arrow_schema = pf.schema_arrow
+        # resolve columns by parquet field-id metadata (files are written
+        # with field IDs); name is only the fallback for imported ID-less
+        # files — so renamed columns keep reading data written under the
+        # old name, matching the native TableScan path
+        pq_by_id: dict[int, str] = {}
+        for af in arrow_schema:
+            raw = (af.metadata or {}).get(b"PARQUET:field_id")
+            if raw is not None:
+                try:
+                    pq_by_id[int(raw)] = af.name
+                except ValueError:
+                    pass
+        present = set(arrow_schema.names)
+        resolve: dict[str, str] = {}  # logical name -> physical column
+        for n in names:
+            fid = partition.field_ids.get(n)
+            if fid is not None and fid in pq_by_id:
+                resolve[n] = pq_by_id[fid]
+            elif n in present and (not pq_by_id or fid is None):
+                resolve[n] = n
         tbl = pq.read_table(partition.file_path,
-                            columns=[n for n in names if n in present])
+                            columns=list(resolve.values()))
+        physical_to_logical = {v: k for k, v in resolve.items()}
+        tbl = tbl.rename_columns(
+            [physical_to_logical[c] for c in tbl.column_names])
         # schema evolution: files predating a column read null — or the
         # column's v3 initial-default when this file is older than it
         defaults = {n: v for n, v, gate in partition.column_defaults
                     if partition.file_sequence_number <= gate}
         for n in names:
-            if n not in present:
+            if n not in resolve:
                 v = defaults.get(n)
                 col = (pa.nulls(tbl.num_rows) if v is None
                        else pa.array([v] * tbl.num_rows))
@@ -221,13 +249,33 @@ class IcebergCppReader(DataSourceReader):
             tbl = tbl.take(keep)
         for path, seq, cols in sorted(partition.eq_deletes, key=lambda e: e[1]):
             # sequence visibility: a delete only hits OLDER data files
-            # (same rule as TableScan._apply_deletes); null keys don't
-            # match, matching the engine's Spark-join semantics
+            # (same rule as TableScan._apply_deletes). Null-safe key
+            # matching per spec: NULL delete keys match NULL row values —
+            # arrow's hash join drops nulls, so null-bearing delete rows
+            # go through an explicit is_null-aware mask instead.
             if partition.file_sequence_number >= seq:
                 continue
+            import pyarrow.compute as pc
+
             keys = (pq.read_table(path, columns=cols)
                     .group_by(cols).aggregate([]))
-            tbl = tbl.join(keys, keys=cols, join_type="left anti")
+            valid = None
+            for c in cols:
+                m = pc.is_valid(keys.column(c))
+                valid = m if valid is None else pc.and_(valid, m)
+            clean = keys.filter(valid)
+            withnull = keys.filter(pc.invert(valid))
+            if clean.num_rows:
+                tbl = tbl.join(clean, keys=cols, join_type="left anti")
+            for row in withnull.to_pylist():
+                hit = None
+                for c in cols:
+                    v = row[c]
+                    m = (pc.is_null(tbl.column(c)) if v is None
+                         else pc.fill_null(pc.equal(tbl.column(c), v), False))
+                    hit = m if hit is None else pc.and_(hit, m)
+                if hit is not None:
+                    tbl = tbl.filter(pc.invert(hit))
         for batch in tbl.to_batches(max_chunksize=65536):
             yield batch
 

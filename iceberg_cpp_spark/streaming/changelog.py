@@ -158,14 +158,19 @@ def changes(table: IceTable, from_snapshot_id: Optional[int] = None,
 
         def _rows(paths: list[str], mask_deleted: bool) -> DataFrame:
             """Read data-file rows; with mask_deleted, drop positions
-            already dead in the BEFORE state (delete-file paths are
-            stored as the same URIs `_metadata.file_path` yields)."""
+            already dead in the BEFORE state. Delete files store plain
+            (spec-compliant) paths while `_metadata.file_path` yields a
+            file:/ URI — normalize both join sides."""
             df = (spark.read.schema(spark_schema).parquet(*paths)
-                  .select("*", F.col("_metadata.file_path").alias("_f"),
+                  .select("*",
+                          F.regexp_replace(F.col("_metadata.file_path"),
+                                           "^file:(//)?", "").alias("_f"),
                           F.col("_metadata.row_index").alias("_p")))
             if mask_deleted and prev_deletes:
                 dels = (spark.read.parquet(*sorted(prev_deletes))
-                        .select("file_path", "pos"))
+                        .select(F.regexp_replace(F.col("file_path"),
+                                                 "^file:(//)?", "")
+                                .alias("file_path"), "pos"))
                 df = df.join(
                     F.broadcast(dels),
                     (df["_f"] == dels["file_path"]) & (df["_p"] == dels["pos"]),
@@ -182,7 +187,9 @@ def changes(table: IceTable, from_snapshot_id: Optional[int] = None,
         if new_pos_deletes:
             # matched (file, pos) rows of files still live become deletes
             dels = (spark.read.parquet(*new_pos_deletes)
-                    .select("file_path", "pos"))
+                    .select(F.regexp_replace(F.col("file_path"),
+                                             "^file:(//)?", "")
+                            .alias("file_path"), "pos"))
             live = sorted(after)
             if live:
                 data = _rows(live, True)

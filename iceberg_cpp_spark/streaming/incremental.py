@@ -115,6 +115,9 @@ def stream_events(spark, source_dir: str, schema: str,
         .groupBy(F.window(F.col(ts_col), window), F.col(group_col))
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(value_col).alias("sum_value"),
+            # decimal sum: exact and partition-order independent, so the
+            # result is deterministic across core counts (float policy)
+            F.sum(F.col(value_col).cast("decimal(28,10)"))
+            .cast("double").alias("sum_value"),
         )
     )

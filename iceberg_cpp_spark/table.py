@@ -624,12 +624,18 @@ class TableScan:
             df = (df.withColumn("_deleted", F.col("_deleted") | hit) if tag
                   else df.filter(~hit))
         if pos:
-            dels = spark.read.parquet(*[d.file_path for d in pos]).select("file_path", "pos")
+            # normalize both sides to plain paths (spec paths carry no
+            # file:/ scheme) so spec-compliant external position deletes
+            # match rows read via Spark's file:/-prefixed _metadata
+            norm_file = F.regexp_replace(F.col("_file"), "^file:(//)?", "")
+            dels = (spark.read.parquet(*[d.file_path for d in pos])
+                    .select(F.regexp_replace(F.col("file_path"), "^file:(//)?", "")
+                            .alias("file_path"), "pos"))
             if tag:
                 marked = dels.distinct().withColumn("_pd_hit", F.lit(True))
                 df = (df.join(
                         broadcast(marked),
-                        (df["_file"] == marked["file_path"])
+                        (norm_file == marked["file_path"])
                         & (df["_pos"] == marked["pos"]), "left")
                       .withColumn("_deleted", F.col("_deleted")
                                   | F.coalesce("_pd_hit", F.lit(False)))
@@ -637,7 +643,7 @@ class TableScan:
             else:
                 df = df.join(
                     broadcast(dels),
-                    (df["_file"] == dels["file_path"]) & (df["_pos"] == dels["pos"]),
+                    (norm_file == dels["file_path"]) & (df["_pos"] == dels["pos"]),
                     "left_anti",
                 )
         if eqs:
@@ -655,7 +661,16 @@ class TableScan:
                     key_cols.append(f.name)
                 keys = (spark.read.parquet(d.file_path)
                         .select(*key_cols).distinct().withColumn("_hit", F.lit(1)))
-                df = df.join(broadcast(keys), on=key_cols, how="left")
+                # null-safe equality: the spec treats NULL delete-key
+                # values as matching NULL row values (plain = would
+                # silently under-delete)
+                for k in key_cols:
+                    keys = keys.withColumnRenamed(k, f"_eqk_{k}")
+                cond = F.lit(True)
+                for k in key_cols:
+                    cond = cond & F.col(k).eqNullSafe(F.col(f"_eqk_{k}"))
+                df = df.join(broadcast(keys), cond, "left") \
+                       .drop(*[f"_eqk_{k}" for k in key_cols])
                 drop_cond = (F.coalesce(F.col("_hit"), F.lit(0)) == 1) & \
                     (F.coalesce(F.col("_seq"), F.lit(2**62)) < F.lit(d.sequence_number))
                 df = (df.withColumn("_deleted", F.col("_deleted") | drop_cond)
@@ -869,7 +884,11 @@ class IceTable:
         rows = (
             self.spark.read.schema(spark_schema).parquet(*sorted(affected))
             .select(
-                F.col("_metadata.file_path").alias("file_path"),
+                # spec: file_path must exactly match the manifest's
+                # data-file path — strip Spark's file:/ URI prefix so
+                # external engines can apply these deletes
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+                .alias("file_path"),
                 F.col("_metadata.row_index").alias("pos"),
                 "*",
             )
@@ -1732,8 +1751,11 @@ class IceTable:
         f = schema.find_field(old)
         if f is None:
             raise ValueError(f"column not found: {old}")
-        fields = [it.NestedField(x.field_id, new if x.name == old else x.name,
-                                 x.field_type, x.required, x.doc)
+        import dataclasses
+
+        # replace() keeps every other attribute — notably the v3
+        # initial/write defaults, which a hand-rolled rebuild would drop
+        fields = [dataclasses.replace(x, name=new) if x.name == old else x
                   for x in schema.fields]
         return self._evolve_schema(fields)
 

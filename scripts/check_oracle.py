@@ -3,13 +3,20 @@ __spark_entry__.queries() entry on Spark and, where an oracle_sql()
 exists, the same SQL on DuckDB over the same parquet; compare row count,
 column names, and an order-insensitive canonicalized value hash.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--master local[32]]
+       [--shuffle-partitions 32] [sf_dir] [query ...]
+
+Defaults mirror the driver (local[32], 32 shuffle partitions; override
+via ORACLE_MASTER / ORACLE_SHUFFLE env or the flags) so flaps caused by
+partition-order-dependent float math reproduce locally before submission.
 """
 
 from __future__ import annotations
 
+import argparse
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -49,13 +56,21 @@ def df_hash(pdf: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--master", default=os.environ.get("ORACLE_MASTER", "local[32]"))
+    ap.add_argument("--shuffle-partitions", type=int,
+                    default=int(os.environ.get("ORACLE_SHUFFLE", "32")))
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
+    only = set(args.queries)
 
     import __spark_entry__ as entrymod
     from iceberg_cpp_spark.session import get_spark
 
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark = get_spark(master=args.master,
+                      shuffle_partitions=args.shuffle_partitions)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
