@@ -1,0 +1,172 @@
+"""Real, dependency-free media codecs for the multimodal operators.
+
+No PIL/opencv/ffmpeg exist in this environment, but two formats are
+fully decodable with the stdlib alone and that is enough to make the
+multimodal pipeline real end-to-end for at least one image and one
+audio format:
+
+- PNG: chunk walk + zlib inflate + scanline unfilter (all five PNG
+  filter types), 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced.
+  Also a minimal encoder (filter-0 scanlines) so resize can round-trip.
+- WAV: RIFF/PCM via the stdlib ``wave`` module.
+
+Everything returns numpy arrays; the Spark-side callers keep these
+inside Arrow-batched ``mapInPandas`` so the decode runs vectorized per
+executor batch, never per-row-in-Python-udf.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type -> samples/pixel
+
+
+def is_png(payload: bytes) -> bool:
+    return payload[:8] == PNG_SIGNATURE
+
+
+def is_wav(payload: bytes) -> bool:
+    return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
+    """Undo PNG scanline filtering → (height, width*channels) uint8."""
+    stride = width * channels
+    bpp = channels
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).copy()
+        pos += stride
+        prev = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up — vectorized (no intra-row dependence)
+            cur = line + prev  # uint8 wraps mod 256, per spec
+        else:  # Sub/Average/Paeth carry along x: sequential per byte
+            cur = np.zeros(stride, np.uint8)
+            li, pi = line.tolist(), prev.tolist()
+            cl = cur.tolist()
+            for x in range(stride):
+                left = cl[x - bpp] if x >= bpp else 0
+                up = pi[x]
+                ul = pi[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    v = li[x] + left
+                elif ftype == 3:
+                    v = li[x] + ((left + up) >> 1)
+                elif ftype == 4:
+                    v = li[x] + _paeth(left, up, ul)
+                else:
+                    raise ValueError(f"bad PNG filter type {ftype}")
+                cl[x] = v & 0xFF
+            cur = np.asarray(cl, dtype=np.uint8)
+        out[y] = cur
+    return out
+
+
+def decode_png(payload: bytes) -> dict:
+    """Full PNG decode → {width, height, channels, pixels(h,w,c) uint8}."""
+    if not is_png(payload):
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = None
+    channels = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8:
+                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+            if color not in _CHANNELS:
+                raise NotImplementedError(f"PNG color type {color} "
+                                          "(palette not supported)")
+            if interlace:
+                raise NotImplementedError("interlaced PNG not supported")
+            channels = _CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    expected = height * (1 + width * channels)
+    if len(raw) != expected:
+        raise ValueError(f"PNG data length {len(raw)} != {expected}")
+    flat = _unfilter(raw, width, height, channels)
+    return {"width": width, "height": height, "channels": channels,
+            "pixels": flat.reshape(height, width, channels)}
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal PNG encoder: 8-bit, filter-0 scanlines, one IDAT."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    # prepend the filter-0 byte per scanline
+    body = np.zeros((h, 1 + w * c), dtype=np.uint8)
+    body[:, 1:] = arr.reshape(h, w * c)
+    return (PNG_SIGNATURE + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(body.tobytes(), 6))
+            + _chunk(b"IEND", b""))
+
+
+def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (h,w,c) → (height,width,c)."""
+    h, w = pixels.shape[:2]
+    ys = np.minimum((np.arange(height) * h) // height, h - 1)
+    xs = np.minimum((np.arange(width) * w) // width, w - 1)
+    return pixels[ys][:, xs]
+
+
+def decode_wav(payload: bytes) -> dict:
+    """RIFF/PCM WAV decode via the stdlib → metadata + int samples."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        rate = f.getframerate()
+        nch = f.getnchannels()
+        nframes = f.getnframes()
+        width = f.getsampwidth()
+        frames = f.readframes(nframes)
+    if width == 2:
+        samples = np.frombuffer(frames, dtype="<i2")
+    elif width == 1:
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int16) - 128
+    elif width == 4:
+        samples = np.frombuffer(frames, dtype="<i4")
+    else:
+        raise NotImplementedError(f"WAV sample width {width}")
+    return {"sample_rate": rate, "channels": nch, "n_frames": nframes,
+            "duration_ms": int(nframes * 1000 / rate) if rate else 0,
+            "samples": samples}

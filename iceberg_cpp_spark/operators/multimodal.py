@@ -2,11 +2,13 @@
 columns with typed metadata.
 
 The Spark-side machinery — schemas, Arrow-batched UDF signatures,
-partition-friendly batch shapes — is real and tested. The actual codec
-step is STUBBED (no image/audio libraries in this environment): decoders
-raise NotImplementedError unless ``fake=True``, which substitutes a
-deterministic header-parse so the pipeline shape can be exercised
-end-to-end.
+partition-friendly batch shapes — is real and tested. Codec status:
+
+- PNG decode/resize and WAV decode are REAL (stdlib zlib/wave codecs in
+  ``operators/codecs.py`` — no PIL/ffmpeg needed).
+- JPEG and video remain STUBS: those decoders raise NotImplementedError
+  unless ``fake=True``, which substitutes a deterministic header-parse
+  so the pipeline shape can still be exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -57,20 +59,38 @@ def _fake_decode(payload: bytes) -> dict:
     return {"width": w, "height": h, "features": feats}
 
 
+def _real_decode(payload: bytes) -> dict:
+    """Real image decode. PNG is fully supported (stdlib codec); other
+    formats raise — JPEG entropy decode genuinely needs an image lib."""
+    from iceberg_cpp_spark.operators import codecs
+
+    if codecs.is_png(payload):
+        d = codecs.decode_png(payload)
+        px = d["pixels"].astype(np.float64)
+        hist = np.bincount(d["pixels"].reshape(-1), minlength=256).astype(np.float64)
+        hist /= max(hist.sum(), 1.0)
+        nz = hist[hist > 0]
+        return {"width": d["width"], "height": d["height"],
+                "features": [float(px.mean()), float(px.std()),
+                             float(-np.sum(nz * np.log2(nz)))]}
+    raise NotImplementedError(
+        "real decode supports PNG only (stdlib codec); JPEG needs "
+        "PIL/opencv — pass fake=True for the deterministic stub")
+
+
 def decode_images(df: DataFrame, payload_col: str = "payload",
                   id_col: str = "media_id", fake: bool = False) -> DataFrame:
     """Arrow-batched decode → (id, width, height, features array<double>).
-    Real decode requires an image library not present in this container —
-    STUB: raises NotImplementedError unless fake=True."""
+    Real path decodes PNG payloads with the stdlib codec
+    (operators/codecs.py); ``fake=True`` keeps the deterministic stub for
+    non-image payloads / formats without a stdlib decoder."""
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image decode requires PIL/opencv (not in this environment); "
-                    "pass fake=True to exercise the pipeline with a deterministic stub")
-            rows = [_fake_decode(bytes(p) if p is not None else b"")
-                    for p in b[payload_col]]
+            payloads = [bytes(p) if p is not None else b""
+                        for p in b[payload_col]]
+            rows = [(_fake_decode if fake else _real_decode)(p)
+                    for p in payloads]
             yield pd.DataFrame({
                 id_col: b[id_col],
                 "width": [r["width"] for r in rows],
@@ -79,6 +99,39 @@ def decode_images(df: DataFrame, payload_col: str = "payload",
             })
 
     out_schema = f"{id_col} long, width int, height int, features array<double>"
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "media_id") -> DataFrame:
+    """Arrow-batched WAV decode (REAL — stdlib ``wave``):
+    (id, sample_rate, channels, duration_ms, features[mean, std, rms])."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from iceberg_cpp_spark.operators import codecs
+
+        for b in batches:
+            ids, rates, chans, durs, feats = [], [], [], [], []
+            for mid, p in zip(b[id_col], b[payload_col]):
+                d = codecs.decode_wav(bytes(p) if p is not None else b"")
+                s = d["samples"].astype(np.float64)
+                ids.append(mid)
+                rates.append(d["sample_rate"])
+                chans.append(d["channels"])
+                durs.append(d["duration_ms"])
+                feats.append([float(s.mean()) if s.size else 0.0,
+                              float(s.std()) if s.size else 0.0,
+                              float(np.sqrt(np.mean(s * s))) if s.size else 0.0])
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype="int64"),
+                "sample_rate": pd.Series(rates, dtype="int32"),
+                "channels": pd.Series(chans, dtype="int32"),
+                "duration_ms": pd.Series(durs, dtype="int64"),
+                "features": feats,
+            })
+
+    out_schema = (f"{id_col} long, sample_rate int, channels int, "
+                  "duration_ms long, features array<double>")
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
@@ -115,17 +168,28 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
 def resize_images(df: DataFrame, width: int, height: int,
                   payload_col: str = "payload", id_col: str = "media_id",
                   fake: bool = False) -> DataFrame:
-    """Resize plumbing (id, payload) → (id, resized binary). STUB codec:
-    with fake=True returns a deterministic digest-sized payload."""
+    """Resize (id, payload) → (id, resized binary). Real path:
+    PNG decode → nearest-neighbor resample → PNG re-encode, all stdlib.
+    ``fake=True`` keeps the digest stub for non-PNG payloads."""
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from iceberg_cpp_spark.operators import codecs
+
         for b in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image resize requires PIL/opencv; pass fake=True for the stub")
-            out = [hashlib.sha256((bytes(p) if p is not None else b"")
-                                  + struct.pack("<II", width, height)).digest()
-                   for p in b[payload_col]]
+            out = []
+            for p in b[payload_col]:
+                payload = bytes(p) if p is not None else b""
+                if fake:
+                    out.append(hashlib.sha256(
+                        payload + struct.pack("<II", width, height)).digest())
+                elif codecs.is_png(payload):
+                    d = codecs.decode_png(payload)
+                    out.append(codecs.encode_png(
+                        codecs.resize_nearest(d["pixels"], width, height)))
+                else:
+                    raise NotImplementedError(
+                        "real resize supports PNG only; pass fake=True "
+                        "for the stub")
             yield pd.DataFrame({id_col: b[id_col], "resized": out})
 
     return df.select(id_col, payload_col).mapInPandas(

@@ -1,0 +1,170 @@
+"""Real-codec tests: stdlib PNG decode/encode/resize and WAV decode,
+plus the Spark mapInPandas plumbing running them end-to-end.
+
+The PNG filter test builds files by hand (applying the spec's filter
+math in the test itself), so decode correctness is checked against an
+independent construction — not just a round-trip of our own encoder.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+from iceberg_cpp_spark.operators import codecs
+
+
+def _manual_png(pixels: np.ndarray, filter_type: int) -> bytes:
+    """Build a PNG applying `filter_type` to every scanline, per spec."""
+    h, w, c = pixels.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+    lines = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        cur = pixels[y].reshape(-1).astype(np.int32)
+        filt = np.zeros(w * c, dtype=np.int32)
+        for x in range(w * c):
+            left = int(cur[x - bpp]) if x >= bpp else 0
+            up = int(prev[x])
+            ul = int(prev[x - bpp]) if x >= bpp else 0
+            if filter_type == 0:
+                filt[x] = cur[x]
+            elif filter_type == 1:
+                filt[x] = cur[x] - left
+            elif filter_type == 2:
+                filt[x] = cur[x] - up
+            elif filter_type == 3:
+                filt[x] = cur[x] - ((left + up) >> 1)
+            elif filter_type == 4:
+                p = left + up - ul
+                pa, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc_) else (up if pb <= pc_ else ul)
+                filt[x] = cur[x] - pred
+        lines.append(filter_type)
+        lines.extend((filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+
+    return (codecs.PNG_SIGNATURE + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b""))
+
+
+def _wav_bytes(rate=8000, channels=1, n=800) -> tuple[bytes, np.ndarray]:
+    t = np.arange(n * channels)
+    samples = (np.sin(t * 0.05) * 10000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(channels)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.tobytes())
+    return buf.getvalue(), samples
+
+
+class TestPngCodec:
+    @pytest.mark.parametrize("channels", [1, 2, 3, 4])
+    def test_roundtrip(self, channels):
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (13, 9, channels), dtype=np.uint8)
+        d = codecs.decode_png(codecs.encode_png(px))
+        assert (d["width"], d["height"], d["channels"]) == (9, 13, channels)
+        assert np.array_equal(d["pixels"], px)
+
+    @pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+    def test_all_filter_types(self, ftype):
+        rng = np.random.default_rng(ftype + 1)
+        px = rng.integers(0, 256, (8, 11, 3), dtype=np.uint8)
+        d = codecs.decode_png(_manual_png(px, ftype))
+        assert np.array_equal(d["pixels"], px), f"filter {ftype}"
+
+    def test_grayscale_roundtrip_2d_input(self):
+        px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        d = codecs.decode_png(codecs.encode_png(px))
+        assert d["channels"] == 1
+        assert np.array_equal(d["pixels"][:, :, 0], px)
+
+    def test_rejects_non_png(self):
+        with pytest.raises(ValueError):
+            codecs.decode_png(b"\xff\xd8\xff\xe0 jpeg-ish")
+
+    def test_resize_nearest(self):
+        px = np.array([[[0], [10]], [[20], [30]]], dtype=np.uint8)
+        up = codecs.resize_nearest(px, 4, 4)
+        assert up.shape == (4, 4, 1)
+        assert up[0, 0, 0] == 0 and up[3, 3, 0] == 30
+        down = codecs.resize_nearest(up, 2, 2)
+        assert np.array_equal(down, px)
+
+    def test_sniffers(self):
+        png = codecs.encode_png(np.zeros((2, 2, 3), np.uint8))
+        wav, _ = _wav_bytes()
+        assert codecs.is_png(png) and not codecs.is_wav(png)
+        assert codecs.is_wav(wav) and not codecs.is_png(wav)
+
+
+class TestWavCodec:
+    def test_decode(self):
+        payload, samples = _wav_bytes(rate=8000, channels=2, n=400)
+        d = codecs.decode_wav(payload)
+        assert d["sample_rate"] == 8000
+        assert d["channels"] == 2
+        assert d["n_frames"] == 400
+        assert d["duration_ms"] == 50
+        assert np.array_equal(d["samples"], samples)
+
+
+class TestSparkPlumbing:
+    def test_decode_images_real(self, spark):
+        rng = np.random.default_rng(3)
+        rows = [(i, codecs.encode_png(
+            rng.integers(0, 256, (4 + i, 6 + i, 3), dtype=np.uint8)))
+            for i in range(4)]
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        from iceberg_cpp_spark.operators.multimodal import decode_images
+
+        got = {r["media_id"]: r for r in decode_images(df).collect()}
+        for i in range(4):
+            assert got[i]["width"] == 6 + i
+            assert got[i]["height"] == 4 + i
+            assert len(got[i]["features"]) == 3
+
+    def test_resize_images_real(self, spark):
+        px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+        df = spark.createDataFrame([(1, codecs.encode_png(px))],
+                                   "media_id long, payload binary")
+        from iceberg_cpp_spark.operators.multimodal import resize_images
+
+        out = resize_images(df, width=3, height=2).collect()[0]
+        d = codecs.decode_png(bytes(out["resized"]))
+        assert (d["width"], d["height"]) == (3, 2)
+        assert np.array_equal(d["pixels"], codecs.resize_nearest(px, 3, 2))
+
+    def test_decode_audio_real(self, spark):
+        payload, _ = _wav_bytes(rate=16000, channels=1, n=1600)
+        df = spark.createDataFrame([(7, payload)],
+                                   "media_id long, payload binary")
+        from iceberg_cpp_spark.operators.multimodal import decode_audio
+
+        r = decode_audio(df).collect()[0]
+        assert r["sample_rate"] == 16000
+        assert r["duration_ms"] == 100
+        assert len(r["features"]) == 3
+
+    def test_decode_images_non_png_raises(self, spark):
+        df = spark.createDataFrame([(1, b"not an image")],
+                                   "media_id long, payload binary")
+        from iceberg_cpp_spark.operators.multimodal import decode_images
+
+        with pytest.raises(Exception, match="PNG|NotImplemented"):
+            decode_images(df).collect()
