@@ -35,9 +35,21 @@ _PATHS_PER_TASK = 64
 
 
 def _field_map(schema: it.Schema) -> dict[str, tuple[int, it.IcebergType]]:
-    """Top-level column name → (field_id, iceberg type)."""
-    return {f.name: (f.field_id, f.field_type) for f in schema.fields
-            if f.field_type.is_primitive}
+    """Column path → (field_id, iceberg type): top-level primitives plus
+    struct leaves as dotted paths (parquet ``path_in_schema`` shape), so
+    nested fields get footer bounds too."""
+    out: dict[str, tuple[int, it.IcebergType]] = {}
+
+    def walk(prefix: str, fields) -> None:
+        for f in fields:
+            full = f"{prefix}{f.name}"
+            if f.field_type.is_primitive:
+                out[full] = (f.field_id, f.field_type)
+            elif isinstance(f.field_type, it.StructType):
+                walk(full + ".", f.field_type.fields)
+
+    walk("", schema.fields)
+    return out
 
 
 def _stat_value(v: Any, t: it.IcebergType) -> Any:
@@ -68,8 +80,10 @@ def file_metrics(path: str, fields: dict[str, tuple[int, it.IcebergType]]) -> di
         for ci in range(g.num_columns):
             col = g.column(ci)
             name = col.path_in_schema
-            if "." in name or name not in fields:
-                continue  # nested leaves: counted at top level only
+            if name not in fields:
+                continue  # unmapped (incl. list/map leaves); struct
+                # leaves arrive as dotted paths when the field map
+                # carries them (nested name mapping)
             fid, t = fields[name]
             column_sizes[fid] = column_sizes.get(fid, 0) + col.total_compressed_size
             value_counts[fid] = value_counts.get(fid, 0) + col.num_values

@@ -46,16 +46,30 @@ class NameMapping:
     fields: list[MappedField]
 
     def id_for(self, name: str) -> Optional[int]:
-        for f in self.fields:
-            if name in f.names:
-                return f.field_id
-        return None
+        """Resolve a (possibly dotted) path through nested mapped fields
+        (reference name_mapping.h:76-113 Find-by-path). A plain name is a
+        one-element path, so top-level behavior is unchanged."""
+        fields = self.fields
+        fid: Optional[int] = None
+        for part in name.split("."):
+            hit = next((f for f in fields if part in f.names), None)
+            if hit is None:
+                return None
+            fid = hit.field_id
+            fields = hit.fields
+        return fid
 
     def names_for(self, field_id: int) -> list[str]:
-        for f in self.fields:
-            if f.field_id == field_id:
-                return f.names
-        return []
+        def walk(fields: list[MappedField]) -> list[str]:
+            for f in fields:
+                if f.field_id == field_id:
+                    return f.names
+                got = walk(f.fields)
+                if got:
+                    return got
+            return []
+
+        return walk(self.fields)
 
     def to_json_string(self) -> str:
         return json.dumps([f.to_json() for f in self.fields])
@@ -67,20 +81,57 @@ class NameMapping:
     @staticmethod
     def from_schema(schema: it.Schema, aliases: Optional[dict[str, list[str]]] = None
                     ) -> "NameMapping":
-        """Default mapping: every field maps its current name (plus any
-        provided aliases, e.g. the column names foreign files use)."""
-        out = []
-        for f in schema.fields:
-            names = [f.name] + list((aliases or {}).get(f.name, []))
-            out.append(MappedField(f.field_id, names))
-        return NameMapping(out)
+        """Default mapping: every field (including nested struct/list/map
+        children, per name_mapping.h:76-113) maps its current name — plus
+        any provided aliases, keyed by dotted path for nested fields."""
+
+        def mapped(name: str, fid: Optional[int], ftype: it.IcebergType,
+                   prefix: str) -> MappedField:
+            full = f"{prefix}{name}"
+            names = [name] + list((aliases or {}).get(full, []))
+            kids: list[MappedField] = []
+            if isinstance(ftype, it.StructType):
+                kids = [mapped(c.name, c.field_id, c.field_type, full + ".")
+                        for c in ftype.fields]
+            elif isinstance(ftype, it.ListType):
+                kids = [mapped("element", ftype.element_id,
+                               ftype.element_type, full + ".")]
+            elif isinstance(ftype, it.MapType):
+                kids = [mapped("key", ftype.key_id, ftype.key_type, full + "."),
+                        mapped("value", ftype.value_id, ftype.value_type,
+                               full + ".")]
+            return MappedField(fid, names, kids)
+
+        return NameMapping([mapped(f.name, f.field_id, f.field_type, "")
+                            for f in schema.fields])
+
+
+def arrow_leaf_paths(arrow_schema) -> list[str]:
+    """Dotted paths of an arrow schema's fields, recursing into structs
+    (the nesting shape parquet's ``path_in_schema`` uses for struct
+    leaves). List/map columns stay as their top-level name."""
+    import pyarrow as pa
+
+    out: list[str] = []
+
+    def walk(prefix: str, typ) -> None:
+        if pa.types.is_struct(typ):
+            for f in typ:
+                walk(f"{prefix}.{f.name}", f.type)
+        else:
+            out.append(prefix)
+
+    for f in arrow_schema:
+        walk(f.name, f.type)
+    return out
 
 
 def apply_to_file_columns(mapping: NameMapping, file_columns: list[str],
                           schema: it.Schema) -> dict[str, tuple[int, it.IcebergType]]:
-    """file column name → (field_id, type) for footer-metrics harvesting
-    and read projection of ID-less files. Unmapped columns are ignored
-    (projected out), matching avro_reader.cc:105-108 behavior."""
+    """file column path → (field_id, type) for footer-metrics harvesting
+    and read projection of ID-less files. Paths may be dotted (struct
+    leaves). Unmapped columns are ignored (projected out), matching
+    avro_reader.cc:105-108 behavior."""
     out: dict[str, tuple[int, it.IcebergType]] = {}
     for name in file_columns:
         fid = mapping.id_for(name)

@@ -479,11 +479,24 @@ class TableScan:
         schema = self.read_schema()
         spark_schema = it.to_spark_schema(schema)
         if self._table.properties().get("engine.read.name-based") == "true":
-            # imported (ID-less) files present: resolve columns by name
+            # imported (ID-less) files present: resolve columns by name —
+            # strip field-id metadata RECURSIVELY (a struct field keeping
+            # parquet.field.id makes Spark demand IDs from the file)
             from pyspark.sql import types as T
 
-            spark_schema = T.StructType([
-                T.StructField(f.name, f.dataType, f.nullable) for f in spark_schema.fields])
+            def strip(dt):
+                if isinstance(dt, T.StructType):
+                    return T.StructType([
+                        T.StructField(f.name, strip(f.dataType), f.nullable)
+                        for f in dt.fields])
+                if isinstance(dt, T.ArrayType):
+                    return T.ArrayType(strip(dt.elementType), dt.containsNull)
+                if isinstance(dt, T.MapType):
+                    return T.MapType(strip(dt.keyType), strip(dt.valueType),
+                                     dt.valueContainsNull)
+                return dt
+
+            spark_schema = strip(spark_schema)
         tasks = self.plan_files()
         if not tasks:
             df = spark.createDataFrame([], spark_schema)
@@ -1358,7 +1371,7 @@ class IceTable:
         mapping = nm.NameMapping.from_schema(schema, aliases)
         new_files: list[mf.DataFile] = []
         for p in paths:
-            cols = [f.name for f in pq.read_schema(p)]
+            cols = nm.arrow_leaf_paths(pq.read_schema(p))
             fields = nm.apply_to_file_columns(mapping, cols, schema)
             if not fields:
                 raise ValueError(f"no columns of {p} map into the table schema")

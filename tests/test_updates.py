@@ -26,6 +26,16 @@ def _schema(schema_id=0):
     ], schema_id=schema_id)
 
 
+def _nested_schema():
+    return it.Schema([
+        it.NestedField(1, "id", it.LongType(), True),
+        it.NestedField(2, "addr", it.StructType([
+            it.NestedField(3, "zip", it.LongType()),
+            it.NestedField(4, "city", it.StringType()),
+        ])),
+    ])
+
+
 def _base():
     return TableMetadata(
         format_version=2, table_uuid="u-1", location="/tmp/t",
@@ -130,6 +140,41 @@ class TestNameMapping:
         assert out["data"][0] == 2
         assert "junk" not in out
 
+    def test_nested_struct_mapping(self):
+        """Nested resolution (name_mapping.h:76-113): dotted paths walk
+        MappedField.fields; aliases key by dotted path."""
+        from iceberg_cpp_spark.core import name_mapping as nm
+
+        schema = _nested_schema()
+        m = nm.NameMapping.from_schema(
+            schema, aliases={"addr.zip": ["postal_code"]})
+        back = nm.NameMapping.from_json_string(m.to_json_string())
+        assert back.id_for("id") == 1
+        assert back.id_for("addr") == 2
+        assert back.id_for("addr.zip") == 3
+        assert back.id_for("addr.postal_code") == 3
+        assert back.id_for("addr.city") == 4
+        assert back.id_for("addr.nope") is None
+        assert back.names_for(4) == ["city"]
+        out = nm.apply_to_file_columns(
+            back, ["id", "addr.zip", "addr.city"], schema)
+        assert out["addr.zip"][0] == 3
+        assert out["addr.city"][0] == 4
+        assert "addr" not in out  # struct itself is not a leaf
+
+    def test_list_and_map_children_mapped(self):
+        from iceberg_cpp_spark.core import name_mapping as nm
+
+        schema = it.Schema([
+            it.NestedField(1, "tags", it.ListType(2, it.StringType())),
+            it.NestedField(3, "props", it.MapType(
+                4, it.StringType(), 5, it.LongType())),
+        ])
+        m = nm.NameMapping.from_schema(schema)
+        assert m.id_for("tags.element") == 2
+        assert m.id_for("props.key") == 4
+        assert m.id_for("props.value") == 5
+
 
 class TestAddFiles:
     def test_import_foreign_parquet(self, spark, tmp_loc):
@@ -155,6 +200,40 @@ class TestAddFiles:
         from iceberg_cpp_spark.plans import expressions as ex
 
         assert t.scan(filter=ex.gt(ex.Reference("id"), 100)).plan_files() == []
+
+    def test_import_struct_column(self, spark, tmp_loc):
+        """ID-less file with a struct column: nested fields resolve
+        through the name mapping, scan reads the struct, and footer
+        bounds of struct LEAVES drive pruning."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core import name_mapping as nm
+
+        foreign = os.path.join(tmp_loc, "nested.parquet")
+        pq.write_table(pa.table({
+            "id": [1, 2],
+            "addr": [{"zip": 94110, "city": "sf"},
+                     {"zip": 10001, "city": "nyc"}],
+        }), foreign)
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "t"), _nested_schema())
+        t.add_files([foreign])
+        rows = {r["id"]: r["addr"] for r in t.to_df().collect()}
+        assert rows[1]["city"] == "sf" and rows[2]["zip"] == 10001
+        # the stored mapping resolves nested paths
+        mapping = nm.NameMapping.from_json_string(
+            t.properties()[nm.PROPERTY_KEY])
+        assert mapping.id_for("addr.zip") == 3
+        # nested leaf footer bounds were harvested → pruning on the
+        # nested field works (and doesn't over-prune)
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        assert t.scan(filter=ex.gt(ex.Reference("addr.zip"),
+                                   999999)).plan_files() == []
+        assert len(t.scan(filter=ex.gt(ex.Reference("addr.zip"),
+                                       50000)).plan_files()) == 1
 
     def test_mixed_native_and_foreign(self, spark, tmp_loc):
         import pyarrow as pa
