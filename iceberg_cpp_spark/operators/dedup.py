@@ -121,21 +121,28 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     assert num_perm % bands == 0, "num_perm must divide evenly into bands"
     r = num_perm // bands
     sig = minhash_signature_udf(num_perm, shingle_width)
-    with_sig = df.select(F.col(id_col), sig(F.col(text_col)).alias("_sig"))
+    # materialize signatures once (eager localCheckpoint): the dedup plan
+    # reads them from two branches (bucket-min agg + join-back), and
+    # without truncation each branch would re-run the signature UDF —
+    # the expensive step. ~1 KB/doc of executor-local storage.
+    with_sig = (df.select(F.col(id_col), sig(F.col(text_col)).alias("_sig"))
+                .localCheckpoint(eager=True))
     band_hashes = F.array(*[
         F.xxhash64(F.concat_ws(",", F.slice("_sig", i * r + 1, r).cast("array<string>")))
         for i in range(bands)
     ])
     banded = with_sig.select(id_col, F.posexplode(band_hashes).alias("_band", "_bucket"))
-    # window-min instead of groupBy+self-join: one shuffle, and the
-    # signature UDF is evaluated exactly once per document
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("_band", "_bucket")
-    candidates = (
-        banded.withColumn("_rep", F.min(id_col).over(w))
-        .filter(F.col(id_col) > F.col("_rep"))
-    )
+    # groupBy-min + join-back instead of a window-min: min() partial-
+    # aggregates MAP-SIDE, so a degenerate corpus (one giant bucket of
+    # near-identical docs) no longer lands a whole bucket on one task.
+    # Only collision buckets (>1 member) survive to the join; AQE turns
+    # the join broadcast when that table is small and splits skewed
+    # buckets when it isn't. The signature UDF still runs once per doc.
+    mins = (banded.groupBy("_band", "_bucket")
+            .agg(F.min(id_col).alias("_rep"), F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1).drop("_n"))
+    candidates = (banded.join(mins, ["_band", "_bucket"])
+                  .filter(F.col(id_col) > F.col("_rep")))
     if verify_jaccard is None:
         dup_ids = candidates.select(id_col).distinct()
     else:
@@ -185,20 +192,23 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     hamming-close docs agree on ≥1 chunk (pigeonhole) and collide there."""
     width = 64 // bands
     sh = simhash_udf()
-    with_h = df.select(F.col(id_col), sh(F.col(text_col)).alias("_sh"))
+    # eager checkpoint: two plan branches consume the hash (see
+    # minhash_lsh_dedup) — compute the UDF once, 8 bytes/doc stored
+    with_h = (df.select(F.col(id_col), sh(F.col(text_col)).alias("_sh"))
+              .localCheckpoint(eager=True))
     band_vals = F.array(*[
         F.shiftrightunsigned("_sh", i * width).bitwiseAND(F.lit((1 << width) - 1))
         for i in range(bands)
     ])
     banded = with_h.select(id_col, F.posexplode(band_vals).alias("_band", "_bucket"))
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("_band", "_bucket")
-    dup_ids = (
-        banded.withColumn("_rep", F.min(id_col).over(w))
-        .filter(F.col(id_col) > F.col("_rep"))
-        .select(id_col).distinct()
-    )
+    # map-side-combinable groupBy-min + join-back (see minhash_lsh_dedup:
+    # immune to one-giant-bucket skew, unlike a window over the bucket)
+    mins = (banded.groupBy("_band", "_bucket")
+            .agg(F.min(id_col).alias("_rep"), F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1).drop("_n"))
+    dup_ids = (banded.join(mins, ["_band", "_bucket"])
+               .filter(F.col(id_col) > F.col("_rep"))
+               .select(id_col).distinct())
     return df.join(dup_ids, on=id_col, how="left_anti")
 
 
