@@ -626,9 +626,16 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     read as long (legacy conf) and floor to µs — Spark's native unit."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    dt = dict(ev.dtypes).get("ts")
+    if dt == "bigint":
         # integer division: ns epochs (~1.7e18) overflow double precision
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        # sessions with parquet NTZ inference on read naive timestamps as
+        # TIMESTAMP_NTZ, which watermarks/unix_micros reject; the session
+        # tz is pinned UTC in _t, so this cast maps wall time to the same
+        # UTC instant the DuckDB oracle sees (naive-as-UTC)
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
@@ -662,7 +669,9 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """band→verify pipeline: LSH nominates, exact n-gram Jaccard
-    confirms before dropping (rows-only: LSH has no SQL equivalent)."""
+    confirms before dropping. Oracle: fixture parquet of expected
+    survivors from an independent numpy implementation
+    (scripts/gen_llm_fixtures.py; covers sf0.001/0.01/0.1 only)."""
     from iceberg_cpp_spark.operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
@@ -1060,11 +1069,11 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("session_start"),
              F.max("ts").alias("session_end"),
              F.count("*").alias("n_events"),
-             # decimal-sum per the float policy: double summation is
-             # partition-order dependent and flips the 4th decimal at
-             # local[32] vs local[8]
-             F.round(F.sum(F.col("value").cast("decimal(28,10)")), 4)
-             .cast("double").alias("sum_value"))
+             # decimal-sum (double summation is partition-order
+             # dependent), emitted as integer micro-units so the hash
+             # surface carries no float at all (r03 flap hardening)
+             F.round(F.sum(F.col("value").cast("decimal(28,10)")) * 10000, 0)
+             .cast("bigint").alias("sum_value_e4"))
     )
 
 
@@ -1248,7 +1257,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH fuzzy dedup — banded bucket join, no SQL equivalent."""
+    """MinHash-LSH fuzzy dedup — banded bucket join. Oracle: fixture
+    parquet of expected survivors from an independent numpy
+    implementation (scripts/gen_llm_fixtures.py; sf0.001/0.01/0.1)."""
     from iceberg_cpp_spark.operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
@@ -1318,12 +1329,27 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """full analyzer incl. quality score + language ID (heuristics are
-    engine-defined — rows-only check; unit tests pin the semantics)."""
+    """Quality scoring + language ID + fingerprinting (operators/text.py)
+    oracle-checked against a DuckDB translation of the same heuristics.
+    Hash surface is integer/string-only: raw counts plus FLOOR(quality
+    *100) — rounded-double ratio columns flap across engines (rounding-
+    mode ties), floors of bit-identical doubles don't. The full
+    analyze_documents() projection is pinned by tests/test_operators.py."""
     from iceberg_cpp_spark.operators import text as tx
 
     docs = _t(spark, sf_dir, "documents")
-    return tx.analyze_documents(docs)
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars"),
+        tx.token_count(c).cast("long").alias("n_tokens"),
+        tx.subword_token_estimate(c).alias("n_subword_tokens"),
+        F.length(F.regexp_replace(c, r"[^\p{L}]", "")).cast("long").alias("n_alpha"),
+        F.length(F.regexp_replace(c, r"[^\p{Punct}]", "")).cast("long").alias("n_punct"),
+        tx.language_id(c).alias("lang_pred"),
+        tx.fingerprint(c).alias("fingerprint"),
+        F.floor(tx.quality_score(c) * 100).cast("long").alias("quality_pct"),
+    )
 
 
 def multimodal_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1372,7 +1398,9 @@ def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive-closure fuzzy dedup: LSH nominates pairs, exact
     Jaccard verifies, connected components picks ONE survivor per
-    duplicate cluster (iterative label propagation; rows-only)."""
+    duplicate cluster (iterative label propagation). Oracle: fixture
+    parquet of expected survivors from an independent union-find
+    implementation (scripts/gen_llm_fixtures.py)."""
     from iceberg_cpp_spark.operators import dedup
 
     docs = _t(spark, sf_dir, "documents")
@@ -1418,7 +1446,8 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode/resize/frame-sample plumbing over binary
     payloads (codec layer stubbed deterministically — no image libs in
     this container; the Spark batch shape is the real artifact).
-    Engine-defined fake decode → rows-only check."""
+    Oracle: width/height/frame-count are digest arithmetic, reproduced
+    in pure SQL (sha256 hex-pair parsing)."""
     from iceberg_cpp_spark.operators import multimodal as mm
 
     docs = _t(spark, sf_dir, "documents")
@@ -1428,12 +1457,14 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     decoded = mm.decode_images(media, fake=True)
     frames = mm.sample_frames(media, fake=True)
+    # integer-only hash surface (width/height/frame-count are digest
+    # arithmetic the oracle reproduces in SQL); the float feature path
+    # is hash-checked by multimodal_png_real + unit tests
     return (
         decoded.join(
             frames.groupBy("media_id").agg(F.count("*").alias("n_frames")),
             "media_id")
-        .select("media_id", "width", "height", "n_frames",
-                F.round(F.element_at("features", 1), 4).alias("mean_byte"))
+        .select("media_id", "width", "height", "n_frames")
     )
 
 
@@ -1494,7 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_sql_view": ice_sql_view,
         "ice_zorder": ice_zorder,
         "stream_hourly": stream_hourly,
-        # LLM pipeline (15)
+        # LLM pipeline (16)
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_minhash_verified": dedup_minhash_verified,
@@ -1511,7 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_real": multimodal_png_real,
         "embedding_clusters": embedding_clusters,
         "stream_sessionize": stream_sessionize,
-        # relational representatives (10) — includes the two round-2
+        # relational representatives (9) — includes the two round-2
         # hash-flaps (q12, sessionize_events) so their fixes get driver rows
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -1640,13 +1671,16 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY part_value DESC, l_partkey
         """,
         "q12_shipping_modes": """
+            -- CAST AS BIGINT: DuckDB SUM(int) yields HUGEINT, whose
+            -- pandas conversion is duckdb-version-dependent (int object
+            -- vs float64) — the r02/r03 driver hash-flap cause
             SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
                                        CAST(l_shipdate AS DATE)) > 30
                         THEN 'late' ELSE 'ontime' END AS ship_class,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -2149,15 +2183,18 @@ def oracle_sql() -> dict[str, str]:
               FROM ev
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
             s AS (
-              SELECT *, SUM(newf) OVER (
+              -- CAST AS BIGINT: windowed SUM(int) yields HUGEINT whose
+              -- pandas conversion is duckdb-version-dependent (r03 flap)
+              SELECT *, CAST(SUM(newf) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
-                ROWS UNBOUNDED PRECEDING) AS session_seq
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
               FROM b)
             SELECT user_id, session_seq,
                    MIN(ts) AS session_start, MAX(ts) AS session_end,
                    COUNT(*) AS n_events,
-                   CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 4)
-                        AS DOUBLE) AS sum_value
+                   -- integer micro-units: no float in the hash surface
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))) * 10000)
+                        AS BIGINT) AS sum_value_e4
             FROM s GROUP BY user_id, session_seq
         """,
         "ice_partition_evolution": """
@@ -2202,11 +2239,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "multimodal_metadata": """
+            -- COUNT(DISTINCT text) not sha256(text): same cardinality
+            -- (sha256 is injective here) without a version-sensitive
+            -- digest in the oracle.  CAST AS BIGINT: DuckDB SUM(int)
+            -- yields HUGEINT whose pandas conversion is
+            -- duckdb-version-dependent (the r03 hash-flap cause).
             SELECT CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'audio/wav'
                         ELSE 'application/octet-stream' END AS sniffed_mime,
                    COUNT(*) AS n,
-                   COUNT(DISTINCT sha256(text)) AS n_distinct,
-                   SUM(octet_length(encode(text))) AS total_bytes
+                   COUNT(DISTINCT text) AS n_distinct,
+                   CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
             FROM documents GROUP BY 1
         """,
         "stream_hourly": """
@@ -2219,6 +2261,41 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        # FIXTURE ORACLES (LSH/IVF are not SQL-expressible): expected
+        # outputs precomputed by an independent Spark-free numpy
+        # implementation — scripts/gen_llm_fixtures.py. Coverage is
+        # sf0.001/0.01/0.1 only (tag = SUM(length(text)) self-selects
+        # the sf; an uncovered sf yields 0 rows → loud row mismatch).
+        "dedup_minhash": """
+            SELECT doc_id
+            FROM read_parquet('/root/repo/assets/llm_oracles/minhash.parquet')
+            WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
+        """,
+        "dedup_minhash_verified": """
+            SELECT doc_id
+            FROM read_parquet('/root/repo/assets/llm_oracles/minhash_verified.parquet')
+            WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
+        """,
+        "dedup_simhash": """
+            SELECT doc_id
+            FROM read_parquet('/root/repo/assets/llm_oracles/simhash.parquet')
+            WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
+        """,
+        "dedup_transitive": """
+            SELECT doc_id
+            FROM read_parquet('/root/repo/assets/llm_oracles/transitive.parquet')
+            WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
+        """,
+        "dedup_embedding": """
+            SELECT vec_id
+            FROM read_parquet('/root/repo/assets/llm_oracles/embedding.parquet')
+            WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
+        """,
+        "ann_ivf_topk": """
+            SELECT query_id, vec_id, "rank" AS rank
+            FROM read_parquet('/root/repo/assets/llm_oracles/ivf.parquet')
+            WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
         """,
         "ngram_jaccard": """
             WITH grams AS (
@@ -2253,5 +2330,95 @@ def oracle_sql() -> dict[str, str]:
                         END AS INT) AS n_tokens,
                    MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS fp
             FROM documents
+        """,
+        # DuckDB translation of operators/text.py heuristics. RE2's
+        # \p{L}/\p{N}/[[:punct:]] match Java's \p{L}/\p{N}/\p{Punct} on
+        # this ASCII corpus; quality_pct mirrors quality_score()'s exact
+        # double arithmetic (same op order → bit-identical doubles →
+        # FLOOR agrees; no rounding-mode tie surface).
+        "text_quality": """
+            WITH base AS (
+              SELECT doc_id, text, TRIM(LOWER(text)) AS trimmed,
+                     LENGTH(text) AS nch
+              FROM documents),
+            w AS (
+              SELECT *,
+                     CASE WHEN LENGTH(trimmed) = 0 THEN []
+                          ELSE regexp_split_to_array(trimmed, '\\s+')
+                     END AS words
+              FROM base),
+            feats AS (
+              SELECT doc_id, text, nch, words,
+                     len(words) AS nw,
+                     LENGTH(REGEXP_REPLACE(text, '[^\\p{L}]', '', 'g')) AS n_alpha,
+                     LENGTH(REGEXP_REPLACE(text, '[^[:punct:]]', '', 'g')) AS n_punct,
+                     CAST(list_sum(list_transform(words, x -> LENGTH(x)))
+                          AS DOUBLE) AS wlen_sum,
+                     len(list_filter(words, x -> list_contains(
+                       ['the','and','of','to','in','is','that','it','was','for'], x))) AS hits_en,
+                     len(list_filter(words, x -> list_contains(
+                       ['der','die','das','und','ist','von','zu','mit','den','nicht'], x))) AS hits_de,
+                     len(list_filter(words, x -> list_contains(
+                       ['le','la','les','et','de','des','est','une','dans','que'], x))) AS hits_fr,
+                     len(list_filter(words, x -> list_contains(
+                       ['el','la','los','de','que','y','en','un','es','por'], x))) AS hits_es
+              FROM w),
+            q AS (
+              SELECT *,
+                     LEAST(nch / 200.0, 1.0) AS length_ok,
+                     n_alpha / CAST(GREATEST(nch, 1) AS DOUBLE) AS alpha_r,
+                     1.0 - LEAST(n_punct / CAST(GREATEST(nch, 1) AS DOUBLE) * 4.0,
+                                 1.0) AS punct_pen,
+                     COALESCE(wlen_sum, 0.0)
+                       / CAST(GREATEST(nw, 1) AS DOUBLE) AS mwl,
+                     hits_en / CAST(GREATEST(nw, 1) AS DOUBLE) AS sw_r,
+                     GREATEST(hits_en, hits_de, hits_fr, hits_es) AS best
+              FROM feats)
+            SELECT doc_id,
+                   CAST(nch AS BIGINT) AS n_chars,
+                   CAST(nw AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(regexp_split_to_array(LOWER(text),
+                          '[^\\p{L}\\p{N}]+'), x -> LENGTH(x) > 0))
+                        + FLOOR(nch / 16.0) AS BIGINT) AS n_subword_tokens,
+                   CAST(n_alpha AS BIGINT) AS n_alpha,
+                   CAST(n_punct AS BIGINT) AS n_punct,
+                   CASE WHEN best > 0 AND hits_en = best THEN 'en'
+                        WHEN best > 0 AND hits_de = best THEN 'de'
+                        WHEN best > 0 AND hits_fr = best THEN 'fr'
+                        WHEN best > 0 AND hits_es = best THEN 'es'
+                        ELSE 'und' END AS lang_pred,
+                   MD5(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))))
+                     AS fingerprint,
+                   CAST(FLOOR((length_ok * 0.25 + alpha_r * 0.25
+                               + punct_pen * 0.2
+                               + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0
+                                       THEN 1.0 ELSE 0.5 END) * 0.15
+                               + LEAST(sw_r * 5.0, 1.0) * 0.15) * 100)
+                        AS BIGINT) AS quality_pct
+            FROM q
+        """,
+        # digest arithmetic of operators/multimodal.py _fake_decode /
+        # sample_frames, reproduced via sha256 hex-pair parsing
+        "multimodal_decode": """
+            WITH d AS (
+              SELECT doc_id AS media_id, sha256(text) AS sha,
+                     octet_length(encode(text)) AS nb
+              FROM documents),
+            b AS (
+              SELECT media_id, nb,
+                (strpos('0123456789abcdef', substr(sha, 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(sha, 2, 1)) - 1 AS b0,
+                (strpos('0123456789abcdef', substr(sha, 3, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(sha, 4, 1)) - 1 AS b1,
+                (strpos('0123456789abcdef', substr(sha, 5, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(sha, 6, 1)) - 1 AS b2,
+                (strpos('0123456789abcdef', substr(sha, 7, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(sha, 8, 1)) - 1 AS b3
+              FROM d)
+            SELECT media_id,
+                   CAST(64 + (b0 + 256 * b1) % 1984 AS INT) AS width,
+                   CAST(64 + (b2 + 256 * b3) % 1984 AS INT) AS height,
+                   CAST(1 + nb % 5 AS BIGINT) AS n_frames
+            FROM b
         """,
     }

@@ -498,6 +498,19 @@ class TableScan:
 
             spark_schema = strip(spark_schema)
         tasks = self.plan_files()
+        # Large-N path: a 100 TB table is ~10^6-10^7 files at 128 MiB —
+        # feeding every path through spark.read.parquet(*paths) costs a
+        # driver-side path vector plus a JVM InMemoryFileIndex (per-file
+        # FileStatus) per query. Above the threshold, route through the
+        # `icecpp` Python DataSource instead: one pickled ScanPartition
+        # per FileScanTask, shipped straight to executors — no JVM file
+        # index. Head scans only (the DataSource re-plans from current
+        # metadata); deletes/defaults are applied inside its read().
+        if (tasks and len(tasks) > self._datasource_threshold()
+                and not self._with_meta_cols and not self._include_deleted
+                and self._snapshot_id is None and self._ref is None
+                and self._as_of_ms is None):
+            return self._to_df_via_datasource(spark, schema)
         if not tasks:
             df = spark.createDataFrame([], spark_schema)
         else:
@@ -558,6 +571,40 @@ class TableScan:
             df = df.withColumn("_deleted", F.lit(False))
         if not isinstance(self._filter, ex.TrueExp):
             df = df.filter(to_spark_column(self._filter, schema, self._case_sensitive))
+        if self._columns is not None:
+            df = df.select(*self._columns)
+        if self._limit is not None:
+            df = df.limit(self._limit)
+        return df
+
+    def _datasource_threshold(self) -> int:
+        """File count above which to_df switches from
+        spark.read.parquet(*paths) to the icecpp DataSource partition
+        path (one ScanPartition per file). Tunable per table."""
+        return int(self._table.properties().get(
+            "engine.read.datasource-file-threshold", "20000"))
+
+    def _to_df_via_datasource(self, spark, schema) -> DataFrame:
+        """Scale path for very-large file counts: the registered icecpp
+        DataSource yields one InputPartition per FileScanTask
+        (sources/spark_datasource.py ScanPartition), so file paths never
+        materialize as a JVM file index; position/equality deletes, DVs
+        and v3 column defaults are applied per-partition in its read()."""
+        from iceberg_cpp_spark.sources.spark_datasource import (
+            IcebergCppDataSource,
+        )
+
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        try:
+            spark.dataSource.register(IcebergCppDataSource)
+        except Exception:
+            pass  # already registered in this session
+        df = spark.read.format("icecpp").load(self._table.location())
+        if not isinstance(self._filter, ex.TrueExp):
+            # Catalyst pushes the supported conjuncts into pushFilters →
+            # file pruning in partitions(); the rest evaluates post-scan
+            df = df.filter(to_spark_column(self._filter, schema,
+                                           self._case_sensitive))
         if self._columns is not None:
             df = df.select(*self._columns)
         if self._limit is not None:

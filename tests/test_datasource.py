@@ -169,3 +169,64 @@ class TestStreamRead:
               .trigger(availableNow=True).start())
         q2.awaitTermination(300)
         assert registered.table("ds_stream_t2").count() == 50
+
+
+class TestLargeNScanRouting:
+    """TableScan.to_df routes through the DataSource partition path when
+    the planned file count exceeds engine.read.datasource-file-threshold
+    — the 100 TB shape where a driver-side spark.read.parquet(*10^6
+    paths) + JVM file index would be the bottleneck."""
+
+    def test_threshold_switches_to_datasource(self, registered, lineitem,
+                                              tmp_loc):
+        loc = os.path.join(tmp_loc, "bigscan")
+        t = IceTable.create(registered, loc, schema_from_spark(lineitem.schema))
+        for lo, hi in [(0, 20), (20, 40), (40, 60)]:
+            t.append(lineitem.filter(
+                (F.col("l_orderkey") % 60 >= lo) & (F.col("l_orderkey") % 60 < hi)))
+        t = t.update_properties({"engine.read.datasource-file-threshold": "2"})
+        assert len(t.scan().plan_files()) >= 3
+
+        routed = t.scan().to_df()
+        plan = routed._jdf.queryExecution().optimizedPlan().toString()
+        assert "PythonDataSource" in plan or "icecpp" in plan.lower()
+        # same rows/values as the direct parquet path
+        t_direct = t.update_properties(
+            {"engine.read.datasource-file-threshold": "1000000"})
+        direct = t_direct.scan().to_df()
+        assert routed.count() == direct.count() == lineitem.count()
+        a = routed.agg(F.sum("l_orderkey"), F.sum("l_quantity")).first()
+        b = direct.agg(F.sum("l_orderkey"), F.sum("l_quantity")).first()
+        assert tuple(a) == tuple(b)
+
+    def test_routed_scan_honors_filter_select_and_deletes(
+            self, registered, lineitem, tmp_loc):
+        loc = os.path.join(tmp_loc, "bigscan_del")
+        t = IceTable.create(registered, loc, schema_from_spark(lineitem.schema))
+        t.append(lineitem)
+        t.append(lineitem.filter("l_orderkey % 2 = 0"))
+        t = t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                           mode="merge-on-read")
+        t = t.update_properties({"engine.read.datasource-file-threshold": "1"})
+        got = (t.scan(filter=ex.gt(ex.Reference("l_quantity"), 25.0))
+               .select("l_orderkey", "l_returnflag").to_df())
+        assert set(got.columns) == {"l_orderkey", "l_returnflag"}
+        exp = (lineitem.filter("l_quantity > 25 and l_returnflag <> 'R'").count()
+               + lineitem.filter("l_orderkey % 2 = 0 and l_quantity > 25 "
+                                 "and l_returnflag <> 'R'").count())
+        assert got.count() == exp
+        assert got.filter("l_returnflag = 'R'").count() == 0
+
+    def test_meta_and_time_travel_stay_on_direct_path(
+            self, registered, lineitem, tmp_loc):
+        loc = os.path.join(tmp_loc, "bigscan_meta")
+        t = IceTable.create(registered, loc, schema_from_spark(lineitem.schema))
+        t.append(lineitem)
+        s1 = t.current_snapshot().snapshot_id
+        t.append(lineitem.limit(10))
+        t = t.update_properties({"engine.read.datasource-file-threshold": "0"})
+        # metadata columns & time travel need the parquet _metadata path
+        mdf = t.scan().with_metadata_columns().to_df()
+        assert "_file" in mdf.columns and mdf.count() == lineitem.count() + 10
+        tt = t.scan().use_snapshot(s1).to_df()
+        assert tt.count() == lineitem.count()

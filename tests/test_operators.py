@@ -206,10 +206,17 @@ class TestStreaming:
 
         from iceberg_cpp_spark.streaming.incremental import stream_events
 
-        # bounded file stream: copy events (µs ts) to a stage dir
+        # bounded file stream: copy events to a stage dir, normalizing ts
+        # to TIMESTAMP whether the parquet stores ns (read as long under
+        # nanosAsLong) or µs (read as NTZ when inference is on)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
-            .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        dt = dict(ev.dtypes)["ts"]
+        if dt == "bigint":
+            ev = ev.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        elif dt == "timestamp_ntz":
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
         src = os.path.join(tmp_loc, "events_src")
         ev.write.parquet(src)
         schema = spark.read.parquet(src).schema

@@ -1,0 +1,78 @@
+"""Registry hygiene: the driver's correctness gate only checks the first
+50 ``queries()`` entries, and its hash compare is sensitive to DuckDB
+output types.  These tests pin both invariants so a reorder or a new
+oracle can't silently regress the gate (VERDICT r03 items 1 and 8)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# The custom-engine surface that MUST stay inside the driver's 50-query
+# window (everything below the cap is judge-only TPC-H / relational).
+CAP = 50
+LAST_IN_CAP = "agg_rollup"
+FIRST_PAST_CAP = "join_semi_anti"
+
+
+def test_driver_cap_window_composition():
+    names = list(entry.queries())
+    assert len(names) >= CAP, "registry shrank below the driver cap"
+    window = names[:CAP]
+    assert names[CAP - 1] == LAST_IN_CAP and names[CAP] == FIRST_PAST_CAP, (
+        f"cap boundary moved: [{CAP-1}]={names[CAP-1]!r}, [{CAP}]={names[CAP]!r}; "
+        "keep the custom-engine surface inside the driver's 50-query window")
+    # every ice_* / stream_* / dedup_* / LLM query must be driver-checked
+    for n in names:
+        if n.split("_")[0] in {"ice", "stream", "dedup", "text",
+                               "multimodal", "ann", "embedding"}:
+            assert n in window, f"custom-surface query {n} pushed past the cap"
+
+
+def test_oracles_subset_of_queries():
+    qs, oracles = set(entry.queries()), set(entry.oracle_sql())
+    assert oracles <= qs, f"orphan oracles: {sorted(oracles - qs)}"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    yield con
+    con.close()
+
+
+def test_no_hugeint_oracle_columns(duck):
+    """DuckDB SUM(int) returns HUGEINT (arrow decimal128(38,0)); its
+    pandas conversion is duckdb-version-dependent (int object vs
+    float64), which was the r02/r03 driver hash-flap cause for q12 /
+    sessionize_events / multimodal_metadata.  Every integer aggregate in
+    an oracle must be CAST to BIGINT."""
+    bad = {}
+    for name, sql in entry.oracle_sql().items():
+        tbl = duck.execute(sql).fetch_arrow_table()
+        hug = [f.name for f in tbl.schema
+               if "decimal128(38, 0)" in str(f.type) or "int128" in str(f.type)]
+        if hug:
+            bad[name] = hug
+    assert not bad, f"HUGEINT columns in oracles (wrap in CAST(.. AS BIGINT)): {bad}"
+
+
+def test_oracle_column_names_are_aliased(duck):
+    """The driver sorts columns by name before hashing — an unaliased
+    aggregate like ``sum(l_quantity)`` can never match the Spark side."""
+    bad = {}
+    for name, sql in entry.oracle_sql().items():
+        tbl = duck.execute(sql).fetch_arrow_table()
+        ugly = [c for c in tbl.schema.names if "(" in c or c != c.lower()]
+        if ugly:
+            bad[name] = ugly
+    assert not bad, f"unaliased/mixed-case oracle columns: {bad}"
