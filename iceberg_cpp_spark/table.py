@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import random
+import re
 import time
 import urllib.parse
 import uuid as uuid_mod
@@ -707,20 +708,40 @@ class TableScan:
                     "left_anti",
                 )
         if eqs:
+            # ONE broadcast join per distinct key-column set, however many
+            # eq-delete commits accumulated: all delete files of a key set
+            # are read in a single scan, tagged with their sequence number
+            # via the _metadata path, and reduced to max(seq) per key —
+            # a row dies iff its key matches and row_seq < that max
+            # (monotone in delete seq, so the max preserves per-file
+            # visibility exactly). Without this, scan cost grows one join
+            # per eq-delete commit until compaction — a scale killer under
+            # streaming upsert workloads.
             seq_map = spark.createDataFrame(
                 [(t.file_path, t.sequence_number) for t in tasks], "_seq_path string, _seq long")
             norm = F.regexp_replace(F.col("_file"), "^file:(//)?", "")
             df = df.join(broadcast(seq_map), norm == F.col("_seq_path"), "left") \
                    .drop("_seq_path")
-            for d in sorted(eqs, key=lambda d: d.sequence_number):
+            groups: dict[tuple, list] = {}
+            for d in eqs:
+                groups.setdefault(tuple(sorted(d.equality_ids)), []).append(d)
+            for fids, group in sorted(groups.items()):
                 key_cols = []
-                for fid in d.equality_ids:
+                for fid in fids:
                     f = schema.find_field_by_id(fid)
                     if f is None:
                         raise ValueError(f"equality delete references unknown field {fid}")
                     key_cols.append(f.name)
-                keys = (spark.read.parquet(d.file_path)
-                        .select(*key_cols).distinct().withColumn("_hit", F.lit(1)))
+                fseq = spark.createDataFrame(
+                    [(re.sub("^file:(//)?", "", d.file_path), d.sequence_number)
+                     for d in group], "_eqf string, _eqfseq long")
+                keys = (spark.read.parquet(*sorted({d.file_path for d in group}))
+                        .select(*key_cols,
+                                F.regexp_replace(F.col("_metadata.file_path"),
+                                                 "^file:(//)?", "").alias("_eqf"))
+                        .join(broadcast(fseq), "_eqf")
+                        .groupBy(*key_cols)
+                        .agg(F.max("_eqfseq").alias("_eq_max_seq")))
                 # null-safe equality: the spec treats NULL delete-key
                 # values as matching NULL row values (plain = would
                 # silently under-delete)
@@ -731,10 +752,10 @@ class TableScan:
                     cond = cond & F.col(k).eqNullSafe(F.col(f"_eqk_{k}"))
                 df = df.join(broadcast(keys), cond, "left") \
                        .drop(*[f"_eqk_{k}" for k in key_cols])
-                drop_cond = (F.coalesce(F.col("_hit"), F.lit(0)) == 1) & \
-                    (F.coalesce(F.col("_seq"), F.lit(2**62)) < F.lit(d.sequence_number))
+                drop_cond = (F.coalesce(F.col("_seq"), F.lit(2**62))
+                             < F.coalesce(F.col("_eq_max_seq"), F.lit(-1)))
                 df = (df.withColumn("_deleted", F.col("_deleted") | drop_cond)
-                      if tag else df.filter(~drop_cond)).drop("_hit")
+                      if tag else df.filter(~drop_cond)).drop("_eq_max_seq")
             df = df.drop("_seq")
         return df
 
@@ -1078,6 +1099,67 @@ class IceTable:
             referenced_data_file=p, content_offset=m.offset,
             content_size_in_bytes=m.length,
         ) for p, m in blob_meta.items()]
+        return self._commit_files(files, operation=DataOperation.REPLACE,
+                                  branch=branch, drop_paths=drop,
+                                  drop_dv_for=set(dvs))
+
+    def rewrite_equality_deletes(self, branch: str = MAIN_BRANCH) -> "IceTable":
+        """Maintenance: materialize accumulated equality-delete matches
+        (plus any parquet position deletes and existing DVs) into ONE
+        deletion vector per data file, then drop every delete file.
+        Bounds the eq-delete scan cost that otherwise grows with commit
+        count: after the fold, scans pay a single bitmap probe per row
+        and zero joins. Metadata-only for data files — no data rewritten;
+        new appends are unaffected (no DV references them).
+
+        Complements rewrite_position_deletes (which folds only position
+        deletes); this one runs a full scan to evaluate the equality
+        predicates once, which is the materialization compaction would
+        otherwise do."""
+        from iceberg_cpp_spark.core import puffin as pf
+        from iceberg_cpp_spark.core.roaring import Roaring64
+
+        deletes = self.scan().plan_deletes()
+        eqs = [d for d in deletes if d.content == mf.CONTENT_EQUALITY_DELETES]
+        if not eqs:
+            return self
+        pos = [d for d in deletes
+               if d.content == mf.CONTENT_POSITION_DELETES and not d.is_deletion_vector]
+        old_dvs = [d for d in deletes if d.is_deletion_vector]
+
+        dead = (self.scan().with_metadata_columns().include_deleted().to_df()
+                .filter(F.col("_deleted"))
+                .select(F.regexp_replace("_file", "^file:(//)?", "")
+                        .alias("file_path"), F.col("_pos").alias("pos")))
+
+        def _build(pdf):
+            import pandas as pd
+            rb = Roaring64.from_array(pdf["pos"].to_numpy())
+            return pd.DataFrame({"file_path": [pdf["file_path"].iloc[0]],
+                                 "dv": [rb.serialize()]})
+
+        built = (dead.groupBy("file_path")
+                 .applyInPandas(_build, "file_path string, dv binary")
+                 .collect())
+        dvs = {r["file_path"]: Roaring64.deserialize(bytes(r["dv"])) for r in built}
+        live = {t.file_path for t in self.scan().plan_files()}
+        dvs = {p: rb for p, rb in dvs.items() if p in live}
+        drop = {d.file_path for d in eqs} | {d.file_path for d in pos}
+        if not dvs:
+            return self._commit_files([], operation=DataOperation.REPLACE,
+                                      branch=branch, drop_paths=drop)
+        path = self.location_provider().new_dv_path()
+        blob_meta = pf.write_deletion_vectors(path, dvs)
+        size = os.path.getsize(path)
+        files = [mf.DataFile(
+            content=mf.CONTENT_POSITION_DELETES, file_path=path,
+            file_format="puffin", partition={},
+            record_count=dvs[p].cardinality, file_size_in_bytes=size,
+            referenced_data_file=p, content_offset=m.offset,
+            content_size_in_bytes=m.length,
+        ) for p, m in blob_meta.items()]
+        # old parquet pos-delete files and superseded DVs are dropped
+        # alongside the eq files — the merged DV covers all of them
         return self._commit_files(files, operation=DataOperation.REPLACE,
                                   branch=branch, drop_paths=drop,
                                   drop_dv_for=set(dvs))
