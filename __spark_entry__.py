@@ -2064,6 +2064,10 @@ def oracle_sql() -> dict[str, str]:
             -- pinned by Appendix-B golden vectors) — a different code path
             -- from the vectorized numpy kernel the Spark query runs, so
             -- this is a real cross-implementation check.
+            -- COVERAGE: the fixture (scripts/gen_bucket_fixture.py) holds
+            -- the distinct keys of sf0.001/0.01/0.1 only, at the absolute
+            -- repo path; at any other sf or repo location the inner join
+            -- loses rows and the compare fails on row count (loudly).
             SELECT li.l_orderkey, li.l_linenumber, b1.bucket16, b2.bucket8_str
             FROM lineitem li
             JOIN read_parquet('/root/repo/assets/bucket16_l_orderkey.parquet') b1

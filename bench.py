@@ -37,6 +37,11 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "ann_topk",
     "text_stats",
+    # mutation path (write/delete/maintenance regressions visible
+    # round-over-round, VERDICT r03 item 5)
+    "ice_merge_into",
+    "ice_deletion_vector",
+    "ice_compaction",
 ]
 
 

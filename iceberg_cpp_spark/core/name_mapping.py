@@ -47,8 +47,13 @@ class NameMapping:
 
     def id_for(self, name: str) -> Optional[int]:
         """Resolve a (possibly dotted) path through nested mapped fields
-        (reference name_mapping.h:76-113 Find-by-path). A plain name is a
-        one-element path, so top-level behavior is unchanged."""
+        (reference name_mapping.h:76-113 Find-by-path). A top-level field
+        whose name literally contains a dot wins over a dotted-path
+        interpretation (exact match first), so such names stay
+        resolvable."""
+        exact = next((f for f in self.fields if name in f.names), None)
+        if exact is not None:
+            return exact.field_id
         fields = self.fields
         fid: Optional[int] = None
         for part in name.split("."):

@@ -125,6 +125,13 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # reads them from two branches (bucket-min agg + join-back), and
     # without truncation each branch would re-run the signature UDF —
     # the expensive step. ~1 KB/doc of executor-local storage.
+    # TRADE-OFF (deliberate): eager=True runs the signature job at
+    # plan-build time and the checkpointed blocks stay pinned for the
+    # session (localCheckpoint has no unpersist hook once the lineage is
+    # truncated). persist()+unpersist() would free them but re-runs the
+    # UDF on any branch materialized after the unpersist; at 100 TB the
+    # signatures are the dominant cost, so keeping them resident for the
+    # session is the cheaper failure mode.
     with_sig = (df.select(F.col(id_col), sig(F.col(text_col)).alias("_sig"))
                 .localCheckpoint(eager=True))
     band_hashes = F.array(*[

@@ -118,6 +118,10 @@ class ScanPartition(InputPartition):
     # by field ID, schema_util.h:91-93 — name is only the fallback for
     # imported ID-less files)
     field_ids: dict = dc_field(default_factory=dict)
+    # schema.name-mapping.default JSON (if set on the table): lets the
+    # name fallback resolve mapped ALIASES in ID-less files, matching
+    # the native TableScan path
+    name_mapping_json: Optional[str] = None
 
 
 @dataclass
@@ -171,10 +175,14 @@ class IcebergCppReader(DataSourceReader):
              int(props.get(f"engine.default-added-seq.{f.field_id}", "-1")))
             for f in schema.fields if f.initial_default is not None]
         fids = {f.name: f.field_id for f in schema.fields}
+        from iceberg_cpp_spark.core import name_mapping as nm
+
+        mapping_json = props.get(nm.PROPERTY_KEY)
         return [ScanPartition(file_path=t.file_path, pos_delete_paths=pos,
                               dv_blob=dvs.get(t.file_path), eq_deletes=eq,
                               file_sequence_number=t.sequence_number,
-                              column_defaults=defaults, field_ids=fids)
+                              column_defaults=defaults, field_ids=fids,
+                              name_mapping_json=mapping_json)
                 for t in scan.plan_files()]
 
     def read(self, partition: ScanPartition):
@@ -197,6 +205,12 @@ class IcebergCppReader(DataSourceReader):
                 except ValueError:
                     pass
         present = set(arrow_schema.names)
+        mapping = None
+        if partition.name_mapping_json:
+            from iceberg_cpp_spark.core import name_mapping as nm
+
+            mapping = nm.NameMapping.from_json_string(
+                partition.name_mapping_json)
         resolve: dict[str, str] = {}  # logical name -> physical column
         for n in names:
             fid = partition.field_ids.get(n)
@@ -204,6 +218,14 @@ class IcebergCppReader(DataSourceReader):
                 resolve[n] = pq_by_id[fid]
             elif n in present and (not pq_by_id or fid is None):
                 resolve[n] = n
+            elif mapping is not None and not pq_by_id and fid is not None:
+                # ID-less file + name mapping: any mapped alias of this
+                # field id present in the file resolves it — the same
+                # rule the native TableScan path applies
+                alias = next((a for a in mapping.names_for(fid)
+                              if a in present), None)
+                if alias is not None:
+                    resolve[n] = alias
         tbl = pq.read_table(partition.file_path,
                             columns=list(resolve.values()))
         physical_to_logical = {v: k for k, v in resolve.items()}

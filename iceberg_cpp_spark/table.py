@@ -480,6 +480,21 @@ class TableScan:
         schema = self.read_schema()
         spark_schema = it.to_spark_schema(schema)
         if self._table.properties().get("engine.read.name-based") == "true":
+            # Name mapping with ALIASES (file column name != schema name)
+            # cannot resolve through one flat spark.read-by-name — only
+            # the per-file DataSource read can consult the mapping. Route
+            # there; where that path can't apply, fail loudly rather
+            # than silently reading NULL for the aliased column.
+            if self._mapping_has_aliases():
+                if (self._with_meta_cols or self._include_deleted
+                        or self._snapshot_id is not None
+                        or self._ref is not None or self._as_of_ms is not None):
+                    raise NotImplementedError(
+                        "name-mapping aliases combined with metadata "
+                        "columns / include_deleted / time travel are not "
+                        "supported; compact the table to materialize "
+                        "field IDs first")
+                return self._to_df_via_datasource(spark, schema)
             # imported (ID-less) files present: resolve columns by name —
             # strip field-id metadata RECURSIVELY (a struct field keeping
             # parquet.field.id makes Spark demand IDs from the file)
@@ -577,6 +592,21 @@ class TableScan:
         if self._limit is not None:
             df = df.limit(self._limit)
         return df
+
+    def _mapping_has_aliases(self) -> bool:
+        """True when schema.name-mapping.default maps any field to more
+        than one name (an imported file stores the column under a
+        different name than the schema's)."""
+        from iceberg_cpp_spark.core import name_mapping as nm
+
+        raw = self._table.properties().get(nm.PROPERTY_KEY)
+        if not raw:
+            return False
+
+        def walk(fields) -> bool:
+            return any(len(f.names) > 1 or walk(f.fields) for f in fields)
+
+        return walk(nm.NameMapping.from_json_string(raw).fields)
 
     def _datasource_threshold(self) -> int:
         """File count above which to_df switches from

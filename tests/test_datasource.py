@@ -230,3 +230,31 @@ class TestLargeNScanRouting:
         assert "_file" in mdf.columns and mdf.count() == lineitem.count() + 10
         tt = t.scan().use_snapshot(s1).to_df()
         assert tt.count() == lineitem.count()
+
+
+class TestNameMappingFallback:
+    def test_idless_file_aliases_resolve_via_mapping(self, registered,
+                                                     tmp_loc):
+        """ID-less imported file whose physical column name differs from
+        the schema name: the DataSource read path must resolve it through
+        the table's schema.name-mapping.default, like the native
+        TableScan path does."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from iceberg_cpp_spark.core import types as it
+
+        schema = it.Schema([
+            it.NestedField(1, "id", it.LongType(), required=True),
+            it.NestedField(2, "data", it.StringType()),
+        ], schema_id=0)
+        foreign = os.path.join(tmp_loc, "legacy.parquet")
+        pq.write_table(pa.table({"id": [1, 2], "legacy_data": ["a", "b"]}),
+                       foreign)
+        t = IceTable.create(registered, os.path.join(tmp_loc, "nmds"), schema)
+        t.add_files([foreign], aliases={"data": ["legacy_data"]})
+        # native path resolves the alias
+        assert {r["data"] for r in t.to_df().collect()} == {"a", "b"}
+        # ...and so must the DataSource path
+        df = registered.read.format("icecpp").load(t.location())
+        assert {r["data"] for r in df.collect()} == {"a", "b"}
+        assert {r["id"] for r in df.collect()} == {1, 2}
