@@ -1234,13 +1234,27 @@ def stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ice_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """_file/_pos metadata columns (metadata_columns.h:42-96). Not
-    SQL-expressible (paths are engine-specific) → rows-only check."""
+    """_file/_pos metadata columns (metadata_columns.h:42-96). Paths are
+    engine-specific, so the oracle checks path-free INVARIANTS instead:
+    row totals survive the metadata projection, every file's positions
+    are dense 0..n-1, and _row_id (v3 lineage) is globally dense."""
     li = _t(spark, sf_dir, "lineitem")
     t = _fresh_table(spark, sf_dir, li, "mc")
     t.append(li)
     df = t.scan().with_metadata_columns().to_df()
-    return df.groupBy("_file").agg(F.count("*").alias("n"), F.max("_pos").alias("max_pos"))
+    per_file = df.groupBy("_file").agg(
+        F.count("*").alias("n"),
+        F.max("_pos").alias("max_pos"),
+        F.count_distinct("_pos").alias("n_pos"))
+    return per_file.agg(
+        F.sum("n").alias("total_rows"),
+        # dense per-file positions: max_pos == n-1 and all distinct
+        F.min((F.col("max_pos") == F.col("n") - 1)
+              & (F.col("n_pos") == F.col("n"))).alias("positions_dense"),
+    ).crossJoin(
+        df.agg(F.count_distinct("_row_id").alias("distinct_row_ids"),
+               F.min("_row_id").alias("min_row_id"),
+               F.max("_row_id").alias("max_row_id")))
 
 
 # ---------------------------------------------------------------------------
@@ -1386,13 +1400,21 @@ def multimodal_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed KMeans over the embeddings table (iterative MLlib —
-    not SQL-expressible; rows-only check)."""
+    """Distributed KMeans over the embeddings table (iterative MLlib).
+    Cluster MEMBERSHIP is init/partitioning-dependent (k-means|| sampling),
+    so the oracle checks the env-independent invariants instead: every
+    point assigned exactly once, cluster ids within [0, k), at most k
+    clusters. Cluster quality is pinned by TestKMeans unit tests."""
     from iceberg_cpp_spark.operators.similarity import kmeans_clusters
 
     emb = _t(spark, sf_dir, "embeddings")
     cl = kmeans_clusters(emb, k=8)
-    return cl.groupBy("cluster").agg(F.count("*").alias("n")).orderBy("cluster")
+    return cl.agg(
+        F.count("*").alias("n_points"),
+        (F.count_distinct("cluster") <= 8).alias("k_bounded"),
+        ((F.min("cluster") >= 0) & (F.max("cluster") < 8)).alias("ids_in_range"),
+        F.count_distinct("vec_id").alias("distinct_points"),
+    )
 
 
 def dedup_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2234,6 +2256,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem WHERE l_partkey < 1000 GROUP BY l_returnflag
         """,
+        # path-free invariants of _file/_pos/_row_id (paths themselves
+        # are engine-specific): totals survive, per-file positions are
+        # dense, v3 row lineage is globally dense from 0
+        "ice_metadata_columns": """
+            SELECT COUNT(*) AS total_rows,
+                   true AS positions_dense,
+                   COUNT(*) AS distinct_row_ids,
+                   CAST(0 AS BIGINT) AS min_row_id,
+                   COUNT(*) - 1 AS max_row_id
+            FROM lineitem
+        """,
         "multimodal_png_real": """
             -- the Spark side round-trips the bytes through a REAL PNG
             -- encode+decode; dimensions must equal this pure arithmetic
@@ -2300,6 +2333,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, "rank" AS rank
             FROM read_parquet('/root/repo/assets/llm_oracles/ivf.parquet')
             WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
+        """,
+        # membership is init-dependent; these invariants are not
+        "embedding_clusters": """
+            SELECT COUNT(*) AS n_points,
+                   true AS k_bounded,
+                   true AS ids_in_range,
+                   COUNT(*) AS distinct_points
+            FROM embeddings
         """,
         "ngram_jaccard": """
             WITH grams AS (
