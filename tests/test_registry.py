@@ -76,3 +76,43 @@ def test_oracle_column_names_are_aliased(duck):
         if ugly:
             bad[name] = ugly
     assert not bad, f"unaliased/mixed-case oracle columns: {bad}"
+
+
+def test_llm_fixtures_match_generator():
+    """The committed assets/llm_oracles parquets must equal what the
+    generator computes TODAY: if an operator's algorithm (seeds, hash,
+    banding) drifts, this localizes the failure to 'regenerate or revert'
+    instead of an opaque gate hash-mismatch. sf0.001 slice only (cheap)."""
+    import sys
+
+    import pyarrow.parquet as pq
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import gen_llm_fixtures as g
+
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    tag = int(docs["text"].str.len().sum())
+    ids = docs["doc_id"].to_numpy()
+    texts = docs["text"].tolist()
+
+    sigs = g.minhash_sigs(texts, 64, 3)
+    buckets = g.band_buckets(ids, sigs, 16)
+    dups = g.bucket_min_dups(buckets)
+    expect = sorted(set(map(int, ids)) - dups)
+
+    fix = pq.read_table("/root/repo/assets/llm_oracles/minhash.parquet").to_pandas()
+    got = sorted(fix[fix["tag"] == tag]["doc_id"].tolist())
+    assert got == expect, "fixture stale — rerun scripts/gen_llm_fixtures.py"
+
+
+def test_entry_flagship_runs():
+    """Driver smoke contract: entry(spark) returns a DataFrame with >=0
+    rows and a stable schema."""
+    from iceberg_cpp_spark.session import get_spark
+
+    import __spark_entry__ as entry
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    df = entry.entry(spark)
+    assert df.columns
+    assert df.count() >= 0
