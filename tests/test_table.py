@@ -477,3 +477,60 @@ class TestMetadataTables:
         sdf = li_table.snapshots_df()
         assert sdf.count() == 2
         assert sdf.filter(F.col("operation") == "append").count() == 2
+
+
+class TestLargeScalePlanning:
+    def test_plan_100k_files(self, spark, tmp_loc):
+        """VERDICT r03 item 3 follow-through: 100k-file planning stays a
+        Spark job (distributed entry pruning) with only compact task
+        metadata on the driver, and the large-N DataSource partition
+        build handles the full task list. Fake file paths — planning
+        never opens data files."""
+        import time as _time
+
+        from iceberg_cpp_spark.core import manifests as mfs
+        from iceberg_cpp_spark.core import types as it
+        from iceberg_cpp_spark.sources.spark_datasource import (
+            IcebergCppReader,
+        )
+
+        schema = it.Schema([
+            it.NestedField(1, "id", it.LongType(), required=True),
+            it.NestedField(2, "v", it.DoubleType()),
+        ], schema_id=0)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "big100k"), schema)
+        n = 100_000
+        files = [mfs.DataFile(
+            content=mfs.CONTENT_DATA, file_path=f"/fake/data/f{i:06d}.parquet",
+            file_format="parquet", partition={}, record_count=100,
+            file_size_in_bytes=10_000,
+            lower_bounds={1: (i * 100).to_bytes(8, "little")},
+            upper_bounds={1: (i * 100 + 99).to_bytes(8, "little")},
+        ) for i in range(n)]
+        from iceberg_cpp_spark.table import DataOperation
+
+        t._commit_files(files, operation=DataOperation.APPEND)
+
+        t0 = _time.time()
+        tasks = t.scan().plan_files()
+        plan_s = _time.time() - t0
+        assert len(tasks) == n
+        assert plan_s < 60, f"100k-file plan took {plan_s:.1f}s"
+
+        # footer-bound pruning still engages at this width
+        t0 = _time.time()
+        pruned = t.scan(filter=ex.lt(ex.Reference("id"), 100 * 100)).plan_files()
+        prune_s = _time.time() - t0
+        assert len(pruned) == 100  # files 0..99 can contain id < 10000
+        assert prune_s < 60
+
+        # large-N DataSource partition build: one ScanPartition per task
+        reader = IcebergCppReader({"path": t.location()},
+                                  t.scan().to_spark_schema()
+                                  if hasattr(t.scan(), "to_spark_schema")
+                                  else None)
+        t0 = _time.time()
+        parts = reader.partitions()
+        part_s = _time.time() - t0
+        assert len(parts) == n
+        assert part_s < 90, f"100k ScanPartition build took {part_s:.1f}s"
