@@ -1191,6 +1191,47 @@ def ice_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_eq_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete scaling path: several delete_by_keys commits apply
+    as ONE batched broadcast join at scan, then rewrite_equality_deletes
+    folds them into per-file deletion vectors — results identical
+    throughout (tests/test_deletes.py TestEqDeleteScaling pins the plan
+    shapes)."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "eqf")
+    t.append(li)
+    for lo, hi in [(1, 50), (50, 100), (100, 150)]:
+        keys = (li.filter((F.col("l_orderkey") >= lo)
+                          & (F.col("l_orderkey") < hi))
+                .select("l_orderkey").distinct())
+        t = t.delete_by_keys(keys)
+    t = t.rewrite_equality_deletes()
+    return (t.to_df().groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_dec("l_quantity")).cast("double").alias("sum_qty")))
+
+
+def ice_large_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-N scan routing: the file-count threshold forces
+    TableScan.to_df through the DataSource partition path (one pickled
+    ScanPartition per file, no JVM file index — the 10^6-file shape);
+    results must match the direct parquet path."""
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    li = _t(spark, sf_dir, "lineitem")
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_lns_"), "t")
+    t = IceTable.create(
+        spark, loc, schema_from_spark(li.schema),
+        properties={"engine.read.datasource-file-threshold": "1"})
+    t.append(li)
+    return (t.scan(filter=ex.gt(ex.Reference("l_quantity"), 30.0)).to_df()
+            .groupBy("l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price")))
+
+
 def ice_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot changelog (CDC): per-commit insert/delete rows diffed
     from manifests; merge-on-read deletes surface as delete rows."""
@@ -1607,6 +1648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_listagg": agg_listagg,
         "agg_percentile": agg_percentile,
         "events_sliding_window": events_sliding_window,
+        "ice_eq_fold": ice_eq_fold,
+        "ice_large_scan": ice_large_scan,
     }
 
 
@@ -2068,6 +2111,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, COUNT(*) AS n,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY l_returnflag
+        """,
+        "ice_eq_fold": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem WHERE l_orderkey < 1 OR l_orderkey >= 150
+            GROUP BY l_returnflag
+        """,
+        "ice_large_scan": """
+            SELECT l_linestatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+            FROM lineitem WHERE l_quantity > 30 GROUP BY l_linestatus
         """,
         "ice_transforms": """
             SELECT l_orderkey, l_linenumber,

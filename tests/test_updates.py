@@ -131,6 +131,20 @@ class TestNameMapping:
         assert back.id_for("nope") is None
         assert back.names_for(1) == ["id", "record_id"]
 
+    def test_top_level_name_with_literal_dot(self):
+        """A top-level field whose NAME contains a dot must resolve by
+        exact match before the dotted-path traversal kicks in."""
+        from iceberg_cpp_spark.core.name_mapping import MappedField, NameMapping
+
+        m = NameMapping([
+            MappedField(field_id=1, names=["a.b"]),
+            MappedField(field_id=2, names=["a"],
+                        fields=[MappedField(field_id=3, names=["c"])]),
+        ])
+        assert m.id_for("a.b") == 1   # exact wins over path a -> b (absent)
+        assert m.id_for("a.c") == 3   # path traversal still works
+        assert m.id_for("a") == 2
+
     def test_apply_to_file_columns(self):
         from iceberg_cpp_spark.core import name_mapping as nm
 
