@@ -1079,16 +1079,26 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM STATEFUL STREAMING operator (applyInPandasWithState):
-    per-user session state with processing-time timeout — genuinely not
-    SQL-expressible as a stream; rows-only check (the batch-equivalent
-    semantics are oracle-checked by sessionize_events)."""
+    per-user session state with event-time timeouts. Per-user SENTINEL
+    events past the last real timestamp advance the watermark so every
+    REAL session flushes before the bounded run ends (without them the
+    tail session per user stays in state forever); sentinel-born
+    sessions are filtered out. Result equals batch gap-sessionization
+    exactly → oracle-checked against the same SQL as sessionize_events,
+    aggregated per user."""
+    import datetime as _dt
     import uuid
 
     from iceberg_cpp_spark.streaming.stateful import sessionize
 
     ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel_ts = max_ts + _dt.timedelta(seconds=2 * 1800 + 60)
+    sentinels = (ev.select("user_id").distinct()
+                 .withColumn("ts", F.lit(sentinel_ts))
+                 .withColumn("value", F.lit(0.0)))
     stage = os.path.join(tempfile.mkdtemp(prefix="ice_sess_"), "src")
-    ev.write.parquet(stage)
+    ev.unionByName(sentinels).write.parquet(stage)
     schema = spark.read.parquet(stage).schema
     stream = spark.readStream.schema(schema).parquet(stage)
     out = sessionize(stream, gap_seconds=1800, event_time=True)
@@ -1096,7 +1106,8 @@ def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (out.writeStream.format("memory").queryName(qname)
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination(300)
-    sess = spark.table(qname)
+    sess = spark.table(qname).filter(
+        F.col("session_start") < F.lit(sentinel_ts))
     return (sess.groupBy("user_id")
             .agg(F.count("*").alias("n_sessions"),
                  F.sum("n_events").alias("n_events"))
@@ -2111,6 +2122,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, COUNT(*) AS n,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY l_returnflag
+        """,
+        # stream_sessionize: stateful-streaming result must equal batch
+        # gap-sessionization (sentinels flush the tail sessions)
+        "stream_sessionize": """
+            WITH ev AS (
+              SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events),
+            b AS (
+              SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                               OR CAST(floor(epoch(ts)) AS BIGINT)
+                                  - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                                  > 1800
+                             THEN 1 ELSE 0 END AS newf
+              FROM ev
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT *, CAST(SUM(newf) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM b),
+            sess AS (
+              SELECT user_id, session_seq, COUNT(*) AS n
+              FROM s GROUP BY user_id, session_seq)
+            SELECT user_id, COUNT(*) AS n_sessions,
+                   CAST(SUM(n) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id
         """,
         "ice_eq_fold": """
             SELECT l_returnflag, COUNT(*) AS n,
