@@ -1243,6 +1243,32 @@ def ice_large_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price")))
 
 
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (operators/sampling.py): keep
+    rates by language, decided per row by content hash — stable under
+    repartitioning and engine-independent (md5 both sides)."""
+    from iceberg_cpp_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, rates={"en": 0.5, "de": 1.0}, strata_col="lang",
+        default_rate=0.25)
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/valid/test assignment by hash interval — a row never
+    migrates between splits as the corpus grows."""
+    from iceberg_cpp_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.split(docs, [0.8, 0.1, 0.1])
+    return (out.groupBy("_split").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.sum("doc_id").alias("sum_id")).orderBy("_split"))
+
+
 def ice_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot changelog (CDC): per-commit insert/delete rows diffed
     from manifests; merge-on-read deletes surface as delete rows."""
@@ -1661,6 +1687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_window": events_sliding_window,
         "ice_eq_fold": ice_eq_fold,
         "ice_large_scan": ice_large_scan,
+        "sample_stratified": sample_stratified,
+        "sample_split": sample_split,
     }
 
 
@@ -2159,6 +2187,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_linestatus, COUNT(*) AS n,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
             FROM lineitem WHERE l_quantity > 30 GROUP BY l_linestatus
+        """,
+        # hash-deterministic sampling: u = first 8 md5 hex chars as a
+        # 32-bit uniform — identical integers both engines, so the rate
+        # comparisons agree exactly
+        "sample_stratified": """
+            WITH u AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(text), 1, 8))::BIGINT
+                       / 4294967296.0 AS unit
+              FROM documents)
+            SELECT doc_id, lang FROM u
+            WHERE unit < CASE WHEN lang = 'en' THEN 0.5
+                              WHEN lang = 'de' THEN 1.0
+                              ELSE 0.25 END
+            ORDER BY doc_id
+        """,
+        "sample_split": """
+            WITH u AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(text), 1, 8))::BIGINT
+                       / 4294967296.0 AS unit
+              FROM documents),
+            s AS (
+              SELECT doc_id, CASE WHEN unit < 0.8 THEN 'train'
+                                  WHEN unit < 0.9 THEN 'valid'
+                                  ELSE 'test' END AS _split
+              FROM u)
+            SELECT _split, COUNT(*) AS n, MIN(doc_id) AS min_id,
+                   CAST(SUM(doc_id) AS BIGINT) AS sum_id
+            FROM s GROUP BY _split ORDER BY _split
         """,
         "ice_transforms": """
             SELECT l_orderkey, l_linenumber,

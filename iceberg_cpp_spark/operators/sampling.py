@@ -1,0 +1,94 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Spark's ``df.sample`` is seed-deterministic only for a FIXED partitioning
+— repartition the input and the sample changes, which breaks
+reproducible corpus builds. These operators key every decision off a
+content hash instead, so the same row is kept or dropped regardless of
+partitioning, cluster size, or engine:
+
+- hash_sample:      keep rows whose md5(key) falls under the rate
+- stratified_sample: per-group rates (e.g. per language / source)
+- weighted_mix:     combine corpora at target weights in one pass
+- split:            stable train/validation/test assignment
+
+All pure Column expressions (whole-stage codegen, no Python), and all
+expressible in ANSI SQL — each has a DuckDB oracle in the gate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# md5 → first 8 hex chars → uniform 32-bit integer. conv() returns a
+# STRING; cast through long. Salting namespaces independent decisions.
+_SCALE = float(1 << 32)
+
+
+def hash_unit(col: Column, salt: str = "") -> Column:
+    """Uniform [0, 1) double derived from md5(salt || key) — identical
+    on every engine that has md5 (Spark, DuckDB, Python hashlib)."""
+    h = F.md5(F.concat(F.lit(salt), col.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_SCALE)
+
+
+def hash_sample(df: DataFrame, rate: float, key_col: str = "text",
+                salt: str = "") -> DataFrame:
+    """Keep ~rate of rows, decided per row by content hash: stable under
+    repartitioning, engine-independent, and idempotent (re-running on a
+    superset keeps exactly the previously-kept rows)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1]: {rate}")
+    return df.filter(hash_unit(F.col(key_col), salt) < F.lit(rate))
+
+
+def stratified_sample(df: DataFrame, rates: dict, strata_col: str,
+                      key_col: str = "text", default_rate: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Per-stratum rates — the corpus-balancing primitive (e.g. keep 10%
+    of English, 100% of low-resource languages)."""
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == F.lit(value),
+                      F.lit(float(r))).otherwise(rate)
+    return df.filter(hash_unit(F.col(key_col), salt) < rate)
+
+
+def weighted_mix(dfs: Sequence[DataFrame], weights: Sequence[float],
+                 key_col: str = "text", salt: str = "") -> DataFrame:
+    """Mix corpora at the given keep-rates in ONE pass: each source is
+    hash-sampled at its weight, then unioned. Weights are per-source
+    keep probabilities (not relative proportions) so the result is
+    reproducible row-by-row."""
+    if len(dfs) != len(weights):
+        raise ValueError("one weight per source")
+    out: Optional[DataFrame] = None
+    for i, (d, w) in enumerate(zip(dfs, weights)):
+        part = hash_sample(d, float(w), key_col, salt=f"{salt}mix{i}|")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def split(df: DataFrame, weights: Sequence[float],
+          names: Sequence[str] = ("train", "valid", "test"),
+          key_col: str = "text", salt: str = "") -> DataFrame:
+    """Stable dataset split: adds a `_split` column assigning each row to
+    one bucket by hash interval — a row never migrates between splits as
+    the corpus grows (the randomSplit failure mode)."""
+    if len(weights) != len(names):
+        raise ValueError("one name per weight")
+    total = float(sum(weights))
+    u = hash_unit(F.col(key_col), salt)
+    expr = F.lit(names[-1])
+    acc = 0.0
+    bounds = []
+    for w in weights[:-1]:
+        acc += float(w) / total
+        bounds.append(acc)
+    for name, b in zip(reversed(names[:-1]), reversed(bounds)):
+        expr = F.when(u < F.lit(b), F.lit(name)).otherwise(expr)
+    # reversed-when chain: earliest interval wins, same trick as
+    # text.language_id
+    return df.withColumn("_split", expr)

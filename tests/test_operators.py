@@ -294,3 +294,65 @@ class TestKMeans:
         # deterministic under a fixed seed
         cl2 = kmeans_clusters(embeddings, k=5)
         assert cl.subtract(cl2).count() == 0
+
+
+class TestSampling:
+    def test_stable_under_repartition(self, spark):
+        from iceberg_cpp_spark.operators import sampling
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(r["doc_id"] for r in
+                   sampling.hash_sample(docs, 0.3).select("doc_id").collect())
+        b = sorted(r["doc_id"] for r in
+                   sampling.hash_sample(docs.repartition(13), 0.3)
+                   .select("doc_id").collect())
+        assert a == b and 0 < len(a) < 500
+
+    def test_superset_idempotency(self, spark):
+        """rows kept from a subset are exactly the kept-subset of the
+        full corpus — the property Spark's sample() lacks."""
+        from iceberg_cpp_spark.operators import sampling
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        part = docs.filter("doc_id < 250")
+        kept_full = {r["doc_id"] for r in
+                     sampling.hash_sample(docs, 0.4).select("doc_id").collect()}
+        kept_part = {r["doc_id"] for r in
+                     sampling.hash_sample(part, 0.4).select("doc_id").collect()}
+        assert kept_part == {i for i in kept_full if i < 250}
+
+    def test_split_exhaustive_and_stable(self, spark):
+        from iceberg_cpp_spark.operators import sampling
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = sampling.split(docs, [0.8, 0.1, 0.1]).select("doc_id", "_split")
+        rows = {r["doc_id"]: r["_split"] for r in out.collect()}
+        assert len(rows) == 500
+        assert set(rows.values()) == {"train", "valid", "test"}
+        # growing the corpus never migrates an existing row
+        sub = sampling.split(docs.filter("doc_id < 100"), [0.8, 0.1, 0.1])
+        for r in sub.collect():
+            assert rows[r["doc_id"]] == r["_split"]
+
+    def test_weighted_mix(self, spark):
+        from iceberg_cpp_spark.operators import sampling
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = docs.filter("doc_id < 250")
+        b = docs.filter("doc_id >= 250")
+        out = sampling.weighted_mix([a, b], [1.0, 0.2])
+        n_a = out.filter("doc_id < 250").count()
+        n_b = out.filter("doc_id >= 250").count()
+        assert n_a == 250          # weight 1.0 keeps everything
+        assert 10 <= n_b <= 120    # ~20% of 250
+
+    def test_bad_args(self, spark):
+        import pytest as _pt
+
+        from iceberg_cpp_spark.operators import sampling
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        with _pt.raises(ValueError):
+            sampling.hash_sample(docs, 1.5)
+        with _pt.raises(ValueError):
+            sampling.weighted_mix([docs], [0.5, 0.5])
