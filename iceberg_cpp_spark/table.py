@@ -1356,7 +1356,10 @@ class IceTable:
         merged = parts[0]
         for p in parts[1:]:
             merged = merged.unionByName(p)
-        new_files = self._write_data_files(merged) if merged.limit(1).count() else []
+        # no pre-count: _write_data_files drops zero-record outputs, so
+        # an all-deleted merge commits an empty file list without paying
+        # an extra evaluation of the join plan
+        new_files = self._write_data_files(merged)
         return self._commit_files(
             new_files, operation=DataOperation.OVERWRITE, branch=branch,
             carry_existing=True, drop_paths=affected)
