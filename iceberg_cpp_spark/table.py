@@ -958,7 +958,10 @@ class IceTable:
             self._read_files_with_deletes(affected)
             .filter(~to_spark_column(expr, schema))
         )
-        new_files = self._write_data_files(kept) if kept.limit(1).count() else []
+        # no pre-count: _write_data_files drops zero-record outputs, so
+        # a delete-everything rewrite commits an empty list without an
+        # extra evaluation of the filter plan
+        new_files = self._write_data_files(kept)
         return self._commit_files(
             new_files, operation=DataOperation.OVERWRITE, branch=branch,
             carry_existing=True, drop_paths=affected)
