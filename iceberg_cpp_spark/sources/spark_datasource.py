@@ -105,13 +105,15 @@ def _cast_to_declared(tbl, spark_schema):
 
 @dataclass
 class ScanPartition(InputPartition):
-    file_path: str = ""
+    # one or more data files bin-packed to ~split-target bytes: at
+    # 10^6-file scale one-partition-per-file would mean 10^6 python
+    # tasks; packing keeps task count proportional to DATA size.
+    # Each entry: (file_path, file_sequence_number, dv_blob) where
+    # dv_blob = (puffin path, blob offset, blob length) or None.
+    files: list = dc_field(default_factory=list)
     pos_delete_paths: list = dc_field(default_factory=list)
-    # deletion vector for THIS file: (puffin path, blob offset, blob length)
-    dv_blob: Optional[tuple] = None
     # equality deletes: (path, delete sequence number, [key column names])
     eq_deletes: list = dc_field(default_factory=list)
-    file_sequence_number: int = 0
     # v3 initial-defaults: (column name, default value, added-at sequence)
     column_defaults: list = dc_field(default_factory=list)
     # logical column name -> iceberg field id (read-side resolution is
@@ -178,19 +180,49 @@ class IcebergCppReader(DataSourceReader):
         from iceberg_cpp_spark.core import name_mapping as nm
 
         mapping_json = props.get(nm.PROPERTY_KEY)
-        return [ScanPartition(file_path=t.file_path, pos_delete_paths=pos,
-                              dv_blob=dvs.get(t.file_path), eq_deletes=eq,
-                              file_sequence_number=t.sequence_number,
-                              column_defaults=defaults, field_ids=fids,
-                              name_mapping_json=mapping_json)
-                for t in scan.plan_files()]
+        # bin-pack files into ~split-target-byte partitions (first-fit
+        # over the path-sorted task list — deterministic): task count
+        # tracks data volume, not file count
+        target = int(self.options.get(
+            "split-target-bytes",
+            props.get("read.split.target-size", str(128 * 1024 * 1024))))
+        parts: list[ScanPartition] = []
+        cur: list = []
+        cur_bytes = 0
+        for t in sorted(scan.plan_files(), key=lambda t: t.file_path):
+            entry = (t.file_path, t.sequence_number, dvs.get(t.file_path))
+            if cur and cur_bytes + t.file_size_in_bytes > target:
+                parts.append(ScanPartition(
+                    files=cur, pos_delete_paths=pos, eq_deletes=eq,
+                    column_defaults=defaults, field_ids=fids,
+                    name_mapping_json=mapping_json))
+                cur, cur_bytes = [], 0
+            cur.append(entry)
+            cur_bytes += t.file_size_in_bytes
+        if cur:
+            parts.append(ScanPartition(
+                files=cur, pos_delete_paths=pos, eq_deletes=eq,
+                column_defaults=defaults, field_ids=fids,
+                name_mapping_json=mapping_json))
+        return parts
 
     def read(self, partition: ScanPartition):
+        # one task reads every bin-packed file of the partition; delete
+        # key tables are loaded once and reused across the files
+        eq_keys_cache: dict = {}
+        for file_path, file_seq, dv_blob in partition.files:
+            tbl = self._read_one(partition, file_path, file_seq, dv_blob,
+                                 eq_keys_cache)
+            for batch in tbl.to_batches(max_chunksize=65536):
+                yield batch
+
+    def _read_one(self, partition: ScanPartition, file_path: str,
+                  file_seq: int, dv_blob, eq_keys_cache: dict):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         names = [f.name for f in self.spark_schema.fields]
-        pf = pq.ParquetFile(partition.file_path)
+        pf = pq.ParquetFile(file_path)
         arrow_schema = pf.schema_arrow
         # resolve columns by parquet field-id metadata (files are written
         # with field IDs); name is only the fallback for imported ID-less
@@ -226,15 +258,14 @@ class IcebergCppReader(DataSourceReader):
                               if a in present), None)
                 if alias is not None:
                     resolve[n] = alias
-        tbl = pq.read_table(partition.file_path,
-                            columns=list(resolve.values()))
+        tbl = pq.read_table(file_path, columns=list(resolve.values()))
         physical_to_logical = {v: k for k, v in resolve.items()}
         tbl = tbl.rename_columns(
             [physical_to_logical[c] for c in tbl.column_names])
         # schema evolution: files predating a column read null — or the
         # column's v3 initial-default when this file is older than it
         defaults = {n: v for n, v, gate in partition.column_defaults
-                    if partition.file_sequence_number <= gate}
+                    if file_seq <= gate}
         for n in names:
             if n not in resolve:
                 v = defaults.get(n)
@@ -248,16 +279,16 @@ class IcebergCppReader(DataSourceReader):
                                  columns=["file_path", "pos"])
             import pyarrow.compute as pc
 
-            uri = "file:" + partition.file_path
+            uri = "file:" + file_path
             mask = pc.is_in(
                 dels.column("file_path"),
-                value_set=pa.array([partition.file_path, uri,
-                                    "file://" + partition.file_path]))
+                value_set=pa.array([file_path, uri,
+                                    "file://" + file_path]))
             dead.update(dels.filter(mask).column("pos").to_pylist())
-        if partition.dv_blob is not None:
+        if dv_blob is not None:
             from iceberg_cpp_spark.core import puffin as pf
 
-            path, off, length = partition.dv_blob
+            path, off, length = dv_blob
             dead.update(pf.parse_dv_blob(pf.read_blob(
                 path, pf.BlobMetadata(type=pf.DELETION_VECTOR_V1,
                                       offset=off, length=length)))
@@ -275,12 +306,15 @@ class IcebergCppReader(DataSourceReader):
             # matching per spec: NULL delete keys match NULL row values —
             # arrow's hash join drops nulls, so null-bearing delete rows
             # go through an explicit is_null-aware mask instead.
-            if partition.file_sequence_number >= seq:
+            if file_seq >= seq:
                 continue
             import pyarrow.compute as pc
 
-            keys = (pq.read_table(path, columns=cols)
-                    .group_by(cols).aggregate([]))
+            ck = (path, tuple(cols))
+            if ck not in eq_keys_cache:
+                eq_keys_cache[ck] = (pq.read_table(path, columns=cols)
+                                     .group_by(cols).aggregate([]))
+            keys = eq_keys_cache[ck]
             valid = None
             for c in cols:
                 m = pc.is_valid(keys.column(c))
@@ -298,8 +332,7 @@ class IcebergCppReader(DataSourceReader):
                     hit = m if hit is None else pc.and_(hit, m)
                 if hit is not None:
                     tbl = tbl.filter(pc.invert(hit))
-        for batch in tbl.to_batches(max_chunksize=65536):
-            yield batch
+        return tbl
 
 
 class IcebergCppWriter(DataSourceArrowWriter):

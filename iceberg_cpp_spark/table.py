@@ -611,15 +611,17 @@ class TableScan:
     def _datasource_threshold(self) -> int:
         """File count above which to_df switches from
         spark.read.parquet(*paths) to the icecpp DataSource partition
-        path (one ScanPartition per file). Tunable per table."""
+        path (files bin-packed into ~split-target-byte
+        ScanPartitions). Tunable per table."""
         return int(self._table.properties().get(
             "engine.read.datasource-file-threshold", "20000"))
 
     def _to_df_via_datasource(self, spark, schema) -> DataFrame:
         """Scale path for very-large file counts: the registered icecpp
-        DataSource yields one InputPartition per FileScanTask
-        (sources/spark_datasource.py ScanPartition), so file paths never
-        materialize as a JVM file index; position/equality deletes, DVs
+        DataSource bin-packs FileScanTasks into ~split-target-byte
+        InputPartitions (sources/spark_datasource.py ScanPartition), so
+        file paths never materialize as a JVM file index and task count
+        tracks data volume, not file count; position/equality deletes, DVs
         and v3 column defaults are applied per-partition in its read()."""
         from iceberg_cpp_spark.sources.spark_datasource import (
             IcebergCppDataSource,

@@ -86,7 +86,8 @@ class TestBatchRead:
 
     def test_pushed_filter_prunes_partitions(self, registered, lineitem, tmp_loc):
         """with a month-partitioned table, a pushed range filter must
-        plan fewer partitions than the unfiltered scan."""
+        plan fewer FILES than the unfiltered scan (partitions bin-pack
+        many small files, so file count is the pruning signal)."""
         from pyspark.sql.datasource import GreaterThan
 
         from iceberg_cpp_spark.core.metadata import PartitionField, PartitionSpec
@@ -100,14 +101,19 @@ class TestBatchRead:
         t = IceTable.create(registered, loc, schema, spec=spec)
         t.append(lineitem)
 
+        def n_files(reader):
+            return sum(len(p.files) for p in reader.partitions())
+
         r_all = IcebergCppReader({"path": loc}, None)
-        n_all = len(r_all.partitions())
+        n_all = n_files(r_all)
         r_f = IcebergCppReader({"path": loc}, None)
         import datetime as dt
 
         list(r_f.pushFilters([GreaterThan(("l_shipdate",),
                                           dt.datetime(2001, 6, 1))]))
-        assert 0 < len(r_f.partitions()) < n_all
+        assert 0 < n_files(r_f) < n_all
+        # small-file bin-packing: far fewer tasks than files
+        assert len(r_all.partitions()) < n_all
 
 
 class TestWrite:

@@ -524,7 +524,9 @@ class TestLargeScalePlanning:
         assert len(pruned) == 100  # files 0..99 can contain id < 10000
         assert prune_s < 60
 
-        # large-N DataSource partition build: one ScanPartition per task
+        # large-N DataSource partition build: files bin-packed into
+        # ~split-target-byte partitions — every file covered exactly
+        # once, task count tracking data volume rather than file count
         reader = IcebergCppReader({"path": t.location()},
                                   t.scan().to_spark_schema()
                                   if hasattr(t.scan(), "to_spark_schema")
@@ -532,5 +534,8 @@ class TestLargeScalePlanning:
         t0 = _time.time()
         parts = reader.partitions()
         part_s = _time.time() - t0
-        assert len(parts) == n
+        covered = [f for p in parts for f in p.files]
+        assert len(covered) == n
+        assert len({f[0] for f in covered}) == n
+        assert len(parts) < n  # 10 KB files pack many-per-partition
         assert part_s < 90, f"100k ScanPartition build took {part_s:.1f}s"
