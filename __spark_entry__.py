@@ -1243,6 +1243,22 @@ def ice_large_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price")))
 
 
+def text_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional rolling-hash fingerprints (operators/text.py
+    rolling_fingerprint): md5 of window-sized slices sampled every
+    ``step`` chars — the partial-overlap-detection primitive. Flattened
+    to (doc_id, slice_idx, fp) rows so the hash surface is scalar."""
+    from iceberg_cpp_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id", tx.rolling_fingerprint(F.col("text")).alias("_fps"))
+    return (fps.select("doc_id",
+                       F.posexplode("_fps").alias("slice_idx", "fp"))
+            .withColumn("slice_idx", F.col("slice_idx").cast("long"))
+            .orderBy("doc_id", "slice_idx"))
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (operators/sampling.py): keep
     rates by language, decided per row by content hash — stable under
@@ -1689,6 +1705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_large_scan": ice_large_scan,
         "sample_stratified": sample_stratified,
         "sample_split": sample_split,
+        "text_rolling_fp": text_rolling_fp,
     }
 
 
@@ -2187,6 +2204,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_linestatus, COUNT(*) AS n,
                    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
             FROM lineitem WHERE l_quantity > 30 GROUP BY l_linestatus
+        """,
+        "text_rolling_fp": """
+            WITH starts AS (
+              SELECT doc_id, text,
+                     unnest(range(0, least(greatest(length(text) - 64, 0),
+                                           32*7) + 1, 32)) AS s
+              FROM documents)
+            SELECT doc_id, CAST(s / 32 AS BIGINT) AS slice_idx,
+                   md5(substr(text, CAST(s AS INT) + 1, 64)) AS fp
+            FROM starts
         """,
         # hash-deterministic sampling: u = first 8 md5 hex chars as a
         # 32-bit uniform — identical integers both engines, so the rate

@@ -34,6 +34,7 @@ def test_driver_cap_window_composition():
     judge_only_extras = {
         "ice_eq_fold",      # eq-delete batching/fold (ice_equality_delete in-window)
         "ice_large_scan",   # large-N DataSource routing (ice_datasource in-window)
+        "text_rolling_fp",  # rolling-hash fp (text_stats fingerprint in-window)
     }
     for n in names:
         if n in judge_only_extras:
