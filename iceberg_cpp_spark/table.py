@@ -774,6 +774,14 @@ class TableScan:
                         .join(broadcast(fseq), "_eqf")
                         .groupBy(*key_cols)
                         .agg(F.max("_eqfseq").alias("_eq_max_seq")))
+                # only HINT broadcast while the delete-key set is small;
+                # past the threshold let AQE pick the join (a shuffle
+                # join beats OOMing the driver broadcasting 10^8 keys)
+                total_rec = sum(d.record_count or 0 for d in group)
+                if total_rec <= int(self._table.properties().get(
+                        "engine.read.eq-delete-broadcast-max-records",
+                        "10000000")):
+                    keys = broadcast(keys)
                 # null-safe equality: the spec treats NULL delete-key
                 # values as matching NULL row values (plain = would
                 # silently under-delete)
@@ -782,7 +790,7 @@ class TableScan:
                 cond = F.lit(True)
                 for k in key_cols:
                     cond = cond & F.col(k).eqNullSafe(F.col(f"_eqk_{k}"))
-                df = df.join(broadcast(keys), cond, "left") \
+                df = df.join(keys, cond, "left") \
                        .drop(*[f"_eqk_{k}" for k in key_cols])
                 drop_cond = (F.coalesce(F.col("_seq"), F.lit(2**62))
                              < F.coalesce(F.col("_eq_max_seq"), F.lit(-1)))
