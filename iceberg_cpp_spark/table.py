@@ -724,18 +724,27 @@ class TableScan:
             dels = (spark.read.parquet(*[d.file_path for d in pos])
                     .select(F.regexp_replace(F.col("file_path"), "^file:(//)?", "")
                             .alias("file_path"), "pos"))
+            # broadcast only bounded delete sets (one row per deleted
+            # row) — past the threshold AQE picks the join strategy
+            pos_rec = sum(d.record_count or 0 for d in pos)
+            bounded = pos_rec <= int(self._table.properties().get(
+                "engine.read.eq-delete-broadcast-max-records", "10000000"))
             if tag:
                 marked = dels.distinct().withColumn("_pd_hit", F.lit(True))
+                if bounded:
+                    marked = broadcast(marked)
                 df = (df.join(
-                        broadcast(marked),
+                        marked,
                         (norm_file == marked["file_path"])
                         & (df["_pos"] == marked["pos"]), "left")
                       .withColumn("_deleted", F.col("_deleted")
                                   | F.coalesce("_pd_hit", F.lit(False)))
                       .drop("file_path", "pos", "_pd_hit"))
             else:
+                if bounded:
+                    dels = broadcast(dels)
                 df = df.join(
-                    broadcast(dels),
+                    dels,
                     (norm_file == dels["file_path"]) & (df["_pos"] == dels["pos"]),
                     "left_anti",
                 )
