@@ -1224,8 +1224,8 @@ def ice_eq_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ice_large_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-N scan routing: the file-count threshold forces
-    TableScan.to_df through the DataSource partition path (one pickled
-    ScanPartition per file, no JVM file index — the 10^6-file shape);
+    TableScan.to_df through the DataSource partition path (bin-packed
+    pickled ScanPartitions, no JVM file index — the 10^6-file shape);
     results must match the direct parquet path."""
     from iceberg_cpp_spark import IceTable
     from iceberg_cpp_spark.core.types import schema_from_spark

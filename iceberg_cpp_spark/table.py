@@ -518,9 +518,9 @@ class TableScan:
         # feeding every path through spark.read.parquet(*paths) costs a
         # driver-side path vector plus a JVM InMemoryFileIndex (per-file
         # FileStatus) per query. Above the threshold, route through the
-        # `icecpp` Python DataSource instead: one pickled ScanPartition
-        # per FileScanTask, shipped straight to executors — no JVM file
-        # index. Head scans only (the DataSource re-plans from current
+        # `icecpp` Python DataSource instead: FileScanTasks bin-packed
+        # into ~split-target-byte pickled ScanPartitions shipped straight
+        # to executors — no JVM file index. Head scans only (the DataSource re-plans from current
         # metadata); deletes/defaults are applied inside its read().
         if (tasks and len(tasks) > self._datasource_threshold()
                 and not self._with_meta_cols and not self._include_deleted
