@@ -264,3 +264,28 @@ class TestNameMappingFallback:
         df = registered.read.format("icecpp").load(t.location())
         assert {r["data"] for r in df.collect()} == {"a", "b"}
         assert {r["id"] for r in df.collect()} == {1, 2}
+
+
+class TestBinPacking:
+    def test_split_target_controls_partition_count(self, registered,
+                                                   lineitem, tmp_loc):
+        loc = os.path.join(tmp_loc, "packed")
+        t = IceTable.create(registered, loc,
+                            schema_from_spark(lineitem.schema))
+        for _ in range(4):
+            t.append(lineitem.limit(500).coalesce(1))
+        tasks = t.scan().plan_files()
+        assert len(tasks) == 4
+        one = IcebergCppReader({"path": loc}, None).partitions()
+        assert len(one) == 1  # 4 small files pack into one 128MB bin
+        # tiny target -> one file per partition
+        per_file = IcebergCppReader(
+            {"path": loc, "split-target-bytes": "1"}, None).partitions()
+        assert len(per_file) == 4
+        assert all(len(p.files) == 1 for p in per_file)
+        # coverage identical either way
+        flat = sorted(f[0] for p in one for f in p.files)
+        assert flat == sorted(f[0] for p in per_file for f in p.files)
+        # reading the packed layout returns every row
+        df = registered.read.format("icecpp").load(loc)
+        assert df.count() == 2000
