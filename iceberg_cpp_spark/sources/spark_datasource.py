@@ -208,16 +208,24 @@ class IcebergCppReader(DataSourceReader):
 
     def read(self, partition: ScanPartition):
         # one task reads every bin-packed file of the partition; delete
-        # key tables are loaded once and reused across the files
+        # tables (position + equality keys) are loaded ONCE and reused
+        # across the packed files — never re-read per data file
         eq_keys_cache: dict = {}
+        pos_dels = None
+        if partition.pos_delete_paths:
+            import pyarrow.parquet as pq
+
+            pos_dels = pq.read_table(partition.pos_delete_paths,
+                                     columns=["file_path", "pos"])
         for file_path, file_seq, dv_blob in partition.files:
             tbl = self._read_one(partition, file_path, file_seq, dv_blob,
-                                 eq_keys_cache)
+                                 eq_keys_cache, pos_dels)
             for batch in tbl.to_batches(max_chunksize=65536):
                 yield batch
 
     def _read_one(self, partition: ScanPartition, file_path: str,
-                  file_seq: int, dv_blob, eq_keys_cache: dict):
+                  file_seq: int, dv_blob, eq_keys_cache: dict,
+                  pos_dels=None):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -248,16 +256,19 @@ class IcebergCppReader(DataSourceReader):
             fid = partition.field_ids.get(n)
             if fid is not None and fid in pq_by_id:
                 resolve[n] = pq_by_id[fid]
-            elif n in present and (not pq_by_id or fid is None):
-                resolve[n] = n
             elif mapping is not None and not pq_by_id and fid is not None:
-                # ID-less file + name mapping: any mapped alias of this
-                # field id present in the file resolves it — the same
-                # rule the native TableScan path applies
+                # ID-less file + name mapping: the MAPPING has priority
+                # over a same-named file column (a rename-swap after
+                # import may bind this file name to a DIFFERENT field
+                # id) — resolve exclusively via the mapped aliases, the
+                # rule Iceberg applies whenever a mapping is present
                 alias = next((a for a in mapping.names_for(fid)
                               if a in present), None)
                 if alias is not None:
                     resolve[n] = alias
+            elif (mapping is None and n in present
+                  and (not pq_by_id or fid is None)):
+                resolve[n] = n
         tbl = pq.read_table(file_path, columns=list(resolve.values()))
         physical_to_logical = {v: k for k, v in resolve.items()}
         tbl = tbl.rename_columns(
@@ -274,17 +285,15 @@ class IcebergCppReader(DataSourceReader):
                 tbl = tbl.append_column(n, col)
         tbl = _cast_to_declared(tbl.select(names), self.spark_schema)
         dead: set = set()
-        if partition.pos_delete_paths:
-            dels = pq.read_table(partition.pos_delete_paths,
-                                 columns=["file_path", "pos"])
+        if pos_dels is not None:
             import pyarrow.compute as pc
 
             uri = "file:" + file_path
             mask = pc.is_in(
-                dels.column("file_path"),
+                pos_dels.column("file_path"),
                 value_set=pa.array([file_path, uri,
                                     "file://" + file_path]))
-            dead.update(dels.filter(mask).column("pos").to_pylist())
+            dead.update(pos_dels.filter(mask).column("pos").to_pylist())
         if dv_blob is not None:
             from iceberg_cpp_spark.core import puffin as pf
 
@@ -526,16 +535,26 @@ class IcebergCppDataSource(DataSource):
 
         from iceberg_cpp_spark.core import types as it
 
-        s = it.to_spark_schema(_load_table(self.options).schema())
-        # surface tz-aware timestamps: the parquet files store
-        # UTC-adjusted values, and Spark's python-source arrow runner
-        # round-trips tz-aware batches losslessly
-        return T.StructType([
-            T.StructField(f.name,
-                          T.TimestampType() if isinstance(f.dataType, T.TimestampNTZType)
-                          else f.dataType,
-                          f.nullable)
-            for f in s.fields])
+        # SAME dtypes as the native to_df path's to_spark_schema:
+        # iceberg `timestamp` (no tz) stays TimestampNTZType, so a
+        # table's dtype does not flip when the file count crosses the
+        # datasource threshold. _cast_to_declared drops the files' UTC
+        # tz to NTZ wall-clock at read time. Field-id METADATA is
+        # stripped: the streaming runner asserts declared schema ==
+        # arrow-round-tripped schema, and arrow drops Spark metadata.
+        def strip(dt):
+            if isinstance(dt, T.StructType):
+                return T.StructType([
+                    T.StructField(f.name, strip(f.dataType), f.nullable)
+                    for f in dt.fields])
+            if isinstance(dt, T.ArrayType):
+                return T.ArrayType(strip(dt.elementType), dt.containsNull)
+            if isinstance(dt, T.MapType):
+                return T.MapType(strip(dt.keyType), strip(dt.valueType),
+                                 dt.valueContainsNull)
+            return dt
+
+        return strip(it.to_spark_schema(_load_table(self.options).schema()))
 
     def reader(self, schema) -> IcebergCppReader:
         return IcebergCppReader(self.options, schema)

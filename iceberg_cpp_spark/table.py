@@ -486,14 +486,11 @@ class TableScan:
             # there; where that path can't apply, fail loudly rather
             # than silently reading NULL for the aliased column.
             if self._mapping_has_aliases():
-                if (self._with_meta_cols or self._include_deleted
-                        or self._snapshot_id is not None
-                        or self._ref is not None or self._as_of_ms is not None):
+                if self._with_meta_cols or self._include_deleted:
                     raise NotImplementedError(
                         "name-mapping aliases combined with metadata "
-                        "columns / include_deleted / time travel are not "
-                        "supported; compact the table to materialize "
-                        "field IDs first")
+                        "columns / include_deleted are not supported; "
+                        "compact the table to materialize field IDs first")
                 return self._to_df_via_datasource(spark, schema)
             # imported (ID-less) files present: resolve columns by name —
             # strip field-id metadata RECURSIVELY (a struct field keeping
@@ -520,12 +517,13 @@ class TableScan:
         # FileStatus) per query. Above the threshold, route through the
         # `icecpp` Python DataSource instead: FileScanTasks bin-packed
         # into ~split-target-byte pickled ScanPartitions shipped straight
-        # to executors — no JVM file index. Head scans only (the DataSource re-plans from current
-        # metadata); deletes/defaults are applied inside its read().
+        # to executors — no JVM file index. The route pins THIS handle's
+        # resolved snapshot (time travel included) via the snapshot-id
+        # reader option; deletes/defaults are applied inside its read().
+        # Only metadata columns / include_deleted need the parquet
+        # _metadata path and stay on the direct route.
         if (tasks and len(tasks) > self._datasource_threshold()
-                and not self._with_meta_cols and not self._include_deleted
-                and self._snapshot_id is None and self._ref is None
-                and self._as_of_ms is None):
+                and not self._with_meta_cols and not self._include_deleted):
             return self._to_df_via_datasource(spark, schema)
         if not tasks:
             df = spark.createDataFrame([], spark_schema)
@@ -632,7 +630,15 @@ class TableScan:
             spark.dataSource.register(IcebergCppDataSource)
         except Exception:
             pass  # already registered in this session
-        df = spark.read.format("icecpp").load(self._table.location())
+        reader = spark.read.format("icecpp")
+        # pin the DataSource to THIS handle's resolved snapshot: its
+        # partitions() loads the table fresh from disk, and a concurrent
+        # commit between handle load and scan would otherwise silently
+        # shift the result off the native plan_files() snapshot
+        snap = self.snapshot()
+        if snap is not None:
+            reader = reader.option("snapshot-id", str(snap.snapshot_id))
+        df = reader.load(self._table.location())
         if not isinstance(self._filter, ex.TrueExp):
             # Catalyst pushes the supported conjuncts into pushFilters →
             # file pruning in partitions(); the rest evaluates post-scan
@@ -725,10 +731,14 @@ class TableScan:
                     .select(F.regexp_replace(F.col("file_path"), "^file:(//)?", "")
                             .alias("file_path"), "pos"))
             # broadcast only bounded delete sets (one row per deleted
-            # row) — past the threshold AQE picks the join strategy
-            pos_rec = sum(d.record_count or 0 for d in pos)
-            bounded = pos_rec <= int(self._table.properties().get(
-                "engine.read.eq-delete-broadcast-max-records", "10000000"))
+            # row) — past the threshold AQE picks the join strategy. A
+            # missing record_count (imported/external delete manifests)
+            # is UNKNOWN size, not zero: treat it as over the cap.
+            counts = [d.record_count for d in pos]
+            bounded = (None not in counts
+                       and sum(counts) <= int(self._table.properties().get(
+                           "engine.read.eq-delete-broadcast-max-records",
+                           "10000000")))
             if tag:
                 marked = dels.distinct().withColumn("_pd_hit", F.lit(True))
                 if bounded:
@@ -785,11 +795,13 @@ class TableScan:
                         .agg(F.max("_eqfseq").alias("_eq_max_seq")))
                 # only HINT broadcast while the delete-key set is small;
                 # past the threshold let AQE pick the join (a shuffle
-                # join beats OOMing the driver broadcasting 10^8 keys)
-                total_rec = sum(d.record_count or 0 for d in group)
-                if total_rec <= int(self._table.properties().get(
-                        "engine.read.eq-delete-broadcast-max-records",
-                        "10000000")):
+                # join beats OOMing the driver broadcasting 10^8 keys).
+                # None record_count = unknown size → never force-broadcast.
+                grp_counts = [d.record_count for d in group]
+                if (None not in grp_counts
+                        and sum(grp_counts) <= int(self._table.properties().get(
+                            "engine.read.eq-delete-broadcast-max-records",
+                            "10000000"))):
                     keys = broadcast(keys)
                 # null-safe equality: the spec treats NULL delete-key
                 # values as matching NULL row values (plain = would

@@ -231,11 +231,52 @@ class TestLargeNScanRouting:
         s1 = t.current_snapshot().snapshot_id
         t.append(lineitem.limit(10))
         t = t.update_properties({"engine.read.datasource-file-threshold": "0"})
-        # metadata columns & time travel need the parquet _metadata path
+        # metadata columns need the parquet _metadata path
         mdf = t.scan().with_metadata_columns().to_df()
         assert "_file" in mdf.columns and mdf.count() == lineitem.count() + 10
+        # time travel is supported THROUGH the datasource route (pinned
+        # via the snapshot-id reader option)
         tt = t.scan().use_snapshot(s1).to_df()
         assert tt.count() == lineitem.count()
+
+    def test_routed_scan_pins_handle_snapshot(self, registered, lineitem,
+                                              tmp_loc):
+        """A concurrent commit between handle load and scan must NOT
+        leak into a datasource-routed scan: the route passes the
+        handle's resolved snapshot id, so it reads the same snapshot
+        the native plan_files() path would (ADVICE r4)."""
+        loc = os.path.join(tmp_loc, "bigscan_pin")
+        t1 = IceTable.create(registered, loc,
+                             schema_from_spark(lineitem.schema))
+        t1.append(lineitem.limit(30))
+        t1 = t1.update_properties(
+            {"engine.read.datasource-file-threshold": "0"})
+        # another handle commits 50 more rows behind t1's back
+        t2 = IceTable.load(registered, loc)
+        t2.append(lineitem.limit(50))
+        routed = t1.scan().to_df()
+        plan = routed._jdf.queryExecution().optimizedPlan().toString()
+        assert "PythonDataSource" in plan or "icecpp" in plan.lower()
+        assert routed.count() == 30  # t1's snapshot, not t2's
+        assert IceTable.load(registered, loc).scan().to_df().count() == 80
+
+    def test_routed_scan_keeps_native_dtypes(self, registered, lineitem,
+                                             tmp_loc):
+        """Crossing the datasource threshold must not flip dtypes: the
+        DataSource declares the SAME schema as the native to_df path
+        (iceberg timestamp-no-tz stays TimestampNTZType) (ADVICE r4)."""
+        loc = os.path.join(tmp_loc, "bigscan_dtype")
+        t = IceTable.create(registered, loc,
+                            schema_from_spark(lineitem.schema))
+        t.append(lineitem.limit(20))
+        direct = t.scan().to_df()
+        routed = t.update_properties(
+            {"engine.read.datasource-file-threshold": "0"}).scan().to_df()
+        assert [(f.name, f.dataType) for f in routed.schema.fields] == \
+               [(f.name, f.dataType) for f in direct.schema.fields]
+        a = routed.agg(F.max("l_shipdate"), F.sum("l_orderkey")).first()
+        b = direct.agg(F.max("l_shipdate"), F.sum("l_orderkey")).first()
+        assert tuple(a) == tuple(b)
 
 
 class TestNameMappingFallback:
@@ -264,6 +305,42 @@ class TestNameMappingFallback:
         df = registered.read.format("icecpp").load(t.location())
         assert {r["data"] for r in df.collect()} == {"a", "b"}
         assert {r["id"] for r in df.collect()} == {1, 2}
+
+    def test_mapping_wins_over_coincident_plain_name(self, registered,
+                                                     tmp_loc):
+        """Rename-swap after import: an ID-less file stores columns
+        named `a` and `b`, but the table's name mapping binds field
+        `a`(id 2) to the FILE column `b` and vice versa. When a mapping
+        is present it has priority — the plain-name fallback must not
+        read the coincidentally same-named (wrong) column (ADVICE r4)."""
+        import json
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from iceberg_cpp_spark.core import types as it
+
+        schema = it.Schema([
+            it.NestedField(1, "id", it.LongType(), required=True),
+            it.NestedField(2, "a", it.StringType()),
+            it.NestedField(3, "b", it.StringType()),
+        ], schema_id=0)
+        foreign = os.path.join(tmp_loc, "swapped.parquet")
+        pq.write_table(pa.table({"id": [1, 2], "a": ["B1", "B2"],
+                                 "b": ["A1", "A2"]}), foreign)
+        t = IceTable.create(registered, os.path.join(tmp_loc, "nmswap"),
+                            schema)
+        t.add_files([foreign])
+        # swap the mapping: logical a(2) lives in file column b, and
+        # logical b(3) in file column a
+        t = t.update_properties({
+            "schema.name-mapping.default": json.dumps([
+                {"field-id": 1, "names": ["id"]},
+                {"field-id": 2, "names": ["b"]},
+                {"field-id": 3, "names": ["a"]},
+            ])})
+        df = registered.read.format("icecpp").load(t.location())
+        rows = {r["id"]: (r["a"], r["b"]) for r in df.collect()}
+        assert rows == {1: ("A1", "B1"), 2: ("A2", "B2")}
 
 
 class TestBinPacking:

@@ -226,6 +226,30 @@ class TestEqDeleteScaling:
             "and l_returnflag not in ('A','N')").count()
         assert df.count() == exp
 
+    def test_unknown_record_count_not_force_broadcast(self, spark, lineitem,
+                                                      li_table):
+        """A delete file with record_count=None (imported/external
+        manifests may lack counts) is UNKNOWN size, not zero: the
+        broadcast gate must not force-broadcast it (ADVICE r4) — and
+        the scan result stays correct either way."""
+        import dataclasses
+
+        t = li_table.delete_by_keys(
+            spark.createDataFrame([(1,), (2,)], "l_orderkey long"))
+        scan = t.scan()
+        real = scan.plan_deletes()
+        stripped = [dataclasses.replace(d, record_count=None) for d in real]
+        # with known (tiny) counts the key join carries a broadcast hint
+        counted = t.scan().to_df()._jdf.queryExecution().analyzed().toString()
+        scan.plan_deletes = lambda: stripped
+        df = scan.to_df()
+        plan = df._jdf.queryExecution().analyzed().toString()
+        # the metadata-side hints (seq-map, per-file fseq map) remain;
+        # exactly the unknown-size delete-KEY hint must disappear
+        assert plan.count("broadcast") == counted.count("broadcast") - 1, plan
+        exp = lineitem.filter("l_orderkey not in (1,2)").count()
+        assert df.count() == exp
+
     def test_sequence_visibility_survives_batching(self, spark, lineitem,
                                                    li_table):
         t = li_table
