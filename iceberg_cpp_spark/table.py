@@ -515,21 +515,34 @@ class TableScan:
         # feeding every path through spark.read.parquet(*paths) costs a
         # driver-side path vector plus a JVM InMemoryFileIndex (per-file
         # FileStatus) per query. Above the threshold, route through the
-        # `icecpp` Python DataSource instead: FileScanTasks bin-packed
-        # into ~split-target-byte pickled ScanPartitions shipped straight
-        # to executors — no JVM file index. The route pins THIS handle's
-        # resolved snapshot (time travel included) via the snapshot-id
-        # reader option; deletes/defaults are applied inside its read().
-        # Only metadata columns / include_deleted need the parquet
-        # _metadata path and stay on the direct route.
+        # `icecpp` Python DataSource instead (strategy
+        # "python-datasource": FileScanTasks bin-packed into pickled
+        # ScanPartitions, flat driver memory, Python Arrow decode) — OR,
+        # the default, keep the JVM vectorized reader and batch the path
+        # list into bounded spark.read.parquet legs unioned together
+        # ("jvm-union", handled by _read_paths_jvm below): no monolithic
+        # py4j path vector, per-leg file indexes, and measured ~8x the
+        # Python data plane's scan throughput. The DataSource route pins
+        # THIS handle's resolved snapshot via the snapshot-id option;
+        # only metadata columns / include_deleted need the parquet
+        # _metadata path and stay on the native route.
         if (tasks and len(tasks) > self._datasource_threshold()
+                and self._table.properties().get(
+                    "engine.read.large-scan-strategy", "jvm-union")
+                == "python-datasource"
                 and not self._with_meta_cols and not self._include_deleted):
             return self._to_df_via_datasource(spark, schema)
+        deletes = self.plan_deletes() if tasks else []
+        dflt = [f for f in schema.fields if f.initial_default is not None]
         if not tasks:
             df = spark.createDataFrame([], spark_schema)
         else:
-            df = spark.read.schema(spark_schema).parquet(*[t.file_path for t in tasks])
-        dflt = [f for f in schema.fields if f.initial_default is not None]
+            # _metadata is a per-relation hidden column: it does not
+            # resolve through a Union, so legs materialize _file/_pos
+            # up front whenever deletes/defaults/meta-cols need them
+            need_meta = bool(deletes) or bool(dflt) or self._with_meta_cols
+            df = self._read_paths_jvm(
+                spark, spark_schema, [t.file_path for t in tasks], need_meta)
         if dflt and tasks:
             # v3 initial-default (schema_util.h Project::Default): rows
             # in files that predate the column (sequence-gated, per-file
@@ -538,7 +551,7 @@ class TableScan:
             fmap = spark.createDataFrame(
                 [(t.file_path, t.sequence_number) for t in tasks],
                 "_df_path string, _df_seq long")
-            norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+            norm = F.regexp_replace(F.col("_file"), "^file:(//)?", "")
             df = df.join(F.broadcast(fmap), norm == F.col("_df_path"), "left")
             for f in dflt:
                 gate = int(props.get(
@@ -550,13 +563,6 @@ class TableScan:
                     F.lit(f.initial_default).cast(sp_type))
                     .otherwise(F.col(f.name)))
             df = df.drop("_df_path", "_df_seq")
-        deletes = self.plan_deletes() if tasks else []
-        if deletes or (self._with_meta_cols and tasks):
-            df = df.select(
-                "*",
-                F.col("_metadata.file_path").alias("_file"),
-                F.col("_metadata.row_index").alias("_pos"),
-            )
         if self._with_meta_cols and tasks:
             # _spec_id/_partition/_row_id/_last_updated_sequence_number
             # (metadata_columns.h:42-96): per-file constants joined from
@@ -579,8 +585,8 @@ class TableScan:
         if deletes:
             df = self._apply_deletes(df, tasks, deletes, schema,
                                      tag=self._include_deleted)
-            if not self._with_meta_cols:
-                df = df.drop("_file", "_pos")
+        if not self._with_meta_cols:
+            df = df.drop("_file", "_pos")  # no-op when absent
         if self._include_deleted and "_deleted" not in df.columns:
             df = df.withColumn("_deleted", F.lit(False))
         if not isinstance(self._filter, ex.TrueExp):
@@ -605,6 +611,37 @@ class TableScan:
             return any(len(f.names) > 1 or walk(f.fields) for f in fields)
 
         return walk(nm.NameMapping.from_json_string(raw).fields)
+
+    def _read_paths_jvm(self, spark, spark_schema, paths: list[str],
+                        need_meta: bool) -> DataFrame:
+        """JVM-vectorized scan over an arbitrary file count (the default
+        large-N data plane, BENCH-measured ~8x the Python DataSource's
+        Arrow decode): past `engine.read.jvm-path-batch-size` paths the
+        list is split into bounded spark.read.parquet legs unioned
+        together, so no single py4j call ships the whole path vector and
+        no monolithic InMemoryFileIndex is built — each leg lists its
+        slice with Spark's distributed listing. With ``need_meta`` the
+        hidden _metadata columns are materialized per leg as _file/_pos
+        (a hidden column does not resolve through a Union)."""
+        batch = int(self._table.properties().get(
+            "engine.read.jvm-path-batch-size", "8192"))
+
+        def leg(ps: list[str]) -> DataFrame:
+            d = spark.read.schema(spark_schema).parquet(*ps)
+            if need_meta:
+                d = d.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_file"),
+                    F.col("_metadata.row_index").alias("_pos"))
+            return d
+
+        if len(paths) <= batch:
+            return leg(paths)
+        from functools import reduce
+
+        return reduce(DataFrame.unionByName,
+                      (leg(paths[i:i + batch])
+                       for i in range(0, len(paths), batch)))
 
     def _datasource_threshold(self) -> int:
         """File count above which to_df switches from

@@ -177,11 +177,16 @@ class TestStreamRead:
         assert registered.table("ds_stream_t2").count() == 50
 
 
+PYDS = {"engine.read.large-scan-strategy": "python-datasource"}
+
+
 class TestLargeNScanRouting:
-    """TableScan.to_df routes through the DataSource partition path when
-    the planned file count exceeds engine.read.datasource-file-threshold
-    — the 100 TB shape where a driver-side spark.read.parquet(*10^6
-    paths) + JVM file index would be the bottleneck."""
+    """TableScan.to_df routes large-N scans (file count past
+    engine.read.datasource-file-threshold) through the DataSource
+    partition path when engine.read.large-scan-strategy is
+    "python-datasource" — the flat-driver-memory option for the 100 TB
+    shape. (The default "jvm-union" strategy keeps the JVM vectorized
+    reader with batched path legs — TestJvmUnionRoute.)"""
 
     def test_threshold_switches_to_datasource(self, registered, lineitem,
                                               tmp_loc):
@@ -190,7 +195,8 @@ class TestLargeNScanRouting:
         for lo, hi in [(0, 20), (20, 40), (40, 60)]:
             t.append(lineitem.filter(
                 (F.col("l_orderkey") % 60 >= lo) & (F.col("l_orderkey") % 60 < hi)))
-        t = t.update_properties({"engine.read.datasource-file-threshold": "2"})
+        t = t.update_properties(
+            {"engine.read.datasource-file-threshold": "2", **PYDS})
         assert len(t.scan().plan_files()) >= 3
 
         routed = t.scan().to_df()
@@ -213,7 +219,8 @@ class TestLargeNScanRouting:
         t.append(lineitem.filter("l_orderkey % 2 = 0"))
         t = t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
                            mode="merge-on-read")
-        t = t.update_properties({"engine.read.datasource-file-threshold": "1"})
+        t = t.update_properties(
+            {"engine.read.datasource-file-threshold": "1", **PYDS})
         got = (t.scan(filter=ex.gt(ex.Reference("l_quantity"), 25.0))
                .select("l_orderkey", "l_returnflag").to_df())
         assert set(got.columns) == {"l_orderkey", "l_returnflag"}
@@ -230,7 +237,8 @@ class TestLargeNScanRouting:
         t.append(lineitem)
         s1 = t.current_snapshot().snapshot_id
         t.append(lineitem.limit(10))
-        t = t.update_properties({"engine.read.datasource-file-threshold": "0"})
+        t = t.update_properties(
+            {"engine.read.datasource-file-threshold": "0", **PYDS})
         # metadata columns need the parquet _metadata path
         mdf = t.scan().with_metadata_columns().to_df()
         assert "_file" in mdf.columns and mdf.count() == lineitem.count() + 10
@@ -250,7 +258,7 @@ class TestLargeNScanRouting:
                              schema_from_spark(lineitem.schema))
         t1.append(lineitem.limit(30))
         t1 = t1.update_properties(
-            {"engine.read.datasource-file-threshold": "0"})
+            {"engine.read.datasource-file-threshold": "0", **PYDS})
         # another handle commits 50 more rows behind t1's back
         t2 = IceTable.load(registered, loc)
         t2.append(lineitem.limit(50))
@@ -271,12 +279,78 @@ class TestLargeNScanRouting:
         t.append(lineitem.limit(20))
         direct = t.scan().to_df()
         routed = t.update_properties(
-            {"engine.read.datasource-file-threshold": "0"}).scan().to_df()
+            {"engine.read.datasource-file-threshold": "0",
+             **PYDS}).scan().to_df()
         assert [(f.name, f.dataType) for f in routed.schema.fields] == \
                [(f.name, f.dataType) for f in direct.schema.fields]
         a = routed.agg(F.max("l_shipdate"), F.sum("l_orderkey")).first()
         b = direct.agg(F.max("l_shipdate"), F.sum("l_orderkey")).first()
         assert tuple(a) == tuple(b)
+
+
+class TestJvmUnionRoute:
+    """Default large-N data plane: the path list is split into bounded
+    spark.read.parquet legs unioned together — JVM vectorized decode
+    (measured ~8x the Python DataSource's), no monolithic py4j path
+    vector. Forced here with a tiny engine.read.jvm-path-batch-size."""
+
+    @pytest.fixture()
+    def packed(self, registered, lineitem, tmp_loc):
+        loc = os.path.join(tmp_loc, "jvmu")
+        t = IceTable.create(registered, loc,
+                            schema_from_spark(lineitem.schema))
+        for lo, hi in [(0, 20), (20, 40), (40, 60)]:
+            t.append(lineitem.filter(
+                (F.col("l_orderkey") % 60 >= lo)
+                & (F.col("l_orderkey") % 60 < hi)))
+        return t.update_properties({"engine.read.jvm-path-batch-size": "1"})
+
+    def test_union_legs_match_single_read(self, registered, lineitem,
+                                          packed):
+        t = packed
+        assert len(t.scan().plan_files()) >= 3
+        batched = t.scan().to_df()
+        plan = batched._jdf.queryExecution().optimizedPlan().toString()
+        assert "Union" in plan and "PythonDataSource" not in plan
+        single = t.update_properties(
+            {"engine.read.jvm-path-batch-size": "100000"}).scan().to_df()
+        assert batched.count() == single.count() == lineitem.count()
+        a = batched.agg(F.sum("l_orderkey"), F.sum("l_quantity")).first()
+        b = single.agg(F.sum("l_orderkey"), F.sum("l_quantity")).first()
+        assert tuple(a) == tuple(b)
+
+    def test_deletes_and_meta_cols_through_union(self, registered,
+                                                 lineitem, packed):
+        """_metadata does not resolve through a Union — legs materialize
+        _file/_pos up front, so MOR deletes and metadata columns must
+        still work over the batched route."""
+        t = packed.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                                mode="merge-on-read")
+        df = t.to_df()
+        assert "Union" in df._jdf.queryExecution().optimizedPlan().toString()
+        assert df.filter("l_returnflag = 'R'").count() == 0
+        assert df.count() == lineitem.filter("l_returnflag <> 'R'").count()
+        assert "_file" not in df.columns and "_pos" not in df.columns
+        mdf = t.scan().with_metadata_columns().to_df()
+        assert {"_file", "_pos", "_spec_id"} <= set(mdf.columns)
+        assert mdf.select("_file").distinct().count() >= 3
+
+    def test_defaults_through_union(self, registered, lineitem, tmp_loc):
+        from iceberg_cpp_spark.core import types as it
+
+        li = lineitem.limit(60)
+        loc = os.path.join(tmp_loc, "jvmu_def")
+        t = IceTable.create(registered, loc, schema_from_spark(li.schema))
+        t.append(li.limit(40))
+        t = t.add_column("source", it.StringType(), default="web")
+        t.append(li.limit(20).withColumn("source", F.lit("api")))
+        t = t.update_properties({"engine.read.jvm-path-batch-size": "1"})
+        df = t.to_df()
+        assert "Union" in df._jdf.queryExecution().optimizedPlan().toString()
+        got = {r["source"]: r["count"]
+               for r in df.groupBy("source").count().collect()}
+        assert got == {"web": 40, "api": 20}
+        assert set(df.columns) == set(li.columns) | {"source"}
 
 
 class TestNameMappingFallback:

@@ -33,7 +33,8 @@ def test_driver_cap_window_composition():
     # already exercised by an in-window query
     judge_only_extras = {
         "ice_eq_fold",      # eq-delete batching/fold (ice_equality_delete in-window)
-        "ice_large_scan",   # large-N DataSource routing (ice_datasource in-window)
+        "ice_large_scan",   # large-N jvm-union routing (ice_datasource in-window)
+        "ice_pyds_scan",    # python-datasource strategy (ice_datasource in-window)
         "text_rolling_fp",  # rolling-hash fp (text_stats fingerprint in-window)
     }
     for n in names:
