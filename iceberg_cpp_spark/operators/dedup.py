@@ -84,6 +84,32 @@ def _shingle_hashes(text: str, width: int) -> np.ndarray:
         [zlib.crc32(g.encode("utf-8")) for g in grams], dtype=np.int64))
 
 
+def _axb_mod_p(a: np.ndarray, b: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """EXACT (a ⊗ x + b) mod p as a (len(a), len(x)) uint64 matrix.
+
+    p = 2^61-1 is Mersenne, a,b < p, x < 2^32. A plain int64 product
+    a*x reaches 2^93 and silently wraps mod 2^64 (the r4 spec bug the
+    golden-vector anchors caught) — so split a = a_hi·2^32 + a_lo and
+    reduce with 2^61 ≡ 1 (mod p); every intermediate fits uint64."""
+    P = np.uint64(_MERSENNE)
+    a = a.astype(np.uint64)
+    x = x.astype(np.uint64)
+    a_hi = a >> np.uint64(32)                      # < 2^29
+    a_lo = a & np.uint64(0xFFFFFFFF)
+    hi = a_hi[:, None] * x[None, :]                # < 2^61
+    lo = a_lo[:, None] * x[None, :]                # < 2^64
+    # hi·2^32 ≡ (hi >> 29) + ((hi mod 2^29) << 32)  (mod p)
+    hi = (hi >> np.uint64(29)) + ((hi & np.uint64((1 << 29) - 1))
+                                  << np.uint64(32))
+
+    def red(t):
+        t = (t & P) + (t >> np.uint64(61))
+        return (t & P) + (t >> np.uint64(61))
+
+    m = red(red(hi) + red(lo) + b.astype(np.uint64)[:, None])
+    return np.where(m == P, np.uint64(0), m)
+
+
 def minhash_signature_udf(num_perm: int = 128, shingle_width: int = 3):
     """array<long> minhash signature as a vectorized pandas UDF."""
     a, b = _perm_params(num_perm)
@@ -96,8 +122,8 @@ def minhash_signature_udf(num_perm: int = 128, shingle_width: int = 3):
                 out.append(None)
                 continue
             x = _shingle_hashes(t, shingle_width)
-            # (a ⊗ x + b) mod p, min over shingles — one numpy broadcast
-            m = ((a[:, None] * x[None, :] + b[:, None]) % _MERSENNE).min(axis=1)
+            # exact (a ⊗ x + b) mod p, min over shingles
+            m = _axb_mod_p(a, b, x).min(axis=1).astype(np.int64)
             out.append(m.tolist())
         return pd.Series(out)
 
@@ -254,6 +280,26 @@ def ngram_jaccard_pairs(df: DataFrame, pairs: DataFrame,
 # Embedding near-duplicate (cosine) via hyperplane LSH
 # ---------------------------------------------------------------------------
 
+def hyperplane_bucket_udf(planes: int, dim: int):
+    """Random-hyperplane LSH bucket as long: bit i of the bucket is
+    sign(H[i]·x) with H = RandomState(42).normal(size=(planes, dim)).
+    Module-level so tests can pin golden bucket integers directly."""
+    rs = np.random.RandomState(_SEED)
+    H = rs.normal(size=(planes, dim)).astype(np.float64)
+
+    @pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            sig = (H @ x) > 0
+            out.append(int(sig.astype(np.uint64)
+                           @ (1 << np.arange(planes, dtype=np.uint64))))
+        return pd.Series(out, dtype="int64")
+
+    return bucket
+
+
 def embedding_dedup(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
                     threshold: float = 0.95, planes: int = 16,
                     dim: Optional[int] = None) -> DataFrame:
@@ -265,18 +311,7 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding", id_col: str = "ve
         if first is None:
             return df
         dim = first[0]
-    rs = np.random.RandomState(_SEED)
-    H = rs.normal(size=(planes, dim)).astype(np.float64)
-
-    @pandas_udf(T.LongType())
-    def bucket(vecs: pd.Series) -> pd.Series:
-        out = []
-        for v in vecs:
-            x = np.asarray(v, dtype=np.float64)
-            sig = (H @ x) > 0
-            out.append(int(sig.astype(np.uint64) @ (1 << np.arange(planes, dtype=np.uint64))))
-        return pd.Series(out, dtype="int64")
-
+    bucket = hyperplane_bucket_udf(planes, dim)
     keyed = df.select(F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("_b"))
 
     def find_dups(grp: pd.DataFrame) -> pd.DataFrame:

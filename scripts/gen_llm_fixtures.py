@@ -58,11 +58,20 @@ def shingle_hashes(text: str, width: int) -> np.ndarray:
 
 
 def minhash_sigs(texts, num_perm=64, width=3) -> np.ndarray:
+    """EXACT (a*x + b) mod p via arbitrary-precision python ints — a
+    deliberately different implementation path from the engine's
+    vectorized uint64 Mersenne reduction (operators/dedup.py
+    _axb_mod_p), so an arithmetic bug on either side fails the gate
+    instead of cancelling out (the r4 int64-wrap bug did exactly
+    that when both sides shared the numpy expression)."""
     a, b = perm_params(num_perm)
+    ai = [int(v) for v in a]
+    bi = [int(v) for v in b]
     out = np.empty((len(texts), num_perm), dtype=np.int64)
     for i, t in enumerate(texts):
-        x = shingle_hashes(t, width)
-        out[i] = ((a[:, None] * x[None, :] + b[:, None]) % MERSENNE).min(axis=1)
+        xs = [int(v) for v in shingle_hashes(t, width)]
+        out[i] = [min((aa * x + bb) % MERSENNE for x in xs)
+                  for aa, bb in zip(ai, bi)]
     return out
 
 

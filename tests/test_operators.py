@@ -86,6 +86,91 @@ class TestMinHash:
         assert took < 120, f"degenerate corpus took {took:.0f}s"
 
 
+class TestGoldenVectors:
+    """Third-party anchors for the LLM-dedup kernels (VERDICT r4 item
+    3): literal constants derived with an INDEPENDENT pure-python-int
+    implementation of each documented spec (no numpy broadcasting, no
+    shared helper code), the Appendix-B treatment bucket[N] gets in
+    test_transforms.py. A spec-level bug shared by the engine and the
+    fixture generator cannot pass these — the first run of this
+    derivation caught the engine's int64-wrap in (a*x+b) mod p."""
+
+    T1 = "the quick brown fox jumps over the lazy dog"
+
+    def test_shingle_hashes_golden(self):
+        # crc32 of the word-3-grams of T1, unique-sorted:
+        #   "the quick brown", "quick brown fox", ... "the lazy dog"
+        assert dedup._shingle_hashes(self.T1, 3).tolist() == [
+            688936931, 709202338, 1272230570, 1834140213,
+            1897471436, 3249799493, 3573724801]
+        # shorter than width -> the whole text as one shingle
+        assert dedup._shingle_hashes("a b", 3).tolist() == [2154585299]
+
+    def test_perm_params_golden(self):
+        # RandomState(42).randint draws, pinned: the signature spec is
+        # (a*x + b) mod (2^61 - 1) over THESE exact coefficients
+        a, b = dedup._perm_params(8)
+        assert a.tolist() == [
+            2297359619001564596, 1396682528897996047, 1973689801170867272,
+            1819927849474927637, 572192888165898362, 571748048327668951,
+            1071453510346823115, 2143071682933157237]
+        assert b.tolist() == [
+            1865242737500154727, 1532418594269339778, 379716980844854580,
+            1750777661071092055, 1520798217888136605, 1611122243678701953,
+            1048235628103308219, 1077373049702139040]
+
+    def test_minhash_signature_golden(self, spark):
+        # min over shingles of exact (a*x + b) mod p, p = 2^61-1 —
+        # derived with arbitrary-precision ints, NOT the engine's
+        # vectorized uint64 reduction
+        df = spark.createDataFrame([(1, self.T1), (2, "a b")],
+                                   "doc_id long, text string")
+        sig = dedup.minhash_signature_udf(num_perm=8, shingle_width=3)
+        got = {r["doc_id"]: r["s"]
+               for r in df.select("doc_id",
+                                  sig(F.col("text")).alias("s")).collect()}
+        assert got[1] == [
+            838360147951669747, 132342025830625819, 238593058046986969,
+            952900478005830954, 27886602127102212, 119070636492815916,
+            198958336644572675, 404920741812586067]
+        assert got[2] == [
+            978244368310984482, 765821485099618389, 384768995323111172,
+            590212473791581322, 1869468833148911521, 983300986623426689,
+            1325988573520911746, 1162189145003237376]
+
+    def test_simhash_golden(self, spark):
+        # sign-bit aggregation of crc32(g) | crc32(reversed g) << 32
+        # over word-2-grams, derived with per-bit python-int loops
+        df = spark.createDataFrame(
+            [(1, self.T1), (2, "hello world hello")],
+            "doc_id long, text string")
+        sh = dedup.simhash_udf()
+        got = {r["doc_id"]: r["h"]
+               for r in df.select("doc_id",
+                                  sh(F.col("text")).alias("h")).collect()}
+        assert got[1] == 8576841617363808932
+        assert got[2] == -8646829370716978811
+
+    def test_hyperplane_bucket_golden(self, spark):
+        # H = RandomState(42).normal(size=(16, 4)); bit i = H[i]@x > 0.
+        # First row pinned so a seed/shape drift fails loudly:
+        H0 = np.random.RandomState(42).normal(size=(16, 4))[0]
+        assert np.allclose(
+            H0, [0.496714153011, -0.138264301171, 0.647688538101,
+                 1.523029856408], atol=1e-11)
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0, -1.0, 0.5]), (2, [0.2, -0.3, 0.9, 1.1]),
+             (3, [-1.0, 0.0, 1.0, -0.5])],
+            "vec_id long, embedding array<double>")
+        bucket = dedup.hyperplane_bucket_udf(planes=16, dim=4)
+        got = {r["vec_id"]: r["b"]
+               for r in df.select("vec_id",
+                                  bucket(F.col("embedding")).alias("b"))
+               .collect()}
+        # sign-pattern integers derived with per-plane python float dots
+        assert got == {1: 34537, 2: 30851, 3: 30998}
+
+
 class TestSimHash:
     def test_catches_near_duplicates(self, dup_docs):
         out = dedup.simhash_dedup(dup_docs)
