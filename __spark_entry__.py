@@ -1442,7 +1442,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_cpp_spark.operators import similarity
 
     emb = _t(spark, sf_dir, "embeddings")
-    C = similarity.train_centroids(emb, ncentroids=16, sample_rows=4000)
+    C = similarity.train_centroids(emb, ncentroids=16, sample_rows=4000,
+                                   id_col="vec_id")
     idx = similarity.assign_centroids(emb, C)
     q = (emb.filter(F.col("vec_id") < 8)
          .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")))

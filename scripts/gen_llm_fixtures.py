@@ -246,9 +246,15 @@ def main():
             rows["embedding"].append((tag, d))
 
         # ann_ivf_topk: ncentroids=16, sample_rows=4000, iters=10,
-        # nprobe=4, k=5, queries = vec_id < 8
-        X = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in vecs[:min(4000, len(vecs))]])
+        # nprobe=4, k=5, queries = vec_id < 8. Training sample spec:
+        # rows ordered by (crc32(str(vec_id)), vec_id) — the engine
+        # computes the same key JVM-side (F.crc32 of the id's decimal
+        # string), mirrored here with zlib.crc32 on python ints.
+        order = sorted(range(len(vecs)),
+                       key=lambda i: (zlib.crc32(str(int(vids[i])).encode()),
+                                      int(vids[i])))
+        X = np.stack([np.asarray(vecs[i], dtype=np.float64)
+                      for i in order[:min(4000, len(vecs))]])
         rs = np.random.RandomState(SEED)
         C = X[rs.choice(len(X), size=min(16, len(X)), replace=False)]
         for _ in range(10):

@@ -236,6 +236,42 @@ class TestSimilarity:
         # recall ≥ 60% with half the cells probed
         assert len(brute & ivf) >= 0.6 * len(brute)
 
+    def test_centroid_sample_survives_degenerate_first_rows(self, spark):
+        """VERDICT r4 item 2: the training sample must be uniform over
+        the corpus, not `.limit()` (= first file). Corpus layout: the
+        FIRST 1000 rows are one identical vector (a degenerate shard);
+        the rest spread over 8 well-separated clusters. Hash-ordered
+        sampling must reach the clusters, yielding diverse centroids
+        and high IVF recall."""
+        import pandas as pd
+
+        rs = np.random.RandomState(7)
+        centers = rs.normal(size=(8, 16)) * 10
+        rows = [(i, [1.0] * 16) for i in range(1000)]  # degenerate head
+        for i in range(1000, 4000):
+            c = centers[i % 8]
+            rows.append((i, (c + rs.normal(size=16) * 0.1).tolist()))
+        emb = spark.createDataFrame(
+            pd.DataFrame(rows, columns=["vec_id", "embedding"])
+        ).coalesce(1)  # single partition: limit() WOULD take the head
+
+        C = similarity.train_centroids(emb, ncentroids=8, sample_rows=500,
+                                       id_col="vec_id")
+        # centroids must not collapse onto the degenerate head
+        assert len({tuple(np.round(c, 6)) for c in C}) >= 6
+        q = (spark.createDataFrame(
+            pd.DataFrame([(int(i), centers[i % 8].tolist())
+                          for i in range(8)],
+                         columns=["query_id", "query_vec"])))
+        brute = {(r["query_id"], r["vec_id"]) for r in
+                 similarity.cosine_topk(
+                     emb, q.select(F.col("query_id"),
+                                   F.col("query_vec")), k=5).collect()}
+        ivf = {(r["query_id"], r["vec_id"]) for r in
+               similarity.ivf_topk(similarity.assign_centroids(emb, C), C, q,
+                                   k=5, nprobe=3).collect()}
+        assert len(brute & ivf) >= 0.8 * len(brute)
+
 
 class TestText:
     def test_token_count(self, spark):
