@@ -1549,7 +1549,33 @@ class IceTable:
                             dry_run: bool = False) -> list[str]:
         """Maintenance: delete files under the table's data/delete dirs
         referenced by NO snapshot (failed writes, aborted compactions).
-        Metadata files are never touched. Returns the removed paths."""
+        Metadata files are never touched. Returns the removed paths.
+
+        Past `engine.maintenance.distributed-listing-threshold` files
+        (per the latest snapshot summary; default 20k) BOTH sides go
+        through Spark jobs: executors read the manifests for the
+        referenced set (one task per manifest) and walk the first-level
+        data/delete prefixes for the candidate set; orphans are the
+        anti-join. Below it, a driver walk — no job overhead on small
+        tables."""
+        meta = self.metadata
+        cur = meta.current_snapshot()
+        total = 0
+        if cur is not None and cur.summary:
+            total = (int(cur.summary.get("total-data-files", 0))
+                     + int(cur.summary.get("total-delete-files", 0)))
+        threshold = int(self.properties().get(
+            "engine.maintenance.distributed-listing-threshold", "20000"))
+        if self.spark is not None and total > threshold:
+            orphans = self._list_orphans_distributed(older_than_ms)
+        else:
+            orphans = self._list_orphans_driver(older_than_ms)
+        if not dry_run:
+            for p in orphans:
+                os.remove(p)
+        return orphans
+
+    def _list_orphans_driver(self, older_than_ms: Optional[int]) -> list[str]:
         referenced: set[str] = set()
         schema = self.schema()
         meta = self.metadata
@@ -1570,10 +1596,66 @@ class IceTable:
                             os.path.getmtime(p) * 1000 >= older_than_ms:
                         continue
                     orphans.append(p)
-        if not dry_run:
-            for p in orphans:
-                os.remove(p)
         return sorted(orphans)
+
+    def _list_orphans_distributed(self, older_than_ms: Optional[int]) -> list[str]:
+        """Object-store-scale orphan listing: no per-file work on the
+        driver. Referenced set = flatMap over (manifest, spec) pairs —
+        executors decode manifest entries; candidate set = flatMap over
+        first-level prefixes of data/ and deletes/ — executors walk
+        their prefix. Orphans = candidates ⟕̸ referenced (left_anti);
+        only the (usually small) orphan list is collected."""
+        spark = self.spark
+        sc = spark.sparkContext
+        meta = self.metadata
+        schema = self.schema()
+        pairs: dict[str, tuple] = {}
+        for snap in meta.snapshots:
+            for m in mf.read_manifest_list(snap.manifest_list):
+                spec = (meta.spec_by_id(m.partition_spec_id)
+                        or PartitionSpec.unpartitioned())
+                pairs[m.manifest_path] = (m, spec)
+        manifest_pairs = list(pairs.values())
+
+        def entries(pair):
+            m, spec = pair
+            from iceberg_cpp_spark.core import manifests as mfx
+            return [(e.data_file.file_path,)
+                    for e in mfx.read_manifest(m.manifest_path, spec, schema,
+                                               manifest=m)]
+
+        prefixes: list[str] = []
+        for sub in ("data", "deletes"):
+            root = os.path.join(meta.location, sub)
+            if os.path.isdir(root):
+                prefixes.extend(os.path.join(root, e)
+                                for e in sorted(os.listdir(root)))
+
+        def walk(prefix):
+            out = []
+            if os.path.isfile(prefix):
+                out.append((prefix, int(os.path.getmtime(prefix) * 1000)))
+            else:
+                for r, _d, fs in os.walk(prefix):
+                    out.extend((os.path.join(r, fn),
+                                int(os.path.getmtime(os.path.join(r, fn)) * 1000))
+                               for fn in fs)
+            return [(p, t) for p, t in out
+                    if not os.path.basename(p).startswith(("_", "."))]
+
+        if not prefixes:
+            return []
+        nsl = min(len(manifest_pairs), 256) or 1
+        ref = spark.createDataFrame(
+            sc.parallelize(manifest_pairs, numSlices=nsl).flatMap(entries),
+            "p string")
+        cand = spark.createDataFrame(
+            sc.parallelize(prefixes, numSlices=min(len(prefixes), 256))
+            .flatMap(walk), "p string, mtime long")
+        if older_than_ms is not None:
+            cand = cand.filter(F.col("mtime") < older_than_ms)
+        orphans = cand.join(ref, "p", "left_anti")
+        return sorted(r["p"] for r in orphans.select("p").collect())
 
     def fast_forward(self, branch: str, to_branch: str) -> "IceTable":
         """Write-audit-publish: point ``branch`` (e.g. main) at

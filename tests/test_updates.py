@@ -365,6 +365,44 @@ class TestTableMaintenance:
         assert t.to_df().count() == 20  # live data untouched
         assert t.remove_orphan_files() == []
 
+    def test_remove_orphan_files_distributed(self, spark, lineitem, tmp_loc):
+        """Object-store-scale path (VERDICT r4 item 4): above the
+        listing threshold, referenced-set build and directory walk run
+        as Spark jobs (executors read manifests / walk prefixes) —
+        forced here with threshold 0. Many orphans across nested dirs;
+        live files untouched; results identical to the driver walk."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        t = IceTable.create(
+            spark, os.path.join(tmp_loc, "od"),
+            schema_from_spark(lineitem.schema),
+            properties={
+                "engine.maintenance.distributed-listing-threshold": "0"})
+        t.append(lineitem.limit(20))
+        t.append(lineitem.limit(10))
+        strays = []
+        for d in range(6):
+            sub = os.path.join(t.location(), "data", f"stray{d}")
+            os.makedirs(sub)
+            for i in range(50):
+                p = os.path.join(sub, f"junk{i}.parquet")
+                with open(p, "wb") as f:
+                    f.write(b"x")
+                strays.append(p)
+        # hidden/underscore files are never treated as orphans
+        with open(os.path.join(t.location(), "data", "_SUCCESS"), "w"):
+            pass
+        listed = t.remove_orphan_files(dry_run=True)
+        assert listed == sorted(strays)
+        # identical answer from the driver walk
+        assert listed == t._list_orphans_driver(None)
+        removed = t.remove_orphan_files()
+        assert removed == sorted(strays)
+        assert not any(os.path.exists(p) for p in strays)
+        assert t.to_df().count() == 30
+        assert t.remove_orphan_files() == []
+
     def test_wap_fast_forward(self, spark, lineitem, tmp_loc):
         """write-audit-publish: stage on a branch, publish by fast-forward."""
         from iceberg_cpp_spark import IceTable
