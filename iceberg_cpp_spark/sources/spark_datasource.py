@@ -477,9 +477,14 @@ class IcebergCppWriter(DataSourceArrowWriter):
 
 
 class IcebergCppStreamReader(SimpleDataSourceStreamReader):
-    """Snapshot-sequence offsets: each batch is the set of data files
-    whose sequence_number lands in (start, end]. Deterministic replay
-    between any two offsets."""
+    """Snapshot-sequence offsets with sub-commit backpressure.
+
+    An offset is ``{"seq": s}`` (every file with sequence_number <= s
+    consumed) or ``{"seq": s, "idx": i}`` (all sequences < s consumed,
+    plus the first i files — (seq, path)-sorted — of sequence s): the
+    latter lets ``max-files-per-trigger`` split one large commit across
+    several microbatches instead of prefetching a whole commit's files
+    driver-side. Deterministic replay between any two offsets."""
 
     def __init__(self, options, schema):
         self.options = options
@@ -490,20 +495,27 @@ class IcebergCppStreamReader(SimpleDataSourceStreamReader):
             return {"seq": int(self.options["starting-sequence"])}
         return {"seq": 0}
 
-    def _files_between(self, table, lo: int, hi: int) -> list[str]:
-        return sorted(
-            t.file_path for t in table.scan().plan_files()
-            if lo < (t.sequence_number or 0) <= hi)
+    def _all_files(self, table) -> list[tuple[int, str]]:
+        """(sequence_number, path) for every live data file, sorted —
+        the global cursor order offsets index into."""
+        return sorted(((t.sequence_number or 0), t.file_path)
+                      for t in table.scan().plan_files())
 
-    def _rows(self, table, lo: int, hi: int):
+    @staticmethod
+    def _pos(files: list[tuple[int, str]], off: dict) -> int:
+        s, idx = off.get("seq", 0), off.get("idx")
+        if idx is None:
+            return sum(1 for q, _ in files if q <= s)
+        return sum(1 for q, _ in files if q < s) + idx
+
+    def _rows(self, paths: list[str]):
         """Materialized row list (Spark's prefetch cache shallow-copies
-        the iterator, so it must not be a generator). Microbatches are
-        snapshot-sized — bounded by what one commit appended."""
+        the iterator, so it must not be a generator)."""
         import pyarrow.parquet as pq
 
         names = [f.name for f in self.spark_schema.fields]
         rows = []
-        for p in self._files_between(table, lo, hi):
+        for p in paths:
             tbl = _cast_to_declared(pq.read_table(p, columns=names),
                                     self.spark_schema)
             rows.extend(tuple(r[n] for n in names) for r in tbl.to_pylist())
@@ -511,15 +523,24 @@ class IcebergCppStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         table = _load_table(self.options)
-        hi = table.metadata.last_sequence_number
-        lo = start.get("seq", 0)
-        if hi <= lo:
+        files = self._all_files(table)
+        rem = files[self._pos(files, start):]
+        if not rem:
             return iter([]), start
-        return self._rows(table, lo, hi), {"seq": hi}
+        mft = self.options.get("max-files-per-trigger")
+        take = rem[:max(1, int(mft))] if mft is not None else rem
+        last = take[-1][0]
+        n_last = sum(1 for q, _ in take if q == last)
+        if start.get("idx") is not None and start.get("seq", 0) == last:
+            n_last += start["idx"]
+        end = {"seq": last, "idx": n_last}
+        return self._rows([p for _, p in take]), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
         table = _load_table(self.options)
-        return self._rows(table, start.get("seq", 0), end.get("seq", 0))
+        files = self._all_files(table)
+        lo, hi = self._pos(files, start), self._pos(files, end)
+        return self._rows([p for _, p in files[lo:hi]])
 
     def commit(self, end: dict) -> None:
         pass

@@ -176,6 +176,53 @@ class TestStreamRead:
         q2.awaitTermination(300)
         assert registered.table("ds_stream_t2").count() == 50
 
+    def test_max_files_per_trigger_splits_one_commit(self, registered,
+                                                     lineitem, tmp_loc):
+        """Backpressure (VERDICT r4 item 6): ONE commit of 6 files must
+        be consumed across several microbatches when
+        max-files-per-trigger caps the per-batch file count — offsets
+        carry a sub-commit cursor {"seq", "idx"}."""
+        loc = os.path.join(tmp_loc, "smft")
+        t = IceTable.create(registered, loc,
+                            schema_from_spark(lineitem.schema))
+        t.append(lineitem.limit(60).repartition(6))  # one commit, 6 files
+        assert len(t.scan().plan_files()) == 6
+        import time
+
+        q = (registered.readStream.format("icecpp")
+             .option("max-files-per-trigger", 2).load(loc)
+             .writeStream.format("memory").queryName("ds_stream_mft")
+             .trigger(processingTime="250 milliseconds").start())
+        try:
+            deadline = time.time() + 120
+            while (registered.table("ds_stream_mft").count() < 60
+                   and time.time() < deadline):
+                time.sleep(0.5)
+            assert registered.table("ds_stream_mft").count() == 60
+            batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+            assert len(batches) >= 3, (
+                f"6 files / cap 2 should take >=3 microbatches, got "
+                f"{[(p['batchId'], p['numInputRows']) for p in q.recentProgress]}")
+            assert all(p["numInputRows"] <= 20 for p in batches), (
+                "a microbatch exceeded the 2-file cap")
+        finally:
+            q.stop()
+
+    def test_offset_cursor_arithmetic(self):
+        """Unit check of the (seq, idx) cursor: legacy offsets (no idx)
+        mean 'sequence fully consumed'."""
+        from iceberg_cpp_spark.sources.spark_datasource import (
+            IcebergCppStreamReader as R,
+        )
+
+        files = [(1, "a"), (1, "b"), (2, "c"), (2, "d"), (2, "e"), (3, "f")]
+        assert R._pos(files, {"seq": 0}) == 0
+        assert R._pos(files, {"seq": 1}) == 2
+        assert R._pos(files, {"seq": 2}) == 5
+        assert R._pos(files, {"seq": 2, "idx": 0}) == 2
+        assert R._pos(files, {"seq": 2, "idx": 2}) == 4
+        assert R._pos(files, {"seq": 3, "idx": 1}) == 6
+
 
 PYDS = {"engine.read.large-scan-strategy": "python-datasource"}
 
