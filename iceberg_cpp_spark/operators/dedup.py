@@ -311,12 +311,26 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding", id_col: str = "ve
         if first is None:
             return df
         dim = first[0]
+    # Degenerate-bucket guard, part 1: collapse EXACT-identical vectors
+    # first (sha2 of the vector's string form, one map-side-combinable
+    # shuffle — the same shape as exact_dedup). Identical vectors have
+    # cosine 1.0 >= any threshold <= 1, so dropping non-min ids here is
+    # semantics-preserving — and an adversarial corpus of 50k copies of
+    # one vector becomes ONE representative instead of one O(n²) bucket.
+    vkey = F.sha2(F.col(vec_col).cast("array<double>").cast("string"), 256)
+    reps = (df.select(F.col(id_col), vkey.alias("_vk"))
+            .groupBy("_vk").agg(F.min(id_col).alias(id_col))
+            .drop("_vk"))
+    distinct_vecs = df.join(reps, on=id_col, how="leftsemi")
     bucket = hyperplane_bucket_udf(planes, dim)
-    keyed = df.select(F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("_b"))
+    keyed = distinct_vecs.select(
+        F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("_b"))
 
     def find_dups(grp: pd.DataFrame) -> pd.DataFrame:
         # one call per LSH bucket (applyInPandas guarantees whole groups,
-        # unlike mapInPandas batch boundaries)
+        # unlike mapInPandas batch boundaries). Part 2 of the guard:
+        # the pairwise cosine runs in bounded TILES (chunk x chunk),
+        # never materializing a full bucket² similarity matrix.
         if len(grp) < 2:
             return pd.DataFrame({id_col: pd.Series([], dtype="int64")})
         ids = grp[id_col].to_numpy()
@@ -326,16 +340,28 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding", id_col: str = "ve
         Mn = M / norms[:, None]
         order = np.argsort(ids)
         ids, Mn = ids[order], Mn[order]
-        sims = Mn @ Mn.T
-        dups = [int(ids[j]) for j in range(1, len(ids))
-                if (sims[j, :j] >= threshold).any()]
+        n, ch = len(ids), 4096
+        dups: list[int] = []
+        for s in range(0, n, ch):
+            block = Mn[s:s + ch]
+            hit = np.zeros(len(block), dtype=bool)
+            for ps in range(0, s + len(block), ch):
+                prior = Mn[ps:ps + min(ch, s + len(block) - ps)]
+                S = block @ prior.T >= threshold
+                if ps < s:
+                    hit |= S.any(axis=1)
+                else:  # same tile: only strictly-earlier rows count
+                    hit |= np.tril(S, k=-1).any(axis=1)
+            dups.extend(int(ids[s + j]) for j in np.nonzero(hit)[0])
         return pd.DataFrame({id_col: pd.Series(dups, dtype="int64")})
 
-    dup_ids = (
+    bucket_dups = (
         keyed.groupBy("_b")
         .applyInPandas(find_dups, schema=f"{id_col} long")
         .distinct()
     )
+    exact_dups = df.select(id_col).join(reps, on=id_col, how="left_anti")
+    dup_ids = bucket_dups.unionByName(exact_dups).distinct()
     return df.join(dup_ids, on=id_col, how="left_anti")
 
 
