@@ -18,6 +18,7 @@ import os
 import shutil
 import tempfile
 from collections.abc import Callable
+from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1268,6 +1269,46 @@ def ice_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price")))
 
 
+def ice_typed_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decimal/UUID/fixed end-to-end (VERDICT r4 item 8): write a table
+    whose schema uses DecimalType(12,2), UuidType and FixedType(8)
+    (types.py:389-418, bounds serde literals.py / conversions.cc parity),
+    scan it back through a DECIMAL-bound filter (footer lower/upper
+    bounds prune files — pinned by TestTypedColumns), and aggregate.
+    The uuid/fixed values derive deterministically from md5(l_orderkey)
+    so DuckDB reproduces them from lineitem alone."""
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core import types as it
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    li = _t(spark, sf_dir, "lineitem")
+    h = F.md5(F.col("l_orderkey").cast("string"))
+    df = li.select(
+        F.col("l_orderkey").alias("id"),
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price"),
+        F.concat_ws("-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+                    F.substring(h, 13, 4), F.substring(h, 17, 4),
+                    F.substring(h, 21, 12)).alias("uid"),
+        F.unhex(F.substring(h, 1, 16)).alias("fp"))
+    schema = it.Schema([
+        it.NestedField(1, "id", it.LongType(), required=True),
+        it.NestedField(2, "price", it.DecimalType(12, 2)),
+        it.NestedField(3, "uid", it.UuidType()),
+        it.NestedField(4, "fp", it.FixedType(8)),
+    ], schema_id=0)
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_typed_"), "t")
+    t = IceTable.create(spark, loc, schema)
+    t.append(df.repartitionByRange(3, "price"))
+    flt = ex.gt(ex.Reference("price"), Decimal("30000.00"))
+    return (t.scan(filter=flt).to_df()
+            .groupBy((F.col("id") % 10).alias("idm"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("price").cast("double").alias("sum_price"),
+                 F.min("uid").alias("min_uid"),
+                 F.max(F.hex("fp")).alias("max_fp"))
+            .withColumn("idm", F.col("idm").cast("long")))
+
+
 def text_rolling_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional rolling-hash fingerprints (operators/text.py
     rolling_fingerprint): md5 of window-sized slices sampled every
@@ -1694,8 +1735,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": asof_join_events,
         "range_join_events": range_join_events,
         "window_top_orders": window_top_orders,
-        "agg_rollup": agg_rollup,
+        "ice_typed_columns": ice_typed_columns,
         # ---- driver cap (50) is here; everything below is judge-only ----
+        "agg_rollup": agg_rollup,
         "join_semi_anti": join_semi_anti,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
@@ -2064,6 +2106,22 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(n_with, 0) AS n_with,
                    COALESCE(n_without, 0) AS n_without
             FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment
+        """,
+        "ice_typed_columns": """
+            WITH typed AS (
+              SELECT l_orderkey AS id,
+                     CAST(l_extendedprice AS DECIMAL(12,2)) AS price,
+                     md5(CAST(l_orderkey AS VARCHAR)) AS h
+              FROM lineitem)
+            SELECT CAST(id % 10 AS BIGINT) AS idm,
+                   COUNT(*) AS n,
+                   CAST(SUM(price) AS DOUBLE) AS sum_price,
+                   MIN(substr(h,1,8) || '-' || substr(h,9,4) || '-' ||
+                       substr(h,13,4) || '-' || substr(h,17,4) || '-' ||
+                       substr(h,21,12)) AS min_uid,
+                   MAX(UPPER(substr(h,1,16))) AS max_fp
+            FROM typed WHERE price > 30000.00
+            GROUP BY 1
         """,
         "agg_rollup": """
             SELECT l_returnflag, l_linestatus, COUNT(*) AS n,

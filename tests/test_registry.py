@@ -17,8 +17,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # The custom-engine surface that MUST stay inside the driver's 50-query
 # window (everything below the cap is judge-only TPC-H / relational).
 CAP = 50
-LAST_IN_CAP = "agg_rollup"
-FIRST_PAST_CAP = "join_semi_anti"
+LAST_IN_CAP = "ice_typed_columns"
+FIRST_PAST_CAP = "agg_rollup"
 
 
 def test_driver_cap_window_composition():

@@ -341,6 +341,52 @@ class TestDecimalColumns:
                                      Decimal("0.75"))).plan_files()
         assert len(pruned) < len(t.scan().plan_files())
 
+    def test_uuid_fixed_decimal_schema_roundtrip(self, spark, tmp_loc):
+        """Engine-typed schema (decimal/uuid/fixed) written, reloaded
+        from metadata JSON and scanned back: types survive the
+        round trip (uuid/fixed ride ENGINE_TYPE metadata over Spark
+        string/binary), values compare equal, and a decimal-bound
+        filter still prunes files (VERDICT r4 item 8)."""
+        from decimal import Decimal
+
+        from iceberg_cpp_spark.core import types as it
+
+        h = F.md5(F.col("id").cast("string"))
+        df = spark.range(300).select(
+            F.col("id"),
+            F.col("id").cast("decimal(12,2)").alias("price"),
+            F.concat_ws("-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+                        F.substring(h, 13, 4), F.substring(h, 17, 4),
+                        F.substring(h, 21, 12)).alias("uid"),
+            F.unhex(F.substring(h, 1, 16)).alias("fp"))
+        schema = it.Schema([
+            it.NestedField(1, "id", it.LongType(), required=True),
+            it.NestedField(2, "price", it.DecimalType(12, 2)),
+            it.NestedField(3, "uid", it.UuidType()),
+            it.NestedField(4, "fp", it.FixedType(8)),
+        ], schema_id=0)
+        loc = os.path.join(tmp_loc, "typed")
+        t = IceTable.create(spark, loc, schema)
+        t.append(df.repartitionByRange(3, "price"))
+
+        t2 = IceTable.load(spark, loc)
+        by_name = {f.name: f.field_type for f in t2.schema().fields}
+        assert isinstance(by_name["price"], it.DecimalType)
+        assert by_name["price"].precision == 12 and by_name["price"].scale == 2
+        assert isinstance(by_name["uid"], it.UuidType)
+        assert isinstance(by_name["fp"], it.FixedType)
+        assert by_name["fp"].length == 8
+
+        got = (t2.to_df().select("id", "price", "uid", F.hex("fp").alias("fph"))
+               .orderBy("id").collect())
+        exp = (df.select("id", "price", "uid", F.hex("fp").alias("fph"))
+               .orderBy("id").collect())
+        assert got == exp
+        # decimal bounds prune across the range-partitioned files
+        pruned = t2.scan(filter=ex.gt(ex.Reference("price"),
+                                      Decimal("250.00"))).plan_files()
+        assert 0 < len(pruned) < len(t2.scan().plan_files())
+
 
 class TestWriteSizing:
     def test_max_records_per_file(self, spark, lineitem, tmp_loc):
