@@ -158,7 +158,15 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # UDF on any branch materialized after the unpersist; at 100 TB the
     # signatures are the dominant cost, so keeping them resident for the
     # session is the cheaper failure mode.
-    with_sig = (df.select(F.col(id_col), sig(F.col(text_col)).alias("_sig"))
+    src = df.select(F.col(id_col), F.col(text_col))
+    # the signature UDF is the expensive step: a small/single-file input
+    # arrives as ONE partition and would run it single-threaded — spread
+    # it across the cluster first (results are per-row, so the shuffle
+    # is semantics-free; at real scale inputs are already partitioned)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    with_sig = (src.select(F.col(id_col), sig(F.col(text_col)).alias("_sig"))
                 .localCheckpoint(eager=True))
     band_hashes = F.array(*[
         F.xxhash64(F.concat_ws(",", F.slice("_sig", i * r + 1, r).cast("array<string>")))
@@ -226,8 +234,13 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     width = 64 // bands
     sh = simhash_udf()
     # eager checkpoint: two plan branches consume the hash (see
-    # minhash_lsh_dedup) — compute the UDF once, 8 bytes/doc stored
-    with_h = (df.select(F.col(id_col), sh(F.col(text_col)).alias("_sh"))
+    # minhash_lsh_dedup) — compute the UDF once, 8 bytes/doc stored;
+    # under-partitioned inputs spread first so the UDF parallelizes
+    src = df.select(F.col(id_col), F.col(text_col))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    with_h = (src.select(F.col(id_col), sh(F.col(text_col)).alias("_sh"))
               .localCheckpoint(eager=True))
     band_vals = F.array(*[
         F.shiftrightunsigned("_sh", i * width).bitwiseAND(F.lit((1 << width) - 1))

@@ -509,17 +509,19 @@ class IcebergCppStreamReader(SimpleDataSourceStreamReader):
         return sum(1 for q, _ in files if q < s) + idx
 
     def _rows(self, paths: list[str]):
-        """Materialized row list (Spark's prefetch cache shallow-copies
-        the iterator, so it must not be a generator)."""
+        """Materialized list of Arrow RecordBatches (Spark's prefetch
+        cache shallow-copies the iterator, so it must not be a
+        generator; and the source runner passes pyarrow batches through
+        to the JVM untouched — no per-row python conversion)."""
         import pyarrow.parquet as pq
 
         names = [f.name for f in self.spark_schema.fields]
-        rows = []
+        batches = []
         for p in paths:
             tbl = _cast_to_declared(pq.read_table(p, columns=names),
                                     self.spark_schema)
-            rows.extend(tuple(r[n] for n in names) for r in tbl.to_pylist())
-        return iter(rows)
+            batches.extend(tbl.to_batches(max_chunksize=65536))
+        return iter(batches)
 
     def read(self, start: dict):
         table = _load_table(self.options)
