@@ -423,6 +423,26 @@ def to_spark_schema(schema: Schema) -> T.StructType:
     return T.StructType([_to_spark_field(f) for f in schema.fields])
 
 
+def strip_field_metadata(dt: T.DataType) -> T.DataType:
+    """Recursively drop StructField metadata (field ids, engine types).
+    Needed wherever a schema leaves the engine's control: Spark demands
+    parquet field IDs from files when a read schema carries
+    parquet.field.id metadata, and the python-streaming source runner
+    asserts declared schema == arrow-round-tripped schema (arrow drops
+    Spark metadata)."""
+    if isinstance(dt, T.StructType):
+        return T.StructType([
+            T.StructField(f.name, strip_field_metadata(f.dataType), f.nullable)
+            for f in dt.fields])
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(strip_field_metadata(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return T.MapType(strip_field_metadata(dt.keyType),
+                         strip_field_metadata(dt.valueType),
+                         dt.valueContainsNull)
+    return dt
+
+
 def from_spark_type(dt: T.DataType, next_id: Iterator[int]) -> IcebergType:
     """Best-effort inverse mapping; fresh IDs drawn from ``next_id`` for
     nested element/key/value fields (used when importing a plain Spark

@@ -331,9 +331,14 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding", id_col: str = "ve
     # semantics-preserving — and an adversarial corpus of 50k copies of
     # one vector becomes ONE representative instead of one O(n²) bucket.
     vkey = F.sha2(F.col(vec_col).cast("array<double>").cast("string"), 256)
+    # eager checkpoint: TWO plan branches consume the collapse result
+    # (distinct_vecs leftsemi + exact_dups left_anti) — without it the
+    # full-corpus sha2 groupBy would execute twice (8 bytes/distinct-id
+    # of executor-local storage, same trade as the minhash signatures)
     reps = (df.select(F.col(id_col), vkey.alias("_vk"))
             .groupBy("_vk").agg(F.min(id_col).alias(id_col))
-            .drop("_vk"))
+            .drop("_vk")
+            .localCheckpoint(eager=True))
     distinct_vecs = df.join(reps, on=id_col, how="leftsemi")
     bucket = hyperplane_bucket_udf(planes, dim)
     keyed = distinct_vecs.select(

@@ -84,13 +84,14 @@ def train_centroids(corpus: DataFrame, ncentroids: int = 16,
     corpus that trains centroids on one shard and silently collapses
     recall (VERDICT r4). Without an id column the vector's own string
     form is hashed instead."""
-    key_src = (F.col(id_col) if id_col is not None
-               else F.col(vec_col)).cast("string").cast("binary")
-    sel = [F.col(vec_col), F.crc32(key_src).alias("_sk")]
-    order = ["_sk"] + ([id_col] if id_col is not None else [])
-    if id_col is not None:
-        sel.append(F.col(id_col))
-    sample = corpus.select(*sel).orderBy(*order).limit(sample_rows).toPandas()
+    key_str = (F.col(id_col) if id_col is not None
+               else F.col(vec_col)).cast("string")
+    # tie-break on the full key string: crc32 collisions at the limit
+    # boundary must not make the sample partitioning-dependent
+    sel = [F.col(vec_col), F.crc32(key_str.cast("binary")).alias("_sk"),
+           key_str.alias("_kt")]
+    sample = (corpus.select(*sel).orderBy("_sk", "_kt")
+              .limit(sample_rows).toPandas())
     X = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
     rs = np.random.RandomState(_SEED)
     C = X[rs.choice(len(X), size=min(ncentroids, len(X)), replace=False)]

@@ -64,6 +64,21 @@ def _load_table(options):
     return IceTable.load(None, path)
 
 
+def _make_scan(table, options, flt=None):
+    """Scan honoring the reader's time-travel options. Used by both
+    partitions() and schema() so the FILES and the SCHEMA pin the same
+    snapshot (time travel must not read snapshot files with the head
+    schema's field ids/defaults)."""
+    scan = table.scan(filter=flt)
+    if options.get("snapshot-id"):
+        scan = scan.use_snapshot(int(options["snapshot-id"]))
+    if options.get("branch"):
+        scan = scan.use_ref(options["branch"])
+    if options.get("as-of-timestamp-ms"):
+        scan = scan.as_of(int(options["as-of-timestamp-ms"]))
+    return scan
+
+
 def _filter_to_expr(f) -> Optional[ex.Expression]:
     """DSv2 Filter → engine expression. Only top-level single-column
     filters arrive here (Spark pre-splits the AND)."""
@@ -151,20 +166,18 @@ class IcebergCppReader(DataSourceReader):
         flt: ex.Expression = ex.TrueExp()
         for e in self.pushed:
             flt = e if isinstance(flt, ex.TrueExp) else (flt & e)
-        scan = table.scan(filter=None if isinstance(flt, ex.TrueExp) else flt)
-        if self.options.get("snapshot-id"):
-            scan = scan.use_snapshot(int(self.options["snapshot-id"]))
-        if self.options.get("branch"):
-            scan = scan.use_ref(self.options["branch"])
-        if self.options.get("as-of-timestamp-ms"):
-            scan = scan.as_of(int(self.options["as-of-timestamp-ms"]))
+        scan = _make_scan(table, self.options,
+                          None if isinstance(flt, ex.TrueExp) else flt)
         deletes = scan.plan_deletes()
         pos = [d.file_path for d in deletes
                if d.content == 1 and not d.is_deletion_vector]
         dvs = {d.referenced_data_file: (d.file_path, d.content_offset,
                                         d.content_size_in_bytes)
                for d in deletes if d.is_deletion_vector}
-        schema = table.schema()
+        # the SNAPSHOT's schema, not the head's: time-travel scans must
+        # resolve field ids / eq-delete key names / defaults as of the
+        # pinned snapshot
+        schema = scan.read_schema()
         eq = []
         for d in deletes:
             if d.content == 2:  # CONTENT_EQUALITY_DELETES
@@ -554,30 +567,19 @@ class IcebergCppDataSource(DataSource):
         return "icecpp"
 
     def schema(self):
-        from pyspark.sql import types as T
-
         from iceberg_cpp_spark.core import types as it
 
         # SAME dtypes as the native to_df path's to_spark_schema:
         # iceberg `timestamp` (no tz) stays TimestampNTZType, so a
         # table's dtype does not flip when the file count crosses the
         # datasource threshold. _cast_to_declared drops the files' UTC
-        # tz to NTZ wall-clock at read time. Field-id METADATA is
-        # stripped: the streaming runner asserts declared schema ==
-        # arrow-round-tripped schema, and arrow drops Spark metadata.
-        def strip(dt):
-            if isinstance(dt, T.StructType):
-                return T.StructType([
-                    T.StructField(f.name, strip(f.dataType), f.nullable)
-                    for f in dt.fields])
-            if isinstance(dt, T.ArrayType):
-                return T.ArrayType(strip(dt.elementType), dt.containsNull)
-            if isinstance(dt, T.MapType):
-                return T.MapType(strip(dt.keyType), strip(dt.valueType),
-                                 dt.valueContainsNull)
-            return dt
-
-        return strip(it.to_spark_schema(_load_table(self.options).schema()))
+        # tz to NTZ wall-clock at read time. Time-travel options pin the
+        # SNAPSHOT's schema (read_schema), matching the native path.
+        # Field-id METADATA is stripped: the streaming runner asserts
+        # declared schema == arrow-round-tripped schema, and arrow drops
+        # Spark metadata.
+        scan = _make_scan(_load_table(self.options), self.options)
+        return it.strip_field_metadata(it.to_spark_schema(scan.read_schema()))
 
     def reader(self, schema) -> IcebergCppReader:
         return IcebergCppReader(self.options, schema)

@@ -495,21 +495,7 @@ class TableScan:
             # imported (ID-less) files present: resolve columns by name —
             # strip field-id metadata RECURSIVELY (a struct field keeping
             # parquet.field.id makes Spark demand IDs from the file)
-            from pyspark.sql import types as T
-
-            def strip(dt):
-                if isinstance(dt, T.StructType):
-                    return T.StructType([
-                        T.StructField(f.name, strip(f.dataType), f.nullable)
-                        for f in dt.fields])
-                if isinstance(dt, T.ArrayType):
-                    return T.ArrayType(strip(dt.elementType), dt.containsNull)
-                if isinstance(dt, T.MapType):
-                    return T.MapType(strip(dt.keyType), strip(dt.valueType),
-                                     dt.valueContainsNull)
-                return dt
-
-            spark_schema = strip(spark_schema)
+            spark_schema = it.strip_field_metadata(spark_schema)
         tasks = self.plan_files()
         # Large-N path: a 100 TB table is ~10^6-10^7 files at 128 MiB —
         # feeding every path through spark.read.parquet(*paths) costs a

@@ -34,9 +34,12 @@ def load_queries(path: str) -> dict[str, float]:
 
 
 def newest_two(repo_root: str) -> tuple[str, str]:
-    files = sorted(
-        glob.glob(os.path.join(repo_root, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)))
+    def round_no(p: str) -> int:
+        m = re.search(r"r(\d+)", os.path.basename(p))
+        return int(m.group(1)) if m else -1
+
+    files = sorted((p for p in glob.glob(os.path.join(repo_root, "BENCH_r*.json"))
+                    if round_no(p) >= 0), key=round_no)
     if len(files) < 2:
         raise SystemExit("need two BENCH_r*.json files (or pass paths)")
     return files[-2], files[-1]
@@ -67,29 +70,38 @@ def main() -> int:
     rows: list[tuple[str, str, float]] = []  # (marker, line, sort key)
     for name in sorted(set(old) | set(new)):
         if name not in old:
-            rows.append(("+", f"+  {name}: new query, {new[name]:.2f}s", 0.0))
+            rows.append(("+", f"+  {name}: new query, {new[name]:.2f}s",
+                         (2, 0.0)))
             continue
         if name not in new:
-            rows.append(("-", f"-  {name}: removed (was {old[name]:.2f}s)", 0.0))
+            rows.append(("-", f"-  {name}: removed (was {old[name]:.2f}s)",
+                         (2, 0.0)))
             continue
         a, b = old[name], new[name]
         delta = b - a
         rel = delta / a if a > 0 else 0.0
         line = f"   {name}: {a:.2f}s -> {b:.2f}s ({rel:+.0%})"
+        # sort key: flagged regressions first (rank 0), then everything
+        # else by regression size — a big improvement must not sort
+        # above a flagged regression
         if rel > args.threshold and delta > args.floor:
             regressed.append(name)
-            rows.append(("!", "!!" + line[2:], -rel))
+            rows.append(("!", "!!" + line[2:], (0, -rel)))
         elif rel < -args.threshold and -delta > args.floor:
-            rows.append(("v", " ^" + line[2:], rel))
+            rows.append(("v", " ^" + line[2:], (1, -rel)))
         else:
-            rows.append((" ", line, -rel))
+            rows.append((" ", line, (1, -rel)))
     for _, line, _ in sorted(rows, key=lambda r: r[2]):
         print(line)
 
-    ot, nt = sum(v for k, v in old.items() if k in new), \
-        sum(v for k, v in new.items() if k in old)
-    print(f"comparable total: {ot:.2f}s -> {nt:.2f}s "
-          f"({(nt - ot) / ot:+.1%} over {len(set(old) & set(new))} queries)")
+    shared = set(old) & set(new)
+    ot = sum(v for k, v in old.items() if k in shared)
+    nt = sum(v for k, v in new.items() if k in shared)
+    if shared and ot > 0:
+        print(f"comparable total: {ot:.2f}s -> {nt:.2f}s "
+              f"({(nt - ot) / ot:+.1%} over {len(shared)} queries)")
+    else:
+        print("no comparable queries between the two files")
     if regressed:
         print(f"REGRESSED (> +{args.threshold:.0%} and > {args.floor}s): "
               f"{', '.join(regressed)}")

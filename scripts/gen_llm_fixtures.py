@@ -247,12 +247,12 @@ def main():
 
         # ann_ivf_topk: ncentroids=16, sample_rows=4000, iters=10,
         # nprobe=4, k=5, queries = vec_id < 8. Training sample spec:
-        # rows ordered by (crc32(str(vec_id)), vec_id) — the engine
+        # rows ordered by (crc32(str(vec_id)), str(vec_id)) — the engine
         # computes the same key JVM-side (F.crc32 of the id's decimal
-        # string), mirrored here with zlib.crc32 on python ints.
+        # string, string tie-break), mirrored here with zlib.crc32.
         order = sorted(range(len(vecs)),
                        key=lambda i: (zlib.crc32(str(int(vids[i])).encode()),
-                                      int(vids[i])))
+                                      str(int(vids[i]))))
         X = np.stack([np.asarray(vecs[i], dtype=np.float64)
                       for i in order[:min(4000, len(vecs))]])
         rs = np.random.RandomState(SEED)

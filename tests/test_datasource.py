@@ -315,6 +315,29 @@ class TestLargeNScanRouting:
         assert routed.count() == 30  # t1's snapshot, not t2's
         assert IceTable.load(registered, loc).scan().to_df().count() == 80
 
+    def test_time_travel_pins_snapshot_schema(self, registered, lineitem,
+                                              tmp_loc):
+        """A time-travel scan through the datasource route must resolve
+        the SNAPSHOT's schema, not the head's: a column added (with a
+        default) after s1 must not appear in a use_snapshot(s1) result
+        (code-review r5 finding)."""
+        from iceberg_cpp_spark.core import types as it
+
+        li = lineitem.limit(30)
+        loc = os.path.join(tmp_loc, "bigscan_ttschema")
+        t = IceTable.create(registered, loc, schema_from_spark(li.schema))
+        t.append(li)
+        s1 = t.current_snapshot().snapshot_id
+        t = t.add_column("source", it.StringType(), default="web")
+        t.append(li.limit(5).withColumn("source", F.lit("api")))
+        t = t.update_properties(
+            {"engine.read.datasource-file-threshold": "0", **PYDS})
+        tt = t.scan().use_snapshot(s1).to_df()
+        assert "source" not in tt.columns
+        assert tt.count() == 30
+        head = t.scan().to_df()
+        assert "source" in head.columns and head.count() == 35
+
     def test_routed_scan_keeps_native_dtypes(self, registered, lineitem,
                                              tmp_loc):
         """Crossing the datasource threshold must not flip dtypes: the
