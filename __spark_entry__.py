@@ -1527,6 +1527,60 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter features (operators/text.py
+    repetition_stats): token count plus total/distinct/top counts of word
+    2-grams and total/distinct 5-grams. Integer-only hash surface; ratio
+    thresholds (e.g. top2_count/n_grams2 > 0.2 → drop) are derived by the
+    caller. Pure Column projection — no shuffle, whole-stage codegen."""
+    from iceberg_cpp_spark.operators import text as tx
+
+    return tx.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test contamination screen (operators/text.py contamination):
+    documents with doc_id % 97 == 0 stand in for a benchmark/eval set;
+    every other document sharing ≥1 word 4-gram with it is flagged with
+    its shared-gram count. Benchmark gram set broadcasts; the corpus side
+    never shuffles before the semi-join."""
+    from iceberg_cpp_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return tx.contamination(corpus, bench, n=4)
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.py redact_pii): deterministic synthetic
+    email / IPv4 / SSN literals are salted into each document keyed on
+    doc_id residues, then counted and redacted with RE2+Java-compatible
+    regexes (same patterns both engines). Hash surface: integer counts +
+    md5 of the redacted text."""
+    from iceberg_cpp_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    id_s = F.col("doc_id").cast("string")
+    salted = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" reach user"), id_s, F.lit("@mail.example.org"))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" host 192.168."),
+                        (F.col("doc_id") % 250).cast("string"), F.lit(".99"))
+               ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" ref 123-45-6789")
+               ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        "doc_id",
+        *tx.pii_counts(salted),
+        F.md5(tx.redact_pii(salted)).alias("redacted_md5"),
+    )
+
+
 def multimodal_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PNG codec end-to-end (no stub): render each document's bytes
     into a 16-wide grayscale PNG with the stdlib encoder, push the binary
@@ -1775,6 +1829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "sample_split": sample_split,
         "text_rolling_fp": text_rolling_fp,
+        "text_repetition": text_repetition,
+        "text_contamination": text_contamination,
+        "text_pii_redact": text_pii_redact,
     }
 
 
@@ -2731,5 +2788,85 @@ def oracle_sql() -> dict[str, str]:
                    CAST(64 + (b2 + 256 * b3) % 1984 AS INT) AS height,
                    CAST(1 + nb % 5 AS BIGINT) AS n_frames
             FROM b
+        """,
+        # DuckDB mirror of operators/text.py repetition_stats: list
+        # comprehensions build the same space-joined word n-grams; all
+        # outputs are integers (no float surface).
+        "text_repetition": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN TRIM(LOWER(text)) = '' THEN []
+                          ELSE regexp_split_to_array(TRIM(LOWER(text)), '\\s+')
+                     END AS words
+              FROM documents),
+            g AS (
+              SELECT doc_id, len(words) AS nw,
+                     CASE WHEN len(words) < 2 THEN []
+                          ELSE [array_to_string(words[i:i+1], ' ')
+                                FOR i IN generate_series(1, len(words)-1)]
+                     END AS g2,
+                     CASE WHEN len(words) < 5 THEN []
+                          ELSE [array_to_string(words[i:i+4], ' ')
+                                FOR i IN generate_series(1, len(words)-4)]
+                     END AS g5
+              FROM w)
+            SELECT doc_id,
+                   CAST(nw AS INT) AS n_tokens,
+                   CAST(len(g2) AS INT) AS n_grams2,
+                   CAST(len(list_distinct(g2)) AS INT) AS n_distinct_grams2,
+                   CAST(CASE WHEN len(g2) = 0 THEN 0
+                        ELSE list_max([len(list_filter(g2, y -> y = x))
+                                       FOR x IN g2]) END AS INT) AS top2_count,
+                   CAST(len(g5) AS INT) AS n_grams5,
+                   CAST(len(list_distinct(g5)) AS INT) AS n_distinct_grams5
+            FROM g
+        """,
+        "text_contamination": """
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN TRIM(LOWER(text)) = '' THEN []
+                          ELSE regexp_split_to_array(TRIM(LOWER(text)), '\\s+')
+                     END AS words
+              FROM documents),
+            g AS (
+              SELECT doc_id, array_to_string(words[i:i+3], ' ') AS gram
+              FROM w, unnest(CASE WHEN len(words) < 4 THEN []
+                             ELSE generate_series(1, len(words)-3) END) AS t(i)),
+            bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0)
+            SELECT g.doc_id,
+                   CAST(count(DISTINCT g.gram) AS INT) AS n_contaminated_grams
+            FROM g JOIN bench USING (gram)
+            WHERE g.doc_id % 97 <> 0
+            GROUP BY g.doc_id
+        """,
+        # Same PII regexes as operators/text.py PII_PATTERNS — the
+        # patterns avoid lookaround/backrefs so Java regex (Spark) and
+        # RE2 (DuckDB) agree; salting mirrors text_pii_redact exactly.
+        "text_pii_redact": """
+            WITH s AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 3 = 0 THEN ' reach user'
+                          || CAST(doc_id AS VARCHAR) || '@mail.example.org'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0 THEN ' host 192.168.'
+                          || CAST(doc_id % 250 AS VARCHAR) || '.99'
+                        ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 THEN ' ref 123-45-6789'
+                        ELSE '' END AS salted
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(salted,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+                   CAST(len(regexp_extract_all(salted,
+                     '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS INT) AS n_ssn,
+                   CAST(len(regexp_extract_all(salted,
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
+                   MD5(regexp_replace(regexp_replace(regexp_replace(salted,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+                   ) AS redacted_md5
+            FROM s
         """,
     }

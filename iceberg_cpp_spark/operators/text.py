@@ -5,6 +5,9 @@ expressions (JVM-side, whole-stage codegen; no python in the hot path).
 - quality scoring (length / punctuation / stopword / word-shape ratios)
 - language ID (stopword-hit n-gram heuristic)
 - document fingerprinting (normalized md5 + positional rolling sample)
+- repetition stats (Gopher-style top-/duplicated-n-gram signals)
+- benchmark contamination flagging (shared word-n-gram semi-join)
+- PII redaction (email / IPv4 / SSN patterns, RE2-compatible regexes)
 """
 
 from __future__ import annotations
@@ -111,6 +114,94 @@ def rolling_fingerprint(col: Column, window: int = 64, step: int = 32) -> Column
     starts = F.sequence(F.lit(0), F.least(
         F.greatest((F.length(col) - window), F.lit(0)), F.lit(step * 7)), F.lit(step))
     return F.transform(starts, lambda s: F.md5(F.substring(col, s + 1, window)))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Space-joined word n-grams as an array; empty when the document has
+    fewer than ``n`` words. Pure JVM array ops (split/slice/concat_ws)."""
+    w = words(col)
+    return F.when(F.size(w) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size(w) - n + 1),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, n))))
+
+
+def top_ngram_count(col: Column, n: int) -> Column:
+    """Occurrences of the document's most frequent word n-gram — the
+    Gopher "fraction of tokens in the most common n-gram" repetition
+    signal's numerator. O(G²) array comparison per document, where G is
+    bounded by the per-document token count — per-row work, embarrassingly
+    parallel, no shuffle."""
+    g = word_ngrams(col, n)
+    return F.when(F.size(g) == 0, F.lit(0)).otherwise(
+        F.array_max(F.transform(
+            g, lambda x: F.size(F.filter(g, lambda y: y == x))))).cast("int")
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition features (Gopher quality-filter family):
+    token count, 2-gram total/distinct/top counts, 5-gram total/distinct.
+    Integer-only surface; callers derive the ratios (top2/n_grams2 etc.).
+    Zero Python in the hot path; one narrow projection, no shuffle."""
+    c = F.col(text_col)
+    g2, g5 = word_ngrams(c, 2), word_ngrams(c, 5)
+    return df.select(
+        F.col(id_col),
+        token_count(c).cast("int").alias("n_tokens"),
+        F.size(g2).alias("n_grams2"),
+        F.size(F.array_distinct(g2)).alias("n_distinct_grams2"),
+        top_ngram_count(c, 2).alias("top2_count"),
+        F.size(g5).alias("n_grams5"),
+        F.size(F.array_distinct(g5)).alias("n_distinct_grams5"),
+    )
+
+
+def contamination(corpus: DataFrame, benchmark: DataFrame, n: int = 4,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Flag corpus documents sharing ≥1 word n-gram with a benchmark/eval
+    set (train-test contamination screen, GPT-3 §C / Llama style).
+
+    Scale shape: the benchmark's distinct gram set is small → broadcast;
+    corpus grams explode and broadcast-hash-semi-join with NO shuffle of
+    the corpus; only the per-doc count aggregation shuffles (doc_id keys,
+    map-side combine). Returns (id_col, n_contaminated_grams) for hit
+    documents only."""
+    grams = corpus.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+    bench_grams = (benchmark
+                   .select(F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
+                   .distinct())
+    return (grams
+            .join(F.broadcast(bench_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.countDistinct("gram").cast("int").alias("n_contaminated_grams")))
+
+
+# (name, RE2+Java-compatible pattern, replacement) — ordered; SSN before
+# IPv4 is irrelevant (disjoint), email first so its dotted host never
+# half-matches the IPv4 rule. No lookaround/backrefs: must run identically
+# under Java regex (Spark) and RE2 (DuckDB oracle).
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace email / SSN / IPv4 literals with typed placeholder tokens.
+    Chained JVM regexp_replace — whole-stage codegen, no Python."""
+    out = col
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(col: Column) -> list[Column]:
+    """One aliased match-count Column per PII pattern (n_email, n_ssn,
+    n_ipv4) — counted on the ORIGINAL text, in PII_PATTERNS order."""
+    return [F.regexp_count(col, F.lit(pat)).cast("int").alias(f"n_{name}")
+            for name, pat, _ in PII_PATTERNS]
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text",

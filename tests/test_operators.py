@@ -353,6 +353,46 @@ class TestText:
         assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
         assert all(r["n_tokens"] > 0 for r in rows)
 
+    def test_word_ngrams(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "x y"), (3, "")], "doc_id long, text string")
+        got = {r["doc_id"]: r["g"] for r in df.select(
+            "doc_id", text.word_ngrams(F.col("text"), 3).alias("g")).collect()}
+        assert got == {1: ["a b c", "b c d"], 2: [], 3: []}
+
+    def test_repetition_stats_golden(self, spark):
+        # "a b a b a b c": 2-grams [ab, ba, ab, ba, ab, bc] → top "a b" ×3
+        df = spark.createDataFrame(
+            [(1, "a b a b a b c")], "doc_id long, text string")
+        r = text.repetition_stats(df).collect()[0]
+        assert (r["n_tokens"], r["n_grams2"], r["n_distinct_grams2"],
+                r["top2_count"]) == (7, 6, 3, 3)
+        assert (r["n_grams5"], r["n_distinct_grams5"]) == (3, 3)
+
+    def test_contamination_counts_shared_grams(self, spark):
+        corpus = spark.createDataFrame([
+            (1, "one two three four five six"),   # shares 4-grams 1-4, 2-5, 3-6
+            (2, "totally disjoint words here now"),
+        ], "doc_id long, text string")
+        bench = spark.createDataFrame(
+            [(9, "one two three four five six")], "doc_id long, text string")
+        got = {r["doc_id"]: r["n_contaminated_grams"]
+               for r in text.contamination(corpus, bench, n=4).collect()}
+        assert got == {1: 3}
+
+    def test_pii_redaction_and_counts(self, spark):
+        df = spark.createDataFrame([
+            (1, "mail bob.smith+x@ex-a.co.uk from 10.0.3.7 ssn 123-45-6789 end"),
+            (2, "clean text, no pii at all"),
+        ], "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in df.select(
+            "doc_id", *text.pii_counts(F.col("text")),
+            text.redact_pii(F.col("text")).alias("red")).collect()}
+        assert rows[1]["red"] == "mail <EMAIL> from <IP> ssn <SSN> end"
+        assert (rows[1]["n_email"], rows[1]["n_ssn"], rows[1]["n_ipv4"]) == (1, 1, 1)
+        assert rows[2]["red"] == "clean text, no pii at all"
+        assert (rows[2]["n_email"], rows[2]["n_ssn"], rows[2]["n_ipv4"]) == (0, 0, 0)
+
 
 class TestMultimodal:
     @pytest.fixture()
