@@ -974,11 +974,15 @@ class IceTable:
 
     # --- write path (W4/W5/W6; reference transaction.h — unimplemented
     # there, implemented here) --------------------------------------------
-    def append(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "IceTable":
+    def append(self, df: DataFrame, branch: str = MAIN_BRANCH,
+               summary_extras: Optional[dict] = None) -> "IceTable":
         """AppendFiles: write parquet → footer metrics → manifest →
-        manifest list (carrying prior manifests) → snapshot → CAS commit."""
+        manifest list (carrying prior manifests) → snapshot → CAS commit.
+        ``summary_extras`` adds caller keys to the snapshot summary (e.g.
+        the streaming sink's batch-id watermark for replay dedup)."""
         new_files = self._write_data_files(df)
-        return self._commit_files(new_files, operation=DataOperation.APPEND, branch=branch)
+        return self._commit_files(new_files, operation=DataOperation.APPEND,
+                                  branch=branch, summary_extras=summary_extras)
 
     def overwrite(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "IceTable":
         """Replace the whole table contents in one snapshot."""
@@ -1347,7 +1351,8 @@ class IceTable:
     def merge_into(self, source: DataFrame, on: list[str],
                    when_matched: Optional[str] = "update",
                    when_not_matched: Optional[str] = "insert",
-                   branch: str = MAIN_BRANCH) -> "IceTable":
+                   branch: str = MAIN_BRANCH,
+                   summary_extras: Optional[dict] = None) -> "IceTable":
         """MERGE INTO (upsert) — ``MERGE INTO t USING s ON t.k = s.k
         WHEN MATCHED THEN UPDATE SET * | DELETE
         WHEN NOT MATCHED THEN INSERT *``. Beyond the reference (which
@@ -1398,7 +1403,8 @@ class IceTable:
                 new_files = self._write_data_files(inserts)
                 if new_files:
                     return self._commit_files(new_files, operation=DataOperation.APPEND,
-                                              branch=branch)
+                                              branch=branch,
+                                              summary_extras=summary_extras)
             return self
         affected_df = self._read_files_with_deletes(affected)
         parts = [affected_df.join(keys, on, "left_anti")]  # unmatched rows kept
@@ -1419,7 +1425,8 @@ class IceTable:
         new_files = self._write_data_files(merged)
         return self._commit_files(
             new_files, operation=DataOperation.OVERWRITE, branch=branch,
-            carry_existing=True, drop_paths=affected)
+            carry_existing=True, drop_paths=affected,
+            summary_extras=summary_extras)
 
     def rewrite_data_files(self, target_file_count: Optional[int] = None,
                            branch: str = MAIN_BRANCH,
@@ -1652,6 +1659,50 @@ class IceTable:
             raise ValueError(f"ref not found: {to_branch}")
         return self._set_ref(branch, ref.snapshot_id, "branch")
 
+    def rollback_to(self, snapshot_id: int, branch: str = MAIN_BRANCH) -> "IceTable":
+        """Point ``branch`` (default main) back at an existing snapshot —
+        Iceberg's rollback_to_snapshot. Pure metadata swap
+        (SetSnapshotRef); no data is rewritten, and later snapshots stay
+        reachable for re-rollforward until expire_snapshots drops them."""
+        if self.metadata.snapshot_by_id(snapshot_id) is None:
+            raise ValueError(f"snapshot not found: {snapshot_id}")
+        return self._set_ref(branch, snapshot_id, "branch")
+
+    def cherry_pick(self, snapshot_id: int, branch: str = MAIN_BRANCH) -> "IceTable":
+        """Re-apply one APPEND snapshot's added data files on top of the
+        current ``branch`` head (Iceberg's cherrypick_snapshot — the
+        write-audit-publish publish primitive for commits staged on an
+        audit branch). Metadata-only: the picked snapshot's files are
+        referenced by the new commit, never rewritten or copied."""
+        snap = self.metadata.snapshot_by_id(snapshot_id)
+        if snap is None:
+            raise ValueError(f"snapshot not found: {snapshot_id}")
+        if (snap.operation or DataOperation.APPEND) != DataOperation.APPEND:
+            raise ValueError(
+                f"only append snapshots can be cherry-picked, "
+                f"snapshot {snapshot_id} is '{snap.operation}'")
+
+        def _live_data_files(s: Snapshot) -> dict:
+            out = {}
+            for m in mf.read_manifest_list(s.manifest_list):
+                spec = self.metadata.spec_by_id(m.partition_spec_id)
+                for e in mf.read_manifest(m.manifest_path, spec, self.schema(),
+                                          manifest=m):
+                    if e.is_live and e.data_file.content == mf.CONTENT_DATA:
+                        out[e.data_file.file_path] = e.data_file
+            return out
+
+        picked = _live_data_files(snap)
+        parent = (self.metadata.snapshot_by_id(snap.parent_snapshot_id)
+                  if snap.parent_snapshot_id is not None else None)
+        if parent is not None:
+            for p in _live_data_files(parent):
+                picked.pop(p, None)
+        if not picked:
+            return self
+        return self._commit_files(list(picked.values()),
+                                  operation=DataOperation.APPEND, branch=branch)
+
     def add_files(self, paths: list[str],
                   aliases: Optional[dict[str, list[str]]] = None,
                   branch: str = MAIN_BRANCH) -> "IceTable":
@@ -1805,7 +1856,8 @@ class IceTable:
     def _commit_files(self, new_files: list[mf.DataFile], operation: str,
                       branch: str = MAIN_BRANCH, carry_existing: bool = True,
                       drop_paths: Optional[set] = None,
-                      drop_dv_for: Optional[set] = None) -> "IceTable":
+                      drop_dv_for: Optional[set] = None,
+                      summary_extras: Optional[dict] = None) -> "IceTable":
         """Optimistic-concurrency commit with retry (reference
         commit.retry.*, table_properties.h:80-85): on CAS conflict the
         metadata is refreshed and the snapshot REBUILT against the new
@@ -1821,7 +1873,7 @@ class IceTable:
             try:
                 return self._commit_files_once(
                     new_files, operation, branch, carry_existing, drop_paths,
-                    drop_dv_for)
+                    drop_dv_for, summary_extras)
             except (CommitFailedError, FileExistsError) as e:
                 last = e
                 if attempt == retries:
@@ -1833,7 +1885,8 @@ class IceTable:
     def _commit_files_once(self, new_files: list[mf.DataFile], operation: str,
                            branch: str = MAIN_BRANCH, carry_existing: bool = True,
                            drop_paths: Optional[set] = None,
-                           drop_dv_for: Optional[set] = None) -> "IceTable":
+                           drop_dv_for: Optional[set] = None,
+                           summary_extras: Optional[dict] = None) -> "IceTable":
         meta = self.metadata
         schema = self.schema()
         spec = self.spec()
@@ -1948,6 +2001,8 @@ class IceTable:
             "added-equality-deletes": str(eq_dels),
             "total-delete-files": str(total_del_files),
         }
+        if summary_extras:
+            summary.update({str(k): str(v) for k, v in summary_extras.items()})
         snap = Snapshot(
             snapshot_id=snapshot_id,
             sequence_number=seq,

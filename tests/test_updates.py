@@ -420,6 +420,67 @@ class TestTableMaintenance:
         with pytest.raises(ValueError, match="ref not found"):
             t.fast_forward("main", "nope")
 
+    def test_rollback_to_snapshot(self, spark, lineitem, tmp_loc):
+        """rollback_to: main points back at an earlier snapshot; later
+        snapshots stay reachable, so rolling forward again also works."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "rb"),
+                            schema_from_spark(lineitem.schema))
+        t.append(lineitem.limit(10))
+        s1 = t.current_snapshot().snapshot_id
+        t.append(lineitem.limit(5))
+        s2 = t.current_snapshot().snapshot_id
+        assert t.to_df().count() == 15
+        t.rollback_to(s1)
+        assert t.current_snapshot().snapshot_id == s1
+        assert t.to_df().count() == 10
+        t.rollback_to(s2)  # roll forward again
+        assert t.to_df().count() == 15
+        with pytest.raises(ValueError, match="snapshot not found"):
+            t.rollback_to(12345)
+
+    def test_cherry_pick_from_audit_branch(self, spark, lineitem, tmp_loc):
+        """cherry_pick: an append staged on an audit branch is re-applied
+        onto a main that has MOVED ON since the branch point (the case
+        fast_forward cannot publish); data files are referenced, not
+        copied."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "cp"),
+                            schema_from_spark(lineitem.schema))
+        t.append(lineitem.limit(10))
+        t.create_branch("audit")
+        t.append(lineitem.limit(7), branch="audit")
+        staged = t.metadata.ref("audit").snapshot_id
+        base_paths = {task.file_path for task in t.scan().plan_files()}
+        audit_paths = {task.file_path
+                       for task in t.scan().use_ref("audit").plan_files()}
+        t.append(lineitem.limit(3))  # main diverges — fast_forward would lose this
+        assert t.to_df().count() == 13
+        t.cherry_pick(staged)
+        assert t.to_df().count() == 20
+        # metadata-only: the staged snapshot's parquet files are reused
+        main_paths = {task.file_path for task in t.scan().plan_files()}
+        assert (audit_paths - base_paths) <= main_paths
+        with pytest.raises(ValueError, match="snapshot not found"):
+            t.cherry_pick(999)
+
+    def test_cherry_pick_rejects_non_append(self, spark, lineitem, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "cpn"),
+                            schema_from_spark(lineitem.schema))
+        t.append(lineitem.limit(10))
+        t.delete_where(ex.not_null(ex.Reference("l_orderkey")))
+        sid = t.current_snapshot().snapshot_id
+        with pytest.raises(ValueError, match="only append"):
+            t.cherry_pick(sid)
+
     def test_rewrite_manifests(self, spark, lineitem, tmp_loc):
         from iceberg_cpp_spark import IceTable
         from iceberg_cpp_spark.core import manifests as mf
