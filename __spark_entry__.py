@@ -854,6 +854,28 @@ def ice_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_rollback_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-management lifecycle: rollback_to drops a bad commit
+    (metadata-only SetSnapshotRef), an audit branch stages a commit, main
+    diverges, and cherry_pick publishes the staged append onto the moved
+    head (the WAP case fast_forward cannot handle). Final state: evens
+    (base) + odd 'N' rows (main's divergence) + odd 'A' rows (the pick);
+    the rolled-back odd 'R' rows are gone."""
+    li = _t(spark, sf_dir, "lineitem")
+    odd = F.col("l_orderkey") % 2 == 1
+    t = _fresh_table(spark, sf_dir, li, "rbcp")
+    t.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    s1 = t.current_snapshot().snapshot_id
+    t.append(li.filter(odd & (F.col("l_returnflag") == "R")))  # bad commit
+    t.rollback_to(s1)
+    t.create_branch("audit", snapshot_id=s1)
+    t.append(li.filter(odd & (F.col("l_returnflag") == "A")), branch="audit")
+    staged = t.metadata.ref("audit").snapshot_id
+    t.append(li.filter(odd & (F.col("l_returnflag") == "N")))  # main diverges
+    t.cherry_pick(staged)
+    return t.to_df().groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
 def ice_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """copy-on-write row-level delete (beyond the reference, which errors
     on deletes — table_scan.cc:288-291)."""
@@ -1832,6 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_contamination": text_contamination,
         "text_pii_redact": text_pii_redact,
+        "ice_rollback_cherry_pick": ice_rollback_cherry_pick,
     }
 
 
@@ -2868,5 +2891,18 @@ def oracle_sql() -> dict[str, str]:
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
                    ) AS redacted_md5
             FROM s
+        """,
+        # Expected survivor set after rollback(+drop R commit), divergent
+        # N append, and cherry-picked A append.
+        "ice_rollback_cherry_pick": """
+            SELECT l_returnflag, COUNT(*) AS n FROM (
+              SELECT l_returnflag FROM lineitem WHERE l_orderkey % 2 = 0
+              UNION ALL
+              SELECT l_returnflag FROM lineitem
+              WHERE l_orderkey % 2 = 1 AND l_returnflag = 'N'
+              UNION ALL
+              SELECT l_returnflag FROM lineitem
+              WHERE l_orderkey % 2 = 1 AND l_returnflag = 'A'
+            ) GROUP BY l_returnflag
         """,
     }

@@ -55,20 +55,58 @@ def incremental_read(table: IceTable, from_snapshot_id: Optional[int],
     return table.spark.read.schema(spark_schema).parquet(*new_files)
 
 
+def _stream_id(checkpoint_dir: str) -> str:
+    """Stable identity for one streaming query across restarts — derived
+    from the checkpoint location, exactly the thing Structured Streaming
+    keys its own recovery on."""
+    import hashlib
+    import os
+
+    return hashlib.sha1(
+        os.path.abspath(checkpoint_dir).encode()).hexdigest()[:16]
+
+
+def _last_committed_batch(table: IceTable, stream_id: str) -> int:
+    """Highest batch id this stream has committed, from snapshot
+    summaries (the Iceberg sink's replay-dedup scheme: commit metadata,
+    not an external registry, is the source of truth). -1 if none.
+    Caveat (same as Iceberg's): expire_snapshots dropping EVERY snapshot
+    of a stream forgets its watermark — keep_last >= 1 retains it."""
+    last = -1
+    for s in table.metadata.snapshots:
+        if s.summary.get("streaming.source-id") == stream_id:
+            try:
+                last = max(last, int(s.summary["streaming.batch-id"]))
+            except (KeyError, ValueError):
+                pass
+    return last
+
+
 def append_stream(stream_df, table: IceTable, checkpoint_dir: str,
                   trigger_available_now: bool = True):
     """Structured-Streaming sink into an IceTable: each micro-batch is
     one atomic append snapshot (foreachBatch — the standard Spark
     pattern for transactional sinks). Combined with incremental_read
-    this gives an end-to-end exactly-once-per-batch pipeline:
-    stream in → snapshots → incremental consumers.
+    this gives an end-to-end exactly-once pipeline: stream in →
+    snapshots → incremental consumers.
+
+    Exactly-once, not at-least-once: after a crash between a table
+    commit and the checkpoint write, Spark REPLAYS the last micro-batch.
+    The sink records (stream-id, batch-id) in each snapshot summary and
+    skips any batch at or below the stream's committed watermark, so the
+    replay is a no-op instead of a duplicate append.
 
     Returns the StreamingQuery; caller awaits termination."""
+    sid = _stream_id(checkpoint_dir)
 
     def commit_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        table.append(batch_df)
+        table.refresh()
+        if batch_id <= _last_committed_batch(table, sid):
+            return  # checkpoint replay after restart — already committed
+        table.append(batch_df, summary_extras={
+            "streaming.source-id": sid, "streaming.batch-id": str(batch_id)})
 
     writer = stream_df.writeStream.foreachBatch(commit_batch) \
         .option("checkpointLocation", checkpoint_dir)
@@ -82,17 +120,26 @@ def upsert_stream(stream_df, table: IceTable, on: list[str],
                   trigger_available_now: bool = True):
     """Streaming MERGE INTO (the CDC-apply pattern): each micro-batch is
     deduplicated on the merge keys (last row wins within the batch) and
-    upserted into the table as one copy-on-write snapshot."""
+    upserted into the table as one copy-on-write snapshot. Replayed
+    batches are skipped via the same snapshot-summary watermark as
+    append_stream (a replayed MERGE is value-idempotent but would still
+    burn a needless file rewrite)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+
+    sid = _stream_id(checkpoint_dir)
 
     def apply_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        table.refresh()
+        if batch_id <= _last_committed_batch(table, sid):
+            return
         w = Window.partitionBy(*on).orderBy(F.monotonically_increasing_id().desc())
         deduped = (batch_df.withColumn("_rn", F.row_number().over(w))
                    .filter(F.col("_rn") == 1).drop("_rn"))
-        table.merge_into(deduped, on=on)
+        table.merge_into(deduped, on=on, summary_extras={
+            "streaming.source-id": sid, "streaming.batch-id": str(batch_id)})
 
     writer = stream_df.writeStream.foreachBatch(apply_batch) \
         .option("checkpointLocation", checkpoint_dir)

@@ -36,6 +36,10 @@ def test_driver_cap_window_composition():
         "ice_large_scan",   # large-N jvm-union routing (ice_datasource in-window)
         "ice_pyds_scan",    # python-datasource strategy (ice_datasource in-window)
         "text_rolling_fp",  # rolling-hash fp (text_stats fingerprint in-window)
+        "text_repetition",  # Gopher repetition stats (text_quality in-window)
+        "text_contamination",  # benchmark n-gram screen (ngram_jaccard in-window)
+        "text_pii_redact",  # PII scrub (text_stats/text_quality in-window)
+        "ice_rollback_cherry_pick",  # ref management (ice_time_travel in-window)
     }
     for n in names:
         if n in judge_only_extras:

@@ -474,6 +474,50 @@ class TestStreamingAppend:
         # incremental read across the streamed snapshots sees all rows
         assert incremental_read(t, from_snapshot_id=None).count() == 200
 
+    def test_append_stream_replay_is_deduped(self, spark, lineitem, tmp_loc):
+        """Exactly-once under replay: losing the checkpoint makes Spark
+        re-deliver already-processed input as a fresh batch 0; the sink's
+        snapshot-summary watermark (streaming.source-id/batch-id) must
+        swallow it instead of double-appending."""
+        import shutil
+
+        from iceberg_cpp_spark.streaming.incremental import append_stream
+
+        src = os.path.join(tmp_loc, "rsrc")
+        lineitem.limit(100).repartition(2).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        ckpt = os.path.join(tmp_loc, "rckpt")
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "rsink"),
+                            schema_from_spark(schema))
+        q = append_stream(
+            spark.readStream.schema(schema).parquet(src), t, ckpt)
+        q.awaitTermination(300)
+        assert t.to_df().count() == 100
+        watermark = max(int(s.summary["streaming.batch-id"])
+                        for s in t.snapshots()
+                        if "streaming.batch-id" in s.summary)
+
+        # crash-replay simulation: checkpoint gone, same source re-fed —
+        # Spark re-emits everything as batch ids <= the recorded watermark
+        shutil.rmtree(ckpt)
+        q2 = append_stream(
+            spark.readStream.schema(schema).parquet(src), t, ckpt)
+        q2.awaitTermination(300)
+        assert t.to_df().count() == 100  # no duplicate rows
+        assert watermark == max(int(s.summary["streaming.batch-id"])
+                                for s in t.snapshots()
+                                if "streaming.batch-id" in s.summary)
+
+        # genuinely NEW data with the checkpoint INTACT gets a batch id
+        # above the watermark and still lands (no over-deduplication)
+        lineitem.limit(130).exceptAll(lineitem.limit(100)) \
+            .repartition(1).write.mode("append").parquet(src)
+        q3 = append_stream(
+            spark.readStream.schema(schema).parquet(src), t, ckpt)
+        q3.awaitTermination(300)
+        assert t.to_df().count() == 130
+
 
 class TestUpsertStream:
     def test_streaming_merge_applies_upserts(self, spark, lineitem, tmp_loc):
