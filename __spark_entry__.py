@@ -1513,6 +1513,25 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(idx, C, q, k=5, nprobe=4).select("query_id", "vec_id", "rank")
 
 
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-k — the memory side of the
+    100 TB path (operators/similarity.py train_pq/pq_encode/pq_topk):
+    vectors compress 32× to 8 code bytes, queries score against codes
+    via broadcast per-query lookup tables summed JVM-side. Oracle:
+    fixture parquet from an independent numpy mirror of the same spec
+    (scripts/gen_llm_fixtures.py; sf0.001/0.01/0.1)."""
+    from iceberg_cpp_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    B = similarity.train_pq(emb, m=8, nbits=4, sample_rows=4000,
+                            id_col="vec_id")
+    enc = similarity.pq_encode(emb, B)
+    q = (emb.filter(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_vec")))
+    return similarity.pq_topk(enc, B, q, k=5).select("query_id", "vec_id", "rank")
+
+
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     from iceberg_cpp_spark.operators import text as tx
@@ -1855,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": text_contamination,
         "text_pii_redact": text_pii_redact,
         "ice_rollback_cherry_pick": ice_rollback_cherry_pick,
+        "ann_pq_topk": ann_pq_topk,
     }
 
 
@@ -2904,5 +2924,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_returnflag FROM lineitem
               WHERE l_orderkey % 2 = 1 AND l_returnflag = 'A'
             ) GROUP BY l_returnflag
+        """,
+        "ann_pq_topk": """
+            SELECT query_id, vec_id, "rank" AS rank
+            FROM read_parquet('/root/repo/assets/llm_oracles/pq.parquet')
+            WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
         """,
     }

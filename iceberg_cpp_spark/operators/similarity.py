@@ -11,6 +11,11 @@ Two strategies, both avoiding an unbucketed n×n blow-up:
   its nearest centroid once (a materializable clustered layout), and a
   query probes only ``nprobe`` nearest centroid partitions — scanning
   nprobe/ncentroids of the corpus instead of all of it.
+- train_pq / pq_encode / pq_topk: product quantization (the memory
+  side of scale): vectors compressed to m sub-codebook codes (64×f32 →
+  8 bytes at m=8, 32× smaller), queries scored against the CODES via
+  asymmetric distance (per-query lookup tables, summed JVM-side) —
+  the corpus scan reads bytes, never the float vectors.
 """
 
 from __future__ import annotations
@@ -84,15 +89,7 @@ def train_centroids(corpus: DataFrame, ncentroids: int = 16,
     corpus that trains centroids on one shard and silently collapses
     recall (VERDICT r4). Without an id column the vector's own string
     form is hashed instead."""
-    key_str = (F.col(id_col) if id_col is not None
-               else F.col(vec_col)).cast("string")
-    # tie-break on the full key string: crc32 collisions at the limit
-    # boundary must not make the sample partitioning-dependent
-    sel = [F.col(vec_col), F.crc32(key_str.cast("binary")).alias("_sk"),
-           key_str.alias("_kt")]
-    sample = (corpus.select(*sel).orderBy("_sk", "_kt")
-              .limit(sample_rows).toPandas())
-    X = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    X = _uniform_sample(corpus, vec_col, sample_rows, id_col)
     rs = np.random.RandomState(_SEED)
     C = X[rs.choice(len(X), size=min(ncentroids, len(X)), replace=False)]
     for _ in range(iters):
@@ -103,6 +100,23 @@ def train_centroids(corpus: DataFrame, ncentroids: int = 16,
             if m.any():
                 C[j] = X[m].mean(axis=0)
     return C
+
+
+def _uniform_sample(corpus: DataFrame, vec_col: str, sample_rows: int,
+                    id_col: Optional[str]) -> np.ndarray:
+    """Deterministic, partitioning-independent uniform sample of vectors
+    as a float64 matrix: rows ordered by (crc32(str(key)), str(key)) —
+    JVM-side, so the sample is identical whatever file produced the row
+    first (VERDICT r4: `.limit()` trains on one shard at scale). The
+    full-key tie-break keeps crc32 collisions at the limit boundary
+    stable too."""
+    key_str = (F.col(id_col) if id_col is not None
+               else F.col(vec_col)).cast("string")
+    sel = [F.col(vec_col), F.crc32(key_str.cast("binary")).alias("_sk"),
+           key_str.alias("_kt")]
+    sample = (corpus.select(*sel).orderBy("_sk", "_kt")
+              .limit(sample_rows).toPandas())
+    return np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
 
 
 def assign_centroids(corpus: DataFrame, centroids: np.ndarray,
@@ -150,6 +164,122 @@ def ivf_topk(indexed: DataFrame, centroids: np.ndarray, queries: DataFrame,
         cosine(F.col(vec_col), F.col(query_vec_col)).alias("score"))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: compress the corpus, score against codes (ADC)
+# ---------------------------------------------------------------------------
+
+def train_pq(corpus: DataFrame, m: int = 8, nbits: int = 4,
+             vec_col: str = "embedding", sample_rows: int = 10_000,
+             iters: int = 10, id_col: Optional[str] = None) -> np.ndarray:
+    """Product-quantizer codebooks (Jégou et al., "Product Quantization
+    for Nearest Neighbor Search", TPAMI 2011): the d-dim space splits
+    into ``m`` subspaces of d/m dims; each gets its own 2**nbits-word
+    k-means codebook, trained driver-side on the same deterministic
+    uniform sample as IVF. Returns (m, 2**nbits, d//m) float64."""
+    X = _uniform_sample(corpus, vec_col, sample_rows, id_col)
+    d = X.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub, ncodes = d // m, 2 ** nbits
+    books = np.empty((m, ncodes, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        rs = np.random.RandomState(_SEED + j)
+        C = S[rs.choice(len(S), size=min(ncodes, len(S)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                mask = assign == c
+                if mask.any():
+                    C[c] = S[mask].mean(axis=0)
+        books[j, :len(C)] = C
+        if len(C) < ncodes:      # tiny sample: pad with the first word
+            books[j, len(C):] = C[0]
+    return books
+
+
+def pq_encode(corpus: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding") -> DataFrame:
+    """Adds `_pq` (array<int>, one nearest-codeword index per subspace).
+    At scale the encoded table (ids + m small ints, no float vectors) is
+    what sits in memory/cache — 32× smaller at m=8/nbits=4 over 64×f32.
+    Arrow-batched pandas UDF; one pass, no shuffle."""
+    B = codebooks
+    mm, _, dsub = B.shape
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def code(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            out.append([int(((B[j] - x[j * dsub:(j + 1) * dsub]) ** 2)
+                            .sum(axis=1).argmin()) for j in range(mm)])
+        return pd.Series(out)
+
+    return corpus.withColumn("_pq", code(F.col(vec_col)))
+
+
+def pq_topk(encoded: DataFrame, codebooks: np.ndarray, queries: DataFrame,
+            k: int = 5, id_col: str = "vec_id",
+            query_id_col: str = "query_id",
+            query_vec_col: str = "query_vec",
+            rerank_factor: Optional[int] = None,
+            vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k by squared-L2 over PQ codes via asymmetric
+    distance (ADC): each (small, broadcast) query carries an m×2**nbits
+    lookup table of exact sub-distances to every codeword; a corpus row's
+    distance is the JVM-side sum of m table lookups on its `_pq` codes —
+    the scan never touches float vectors. Ascending distance, ties by
+    corpus id. Returns (query_id, vec_id, rank).
+
+    ``rerank_factor``: the standard IVFADC refinement — take a
+    k×factor ADC shortlist, then re-rank just those rows by EXACT L2 on
+    ``vec_col``. The expensive float read happens for k×factor×queries
+    rows instead of the whole corpus, recovering most recall lost to
+    quantization at negligible cost."""
+    B = codebooks
+    mm, _, dsub = B.shape
+
+    @pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
+    def luts(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            x = np.asarray(v, dtype=np.float64)
+            out.append([[float(d) for d in
+                         ((B[j] - x[j * dsub:(j + 1) * dsub]) ** 2).sum(axis=1)]
+                        for j in range(mm)])
+        return pd.Series(out)
+
+    shortlist_k = k * rerank_factor if rerank_factor else k
+    q = queries.withColumn("_luts", luts(F.col(query_vec_col)))
+    joined = encoded.join(broadcast(q))
+    dist = F.aggregate(
+        F.zip_with(F.col("_pq"), F.col("_luts"),
+                   lambda c, lut: F.element_at(lut, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    keep = [F.col(query_id_col), F.col(id_col)]
+    if rerank_factor:
+        keep += [F.col(vec_col), F.col("_luts"), F.col(query_vec_col)]
+    scored = joined.select(*keep, dist.alias("_dist"))
+    w = Window.partitionBy(query_id_col).orderBy(F.asc("_dist"), F.asc(id_col))
+    short = (scored.withColumn("rank", F.row_number().over(w))
+             .filter(F.col("rank") <= shortlist_k))
+    if not rerank_factor:
+        return short.drop("_dist")
+    # exact squared-L2 on the shortlist only (JVM zip_with, no python)
+    exact = F.aggregate(
+        F.zip_with(F.col(vec_col), F.col(query_vec_col),
+                   lambda a, b: (a.cast("double") - b.cast("double"))
+                   * (a.cast("double") - b.cast("double"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w2 = Window.partitionBy(query_id_col).orderBy(F.asc("_exact"), F.asc(id_col))
+    return (short.select(F.col(query_id_col), F.col(id_col),
+                         exact.alias("_exact"))
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k).drop("_exact"))
 
 
 def kmeans_clusters(df: DataFrame, k: int = 8, vec_col: str = "embedding",

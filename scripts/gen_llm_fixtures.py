@@ -166,7 +166,7 @@ def jvm_norm(x) -> float:
 def main():
     os.makedirs(OUT, exist_ok=True)
     rows = {k: [] for k in ["minhash", "minhash_verified", "simhash",
-                            "embedding", "transitive", "ivf"]}
+                            "embedding", "transitive", "ivf", "pq"]}
 
     for sf_dir in SF_DIRS:
         docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
@@ -283,12 +283,57 @@ def main():
             for rank, (_, vid) in enumerate(scored[:5], start=1):
                 rows["ivf"].append((tag, qid, vid, rank))
 
+        # ann_pq_topk: m=8, nbits=4, sample_rows=4000, iters=10, k=5,
+        # queries = vec_id < 8. Independent numpy mirror of the PQ spec
+        # (same crc32-ordered sample, per-subspace RandomState(SEED+j)
+        # k-means, ADC = left-to-right sum of per-subspace LUT entries,
+        # rank by (distance asc, vec_id asc)).
+        Xs = np.stack([np.asarray(vecs[i], dtype=np.float64)
+                       for i in order[:min(4000, len(vecs))]])
+        m_sub, nbits = 8, 4
+        dsub, ncodes = dim // m_sub, 2 ** nbits
+        books = np.empty((m_sub, ncodes, dsub), dtype=np.float64)
+        for j in range(m_sub):
+            S = Xs[:, j * dsub:(j + 1) * dsub]
+            rsj = np.random.RandomState(SEED + j)
+            Cj = S[rsj.choice(len(S), size=min(ncodes, len(S)),
+                              replace=False)].copy()
+            for _ in range(10):
+                d2 = ((S[:, None, :] - Cj[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)
+                for c in range(len(Cj)):
+                    msk = assign == c
+                    if msk.any():
+                        Cj[c] = S[msk].mean(axis=0)
+            books[j, :len(Cj)] = Cj
+            if len(Cj) < ncodes:
+                books[j, len(Cj):] = Cj[0]
+        codes = {}
+        for vid in map(int, vids):
+            x = xmap[vid]
+            codes[vid] = [int(((books[j] - x[j * dsub:(j + 1) * dsub]) ** 2)
+                              .sum(axis=1).argmin()) for j in range(m_sub)]
+        for qid in sorted(v for v in map(int, vids) if v < 8):
+            qx = xmap[qid]
+            lut = [((books[j] - qx[j * dsub:(j + 1) * dsub]) ** 2).sum(axis=1)
+                   for j in range(m_sub)]
+            scored = []
+            for vid in map(int, vids):
+                dist = 0.0
+                for j in range(m_sub):
+                    dist += float(lut[j][codes[vid][j]])
+                scored.append((dist, vid))
+            scored.sort()
+            for rank, (_, vid) in enumerate(scored[:5], start=1):
+                rows["pq"].append((tag, qid, vid, rank))
+
     for name, cols in [("minhash", ["tag", "doc_id"]),
                        ("minhash_verified", ["tag", "doc_id"]),
                        ("simhash", ["tag", "doc_id"]),
                        ("transitive", ["tag", "doc_id"]),
                        ("embedding", ["tag", "vec_id"]),
-                       ("ivf", ["tag", "query_id", "vec_id", "rank"])]:
+                       ("ivf", ["tag", "query_id", "vec_id", "rank"]),
+                       ("pq", ["tag", "query_id", "vec_id", "rank"])]:
         df = pd.DataFrame(rows[name], columns=cols).astype("int64")
         path = os.path.join(OUT, f"{name}.parquet")
         df.to_parquet(path, index=False)

@@ -283,6 +283,63 @@ class TestSimilarity:
         # recall ≥ 60% with half the cells probed
         assert len(brute & ivf) >= 0.6 * len(brute)
 
+    def test_pq_encode_and_adc_golden(self, spark):
+        """Hand-computed anchor for the PQ encode + ADC path (independent
+        of the fixture generator's shared spec): explicit codebooks, codes
+        and distances verified by hand."""
+        # m=2 subspaces of 2 dims, 2 codewords each
+        books = np.array([[[0.0, 0.0], [10.0, 10.0]],
+                          [[0.0, 0.0], [5.0, 5.0]]])
+        df = spark.createDataFrame(
+            [(1, [0.1, 0.0, 4.9, 5.0]), (2, [9.9, 10.0, 0.2, 0.0])],
+            "vec_id long, embedding array<float>")
+        enc = similarity.pq_encode(df, books)
+        codes = {r["vec_id"]: list(r["_pq"]) for r in enc.collect()}
+        assert codes == {1: [0, 1], 2: [1, 0]}
+
+        q = spark.createDataFrame(
+            [(9, [0.0, 0.0, 5.0, 5.0])],
+            "query_id long, query_vec array<float>")
+        # LUT for q: sub0 -> [0, 200]; sub1 -> [50, 0]
+        # dist(vec1)=LUT0[0]+LUT1[1]=0 ; dist(vec2)=LUT0[1]+LUT1[0]=250
+        got = [(r["vec_id"], r["rank"]) for r in
+               similarity.pq_topk(enc, books, q, k=2).orderBy("rank").collect()]
+        assert got == [(1, 1), (2, 2)]
+
+    def test_pq_self_hit_and_l2_recall(self, spark, embeddings):
+        emb = embeddings.cache()
+        B = similarity.train_pq(emb, m=8, nbits=4, sample_rows=500,
+                                id_col="vec_id")
+        assert B.shape == (8, 16, 8)
+        enc = similarity.pq_encode(emb, B)
+        q = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"))
+        got = similarity.pq_topk(enc, B, q, k=5).collect()
+        # every query's nearest code-distance hit is itself
+        self_ranks = {r["query_id"]: r["rank"] for r in got
+                      if r["query_id"] == r["vec_id"]}
+        assert all(v == 1 for v in self_ranks.values()) and len(self_ranks) == 8
+        # recall vs exact L2 (numpy) stays useful under 32x compression
+        pdf = emb.toPandas()
+        M = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+        ids = pdf["vec_id"].to_numpy()
+        exact = set()
+        for qid in range(8):
+            qx = M[np.where(ids == qid)[0][0]]
+            d = ((M - qx) ** 2).sum(axis=1)
+            order = sorted(range(len(ids)), key=lambda j: (d[j], ids[j]))[:5]
+            exact.update((qid, int(ids[j])) for j in order)
+        # pure-ADC recall on near-random vectors is limited by distance
+        # concentration — well above the 1% chance floor is what matters
+        approx = {(r["query_id"], r["vec_id"]) for r in got}
+        assert len(exact & approx) >= 0.2 * len(exact)
+        # the standard fix: ADC shortlist + exact re-rank recovers recall
+        rer = {(r["query_id"], r["vec_id"]) for r in
+               similarity.pq_topk(enc, B, q, k=5, rerank_factor=8).collect()}
+        assert len(exact & rer) >= 0.6 * len(exact)
+        assert len(exact & rer) >= len(exact & approx)
+
     def test_centroid_sample_survives_degenerate_first_rows(self, spark):
         """VERDICT r4 item 2: the training sample must be uniform over
         the corpus, not `.limit()` (= first file). Corpus layout: the
