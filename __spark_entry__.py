@@ -1360,6 +1360,21 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+def sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing (operators/sampling.py
+    pack_sequences): documents hash-ordered, token stream cut every 512
+    tokens; each doc reports its pack, offset, and end pack. Integer-only
+    surface; one sort + one running-sum window, no driver state."""
+    from iceberg_cpp_spark.operators import sampling
+    from iceberg_cpp_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", tx.token_count(F.col("text")).cast("long").alias("n_tokens"))
+    out = sampling.pack_sequences(with_tokens, seq_len=512)
+    return out.select("doc_id", "n_tokens", "_pack", "_offset", "_end_pack")
+
+
 def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable train/valid/test assignment by hash interval — a row never
     migrates between splits as the corpus grows."""
@@ -1875,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": text_pii_redact,
         "ice_rollback_cherry_pick": ice_rollback_cherry_pick,
         "ann_pq_topk": ann_pq_topk,
+        "sample_pack": sample_pack,
     }
 
 
@@ -2929,5 +2945,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, "rank" AS rank
             FROM read_parquet('/root/repo/assets/llm_oracles/pq.parquet')
             WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
+        """,
+        # hash_unit('pack|' || doc_id) ordering + one running sum — the
+        # same md5-interval scheme as sample_stratified/sample_split
+        "sample_pack": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN TRIM(LOWER(text)) = '' THEN 0
+                          ELSE len(regexp_split_to_array(TRIM(LOWER(text)), '\\s+'))
+                          END AS BIGINT) AS n_tokens,
+                     ('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS unit
+              FROM documents),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY unit, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM tok)
+            SELECT doc_id, n_tokens,
+                   CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS _pack,
+                   CAST((cum - n_tokens) % 512 AS BIGINT) AS _offset,
+                   CAST(FLOOR((GREATEST(cum, cum - n_tokens + 1) - 1) / 512.0)
+                     AS BIGINT) AS _end_pack
+            FROM c
         """,
     }

@@ -36,7 +36,9 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "ann_topk",
+    "ann_pq_topk",
     "text_stats",
+    "text_contamination",
     # mutation path (write/delete/maintenance regressions visible
     # round-over-round, VERDICT r03 item 5)
     "ice_merge_into",

@@ -10,6 +10,8 @@ partitioning, cluster size, or engine:
 - stratified_sample: per-group rates (e.g. per language / source)
 - weighted_mix:     combine corpora at target weights in one pass
 - split:            stable train/validation/test assignment
+- pack_sequences:   deterministic greedy packing of documents into
+                    fixed-token-budget training sequences
 
 All pure Column expressions (whole-stage codegen, no Python), and all
 expressible in ANSI SQL — each has a DuckDB oracle in the gate.
@@ -92,3 +94,40 @@ def split(df: DataFrame, weights: Sequence[float],
     # reversed-when chain: earliest interval wins, same trick as
     # text.language_id
     return df.withColumn("_split", expr)
+
+
+def pack_sequences(df: DataFrame, seq_len: int,
+                   token_col: str = "n_tokens", id_col: str = "doc_id",
+                   key_col: Optional[str] = None) -> DataFrame:
+    """Lay documents out into fixed-token training sequences the way LLM
+    pretraining does ("concat-and-split" packing): documents are ordered
+    by content hash (deterministic shuffle), their token counts
+    concatenated, and the stream cut every ``seq_len`` tokens. Adds
+
+    - `_pack`:     sequence index where the document's first token lands
+    - `_offset`:   token position within that pack
+    - `_end_pack`: sequence index of the document's last token (a doc
+      whose tokens straddle a boundary spans packs `_pack`.._end_pack`;
+      greedy whole-doc packing is inherently sequential — this split
+      layout is the standard, shuffle-expressible choice)
+
+    Scale shape: one hash-order sort + one running-sum window, no driver
+    state; the same rows produce the same packs on any partitioning. The
+    single global cumsum serializes into one window partition — for
+    >10^9-doc corpora, pre-bucket by hash prefix and pack within buckets
+    (namespacing pack ids by bucket)."""
+    from pyspark.sql.window import Window
+
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    key = F.col(key_col) if key_col else F.col(id_col)
+    order = hash_unit(key, salt="pack|")
+    w = (Window.orderBy(order.asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cost = F.col(token_col).cast("long")
+    cum = F.sum(cost).over(w)
+    prev = cum - cost
+    return (df.withColumn("_pack", F.floor(prev / seq_len))
+            .withColumn("_offset", (prev % seq_len).cast("long"))
+            .withColumn("_end_pack",
+                        F.floor((F.greatest(cum, prev + 1) - 1) / seq_len)))

@@ -255,29 +255,35 @@ def pq_topk(encoded: DataFrame, codebooks: np.ndarray, queries: DataFrame,
 
     shortlist_k = k * rerank_factor if rerank_factor else k
     q = queries.withColumn("_luts", luts(F.col(query_vec_col)))
-    joined = encoded.join(broadcast(q))
+    joined = encoded.join(broadcast(q.select(query_id_col, "_luts")))
     dist = F.aggregate(
         F.zip_with(F.col("_pq"), F.col("_luts"),
                    lambda c, lut: F.element_at(lut, c + 1)),
         F.lit(0.0), lambda acc, x: acc + x)
-    keep = [F.col(query_id_col), F.col(id_col)]
-    if rerank_factor:
-        keep += [F.col(vec_col), F.col("_luts"), F.col(query_vec_col)]
-    scored = joined.select(*keep, dist.alias("_dist"))
+    # only (query_id, id, dist) flow into the top-k shuffle — vectors and
+    # LUTs never leave the map side
+    scored = joined.select(
+        F.col(query_id_col), F.col(id_col), dist.alias("_dist"))
     w = Window.partitionBy(query_id_col).orderBy(F.asc("_dist"), F.asc(id_col))
     short = (scored.withColumn("rank", F.row_number().over(w))
              .filter(F.col("rank") <= shortlist_k))
     if not rerank_factor:
         return short.drop("_dist")
-    # exact squared-L2 on the shortlist only (JVM zip_with, no python)
+    # exact squared-L2 on the k×factor shortlist only: broadcast the tiny
+    # shortlist against the corpus to fetch its vectors, then one more
+    # tiny window (JVM zip_with, no python)
+    shortv = (encoded.select(F.col(id_col), F.col(vec_col))
+              .join(broadcast(short.select(query_id_col, id_col)), id_col)
+              .join(broadcast(queries.select(query_id_col, query_vec_col)),
+                    query_id_col))
     exact = F.aggregate(
         F.zip_with(F.col(vec_col), F.col(query_vec_col),
                    lambda a, b: (a.cast("double") - b.cast("double"))
                    * (a.cast("double") - b.cast("double"))),
         F.lit(0.0), lambda acc, x: acc + x)
     w2 = Window.partitionBy(query_id_col).orderBy(F.asc("_exact"), F.asc(id_col))
-    return (short.select(F.col(query_id_col), F.col(id_col),
-                         exact.alias("_exact"))
+    return (shortv.select(F.col(query_id_col), F.col(id_col),
+                          exact.alias("_exact"))
             .withColumn("rank", F.row_number().over(w2))
             .filter(F.col("rank") <= k).drop("_exact"))
 

@@ -125,16 +125,29 @@ def word_ngrams(col: Column, n: int) -> Column:
                     lambda i: F.concat_ws(" ", F.slice(w, i, n))))
 
 
+def _max_run_length(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array — one
+    O(G) fold (JVM aggregate), no nested lambda re-evaluation."""
+    inc = lambda acc, x: F.when(x.eqNullSafe(acc["prev"]),
+                                acc["run"] + 1).otherwise(F.lit(1))
+    return F.aggregate(
+        sorted_arr,
+        F.struct(F.lit(None).cast("string").alias("prev"),
+                 F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            inc(acc, x).alias("run"),
+            F.greatest(acc["best"], inc(acc, x)).alias("best")),
+        lambda acc: acc["best"])
+
+
 def top_ngram_count(col: Column, n: int) -> Column:
     """Occurrences of the document's most frequent word n-gram — the
     Gopher "fraction of tokens in the most common n-gram" repetition
-    signal's numerator. O(G²) array comparison per document, where G is
-    bounded by the per-document token count — per-row work, embarrassingly
-    parallel, no shuffle."""
-    g = word_ngrams(col, n)
-    return F.when(F.size(g) == 0, F.lit(0)).otherwise(
-        F.array_max(F.transform(
-            g, lambda x: F.size(F.filter(g, lambda y: y == x))))).cast("int")
+    signal's numerator. Max multiplicity = longest equal-run of the
+    sorted gram array: O(G log G) per row, embarrassingly parallel,
+    no shuffle."""
+    return _max_run_length(F.array_sort(word_ngrams(col, n))).cast("int")
 
 
 def repetition_stats(df: DataFrame, text_col: str = "text",
@@ -142,17 +155,25 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     """Per-document repetition features (Gopher quality-filter family):
     token count, 2-gram total/distinct/top counts, 5-gram total/distinct.
     Integer-only surface; callers derive the ratios (top2/n_grams2 etc.).
-    Zero Python in the hot path; one narrow projection, no shuffle."""
+    Zero Python in the hot path; no shuffle. Staged as two projections so
+    each gram array is built ONCE per row (CollapseProject keeps
+    non-cheap expressions referenced more than once in their own
+    stage — a single select would rebuild `_g2` per referencing column)."""
     c = F.col(text_col)
-    g2, g5 = word_ngrams(c, 2), word_ngrams(c, 5)
-    return df.select(
+    staged = df.select(
         F.col(id_col),
         token_count(c).cast("int").alias("n_tokens"),
-        F.size(g2).alias("n_grams2"),
-        F.size(F.array_distinct(g2)).alias("n_distinct_grams2"),
-        top_ngram_count(c, 2).alias("top2_count"),
-        F.size(g5).alias("n_grams5"),
-        F.size(F.array_distinct(g5)).alias("n_distinct_grams5"),
+        word_ngrams(c, 2).alias("_g2"),
+        word_ngrams(c, 5).alias("_g5"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.size("_g2").alias("n_grams2"),
+        F.size(F.array_distinct("_g2")).alias("n_distinct_grams2"),
+        _max_run_length(F.array_sort(F.col("_g2"))).cast("int").alias("top2_count"),
+        F.size("_g5").alias("n_grams5"),
+        F.size(F.array_distinct("_g5")).alias("n_distinct_grams5"),
     )
 
 

@@ -56,14 +56,25 @@ def incremental_read(table: IceTable, from_snapshot_id: Optional[int],
 
 
 def _stream_id(checkpoint_dir: str) -> str:
-    """Stable identity for one streaming query across restarts — derived
-    from the checkpoint location, exactly the thing Structured Streaming
-    keys its own recovery on."""
-    import hashlib
+    """Stable identity for one streaming query across restarts: Spark's
+    own persisted query id (``<checkpoint>/metadata``). Losing the
+    checkpoint generates a NEW query id, so replays after checkpoint loss
+    degrade to at-least-once (possible duplicates) — never to silent
+    data loss, which is what a path-derived id would cause when a wiped
+    checkpoint renumbers batches containing genuinely new rows below the
+    table's old watermark. Falls back to a path hash only if the
+    metadata file is unreadable (same failure mode as Iceberg's sink)."""
+    import json
     import os
 
-    return hashlib.sha1(
-        os.path.abspath(checkpoint_dir).encode()).hexdigest()[:16]
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return json.load(f)["id"]
+    except (OSError, ValueError, KeyError):
+        import hashlib
+
+        return hashlib.sha1(
+            os.path.abspath(checkpoint_dir).encode()).hexdigest()[:16]
 
 
 def _last_committed_batch(table: IceTable, stream_id: str) -> int:
@@ -97,16 +108,23 @@ def append_stream(stream_df, table: IceTable, checkpoint_dir: str,
     replay is a no-op instead of a duplicate append.
 
     Returns the StreamingQuery; caller awaits termination."""
-    sid = _stream_id(checkpoint_dir)
+    state: dict = {}
 
     def commit_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # query id is written by start(); resolve lazily on first batch
+        sid = state.setdefault("sid", _stream_id(checkpoint_dir))
+        fresh = lambda: batch_id > _last_committed_batch(table, sid)
         table.refresh()
-        if batch_id <= _last_committed_batch(table, sid):
+        if not fresh():
             return  # checkpoint replay after restart — already committed
+        # pre_check re-verifies the watermark inside the CAS retry loop:
+        # a zombie driver racing its replacement loses the CAS, refreshes,
+        # sees the batch committed, and abandons instead of re-appending
         table.append(batch_df, summary_extras={
-            "streaming.source-id": sid, "streaming.batch-id": str(batch_id)})
+            "streaming.source-id": sid, "streaming.batch-id": str(batch_id)},
+            pre_check=fresh)
 
     writer = stream_df.writeStream.foreachBatch(commit_batch) \
         .option("checkpointLocation", checkpoint_dir)
@@ -127,19 +145,22 @@ def upsert_stream(stream_df, table: IceTable, on: list[str],
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    sid = _stream_id(checkpoint_dir)
+    state: dict = {}
 
     def apply_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        sid = state.setdefault("sid", _stream_id(checkpoint_dir))
+        fresh = lambda: batch_id > _last_committed_batch(table, sid)
         table.refresh()
-        if batch_id <= _last_committed_batch(table, sid):
+        if not fresh():
             return
         w = Window.partitionBy(*on).orderBy(F.monotonically_increasing_id().desc())
         deduped = (batch_df.withColumn("_rn", F.row_number().over(w))
                    .filter(F.col("_rn") == 1).drop("_rn"))
         table.merge_into(deduped, on=on, summary_extras={
-            "streaming.source-id": sid, "streaming.batch-id": str(batch_id)})
+            "streaming.source-id": sid, "streaming.batch-id": str(batch_id)},
+            pre_check=fresh)
 
     writer = stream_df.writeStream.foreachBatch(apply_batch) \
         .option("checkpointLocation", checkpoint_dir)

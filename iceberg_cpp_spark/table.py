@@ -975,14 +975,18 @@ class IceTable:
     # --- write path (W4/W5/W6; reference transaction.h — unimplemented
     # there, implemented here) --------------------------------------------
     def append(self, df: DataFrame, branch: str = MAIN_BRANCH,
-               summary_extras: Optional[dict] = None) -> "IceTable":
+               summary_extras: Optional[dict] = None,
+               pre_check=None) -> "IceTable":
         """AppendFiles: write parquet → footer metrics → manifest →
         manifest list (carrying prior manifests) → snapshot → CAS commit.
         ``summary_extras`` adds caller keys to the snapshot summary (e.g.
-        the streaming sink's batch-id watermark for replay dedup)."""
+        the streaming sink's batch-id watermark for replay dedup);
+        ``pre_check`` abandons the commit if it returns False against the
+        freshest metadata (see _commit_files)."""
         new_files = self._write_data_files(df)
         return self._commit_files(new_files, operation=DataOperation.APPEND,
-                                  branch=branch, summary_extras=summary_extras)
+                                  branch=branch, summary_extras=summary_extras,
+                                  pre_check=pre_check)
 
     def overwrite(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "IceTable":
         """Replace the whole table contents in one snapshot."""
@@ -1352,7 +1356,8 @@ class IceTable:
                    when_matched: Optional[str] = "update",
                    when_not_matched: Optional[str] = "insert",
                    branch: str = MAIN_BRANCH,
-                   summary_extras: Optional[dict] = None) -> "IceTable":
+                   summary_extras: Optional[dict] = None,
+                   pre_check=None) -> "IceTable":
         """MERGE INTO (upsert) — ``MERGE INTO t USING s ON t.k = s.k
         WHEN MATCHED THEN UPDATE SET * | DELETE
         WHEN NOT MATCHED THEN INSERT *``. Beyond the reference (which
@@ -1404,7 +1409,8 @@ class IceTable:
                 if new_files:
                     return self._commit_files(new_files, operation=DataOperation.APPEND,
                                               branch=branch,
-                                              summary_extras=summary_extras)
+                                              summary_extras=summary_extras,
+                                              pre_check=pre_check)
             return self
         affected_df = self._read_files_with_deletes(affected)
         parts = [affected_df.join(keys, on, "left_anti")]  # unmatched rows kept
@@ -1426,7 +1432,7 @@ class IceTable:
         return self._commit_files(
             new_files, operation=DataOperation.OVERWRITE, branch=branch,
             carry_existing=True, drop_paths=affected,
-            summary_extras=summary_extras)
+            summary_extras=summary_extras, pre_check=pre_check)
 
     def rewrite_data_files(self, target_file_count: Optional[int] = None,
                            branch: str = MAIN_BRANCH,
@@ -1659,11 +1665,36 @@ class IceTable:
             raise ValueError(f"ref not found: {to_branch}")
         return self._set_ref(branch, ref.snapshot_id, "branch")
 
+    def _ancestry(self, branch: str):
+        """Snapshots from ``branch``'s head up the parent chain."""
+        ref = self.metadata.ref(branch)
+        head = (self.metadata.snapshot_by_id(ref.snapshot_id)
+                if ref is not None else None)
+        while head is not None:
+            yield head
+            head = (self.metadata.snapshot_by_id(head.parent_snapshot_id)
+                    if head.parent_snapshot_id is not None else None)
+
     def rollback_to(self, snapshot_id: int, branch: str = MAIN_BRANCH) -> "IceTable":
-        """Point ``branch`` (default main) back at an existing snapshot —
-        Iceberg's rollback_to_snapshot. Pure metadata swap
-        (SetSnapshotRef); no data is rewritten, and later snapshots stay
-        reachable for re-rollforward until expire_snapshots drops them."""
+        """Point ``branch`` (default main) back at one of its OWN earlier
+        snapshots — Iceberg's rollback_to_snapshot, which validates the
+        target is an ancestor of the head (repointing at another branch's
+        lineage is a different operation: set_current_snapshot). Pure
+        metadata swap; later snapshots stay reachable for re-rollforward
+        (set_current_snapshot) until expire_snapshots drops them."""
+        if self.metadata.snapshot_by_id(snapshot_id) is None:
+            raise ValueError(f"snapshot not found: {snapshot_id}")
+        if not any(s.snapshot_id == snapshot_id for s in self._ancestry(branch)):
+            raise ValueError(
+                f"snapshot {snapshot_id} is not an ancestor of branch "
+                f"'{branch}'; use set_current_snapshot for arbitrary repoints")
+        return self._set_ref(branch, snapshot_id, "branch")
+
+    def set_current_snapshot(self, snapshot_id: int,
+                             branch: str = MAIN_BRANCH) -> "IceTable":
+        """Point ``branch`` at ANY existing snapshot (Iceberg's
+        set_current_snapshot — the roll-forward / adopt-other-lineage
+        primitive; rollback_to is the ancestry-checked variant)."""
         if self.metadata.snapshot_by_id(snapshot_id) is None:
             raise ValueError(f"snapshot not found: {snapshot_id}")
         return self._set_ref(branch, snapshot_id, "branch")
@@ -1681,6 +1712,17 @@ class IceTable:
             raise ValueError(
                 f"only append snapshots can be cherry-picked, "
                 f"snapshot {snapshot_id} is '{snap.operation}'")
+        # refuse double-publish: the picked snapshot must be neither an
+        # ancestor of the branch head NOR already cherry-picked onto it
+        # (each publish stamps source-snapshot-id, so a second pick of the
+        # same staged commit is caught even though the publish got a new
+        # snapshot id)
+        for a in self._ancestry(branch):
+            if (a.snapshot_id == snapshot_id
+                    or a.summary.get("source-snapshot-id") == str(snapshot_id)):
+                raise ValueError(
+                    f"snapshot {snapshot_id} is already an ancestor of "
+                    f"branch '{branch}' (or was already cherry-picked)")
 
         def _live_data_files(s: Snapshot) -> dict:
             out = {}
@@ -1700,8 +1742,12 @@ class IceTable:
                 picked.pop(p, None)
         if not picked:
             return self
-        return self._commit_files(list(picked.values()),
-                                  operation=DataOperation.APPEND, branch=branch)
+        # source-snapshot-id (Iceberg's cherry-pick summary key) makes the
+        # publish traceable AND guards against a second pick (above)
+        return self._commit_files(
+            list(picked.values()), operation=DataOperation.APPEND,
+            branch=branch,
+            summary_extras={"source-snapshot-id": str(snapshot_id)})
 
     def add_files(self, paths: list[str],
                   aliases: Optional[dict[str, list[str]]] = None,
@@ -1857,11 +1903,19 @@ class IceTable:
                       branch: str = MAIN_BRANCH, carry_existing: bool = True,
                       drop_paths: Optional[set] = None,
                       drop_dv_for: Optional[set] = None,
-                      summary_extras: Optional[dict] = None) -> "IceTable":
+                      summary_extras: Optional[dict] = None,
+                      pre_check=None) -> "IceTable":
         """Optimistic-concurrency commit with retry (reference
         commit.retry.*, table_properties.h:80-85): on CAS conflict the
         metadata is refreshed and the snapshot REBUILT against the new
-        base — data files are reused, only manifests are rewritten."""
+        base — data files are reused, only manifests are rewritten.
+
+        ``pre_check`` (no-arg callable → bool) is re-evaluated against
+        the FRESH metadata before every attempt; returning False abandons
+        the commit (returns self unchanged). This is how the streaming
+        sink's replay watermark stays race-free: a zombie driver that
+        loses the CAS to its replacement re-reads the watermark after the
+        refresh and skips, instead of blindly re-committing its batch."""
         import time as _time
 
         from iceberg_cpp_spark.sources.catalog import CommitFailedError
@@ -1870,6 +1924,8 @@ class IceTable:
         backoff_ms = int(self.properties().get("commit.retry.min-wait-ms", "100"))
         last: Exception = None
         for attempt in range(retries + 1):
+            if pre_check is not None and not pre_check():
+                return self
             try:
                 return self._commit_files_once(
                     new_files, operation, branch, carry_existing, drop_paths,

@@ -562,6 +562,35 @@ class TestKMeans:
 
 
 class TestSampling:
+    def test_pack_sequences_layout(self, spark):
+        """Concat-and-split invariants + an independent pandas mirror of
+        the cumulative layout."""
+        import hashlib
+
+        from iceberg_cpp_spark.operators import sampling, text as tx
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        with_tokens = docs.select(
+            "doc_id", tx.token_count(F.col("text")).cast("long").alias("n_tokens"))
+        out = sampling.pack_sequences(with_tokens, seq_len=256).collect()
+        rows = {r["doc_id"]: r for r in out}
+        # independent mirror: same md5-interval ordering, plain python
+        units = {d: int(hashlib.md5(f"pack|{d}".encode()).hexdigest()[:8], 16)
+                 / 2**32 for d in rows}
+        order = sorted(rows, key=lambda d: (units[d], d))
+        cum = 0
+        for d in order:
+            r = rows[d]
+            assert r["_pack"] == cum // 256
+            assert r["_offset"] == cum % 256
+            cum += r["n_tokens"]
+            assert r["_end_pack"] == (max(cum, cum - r["n_tokens"] + 1) - 1) // 256
+        # stability under repartitioning (the randomSplit failure mode)
+        out2 = sampling.pack_sequences(
+            with_tokens.repartition(7), seq_len=256).collect()
+        assert {(r["doc_id"], r["_pack"], r["_offset"]) for r in out2} \
+            == {(r["doc_id"], r["_pack"], r["_offset"]) for r in out}
+
     def test_stable_under_repartition(self, spark):
         from iceberg_cpp_spark.operators import sampling
 

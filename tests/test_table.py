@@ -475,12 +475,11 @@ class TestStreamingAppend:
         assert incremental_read(t, from_snapshot_id=None).count() == 200
 
     def test_append_stream_replay_is_deduped(self, spark, lineitem, tmp_loc):
-        """Exactly-once under replay: losing the checkpoint makes Spark
-        re-deliver already-processed input as a fresh batch 0; the sink's
+        """Exactly-once under TRUE replay: a crash between the table
+        commit and the checkpoint's commit marker makes Spark re-run the
+        last batch with the SAME batch id on restart; the sink's
         snapshot-summary watermark (streaming.source-id/batch-id) must
         swallow it instead of double-appending."""
-        import shutil
-
         from iceberg_cpp_spark.streaming.incremental import append_stream
 
         src = os.path.join(tmp_loc, "rsrc")
@@ -498,13 +497,18 @@ class TestStreamingAppend:
                         for s in t.snapshots()
                         if "streaming.batch-id" in s.summary)
 
-        # crash-replay simulation: checkpoint gone, same source re-fed —
-        # Spark re-emits everything as batch ids <= the recorded watermark
-        shutil.rmtree(ckpt)
+        # crash-replay: drop the newest commit marker — on restart Spark
+        # re-executes that batch (same id, same offsets) as a replay
+        commits = os.path.join(ckpt, "commits")
+        newest = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+        os.remove(os.path.join(commits, newest))
+        crc = os.path.join(commits, f".{newest}.crc")  # hadoop checksum twin
+        if os.path.exists(crc):
+            os.remove(crc)
         q2 = append_stream(
             spark.readStream.schema(schema).parquet(src), t, ckpt)
         q2.awaitTermination(300)
-        assert t.to_df().count() == 100  # no duplicate rows
+        assert t.to_df().count() == 100  # replayed batch deduped
         assert watermark == max(int(s.summary["streaming.batch-id"])
                                 for s in t.snapshots()
                                 if "streaming.batch-id" in s.summary)

@@ -436,10 +436,19 @@ class TestTableMaintenance:
         t.rollback_to(s1)
         assert t.current_snapshot().snapshot_id == s1
         assert t.to_df().count() == 10
-        t.rollback_to(s2)  # roll forward again
+        # roll-forward is NOT a rollback (s2 is no ancestor of s1):
+        with pytest.raises(ValueError, match="not an ancestor"):
+            t.rollback_to(s2)
+        t.set_current_snapshot(s2)  # the arbitrary-repoint primitive
         assert t.to_df().count() == 15
         with pytest.raises(ValueError, match="snapshot not found"):
             t.rollback_to(12345)
+        # rollback refuses another branch's lineage too
+        t.create_branch("side", snapshot_id=s1)
+        t.append(lineitem.limit(2), branch="side")
+        side_head = t.metadata.ref("side").snapshot_id
+        with pytest.raises(ValueError, match="not an ancestor"):
+            t.rollback_to(side_head)  # main must not adopt side's head
 
     def test_cherry_pick_from_audit_branch(self, spark, lineitem, tmp_loc):
         """cherry_pick: an append staged on an audit branch is re-applied
@@ -467,6 +476,24 @@ class TestTableMaintenance:
         assert (audit_paths - base_paths) <= main_paths
         with pytest.raises(ValueError, match="snapshot not found"):
             t.cherry_pick(999)
+        # double-publish guard: the publish has a NEW snapshot id, so the
+        # source-snapshot-id summary stamp is what must catch a re-pick
+        with pytest.raises(ValueError, match="already"):
+            t.cherry_pick(staged)
+
+    def test_cherry_pick_rejects_ancestor(self, spark, lineitem, tmp_loc):
+        """Re-applying a snapshot already in the branch's ancestry would
+        double-count its rows — must refuse."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "cpa"),
+                            schema_from_spark(lineitem.schema))
+        t.append(lineitem.limit(5))
+        s1 = t.current_snapshot().snapshot_id
+        t.append(lineitem.limit(3))
+        with pytest.raises(ValueError, match="already an ancestor"):
+            t.cherry_pick(s1)
 
     def test_cherry_pick_rejects_non_append(self, spark, lineitem, tmp_loc):
         from iceberg_cpp_spark import IceTable
