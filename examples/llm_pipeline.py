@@ -1,0 +1,93 @@
+"""End-to-end training-data pipeline over the documents corpus: the
+composition a 100 TB curation job runs, expressed start-to-finish with
+this repo's operators —
+
+  quality filter → language filter → repetition filter → exact dedup →
+  MinHash near-dedup → benchmark-contamination screen → PII redaction →
+  deterministic corpus split → sequence packing → Iceberg table commit
+
+Every step is a declarative DataFrame transform (Catalyst plans the
+whole chain; nothing materializes until the final write), and every
+decision is content-hash deterministic, so the same corpus yields the
+same dataset on any cluster size.
+
+Run: python examples/llm_pipeline.py [sf_dir]   (default sf0.001)
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from iceberg_cpp_spark import IceTable
+from iceberg_cpp_spark.core.types import schema_from_spark
+from iceberg_cpp_spark.operators import dedup, sampling
+from iceberg_cpp_spark.operators import text as tx
+from iceberg_cpp_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="llm-pipeline", master="local[8]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n0 = docs.count()
+    print(f"corpus: {n0} documents")
+
+    # 1. quality + language gates — pure Column expressions, no shuffle
+    c = F.col("text")
+    kept = docs.filter((tx.quality_score(c) >= 0.5)
+                       & (tx.language_id(c) != "und"))
+
+    # 2. repetition filter (Gopher): drop docs whose top 2-gram covers
+    #    >20% of 2-gram positions
+    rep = tx.repetition_stats(kept)
+    kept = (kept.join(rep.filter((F.col("n_grams2") == 0)
+                                 | (F.col("top2_count")
+                                    <= 0.2 * F.col("n_grams2")))
+                      .select("doc_id"), "doc_id", "left_semi"))
+
+    # 3. exact then MinHash near-dedup (one shuffle each, no O(n²))
+    kept = dedup.exact_dedup(kept)
+    kept = dedup.minhash_lsh_dedup(kept)
+
+    # 4. contamination screen vs a benchmark set (here: a held-out slice)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    dirty = tx.contamination(kept.join(bench, "doc_id", "left_anti"),
+                             bench, n=4)
+    kept = (kept.join(bench, "doc_id", "left_anti")
+            .join(dirty.select("doc_id"), "doc_id", "left_anti"))
+
+    # 5. PII scrub + stable split + sequence packing
+    kept = kept.withColumn("text", tx.redact_pii(F.col("text")))
+    kept = sampling.split(kept, weights=[0.9, 0.05, 0.05])
+    kept = kept.withColumn("n_tokens",
+                           tx.token_count(F.col("text")).cast("long"))
+    packed = sampling.pack_sequences(kept, seq_len=2048)
+
+    # 6. commit the curated dataset as an Iceberg table
+    out = packed.select("doc_id", "text", "lang", "source",
+                        "_split", "n_tokens", "_pack", "_offset")
+    loc = os.path.join(tempfile.mkdtemp(prefix="llm_pipe_"), "curated")
+    t = IceTable.create(spark, loc, schema_from_spark(out.schema))
+    t.append(out)
+
+    n1 = t.to_df().count()
+    by_split = {r["_split"]: r["n"] for r in
+                t.to_df().groupBy("_split").agg(F.count("*").alias("n"))
+                .collect()}
+    n_packs = t.to_df().agg(F.max("_pack")).first()[0] + 1
+    print(f"curated: {n1}/{n0} docs kept, splits={by_split}, "
+          f"{n_packs} packed sequences of 2048 tokens")
+    print(f"table: {t.metadata_location}")
+    assert 0 < n1 < n0
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -158,7 +158,12 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     Zero Python in the hot path; no shuffle. Staged as two projections so
     each gram array is built ONCE per row (CollapseProject keeps
     non-cheap expressions referenced more than once in their own
-    stage — a single select would rebuild `_g2` per referencing column)."""
+    stage — a single select would rebuild `_g2` per referencing column).
+    Under-partitioned inputs are spread to defaultParallelism first
+    (same rationale as contamination())."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     c = F.col(text_col)
     staged = df.select(
         F.col(id_col),
@@ -186,7 +191,14 @@ def contamination(corpus: DataFrame, benchmark: DataFrame, n: int = 4,
     corpus grams explode and broadcast-hash-semi-join with NO shuffle of
     the corpus; only the per-doc count aggregation shuffles (doc_id keys,
     map-side combine). Returns (id_col, n_contaminated_grams) for hit
-    documents only."""
+    documents only. Under-partitioned inputs (one small file) are spread
+    to defaultParallelism first so gram construction uses every core —
+    at scale the input is already wide and no extra shuffle happens."""
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par)
+    if benchmark.rdd.getNumPartitions() < par:
+        benchmark = benchmark.repartition(par)
     grams = corpus.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
     bench_grams = (benchmark
