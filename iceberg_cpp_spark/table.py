@@ -972,6 +972,54 @@ class IceTable:
             rows, "snapshot_id long, parent_id long, sequence_number long, "
                   "committed_at_ms long, operation string, manifest_list string")
 
+    def refs_df(self) -> DataFrame:
+        """Branch/tag references (the `refs` metadata table)."""
+        rows = [
+            (name, r.type, r.snapshot_id, r.max_ref_age_ms,
+             r.min_snapshots_to_keep, r.max_snapshot_age_ms)
+            for name, r in sorted(self.metadata.refs.items())
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, type string, snapshot_id long, "
+                  "max_reference_age_in_ms long, min_snapshots_to_keep int, "
+                  "max_snapshot_age_in_ms long")
+
+    def history_df(self) -> DataFrame:
+        """Snapshot log with ancestry flags (the `history` metadata
+        table): is_current_ancestor marks entries reachable from the
+        current head — rolled-back lineage shows false."""
+        ancestors = {s.snapshot_id for s in self._ancestry(MAIN_BRANCH)}
+        rows = [
+            (e["timestamp-ms"], e["snapshot-id"],
+             e["snapshot-id"] in ancestors)
+            for e in self.metadata.snapshot_log
+        ]
+        return self.spark.createDataFrame(
+            rows, "made_current_at_ms long, snapshot_id long, "
+                  "is_current_ancestor boolean")
+
+    def entries_df(self) -> DataFrame:
+        """Manifest entries of the current snapshot (the `entries`
+        metadata table): one row per (manifest, data/delete file) with
+        status and sequence numbers — metadata-scale, no data read."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return self.spark.createDataFrame(
+                [], "status int, snapshot_id long, sequence_number long, "
+                    "file_path string, content int, record_count long")
+        rows = []
+        schema = self.schema()
+        for m in mf.read_manifest_list(snap.manifest_list):
+            spec = self.metadata.spec_by_id(m.partition_spec_id)
+            for e in mf.read_manifest(m.manifest_path, spec, schema,
+                                      manifest=m):
+                rows.append((e.status, e.snapshot_id, e.sequence_number,
+                             e.data_file.file_path, e.data_file.content,
+                             e.data_file.record_count))
+        return self.spark.createDataFrame(
+            rows, "status int, snapshot_id long, sequence_number long, "
+                  "file_path string, content int, record_count long")
+
     # --- write path (W4/W5/W6; reference transaction.h — unimplemented
     # there, implemented here) --------------------------------------------
     def append(self, df: DataFrame, branch: str = MAIN_BRANCH,

@@ -591,6 +591,23 @@ class TestSampling:
         assert {(r["doc_id"], r["_pack"], r["_offset"]) for r in out2} \
             == {(r["doc_id"], r["_pack"], r["_offset"]) for r in out}
 
+    def test_pack_sequences_edges(self, spark):
+        from iceberg_cpp_spark.operators import sampling
+
+        df = spark.createDataFrame(
+            [(1, 0), (2, 700), (3, 12)], "doc_id long, n_tokens long")
+        out = {r["doc_id"]: r for r in
+               sampling.pack_sequences(df, seq_len=512).collect()}
+        # zero-token doc occupies no span: end pack == start pack
+        assert out[1]["_end_pack"] == out[1]["_pack"]
+        # oversized doc straddles exactly ceil(700/512) - aligned packs
+        big = out[2]
+        assert big["_end_pack"] >= big["_pack"]
+        total = sum(r["n_tokens"] for r in out.values())
+        assert max(r["_end_pack"] for r in out.values()) == (total - 1) // 512
+        with pytest.raises(ValueError, match="seq_len"):
+            sampling.pack_sequences(df, seq_len=0)
+
     def test_stable_under_repartition(self, spark):
         from iceberg_cpp_spark.operators import sampling
 

@@ -572,6 +572,33 @@ class TestMetadataTables:
         assert sdf.count() == 2
         assert sdf.filter(F.col("operation") == "append").count() == 2
 
+    def test_refs_history_entries_df(self, spark, lineitem, tmp_loc):
+        t = IceTable.create(spark, os.path.join(tmp_loc, "mdt"),
+                            schema_from_spark(lineitem.schema))
+        t.append(lineitem.limit(10))
+        s1 = t.current_snapshot().snapshot_id
+        t.create_tag("v1")
+        t.create_branch("dev")
+        t.append(lineitem.limit(5))
+        s2 = t.current_snapshot().snapshot_id
+
+        refs = {r["name"]: r for r in t.refs_df().collect()}
+        assert set(refs) == {"main", "v1", "dev"}
+        assert refs["v1"]["type"] == "tag" and refs["v1"]["snapshot_id"] == s1
+        assert refs["main"]["snapshot_id"] == s2
+
+        hist = {r["snapshot_id"]: r["is_current_ancestor"]
+                for r in t.history_df().collect()}
+        assert hist.get(s1) is True and hist.get(s2) is True
+        t.rollback_to(s1)
+        hist = {r["snapshot_id"]: r["is_current_ancestor"]
+                for r in t.history_df().collect()}
+        assert hist.get(s2) is False  # rolled-back lineage flagged
+
+        entries = t.entries_df()
+        assert entries.count() == len(t.scan().plan_files())
+        assert entries.agg(F.sum("record_count")).first()[0] == 10
+
 
 class TestLargeScalePlanning:
     def test_plan_100k_files(self, spark, tmp_loc):
