@@ -1528,6 +1528,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(idx, C, q, k=5, nprobe=4).select("query_id", "vec_id", "rank")
 
 
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy cross-corpus decontamination (operators/dedup.py
+    minhash_cross_pairs): odd-id documents screened against the even-id
+    'benchmark' half via shared minhash banding + exact 3-gram Jaccard
+    ≥ 0.5 verify — catches paraphrase-level overlap the verbatim n-gram
+    screen misses. Oracle: fixture parquet from the independent numpy
+    mirror (scripts/gen_llm_fixtures.py)."""
+    from iceberg_cpp_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 1)
+    bench = docs.filter(F.col("doc_id") % 2 == 0)
+    return (dedup.minhash_cross_pairs(corpus, bench, verify_jaccard=0.5)
+            .select("id_a", "id_b"))
+
+
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization approximate top-k — the memory side of the
     100 TB path (operators/similarity.py train_pq/pq_encode/pq_topk):
@@ -1891,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_rollback_cherry_pick": ice_rollback_cherry_pick,
         "ann_pq_topk": ann_pq_topk,
         "sample_pack": sample_pack,
+        "dedup_cross_corpus": dedup_cross_corpus,
     }
 
 
@@ -2968,5 +2985,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((GREATEST(cum, cum - n_tokens + 1) - 1) / 512.0)
                      AS BIGINT) AS _end_pack
             FROM c
+        """,
+        "dedup_cross_corpus": """
+            SELECT id_a, id_b
+            FROM read_parquet('/root/repo/assets/llm_oracles/cross.parquet')
+            WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
         """,
     }

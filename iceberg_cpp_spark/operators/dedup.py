@@ -262,6 +262,59 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 # Exact n-gram Jaccard (verification on candidate pairs)
 # ---------------------------------------------------------------------------
 
+def minhash_cross_pairs(corpus: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_perm: int = 128, bands: int = 32,
+                        shingle_width: int = 3,
+                        verify_jaccard: Optional[float] = None) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora — fuzzy decontamination:
+    where the n-gram screen (text.contamination) needs verbatim overlap,
+    this catches benchmark documents that survive light paraphrase. Both
+    sides are banded with the SAME minhash permutations; a bucket-
+    equality join nominates candidates; with ``verify_jaccard`` each is
+    confirmed by exact n-gram Jaccard. Returns (corpus side ``id_a``,
+    benchmark side ``id_b``[, ``jaccard``]) distinct pairs.
+
+    Scale shape: each side shuffles once on (band, bucket); the join is
+    bucket-local (benchmark side is small → AQE broadcasts it); no cross
+    product; verification cost is O(candidates)."""
+    assert num_perm % bands == 0, "num_perm must divide evenly into bands"
+    r = num_perm // bands
+    sig = minhash_signature_udf(num_perm, shingle_width)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+
+    def banded(df: DataFrame, out_id: str) -> DataFrame:
+        src = df.select(F.col(id_col), F.col(text_col))
+        if src.rdd.getNumPartitions() < par:
+            src = src.repartition(par)
+        with_sig = src.select(F.col(id_col).alias(out_id),
+                              sig(F.col(text_col)).alias("_sig"))
+        band_hashes = F.array(*[
+            F.xxhash64(F.concat_ws(
+                ",", F.slice("_sig", i * r + 1, r).cast("array<string>")))
+            for i in range(bands)
+        ])
+        return with_sig.select(
+            out_id, F.posexplode(band_hashes).alias("_band", "_bucket"))
+
+    pairs = (banded(corpus, "id_a")
+             .join(banded(benchmark, "id_b"), ["_band", "_bucket"])
+             .select("id_a", "id_b").distinct())
+    if verify_jaccard is None:
+        return pairs
+    grams_a = corpus.select(F.col(id_col).alias("id_a"),
+                            ngram_set(F.col(text_col), shingle_width).alias("_ga"))
+    grams_b = benchmark.select(F.col(id_col).alias("id_b"),
+                               ngram_set(F.col(text_col), shingle_width).alias("_gb"))
+    joined = pairs.join(grams_a, "id_a").join(grams_b, "id_b")
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = F.size(F.array_union("_ga", "_gb")).cast("double")
+    return (joined.select(
+        "id_a", "id_b",
+        F.when(union > 0, inter / union).otherwise(F.lit(1.0)).alias("jaccard"))
+        .filter(F.col("jaccard") >= verify_jaccard))
+
+
 def ngram_set(col: Column, n: int = 3) -> Column:
     """Distinct word n-gram array, JVM-side (no python)."""
     words = F.split(F.trim(F.lower(col)), r"\s+")

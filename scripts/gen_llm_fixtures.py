@@ -166,7 +166,8 @@ def jvm_norm(x) -> float:
 def main():
     os.makedirs(OUT, exist_ok=True)
     rows = {k: [] for k in ["minhash", "minhash_verified", "simhash",
-                            "embedding", "transitive", "ivf", "pq"]}
+                            "embedding", "transitive", "ivf", "pq",
+                            "cross"]}
 
     for sf_dir in SF_DIRS:
         docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
@@ -203,6 +204,28 @@ def main():
         tdrop = {x for x in uf.p if uf.find(x) != x}
         for d in sorted(set(map(int, ids)) - tdrop):
             rows["transitive"].append((tag, d))
+
+        # dedup_cross_corpus: corpus = odd doc_ids, benchmark = even;
+        # same 128-perm/32-band spec, bucket-equality join across the
+        # two sides, exact 3-gram jaccard >= 0.5 verify. Band keys here
+        # are raw signature tuples; the engine xxhashes the same tuples —
+        # bucket equality is identical (same argument as band_buckets).
+        even = {int(i) for i in ids if i % 2 == 0}
+        cb: dict[tuple, list[int]] = {}
+        bb: dict[tuple, list[int]] = {}
+        for i, s in zip(ids, sigs):
+            tgt = bb if int(i) in even else cb
+            for band in range(32):
+                tgt.setdefault((band, tuple(s[band * 4:(band + 1) * 4])),
+                               []).append(int(i))
+        cross = set()
+        for k, members in bb.items():
+            for a in cb.get(k, []):
+                for b in members:
+                    cross.add((a, b))
+        for a, b in sorted(cross):
+            if jaccard(grams[a], grams[b]) >= 0.5:
+                rows["cross"].append((tag, a, b))
 
         # dedup_simhash: bands=4, 16-bit chunks
         sh = {int(i): simhash64(t) for i, t in zip(ids, texts)}
@@ -333,7 +356,8 @@ def main():
                        ("transitive", ["tag", "doc_id"]),
                        ("embedding", ["tag", "vec_id"]),
                        ("ivf", ["tag", "query_id", "vec_id", "rank"]),
-                       ("pq", ["tag", "query_id", "vec_id", "rank"])]:
+                       ("pq", ["tag", "query_id", "vec_id", "rank"]),
+                       ("cross", ["tag", "id_a", "id_b"])]:
         df = pd.DataFrame(rows[name], columns=cols).astype("int64")
         path = os.path.join(OUT, f"{name}.parquet")
         df.to_parquet(path, index=False)

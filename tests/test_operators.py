@@ -171,6 +171,35 @@ class TestGoldenVectors:
         assert got == {1: 34537, 2: 30851, 3: 30998}
 
 
+class TestCrossCorpusPairs:
+    def test_near_copy_across_corpora_found(self, spark):
+        base = ("the quick brown fox jumps over the lazy dog and then "
+                "runs far away into the deep dark woods tonight")
+        corpus = spark.createDataFrame([
+            (1, base),
+            (3, "completely different words about spark partitions here "
+                "nothing shared with anything else at all today"),
+        ], "doc_id long, text string")
+        bench = spark.createDataFrame([
+            (2, base.replace("tonight", "tomorrow")),  # near-copy of 1
+            (4, "unrelated benchmark prose entirely of its own style and "
+                "topic never overlapping the corpus text"),
+        ], "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]) for r in
+               dedup.minhash_cross_pairs(corpus, bench,
+                                         verify_jaccard=0.5).collect()}
+        assert got == {(1, 2)}
+
+    def test_verify_threshold_filters(self, spark):
+        a = spark.createDataFrame([(1, "alpha beta gamma delta epsilon")],
+                                  "doc_id long, text string")
+        b = spark.createDataFrame([(2, "alpha beta gamma delta epsilon")],
+                                  "doc_id long, text string")
+        exact = dedup.minhash_cross_pairs(a, b, verify_jaccard=0.99).collect()
+        assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in exact] \
+            == [(1, 2, 1.0)]
+
+
 class TestSimHash:
     def test_catches_near_duplicates(self, dup_docs):
         out = dedup.simhash_dedup(dup_docs)
