@@ -876,6 +876,29 @@ def ice_rollback_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.to_df().groupBy("l_returnflag").agg(F.count("*").alias("n"))
 
 
+def ice_nested_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-type end-to-end gate: struct/array/map columns survive
+    schema conversion (core/types.py nested field-ID assignment), the
+    parquet write, and the scan; aggregates read back through nested
+    accessors. Decimal sums — order-independent, no float flap."""
+    li = _t(spark, sf_dir, "lineitem")
+    nested = li.select(
+        "l_orderkey",
+        F.struct(F.col("l_quantity").alias("qty"),
+                 F.col("l_extendedprice").alias("price")).alias("item"),
+        F.array("l_discount", "l_tax").alias("rates"),
+        F.create_map(F.lit("flag"), F.col("l_returnflag")).alias("tags"))
+    t = _fresh_table(spark, sf_dir, nested, "nested")
+    t.append(nested)
+    out = t.to_df()
+    return out.groupBy(F.col("tags")["flag"].alias("flag")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("item.qty").cast("decimal(18,2)"))
+        .cast("double").alias("sum_qty"),
+        F.sum(F.element_at("rates", 1).cast("decimal(18,4)"))
+        .cast("double").alias("sum_disc"))
+
+
 def ice_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     """copy-on-write row-level delete (beyond the reference, which errors
     on deletes — table_scan.cc:288-291)."""
@@ -1908,6 +1931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": ann_pq_topk,
         "sample_pack": sample_pack,
         "dedup_cross_corpus": dedup_cross_corpus,
+        "ice_nested_types": ice_nested_types,
     }
 
 
@@ -2990,5 +3014,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b
             FROM read_parquet('/root/repo/assets/llm_oracles/cross.parquet')
             WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
+        """,
+        "ice_nested_types": """
+            SELECT l_returnflag AS flag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+            FROM lineitem GROUP BY l_returnflag
         """,
     }

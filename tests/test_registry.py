@@ -42,6 +42,7 @@ def test_driver_cap_window_composition():
         "ice_rollback_cherry_pick",  # ref management (ice_time_travel in-window)
         "ann_pq_topk",      # PQ compression path (ann_ivf_topk in-window)
         "dedup_cross_corpus",  # cross-corpus LSH (dedup_minhash in-window)
+        "ice_nested_types",  # nested struct/array/map (ice_typed_columns in-window)
     }
     for n in names:
         if n in judge_only_extras:

@@ -561,6 +561,39 @@ class TestUpsertStream:
                           "and l_returnflag = 'Z'").count() == 0
 
 
+class TestNestedTypes:
+    def test_struct_array_map_roundtrip(self, spark, lineitem, tmp_loc):
+        """Nested columns keep their shape and values through schema
+        conversion, parquet field-ID stamping, and the scan."""
+        nested = lineitem.select(
+            "l_orderkey",
+            F.struct(F.col("l_quantity").alias("qty"),
+                     F.col("l_returnflag").alias("flag")).alias("item"),
+            F.array("l_discount", "l_tax").alias("rates"),
+            F.create_map(F.lit("k"), F.col("l_linestatus")).alias("tags"))
+        t = IceTable.create(spark, os.path.join(tmp_loc, "nest"),
+                            schema_from_spark(nested.schema))
+        t.append(nested)
+        out = t.to_df()
+        assert dict(out.dtypes) == dict(nested.dtypes)
+        got = out.selectExpr("sum(item.qty)", "sum(rates[1])",
+                             "count(tags['k'])").first()
+        exp = nested.selectExpr("sum(item.qty)", "sum(rates[1])",
+                                "count(tags['k'])").first()
+        assert got == exp
+        # nested fields got distinct iceberg field IDs
+        sch = t.schema()
+        ids = []
+        def walk(fields):
+            for f in fields:
+                ids.append(f.field_id)
+                inner = getattr(f.field_type, "fields", None)
+                if inner:
+                    walk(inner)
+        walk(sch.fields)
+        assert len(ids) == len(set(ids)) and len(ids) >= 6
+
+
 class TestMetadataTables:
     def test_files_df(self, spark, li_table):
         fdf = li_table.files_df()
