@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -447,6 +448,10 @@ class IcebergCppWriter(DataSourceArrowWriter):
     def commit(self, messages) -> None:
         """Driver-side: ONE snapshot for all executor files (two-phase
         commit; the table's CAS protects against concurrent writers)."""
+        self._commit_messages(messages)
+
+    def _commit_messages(self, messages, summary_extras=None,
+                         pre_check=None) -> None:
         from iceberg_cpp_spark.core import manifests as mf
         from iceberg_cpp_spark.core.metadata import DataOperation
         from iceberg_cpp_spark.core.metrics import collect_metrics
@@ -476,9 +481,14 @@ class IcebergCppWriter(DataSourceArrowWriter):
             ))
         op = DataOperation.OVERWRITE if self.overwrite else DataOperation.APPEND
         table._commit_files(files, operation=op,
-                            carry_existing=not self.overwrite)
+                            carry_existing=not self.overwrite,
+                            summary_extras=summary_extras,
+                            pre_check=pre_check)
 
     def abort(self, messages) -> None:
+        self._remove_files(messages)
+
+    def _remove_files(self, messages) -> None:
         for m in messages:
             if not m:
                 continue
@@ -487,6 +497,48 @@ class IcebergCppWriter(DataSourceArrowWriter):
                     os.remove(e["path"] if isinstance(e, dict) else e)
                 except OSError:
                     pass
+
+
+class IcebergCppStreamWriter(IcebergCppWriter, DataSourceStreamArrowWriter):
+    """`df.writeStream.format("icecpp")` sink: executors reuse the batch
+    fanout writer per micro-batch; the driver commits ONE append snapshot
+    per micro-batch stamped with (streaming.source-id, batch-id) — the
+    same exactly-once watermark as streaming/incremental.append_stream,
+    re-checked inside the CAS retry, so checkpoint replays and zombie
+    drivers are swallowed instead of double-appended. The replayed
+    batch's freshly-written duplicate files are removed.
+
+    Set `.option("streaming-source-id", ...)` when several distinct
+    streaming queries append to one table; it defaults to a constant, so
+    by default ALL icecpp writeStream queries on a table share one
+    batch-id watermark."""
+
+    def __init__(self, options):
+        IcebergCppWriter.__init__(self, options, overwrite=False)
+        self.stream_id = options.get("streaming-source-id",
+                                     "icecpp-writestream")
+
+    def commit(self, messages, batchId: int) -> None:
+        from iceberg_cpp_spark.streaming.incremental import (
+            _last_committed_batch)
+
+        def fresh() -> bool:
+            # re-load metadata on every evaluation: inside the CAS retry
+            # the relevant state is whatever the WINNING committer wrote
+            t = _load_table(self.options)
+            return batchId > _last_committed_batch(t, self.stream_id)
+
+        if not fresh():
+            self._remove_files(messages)  # replay: drop duplicate files
+            return
+        self._commit_messages(
+            messages,
+            summary_extras={"streaming.source-id": self.stream_id,
+                            "streaming.batch-id": str(batchId)},
+            pre_check=fresh)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._remove_files(messages)
 
 
 class IcebergCppStreamReader(SimpleDataSourceStreamReader):
@@ -589,3 +641,9 @@ class IcebergCppDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> IcebergCppStreamReader:
         return IcebergCppStreamReader(self.options, schema)
+
+    def streamWriter(self, schema, overwrite: bool) -> IcebergCppStreamWriter:
+        if overwrite:
+            raise ValueError(
+                "icecpp streaming sink supports append mode only")
+        return IcebergCppStreamWriter(self.options)

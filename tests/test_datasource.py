@@ -157,6 +157,65 @@ class TestWrite:
         assert t.scan(filter=flt).to_df().count() == exp
 
 
+class TestStreamWrite:
+    def test_writestream_commits_and_dedupes_replay(self, registered,
+                                                    lineitem, tmp_loc):
+        """Native `writeStream.format('icecpp')`: one snapshot per
+        micro-batch; a crash-replay (commit marker dropped) re-runs the
+        batch and must be swallowed by the batch-id watermark, with the
+        replay's duplicate files removed."""
+        src = os.path.join(tmp_loc, "wsrc")
+        lineitem.limit(80).repartition(2).write.parquet(src)
+        schema = registered.read.parquet(src).schema
+        loc = os.path.join(tmp_loc, "wsink")
+        t = IceTable.create(registered, loc, schema_from_spark(schema))
+        ckpt = os.path.join(tmp_loc, "wckpt")
+
+        def run():
+            q = (registered.readStream.schema(schema).parquet(src)
+                 .writeStream.format("icecpp")
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start(loc))
+            q.awaitTermination(300)
+
+        run()
+        t.refresh()
+        assert t.to_df().count() == 80
+        assert any("streaming.batch-id" in s.summary for s in t.snapshots())
+        n_files = len(t.scan().plan_files())
+
+        # crash-replay: drop the newest commit marker, same checkpoint
+        commits = os.path.join(ckpt, "commits")
+        newest = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+        os.remove(os.path.join(commits, newest))
+        crc = os.path.join(commits, f".{newest}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        run()
+        t.refresh()
+        assert t.to_df().count() == 80          # no duplicate rows
+        assert len(t.scan().plan_files()) == n_files  # no duplicate files
+
+        # new data with intact checkpoint still lands
+        lineitem.limit(100).exceptAll(lineitem.limit(80)) \
+            .repartition(1).write.mode("append").parquet(src)
+        run()
+        t.refresh()
+        assert t.to_df().count() == 100
+
+    def test_writestream_rejects_complete_mode(self, registered, lineitem,
+                                               tmp_loc):
+        loc = os.path.join(tmp_loc, "wrej")
+        IceTable.create(registered, loc, schema_from_spark(
+            lineitem.limit(1).schema))
+        # streamWriter(overwrite=True) must refuse — append-only sink
+        from iceberg_cpp_spark.sources.spark_datasource import (
+            IcebergCppDataSource)
+        ds = IcebergCppDataSource({"path": loc})
+        with pytest.raises(ValueError, match="append mode only"):
+            ds.streamWriter(None, True)
+
+
 class TestStreamRead:
     def test_stream_all_then_delta(self, registered, lineitem, tmp_loc):
         loc = os.path.join(tmp_loc, "s")
