@@ -450,6 +450,34 @@ class TestConcurrentCommits:
         with pytest.raises(FileExistsError):
             t2.append(lineitem.limit(5))
 
+    def test_pre_check_abandons_after_cas_loss(self, spark, lineitem, tmp_loc):
+        """The zombie-driver scenario, deterministically: a stale handle
+        races its replacement with the SAME streaming batch. The stale
+        handle's CAS fails, it refreshes, its pre_check sees the batch
+        already committed, and the commit is ABANDONED — never rebased
+        into a duplicate append."""
+        loc = os.path.join(tmp_loc, "zc")
+        t1 = IceTable.create(spark, loc, schema_from_spark(lineitem.schema),
+                             properties={"commit.retry.min-wait-ms": "1"})
+        t1.append(lineitem.limit(10))
+        t2 = IceTable.load(spark, loc)  # the zombie's stale handle
+
+        def committed(table, batch_id) -> bool:
+            return any(s.summary.get("streaming.batch-id") == str(batch_id)
+                       for s in table.metadata.snapshots)
+
+        # replacement driver commits batch 7 first
+        t1.append(lineitem.limit(5), summary_extras={
+            "streaming.source-id": "q", "streaming.batch-id": "7"})
+        # zombie tries the same batch: CAS loses, refresh, pre_check stops it
+        t2.append(lineitem.limit(5), summary_extras={
+            "streaming.source-id": "q", "streaming.batch-id": "7"},
+            pre_check=lambda: not committed(t2, 7))
+        t2.refresh()
+        assert t2.to_df().count() == 15  # 10 + one batch-7, not two
+        assert sum(1 for s in t2.metadata.snapshots
+                   if s.summary.get("streaming.batch-id") == "7") == 1
+
 
 class TestStreamingAppend:
     def test_append_stream_commits_snapshots(self, spark, lineitem, tmp_loc):
