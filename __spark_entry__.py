@@ -1647,6 +1647,30 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.contamination(corpus, bench, n=4)
 
 
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character chunking (operators/text.py chunk_documents:
+    chunk 200 chars, overlap 50). Hash surface: chunk index, length, md5
+    — integers/strings only."""
+    from iceberg_cpp_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tx.chunk_documents(docs, chunk_chars=200, overlap_chars=50)
+    return out.select(
+        "doc_id", "chunk_idx",
+        F.length("chunk_text").alias("n_chars"),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"))
+
+
+def text_token_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency features (operators/text.py
+    token_frequency_stats) — the integer-safe core of a unigram-LM
+    quality filter; -Σ log p derives from these counts downstream."""
+    from iceberg_cpp_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return tx.token_frequency_stats(docs)
+
+
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (operators/text.py redact_pii): deterministic synthetic
     email / IPv4 / SSN literals are salted into each document keyed on
@@ -1932,6 +1956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_pack": sample_pack,
         "dedup_cross_corpus": dedup_cross_corpus,
         "ice_nested_types": ice_nested_types,
+        "text_chunking": text_chunking,
+        "text_token_familiarity": text_token_familiarity,
     }
 
 
@@ -3020,5 +3046,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
             FROM lineitem GROUP BY l_returnflag
+        """,
+        # chunk i starts at i*(200-50); last chunk short; empty doc -> one
+        # empty chunk. generate_series upper bound GREATEST(len-1, 0)
+        # mirrors the Spark sequence exactly.
+        "text_chunking": """
+            SELECT doc_id,
+                   CAST(i / 150 AS INT) AS chunk_idx,
+                   CAST(LENGTH(SUBSTR(text, i + 1, 200)) AS INT) AS n_chars,
+                   MD5(SUBSTR(text, i + 1, 200)) AS chunk_md5
+            FROM documents,
+                 unnest(generate_series(0, GREATEST(LENGTH(text) - 1, 0), 150))
+                   AS t(i)
+        """,
+        "text_token_familiarity": """
+            WITH w AS (
+              SELECT doc_id, unnest(regexp_split_to_array(
+                       TRIM(LOWER(text)), '\\s+')) AS _w
+              FROM documents WHERE TRIM(LOWER(text)) <> ''),
+            freqs AS (SELECT _w, COUNT(*) AS _freq FROM w GROUP BY _w)
+            SELECT w.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(f._freq) AS BIGINT) AS sum_freq,
+                   CAST(MIN(f._freq) AS BIGINT) AS min_freq
+            FROM w JOIN freqs f USING (_w)
+            GROUP BY w.doc_id
         """,
     }

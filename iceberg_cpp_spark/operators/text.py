@@ -12,6 +12,8 @@ expressions (JVM-side, whole-stage codegen; no python in the hot path).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -235,6 +237,57 @@ def pii_counts(col: Column) -> list[Column]:
     n_ipv4) — counted on the ORIGINAL text, in PII_PATTERNS order."""
     return [F.regexp_count(col, F.lit(pat)).cast("int").alias(f"n_{name}")
             for name, pat, _ in PII_PATTERNS]
+
+
+def chunk_documents(df: DataFrame, chunk_chars: int = 1000,
+                    overlap_chars: int = 100, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into overlapping character chunks (the upstream
+    step pack_sequences assumes for oversized docs, and the RAG indexing
+    primitive). Pure JVM: sequence → substring → posexplode; chunk i
+    starts at i·(chunk−overlap), consecutive chunks overlap by
+    ``overlap_chars``, the last chunk may be shorter, an empty document
+    yields one empty chunk (the row is never lost). No shuffle; output
+    grows by ~len/(chunk−overlap) rows per doc."""
+    if not 0 <= overlap_chars < chunk_chars:
+        raise ValueError(f"need 0 <= overlap {overlap_chars} < chunk {chunk_chars}")
+    step = chunk_chars - overlap_chars
+    c = F.col(text_col)
+    starts = F.sequence(F.lit(0), F.greatest(F.length(c) - 1, F.lit(0)),
+                        F.lit(step))
+    chunks = F.transform(starts, lambda s: F.substring(c, s + 1, chunk_chars))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+
+
+def token_frequency_stats(df: DataFrame, freq_source: Optional[DataFrame] = None,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Corpus-familiarity features — the integer-safe core of a unigram
+    LM quality filter (CCNet-style: documents made of corpus-rare tokens
+    are low-quality or out-of-domain; -Σ log p derives from these counts
+    in the caller's float policy of choice). Per document, against word
+    frequencies counted over ``freq_source`` (default: ``df`` itself):
+
+      n_tokens, sum_freq (Σ corpus count of each token occurrence),
+      min_freq (rarest token's corpus count; 0 when any token is OOV).
+
+    Scale shape: one groupBy(word) over the exploded freq source
+    (map-side combine), result broadcast-joined to the exploded corpus
+    (frequency tables are vocabulary-sized, millions not billions), one
+    final groupBy(doc). All integers — no cross-engine float surface."""
+    src = freq_source if freq_source is not None else df
+    freqs = (src.select(F.explode(words(F.col(text_col))).alias("_w"))
+             .groupBy("_w").agg(F.count("*").alias("_freq")))
+    toks = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("_w"))
+    return (toks.join(F.broadcast(freqs), "_w", "left")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum(F.coalesce("_freq", F.lit(0)))
+                 .cast("long").alias("sum_freq"),
+                 F.min(F.coalesce("_freq", F.lit(0)))
+                 .cast("long").alias("min_freq")))
 
 
 def analyze_documents(df: DataFrame, text_col: str = "text",

@@ -466,6 +466,34 @@ class TestText:
                for r in text.contamination(corpus, bench, n=4).collect()}
         assert got == {1: 3}
 
+    def test_chunk_documents_golden(self, spark):
+        df = spark.createDataFrame(
+            [(1, "abcdefghij"), (2, ""), (3, "xy")],
+            "doc_id long, text string")
+        got = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"] for r in
+               text.chunk_documents(df, chunk_chars=4, overlap_chars=2)
+               .collect()}
+        # step=2: starts 0,2,4,6,8 for len 10; last chunks shorten
+        assert got == {(1, 0): "abcd", (1, 1): "cdef", (1, 2): "efgh",
+                       (1, 3): "ghij", (1, 4): "ij",
+                       (2, 0): "", (3, 0): "xy"}
+        with pytest.raises(ValueError, match="overlap"):
+            text.chunk_documents(df, chunk_chars=4, overlap_chars=4)
+
+    def test_token_frequency_stats_golden(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+        # corpus freqs: a=2, b=2, c=1
+        got = {r["doc_id"]: (r["n_tokens"], r["sum_freq"], r["min_freq"])
+               for r in text.token_frequency_stats(df).collect()}
+        assert got == {1: (3, 6, 2), 2: (2, 3, 1)}
+        # external freq source: OOV tokens count 0 and floor min_freq
+        ref = spark.createDataFrame([(9, "a b")], "doc_id long, text string")
+        got2 = {r["doc_id"]: (r["n_tokens"], r["sum_freq"], r["min_freq"])
+                for r in text.token_frequency_stats(df, freq_source=ref)
+                .collect()}
+        assert got2 == {1: (3, 3, 1), 2: (2, 1, 0)}
+
     def test_pii_redaction_and_counts(self, spark):
         df = spark.createDataFrame([
             (1, "mail bob.smith+x@ex-a.co.uk from 10.0.3.7 ssn 123-45-6789 end"),

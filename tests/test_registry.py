@@ -43,6 +43,8 @@ def test_driver_cap_window_composition():
         "ann_pq_topk",      # PQ compression path (ann_ivf_topk in-window)
         "dedup_cross_corpus",  # cross-corpus LSH (dedup_minhash in-window)
         "ice_nested_types",  # nested struct/array/map (ice_typed_columns in-window)
+        "text_chunking",    # char chunking (text_stats in-window)
+        "text_token_familiarity",  # unigram familiarity (text_quality in-window)
     }
     for n in names:
         if n in judge_only_extras:
