@@ -1671,6 +1671,23 @@ def text_token_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.token_frequency_stats(docs)
 
 
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE token counts (operators/bpe.py): merge table trained on
+    a crc32-ordered uniform sample (num_merges=100), applied distributed
+    via an Arrow-batched UDF with per-worker word caching. Oracle:
+    fixture parquet from an INDEPENDENT implementation — Counter+regex
+    training, sequential in-rank-order encoding (Sennrich) vs the
+    engine's greedy lowest-rank loop (GPT-2); for a trained table the
+    two schemes must agree, so divergence fails loudly."""
+    from iceberg_cpp_spark.operators import bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(docs, num_merges=100, sample_rows=4000,
+                           id_col="doc_id")
+    return docs.select(
+        "doc_id", bpe.bpe_token_count(docs, merges).alias("n_bpe"))
+
+
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub (operators/text.py redact_pii): deterministic synthetic
     email / IPv4 / SSN literals are salted into each document keyed on
@@ -1958,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_nested_types": ice_nested_types,
         "text_chunking": text_chunking,
         "text_token_familiarity": text_token_familiarity,
+        "text_bpe_tokens": text_bpe_tokens,
     }
 
 
@@ -3071,5 +3089,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(f._freq) AS BIGINT) AS min_freq
             FROM w JOIN freqs f USING (_w)
             GROUP BY w.doc_id
+        """,
+        "text_bpe_tokens": """
+            SELECT doc_id, n_bpe
+            FROM read_parquet('/root/repo/assets/llm_oracles/bpe.parquet')
+            WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
         """,
     }

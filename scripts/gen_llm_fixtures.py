@@ -167,7 +167,7 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     rows = {k: [] for k in ["minhash", "minhash_verified", "simhash",
                             "embedding", "transitive", "ivf", "pq",
-                            "cross"]}
+                            "cross", "bpe"]}
 
     for sf_dir in SF_DIRS:
         docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
@@ -226,6 +226,56 @@ def main():
         for a, b in sorted(cross):
             if jaccard(grams[a], grams[b]) >= 0.5:
                 rows["cross"].append((tag, a, b))
+
+        # text_bpe_tokens: num_merges=100, sample = crc32(doc_id)-ordered
+        # first 4000 docs. INDEPENDENT implementation: Counter-based
+        # training with regex merge application, and SEQUENTIAL in-rank-
+        # order encoding (the original Sennrich script's scheme) versus
+        # the engine's greedy lowest-rank loop (GPT-2's scheme) — for a
+        # trained table the two must agree, so a divergence fails loudly.
+        import re
+        from collections import Counter
+
+        doc_order = sorted(range(len(ids)),
+                           key=lambda i: (zlib.crc32(str(int(ids[i])).encode()),
+                                          str(int(ids[i]))))
+        sample_texts = [texts[i] for i in doc_order[:4000]]
+        wf = Counter(w for t in sample_texts for w in (t or "").lower().split())
+        vocab_s = {w: " ".join(list(w) + ["</w>"]) for w in wf}
+        bpe_merges = []
+        for _ in range(100):
+            pc: Counter = Counter()
+            for w, s in vocab_s.items():
+                syms = s.split(" ")
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += wf[w]
+            if not pc:
+                break
+            best = min(pc, key=lambda p: (-pc[p], p))
+            if pc[best] < 2:
+                break
+            bpe_merges.append(best)
+            pat = re.compile(
+                r"(?<!\S)" + re.escape(best[0]) + " " + re.escape(best[1])
+                + r"(?!\S)")
+            vocab_s = {w: pat.sub(best[0] + best[1], s)
+                       for w, s in vocab_s.items()}
+        enc_cache: dict = {}
+
+        def enc_len(w: str) -> int:
+            hit = enc_cache.get(w)
+            if hit is None:
+                s = " ".join(list(w) + ["</w>"])
+                for a, b in bpe_merges:  # sequential in rank order
+                    s = re.sub(r"(?<!\S)" + re.escape(a) + " " + re.escape(b)
+                               + r"(?!\S)", a + b, s)
+                hit = len(s.split(" "))
+                enc_cache[w] = hit
+            return hit
+
+        for did, t in zip(ids, texts):
+            n = sum(enc_len(w) for w in (t or "").lower().split())
+            rows["bpe"].append((tag, int(did), n))
 
         # dedup_simhash: bands=4, 16-bit chunks
         sh = {int(i): simhash64(t) for i, t in zip(ids, texts)}
@@ -357,7 +407,8 @@ def main():
                        ("embedding", ["tag", "vec_id"]),
                        ("ivf", ["tag", "query_id", "vec_id", "rank"]),
                        ("pq", ["tag", "query_id", "vec_id", "rank"]),
-                       ("cross", ["tag", "id_a", "id_b"])]:
+                       ("cross", ["tag", "id_a", "id_b"]),
+                       ("bpe", ["tag", "doc_id", "n_bpe"])]:
         df = pd.DataFrame(rows[name], columns=cols).astype("int64")
         path = os.path.join(OUT, f"{name}.parquet")
         df.to_parquet(path, index=False)

@@ -171,6 +171,43 @@ class TestGoldenVectors:
         assert got == {1: 34537, 2: 30851, 3: 30998}
 
 
+class TestBPE:
+    def test_train_golden_hand_computed(self, spark):
+        """Pair counts for 'low lower lowest': (l,o)=3 ties (o,w)=3 →
+        lexicographic pick (l,o); then (lo,w)=3; then (low,e)=2 beats
+        every 1-count pair. Fully hand-derived."""
+        from iceberg_cpp_spark.operators import bpe
+
+        df = spark.createDataFrame([(1, "low lower lowest")],
+                                   "doc_id long, text string")
+        assert bpe.train_bpe(df, num_merges=3, id_col="doc_id") \
+            == [("l", "o"), ("lo", "w"), ("low", "e")]
+
+    def test_encode_golden(self):
+        from iceberg_cpp_spark.operators import bpe
+
+        ranks = {("l", "o"): 0, ("lo", "w"): 1, ("low", "e"): 2}
+        assert bpe.encode_word("low", ranks) == ["low", bpe.EOW]
+        assert bpe.encode_word("lower", ranks) == ["lowe", "r", bpe.EOW]
+        assert bpe.encode_word("xyz", ranks) == ["x", "y", "z", bpe.EOW]
+
+    def test_distributed_count_matches_local(self, spark, documents):
+        from iceberg_cpp_spark.operators import bpe
+
+        docs = documents.limit(100).cache()
+        merges = bpe.train_bpe(docs, num_merges=50, id_col="doc_id")
+        got = {r["doc_id"]: r["n"] for r in docs.select(
+            "doc_id", bpe.bpe_token_count(docs, merges).alias("n")).collect()}
+        ranks = {tuple(p): i for i, p in enumerate(merges)}
+        for r in docs.select("doc_id", "text").collect():
+            exp = sum(len(bpe.encode_word(w, ranks))
+                      for w in r["text"].lower().split())
+            assert got[r["doc_id"]] == exp
+        # merge table is deterministic under repartitioning
+        assert merges == bpe.train_bpe(docs.repartition(7), num_merges=50,
+                                       id_col="doc_id")
+
+
 class TestCrossCorpusPairs:
     def test_near_copy_across_corpora_found(self, spark):
         base = ("the quick brown fox jumps over the lazy dog and then "

@@ -45,6 +45,7 @@ def test_driver_cap_window_composition():
         "ice_nested_types",  # nested struct/array/map (ice_typed_columns in-window)
         "text_chunking",    # char chunking (text_stats in-window)
         "text_token_familiarity",  # unigram familiarity (text_quality in-window)
+        "text_bpe_tokens",  # trained BPE counts (text_stats in-window)
     }
     for n in names:
         if n in judge_only_extras:
