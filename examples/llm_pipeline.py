@@ -63,11 +63,15 @@ def main() -> None:
     kept = (kept.join(bench, "doc_id", "left_anti")
             .join(dirty.select("doc_id"), "doc_id", "left_anti"))
 
-    # 5. PII scrub + stable split + sequence packing
+    # 5. PII scrub + stable split + REAL token counts (trained BPE)
+    #    + sequence packing
+    from iceberg_cpp_spark.operators import bpe
+
     kept = kept.withColumn("text", tx.redact_pii(F.col("text")))
     kept = sampling.split(kept, weights=[0.9, 0.05, 0.05])
+    merges = bpe.train_bpe(docs, num_merges=100, id_col="doc_id")
     kept = kept.withColumn("n_tokens",
-                           tx.token_count(F.col("text")).cast("long"))
+                           bpe.bpe_token_count(kept, merges))
     packed = sampling.pack_sequences(kept, seq_len=2048)
 
     # 6. commit the curated dataset as an Iceberg table
