@@ -1484,9 +1484,15 @@ class IceTable:
 
     def rewrite_data_files(self, target_file_count: Optional[int] = None,
                            branch: str = MAIN_BRANCH,
-                           zorder_by: Optional[list] = None) -> "IceTable":
+                           zorder_by: Optional[list] = None,
+                           target_file_size_bytes: Optional[int] = None) -> "IceTable":
         """Compaction (M9): read all live files, re-cluster, replace.
         snapshot operation = replace (snapshot.h:209).
+
+        ``target_file_size_bytes``: bin-pack small files — the output
+        file count derives from the CURRENT live data size (manifest
+        metadata, no data read), so callers state the intent (~512 MiB
+        files) instead of hand-computing a count per table.
 
         ``zorder_by``: multi-dimensional clustering — rows are ordered by
         an interleaved-bit z-value over the given columns, so file
@@ -1494,6 +1500,13 @@ class IceTable:
         any of them prune files. Codes are equal-width buckets from a
         distributed min/max pass; the interleave is pure JVM Column
         arithmetic (no UDF), and the final layout is one range shuffle."""
+        if target_file_size_bytes:
+            if target_file_count:
+                raise ValueError(
+                    "pass target_file_count OR target_file_size_bytes")
+            live = sum(t.file_size_in_bytes or 0
+                       for t in self.scan().plan_files())
+            target_file_count = max(1, -(-live // int(target_file_size_bytes)))
         df = self.to_df()
         if zorder_by:
             df = self._zorder(df, zorder_by, target_file_count or 8)

@@ -201,6 +201,23 @@ class TestMutations:
         assert t.to_df().count() == n
         assert t.current_snapshot().summary["operation"] == "replace"
 
+    def test_compaction_by_target_size(self, spark, lineitem, tmp_loc):
+        """target_file_size_bytes derives the output count from live
+        manifest metadata — no data read, no hand-computed count."""
+        schema = schema_from_spark(lineitem.schema)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "cs"), schema)
+        for i in range(4):
+            t.append(lineitem.filter(F.col("l_linenumber") == i + 1))
+        live = sum(task.file_size_in_bytes
+                   for task in t.scan().plan_files())
+        n = t.to_df().count()
+        t.rewrite_data_files(target_file_size_bytes=live // 2)
+        assert len(t.scan().plan_files()) <= 3  # ceil(live/(live/2)) = 2-ish
+        assert t.to_df().count() == n
+        with pytest.raises(ValueError, match="OR"):
+            t.rewrite_data_files(target_file_count=2,
+                                 target_file_size_bytes=100)
+
 
 class TestSchemaEvolution:
     def test_rename_reads_old_files(self, spark, lineitem, li_table):
@@ -587,6 +604,27 @@ class TestUpsertStream:
         # unmatched rows untouched
         assert got.filter("l_orderkey > 50 and l_orderkey < 10000000 "
                           "and l_returnflag = 'Z'").count() == 0
+
+        # crash-replay: drop the newest commit marker and re-run — the
+        # batch-id watermark must skip the replayed merge entirely (no
+        # new snapshot; merge is value-idempotent but a replay would
+        # still burn a pointless copy-on-write rewrite)
+        n_snaps = len(t.snapshots())
+        commits = os.path.join(tmp_loc, "ck", "commits")
+        newest = max((f for f in os.listdir(commits) if f.isdigit()), key=int)
+        os.remove(os.path.join(commits, newest))
+        crc = os.path.join(commits, f".{newest}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        q2 = upsert_stream(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src_dir),
+            t, on=["l_orderkey", "l_linenumber"],
+            checkpoint_dir=os.path.join(tmp_loc, "ck"))
+        q2.awaitTermination(300)
+        t.refresh()
+        assert len(t.snapshots()) == n_snaps  # replay produced NO commit
+        assert t.to_df().count() == n0 + ins.count()
 
 
 class TestNestedTypes:
