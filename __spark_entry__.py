@@ -1685,7 +1685,7 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = bpe.train_bpe(docs, num_merges=100, sample_rows=4000,
                            id_col="doc_id")
     return docs.select(
-        "doc_id", bpe.bpe_token_count(docs, merges).alias("n_bpe"))
+        "doc_id", bpe.bpe_token_count(merges).alias("n_bpe"))
 
 
 def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3066,15 +3066,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         # chunk i starts at i*(200-50); last chunk short; empty doc -> one
-        # empty chunk. generate_series upper bound GREATEST(len-1, 0)
-        # mirrors the Spark sequence exactly.
+        # empty chunk; starts stop at len-overlap-1 (no fully-contained
+        # tail chunk). generate_series upper bound mirrors the Spark
+        # sequence exactly.
         "text_chunking": """
             SELECT doc_id,
                    CAST(i / 150 AS INT) AS chunk_idx,
                    CAST(LENGTH(SUBSTR(text, i + 1, 200)) AS INT) AS n_chars,
                    MD5(SUBSTR(text, i + 1, 200)) AS chunk_md5
             FROM documents,
-                 unnest(generate_series(0, GREATEST(LENGTH(text) - 1, 0), 150))
+                 unnest(generate_series(0, GREATEST(LENGTH(text) - 51, 0), 150))
                    AS t(i)
         """,
         "text_token_familiarity": """

@@ -70,13 +70,12 @@ def main() -> None:
     kept = kept.withColumn("text", tx.redact_pii(F.col("text")))
     kept = sampling.split(kept, weights=[0.9, 0.05, 0.05])
     merges = bpe.train_bpe(docs, num_merges=100, id_col="doc_id")
-    kept = kept.withColumn("n_tokens",
-                           bpe.bpe_token_count(kept, merges))
+    kept = kept.withColumn("n_tokens", bpe.bpe_token_count(merges))
     packed = sampling.pack_sequences(kept, seq_len=2048)
 
     # 6. commit the curated dataset as an Iceberg table
-    out = packed.select("doc_id", "text", "lang", "source",
-                        "_split", "n_tokens", "_pack", "_offset")
+    out = packed.select("doc_id", "text", "lang", "source", "_split",
+                        "n_tokens", "_pack", "_offset", "_end_pack")
     loc = os.path.join(tempfile.mkdtemp(prefix="llm_pipe_"), "curated")
     t = IceTable.create(spark, loc, schema_from_spark(out.schema))
     t.append(out)
@@ -85,7 +84,7 @@ def main() -> None:
     by_split = {r["_split"]: r["n"] for r in
                 t.to_df().groupBy("_split").agg(F.count("*").alias("n"))
                 .collect()}
-    n_packs = t.to_df().agg(F.max("_pack")).first()[0] + 1
+    n_packs = t.to_df().agg(F.max("_end_pack")).first()[0] + 1
     print(f"curated: {n1}/{n0} docs kept, splits={by_split}, "
           f"{n_packs} packed sequences of 2048 tokens")
     print(f"table: {t.metadata_location}")

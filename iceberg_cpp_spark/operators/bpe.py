@@ -99,11 +99,16 @@ def encode_word(word: str, ranks: dict) -> list:
     return syms
 
 
+_CACHE_CAP = 1_000_000  # distinct words per worker before reset
+
+
 def bpe_token_count_udf(merges: list):
     """Arrow-batched per-document BPE token count; the merge table rides
     in the closure (broadcast once per executor). Per-worker word cache:
     natural language repeats words, so amortized cost per token is far
-    below one full encode."""
+    below one full encode. The cache resets at ``_CACHE_CAP`` entries so
+    a heavy unique-token tail (URLs, ids) cannot grow a long-lived
+    worker without bound."""
     ranks = {tuple(p): i for i, p in enumerate(merges)}
     cache: dict = {}
 
@@ -115,6 +120,8 @@ def bpe_token_count_udf(merges: list):
             for w in (t or "").lower().split():
                 hit = cache.get(w)
                 if hit is None:
+                    if len(cache) >= _CACHE_CAP:
+                        cache.clear()
                     hit = len(encode_word(w, ranks))
                     cache[w] = hit
                 n += hit
@@ -124,6 +131,7 @@ def bpe_token_count_udf(merges: list):
     return count_tokens
 
 
-def bpe_token_count(df: DataFrame, merges: list,
-                    text_col: str = "text") -> Column:
+def bpe_token_count(merges: list, text_col: str = "text") -> Column:
+    """Column of per-document BPE token counts for ``text_col`` —
+    attachable to any DataFrame having that column."""
     return bpe_token_count_udf(merges)(F.col(text_col))

@@ -247,14 +247,19 @@ def chunk_documents(df: DataFrame, chunk_chars: int = 1000,
     primitive). Pure JVM: sequence → substring → posexplode; chunk i
     starts at i·(chunk−overlap), consecutive chunks overlap by
     ``overlap_chars``, the last chunk may be shorter, an empty document
-    yields one empty chunk (the row is never lost). No shuffle; output
-    grows by ~len/(chunk−overlap) rows per doc."""
+    yields one empty chunk (the row is never lost). Start positions
+    stop at len−overlap−1: a later start would yield a chunk fully
+    contained in its predecessor (coverage still holds — the last kept
+    start is ≥ len−chunk). No shuffle; ~len/(chunk−overlap) rows per
+    doc."""
     if not 0 <= overlap_chars < chunk_chars:
         raise ValueError(f"need 0 <= overlap {overlap_chars} < chunk {chunk_chars}")
     step = chunk_chars - overlap_chars
     c = F.col(text_col)
-    starts = F.sequence(F.lit(0), F.greatest(F.length(c) - 1, F.lit(0)),
-                        F.lit(step))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(c) - overlap_chars - 1, F.lit(0)),
+        F.lit(step))
     chunks = F.transform(starts, lambda s: F.substring(c, s + 1, chunk_chars))
     return df.select(
         F.col(id_col),

@@ -508,34 +508,66 @@ class IcebergCppStreamWriter(IcebergCppWriter, DataSourceStreamArrowWriter):
     drivers are swallowed instead of double-appended. The replayed
     batch's freshly-written duplicate files are removed.
 
-    Set `.option("streaming-source-id", ...)` when several distinct
-    streaming queries append to one table; it defaults to a constant, so
-    by default ALL icecpp writeStream queries on a table share one
-    batch-id watermark."""
+    The watermark identity is, in order: an explicit
+    `.option("streaming-source-id", ...)`; else Spark's persisted query
+    id from the checkpoint (`<checkpointLocation>/metadata`) — so a lost
+    checkpoint yields a NEW id and degrades to at-least-once duplicates,
+    never silent data loss from renumbered batches; else (no checkpoint
+    option visible) a constant shared by all writers of the table —
+    set the option explicitly in that case."""
 
     def __init__(self, options):
         IcebergCppWriter.__init__(self, options, overwrite=False)
-        self.stream_id = options.get("streaming-source-id",
-                                     "icecpp-writestream")
+        self._sid_cache: dict = {}
+
+    def _stream_id(self) -> str:
+        sid = self._sid_cache.get("sid")
+        if sid is None:
+            sid = self.options.get("streaming-source-id")
+            if sid is None:
+                ckpt = self.options.get("checkpointlocation") \
+                    or self.options.get("checkpointLocation")
+                if ckpt:
+                    from iceberg_cpp_spark.streaming.incremental import (
+                        _stream_id as ckpt_stream_id)
+
+                    # resolved lazily at first commit: Spark writes the
+                    # metadata file at query start, before any batch
+                    sid = ckpt_stream_id(ckpt)
+                else:
+                    sid = "icecpp-writestream"
+            self._sid_cache["sid"] = sid
+        return sid
 
     def commit(self, messages, batchId: int) -> None:
         from iceberg_cpp_spark.streaming.incremental import (
             _last_committed_batch)
 
+        sid = self._stream_id()
+        abandoned = {}
+
         def fresh() -> bool:
             # re-load metadata on every evaluation: inside the CAS retry
             # the relevant state is whatever the WINNING committer wrote
             t = _load_table(self.options)
-            return batchId > _last_committed_batch(t, self.stream_id)
+            ok = batchId > _last_committed_batch(t, sid)
+            if not ok:
+                abandoned["x"] = True
+            return ok
 
         if not fresh():
             self._remove_files(messages)  # replay: drop duplicate files
             return
         self._commit_messages(
             messages,
-            summary_extras={"streaming.source-id": self.stream_id,
+            summary_extras={"streaming.source-id": sid,
                             "streaming.batch-id": str(batchId)},
             pre_check=fresh)
+        if abandoned:
+            # CAS lost to a concurrent committer of the same batch: the
+            # commit was abandoned inside the retry loop — this run's
+            # duplicate files must not be left orphaned
+            self._remove_files(messages)
 
     def abort(self, messages, batchId: int) -> None:
         self._remove_files(messages)

@@ -1010,7 +1010,8 @@ class IceTable:
         rows = []
         schema = self.schema()
         for m in mf.read_manifest_list(snap.manifest_list):
-            spec = self.metadata.spec_by_id(m.partition_spec_id)
+            spec = (self.metadata.spec_by_id(m.partition_spec_id)
+                    or PartitionSpec.unpartitioned())
             for e in mf.read_manifest(m.manifest_path, spec, schema,
                                       manifest=m):
                 rows.append((e.status, e.snapshot_id, e.sequence_number,
@@ -1500,14 +1501,20 @@ class IceTable:
         any of them prune files. Codes are equal-width buckets from a
         distributed min/max pass; the interleave is pure JVM Column
         arithmetic (no UDF), and the final layout is one range shuffle."""
+        # read side pins the SAME branch the replace commits to — a
+        # diverged branch must be compacted from its own head, not main's
+        def branch_scan() -> "TableScan":
+            sc = self.scan()
+            return sc if branch == MAIN_BRANCH else sc.use_ref(branch)
+
         if target_file_size_bytes:
             if target_file_count:
                 raise ValueError(
                     "pass target_file_count OR target_file_size_bytes")
             live = sum(t.file_size_in_bytes or 0
-                       for t in self.scan().plan_files())
+                       for t in branch_scan().plan_files())
             target_file_count = max(1, -(-live // int(target_file_size_bytes)))
-        df = self.to_df()
+        df = branch_scan().to_df()
         if zorder_by:
             df = self._zorder(df, zorder_by, target_file_count or 8)
         elif target_file_count:
@@ -1788,7 +1795,8 @@ class IceTable:
         def _live_data_files(s: Snapshot) -> dict:
             out = {}
             for m in mf.read_manifest_list(s.manifest_list):
-                spec = self.metadata.spec_by_id(m.partition_spec_id)
+                spec = (self.metadata.spec_by_id(m.partition_spec_id)
+                        or PartitionSpec.unpartitioned())
                 for e in mf.read_manifest(m.manifest_path, spec, self.schema(),
                                           manifest=m):
                     if e.is_live and e.data_file.content == mf.CONTENT_DATA:

@@ -206,14 +206,17 @@ def main():
             rows["transitive"].append((tag, d))
 
         # dedup_cross_corpus: corpus = odd doc_ids, benchmark = even;
-        # same 128-perm/32-band spec, bucket-equality join across the
-        # two sides, exact 3-gram jaccard >= 0.5 verify. Band keys here
-        # are raw signature tuples; the engine xxhashes the same tuples —
-        # bucket equality is identical (same argument as band_buckets).
+        # same 128-perm/32-band spec AS THE ENGINE (minhash_cross_pairs
+        # defaults — NOT the 64-perm sigs computed above for
+        # dedup_minhash), bucket-equality join across the two sides,
+        # exact 3-gram jaccard >= 0.5 verify. Band keys here are raw
+        # signature tuples; the engine xxhashes the same tuples — bucket
+        # equality is identical (same argument as band_buckets).
+        sigs128 = minhash_sigs(texts, 128, 3)
         even = {int(i) for i in ids if i % 2 == 0}
         cb: dict[tuple, list[int]] = {}
         bb: dict[tuple, list[int]] = {}
-        for i, s in zip(ids, sigs):
+        for i, s in zip(ids, sigs128):
             tgt = bb if int(i) in even else cb
             for band in range(32):
                 tgt.setdefault((band, tuple(s[band * 4:(band + 1) * 4])),

@@ -197,7 +197,7 @@ class TestBPE:
         docs = documents.limit(100).cache()
         merges = bpe.train_bpe(docs, num_merges=50, id_col="doc_id")
         got = {r["doc_id"]: r["n"] for r in docs.select(
-            "doc_id", bpe.bpe_token_count(docs, merges).alias("n")).collect()}
+            "doc_id", bpe.bpe_token_count(merges).alias("n")).collect()}
         ranks = {tuple(p): i for i, p in enumerate(merges)}
         for r in docs.select("doc_id", "text").collect():
             exp = sum(len(bpe.encode_word(w, ranks))
@@ -510,9 +510,10 @@ class TestText:
         got = {(r["doc_id"], r["chunk_idx"]): r["chunk_text"] for r in
                text.chunk_documents(df, chunk_chars=4, overlap_chars=2)
                .collect()}
-        # step=2: starts 0,2,4,6,8 for len 10; last chunks shorten
+        # step=2, starts bounded by len-overlap-1=7: 0,2,4,6 — the start
+        # at 8 would give 'ij', fully contained in 'ghij', and is dropped
         assert got == {(1, 0): "abcd", (1, 1): "cdef", (1, 2): "efgh",
-                       (1, 3): "ghij", (1, 4): "ij",
+                       (1, 3): "ghij",
                        (2, 0): "", (3, 0): "xy"}
         with pytest.raises(ValueError, match="overlap"):
             text.chunk_documents(df, chunk_chars=4, overlap_chars=4)

@@ -201,6 +201,20 @@ class TestMutations:
         assert t.to_df().count() == n
         assert t.current_snapshot().summary["operation"] == "replace"
 
+    def test_compaction_on_branch_reads_branch_head(self, spark, lineitem,
+                                                    tmp_loc):
+        """rewrite_data_files(branch=...) must compact the BRANCH's
+        data, not main's — a diverged branch's rows survive."""
+        schema = schema_from_spark(lineitem.schema)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "cb"), schema)
+        t.append(lineitem.limit(10))
+        t.create_branch("dev")
+        t.append(lineitem.limit(7), branch="dev")   # dev: 17 rows
+        t.append(lineitem.limit(3))                 # main: 13 rows
+        t.rewrite_data_files(target_file_count=1, branch="dev")
+        assert t.scan().use_ref("dev").to_df().count() == 17
+        assert t.to_df().count() == 13  # main untouched
+
     def test_compaction_by_target_size(self, spark, lineitem, tmp_loc):
         """target_file_size_bytes derives the output count from live
         manifest metadata — no data read, no hand-computed count."""
