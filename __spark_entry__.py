@@ -911,6 +911,25 @@ def ice_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.to_df().groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
 
 
+def ice_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level UPDATE (table.py update_where — completes the DML triad
+    with delete_where/merge_into): matched files rewritten copy-on-write,
+    matched rows reassigned, everything else untouched."""
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "upd")
+    t.append(li)
+    t.update_where(
+        ex.eq(ex.Reference("l_returnflag"), "R"),
+        {"l_linestatus": "X",
+         "l_quantity": F.col("l_quantity") + 100})
+    return (t.to_df().groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty")))
+
+
 def ice_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """merge-on-read position deletes: scan anti-joins the delete file,
     data files untouched."""
@@ -1976,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunking": text_chunking,
         "text_token_familiarity": text_token_familiarity,
         "text_bpe_tokens": text_bpe_tokens,
+        "ice_update_where": ice_update_where,
     }
 
 
@@ -3095,5 +3115,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bpe
             FROM read_parquet('/root/repo/assets/llm_oracles/bpe.parquet')
             WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
+        """,
+        "ice_update_where": """
+            SELECT l_returnflag,
+                   CASE WHEN l_returnflag = 'R' THEN 'X'
+                        ELSE l_linestatus END AS l_linestatus,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(CASE WHEN l_returnflag = 'R'
+                                 THEN l_quantity + 100 ELSE l_quantity END
+                                 AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY l_returnflag,
+                     CASE WHEN l_returnflag = 'R' THEN 'X'
+                          ELSE l_linestatus END
         """,
     }

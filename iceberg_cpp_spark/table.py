@@ -34,7 +34,7 @@ from dataclasses import dataclass, replace as dc_replace
 from decimal import Decimal
 from typing import Any, Iterable, Iterator, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from iceberg_cpp_spark.core import manifests as mf
@@ -1073,6 +1073,38 @@ class IceTable:
         # a delete-everything rewrite commits an empty list without an
         # extra evaluation of the filter plan
         new_files = self._write_data_files(kept)
+        return self._commit_files(
+            new_files, operation=DataOperation.OVERWRITE, branch=branch,
+            carry_existing=True, drop_paths=affected)
+
+    def update_where(self, expr: ex.Expression, assignments: dict,
+                     branch: str = MAIN_BRANCH) -> "IceTable":
+        """Row-level UPDATE — ``UPDATE t SET col = expr WHERE pred``
+        (completes the DML triad with delete_where and merge_into;
+        beyond the reference, which has no write path). Copy-on-write:
+        only files that MAY contain matches (metrics-pruned) are
+        rewritten; within them, matched rows take the assigned values,
+        unmatched rows pass through unchanged. ``assignments`` maps
+        column name → Spark Column (or literal)."""
+        schema = self.schema()
+        for name in assignments:
+            if schema.find_field(name) is None:
+                raise ValueError(f"unknown column: {name}")
+        affected = {t.file_path for t in self.scan(filter=expr).plan_files()}
+        if not affected:
+            return self
+        pred = to_spark_column(expr, schema)
+        df = self._read_files_with_deletes(affected)
+        updated = df.select(*[
+            (F.when(pred, assignments[c.name]
+                    if isinstance(assignments[c.name], Column)
+                    else F.lit(assignments[c.name]))
+             .otherwise(F.col(c.name)).cast(it.to_spark_type(c.field_type))
+             .alias(c.name))
+            if c.name in assignments else F.col(c.name)
+            for c in schema.fields
+        ])
+        new_files = self._write_data_files(updated)
         return self._commit_files(
             new_files, operation=DataOperation.OVERWRITE, branch=branch,
             carry_existing=True, drop_paths=affected)

@@ -125,6 +125,40 @@ class TestCowWithMorInteraction:
         assert got.count() == alive - f_alive
         assert got.filter("l_returnflag = 'R'").count() == 0
 
+    def test_update_where_rewrites_matched_rows(self, spark, lineitem,
+                                                li_table):
+        from pyspark.sql import functions as F
+
+        n = li_table.to_df().count()
+        n_r = li_table.to_df().filter("l_returnflag = 'R'").count()
+        li_table.update_where(
+            ex.eq(ex.Reference("l_returnflag"), "R"),
+            {"l_linestatus": "X", "l_quantity": F.col("l_quantity") + 1000})
+        got = li_table.to_df()
+        assert got.count() == n  # UPDATE never changes cardinality
+        assert got.filter("l_returnflag = 'R' and l_linestatus <> 'X'").count() == 0
+        assert got.filter("l_returnflag = 'R'").count() == n_r
+        assert got.filter("l_quantity > 1000").count() == n_r
+        # unmatched rows untouched
+        assert got.filter("l_returnflag <> 'R' and l_linestatus = 'X'").count() == 0
+        with pytest.raises(ValueError, match="unknown column"):
+            li_table.update_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                                  {"nope": 1})
+
+    def test_update_where_respects_mor_deletes(self, spark, lineitem,
+                                               li_table):
+        """UPDATE's copy-on-write rewrite must not resurrect rows dead
+        under merge-on-read deletes."""
+        li_table.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                              mode="merge-on-read")
+        alive = li_table.to_df().count()
+        li_table.update_where(ex.eq(ex.Reference("l_linestatus"), "F"),
+                              {"l_linestatus": "Y"})
+        got = li_table.to_df()
+        assert got.count() == alive
+        assert got.filter("l_returnflag = 'R'").count() == 0
+        assert got.filter("l_linestatus = 'F'").count() == 0
+
     def test_merge_into_respects_mor_deletes(self, spark, lineitem, li_table):
         from pyspark.sql import functions as F
 

@@ -46,6 +46,7 @@ def test_driver_cap_window_composition():
         "text_chunking",    # char chunking (text_stats in-window)
         "text_token_familiarity",  # unigram familiarity (text_quality in-window)
         "text_bpe_tokens",  # trained BPE counts (text_stats in-window)
+        "ice_update_where",  # UPDATE DML (ice_delete_where in-window)
     }
     for n in names:
         if n in judge_only_extras:
