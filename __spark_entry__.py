@@ -930,6 +930,35 @@ def ice_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("double").alias("sum_qty")))
 
 
+def ice_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-op CDC batch applied as ONE snapshot (table.py
+    apply_changes): deletes for returnflag-R keys, upserts doubling
+    quantity for flag-A keys, inserts for brand-new keys — per-key
+    last-change-wins by an explicit sequence column."""
+    # synthetic lineitem keys are NOT unique — build a deterministic
+    # unique-key base first (CDC tables have unique keys by definition)
+    li = (_t(spark, sf_dir, "lineitem")
+          .groupBy("l_orderkey", "l_linenumber")
+          .agg(F.max("l_quantity").alias("l_quantity"),
+               F.max("l_returnflag").alias("l_returnflag")))
+    t = _fresh_table(spark, sf_dir, li, "cdc")
+    t.append(li)
+    dels = (li.filter(F.col("l_returnflag") == "R")
+            .withColumn("_op", F.lit("D")).withColumn("_seq", F.lit(1)))
+    upds = (li.filter(F.col("l_returnflag") == "A")
+            .withColumn("l_quantity", F.col("l_quantity") * 2)
+            .withColumn("_op", F.lit("U")).withColumn("_seq", F.lit(2)))
+    ins = (li.filter(F.col("l_orderkey") <= 100)
+           .withColumn("l_orderkey", F.col("l_orderkey") + 50_000_000)
+           .withColumn("_op", F.lit("I")).withColumn("_seq", F.lit(3)))
+    t.apply_changes(dels.unionByName(upds).unionByName(ins),
+                    on=["l_orderkey", "l_linenumber"], seq_col="_seq")
+    return (t.to_df().groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty")))
+
+
 def ice_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """merge-on-read position deletes: scan anti-joins the delete file,
     data files untouched."""
@@ -1996,6 +2025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_familiarity": text_token_familiarity,
         "text_bpe_tokens": text_bpe_tokens,
         "ice_update_where": ice_update_where,
+        "ice_cdc_apply": ice_cdc_apply,
     }
 
 
@@ -3128,5 +3158,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l_returnflag,
                      CASE WHEN l_returnflag = 'R' THEN 'X'
                           ELSE l_linestatus END
+        """,
+        # survivors over the unique-key base: non-R rows (A rows with
+        # doubled qty) + inserted copies of orderkey<=100 rows
+        "ice_cdc_apply": """
+            WITH base AS (
+              SELECT l_orderkey, l_linenumber,
+                     MAX(l_quantity) AS qty, MAX(l_returnflag) AS flag
+              FROM lineitem GROUP BY l_orderkey, l_linenumber)
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(q AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM (
+              SELECT flag AS l_returnflag,
+                     CASE WHEN flag = 'A' THEN qty * 2 ELSE qty END AS q
+              FROM base WHERE flag <> 'R'
+              UNION ALL
+              SELECT flag AS l_returnflag, qty AS q
+              FROM base WHERE l_orderkey <= 100
+            ) GROUP BY l_returnflag
         """,
     }

@@ -169,6 +169,36 @@ def upsert_stream(stream_df, table: IceTable, on: list[str],
     return writer.start()
 
 
+def cdc_apply_stream(stream_df, table: IceTable, on: list,
+                     checkpoint_dir: str, op_col: str = "_op",
+                     seq_col=None, trigger_available_now: bool = True):
+    """Streaming CDC apply: each micro-batch of 'I'/'U'/'D' change rows
+    becomes ONE copy-on-write snapshot via IceTable.apply_changes.
+    Replay-deduped with the same snapshot-summary batch watermark as
+    append_stream/upsert_stream (re-checked inside the CAS retry)."""
+    state: dict = {}
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sid = state.setdefault("sid", _stream_id(checkpoint_dir))
+        fresh = lambda: batch_id > _last_committed_batch(table, sid)
+        table.refresh()
+        if not fresh():
+            return
+        table.apply_changes(batch_df, on=on, op_col=op_col,
+                            seq_col=seq_col, summary_extras={
+                                "streaming.source-id": sid,
+                                "streaming.batch-id": str(batch_id)},
+                            pre_check=fresh)
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch) \
+        .option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_events(spark, source_dir: str, schema: str,
                   ts_col: str = "ts", value_col: str = "value",
                   window: str = "1 hour", watermark: str = "2 hours",

@@ -1433,6 +1433,66 @@ class IceTable:
         new_meta, _u, reqs = b.build()
         return self._commit(new_meta, branch, snap, requirements=reqs)
 
+    def apply_changes(self, changes: DataFrame, on: list[str],
+                      op_col: str = "_op", seq_col: Optional[str] = None,
+                      branch: str = MAIN_BRANCH,
+                      summary_extras: Optional[dict] = None,
+                      pre_check=None) -> "IceTable":
+        """Apply a mixed CDC batch — rows tagged 'I'/'U' (upsert) or 'D'
+        (delete) in ``op_col`` — as ONE copy-on-write snapshot (a
+        delete-then-merge pair would leave a torn intermediate snapshot
+        and break batch-watermark replay semantics).
+
+        Last change per key wins, ordered by ``seq_col`` when given
+        (else batch arrival order). Files holding ANY changed key are
+        rewritten once: 'D' keys vanish, 'U'/'I' keys take the change
+        row (insert when absent), untouched files carry over."""
+        schema = self.schema()
+        for c in on:
+            if schema.find_field(c) is None:
+                raise ValueError(f"key not in table schema: {c}")
+        if op_col not in changes.columns:
+            raise ValueError(f"changes missing op column: {op_col}")
+        from pyspark.sql.window import Window
+
+        order = (F.col(seq_col) if seq_col
+                 else F.monotonically_increasing_id()).desc()
+        w = Window.partitionBy(*on).orderBy(order)
+        last = (changes.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+        cols = [f.name for f in schema.fields]
+        upserts = last.filter(F.col(op_col) != "D").select(*cols)
+        all_keys = last.select(*on).distinct()
+
+        def _plain(p: str) -> str:
+            if p.startswith("file:"):
+                p = p[5:]
+                while p.startswith("//"):
+                    p = p[1:]
+            return p
+
+        tgt = self.scan().with_metadata_columns().to_df()
+        affected = {
+            _plain(r["_file"])
+            for r in tgt.select("_file", *on).join(all_keys, on, "left_semi")
+                        .select("_file").distinct().collect()
+        }
+        if not affected:
+            new_files = self._write_data_files(upserts)
+            if new_files:
+                return self._commit_files(
+                    new_files, operation=DataOperation.APPEND, branch=branch,
+                    summary_extras=summary_extras, pre_check=pre_check)
+            return self
+        affected_df = self._read_files_with_deletes(affected)
+        rewritten = affected_df.join(all_keys, on, "left_anti") \
+                               .unionByName(upserts)
+        new_files = self._write_data_files(rewritten)
+        return self._commit_files(
+            new_files, operation=DataOperation.OVERWRITE, branch=branch,
+            carry_existing=True, drop_paths=affected,
+            summary_extras=summary_extras, pre_check=pre_check)
+
     def merge_into(self, source: DataFrame, on: list[str],
                    when_matched: Optional[str] = "update",
                    when_not_matched: Optional[str] = "insert",

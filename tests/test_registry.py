@@ -47,6 +47,7 @@ def test_driver_cap_window_composition():
         "text_token_familiarity",  # unigram familiarity (text_quality in-window)
         "text_bpe_tokens",  # trained BPE counts (text_stats in-window)
         "ice_update_where",  # UPDATE DML (ice_delete_where in-window)
+        "ice_cdc_apply",  # mixed-op CDC batch (ice_merge_into in-window)
     }
     for n in names:
         if n in judge_only_extras:

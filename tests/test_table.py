@@ -641,8 +641,49 @@ class TestUpsertStream:
         assert t.to_df().count() == n0 + ins.count()
 
 
-class TestNestedTypes:
-    def test_struct_array_map_roundtrip(self, spark, lineitem, tmp_loc):
+class TestCdcApplyStream:
+    def test_mixed_ops_single_snapshot_per_batch(self, spark, lineitem,
+                                                 tmp_loc):
+        from iceberg_cpp_spark.streaming.incremental import cdc_apply_stream
+
+        base = (lineitem.groupBy("l_orderkey", "l_linenumber")
+                .agg(F.max("l_quantity").alias("l_quantity"),
+                     F.max("l_returnflag").alias("l_returnflag"))
+                .filter("l_orderkey <= 300"))
+        t = IceTable.create(spark, os.path.join(tmp_loc, "cdc"),
+                            schema_from_spark(base.schema))
+        t.append(base)
+        n0 = base.count()
+        n_r = base.filter("l_returnflag = 'R'").count()
+        n_a = base.filter("l_returnflag = 'A'").count()
+
+        dels = (base.filter("l_returnflag = 'R'")
+                .withColumn("_op", F.lit("D")).withColumn("_seq", F.lit(1)))
+        upds = (base.filter("l_returnflag = 'A'")
+                .withColumn("l_quantity", F.lit(999.0))
+                .withColumn("_op", F.lit("U")).withColumn("_seq", F.lit(2)))
+        src = os.path.join(tmp_loc, "cdcsrc")
+        dels.unionByName(upds).repartition(1).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        n_snaps = len(t.snapshots())
+        q = cdc_apply_stream(
+            spark.readStream.schema(schema).parquet(src), t,
+            on=["l_orderkey", "l_linenumber"],
+            checkpoint_dir=os.path.join(tmp_loc, "cdck"), seq_col="_seq")
+        q.awaitTermination(300)
+        t.refresh()
+        got = t.to_df()
+        assert got.count() == n0 - n_r
+        assert got.filter("l_returnflag = 'R'").count() == 0
+        assert got.filter("l_quantity = 999.0").count() == n_a
+        # the mixed batch landed as ONE snapshot with the watermark stamp
+        assert len(t.snapshots()) == n_snaps + 1
+        assert any("streaming.batch-id" in s.summary for s in t.snapshots())
+
+
+class TestNestedTypesFull:
+    def test_full_stack_roundtrip_with_field_ids(self, spark, lineitem, tmp_loc):
         """Nested columns keep their shape and values through schema
         conversion, parquet field-ID stamping, and the scan."""
         nested = lineitem.select(
