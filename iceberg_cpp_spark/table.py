@@ -1025,17 +1025,36 @@ class IceTable:
     # there, implemented here) --------------------------------------------
     def append(self, df: DataFrame, branch: str = MAIN_BRANCH,
                summary_extras: Optional[dict] = None,
-               pre_check=None) -> "IceTable":
+               pre_check=None, merge_schema: bool = False) -> "IceTable":
         """AppendFiles: write parquet → footer metrics → manifest →
         manifest list (carrying prior manifests) → snapshot → CAS commit.
         ``summary_extras`` adds caller keys to the snapshot summary (e.g.
         the streaming sink's batch-id watermark for replay dedup);
         ``pre_check`` abandons the commit if it returns False against the
-        freshest metadata (see _commit_files)."""
+        freshest metadata (see _commit_files). ``merge_schema``: columns
+        in ``df`` that the table lacks are first ADDED to the schema as
+        optional fields (write-side schema evolution — Spark's
+        mergeSchema, Iceberg's write.schema.accept-any-schema); without
+        it, unknown columns are an error (never a silent drop). Missing
+        optional columns null-fill either way."""
+        if merge_schema:
+            self._merge_write_schema(df)
         new_files = self._write_data_files(df)
         return self._commit_files(new_files, operation=DataOperation.APPEND,
                                   branch=branch, summary_extras=summary_extras,
                                   pre_check=pre_check)
+
+    def _merge_write_schema(self, df: DataFrame) -> None:
+        """Add ``df``'s unknown columns to the table schema as optional
+        fields (fresh ids, nested children included) — one schema-update
+        commit per new column, before any data is written."""
+        import itertools
+
+        for sf in df.schema.fields:
+            if self.schema().find_field(sf.name) is None:
+                counter = itertools.count(self.metadata.last_column_id + 2)
+                self.add_column(sf.name,
+                                it.from_spark_type(sf.dataType, counter))
 
     def overwrite(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "IceTable":
         """Replace the whole table contents in one snapshot."""
@@ -1959,6 +1978,13 @@ class IceTable:
         # (schema_util.h field-ID resolution depends on files carrying IDs)
         spark_fields = it.to_spark_schema(schema).fields
         incoming = set(df.columns)
+        extra = incoming - {sf.name for sf in spark_fields}
+        if extra:
+            raise ValueError(
+                f"DataFrame has columns not in the table schema: "
+                f"{sorted(extra)} — call append(df, merge_schema=True) to "
+                f"evolve the schema, or drop them (silent drop would lose "
+                f"data)")
         cols = []
         for sf in spark_fields:
             if sf.name not in incoming:
@@ -1968,6 +1994,14 @@ class IceTable:
                     cols.append(F.lit(f.write_default).cast(sf.dataType)
                                 .alias(sf.name, metadata=sf.metadata))
                     continue
+                if f is not None and not f.required:
+                    # missing optional column → null-filled (the standard
+                    # write-side evolution contract)
+                    cols.append(F.lit(None).cast(sf.dataType)
+                                .alias(sf.name, metadata=sf.metadata))
+                    continue
+                raise ValueError(
+                    f"DataFrame is missing required column: {sf.name}")
             cols.append(F.col(sf.name).cast(sf.dataType)
                         .alias(sf.name, metadata=sf.metadata))
         df = df.select(cols)
@@ -2361,7 +2395,10 @@ class IceTable:
         fields = list(schema.fields) + [it.NestedField(
             fid, name, field_type, required,
             initial_default=default, write_default=default)]
-        t = self._evolve_schema(fields, last_column_id=fid)
+        # nested element/key/value/struct children may carry ids past
+        # fid — last_column_id must cover every id in the new subtree
+        last = it.Schema(fields).highest_field_id()
+        t = self._evolve_schema(fields, last_column_id=max(fid, last))
         if default is not None:
             t = t.update_properties({
                 f"engine.default-added-seq.{fid}":

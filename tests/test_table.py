@@ -641,6 +641,44 @@ class TestUpsertStream:
         assert t.to_df().count() == n0 + ins.count()
 
 
+class TestWriteSchemaEvolution:
+    def test_extra_column_errors_without_merge(self, spark, lineitem,
+                                               li_table):
+        with pytest.raises(ValueError, match="merge_schema"):
+            li_table.append(lineitem.withColumn("extra", F.lit(1)))
+
+    def test_missing_optional_null_fills(self, spark, tmp_loc):
+        df = spark.range(5).select(
+            F.col("id"),
+            F.expr("if(id >= 0, 'x', null)").alias("name"))
+        t = IceTable.create(spark, os.path.join(tmp_loc, "wo"),
+                            schema_from_spark(df.schema))
+        t.append(df)
+        t.append(df.select("id"))  # name omitted -> null
+        out = t.to_df()
+        assert out.count() == 10
+        assert out.filter("name is null").count() == 5
+
+    def test_merge_schema_adds_columns(self, spark, tmp_loc):
+        df = spark.range(5).select(F.col("id"))
+        t = IceTable.create(spark, os.path.join(tmp_loc, "ws"),
+                            schema_from_spark(df.schema))
+        t.append(df)
+        wider = df.withColumn("score", (F.col("id") * 2.0)) \
+                  .withColumn("tags", F.array(F.lit("a")))
+        t.append(wider, merge_schema=True)
+        out = t.to_df()
+        assert set(out.columns) == {"id", "score", "tags"}
+        assert out.count() == 10
+        # old files read the new columns as null; new files carry values
+        assert out.filter("score is null").count() == 5
+        assert out.filter("score is not null").count() == 5
+        assert out.filter("tags[0] = 'a'").count() == 5
+        # ids unique and last_column_id covers the array's element id
+        sch = t.schema()
+        assert t.metadata.last_column_id == sch.highest_field_id()
+
+
 class TestCdcApplyStream:
     def test_mixed_ops_single_snapshot_per_batch(self, spark, lineitem,
                                                  tmp_loc):
