@@ -375,6 +375,33 @@ class Schema(StructType):
 # Iceberg ↔ Spark type mapping (SURVEY.md §1.2 table)
 # --------------------------------------------------------------------------
 
+def max_assigned_field_id(fields) -> int:
+    """Highest field id assigned ANYWHERE in the given fields, including
+    list element ids and map key/value ids (which Schema's name index —
+    and therefore highest_field_id() — never sees). The authoritative
+    walker for last-column-id accounting."""
+    best = 0
+
+    def walk_type(t: IcebergType) -> None:
+        nonlocal best
+        if isinstance(t, StructType):
+            for f in t.fields:
+                best = max(best, f.field_id)
+                walk_type(f.field_type)
+        elif isinstance(t, ListType):
+            best = max(best, t.element_id)
+            walk_type(t.element_type)
+        elif isinstance(t, MapType):
+            best = max(best, t.key_id, t.value_id)
+            walk_type(t.key_type)
+            walk_type(t.value_type)
+
+    for f in fields:
+        best = max(best, f.field_id)
+        walk_type(f.field_type)
+    return best
+
+
 def to_spark_type(t: IcebergType) -> T.DataType:
     if isinstance(t, BooleanType):
         return T.BooleanType()

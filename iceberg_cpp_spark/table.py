@@ -1051,10 +1051,17 @@ class IceTable:
         import itertools
 
         for sf in df.schema.fields:
-            if self.schema().find_field(sf.name) is None:
-                counter = itertools.count(self.metadata.last_column_id + 2)
-                self.add_column(sf.name,
-                                it.from_spark_type(sf.dataType, counter))
+            schema = self.schema()
+            if schema.find_field(sf.name) is not None:
+                continue
+            if schema.find_field(sf.name, case_sensitive=False) is not None:
+                # Spark resolves names case-insensitively by default — a
+                # second column differing only in case would be ambiguous
+                raise ValueError(
+                    f"column {sf.name!r} differs only in case from an "
+                    f"existing column; rename it before merge_schema")
+            counter = itertools.count(self.metadata.last_column_id + 2)
+            self.add_column(sf.name, it.from_spark_type(sf.dataType, counter))
 
     def overwrite(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "IceTable":
         """Replace the whole table contents in one snapshot."""
@@ -1106,9 +1113,12 @@ class IceTable:
         unmatched rows pass through unchanged. ``assignments`` maps
         column name → Spark Column (or literal)."""
         schema = self.schema()
+        top = {f.name for f in schema.fields}
         for name in assignments:
-            if schema.find_field(name) is None:
-                raise ValueError(f"unknown column: {name}")
+            if name not in top:
+                raise ValueError(
+                    f"unknown column: {name}" if schema.find_field(name) is None
+                    else f"only top-level columns can be assigned: {name}")
         affected = {t.file_path for t in self.scan(filter=expr).plan_files()}
         if not affected:
             return self
@@ -1452,6 +1462,16 @@ class IceTable:
         new_meta, _u, reqs = b.build()
         return self._commit(new_meta, branch, snap, requirements=reqs)
 
+    @staticmethod
+    def _plain_path(p: str) -> str:
+        """file:-URI → plain path (as stored in manifests) for _file
+        comparisons in copy-on-write file discovery."""
+        if p.startswith("file:"):
+            p = p[5:]
+            while p.startswith("//"):
+                p = p[1:]
+        return p
+
     def apply_changes(self, changes: DataFrame, on: list[str],
                       op_col: str = "_op", seq_col: Optional[str] = None,
                       branch: str = MAIN_BRANCH,
@@ -1462,8 +1482,11 @@ class IceTable:
         delete-then-merge pair would leave a torn intermediate snapshot
         and break batch-watermark replay semantics).
 
-        Last change per key wins, ordered by ``seq_col`` when given
-        (else batch arrival order). Files holding ANY changed key are
+        Last change per key wins, ordered by ``seq_col`` when given.
+        Without ``seq_col`` the order is per-partition arrival only —
+        nondeterministic ACROSS partitions, so pass seq_col whenever one
+        batch can carry several ops for a key. Files holding ANY changed
+        key are
         rewritten once: 'D' keys vanish, 'U'/'I' keys take the change
         row (insert when absent), untouched files carry over."""
         schema = self.schema()
@@ -1472,6 +1495,11 @@ class IceTable:
                 raise ValueError(f"key not in table schema: {c}")
         if op_col not in changes.columns:
             raise ValueError(f"changes missing op column: {op_col}")
+        bad = changes.filter(~F.col(op_col).isin("I", "U", "D")) \
+                     .select(op_col).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"op column {op_col} must be 'I'/'U'/'D', saw: {bad[0][0]!r}")
         from pyspark.sql.window import Window
 
         order = (F.col(seq_col) if seq_col
@@ -1483,16 +1511,9 @@ class IceTable:
         upserts = last.filter(F.col(op_col) != "D").select(*cols)
         all_keys = last.select(*on).distinct()
 
-        def _plain(p: str) -> str:
-            if p.startswith("file:"):
-                p = p[5:]
-                while p.startswith("//"):
-                    p = p[1:]
-            return p
-
         tgt = self.scan().with_metadata_columns().to_df()
         affected = {
-            _plain(r["_file"])
+            self._plain_path(r["_file"])
             for r in tgt.select("_file", *on).join(all_keys, on, "left_semi")
                         .select("_file").distinct().collect()
         }
@@ -1544,17 +1565,10 @@ class IceTable:
 
         # 1) which files contain a matched key? (reads keys + _metadata only)
         # _file is a URI (file:/... or file:///...); manifests store plain paths
-        def _plain(p: str) -> str:
-            if p.startswith("file:"):
-                p = p[5:]
-                while p.startswith("//"):
-                    p = p[1:]
-            return p
-
         tgt = self.scan().with_metadata_columns().to_df()
         affected = (
             set() if when_matched is None else {
-                _plain(r["_file"])
+                self._plain_path(r["_file"])
                 for r in tgt.select("_file", *on).join(keys, on, "left_semi")
                             .select("_file").distinct().collect()
             })
@@ -2396,8 +2410,10 @@ class IceTable:
             fid, name, field_type, required,
             initial_default=default, write_default=default)]
         # nested element/key/value/struct children may carry ids past
-        # fid — last_column_id must cover every id in the new subtree
-        last = it.Schema(fields).highest_field_id()
+        # fid — last_column_id must cover every id in the new subtree,
+        # INCLUDING list element / map key+value ids the schema name
+        # index never sees (max_assigned_field_id walks them all)
+        last = it.max_assigned_field_id(fields)
         t = self._evolve_schema(fields, last_column_id=max(fid, last))
         if default is not None:
             t = t.update_properties({

@@ -674,9 +674,56 @@ class TestWriteSchemaEvolution:
         assert out.filter("score is null").count() == 5
         assert out.filter("score is not null").count() == 5
         assert out.filter("tags[0] = 'a'").count() == 5
-        # ids unique and last_column_id covers the array's element id
-        sch = t.schema()
-        assert t.metadata.last_column_id == sch.highest_field_id()
+        # last_column_id covers EVERY assigned id, including the array
+        # element id the schema name index never sees — the next add must
+        # not mint a duplicate
+        from iceberg_cpp_spark.core import types as it
+        assert t.metadata.last_column_id == it.max_assigned_field_id(
+            t.schema().fields)
+        from iceberg_cpp_spark.core.types import StringType
+        t.add_column("note", StringType())
+        ids = []
+        def walk(tt):
+            if isinstance(tt, it.StructType):
+                for f in tt.fields:
+                    ids.append(f.field_id); walk(f.field_type)
+            elif isinstance(tt, it.ListType):
+                ids.append(tt.element_id); walk(tt.element_type)
+            elif isinstance(tt, it.MapType):
+                ids.extend([tt.key_id, tt.value_id])
+                walk(tt.key_type); walk(tt.value_type)
+        walk(t.schema())
+        assert len(ids) == len(set(ids)), f"duplicate field ids: {ids}"
+
+
+class TestWriteSchemaEvolutionEdges:
+    def test_case_colliding_column_rejected(self, spark, tmp_loc):
+        df = spark.range(3).select(F.col("id"))
+        t = IceTable.create(spark, os.path.join(tmp_loc, "wc"),
+                            schema_from_spark(df.schema))
+        t.append(df)
+        with pytest.raises(ValueError, match="case"):
+            t.append(df.withColumn("ID", F.lit(1)), merge_schema=True)
+
+    def test_update_where_rejects_nested_assignment(self, spark, tmp_loc):
+        from iceberg_cpp_spark.plans import expressions as ex2
+
+        df = spark.range(3).select(
+            F.col("id"), F.struct(F.col("id").alias("a")).alias("s"))
+        t = IceTable.create(spark, os.path.join(tmp_loc, "wn"),
+                            schema_from_spark(df.schema))
+        t.append(df)
+        with pytest.raises(ValueError, match="top-level"):
+            t.update_where(ex2.lt(ex2.Reference("id"), 10), {"s.a": 5})
+
+    def test_apply_changes_rejects_bad_op(self, spark, tmp_loc):
+        df = spark.range(3).select(F.col("id"), F.lit(1.0).alias("v"))
+        t = IceTable.create(spark, os.path.join(tmp_loc, "wb"),
+                            schema_from_spark(df.schema))
+        t.append(df)
+        ch = df.withColumn("_op", F.lit("delete"))
+        with pytest.raises(ValueError, match="must be 'I'/'U'/'D'"):
+            t.apply_changes(ch, on=["id"])
 
 
 class TestCdcApplyStream:
