@@ -518,6 +518,28 @@ class TestText:
         with pytest.raises(ValueError, match="overlap"):
             text.chunk_documents(df, chunk_chars=4, overlap_chars=4)
 
+    def test_chunk_documents_coverage_invariant(self, spark, documents):
+        """Every document reconstructs exactly from its chunks: chunk i
+        overlaps its successor by exactly overlap_chars, the first chunk
+        starts at 0, and concatenating each chunk minus the overlap
+        yields the original text — for arbitrary real corpus lengths."""
+        chunk, overlap = 96, 32
+        rows = (text.chunk_documents(documents, chunk_chars=chunk,
+                                     overlap_chars=overlap)
+                .groupBy("doc_id")
+                .agg(F.sort_array(F.collect_list(
+                    F.struct("chunk_idx", "chunk_text"))).alias("cs"))
+                .collect())
+        orig = {r["doc_id"]: r["text"] for r in documents.collect()}
+        assert len(rows) == len(orig)
+        step = chunk - overlap
+        for r in rows:
+            parts = [c["chunk_text"] for c in r["cs"]]
+            rebuilt = parts[0] + "".join(p[overlap:] for p in parts[1:])
+            assert rebuilt == orig[r["doc_id"]]
+            # all but the last chunk are full-width
+            assert all(len(p) == chunk for p in parts[:-1])
+
     def test_token_frequency_stats_golden(self, spark):
         df = spark.createDataFrame(
             [(1, "a a b"), (2, "b c")], "doc_id long, text string")
