@@ -16,8 +16,13 @@ API:
   commits ONE snapshot from the collected commit messages (exactly the
   AppendFiles two-phase shape, transaction.h:31-51);
 - streaming source: snapshot-sequence offsets; each microbatch reads
-  files whose sequence number falls in (start, end] — replayable via
-  ``readBetweenOffsets``.
+  files whose sequence number falls in (start, end]. Two planes: the
+  DEFAULT full reader decodes in executors (bin-packed partitions, no
+  driver prefetch — Trigger.AvailableNow over a huge commit behaves
+  like a batch scan), while `max-files-per-trigger` routes to the
+  simple prefetching reader whose sub-commit {"seq","idx"} cursor
+  implements per-trigger backpressure (replayable via
+  ``readBetweenOffsets``).
 
 Usage::
 
@@ -39,6 +44,7 @@ from pyspark.sql.datasource import (
     DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -512,9 +518,12 @@ class IcebergCppStreamWriter(IcebergCppWriter, DataSourceStreamArrowWriter):
     `.option("streaming-source-id", ...)`; else Spark's persisted query
     id from the checkpoint (`<checkpointLocation>/metadata`) — so a lost
     checkpoint yields a NEW id and degrades to at-least-once duplicates,
-    never silent data loss from renumbered batches; else (no checkpoint
-    option visible) a constant shared by all writers of the table —
-    set the option explicitly in that case."""
+    never silent data loss from renumbered batches. With NEITHER
+    visible the sink raises: a constant identity shared by every query
+    writing the table would make independent streams share one batch-id
+    watermark, silently skipping the lower-numbered stream's batches
+    (data loss). Set the option explicitly when the checkpoint comes
+    from session defaults instead of a writer option."""
 
     def __init__(self, options):
         IcebergCppWriter.__init__(self, options, overwrite=False)
@@ -535,7 +544,13 @@ class IcebergCppStreamWriter(IcebergCppWriter, DataSourceStreamArrowWriter):
                     # metadata file at query start, before any batch
                     sid = ckpt_stream_id(ckpt)
                 else:
-                    sid = "icecpp-writestream"
+                    raise ValueError(
+                        "icecpp streaming sink needs a watermark identity: "
+                        "pass .option('checkpointLocation', ...) on the "
+                        "writer or .option('streaming-source-id', <unique>) "
+                        "— without one, concurrent queries writing this "
+                        "table would share a batch-id watermark and "
+                        "silently skip each other's batches")
             self._sid_cache["sid"] = sid
         return sid
 
@@ -592,7 +607,8 @@ class IcebergCppStreamReader(SimpleDataSourceStreamReader):
             return {"seq": int(self.options["starting-sequence"])}
         return {"seq": 0}
 
-    def _all_files(self, table) -> list[tuple[int, str]]:
+    @staticmethod
+    def _all_files(table) -> list[tuple[int, str]]:
         """(sequence_number, path) for every live data file, sorted —
         the global cursor order offsets index into."""
         return sorted(((t.sequence_number or 0), t.file_path)
@@ -645,6 +661,94 @@ class IcebergCppStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+@dataclass
+class StreamFilesPartition(InputPartition):
+    """One executor task of a streaming micro-batch: a bin-packed slice
+    of the batch's new data files."""
+
+    paths: list = dc_field(default_factory=list)
+
+
+class IcebergCppFullStreamReader(DataSourceStreamReader):
+    """Executor-parallel streaming source — the DEFAULT when no
+    ``max-files-per-trigger`` is set.
+
+    Offsets are snapshot sequence numbers (stateless: the engine's
+    offset log supplies ``start``; ``latestOffset`` just reads the
+    table head). ``partitions(start, end)`` bin-packs the files in
+    (start, end] to ~split-target bytes, and ``read`` decodes them IN
+    EXECUTORS — no driver-side data prefetch at all. That makes one
+    Trigger.AvailableNow batch over an arbitrarily large commit behave
+    like a batch scan (parallel tasks, flat driver memory), which is
+    the scale-correct answer to the prefetch problem the
+    SimpleDataSourceStreamReader contract creates: Spark's
+    AvailableNowDataStreamWrapper captures ONE latestOffset per run
+    for Python sources (no SupportsAdmissionControl bridge), so a
+    per-trigger file cap cannot split an availableNow run into several
+    batches — verified empirically; with a cap set the run stops after
+    the first capped batch. Hence the routing: cap set → the simple
+    prefetching reader (sub-commit cursor backpressure for
+    processing-time triggers); no cap → this reader."""
+
+    def __init__(self, options, schema):
+        self.options = options
+        self.spark_schema = schema
+
+    def initialOffset(self) -> dict:
+        if self.options.get("starting-sequence") is not None:
+            return {"seq": int(self.options["starting-sequence"])}
+        return {"seq": 0}
+
+    def latestOffset(self) -> dict:
+        table = _load_table(self.options)
+        files = IcebergCppStreamReader._all_files(table)
+        return {"seq": max((q for q, _ in files), default=0)}
+
+    def partitions(self, start: dict, end: dict):
+        table = _load_table(self.options)
+        files = IcebergCppStreamReader._all_files(table)
+        # offsets may carry the simple reader's sub-commit {"seq","idx"}
+        # cursor (a checkpoint written before the cap option was
+        # dropped) — _pos understands both forms
+        lo = IcebergCppStreamReader._pos(files, start)
+        hi = IcebergCppStreamReader._pos(files, end)
+        sizes = {t.file_path: t.file_size_in_bytes
+                 for t in table.scan().plan_files()}
+        target = int(self.options.get(
+            "split-target-bytes",
+            table.properties().get("read.split.target-size",
+                                   str(128 * 1024 * 1024))))
+        parts: list[StreamFilesPartition] = []
+        cur: list = []
+        cur_bytes = 0
+        for _q, p in files[lo:hi]:
+            sz = sizes.get(p, 0)
+            if cur and cur_bytes + sz > target:
+                parts.append(StreamFilesPartition(paths=cur))
+                cur, cur_bytes = [], 0
+            cur.append(p)
+            cur_bytes += sz
+        if cur:
+            parts.append(StreamFilesPartition(paths=cur))
+        return parts
+
+    def read(self, partition: StreamFilesPartition):
+        """Executor-side: same plain-file read + declared-schema cast as
+        the simple reader's ``_rows`` (streaming reads are append reads
+        of freshly written files)."""
+        import pyarrow.parquet as pq
+
+        names = [f.name for f in self.spark_schema.fields]
+        for p in partition.paths:
+            tbl = _cast_to_declared(pq.read_table(p, columns=names),
+                                    self.spark_schema)
+            for batch in tbl.to_batches(max_chunksize=65536):
+                yield batch
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class IcebergCppDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -670,6 +774,23 @@ class IcebergCppDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> IcebergCppWriter:
         return IcebergCppWriter(self.options, overwrite)
+
+    def streamReader(self, schema) -> IcebergCppFullStreamReader:
+        """Default streaming source: executor-parallel full reader. A
+        `max-files-per-trigger` cap (or `streaming-reader=simple`)
+        routes to the simple prefetching reader instead — the cap is a
+        driver-prefetch backpressure knob and only that reader's
+        sub-commit cursor can honor it."""
+        from pyspark.errors import PySparkNotImplementedError
+
+        if (self.options.get("max-files-per-trigger") is not None
+                or self.options.get("streaming-reader", "").lower()
+                == "simple"):
+            raise PySparkNotImplementedError(  # → simpleStreamReader
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        return IcebergCppFullStreamReader(self.options, schema)
 
     def simpleStreamReader(self, schema) -> IcebergCppStreamReader:
         return IcebergCppStreamReader(self.options, schema)

@@ -924,6 +924,18 @@ class IceTable:
 
     new_scan = scan  # reference naming (table.h:117)
 
+    def _branch_scan(self, branch: str, **scan_kwargs) -> TableScan:
+        """Scan pinned to the head a branch commit will build on — the
+        read side of every DML/maintenance op MUST match the parent
+        `_commit_files_once` picks (branch head if the ref exists, else
+        main head): reading main for a diverged-branch commit would
+        skip branch-only files and merge main-only rows into the
+        branch."""
+        s = self.scan(**scan_kwargs)
+        if branch != MAIN_BRANCH and self.metadata.ref(branch) is not None:
+            s.use_ref(branch)
+        return s
+
     def to_df(self) -> DataFrame:
         return self.scan().to_df()
 
@@ -1088,11 +1100,12 @@ class IceTable:
         if mode == "deletion-vector":
             return self._vector_delete(expr, branch)
         schema = self.schema()
-        affected = {t.file_path for t in self.scan(filter=expr).plan_files()}
+        affected = {t.file_path
+                    for t in self._branch_scan(branch, filter=expr).plan_files()}
         if not affected:
             return self
         kept = (
-            self._read_files_with_deletes(affected)
+            self._read_files_with_deletes(affected, branch=branch)
             .filter(~to_spark_column(expr, schema))
         )
         # no pre-count: _write_data_files drops zero-record outputs, so
@@ -1119,11 +1132,12 @@ class IceTable:
                 raise ValueError(
                     f"unknown column: {name}" if schema.find_field(name) is None
                     else f"only top-level columns can be assigned: {name}")
-        affected = {t.file_path for t in self.scan(filter=expr).plan_files()}
+        affected = {t.file_path
+                    for t in self._branch_scan(branch, filter=expr).plan_files()}
         if not affected:
             return self
         pred = to_spark_column(expr, schema)
-        df = self._read_files_with_deletes(affected)
+        df = self._read_files_with_deletes(affected, branch=branch)
         updated = df.select(*[
             (F.when(pred, assignments[c.name]
                     if isinstance(assignments[c.name], Column)
@@ -1138,14 +1152,16 @@ class IceTable:
             new_files, operation=DataOperation.OVERWRITE, branch=branch,
             carry_existing=True, drop_paths=affected)
 
-    def _read_files_with_deletes(self, paths) -> DataFrame:
-        """Rows of specific data files with the table's live position/
-        equality deletes applied — the correct input for copy-on-write
-        rewrites (reading the raw parquet would resurrect rows already
-        dead under merge-on-read deletes)."""
+    def _read_files_with_deletes(self, paths,
+                                 branch: str = MAIN_BRANCH) -> DataFrame:
+        """Rows of specific data files with the live position/equality
+        deletes OF THE COMMIT BRANCH applied — the correct input for
+        copy-on-write rewrites (reading the raw parquet would resurrect
+        rows already dead under merge-on-read deletes; reading main's
+        deletes for a branch rewrite would apply the wrong set)."""
         schema = self.schema()
         spark_schema = it.to_spark_schema(schema)
-        scan = self.scan()
+        scan = self._branch_scan(branch)
         df = self.spark.read.schema(spark_schema).parquet(*sorted(paths))
         deletes = scan.plan_deletes()
         if deletes:
@@ -1163,7 +1179,8 @@ class IceTable:
         """Write (file_path, pos) tuples of matching rows as a
         position-delete file (spec reserved field IDs 2147483546/45)."""
         schema = self.schema()
-        affected = [t.file_path for t in self.scan(filter=expr).plan_files()]
+        affected = [t.file_path
+                    for t in self._branch_scan(branch, filter=expr).plan_files()]
         if not affected:
             return self
         spark_schema = it.to_spark_schema(schema)
@@ -1197,7 +1214,8 @@ class IceTable:
         from iceberg_cpp_spark.core.roaring import Roaring64
 
         schema = self.schema()
-        affected = [t.file_path for t in self.scan(filter=expr).plan_files()]
+        affected = [t.file_path
+                    for t in self._branch_scan(branch, filter=expr).plan_files()]
         if not affected:
             return self
         spark_schema = it.to_spark_schema(schema)
@@ -1227,7 +1245,7 @@ class IceTable:
         dvs = {r["file_path"]: Roaring64.deserialize(bytes(r["dv"])) for r in built}
         # merge with current DVs: the new vector must supersede, not stack
         replaced = set()
-        for d in self.scan().plan_deletes():
+        for d in self._branch_scan(branch).plan_deletes():
             if d.is_deletion_vector and d.referenced_data_file in dvs:
                 meta = pf.BlobMetadata(type=pf.DELETION_VECTOR_V1,
                                        offset=d.content_offset or 0,
@@ -1259,7 +1277,7 @@ class IceTable:
         from iceberg_cpp_spark.core import puffin as pf
         from iceberg_cpp_spark.core.roaring import Roaring64
 
-        deletes = self.scan().plan_deletes()
+        deletes = self._branch_scan(branch).plan_deletes()
         pos = [d for d in deletes
                if d.content == mf.CONTENT_POSITION_DELETES and not d.is_deletion_vector]
         old_dvs = [d for d in deletes if d.is_deletion_vector]
@@ -1288,7 +1306,7 @@ class IceTable:
             rb = pf.parse_dv_blob(pf.read_blob(d.file_path, meta))
             ref = d.referenced_data_file
             dvs[ref] = dvs[ref].union(rb) if ref in dvs else rb
-        live = {t.file_path for t in self.scan().plan_files()}
+        live = {t.file_path for t in self._branch_scan(branch).plan_files()}
         dvs = {p: rb for p, rb in dvs.items() if p in live}
         drop = {d.file_path for d in pos}
         if not dvs:
@@ -1324,7 +1342,7 @@ class IceTable:
         from iceberg_cpp_spark.core import puffin as pf
         from iceberg_cpp_spark.core.roaring import Roaring64
 
-        deletes = self.scan().plan_deletes()
+        deletes = self._branch_scan(branch).plan_deletes()
         eqs = [d for d in deletes if d.content == mf.CONTENT_EQUALITY_DELETES]
         if not eqs:
             return self
@@ -1332,7 +1350,8 @@ class IceTable:
                if d.content == mf.CONTENT_POSITION_DELETES and not d.is_deletion_vector]
         old_dvs = [d for d in deletes if d.is_deletion_vector]
 
-        dead = (self.scan().with_metadata_columns().include_deleted().to_df()
+        dead = (self._branch_scan(branch).with_metadata_columns()
+                .include_deleted().to_df()
                 .filter(F.col("_deleted"))
                 .select(F.regexp_replace("_file", "^file:(//)?", "")
                         .alias("file_path"), F.col("_pos").alias("pos")))
@@ -1347,7 +1366,7 @@ class IceTable:
                  .applyInPandas(_build, "file_path string, dv binary")
                  .collect())
         dvs = {r["file_path"]: Roaring64.deserialize(bytes(r["dv"])) for r in built}
-        live = {t.file_path for t in self.scan().plan_files()}
+        live = {t.file_path for t in self._branch_scan(branch).plan_files()}
         dvs = {p: rb for p, rb in dvs.items() if p in live}
         drop = {d.file_path for d in eqs} | {d.file_path for d in pos}
         if not dvs:
@@ -1482,11 +1501,12 @@ class IceTable:
         delete-then-merge pair would leave a torn intermediate snapshot
         and break batch-watermark replay semantics).
 
-        Last change per key wins, ordered by ``seq_col`` when given.
-        Without ``seq_col`` the order is per-partition arrival only —
-        nondeterministic ACROSS partitions, so pass seq_col whenever one
-        batch can carry several ops for a key. Files holding ANY changed
-        key are
+        Last change per key wins, ordered by ``seq_col``. Without
+        ``seq_col`` the order would be per-partition arrival only —
+        nondeterministic ACROSS partitions — so a batch carrying more
+        than one op for a key REQUIRES seq_col and raises otherwise
+        (a silent arbitrary winner would corrupt replay semantics).
+        Files holding ANY changed key are
         rewritten once: 'D' keys vanish, 'U'/'I' keys take the change
         row (insert when absent), untouched files carry over."""
         schema = self.schema()
@@ -1495,11 +1515,27 @@ class IceTable:
                 raise ValueError(f"key not in table schema: {c}")
         if op_col not in changes.columns:
             raise ValueError(f"changes missing op column: {op_col}")
-        bad = changes.filter(~F.col(op_col).isin("I", "U", "D")) \
+        # NULL op must fail validation too: with plain isin the predicate
+        # is NULL (three-valued logic) and the row would slip through —
+        # then downstream it is dropped from upserts but kept in
+        # all_keys, silently DELETING the key instead of erroring.
+        bad = changes.filter(~F.col(op_col).isin("I", "U", "D")
+                             | F.col(op_col).isNull()) \
                      .select(op_col).limit(1).collect()
         if bad:
             raise ValueError(
                 f"op column {op_col} must be 'I'/'U'/'D', saw: {bad[0][0]!r}")
+        if seq_col is None:
+            # one aggregation over the batch (metadata-scale vs the
+            # rewrite it gates): duplicate keys without an ordering
+            # column have no deterministic winner — refuse.
+            dup = (changes.groupBy(*on).count()
+                   .filter(F.col("count") > 1).limit(1).collect())
+            if dup:
+                key = tuple(dup[0][c] for c in on)
+                raise ValueError(
+                    f"batch carries multiple ops for key {key!r}; pass "
+                    "seq_col to define last-write-wins order")
         from pyspark.sql.window import Window
 
         order = (F.col(seq_col) if seq_col
@@ -1511,7 +1547,7 @@ class IceTable:
         upserts = last.filter(F.col(op_col) != "D").select(*cols)
         all_keys = last.select(*on).distinct()
 
-        tgt = self.scan().with_metadata_columns().to_df()
+        tgt = self._branch_scan(branch).with_metadata_columns().to_df()
         affected = {
             self._plain_path(r["_file"])
             for r in tgt.select("_file", *on).join(all_keys, on, "left_semi")
@@ -1524,7 +1560,7 @@ class IceTable:
                     new_files, operation=DataOperation.APPEND, branch=branch,
                     summary_extras=summary_extras, pre_check=pre_check)
             return self
-        affected_df = self._read_files_with_deletes(affected)
+        affected_df = self._read_files_with_deletes(affected, branch=branch)
         rewritten = affected_df.join(all_keys, on, "left_anti") \
                                .unionByName(upserts)
         new_files = self._write_data_files(rewritten)
@@ -1565,7 +1601,7 @@ class IceTable:
 
         # 1) which files contain a matched key? (reads keys + _metadata only)
         # _file is a URI (file:/... or file:///...); manifests store plain paths
-        tgt = self.scan().with_metadata_columns().to_df()
+        tgt = self._branch_scan(branch).with_metadata_columns().to_df()
         affected = (
             set() if when_matched is None else {
                 self._plain_path(r["_file"])
@@ -1586,7 +1622,7 @@ class IceTable:
                                               summary_extras=summary_extras,
                                               pre_check=pre_check)
             return self
-        affected_df = self._read_files_with_deletes(affected)
+        affected_df = self._read_files_with_deletes(affected, branch=branch)
         parts = [affected_df.join(keys, on, "left_anti")]  # unmatched rows kept
         if when_matched == "update":
             # SQL MERGE semantics: EVERY matched target row becomes the
@@ -1629,8 +1665,7 @@ class IceTable:
         # read side pins the SAME branch the replace commits to — a
         # diverged branch must be compacted from its own head, not main's
         def branch_scan() -> "TableScan":
-            sc = self.scan()
-            return sc if branch == MAIN_BRANCH else sc.use_ref(branch)
+            return self._branch_scan(branch)
 
         if target_file_size_bytes:
             if target_file_count:

@@ -569,3 +569,83 @@ class TestBinPacking:
         # reading the packed layout returns every row
         df = registered.read.format("icecpp").load(loc)
         assert df.count() == 2000
+
+
+class TestFullStreamReader:
+    """Default (uncapped) streaming source: executor-parallel full
+    reader — one availableNow batch fully consumes a large commit with
+    bin-packed multi-task partitions and no driver-side data prefetch.
+    (Spark's AvailableNowDataStreamWrapper captures a single
+    latestOffset for Python sources, so a per-trigger cap can never
+    split an availableNow run — the full reader makes the single batch
+    scale instead.)"""
+
+    def test_available_now_consumes_whole_commit(self, registered,
+                                                 lineitem, tmp_loc):
+        loc = os.path.join(tmp_loc, "fsr")
+        t = IceTable.create(registered, loc,
+                            schema_from_spark(lineitem.schema))
+        t.append(lineitem.limit(60).repartition(6))  # one commit, 6 files
+        assert len(t.scan().plan_files()) == 6
+        q = (registered.readStream.format("icecpp").load(loc)
+             .writeStream.format("memory").queryName("fsr_t1")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+        assert registered.table("fsr_t1").count() == 60
+
+    def test_partition_planning_binpacks(self, registered, lineitem,
+                                         tmp_loc):
+        from iceberg_cpp_spark.sources.spark_datasource import (
+            IcebergCppFullStreamReader)
+
+        loc = os.path.join(tmp_loc, "fsp")
+        t = IceTable.create(registered, loc,
+                            schema_from_spark(lineitem.schema))
+        t.append(lineitem.limit(60).repartition(6))
+        r = IcebergCppFullStreamReader(
+            {"path": loc, "split-target-bytes": "1"},  # force 1 file/part
+            t.scan().to_df().schema)
+        end = r.latestOffset()
+        assert end == {"seq": 1}
+        parts = r.partitions({"seq": 0}, end)
+        assert len(parts) == 6  # tiny target → one file per partition
+        covered = [p for part in parts for p in part.paths]
+        assert len(covered) == 6 and len(set(covered)) == 6
+        # executor read path returns the declared schema
+        batches = list(r.read(parts[0]))
+        assert sum(b.num_rows for b in batches) > 0
+        # incremental window: nothing new after the head
+        assert r.partitions(end, end) == []
+
+    def test_cap_routes_to_simple_reader(self, registered, tmp_loc,
+                                         lineitem):
+        from pyspark.errors import PySparkNotImplementedError
+
+        from iceberg_cpp_spark.sources.spark_datasource import (
+            IcebergCppDataSource)
+
+        loc = os.path.join(tmp_loc, "fsc")
+        IceTable.create(registered, loc, schema_from_spark(lineitem.schema))
+        ds = IcebergCppDataSource({"path": loc, "max-files-per-trigger": "2"})
+        with pytest.raises(PySparkNotImplementedError):
+            ds.streamReader(None)
+        assert ds.simpleStreamReader(None) is not None
+        ds2 = IcebergCppDataSource({"path": loc})
+        assert ds2.streamReader(None) is not None
+
+    def test_stream_writer_requires_identity(self, registered, tmp_loc,
+                                             lineitem):
+        """No checkpoint option and no explicit streaming-source-id →
+        raise instead of silently sharing one watermark across every
+        query writing the table (silent batch loss)."""
+        from iceberg_cpp_spark.sources.spark_datasource import (
+            IcebergCppStreamWriter)
+
+        loc = os.path.join(tmp_loc, "fsi")
+        IceTable.create(registered, loc, schema_from_spark(lineitem.schema))
+        w = IcebergCppStreamWriter({"path": loc})
+        with pytest.raises(ValueError, match="watermark identity"):
+            w._stream_id()
+        w2 = IcebergCppStreamWriter(
+            {"path": loc, "streaming-source-id": "q1"})
+        assert w2._stream_id() == "q1"

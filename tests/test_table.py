@@ -899,3 +899,101 @@ class TestLargeScalePlanning:
         assert len({f[0] for f in covered}) == n
         assert len(parts) < n  # 10 KB files pack many-per-partition
         assert part_s < 90, f"100k ScanPartition build took {part_s:.1f}s"
+
+
+class TestBranchPinnedDml:
+    """Every DML/maintenance read side must pin the COMMIT branch: on a
+    diverged branch, affected-file discovery and rewrite inputs come
+    from the branch head — reading main would skip branch-only files
+    and merge main-only rows into the branch."""
+
+    def _diverged(self, spark, tmp_loc, name):
+        df = spark.range(10).select(F.col("id"), (F.col("id") * 10).alias("v"))
+        t = IceTable.create(spark, os.path.join(tmp_loc, name),
+                            schema_from_spark(df.schema))
+        t.append(df)                       # shared file: ids 0-9
+        t.create_branch("dev")
+        t.append(spark.range(10, 20).select(
+            F.col("id"), (F.col("id") * 10).alias("v")), branch="dev")
+        t.append(spark.range(20, 25).select(
+            F.col("id"), (F.col("id") * 10).alias("v")))  # main-only
+        return t
+
+    @staticmethod
+    def _ids(df):
+        return sorted(r["id"] for r in df.collect())
+
+    def test_delete_where_hits_branch_only_file(self, spark, tmp_loc):
+        t = self._diverged(spark, tmp_loc, "bd")
+        t.delete_where(ex.gt_eq(ex.Reference("id"), 15), branch="dev")
+        assert self._ids(t.scan().use_ref("dev").to_df()) == list(range(15))
+        # main untouched: its head keeps ids 0-9 and 20-24
+        assert self._ids(t.to_df()) == list(range(10)) + list(range(20, 25))
+
+    def test_update_where_hits_branch_only_file(self, spark, tmp_loc):
+        t = self._diverged(spark, tmp_loc, "bu")
+        t.update_where(ex.eq(ex.Reference("id"), 12), {"v": -1}, branch="dev")
+        dev = {r["id"]: r["v"] for r in t.scan().use_ref("dev").to_df().collect()}
+        assert dev[12] == -1 and dev[11] == 110
+        assert len(dev) == 20  # no main-only rows leaked into dev
+        assert self._ids(t.to_df()) == list(range(10)) + list(range(20, 25))
+
+    def test_merge_into_matches_branch_only_rows(self, spark, tmp_loc):
+        t = self._diverged(spark, tmp_loc, "bm")
+        src = spark.createDataFrame([(12, -1), (99, -2)], "id long, v long")
+        t.merge_into(src, on=["id"], branch="dev")
+        dev = {r["id"]: r["v"] for r in t.scan().use_ref("dev").to_df().collect()}
+        # id 12 lives only in the dev-only file: it must be UPDATED
+        # (reading main for discovery would have inserted a duplicate)
+        assert dev[12] == -1
+        assert dev[99] == -2
+        assert len(dev) == 21
+        assert self._ids(t.to_df()) == list(range(10)) + list(range(20, 25))
+
+    def test_apply_changes_matches_branch_only_rows(self, spark, tmp_loc):
+        t = self._diverged(spark, tmp_loc, "bc")
+        ch = spark.createDataFrame(
+            [(12, -1, "U", 1), (15, 0, "D", 1)],
+            "id long, v long, _op string, _seq int")
+        t.apply_changes(ch, on=["id"], seq_col="_seq", branch="dev")
+        dev = {r["id"]: r["v"] for r in t.scan().use_ref("dev").to_df().collect()}
+        assert dev[12] == -1 and 15 not in dev and len(dev) == 19
+        assert self._ids(t.to_df()) == list(range(10)) + list(range(20, 25))
+
+    def test_delete_where_mor_on_branch(self, spark, tmp_loc):
+        t = self._diverged(spark, tmp_loc, "bp")
+        t.delete_where(ex.gt_eq(ex.Reference("id"), 15), branch="dev",
+                       mode="merge-on-read")
+        assert self._ids(t.scan().use_ref("dev").to_df()) == list(range(15))
+        assert self._ids(t.to_df()) == list(range(10)) + list(range(20, 25))
+
+
+class TestCdcApplyValidation:
+    def _table(self, spark, tmp_loc, name):
+        df = spark.range(5).select(F.col("id"), (F.col("id") * 10).alias("v"))
+        t = IceTable.create(spark, os.path.join(tmp_loc, name),
+                            schema_from_spark(df.schema))
+        t.append(df)
+        return t
+
+    def test_null_op_rejected(self, spark, tmp_loc):
+        t = self._table(spark, tmp_loc, "vn")
+        ch = spark.createDataFrame([(1, 0, None)], "id long, v long, _op string")
+        with pytest.raises(ValueError, match="must be 'I'/'U'/'D'"):
+            t.apply_changes(ch, on=["id"])
+
+    def test_dup_key_without_seq_rejected(self, spark, tmp_loc):
+        t = self._table(spark, tmp_loc, "vd")
+        ch = spark.createDataFrame(
+            [(1, -1, "U"), (1, 0, "D")], "id long, v long, _op string")
+        with pytest.raises(ValueError, match="multiple ops"):
+            t.apply_changes(ch, on=["id"])
+
+    def test_dup_key_with_seq_last_wins(self, spark, tmp_loc):
+        t = self._table(spark, tmp_loc, "vs")
+        ch = spark.createDataFrame(
+            [(1, -1, "U", 2), (1, 0, "D", 1)],
+            "id long, v long, _op string, _seq int")
+        t.apply_changes(ch, on=["id"], seq_col="_seq")
+        got = {r["id"]: r["v"] for r in t.to_df().collect()}
+        assert got[1] == -1  # seq=2 'U' wins over seq=1 'D'
