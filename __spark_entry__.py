@@ -3083,6 +3083,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         # hash_unit('pack|' || doc_id) ordering + one running sum — the
         # same md5-interval scheme as sample_stratified/sample_split
+        # bucketed packing (VERDICT r06 task 3): hash-prefix buckets,
+        # per-bucket cumsum, contiguous pack ids via per-bucket
+        # pack-count prefix offsets — mirrors sampling.pack_sequences
         "sample_pack": """
             WITH tok AS (
               SELECT doc_id,
@@ -3092,17 +3095,33 @@ def oracle_sql() -> dict[str, str]:
                      ('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                        / 4294967296.0 AS unit
               FROM documents),
+            b AS (
+              SELECT *, CAST(FLOOR(unit * 64) AS BIGINT) AS _bucket FROM tok),
             c AS (
-              SELECT doc_id, n_tokens,
-                     SUM(n_tokens) OVER (ORDER BY unit, doc_id
+              SELECT doc_id, n_tokens, _bucket,
+                     SUM(n_tokens) OVER (PARTITION BY _bucket
+                       ORDER BY unit, doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-              FROM tok)
-            SELECT doc_id, n_tokens,
-                   CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS _pack,
+              FROM b),
+            bt AS (
+              SELECT _bucket,
+                     GREATEST(CAST(CEIL(SUM(n_tokens) / 512.0) AS BIGINT), 1)
+                       AS n_packs
+              FROM b GROUP BY _bucket),
+            off AS (
+              SELECT _bucket,
+                     COALESCE(SUM(n_packs) OVER (ORDER BY _bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS packs_before
+              FROM bt)
+            SELECT c.doc_id, c.n_tokens,
+                   CAST(off.packs_before
+                        + FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS _pack,
                    CAST((cum - n_tokens) % 512 AS BIGINT) AS _offset,
-                   CAST(FLOOR((GREATEST(cum, cum - n_tokens + 1) - 1) / 512.0)
+                   CAST(off.packs_before
+                        + FLOOR((GREATEST(cum, cum - n_tokens + 1) - 1) / 512.0)
                      AS BIGINT) AS _end_pack
-            FROM c
+            FROM c JOIN off USING (_bucket)
         """,
         "dedup_cross_corpus": """
             SELECT id_a, id_b

@@ -268,7 +268,8 @@ def chunk_documents(df: DataFrame, chunk_chars: int = 1000,
 
 def token_frequency_stats(df: DataFrame, freq_source: Optional[DataFrame] = None,
                           text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          broadcast_max_vocab: Optional[int] = 2_000_000) -> DataFrame:
     """Corpus-familiarity features — the integer-safe core of a unigram
     LM quality filter (CCNet-style: documents made of corpus-rare tokens
     are low-quality or out-of-domain; -Σ log p derives from these counts
@@ -279,14 +280,29 @@ def token_frequency_stats(df: DataFrame, freq_source: Optional[DataFrame] = None
       min_freq (rarest token's corpus count; 0 when any token is OOV).
 
     Scale shape: one groupBy(word) over the exploded freq source
-    (map-side combine), result broadcast-joined to the exploded corpus
-    (frequency tables are vocabulary-sized, millions not billions), one
-    final groupBy(doc). All integers — no cross-engine float surface."""
+    (map-side combine), one final groupBy(doc). The frequency table is
+    broadcast to the corpus join ONLY while its vocabulary is bounded:
+    a 100 TB web corpus's unigram vocab (URLs, ids, typos) is tens of
+    GB and an unconditional ``F.broadcast`` would OOM every executor.
+    Same gate pattern as the eq-delete key broadcast
+    (``engine.read.eq-delete-broadcast-max-records`` in table.py): the
+    vocab is materialized once (localCheckpoint — it is needed verbatim
+    by the join anyway), counted, and broadcast-hinted only when
+    ``<= broadcast_max_vocab`` rows; above the gate (or when the gate is
+    None) no hint is attached and AQE picks the join strategy — a
+    shuffled hash join on `_w`. All integers — no cross-engine float
+    surface."""
     src = freq_source if freq_source is not None else df
     freqs = (src.select(F.explode(words(F.col(text_col))).alias("_w"))
              .groupBy("_w").agg(F.count("*").alias("_freq")))
+    if broadcast_max_vocab is not None:
+        # materialize the aggregate once; the count and the join both
+        # read the checkpointed blocks (no second pass over the corpus)
+        freqs = freqs.localCheckpoint(eager=True)
+        if freqs.count() <= broadcast_max_vocab:
+            freqs = F.broadcast(freqs)
     toks = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("_w"))
-    return (toks.join(F.broadcast(freqs), "_w", "left")
+    return (toks.join(freqs, "_w", "left")
             .groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_tokens"),
                  F.sum(F.coalesce("_freq", F.lit(0)))

@@ -554,6 +554,33 @@ class TestText:
                 .collect()}
         assert got2 == {1: (3, 3, 1), 2: (2, 1, 0)}
 
+    def test_token_frequency_vocab_broadcast_gate(self, spark):
+        """VERDICT r05/r06 scale-killer: the vocabulary broadcast must be
+        size-gated. A vocab over the gate must carry NO broadcast hint
+        (AQE chooses — shuffled hash join at real scale); a vocab under
+        the gate keeps the hint. Asserted on the analyzed logical plan:
+        the executed plan of a tiny test join is broadcast either way."""
+        from pyspark.sql import functions as F
+
+        docs = spark.range(40).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("tok"), F.col("id").cast("string"),
+                     F.lit(" shared")).alias("text"))
+
+        def analyzed(df):
+            return df._jdf.queryExecution().analyzed().toString()
+
+        over = text.token_frequency_stats(docs, broadcast_max_vocab=5)
+        assert "ResolvedHint" not in analyzed(over), \
+            "vocab over the gate must not be broadcast-hinted"
+        under = text.token_frequency_stats(docs, broadcast_max_vocab=10_000)
+        assert "ResolvedHint" in analyzed(under), \
+            "bounded vocab should keep the broadcast hint"
+        # results identical on both paths
+        a = {tuple(r) for r in over.collect()}
+        b = {tuple(r) for r in under.collect()}
+        assert a == b and len(a) == 40
+
     def test_pii_redaction_and_counts(self, spark):
         df = spark.createDataFrame([
             (1, "mail bob.smith+x@ex-a.co.uk from 10.0.3.7 ssn 123-45-6789 end"),
@@ -680,9 +707,10 @@ class TestKMeans:
 
 class TestSampling:
     def test_pack_sequences_layout(self, spark):
-        """Concat-and-split invariants + an independent pandas mirror of
-        the cumulative layout."""
+        """Concat-and-split invariants + an independent python mirror of
+        the BUCKETED cumulative layout (VERDICT r06 task 3)."""
         import hashlib
+        import math
 
         from iceberg_cpp_spark.operators import sampling, text as tx
 
@@ -691,30 +719,62 @@ class TestSampling:
             "doc_id", tx.token_count(F.col("text")).cast("long").alias("n_tokens"))
         out = sampling.pack_sequences(with_tokens, seq_len=256).collect()
         rows = {r["doc_id"]: r for r in out}
-        # independent mirror: same md5-interval ordering, plain python
+        # independent mirror: same md5-interval ordering, hash-prefix
+        # buckets, per-bucket cumsum + contiguous pack-id offsets
         units = {d: int(hashlib.md5(f"pack|{d}".encode()).hexdigest()[:8], 16)
                  / 2**32 for d in rows}
-        order = sorted(rows, key=lambda d: (units[d], d))
-        cum = 0
-        for d in order:
-            r = rows[d]
-            assert r["_pack"] == cum // 256
-            assert r["_offset"] == cum % 256
-            cum += r["n_tokens"]
-            assert r["_end_pack"] == (max(cum, cum - r["n_tokens"] + 1) - 1) // 256
+        buckets: dict[int, list] = {}
+        for d in rows:
+            buckets.setdefault(int(units[d] * 64), []).append(d)
+        base = 0
+        for b in sorted(buckets):
+            cum = 0
+            for d in sorted(buckets[b], key=lambda d: (units[d], d)):
+                r = rows[d]
+                assert r["_bucket"] == b
+                assert r["_pack"] == base + cum // 256
+                assert r["_offset"] == cum % 256
+                cum += r["n_tokens"]
+                assert r["_end_pack"] == \
+                    base + (max(cum, cum - r["n_tokens"] + 1) - 1) // 256
+            base += max(math.ceil(cum / 256), 1)
+        # pack ids are globally contiguous: every id in [0, base) is used
+        used = {p for r in out for p in range(r["_pack"], r["_end_pack"] + 1)}
+        assert used == set(range(base))
         # stability under repartitioning (the randomSplit failure mode)
         out2 = sampling.pack_sequences(
             with_tokens.repartition(7), seq_len=256).collect()
         assert {(r["doc_id"], r["_pack"], r["_offset"]) for r in out2} \
             == {(r["doc_id"], r["_pack"], r["_offset"]) for r in out}
 
+    def test_pack_sequences_window_is_partitioned(self, spark):
+        """The 100 TB scale fix: the cumsum window must be PARTITIONED by
+        _bucket — a global Window.orderBy serializes the corpus into one
+        task. Asserted on the executed plan."""
+        from iceberg_cpp_spark.operators import sampling
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 37).alias("n_tokens"))
+        out = sampling.pack_sequences(df, seq_len=64)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, f"no window in plan:\n{plan}"
+        # every corpus-sized window spec is partitioned by _bucket; the
+        # only unpartitioned window allowed is the num_buckets-row
+        # pack-offset prefix sum (its spec orders by _bucket directly)
+        for s in specs:
+            assert "_bucket" in s.split(",")[0], \
+                f"unpartitioned corpus window: {s}"
+
     def test_pack_sequences_edges(self, spark):
         from iceberg_cpp_spark.operators import sampling
 
         df = spark.createDataFrame(
             [(1, 0), (2, 700), (3, 12)], "doc_id long, n_tokens long")
+        # num_buckets=1 == the global layout: exact end-to-end invariants
         out = {r["doc_id"]: r for r in
-               sampling.pack_sequences(df, seq_len=512).collect()}
+               sampling.pack_sequences(df, seq_len=512, num_buckets=1).collect()}
         # zero-token doc occupies no span: end pack == start pack
         assert out[1]["_end_pack"] == out[1]["_pack"]
         # oversized doc straddles exactly ceil(700/512) - aligned packs
@@ -722,8 +782,22 @@ class TestSampling:
         assert big["_end_pack"] >= big["_pack"]
         total = sum(r["n_tokens"] for r in out.values())
         assert max(r["_end_pack"] for r in out.values()) == (total - 1) // 512
+        # bucketed: an all-zero-token corpus still assigns one pack per
+        # occupied bucket — no cross-bucket pack-id collision
+        z = spark.createDataFrame(
+            [(i, 0) for i in range(20)], "doc_id long, n_tokens long")
+        zrows = sampling.pack_sequences(z, seq_len=512, num_buckets=8).collect()
+        by_bucket = {}
+        for r in zrows:
+            assert r["_pack"] == r["_end_pack"] and r["_offset"] == 0
+            by_bucket.setdefault(r["_bucket"], set()).add(r["_pack"])
+        packs = [next(iter(v)) for v in by_bucket.values()]
+        assert all(len(v) == 1 for v in by_bucket.values())
+        assert len(set(packs)) == len(packs), "pack ids collide across buckets"
         with pytest.raises(ValueError, match="seq_len"):
             sampling.pack_sequences(df, seq_len=0)
+        with pytest.raises(ValueError, match="num_buckets"):
+            sampling.pack_sequences(df, seq_len=512, num_buckets=0)
 
     def test_stable_under_repartition(self, spark):
         from iceberg_cpp_spark.operators import sampling
