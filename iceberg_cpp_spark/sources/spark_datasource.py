@@ -528,29 +528,37 @@ class IcebergCppStreamWriter(IcebergCppWriter, DataSourceStreamArrowWriter):
     def __init__(self, options):
         IcebergCppWriter.__init__(self, options, overwrite=False)
         self._sid_cache: dict = {}
+        # eager identity validation (ADVICE r06): a missing watermark
+        # identity must fail at query START. The former lazy raise fired
+        # at the first commit(), AFTER executors had written the whole
+        # micro-batch's data files — orphaning them on disk on every
+        # restart of a misconfigured query. Only the checkpoint-metadata
+        # READ stays lazy (Spark writes that file at query start, after
+        # this constructor runs).
+        if self.options.get("streaming-source-id") is None and not (
+                self.options.get("checkpointlocation")
+                or self.options.get("checkpointLocation")):
+            raise ValueError(
+                "icecpp streaming sink needs a watermark identity: "
+                "pass .option('checkpointLocation', ...) on the "
+                "writer or .option('streaming-source-id', <unique>) "
+                "— without one, concurrent queries writing this "
+                "table would share a batch-id watermark and "
+                "silently skip each other's batches")
 
     def _stream_id(self) -> str:
         sid = self._sid_cache.get("sid")
         if sid is None:
             sid = self.options.get("streaming-source-id")
             if sid is None:
-                ckpt = self.options.get("checkpointlocation") \
-                    or self.options.get("checkpointLocation")
-                if ckpt:
-                    from iceberg_cpp_spark.streaming.incremental import (
-                        _stream_id as ckpt_stream_id)
+                from iceberg_cpp_spark.streaming.incremental import (
+                    _stream_id as ckpt_stream_id)
 
-                    # resolved lazily at first commit: Spark writes the
-                    # metadata file at query start, before any batch
-                    sid = ckpt_stream_id(ckpt)
-                else:
-                    raise ValueError(
-                        "icecpp streaming sink needs a watermark identity: "
-                        "pass .option('checkpointLocation', ...) on the "
-                        "writer or .option('streaming-source-id', <unique>) "
-                        "— without one, concurrent queries writing this "
-                        "table would share a batch-id watermark and "
-                        "silently skip each other's batches")
+                # resolved lazily at first commit: Spark writes the
+                # metadata file at query start, before any batch
+                sid = ckpt_stream_id(
+                    self.options.get("checkpointlocation")
+                    or self.options.get("checkpointLocation"))
             self._sid_cache["sid"] = sid
         return sid
 
@@ -706,14 +714,19 @@ class IcebergCppFullStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         table = _load_table(self.options)
-        files = IcebergCppStreamReader._all_files(table)
+        # ONE plan_files pass per micro-batch (ADVICE r06): the sorted
+        # (seq, path) cursor order AND the path→size map both derive
+        # from the same planning result — metadata was previously read
+        # twice per trigger
+        tasks = list(table.scan().plan_files())
+        files = sorted(((t.sequence_number or 0), t.file_path)
+                       for t in tasks)
+        sizes = {t.file_path: t.file_size_in_bytes for t in tasks}
         # offsets may carry the simple reader's sub-commit {"seq","idx"}
         # cursor (a checkpoint written before the cap option was
         # dropped) — _pos understands both forms
         lo = IcebergCppStreamReader._pos(files, start)
         hi = IcebergCppStreamReader._pos(files, end)
-        sizes = {t.file_path: t.file_size_in_bytes
-                 for t in table.scan().plan_files()}
         target = int(self.options.get(
             "split-target-bytes",
             table.properties().get("read.split.target-size",

@@ -1599,18 +1599,29 @@ class IceTable:
         src = source.select(*cols)
         keys = src.select(*on).distinct()
 
-        # 1) which files contain a matched key? (reads keys + _metadata only)
+        # ONE projection of the target feeds BOTH the affected-file
+        # discovery and the insert anti-join (VERDICT r06 item 8: two
+        # independent tgt references each re-scanned the table — a whole
+        # extra key-column pass at 100 TB). The projection reads only the
+        # key columns + _metadata (parquet column pruning); it is
+        # materialized (localCheckpoint) only when both consumers exist,
+        # so a single-consumer merge stays one lazy scan.
         # _file is a URI (file:/... or file:///...); manifests store plain paths
-        tgt = self._branch_scan(branch).with_metadata_columns().to_df()
+        tgt_keys = (self._branch_scan(branch).with_metadata_columns()
+                    .to_df().select("_file", *on))
+        if when_matched is not None and when_not_matched == "insert":
+            tgt_keys = tgt_keys.localCheckpoint(eager=True)
+
+        # 1) which files contain a matched key?
         affected = (
             set() if when_matched is None else {
                 self._plain_path(r["_file"])
-                for r in tgt.select("_file", *on).join(keys, on, "left_semi")
-                            .select("_file").distinct().collect()
+                for r in tgt_keys.join(keys, on, "left_semi")
+                                 .select("_file").distinct().collect()
             })
 
         # 2) inserts = source keys absent from the WHOLE table
-        inserts = (src.join(tgt.select(*on), on, "left_anti")
+        inserts = (src.join(tgt_keys.select(*on), on, "left_anti")
                    if when_not_matched == "insert" else None)
 
         if not affected:

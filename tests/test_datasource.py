@@ -637,15 +637,20 @@ class TestFullStreamReader:
                                              lineitem):
         """No checkpoint option and no explicit streaming-source-id →
         raise instead of silently sharing one watermark across every
-        query writing the table (silent batch loss)."""
+        query writing the table (silent batch loss). The raise is EAGER
+        (constructor — ADVICE r06): the query must fail at start, before
+        executors write a single micro-batch file."""
         from iceberg_cpp_spark.sources.spark_datasource import (
             IcebergCppStreamWriter)
 
         loc = os.path.join(tmp_loc, "fsi")
         IceTable.create(registered, loc, schema_from_spark(lineitem.schema))
-        w = IcebergCppStreamWriter({"path": loc})
         with pytest.raises(ValueError, match="watermark identity"):
-            w._stream_id()
+            IcebergCppStreamWriter({"path": loc})
         w2 = IcebergCppStreamWriter(
             {"path": loc, "streaming-source-id": "q1"})
         assert w2._stream_id() == "q1"
+        # checkpoint option alone satisfies the eager check; the metadata
+        # read stays lazy (file appears at query start)
+        IcebergCppStreamWriter(
+            {"path": loc, "checkpointLocation": os.path.join(tmp_loc, "ck")})
