@@ -1890,6 +1890,88 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+def ice_analyze_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE readback (VERDICT r06 task 6a): compute_statistics writes
+    per-column NDV (HLL) + null counts as a real Puffin blob
+    (table.py compute_statistics, statistics_file.h:33-60); this reads
+    them BACK from the registered statistics file and cross-checks —
+    null counts must be EXACT (vs DuckDB's exact null counts), the
+    engine-side exact distinct must equal DuckDB's COUNT(DISTINCT), and
+    the HLL readback must land within 10% of exact (ndv_ok; HLL is
+    deterministic for fixed data, so this hashes stably)."""
+    ords = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+         .otherwise(F.col("o_orderkey") % 7).cast("long").alias("o_band"))
+    t = _fresh_table(spark, sf_dir, ords, "ndv")
+    t.append(ords)
+    t.compute_statistics()
+    cols = ["o_band", "o_custkey", "o_orderkey", "o_orderstatus"]
+    exact = ords.agg(
+        *[F.countDistinct(c).alias(c) for c in cols]).first()
+    stats = t.metadata.statistics[0]
+    by_field = {tuple(b["fields"]): b["properties"]
+                for b in stats["blob-metadata"]}
+    rows = []
+    for name in cols:
+        fid = t.schema().find_field(name).field_id
+        props = by_field[(fid,)]
+        approx, nulls = int(props["ndv"]), int(props["null-count"])
+        ok = abs(approx - exact[name]) <= 0.10 * max(exact[name], 1)
+        rows.append((name, nulls, int(exact[name]), bool(ok)))
+    return spark.createDataFrame(
+        rows, "col_name string, null_count long, exact_ndv long, "
+              "ndv_ok boolean").orderBy("col_name")
+
+
+def ice_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side schema evolution round-trip (VERDICT r06 task 6b):
+    append(merge_schema=True) adds a new column mid-table; pre-evolution
+    rows read back NULL for it (projected by field id,
+    table.py append/_commit_files + core/updates.py AddSchema). Output:
+    2 rows per key, sum of coalesce(new_col, -1) separates the old-row
+    NULL from the new-row value."""
+    region = _t(spark, sf_dir, "region")
+    t = _fresh_table(spark, sf_dir, region, "msch")
+    t.append(region)
+    extra = region.withColumn(
+        "r_extra", (F.col("r_regionkey") * 10).cast("long"))
+    t.append(extra, merge_schema=True)
+    return (t.to_df().groupBy("r_regionkey")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.sum(F.coalesce(F.col("r_extra"), F.lit(-1)))
+                  .cast("long").alias("sum_extra"))
+            .orderBy("r_regionkey"))
+
+
+def ice_metadata_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entries/history metadata-table invariants (VERDICT r06 task 6c):
+    two appends with pinned write parallelism (repartition 2 then 3) →
+    the `entries` table must show exactly 5 live data files whose
+    record_count sums to 2·|nation|, max data sequence number 2; the
+    `history` table must show 2 snapshots, both current-ancestors.
+    Metadata-scale only — no data read."""
+    nation = _t(spark, sf_dir, "nation")
+    t = _fresh_table(spark, sf_dir, nation, "mtab")
+    t.append(nation.repartition(2))
+    t.append(nation.repartition(3))
+    e = t.entries_df().agg(
+        F.count("*").alias("files"),
+        F.sum("record_count").alias("nrows"),
+        F.max("sequence_number").alias("maxseq")).first()
+    h = t.history_df().agg(
+        F.count("*").alias("snaps"),
+        F.sum(F.when(F.col("is_current_ancestor"), 1).otherwise(0))
+         .alias("anc")).first()
+    rows = [("entries_files", int(e["files"])),
+            ("entries_max_seq", int(e["maxseq"])),
+            ("entries_rows", int(e["nrows"])),
+            ("history_ancestors", int(h["anc"])),
+            ("history_snapshots", int(h["snaps"]))]
+    return spark.createDataFrame(
+        rows, "metric string, value long").orderBy("metric")
+
+
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -2026,6 +2108,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": text_bpe_tokens,
         "ice_update_where": ice_update_where,
         "ice_cdc_apply": ice_cdc_apply,
+        "ice_analyze_ndv": ice_analyze_ndv,
+        "ice_merge_schema": ice_merge_schema,
+        "ice_metadata_tables": ice_metadata_tables,
     }
 
 
@@ -3195,5 +3280,49 @@ def oracle_sql() -> dict[str, str]:
               SELECT flag AS l_returnflag, qty AS q
               FROM base WHERE l_orderkey <= 100
             ) GROUP BY l_returnflag
+        """,
+        # ANALYZE readback: null counts must be exact, exact_ndv is the
+        # true distinct count on both engines, and the Spark side sets
+        # ndv_ok only when the Puffin HLL readback is within 10% of exact
+        "ice_analyze_ndv": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                          ELSE o_orderkey % 7 END AS o_band
+              FROM orders)
+            SELECT col_name, null_count, exact_ndv, TRUE AS ndv_ok FROM (
+              SELECT 'o_band' AS col_name,
+                     CAST(COUNT(*) - COUNT(o_band) AS BIGINT) AS null_count,
+                     CAST(COUNT(DISTINCT o_band) AS BIGINT) AS exact_ndv
+              FROM o
+              UNION ALL
+              SELECT 'o_custkey', CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+                     CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM o
+              UNION ALL
+              SELECT 'o_orderkey', CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+                     CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM o
+              UNION ALL
+              SELECT 'o_orderstatus',
+                     CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+                     CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) FROM o
+            ) ORDER BY col_name
+        """,
+        # merge_schema roundtrip: 2 rows per key (one pre-evolution, NULL
+        # extra → -1; one post-evolution, extra = key*10)
+        "ice_merge_schema": """
+            SELECT r_regionkey, CAST(2 AS BIGINT) AS n,
+                   CAST(r_regionkey * 10 - 1 AS BIGINT) AS sum_extra
+            FROM region ORDER BY r_regionkey
+        """,
+        # entries/history invariants: file counts pinned by repartition,
+        # row totals data-derived
+        "ice_metadata_tables": """
+            SELECT 'entries_files' AS metric, CAST(5 AS BIGINT) AS value
+            UNION ALL SELECT 'entries_max_seq', CAST(2 AS BIGINT)
+            UNION ALL SELECT 'entries_rows',
+                      (SELECT CAST(2 * COUNT(*) AS BIGINT) FROM nation)
+            UNION ALL SELECT 'history_ancestors', CAST(2 AS BIGINT)
+            UNION ALL SELECT 'history_snapshots', CAST(2 AS BIGINT)
+            ORDER BY metric
         """,
     }
