@@ -567,8 +567,14 @@ def _opt(schema: Any) -> list:
     return ["null", schema]
 
 
-def manifest_list_avro_schema() -> dict:
-    """The v2 manifest_file schema (Iceberg spec §Manifest Lists)."""
+def manifest_list_avro_schema(version: int = 2) -> dict:
+    """The manifest_file schema (Iceberg spec §Manifest Lists).
+    ``version=2`` (default) is the v2 layout; ``version=1`` emits the
+    spec's v1 layout for v1-pinned consumers (reference
+    ``v1_metadata.cc`` ManifestFileAdapterV1): no content / sequence
+    number fields, the *_data_files_count field NAMES (Avro resolution
+    is name-based — v1 Java readers expect the v1 names; field ids 504-
+    506 are unchanged), and counts optional."""
     summary = {
         "type": "record",
         "name": "r508",
@@ -582,6 +588,32 @@ def manifest_list_avro_schema() -> dict:
              "field-id": 511},
         ],
     }
+    if version == 1:
+        return {
+            "type": "record",
+            "name": "manifest_file",
+            "fields": [
+                {"name": "manifest_path", "type": "string", "field-id": 500},
+                {"name": "manifest_length", "type": "long", "field-id": 501},
+                {"name": "partition_spec_id", "type": "int", "field-id": 502},
+                {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+                {"name": "added_data_files_count", "type": _opt("int"),
+                 "default": None, "field-id": 504},
+                {"name": "existing_data_files_count", "type": _opt("int"),
+                 "default": None, "field-id": 505},
+                {"name": "deleted_data_files_count", "type": _opt("int"),
+                 "default": None, "field-id": 506},
+                {"name": "added_rows_count", "type": _opt("long"),
+                 "default": None, "field-id": 512},
+                {"name": "existing_rows_count", "type": _opt("long"),
+                 "default": None, "field-id": 513},
+                {"name": "deleted_rows_count", "type": _opt("long"),
+                 "default": None, "field-id": 514},
+                {"name": "partitions",
+                 "type": _opt({"type": "array", "items": summary}),
+                 "default": None, "field-id": 507},
+            ],
+        }
     return {
         "type": "record",
         "name": "manifest_file",
@@ -645,9 +677,13 @@ def _avro_partition_type(t) -> Any:
     raise ValueError(f"no avro mapping for partition type {t!r}")
 
 
-def manifest_entry_avro_schema(spec, schema) -> dict:
-    """The v2 manifest_entry schema with the partition record typed from
-    the table's partition spec (field-ids = spec field ids)."""
+def manifest_entry_avro_schema(spec, schema, version: int = 2) -> dict:
+    """The manifest_entry schema with the partition record typed from
+    the table's partition spec (field-ids = spec field ids).
+    ``version=1`` emits the spec's v1 data_file layout (reference
+    ``v1_metadata.cc`` ManifestEntryAdapterV1): snapshot_id REQUIRED, no
+    sequence-number fields, no content/v2-delete/v3 fields, and the
+    deprecated-but-required ``block_size_in_bytes`` (id 105)."""
     from iceberg_cpp_spark.core.manifests import _partition_types
 
     types = _partition_types(spec, schema)
@@ -659,6 +695,56 @@ def manifest_entry_avro_schema(spec, schema) -> dict:
             "default": None,
             "field-id": pf.field_id,
         })
+    if version == 1:
+        data_file_v1 = {
+            "type": "record",
+            "name": "r2",
+            "fields": [
+                {"name": "file_path", "type": "string", "field-id": 100},
+                {"name": "file_format", "type": "string", "field-id": 101},
+                {"name": "partition",
+                 "type": {"type": "record", "name": "r102", "fields": pfields},
+                 "field-id": 102},
+                {"name": "record_count", "type": "long", "field-id": 103},
+                {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+                # deprecated, REQUIRED in v1 (write a default, never read)
+                {"name": "block_size_in_bytes", "type": "long", "field-id": 105},
+                {"name": "column_sizes",
+                 "type": _opt(_kv_map("cs", 117, 118, "long")),
+                 "default": None, "field-id": 108},
+                {"name": "value_counts",
+                 "type": _opt(_kv_map("vc", 119, 120, "long")),
+                 "default": None, "field-id": 109},
+                {"name": "null_value_counts",
+                 "type": _opt(_kv_map("nvc", 121, 122, "long")),
+                 "default": None, "field-id": 110},
+                {"name": "nan_value_counts",
+                 "type": _opt(_kv_map("nanc", 138, 139, "long")),
+                 "default": None, "field-id": 137},
+                {"name": "lower_bounds",
+                 "type": _opt(_kv_map("lb", 126, 127, "bytes")),
+                 "default": None, "field-id": 125},
+                {"name": "upper_bounds",
+                 "type": _opt(_kv_map("ub", 129, 130, "bytes")),
+                 "default": None, "field-id": 128},
+                {"name": "key_metadata", "type": _opt("bytes"),
+                 "default": None, "field-id": 131},
+                {"name": "split_offsets",
+                 "type": _opt({"type": "array", "items": "long"}),
+                 "default": None, "field-id": 132},
+                {"name": "sort_order_id", "type": _opt("int"),
+                 "default": None, "field-id": 140},
+            ],
+        }
+        return {
+            "type": "record",
+            "name": "manifest_entry",
+            "fields": [
+                {"name": "status", "type": "int", "field-id": 0},
+                {"name": "snapshot_id", "type": "long", "field-id": 1},
+                {"name": "data_file", "type": data_file_v1, "field-id": 2},
+            ],
+        }
     data_file = {
         "type": "record",
         "name": "r2",

@@ -297,17 +297,23 @@ def partition_from_json(s: Optional[str], spec: PartitionSpec, schema: it.Schema
 class ManifestWriter:
     """manifest_writer.h:36-158 equivalent. Container is Parquet by
     default (this engine's native format, distributed-prunable) or spec
-    Avro (``format="avro"``) for interop with other Iceberg engines."""
+    Avro (``format="avro"``) for interop with other Iceberg engines.
+    ``version`` selects the Avro layout (manifest_writer.h:63
+    MakeV1Writer / :70 MakeV2Writer): v1 for v1-pinned consumers —
+    data manifests only, per v1_metadata.cc ManifestFileAdapterV1."""
 
     def __init__(self, path: str, spec: PartitionSpec, schema: it.Schema,
                  snapshot_id: int, content: int = MANIFEST_CONTENT_DATA,
-                 format: str = "parquet"):
+                 format: str = "parquet", version: int = 2):
+        if version == 1 and content != MANIFEST_CONTENT_DATA:
+            raise ValueError("cannot store delete manifests in a v1 table")
         self.path = path
         self.spec = spec
         self.schema = schema
         self.snapshot_id = snapshot_id
         self.content = content
         self.format = format
+        self.version = version
         self.entries: list[ManifestEntry] = []
 
     def add(self, entry: ManifestEntry) -> None:
@@ -382,46 +388,65 @@ class ManifestWriter:
 
         from iceberg_cpp_spark.core import avro as av
 
-        entry_schema = av.manifest_entry_avro_schema(self.spec, self.schema)
+        entry_schema = av.manifest_entry_avro_schema(
+            self.spec, self.schema, version=self.version)
         records = []
         for e in self.entries:
             f = e.data_file
+            data_file = {
+                "file_path": f.file_path,
+                "file_format": f.file_format.upper(),
+                "partition": {pf.name: f.partition.get(pf.name)
+                              for pf in self.spec.fields},
+                "record_count": f.record_count,
+                "file_size_in_bytes": f.file_size_in_bytes,
+                "column_sizes": f.column_sizes or None,
+                "value_counts": f.value_counts or None,
+                "null_value_counts": f.null_value_counts or None,
+                "nan_value_counts": f.nan_value_counts or None,
+                "lower_bounds": f.lower_bounds or None,
+                "upper_bounds": f.upper_bounds or None,
+                "split_offsets": f.split_offsets or None,
+                "sort_order_id": f.sort_order_id,
+            }
+            if self.version == 1:
+                # deprecated field, REQUIRED by the v1 schema; always a
+                # default, never read back (v1_metadata.cc:66-70)
+                data_file["block_size_in_bytes"] = 64 * 1024 * 1024
+                data_file["key_metadata"] = None
+                records.append({
+                    "status": e.status,
+                    # required in v1 (no metadata inheritance)
+                    "snapshot_id": e.snapshot_id
+                    if e.snapshot_id is not None else self.snapshot_id,
+                    "data_file": data_file,
+                })
+                continue
+            data_file.update({
+                "content": f.content,
+                "equality_ids": f.equality_ids or None,
+                "referenced_data_file": f.referenced_data_file,
+                "content_offset": f.content_offset,
+                "content_size_in_bytes": f.content_size_in_bytes,
+                "first_row_id": f.first_row_id,
+            })
             records.append({
                 "status": e.status,
                 "snapshot_id": e.snapshot_id,
                 "sequence_number": e.sequence_number,
                 "file_sequence_number": e.file_sequence_number,
-                "data_file": {
-                    "content": f.content,
-                    "file_path": f.file_path,
-                    "file_format": f.file_format.upper(),
-                    "partition": {pf.name: f.partition.get(pf.name)
-                                  for pf in self.spec.fields},
-                    "record_count": f.record_count,
-                    "file_size_in_bytes": f.file_size_in_bytes,
-                    "column_sizes": f.column_sizes or None,
-                    "value_counts": f.value_counts or None,
-                    "null_value_counts": f.null_value_counts or None,
-                    "nan_value_counts": f.nan_value_counts or None,
-                    "lower_bounds": f.lower_bounds or None,
-                    "upper_bounds": f.upper_bounds or None,
-                    "split_offsets": f.split_offsets or None,
-                    "equality_ids": f.equality_ids or None,
-                    "sort_order_id": f.sort_order_id,
-                    "referenced_data_file": f.referenced_data_file,
-                    "content_offset": f.content_offset,
-                    "content_size_in_bytes": f.content_size_in_bytes,
-                    "first_row_id": f.first_row_id,
-                },
+                "data_file": data_file,
             })
         meta = {
             "schema": _json.dumps(self.schema.to_json()),
             "schema-id": str(self.schema.schema_id),
             "partition-spec": _json.dumps([pf.to_json() for pf in self.spec.fields]),
             "partition-spec-id": str(self.spec.spec_id),
-            "format-version": "2",
-            "content": "data" if self.content == MANIFEST_CONTENT_DATA else "deletes",
+            "format-version": str(self.version),
         }
+        if self.version >= 2:
+            meta["content"] = ("data" if self.content == MANIFEST_CONTENT_DATA
+                               else "deletes")
         av.write_avro(self.path, entry_schema, records,
                       metadata={k: v.encode() for k, v in meta.items()})
 
@@ -523,19 +548,26 @@ def read_manifest(path: str, spec: PartitionSpec, schema: it.Schema,
 
 class ManifestListWriter:
     """manifest_writer.cc:153-186 equivalent; parquet container by
-    default, spec Avro with ``format="avro"``."""
+    default, spec Avro with ``format="avro"``. ``version`` selects the
+    Avro layout (manifest_writer.h:123 MakeV1Writer / :131
+    MakeV2Writer): v1 rejects delete manifests and writes the v1 field
+    names/metadata (v1_metadata.cc ManifestFileAdapterV1)."""
 
     def __init__(self, path: str, snapshot_id: int, sequence_number: int,
                  format: str = "parquet",
-                 parent_snapshot_id: Optional[int] = None):
+                 parent_snapshot_id: Optional[int] = None,
+                 version: int = 2):
         self.path = path
         self.snapshot_id = snapshot_id
         self.sequence_number = sequence_number
         self.format = format
+        self.version = version
         self.parent_snapshot_id = parent_snapshot_id
         self.manifests: list[ManifestFile] = []
 
     def add(self, mf: ManifestFile) -> None:
+        if self.version == 1 and mf.content != MANIFEST_CONTENT_DATA:
+            raise ValueError("cannot store delete manifests in a v1 table")
         self.manifests.append(mf)
 
     def close(self) -> None:
@@ -549,6 +581,28 @@ class ManifestListWriter:
 
         records = []
         for m in self.manifests:
+            parts = [
+                {"contains_null": s.contains_null,
+                 "contains_nan": s.contains_nan,
+                 "lower_bound": s.lower_bound,
+                 "upper_bound": s.upper_bound}
+                for s in m.partitions
+            ] or None
+            if self.version == 1:
+                records.append({
+                    "manifest_path": m.manifest_path,
+                    "manifest_length": m.manifest_length,
+                    "partition_spec_id": m.partition_spec_id,
+                    "added_snapshot_id": m.added_snapshot_id,
+                    "added_data_files_count": m.added_files_count,
+                    "existing_data_files_count": m.existing_files_count,
+                    "deleted_data_files_count": m.deleted_files_count,
+                    "added_rows_count": m.added_rows_count,
+                    "existing_rows_count": m.existing_rows_count,
+                    "deleted_rows_count": m.deleted_rows_count,
+                    "partitions": parts,
+                })
+                continue
             records.append({
                 "manifest_path": m.manifest_path,
                 "manifest_length": m.manifest_length,
@@ -563,22 +617,25 @@ class ManifestListWriter:
                 "added_rows_count": m.added_rows_count,
                 "existing_rows_count": m.existing_rows_count,
                 "deleted_rows_count": m.deleted_rows_count,
-                "partitions": [
-                    {"contains_null": s.contains_null,
-                     "contains_nan": s.contains_nan,
-                     "lower_bound": s.lower_bound,
-                     "upper_bound": s.upper_bound}
-                    for s in m.partitions
-                ] or None,
+                "partitions": parts,
             })
         meta = {
             "snapshot-id": str(self.snapshot_id),
-            "sequence-number": str(self.sequence_number),
-            "format-version": "2",
+            "format-version": str(self.version),
         }
-        if self.parent_snapshot_id is not None:
+        if self.version >= 2:
+            meta["sequence-number"] = str(self.sequence_number)
+        if self.version == 1:
+            # v1 writes the key unconditionally, "null" when absent
+            # (v1_metadata.cc ManifestFileAdapterV1::Init)
+            meta["parent-snapshot-id"] = (
+                str(self.parent_snapshot_id)
+                if self.parent_snapshot_id is not None else "null")
+        elif self.parent_snapshot_id is not None:
             meta["parent-snapshot-id"] = str(self.parent_snapshot_id)
-        av.write_avro(self.path, av.manifest_list_avro_schema(), records,
+        av.write_avro(self.path,
+                      av.manifest_list_avro_schema(version=self.version),
+                      records,
                       metadata={k: v.encode() for k, v in meta.items()})
 
     def _write_parquet(self) -> None:

@@ -364,6 +364,18 @@ class TableMetadata:
         }
         if self.format_version >= 3:
             j["next-row-id"] = self.next_row_id
+        if self.format_version == 1:
+            # v1 readers require the singular `schema`/`partition-spec`
+            # keys (spec Table Metadata v1); keep the plural lists too,
+            # as v1-writing engines do for forward compatibility
+            cur = next((s for s in self.schemas
+                        if s.schema_id == self.current_schema_id), None)
+            if cur is not None:
+                j["schema"] = cur.to_json()
+            spec = next((s for s in self.partition_specs
+                         if s.spec_id == self.default_spec_id), None)
+            if spec is not None:
+                j["partition-spec"] = [f.to_json() for f in spec.fields]
         if self.statistics:
             j["statistics"] = self.statistics
         if self.partition_statistics:

@@ -205,8 +205,15 @@ class Catalog:
         spec = spec or PartitionSpec.unpartitioned()
         sort_order = sort_order or SortOrder.unsorted()
         last_partition_id = max((f.field_id for f in spec.fields), default=999)
+        # create-time `format-version` table property pins the metadata
+        # version (Java TableProperties.FORMAT_VERSION parity): v1 for
+        # v1-pinned consumers, v3 for row lineage / DVs
+        props = dict(properties or {})
+        fv = int(props.pop("format-version", 2))
+        if fv not in (1, 2, 3):
+            raise ValueError(f"unsupported format-version: {fv}")
         return TableMetadata(
-            format_version=2,
+            format_version=fv,
             table_uuid=new_table_uuid(),
             location=location,
             last_updated_ms=int(time.time() * 1000),
@@ -216,7 +223,7 @@ class Catalog:
             partition_specs=[spec],
             default_spec_id=spec.spec_id,
             last_partition_id=last_partition_id,
-            properties=properties or {},
+            properties=props,
             sort_orders=[sort_order],
             default_sort_order_id=sort_order.order_id,
         )

@@ -900,6 +900,14 @@ class IceTable:
     def location_provider(self) -> LocationProvider:
         return LocationProvider(self.metadata.location)
 
+    def _manifest_version(self) -> int:
+        """Manifest/manifest-list layout version for spec-Avro output:
+        v1 tables write v1 manifests (manifest_writer.h:63,123
+        MakeV1Writer); v2/v3 tables write the v2 layout, whose optional
+        v3 fields (DV content_offset/size, first_row_id) are already in
+        the v2 entry schema."""
+        return 1 if self.metadata.format_version == 1 else 2
+
     def snapshots(self) -> list[Snapshot]:
         return self.metadata.snapshots
 
@@ -1448,13 +1456,15 @@ class IceTable:
             self.location_provider().new_manifest_list_path(
                 meta_dir, snapshot_id, ext=mfmt),
             snapshot_id, snap.sequence_number, format=mfmt,
-            parent_snapshot_id=snap.snapshot_id)
+            parent_snapshot_id=snap.snapshot_id,
+            version=self._manifest_version())
         for (spec_id, content), entries in sorted(by_group.items()):
             spec = meta.spec_by_id(spec_id) or PartitionSpec.unpartitioned()
             for i in range(0, len(entries), entries_per_manifest):
                 w = mf.ManifestWriter(
                     self.location_provider().new_manifest_path(meta_dir, ext=mfmt),
-                    spec, schema, snapshot_id, content=content, format=mfmt)
+                    spec, schema, snapshot_id, content=content, format=mfmt,
+                    version=self._manifest_version())
                 for e in entries[i:i + entries_per_manifest]:
                     w.add(mf.ManifestEntry(
                         status=mf.STATUS_EXISTING, data_file=e.data_file,
@@ -2209,6 +2219,7 @@ class IceTable:
         # readable by any Iceberg engine (parquet: this engine's native,
         # distributed-prunable container; see README)
         mfmt = meta.properties.get("write.metadata.manifest-format", "parquet")
+        mver = self._manifest_version()
 
         new_data = [f for f in new_files if f.content == mf.CONTENT_DATA]
         new_dels = [f for f in new_files if f.content != mf.CONTENT_DATA]
@@ -2225,7 +2236,7 @@ class IceTable:
         if new_data:
             writer = mf.ManifestWriter(
                 self.location_provider().new_manifest_path(meta_dir, ext=mfmt),
-                spec, schema, snapshot_id, format=mfmt)
+                spec, schema, snapshot_id, format=mfmt, version=mver)
             for f in new_data:
                 writer.add_file(f, sequence_number=seq)
             new_manifests.append(writer.close())
@@ -2233,7 +2244,7 @@ class IceTable:
             dwriter = mf.ManifestWriter(
                 self.location_provider().new_manifest_path(meta_dir, ext=mfmt),
                 spec, schema, snapshot_id, content=mf.MANIFEST_CONTENT_DELETES,
-                format=mfmt)
+                format=mfmt, version=mver)
             for f in new_dels:
                 dwriter.add_file(f, sequence_number=seq)
             new_manifests.append(dwriter.close())
@@ -2265,7 +2276,8 @@ class IceTable:
                     elif keep:
                         w = mf.ManifestWriter(
                             self.location_provider().new_manifest_path(meta_dir, ext=mfmt),
-                            pspec, schema, snapshot_id, format=mfmt)
+                            pspec, schema, snapshot_id, format=mfmt,
+                            version=mver)
                         for e in keep:
                             w.add(mf.ManifestEntry(
                                 status=mf.STATUS_EXISTING, data_file=e.data_file,
@@ -2279,7 +2291,8 @@ class IceTable:
             meta_dir, snapshot_id, ext=mfmt)
         lw = mf.ManifestListWriter(
             manifest_list, snapshot_id, seq, format=mfmt,
-            parent_snapshot_id=parent.snapshot_id if parent else None)
+            parent_snapshot_id=parent.snapshot_id if parent else None,
+            version=mver)
         for m in new_manifests:
             lw.add(m)
         for m in carried:

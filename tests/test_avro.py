@@ -307,6 +307,60 @@ class TestAvroTable:
             spark, os.path.join(md, "00002-abc123.metadata.json"))
         assert t3.scan().count() == 500
 
+    def test_v1_table_end_to_end(self, spark, tmp_loc, lineitem):
+        """format-version=1 table with spec-Avro manifests (VERDICT r06
+        task 5): appends write v1 manifests + v1 manifest lists (v1
+        field names, block_size_in_bytes, no sequence fields), the carry
+        path preserves v1, scans read back exactly, and the metadata
+        JSON carries the singular v1 `schema`/`partition-spec` keys."""
+        import json as _json
+
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core import avro as av
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        loc = os.path.join(tmp_loc, "v1tab")
+        t = IceTable.create(
+            spark, loc, schema_from_spark(lineitem.schema),
+            properties={"format-version": "1",
+                        "write.metadata.manifest-format": "avro"})
+        assert t.metadata.format_version == 1
+        t.append(lineitem.limit(100))
+        t.append(lineitem.limit(50))  # exercises manifest carry
+        assert t.to_df().count() == 150
+
+        # every written avro metadata file declares format-version 1
+        for p in glob.glob(os.path.join(loc, "metadata/*.avro")):
+            f = av.read_avro(p)
+            assert f.metadata["format-version"] == b"1", p
+            names = {fl["name"] for fl in f.schema["fields"]}
+            if "manifest_path" in names:  # manifest list
+                assert "added_data_files_count" in names
+                assert "sequence_number" not in names
+            else:  # manifest
+                dn = {fl["name"] for fl in next(
+                    fl for fl in f.schema["fields"]
+                    if fl["name"] == "data_file")["type"]["fields"]}
+                assert "block_size_in_bytes" in dn
+                assert "content" not in dn
+
+        # v1 metadata JSON has the singular schema/partition-spec keys
+        metas = sorted(glob.glob(os.path.join(loc, "metadata/*.metadata.json")))
+        j = _json.loads(open(metas[-1]).read())
+        assert j["format-version"] == 1
+        assert "schema" in j and "partition-spec" in j
+
+        # a fresh load sees the same table
+        t2 = IceTable.load(spark, loc)
+        assert t2.metadata.format_version == 1
+        assert t2.to_df().count() == 150
+
+        # v1 cannot hold delete manifests
+        from iceberg_cpp_spark.plans import expressions as ex
+        with pytest.raises(ValueError, match="v1"):
+            t2.delete_where(ex.eq(ex.Reference("l_returnflag"), "A"),
+                            mode="merge-on-read")
+
     def test_distributed_avro_planning(self, spark, tmp_loc, lineitem, monkeypatch):
         import iceberg_cpp_spark.table as tbl
         from iceberg_cpp_spark import IceTable

@@ -252,6 +252,143 @@ def test_written_manifest_list_decodes_independently(tmp_path):
     assert ps[0]["upper_bound"] == b"\x09"
 
 
+# ---------------------------------------------------------------------------
+# 3. V1 writing (VERDICT r06 task 5; reference manifest_writer.h:63,123
+#    MakeV1Writer + v1_metadata.cc adapters): v1-pinned consumers resolve
+#    Avro by NAME, so the v1 layout must carry the v1 field names, the
+#    required block_size_in_bytes, and no v2/v3 fields.
+# ---------------------------------------------------------------------------
+
+def _schema_of(meta) -> dict:
+    raw = meta.get(b"avro.schema") or meta["avro.schema"]
+    return json.loads(raw.decode() if isinstance(raw, bytes) else raw)
+
+
+def test_v1_manifest_writes_spec_layout(tmp_path):
+    spec = PartitionSpec([PartitionField(2, 1000, "d_day", tr.DayTransform())])
+    path = os.path.join(tmp_path, "m_v1.avro")
+    w = mf.ManifestWriter(path, spec, _schema(), snapshot_id=7,
+                          format="avro", version=1)
+    w.add_file(_datafile(1, part={"d_day": 19000}), sequence_number=3)
+    w.close()
+
+    meta, recs = mini_read_avro(path)
+    key = {k.decode() if isinstance(k, bytes) else k: v for k, v in meta.items()}
+    assert key["format-version"] == b"1"
+    assert "content" not in key  # v2-only metadata key
+    schema = _schema_of(meta)
+    enames = [f["name"] for f in schema["fields"]]
+    assert enames == ["status", "snapshot_id", "data_file"]
+    # snapshot_id REQUIRED in v1 (plain long, not a union)
+    snap_f = next(f for f in schema["fields"] if f["name"] == "snapshot_id")
+    assert snap_f["type"] == "long"
+    dnames = [f["name"] for f in
+              next(f for f in schema["fields"]
+                   if f["name"] == "data_file")["type"]["fields"]]
+    assert "block_size_in_bytes" in dnames
+    assert "content" not in dnames and "equality_ids" not in dnames
+    assert "first_row_id" not in dnames  # v3 field never in v1
+    e = recs[0]
+    assert e["snapshot_id"] == 7
+    assert e["data_file"]["block_size_in_bytes"] == 64 * 1024 * 1024
+    assert e["data_file"]["partition"]["d_day"] == 19000
+
+    # our field-id reader decodes the v1 file back losslessly
+    entries = av.manifest_entries_from_avro(path)
+    assert entries[0].data_file.file_path == "/data/f1.parquet"
+    assert entries[0].data_file.record_count == 10
+    assert entries[0].snapshot_id == 7
+
+
+def test_v1_manifest_list_writes_spec_layout(tmp_path):
+    path = os.path.join(tmp_path, "snap_v1.avro")
+    m = mf.ManifestFile(
+        manifest_path="/meta/m1.avro", manifest_length=123,
+        partition_spec_id=0, sequence_number=0, min_sequence_number=0,
+        added_snapshot_id=42, added_files_count=1, added_rows_count=10,
+        partitions=[mf.PartitionFieldSummary(
+            contains_null=False, contains_nan=None,
+            lower_bound=b"\x01", upper_bound=b"\x09")])
+    lw = mf.ManifestListWriter(path, snapshot_id=42, sequence_number=0,
+                               format="avro", version=1)
+    lw.add(m)
+    lw.close()
+
+    meta, recs = mini_read_avro(path)
+    key = {k.decode() if isinstance(k, bytes) else k: v for k, v in meta.items()}
+    assert key["format-version"] == b"1"
+    assert "sequence-number" not in key  # v2-only
+    assert key["parent-snapshot-id"] == b"null"  # v1 writes it always
+    names = [f["name"] for f in _schema_of(meta)["fields"]]
+    # the v1 field NAMES (Avro resolution is name-based)
+    assert "added_data_files_count" in names
+    assert "content" not in names and "sequence_number" not in names
+    r = recs[0]
+    assert r["added_data_files_count"] == 1
+    assert r["added_snapshot_id"] == 42
+
+    # field-id reader round-trip: counts land on the v2-named attrs
+    back = mf.read_manifest_list(path)[0]
+    assert back.manifest_path == "/meta/m1.avro"
+    assert back.added_files_count == 1
+    assert back.added_rows_count == 10
+    assert back.content == mf.MANIFEST_CONTENT_DATA
+    assert back.partitions[0].upper_bound == b"\x09"
+
+
+def test_v1_rejects_delete_manifests(tmp_path):
+    with pytest.raises(ValueError, match="v1"):
+        mf.ManifestWriter(os.path.join(tmp_path, "x.avro"),
+                          PartitionSpec.unpartitioned(), _schema(),
+                          snapshot_id=1, content=mf.MANIFEST_CONTENT_DELETES,
+                          format="avro", version=1)
+    lw = mf.ManifestListWriter(os.path.join(tmp_path, "s.avro"),
+                               snapshot_id=1, sequence_number=0,
+                               format="avro", version=1)
+    dm = mf.ManifestFile(manifest_path="/m.avro", manifest_length=1,
+                         partition_spec_id=0,
+                         content=mf.MANIFEST_CONTENT_DELETES,
+                         sequence_number=0, min_sequence_number=0,
+                         added_snapshot_id=1)
+    with pytest.raises(ValueError, match="v1"):
+        lw.add(dm)
+
+
+# ---------------------------------------------------------------------------
+# 4. Manifest-list round-trip against EVERY Java-written reference fixture
+#    (VERDICT r06 task 4, offline fallback: no pyiceberg/duckdb-iceberg in
+#    this env): fixture → our reader → our v2-Avro writer → our reader AND
+#    the independent mini-decoder → every ManifestFile field identical.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not REF_FIXTURES, reason="reference fixtures absent")
+def test_manifest_list_roundtrip_reference_fixtures(tmp_path):
+    import dataclasses
+
+    for i, path in enumerate(REF_FIXTURES):
+        orig = av.manifest_list_from_avro(path)
+        assert orig, f"fixture decoded empty: {path}"
+        fmeta = av.read_avro(path).metadata
+        snap_id = int(fmeta.get(b"snapshot-id", b"1"))
+        seq = int(fmeta.get(b"sequence-number", b"0") or 0)
+        out = os.path.join(tmp_path, f"rt_{i}.avro")
+        lw = mf.ManifestListWriter(out, snapshot_id=snap_id,
+                                   sequence_number=seq, format="avro")
+        for m in orig:
+            lw.add(m)
+        lw.close()
+        back = mf.read_manifest_list(out)
+        assert len(back) == len(orig)
+        for a, b in zip(orig, back):
+            assert dataclasses.asdict(a) == dataclasses.asdict(b), path
+        # and the independent decoder agrees on the identity fields
+        _, recs = mini_read_avro(out)
+        for a, r in zip(orig, recs):
+            assert r["manifest_path"] == a.manifest_path
+            assert r["manifest_length"] == a.manifest_length
+            assert r["added_snapshot_id"] == a.added_snapshot_id
+
+
 def test_written_container_structure_matches_reference_layout(tmp_path):
     """Byte-level container invariants shared with the Java-written
     fixtures: magic, schema metadata, 16-byte sync discipline."""
