@@ -24,6 +24,11 @@ import zlib
 
 import numpy as np
 
+# baseline JPEG lives in its own module (operators/jpeg.py); re-exported
+# here so callers have one codec namespace
+from iceberg_cpp_spark.operators.jpeg import (  # noqa: F401
+    decode_jpeg, encode_jpeg, is_jpeg)
+
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # PNG color type -> samples/pixel

@@ -1,0 +1,507 @@
+"""Dependency-free baseline JPEG codec (numpy only).
+
+Closes the JPEG gap in the multimodal operators (VERDICT r06 task 9):
+a training-data pipeline over web images hits JPEG first, and no
+PIL/opencv exists in this environment. Implemented from the public
+ITU-T T.81 (JPEG) spec:
+
+- ``decode_jpeg``: baseline sequential DCT, 8-bit — full marker walk
+  (DQT/DHT/SOF0/SOS/DRI + restart markers), canonical Huffman decode
+  with byte-stuffing, dequantize + zigzag + orthonormal-matrix IDCT,
+  chroma upsampling for any sampling factors (4:4:4, 4:2:0, 4:2:2),
+  YCbCr→RGB. Grayscale and 3-component scans. Progressive (SOF2) and
+  arithmetic coding raise NotImplementedError.
+- ``encode_jpeg``: baseline encoder for fixtures/round-trips — Annex K
+  quantization tables with libjpeg-style quality scaling, 4:4:4 or
+  4:2:0 sampling, and canonical fixed-length Huffman tables built from
+  the symbols actually emitted (legal per the spec; compactness is not
+  the goal, correctness and zero hardcoded 162-entry tables are).
+
+Like codecs.py (PNG/WAV), everything is numpy in/out; Spark callers run
+these inside Arrow-batched ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- shared constants -------------------------------------------------------
+
+# zigzag scan order: ZIGZAG[k] = (row, col) of the k-th coefficient
+def _zigzag() -> list:
+    out = []
+    for s in range(15):
+        rng = (range(min(s, 7), max(0, s - 7) - 1, -1) if s % 2 == 0
+               else range(max(0, s - 7), min(s, 7) + 1))
+        out.extend((r, s - r) for r in rng)
+    return out
+
+
+ZIGZAG = _zigzag()
+_ZZ_FLAT = np.array([r * 8 + c for r, c in ZIGZAG])
+
+# Annex K.1 base quantization tables
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32).reshape(8, 8)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32).reshape(8, 8)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal DCT-II basis: fwd = A @ B @ A.T, inv = A.T @ C @ A."""
+    k = np.arange(8).reshape(8, 1)
+    n = np.arange(8).reshape(1, 8)
+    A = np.cos((2 * n + 1) * k * np.pi / 16) * np.sqrt(2 / 8)
+    A[0] /= np.sqrt(2)
+    return A
+
+
+_A = _dct_matrix()
+
+
+def is_jpeg(payload: bytes) -> bool:
+    return payload[:2] == b"\xff\xd8"
+
+
+# --- decoder ----------------------------------------------------------------
+
+class _Bits:
+    """Entropy-segment bit reader with 0xFF00 byte-stuffing; stops (zero
+    padding) at any real marker so a truncated stream degrades cleanly."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.i = pos
+        self.cur = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.i >= len(self.d):
+                self.cur = 0
+            else:
+                b = self.d[self.i]
+                if b == 0xFF:
+                    nxt = self.d[self.i + 1] if self.i + 1 < len(self.d) else 0xD9
+                    if nxt == 0x00:
+                        self.cur = 0xFF
+                        self.i += 2
+                    else:  # a marker: stop consuming, emit zeros
+                        self.cur = 0
+                else:
+                    self.cur = b
+                    self.i += 1
+            self.n = 8
+        self.n -= 1
+        return (self.cur >> self.n) & 1
+
+    def receive(self, s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume one RSTn marker (T.81 §B.2.1.2)."""
+        self.n = 0
+        while self.i + 1 < len(self.d):
+            if self.d[self.i] == 0xFF and 0xD0 <= self.d[self.i + 1] <= 0xD7:
+                self.i += 2
+                return
+            self.i += 1
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 sign extension of an s-bit magnitude."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _build_huff(bits: list, vals: list) -> dict:
+    """Canonical Huffman: {(length, code): value}."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _Bits, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.bit()
+        v = table.get((ln, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid JPEG huffman code")
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """Baseline JPEG → {width, height, channels, pixels(h,w,c) uint8}."""
+    if not is_jpeg(payload):
+        raise ValueError("not a JPEG (bad SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    width = height = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            i += 1
+            continue
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        (seglen,) = struct.unpack_from(">H", payload, i + 2)
+        seg = payload[i + 4:i + 2 + seglen]
+        i += 2 + seglen
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq:  # 16-bit table
+                    vals = np.frombuffer(seg, ">u2", 64, p).astype(np.int32)
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg, np.uint8, 64, p).astype(np.int32)
+                    p += 64
+                t = np.zeros((8, 8), np.int32)
+                for k, (rr, cc) in enumerate(ZIGZAG):
+                    t[rr, cc] = vals[k]
+                qt[tq] = t
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17:p + 17 + n])
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits, vals)
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise NotImplementedError(f"JPEG precision {prec} (only 8)")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential (SOF0/1)")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cs)
+                scan.append((comp, huff_dc[tt >> 4], huff_ac[tt & 15]))
+            return _decode_scan(payload, i, scan, qt, width, height,
+                                restart_interval)
+        # all other markers (APPn, COM) skipped
+    raise ValueError("JPEG missing SOS")
+
+
+def _decode_scan(payload, pos, scan, qt, width, height, ri) -> dict:
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
+              for c, _, _ in scan]
+    preds = [0] * len(scan)
+    r = _Bits(payload, pos)
+    coef = np.zeros(64, np.float64)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and n_mcu and n_mcu % ri == 0:
+                r.restart()
+                preds = [0] * len(scan)
+            n_mcu += 1
+            for ci, (c, hdc, hac) in enumerate(scan):
+                q = qt[c["tq"]].reshape(-1)
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        coef[:] = 0.0
+                        s = _huff_decode(r, hdc)
+                        preds[ci] += _extend(r.receive(s), s)
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, hac)
+                            run, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if run != 15:
+                                    break  # EOB
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                break
+                            coef[_ZZ_FLAT[k]] = _extend(r.receive(size), size)
+                            k += 1
+                        # dequantize in natural order: coef holds natural-
+                        # order values (written through _ZZ_FLAT) and the
+                        # DQT table was de-zigzagged at parse time
+                        block = (coef * q).reshape(8, 8)
+                        px = _A.T @ block @ _A + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
+    out = []
+    for ci, (c, _, _) in enumerate(scan):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
+        out.append(p[:height, :width])
+    if len(out) == 1:
+        pixels = np.clip(out[0], 0, 255).astype(np.uint8)[:, :, None]
+        return {"width": width, "height": height, "channels": 1,
+                "pixels": pixels}
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return {"width": width, "height": height, "channels": 3,
+            "pixels": np.clip(np.round(rgb), 0, 255).astype(np.uint8)}
+
+
+# --- encoder ----------------------------------------------------------------
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.n:
+            self.write(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1s
+
+
+def _quality_tables(quality: int) -> tuple:
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    lq = np.clip((QT_LUMA * scale + 50) // 100, 1, 255).astype(np.int32)
+    cq = np.clip((QT_CHROMA * scale + 50) // 100, 1, 255).astype(np.int32)
+    return lq, cq
+
+
+def _size_cat(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _block_symbols(block: np.ndarray, q: np.ndarray, pred: int):
+    """FDCT + quantize one 8x8 block → (dc, symbol list, new pred).
+    Symbols: ('dc', size, bitsval) then ('ac', rs, size, bitsval)."""
+    coef = _A @ (block - 128.0) @ _A.T
+    zz = np.round(coef / q).astype(np.int64).reshape(-1)[_ZZ_FLAT]
+    dc = int(zz[0])
+    diff = dc - pred
+    s = _size_cat(diff)
+    syms = [("dc", s, diff if diff >= 0 else diff + (1 << s) - 1)]
+    run = 0
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            syms.append(("ac", 0xF0, 0, 0))  # ZRL
+            run -= 16
+        s = _size_cat(v)
+        syms.append(("ac", (run << 4) | s, s,
+                     v if v >= 0 else v + (1 << s) - 1))
+        run = 0
+    if last < 63:
+        syms.append(("ac", 0x00, 0, 0))  # EOB
+    return dc, syms
+
+
+def _fixed_huff(symbols: set) -> tuple:
+    """All-same-length canonical Huffman over the used symbols (legal,
+    typo-proof alternative to hardcoding the Annex K tables). Reserves
+    the all-ones code per T.81 C.2."""
+    vals = sorted(symbols)
+    ln = max((len(vals)).bit_length(), 2)  # need 2^ln - 1 >= len(vals)
+    while (1 << ln) - 1 < len(vals):
+        ln += 1
+    bits = [0] * 16
+    bits[ln - 1] = len(vals)
+    enc = {v: (ln, code) for code, v in enumerate(vals)}
+    return bits, vals, enc
+
+
+def _dht_segment(tc: int, th: int, bits: list, vals: list) -> bytes:
+    body = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
+    zz = table.reshape(-1)[_ZZ_FLAT]
+    body = bytes([tq]) + bytes(int(x) for x in zz)
+    return b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                subsampling: str = "444") -> bytes:
+    """Baseline JPEG encode of (h,w) gray, (h,w,1) or (h,w,3) RGB."""
+    arr = np.asarray(pixels, dtype=np.float64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise ValueError(f"encode_jpeg needs 1 or 3 channels, got {nc}")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    lq, cq = _quality_tables(quality)
+    if nc == 3:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                  0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
+    else:
+        planes = [arr[:, :, 0]]
+    sub = (2, 2) if (subsampling == "420" and nc == 3) else (1, 1)
+
+    def pad(p, mult):
+        ph = -(-p.shape[0] // mult) * mult
+        pw = -(-p.shape[1] // mult) * mult
+        return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
+                      mode="edge")
+
+    # component planes at their own resolution
+    cplanes, factors, qts, qids = [], [], [], []
+    for ci, p in enumerate(planes):
+        if ci == 0:
+            cplanes.append(pad(p, 8 * sub[0]))
+            factors.append(sub)
+            qts.append(lq)
+            qids.append(0)
+        else:
+            if sub != (1, 1):  # average-pool chroma
+                pp = pad(p, 2)
+                p = (pp[0::2, 0::2] + pp[0::2, 1::2]
+                     + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
+            cplanes.append(pad(p, 8))
+            factors.append((1, 1))
+            qts.append(cq)
+            qids.append(1)
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # pass 1: collect symbols per (class, table-id)
+    preds = [0] * nc
+    all_syms: list = []
+    used = {("dc", 0): set(), ("ac", 0): set(),
+            ("dc", 1): set(), ("ac", 1): set()}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(nc):
+                hf, vf = factors[ci]
+                tid = 0 if ci == 0 else 1
+                for by in range(vf):
+                    for bx in range(hf):
+                        y0 = (my * vf + by) * 8
+                        x0 = (mx * hf + bx) * 8
+                        blk = cplanes[ci][y0:y0 + 8, x0:x0 + 8]
+                        preds[ci], syms = _block_symbols(
+                            blk, qts[ci], preds[ci])
+                        all_syms.append((tid, syms))
+                        for sym in syms:
+                            if sym[0] == "dc":
+                                used[("dc", tid)].add(sym[1])
+                            else:
+                                used[("ac", tid)].add(sym[1])
+    tables = {}
+    dht = b""
+    n_tables = 2 if nc == 3 else 1
+    for tid in range(n_tables):
+        for cls in ("dc", "ac"):
+            syms = used[(cls, tid)] or {0}
+            bits, vals, enc = _fixed_huff(syms)
+            tables[(cls, tid)] = enc
+            dht += _dht_segment(0 if cls == "dc" else 1, tid, bits, vals)
+
+    # headers
+    out = bytearray(b"\xff\xd8")
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0]))
+    out += _dqt_segment(0, lq)
+    if nc == 3:
+        out += _dqt_segment(1, cq)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, factors[ci][0] << 4 | factors[ci][1], qids[ci]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += dht
+    sos = bytes([nc])
+    for ci in range(nc):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, tid << 4 | tid])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # pass 2: entropy-coded data
+    wtr = _BitWriter()
+    for tid, syms in all_syms:
+        for sym in syms:
+            if sym[0] == "dc":
+                _, s, bitsval = sym
+                ln, code = tables[("dc", tid)][s]
+                wtr.write(code, ln)
+                if s:
+                    wtr.write(bitsval, s)
+            else:
+                _, rs, s, bitsval = sym
+                ln, code = tables[("ac", tid)][rs]
+                wtr.write(code, ln)
+                if s:
+                    wtr.write(bitsval, s)
+    wtr.flush()
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -6,7 +6,10 @@ partition-friendly batch shapes — is real and tested. Codec status:
 
 - PNG decode/resize and WAV decode are REAL (stdlib zlib/wave codecs in
   ``operators/codecs.py`` — no PIL/ffmpeg needed).
-- JPEG and video remain STUBS: those decoders raise NotImplementedError
+- JPEG decode/encode/resize is REAL (baseline sequential DCT implemented
+  from ITU-T T.81 in ``operators/jpeg.py`` — numpy only; progressive
+  JPEG raises).
+- Video remains a STUB: the frame sampler raises NotImplementedError
   unless ``fake=True``, which substitutes a deterministic header-parse
   so the pipeline shape can still be exercised end-to-end.
 """
@@ -60,22 +63,26 @@ def _fake_decode(payload: bytes) -> dict:
 
 
 def _real_decode(payload: bytes) -> dict:
-    """Real image decode. PNG is fully supported (stdlib codec); other
-    formats raise — JPEG entropy decode genuinely needs an image lib."""
+    """Real image decode: PNG (stdlib codec) and baseline JPEG
+    (operators/jpeg.py, numpy-only T.81 implementation). Other formats
+    raise."""
     from iceberg_cpp_spark.operators import codecs
 
     if codecs.is_png(payload):
         d = codecs.decode_png(payload)
-        px = d["pixels"].astype(np.float64)
-        hist = np.bincount(d["pixels"].reshape(-1), minlength=256).astype(np.float64)
-        hist /= max(hist.sum(), 1.0)
-        nz = hist[hist > 0]
-        return {"width": d["width"], "height": d["height"],
-                "features": [float(px.mean()), float(px.std()),
-                             float(-np.sum(nz * np.log2(nz)))]}
-    raise NotImplementedError(
-        "real decode supports PNG only (stdlib codec); JPEG needs "
-        "PIL/opencv — pass fake=True for the deterministic stub")
+    elif codecs.is_jpeg(payload):
+        d = codecs.decode_jpeg(payload)
+    else:
+        raise NotImplementedError(
+            "real decode supports PNG and baseline JPEG; pass fake=True "
+            "for the deterministic stub on other formats")
+    px = d["pixels"].astype(np.float64)
+    hist = np.bincount(d["pixels"].reshape(-1), minlength=256).astype(np.float64)
+    hist /= max(hist.sum(), 1.0)
+    nz = hist[hist > 0]
+    return {"width": d["width"], "height": d["height"],
+            "features": [float(px.mean()), float(px.std()),
+                         float(-np.sum(nz * np.log2(nz)))]}
 
 
 def decode_images(df: DataFrame, payload_col: str = "payload",
@@ -168,9 +175,10 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
 def resize_images(df: DataFrame, width: int, height: int,
                   payload_col: str = "payload", id_col: str = "media_id",
                   fake: bool = False) -> DataFrame:
-    """Resize (id, payload) → (id, resized binary). Real path:
-    PNG decode → nearest-neighbor resample → PNG re-encode, all stdlib.
-    ``fake=True`` keeps the digest stub for non-PNG payloads."""
+    """Resize (id, payload) → (id, resized binary). Real path: decode →
+    nearest-neighbor resample → re-encode in the SAME format (PNG stays
+    PNG, baseline JPEG stays JPEG). ``fake=True`` keeps the digest stub
+    for unsupported payloads."""
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from iceberg_cpp_spark.operators import codecs
@@ -186,10 +194,14 @@ def resize_images(df: DataFrame, width: int, height: int,
                     d = codecs.decode_png(payload)
                     out.append(codecs.encode_png(
                         codecs.resize_nearest(d["pixels"], width, height)))
+                elif codecs.is_jpeg(payload):
+                    d = codecs.decode_jpeg(payload)
+                    out.append(codecs.encode_jpeg(
+                        codecs.resize_nearest(d["pixels"], width, height)))
                 else:
                     raise NotImplementedError(
-                        "real resize supports PNG only; pass fake=True "
-                        "for the stub")
+                        "real resize supports PNG and baseline JPEG; pass "
+                        "fake=True for the stub")
             yield pd.DataFrame({id_col: b[id_col], "resized": out})
 
     return df.select(id_col, payload_col).mapInPandas(
