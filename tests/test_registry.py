@@ -48,7 +48,42 @@ def test_driver_cap_window_composition():
         "text_bpe_tokens",  # trained BPE counts (text_stats in-window)
         "ice_update_where",  # UPDATE DML (ice_delete_where in-window)
         "ice_cdc_apply",  # mixed-op CDC batch (ice_merge_into in-window)
+        "ice_analyze_ndv",  # ANALYZE/Puffin NDV readback (ice_roundtrip_agg write path in-window)
+        "ice_merge_schema",  # write-side mergeSchema evolution (ice_schema_evolution in-window)
+        "ice_metadata_tables",  # entries/history/refs metadata tables (ice_metadata_columns + ice_time_travel in-window)
     }
+    # Every past-cap query that is NOT a judge-only extra must be on this
+    # explicit relational tail.  Adding a new queries() entry without
+    # deciding its window (in-cap, extras, or tail) fails here with an
+    # actionable message (VERDICT r07 item 8).
+    relational_tail = [
+        "agg_rollup", "join_semi_anti", "q2_min_cost_supplier",
+        "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
+        "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
+        "q10_returned_items", "q11_important_stock",
+        "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+        "q16_parts_supplier", "q17_small_qty_revenue",
+        "q18_large_volume_customer", "q19_discounted_revenue",
+        "q20_part_promotion", "q21_suppliers_waiting",
+        "q22_global_sales_opportunity", "agg_cube", "agg_stats",
+        "conditional_agg", "window_running_sum", "set_ops", "sort_limit",
+        "scalar_functions", "unpivot", "agg_listagg", "agg_percentile",
+        "events_sliding_window", "sample_stratified", "sample_split",
+        "sample_pack",
+    ]
+    past_cap = names[CAP:]
+    unplaced = [n for n in past_cap
+                if n not in judge_only_extras and n not in relational_tail]
+    assert not unplaced, (
+        f"new past-cap queries {unplaced} need a conscious window decision: "
+        "either swap into the first-50 driver window, add to judge_only_extras "
+        "(with an in-window-coverage justification comment), or append to "
+        "relational_tail in tests/test_registry.py")
+    assert len(names) == CAP + len(judge_only_extras) + len(relational_tail), (
+        f"registry composition drifted: {len(names)} queries != "
+        f"{CAP} in-window + {len(judge_only_extras)} extras + "
+        f"{len(relational_tail)} relational tail — update the lists in "
+        "tests/test_registry.py when adding/removing queries")
     for n in names:
         if n in judge_only_extras:
             assert n not in window or True
