@@ -135,6 +135,19 @@ def _decode_dv_cached(blob: bytes):
     return parse_dv_blob(blob).to_array()
 
 
+@_lru_cache(maxsize=1024)
+def _decode_dv_pointer_cached(path: str, offset: int, length: int):
+    """Executor-side helper: (puffin_path, offset, length) pointer →
+    sorted uint64 position array.  The executor reads ONLY its own
+    files' blobs, memoized per worker — the scale-safe alternative to
+    the driver reading every blob and broadcasting raw bytes (at 10⁵-10⁶
+    DV'd files that is a serial driver I/O pass plus a broadcast that
+    grows with table size)."""
+    return parse_dv_blob(read_blob(
+        path, BlobMetadata(type=DELETION_VECTOR_V1,
+                           offset=offset, length=length))).to_array()
+
+
 def write_deletion_vectors(path: str, dvs: dict[str, Roaring64],
                            snapshot_id: Optional[int] = None,
                            sequence_number: Optional[int] = None,

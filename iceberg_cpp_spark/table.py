@@ -710,34 +710,35 @@ class TableScan:
                and not d.is_deletion_vector]
         eqs = [d for d in deletes if d.content == mf.CONTENT_EQUALITY_DELETES]
         if dvs:
-            # DV blobs are tiny vs data (bitmap per file): broadcast the
-            # raw blob bytes; executors decode once (lru by blob bytes)
-            # and test row positions vectorized — no join, no shuffle.
-            from iceberg_cpp_spark.core import puffin as pf
-
-            blobs: dict[str, bytes] = {}
-            for d in dvs:
-                meta = pf.BlobMetadata(type=pf.DELETION_VECTOR_V1,
-                                       offset=d.content_offset or 0,
-                                       length=d.content_size_in_bytes or 0)
-                blobs[d.referenced_data_file] = pf.read_blob(d.file_path, meta)
-            bc = spark.sparkContext.broadcast(blobs)
+            # Broadcast {data_file → (puffin_path, offset, length)}
+            # POINTERS, never bytes: each executor reads + decodes only
+            # the blobs for files it actually scans (lru per worker) and
+            # tests row positions vectorized — no join, no shuffle, no
+            # driver I/O pass over the blobs, broadcast size O(#files ×
+            # ~100B) instead of O(total bitmap bytes).  Same pattern as
+            # the DataSource plane (sources/spark_datasource.py
+            # partitions()/read path).
+            pointers = {d.referenced_data_file:
+                        (d.file_path, d.content_offset or 0,
+                         d.content_size_in_bytes or 0) for d in dvs}
+            bc = spark.sparkContext.broadcast(pointers)
 
             @F.pandas_udf("boolean")
             def _dv_dead(file_s, pos_s):
                 import numpy as np
                 import pandas as pd
 
-                from iceberg_cpp_spark.core.puffin import _decode_dv_cached
+                from iceberg_cpp_spark.core.puffin import (
+                    _decode_dv_pointer_cached)
 
                 files = file_s.str.replace(r"^file:(//)?", "", regex=True).to_numpy()
                 dead = np.zeros(len(files), dtype=bool)
                 positions = pos_s.to_numpy(dtype=np.int64)
                 for fp in pd.unique(files):
-                    raw = bc.value.get(fp)
-                    if raw is None:
+                    ptr = bc.value.get(fp)
+                    if ptr is None:
                         continue
-                    arr = _decode_dv_cached(raw)
+                    arr = _decode_dv_pointer_cached(*ptr)
                     m = files == fp
                     dead[m] = np.isin(positions[m].astype(np.uint64), arr)
                 return pd.Series(dead)
@@ -844,6 +845,49 @@ class TableScan:
         return df
 
 
+def _build_merged_dvs(spark, rows: DataFrame,
+                      old_ptrs: dict[str, tuple[str, int, int]],
+                      include_old_only: bool = False) -> dict:
+    """(file_path, pos) rows → {file_path: merged Roaring64}, with each
+    file's EXISTING deletion vector unioned in executor-side.
+
+    Only {file → (puffin_path, offset, length)} pointers are broadcast —
+    executors read + decode the blobs they need (lru per worker,
+    ``puffin._decode_dv_pointer_cached``); the driver sees one serialized
+    bitmap per file (bounded by file count, never by bitmap bytes).
+    With ``include_old_only``, files that have an old DV but no new
+    delete rows still produce a (carried-forward) vector, via pos=-1
+    marker rows."""
+    from iceberg_cpp_spark.core.roaring import Roaring64
+
+    if include_old_only and old_ptrs:
+        markers = spark.createDataFrame(
+            [(p, -1) for p in sorted(old_ptrs)], "file_path string, pos long")
+        rows = rows.unionByName(markers)
+    bc = spark.sparkContext.broadcast(old_ptrs)
+
+    def _build(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from iceberg_cpp_spark.core.puffin import _decode_dv_pointer_cached
+        from iceberg_cpp_spark.core.roaring import Roaring64 as RB
+
+        fp = pdf["file_path"].iloc[0]
+        new = pdf["pos"].to_numpy(dtype=np.int64)
+        new = new[new >= 0].astype(np.uint64)
+        ptr = bc.value.get(fp)
+        if ptr is not None:
+            new = np.concatenate([new, _decode_dv_pointer_cached(*ptr)])
+        return pd.DataFrame({"file_path": [fp],
+                             "dv": [RB.from_array(new).serialize()]})
+
+    built = (rows.groupBy("file_path")
+             .applyInPandas(_build, "file_path string, dv binary")
+             .collect())
+    return {r["file_path"]: Roaring64.deserialize(bytes(r["dv"])) for r in built}
+
+
 def _as_dict(v: Any) -> dict:
     if v is None:
         return {}
@@ -901,12 +945,12 @@ class IceTable:
         return LocationProvider(self.metadata.location)
 
     def _manifest_version(self) -> int:
-        """Manifest/manifest-list layout version for spec-Avro output:
-        v1 tables write v1 manifests (manifest_writer.h:63,123
-        MakeV1Writer); v2/v3 tables write the v2 layout, whose optional
-        v3 fields (DV content_offset/size, first_row_id) are already in
-        the v2 entry schema."""
-        return 1 if self.metadata.format_version == 1 else 2
+        """Manifest/manifest-list layout version for spec-Avro output,
+        matching the table's format version (manifest_writer.h:63,123
+        MakeV1Writer / :70,131 MakeV2Writer / :77,139 MakeV3Writer):
+        v3 tables write the v3 layout (DV content_offset/size,
+        first_row_id on entries AND manifest-list rows, field id 520)."""
+        return min(self.metadata.format_version, 3)
 
     def snapshots(self) -> list[Snapshot]:
         return self.metadata.snapshots
@@ -1219,7 +1263,6 @@ class IceTable:
         driver), merged with the file's existing DV, and written as one
         puffin file with one deletion-vector-v1 blob per data file."""
         from iceberg_cpp_spark.core import puffin as pf
-        from iceberg_cpp_spark.core.roaring import Roaring64
 
         schema = self.schema()
         affected = [t.file_path
@@ -1228,13 +1271,7 @@ class IceTable:
             return self
         spark_schema = it.to_spark_schema(schema)
 
-        def _build(pdf):
-            import pandas as pd
-            rb = Roaring64.from_array(pdf["pos"].to_numpy())
-            return pd.DataFrame({"file_path": [pdf["file_path"].iloc[0]],
-                                 "dv": [rb.serialize()]})
-
-        built = (
+        rows = (
             self.spark.read.schema(spark_schema).parquet(*sorted(affected))
             .select(
                 F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
@@ -1244,23 +1281,19 @@ class IceTable:
             )
             .filter(to_spark_column(expr, schema))
             .select("file_path", "pos")
-            .groupBy("file_path")
-            .applyInPandas(_build, "file_path string, dv binary")
-            .collect()
         )
-        if not built:
+        # merge with current DVs EXECUTOR-side (the new vector must
+        # supersede, not stack): only pointers travel, metadata-only
+        # work on the driver
+        old_ptrs = {d.referenced_data_file:
+                    (d.file_path, d.content_offset or 0,
+                     d.content_size_in_bytes or 0)
+                    for d in self._branch_scan(branch).plan_deletes()
+                    if d.is_deletion_vector}
+        dvs = _build_merged_dvs(self.spark, rows, old_ptrs)
+        if not dvs:
             return self
-        dvs = {r["file_path"]: Roaring64.deserialize(bytes(r["dv"])) for r in built}
-        # merge with current DVs: the new vector must supersede, not stack
-        replaced = set()
-        for d in self._branch_scan(branch).plan_deletes():
-            if d.is_deletion_vector and d.referenced_data_file in dvs:
-                meta = pf.BlobMetadata(type=pf.DELETION_VECTOR_V1,
-                                       offset=d.content_offset or 0,
-                                       length=d.content_size_in_bytes or 0)
-                old = pf.parse_dv_blob(pf.read_blob(d.file_path, meta))
-                dvs[d.referenced_data_file] = dvs[d.referenced_data_file].union(old)
-                replaced.add(d.referenced_data_file)
+        replaced = set(old_ptrs) & set(dvs)
         path = self.location_provider().new_dv_path()
         blob_meta = pf.write_deletion_vectors(path, dvs)
         size = os.path.getsize(path)
@@ -1283,37 +1316,26 @@ class IceTable:
         (folding them requires materializing matches — compaction's job).
         Metadata-only for the data files: no data is rewritten."""
         from iceberg_cpp_spark.core import puffin as pf
-        from iceberg_cpp_spark.core.roaring import Roaring64
 
         deletes = self._branch_scan(branch).plan_deletes()
         pos = [d for d in deletes
                if d.content == mf.CONTENT_POSITION_DELETES and not d.is_deletion_vector]
-        old_dvs = [d for d in deletes if d.is_deletion_vector]
         if not pos:
             return self
-
-        def _build(pdf):
-            import pandas as pd
-            rb = Roaring64.from_array(pdf["pos"].to_numpy())
-            return pd.DataFrame({"file_path": [pdf["file_path"].iloc[0]],
-                                 "dv": [rb.serialize()]})
-
-        built = (
+        # old DVs fold in EXECUTOR-side via pointer broadcast; marker
+        # rows guarantee a group even for files with an existing DV but
+        # no new parquet-delete rows
+        old_ptrs = {d.referenced_data_file:
+                    (d.file_path, d.content_offset or 0,
+                     d.content_size_in_bytes or 0)
+                    for d in deletes if d.is_deletion_vector}
+        rows = (
             self.spark.read.parquet(*sorted(d.file_path for d in pos))
             .select(F.regexp_replace("file_path", "^file:(//)?", "")
                     .alias("file_path"), "pos")
-            .groupBy("file_path")
-            .applyInPandas(_build, "file_path string, dv binary")
-            .collect()
         )
-        dvs = {r["file_path"]: Roaring64.deserialize(bytes(r["dv"])) for r in built}
-        for d in old_dvs:
-            meta = pf.BlobMetadata(type=pf.DELETION_VECTOR_V1,
-                                   offset=d.content_offset or 0,
-                                   length=d.content_size_in_bytes or 0)
-            rb = pf.parse_dv_blob(pf.read_blob(d.file_path, meta))
-            ref = d.referenced_data_file
-            dvs[ref] = dvs[ref].union(rb) if ref in dvs else rb
+        dvs = _build_merged_dvs(self.spark, rows, old_ptrs,
+                                include_old_only=True)
         live = {t.file_path for t in self._branch_scan(branch).plan_files()}
         dvs = {p: rb for p, rb in dvs.items() if p in live}
         drop = {d.file_path for d in pos}
