@@ -478,6 +478,7 @@ def manifest_list_from_avro(path_or_bytes) -> list:
             existing_rows_count=g(513, 0),
             deleted_rows_count=g(514, 0),
             partitions=summaries,
+            first_row_id=g(520),
         ))
     return out
 
@@ -574,7 +575,9 @@ def manifest_list_avro_schema(version: int = 2) -> dict:
     ``v1_metadata.cc`` ManifestFileAdapterV1): no content / sequence
     number fields, the *_data_files_count field NAMES (Avro resolution
     is name-based — v1 Java readers expect the v1 names; field ids 504-
-    506 are unchanged), and counts optional."""
+    506 are unchanged), and counts optional. ``version=3`` (reference
+    ``manifest_writer.h:70-84,139-147`` MakeV3Writer, ``v3_metadata.cc``)
+    adds ``first_row_id`` (field id 520) for row lineage."""
     summary = {
         "type": "record",
         "name": "r508",
@@ -614,7 +617,7 @@ def manifest_list_avro_schema(version: int = 2) -> dict:
                  "default": None, "field-id": 507},
             ],
         }
-    return {
+    out = {
         "type": "record",
         "name": "manifest_file",
         "fields": [
@@ -636,6 +639,12 @@ def manifest_list_avro_schema(version: int = 2) -> dict:
              "default": None, "field-id": 507},
         ],
     }
+    if version >= 3:
+        # v3 row lineage: the starting row id the manifest's ADDED files
+        # draw from (spec §Manifest Lists; null for delete manifests)
+        out["fields"].append({"name": "first_row_id", "type": _opt("long"),
+                              "default": None, "field-id": 520})
+    return out
 
 
 def _avro_partition_type(t) -> Any:
@@ -683,7 +692,14 @@ def manifest_entry_avro_schema(spec, schema, version: int = 2) -> dict:
     ``version=1`` emits the spec's v1 data_file layout (reference
     ``v1_metadata.cc`` ManifestEntryAdapterV1): snapshot_id REQUIRED, no
     sequence-number fields, no content/v2-delete/v3 fields, and the
-    deprecated-but-required ``block_size_in_bytes`` (id 105)."""
+    deprecated-but-required ``block_size_in_bytes`` (id 105).
+
+    ``version=2`` carries the v3 optional fields (142-145) as a
+    documented engine extension — this engine permits deletion vectors
+    on v2 tables, and Avro resolution is name-based so v2 readers skip
+    the extras. ``version=3`` (reference ``manifest_writer.h:70-84``
+    MakeV3Writer, ``v3_metadata.cc`` ManifestEntryAdapterV3) is the
+    spec v3 layout: same fields plus ``key_metadata`` (id 131)."""
     from iceberg_cpp_spark.core.manifests import _partition_types
 
     types = _partition_types(spec, schema)
@@ -789,6 +805,12 @@ def manifest_entry_avro_schema(spec, schema, version: int = 2) -> dict:
              "default": None, "field-id": 142},
         ],
     }
+    if version >= 3:
+        idx = next(i for i, f in enumerate(data_file["fields"])
+                   if f["name"] == "upper_bounds") + 1
+        data_file["fields"].insert(idx, {
+            "name": "key_metadata", "type": _opt("bytes"),
+            "default": None, "field-id": 131})
     return {
         "type": "record",
         "name": "manifest_entry",

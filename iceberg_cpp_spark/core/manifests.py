@@ -124,6 +124,9 @@ class ManifestFile:
     existing_rows_count: int = 0
     deleted_rows_count: int = 0
     partitions: list[PartitionFieldSummary] = dc_field(default_factory=list)
+    # v3 row lineage: starting row id for the manifest's ADDED data files
+    # (spec field id 520; null for delete manifests / pre-v3 metadata)
+    first_row_id: Optional[int] = None
 
     @property
     def has_added_files(self) -> bool:
@@ -299,8 +302,10 @@ class ManifestWriter:
     default (this engine's native format, distributed-prunable) or spec
     Avro (``format="avro"``) for interop with other Iceberg engines.
     ``version`` selects the Avro layout (manifest_writer.h:63
-    MakeV1Writer / :70 MakeV2Writer): v1 for v1-pinned consumers —
-    data manifests only, per v1_metadata.cc ManifestFileAdapterV1."""
+    MakeV1Writer / :70 MakeV2Writer / :77 MakeV3Writer): v1 for
+    v1-pinned consumers — data manifests only, per v1_metadata.cc
+    ManifestFileAdapterV1; v3 adds key_metadata + explicit DV/row-
+    lineage fields per v3_metadata.cc ManifestEntryAdapterV3."""
 
     def __init__(self, path: str, spec: PartitionSpec, schema: it.Schema,
                  snapshot_id: int, content: int = MANIFEST_CONTENT_DATA,
@@ -363,6 +368,13 @@ class ManifestWriter:
                 )
             )
         seqs = [e.sequence_number for e in self.entries if e.sequence_number is not None]
+        # v3 row lineage: the manifest's first_row_id is the smallest id
+        # its ADDED data files draw from (entries carry explicit ids, so
+        # reader-side inheritance never has to assign)
+        rids = [e.data_file.first_row_id for e in self.entries
+                if e.status == STATUS_ADDED
+                and e.data_file.content == CONTENT_DATA
+                and e.data_file.first_row_id is not None]
         return ManifestFile(
             manifest_path=self.path,
             manifest_length=os.path.getsize(self.path),
@@ -378,6 +390,7 @@ class ManifestWriter:
             existing_rows_count=sum(e.data_file.record_count for e in self.entries if e.status == STATUS_EXISTING),
             deleted_rows_count=sum(e.data_file.record_count for e in self.entries if e.status == STATUS_DELETED),
             partitions=summaries,
+            first_row_id=min(rids) if rids else None,
         )
 
     def _write_avro(self) -> None:
@@ -549,9 +562,11 @@ def read_manifest(path: str, spec: PartitionSpec, schema: it.Schema,
 class ManifestListWriter:
     """manifest_writer.cc:153-186 equivalent; parquet container by
     default, spec Avro with ``format="avro"``. ``version`` selects the
-    Avro layout (manifest_writer.h:123 MakeV1Writer / :131
-    MakeV2Writer): v1 rejects delete manifests and writes the v1 field
-    names/metadata (v1_metadata.cc ManifestFileAdapterV1)."""
+    Avro layout (manifest_writer.h:123 MakeV1Writer / :131 MakeV2Writer
+    / :139 MakeV3Writer): v1 rejects delete manifests and writes the v1
+    field names/metadata (v1_metadata.cc ManifestFileAdapterV1); v3
+    writes ``first_row_id`` (field id 520, v3_metadata.cc
+    ManifestFileAdapterV3)."""
 
     def __init__(self, path: str, snapshot_id: int, sequence_number: int,
                  format: str = "parquet",
@@ -603,7 +618,7 @@ class ManifestListWriter:
                     "partitions": parts,
                 })
                 continue
-            records.append({
+            rec = {
                 "manifest_path": m.manifest_path,
                 "manifest_length": m.manifest_length,
                 "partition_spec_id": m.partition_spec_id,
@@ -618,7 +633,10 @@ class ManifestListWriter:
                 "existing_rows_count": m.existing_rows_count,
                 "deleted_rows_count": m.deleted_rows_count,
                 "partitions": parts,
-            })
+            }
+            if self.version >= 3:
+                rec["first_row_id"] = m.first_row_id
+            records.append(rec)
         meta = {
             "snapshot-id": str(self.snapshot_id),
             "format-version": str(self.version),

@@ -361,6 +361,77 @@ class TestAvroTable:
             t2.delete_where(ex.eq(ex.Reference("l_returnflag"), "A"),
                             mode="merge-on-read")
 
+    def test_v3_table_end_to_end(self, spark, tmp_loc, lineitem):
+        """format-version=3 table with spec-Avro manifests (VERDICT r07
+        task 3; reference manifest_writer.h:70-84,139-147 MakeV3Writer,
+        v3_metadata.cc): appends write v3 manifests + v3 manifest lists
+        (first_row_id field id 520, key_metadata in data_file), deletion
+        vectors carry their pointer fields, row lineage survives a fresh
+        load, and every avro file declares format-version 3."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core import avro as av
+        from iceberg_cpp_spark.core import manifests as mf
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        li = lineitem.limit(150)
+        loc = os.path.join(tmp_loc, "v3tab")
+        t = IceTable.create(
+            spark, loc, schema_from_spark(li.schema),
+            properties={"format-version": "3",
+                        "write.metadata.manifest-format": "avro"})
+        assert t.metadata.format_version == 3
+        t = t.append(li.limit(100))
+        t = t.append(li.limit(150).subtract(li.limit(100)))
+        assert t.to_df().count() == 150
+        t = t.delete_where(ex.lt(ex.Reference("l_quantity"), 10.0),
+                           mode="deletion-vector")
+        expect = li.filter("l_quantity >= 10").count()
+        assert t.to_df().count() == expect
+
+        for p in glob.glob(os.path.join(loc, "metadata/*.avro")):
+            f = av.read_avro(p)
+            assert f.metadata["format-version"] == b"3", p
+            names = {fl["name"] for fl in f.schema["fields"]}
+            if "manifest_path" in names:  # manifest list
+                assert "first_row_id" in names
+                assert "sequence_number" in names
+            else:  # manifest
+                dn = {fl["name"] for fl in next(
+                    fl for fl in f.schema["fields"]
+                    if fl["name"] == "data_file")["type"]["fields"]}
+                assert {"content", "key_metadata", "referenced_data_file",
+                        "content_offset", "content_size_in_bytes",
+                        "first_row_id"} <= dn
+
+        # manifest-list first_row_id round-trips: each data manifest's
+        # value equals the min of its ADDED entries' explicit ids
+        snap = t.current_snapshot()
+        schema = t.schema()
+        for m in mf.read_manifest_list(snap.manifest_list):
+            if m.content != mf.MANIFEST_CONTENT_DATA:
+                continue
+            spec = t.metadata.spec_by_id(m.partition_spec_id)
+            rids = [e.data_file.first_row_id
+                    for e in mf.read_manifest(m.manifest_path, spec, schema,
+                                              manifest=m)
+                    if e.status == mf.STATUS_ADDED
+                    and e.data_file.first_row_id is not None]
+            if rids:
+                assert m.first_row_id == min(rids)
+
+        # DV pointers survived the v3 avro manifest
+        d = [d for d in t.scan().plan_deletes() if d.is_deletion_vector][0]
+        assert d.referenced_data_file and d.content_size_in_bytes > 0
+
+        # fresh load: rows, DV application, and row lineage all intact
+        t2 = IceTable.load(spark, loc)
+        assert t2.metadata.format_version == 3
+        df = t2.scan().with_metadata_columns().to_df()
+        assert df.count() == expect
+        ids = df.select("_row_id").distinct().count()
+        assert ids == expect  # lineage ids stay unique through the DV
+
     def test_distributed_avro_planning(self, spark, tmp_loc, lineitem, monkeypatch):
         import iceberg_cpp_spark.table as tbl
         from iceberg_cpp_spark import IceTable
