@@ -3189,10 +3189,13 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
               FROM b),
             bt AS (
+              -- MAX(local end pack)+1, not CEIL(sum/512) (ADVICE r07):
+              -- reserves the pack a trailing zero-token doc sits on when
+              -- the bucket total is an exact multiple of 512
               SELECT _bucket,
-                     GREATEST(CAST(CEIL(SUM(n_tokens) / 512.0) AS BIGINT), 1)
-                       AS n_packs
-              FROM b GROUP BY _bucket),
+                     CAST(MAX(FLOOR((GREATEST(cum, cum - n_tokens + 1) - 1)
+                                    / 512.0)) + 1 AS BIGINT) AS n_packs
+              FROM c GROUP BY _bucket),
             off AS (
               SELECT _bucket,
                      COALESCE(SUM(n_packs) OVER (ORDER BY _bucket

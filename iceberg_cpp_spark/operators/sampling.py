@@ -146,21 +146,29 @@ def pack_sequences(df: DataFrame, seq_len: int,
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum(cost).over(w)
     prev = cum - cost
+    # per-doc LOCAL pack indices from the bucketed cumsum; a zero-token
+    # doc occupies (pack=floor(prev/seq), end=pack) without advancing
+    dfw = (df.withColumn("_lp", F.floor(prev / seq_len).cast("long"))
+             .withColumn("_le", F.floor((F.greatest(cum, prev + 1) - 1)
+                                        / seq_len).cast("long"))
+             .withColumn("_off_in_pack", (prev % seq_len).cast("long")))
     # per-bucket pack counts → contiguous global pack-id offsets.
-    # greatest(…, 1): a bucket of only zero-token docs still owns one
-    # pack id, so its docs never collide with the next bucket's pack 0.
-    bt = (df.groupBy("_bucket")
-            .agg(F.greatest(F.ceil(F.sum(cost) / float(seq_len)), F.lit(1))
-                 .cast("long").alias("_n_packs")))
+    # MAX(_le)+1, not ceil(sum/seq) (ADVICE r07): a zero-token doc at
+    # the end of a bucket whose total is an exact seq_len multiple sits
+    # on pack sum/seq, which ceil() does not reserve — its id would
+    # collide with the next bucket's pack 0. The max over the docs'
+    # actual end packs reserves exactly what is occupied (an all-zero
+    # bucket still owns one pack: every _le there is 0 → count 1).
+    bt = dfw.groupBy("_bucket").agg(
+        (F.max("_le") + 1).cast("long").alias("_n_packs"))
     woff = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
     off = bt.select(
         "_bucket",
         F.coalesce(F.sum("_n_packs").over(woff), F.lit(0))
          .cast("long").alias("_packs_before"))
     base = F.col("_packs_before")
-    return (df.join(F.broadcast(off), "_bucket")
-            .withColumn("_pack", (base + F.floor(prev / seq_len)).cast("long"))
-            .withColumn("_offset", (prev % seq_len).cast("long"))
-            .withColumn("_end_pack", (base + F.floor(
-                (F.greatest(cum, prev + 1) - 1) / seq_len)).cast("long"))
-            .drop("_order", "_packs_before"))
+    return (dfw.join(F.broadcast(off), "_bucket")
+            .withColumn("_pack", (base + F.col("_lp")).cast("long"))
+            .withColumn("_offset", F.col("_off_in_pack"))
+            .withColumn("_end_pack", (base + F.col("_le")).cast("long"))
+            .drop("_order", "_packs_before", "_lp", "_le", "_off_in_pack"))

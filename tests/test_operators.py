@@ -728,16 +728,20 @@ class TestSampling:
             buckets.setdefault(int(units[d] * 64), []).append(d)
         base = 0
         for b in sorted(buckets):
-            cum = 0
+            cum, le_max = 0, 0
             for d in sorted(buckets[b], key=lambda d: (units[d], d)):
                 r = rows[d]
                 assert r["_bucket"] == b
                 assert r["_pack"] == base + cum // 256
                 assert r["_offset"] == cum % 256
                 cum += r["n_tokens"]
-                assert r["_end_pack"] == \
-                    base + (max(cum, cum - r["n_tokens"] + 1) - 1) // 256
-            base += max(math.ceil(cum / 256), 1)
+                le = (max(cum, cum - r["n_tokens"] + 1) - 1) // 256
+                le_max = max(le_max, le)
+                assert r["_end_pack"] == base + le
+            # a bucket reserves exactly the packs its docs occupy
+            # (ADVICE r07 fix; == ceil except the trailing-zero-doc case)
+            base += le_max + 1
+            assert le_max + 1 >= math.ceil(cum / 256)
         # pack ids are globally contiguous: every id in [0, base) is used
         used = {p for r in out for p in range(r["_pack"], r["_end_pack"] + 1)}
         assert used == set(range(base))
@@ -746,6 +750,48 @@ class TestSampling:
             with_tokens.repartition(7), seq_len=256).collect()
         assert {(r["doc_id"], r["_pack"], r["_offset"]) for r in out2} \
             == {(r["doc_id"], r["_pack"], r["_offset"]) for r in out}
+
+    def test_pack_sequences_trailing_zero_doc_no_collision(self, spark):
+        """ADVICE r07: a zero-token doc LAST in a bucket whose token
+        total is an exact multiple of seq_len sits on pack sum/seq_len —
+        ceil-based bucket sizing did not reserve it, colliding with the
+        next bucket's first pack. Craft exactly that shape and assert
+        every pack id belongs to one bucket only."""
+        import hashlib
+
+        from iceberg_cpp_spark.operators import sampling
+
+        ids = list(range(400))
+        units = {d: int(hashlib.md5(f"pack|{d}".encode()).hexdigest()[:8], 16)
+                 / 2**32 for d in ids}
+        buckets: dict[int, list] = {}
+        for d in ids:
+            buckets.setdefault(int(units[d] * 4), []).append(d)
+        seq_len = 128
+        tokens = {}
+        for b, ds in buckets.items():
+            ordered = sorted(ds, key=lambda d: (units[d], d))
+            *body, last = ordered
+            tokens[last] = 0  # trailing zero-token doc
+            for d in body:
+                tokens[d] = 1
+            # pad the first body doc so the bucket totals 2*seq_len exactly
+            if body:
+                tokens[body[0]] = 2 * seq_len - (len(body) - 1)
+        df = spark.createDataFrame(
+            [(d, tokens[d]) for d in ids], "doc_id long, n_tokens long")
+        out = sampling.pack_sequences(df, seq_len=seq_len,
+                                      num_buckets=4).collect()
+        owner: dict[int, int] = {}
+        for r in out:
+            for p in range(r["_pack"], r["_end_pack"] + 1):
+                assert owner.setdefault(p, r["_bucket"]) == r["_bucket"], \
+                    f"pack {p} shared by buckets {owner[p]} and {r['_bucket']}"
+        # still globally contiguous from 0
+        assert set(owner) == set(range(max(owner) + 1))
+        # the trailing zero-token doc occupies the reserved extra pack
+        zero_rows = [r for r in out if r["n_tokens"] == 0]
+        assert zero_rows and all(r["_pack"] == r["_end_pack"] for r in zero_rows)
 
     def test_pack_sequences_window_is_partitioned(self, spark):
         """The 100 TB scale fix: the cumsum window must be PARTITIONED by
