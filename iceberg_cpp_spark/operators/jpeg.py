@@ -5,12 +5,14 @@ a training-data pipeline over web images hits JPEG first, and no
 PIL/opencv exists in this environment. Implemented from the public
 ITU-T T.81 (JPEG) spec:
 
-- ``decode_jpeg``: baseline sequential DCT, 8-bit — full marker walk
-  (DQT/DHT/SOF0/SOS/DRI + restart markers), canonical Huffman decode
+- ``decode_jpeg``: baseline sequential DCT (SOF0/1) AND progressive
+  (SOF2, T.81 §G: spectral selection + successive approximation,
+  DC/AC first + refinement scans, EOB runs), 8-bit — full marker walk
+  (DQT/DHT/SOF/SOS/DRI + restart markers), canonical Huffman decode
   with byte-stuffing, dequantize + zigzag + orthonormal-matrix IDCT,
   chroma upsampling for any sampling factors (4:4:4, 4:2:0, 4:2:2),
-  YCbCr→RGB. Grayscale and 3-component scans. Progressive (SOF2) and
-  arithmetic coding raise NotImplementedError.
+  YCbCr→RGB. Grayscale and 3-component scans. Arithmetic coding,
+  hierarchical, and lossless SOFs raise NotImplementedError.
 - ``encode_jpeg``: baseline encoder for fixtures/round-trips — Annex K
   quantization tables with libjpeg-style quality scaling, 4:4:4 or
   4:2:0 sampling, and canonical fixed-length Huffman tables built from
@@ -157,7 +159,11 @@ def _huff_decode(r: _Bits, table: dict) -> int:
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Baseline JPEG → {width, height, channels, pixels(h,w,c) uint8}."""
+    """Baseline or progressive JPEG → {width, height, channels,
+    pixels(h,w,c) uint8}.  Baseline (SOF0/1) decodes scan-at-once;
+    progressive (SOF2, T.81 §G) accumulates coefficients across
+    spectral-selection / successive-approximation scans and
+    reconstructs after EOI."""
     if not is_jpeg(payload):
         raise ValueError("not a JPEG (bad SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -166,6 +172,8 @@ def decode_jpeg(payload: bytes) -> dict:
     comps: list[dict] = []
     width = height = None
     restart_interval = 0
+    progressive = False
+    prog: dict = {}
     i = 2
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
@@ -175,6 +183,8 @@ def decode_jpeg(payload: bytes) -> dict:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
+        if marker == 0xD9:  # EOI: parameterless — stop the walk cleanly
+            break
         (seglen,) = struct.unpack_from(">H", payload, i + 2)
         seg = payload[i + 4:i + 2 + seglen]
         i += 2 + seglen
@@ -202,30 +212,54 @@ def decode_jpeg(payload: bytes) -> dict:
                 vals = list(seg[p + 17:p + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huff(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, height, width, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} (only 8)")
+            if nc not in (1, 3):
+                # 4-component CMYK/YCCK (Adobe) would silently get the
+                # YCbCr->RGB transform applied to the wrong channels —
+                # refuse instead of mis-decoding
+                raise NotImplementedError(
+                    f"JPEG with {nc} components (only grayscale/YCbCr)")
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            if marker == 0xC2:
+                progressive = True
+                prog = _prog_state(comps, width, height)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential (SOF0/1)")
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential "
+                "(SOF0/1) and progressive (SOF2)")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
-            scan = []
+            if not progressive:
+                scan = []
+                for c in range(ns):
+                    cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                    comp = next(x for x in comps if x["id"] == cs)
+                    scan.append((comp, huff_dc[tt >> 4], huff_ac[tt & 15]))
+                return _decode_scan(payload, i, scan, qt, width, height,
+                                    restart_interval)
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            members = []
             for c in range(ns):
                 cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cs)
-                scan.append((comp, huff_dc[tt >> 4], huff_ac[tt & 15]))
-            return _decode_scan(payload, i, scan, qt, width, height,
-                                restart_interval)
+                ci = next(k for k, x in enumerate(comps) if x["id"] == cs)
+                table = (huff_dc.get(tt >> 4) if ss == 0
+                         else huff_ac.get(tt & 15))
+                members.append((ci, table))
+            i = _decode_prog_scan(payload, i, members, prog,
+                                  ss, se, ahal >> 4, ahal & 15,
+                                  restart_interval)
         # all other markers (APPn, COM) skipped
+    if progressive and prog.get("n_scans"):
+        return _reconstruct_progressive(prog, comps, qt, width, height)
     raise ValueError("JPEG missing SOS")
 
 
@@ -283,7 +317,200 @@ def _decode_scan(payload, pos, scan, qt, width, height, ri) -> dict:
             p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
         out.append(p[:height, :width])
     if len(out) == 1:
-        pixels = np.clip(out[0], 0, 255).astype(np.uint8)[:, :, None]
+        pixels = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)[:, :, None]
+        return {"width": width, "height": height, "channels": 1,
+                "pixels": pixels}
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=2)
+    return {"width": width, "height": height, "channels": 3,
+            "pixels": np.clip(np.round(rgb), 0, 255).astype(np.uint8)}
+
+
+# --- progressive decoder (T.81 §G.1.2 / §G.2) -------------------------------
+
+def _prog_state(comps: list, width: int, height: int) -> dict:
+    """Per-component natural-order coefficient arrays, sized to the full
+    interleaved MCU grid (DC scans address padding blocks; AC scans only
+    touch the non-interleaved sub-grid)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    st = {"hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+          "coef": [], "nblk": [], "n_scans": 0}
+    for c in comps:
+        cw = -(-width * c["h"] // hmax)    # component resolution
+        ch = -(-height * c["v"] // vmax)
+        st["coef"].append(np.zeros(
+            (mcuy * c["v"], mcux * c["h"], 64), np.int32))
+        st["nblk"].append((-(-ch // 8), -(-cw // 8)))  # ≤ padded grid
+    return st
+
+
+def _decode_prog_scan(payload, pos, members, prog, ss, se, ah, al, ri) -> int:
+    """One progressive scan into the coefficient state; returns the
+    payload offset just past this scan's entropy data. DC scans
+    (ss==0) may be interleaved; AC scans are single-component per
+    T.81 §G.1.1."""
+    r = _Bits(payload, pos)
+    prog["n_scans"] += 1
+    eob = [0]  # EOB run carries across blocks within the scan
+
+    def dc_first(ci, table, by, bx, preds):
+        s = _huff_decode(r, table)
+        preds[ci] += _extend(r.receive(s), s)
+        prog["coef"][ci][by, bx, 0] = preds[ci] << al
+
+    def dc_refine(ci, by, bx):
+        if r.bit():
+            prog["coef"][ci][by, bx, 0] |= (1 << al)
+
+    def ac_first(ci, table, by, bx):
+        blk = prog["coef"][ci][by, bx]
+        if eob[0] > 0:
+            eob[0] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(r, table)
+            run, size = rs >> 4, rs & 15
+            if size == 0:
+                if run != 15:
+                    eob[0] = (1 << run) - 1 + (r.receive(run) if run else 0)
+                    return
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > se:
+                return  # corrupt run past the band: drop the rest
+            blk[_ZZ_FLAT[k]] = _extend(r.receive(size), size) << al
+            k += 1
+
+    p1, m1 = 1 << al, -1 << al
+
+    def _refine_nonzero(blk, k):
+        v = blk[_ZZ_FLAT[k]]
+        if v and r.bit() and not (v & p1):
+            blk[_ZZ_FLAT[k]] = v + (p1 if v > 0 else m1)
+
+    def ac_refine(ci, table, by, bx):
+        """T.81 §G.1.2.3 (the jdphuff 'refinement' algorithm): newly
+        nonzero coefficients arrive as ±1<<al; already-nonzero ones get
+        one correction bit each as the scan passes over them."""
+        blk = prog["coef"][ci][by, bx]
+        k = ss
+        if eob[0] == 0:
+            while k <= se:
+                rs = _huff_decode(r, table)
+                run, size = rs >> 4, rs & 15
+                newval = 0
+                if size == 0:
+                    if run != 15:
+                        eob[0] = (1 << run) + (r.receive(run) if run else 0)
+                        break
+                else:  # size is 1 by construction in refinement scans
+                    newval = p1 if r.bit() else m1
+                while k <= se:
+                    if blk[_ZZ_FLAT[k]]:
+                        _refine_nonzero(blk, k)
+                    else:
+                        if run == 0:
+                            if newval:
+                                blk[_ZZ_FLAT[k]] = newval
+                            k += 1
+                            break
+                        run -= 1
+                    k += 1
+        if eob[0] > 0:
+            while k <= se:
+                _refine_nonzero(blk, k)
+                k += 1
+            eob[0] -= 1
+
+    interleaved = len(members) > 1
+    if ss == 0:
+        preds = [0] * len(prog["coef"])
+        if interleaved:
+            n = 0
+            for my in range(prog["mcuy"]):
+                for mx in range(prog["mcux"]):
+                    if ri and n and n % ri == 0:
+                        r.restart()
+                        preds = [0] * len(prog["coef"])
+                    n += 1
+                    for ci, table in members:
+                        c = prog["coef"][ci]
+                        v = c.shape[0] // prog["mcuy"]
+                        h = c.shape[1] // prog["mcux"]
+                        for by in range(v):
+                            for bx in range(h):
+                                if ah == 0:
+                                    dc_first(ci, table, my * v + by,
+                                             mx * h + bx, preds)
+                                else:
+                                    dc_refine(ci, my * v + by, mx * h + bx)
+        else:
+            ci, table = members[0]
+            bh, bw = prog["nblk"][ci]
+            n = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if ri and n and n % ri == 0:
+                        r.restart()
+                        preds = [0] * len(prog["coef"])
+                    n += 1
+                    if ah == 0:
+                        dc_first(ci, table, by, bx, preds)
+                    else:
+                        dc_refine(ci, by, bx)
+    else:
+        ci, table = members[0]
+        bh, bw = prog["nblk"][ci]
+        n = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if ri and n and n % ri == 0:
+                    r.restart()
+                    eob[0] = 0
+                n += 1
+                if ah == 0:
+                    ac_first(ci, table, by, bx)
+                else:
+                    ac_refine(ci, table, by, bx)
+    # skip to the next marker (r.i may sit mid-entropy after the last
+    # needed bit; stuffed FF00 and RSTn belong to this scan's data)
+    j = r.i
+    while j + 1 < len(payload):
+        if payload[j] == 0xFF and payload[j + 1] != 0x00 \
+                and not (0xD0 <= payload[j + 1] <= 0xD7):
+            return j
+        j += 1
+    return len(payload)
+
+
+def _reconstruct_progressive(prog, comps, qt, width, height) -> dict:
+    hmax, vmax = prog["hmax"], prog["vmax"]
+    out = []
+    for ci, c in enumerate(comps):
+        bh, bw = prog["nblk"][ci]
+        q = qt[c["tq"]].reshape(-1).astype(np.float64)
+        # vectorized dequant + IDCT over all blocks at once
+        blocks = (prog["coef"][ci][:bh, :bw].reshape(-1, 64) * q)
+        blocks = blocks.reshape(-1, 8, 8)
+        px = np.einsum("ij,njk,kl->nil", _A.T, blocks, _A) + 128.0
+        plane = (px.reshape(bh, bw, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+        cw = -(-width * c["h"] // hmax)
+        ch = -(-height * c["v"] // vmax)
+        plane = plane[:ch, :cw]
+        if c["h"] != hmax or c["v"] != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // c["v"], 0),
+                              hmax // c["h"], 1)
+        out.append(plane[:height, :width])
+    if len(out) == 1:
+        pixels = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)[:, :, None]
         return {"width": width, "height": height, "channels": 1,
                 "pixels": pixels}
     y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0

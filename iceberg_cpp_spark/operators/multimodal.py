@@ -6,9 +6,9 @@ partition-friendly batch shapes — is real and tested. Codec status:
 
 - PNG decode/resize and WAV decode are REAL (stdlib zlib/wave codecs in
   ``operators/codecs.py`` — no PIL/ffmpeg needed).
-- JPEG decode/encode/resize is REAL (baseline sequential DCT implemented
-  from ITU-T T.81 in ``operators/jpeg.py`` — numpy only; progressive
-  JPEG raises).
+- JPEG decode/encode/resize is REAL (baseline sequential AND progressive
+  DCT implemented from ITU-T T.81 in ``operators/jpeg.py`` — numpy only;
+  arithmetic-coded/hierarchical/lossless JPEG raises).
 - Video remains a STUB: the frame sampler raises NotImplementedError
   unless ``fake=True``, which substitutes a deterministic header-parse
   so the pipeline shape can still be exercised end-to-end.
