@@ -56,6 +56,10 @@ BENCH_QUERIES = [
     "text_chunking",
     "sample_pack",
     "ice_cdc_apply",
+    # codec path (VERDICT r07 task 7): the only first-class operator
+    # family previously without a perf trend — real PNG encode+decode
+    # through the Arrow-batched mapInPandas pipeline
+    "multimodal_png_real",
 ]
 
 # min-of-N runs per query; override with SPARK_GRAFT_BENCH_RUNS
@@ -109,6 +113,45 @@ def bench_scan_planes(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def bench_jpeg_codec(spark, sf_dir: str) -> dict[str, float]:
+    """JPEG codec microbench (VERDICT r07 task 7): render each sf
+    document into a 48x48 grayscale baseline JPEG and decode it back,
+    all inside one Arrow-batched mapInPandas pass — tracks the numpy
+    T.81 codec (operators/jpeg.py) round-over-round. Reported per-query
+    only (excluded from the headline total, like the scan planes)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from iceberg_cpp_spark.operators import jpeg
+
+        for b in batches:
+            ok = 0
+            for t in b["text"]:
+                raw = np.frombuffer((t or " ").encode("utf-8"), np.uint8)
+                img = np.zeros(48 * 48, np.uint8)
+                n = min(len(raw), img.size)
+                img[:n] = raw[:n]
+                d = jpeg.decode_jpeg(jpeg.encode_jpeg(
+                    img.reshape(48, 48), quality=85, subsampling="444"))
+                ok += int(d["pixels"].shape == (48, 48, 1))
+            yield pd.DataFrame({"n_ok": [ok]})
+
+    best = None
+    for i in range(3):  # warm + best-of-2
+        t0 = time.time()
+        (docs.select("text").mapInPandas(run, schema="n_ok long")
+         .agg(F.sum("n_ok")).write.format("noop").mode("overwrite").save())
+        el = time.time() - t0
+        if i > 0:
+            best = el if best is None else min(best, el)
+    return {"jpeg_codec_roundtrip": round(best, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -137,6 +180,7 @@ def main() -> None:
     # reported per-query but would distort cross-round total comparisons
     total = round(sum(results.values()), 3)
     results.update(bench_scan_planes(spark, sf_dir))
+    results.update(bench_jpeg_codec(spark, sf_dir))
     print(json.dumps({
         "metric": "bench_suite_seconds",
         "value": total,

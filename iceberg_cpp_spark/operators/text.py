@@ -291,7 +291,19 @@ def token_frequency_stats(df: DataFrame, freq_source: Optional[DataFrame] = None
     ``<= broadcast_max_vocab`` rows; above the gate (or when the gate is
     None) no hint is attached and AQE picks the join strategy — a
     shuffled hash join on `_w`. All integers — no cross-engine float
-    surface."""
+    surface.
+
+    Caller-facing contract (ADVICE r07): when ``broadcast_max_vocab``
+    is set (the default), calling this function RUNS a Spark job
+    immediately — the vocab aggregate is materialized eagerly to decide
+    the join strategy, even if the returned DataFrame is never executed.
+    Pass ``broadcast_max_vocab=None`` for a fully lazy plan. The
+    checkpointed vocab blocks live on executors without lineage: if an
+    executor holding them dies, downstream actions on the returned
+    DataFrame fail rather than recompute (acceptable for the ~minutes
+    lifetime of a batch query; rerun the operator on failure — callers
+    needing replayable fault tolerance should persist ``freq_source``'s
+    aggregate themselves with reliable checkpointing)."""
     src = freq_source if freq_source is not None else df
     freqs = (src.select(F.explode(words(F.col(text_col))).alias("_w"))
              .groupBy("_w").agg(F.count("*").alias("_freq")))
