@@ -121,7 +121,10 @@ def bench_jpeg_codec(spark, sf_dir: str) -> dict[str, float]:
     only (excluded from the headline total, like the scan planes)."""
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    # fixed 1000-doc slice: the microbench tracks CODEC throughput, and a
+    # corpus-sized input would dominate bench wall-clock at larger sf
+    docs = (spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .orderBy("doc_id").limit(1000))
 
     def run(batches):
         import numpy as np

@@ -43,6 +43,7 @@ def _zigzag() -> list:
 
 ZIGZAG = _zigzag()
 _ZZ_FLAT = np.array([r * 8 + c for r, c in ZIGZAG])
+_ZZ_LIST = _ZZ_FLAT.tolist()  # plain-int variant for the hot decode loops
 
 # Annex K.1 base quantization tables
 QT_LUMA = np.array([
@@ -85,43 +86,66 @@ def is_jpeg(payload: bytes) -> bool:
 
 class _Bits:
     """Entropy-segment bit reader with 0xFF00 byte-stuffing; stops (zero
-    padding) at any real marker so a truncated stream degrades cleanly."""
+    padding) at any real marker so a truncated stream degrades cleanly.
+    Bits accumulate in an int buffer so Huffman decode can PEEK 16 bits
+    at once (the table-driven fast path below) instead of looping
+    bit-by-bit; marker bytes are never pulled into the buffer, so
+    ``self.i`` always points at the next unread stream byte."""
 
     def __init__(self, data: bytes, pos: int):
         self.d = data
         self.i = pos
-        self.cur = 0
-        self.n = 0
+        self.acc = 0   # bit accumulator, MSB-first
+        self.n = 0     # live bits in acc
+
+    def _fill(self, need: int) -> None:
+        d, i, n, acc = self.d, self.i, self.n, self.acc
+        acc &= (1 << n) - 1  # drop consumed high bits — keeps acc small
+        ln = len(d)
+        while n < need:
+            if i >= ln:
+                acc = (acc << 8)  # zero padding past the end
+                n += 8
+                continue
+            b = d[i]
+            if b == 0xFF:
+                nxt = d[i + 1] if i + 1 < ln else 0xD9
+                if nxt == 0x00:
+                    acc = (acc << 8) | 0xFF
+                    n += 8
+                    i += 2
+                else:  # a marker: stop consuming, emit zeros
+                    acc = (acc << 8)
+                    n += 8
+            else:
+                acc = (acc << 8) | b
+                n += 8
+                i += 1
+        self.i, self.n, self.acc = i, n, acc
 
     def bit(self) -> int:
         if self.n == 0:
-            if self.i >= len(self.d):
-                self.cur = 0
-            else:
-                b = self.d[self.i]
-                if b == 0xFF:
-                    nxt = self.d[self.i + 1] if self.i + 1 < len(self.d) else 0xD9
-                    if nxt == 0x00:
-                        self.cur = 0xFF
-                        self.i += 2
-                    else:  # a marker: stop consuming, emit zeros
-                        self.cur = 0
-                else:
-                    self.cur = b
-                    self.i += 1
-            self.n = 8
+            self._fill(1)
         self.n -= 1
-        return (self.cur >> self.n) & 1
+        return (self.acc >> self.n) & 1
 
     def receive(self, s: int) -> int:
-        v = 0
-        for _ in range(s):
-            v = (v << 1) | self.bit()
-        return v
+        if s == 0:
+            return 0
+        if self.n < s:
+            self._fill(s)
+        self.n -= s
+        return (self.acc >> self.n) & ((1 << s) - 1)
+
+    def peek(self, s: int) -> int:
+        if self.n < s:
+            self._fill(s)
+        return (self.acc >> (self.n - s)) & ((1 << s) - 1)
 
     def restart(self) -> None:
         """Byte-align and consume one RSTn marker (T.81 §B.2.1.2)."""
         self.n = 0
+        self.acc = 0
         while self.i + 1 < len(self.d):
             if self.d[self.i] == 0xFF and 0xD0 <= self.d[self.i + 1] <= 0xD7:
                 self.i += 2
@@ -134,28 +158,36 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
 
 
-def _build_huff(bits: list, vals: list) -> dict:
-    """Canonical Huffman: {(length, code): value}."""
-    table = {}
+def _build_huff(bits: list, vals: list) -> tuple:
+    """Canonical Huffman → full-lookahead LUTs (libjpeg-style fast
+    path), sized to the table's LONGEST code: ``sym[peek(maxlen)]`` is
+    the decoded value, ``size[...]`` the code length to consume (0 =
+    invalid code). One peek + one list index per symbol — no bit loop."""
+    maxlen = max((ln for ln in range(1, 17) if bits[ln - 1]), default=1)
+    sym = [0] * (1 << maxlen)
+    size = [0] * (1 << maxlen)
     code = 0
     k = 0
-    for ln in range(1, 17):
+    for ln in range(1, maxlen + 1):
         for _ in range(bits[ln - 1]):
-            table[(ln, code)] = vals[k]
+            start = code << (maxlen - ln)
+            end = (code + 1) << (maxlen - ln)
+            sym[start:end] = [vals[k]] * (end - start)
+            size[start:end] = [ln] * (end - start)
             code += 1
             k += 1
         code <<= 1
-    return table
+    return sym, size, maxlen
 
 
-def _huff_decode(r: _Bits, table: dict) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | r.bit()
-        v = table.get((ln, code))
-        if v is not None:
-            return v
-    raise ValueError("invalid JPEG huffman code")
+def _huff_decode(r: _Bits, table: tuple) -> int:
+    sym, size, ml = table
+    v = r.peek(ml)
+    ln = size[v]
+    if ln == 0:
+        raise ValueError("invalid JPEG huffman code")
+    r.n -= ln
+    return sym[v]
 
 
 def decode_jpeg(payload: bytes) -> dict:
@@ -264,30 +296,29 @@ def decode_jpeg(payload: bytes) -> dict:
 
 
 def _decode_scan(payload, pos, scan, qt, width, height, ri) -> dict:
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
-    mcux = -(-width // (8 * hmax))
-    mcuy = -(-height // (8 * vmax))
-    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64)
-              for c, _, _ in scan]
+    """Baseline single-scan decode: one MCU-interleaved entropy pass
+    fills natural-order coefficient lists (pure-int inner loop), then
+    the shared vectorized dequant+IDCT+upsample reconstruction runs
+    once over all blocks (same back end as the progressive path)."""
+    comps = [c for c, _, _ in scan]
+    prog = _prog_state(comps, width, height)
     preds = [0] * len(scan)
     r = _Bits(payload, pos)
-    coef = np.zeros(64, np.float64)
     n_mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
+    for my in range(prog["mcuy"]):
+        for mx in range(prog["mcux"]):
             if ri and n_mcu and n_mcu % ri == 0:
                 r.restart()
                 preds = [0] * len(scan)
             n_mcu += 1
             for ci, (c, hdc, hac) in enumerate(scan):
-                q = qt[c["tq"]].reshape(-1)
+                rows = prog["coef"][ci]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        coef[:] = 0.0
+                        blk = rows[my * c["v"] + by][mx * c["h"] + bx]
                         s = _huff_decode(r, hdc)
                         preds[ci] += _extend(r.receive(s), s)
-                        coef[0] = preds[ci]
+                        blk[0] = preds[ci]
                         k = 1
                         while k < 64:
                             rs = _huff_decode(r, hac)
@@ -300,32 +331,9 @@ def _decode_scan(payload, pos, scan, qt, width, height, ri) -> dict:
                             k += run
                             if k > 63:
                                 break
-                            coef[_ZZ_FLAT[k]] = _extend(r.receive(size), size)
+                            blk[_ZZ_LIST[k]] = _extend(r.receive(size), size)
                             k += 1
-                        # dequantize in natural order: coef holds natural-
-                        # order values (written through _ZZ_FLAT) and the
-                        # DQT table was de-zigzagged at parse time
-                        block = (coef * q).reshape(8, 8)
-                        px = _A.T @ block @ _A + 128.0
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = px
-    out = []
-    for ci, (c, _, _) in enumerate(scan):
-        p = planes[ci]
-        if c["h"] != hmax or c["v"] != vmax:
-            p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
-        out.append(p[:height, :width])
-    if len(out) == 1:
-        pixels = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)[:, :, None]
-        return {"width": width, "height": height, "channels": 1,
-                "pixels": pixels}
-    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
-    rgb = np.stack([y + 1.402 * cr,
-                    y - 0.344136 * cb - 0.714136 * cr,
-                    y + 1.772 * cb], axis=2)
-    return {"width": width, "height": height, "channels": 3,
-            "pixels": np.clip(np.round(rgb), 0, 255).astype(np.uint8)}
+    return _reconstruct_progressive(prog, comps, qt, width, height)
 
 
 # --- progressive decoder (T.81 §G.1.2 / §G.2) -------------------------------
@@ -343,8 +351,11 @@ def _prog_state(comps: list, width: int, height: int) -> dict:
     for c in comps:
         cw = -(-width * c["h"] // hmax)    # component resolution
         ch = -(-height * c["v"] // vmax)
-        st["coef"].append(np.zeros(
-            (mcuy * c["v"], mcux * c["h"], 64), np.int32))
+        # nested python lists, not numpy: the entropy decode touches
+        # coefficients one at a time, where list indexing is ~10x faster
+        # than numpy scalar access; reconstruct converts wholesale
+        st["coef"].append([[[0] * 64 for _ in range(mcux * c["h"])]
+                           for _ in range(mcuy * c["v"])])
         st["nblk"].append((-(-ch // 8), -(-cw // 8)))  # ≤ padded grid
     return st
 
@@ -361,14 +372,14 @@ def _decode_prog_scan(payload, pos, members, prog, ss, se, ah, al, ri) -> int:
     def dc_first(ci, table, by, bx, preds):
         s = _huff_decode(r, table)
         preds[ci] += _extend(r.receive(s), s)
-        prog["coef"][ci][by, bx, 0] = preds[ci] << al
+        prog["coef"][ci][by][bx][0] = preds[ci] << al
 
     def dc_refine(ci, by, bx):
         if r.bit():
-            prog["coef"][ci][by, bx, 0] |= (1 << al)
+            prog["coef"][ci][by][bx][0] |= (1 << al)
 
     def ac_first(ci, table, by, bx):
-        blk = prog["coef"][ci][by, bx]
+        blk = prog["coef"][ci][by][bx]
         if eob[0] > 0:
             eob[0] -= 1
             return
@@ -385,21 +396,22 @@ def _decode_prog_scan(payload, pos, members, prog, ss, se, ah, al, ri) -> int:
             k += run
             if k > se:
                 return  # corrupt run past the band: drop the rest
-            blk[_ZZ_FLAT[k]] = _extend(r.receive(size), size) << al
+            blk[_ZZ_LIST[k]] = _extend(r.receive(size), size) << al
             k += 1
 
     p1, m1 = 1 << al, -1 << al
 
     def _refine_nonzero(blk, k):
-        v = blk[_ZZ_FLAT[k]]
+        z = _ZZ_LIST[k]
+        v = blk[z]
         if v and r.bit() and not (v & p1):
-            blk[_ZZ_FLAT[k]] = v + (p1 if v > 0 else m1)
+            blk[z] = v + (p1 if v > 0 else m1)
 
     def ac_refine(ci, table, by, bx):
         """T.81 §G.1.2.3 (the jdphuff 'refinement' algorithm): newly
         nonzero coefficients arrive as ±1<<al; already-nonzero ones get
         one correction bit each as the scan passes over them."""
-        blk = prog["coef"][ci][by, bx]
+        blk = prog["coef"][ci][by][bx]
         k = ss
         if eob[0] == 0:
             while k <= se:
@@ -413,12 +425,12 @@ def _decode_prog_scan(payload, pos, members, prog, ss, se, ah, al, ri) -> int:
                 else:  # size is 1 by construction in refinement scans
                     newval = p1 if r.bit() else m1
                 while k <= se:
-                    if blk[_ZZ_FLAT[k]]:
+                    if blk[_ZZ_LIST[k]]:
                         _refine_nonzero(blk, k)
                     else:
                         if run == 0:
                             if newval:
-                                blk[_ZZ_FLAT[k]] = newval
+                                blk[_ZZ_LIST[k]] = newval
                             k += 1
                             break
                         run -= 1
@@ -442,8 +454,8 @@ def _decode_prog_scan(payload, pos, members, prog, ss, se, ah, al, ri) -> int:
                     n += 1
                     for ci, table in members:
                         c = prog["coef"][ci]
-                        v = c.shape[0] // prog["mcuy"]
-                        h = c.shape[1] // prog["mcux"]
+                        v = len(c) // prog["mcuy"]
+                        h = len(c[0]) // prog["mcux"]
                         for by in range(v):
                             for bx in range(h):
                                 if ah == 0:
@@ -497,8 +509,8 @@ def _reconstruct_progressive(prog, comps, qt, width, height) -> dict:
         bh, bw = prog["nblk"][ci]
         q = qt[c["tq"]].reshape(-1).astype(np.float64)
         # vectorized dequant + IDCT over all blocks at once
-        blocks = (prog["coef"][ci][:bh, :bw].reshape(-1, 64) * q)
-        blocks = blocks.reshape(-1, 8, 8)
+        coefs = np.array(prog["coef"][ci], dtype=np.float64)[:bh, :bw]
+        blocks = (coefs.reshape(-1, 64) * q).reshape(-1, 8, 8)
         px = np.einsum("ij,njk,kl->nil", _A.T, blocks, _A) + 128.0
         plane = (px.reshape(bh, bw, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
