@@ -63,9 +63,9 @@ def _fake_decode(payload: bytes) -> dict:
 
 
 def _real_decode(payload: bytes) -> dict:
-    """Real image decode: PNG (stdlib codec) and baseline JPEG
-    (operators/jpeg.py, numpy-only T.81 implementation). Other formats
-    raise."""
+    """Real image decode: PNG (stdlib codec) and baseline/progressive
+    JPEG (operators/jpeg.py, numpy-only T.81 implementation). Other
+    formats raise."""
     from iceberg_cpp_spark.operators import codecs
 
     if codecs.is_png(payload):
@@ -86,26 +86,55 @@ def _real_decode(payload: bytes) -> dict:
 
 
 def decode_images(df: DataFrame, payload_col: str = "payload",
-                  id_col: str = "media_id", fake: bool = False) -> DataFrame:
+                  id_col: str = "media_id", fake: bool = False,
+                  on_error: str = "raise") -> DataFrame:
     """Arrow-batched decode → (id, width, height, features array<double>).
-    Real path decodes PNG payloads with the stdlib codec
-    (operators/codecs.py); ``fake=True`` keeps the deterministic stub for
-    non-image payloads / formats without a stdlib decoder."""
+    Real path decodes PNG and baseline/progressive JPEG payloads
+    (operators/codecs.py, operators/jpeg.py); ``fake=True`` keeps the
+    deterministic stub for formats without a decoder.
+
+    ``on_error='skip'`` is the web-corpus mode: a payload that fails to
+    decode (corrupt bytes, arithmetic-coded JPEG, unknown format) yields
+    its row with NULL width/height/features and the error in an extra
+    ``decode_error`` string column, instead of failing the whole job —
+    at 100 TB some fraction of scraped images is always broken, and one
+    bad byte must not kill a stage. Count/inspect errors downstream with
+    ``df.filter("decode_error IS NOT NULL")``. The default ``'raise'``
+    keeps the strict schema (no extra column) and fail-fast semantics."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip': {on_error}")
+    skip = on_error == "skip"
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             payloads = [bytes(p) if p is not None else b""
                         for p in b[payload_col]]
-            rows = [(_fake_decode if fake else _real_decode)(p)
-                    for p in payloads]
-            yield pd.DataFrame({
+            rows, errs = [], []
+            for p in payloads:
+                try:
+                    rows.append((_fake_decode if fake else _real_decode)(p))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — skip mode records
+                    if not skip:
+                        raise
+                    rows.append({"width": None, "height": None,
+                                 "features": None})
+                    errs.append(f"{type(e).__name__}: {e}")
+            out = {
                 id_col: b[id_col],
-                "width": [r["width"] for r in rows],
-                "height": [r["height"] for r in rows],
+                "width": pd.array([r["width"] for r in rows],
+                                  dtype="Int32"),
+                "height": pd.array([r["height"] for r in rows],
+                                   dtype="Int32"),
                 "features": [r["features"] for r in rows],
-            })
+            }
+            if skip:
+                out["decode_error"] = errs
+            yield pd.DataFrame(out)
 
     out_schema = f"{id_col} long, width int, height int, features array<double>"
+    if skip:
+        out_schema += ", decode_error string"
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
@@ -174,35 +203,54 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
 
 def resize_images(df: DataFrame, width: int, height: int,
                   payload_col: str = "payload", id_col: str = "media_id",
-                  fake: bool = False) -> DataFrame:
+                  fake: bool = False, on_error: str = "raise") -> DataFrame:
     """Resize (id, payload) → (id, resized binary). Real path: decode →
     nearest-neighbor resample → re-encode in the SAME format (PNG stays
-    PNG, baseline JPEG stays JPEG). ``fake=True`` keeps the digest stub
-    for unsupported payloads."""
+    PNG, JPEG — baseline or progressive — re-encodes as baseline JPEG).
+    ``fake=True`` keeps the digest stub for unsupported payloads.
+    ``on_error='skip'`` mirrors decode_images: a failing payload keeps
+    its row with NULL ``resized`` and the error in a ``resize_error``
+    column instead of killing the stage (the 100 TB web-corpus mode)."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip': {on_error}")
+    skip = on_error == "skip"
+
+    def _one(payload: bytes, codecs) -> bytes:
+        if fake:
+            return hashlib.sha256(
+                payload + struct.pack("<II", width, height)).digest()
+        if codecs.is_png(payload):
+            d = codecs.decode_png(payload)
+            return codecs.encode_png(
+                codecs.resize_nearest(d["pixels"], width, height))
+        if codecs.is_jpeg(payload):
+            d = codecs.decode_jpeg(payload)
+            return codecs.encode_jpeg(
+                codecs.resize_nearest(d["pixels"], width, height))
+        raise NotImplementedError(
+            "real resize supports PNG and JPEG; pass fake=True for the stub")
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from iceberg_cpp_spark.operators import codecs
 
         for b in batches:
-            out = []
+            out, errs = [], []
             for p in b[payload_col]:
                 payload = bytes(p) if p is not None else b""
-                if fake:
-                    out.append(hashlib.sha256(
-                        payload + struct.pack("<II", width, height)).digest())
-                elif codecs.is_png(payload):
-                    d = codecs.decode_png(payload)
-                    out.append(codecs.encode_png(
-                        codecs.resize_nearest(d["pixels"], width, height)))
-                elif codecs.is_jpeg(payload):
-                    d = codecs.decode_jpeg(payload)
-                    out.append(codecs.encode_jpeg(
-                        codecs.resize_nearest(d["pixels"], width, height)))
-                else:
-                    raise NotImplementedError(
-                        "real resize supports PNG and baseline JPEG; pass "
-                        "fake=True for the stub")
-            yield pd.DataFrame({id_col: b[id_col], "resized": out})
+                try:
+                    out.append(_one(payload, codecs))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — skip mode records
+                    if not skip:
+                        raise
+                    out.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            res = {id_col: b[id_col], "resized": out}
+            if skip:
+                res["resize_error"] = errs
+            yield pd.DataFrame(res)
 
-    return df.select(id_col, payload_col).mapInPandas(
-        run, schema=f"{id_col} long, resized binary")
+    schema = f"{id_col} long, resized binary"
+    if skip:
+        schema += ", resize_error string"
+    return df.select(id_col, payload_col).mapInPandas(run, schema=schema)

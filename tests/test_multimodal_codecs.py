@@ -168,3 +168,41 @@ class TestSparkPlumbing:
 
         with pytest.raises(Exception, match="PNG|NotImplemented"):
             decode_images(df).collect()
+
+    def test_decode_images_on_error_skip(self, spark):
+        """Web-corpus mode: undecodable payloads keep their row with a
+        decode_error instead of failing the stage — good rows in the
+        same batch still decode."""
+        good = codecs.encode_png(np.arange(4 * 6 * 3, dtype=np.uint8)
+                                 .reshape(4, 6, 3))
+        corrupt_png = good[:40] + b"\x00" * 8  # valid magic, broken body
+        df = spark.createDataFrame(
+            [(1, good), (2, b"GIF89a not supported"), (3, corrupt_png)],
+            "media_id long, payload binary")
+        from iceberg_cpp_spark.operators.multimodal import decode_images
+
+        got = {r["media_id"]: r for r in
+               decode_images(df, on_error="skip").collect()}
+        assert got[1]["width"] == 6 and got[1]["decode_error"] is None
+        assert got[2]["width"] is None and "NotImplementedError" in got[2]["decode_error"]
+        assert got[3]["width"] is None and got[3]["decode_error"]
+        # strict default keeps the old schema and fail-fast behavior
+        assert "decode_error" not in decode_images(df).columns
+        with pytest.raises(ValueError, match="on_error"):
+            decode_images(df, on_error="ignore")
+
+    def test_resize_images_on_error_skip(self, spark):
+        good = codecs.encode_png(np.arange(4 * 6 * 3, dtype=np.uint8)
+                                 .reshape(4, 6, 3))
+        df = spark.createDataFrame(
+            [(1, good), (2, b"BM not supported")],
+            "media_id long, payload binary")
+        from iceberg_cpp_spark.operators.multimodal import resize_images
+
+        got = {r["media_id"]: r for r in
+               resize_images(df, 3, 2, on_error="skip").collect()}
+        d = codecs.decode_png(bytes(got[1]["resized"]))
+        assert (d["width"], d["height"]) == (3, 2)
+        assert got[1]["resize_error"] is None
+        assert got[2]["resized"] is None
+        assert "NotImplementedError" in got[2]["resize_error"]
