@@ -14,10 +14,12 @@ ITU-T T.81 (JPEG) spec:
   YCbCr→RGB. Grayscale and 3-component scans. Arithmetic coding,
   hierarchical, and lossless SOFs raise NotImplementedError.
 - ``encode_jpeg``: baseline encoder for fixtures/round-trips — Annex K
-  quantization tables with libjpeg-style quality scaling, 4:4:4 or
-  4:2:0 sampling, and canonical fixed-length Huffman tables built from
-  the symbols actually emitted (legal per the spec; compactness is not
-  the goal, correctness and zero hardcoded 162-entry tables are).
+  quantization tables with libjpeg-style quality scaling, 4:4:4 /
+  4:2:0 / 4:2:2 sampling, and canonical fixed-length Huffman tables
+  built from the symbols actually emitted (legal per the spec;
+  compactness is not the goal, correctness and zero hardcoded
+  162-entry tables are). FDCT is batched per component; the bit writer
+  fuses huffman code + value bits into one call per symbol.
 
 Like codecs.py (PNG/WAV), everything is numpy in/out; Spark callers run
 these inside Arrow-batched ``mapInPandas``.
@@ -542,14 +544,19 @@ class _BitWriter:
         self.n = 0
 
     def write(self, code: int, length: int) -> None:
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.n += length
-        while self.n >= 8:
-            self.n -= 8
-            b = (self.acc >> self.n) & 0xFF
-            self.out.append(b)
+        acc = (self.acc << length) | (code & ((1 << length) - 1))
+        n = self.n + length
+        out = self.out
+        while n >= 8:
+            n -= 8
+            b = (acc >> n) & 0xFF
+            out.append(b)
             if b == 0xFF:
-                self.out.append(0x00)  # byte stuffing
+                out.append(0x00)  # byte stuffing
+        # trim flushed high bits — an untrimmed accumulator grows into a
+        # big int and makes every write O(bits written so far)
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def flush(self) -> None:
         if self.n:
@@ -565,15 +572,25 @@ def _quality_tables(quality: int) -> tuple:
 
 
 def _size_cat(v: int) -> int:
-    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+    return v.bit_length() if v > 0 else (-v).bit_length()
 
 
-def _block_symbols(block: np.ndarray, q: np.ndarray, pred: int):
-    """FDCT + quantize one 8x8 block → (dc, symbol list, new pred).
+def _comp_zz_blocks(plane: np.ndarray, q: np.ndarray) -> list:
+    """Batch FDCT + quantize a padded component plane → per-block
+    zigzag-order int lists (one numpy pass for the whole component; the
+    per-block symbol walk then runs on plain ints)."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8) - 128.0)
+    coef = np.einsum("ij,njk,kl->nil", _A, blocks, _A.T)
+    zz = np.round(coef.reshape(-1, 64) / q.reshape(-1)).astype(np.int64)
+    return zz[:, _ZZ_FLAT].tolist()
+
+
+def _block_symbols(zz: list, pred: int):
+    """One quantized block (zigzag int list) → (dc, symbol list).
     Symbols: ('dc', size, bitsval) then ('ac', rs, size, bitsval)."""
-    coef = _A @ (block - 128.0) @ _A.T
-    zz = np.round(coef / q).astype(np.int64).reshape(-1)[_ZZ_FLAT]
-    dc = int(zz[0])
+    dc = zz[0]
     diff = dc - pred
     s = _size_cat(diff)
     syms = [("dc", s, diff if diff >= 0 else diff + (1 << s) - 1)]
@@ -582,7 +599,7 @@ def _block_symbols(block: np.ndarray, q: np.ndarray, pred: int):
     while last > 0 and zz[last] == 0:
         last -= 1
     for k in range(1, last + 1):
-        v = int(zz[k])
+        v = zz[k]
         if v == 0:
             run += 1
             continue
@@ -625,15 +642,17 @@ def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
 
 def encode_jpeg(pixels: np.ndarray, quality: int = 90,
                 subsampling: str = "444") -> bytes:
-    """Baseline JPEG encode of (h,w) gray, (h,w,1) or (h,w,3) RGB."""
+    """Baseline JPEG encode of (h,w) gray, (h,w,1) or (h,w,3) RGB.
+    ``subsampling``: '444' (no chroma subsampling), '420' (2x2), or
+    '422' (2x1 horizontal — the video-derived-frame convention)."""
     arr = np.asarray(pixels, dtype=np.float64)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
     if nc not in (1, 3):
         raise ValueError(f"encode_jpeg needs 1 or 3 channels, got {nc}")
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "420", "422"):
+        raise ValueError("subsampling must be '444', '420', or '422'")
     lq, cq = _quality_tables(quality)
     if nc == 3:
         r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
@@ -642,28 +661,31 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
                   0.5 * r - 0.418688 * g - 0.081312 * b + 128.0]
     else:
         planes = [arr[:, :, 0]]
-    sub = (2, 2) if (subsampling == "420" and nc == 3) else (1, 1)
+    # luma (h, v) sampling factors; chroma is always (1, 1)
+    sub = {"444": (1, 1), "420": (2, 2), "422": (2, 1)}[subsampling] \
+        if nc == 3 else (1, 1)
 
-    def pad(p, mult):
-        ph = -(-p.shape[0] // mult) * mult
-        pw = -(-p.shape[1] // mult) * mult
+    def pad(p, mh, mw):
+        ph = -(-p.shape[0] // mh) * mh
+        pw = -(-p.shape[1] // mw) * mw
         return np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])),
                       mode="edge")
 
     # component planes at their own resolution
     cplanes, factors, qts, qids = [], [], [], []
+    fx, fy = sub[0], sub[1]  # chroma pool factors = luma sampling
     for ci, p in enumerate(planes):
         if ci == 0:
-            cplanes.append(pad(p, 8 * sub[0]))
+            cplanes.append(pad(p, 8 * fy, 8 * fx))
             factors.append(sub)
             qts.append(lq)
             qids.append(0)
         else:
-            if sub != (1, 1):  # average-pool chroma
-                pp = pad(p, 2)
-                p = (pp[0::2, 0::2] + pp[0::2, 1::2]
-                     + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
-            cplanes.append(pad(p, 8))
+            if (fx, fy) != (1, 1):  # average-pool chroma
+                pp = pad(p, fy, fx)
+                p = pp.reshape(pp.shape[0] // fy, fy,
+                               pp.shape[1] // fx, fx).mean(axis=(1, 3))
+            cplanes.append(pad(p, 8, 8))
             factors.append((1, 1))
             qts.append(cq)
             qids.append(1)
@@ -672,7 +694,10 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     vmax = max(f[1] for f in factors)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    # pass 1: collect symbols per (class, table-id)
+    # pass 1: batch FDCT per component, then the MCU-interleaved symbol
+    # walk over plain-int zigzag lists
+    zz_comp = [_comp_zz_blocks(cplanes[ci], qts[ci]) for ci in range(nc)]
+    bwc = [cplanes[ci].shape[1] // 8 for ci in range(nc)]
     preds = [0] * nc
     all_syms: list = []
     used = {("dc", 0): set(), ("ac", 0): set(),
@@ -682,19 +707,18 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
             for ci in range(nc):
                 hf, vf = factors[ci]
                 tid = 0 if ci == 0 else 1
+                dc_used, ac_used = used[("dc", tid)], used[("ac", tid)]
                 for by in range(vf):
                     for bx in range(hf):
-                        y0 = (my * vf + by) * 8
-                        x0 = (mx * hf + bx) * 8
-                        blk = cplanes[ci][y0:y0 + 8, x0:x0 + 8]
+                        bi = (my * vf + by) * bwc[ci] + (mx * hf + bx)
                         preds[ci], syms = _block_symbols(
-                            blk, qts[ci], preds[ci])
+                            zz_comp[ci][bi], preds[ci])
                         all_syms.append((tid, syms))
                         for sym in syms:
                             if sym[0] == "dc":
-                                used[("dc", tid)].add(sym[1])
+                                dc_used.add(sym[1])
                             else:
-                                used[("ac", tid)].add(sym[1])
+                                ac_used.add(sym[1])
     tables = {}
     dht = b""
     n_tables = 2 if nc == 3 else 1
@@ -724,22 +748,20 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    # pass 2: entropy-coded data
+    # pass 2: entropy-coded data (huffman code + value bits fused into
+    # one write per symbol — halves the bit-writer call count)
     wtr = _BitWriter()
+    write = wtr.write
     for tid, syms in all_syms:
+        dc_t, ac_t = tables[("dc", tid)], tables[("ac", tid)]
         for sym in syms:
             if sym[0] == "dc":
                 _, s, bitsval = sym
-                ln, code = tables[("dc", tid)][s]
-                wtr.write(code, ln)
-                if s:
-                    wtr.write(bitsval, s)
+                ln, code = dc_t[s]
             else:
                 _, rs, s, bitsval = sym
-                ln, code = tables[("ac", tid)][rs]
-                wtr.write(code, ln)
-                if s:
-                    wtr.write(bitsval, s)
+                ln, code = ac_t[rs]
+            write((code << s) | bitsval, ln + s)
     wtr.flush()
     out += wtr.out
     out += b"\xff\xd9"

@@ -32,6 +32,7 @@ class TestRoundTrip:
     @pytest.mark.parametrize("quality,sub,tol_max,tol_mean", [
         (95, "444", 4, 1.0),
         (95, "420", 10, 2.5),
+        (95, "422", 10, 2.5),
         (100, "444", 2, 0.5),
         (100, "420", 8, 2.0),
         (60, "444", 12, 3.0),
