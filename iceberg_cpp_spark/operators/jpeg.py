@@ -197,7 +197,26 @@ def decode_jpeg(payload: bytes) -> dict:
     pixels(h,w,c) uint8}.  Baseline (SOF0/1) decodes scan-at-once;
     progressive (SOF2, T.81 §G) accumulates coefficients across
     spectral-selection / successive-approximation scans and
-    reconstructs after EOI."""
+    reconstructs after EOI.
+
+    Error contract: a payload this codec cannot decode raises
+    ``ValueError`` (corrupt/truncated/non-JPEG) or
+    ``NotImplementedError`` (valid but unsupported coding mode) — never
+    a raw parse exception. That is what ``decode_images(on_error=
+    'skip')`` relies on to classify failures at corpus scale."""
+    try:
+        return _decode_jpeg(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, KeyError, StopIteration, ZeroDivisionError,
+            struct.error) as e:
+        # corrupt streams trip low-level parse errors in the marker walk
+        # / huffman tables / scan geometry; normalize at the boundary
+        raise ValueError(
+            f"corrupt JPEG ({type(e).__name__}: {e})") from e
+
+
+def _decode_jpeg(payload: bytes) -> dict:
     if not is_jpeg(payload):
         raise ValueError("not a JPEG (bad SOI)")
     qt: dict[int, np.ndarray] = {}

@@ -198,3 +198,40 @@ class TestErrors:
     def test_bad_channel_count_encode(self):
         with pytest.raises(ValueError, match="channels"):
             encode_jpeg(np.zeros((4, 4, 2), np.uint8))
+
+    def test_corrupt_inputs_fail_cleanly(self):
+        """decode_images(on_error='skip') relies on the decode error
+        contract: corrupt/truncated payloads raise ValueError or
+        NotImplementedError — never IndexError/KeyError/struct.error —
+        and never hang. Deterministic fuzz over the failure families
+        the boundary wrapper normalizes."""
+        import random
+
+        rng = random.Random(42)
+        img = np.arange(48 * 48, dtype=np.uint8).reshape(48, 48)
+        enc = encode_jpeg(img, quality=85)
+        prog = open(os.path.join(os.path.dirname(FIXTURE),
+                                 "progressive_libjpeg.jpg"), "rb").read()[:4000]
+        for trial in range(500):
+            kind = trial % 5
+            if kind == 0:  # random bytes behind a valid SOI
+                data = b"\xff\xd8" + bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(200)))
+            elif kind == 1:  # truncation
+                data = enc[:rng.randrange(1, len(enc))]
+            elif kind == 2:  # single flipped bit
+                i = rng.randrange(2, len(enc))
+                data = (enc[:i] + bytes([enc[i] ^ (1 << rng.randrange(8))])
+                        + enc[i + 1:])
+            elif kind == 3:  # truncated progressive
+                data = prog[:rng.randrange(4, len(prog))]
+            else:  # marker soup
+                data = b"\xff\xd8" + b"".join(
+                    bytes([0xFF, rng.randrange(0x01, 0xFF), 0,
+                           rng.randrange(10)])
+                    for _ in range(rng.randrange(20)))
+            try:
+                d = decode_jpeg(data)
+                assert d["pixels"].dtype == np.uint8  # lucky decode is fine
+            except (ValueError, NotImplementedError):
+                pass
