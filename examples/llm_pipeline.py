@@ -73,6 +73,38 @@ def main() -> None:
     kept = kept.withColumn("n_tokens", bpe.bpe_token_count(merges))
     packed = sampling.pack_sequences(kept, seq_len=2048)
 
+    # 5b. multimodal sidecar: render a PNG thumbnail payload per doc
+    #     (stand-in for scraped images) and decode back through the
+    #     Arrow-batched codec pipeline; on_error='skip' records corrupt
+    #     payloads in a decode_error column instead of killing the
+    #     stage — at corpus scale some fraction is always broken
+    from iceberg_cpp_spark.operators.multimodal import decode_images
+
+    def render(batches):
+        import numpy as np
+        import pandas as pd
+
+        from iceberg_cpp_spark.operators import codecs
+
+        for b in batches:
+            payloads = []
+            for did, t in zip(b["doc_id"], b["text"]):
+                raw = np.frombuffer((t or " ").encode(), np.uint8)[:256]
+                img = np.zeros((16, 16, 1), np.uint8)
+                img.reshape(-1)[:len(raw)] = raw
+                p = codecs.encode_png(img)
+                # simulate corpus rot: every 17th payload is truncated
+                payloads.append(p[:20] if did % 17 == 0 else p)
+            yield pd.DataFrame({"media_id": b["doc_id"],
+                                "payload": payloads})
+
+    media = packed.select("doc_id", "text").mapInPandas(
+        render, schema="media_id long, payload binary")
+    decoded = decode_images(media, on_error="skip")
+    n_bad = decoded.filter("decode_error IS NOT NULL").count()
+    print(f"multimodal: {decoded.count()} payloads decoded, "
+          f"{n_bad} corrupt (skipped, not fatal)")
+
     # 6. commit the curated dataset as an Iceberg table
     out = packed.select("doc_id", "text", "lang", "source", "_split",
                         "n_tokens", "_pack", "_offset", "_end_pack")
