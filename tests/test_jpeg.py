@@ -153,6 +153,50 @@ class TestProgressive:
             0, 255).astype(np.uint8)
         assert np.array_equal(d["pixels"][:, :, 0], expected)
 
+    def test_restart_intervals_reset_pred_and_eobrun(self):
+        """Progressive DRI path: restart markers must reset BOTH the DC
+        predictor and the AC EOB run. Two-block grayscale 16x8, DRI=1:
+        block B's DC diff is encoded against a RESET predictor, and
+        block A ends with an EOB run that (invalidly) claims more blocks
+        — the restart must clear it or block B's AC scan is skipped."""
+        import numpy as np
+
+        from iceberg_cpp_spark.operators.jpeg import _A, _ZZ_FLAT
+
+        data = b"\xff\xd8"
+        data += _seg(b"\xff\xdb", bytes([0]) + bytes([1] * 64))
+        data += _seg(b"\xff\xc2",
+                     struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        data += _seg(b"\xff\xdd", struct.pack(">H", 1))  # DRI = 1 MCU
+        # DC table: size-cat 3 -> '00', size-cat 4 -> '01'
+        data += _seg(b"\xff\xc4", bytes([0x00, 0, 2] + [0] * 14 + [3, 4]))
+        # AC table: 0x02,0x20,0x13,EOB as 3-bit codes '000'..'011'
+        data += _seg(b"\xff\xc4",
+                     bytes([0x10, 0, 0, 4] + [0] * 13
+                           + [0x02, 0x20, 0x13, 0x00]))
+        # scan 1 — DC first Al=0: A: '01'+1010(=10); RST0; B: '00'+001(=-6)
+        data += _seg(b"\xff\xda", bytes([1, 1, 0x00, 0, 0, 0x00]))
+        data += b"\x6b\xff\xd0\x0f"
+        # scan 2 — AC first: A: (0,2)+'11'(=3 at k1), EOBRUN r=2+bits 00
+        # (claims 3 more blocks); RST0 resets it; B: (1,3)+'011'(=-4 at
+        # k2), EOB
+        data += _seg(b"\xff\xda", bytes([1, 1, 0x00, 1, 63, 0x00]))
+        data += b"\x19\x3f\xff\xd0\x4d\xff\x00"
+        data += b"\xff\xd9"
+
+        d = decode_jpeg(data)
+        assert (d["width"], d["height"], d["channels"]) == (16, 8, 1)
+
+        def px(dc, k, v):
+            coef = np.zeros(64)
+            coef[_ZZ_FLAT[0]] = dc
+            coef[_ZZ_FLAT[k]] = v
+            return np.clip(np.round(_A.T @ coef.reshape(8, 8) @ _A + 128.0),
+                           0, 255).astype(np.uint8)
+
+        assert np.array_equal(d["pixels"][:, :8, 0], px(10, 1, 3))
+        assert np.array_equal(d["pixels"][:, 8:, 0], px(-6, 2, -4))
+
     def test_real_libjpeg_progressive_fixture(self):
         """A real libjpeg-produced progressive file (Rust embedded-book
         asset, SOF2, 3 components, 10 scans incl. refinements) decodes
