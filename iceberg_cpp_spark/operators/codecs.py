@@ -89,7 +89,21 @@ def _unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
 
 
 def decode_png(payload: bytes) -> dict:
-    """Full PNG decode → {width, height, channels, pixels(h,w,c) uint8}."""
+    """Full PNG decode → {width, height, channels, pixels(h,w,c) uint8}.
+
+    Error contract (same as decode_jpeg): undecodable payloads raise
+    ValueError (corrupt/truncated/non-PNG) or NotImplementedError
+    (valid but unsupported variant) — never a raw zlib/struct error —
+    so decode_images(on_error='skip') can classify failures."""
+    try:
+        return _decode_png(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (zlib.error, struct.error, IndexError) as e:
+        raise ValueError(f"corrupt PNG ({type(e).__name__}: {e})") from e
+
+
+def _decode_png(payload: bytes) -> dict:
     if not is_png(payload):
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -157,7 +171,17 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def decode_wav(payload: bytes) -> dict:
-    """RIFF/PCM WAV decode via the stdlib → metadata + int samples."""
+    """RIFF/PCM WAV decode via the stdlib → metadata + int samples.
+    Same error contract as decode_png: corrupt input → ValueError."""
+    try:
+        return _decode_wav(payload)
+    except (ValueError, NotImplementedError):
+        raise
+    except (wave.Error, EOFError, RuntimeError, struct.error) as e:
+        raise ValueError(f"corrupt WAV ({type(e).__name__}: {e})") from e
+
+
+def _decode_wav(payload: bytes) -> dict:
     with wave.open(io.BytesIO(payload), "rb") as f:
         rate = f.getframerate()
         nch = f.getnchannels()

@@ -124,6 +124,46 @@ class TestWavCodec:
         assert np.array_equal(d["samples"], samples)
 
 
+class TestErrorContract:
+    """Corrupt/truncated payloads raise ValueError or
+    NotImplementedError — never raw zlib/struct/wave errors — which is
+    what decode_images/decode_audio skip modes classify on."""
+
+    def test_png_wav_fuzz_fail_cleanly(self):
+        import io
+        import random
+        import wave
+
+        rng = random.Random(7)
+        png = codecs.encode_png(
+            np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3))
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(8000)
+            f.writeframes(np.arange(800, dtype="<i2").tobytes())
+        wav = buf.getvalue()
+        for trial in range(600):
+            k = trial % 4
+            if k == 0:
+                data = png[:rng.randrange(1, len(png))]
+            elif k == 1:
+                i = rng.randrange(8, len(png))
+                data = (png[:i] + bytes([png[i] ^ (1 << rng.randrange(8))])
+                        + png[i + 1:])
+            elif k == 2:
+                data = wav[:rng.randrange(1, len(wav))]
+            else:
+                i = rng.randrange(4, len(wav))
+                data = (wav[:i] + bytes([wav[i] ^ (1 << rng.randrange(8))])
+                        + wav[i + 1:])
+            try:
+                (codecs.decode_png if k < 2 else codecs.decode_wav)(data)
+            except (ValueError, NotImplementedError):
+                pass  # lucky decodes are also fine
+
+
 class TestSparkPlumbing:
     def test_decode_images_real(self, spark):
         rng = np.random.default_rng(3)
