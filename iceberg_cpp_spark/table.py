@@ -1573,33 +1573,42 @@ class IceTable:
         order = (F.col(seq_col) if seq_col
                  else F.monotonically_increasing_id()).desc()
         w = Window.partitionBy(*on).orderBy(order)
+        # persist the deduped batch: it feeds the affected-file discovery
+        # AND the rewrite union — without caching, each job replays the
+        # window plus the batch's ENTIRE upstream lineage (at scale: a
+        # re-read of whatever staging source produced the CDC feed).
+        # persist() keeps lineage, so an executor loss recomputes instead
+        # of failing (unlike localCheckpoint).
         last = (changes.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1).drop("_rn"))
-        cols = [f.name for f in schema.fields]
-        upserts = last.filter(F.col(op_col) != "D").select(*cols)
-        all_keys = last.select(*on).distinct()
+                .filter(F.col("_rn") == 1).drop("_rn").persist())
+        try:
+            cols = [f.name for f in schema.fields]
+            upserts = last.filter(F.col(op_col) != "D").select(*cols)
+            all_keys = last.select(*on).distinct()
 
-        tgt = self._branch_scan(branch).with_metadata_columns().to_df()
-        affected = {
-            self._plain_path(r["_file"])
-            for r in tgt.select("_file", *on).join(all_keys, on, "left_semi")
-                        .select("_file").distinct().collect()
-        }
-        if not affected:
-            new_files = self._write_data_files(upserts)
-            if new_files:
-                return self._commit_files(
-                    new_files, operation=DataOperation.APPEND, branch=branch,
-                    summary_extras=summary_extras, pre_check=pre_check)
-            return self
-        affected_df = self._read_files_with_deletes(affected, branch=branch)
-        rewritten = affected_df.join(all_keys, on, "left_anti") \
-                               .unionByName(upserts)
-        new_files = self._write_data_files(rewritten)
-        return self._commit_files(
-            new_files, operation=DataOperation.OVERWRITE, branch=branch,
-            carry_existing=True, drop_paths=affected,
-            summary_extras=summary_extras, pre_check=pre_check)
+            tgt = self._branch_scan(branch).with_metadata_columns().to_df()
+            affected = {
+                self._plain_path(r["_file"])
+                for r in tgt.select("_file", *on).join(all_keys, on, "left_semi")
+                            .select("_file").distinct().collect()
+            }
+            if not affected:
+                new_files = self._write_data_files(upserts)
+                if new_files:
+                    return self._commit_files(
+                        new_files, operation=DataOperation.APPEND, branch=branch,
+                        summary_extras=summary_extras, pre_check=pre_check)
+                return self
+            affected_df = self._read_files_with_deletes(affected, branch=branch)
+            rewritten = affected_df.join(all_keys, on, "left_anti") \
+                                   .unionByName(upserts)
+            new_files = self._write_data_files(rewritten)
+            return self._commit_files(
+                new_files, operation=DataOperation.OVERWRITE, branch=branch,
+                carry_existing=True, drop_paths=affected,
+                summary_extras=summary_extras, pre_check=pre_check)
+        finally:
+            last.unpersist()
 
     def merge_into(self, source: DataFrame, on: list[str],
                    when_matched: Optional[str] = "update",
