@@ -1637,7 +1637,14 @@ class IceTable:
             if schema.find_field(c) is None:
                 raise ValueError(f"merge key not in table schema: {c}")
         cols = [f.name for f in schema.fields]
-        src = source.select(*cols)
+        # persist the source projection — primarily for DETERMINISM:
+        # the discovery job and the rewrite job would otherwise each
+        # recompute the source, and a nondeterministic source (sampled,
+        # rand-keyed, or read from a moving staging area) could match
+        # one set of files and then rewrite with different rows. Same
+        # reason Delta materializes MERGE sources. Also saves one replay
+        # of the source's upstream lineage per consuming job.
+        src = source.select(*cols).persist()
         keys = src.select(*on).distinct()
 
         # ONE projection of the target feeds BOTH the affected-file
@@ -1653,6 +1660,15 @@ class IceTable:
         if when_matched is not None and when_not_matched == "insert":
             tgt_keys = tgt_keys.localCheckpoint(eager=True)
 
+        try:
+            return self._merge_into_impl(
+                src, keys, tgt_keys, on, cols, when_matched,
+                when_not_matched, branch, summary_extras, pre_check)
+        finally:
+            src.unpersist()
+
+    def _merge_into_impl(self, src, keys, tgt_keys, on, cols, when_matched,
+                         when_not_matched, branch, summary_extras, pre_check):
         # 1) which files contain a matched key?
         affected = (
             set() if when_matched is None else {
