@@ -2017,6 +2017,36 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[0].cast("double").alias("mean_sample"))
 
 
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.py
+    sample_frames, deterministic fake decode — real video needs ffmpeg,
+    absent here by design): each document's utf-8 bytes stand in for a
+    video payload; the sampler emits 1 + len%5 frames at every_ms
+    spacing with sha256-derived ids. The oracle pins the frame count,
+    the timestamp sum (arithmetic series), and that the frame ids are
+    distinct per doc (n_unique_sha == n_frames by construction)."""
+    from iceberg_cpp_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def make(batches):
+        import pandas as pd
+
+        for b in batches:
+            yield pd.DataFrame({
+                "media_id": b["doc_id"],
+                "payload": [(t or "").encode("utf-8") for t in b["text"]]})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        make, schema="media_id long, payload binary")
+    frames = sample_frames(media, every_ms=1000, fake=True)
+    return (frames.groupBy(F.col("media_id").alias("doc_id"))
+            .agg(F.count("*").cast("long").alias("n_frames"),
+                 F.sum("ts_ms").cast("long").alias("sum_ts"),
+                 F.countDistinct("frame_sha").cast("long")
+                  .alias("n_unique_sha")))
+
+
 def ice_avro_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """format-version=3 table with spec-Avro manifests end-to-end
     (VERDICT r07 task 3; reference manifest_writer.h MakeV3Writer /
@@ -2204,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_metadata_tables": ice_metadata_tables,
         "ice_avro_v3": ice_avro_v3,
         "multimodal_audio": multimodal_audio,
+        "multimodal_frames": multimodal_frames,
     }
 
 
@@ -3450,6 +3481,20 @@ def oracle_sql() -> dict[str, str]:
                                   + ((n % 256) * (n % 256 - 1)) // 2
                                   - 128 * n AS DOUBLE) / n
                    END AS mean_sample
+            FROM n
+        """,
+        # fake frame sampler mirror: n = 1 + octet_length(text)%5 frames
+        # at 1000ms spacing; sum_ts = 1000*n(n-1)/2; sha ids distinct by
+        # construction so n_unique_sha == n_frames
+        "multimodal_frames": """
+            WITH n AS (
+              SELECT doc_id,
+                     1 + CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) % 5 AS n
+              FROM documents)
+            SELECT doc_id,
+                   n AS n_frames,
+                   1000 * n * (n - 1) // 2 AS sum_ts,
+                   n AS n_unique_sha
             FROM n
         """,
     }

@@ -53,6 +53,7 @@ def test_driver_cap_window_composition():
         "ice_metadata_tables",  # entries/history/refs metadata tables (ice_metadata_columns + ice_time_travel in-window)
         "ice_avro_v3",  # v3 Avro manifest layout (ice_avro_manifests + ice_row_lineage + ice_deletion_vector in-window)
         "multimodal_audio",  # real WAV decode path (multimodal_decode/png_real plumbing in-window)
+        "multimodal_frames",  # frame-sampler plumbing, fake decode (multimodal_decode in-window)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without
