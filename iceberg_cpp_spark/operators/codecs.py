@@ -88,22 +88,23 @@ def _unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
     return out
 
 
-def decode_png(payload: bytes) -> dict:
+def decode_png(payload: bytes, max_pixels: int = 64_000_000) -> dict:
     """Full PNG decode → {width, height, channels, pixels(h,w,c) uint8}.
 
     Error contract (same as decode_jpeg): undecodable payloads raise
     ValueError (corrupt/truncated/non-PNG) or NotImplementedError
     (valid but unsupported variant) — never a raw zlib/struct error —
-    so decode_images(on_error='skip') can classify failures."""
+    so decode_images(on_error='skip') can classify failures.
+    ``max_pixels`` rejects decompression-bomb headers before allocating."""
     try:
-        return _decode_png(payload)
+        return _decode_png(payload, max_pixels)
     except (ValueError, NotImplementedError):
         raise
     except (zlib.error, struct.error, IndexError) as e:
         raise ValueError(f"corrupt PNG ({type(e).__name__}: {e})") from e
 
 
-def _decode_png(payload: bytes) -> dict:
+def _decode_png(payload: bytes, max_pixels: int) -> dict:
     if not is_png(payload):
         raise ValueError("not a PNG (bad signature)")
     pos = 8
@@ -125,6 +126,10 @@ def _decode_png(payload: bytes) -> dict:
                                           "(palette not supported)")
             if interlace:
                 raise NotImplementedError("interlaced PNG not supported")
+            if width * height > max_pixels or width == 0 or height == 0:
+                raise ValueError(
+                    f"PNG dimensions {width}x{height} outside sanity "
+                    f"bounds (max_pixels={max_pixels})")
             channels = _CHANNELS[color]
         elif ctype == b"IDAT":
             idat.extend(data)

@@ -192,7 +192,14 @@ def _huff_decode(r: _Bits, table: tuple) -> int:
     return sym[v]
 
 
-def decode_jpeg(payload: bytes) -> dict:
+# dimension sanity cap: a corrupt/hostile header claiming huge dims
+# would otherwise make the pure-python scan loop grind for minutes and
+# allocate GBs — a decompression-bomb vector in a web-corpus pipeline.
+# 64 MPix covers any real photograph; callers can raise it explicitly.
+MAX_PIXELS = 64_000_000
+
+
+def decode_jpeg(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     """Baseline or progressive JPEG → {width, height, channels,
     pixels(h,w,c) uint8}.  Baseline (SOF0/1) decodes scan-at-once;
     progressive (SOF2, T.81 §G) accumulates coefficients across
@@ -205,7 +212,7 @@ def decode_jpeg(payload: bytes) -> dict:
     a raw parse exception. That is what ``decode_images(on_error=
     'skip')`` relies on to classify failures at corpus scale."""
     try:
-        return _decode_jpeg(payload)
+        return _decode_jpeg(payload, max_pixels)
     except (ValueError, NotImplementedError):
         raise
     except (IndexError, KeyError, StopIteration, ZeroDivisionError,
@@ -216,7 +223,7 @@ def decode_jpeg(payload: bytes) -> dict:
             f"corrupt JPEG ({type(e).__name__}: {e})") from e
 
 
-def _decode_jpeg(payload: bytes) -> dict:
+def _decode_jpeg(payload: bytes, max_pixels: int) -> dict:
     if not is_jpeg(payload):
         raise ValueError("not a JPEG (bad SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -275,6 +282,10 @@ def _decode_jpeg(payload: bytes) -> dict:
                 # refuse instead of mis-decoding
                 raise NotImplementedError(
                     f"JPEG with {nc} components (only grayscale/YCbCr)")
+            if width * height > max_pixels or width == 0 or height == 0:
+                raise ValueError(
+                    f"JPEG dimensions {width}x{height} outside sanity "
+                    f"bounds (max_pixels={max_pixels})")
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)

@@ -235,6 +235,27 @@ class TestErrors:
         with pytest.raises(ValueError, match="missing SOS"):
             decode_jpeg(b"\xff\xd8\xff\xd9")
 
+    def test_dimension_bomb_rejected(self):
+        """A hostile header claiming 65000x65000 must fail fast instead
+        of grinding the pure-python scan loop for minutes (corpus-scale
+        decompression-bomb guard; PNG has the same cap)."""
+        from iceberg_cpp_spark.operators import codecs
+
+        sof = struct.pack(">BHHB", 8, 65000, 65000, 1) + bytes([1, 0x11, 0])
+        data = (b"\xff\xd8" + b"\xff\xc0"
+                + struct.pack(">H", 2 + len(sof)) + sof)
+        with pytest.raises(ValueError, match="sanity"):
+            decode_jpeg(data)
+        # PNG: forge an IHDR with huge dims
+        ihdr = struct.pack(">IIBBBBB", 65000, 65000, 8, 2, 0, 0, 0)
+        png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr))
+               + b"IHDR" + ihdr + b"\x00\x00\x00\x00")
+        with pytest.raises(ValueError, match="sanity"):
+            codecs.decode_png(png)
+        # the cap is caller-adjustable
+        with pytest.raises(ValueError, match="missing SOS"):
+            decode_jpeg(data, max_pixels=65000 * 65000)
+
     def test_not_a_jpeg(self):
         with pytest.raises(ValueError, match="SOI"):
             decode_jpeg(b"\x89PNG....")
