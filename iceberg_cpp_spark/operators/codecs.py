@@ -6,8 +6,10 @@ multimodal pipeline real end-to-end for at least one image and one
 audio format:
 
 - PNG: chunk walk + zlib inflate + scanline unfilter (all five PNG
-  filter types), 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced.
-  Also a minimal encoder (filter-0 scanlines) so resize can round-trip.
+  filter types), 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced
+  AND Adam7 interlaced (seven independently filtered sub-images
+  scattered onto the pixel grid). Also a minimal encoder (filter-0
+  scanlines) so resize can round-trip.
 - WAV: RIFF/PCM via the stdlib ``wave`` module.
 
 Everything returns numpy arrays; the Spark-side callers keep these
@@ -110,6 +112,7 @@ def _decode_png(payload: bytes, max_pixels: int) -> dict:
     pos = 8
     width = height = None
     channels = 0
+    adam7 = False
     idat = bytearray()
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
@@ -124,13 +127,14 @@ def _decode_png(payload: bytes, max_pixels: int) -> dict:
             if color not in _CHANNELS:
                 raise NotImplementedError(f"PNG color type {color} "
                                           "(palette not supported)")
-            if interlace:
-                raise NotImplementedError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"PNG interlace method {interlace}")
             if width * height > max_pixels or width == 0 or height == 0:
                 raise ValueError(
                     f"PNG dimensions {width}x{height} outside sanity "
                     f"bounds (max_pixels={max_pixels})")
             channels = _CHANNELS[color]
+            adam7 = bool(interlace)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
@@ -138,12 +142,44 @@ def _decode_png(payload: bytes, max_pixels: int) -> dict:
     if width is None:
         raise ValueError("PNG missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    expected = height * (1 + width * channels)
-    if len(raw) != expected:
-        raise ValueError(f"PNG data length {len(raw)} != {expected}")
-    flat = _unfilter(raw, width, height, channels)
+    if adam7:
+        pixels = _deinterlace_adam7(raw, width, height, channels)
+    else:
+        expected = height * (1 + width * channels)
+        if len(raw) != expected:
+            raise ValueError(f"PNG data length {len(raw)} != {expected}")
+        pixels = _unfilter(raw, width, height, channels) \
+            .reshape(height, width, channels)
     return {"width": width, "height": height, "channels": channels,
-            "pixels": flat.reshape(height, width, channels)}
+            "pixels": pixels}
+
+
+# Adam7 pass layout (PNG spec §8.2): (x0, y0, dx, dy) per pass
+ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+         (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _deinterlace_adam7(raw: bytes, width: int, height: int,
+                       channels: int) -> np.ndarray:
+    """Adam7 deinterlace: the IDAT stream is seven independently
+    filtered sub-images (empty passes absent); each unfilters with the
+    shared scanline logic and scatters onto the (y0::dy, x0::dx) grid."""
+    out = np.zeros((height, width, channels), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        nbytes = ph * (1 + pw * channels)
+        sub = _unfilter(raw[pos:pos + nbytes], pw, ph, channels) \
+            .reshape(ph, pw, channels)
+        out[y0::dy, x0::dx] = sub
+        pos += nbytes
+    if pos != len(raw):
+        raise ValueError(
+            f"interlaced PNG data length {len(raw)} != {pos}")
+    return out
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:

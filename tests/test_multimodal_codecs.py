@@ -124,6 +124,59 @@ class TestWavCodec:
         assert np.array_equal(d["samples"], samples)
 
 
+def _interlace_adam7(img: np.ndarray) -> bytes:
+    """Independent Adam7 interlacer for the round-trip oracle: splits
+    the image into the seven passes, filters each pass's rows (None on
+    even rows, Up on odd rows — exercising that filter context resets
+    per pass), deflates, and wraps in PNG chunks with interlace=1."""
+    import struct
+    import zlib
+
+    from iceberg_cpp_spark.operators.codecs import ADAM7, _chunk
+
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    raw = bytearray()
+    for x0, y0, dx, dy in ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        flat = sub.reshape(sub.shape[0], -1)
+        for y in range(flat.shape[0]):
+            if y % 2 == 0:
+                raw.append(0)
+                raw.extend(flat[y].tobytes())
+            else:  # Up filter: cur - prev mod 256
+                raw.append(2)
+                raw.extend(((flat[y].astype(np.int16)
+                             - flat[y - 1].astype(np.int16)) % 256)
+                           .astype(np.uint8).tobytes())
+    return (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b""))
+
+
+class TestAdam7:
+    @pytest.mark.parametrize("shape", [(1, 1, 1), (7, 5, 1), (8, 8, 3),
+                                       (13, 9, 3), (16, 17, 4), (3, 23, 2)])
+    def test_interlaced_roundtrip(self, shape):
+        """Adam7 decode reproduces the original pixels exactly for
+        every channel count and odd/even/sub-8 dimensions (some passes
+        empty), with per-pass Up filtering in the stream."""
+        rng = np.random.default_rng(sum(shape))
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        d = codecs.decode_png(_interlace_adam7(img))
+        assert d["channels"] == shape[2]
+        assert np.array_equal(d["pixels"], img)
+
+    def test_truncated_interlaced_fails_cleanly(self):
+        img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+        data = _interlace_adam7(img)
+        with pytest.raises(ValueError):
+            codecs.decode_png(data[:60])
+
+
 class TestErrorContract:
     """Corrupt/truncated payloads raise ValueError or
     NotImplementedError — never raw zlib/struct/wave errors — which is
