@@ -6,9 +6,11 @@ multimodal pipeline real end-to-end for at least one image and one
 audio format:
 
 - PNG: chunk walk + zlib inflate + scanline unfilter (all five PNG
-  filter types), 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced
-  AND Adam7 interlaced (seven independently filtered sub-images
-  scattered onto the pixel grid). Also a minimal encoder (filter-0
+  filter types); 8-bit gray / gray+alpha / RGB / RGBA, PLTE palette
+  (bit depths 1/2/4/8, tRNS transparency -> RGBA), sub-byte grayscale
+  (1/2/4-bit scaled to 8), non-interlaced AND Adam7 interlaced (seven
+  independently filtered sub-images scattered onto the pixel grid).
+  16-bit stays NotImplementedError. Also a minimal encoder (filter-0
   scanlines) so resize can round-trip.
 - WAV: RIFF/PCM via the stdlib ``wave`` module.
 
@@ -52,10 +54,9 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _unfilter(raw: bytes, width: int, height: int, channels: int) -> np.ndarray:
-    """Undo PNG scanline filtering → (height, width*channels) uint8."""
-    stride = width * channels
-    bpp = channels
+def _unfilter(raw: bytes, stride: int, height: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filtering → (height, stride) uint8.  ``bpp`` is
+    the filter delta distance in BYTES (1 for packed sub-byte depths)."""
     out = np.zeros((height, stride), dtype=np.uint8)
     pos = 0
     for y in range(height):
@@ -106,13 +107,27 @@ def decode_png(payload: bytes, max_pixels: int = 64_000_000) -> dict:
         raise ValueError(f"corrupt PNG ({type(e).__name__}: {e})") from e
 
 
+def _unpack_samples(rows: np.ndarray, depth: int, width_samples: int) -> np.ndarray:
+    """(h, stride_bytes) packed rows → (h, width_samples) values for
+    sub-byte depths (MSB-first per PNG spec); identity at depth 8."""
+    if depth == 8:
+        return rows[:, :width_samples]
+    bits = np.unpackbits(rows, axis=1)
+    groups = bits[:, :(bits.shape[1] // depth) * depth] \
+        .reshape(rows.shape[0], -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return groups.dot(weights)[:, :width_samples].astype(np.uint8)
+
+
 def _decode_png(payload: bytes, max_pixels: int) -> dict:
     if not is_png(payload):
         raise ValueError("not a PNG (bad signature)")
     pos = 8
     width = height = None
-    channels = 0
+    depth = color = 0
     adam7 = False
+    plte = None
+    trns = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack_from(">I", payload, pos)
@@ -122,64 +137,100 @@ def _decode_png(payload: bytes, max_pixels: int) -> dict:
         if ctype == b"IHDR":
             width, height, depth, color, _comp, _filt, interlace = \
                 struct.unpack(">IIBBBBB", data)
-            if depth != 8:
-                raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
-            if color not in _CHANNELS:
-                raise NotImplementedError(f"PNG color type {color} "
-                                          "(palette not supported)")
+            if color == 3:  # palette: packed indices, PLTE required
+                if depth not in (1, 2, 4, 8):
+                    raise ValueError(f"palette PNG bit depth {depth}")
+            elif color == 0:  # grayscale allows sub-byte depths
+                if depth not in (1, 2, 4, 8):
+                    raise NotImplementedError(
+                        f"PNG bit depth {depth} (8-bit max)")
+            elif color in _CHANNELS:
+                if depth != 8:
+                    raise NotImplementedError(
+                        f"PNG bit depth {depth} (only 8 for color {color})")
+            else:
+                raise ValueError(f"PNG color type {color}")
             if interlace not in (0, 1):
                 raise ValueError(f"PNG interlace method {interlace}")
             if width * height > max_pixels or width == 0 or height == 0:
                 raise ValueError(
                     f"PNG dimensions {width}x{height} outside sanity "
                     f"bounds (max_pixels={max_pixels})")
-            channels = _CHANNELS[color]
             adam7 = bool(interlace)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8)[:(len(data) // 3) * 3] \
+                .reshape(-1, 3)
+        elif ctype == b"tRNS" and color == 3:
+            trns = np.frombuffer(data, np.uint8)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    spp = 1 if color in (0, 3) else _CHANNELS[color]  # samples/pixel
+
+    if color == 3:
+        alpha = trns is not None
+        out_ch = 4 if alpha else 3
+        pal = plte
+        if alpha:
+            a = np.full(len(plte), 255, np.uint8)
+            a[:len(trns)] = trns[:len(pal)]
+            pal = np.concatenate([plte, a[:, None]], axis=1)
+
+    def to_pixels(rows: np.ndarray, w: int) -> np.ndarray:
+        """Unfiltered rows for a (sub-)image of width w → (h,w,C)."""
+        if color == 3:
+            idx = _unpack_samples(rows, depth, w)
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError("palette index out of range")
+            return pal[idx]
+        if color == 0 and depth < 8:
+            v = _unpack_samples(rows, depth, w).astype(np.uint16)
+            return ((v * 255) // ((1 << depth) - 1)) \
+                .astype(np.uint8)[:, :, None]
+        return rows[:, :w * spp].reshape(rows.shape[0], w, spp)
+
+    def stride_of(w: int) -> int:
+        return (w * spp * depth + 7) // 8
+
+    bpp = max(1, spp * depth // 8)  # filter delta distance in bytes
     raw = zlib.decompress(bytes(idat))
     if adam7:
-        pixels = _deinterlace_adam7(raw, width, height, channels)
+        pixels = None
+        pos2 = 0
+        for x0, y0, dx, dy in ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            st = stride_of(pw)
+            nbytes = ph * (1 + st)
+            sub = to_pixels(
+                _unfilter(raw[pos2:pos2 + nbytes], st, ph, bpp), pw)
+            if pixels is None:
+                pixels = np.zeros((height, width, sub.shape[2]), np.uint8)
+            pixels[y0::dy, x0::dx] = sub
+            pos2 += nbytes
+        if pos2 != len(raw):
+            raise ValueError(
+                f"interlaced PNG data length {len(raw)} != {pos2}")
     else:
-        expected = height * (1 + width * channels)
+        st = stride_of(width)
+        expected = height * (1 + st)
         if len(raw) != expected:
             raise ValueError(f"PNG data length {len(raw)} != {expected}")
-        pixels = _unfilter(raw, width, height, channels) \
-            .reshape(height, width, channels)
-    return {"width": width, "height": height, "channels": channels,
-            "pixels": pixels}
+        pixels = to_pixels(_unfilter(raw, st, height, bpp), width)
+    return {"width": width, "height": height,
+            "channels": pixels.shape[2], "pixels": pixels}
 
 
 # Adam7 pass layout (PNG spec §8.2): (x0, y0, dx, dy) per pass
 ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
-
-
-def _deinterlace_adam7(raw: bytes, width: int, height: int,
-                       channels: int) -> np.ndarray:
-    """Adam7 deinterlace: the IDAT stream is seven independently
-    filtered sub-images (empty passes absent); each unfilters with the
-    shared scanline logic and scatters onto the (y0::dy, x0::dx) grid."""
-    out = np.zeros((height, width, channels), np.uint8)
-    pos = 0
-    for x0, y0, dx, dy in ADAM7:
-        pw = (width - x0 + dx - 1) // dx
-        ph = (height - y0 + dy - 1) // dy
-        if pw <= 0 or ph <= 0:
-            continue
-        nbytes = ph * (1 + pw * channels)
-        sub = _unfilter(raw[pos:pos + nbytes], pw, ph, channels) \
-            .reshape(ph, pw, channels)
-        out[y0::dy, x0::dx] = sub
-        pos += nbytes
-    if pos != len(raw):
-        raise ValueError(
-            f"interlaced PNG data length {len(raw)} != {pos}")
-    return out
 
 
 def _chunk(ctype: bytes, data: bytes) -> bytes:

@@ -177,6 +177,101 @@ class TestAdam7:
             codecs.decode_png(data[:60])
 
 
+def _palette_png(idx: np.ndarray, pal: np.ndarray, depth: int,
+                 trns: bytes = None, interlace: int = 0) -> bytes:
+    """Independent palette-PNG builder (filter-0 rows, MSB-first bit
+    packing per spec) for the decode oracle."""
+    import struct
+    import zlib
+
+    from iceberg_cpp_spark.operators.codecs import ADAM7, _chunk
+
+    h, w = idx.shape
+
+    def pack_rows(sub: np.ndarray) -> bytes:
+        out = bytearray()
+        for y in range(sub.shape[0]):
+            out.append(0)
+            if depth == 8:
+                out.extend(sub[y].astype(np.uint8).tobytes())
+            else:
+                bits = ((sub[y][:, None]
+                         >> np.arange(depth - 1, -1, -1)) & 1)
+                flat = bits.reshape(-1).astype(np.uint8)
+                pad = (-len(flat)) % 8
+                flat = np.concatenate([flat, np.zeros(pad, np.uint8)])
+                out.extend(np.packbits(flat).tobytes())
+        return bytes(out)
+
+    raw = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in ADAM7:
+            sub = idx[y0::dy, x0::dx]
+            if sub.size:
+                raw.extend(pack_rows(sub))
+    else:
+        raw.extend(pack_rows(idx))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    out += _chunk(b"PLTE", pal.astype(np.uint8).tobytes())
+    if trns is not None:
+        out += _chunk(b"tRNS", trns)
+    return out + _chunk(b"IDAT", zlib.compress(bytes(raw))) \
+        + _chunk(b"IEND", b"")
+
+
+class TestPalettePng:
+    @pytest.mark.parametrize("depth,w,h", [(8, 13, 7), (4, 11, 5),
+                                           (2, 9, 6), (1, 17, 3)])
+    def test_palette_roundtrip(self, depth, w, h):
+        rng = np.random.default_rng(depth)
+        n = 1 << depth
+        pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+        d = codecs.decode_png(_palette_png(idx, pal, depth))
+        assert d["channels"] == 3
+        assert np.array_equal(d["pixels"], pal[idx])
+
+    def test_palette_trns_gives_rgba(self):
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+        idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+        d = codecs.decode_png(_palette_png(idx, pal, 8, trns=bytes([0, 128])))
+        assert d["channels"] == 4
+        expect_a = np.array([[0, 128, 255], [255, 128, 0]], np.uint8)
+        assert np.array_equal(d["pixels"][:, :, 3], expect_a)
+        assert np.array_equal(d["pixels"][:, :, :3], pal[idx])
+
+    def test_palette_interlaced(self):
+        rng = np.random.default_rng(9)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, (12, 10), dtype=np.uint8)
+        d = codecs.decode_png(_palette_png(idx, pal, 4, interlace=1))
+        assert np.array_equal(d["pixels"], pal[idx])
+
+    def test_palette_index_out_of_range(self):
+        pal = np.array([[1, 2, 3]], np.uint8)  # 1 entry
+        idx = np.array([[0, 5]], np.uint8)     # 5 is invalid
+        with pytest.raises(ValueError, match="palette index"):
+            codecs.decode_png(_palette_png(idx, pal, 8))
+
+    def test_gray_subbyte_scales_to_8bit(self):
+        # depth-2 gray: values 0..3 scale to 0,85,170,255
+        import struct
+        import zlib
+
+        from iceberg_cpp_spark.operators.codecs import _chunk
+
+        vals = np.array([[0, 1, 2, 3, 3]], np.uint8)
+        bits = ((vals[0][:, None] >> np.arange(1, -1, -1)) & 1).reshape(-1)
+        flat = np.concatenate([bits, np.zeros((-len(bits)) % 8, np.uint8)])
+        raw = b"\x00" + np.packbits(flat.astype(np.uint8)).tobytes()
+        ihdr = struct.pack(">IIBBBBB", 5, 1, 2, 0, 0, 0, 0)
+        png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b""))
+        d = codecs.decode_png(png)
+        assert d["pixels"][0, :, 0].tolist() == [0, 85, 170, 255, 255]
+
+
 class TestErrorContract:
     """Corrupt/truncated payloads raise ValueError or
     NotImplementedError — never raw zlib/struct/wave errors — which is
