@@ -10,9 +10,10 @@ audio format:
   (bit depths 1/2/4/8, tRNS transparency -> RGBA), sub-byte grayscale
   (1/2/4-bit scaled to 8), non-interlaced AND Adam7 interlaced (seven
   independently filtered sub-images scattered onto the pixel grid).
-  16-bit stays NotImplementedError. Also a minimal encoder (filter-0
-  scanlines) so resize can round-trip.
-- WAV: RIFF/PCM via the stdlib ``wave`` module.
+  16-bit samples reduce to their high byte per the spec's 8-bit
+  recommendation. Also a minimal encoder (filter-0 scanlines) so
+  resize can round-trip.
+- WAV: RIFF/PCM 8/16/24/32-bit via the stdlib ``wave`` module.
 
 Everything returns numpy arrays; the Spark-side callers keep these
 inside Arrow-batched ``mapInPandas`` so the decode runs vectorized per
@@ -145,9 +146,9 @@ def _decode_png(payload: bytes, max_pixels: int) -> dict:
                     raise NotImplementedError(
                         f"PNG bit depth {depth} (8-bit max)")
             elif color in _CHANNELS:
-                if depth != 8:
-                    raise NotImplementedError(
-                        f"PNG bit depth {depth} (only 8 for color {color})")
+                if depth not in (8, 16):
+                    raise ValueError(
+                        f"PNG bit depth {depth} for color type {color}")
             else:
                 raise ValueError(f"PNG color type {color}")
             if interlace not in (0, 1):
@@ -192,6 +193,11 @@ def _decode_png(payload: bytes, max_pixels: int) -> dict:
             v = _unpack_samples(rows, depth, w).astype(np.uint16)
             return ((v * 255) // ((1 << depth) - 1)) \
                 .astype(np.uint8)[:, :, None]
+        if depth == 16:
+            # 16-bit samples are big-endian; the spec-sanctioned 8-bit
+            # reduction keeps the high byte
+            return rows[:, :w * spp * 2] \
+                .reshape(rows.shape[0], w, spp, 2)[..., 0]
         return rows[:, :w * spp].reshape(rows.shape[0], w, spp)
 
     def stride_of(w: int) -> int:
@@ -284,6 +290,12 @@ def _decode_wav(payload: bytes) -> dict:
         samples = np.frombuffer(frames, dtype="<i2")
     elif width == 1:
         samples = np.frombuffer(frames, dtype=np.uint8).astype(np.int16) - 128
+    elif width == 3:
+        # 24-bit little-endian signed: widen to int32 via an extension
+        # byte that carries the sign (b2's top bit)
+        b = np.frombuffer(frames, np.uint8).reshape(-1, 3).astype(np.int32)
+        samples = (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+                   | (np.where(b[:, 2] & 0x80, 0xFF, 0) << 24)).astype(np.int32)
     elif width == 4:
         samples = np.frombuffer(frames, dtype="<i4")
     else:

@@ -254,6 +254,46 @@ class TestPalettePng:
         with pytest.raises(ValueError, match="palette index"):
             codecs.decode_png(_palette_png(idx, pal, 8))
 
+    def test_png_16bit_reduces_to_high_byte(self):
+        import struct
+        import zlib
+
+        from iceberg_cpp_spark.operators.codecs import _chunk
+
+        # 2x2 RGB, 16-bit big-endian samples; expect the high bytes
+        hi = np.array([[[10, 20, 30], [40, 50, 60]],
+                       [[70, 80, 90], [100, 110, 120]]], np.uint8)
+        raw = bytearray()
+        for y in range(2):
+            raw.append(0)
+            for x in range(2):
+                for c in range(3):
+                    raw += bytes([hi[y, x, c], 0xAB])  # low byte ignored
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+        png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + _chunk(b"IEND", b""))
+        d = codecs.decode_png(png)
+        assert d["channels"] == 3
+        assert np.array_equal(d["pixels"], hi)
+
+    def test_wav_24bit(self):
+        import io
+        import wave
+
+        vals = np.array([0, 1, -1, 8388607, -8388608, 123456, -654321],
+                        np.int32)
+        frames = b"".join(int(v).to_bytes(3, "little", signed=True)
+                          for v in vals)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(3)
+            f.setframerate(8000)
+            f.writeframes(frames)
+        d = codecs.decode_wav(buf.getvalue())
+        assert d["samples"].tolist() == vals.tolist()
+
     def test_gray_subbyte_scales_to_8bit(self):
         # depth-2 gray: values 0..3 scale to 0,85,170,255
         import struct
