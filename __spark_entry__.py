@@ -3007,7 +3007,8 @@ def oracle_sql() -> dict[str, str]:
             -- digest in the oracle.  CAST AS BIGINT: DuckDB SUM(int)
             -- yields HUGEINT whose pandas conversion is
             -- duckdb-version-dependent (the r03 hash-flap cause).
-            SELECT CASE WHEN substr(text, 1, 4) = 'RIFF' THEN 'audio/wav'
+            SELECT CASE WHEN substr(text, 1, 4) = 'GIF8' THEN 'image/gif'
+                        WHEN substr(text, 1, 4) = 'RIFF' THEN 'audio/wav'
                         ELSE 'application/octet-stream' END AS sniffed_mime,
                    COUNT(*) AS n,
                    COUNT(DISTINCT text) AS n_distinct,

@@ -47,6 +47,10 @@ def is_wav(payload: bytes) -> bool:
     return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
 
 
+def is_gif(payload: bytes) -> bool:
+    return payload[:6] in (b"GIF87a", b"GIF89a")
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -266,6 +270,147 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = np.minimum((np.arange(height) * h) // height, h - 1)
     xs = np.minimum((np.arange(width) * w) // width, w - 1)
     return pixels[ys][:, xs]
+
+
+def _lzw_decode(min_code_size: int, data: bytes, max_out: int) -> list:
+    """GIF-variant LZW (LSB-first code packing, CLEAR/END codes,
+    dictionary capped at 4096). ``max_out`` bounds output (bomb guard).
+    Returns a list of palette indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list = [[i] for i in range(clear)] + [None, None]
+    out: list = []
+    prev = None
+    acc = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return out  # truncated stream: return what decoded
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table = [[i] for i in range(clear)] + [None, None]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            return out
+        if code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]  # the KwK case
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if len(out) > max_out:
+            raise ValueError("LZW output exceeds image size")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+
+
+# GIF interlace passes: (row offset, row step)
+_GIF_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def decode_gif(payload: bytes, max_pixels: int = 64_000_000) -> dict:
+    """First-frame GIF87a/89a decode → {width, height, channels,
+    pixels}: LZW decompression, global/local color tables, interlacing,
+    GCE transparency (→ RGBA). Animated GIFs yield their FIRST frame —
+    the right summary unit for image-corpus features. Same error
+    contract as the other decoders."""
+    try:
+        return _decode_gif(payload, max_pixels)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, struct.error, ZeroDivisionError) as e:
+        raise ValueError(f"corrupt GIF ({type(e).__name__}: {e})") from e
+
+
+def _decode_gif(payload: bytes, max_pixels: int) -> dict:
+    if not is_gif(payload):
+        raise ValueError("not a GIF (bad signature)")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(-1, 3)
+        pos += 3 * n
+    transparent = None
+    while pos < len(payload):
+        b = payload[pos]
+        pos += 1
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension
+            label = payload[pos]
+            pos += 1
+            if label == 0xF9 and payload[pos] >= 4:  # GCE
+                flags = payload[pos + 1]
+                if flags & 1:
+                    transparent = payload[pos + 4]
+            while payload[pos]:  # skip sub-blocks
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b != 0x2C:  # image descriptor
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if w == 0 or h == 0 or w * h > max_pixels:
+            raise ValueError(
+                f"GIF dimensions {w}x{h} outside sanity bounds "
+                f"(max_pixels={max_pixels})")
+        ct = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 7)
+            ct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(-1, 3)
+            pos += 3 * n
+        if ct is None:
+            raise ValueError("GIF image without a color table")
+        min_code = payload[pos]
+        pos += 1
+        if not 2 <= min_code <= 11:
+            raise ValueError(f"bad GIF LZW min code size {min_code}")
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data.extend(payload[pos + 1:pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(min_code, bytes(data), w * h)
+        idx += [0] * (w * h - len(idx))  # truncated stream: pad
+        grid = np.asarray(idx[:w * h], np.uint16).reshape(h, w)
+        if ipacked & 0x40:  # interlaced row order
+            de = np.zeros_like(grid)
+            src = 0
+            for off, step in _GIF_PASSES:
+                rows = range(off, h, step)
+                de[list(rows)] = grid[src:src + len(rows)]
+                src += len(rows)
+            grid = de
+        if grid.max(initial=0) >= len(ct):
+            raise ValueError("GIF color index out of range")
+        rgb = ct[grid]
+        if transparent is not None:
+            alpha = np.where(grid == transparent, 0, 255).astype(np.uint8)
+            px = np.concatenate([rgb, alpha[:, :, None]], axis=2)
+        else:
+            px = rgb
+        # first frame only; frame dims (not logical screen) reported
+        return {"width": w, "height": h, "channels": px.shape[2],
+                "pixels": px}
+    raise ValueError("GIF contains no image data")
 
 
 def decode_wav(payload: bytes) -> dict:

@@ -4,7 +4,8 @@ columns with typed metadata.
 The Spark-side machinery — schemas, Arrow-batched UDF signatures,
 partition-friendly batch shapes — is real and tested. Codec status:
 
-- PNG decode/resize and WAV decode are REAL (stdlib zlib/wave codecs in
+- PNG (incl. palette/interlaced/16-bit), GIF (first frame, LZW), and
+  WAV decode are REAL (stdlib zlib/wave + own LZW in
   ``operators/codecs.py`` — no PIL/ffmpeg needed).
 - JPEG decode/encode/resize is REAL (baseline sequential AND progressive
   DCT implemented from ITU-T T.81 in ``operators/jpeg.py`` — numpy only;
@@ -42,6 +43,7 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
         "sniffed_mime": (
             F.when(magic.startswith("FFD8"), F.lit("image/jpeg"))
             .when(magic == F.lit("89504E47"), F.lit("image/png"))
+            .when(magic == F.lit("47494638"), F.lit("image/gif"))
             .when(magic == F.lit("52494646"), F.lit("audio/wav"))
             .otherwise(F.lit("application/octet-stream"))
         ),
@@ -63,18 +65,20 @@ def _fake_decode(payload: bytes) -> dict:
 
 
 def _real_decode(payload: bytes) -> dict:
-    """Real image decode: PNG (stdlib codec) and baseline/progressive
-    JPEG (operators/jpeg.py, numpy-only T.81 implementation). Other
-    formats raise."""
+    """Real image decode: PNG (stdlib codec), baseline/progressive JPEG
+    (operators/jpeg.py, numpy-only T.81 implementation), and first-frame
+    GIF (own LZW). Other formats raise."""
     from iceberg_cpp_spark.operators import codecs
 
     if codecs.is_png(payload):
         d = codecs.decode_png(payload)
     elif codecs.is_jpeg(payload):
         d = codecs.decode_jpeg(payload)
+    elif codecs.is_gif(payload):
+        d = codecs.decode_gif(payload)
     else:
         raise NotImplementedError(
-            "real decode supports PNG and baseline JPEG; pass fake=True "
+            "real decode supports PNG, JPEG, and GIF; pass fake=True "
             "for the deterministic stub on other formats")
     px = d["pixels"].astype(np.float64)
     hist = np.bincount(d["pixels"].reshape(-1), minlength=256).astype(np.float64)
@@ -227,8 +231,14 @@ def resize_images(df: DataFrame, width: int, height: int,
             d = codecs.decode_jpeg(payload)
             return codecs.encode_jpeg(
                 codecs.resize_nearest(d["pixels"], width, height))
+        if codecs.is_gif(payload):
+            # no GIF encoder: resized GIFs re-encode losslessly as PNG
+            d = codecs.decode_gif(payload)
+            return codecs.encode_png(
+                codecs.resize_nearest(d["pixels"], width, height))
         raise NotImplementedError(
-            "real resize supports PNG and JPEG; pass fake=True for the stub")
+            "real resize supports PNG, JPEG, and GIF; pass fake=True "
+            "for the stub")
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from iceberg_cpp_spark.operators import codecs

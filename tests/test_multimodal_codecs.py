@@ -312,6 +312,128 @@ class TestPalettePng:
         assert d["pixels"][0, :, 0].tolist() == [0, 85, 170, 255, 255]
 
 
+def _gif_bytes(idx: np.ndarray, pal: np.ndarray, interlace: bool = False,
+               transparent: int = None) -> bytes:
+    """Independent GIF89a builder for the decode oracle: 'uncompressed'
+    LZW (a CLEAR before every literal keeps the dictionary empty and
+    the code size constant), LSB-first bit packing, 255-byte
+    sub-blocks, optional interlace row order and GCE transparency."""
+    import struct
+
+    h, w = idx.shape
+    size_bits = max((len(pal) - 1).bit_length(), 1)
+    n_entries = 1 << size_bits
+    min_code = max(2, size_bits)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    cs = min_code + 1
+
+    rows = idx
+    if interlace:
+        order = [y for off, step in [(0, 8), (4, 8), (2, 4), (1, 2)]
+                 for y in range(off, h, step)]
+        rows = idx[order]
+    acc = nbits = 0
+    data = bytearray()
+    codes = []
+    for v in rows.reshape(-1):
+        codes += [clear, int(v)]
+    codes.append(end)
+    for c in codes:
+        acc |= c << nbits
+        nbits += cs
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (size_bits - 1), 0, 0)
+    padded = np.zeros((n_entries, 3), np.uint8)
+    padded[:len(pal)] = pal
+    out += padded.tobytes()
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h,
+                       0x40 if interlace else 0)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+class TestGif:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(3)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, (9, 13), dtype=np.uint8)
+        d = codecs.decode_gif(_gif_bytes(idx, pal))
+        assert (d["width"], d["height"], d["channels"]) == (13, 9, 3)
+        assert np.array_equal(d["pixels"], pal[idx])
+
+    def test_interlaced_roundtrip(self):
+        rng = np.random.default_rng(5)
+        pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+        idx = rng.integers(0, 8, (17, 6), dtype=np.uint8)
+        d = codecs.decode_gif(_gif_bytes(idx, pal, interlace=True))
+        assert np.array_equal(d["pixels"], pal[idx])
+
+    def test_transparency_gives_rgba(self):
+        pal = np.array([[10, 20, 30], [40, 50, 60]], np.uint8)
+        idx = np.array([[0, 1], [1, 0]], np.uint8)
+        d = codecs.decode_gif(_gif_bytes(idx, pal, transparent=1))
+        assert d["channels"] == 4
+        assert np.array_equal(
+            d["pixels"][:, :, 3],
+            np.array([[255, 0], [0, 255]], np.uint8))
+
+    def test_real_giflib_fixture(self):
+        """A real giflib-produced GIF (CPython test-suite asset) with
+        genuine LZW dictionary growth, code-size bumps, and GCE
+        transparency decodes to pinned output — interop with the
+        canonical encoder, beyond the clear-per-literal test streams."""
+        import hashlib
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "assets", "gif", "python_giflib.gif")
+        d = codecs.decode_gif(open(path, "rb").read())
+        px = d["pixels"]
+        assert (d["width"], d["height"], d["channels"]) == (16, 16, 4)
+        assert hashlib.sha256(px.tobytes()).hexdigest().startswith(
+            "65556043c031")
+        assert px[8, 8].tolist() == [255, 226, 85, 255]
+        assert int((px[:, :, 3] == 0).sum()) == 107  # transparent border
+
+    def test_corrupt_gif_fails_cleanly(self):
+        pal = np.array([[1, 2, 3]], np.uint8)
+        idx = np.zeros((4, 4), np.uint8)
+        good = _gif_bytes(idx, pal)
+        for cut in (5, 10, 14, len(good) - 3):
+            try:
+                codecs.decode_gif(good[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        with pytest.raises(ValueError, match="GIF"):
+            codecs.decode_gif(b"GIF89a" + b"\x00" * 4)
+
+    def test_decode_images_dispatches_gif(self, spark):
+        pal = np.array([[9, 9, 9], [200, 100, 50]], np.uint8)
+        idx = np.array([[0, 1, 1, 0]], np.uint8)
+        df = spark.createDataFrame([(1, _gif_bytes(idx, pal))],
+                                   "media_id long, payload binary")
+        from iceberg_cpp_spark.operators.multimodal import (
+            decode_images, with_media_metadata)
+
+        r = decode_images(df).collect()[0]
+        assert (r["width"], r["height"]) == (4, 1)
+        m = with_media_metadata(df).collect()[0]
+        assert m["sniffed_mime"] == "image/gif"
+
+
 class TestErrorContract:
     """Corrupt/truncated payloads raise ValueError or
     NotImplementedError — never raw zlib/struct/wave errors — which is
@@ -405,7 +527,7 @@ class TestSparkPlumbing:
                                  .reshape(4, 6, 3))
         corrupt_png = good[:40] + b"\x00" * 8  # valid magic, broken body
         df = spark.createDataFrame(
-            [(1, good), (2, b"GIF89a not supported"), (3, corrupt_png)],
+            [(1, good), (2, b"BM bitmap not supported"), (3, corrupt_png)],
             "media_id long, payload binary")
         from iceberg_cpp_spark.operators.multimodal import decode_images
 
