@@ -143,35 +143,58 @@ def decode_images(df: DataFrame, payload_col: str = "payload",
 
 
 def decode_audio(df: DataFrame, payload_col: str = "payload",
-                 id_col: str = "media_id") -> DataFrame:
+                 id_col: str = "media_id",
+                 on_error: str = "raise") -> DataFrame:
     """Arrow-batched WAV decode (REAL — stdlib ``wave``):
-    (id, sample_rate, channels, duration_ms, features[mean, std, rms])."""
+    (id, sample_rate, channels, duration_ms, features[mean, std, rms]).
+    ``on_error='skip'`` mirrors decode_images: a corrupt payload keeps
+    its row with NULL outputs and the error in a ``decode_error``
+    column instead of failing the stage."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip': {on_error}")
+    skip = on_error == "skip"
 
     def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from iceberg_cpp_spark.operators import codecs
 
         for b in batches:
-            ids, rates, chans, durs, feats = [], [], [], [], []
+            ids, rates, chans, durs, feats, errs = [], [], [], [], [], []
             for mid, p in zip(b[id_col], b[payload_col]):
-                d = codecs.decode_wav(bytes(p) if p is not None else b"")
-                s = d["samples"].astype(np.float64)
                 ids.append(mid)
-                rates.append(d["sample_rate"])
-                chans.append(d["channels"])
-                durs.append(d["duration_ms"])
-                feats.append([float(s.mean()) if s.size else 0.0,
-                              float(s.std()) if s.size else 0.0,
-                              float(np.sqrt(np.mean(s * s))) if s.size else 0.0])
-            yield pd.DataFrame({
+                try:
+                    d = codecs.decode_wav(bytes(p) if p is not None else b"")
+                    s = d["samples"].astype(np.float64)
+                    rates.append(d["sample_rate"])
+                    chans.append(d["channels"])
+                    durs.append(d["duration_ms"])
+                    feats.append([
+                        float(s.mean()) if s.size else 0.0,
+                        float(s.std()) if s.size else 0.0,
+                        float(np.sqrt(np.mean(s * s))) if s.size else 0.0])
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — skip mode records
+                    if not skip:
+                        raise
+                    rates.append(None)
+                    chans.append(None)
+                    durs.append(None)
+                    feats.append(None)
+                    errs.append(f"{type(e).__name__}: {e}")
+            out = {
                 id_col: pd.Series(ids, dtype="int64"),
-                "sample_rate": pd.Series(rates, dtype="int32"),
-                "channels": pd.Series(chans, dtype="int32"),
-                "duration_ms": pd.Series(durs, dtype="int64"),
+                "sample_rate": pd.array(rates, dtype="Int32"),
+                "channels": pd.array(chans, dtype="Int32"),
+                "duration_ms": pd.array(durs, dtype="Int64"),
                 "features": feats,
-            })
+            }
+            if skip:
+                out["decode_error"] = errs
+            yield pd.DataFrame(out)
 
     out_schema = (f"{id_col} long, sample_rate int, channels int, "
                   "duration_ms long, features array<double>")
+    if skip:
+        out_schema += ", decode_error string"
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 

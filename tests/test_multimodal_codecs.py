@@ -541,6 +541,22 @@ class TestSparkPlumbing:
         with pytest.raises(ValueError, match="on_error"):
             decode_images(df, on_error="ignore")
 
+    def test_decode_audio_on_error_skip(self, spark):
+        payload, _ = _wav_bytes(rate=16000, channels=1, n=160)
+        df = spark.createDataFrame(
+            [(1, payload), (2, b"RIFFjunkWAVEbroken"), (3, payload[:20])],
+            "media_id long, payload binary")
+        from iceberg_cpp_spark.operators.multimodal import decode_audio
+
+        got = {r["media_id"]: r for r in
+               decode_audio(df, on_error="skip").collect()}
+        assert got[1]["sample_rate"] == 16000
+        assert got[1]["decode_error"] is None
+        assert got[2]["sample_rate"] is None and got[2]["decode_error"]
+        assert got[3]["sample_rate"] is None and got[3]["decode_error"]
+        # strict default unchanged
+        assert "decode_error" not in decode_audio(df).columns
+
     def test_resize_images_on_error_skip(self, spark):
         good = codecs.encode_png(np.arange(4 * 6 * 3, dtype=np.uint8)
                                  .reshape(4, 6, 3))
