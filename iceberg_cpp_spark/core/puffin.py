@@ -128,13 +128,6 @@ def parse_dv_blob(blob: bytes) -> Roaring64:
     return Roaring64.deserialize(body[4:])
 
 
-@_lru_cache(maxsize=128)
-def _decode_dv_cached(blob: bytes):
-    """Executor-side helper: blob bytes → sorted uint64 position array,
-    memoized so a DV is decoded once per worker, not once per batch."""
-    return parse_dv_blob(blob).to_array()
-
-
 @_lru_cache(maxsize=1024)
 def _decode_dv_pointer_cached(path: str, offset: int, length: int):
     """Executor-side helper: (puffin_path, offset, length) pointer →

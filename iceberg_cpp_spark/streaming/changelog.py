@@ -38,7 +38,7 @@ COMMIT_ORDER = "_change_ordinal"
 
 def _delete_files(table: IceTable, snapshot_id: Optional[int]) -> set[str]:
     """Parquet position-delete files live in a snapshot (DVs excluded —
-    they are positional too but puffin-encoded; see _dv_blobs)."""
+    they are positional too but puffin-encoded; see _dv_pointers)."""
     if snapshot_id is None:
         return set()
     snap = table.metadata.snapshot_by_id(snapshot_id)
@@ -54,15 +54,20 @@ def _delete_files(table: IceTable, snapshot_id: Optional[int]) -> set[str]:
     return out
 
 
-def _dv_blobs(table: IceTable, snapshot_id: Optional[int]) -> dict[str, bytes]:
-    """{referenced data file: raw deletion-vector blob} in a snapshot
-    (driver-side read — DV blobs are metadata-scale)."""
-    from iceberg_cpp_spark.core import puffin as pf
+#: {referenced data file: (puffin_path, offset, length)} — DV pointer map.
+DvPointers = dict[str, tuple[str, int, int]]
 
+
+def _dv_pointers(table: IceTable, snapshot_id: Optional[int]) -> DvPointers:
+    """{referenced data file: (puffin_path, offset, length)} for every
+    live deletion vector in a snapshot.  POINTERS only — blob bytes are
+    never read on the driver (same 100 TB rule as the scan plane,
+    `table.py` `_apply_deletes`); executors fetch + decode lazily per
+    worker via ``_decode_dv_pointer_cached``."""
     if snapshot_id is None:
         return {}
     snap = table.metadata.snapshot_by_id(snapshot_id)
-    out: dict[str, bytes] = {}
+    out: DvPointers = {}
     schema = table.schema()
     meta = table.metadata
     for m in mf.read_manifest_list(snap.manifest_list):
@@ -71,36 +76,37 @@ def _dv_blobs(table: IceTable, snapshot_id: Optional[int]) -> dict[str, bytes]:
             d = e.data_file
             if (e.is_live and d.content == mf.CONTENT_POSITION_DELETES
                     and d.file_format == "puffin" and d.referenced_data_file):
-                out[d.referenced_data_file] = pf.read_blob(
-                    d.file_path, pf.BlobMetadata(
-                        type=pf.DELETION_VECTOR_V1,
-                        offset=d.content_offset or 0,
-                        length=d.content_size_in_bytes or 0))
+                out[d.referenced_data_file] = (
+                    d.file_path, d.content_offset or 0,
+                    d.content_size_in_bytes or 0)
     return out
 
 
-def _dv_member_udf(spark, blobs: dict[str, bytes]):
-    """Boolean pandas UDF: is (file, pos) marked deleted in `blobs`?
-    Blob bytes broadcast; decoded once per worker (lru)."""
-    bc = spark.sparkContext.broadcast(blobs)
+def _dv_member_udf(spark, pointers: DvPointers):
+    """Boolean pandas UDF: is (file, pos) marked deleted in the vectors
+    `pointers` refers to?  Only the O(#files × ~100B) pointer map is
+    broadcast; each executor reads + decodes just the blobs for files it
+    actually scans (lru per worker) — no blob bytes through the driver
+    or the broadcast."""
+    bc = spark.sparkContext.broadcast(pointers)
 
     @F.pandas_udf("boolean")
     def member(file_s, pos_s):
         import numpy as np
         import pandas as pd
 
-        from iceberg_cpp_spark.core.puffin import _decode_dv_cached
+        from iceberg_cpp_spark.core.puffin import _decode_dv_pointer_cached
 
         files = file_s.str.replace(r"^file:(//)?", "", regex=True).to_numpy()
         out = np.zeros(len(files), dtype=bool)
         positions = pos_s.to_numpy(dtype=np.int64)
         for fp in pd.unique(files):
-            raw = bc.value.get(fp)
-            if raw is None:
+            ptr = bc.value.get(fp)
+            if ptr is None:
                 continue
             m = files == fp
             out[m] = np.isin(positions[m].astype(np.uint64),
-                             _decode_dv_cached(raw))
+                             _decode_dv_pointer_cached(*ptr))
         return pd.Series(out)
 
     return member
@@ -141,10 +147,14 @@ def changes(table: IceTable, from_snapshot_id: Optional[int] = None,
         removed = sorted(before - after)
         new_pos_deletes = sorted(
             _delete_files(table, snap.snapshot_id) - _delete_files(table, prev_id))
-        prev_dvs = _dv_blobs(table, prev_id)
-        cur_dvs = _dv_blobs(table, snap.snapshot_id)
-        changed_dvs = {p: b for p, b in cur_dvs.items()
-                       if prev_dvs.get(p) != b}
+        prev_dvs = _dv_pointers(table, prev_id)
+        cur_dvs = _dv_pointers(table, snap.snapshot_id)
+        # A rewritten DV lives at a new (puffin, offset) — pointer
+        # inequality over-approximates content change (a byte-identical
+        # rewrite is included but yields zero delete rows downstream,
+        # since _rows already masks the prev vector).
+        changed_dvs = {p: ptr for p, ptr in cur_dvs.items()
+                       if prev_dvs.get(p) != ptr}
 
         def tag(df: DataFrame, kind: str) -> DataFrame:
             return df.select(

@@ -248,6 +248,46 @@ class TestDeletionVectorTable:
         assert t.to_df().count() == expect
         assert calls == [], f"driver-side DV blob reads: {calls}"
 
+    def test_changelog_reads_no_dv_blobs_on_driver(self, spark, tmp_loc,
+                                                   lineitem, monkeypatch):
+        """100 TB guard (VERDICT r08 item 1): the CDC changelog plane
+        must follow the same rule as the scan plane — DV blobs are read
+        and decoded by EXECUTORS only; the driver broadcasts
+        (puffin_path, offset, length) pointers.  Monkeypatching
+        ``puffin.read_blob`` counts driver-side calls only (executor
+        python workers are separate processes)."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core import puffin
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+        from iceberg_cpp_spark.streaming.changelog import CHANGE_TYPE, changes
+        from pyspark.sql import functions as F
+
+        li = lineitem.limit(400)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "tclnodrv"),
+                            schema_from_spark(li.schema))
+        t.append(li)
+        s0 = t.current_snapshot().snapshot_id
+        t = t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                           mode="deletion-vector")
+        t = t.delete_where(ex.gt(ex.Reference("l_quantity"), 45.0),
+                           mode="deletion-vector")
+        t = IceTable.load(spark, t.location())
+
+        calls = []
+        real = puffin.read_blob
+        monkeypatch.setattr(puffin, "read_blob",
+                            lambda *a, **k: calls.append(a) or real(*a, **k))
+
+        c = changes(t, from_snapshot_id=s0)
+        n_r = li.filter("l_returnflag = 'R'").count()
+        n_q = li.filter("l_returnflag <> 'R' and l_quantity > 45").count()
+        got = {r[CHANGE_TYPE]: r["cnt"] for r in
+               c.groupBy(CHANGE_TYPE).agg(
+                   F.count("*").alias("cnt")).collect()}
+        assert got == {"delete": n_r + n_q}
+        assert calls == [], f"driver-side DV blob reads: {calls}"
+
     def test_include_deleted_tags_rows(self, spark, tmp_loc, lineitem):
         """scan().include_deleted(): dead rows stay, flagged `_deleted`
         (metadata_columns.h:56-59), across DV + parquet-pos + equality."""
