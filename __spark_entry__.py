@@ -1146,6 +1146,38 @@ def ice_avro_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_avro_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro DATA-file scan (the reference's per-format reader registry —
+    file_reader.h:100-113 dispatches FileScanTask::ToArrow by format,
+    avro_reader.cc:77-160 is its Avro reader): supplier rows written as
+    two Avro data files by the engine's own spec-compliant writer,
+    registered via add_files (metadata-only import, field-id mapped),
+    scanned ALONGSIDE a parquet append — format-dispatched legs union
+    into one relation, executors decode the Avro containers."""
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core import avro as av
+    from iceberg_cpp_spark.core.types import schema_from_spark
+
+    sup = _t(spark, sf_dir, "supplier")
+    schema = schema_from_spark(sup.schema)
+    base = tempfile.mkdtemp(prefix="ice_avrod_")
+    rows = [r.asDict() for r in
+            sup.filter("s_suppkey % 2 = 0").orderBy("s_suppkey").collect()]
+    mid = len(rows) // 2
+    p1, p2 = os.path.join(base, "a.avro"), os.path.join(base, "b.avro")
+    av.write_avro_data(p1, schema, rows[:mid])
+    av.write_avro_data(p2, schema, rows[mid:])
+    t = IceTable.create(spark, os.path.join(base, "t"), schema)
+    t = t.add_files([p1, p2])
+    t.append(sup.filter("s_suppkey % 2 = 1"))
+    return (
+        t.to_df().filter("s_acctbal > 0")
+        .groupBy("s_nationkey")
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec("s_acctbal")).cast("double").alias("sum_bal"))
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch form): a new session starts when
     a user's inter-event gap exceeds 30 min — lag + running sum of
@@ -2123,13 +2155,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of them gets a driver correctness row; redundant relational variants
     # (2nd-tier TPC-H, scalar/setop demos) sit past the cap.
     return {
-        # iceberg-native (25)
+        # iceberg-native (28) — r9 rotation pulled the newest mutation /
+        # interop rows (ice_update_where, ice_cdc_apply, ice_avro_v3,
+        # ice_avro_data) inside the cap
         "ice_transforms": ice_transforms,
         "ice_bucket_transform": ice_bucket_transform,
         "ice_roundtrip_agg": ice_roundtrip_agg,
         "ice_partition_pruned": ice_partition_pruned,
         "ice_time_travel": ice_time_travel,
         "ice_delete_where": ice_delete_where,
+        "ice_update_where": ice_update_where,
         "ice_mor_delete": ice_mor_delete,
         "ice_deletion_vector": ice_deletion_vector,
         "ice_row_lineage": ice_row_lineage,
@@ -2138,21 +2173,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_schema_evolution": ice_schema_evolution,
         "ice_metadata_columns": ice_metadata_columns,
         "ice_add_files": ice_add_files,
+        "ice_avro_data": ice_avro_data,
         "ice_compaction": ice_compaction,
         "ice_maintenance_lifecycle": ice_maintenance_lifecycle,
         "ice_sorted_write": ice_sorted_write,
         "ice_merge_into": ice_merge_into,
+        "ice_cdc_apply": ice_cdc_apply,
         "ice_avro_manifests": ice_avro_manifests,
+        "ice_avro_v3": ice_avro_v3,
         "ice_partition_evolution": ice_partition_evolution,
         "ice_changelog": ice_changelog,
         "ice_datasource": ice_datasource,
-        "ice_sql_view": ice_sql_view,
         "ice_zorder": ice_zorder,
         "stream_hourly": stream_hourly,
         # LLM pipeline (16)
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
-        "dedup_minhash_verified": dedup_minhash_verified,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "dedup_transitive": dedup_transitive,
@@ -2164,21 +2200,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_metadata": multimodal_metadata,
         "multimodal_decode": multimodal_decode,
         "multimodal_png_real": multimodal_png_real,
+        "multimodal_audio": multimodal_audio,
         "embedding_clusters": embedding_clusters,
         "stream_sessionize": stream_sessionize,
-        # relational representatives (9) — includes the two round-2
-        # hash-flaps (q12, sessionize_events) so their fixes get driver rows
+        # relational representatives (6) — sessionize_events keeps its
+        # driver row (round-2 hash-flap history)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
-        "q12_shipping_modes": q12_shipping_modes,
         "sessionize_events": sessionize_events,
         "events_window_agg": events_window_agg,
         "asof_join_events": asof_join_events,
         "range_join_events": range_join_events,
-        "window_top_orders": window_top_orders,
-        "ice_typed_columns": ice_typed_columns,
         # ---- driver cap (50) is here; everything below is judge-only ----
         "agg_rollup": agg_rollup,
+        "q12_shipping_modes": q12_shipping_modes,
+        "window_top_orders": window_top_orders,
+        "ice_sql_view": ice_sql_view,
+        "ice_typed_columns": ice_typed_columns,
+        "dedup_minhash_verified": dedup_minhash_verified,
         "join_semi_anti": join_semi_anti,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
@@ -2227,13 +2266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunking": text_chunking,
         "text_token_familiarity": text_token_familiarity,
         "text_bpe_tokens": text_bpe_tokens,
-        "ice_update_where": ice_update_where,
-        "ice_cdc_apply": ice_cdc_apply,
         "ice_analyze_ndv": ice_analyze_ndv,
         "ice_merge_schema": ice_merge_schema,
         "ice_metadata_tables": ice_metadata_tables,
-        "ice_avro_v3": ice_avro_v3,
-        "multimodal_audio": multimodal_audio,
         "multimodal_frames": multimodal_frames,
     }
 
@@ -2874,6 +2909,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_linestatus, COUNT(*) AS n,
                    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
             FROM lineitem GROUP BY l_linestatus
+        """,
+        "ice_avro_data": """
+            SELECT s_nationkey, COUNT(*) AS n,
+                   CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+            FROM supplier WHERE s_acctbal > 0 GROUP BY s_nationkey
         """,
         "ice_compaction": """
             SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag

@@ -36,6 +36,7 @@ from typing import Any, Iterable, Iterator, Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from iceberg_cpp_spark.core import manifests as mf
 from iceberg_cpp_spark.core import types as it
@@ -512,10 +513,12 @@ class TableScan:
         # THIS handle's resolved snapshot via the snapshot-id option;
         # only metadata columns / include_deleted need the parquet
         # _metadata path and stay on the native route.
+        avro_tasks = [t for t in tasks if t.file_format == "avro"]
         if (tasks and len(tasks) > self._datasource_threshold()
                 and self._table.properties().get(
                     "engine.read.large-scan-strategy", "jvm-union")
                 == "python-datasource"
+                and not avro_tasks
                 and not self._with_meta_cols and not self._include_deleted):
             return self._to_df_via_datasource(spark, schema)
         deletes = self.plan_deletes() if tasks else []
@@ -527,8 +530,21 @@ class TableScan:
             # resolve through a Union, so legs materialize _file/_pos
             # up front whenever deletes/defaults/meta-cols need them
             need_meta = bool(deletes) or bool(dflt) or self._with_meta_cols
-            df = self._read_paths_jvm(
-                spark, spark_schema, [t.file_path for t in tasks], need_meta)
+            # FileScanTask dispatch by format (file_reader.h:100-113):
+            # parquet files ride the JVM vectorized reader; Avro data
+            # files decode in executors (avro_reader.cc:77-160 parity)
+            legs = []
+            pq_tasks = [t for t in tasks if t.file_format != "avro"]
+            if pq_tasks:
+                legs.append(self._read_paths_jvm(
+                    spark, spark_schema,
+                    [t.file_path for t in pq_tasks], need_meta))
+            if avro_tasks:
+                legs.append(self._read_avro_paths(
+                    spark, schema, spark_schema,
+                    [t.file_path for t in avro_tasks], need_meta))
+            from functools import reduce
+            df = reduce(DataFrame.unionByName, legs)
         if dflt and tasks:
             # v3 initial-default (schema_util.h Project::Default): rows
             # in files that predate the column (sequence-gated, per-file
@@ -628,6 +644,50 @@ class TableScan:
         return reduce(DataFrame.unionByName,
                       (leg(paths[i:i + batch])
                        for i in range(0, len(paths), batch)))
+
+    def _read_avro_paths(self, spark, schema: it.Schema, spark_schema,
+                         paths: list[str], need_meta: bool) -> DataFrame:
+        """Avro DATA-file leg (reference: file_reader.h:100-113
+        dispatches FileScanTask::ToArrow by format; avro_reader.cc:77-160
+        is its Avro reader). Container decode happens in EXECUTORS via
+        mapInPandas — the driver ships only the path list — and each
+        file is projected onto the read schema BY FIELD ID
+        (core/avro.py data_records), the Avro analogue of parquet
+        field-id resolution. One input row per file, repartitioned so
+        decode parallelism tracks min(#files, cluster cores); with
+        ``need_meta`` the synthesized ``_file``/``_pos`` columns carry
+        the spec path + record position, so deletes/DVs/defaults/row
+        lineage compose identically to the parquet leg."""
+        out_fields = list(spark_schema.fields)
+        if need_meta:
+            out_fields += [T.StructField("_file", T.StringType()),
+                           T.StructField("_pos", T.LongType())]
+        out_schema = T.StructType(out_fields)
+        names = [f.name for f in spark_schema.fields]
+        read_schema = schema  # picklable closure for the executors
+
+        def gen(batches):
+            import pandas as pd
+
+            from iceberg_cpp_spark.core.avro import data_records, read_avro
+
+            for b in batches:
+                for path in b["path"]:
+                    recs = data_records(read_avro(path), read_schema)
+                    if not recs:
+                        continue
+                    pdf = pd.DataFrame(
+                        {n: [r[n] for r in recs] for n in names},
+                        columns=names)
+                    if need_meta:
+                        pdf["_file"] = path
+                        pdf["_pos"] = range(len(recs))
+                    yield pdf
+
+        pathdf = spark.createDataFrame([(p,) for p in paths], "path string")
+        n = min(len(paths),
+                max(int(spark.sparkContext.defaultParallelism), 1) * 2)
+        return pathdf.repartition(max(n, 1)).mapInPandas(gen, out_schema)
 
     def _datasource_threshold(self) -> int:
         """File count above which to_df switches from
@@ -1204,6 +1264,35 @@ class IceTable:
             new_files, operation=DataOperation.OVERWRITE, branch=branch,
             carry_existing=True, drop_paths=affected)
 
+    def _read_paths_rows(self, paths, scan: "TableScan",
+                         with_meta: bool) -> DataFrame:
+        """Rows of specific data files, format-dispatched (parquet →
+        JVM vectorized reader, avro → executor-side container decode);
+        with ``with_meta`` every leg carries ``_file``/``_pos``.
+        ``scan`` supplies the format map (metadata-scale plan pass)."""
+        from functools import reduce
+
+        schema = self.schema()
+        spark_schema = it.to_spark_schema(schema)
+        fmt = {t.file_path: t.file_format for t in scan.plan_files()}
+        pq = sorted(p for p in paths if fmt.get(p, "parquet") != "avro")
+        av = sorted(p for p in paths if fmt.get(p) == "avro")
+        legs = []
+        if pq:
+            d = self.spark.read.schema(spark_schema).parquet(*pq)
+            if with_meta:
+                d = d.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("_file"),
+                    F.col("_metadata.row_index").alias("_pos"))
+            legs.append(d)
+        if av:
+            legs.append(scan._read_avro_paths(
+                self.spark, schema, spark_schema, av, with_meta))
+        if not legs:
+            return self.spark.createDataFrame([], spark_schema)
+        return reduce(DataFrame.unionByName, legs)
+
     def _read_files_with_deletes(self, paths,
                                  branch: str = MAIN_BRANCH) -> DataFrame:
         """Rows of specific data files with the live position/equality
@@ -1212,17 +1301,11 @@ class IceTable:
         rows already dead under merge-on-read deletes; reading main's
         deletes for a branch rewrite would apply the wrong set)."""
         schema = self.schema()
-        spark_schema = it.to_spark_schema(schema)
         scan = self._branch_scan(branch)
-        df = self.spark.read.schema(spark_schema).parquet(*sorted(paths))
         deletes = scan.plan_deletes()
+        df = self._read_paths_rows(paths, scan, with_meta=bool(deletes))
         if deletes:
             tasks = [t for t in scan.plan_files() if t.file_path in set(paths)]
-            df = df.select(
-                "*",
-                F.col("_metadata.file_path").alias("_file"),
-                F.col("_metadata.row_index").alias("_pos"),
-            )
             df = scan._apply_deletes(df, tasks, deletes, schema)
             df = df.drop("_file", "_pos")
         return df
@@ -1231,24 +1314,21 @@ class IceTable:
         """Write (file_path, pos) tuples of matching rows as a
         position-delete file (spec reserved field IDs 2147483546/45)."""
         schema = self.schema()
-        affected = [t.file_path
-                    for t in self._branch_scan(branch, filter=expr).plan_files()]
+        fscan = self._branch_scan(branch, filter=expr)
+        affected = [t.file_path for t in fscan.plan_files()]
         if not affected:
             return self
-        spark_schema = it.to_spark_schema(schema)
         rows = (
-            self.spark.read.schema(spark_schema).parquet(*sorted(affected))
+            self._read_paths_rows(affected, fscan, with_meta=True)
+            .filter(to_spark_column(expr, schema))
             .select(
                 # spec: file_path must exactly match the manifest's
                 # data-file path — strip Spark's file:/ URI prefix so
                 # external engines can apply these deletes
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+                F.regexp_replace(F.col("_file"), "^file:(//)?", "")
                 .alias("file_path"),
-                F.col("_metadata.row_index").alias("pos"),
-                "*",
+                F.col("_pos").alias("pos"),
             )
-            .filter(to_spark_column(expr, schema))
-            .select("file_path", "pos")
         )
         del_dir = self.location_provider().new_delete_dir()
         rows.repartition(1).sortWithinPartitions("file_path", "pos") \
@@ -1265,22 +1345,19 @@ class IceTable:
         from iceberg_cpp_spark.core import puffin as pf
 
         schema = self.schema()
-        affected = [t.file_path
-                    for t in self._branch_scan(branch, filter=expr).plan_files()]
+        fscan = self._branch_scan(branch, filter=expr)
+        affected = [t.file_path for t in fscan.plan_files()]
         if not affected:
             return self
-        spark_schema = it.to_spark_schema(schema)
 
         rows = (
-            self.spark.read.schema(spark_schema).parquet(*sorted(affected))
-            .select(
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
-                .alias("file_path"),
-                F.col("_metadata.row_index").alias("pos"),
-                "*",
-            )
+            self._read_paths_rows(affected, fscan, with_meta=True)
             .filter(to_spark_column(expr, schema))
-            .select("file_path", "pos")
+            .select(
+                F.regexp_replace(F.col("_file"), "^file:(//)?", "")
+                .alias("file_path"),
+                F.col("_pos").alias("pos"),
+            )
         )
         # merge with current DVs EXECUTOR-side (the new vector must
         # supersede, not stack): only pointers travel, metadata-only
@@ -2049,14 +2126,17 @@ class IceTable:
     def add_files(self, paths: list[str],
                   aliases: Optional[dict[str, list[str]]] = None,
                   branch: str = MAIN_BRANCH) -> "IceTable":
-        """Register existing parquet files into the table WITHOUT
-        rewriting them (metadata-only import). Files lacking parquet
-        field IDs are resolved through a name mapping
-        (name_mapping.h:22-113) stored as the
-        ``schema.name-mapping.default`` table property; subsequent scans
-        resolve columns by name for this table."""
+        """Register existing parquet or Avro data files into the table
+        WITHOUT rewriting them (metadata-only import; format sniffed
+        per file). Parquet files lacking field IDs are resolved through
+        a name mapping (name_mapping.h:22-113) stored as the
+        ``schema.name-mapping.default`` table property; Avro files
+        resolve by the ``field-id`` attributes in their writer schema
+        (name fallback), matching the reference's per-format reader
+        dispatch (file_reader.h:100-113)."""
         import pyarrow.parquet as pq
 
+        from iceberg_cpp_spark.core import avro as av
         from iceberg_cpp_spark.core import name_mapping as nm
         from iceberg_cpp_spark.core.metrics import file_metrics
 
@@ -2065,7 +2145,26 @@ class IceTable:
             raise ValueError("add_files supports unpartitioned tables only")
         mapping = nm.NameMapping.from_schema(schema, aliases)
         new_files: list[mf.DataFile] = []
+        any_parquet = False
         for p in paths:
+            if av.is_avro(p):
+                # header + block-count pass only — no record decode on
+                # the driver; no column metrics (scans fall back to
+                # reading these files, pruning still applies to the rest)
+                file_fields = {f["name"] for f in av.avro_file_schema(p)
+                               .get("fields", [])}
+                if not any(f.name in file_fields
+                           or f.field_id in {fd.get("field-id") for fd in
+                                             av.avro_file_schema(p)["fields"]}
+                           for f in schema.fields):
+                    raise ValueError(
+                        f"no columns of {p} map into the table schema")
+                new_files.append(mf.DataFile(
+                    content=mf.CONTENT_DATA, file_path=p, file_format="avro",
+                    partition={}, record_count=av.avro_record_count(p),
+                    file_size_in_bytes=os.path.getsize(p)))
+                continue
+            any_parquet = True
             cols = nm.arrow_leaf_paths(pq.read_schema(p))
             fields = nm.apply_to_file_columns(mapping, cols, schema)
             if not fields:
@@ -2079,10 +2178,13 @@ class IceTable:
                 null_value_counts=m["null_value_counts"],
                 nan_value_counts=m["nan_value_counts"],
                 lower_bounds=m["lower_bounds"], upper_bounds=m["upper_bounds"]))
-        self.update_properties({
-            nm.PROPERTY_KEY: mapping.to_json_string(),
-            "engine.read.name-based": "true",  # files lack IDs → by-name reads
-        })
+        if any_parquet:
+            # Avro files resolve by their writer-schema field-ids — only
+            # imported parquet needs the by-name read mode + mapping
+            self.update_properties({
+                nm.PROPERTY_KEY: mapping.to_json_string(),
+                "engine.read.name-based": "true",  # files lack IDs → by-name
+            })
         return self._commit_files(new_files, operation=DataOperation.APPEND, branch=branch)
 
     # --- write internals -------------------------------------------------

@@ -448,3 +448,138 @@ class TestAvroTable:
         tasks = scan.plan_files()
         assert len(tasks) >= 2
         assert scan.to_df().count() == 150
+
+
+# ---------------------------------------------------------------------------
+# Avro DATA files (reference: file_reader.h:100-113 format dispatch,
+# avro_reader.cc:77-160 — the one reader-registry slot the engine
+# lacked until r9)
+# ---------------------------------------------------------------------------
+
+class TestAvroDataFiles:
+    def _typed_schema(self):
+        return it.Schema([
+            it.NestedField(1, "id", it.LongType(), True),
+            it.NestedField(2, "name", it.StringType()),
+            it.NestedField(3, "d", it.DateType()),
+            it.NestedField(4, "ts", it.TimestampTzType()),
+            it.NestedField(5, "amount", it.DecimalType(12, 2)),
+            it.NestedField(6, "tags", it.ListType(7, it.StringType())),
+            it.NestedField(8, "props",
+                           it.MapType(9, it.StringType(), 10, it.LongType())),
+            it.NestedField(11, "pt", it.StructType([
+                it.NestedField(12, "x", it.DoubleType()),
+                it.NestedField(13, "y", it.DoubleType()),
+            ])),
+        ], schema_id=0)
+
+    def test_typed_roundtrip(self, tmp_path):
+        import datetime
+
+        sch = self._typed_schema()
+        rows = [
+            {"id": 1, "name": "a", "d": datetime.date(2023, 5, 17),
+             "ts": datetime.datetime(2023, 5, 17, 12, 30, 1, 250,
+                                     tzinfo=datetime.timezone.utc),
+             "amount": Decimal("1234.56"), "tags": ["x", "y"],
+             "props": {"k": 7, "j": -1}, "pt": {"x": 1.5, "y": -2.5}},
+            {"id": 2, "name": None, "d": None, "ts": None, "amount": None,
+             "tags": None, "props": None, "pt": None},
+        ]
+        p = str(tmp_path / "data.avro")
+        assert av.write_avro_data(p, sch, rows) == 2
+        back = av.data_records(av.read_avro(p), sch)
+        assert back == rows
+        assert av.avro_record_count(p) == 2
+
+    def test_record_count_matches_multi_block(self, tmp_path):
+        # avro_record_count must agree with a full decode (single-block
+        # writer today, but the counter walks ALL blocks)
+        sch = it.Schema([it.NestedField(1, "v", it.LongType(), True)],
+                        schema_id=0)
+        p = str(tmp_path / "n.avro")
+        av.write_avro_data(p, sch, [{"v": i} for i in range(1000)])
+        assert av.avro_record_count(p) == len(av.read_avro(p).records) == 1000
+
+    def test_field_id_projection_survives_rename(self, tmp_path):
+        # the file stores the OLD column name; read schema renamed the
+        # field — field-id resolution must still find it (the Avro
+        # analogue of parquet field-id mapping)
+        sch = it.Schema([
+            it.NestedField(1, "id", it.LongType(), True),
+            it.NestedField(2, "old_name", it.StringType()),
+        ], schema_id=0)
+        p = str(tmp_path / "r.avro")
+        av.write_avro_data(p, sch, [{"id": 1, "old_name": "v"}])
+        renamed = it.Schema([
+            it.NestedField(1, "id", it.LongType(), True),
+            it.NestedField(2, "new_name", it.StringType()),
+        ], schema_id=1)
+        assert av.data_records(av.read_avro(p), renamed) == [
+            {"id": 1, "new_name": "v"}]
+        # and a column the file never had comes back None
+        widened = it.Schema(renamed.fields + [
+            it.NestedField(3, "extra", it.IntegerType())], schema_id=2)
+        assert av.data_records(av.read_avro(p), widened)[0]["extra"] is None
+
+    def test_scan_avro_table(self, spark, tmp_loc, lineitem):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        li = lineitem.limit(300)
+        sch = schema_from_spark(li.schema)
+        rows = [r.asDict() for r in li.collect()]
+        a1 = os.path.join(tmp_loc, "ext", "a.avro")
+        a2 = os.path.join(tmp_loc, "ext", "b.avro")
+        av.write_avro_data(a1, sch, rows[:150])
+        av.write_avro_data(a2, sch, rows[150:])
+        t = IceTable.create(spark, os.path.join(tmp_loc, "tavd"), sch)
+        t = t.add_files([a1, a2])
+        tasks = t.scan().plan_files()
+        assert {x.file_format for x in tasks} == {"avro"}
+        assert sum(x.record_count for x in tasks) == 300
+        df = t.to_df()
+        assert df.count() == 300
+        got = df.groupBy("l_returnflag").count().collect()
+        exp = {(r["l_returnflag"], r["count"])
+               for r in li.groupBy("l_returnflag").count().collect()}
+        assert {(r["l_returnflag"], r["count"]) for r in got} == exp
+        # filtered scan evaluates post-decode
+        n = t.scan(filter=ex.gt(ex.Reference("l_quantity"), 30.0)) \
+             .to_df().count()
+        assert n == li.filter("l_quantity > 30").count()
+
+    def test_mixed_format_deletes_and_compaction(self, spark, tmp_loc,
+                                                 lineitem):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        li = lineitem.limit(200)
+        sch = schema_from_spark(li.schema)
+        rows = [r.asDict() for r in li.collect()]
+        a1 = os.path.join(tmp_loc, "ext2", "a.avro")
+        av.write_avro_data(a1, sch, rows[:100])
+        t = IceTable.create(spark, os.path.join(tmp_loc, "tmix"), sch)
+        t = t.add_files([a1])
+        import pandas as pd
+
+        t = t.append(spark.createDataFrame(pd.DataFrame(rows[100:]),
+                                           schema=li.schema))
+        assert t.to_df().count() == 200
+        # MoR position delete spans both formats
+        t = t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                           mode="merge-on-read")
+        exp = sum(1 for r in rows if r["l_returnflag"] != "R")
+        assert t.to_df().count() == exp
+        # DV delete on the avro leg too
+        t = t.delete_where(ex.gt(ex.Reference("l_quantity"), 45.0),
+                           mode="deletion-vector")
+        exp = sum(1 for r in rows
+                  if r["l_returnflag"] != "R" and not r["l_quantity"] > 45)
+        assert t.to_df().count() == exp
+        # compaction migrates avro -> parquet, rows unchanged
+        t = t.rewrite_data_files(target_file_count=1)
+        assert {x.file_format for x in t.scan().plan_files()} == {"parquet"}
+        assert t.to_df().count() == exp

@@ -17,7 +17,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # The custom-engine surface that MUST stay inside the driver's 50-query
 # window (everything below the cap is judge-only TPC-H / relational).
 CAP = 50
-LAST_IN_CAP = "ice_typed_columns"
+LAST_IN_CAP = "range_join_events"
 FIRST_PAST_CAP = "agg_rollup"
 
 
@@ -42,25 +42,28 @@ def test_driver_cap_window_composition():
         "ice_rollback_cherry_pick",  # ref management (ice_time_travel in-window)
         "ann_pq_topk",      # PQ compression path (ann_ivf_topk in-window)
         "dedup_cross_corpus",  # cross-corpus LSH (dedup_minhash in-window)
-        "ice_nested_types",  # nested struct/array/map (ice_typed_columns in-window)
+        "ice_nested_types",  # nested struct/array/map (typed primitives + nested projection exercised by in-window ice scans)
         "text_chunking",    # char chunking (text_stats in-window)
         "text_token_familiarity",  # unigram familiarity (text_quality in-window)
         "text_bpe_tokens",  # trained BPE counts (text_stats in-window)
-        "ice_update_where",  # UPDATE DML (ice_delete_where in-window)
-        "ice_cdc_apply",  # mixed-op CDC batch (ice_merge_into in-window)
         "ice_analyze_ndv",  # ANALYZE/Puffin NDV readback (ice_roundtrip_agg write path in-window)
         "ice_merge_schema",  # write-side mergeSchema evolution (ice_schema_evolution in-window)
         "ice_metadata_tables",  # entries/history/refs metadata tables (ice_metadata_columns + ice_time_travel in-window)
-        "ice_avro_v3",  # v3 Avro manifest layout (ice_avro_manifests + ice_row_lineage + ice_deletion_vector in-window)
-        "multimodal_audio",  # real WAV decode path (multimodal_decode/png_real plumbing in-window)
         "multimodal_frames",  # frame-sampler plumbing, fake decode (multimodal_decode in-window)
+        # r9 rotation (VERDICT r08 task 4): these three left the window so
+        # the newest mutation/interop rows (ice_update_where, ice_cdc_apply,
+        # ice_avro_v3, ice_avro_data, multimodal_audio) get driver rows
+        "ice_sql_view",     # SQL temp-view surface (ice_datasource in-window covers the datasource it binds)
+        "ice_typed_columns",  # typed-primitive scan (decimal/date/ts columns exercised by most in-window ice queries)
+        "dedup_minhash_verified",  # LSH + Jaccard verify pass (dedup_minhash in-window)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without
     # deciding its window (in-cap, extras, or tail) fails here with an
     # actionable message (VERDICT r07 item 8).
     relational_tail = [
-        "agg_rollup", "join_semi_anti", "q2_min_cost_supplier",
+        "agg_rollup", "q12_shipping_modes", "window_top_orders",
+        "join_semi_anti", "q2_min_cost_supplier",
         "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
         "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
         "q10_returned_items", "q11_important_stock",
