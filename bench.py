@@ -90,8 +90,12 @@ def bench_scan_planes(spark, sf_dir: str) -> dict[str, float]:
         t.append(li8)  # 64 files
 
     def scan_time(tbl) -> float:
+        # warm + best-of-4: the python plane's first post-warm runs
+        # still pay python-worker spin-up jitter, which made this row
+        # oscillate ±24% across rounds on unchanged code (VERDICT r08
+        # task 7) — deeper min-of-N pins the steady-state number
         best = None
-        for i in range(3):  # warm + best-of-2
+        for i in range(5):
             t0 = time.time()
             (tbl.scan().to_df()
              .agg(F.count("*"),

@@ -145,10 +145,10 @@ def _decode_png(payload: bytes, max_pixels: int) -> dict:
             if color == 3:  # palette: packed indices, PLTE required
                 if depth not in (1, 2, 4, 8):
                     raise ValueError(f"palette PNG bit depth {depth}")
-            elif color == 0:  # grayscale allows sub-byte depths
-                if depth not in (1, 2, 4, 8):
-                    raise NotImplementedError(
-                        f"PNG bit depth {depth} (8-bit max)")
+            elif color == 0:  # grayscale: sub-byte depths AND 16-bit
+                if depth not in (1, 2, 4, 8, 16):
+                    raise ValueError(
+                        f"PNG bit depth {depth} for color type 0")
             elif color in _CHANNELS:
                 if depth not in (8, 16):
                     raise ValueError(

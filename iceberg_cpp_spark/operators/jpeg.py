@@ -216,9 +216,12 @@ def decode_jpeg(payload: bytes, max_pixels: int = MAX_PIXELS) -> dict:
     except (ValueError, NotImplementedError):
         raise
     except (IndexError, KeyError, StopIteration, ZeroDivisionError,
-            struct.error) as e:
+            struct.error, TypeError) as e:
         # corrupt streams trip low-level parse errors in the marker walk
-        # / huffman tables / scan geometry; normalize at the boundary
+        # / huffman tables / scan geometry; normalize at the boundary.
+        # TypeError included: a scan referencing an undefined Huffman
+        # table (huff_dc.get() → None unpacked) or SOS-before-SOF
+        # (None dimensions) surfaces as TypeError, not KeyError
         raise ValueError(
             f"corrupt JPEG ({type(e).__name__}: {e})") from e
 

@@ -264,6 +264,26 @@ class TestErrors:
         with pytest.raises(ValueError, match="channels"):
             encode_jpeg(np.zeros((4, 4, 2), np.uint8))
 
+    def test_undefined_huffman_table_and_sos_before_sof(self):
+        """ADVICE r08: streams whose SOS references a Huffman table that
+        was never defined, or that carry SOS before any SOF, surfaced as
+        raw TypeError (None unpacked / None dimensions) — the boundary
+        wrapper must normalize them to ValueError like every other
+        corrupt-stream family."""
+        sof = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0])
+        sos = struct.pack(">B", 1) + bytes([1, 0x57]) + bytes([0, 63, 0])
+        undefined_huff = (b"\xff\xd8"
+                          + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+                          + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+                          + b"\x00" * 16 + b"\xff\xd9")
+        with pytest.raises(ValueError):
+            decode_jpeg(undefined_huff)
+        sos_first = (b"\xff\xd8"
+                     + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+                     + b"\x00" * 16 + b"\xff\xd9")
+        with pytest.raises(ValueError):
+            decode_jpeg(sos_first)
+
     def test_corrupt_inputs_fail_cleanly(self):
         """decode_images(on_error='skip') relies on the decode error
         contract: corrupt/truncated payloads raise ValueError or

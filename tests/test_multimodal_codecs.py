@@ -277,6 +277,29 @@ class TestPalettePng:
         assert d["channels"] == 3
         assert np.array_equal(d["pixels"], hi)
 
+    def test_png_16bit_grayscale(self):
+        """ADVICE r08: color type 0 at depth 16 is a valid spec
+        combination — flows through the same high-byte reduction as
+        16-bit RGB/RGBA instead of raising."""
+        import struct
+        import zlib
+
+        from iceberg_cpp_spark.operators.codecs import _chunk
+
+        hi = np.array([[5, 250], [77, 128]], np.uint8)
+        raw = bytearray()
+        for y in range(2):
+            raw.append(0)
+            for x in range(2):
+                raw += bytes([hi[y, x], 0xCD])  # low byte dropped
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+        png = (b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+               + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + _chunk(b"IEND", b""))
+        d = codecs.decode_png(png)
+        assert d["channels"] == 1
+        assert np.array_equal(d["pixels"][:, :, 0], hi)
+
     def test_wav_24bit(self):
         import io
         import wave
