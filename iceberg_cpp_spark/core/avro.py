@@ -479,6 +479,7 @@ def manifest_list_from_avro(path_or_bytes) -> list:
             deleted_rows_count=g(514, 0),
             partitions=summaries,
             first_row_id=g(520),
+            key_metadata=g(519),
         ))
     return out
 
@@ -640,8 +641,12 @@ def manifest_list_avro_schema(version: int = 2) -> dict:
         ],
     }
     if version >= 3:
-        # v3 row lineage: the starting row id the manifest's ADDED files
-        # draw from (spec §Manifest Lists; null for delete manifests)
+        # v3 additions (v3_metadata.cc ManifestFileAdapterV3::Init field
+        # set): key_metadata (519, encryption — null when unencrypted)
+        # and the starting row id the manifest's ADDED files draw from
+        # (520; null for delete manifests)
+        out["fields"].append({"name": "key_metadata", "type": _opt("bytes"),
+                              "default": None, "field-id": 519})
         out["fields"].append({"name": "first_row_id", "type": _opt("long"),
                               "default": None, "field-id": 520})
     return out

@@ -127,6 +127,8 @@ class ManifestFile:
     # v3 row lineage: starting row id for the manifest's ADDED data files
     # (spec field id 520; null for delete manifests / pre-v3 metadata)
     first_row_id: Optional[int] = None
+    # v3 encryption key metadata (spec field id 519; unencrypted → null)
+    key_metadata: Optional[bytes] = None
 
     @property
     def has_added_files(self) -> bool:
@@ -571,13 +573,18 @@ class ManifestListWriter:
     def __init__(self, path: str, snapshot_id: int, sequence_number: int,
                  format: str = "parquet",
                  parent_snapshot_id: Optional[int] = None,
-                 version: int = 2):
+                 version: int = 2, next_row_id: Optional[int] = None):
         self.path = path
         self.snapshot_id = snapshot_id
         self.sequence_number = sequence_number
         self.format = format
         self.version = version
         self.parent_snapshot_id = parent_snapshot_id
+        # v3 row lineage: the snapshot's starting row id — written as the
+        # 'first-row-id' metadata key, and the base from which data
+        # manifests lacking an explicit first_row_id are assigned at
+        # write time (v3_metadata.cc ManifestFileAdapterV3::Append)
+        self.next_row_id = next_row_id
         self.manifests: list[ManifestFile] = []
 
     def add(self, mf: ManifestFile) -> None:
@@ -595,6 +602,7 @@ class ManifestListWriter:
         from iceberg_cpp_spark.core import avro as av
 
         records = []
+        running = self.next_row_id
         for m in self.manifests:
             parts = [
                 {"contains_null": s.contains_null,
@@ -635,7 +643,20 @@ class ManifestListWriter:
                 "partitions": parts,
             }
             if self.version >= 3:
-                rec["first_row_id"] = m.first_row_id
+                frid = m.first_row_id
+                if (m.content == MANIFEST_CONTENT_DATA and frid is None
+                        and running is not None):
+                    # writer-unassigned data manifest (e.g. a rewrite
+                    # carrying only EXISTING entries): assign from the
+                    # snapshot base and reserve its row span, mirroring
+                    # ManifestFileAdapterV3::Append/GetFirstRowId
+                    # (entry-level explicit ids still take precedence
+                    # over this inheritance base at read time)
+                    frid = running
+                    running += ((m.added_rows_count or 0)
+                                + (m.existing_rows_count or 0))
+                rec["first_row_id"] = frid
+                rec["key_metadata"] = m.key_metadata
             records.append(rec)
         meta = {
             "snapshot-id": str(self.snapshot_id),
@@ -643,14 +664,17 @@ class ManifestListWriter:
         }
         if self.version >= 2:
             meta["sequence-number"] = str(self.sequence_number)
-        if self.version == 1:
-            # v1 writes the key unconditionally, "null" when absent
-            # (v1_metadata.cc ManifestFileAdapterV1::Init)
+        if self.version == 1 or self.version >= 3:
+            # v1 AND v3 write the key unconditionally, "null" when absent
+            # (v1_metadata.cc / v3_metadata.cc ManifestFileAdapter::Init)
             meta["parent-snapshot-id"] = (
                 str(self.parent_snapshot_id)
                 if self.parent_snapshot_id is not None else "null")
         elif self.parent_snapshot_id is not None:
             meta["parent-snapshot-id"] = str(self.parent_snapshot_id)
+        if self.version >= 3:
+            meta["first-row-id"] = (str(self.next_row_id)
+                                    if self.next_row_id is not None else "null")
         av.write_avro(self.path,
                       av.manifest_list_avro_schema(version=self.version),
                       records,

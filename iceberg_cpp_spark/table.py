@@ -1556,7 +1556,9 @@ class IceTable:
                 meta_dir, snapshot_id, ext=mfmt),
             snapshot_id, snap.sequence_number, format=mfmt,
             parent_snapshot_id=snap.snapshot_id,
-            version=self._manifest_version())
+            version=self._manifest_version(),
+            next_row_id=(int(meta.properties.get("engine.next-row-id", "0"))
+                         if self._manifest_version() >= 3 else None))
         for (spec_id, content), entries in sorted(by_group.items()):
             spec = meta.spec_by_id(spec_id) or PartitionSpec.unpartitioned()
             for i in range(0, len(entries), entries_per_manifest):
@@ -1714,14 +1716,18 @@ class IceTable:
             if schema.find_field(c) is None:
                 raise ValueError(f"merge key not in table schema: {c}")
         cols = [f.name for f in schema.fields]
-        # persist the source projection — primarily for DETERMINISM:
-        # the discovery job and the rewrite job would otherwise each
-        # recompute the source, and a nondeterministic source (sampled,
-        # rand-keyed, or read from a moving staging area) could match
-        # one set of files and then rewrite with different rows. Same
-        # reason Delta materializes MERGE sources. Also saves one replay
-        # of the source's upstream lineage per consuming job.
-        src = source.select(*cols).persist()
+        # MATERIALIZE the source projection (localCheckpoint truncates
+        # lineage) for DETERMINISM: the discovery job and the rewrite
+        # job must see the same source rows, and a nondeterministic
+        # source (sampled, rand-keyed, a moving staging area) could
+        # otherwise match one set of files and rewrite different rows.
+        # persist() alone is NOT enough — it keeps lineage, so a lost
+        # cached partition silently recomputes (ADVICE r08); with
+        # checkpointed blocks a lost executor fails the merge instead,
+        # which a batch DML retry handles. Same reason Delta
+        # materializes MERGE sources. Also saves one replay of the
+        # source's upstream lineage per consuming job.
+        src = source.select(*cols).localCheckpoint(eager=True)
         keys = src.select(*on).distinct()
 
         # ONE projection of the target feeds BOTH the affected-file
@@ -1737,12 +1743,9 @@ class IceTable:
         if when_matched is not None and when_not_matched == "insert":
             tgt_keys = tgt_keys.localCheckpoint(eager=True)
 
-        try:
-            return self._merge_into_impl(
-                src, keys, tgt_keys, on, cols, when_matched,
-                when_not_matched, branch, summary_extras, pre_check)
-        finally:
-            src.unpersist()
+        return self._merge_into_impl(
+            src, keys, tgt_keys, on, cols, when_matched,
+            when_not_matched, branch, summary_extras, pre_check)
 
     def _merge_into_impl(self, src, keys, tgt_keys, on, cols, when_matched,
                          when_not_matched, branch, summary_extras, pre_check):
@@ -2441,7 +2444,8 @@ class IceTable:
         lw = mf.ManifestListWriter(
             manifest_list, snapshot_id, seq, format=mfmt,
             parent_snapshot_id=parent.snapshot_id if parent else None,
-            version=mver)
+            version=mver,
+            next_row_id=next_row_id if mver >= 3 else None)
         for m in new_manifests:
             lw.add(m)
         for m in carried:

@@ -395,7 +395,13 @@ class TestAvroTable:
             names = {fl["name"] for fl in f.schema["fields"]}
             if "manifest_path" in names:  # manifest list
                 assert "first_row_id" in names
+                assert "key_metadata" in names  # v3 field id 519
                 assert "sequence_number" in names
+                # ADVICE r08: v3 list metadata mirrors
+                # ManifestFileAdapterV3::Init — first-row-id and
+                # parent-snapshot-id written unconditionally
+                assert "first-row-id" in f.metadata
+                assert "parent-snapshot-id" in f.metadata
             else:  # manifest
                 dn = {fl["name"] for fl in next(
                     fl for fl in f.schema["fields"]
@@ -431,6 +437,34 @@ class TestAvroTable:
         assert df.count() == expect
         ids = df.select("_row_id").distinct().count()
         assert ids == expect  # lineage ids stay unique through the DV
+
+    def test_v3_existing_only_manifest_gets_first_row_id(self, spark,
+                                                         tmp_loc, lineitem):
+        """ADVICE r08: a freshly written data manifest holding only
+        EXISTING entries (rewrite_manifests) must not carry a null
+        first_row_id — the reference treats null as writer-unassigned
+        and assigns from the snapshot base at list-write time
+        (ManifestFileAdapterV3::Append)."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core import manifests as mf
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        li = lineitem.limit(80)
+        t = IceTable.create(
+            spark, os.path.join(tmp_loc, "v3rm"),
+            schema_from_spark(li.schema),
+            properties={"format-version": "3",
+                        "write.metadata.manifest-format": "avro"})
+        t = t.append(li.limit(40))
+        t = t.append(li.limit(80).subtract(li.limit(40)))
+        t = t.rewrite_manifests(entries_per_manifest=10)
+        snap = t.current_snapshot()
+        data_manifests = [m for m in mf.read_manifest_list(snap.manifest_list)
+                          if m.content == mf.MANIFEST_CONTENT_DATA]
+        assert data_manifests
+        for m in data_manifests:
+            assert m.first_row_id is not None
+        assert t.to_df().count() == 80
 
     def test_distributed_avro_planning(self, spark, tmp_loc, lineitem, monkeypatch):
         import iceberg_cpp_spark.table as tbl
