@@ -248,6 +248,49 @@ class TestDeletionVectorTable:
         assert t.to_df().count() == expect
         assert calls == [], f"driver-side DV blob reads: {calls}"
 
+    def test_dv_writes_happen_in_executors(self, spark, tmp_loc,
+                                           lineitem, monkeypatch):
+        """100 TB guard (VERDICT r08 item 3): DV puffin files are written
+        as shards FROM EXECUTORS — the driver receives only pointer rows,
+        never serialized bitmaps. Monkeypatching both the puffin writer
+        and the roaring deserializer in this (driver) process proves no
+        bitmap is materialized or written driver-side; executor workers
+        are separate processes and keep the real functions."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core import puffin, roaring
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        li = lineitem.limit(400)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "tdvw"),
+                            schema_from_spark(li.schema))
+        t.append(li)
+        t.delete_where(ex.gt(ex.Reference("l_quantity"), 45.0),
+                       mode="merge-on-read")
+        t = IceTable.load(spark, t.location())
+
+        writes, deser = [], []
+        monkeypatch.setattr(
+            puffin, "write_deletion_vectors",
+            lambda *a, **k: writes.append(a) or (_ for _ in ()).throw(
+                AssertionError("driver-side DV write")))
+        real_deser = roaring.Roaring64.deserialize
+        monkeypatch.setattr(
+            roaring.Roaring64, "deserialize",
+            staticmethod(lambda b: deser.append(1) or real_deser(b)))
+
+        t = t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                           mode="deletion-vector")
+        t = t.rewrite_position_deletes()
+        assert writes == [], "driver-side DV puffin writes"
+        assert deser == [], "driver-side bitmap deserialization"
+        expect = li.filter("l_quantity <= 45 and l_returnflag <> 'R'").count()
+        assert t.to_df().count() == expect
+        dels = t.scan().plan_deletes()
+        assert dels and all(d.is_deletion_vector for d in dels)
+        refs = [d.referenced_data_file for d in dels]
+        assert len(refs) == len(set(refs))
+
     def test_changelog_reads_no_dv_blobs_on_driver(self, spark, tmp_loc,
                                                    lineitem, monkeypatch):
         """100 TB guard (VERDICT r08 item 1): the CDC changelog plane
