@@ -326,8 +326,9 @@ def decode_gif(payload: bytes, max_pixels: int = 64_000_000) -> dict:
     """First-frame GIF87a/89a decode → {width, height, channels,
     pixels}: LZW decompression, global/local color tables, interlacing,
     GCE transparency (→ RGBA). Animated GIFs yield their FIRST frame —
-    the right summary unit for image-corpus features. Same error
-    contract as the other decoders."""
+    the right summary unit for image-corpus features (use
+    ``decode_gif_frames`` for the full animation). Same error contract
+    as the other decoders."""
     try:
         return _decode_gif(payload, max_pixels)
     except (ValueError, NotImplementedError):
@@ -336,10 +337,33 @@ def decode_gif(payload: bytes, max_pixels: int = 64_000_000) -> dict:
         raise ValueError(f"corrupt GIF ({type(e).__name__}: {e})") from e
 
 
-def _decode_gif(payload: bytes, max_pixels: int) -> dict:
-    if not is_gif(payload):
-        raise ValueError("not a GIF (bad signature)")
+def decode_gif_frames(payload: bytes, max_pixels: int = 64_000_000,
+                      max_frames: int = 256) -> dict:
+    """Animated GIF decode → {width, height (logical screen),
+    frame_count, frames: [(h,w,4) RGBA], delays_ms: [int]}: frames are
+    COMPOSITED onto the logical screen per GIF89a disposal semantics —
+    0/1 keep, 2 restore-to-background (frame rect cleared), 3
+    restore-to-previous. ``max_frames`` bounds memory against
+    frame-bomb files (frames past the cap are not decoded). Same error
+    contract as decode_gif."""
+    try:
+        return _decode_gif_frames(payload, max_pixels, max_frames)
+    except (ValueError, NotImplementedError):
+        raise
+    except (IndexError, struct.error, ZeroDivisionError) as e:
+        raise ValueError(f"corrupt GIF ({type(e).__name__}: {e})") from e
+
+
+def _iter_gif_blocks(payload: bytes, max_pixels: int):
+    """Parse a GIF container: yields one dict per image block
+    {left, top, w, h, grid(h,w uint16), ct, transparent, disposal,
+    delay_cs}, de-interlaced, with the preceding GCE's state applied
+    and reset after each frame (GIF89a §23)."""
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if sw * sh > max_pixels:
+        raise ValueError(
+            f"GIF screen {sw}x{sh} outside sanity bounds "
+            f"(max_pixels={max_pixels})")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -347,6 +371,8 @@ def _decode_gif(payload: bytes, max_pixels: int) -> dict:
         gct = np.frombuffer(payload, np.uint8, 3 * n, pos).reshape(-1, 3)
         pos += 3 * n
     transparent = None
+    disposal = 0
+    delay_cs = 0
     while pos < len(payload):
         b = payload[pos]
         pos += 1
@@ -357,6 +383,8 @@ def _decode_gif(payload: bytes, max_pixels: int) -> dict:
             pos += 1
             if label == 0xF9 and payload[pos] >= 4:  # GCE
                 flags = payload[pos + 1]
+                disposal = (flags >> 2) & 0x7
+                (delay_cs,) = struct.unpack_from("<H", payload, pos + 2)
                 if flags & 1:
                     transparent = payload[pos + 4]
             while payload[pos]:  # skip sub-blocks
@@ -401,16 +429,70 @@ def _decode_gif(payload: bytes, max_pixels: int) -> dict:
             grid = de
         if grid.max(initial=0) >= len(ct):
             raise ValueError("GIF color index out of range")
+        yield {"screen": (sw, sh), "left": left, "top": top, "w": w,
+               "h": h, "grid": grid, "ct": ct, "transparent": transparent,
+               "disposal": disposal, "delay_cs": delay_cs}
+        transparent, disposal, delay_cs = None, 0, 0  # GCE scope: 1 frame
+
+
+def _decode_gif(payload: bytes, max_pixels: int) -> dict:
+    if not is_gif(payload):
+        raise ValueError("not a GIF (bad signature)")
+    for f in _iter_gif_blocks(payload, max_pixels):
+        grid, ct = f["grid"], f["ct"]
         rgb = ct[grid]
-        if transparent is not None:
-            alpha = np.where(grid == transparent, 0, 255).astype(np.uint8)
+        if f["transparent"] is not None:
+            alpha = np.where(grid == f["transparent"], 0, 255) \
+                .astype(np.uint8)
             px = np.concatenate([rgb, alpha[:, :, None]], axis=2)
         else:
             px = rgb
         # first frame only; frame dims (not logical screen) reported
-        return {"width": w, "height": h, "channels": px.shape[2],
+        return {"width": f["w"], "height": f["h"], "channels": px.shape[2],
                 "pixels": px}
     raise ValueError("GIF contains no image data")
+
+
+def _decode_gif_frames(payload: bytes, max_pixels: int,
+                       max_frames: int) -> dict:
+    if not is_gif(payload):
+        raise ValueError("not a GIF (bad signature)")
+    canvas = None
+    sw = sh = 0
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    for f in _iter_gif_blocks(payload, max_pixels):
+        if len(frames) >= max_frames:
+            break
+        if canvas is None:
+            sw, sh = f["screen"]
+            canvas = np.zeros((sh, sw, 4), np.uint8)
+        # clip the frame rect to the logical screen (corrupt files may
+        # place frames out of bounds)
+        left, top = f["left"], f["top"]
+        w = min(f["w"], sw - left) if left < sw else 0
+        h = min(f["h"], sh - top) if top < sh else 0
+        prev = canvas.copy() if f["disposal"] == 3 else None
+        if w > 0 and h > 0:
+            grid = f["grid"][:h, :w]
+            rgb = f["ct"][grid]
+            if f["transparent"] is not None:
+                mask = grid != f["transparent"]
+            else:
+                mask = np.ones((h, w), bool)
+            region = canvas[top:top + h, left:left + w]
+            region[mask] = np.concatenate(
+                [rgb, np.full((h, w, 1), 255, np.uint8)], axis=2)[mask]
+        frames.append(canvas.copy())
+        delays.append(f["delay_cs"] * 10)
+        if f["disposal"] == 2 and w > 0 and h > 0:
+            canvas[top:top + h, left:left + w] = 0
+        elif f["disposal"] == 3 and prev is not None:
+            canvas = prev
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return {"width": sw, "height": sh, "frame_count": len(frames),
+            "frames": frames, "delays_ms": delays}
 
 
 def decode_wav(payload: bytes) -> dict:
