@@ -2079,6 +2079,55 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("n_unique_sha")))
 
 
+def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode, distributed (operators/codecs.py
+    encode_gif -> decode_gif_frames; VERDICT r09 task 1): each doc gets
+    a deterministic n-frame GIF89a animation (n = 1 + doc_id%4, frame i
+    a solid 4x4 color c_i = (doc_id*7+31*i)%256 for frame 0 and a 2x2
+    sub-rect at (1,1) for i>=1, disposal 1 = keep, delay (i+1) cs).
+    The decoder LZW-decompresses and COMPOSITES every frame onto the
+    logical screen; the oracle pins closed forms that only hold if
+    compositing is right: corner pixel (0,0) keeps frame 0's color on
+    every canvas (sum_corner = n*c_0) while center (1,1) tracks the
+    latest frame (sum_center = sum c_i); delays_ms sum = 5n(n+1)
+    (delay i+1 cs = (i+1)*10 ms)."""
+    from iceberg_cpp_spark.operators.codecs import (
+        decode_gif_frames, encode_gif)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def make_and_decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        pal = np.stack([np.arange(256)] * 3, 1).astype(np.uint8)
+        for b in batches:
+            n_frames, sum_corner, sum_center, sum_delay = [], [], [], []
+            for did in b["doc_id"]:
+                did = int(did)
+                n = 1 + did % 4
+                cs = [(did * 7 + 31 * i) % 256 for i in range(n)]
+                frames = [{"grid": np.full((4, 4), cs[0]),
+                           "disposal": 1, "delay_cs": 1}]
+                frames += [{"grid": np.full((2, 2), cs[i]), "left": 1,
+                            "top": 1, "disposal": 1, "delay_cs": i + 1}
+                           for i in range(1, n)]
+                d = decode_gif_frames(encode_gif(frames, 4, 4, pal))
+                n_frames.append(d["frame_count"])
+                sum_corner.append(sum(int(f[0, 0, 0]) for f in d["frames"]))
+                sum_center.append(sum(int(f[1, 1, 0]) for f in d["frames"]))
+                sum_delay.append(sum(d["delays_ms"]))
+            yield pd.DataFrame({
+                "doc_id": b["doc_id"], "n_frames": n_frames,
+                "sum_corner": sum_corner, "sum_center": sum_center,
+                "sum_delay_ms": sum_delay})
+
+    return docs.mapInPandas(
+        make_and_decode,
+        "doc_id long, n_frames long, sum_corner long, "
+        "sum_center long, sum_delay_ms long")
+
+
 def ice_avro_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """format-version=3 table with spec-Avro manifests end-to-end
     (VERDICT r07 task 3; reference manifest_writer.h MakeV3Writer /
@@ -2176,38 +2225,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_avro_data": ice_avro_data,
         "ice_compaction": ice_compaction,
         "ice_maintenance_lifecycle": ice_maintenance_lifecycle,
-        "ice_sorted_write": ice_sorted_write,
         "ice_merge_into": ice_merge_into,
         "ice_cdc_apply": ice_cdc_apply,
-        "ice_avro_manifests": ice_avro_manifests,
         "ice_avro_v3": ice_avro_v3,
         "ice_partition_evolution": ice_partition_evolution,
         "ice_changelog": ice_changelog,
         "ice_datasource": ice_datasource,
         "ice_zorder": ice_zorder,
+        # r10 rotation (VERDICT r09 task 3): first-ever driver rows for
+        # the large-N scan strategies, nested types, snapshot-ref
+        # management, and the new real-GIF decoder; displaced rows (all
+        # with operator coverage remaining in-window) moved to the
+        # judge-only extras — see tests/test_registry.py
+        "ice_large_scan": ice_large_scan,
+        "ice_pyds_scan": ice_pyds_scan,
+        "ice_nested_types": ice_nested_types,
+        "ice_rollback_cherry_pick": ice_rollback_cherry_pick,
         "stream_hourly": stream_hourly,
         # LLM pipeline (16)
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
-        "dedup_simhash": dedup_simhash,
         "dedup_embedding": dedup_embedding,
         "dedup_transitive": dedup_transitive,
-        "ngram_jaccard": ngram_jaccard,
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "text_stats": text_stats,
         "text_quality": text_quality,
+        "text_token_familiarity": text_token_familiarity,
         "multimodal_metadata": multimodal_metadata,
-        "multimodal_decode": multimodal_decode,
         "multimodal_png_real": multimodal_png_real,
+        "multimodal_gif_frames": multimodal_gif_frames,
         "multimodal_audio": multimodal_audio,
         "embedding_clusters": embedding_clusters,
         "stream_sessionize": stream_sessionize,
-        # relational representatives (6) — sessionize_events keeps its
-        # driver row (round-2 hash-flap history)
+        # relational representatives (5)
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
-        "sessionize_events": sessionize_events,
         "events_window_agg": events_window_agg,
         "asof_join_events": asof_join_events,
         "range_join_events": range_join_events,
@@ -2217,7 +2270,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": window_top_orders,
         "ice_sql_view": ice_sql_view,
         "ice_typed_columns": ice_typed_columns,
+        "ice_avro_manifests": ice_avro_manifests,
+        "ice_sorted_write": ice_sorted_write,
         "dedup_minhash_verified": dedup_minhash_verified,
+        "dedup_simhash": dedup_simhash,
+        "ngram_jaccard": ngram_jaccard,
+        "multimodal_decode": multimodal_decode,
+        "sessionize_events": sessionize_events,
         "join_semi_anti": join_semi_anti,
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_order_priority": q4_order_priority,
@@ -2250,21 +2309,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentile": agg_percentile,
         "events_sliding_window": events_sliding_window,
         "ice_eq_fold": ice_eq_fold,
-        "ice_large_scan": ice_large_scan,
-        "ice_pyds_scan": ice_pyds_scan,
         "sample_stratified": sample_stratified,
         "sample_split": sample_split,
         "text_rolling_fp": text_rolling_fp,
         "text_repetition": text_repetition,
         "text_contamination": text_contamination,
         "text_pii_redact": text_pii_redact,
-        "ice_rollback_cherry_pick": ice_rollback_cherry_pick,
         "ann_pq_topk": ann_pq_topk,
         "sample_pack": sample_pack,
         "dedup_cross_corpus": dedup_cross_corpus,
-        "ice_nested_types": ice_nested_types,
         "text_chunking": text_chunking,
-        "text_token_familiarity": text_token_familiarity,
         "text_bpe_tokens": text_bpe_tokens,
         "ice_analyze_ndv": ice_analyze_ndv,
         "ice_merge_schema": ice_merge_schema,
@@ -3537,5 +3591,29 @@ def oracle_sql() -> dict[str, str]:
                    1000 * n * (n - 1) // 2 AS sum_ts,
                    n AS n_unique_sha
             FROM n
+        """,
+        # real animated-GIF mirror: n = 1 + doc_id%4 frames, frame i
+        # color c_i = (doc_id*7+31*i)%256. Disposal-1 compositing means
+        # canvas corner (0,0) stays c_0 on every frame (sum = n*c_0)
+        # while center (1,1) is the latest c_i (sum = sum of c_i);
+        # delays (i+1)*10 ms sum to 5n(n+1)
+        "multimodal_gif_frames": """
+            WITH p AS (
+              SELECT doc_id,
+                     1 + doc_id % 4 AS n,
+                     (doc_id * 7) % 256 AS c0,
+                     (doc_id * 7 + 31) % 256 AS c1,
+                     (doc_id * 7 + 62) % 256 AS c2,
+                     (doc_id * 7 + 93) % 256 AS c3
+              FROM documents)
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_frames,
+                   CAST(n * c0 AS BIGINT) AS sum_corner,
+                   CAST(c0 + CASE WHEN n > 1 THEN c1 ELSE 0 END
+                           + CASE WHEN n > 2 THEN c2 ELSE 0 END
+                           + CASE WHEN n > 3 THEN c3 ELSE 0 END
+                        AS BIGINT) AS sum_center,
+                   CAST(5 * n * (n + 1) AS BIGINT) AS sum_delay_ms
+            FROM p
         """,
     }

@@ -1029,7 +1029,13 @@ def _avro_to_py(v: Any, t, node: Any) -> Any:
         byname = {f["name"]: f for f in node["fields"]}
         out = {}
         for f in t.fields:
-            af = byid.get(f.field_id) or byname.get(f.name)
+            # Iceberg projection rule: resolve by field id when the
+            # writer schema carries ids; fall back to name ONLY for
+            # id-less imported files. A file that has ids but lacks
+            # this id means the column was absent at write time — a
+            # by-name hit there would resurrect a dropped-and-re-added
+            # column's stale values.
+            af = byid.get(f.field_id) if byid else byname.get(f.name)
             out[f.name] = (None if af is None else
                            _avro_to_py(v.get(af["name"]), f.field_type,
                                        af["type"]))

@@ -585,6 +585,13 @@ class ManifestListWriter:
         # manifests lacking an explicit first_row_id are assigned at
         # write time (v3_metadata.cc ManifestFileAdapterV3::Append)
         self.next_row_id = next_row_id
+        # set by close(): the first row id AFTER every span this writer
+        # assigned — the table's new next-row-id per the spec rule (sum
+        # of added+existing rows of assigned manifests). Callers that
+        # advance engine.next-row-id must take max(own, this) so spans
+        # reserved for writer-unassigned (e.g. foreign/rewritten)
+        # manifests are never re-issued to a later append.
+        self.assigned_next_row_id: Optional[int] = next_row_id
         self.manifests: list[ManifestFile] = []
 
     def add(self, mf: ManifestFile) -> None:
@@ -655,6 +662,7 @@ class ManifestListWriter:
                     frid = running
                     running += ((m.added_rows_count or 0)
                                 + (m.existing_rows_count or 0))
+                    self.assigned_next_row_id = running
                 rec["first_row_id"] = frid
                 rec["key_metadata"] = m.key_metadata
             records.append(rec)

@@ -495,6 +495,116 @@ def _decode_gif_frames(payload: bytes, max_pixels: int,
             "frames": frames, "delays_ms": delays}
 
 
+def _lzw_encode(min_code_size: int, indices) -> bytes:
+    """GIF-variant LZW compressor (the encode direction of
+    ``_lzw_decode``): greedy longest-match dictionary build, LSB-first
+    code packing, code width grown when the NEXT free code crosses the
+    current width (mirrors the decoder's len(table)==1<<code_size
+    rule so both sides stay in sync), CLEAR emitted on a full (4096)
+    table."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    buf = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    w: tuple = ()
+    for k in indices:
+        k = int(k)
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4096:
+            table[wk] = next_code
+            next_code += 1
+            # grow one step AFTER the width is exceeded: the decoder
+            # appends one entry behind the encoder, so it crosses
+            # len(table)==1<<code_size exactly one code later
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+        else:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def encode_gif(frames: list[dict], width: int, height: int,
+               palette: np.ndarray) -> bytes:
+    """Animated GIF89a encoder (the write leg of the GIF codec — e.g.
+    re-encoding sampled/resized animations in a media pipeline). One
+    global color table; each frame dict: {grid: (h,w) palette indices,
+    left, top, delay_cs, disposal, transparent (index|None),
+    local_palette (optional (n,3) uint8)}. Frames may be sub-rects of
+    the logical screen; compositing semantics on decode follow GIF89a
+    §23 (see decode_gif_frames)."""
+    pal = np.asarray(palette, np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("palette must be (n, 3) uint8")
+    bits = max(1, (len(pal) - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height,
+                       0x80 | ((bits - 1) & 7), 0, 0)
+    out += pal.tobytes() + b"\x00\x00\x00" * ((2 << (bits - 1)) - len(pal))
+    # loop forever (Netscape 2.0 application extension)
+    out += (b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00")
+    for f in frames:
+        grid = np.asarray(f["grid"], np.uint16)
+        h, w = grid.shape
+        transparent = f.get("transparent")
+        flags = ((int(f.get("disposal", 0)) & 7) << 2) \
+            | (1 if transparent is not None else 0)
+        out += struct.pack("<BBBBHB B", 0x21, 0xF9, 4, flags,
+                           int(f.get("delay_cs", 0)),
+                           transparent if transparent is not None else 0, 0)
+        lpal = f.get("local_palette")
+        ipacked = 0
+        if lpal is not None:
+            lpal = np.asarray(lpal, np.uint8)
+            lbits = max(1, (len(lpal) - 1).bit_length())
+            ipacked = 0x80 | ((lbits - 1) & 7)
+        out += struct.pack("<BHHHHB", 0x2C, int(f.get("left", 0)),
+                           int(f.get("top", 0)), w, h, ipacked)
+        if lpal is not None:
+            out += lpal.tobytes() \
+                + b"\x00\x00\x00" * ((2 << (lbits - 1)) - len(lpal))
+        ncolors = len(lpal) if lpal is not None else len(pal)
+        if grid.max(initial=0) >= ncolors:
+            raise ValueError("GIF frame index out of palette range")
+        min_code = max(2, (ncolors - 1).bit_length())
+        data = _lzw_encode(min_code, grid.ravel())
+        out.append(min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
 def decode_wav(payload: bytes) -> dict:
     """RIFF/PCM WAV decode via the stdlib → metadata + int samples.
     Same error contract as decode_png: corrupt input → ValueError."""

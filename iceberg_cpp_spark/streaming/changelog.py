@@ -28,7 +28,10 @@ from pyspark.sql import functions as F
 
 from iceberg_cpp_spark.core import manifests as mf
 from iceberg_cpp_spark.core import types as it
-from iceberg_cpp_spark.streaming.incremental import _snapshot_files
+from iceberg_cpp_spark.streaming.incremental import (
+    _snapshot_file_formats,
+    read_data_paths,
+)
 from iceberg_cpp_spark.table import IceTable
 
 CHANGE_TYPE = "_change_type"
@@ -141,8 +144,11 @@ def changes(table: IceTable, from_snapshot_id: Optional[int] = None,
     parts: list[DataFrame] = []
     prev_id = from_snapshot_id
     for ordinal, snap in enumerate(chain):
-        before = _snapshot_files(table, prev_id)
-        after = _snapshot_files(table, snap.snapshot_id)
+        prev_fmts = _snapshot_file_formats(table, prev_id)
+        cur_fmts = _snapshot_file_formats(table, snap.snapshot_id)
+        fmts = {**prev_fmts, **cur_fmts}
+        before = set(prev_fmts)
+        after = set(cur_fmts)
         added = sorted(after - before)
         removed = sorted(before - after)
         new_pos_deletes = sorted(
@@ -167,15 +173,13 @@ def changes(table: IceTable, from_snapshot_id: Optional[int] = None,
         prev_deletes = _delete_files(table, prev_id)
 
         def _rows(paths: list[str], mask_deleted: bool) -> DataFrame:
-            """Read data-file rows; with mask_deleted, drop positions
+            """Read data-file rows (format-dispatched parquet/Avro legs,
+            same as the scan plane); with mask_deleted, drop positions
             already dead in the BEFORE state. Delete files store plain
             (spec-compliant) paths while `_metadata.file_path` yields a
-            file:/ URI — normalize both join sides."""
-            df = (spark.read.schema(spark_schema).parquet(*paths)
-                  .select("*",
-                          F.regexp_replace(F.col("_metadata.file_path"),
-                                           "^file:(//)?", "").alias("_f"),
-                          F.col("_metadata.row_index").alias("_p")))
+            file:/ URI — read_data_paths normalizes `_f` on every leg."""
+            df = read_data_paths(table, paths, fmts, spark_schema,
+                                 need_meta=True)
             if mask_deleted and prev_deletes:
                 dels = (spark.read.parquet(*sorted(prev_deletes))
                         .select(F.regexp_replace(F.col("file_path"),

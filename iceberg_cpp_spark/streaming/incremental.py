@@ -24,20 +24,84 @@ from iceberg_cpp_spark.core import types as it
 from iceberg_cpp_spark.table import IceTable
 
 
-def _snapshot_files(table: IceTable, snapshot_id: Optional[int]) -> set[str]:
+def _snapshot_file_formats(table: IceTable,
+                           snapshot_id: Optional[int]) -> dict[str, str]:
+    """{data file path: file_format} for a snapshot's live data files —
+    the format is needed because tables can mix parquet and imported
+    Avro data files (reference file_reader.h:100-113 dispatches by
+    format), so every row-read plane must dispatch too."""
     if snapshot_id is None:
-        return set()
+        return {}
     snap = table.metadata.snapshot_by_id(snapshot_id)
     if snap is None:
         raise ValueError(f"snapshot not found: {snapshot_id}")
-    out: set[str] = set()
+    out: dict[str, str] = {}
     schema = table.schema()
     meta = table.metadata
     for m in mf.read_manifest_list(snap.manifest_list):
         spec = meta.spec_by_id(m.partition_spec_id)
         for e in mf.read_manifest(m.manifest_path, spec, schema, manifest=m):
             if e.is_live and e.data_file.content == mf.CONTENT_DATA:
-                out.add(e.data_file.file_path)
+                out[e.data_file.file_path] = (
+                    e.data_file.file_format or "parquet").lower()
+    return out
+
+
+def _snapshot_files(table: IceTable, snapshot_id: Optional[int]) -> set[str]:
+    return set(_snapshot_file_formats(table, snapshot_id))
+
+
+def read_data_paths(table: IceTable, paths: list[str],
+                    fmts: dict[str, str], spark_schema,
+                    need_meta: bool = False) -> DataFrame:
+    """Format-dispatched union read of table data files, mirroring
+    TableScan.to_df's parquet/Avro legs (reference
+    file_reader.h:100-113). With ``need_meta`` each leg carries
+    ``_f`` (spec path, file: scheme stripped) and ``_p`` (row position
+    within the file) so delete/DV masking composes identically across
+    formats."""
+    from pyspark.sql import types as T
+
+    spark = table.spark
+    if need_meta:
+        out_schema = T.StructType(
+            list(spark_schema.fields)
+            + [T.StructField("_f", T.StringType()),
+               T.StructField("_p", T.LongType())])
+    else:
+        out_schema = spark_schema
+    if not paths:
+        return spark.createDataFrame([], out_schema)
+    by_fmt: dict[str, list[str]] = {}
+    for p in paths:
+        by_fmt.setdefault(fmts.get(p, "parquet"), []).append(p)
+    unknown = sorted(set(by_fmt) - {"parquet", "avro"})
+    if unknown:
+        raise NotImplementedError(
+            f"no row reader for data-file format(s) {unknown} on the "
+            "incremental/changelog plane")
+    legs: list[DataFrame] = []
+    if by_fmt.get("parquet"):
+        df = spark.read.schema(spark_schema).parquet(
+            *sorted(by_fmt["parquet"]))
+        if need_meta:
+            df = df.select(
+                "*",
+                F.regexp_replace(F.col("_metadata.file_path"),
+                                 "^file:(//)?", "").alias("_f"),
+                F.col("_metadata.row_index").alias("_p"))
+        legs.append(df)
+    if by_fmt.get("avro"):
+        leg = table.scan()._read_avro_paths(
+            spark, table.schema(), spark_schema,
+            sorted(by_fmt["avro"]), need_meta)
+        if need_meta:
+            leg = (leg.withColumnRenamed("_file", "_f")
+                   .withColumnRenamed("_pos", "_p"))
+        legs.append(leg)
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
     return out
 
 
@@ -48,11 +112,10 @@ def incremental_read(table: IceTable, from_snapshot_id: Optional[int],
     reading only the NEW files, not a diff of row sets."""
     to_id = to_snapshot_id if to_snapshot_id is not None else (
         table.current_snapshot().snapshot_id if table.current_snapshot() else None)
-    new_files = sorted(_snapshot_files(table, to_id) - _snapshot_files(table, from_snapshot_id))
+    cur = _snapshot_file_formats(table, to_id)
+    new_files = sorted(set(cur) - _snapshot_files(table, from_snapshot_id))
     spark_schema = it.to_spark_schema(table.schema())
-    if not new_files:
-        return table.spark.createDataFrame([], spark_schema)
-    return table.spark.read.schema(spark_schema).parquet(*new_files)
+    return read_data_paths(table, new_files, cur, spark_schema)
 
 
 def _stream_id(checkpoint_dir: str) -> str:

@@ -492,6 +492,13 @@ class TableScan:
                         "name-mapping aliases combined with metadata "
                         "columns / include_deleted are not supported; "
                         "compact the table to materialize field IDs first")
+                if any(t.file_format == "avro" for t in self.plan_files()):
+                    # the DataSource decodes with pyarrow.parquet only;
+                    # an Avro data file on this path would crash at scan
+                    raise NotImplementedError(
+                        "name-mapping aliases with Avro data files are "
+                        "not supported; compact the table to materialize "
+                        "field IDs first")
                 return self._to_df_via_datasource(spark, schema)
             # imported (ID-less) files present: resolve columns by name —
             # strip field-id metadata RECURSIVELY (a struct field keeping
@@ -1641,6 +1648,14 @@ class IceTable:
         b = TableMetadataBuilder.build_from(meta)
         b.add_snapshot(new_snap)
         b.set_ref(branch, snapshot_id)
+        # the rewritten manifests carry only EXISTING entries, so the
+        # list writer assigned their first_row_id spans from the base —
+        # advance engine.next-row-id past them (spec next-row-id rule)
+        if (self._manifest_version() >= 3
+                and lw.assigned_next_row_id is not None
+                and lw.assigned_next_row_id != lw.next_row_id):
+            b.set_properties(
+                {"engine.next-row-id": str(lw.assigned_next_row_id)})
         new_meta, _u, reqs = b.build()
         return self._commit(new_meta, branch, snap, requirements=reqs)
 
@@ -2206,11 +2221,16 @@ class IceTable:
                 # header + block-count pass only — no record decode on
                 # the driver; no column metrics (scans fall back to
                 # reading these files, pruning still applies to the rest)
-                file_fields = {f["name"] for f in av.avro_file_schema(p)
-                               .get("fields", [])}
-                if not any(f.name in file_fields
-                           or f.field_id in {fd.get("field-id") for fd in
-                                             av.avro_file_schema(p)["fields"]}
+                writer_schema = av.avro_file_schema(p)
+                wfields = writer_schema.get("fields")
+                if wfields is None:
+                    raise ValueError(
+                        f"Avro writer schema of {p} is not a record "
+                        f"(type={writer_schema.get('type')!r}); only "
+                        "record-typed data files can be imported")
+                file_names = {f["name"] for f in wfields}
+                file_ids = {f.get("field-id") for f in wfields} - {None}
+                if not any(f.name in file_names or f.field_id in file_ids
                            for f in schema.fields):
                     raise ValueError(
                         f"no columns of {p} map into the table schema")
@@ -2548,8 +2568,15 @@ class IceTable:
         b = TableMetadataBuilder.build_from(meta)
         b.add_snapshot(snap)
         b.set_ref(branch, snapshot_id)
-        if rid != next_row_id:
-            b.set_properties({"engine.next-row-id": str(rid)})
+        # advance past BOTH the explicitly-assigned new-file spans (rid)
+        # and any spans the list writer reserved for writer-unassigned
+        # manifests (inheritance-dependent foreign manifests) — spec rule:
+        # next-row-id grows by added+existing rows of assigned manifests
+        new_next = rid
+        if mver >= 3 and lw.assigned_next_row_id is not None:
+            new_next = max(new_next, lw.assigned_next_row_id)
+        if new_next != next_row_id:
+            b.set_properties({"engine.next-row-id": str(new_next)})
         new_meta, _updates, reqs = b.build()
         new_meta = dc_replace(
             new_meta,

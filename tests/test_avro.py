@@ -617,3 +617,95 @@ class TestAvroDataFiles:
         t = t.rewrite_data_files(target_file_count=1)
         assert {x.file_format for x in t.scan().plan_files()} == {"parquet"}
         assert t.to_df().count() == exp
+
+    def test_dropped_readded_column_not_resurrected(self, tmp_path):
+        # ADVICE r09: after dropping column x (id 2) and re-adding x
+        # (id 3), a read-schema field absent BY ID but present BY NAME
+        # must read None — name fallback applies only to id-less files
+        sch = it.Schema([
+            it.NestedField(1, "id", it.LongType(), True),
+            it.NestedField(2, "x", it.StringType()),
+        ], schema_id=0)
+        p = str(tmp_path / "drop.avro")
+        av.write_avro_data(p, sch, [{"id": 1, "x": "stale"}])
+        readded = it.Schema([
+            it.NestedField(1, "id", it.LongType(), True),
+            it.NestedField(3, "x", it.StringType()),
+        ], schema_id=1)
+        assert av.data_records(av.read_avro(p), readded) == [
+            {"id": 1, "x": None}]
+
+    def test_changelog_and_incremental_dispatch_avro(self, spark, tmp_loc,
+                                                     lineitem):
+        # ADVICE r09: changes()/incremental_read read data-file rows —
+        # they must format-dispatch like the scan plane, not assume
+        # parquet (an Avro file made them fail on parquet magic bytes)
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.streaming.changelog import changes
+        from iceberg_cpp_spark.streaming.incremental import incremental_read
+
+        li = lineitem.limit(60)
+        sch = schema_from_spark(li.schema)
+        rows = [r.asDict() for r in li.collect()]
+        a1 = os.path.join(tmp_loc, "ext3", "a.avro")
+        av.write_avro_data(a1, sch, rows[:30])
+        t = IceTable.create(spark, os.path.join(tmp_loc, "tcl"), sch)
+        t = t.append(spark.createDataFrame(rows[30:], schema=li.schema))
+        s1 = t.current_snapshot().snapshot_id
+        t = t.add_files([a1])
+        c = changes(t, from_snapshot_id=s1)
+        assert c.filter("_change_type = 'insert'").count() == 30
+        inc = incremental_read(t, from_snapshot_id=s1)
+        assert inc.count() == 30
+        # full-range changelog crosses both formats
+        assert changes(t, from_snapshot_id=None).count() == 60
+
+    def test_alias_scan_with_avro_raises(self, spark, tmp_loc, lineitem):
+        # ADVICE r09: the name-mapping-alias scan route decodes with
+        # pyarrow.parquet only — Avro tasks on that path must fail
+        # loudly, not crash mid-scan
+        import pyspark.sql.functions as F
+        import pytest
+
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        li = lineitem.limit(20).select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_quantity").alias("quantity"))
+        sch = schema_from_spark(li.schema)
+        ext = os.path.join(tmp_loc, "ext4")
+        os.makedirs(ext, exist_ok=True)
+        pqf = os.path.join(ext, "aliased.parquet")
+        li.toDF("ok_alias", "qty_alias").coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(ext, "pqdir"))
+        import glob as _g
+        import shutil
+        shutil.copy(_g.glob(os.path.join(ext, "pqdir", "*.parquet"))[0], pqf)
+        a1 = os.path.join(ext, "a.avro")
+        av.write_avro_data(a1, sch,
+                           [r.asDict() for r in li.collect()][:5])
+        t = IceTable.create(spark, os.path.join(tmp_loc, "tal"), sch)
+        t = t.add_files([pqf], aliases={"orderkey": ["ok_alias"],
+                                        "quantity": ["qty_alias"]})
+        t = t.add_files([a1])
+        with pytest.raises(NotImplementedError, match="[Aa]vro"):
+            t.to_df()
+
+    def test_add_files_rejects_non_record_avro(self, spark, tmp_loc,
+                                               tmp_path):
+        # ADVICE r09: a non-record writer schema gets a clear ValueError
+        # (was a KeyError)
+        import pytest
+
+        from iceberg_cpp_spark import IceTable
+
+        sch = it.Schema([it.NestedField(1, "v", it.LongType(), True)],
+                        schema_id=0)
+        p = str(tmp_path / "arr.avro")
+        av.write_avro(p, {"type": "array", "items": "long"}, [],
+                      metadata={})
+        t = IceTable.create(spark, os.path.join(tmp_loc, "tnr"), sch)
+        with pytest.raises(ValueError, match="record"):
+            t.add_files([p])

@@ -252,6 +252,44 @@ def test_written_manifest_list_decodes_independently(tmp_path):
     assert ps[0]["upper_bound"] == b"\x09"
 
 
+def test_v3_writer_unassigned_span_advances_next_row_id(tmp_path):
+    """ADVICE r09: when the v3 list writer assigns first_row_id spans to
+    writer-unassigned data manifests (foreign manifests relying on
+    manifest-level inheritance), it must report the consumed span so the
+    engine advances next-row-id — otherwise a later append re-issues
+    overlapping row ids."""
+    path = os.path.join(tmp_path, "snapv3.avro")
+    own = mf.ManifestFile(
+        manifest_path="/meta/own.avro", manifest_length=1,
+        partition_spec_id=0, sequence_number=2, min_sequence_number=1,
+        added_snapshot_id=42, added_files_count=1, added_rows_count=10,
+        first_row_id=100)  # explicitly assigned: no span consumed
+    foreign = mf.ManifestFile(
+        manifest_path="/meta/foreign.avro", manifest_length=1,
+        partition_spec_id=0, sequence_number=2, min_sequence_number=1,
+        added_snapshot_id=42, added_files_count=2, added_rows_count=7,
+        existing_files_count=1, existing_rows_count=3,
+        first_row_id=None)  # writer-unassigned
+    deletes = mf.ManifestFile(
+        manifest_path="/meta/del.avro", manifest_length=1,
+        partition_spec_id=0, content=mf.MANIFEST_CONTENT_DELETES,
+        sequence_number=2, min_sequence_number=2,
+        added_snapshot_id=42, added_files_count=1, added_rows_count=4)
+    lw = mf.ManifestListWriter(path, snapshot_id=42, sequence_number=2,
+                               format="avro", parent_snapshot_id=41,
+                               version=3, next_row_id=110)
+    for m in (own, foreign, deletes):
+        lw.add(m)
+    lw.close()
+    # the foreign data manifest consumed [110, 120): 7 added + 3 existing
+    assert lw.assigned_next_row_id == 120
+    _meta, recs = mini_read_avro(path)
+    by_path = {r["manifest_path"]: r for r in recs}
+    assert by_path["/meta/own.avro"]["first_row_id"] == 100
+    assert by_path["/meta/foreign.avro"]["first_row_id"] == 110
+    assert by_path["/meta/del.avro"]["first_row_id"] is None
+
+
 # ---------------------------------------------------------------------------
 # 3. V1 writing (VERDICT r06 task 5; reference manifest_writer.h:63,123
 #    MakeV1Writer + v1_metadata.cc adapters): v1-pinned consumers resolve

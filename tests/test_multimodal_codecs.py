@@ -457,6 +457,123 @@ class TestGif:
         assert m["sniffed_mime"] == "image/gif"
 
 
+class TestGifFrames:
+    """decode_gif_frames disposal/compositing semantics, pinned by
+    HAND-DERIVED goldens (GIF89a §23 worked out on paper — not by
+    running the decoder) over the checked-in fixture
+    assets/gif/animated_disposal.gif (provenance: FIXTURES.md §G,
+    generator: scripts/make_gif_fixtures.py)."""
+
+    RED = [255, 0, 0, 255]
+    GREEN = [0, 255, 0, 255]
+    BLUE = [0, 0, 255, 255]
+    CLEAR = [0, 0, 0, 0]
+
+    @staticmethod
+    def _fixture() -> dict:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "assets", "gif", "animated_disposal.gif")
+        return codecs.decode_gif_frames(open(path, "rb").read())
+
+    def test_fixture_shape_and_delays(self):
+        d = self._fixture()
+        assert (d["width"], d["height"], d["frame_count"]) == (8, 8, 4)
+        assert d["delays_ms"] == [100, 200, 300, 0]
+        assert all(f.shape == (8, 8, 4) and f.dtype == np.uint8
+                   for f in d["frames"])
+
+    def test_frame0_full_screen(self):
+        # full-screen solid red, disposal 1: composited canvas is red
+        f0 = self._fixture()["frames"][0]
+        assert (f0 == self.RED).all()
+
+    def test_frame1_local_palette_subrect(self):
+        # 4x4 green (LOCAL color table) at (2,2) over the kept red
+        # canvas: inside the rect green, outside red
+        f1 = self._fixture()["frames"][1]
+        assert f1[2, 2].tolist() == self.GREEN
+        assert f1[5, 5].tolist() == self.GREEN
+        assert f1[0, 0].tolist() == self.RED
+        assert f1[1, 2].tolist() == self.RED  # row above the rect
+        assert f1[6, 2].tolist() == self.RED  # row below the rect
+        assert (f1 == self.GREEN).all(axis=2).sum() == 16
+
+    def test_frame2_disposal3_restored_previous(self):
+        # frame 1 had disposal 3 (restore-to-previous): its green rect
+        # must NOT leak into frame 2 — canvas under frame 2 is the
+        # post-frame-0 all-red screen, with frame 2's blue 4x4 at (0,0)
+        f2 = self._fixture()["frames"][2]
+        assert f2[0, 0].tolist() == self.BLUE
+        assert f2[3, 3].tolist() == self.BLUE
+        assert f2[3, 3 + 1].tolist() == self.RED
+        assert f2[5, 5].tolist() == self.RED  # center of frame 1's rect
+        assert (f2 == self.GREEN).all(axis=2).sum() == 0
+        assert (f2 == self.BLUE).all(axis=2).sum() == 16
+
+    def test_frame3_disposal2_cleared_and_transparency(self):
+        # frame 2 had disposal 2 (restore-to-background): its 4x4 rect
+        # at (0,0) is cleared to transparent black before frame 3, whose
+        # checkerboard draws red where (x+y) even and leaves the canvas
+        # visible through its GCE-transparent index elsewhere
+        f3 = self._fixture()["frames"][3]
+        yy, xx = np.mgrid[0:8, 0:8]
+        drawn = (xx + yy) % 2 == 0
+        assert (f3[drawn] == self.RED).all()
+        shown = ~drawn
+        in_cleared = shown & (xx < 4) & (yy < 4)
+        assert (f3[in_cleared] == self.CLEAR).all()
+        assert (f3[shown & ~(( xx < 4) & (yy < 4))] == self.RED).all()
+
+    def test_max_frames_cap(self):
+        pal = np.array([[0, 0, 0], [255, 0, 0]], np.uint8)
+        many = [{"grid": np.full((4, 4), i % 2), "disposal": 1}
+                for i in range(10)]
+        b = codecs.encode_gif(many, 4, 4, pal)
+        d = codecs.decode_gif_frames(b, max_frames=5)
+        assert d["frame_count"] == 5
+        assert codecs.decode_gif_frames(b)["frame_count"] == 10
+
+    def test_single_frame_file_matches_decode_gif(self):
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "assets", "gif", "python_giflib.gif")
+        payload = open(path, "rb").read()
+        d = codecs.decode_gif_frames(payload)
+        single = codecs.decode_gif(payload)
+        assert d["frame_count"] == 1
+        # the giflib fixture's frame covers the whole logical screen,
+        # so the composited canvas equals the first-frame decode
+        assert np.array_equal(d["frames"][0], single["pixels"])
+
+    def test_lzw_dictionary_growth_roundtrip(self):
+        # 64x64 random 256-color frames force real dictionary growth,
+        # code-size bumps, and >255-byte sub-block splitting through
+        # encode_gif -> decode_gif_frames
+        rng = np.random.default_rng(7)
+        pal = np.stack([np.arange(256)] * 3, 1).astype(np.uint8)
+        frames = [{"grid": rng.integers(0, 256, (64, 64)), "disposal": 1}
+                  for _ in range(3)]
+        d = codecs.decode_gif_frames(codecs.encode_gif(frames, 64, 64, pal))
+        assert d["frame_count"] == 3
+        for i in range(3):
+            assert np.array_equal(
+                d["frames"][i][:, :, 0],
+                frames[i]["grid"].astype(np.uint8))
+
+    def test_fixture_bytes_pinned(self):
+        # regeneration must be byte-stable (scripts/make_gif_fixtures.py)
+        import hashlib
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "assets", "gif", "animated_disposal.gif")
+        h = hashlib.sha256(open(path, "rb").read()).hexdigest()
+        assert h.startswith("f6fb80a3a11adb53")
+
+
 class TestErrorContract:
     """Corrupt/truncated payloads raise ValueError or
     NotImplementedError — never raw zlib/struct/wave errors — which is
