@@ -1178,6 +1178,40 @@ def ice_avro_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_orc_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC DATA-file scan (VERDICT r09 task 6 — EXCEEDS the reference,
+    whose FileFormatType enum lists ORC with no reader behind it,
+    file_format.h): supplier rows written as ORC by Spark's native ORC
+    writer, registered via add_files (metadata-only import, by-name
+    resolution — ORC files carry no Iceberg field ids), scanned
+    alongside a parquet append, then a merge-on-read position delete
+    spans BOTH formats (the need_meta ORC leg synthesizes _file/_pos
+    via pyarrow.orc in executors)."""
+    import glob as _glob
+
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    sup = _t(spark, sf_dir, "supplier")
+    schema = schema_from_spark(sup.schema)
+    base = tempfile.mkdtemp(prefix="ice_orcd_")
+    orc_dir = os.path.join(base, "orc")
+    (sup.filter("s_suppkey % 2 = 0").coalesce(1)
+     .write.mode("overwrite").orc(orc_dir))
+    t = IceTable.create(spark, os.path.join(base, "t"), schema)
+    t = t.add_files(sorted(_glob.glob(os.path.join(orc_dir, "*.orc"))))
+    t = t.append(sup.filter("s_suppkey % 2 = 1"))
+    t = t.delete_where(ex.lt(ex.Reference("s_acctbal"), 0.0),
+                       mode="merge-on-read")
+    return (
+        t.to_df()
+        .groupBy("s_nationkey")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum(_dec("s_acctbal")).cast("double").alias("sum_bal"))
+    )
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch form): a new session starts when
     a user's inter-event gap exceeds 30 min — lag + running sum of
@@ -2230,7 +2264,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_avro_v3": ice_avro_v3,
         "ice_partition_evolution": ice_partition_evolution,
         "ice_changelog": ice_changelog,
-        "ice_datasource": ice_datasource,
+        "ice_orc_data": ice_orc_data,
         "ice_zorder": ice_zorder,
         # r10 rotation (VERDICT r09 task 3): first-ever driver rows for
         # the large-N scan strategies, nested types, snapshot-ref
@@ -2272,6 +2306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_typed_columns": ice_typed_columns,
         "ice_avro_manifests": ice_avro_manifests,
         "ice_sorted_write": ice_sorted_write,
+        "ice_datasource": ice_datasource,
         "dedup_minhash_verified": dedup_minhash_verified,
         "dedup_simhash": dedup_simhash,
         "ngram_jaccard": ngram_jaccard,
@@ -2968,6 +3003,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_nationkey, COUNT(*) AS n,
                    CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
             FROM supplier WHERE s_acctbal > 0 GROUP BY s_nationkey
+        """,
+        "ice_orc_data": """
+            SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+            FROM supplier WHERE s_acctbal >= 0 GROUP BY s_nationkey
         """,
         "ice_compaction": """
             SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag

@@ -159,6 +159,51 @@ def bench_jpeg_codec(spark, sf_dir: str) -> dict[str, float]:
     return {"jpeg_codec_roundtrip": round(best, 3)}
 
 
+def bench_plan_50k(spark) -> dict[str, float]:
+    """Scan-PLANNING microbench (VERDICT r09 task 5): 50k synthetic
+    manifest entries (fake file paths — planning never opens data
+    files) through the distributed planner, pinning the metadata-plane
+    cost SCALE.md's 10^5-file claim rests on. Reported per-query only
+    (no data is scanned, so it stays out of the headline total)."""
+    import shutil
+    import tempfile
+
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core import manifests as mfs
+    from iceberg_cpp_spark.core import types as itt
+    from iceberg_cpp_spark.plans import expressions as ex
+    from iceberg_cpp_spark.table import DataOperation
+
+    schema = itt.Schema([
+        itt.NestedField(1, "id", itt.LongType(), required=True),
+        itt.NestedField(2, "v", itt.DoubleType()),
+    ], schema_id=0)
+    root = tempfile.mkdtemp(prefix="bench_plan_")
+    t = IceTable.create(spark, os.path.join(root, "t"), schema)
+    n = 50_000
+    files = [mfs.DataFile(
+        content=mfs.CONTENT_DATA, file_path=f"/fake/data/f{i:06d}.parquet",
+        file_format="parquet", partition={}, record_count=100,
+        file_size_in_bytes=10_000,
+        lower_bounds={1: (i * 100).to_bytes(8, "little")},
+        upper_bounds={1: (i * 100 + 99).to_bytes(8, "little")},
+    ) for i in range(n)]
+    t._commit_files(files, operation=DataOperation.APPEND)
+
+    best = None
+    for i in range(3):  # warm + best-of-2
+        t0 = time.time()
+        tasks = t.scan().plan_files()
+        pruned = t.scan(
+            filter=ex.lt(ex.Reference("id"), 100 * 100)).plan_files()
+        el = time.time() - t0
+        assert len(tasks) == n and len(pruned) == 100
+        if i > 0:
+            best = el if best is None else min(best, el)
+    shutil.rmtree(root, ignore_errors=True)
+    return {"ice_plan_50k": round(best, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -188,6 +233,7 @@ def main() -> None:
     total = round(sum(results.values()), 3)
     results.update(bench_scan_planes(spark, sf_dir))
     results.update(bench_jpeg_codec(spark, sf_dir))
+    results.update(bench_plan_50k(spark))
     print(json.dumps({
         "metric": "bench_suite_seconds",
         "value": total,

@@ -21,6 +21,7 @@ stable across runs and cluster sizes.
 
 from __future__ import annotations
 
+import functools
 import zlib
 from typing import Iterable, Iterator, Optional
 
@@ -133,7 +134,8 @@ def minhash_signature_udf(num_perm: int = 128, shingle_width: int = 3):
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 128, bands: int = 32,
                       shingle_width: int = 3,
-                      verify_jaccard: Optional[float] = None) -> DataFrame:
+                      verify_jaccard: Optional[float] = None,
+                      materialize: str = "checkpoint") -> DataFrame:
     """Fuzzy dedup. b bands × r rows (r = num_perm//bands): docs agreeing
     on all r minhashes of any band land in the same bucket. A doc is a
     duplicate iff some bucket contains a smaller id. The only shuffle is
@@ -143,21 +145,27 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     With ``verify_jaccard`` set, LSH only *nominates* candidate pairs;
     each is then verified with exact n-gram Jaccard and dropped only
     when similarity ≥ the threshold (the canonical band→verify
-    pipeline: verification cost is O(candidates), not O(n²))."""
+    pipeline: verification cost is O(candidates), not O(n²)).
+
+    ``materialize`` picks the signature-reuse strategy (the signature
+    UDF is the expensive step and the plan reads it from two branches):
+
+    - ``"checkpoint"`` (default): eager ``localCheckpoint`` — lineage
+      truncated, blocks stay pinned for the SESSION (no unpersist hook
+      exists once lineage is cut). Cheapest failure mode at 100 TB, but
+      a slow leak on a shared long-lived session.
+    - ``"persist"``: ``persist()`` + count to materialize. The blocks
+      are freeable: the returned DataFrame carries a
+      ``release_signatures()`` callable — invoke it AFTER consuming the
+      result to unpersist (materializing the result after release
+      re-runs the UDF; that is the trade for reclaimable storage).
+    """
     assert num_perm % bands == 0, "num_perm must divide evenly into bands"
+    if materialize not in ("checkpoint", "persist"):
+        raise ValueError(f"materialize must be 'checkpoint' or 'persist',"
+                         f" got {materialize!r}")
     r = num_perm // bands
     sig = minhash_signature_udf(num_perm, shingle_width)
-    # materialize signatures once (eager localCheckpoint): the dedup plan
-    # reads them from two branches (bucket-min agg + join-back), and
-    # without truncation each branch would re-run the signature UDF —
-    # the expensive step. ~1 KB/doc of executor-local storage.
-    # TRADE-OFF (deliberate): eager=True runs the signature job at
-    # plan-build time and the checkpointed blocks stay pinned for the
-    # session (localCheckpoint has no unpersist hook once the lineage is
-    # truncated). persist()+unpersist() would free them but re-runs the
-    # UDF on any branch materialized after the unpersist; at 100 TB the
-    # signatures are the dominant cost, so keeping them resident for the
-    # session is the cheaper failure mode.
     src = df.select(F.col(id_col), F.col(text_col))
     # the signature UDF is the expensive step: a small/single-file input
     # arrives as ONE partition and would run it single-threaded — spread
@@ -166,8 +174,14 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     par = df.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < par:
         src = src.repartition(par)
-    with_sig = (src.select(F.col(id_col), sig(F.col(text_col)).alias("_sig"))
-                .localCheckpoint(eager=True))
+    with_sig = src.select(F.col(id_col), sig(F.col(text_col)).alias("_sig"))
+    release = None
+    if materialize == "checkpoint":
+        with_sig = with_sig.localCheckpoint(eager=True)
+    else:
+        with_sig = with_sig.persist()
+        with_sig.count()  # materialize now: both branches read the cache
+        release = functools.partial(with_sig.unpersist, blocking=True)
     band_hashes = F.array(*[
         F.xxhash64(F.concat_ws(",", F.slice("_sig", i * r + 1, r).cast("array<string>")))
         for i in range(bands)
@@ -193,7 +207,11 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                                        id_col=id_col, n=shingle_width)
         dup_ids = (verified.filter(F.col("jaccard") >= verify_jaccard)
                    .select(F.col("id_b").alias(id_col)).distinct())
-    return df.join(dup_ids, on=id_col, how="left_anti")
+    out = df.join(dup_ids, on=id_col, how="left_anti")
+    if release is not None:
+        # caller-invoked storage reclamation for materialize="persist"
+        out.release_signatures = release
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -75,7 +75,7 @@ def read_data_paths(table: IceTable, paths: list[str],
     by_fmt: dict[str, list[str]] = {}
     for p in paths:
         by_fmt.setdefault(fmts.get(p, "parquet"), []).append(p)
-    unknown = sorted(set(by_fmt) - {"parquet", "avro"})
+    unknown = sorted(set(by_fmt) - {"parquet", "avro", "orc"})
     if unknown:
         raise NotImplementedError(
             f"no row reader for data-file format(s) {unknown} on the "
@@ -95,6 +95,14 @@ def read_data_paths(table: IceTable, paths: list[str],
         leg = table.scan()._read_avro_paths(
             spark, table.schema(), spark_schema,
             sorted(by_fmt["avro"]), need_meta)
+        if need_meta:
+            leg = (leg.withColumnRenamed("_file", "_f")
+                   .withColumnRenamed("_pos", "_p"))
+        legs.append(leg)
+    if by_fmt.get("orc"):
+        leg = table.scan()._read_orc_paths(
+            spark, table.schema(), spark_schema,
+            sorted(by_fmt["orc"]), need_meta)
         if need_meta:
             leg = (leg.withColumnRenamed("_file", "_f")
                    .withColumnRenamed("_pos", "_p"))

@@ -85,6 +85,35 @@ class TestMinHash:
         assert [r["doc_id"] for r in survivors] == [0]
         assert took < 120, f"degenerate corpus took {took:.0f}s"
 
+    def test_persist_mode_frees_storage(self, spark, dup_docs):
+        """VERDICT r09 task 4: materialize='persist' gives the same
+        answer AND reclaims the signature cache via the
+        release_signatures() handle — closing the localCheckpoint
+        session-leak for long-lived shared sessions. Default behavior
+        (checkpoint) unchanged."""
+        sc = spark.sparkContext
+
+        def n_cached() -> int:
+            return sc._jsc.getPersistentRDDs().size()
+
+        before = n_cached()
+        out = dedup.minhash_lsh_dedup(dup_docs, num_perm=64, bands=16,
+                                      materialize="persist")
+        assert n_cached() == before + 1  # signatures materialized+cached
+        ids = sorted(r["doc_id"] for r in out.collect())
+        out.release_signatures()
+        assert n_cached() == before, "signature cache not freed"
+        # (the default checkpoint mode, run AFTER the release check,
+        # pins its blocks for the session — the documented trade)
+        default = sorted(r["doc_id"] for r in dedup.minhash_lsh_dedup(
+            dup_docs, num_perm=64, bands=16).collect())
+        assert ids == default
+        # invalid knob fails fast
+        import pytest
+
+        with pytest.raises(ValueError, match="materialize"):
+            dedup.minhash_lsh_dedup(dup_docs, materialize="nope")
+
 
 class TestGoldenVectors:
     """Third-party anchors for the LLM-dedup kernels (VERDICT r4 item

@@ -58,6 +58,7 @@ def test_driver_cap_window_composition():
         "ngram_jaccard",    # n-gram Jaccard pairs (dedup_minhash shingle-Jaccard in-window)
         "multimodal_decode",  # fake-decode plumbing (multimodal_png_real + multimodal_gif_frames real decodes in-window)
         "sessionize_events",  # batch sessionization (stream_sessionize in-window; r02 hash-flap cause pinned by test_no_hugeint_oracle_columns)
+        "ice_datasource",   # datasource registration demo (ice_pyds_scan exercises the python-datasource plane, ice_large_scan the jvm-union plane, both in-window; displaced for ice_orc_data)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without

@@ -871,11 +871,30 @@ class TestLargeScalePlanning:
 
         t._commit_files(files, operation=DataOperation.APPEND)
 
+        def _rss_mb() -> float:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        return int(line.split()[1]) / 1024.0
+            return 0.0
+
+        import gc as _gc
+
+        _gc.collect()
+        rss0 = _rss_mb()
         t0 = _time.time()
         tasks = t.scan().plan_files()
         plan_s = _time.time() - t0
         assert len(tasks) == n
         assert plan_s < 60, f"100k-file plan took {plan_s:.1f}s"
+        # driver-memory bound (VERDICT r09 task 5): the driver holds only
+        # compact surviving-task metadata — ~100k FileScanTasks is tens
+        # of MB, not the manifest payload. A leak of per-entry stats maps
+        # or bitmap bytes onto the driver trips this.
+        _gc.collect()
+        rss_delta = _rss_mb() - rss0
+        assert rss_delta < 400, (
+            f"100k-file planning grew driver RSS by {rss_delta:.0f} MiB")
 
         # footer-bound pruning still engages at this width
         t0 = _time.time()
