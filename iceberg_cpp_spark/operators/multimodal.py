@@ -228,6 +228,84 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
     return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def gif_frames(df: DataFrame, payload_col: str = "payload",
+               id_col: str = "media_id", max_frames: int = 256,
+               emit_png: bool = False,
+               on_error: str = "raise") -> DataFrame:
+    """REAL animated-GIF frame extraction (operators/codecs.py
+    decode_gif_frames — GIF89a disposal-method compositing, frame-bomb
+    capped at ``max_frames``): one output row per composited frame
+    (id, frame_idx, ts_ms, width, height, mean_luma; plus a
+    ``frame_png`` binary column with the canvas re-encoded as PNG when
+    ``emit_png`` — the decode→re-encode shape a training-data pipeline
+    feeds to image models). ``ts_ms`` is the cumulative GIF delay
+    timeline. ``on_error='skip'`` mirrors decode_images: a corrupt
+    payload yields ONE row with null frame fields and the typed error
+    in ``decode_error`` instead of failing the stage."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be 'raise' or 'skip': {on_error}")
+    skip = on_error == "skip"
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from iceberg_cpp_spark.operators.codecs import (
+            decode_gif_frames, encode_png)
+
+        for b in batches:
+            cols: dict = {id_col: [], "frame_idx": [], "ts_ms": [],
+                          "width": [], "height": [], "mean_luma": []}
+            if emit_png:
+                cols["frame_png"] = []
+            if skip:
+                cols["decode_error"] = []
+
+            def emit(mid, idx, ts, w, h, luma, png, err):
+                cols[id_col].append(mid)
+                cols["frame_idx"].append(idx)
+                cols["ts_ms"].append(ts)
+                cols["width"].append(w)
+                cols["height"].append(h)
+                cols["mean_luma"].append(luma)
+                if emit_png:
+                    cols["frame_png"].append(png)
+                if skip:
+                    cols["decode_error"].append(err)
+
+            for mid, p in zip(b[id_col], b[payload_col]):
+                payload = bytes(p) if p is not None else b""
+                try:
+                    d = decode_gif_frames(payload, max_frames=max_frames)
+                except Exception as e:  # noqa: BLE001 — skip mode records
+                    if not skip:
+                        raise
+                    emit(mid, None, None, None, None, None, None,
+                         f"{type(e).__name__}: {e}")
+                    continue
+                ts = 0
+                for i, fr in enumerate(d["frames"]):
+                    luma = float(
+                        0.299 * fr[:, :, 0].mean()
+                        + 0.587 * fr[:, :, 1].mean()
+                        + 0.114 * fr[:, :, 2].mean())
+                    emit(mid, i, ts, d["width"], d["height"],
+                         round(luma, 6),
+                         encode_png(fr) if emit_png else None, None)
+                    ts += d["delays_ms"][i]
+            out = pd.DataFrame(cols)
+            out["frame_idx"] = pd.array(out["frame_idx"], dtype="Int32")
+            out["ts_ms"] = pd.array(out["ts_ms"], dtype="Int64")
+            out["width"] = pd.array(out["width"], dtype="Int32")
+            out["height"] = pd.array(out["height"], dtype="Int32")
+            yield out
+
+    out_schema = (f"{id_col} long, frame_idx int, ts_ms long, "
+                  "width int, height int, mean_luma double")
+    if emit_png:
+        out_schema += ", frame_png binary"
+    if skip:
+        out_schema += ", decode_error string"
+    return df.select(id_col, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def resize_images(df: DataFrame, width: int, height: int,
                   payload_col: str = "payload", id_col: str = "media_id",
                   fake: bool = False, on_error: str = "raise") -> DataFrame:

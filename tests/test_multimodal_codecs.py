@@ -563,6 +563,42 @@ class TestGifFrames:
                 d["frames"][i][:, :, 0],
                 frames[i]["grid"].astype(np.uint8))
 
+    def test_gif_frames_operator_distributed(self, spark):
+        """gif_frames: the distributed frame-extraction operator — one
+        row per composited frame, cumulative delay timeline, PNG
+        re-encode round-trip, and typed skip-mode errors."""
+        import os
+
+        from iceberg_cpp_spark.operators.multimodal import gif_frames
+
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "assets", "gif", "animated_disposal.gif")
+        good = open(path, "rb").read()
+        df = spark.createDataFrame(
+            [(1, good), (2, b"GIF89a garbage")],
+            "media_id long, payload binary")
+        rows = gif_frames(df, emit_png=True, on_error="skip").collect()
+        by_id: dict = {}
+        for r in rows:
+            by_id.setdefault(r["media_id"], []).append(r)
+        frames = sorted(by_id[1], key=lambda r: r["frame_idx"])
+        assert len(frames) == 4
+        assert [r["ts_ms"] for r in frames] == [0, 100, 300, 600]
+        assert all((r["width"], r["height"]) == (8, 8) for r in frames)
+        # frame 0 is solid red: luma = .299*255
+        assert abs(frames[0]["mean_luma"] - 0.299 * 255) < 1e-6
+        # PNG re-encode round-trips to the composited canvas
+        d = codecs.decode_png(bytes(frames[2]["frame_png"]))
+        assert d["pixels"][0, 0].tolist() == self.BLUE
+        assert d["pixels"][5, 5].tolist() == self.RED
+        # corrupt payload: one typed error row, stage survives
+        bad = by_id[2]
+        assert len(bad) == 1 and bad[0]["frame_idx"] is None
+        assert "ValueError" in bad[0]["decode_error"]
+        # raise mode propagates
+        with pytest.raises(Exception):
+            gif_frames(df).collect()
+
     def test_fixture_bytes_pinned(self):
         # regeneration must be byte-stable (scripts/make_gif_fixtures.py)
         import hashlib
