@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     # family previously without a perf trend — real PNG encode+decode
     # through the Arrow-batched mapInPandas pipeline
     "multimodal_png_real",
+    # r10 additions: ORC interop leg and the real animated-GIF decoder
+    "ice_orc_data",
+    "multimodal_gif_frames",
 ]
 
 # min-of-N runs per query; override with SPARK_GRAFT_BENCH_RUNS

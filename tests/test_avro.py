@@ -722,6 +722,16 @@ class TestAvroDataFiles:
         n = t.scan(filter=ex.gt(ex.Reference("l_quantity"), 30.0)) \
              .to_df().count()
         assert n == li.filter("l_quantity > 30").count()
+        # pushdown + pruning reach the JVM ORC leg (100 TB rule): the
+        # ORC FileScan must carry the predicate and a pruned ReadSchema
+        plan = (t.scan(filter=ex.gt(ex.Reference("l_quantity"), 30.0),
+                       columns=["l_orderkey", "l_quantity"]).to_df()
+                ._jdf.queryExecution().executedPlan().toString())
+        orc_scan = [ln for ln in plan.splitlines()
+                    if "FileScan orc" in ln]
+        assert orc_scan and "GreaterThan(l_quantity,30.0)" in orc_scan[0]
+        assert "struct<l_orderkey:bigint,l_quantity:double>" \
+            in orc_scan[0]
         # MoR position delete spans both formats (need_meta ORC leg)
         t = t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
                            mode="merge-on-read")
