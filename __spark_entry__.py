@@ -1628,6 +1628,27 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_dedup(emb, threshold=0.98).select("vec_id")
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.py
+    semantic_dedup): cluster the embedding space, prune near-dups by
+    exact cosine within clusters only. THIS row injects the
+    deterministic axis-cluster variant (cluster = argmax |dimension|,
+    first max wins — mirrored bit-for-bit by the fixture generator,
+    scripts/gen_llm_fixtures.py) so the survivor set hash-compares; the
+    MLlib-KMeans default clustering is partitioning-dependent at init
+    and is pinned by pytest instead (TestSemanticDedup)."""
+    from iceberg_cpp_spark.operators import dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    absv = F.transform(F.col("embedding"), lambda x: F.abs(x))
+    clusters = emb.select(
+        "vec_id",
+        (F.array_position(absv, F.array_max(absv)) - 1)
+        .cast("int").alias("cluster"))
+    out = dedup.semantic_dedup(emb, threshold=0.4, clusters=clusters)
+    return out.select("vec_id")
+
+
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact 3-gram Jaccard on consecutive-id candidate pairs."""
     from iceberg_cpp_spark.operators import dedup
@@ -2309,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_datasource": ice_datasource,
         "dedup_minhash_verified": dedup_minhash_verified,
         "dedup_simhash": dedup_simhash,
+        "dedup_semantic": dedup_semantic,
         "ngram_jaccard": ngram_jaccard,
         "multimodal_decode": multimodal_decode,
         "sessionize_events": sessionize_events,
@@ -3188,6 +3210,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": """
             SELECT vec_id
             FROM read_parquet('/root/repo/assets/llm_oracles/embedding.parquet')
+            WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
+        """,
+        "dedup_semantic": """
+            SELECT vec_id
+            FROM read_parquet('/root/repo/assets/llm_oracles/semantic.parquet')
             WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
         """,
         "ann_ivf_topk": """

@@ -384,17 +384,15 @@ def hyperplane_bucket_udf(planes: int, dim: int):
     return bucket
 
 
-def embedding_dedup(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
-                    threshold: float = 0.95, planes: int = 16,
-                    dim: Optional[int] = None) -> DataFrame:
-    """Cosine near-dup removal without an n² cross join: sign-pattern of
-    ``planes`` random hyperplanes buckets similar vectors together; the
-    exact cosine check runs only inside buckets (arrow-batched)."""
-    if dim is None:
-        first = df.select(F.size(vec_col)).first()
-        if first is None:
-            return df
-        dim = first[0]
+def _grouped_cosine_dedup(df: DataFrame, vec_col: str, id_col: str,
+                          threshold: float, group_fn) -> DataFrame:
+    """Shared skeleton for cosine near-dup removal without an n² cross
+    join: collapse exact-identical vectors, group the distinct vectors
+    via ``group_fn`` (LSH buckets, clusters, …), run the exact cosine
+    check only INSIDE groups, keep the min id of each similar set.
+
+    ``group_fn(distinct_vecs) -> DataFrame(id, vec, _g)`` supplies the
+    grouping column."""
     # Degenerate-bucket guard, part 1: collapse EXACT-identical vectors
     # first (sha2 of the vector's string form, one map-side-combinable
     # shuffle — the same shape as exact_dedup). Identical vectors have
@@ -411,15 +409,13 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding", id_col: str = "ve
             .drop("_vk")
             .localCheckpoint(eager=True))
     distinct_vecs = df.join(reps, on=id_col, how="leftsemi")
-    bucket = hyperplane_bucket_udf(planes, dim)
-    keyed = distinct_vecs.select(
-        F.col(id_col), F.col(vec_col), bucket(F.col(vec_col)).alias("_b"))
+    keyed = group_fn(distinct_vecs)
 
     def find_dups(grp: pd.DataFrame) -> pd.DataFrame:
-        # one call per LSH bucket (applyInPandas guarantees whole groups,
+        # one call per group (applyInPandas guarantees whole groups,
         # unlike mapInPandas batch boundaries). Part 2 of the guard:
         # the pairwise cosine runs in bounded TILES (chunk x chunk),
-        # never materializing a full bucket² similarity matrix.
+        # never materializing a full group² similarity matrix.
         if len(grp) < 2:
             return pd.DataFrame({id_col: pd.Series([], dtype="int64")})
         ids = grp[id_col].to_numpy()
@@ -445,13 +441,70 @@ def embedding_dedup(df: DataFrame, vec_col: str = "embedding", id_col: str = "ve
         return pd.DataFrame({id_col: pd.Series(dups, dtype="int64")})
 
     bucket_dups = (
-        keyed.groupBy("_b")
+        keyed.groupBy("_g")
         .applyInPandas(find_dups, schema=f"{id_col} long")
         .distinct()
     )
     exact_dups = df.select(id_col).join(reps, on=id_col, how="left_anti")
     dup_ids = bucket_dups.unionByName(exact_dups).distinct()
     return df.join(dup_ids, on=id_col, how="left_anti")
+
+
+def embedding_dedup(df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id",
+                    threshold: float = 0.95, planes: int = 16,
+                    dim: Optional[int] = None) -> DataFrame:
+    """Cosine near-dup removal without an n² cross join: sign-pattern of
+    ``planes`` random hyperplanes buckets similar vectors together; the
+    exact cosine check runs only inside buckets (arrow-batched)."""
+    if dim is None:
+        first = df.select(F.size(vec_col)).first()
+        if first is None:
+            return df
+        dim = first[0]
+    bucket = hyperplane_bucket_udf(planes, dim)
+
+    def group(distinct_vecs: DataFrame) -> DataFrame:
+        return distinct_vecs.select(
+            F.col(id_col), F.col(vec_col),
+            bucket(F.col(vec_col)).alias("_g"))
+
+    return _grouped_cosine_dedup(df, vec_col, id_col, threshold, group)
+
+
+def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", threshold: float = 0.95,
+                   clusters: Optional[DataFrame] = None, k: int = 64,
+                   seed: int = 42, max_iter: int = 10) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public): group
+    the embedding space into data-adaptive CLUSTERS, then prune
+    near-duplicates within each cluster by exact cosine — the min-id
+    member of each similar set survives. Versus random-hyperplane LSH
+    (``embedding_dedup``), learned clusters follow the data's actual
+    density, catching near-dups whose hyperplane signs differ.
+
+    ``clusters``: optional (id, cluster) DataFrame for a caller-supplied
+    (e.g. deterministic) partitioning; default is distributed MLlib
+    KMeans (``similarity.kmeans_clusters`` — map-side assignment with
+    broadcast centers, no driver rows).
+
+    Scale: the only shuffles are the exact-collapse groupBy, the cluster
+    join, and the per-cluster applyInPandas; within-cluster cost is
+    bounded by cluster size (pick k ~ n / target_cluster_size) and the
+    pairwise check is tiled, so no cluster² matrix materializes."""
+    if clusters is None:
+        from iceberg_cpp_spark.operators.similarity import kmeans_clusters
+
+        clusters = kmeans_clusters(df, k=k, vec_col=vec_col,
+                                   id_col=id_col, seed=seed,
+                                   max_iter=max_iter)
+    clusters = clusters.select(F.col(id_col),
+                               F.col("cluster").alias("_g"))
+
+    def group(distinct_vecs: DataFrame) -> DataFrame:
+        return (distinct_vecs.select(F.col(id_col), F.col(vec_col))
+                .join(clusters, on=id_col))
+
+    return _grouped_cosine_dedup(df, vec_col, id_col, threshold, group)
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",

@@ -166,8 +166,8 @@ def jvm_norm(x) -> float:
 def main():
     os.makedirs(OUT, exist_ok=True)
     rows = {k: [] for k in ["minhash", "minhash_verified", "simhash",
-                            "embedding", "transitive", "ivf", "pq",
-                            "cross", "bpe"]}
+                            "embedding", "semantic", "transitive", "ivf",
+                            "pq", "cross", "bpe"]}
 
     for sf_dir in SF_DIRS:
         docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
@@ -321,6 +321,34 @@ def main():
         for d in sorted(set(map(int, vids)) - edups):
             rows["embedding"].append((tag, d))
 
+        # dedup_semantic (deterministic axis-cluster variant):
+        # cluster = argmax |dimension| (first max wins, matching Spark's
+        # array_position on the first equal element); threshold=0.4 —
+        # the synthetic embeddings are random (max pairwise cosine
+        # ~0.51), so a "near-dup" threshold prunes nothing; 0.4 yields a
+        # non-trivial survivor set at every sf. Identical vectors need
+        # no separate collapse — cosine 1.0 within their shared cluster
+        # prunes the non-min ids
+        cbuckets: dict[int, list[int]] = {}
+        for vid, v in zip(vids, vecs):
+            a = np.abs(np.asarray(v, dtype=np.float64))
+            cbuckets.setdefault(int(np.argmax(a)), []).append(int(vid))
+        smdups: set[int] = set()
+        for members in cbuckets.values():
+            if len(members) < 2:
+                continue
+            mids = np.array(sorted(members))
+            M = np.stack([xmap[i] for i in mids])
+            norms = np.linalg.norm(M, axis=1)
+            norms[norms == 0] = 1.0
+            Mn = M / norms[:, None]
+            sims = Mn @ Mn.T
+            for j in range(1, len(mids)):
+                if (sims[j, :j] >= 0.4).any():
+                    smdups.add(int(mids[j]))
+        for d in sorted(set(map(int, vids)) - smdups):
+            rows["semantic"].append((tag, d))
+
         # ann_ivf_topk: ncentroids=16, sample_rows=4000, iters=10,
         # nprobe=4, k=5, queries = vec_id < 8. Training sample spec:
         # rows ordered by (crc32(str(vec_id)), str(vec_id)) — the engine
@@ -408,6 +436,7 @@ def main():
                        ("simhash", ["tag", "doc_id"]),
                        ("transitive", ["tag", "doc_id"]),
                        ("embedding", ["tag", "vec_id"]),
+                       ("semantic", ["tag", "vec_id"]),
                        ("ivf", ["tag", "query_id", "vec_id", "rank"]),
                        ("pq", ["tag", "query_id", "vec_id", "rank"]),
                        ("cross", ["tag", "id_a", "id_b"]),

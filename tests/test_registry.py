@@ -55,6 +55,7 @@ def test_driver_cap_window_composition():
         "ice_avro_manifests",  # Avro manifest read/write (ice_avro_v3 + ice_avro_data in-window)
         "ice_sorted_write",  # sorted-write ordering (ice_zorder sort rewrite in-window)
         "dedup_simhash",    # hamming-bucket dedup (dedup_minhash + dedup_embedding LSH in-window)
+        "dedup_semantic",   # SemDeDup cluster-prune (dedup_embedding in-window shares the grouped-cosine machinery)
         "ngram_jaccard",    # n-gram Jaccard pairs (dedup_minhash shingle-Jaccard in-window)
         "multimodal_decode",  # fake-decode plumbing (multimodal_png_real + multimodal_gif_frames real decodes in-window)
         "sessionize_events",  # batch sessionization (stream_sessionize in-window; r02 hash-flap cause pinned by test_no_hugeint_oracle_columns)
