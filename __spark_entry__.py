@@ -1649,6 +1649,28 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id")
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental minhash dedup against a PERSISTED LSH bucket store
+    (operators/dedup.py minhash_incremental_dedup — the growing-corpus
+    production shape): even doc_ids seed an IceTable store
+    (minhash_build_store), odd doc_ids arrive as the next ingestion
+    batch and dedup against the store + each other WITHOUT re-hashing
+    the seed corpus; the store update is an insert-only MERGE INTO
+    (one snapshot per batch). The fixture generator mirrors the exact
+    banding + store semantics (scripts/gen_llm_fixtures.py)."""
+    from iceberg_cpp_spark.operators import dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter("doc_id % 2 = 0")
+    new = docs.filter("doc_id % 2 = 1")
+    base = tempfile.mkdtemp(prefix="ice_incdedup_")
+    _, store = dedup.minhash_build_store(
+        spark, os.path.join(base, "store"), old, num_perm=64, bands=16)
+    survivors, _store2 = dedup.minhash_incremental_dedup(
+        store, new, num_perm=64, bands=16)
+    return survivors.select("doc_id")
+
+
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact 3-gram Jaccard on consecutive-id candidate pairs."""
     from iceberg_cpp_spark.operators import dedup
@@ -2331,6 +2353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_verified": dedup_minhash_verified,
         "dedup_simhash": dedup_simhash,
         "dedup_semantic": dedup_semantic,
+        "dedup_incremental": dedup_incremental,
         "ngram_jaccard": ngram_jaccard,
         "multimodal_decode": multimodal_decode,
         "sessionize_events": sessionize_events,
@@ -3215,6 +3238,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_semantic": """
             SELECT vec_id
             FROM read_parquet('/root/repo/assets/llm_oracles/semantic.parquet')
+            WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
+        """,
+        "dedup_incremental": """
+            SELECT doc_id
+            FROM read_parquet('/root/repo/assets/llm_oracles/incremental.parquet')
             WHERE tag = (SELECT CAST(SUM(length(text)) AS BIGINT) FROM documents)
         """,
         "ann_ivf_topk": """

@@ -214,6 +214,103 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return out
 
 
+def _minhash_banded(df: DataFrame, text_col: str, id_col: str,
+                    num_perm: int, bands: int,
+                    shingle_width: int) -> DataFrame:
+    """(id, _band, _bucket) exploded LSH band rows, signature job
+    materialized once (the shared front half of batch and incremental
+    minhash dedup)."""
+    assert num_perm % bands == 0, "num_perm must divide evenly into bands"
+    r = num_perm // bands
+    sig = minhash_signature_udf(num_perm, shingle_width)
+    src = df.select(F.col(id_col), F.col(text_col))
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    with_sig = (src.select(F.col(id_col), sig(F.col(text_col)).alias("_sig"))
+                .localCheckpoint(eager=True))
+    band_hashes = F.array(*[
+        F.xxhash64(F.concat_ws(
+            ",", F.slice("_sig", i * r + 1, r).cast("array<string>")))
+        for i in range(bands)
+    ])
+    return with_sig.select(
+        id_col, F.posexplode(band_hashes).alias("_band", "_bucket"))
+
+
+STORE_SCHEMA = "band int, bucket long, doc_id long"
+
+
+def minhash_build_store(spark, location: str, docs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        num_perm: int = 128, bands: int = 32,
+                        shingle_width: int = 3):
+    """Seed an INCREMENTAL dedup store: batch-dedup the seed corpus,
+    then persist the survivors' (band, bucket, min doc id) rows as an
+    IceTable — the state a growing-corpus pipeline carries between
+    ingestion batches. Returns (survivors_df, store_table)."""
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.table import IceTable
+
+    survivors = minhash_lsh_dedup(docs, text_col=text_col, id_col=id_col,
+                                  num_perm=num_perm, bands=bands,
+                                  shingle_width=shingle_width)
+    banded = _minhash_banded(survivors, text_col, id_col,
+                             num_perm, bands, shingle_width)
+    rows = (banded.groupBy("_band", "_bucket")
+            .agg(F.min(id_col).alias("doc_id"))
+            .select(F.col("_band").cast("int").alias("band"),
+                    F.col("_bucket").alias("bucket"), "doc_id"))
+    store = IceTable.create(
+        spark, location,
+        schema_from_spark(spark.createDataFrame([], STORE_SCHEMA).schema))
+    store = store.append(rows)
+    return survivors, store
+
+
+def minhash_incremental_dedup(store, new_docs: DataFrame,
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              num_perm: int = 128, bands: int = 32,
+                              shingle_width: int = 3):
+    """Incremental corpus dedup against a persisted LSH bucket store
+    (the production shape for a GROWING corpus: the existing corpus is
+    never re-hashed). A new doc is dropped when any of its band buckets
+    already exists in the store (matches an earlier survivor) or
+    contains a smaller id within the batch (the same bucket-min rule as
+    ``minhash_lsh_dedup``). Surviving docs' buckets are then published
+    to the store with an insert-only MERGE INTO (one snapshot per
+    batch; exactly the engine's own upsert machinery), so consecutive
+    batches — or a replay of the same batch — dedup against everything
+    already accepted.
+
+    Per-batch cost: signature work O(new docs) + one join against the
+    store's bucket table (broadcast when small, shuffled when not) +
+    the MERGE's anti-join. Returns (survivors_df, updated_store)."""
+    banded = _minhash_banded(new_docs, text_col, id_col,
+                             num_perm, bands, shingle_width)
+    store_keys = (store.to_df()
+                  .select(F.col("band").alias("_band"),
+                          F.col("bucket").alias("_bucket")))
+    hit_store = (banded.join(store_keys, ["_band", "_bucket"], "left_semi")
+                 .select(id_col))
+    mins = (banded.groupBy("_band", "_bucket")
+            .agg(F.min(id_col).alias("_rep"), F.count("*").alias("_n"))
+            .filter(F.col("_n") > 1).drop("_n"))
+    within = (banded.join(mins, ["_band", "_bucket"])
+              .filter(F.col(id_col) > F.col("_rep")).select(id_col))
+    dup_ids = hit_store.unionByName(within).distinct()
+    survivors = new_docs.join(dup_ids, on=id_col, how="left_anti")
+    new_rows = (banded.join(dup_ids, on=id_col, how="left_anti")
+                .groupBy("_band", "_bucket")
+                .agg(F.min(id_col).alias("doc_id"))
+                .select(F.col("_band").cast("int").alias("band"),
+                        F.col("_bucket").alias("bucket"), "doc_id"))
+    store = store.merge_into(new_rows, on=["band", "bucket"],
+                             when_matched=None, when_not_matched="insert")
+    return survivors, store
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -167,7 +167,7 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     rows = {k: [] for k in ["minhash", "minhash_verified", "simhash",
                             "embedding", "semantic", "transitive", "ivf",
-                            "pq", "cross", "bpe"]}
+                            "pq", "cross", "bpe", "incremental"]}
 
     for sf_dir in SF_DIRS:
         docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
@@ -204,6 +204,28 @@ def main():
         tdrop = {x for x in uf.p if uf.find(x) != x}
         for d in sorted(set(map(int, ids)) - tdrop):
             rows["transitive"].append((tag, d))
+
+        # dedup_incremental: seed corpus = even doc_ids -> batch LSH
+        # dedup -> store = survivors' (band, r-tuple) buckets; batch =
+        # odd doc_ids, dropped on a store hit OR a smaller odd id in the
+        # same bucket (the engine's bucket-min rule); num_perm=64,
+        # bands=16 (same banding as dedup_minhash)
+        even_ix = [i for i, d in enumerate(ids) if int(d) % 2 == 0]
+        odd_ix = [i for i, d in enumerate(ids) if int(d) % 2 == 1]
+        old_buckets = band_buckets([int(ids[i]) for i in even_ix],
+                                   sigs[even_ix], 16)
+        old_survivors = (set(int(ids[i]) for i in even_ix)
+                         - bucket_min_dups(old_buckets))
+        store_keys = {key for key, members in old_buckets.items()
+                      if any(m in old_survivors for m in members)}
+        new_buckets = band_buckets([int(ids[i]) for i in odd_ix],
+                                   sigs[odd_ix], 16)
+        inc_dups = bucket_min_dups(new_buckets)
+        for key, members in new_buckets.items():
+            if key in store_keys:
+                inc_dups.update(members)
+        for d in sorted(set(int(ids[i]) for i in odd_ix) - inc_dups):
+            rows["incremental"].append((tag, d))
 
         # dedup_cross_corpus: corpus = odd doc_ids, benchmark = even;
         # same 128-perm/32-band spec AS THE ENGINE (minhash_cross_pairs
@@ -440,7 +462,8 @@ def main():
                        ("ivf", ["tag", "query_id", "vec_id", "rank"]),
                        ("pq", ["tag", "query_id", "vec_id", "rank"]),
                        ("cross", ["tag", "id_a", "id_b"]),
-                       ("bpe", ["tag", "doc_id", "n_bpe"])]:
+                       ("bpe", ["tag", "doc_id", "n_bpe"]),
+                       ("incremental", ["tag", "doc_id"])]:
         df = pd.DataFrame(rows[name], columns=cols).astype("int64")
         path = os.path.join(OUT, f"{name}.parquet")
         df.to_parquet(path, index=False)

@@ -56,6 +56,7 @@ def test_driver_cap_window_composition():
         "ice_sorted_write",  # sorted-write ordering (ice_zorder sort rewrite in-window)
         "dedup_simhash",    # hamming-bucket dedup (dedup_minhash + dedup_embedding LSH in-window)
         "dedup_semantic",   # SemDeDup cluster-prune (dedup_embedding in-window shares the grouped-cosine machinery)
+        "dedup_incremental",  # store-backed incremental LSH (dedup_minhash in-window shares the banding; ice_merge_into in-window covers the store MERGE)
         "ngram_jaccard",    # n-gram Jaccard pairs (dedup_minhash shingle-Jaccard in-window)
         "multimodal_decode",  # fake-decode plumbing (multimodal_png_real + multimodal_gif_frames real decodes in-window)
         "sessionize_events",  # batch sessionization (stream_sessionize in-window; r02 hash-flap cause pinned by test_no_hugeint_oracle_columns)
