@@ -121,6 +121,17 @@ def main() -> None:
           f"{n_packs} packed sequences of 2048 tokens")
     print(f"table: {t.metadata_location}")
     assert 0 < n1 < n0
+
+    # 7. the corpus GROWS: later ingestion batches dedup against a
+    # persisted LSH bucket store (an IceTable) instead of re-hashing
+    # everything accepted so far; the store update is an insert-only
+    # MERGE, one snapshot per batch, so a replayed batch drops entirely
+    store_loc = os.path.join(tempfile.mkdtemp(prefix="llm_pipe_"), "store")
+    _, store = dedup.minhash_build_store(spark, store_loc, kept)
+    batch = docs.filter("doc_id % 17 = 3")  # overlaps the seed corpus
+    fresh, store = dedup.minhash_incremental_dedup(store, batch)
+    print(f"incremental: {fresh.count()}/{batch.count()} batch docs new "
+          f"(store snapshots: {len(store.snapshots())})")
     spark.stop()
 
 
