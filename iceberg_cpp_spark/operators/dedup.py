@@ -286,7 +286,29 @@ def minhash_incremental_dedup(store, new_docs: DataFrame,
 
     Per-batch cost: signature work O(new docs) + one join against the
     store's bucket table (broadcast when small, shuffled when not) +
-    the MERGE's anti-join. Returns (survivors_df, updated_store)."""
+    the MERGE's anti-join. Returns (survivors_df, updated_store).
+
+    Streaming callers that commit survivors to ANOTHER table must
+    sequence the two writes themselves via
+    ``minhash_incremental_candidates`` + ``minhash_publish_buckets``:
+    publishing the buckets BEFORE the survivor commit would make a
+    replayed batch see its own buckets and drop every row (see
+    ``streaming/incremental.py dedup_ingest_stream``)."""
+    survivors, new_rows = minhash_incremental_candidates(
+        store, new_docs, text_col=text_col, id_col=id_col,
+        num_perm=num_perm, bands=bands, shingle_width=shingle_width)
+    store = minhash_publish_buckets(store, new_rows)
+    return survivors, store
+
+
+def minhash_incremental_candidates(store, new_docs: DataFrame,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   num_perm: int = 128, bands: int = 32,
+                                   shingle_width: int = 3):
+    """Dedup decision WITHOUT the store write: returns (survivors_df,
+    new_bucket_rows) where new_bucket_rows is the (band, bucket, doc_id)
+    set the caller later publishes via ``minhash_publish_buckets``."""
     banded = _minhash_banded(new_docs, text_col, id_col,
                              num_perm, bands, shingle_width)
     store_keys = (store.to_df()
@@ -306,9 +328,15 @@ def minhash_incremental_dedup(store, new_docs: DataFrame,
                 .agg(F.min(id_col).alias("doc_id"))
                 .select(F.col("_band").cast("int").alias("band"),
                         F.col("_bucket").alias("bucket"), "doc_id"))
-    store = store.merge_into(new_rows, on=["band", "bucket"],
-                             when_matched=None, when_not_matched="insert")
-    return survivors, store
+    return survivors, new_rows
+
+
+def minhash_publish_buckets(store, new_rows: DataFrame):
+    """Publish a batch's surviving buckets to the store: insert-only
+    MERGE on (band, bucket) — key-idempotent, so replaying the same
+    batch inserts nothing. One snapshot per call."""
+    return store.merge_into(new_rows, on=["band", "bucket"],
+                            when_matched=None, when_not_matched="insert")
 
 
 # ---------------------------------------------------------------------------

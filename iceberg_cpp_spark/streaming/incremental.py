@@ -270,6 +270,64 @@ def cdc_apply_stream(stream_df, table: IceTable, on: list,
     return writer.start()
 
 
+def dedup_ingest_stream(stream_df, target: IceTable, store: IceTable,
+                        checkpoint_dir: str, text_col: str = "text",
+                        id_col: str = "doc_id", num_perm: int = 128,
+                        bands: int = 32, shingle_width: int = 3,
+                        trigger_available_now: bool = True):
+    """Streaming ingestion with STORE-BACKED near-dedup: each
+    micro-batch is deduped against the persisted LSH bucket store
+    (``operators/dedup.py minhash_incremental_dedup`` — the existing
+    corpus is never re-hashed) plus itself; survivors append to the
+    TARGET table as one snapshot and their buckets publish to the STORE
+    with an insert-only MERGE.
+
+    Replay safety is two-layered and ORDER-SENSITIVE: the dedup
+    decision and the target append run BEFORE the store publish —
+    publishing first would make a replayed batch see its own buckets
+    and drop every row (silent data loss). The target carries the
+    (stream-id, batch-id) snapshot-summary watermark (same scheme as
+    append_stream) so a replayed batch never re-appends, and the store
+    publish is key-idempotent (re-inserting the same buckets inserts
+    nothing) and re-run even on the replay-skip path — so a crash
+    between the two commits converges on replay instead of corrupting
+    either table."""
+    from iceberg_cpp_spark.operators.dedup import (
+        minhash_incremental_candidates, minhash_publish_buckets)
+
+    state: dict = {}
+
+    def ingest_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sid = state.setdefault("sid", _stream_id(checkpoint_dir))
+        fresh = lambda: batch_id > _last_committed_batch(target, sid)
+        target.refresh()
+        store.refresh()
+        survivors, new_rows = minhash_incremental_candidates(
+            store, batch_df, text_col=text_col, id_col=id_col,
+            num_perm=num_perm, bands=bands, shingle_width=shingle_width)
+        # the decision and the publish rows must not recompute between
+        # the two commits (nondeterministic sources) — pin them
+        survivors = survivors.localCheckpoint(eager=True)
+        new_rows = new_rows.localCheckpoint(eager=True)
+        if fresh():
+            target.append(survivors, summary_extras={
+                "streaming.source-id": sid,
+                "streaming.batch-id": str(batch_id)},
+                pre_check=fresh)
+        # ALWAYS publish (even when the append was replay-skipped): a
+        # crash after the target commit but before the publish leaves
+        # the store behind; the replay path heals it idempotently
+        minhash_publish_buckets(store, new_rows)
+
+    writer = stream_df.writeStream.foreachBatch(ingest_batch) \
+        .option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_events(spark, source_dir: str, schema: str,
                   ts_col: str = "ts", value_col: str = "value",
                   window: str = "1 hour", watermark: str = "2 hours",

@@ -649,6 +649,30 @@ class TestErrorContract:
             except (ValueError, NotImplementedError):
                 pass  # lucky decodes are also fine
 
+    def test_gif_frames_fuzz_fail_cleanly(self):
+        """Truncations and bit flips of a real animated GIF never escape
+        the ValueError/NotImplementedError contract of
+        decode_gif_frames (the corpus skip mode classifies on it)."""
+        import os
+        import random
+
+        rng = random.Random(11)
+        path = os.path.join(os.path.dirname(__file__), "..",
+                            "assets", "gif", "animated_disposal.gif")
+        good = open(path, "rb").read()
+        for trial in range(400):
+            if trial % 2 == 0:
+                data = good[:rng.randrange(1, len(good))]
+            else:
+                i = rng.randrange(6, len(good))
+                data = (good[:i] + bytes([good[i] ^ (1 << rng.randrange(8))])
+                        + good[i + 1:])
+            try:
+                d = codecs.decode_gif_frames(data)
+                assert d["frame_count"] >= 1  # lucky decode is fine
+            except (ValueError, NotImplementedError):
+                pass
+
 
 class TestSparkPlumbing:
     def test_decode_images_real(self, spark):

@@ -582,6 +582,77 @@ class TestStreamingAppend:
         assert t.to_df().count() == 130
 
 
+class TestDedupIngestStream:
+    def test_store_backed_streaming_dedup_and_replay(self, spark, tmp_loc):
+        """dedup_ingest_stream: micro-batches dedup against the
+        persisted LSH store before landing in the target; a TRUE crash
+        replay (commit marker dropped) neither double-appends NOR loses
+        rows — the order-sensitive bug this guards is publishing the
+        batch's buckets before the target commit, which would make the
+        replayed batch drop itself entirely."""
+        import random
+
+        from iceberg_cpp_spark.operators import dedup
+        from iceberg_cpp_spark.streaming.incremental import (
+            dedup_ingest_stream,
+        )
+
+        vocab = [f"w{i}" for i in range(300)]
+        seed_rows = []
+        for i in range(30):
+            rng = random.Random(i)
+            seed_rows.append((i, " ".join(rng.sample(vocab, 25))))
+        seed = spark.createDataFrame(seed_rows, "doc_id long, text string")
+        _, store = dedup.minhash_build_store(
+            spark, os.path.join(tmp_loc, "dstore"), seed,
+            num_perm=64, bands=16)
+
+        # batch: 5 exact copies of seed docs + 5 novel docs
+        batch_rows = [(1000 + i, seed_rows[i][1]) for i in range(5)]
+        for i in range(5):
+            rng = random.Random(9000 + i)
+            batch_rows.append((2000 + i, " ".join(rng.sample(vocab, 25))))
+        src = os.path.join(tmp_loc, "dsrc")
+        spark.createDataFrame(batch_rows, "doc_id long, text string") \
+            .repartition(1).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        target = IceTable.create(spark, os.path.join(tmp_loc, "dtgt"),
+                                 schema_from_spark(schema))
+        ckpt = os.path.join(tmp_loc, "dckpt")
+        seed_store_rows = store.to_df().count()
+        q = dedup_ingest_stream(
+            spark.readStream.schema(schema).parquet(src), target, store,
+            ckpt, num_perm=64, bands=16)
+        q.awaitTermination(300)
+        target.refresh()
+        store.refresh()
+        ids = {r["doc_id"] for r in target.to_df().collect()}
+        assert all(2000 + i in ids for i in range(5))      # novel kept
+        assert all(1000 + i not in ids for i in range(5))  # copies dropped
+        store_rows = store.to_df().count()
+        assert store_rows > seed_store_rows  # survivors' buckets landed
+
+        # crash-replay: drop the newest commit marker; the replayed
+        # batch must neither re-append nor vanish (bucket-publish-first
+        # would drop it entirely)
+        commits = os.path.join(ckpt, "commits")
+        newest = max((f for f in os.listdir(commits) if f.isdigit()),
+                     key=int)
+        os.remove(os.path.join(commits, newest))
+        crc = os.path.join(commits, f".{newest}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        q2 = dedup_ingest_stream(
+            spark.readStream.schema(schema).parquet(src), target, store,
+            ckpt, num_perm=64, bands=16)
+        q2.awaitTermination(300)
+        target.refresh()
+        store.refresh()
+        assert {r["doc_id"] for r in target.to_df().collect()} == ids
+        assert store.to_df().count() == store_rows  # publish idempotent
+
+
 class TestUpsertStream:
     def test_streaming_merge_applies_upserts(self, spark, lineitem, tmp_loc):
         from iceberg_cpp_spark.streaming.incremental import upsert_stream
