@@ -319,6 +319,35 @@ class TableScan:
             if spec.fields and "partition" in df.columns:
                 df = df.filter(pruning.partition_expr_to_column(proj, "partition"))
 
+            if isinstance(evaluator.expr, ex.TrueExp):
+                # unfiltered scan: the metrics evaluator is vacuous
+                # (ROWS_MIGHT_MATCH for every non-empty file), so skip
+                # the per-row Python stats pass entirely — the whole
+                # plan stays JVM-side column selection + collect
+                frid = (F.col("first_row_id").cast("long")
+                        if "first_row_id" in df.columns
+                        else F.lit(None).cast("long"))
+                rows = (df.filter(F.col("record_count") > 0)
+                        .select("file_path", "file_format", "record_count",
+                                "file_size_in_bytes", "partition_json",
+                                F.coalesce(F.col("sequence_number"),
+                                           F.lit(0)).alias("sequence_number"),
+                                frid.alias("first_row_id"))
+                        .collect())
+                for r in rows:
+                    tasks.append(FileScanTask(
+                        file_path=r["file_path"],
+                        file_format=r["file_format"],
+                        record_count=r["record_count"],
+                        file_size_in_bytes=r["file_size_in_bytes"],
+                        partition=mf.partition_from_json(
+                            r["partition_json"], spec, schema),
+                        spec_id=spec_id,
+                        sequence_number=r["sequence_number"] or 0,
+                        first_row_id=r["first_row_id"],
+                    ))
+                continue
+
             ev = evaluator
 
             def survive(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
