@@ -339,6 +339,27 @@ def _visit_summary(e: ex.Expression, by_name: dict) -> bool:
 # (spec scan planning; stats fields from manifest_entry.h:95-124)
 # ---------------------------------------------------------------------------
 
+def referenced_field_ids(e: ex.Expression) -> set:
+    """Field ids a bound metrics expression actually consults — lets
+    the distributed planner materialize ONLY those entries of the
+    per-file stats maps instead of converting six full per-column maps
+    per manifest row (the planning hot loop at 10^5 files)."""
+    out: set = set()
+
+    def walk(x) -> None:
+        if isinstance(x, (ex.And, ex.Or)):
+            walk(x.left)
+            walk(x.right)
+        elif isinstance(x, ex.Not):
+            walk(x.child)
+        elif isinstance(x, ex.BoundPredicate):
+            if x.term.transform is None:
+                out.add(x.term.field_id)
+
+    walk(e)
+    return out
+
+
 class InclusiveMetricsEvaluator:
     """Decides rows_might_match from a data file's column statistics:
     record_count, value_counts, null_value_counts, nan_value_counts,

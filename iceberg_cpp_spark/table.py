@@ -349,6 +349,7 @@ class TableScan:
                 continue
 
             ev = evaluator
+            ref_ids = pruning.referenced_field_ids(evaluator.expr)
 
             def survive(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
                 for b in batches:
@@ -356,11 +357,16 @@ class TableScan:
                     for i in range(len(b)):
                         stats = {
                             "record_count": b["record_count"].iloc[i],
-                            "value_counts": _as_dict(b["value_counts"].iloc[i]),
-                            "null_value_counts": _as_dict(b["null_value_counts"].iloc[i]),
-                            "nan_value_counts": _as_dict(b["nan_value_counts"].iloc[i]),
-                            "lower_bounds": _as_dict(b["lower_bounds"].iloc[i]),
-                            "upper_bounds": _as_dict(b["upper_bounds"].iloc[i]),
+                            "value_counts": _subset_dict(
+                                b["value_counts"].iloc[i], ref_ids),
+                            "null_value_counts": _subset_dict(
+                                b["null_value_counts"].iloc[i], ref_ids),
+                            "nan_value_counts": _subset_dict(
+                                b["nan_value_counts"].iloc[i], ref_ids),
+                            "lower_bounds": _subset_dict(
+                                b["lower_bounds"].iloc[i], ref_ids),
+                            "upper_bounds": _subset_dict(
+                                b["upper_bounds"].iloc[i], ref_ids),
                         }
                         keep.append(bool(ev.eval(stats)))
                     out = b.loc[keep, ["file_path", "file_format", "record_count",
@@ -1141,6 +1147,17 @@ def _as_dict(v: Any) -> dict:
                 for k, x in v.items()}
     # arrow map → list of (k, v) tuples in pandas
     return {int(k): bytes(x) if isinstance(x, (bytes, bytearray)) else x for k, x in v}
+
+
+def _subset_dict(v: Any, ref_ids) -> dict:
+    """_as_dict restricted to the field ids a plan expression consults
+    (pruning.referenced_field_ids) — skips the bytes conversion for
+    every other column in the planning hot loop."""
+    if v is None:
+        return {}
+    items = v.items() if isinstance(v, dict) else v
+    return {int(k): bytes(x) if isinstance(x, (bytes, bytearray)) else x
+            for k, x in items if int(k) in ref_ids}
 
 
 class IceTable:
