@@ -177,19 +177,28 @@ def bench_plan_50k(spark) -> dict[str, float]:
     from iceberg_cpp_spark.plans import expressions as ex
     from iceberg_cpp_spark.table import DataOperation
 
-    schema = itt.Schema([
-        itt.NestedField(1, "id", itt.LongType(), required=True),
-        itt.NestedField(2, "v", itt.DoubleType()),
-    ], schema_id=0)
+    # realistic WIDE stats: 8 columns, every file carries bounds +
+    # counts for all of them (the shape the referenced-field subset
+    # optimization targets — a filter on one column must not pay for
+    # converting the other seven columns' stats)
+    schema = itt.Schema(
+        [itt.NestedField(1, "id", itt.LongType(), required=True)]
+        + [itt.NestedField(i, f"c{i}", itt.LongType())
+           for i in range(2, 9)], schema_id=0)
     root = tempfile.mkdtemp(prefix="bench_plan_")
     t = IceTable.create(spark, os.path.join(root, "t"), schema)
     n = 50_000
+    all_ids = list(range(1, 9))
     files = [mfs.DataFile(
         content=mfs.CONTENT_DATA, file_path=f"/fake/data/f{i:06d}.parquet",
         file_format="parquet", partition={}, record_count=100,
         file_size_in_bytes=10_000,
-        lower_bounds={1: (i * 100).to_bytes(8, "little")},
-        upper_bounds={1: (i * 100 + 99).to_bytes(8, "little")},
+        value_counts={f: 100 for f in all_ids},
+        null_value_counts={f: 0 for f in all_ids},
+        lower_bounds={f: (i * 100).to_bytes(8, "little")
+                      for f in all_ids},
+        upper_bounds={f: (i * 100 + 99).to_bytes(8, "little")
+                      for f in all_ids},
     ) for i in range(n)]
     t._commit_files(files, operation=DataOperation.APPEND)
 
