@@ -453,6 +453,169 @@ class InclusiveMetricsEvaluator:
         return ROWS_MIGHT_MATCH
 
 
+# types whose comparable form is a plain number — the set the batch
+# (vectorized) metrics evaluator handles; everything else falls back to
+# the scalar per-row path
+_NUMERIC_COMPARABLE = (
+    "IntegerType", "LongType", "FloatType", "DoubleType",
+    "DateType", "TimeType", "TimestampType", "TimestampTzType",
+)
+
+_VEC_OPS = {ex.Op.IS_NULL, ex.Op.NOT_NULL, ex.Op.IS_NAN, ex.Op.NOT_NAN,
+            ex.Op.LT, ex.Op.LT_EQ, ex.Op.GT, ex.Op.GT_EQ, ex.Op.EQ,
+            ex.Op.IN, ex.Op.NOT_EQ, ex.Op.NOT_IN}
+
+
+def _vectorizable(e: ex.Expression) -> bool:
+    if isinstance(e, (ex.TrueExp, ex.FalseExp)):
+        return True
+    if isinstance(e, (ex.And, ex.Or)):
+        return _vectorizable(e.left) and _vectorizable(e.right)
+    if isinstance(e, ex.BoundPredicate):
+        if e.term.transform is not None:
+            return False
+        if e.op not in _VEC_OPS:
+            return False
+        return type(e.term.field_type).__name__ in _NUMERIC_COMPARABLE
+    return False
+
+
+class _BatchStats:
+    """Lazily-decoded per-field stat arrays for one pandas batch of
+    manifest rows (maps arrive as dicts or arrow lists of (k, v))."""
+
+    def __init__(self, batch):
+        import numpy as np
+
+        self.b = batch
+        self.n = len(batch)
+        self.np = np
+        self._cache: dict = {}
+
+    def _extract(self, key: str, fid: int) -> list:
+        out = []
+        for m in self.b[key]:
+            if m is None:
+                out.append(None)
+                continue
+            items = m.items() if isinstance(m, dict) else m
+            v = None
+            for k, x in items:
+                if int(k) == fid:
+                    v = x
+                    break
+            out.append(v)
+        return out
+
+    def counts(self, key: str, fid: int):
+        """(float64 values, present mask) for a counts map column."""
+        ck = (key, fid)
+        if ck not in self._cache:
+            np = self.np
+            raw = self._extract(key, fid)
+            present = np.array([v is not None for v in raw])
+            vals = np.array([float(v) if v is not None else 0.0
+                             for v in raw])
+            self._cache[ck] = (vals, present)
+        return self._cache[ck]
+
+    def bounds(self, key: str, fid: int, t):
+        """(float64 comparable values, usable mask) for a bounds column;
+        missing OR NaN bounds are both 'unusable' (exactly the scalar
+        evaluator's `is not None and not _is_nan` guard). float64 holds
+        int64 bounds beyond 2^53 only approximately — so int-typed
+        comparisons run on an int64 array instead."""
+        ck = (key, fid, "b")
+        if ck not in self._cache:
+            np = self.np
+            decoded = []
+            for v in self._extract(key, fid):
+                if v is None:
+                    decoded.append(None)
+                    continue
+                d = to_comparable(
+                    from_bytes(bytes(v), t)
+                    if isinstance(v, (bytes, bytearray)) else v, t)
+                decoded.append(None if _is_nan(d) else d)
+            usable = np.array([d is not None for d in decoded])
+            if type(t).__name__ in ("FloatType", "DoubleType"):
+                vals = np.array([float(d) if d is not None else 0.0
+                                 for d in decoded])
+            else:
+                vals = np.array([int(d) if d is not None else 0
+                                 for d in decoded], dtype=np.int64)
+            self._cache[ck] = (vals, usable)
+        return self._cache[ck]
+
+
+def batch_metrics_keep(expr: ex.Expression, batch, n: int):
+    """Vectorized InclusiveMetricsEvaluator over a whole manifest-row
+    batch: returns a bool keep-array, or None when the expression isn't
+    fully vectorizable (caller falls back to the scalar per-row path).
+    Semantics mirror InclusiveMetricsEvaluator exactly and are pinned
+    equal by tests/test_expressions.py::TestBatchMetricsEvaluator."""
+    import numpy as np
+
+    if not _vectorizable(expr):
+        return None
+    st = _BatchStats(batch)
+
+    def visit(e) -> "np.ndarray":
+        if isinstance(e, ex.TrueExp):
+            return np.ones(n, dtype=bool)
+        if isinstance(e, ex.FalseExp):
+            return np.zeros(n, dtype=bool)
+        if isinstance(e, ex.And):
+            return visit(e.left) & visit(e.right)
+        if isinstance(e, ex.Or):
+            return visit(e.left) | visit(e.right)
+        return _pred_vec(e, st, np, n)
+
+    keep = visit(expr)
+    rc = np.asarray(batch["record_count"].to_numpy(dtype="float64"))
+    return keep & (rc != 0)
+
+
+def _pred_vec(p: ex.BoundPredicate, st: "_BatchStats", np, n: int):
+    fid = p.term.field_id
+    t = p.term.field_type
+    nulls, nulls_p = st.counts("null_value_counts", fid)
+    values, values_p = st.counts("value_counts", fid)
+    op = p.op
+    if op == ex.Op.IS_NULL:
+        return ~(nulls_p & (nulls == 0))
+    all_null = values_p & nulls_p & (values == nulls)
+    if op == ex.Op.NOT_NULL:
+        return ~all_null
+    if op in (ex.Op.IS_NAN, ex.Op.NOT_NAN):
+        nans, nans_p = st.counts("nan_value_counts", fid)
+        if op == ex.Op.IS_NAN:
+            return ~(nans_p & (nans == 0))
+        return ~(nans_p & values_p & (nans == values))
+    keep = ~all_null
+    if op in (ex.Op.NOT_EQ, ex.Op.NOT_IN):
+        return keep  # inclusive bounds can't exclude inequality
+    lits = [to_comparable(x, t) for x in (p.literals or [])]
+    if not lits:
+        return keep  # no literal to compare (defensive; folded at bind)
+    lower, lower_u = st.bounds("lower_bounds", fid, t)
+    upper, upper_u = st.bounds("upper_bounds", fid, t)
+    cannot = np.zeros(n, dtype=bool)
+    if op == ex.Op.LT:
+        cannot = lower_u & (lower >= lits[0])
+    elif op == ex.Op.LT_EQ:
+        cannot = lower_u & (lower > lits[0])
+    elif op == ex.Op.GT:
+        cannot = upper_u & (upper <= lits[0])
+    elif op == ex.Op.GT_EQ:
+        cannot = upper_u & (upper < lits[0])
+    elif op == ex.Op.EQ:
+        cannot = (lower_u & (lower > lits[0])) | (upper_u & (upper < lits[0]))
+    elif op == ex.Op.IN:
+        cannot = (lower_u & (lower > max(lits))) | (upper_u & (upper < min(lits)))
+    return keep & ~cannot
+
+
 def _mget(st: dict, key: str, fid: int):
     m = st.get(key)
     if m is None:

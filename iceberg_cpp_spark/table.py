@@ -353,6 +353,26 @@ class TableScan:
 
             def survive(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
                 for b in batches:
+                    # fast path: numpy boolean algebra over the whole
+                    # batch when every predicate is vectorizable (the
+                    # common numeric/temporal comparisons); scalar
+                    # fallback keeps full semantics for the rest
+                    vec = pruning.batch_metrics_keep(ev.expr, b, len(b))
+                    if vec is not None:
+                        keep = vec.tolist()
+                        out = b.loc[keep, ["file_path", "file_format",
+                                           "record_count",
+                                           "file_size_in_bytes",
+                                           "partition_json",
+                                           "sequence_number"]]
+                        out["sequence_number"] = \
+                            out["sequence_number"].fillna(0)
+                        out["first_row_id"] = (
+                            b.loc[keep, "first_row_id"].astype("Int64")
+                            if "first_row_id" in b
+                            else pd.array([None] * len(out), dtype="Int64"))
+                        yield out
+                        continue
                     keep = []
                     for i in range(len(b)):
                         stats = {

@@ -185,3 +185,133 @@ class TestSummaryEvaluator:
                                                         self._summary(month - 10, month - 1))
         assert pruning.evaluate_partition_summaries(p, self.SPEC, SCHEMA,
                                                     self._summary(month - 1, month + 1))
+
+
+class TestBatchMetricsEvaluator:
+    """The vectorized planner path (pruning.batch_metrics_keep) must
+    agree with InclusiveMetricsEvaluator on EVERY row for every
+    vectorizable expression shape — randomized stats sweep, seeded."""
+
+    OPS = None  # built in _expressions
+
+    @staticmethod
+    def _expressions():
+        r = ex.Reference
+        return [
+            ex.lt(r("id"), 500), ex.lt_eq(r("id"), 500),
+            ex.gt(r("id"), 500), ex.gt_eq(r("id"), 500),
+            ex.eq(r("id"), 500), ex.not_eq(r("id"), 500),
+            ex.in_(r("id"), [5, 500, 900]),
+            ex.not_in(r("id"), [5, 500]),
+            ex.is_null(r("val")), ex.not_null(r("val")),
+            ex.is_nan(r("val")), ex.not_nan(r("val")),
+            ex.and_(ex.gt(r("id"), 100), ex.lt(r("val"), 0.5)),
+            ex.or_(ex.lt(r("id"), 50), ex.gt_eq(r("val"), 0.9)),
+            ex.and_(ex.in_(r("id"), [1, 2, 3]),
+                    ex.or_(ex.not_null(r("val")), ex.eq(r("id"), 2))),
+            ex.gt(r("ts"), dt.datetime(2020, 6, 1)),
+        ]
+
+    @staticmethod
+    def _random_batch(rng, n):
+        import pandas as pd
+
+        def maybe_counts(fid, total):
+            if rng.random() < 0.2:
+                return None
+            m = {}
+            if rng.random() < 0.8:
+                m[fid] = total
+            if rng.random() < 0.8:
+                m[fid + 100] = 7  # unrelated field
+            return m or None
+
+        rows = {"record_count": [], "value_counts": [],
+                "null_value_counts": [], "nan_value_counts": [],
+                "lower_bounds": [], "upper_bounds": []}
+        for _ in range(n):
+            rc = rng.choice([0, 10, 100])
+            rows["record_count"].append(rc)
+            vc, nc, nanc = {}, {}, {}
+            lo, hi = {}, {}
+            for fid, t in ((1, it.LongType()), (3, it.TimestampType()),
+                           (4, it.DoubleType())):
+                if rng.random() < 0.85:
+                    total = rng.randrange(0, 101)
+                    vc[fid] = total
+                    if rng.random() < 0.9:
+                        nc[fid] = rng.choice([0, total // 2, total])
+                    if fid == 4 and rng.random() < 0.7:
+                        nanc[fid] = rng.choice([0, total])
+                if rng.random() < 0.8:
+                    if fid == 4:
+                        a = rng.choice([rng.uniform(-1, 1), float("nan")])
+                        b = rng.uniform(-1, 1)
+                    elif fid == 3:
+                        a = rng.randrange(1_500_000_000_000_000,
+                                          1_700_000_000_000_000)
+                        b = a + rng.randrange(0, 10 ** 12)
+                    else:
+                        a = rng.randrange(0, 1000)
+                        b = a + rng.randrange(0, 1000)
+                    lo[fid] = lit.to_bytes(a, t) if a == a else \
+                        lit.to_bytes(float("nan"), t)
+                    hi[fid] = lit.to_bytes(b, t)
+            rows["value_counts"].append(vc or None)
+            rows["null_value_counts"].append(nc or None)
+            rows["nan_value_counts"].append(nanc or None)
+            # arrow-style list-of-tuples on ~half the rows
+            as_items = rng.random() < 0.5
+            rows["lower_bounds"].append(
+                list(lo.items()) if (lo and as_items) else (lo or None))
+            rows["upper_bounds"].append(
+                list(hi.items()) if (hi and as_items) else (hi or None))
+        return pd.DataFrame(rows)
+
+    def test_matches_scalar_evaluator(self):
+        import random
+
+        rng = random.Random(42)
+        exprs = [e.bind(SCHEMA) for e in self._expressions()]
+        for e in exprs:
+            assert pruning.batch_metrics_keep.__doc__  # sanity
+        for trial in range(6):
+            b = self._random_batch(rng, 120)
+            for e_unbound, e in zip(self._expressions(), exprs):
+                vec = pruning.batch_metrics_keep(e, b, len(b))
+                assert vec is not None, f"not vectorized: {e_unbound}"
+                ev = pruning.InclusiveMetricsEvaluator(SCHEMA, e)
+                for i in range(len(b)):
+                    def as_d(v):
+                        if v is None:
+                            return {}
+                        return dict(v) if not isinstance(v, dict) else v
+                    stats = {
+                        "record_count": b["record_count"].iloc[i],
+                        "value_counts": as_d(b["value_counts"].iloc[i]),
+                        "null_value_counts": as_d(
+                            b["null_value_counts"].iloc[i]),
+                        "nan_value_counts": as_d(
+                            b["nan_value_counts"].iloc[i]),
+                        "lower_bounds": as_d(b["lower_bounds"].iloc[i]),
+                        "upper_bounds": as_d(b["upper_bounds"].iloc[i]),
+                    }
+                    want = bool(ev.eval(stats))
+                    assert bool(vec[i]) == want, (
+                        f"row {i} trial {trial}: vec={bool(vec[i])} "
+                        f"scalar={want} expr={e_unbound} stats={stats}")
+
+    def test_fallback_for_unsupported(self):
+        # strings and transforms fall back (None) rather than mis-prune
+        s = ex.starts_with(ex.Reference("data"), "ab").bind(SCHEMA)
+        import pandas as pd
+
+        b = pd.DataFrame({"record_count": [1],
+                          "value_counts": [None],
+                          "null_value_counts": [None],
+                          "nan_value_counts": [None],
+                          "lower_bounds": [None],
+                          "upper_bounds": [None]})
+        assert pruning.batch_metrics_keep(s, b, 1) is None
+        e = ex.eq(ex.Reference("data"), "x").bind(SCHEMA)
+        assert pruning.batch_metrics_keep(e, b, 1) is None
