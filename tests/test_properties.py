@@ -215,3 +215,77 @@ class TestRoaringProperties:
             Roaring64.from_array(vals).serialize())
         assert rb.cardinality == n
         assert rb.to_array()[0] == start and rb.to_array()[-1] == start + n - 1
+
+
+class TestAvroDataProperties:
+    """Random typed records through the pure-Python Avro data-file
+    writer and the field-id-projected reader — the serde the add_files
+    interop leg rests on."""
+
+    SCHEMA = it.Schema([
+        it.NestedField(1, "id", it.LongType(), True),
+        it.NestedField(2, "name", it.StringType()),
+        it.NestedField(3, "x", it.DoubleType()),
+        it.NestedField(4, "flag", it.BooleanType()),
+        it.NestedField(5, "tags", it.ListType(6, it.StringType())),
+        it.NestedField(7, "m",
+                       it.MapType(8, it.StringType(), 9, it.LongType())),
+    ], schema_id=0)
+
+    @given(st.lists(
+        st.fixed_dictionaries({
+            "id": I64,
+            "name": st.one_of(st.none(), st.text(max_size=30)),
+            "x": st.one_of(st.none(),
+                           st.floats(allow_nan=False, allow_infinity=False,
+                                     width=64)),
+            "flag": st.one_of(st.none(), st.booleans()),
+            "tags": st.one_of(st.none(),
+                              st.lists(st.text(max_size=8), max_size=4)),
+            "m": st.one_of(st.none(),
+                           st.dictionaries(st.text(min_size=1, max_size=6),
+                                           I64, max_size=3)),
+        }), min_size=0, max_size=20))
+    @settings(max_examples=40, deadline=None)
+    def test_write_read_roundtrip(self, rows):
+        import os
+        import tempfile
+
+        from iceberg_cpp_spark.core import avro as av
+
+        with tempfile.TemporaryDirectory() as d:
+            p = os.path.join(d, "r.avro")
+            assert av.write_avro_data(p, self.SCHEMA, rows) == len(rows)
+            back = av.data_records(av.read_avro(p), self.SCHEMA)
+            assert back == rows
+            assert av.avro_record_count(p) == len(rows)
+
+
+class TestGifLzwProperties:
+    """encode_gif's LZW compressor against the decoder on random index
+    streams — dictionary growth, code-size bumps, and the 4096-table
+    CLEAR/reset all land in-sync between the two sides."""
+
+    @given(st.integers(min_value=2, max_value=8),
+           st.data())
+    @settings(max_examples=60, deadline=None)
+    def test_lzw_roundtrip(self, min_code, data):
+        from iceberg_cpp_spark.operators.codecs import (
+            _lzw_decode, _lzw_encode)
+
+        nsym = 1 << min_code
+        idx = data.draw(st.lists(
+            st.integers(min_value=0, max_value=nsym - 1),
+            min_size=0, max_size=3000))
+        out = _lzw_decode(min_code, _lzw_encode(min_code, idx),
+                          max_out=len(idx) + 1)
+        assert out == idx
+
+    def test_lzw_table_reset_path(self):
+        # long low-entropy stream forces the 4096-entry table reset
+        from iceberg_cpp_spark.operators.codecs import (
+            _lzw_decode, _lzw_encode)
+
+        idx = ([0, 1] * 40000) + list(range(4)) * 5000
+        out = _lzw_decode(2, _lzw_encode(2, idx), max_out=len(idx) + 1)
+        assert out == idx
