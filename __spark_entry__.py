@@ -1212,6 +1212,73 @@ def ice_orc_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_orc_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC WRITE leg (``write.format.default=orc`` — table_properties
+    parity; the reference lists ORC in file_format.h with no writer
+    behind it): appends emit ORC through Spark's native JVM writer with
+    a collect_orc_metrics footer harvest, the property flips back to
+    parquet mid-history producing a mixed-format table, and a
+    merge-on-read delete spans both formats (the need_meta ORC leg
+    synthesizes _file/_pos via pyarrow.orc in executors)."""
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    sup = _t(spark, sf_dir, "supplier")
+    schema = schema_from_spark(sup.schema)
+    base = tempfile.mkdtemp(prefix="ice_orcw_")
+    t = IceTable.create(spark, os.path.join(base, "t"), schema,
+                        properties={"write.format.default": "orc"})
+    t = t.append(sup.filter("s_suppkey % 2 = 0"))
+    fmts = {f.file_format for f in t.scan().plan_files()}
+    assert fmts == {"orc"}, f"expected pure-ORC first snapshot, got {fmts}"
+    t = t.update_properties({"write.format.default": "parquet"})
+    t = t.append(sup.filter("s_suppkey % 2 = 1"))
+    t = t.delete_where(ex.lt(ex.Reference("s_acctbal"), 0.0),
+                       mode="merge-on-read")
+    return (
+        t.to_df()
+        .groupBy("s_nationkey")
+        .agg(F.count("*").cast("long").alias("n"),
+             F.sum(_dec("s_acctbal")).cast("double").alias("sum_bal"))
+    )
+
+
+def ice_partition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition statistics file (spec §Partition Statistics; reference
+    PartitionStatisticsFile, table_metadata.h:120,340-347 — the
+    reference carries pointers only, the file is computed+written
+    HERE): manifest-metadata-only aggregation (no data read) into a
+    sorted parquet stats file, registered via
+    set-partition-statistics, read back and verified against a plain
+    group-by of the source."""
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core.metadata import (PartitionField,
+                                                 PartitionSpec)
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.functions import transforms as tr
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    li = _t(spark, sf_dir, "lineitem")
+    schema = schema_from_spark(li.schema)
+    rf = schema.find_field("l_returnflag")
+    spec = PartitionSpec([PartitionField(rf.field_id, 1000, "rf",
+                                         tr.IdentityTransform())])
+    base = tempfile.mkdtemp(prefix="ice_pstats_")
+    t = IceTable.create(spark, os.path.join(base, "t"), schema, spec=spec)
+    t = t.append(li)
+    t = t.delete_where(ex.gt(ex.Reference("l_quantity"), 45.0),
+                       mode="merge-on-read")
+    t = t.compute_partition_statistics()
+    s = t.partition_statistics_df()
+    return (s.select(
+        F.col("partition.rf").alias("rf"),
+        F.col("data_record_count").alias("data_rows"),
+        F.col("data_file_count").cast("long").alias("n_files_sign"),
+        F.col("position_delete_record_count").alias("pos_del_rows"))
+        .withColumn("n_files_sign", F.signum("n_files_sign").cast("long")))
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (batch form): a new session starts when
     a user's inter-event gap exceeds 30 min — lag + running sum of
@@ -2350,6 +2417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_avro_manifests": ice_avro_manifests,
         "ice_sorted_write": ice_sorted_write,
         "ice_datasource": ice_datasource,
+        "ice_orc_write": ice_orc_write,
+        "ice_partition_stats": ice_partition_stats,
         "dedup_minhash_verified": dedup_minhash_verified,
         "dedup_simhash": dedup_simhash,
         "dedup_semantic": dedup_semantic,
@@ -3053,6 +3122,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
             FROM supplier WHERE s_acctbal >= 0 GROUP BY s_nationkey
+        """,
+        "ice_orc_write": """
+            SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+            FROM supplier WHERE s_acctbal >= 0 GROUP BY s_nationkey
+        """,
+        "ice_partition_stats": """
+            -- per-partition data rows (deletes don't reduce
+            -- data_record_count) + one null-partition row carrying the
+            -- unpartitioned MoR delete files
+            SELECT l_returnflag AS rf, CAST(COUNT(*) AS BIGINT) AS data_rows,
+                   CAST(1 AS BIGINT) AS n_files_sign,
+                   CAST(0 AS BIGINT) AS pos_del_rows
+            FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT NULL AS rf, CAST(0 AS BIGINT) AS data_rows,
+                   CAST(0 AS BIGINT) AS n_files_sign,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+                    WHERE l_quantity > 45) AS pos_del_rows
         """,
         "ice_compaction": """
             SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag

@@ -205,3 +205,52 @@ def collect_metrics(spark, paths: list[str], schema: it.Schema) -> dict[str, dic
         harvest, schema="path string, metrics_json string"
     ).collect()
     return {r["path"]: _decode_metrics_json(r["metrics_json"]) for r in rows}
+
+
+def _orc_file_metrics(path: str) -> dict:
+    import pyarrow.orc as po
+
+    return {
+        "record_count": int(po.ORCFile(path).nrows),
+        "file_size_in_bytes": os.path.getsize(path),
+        "column_sizes": {}, "value_counts": {}, "null_value_counts": {},
+        "nan_value_counts": {}, "lower_bounds": {}, "upper_bounds": {},
+    }
+
+
+def collect_orc_metrics(spark, paths: list[str]) -> dict[str, dict]:
+    """Footer harvest for ORC data files (``write.format.default=orc``).
+    pyarrow.orc exposes row counts but no per-column statistics, so ORC
+    DataFile entries carry record_count + file size only — partition
+    pruning still applies; metrics pruning conservatively keeps the
+    files (same contract as the add_files ORC import leg). Mirrors
+    ``collect_metrics``'s driver/executor crossover."""
+    if spark is None or len(paths) <= DISTRIBUTED_THRESHOLD:
+        if len(paths) <= 8:
+            return {p: _orc_file_metrics(p) for p in paths}
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(_DRIVER_THREADS) as ex:
+            return dict(zip(paths, ex.map(_orc_file_metrics, paths)))
+
+    import pandas as pd
+
+    def harvest(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for b in batches:
+            counts, sizes = [], []
+            for p in b["path"]:
+                m = _orc_file_metrics(p)
+                counts.append(m["record_count"])
+                sizes.append(m["file_size_in_bytes"])
+            yield pd.DataFrame({"path": b["path"], "record_count": counts,
+                                "file_size_in_bytes": sizes})
+
+    pdf = spark.createDataFrame([(p,) for p in paths], "path string")
+    rows = pdf.repartition(max(1, len(paths) // _PATHS_PER_TASK)).mapInPandas(
+        harvest, schema="path string, record_count long, file_size_in_bytes long"
+    ).collect()
+    empty = {"column_sizes": {}, "value_counts": {}, "null_value_counts": {},
+             "nan_value_counts": {}, "lower_bounds": {}, "upper_bounds": {}}
+    return {r["path"]: {"record_count": r["record_count"],
+                        "file_size_in_bytes": r["file_size_in_bytes"], **empty}
+            for r in rows}

@@ -359,6 +359,14 @@ class TableMetadataBuilder:
     def remove_statistics(self, snapshot_id: int):
         return self.apply(RemoveStatistics(snapshot_id))
 
+    def set_partition_statistics(self, stats: dict):
+        """table_metadata.h:340 SetPartitionStatistics parity."""
+        return self.apply(SetPartitionStatistics(stats))
+
+    def remove_partition_statistics(self, snapshot_id: int):
+        """table_metadata.h:347 RemovePartitionStatistics parity."""
+        return self.apply(RemovePartitionStatistics(snapshot_id))
+
     def build(self) -> tuple[TableMetadata, list[TableUpdate], list[Requirement]]:
         m = self.metadata
         if not m.schemas:

@@ -52,7 +52,7 @@ from iceberg_cpp_spark.core.metadata import (
     read_table_metadata,
     write_table_metadata,
 )
-from iceberg_cpp_spark.core.metrics import collect_metrics
+from iceberg_cpp_spark.core.metrics import collect_metrics, collect_orc_metrics
 from iceberg_cpp_spark.plans import expressions as ex
 from iceberg_cpp_spark.plans import pruning
 from iceberg_cpp_spark.plans.spark_compiler import to_spark_column
@@ -777,7 +777,8 @@ class TableScan:
           position exactly like the Avro leg."""
         if not need_meta:
             stripped = it.strip_field_metadata(spark_schema)
-            return spark.read.schema(stripped).orc(*paths)
+            # DataFrameReader.orc takes a path list, not varargs
+            return spark.read.schema(stripped).orc(list(paths))
         out_fields = list(spark_schema.fields) + [
             T.StructField("_file", T.StringType()),
             T.StructField("_pos", T.LongType())]
@@ -2126,6 +2127,140 @@ class IceTable:
                     return int(blob["properties"]["ndv"])
         return None
 
+    def compute_partition_statistics(self, branch: str = MAIN_BRANCH) -> "IceTable":
+        """Partition statistics file (spec §"Partition Statistics";
+        reference PartitionStatisticsFile, table_metadata.h:120,340-347
+        — the reference carries only the metadata POINTERS; the file
+        itself is computed and written HERE, exceeding it). One row per
+        (partition, spec_id) with the spec-defined field ids: data /
+        position-delete / equality-delete record+file counts and total
+        data size, aggregated from snapshot MANIFEST metadata only (no
+        data pages read), written sorted-by-partition as a single
+        parquet file under metadata/ and registered on the current
+        snapshot via SetPartitionStatistics. The ``partition`` column is
+        the spec's unified partition type: every partition field of
+        every spec, ordered by field id, absent fields null."""
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        from iceberg_cpp_spark.core.updates import TableMetadataBuilder
+
+        snap = self.current_snapshot()
+        if snap is None:
+            raise ValueError("no snapshot to compute partition statistics for")
+        schema = self.schema()
+        meta = self.metadata
+        # unified partition type across all specs, ordered by field id
+        ufields: dict[int, tuple[str, Any]] = {}
+        for s in meta.partition_specs:
+            for pf in s.fields:
+                src = schema.find_field_by_id(pf.source_id)
+                if src is None:
+                    continue
+                ufields[pf.field_id] = (
+                    pf.name, pf.transform.result_type(src.field_type))
+        ordered = [ufields[k] for k in sorted(ufields)]
+        # manifest-metadata pass (entries only — same driver contract as
+        # entries_df/partitions_df; the per-entry rows are aggregated
+        # down to per-partition rows before anything is materialized)
+        agg: dict[tuple, dict] = {}
+        for m in mf.read_manifest_list(snap.manifest_list):
+            spec = (meta.spec_by_id(m.partition_spec_id)
+                    or PartitionSpec.unpartitioned())
+            for e in mf.read_manifest(m.manifest_path, spec, schema,
+                                      manifest=m):
+                if not e.is_live:
+                    continue
+                part = e.data_file.partition or {}
+                key = (tuple(part.get(n) for n, _t in ordered),
+                       m.partition_spec_id)
+                a = agg.setdefault(key, {
+                    "data_record_count": 0, "data_file_count": 0,
+                    "total_data_file_size_in_bytes": 0,
+                    "position_delete_record_count": 0,
+                    "position_delete_file_count": 0,
+                    "equality_delete_record_count": 0,
+                    "equality_delete_file_count": 0,
+                })
+                c = e.data_file.content
+                if c == mf.CONTENT_DATA:
+                    a["data_record_count"] += e.data_file.record_count
+                    a["data_file_count"] += 1
+                    a["total_data_file_size_in_bytes"] += \
+                        e.data_file.file_size_in_bytes
+                elif c == mf.CONTENT_POSITION_DELETES:
+                    # v3 deletion vectors are position deletes too
+                    a["position_delete_record_count"] += \
+                        e.data_file.record_count
+                    a["position_delete_file_count"] += 1
+                elif c == mf.CONTENT_EQUALITY_DELETES:
+                    a["equality_delete_record_count"] += \
+                        e.data_file.record_count
+                    a["equality_delete_file_count"] += 1
+        rows = sorted(agg.items(),
+                      key=lambda kv: (tuple(
+                          (v is None, v) for v in kv[0][0]), kv[0][1]))
+        now_ms = int(time.time() * 1000)
+        data: dict[str, Any] = {}
+        if ordered:
+            data["partition"] = pa.StructArray.from_arrays(
+                [pa.array([k[0][i] for k, _a in rows],
+                          type=mf._arrow_type(t))
+                 for i, (_n, t) in enumerate(ordered)],
+                names=[n for n, _t in ordered])
+        table = pa.table({
+            **data,
+            "spec_id": pa.array([k[1] for k, _a in rows], pa.int32()),
+            "data_record_count": pa.array(
+                [a["data_record_count"] for _k, a in rows], pa.int64()),
+            "data_file_count": pa.array(
+                [a["data_file_count"] for _k, a in rows], pa.int32()),
+            "total_data_file_size_in_bytes": pa.array(
+                [a["total_data_file_size_in_bytes"] for _k, a in rows],
+                pa.int64()),
+            "position_delete_record_count": pa.array(
+                [a["position_delete_record_count"] for _k, a in rows],
+                pa.int64()),
+            "position_delete_file_count": pa.array(
+                [a["position_delete_file_count"] for _k, a in rows],
+                pa.int32()),
+            "equality_delete_record_count": pa.array(
+                [a["equality_delete_record_count"] for _k, a in rows],
+                pa.int64()),
+            "equality_delete_file_count": pa.array(
+                [a["equality_delete_file_count"] for _k, a in rows],
+                pa.int32()),
+            "last_updated_at": pa.array([now_ms] * len(rows), pa.int64()),
+            "last_updated_snapshot_id": pa.array(
+                [snap.snapshot_id] * len(rows), pa.int64()),
+        })
+        path = os.path.join(self.location_provider().metadata_dir(),
+                            f"partition-stats-{snap.snapshot_id}.parquet")
+        papq.write_table(table, path)
+        entry = {
+            "snapshot-id": snap.snapshot_id,
+            "statistics-path": path,
+            "file-size-in-bytes": os.path.getsize(path),
+        }
+        b = TableMetadataBuilder.build_from(meta)
+        b.set_partition_statistics(entry)
+        new_meta, _u, reqs = b.build()
+        return self._commit(new_meta, branch, meta.current_snapshot(),
+                            requirements=reqs)
+
+    def partition_statistics_df(self) -> DataFrame:
+        """Read back the registered partition statistics file for the
+        current snapshot (None-safe: raises if not computed)."""
+        snap = self.current_snapshot()
+        if snap is None:
+            raise ValueError("no current snapshot")
+        for entry in self.metadata.partition_statistics:
+            if entry.get("snapshot-id") == snap.snapshot_id:
+                return self.spark.read.parquet(entry["statistics-path"])
+        raise ValueError(
+            "no partition statistics registered for the current snapshot "
+            "— run compute_partition_statistics() first")
+
     def remove_orphan_files(self, older_than_ms: Optional[int] = None,
                             dry_run: bool = False) -> list[str]:
         """Maintenance: delete files under the table's data/delete dirs
@@ -2489,15 +2624,46 @@ class IceTable:
         max_records = self.properties().get("write.target-max-records-per-file")
         if max_records:
             writer = writer.option("maxRecordsPerFile", int(max_records))
-        writer.mode("overwrite").parquet(write_dir)
+        # write.format.default (table_properties parity; the reference
+        # enumerates {parquet, orc, avro} in file_format.h — all three
+        # are writable here). ORC rides Spark's native JVM writer; ORC
+        # files are field-ID-less by nature, so scans resolve their
+        # columns by name (the same contract as the add_files ORC
+        # import leg) and they carry no min/max bounds — partition
+        # pruning still applies. Avro data files are encoded in
+        # executors by the spec-compliant pure-Python writer
+        # (core/avro.py, one file per Spark partition) and DO carry
+        # field-ids in their writer schema; parquet remains the
+        # performance default — the Avro leg exists for interop.
+        fmt = self.properties().get("write.format.default", "parquet")
+        if fmt == "orc":
+            writer.mode("overwrite").orc(write_dir)
+        elif fmt == "avro":
+            if spec.fields:
+                raise ValueError(
+                    "write.format.default=avro supports unpartitioned "
+                    "tables only (partitioned layouts ride the JVM "
+                    "parquet/orc writers)")
+            return self._write_avro_data_files(
+                self._apply_sort_order(df, schema), schema, write_dir)
+        elif fmt == "parquet":
+            writer.mode("overwrite").parquet(write_dir)
+        else:
+            raise ValueError(
+                f"write.format.default={fmt!r} not supported for data "
+                f"file writes (parquet, orc, avro)")
+        ext = ".orc" if fmt == "orc" else ".parquet"
 
         paths = []
         for root, _dirs, files in os.walk(write_dir):
             for fn in files:
-                if fn.endswith(".parquet"):
+                if fn.endswith(ext):
                     paths.append(os.path.join(root, fn))
         paths.sort()
-        metrics = collect_metrics(self.spark, paths, schema)
+        if fmt == "orc":
+            metrics = collect_orc_metrics(self.spark, paths)
+        else:
+            metrics = collect_metrics(self.spark, paths, schema)
         out: list[mf.DataFile] = []
         for p in paths:
             m = metrics[p]
@@ -2507,7 +2673,7 @@ class IceTable:
                 mf.DataFile(
                     content=mf.CONTENT_DATA,
                     file_path=p,
-                    file_format="parquet",
+                    file_format=fmt,
                     partition=_partition_from_path(p, write_dir, spec, schema),
                     record_count=m["record_count"],
                     file_size_in_bytes=m["file_size_in_bytes"],
@@ -2520,6 +2686,44 @@ class IceTable:
                 )
             )
         return out
+
+    def _write_avro_data_files(self, df: DataFrame, schema: it.Schema,
+                               write_dir: str) -> list[mf.DataFile]:
+        """Avro data-file write plane (``write.format.default=avro``;
+        reference avro/ writer surface is manifest-only — this EXCEEDS
+        it). Each Spark partition encodes one Avro container file in
+        its executor via the pure-Python spec writer (core/avro.py —
+        field-ids ride the writer schema, so projection is id-resolved
+        on read). Row-at-a-time ``foreachPartition``-style encoding is
+        the honest cost model here: Avro's record encoding IS
+        per-row, so an Arrow detour would only add conversion hazards
+        (map columns become tuple lists in pandas). Bounded driver
+        state: one (path, count, size) row per file comes back."""
+        os.makedirs(write_dir, exist_ok=True)
+
+        def write_part(idx: int, rows) -> "Iterator[tuple]":
+            import uuid as _uuid
+
+            from iceberg_cpp_spark.core import avro as av
+
+            it_rows = iter(rows)
+            try:
+                first = next(it_rows)
+            except StopIteration:
+                return iter(())
+            from itertools import chain
+            p = os.path.join(
+                write_dir, f"part-{idx:05d}-{_uuid.uuid4().hex}.avro")
+            n = av.write_avro_data(
+                p, schema,
+                (r.asDict(recursive=False) for r in chain([first], it_rows)))
+            return iter([(p, n, os.path.getsize(p))])
+
+        recs = df.rdd.mapPartitionsWithIndex(write_part).collect()
+        return [mf.DataFile(
+            content=mf.CONTENT_DATA, file_path=p, file_format="avro",
+            partition={}, record_count=int(n),
+            file_size_in_bytes=int(sz)) for p, n, sz in sorted(recs)]
 
     def _apply_sort_order(self, df: DataFrame, schema: it.Schema) -> DataFrame:
         """Cluster writes by the table's default sort order (sort_order.h

@@ -752,6 +752,112 @@ class TestAvroDataFiles:
         assert {x.file_format for x in t.scan().plan_files()} == {"parquet"}
         assert t.to_df().count() == exp
 
+    def test_orc_write_format_default(self, spark, tmp_loc, lineitem):
+        """``write.format.default=orc``: append/overwrite emit ORC data
+        files through Spark's native JVM writer (footer harvest via
+        collect_orc_metrics — counts + sizes, no bounds), scans ride
+        the JVM ORC leg with pushdown, MoR deletes use the need_meta
+        pyarrow leg, and flipping the property back to parquet yields a
+        mixed-format table that still scans correctly."""
+        import pytest
+
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        li = lineitem.limit(150)
+        sch = schema_from_spark(li.schema)
+        rows = [r.asDict() for r in li.collect()]
+        t = IceTable.create(
+            spark, os.path.join(tmp_loc, "torcw"), sch,
+            properties={"write.format.default": "orc"})
+        t = t.append(spark.createDataFrame(rows[:100], schema=li.schema))
+        files = list(t.scan().plan_files())
+        assert {x.file_format for x in files} == {"orc"}
+        assert all(x.file_path.endswith(".orc") for x in files)
+        assert sum(x.record_count for x in files) == 100
+        assert t.to_df().count() == 100
+        # filtered + projected scan hits the JVM ORC reader with the
+        # predicate pushed and ReadSchema pruned (100 TB rule)
+        plan = (t.scan(filter=ex.gt(ex.Reference("l_quantity"), 30.0),
+                       columns=["l_orderkey", "l_quantity"]).to_df()
+                ._jdf.queryExecution().executedPlan().toString())
+        orc_scan = [ln for ln in plan.splitlines() if "FileScan orc" in ln]
+        assert orc_scan and "GreaterThan(l_quantity,30.0)" in orc_scan[0]
+        # parquet-format appends after the property flips → mixed table
+        t = t.update_properties({"write.format.default": "parquet"})
+        t = t.append(spark.createDataFrame(rows[100:], schema=li.schema))
+        assert {x.file_format for x in t.scan().plan_files()} == \
+            {"orc", "parquet"}
+        assert t.to_df().count() == 150
+        # MoR position delete spans both write formats
+        t = t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                           mode="merge-on-read")
+        exp = sum(1 for r in rows if r["l_returnflag"] != "R")
+        assert t.to_df().count() == exp
+        # unsupported format fails loudly at write time
+        t2 = IceTable.create(
+            spark, os.path.join(tmp_loc, "tbadfmt"), sch,
+            properties={"write.format.default": "feather"})
+        with pytest.raises(ValueError, match="write.format.default"):
+            t2.append(spark.createDataFrame(rows[:5], schema=li.schema))
+
+    def test_avro_write_format_default(self, spark, tmp_loc, lineitem):
+        """``write.format.default=avro``: appends encode Avro container
+        files in executors (one per Spark partition, field-ids in the
+        writer schema so reads project BY ID), scans ride the
+        _read_avro_paths leg, deletes compose, and renames keep working
+        because resolution is id-based (unlike the ORC leg)."""
+        import pytest
+
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core import avro as av
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        li = lineitem.limit(80).select("l_orderkey", "l_quantity",
+                                       "l_returnflag", "l_shipdate")
+        sch = schema_from_spark(li.schema)
+        rows = [r.asDict() for r in li.collect()]
+        t = IceTable.create(
+            spark, os.path.join(tmp_loc, "tavw"), sch,
+            properties={"write.format.default": "avro"})
+        t = t.append(spark.createDataFrame(rows, schema=li.schema))
+        files = list(t.scan().plan_files())
+        assert {x.file_format for x in files} == {"avro"}
+        assert all(x.file_path.endswith(".avro") for x in files)
+        assert sum(x.record_count for x in files) == 80
+        # writer schema carries field-ids → id-resolved projection
+        wfields = av.avro_file_schema(files[0].file_path)["fields"]
+        assert all(f.get("field-id") for f in wfields)
+        assert t.to_df().count() == 80
+        got = {r["l_orderkey"] for r in
+               t.scan(filter=ex.eq(ex.Reference("l_returnflag"), "A"))
+               .to_df().collect()}
+        exp = {r["l_orderkey"] for r in rows if r["l_returnflag"] == "A"}
+        assert got == exp
+        # rename survives (id-based resolution), then MoR delete
+        t = t.rename_column("l_quantity", "qty")
+        assert t.to_df().filter("qty > 30").count() == \
+            sum(1 for r in rows if r["l_quantity"] > 30)
+        t = t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                           mode="merge-on-read")
+        assert t.to_df().count() == \
+            sum(1 for r in rows if r["l_returnflag"] != "R")
+        # partitioned + avro is a loud boundary
+        from iceberg_cpp_spark.core.metadata import (PartitionField,
+                                                     PartitionSpec)
+        from iceberg_cpp_spark.functions import transforms as tr
+
+        spec = PartitionSpec([PartitionField(
+            sch.find_field("l_returnflag").field_id, 1000,
+            "l_returnflag", tr.IdentityTransform())])
+        tp = IceTable.create(
+            spark, os.path.join(tmp_loc, "tavwp"), sch, spec=spec,
+            properties={"write.format.default": "avro"})
+        with pytest.raises(ValueError, match="unpartitioned"):
+            tp.append(spark.createDataFrame(rows, schema=li.schema))
+
     def test_add_files_rejects_non_record_avro(self, spark, tmp_loc,
                                                tmp_path):
         # ADVICE r09: a non-record writer schema gets a clear ValueError

@@ -61,6 +61,8 @@ def test_driver_cap_window_composition():
         "multimodal_decode",  # fake-decode plumbing (multimodal_png_real + multimodal_gif_frames real decodes in-window)
         "sessionize_events",  # batch sessionization (stream_sessionize in-window; r02 hash-flap cause pinned by test_no_hugeint_oracle_columns)
         "ice_datasource",   # datasource registration demo (ice_pyds_scan exercises the python-datasource plane, ice_large_scan the jvm-union plane, both in-window; displaced for ice_orc_data)
+        "ice_orc_write",    # write.format.default=orc leg (ice_orc_data in-window covers the ORC scan/need_meta read planes)
+        "ice_partition_stats",  # partition-statistics file write+readback (ice_partition_pruned in-window covers the partition metadata it aggregates; ice_analyze_ndv covers the sibling table-stats pointer flow)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without

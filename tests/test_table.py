@@ -348,6 +348,67 @@ class TestAnalyzeAndZorder:
         assert li_table.to_df().count() == lineitem.count()
 
 
+class TestPartitionStatistics:
+    def test_partition_stats_file(self, spark, lineitem, tmp_loc):
+        """compute_partition_statistics writes the spec's partition
+        statistics file (reference PartitionStatisticsFile,
+        table_metadata.h:120 — pointer-only there): per-(partition,
+        spec_id) data + delete counts from manifest metadata, sorted by
+        partition, registered via set-partition-statistics and
+        surviving a metadata JSON round-trip."""
+        li = lineitem.limit(400)
+        schema = schema_from_spark(li.schema)
+        rf = schema.find_field("l_returnflag")
+        spec = PartitionSpec([PartitionField(rf.field_id, 1000, "rf",
+                                             tr.IdentityTransform())])
+        t = IceTable.create(spark, os.path.join(tmp_loc, "pstats"),
+                            schema, spec=spec)
+        t = t.append(li)
+        t = t.delete_where(ex.gt(ex.Reference("l_quantity"), 40.0),
+                           mode="merge-on-read")
+        t = t.compute_partition_statistics()
+        stats = t.partition_statistics_df().collect()
+        exp = {r["l_returnflag"]: r["n"] for r in
+               li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+               .collect()}
+        # data rows per partition match the source exactly (delete files
+        # don't reduce data_record_count — they're counted separately)
+        got = {r["partition"]["rf"]: r["data_record_count"]
+               for r in stats if r["data_file_count"] > 0}
+        assert got == exp
+        assert sum(r["position_delete_record_count"] for r in stats) == \
+            li.filter("l_quantity > 40").count()
+        assert all(r["spec_id"] == 0 for r in stats)
+        assert all(r["last_updated_snapshot_id"] ==
+                   t.current_snapshot().snapshot_id for r in stats)
+        # sorted by partition, pointer registered, JSON round-trip
+        import pyarrow.parquet as papq
+        entry = t.metadata.partition_statistics[0]
+        raw = papq.read_table(entry["statistics-path"])
+        parts = [p["rf"] for p in raw.column("partition").to_pylist()]
+        assert parts == sorted(parts, key=lambda v: (v is None, v))
+        assert entry["snapshot-id"] == t.current_snapshot().snapshot_id
+        assert os.path.getsize(entry["statistics-path"]) == \
+            entry["file-size-in-bytes"]
+        t2 = IceTable.load(spark, os.path.join(tmp_loc, "pstats"))
+        assert t2.metadata.partition_statistics == [entry]
+        assert t2.partition_statistics_df().count() == len(stats)
+        # a new snapshot invalidates: readback refuses a stale pointer
+        t2 = t2.append(li.limit(5))
+        with pytest.raises(ValueError, match="partition statistics"):
+            t2.partition_statistics_df()
+
+    def test_partition_stats_unpartitioned(self, spark, lineitem, tmp_loc):
+        li = lineitem.limit(100)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "pstats_u"),
+                            schema_from_spark(li.schema))
+        t = t.append(li)
+        t = t.compute_partition_statistics()
+        rows = t.partition_statistics_df().collect()
+        assert len(rows) == 1 and "partition" not in rows[0].asDict()
+        assert rows[0]["data_record_count"] == 100
+
+
 class TestDecimalColumns:
     def test_decimal_roundtrip_and_pruning(self, spark, tmp_loc):
         """Regression: pyarrow cannot cast decimal footer statistics —
