@@ -194,8 +194,15 @@ class RemoveSnapshots(TableUpdate):
         drop = set(self.snapshot_ids)
         m = b.metadata
         kept = [s for s in m.snapshots if s.snapshot_id not in drop]
+        # expiring a snapshot drops its statistics pointers too (spec:
+        # stats files belong to a snapshot; iceberg-java ExpireSnapshots
+        # does the same) — the files themselves become orphans
         b._set(snapshots=kept,
-               snapshot_log=[e for e in m.snapshot_log if e["snapshot-id"] not in drop])
+               snapshot_log=[e for e in m.snapshot_log if e["snapshot-id"] not in drop],
+               statistics=[s for s in m.statistics
+                           if s.get("snapshot-id") not in drop],
+               partition_statistics=[s for s in m.partition_statistics
+                                     if s.get("snapshot-id") not in drop])
 
 
 @dataclass

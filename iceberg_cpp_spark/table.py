@@ -3027,13 +3027,41 @@ class IceTable:
 
     # --- schema evolution (table_metadata.h Add/SetCurrentSchema;
     # read-side resolution is by parquet field ID, schema_util.h:91-93) --
+    def _live_orc_files(self) -> list[str]:
+        """ORC data files reachable from main + every branch head. ORC
+        files are field-ID-less and resolve BY NAME, so id-keyed schema
+        evolution (rename, name reuse after drop) cannot be represented
+        for them — callers use this to fail loudly instead of silently
+        corrupting reads (same policy as the alias+Avro scan path)."""
+        out: set[str] = set()
+        refs = [None] + [name for name, r in self.metadata.refs.items()
+                         if r.type == "branch" and name != MAIN_BRANCH]
+        for ref in refs:
+            scan = self.scan() if ref is None else self.scan().use_ref(ref)
+            try:
+                tasks = scan.plan_files()
+            except ValueError:
+                continue
+            out.update(t.file_path for t in tasks if t.file_format == "orc")
+        return sorted(out)
+
     def rename_column(self, old: str, new: str) -> "IceTable":
         """Rename keeps the field ID, so files written under the old
-        name keep resolving (field-id based read)."""
+        name keep resolving (field-id based read). ORC data files have
+        no field ids (by-name resolution) — renaming over them would
+        silently null the column, so it fails loudly instead; run
+        ``rewrite_data_files()`` first to migrate ORC to parquet."""
         schema = self.schema()
         f = schema.find_field(old)
         if f is None:
             raise ValueError(f"column not found: {old}")
+        orc = self._live_orc_files()
+        if orc:
+            raise ValueError(
+                f"cannot rename {old!r}: {len(orc)} ORC data file(s) "
+                f"resolve columns by name (no field ids) and would "
+                f"silently read null after the rename — run "
+                f"rewrite_data_files() to migrate them to parquet first")
         import dataclasses
 
         # replace() keeps every other attribute — notably the v3
@@ -3054,6 +3082,23 @@ class IceTable:
         schema = self.schema()
         if schema.find_field(name) is not None:
             raise ValueError(f"column exists: {name}")
+        orc = self._live_orc_files()
+        if orc:
+            # ORC files resolve by name: an old file that carries a
+            # same-named column (e.g. the name was dropped earlier and
+            # is now re-added with a NEW field id) would resurrect the
+            # dropped column's values into the new field. Footer check
+            # is metadata-scale and only runs on schema evolution.
+            import pyarrow.orc as _po
+
+            clash = [p for p in orc if name in _po.ORCFile(p).schema.names]
+            if clash:
+                raise ValueError(
+                    f"cannot add column {name!r}: {len(clash)} ORC data "
+                    f"file(s) already carry a column of that name (ORC "
+                    f"resolves by name, so old values would resurrect "
+                    f"into the new field) — run rewrite_data_files() to "
+                    f"migrate them to parquet first")
         fid = self.metadata.last_column_id + 1
         fields = list(schema.fields) + [it.NestedField(
             fid, name, field_type, required,

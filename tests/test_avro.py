@@ -858,6 +858,48 @@ class TestAvroDataFiles:
         with pytest.raises(ValueError, match="unpartitioned"):
             tp.append(spark.createDataFrame(rows, schema=li.schema))
 
+    def test_orc_blocks_unrepresentable_schema_evolution(
+            self, spark, tmp_loc, lineitem):
+        """ORC files resolve by name (no field ids): renaming over live
+        ORC files would silently null the column, and re-adding a
+        dropped name would resurrect old values — both fail loudly;
+        compacting to parquet unblocks them."""
+        import pytest
+
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import (IntegerType,
+                                                  schema_from_spark)
+
+        li = lineitem.limit(40).select("l_orderkey", "l_quantity",
+                                       "l_returnflag")
+        t = IceTable.create(
+            spark, os.path.join(tmp_loc, "torcevo"),
+            schema_from_spark(li.schema),
+            properties={"write.format.default": "orc"})
+        t = t.append(li)
+        with pytest.raises(ValueError, match="ORC.*rename|rename.*ORC"):
+            t.rename_column("l_quantity", "qty")
+        # same-named add over a live ORC column → loud failure
+        t2 = t.drop_column("l_quantity")
+        with pytest.raises(ValueError, match="resurrect"):
+            t2.add_column("l_quantity", IntegerType())
+        # a fresh name is fine (nulls for old files is the contract)
+        t3 = t2.add_column("brand_new", IntegerType())
+        assert t3.to_df().filter("brand_new is null").count() == 40
+        # parquet migration unblocks the rename (separate table — the
+        # handles above all committed against the first one)
+        tb = IceTable.create(
+            spark, os.path.join(tmp_loc, "torcevo2"),
+            schema_from_spark(li.schema),
+            properties={"write.format.default": "orc"})
+        tb = tb.append(li)
+        # flip the format first — rewrite honors write.format.default,
+        # so compacting while it is still orc would re-emit ORC files
+        tb = tb.update_properties({"write.format.default": "parquet"})
+        tb = tb.rewrite_data_files(target_file_count=1)
+        tb = tb.rename_column("l_quantity", "qty")
+        assert tb.to_df().filter("qty > 0").count() == 40
+
     def test_add_files_rejects_non_record_avro(self, spark, tmp_loc,
                                                tmp_path):
         # ADVICE r09: a non-record writer schema gets a clear ValueError

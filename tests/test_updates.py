@@ -319,6 +319,35 @@ class TestTableMaintenance:
         assert len(t.snapshots()) == 1
         assert t.to_df().count() == 15  # current data untouched
 
+    def test_expire_drops_stats_pointers(self, spark, lineitem, tmp_loc):
+        """Expiring a snapshot removes its statistics AND
+        partition-statistics pointers (spec: stats files belong to a
+        snapshot; dangling pointers would break readers that follow
+        them after the snapshot is gone)."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "es"),
+                            schema_from_spark(lineitem.schema))
+        t = t.append(lineitem.limit(5))
+        t = t.compute_statistics()
+        t = t.compute_partition_statistics()
+        old = t.current_snapshot().snapshot_id
+        assert t.metadata.statistics and t.metadata.partition_statistics
+        t = t.append(lineitem.limit(5))
+        t = t.compute_statistics()
+        t = t.compute_partition_statistics()
+        t = t.expire_snapshots(keep_last=1)
+        assert [s.snapshot_id for s in t.snapshots()] != [old]
+        assert all(s["snapshot-id"] != old for s in t.metadata.statistics)
+        assert all(s["snapshot-id"] != old
+                   for s in t.metadata.partition_statistics)
+        # the surviving snapshot keeps its pointers
+        cur = t.current_snapshot().snapshot_id
+        assert any(s["snapshot-id"] == cur for s in t.metadata.statistics)
+        assert any(s["snapshot-id"] == cur
+                   for s in t.metadata.partition_statistics)
+
     def test_branch_and_tag(self, spark, lineitem, tmp_loc):
         from iceberg_cpp_spark import IceTable
         from iceberg_cpp_spark.core.types import schema_from_spark
