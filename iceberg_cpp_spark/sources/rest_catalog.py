@@ -106,6 +106,14 @@ def synthesize_updates(base: TableMetadata, new: TableMetadata) -> list[up.Table
     for sid in base_stats:
         if sid not in new_stat_ids:
             ups.append(up.RemoveStatistics(sid))
+    base_pstats = {s.get("snapshot-id"): s for s in base.partition_statistics}
+    for s in new.partition_statistics:
+        if base_pstats.get(s.get("snapshot-id")) != s:
+            ups.append(up.SetPartitionStatistics(s))
+    new_pstat_ids = {s.get("snapshot-id") for s in new.partition_statistics}
+    for sid in base_pstats:
+        if sid not in new_pstat_ids:
+            ups.append(up.RemovePartitionStatistics(sid))
     return ups
 
 

@@ -132,3 +132,33 @@ class TestSynthesizeUpdates:
         # round-trips through the wire format
         for u in ups:
             assert up.update_from_json(up.update_to_json(u)).action == u.action
+
+    def test_diff_covers_partition_statistics(self, rest):
+        """A REST-committed compute_partition_statistics must not lose
+        its pointer: the base→new diff synthesizes set/remove
+        partition-statistics actions symmetrically with table stats."""
+        import dataclasses
+
+        from iceberg_cpp_spark.core import updates as up
+
+        cat, loc = rest
+        cat.create_namespace("dbp")
+        base = cat.create_table("dbp.s", SCHEMA,
+                                location=os.path.join(loc, "ps"))
+        entry = {"snapshot-id": 42, "statistics-path": "/x/ps.parquet",
+                 "file-size-in-bytes": 10}
+        sentry = {"snapshot-id": 42, "statistics-path": "/x/s.puffin",
+                  "file-size-in-bytes": 11, "file-footer-size-in-bytes": 0,
+                  "blob-metadata": []}
+        new = dataclasses.replace(base, partition_statistics=[entry],
+                                  statistics=[sentry])
+        ups = synthesize_updates(base, new)
+        assert any(isinstance(u, up.SetPartitionStatistics) and
+                   u.partition_statistics == entry for u in ups)
+        assert any(isinstance(u, up.SetStatistics) for u in ups)
+        for u in ups:
+            assert up.update_from_json(up.update_to_json(u)).action == u.action
+        # removal direction
+        back = synthesize_updates(new, base)
+        assert any(isinstance(u, up.RemovePartitionStatistics) and
+                   u.snapshot_id == 42 for u in back)
