@@ -398,6 +398,36 @@ class TestPartitionStatistics:
         with pytest.raises(ValueError, match="partition statistics"):
             t2.partition_statistics_df()
 
+    def test_partition_stats_across_spec_evolution(self, spark, lineitem,
+                                                   tmp_loc):
+        """After partition evolution the stats file keys rows by the
+        UNIFIED partition type (all fields of all specs, ordered by
+        field id): old-spec files leave the new field null and vice
+        versa, and spec_id distinguishes the generations."""
+        li = lineitem.limit(200)
+        schema = schema_from_spark(li.schema)
+        rf = schema.find_field("l_returnflag")
+        spec = PartitionSpec([PartitionField(rf.field_id, 1000, "rf",
+                                             tr.IdentityTransform())])
+        t = IceTable.create(spark, os.path.join(tmp_loc, "pstats_evo"),
+                            schema, spec=spec)
+        t = t.append(li)
+        ls = schema.find_field("l_linestatus")
+        t = t.update_spec([PartitionField(ls.field_id, 0, "ls",
+                                          tr.IdentityTransform())])
+        t = t.append(li)
+        t = t.compute_partition_statistics()
+        rows = t.partition_statistics_df().collect()
+        by_spec = {}
+        for r in rows:
+            by_spec.setdefault(r["spec_id"], []).append(r)
+        assert set(by_spec) == {0, 1}
+        # old-spec rows: rf set, ls null; new-spec rows: the reverse
+        assert all(r["partition"]["rf"] is not None and
+                   r["partition"]["ls"] is None for r in by_spec[0])
+        assert all(r["partition"]["ls"] is not None for r in by_spec[1])
+        assert sum(r["data_record_count"] for r in rows) == 400
+
     def test_partition_stats_unpartitioned(self, spark, lineitem, tmp_loc):
         li = lineitem.limit(100)
         t = IceTable.create(spark, os.path.join(tmp_loc, "pstats_u"),
