@@ -1885,6 +1885,46 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("chunk_text")).alias("chunk_md5"))
 
 
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus repeated-paragraph removal (operators/text.py
+    paragraph_dedup — the boilerplate scrub of web-scale pipelines).
+    The synthetic docs carry no blank lines, so a paragraph-structured
+    corpus is derived deterministically first (same regex in the
+    oracle). Hash surface: md5 of the reassembled text + counts."""
+    from iceberg_cpp_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", " (batch|merge) ", "\n\n").alias("text"))
+    out = tx.paragraph_dedup(docs, max_doc_freq=2)
+    return out.select(
+        "doc_id", F.md5("text").alias("text_md5"),
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_kept").cast("long").alias("n_kept"))
+
+
+def classify_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained Naive-Bayes document classifier (operators/classify.py —
+    the learned routing step of an LLM pipeline): fit on the
+    doc_id%5!=0 split labeled by `lang`, score the held-out split, emit
+    argmax label + rounded log-posterior. Train and apply are pure
+    DataFrame plans; the oracle re-derives the same closed-form
+    posterior from the same counts in ANSI SQL, so a smoothing or
+    prior bug diverges immediately. Scores round at 1e-6 BEFORE the
+    argmax in both engines, so libm last-ulp drift can't flip a
+    prediction."""
+    from iceberg_cpp_spark.operators import classify as cl
+
+    docs = _t(spark, sf_dir, "documents")
+    model = cl.train_nb(docs.filter(F.col("doc_id") % 5 != 0),
+                        text_col="text", label_col="lang")
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    pred = cl.nb_predict(model, test)
+    return (pred.join(test.select("doc_id", "lang"), "doc_id")
+            .select("doc_id", "pred_label", "score",
+                    F.col("lang").alias("true_label")))
+
+
 def text_token_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-frequency features (operators/text.py
     token_frequency_stats) — the integer-safe core of a unigram-LM
@@ -2402,14 +2442,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": multimodal_audio,
         "embedding_clusters": embedding_clusters,
         "stream_sessionize": stream_sessionize,
-        # relational representatives (5)
+        # trained-classifier family (r10: first driver row)
+        "classify_nb_lang": classify_nb_lang,
+        # relational representatives (4; q3 displaced to the judge-run
+        # tail for classify_nb_lang — ORDER+LIMIT+join stays covered
+        # in-window by events_window_agg/range_join and q3 itself has
+        # been green since r01)
         "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
         "events_window_agg": events_window_agg,
         "asof_join_events": asof_join_events,
         "range_join_events": range_join_events,
         # ---- driver cap (50) is here; everything below is judge-only ----
         "agg_rollup": agg_rollup,
+        "q3_shipping_priority": q3_shipping_priority,
         "q12_shipping_modes": q12_shipping_modes,
         "window_top_orders": window_top_orders,
         "ice_sql_view": ice_sql_view,
@@ -2419,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_datasource": ice_datasource,
         "ice_orc_write": ice_orc_write,
         "ice_partition_stats": ice_partition_stats,
+        "text_paragraph_dedup": text_paragraph_dedup,
         "dedup_minhash_verified": dedup_minhash_verified,
         "dedup_simhash": dedup_simhash,
         "dedup_semantic": dedup_semantic,
@@ -3623,6 +3669,130 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
             FROM lineitem GROUP BY l_returnflag
+        """,
+        # independent SQL reimplementation of paragraph_dedup over the
+        # same derived paragraph corpus: explode -> normalized-key doc
+        # frequency -> anti-join -> ordered string_agg reassembly
+        "text_paragraph_dedup": """
+            WITH docs AS (
+                SELECT doc_id,
+                       regexp_replace(text, ' (batch|merge) ',
+                                      chr(10)||chr(10), 'g') AS t
+                FROM documents
+            ),
+            sp AS (
+                SELECT doc_id, string_split_regex(t, '\\n[\\t ]*\\n') AS l
+                FROM docs
+            ),
+            paras AS (
+                SELECT doc_id, i AS para_idx, l[i] AS para,
+                       md5(trim(regexp_replace(lower(l[i]), '\\s+', ' ',
+                                               'g'))) AS pkey,
+                       length(trim(regexp_replace(lower(l[i]), '\\s+', ' ',
+                                                  'g'))) AS nlen
+                FROM sp, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i)
+            ),
+            live AS (SELECT * FROM paras WHERE nlen > 0),
+            banned AS (
+                SELECT pkey FROM live
+                GROUP BY pkey HAVING COUNT(DISTINCT doc_id) > 2
+            ),
+            kept AS (
+                SELECT * FROM live
+                WHERE pkey NOT IN (SELECT pkey FROM banned)
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       string_agg(para, chr(10)||chr(10)
+                                  ORDER BY para_idx) AS text,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ),
+            totals AS (
+                SELECT doc_id, COUNT(*) AS n_paras FROM live GROUP BY doc_id
+            )
+            SELECT d.doc_id, md5(COALESCE(r.text, '')) AS text_md5,
+                   CAST(COALESCE(t.n_paras, 0) AS BIGINT) AS n_paras,
+                   CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+            FROM documents d
+            LEFT JOIN totals t USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        # independent SQL re-derivation of the multinomial-NB posterior
+        # from the same corpus counts: score = ln prior + Σ tf·ln(cnt+1)
+        # - n_tokens·ln(N_class + V); ROUND(…, 6) BEFORE the argmax in
+        # both engines so libm ulp drift can't flip a prediction; ties
+        # break on label ASC in both.
+        "classify_nb_lang": """
+            WITH tok AS (
+                SELECT doc_id, lang, u.t AS token
+                FROM documents,
+                     LATERAL (SELECT unnest(string_split_regex(
+                                  lower(text), '[^a-z0-9]+')) AS t) u
+                WHERE length(u.t) > 0
+            ),
+            train_tok AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+            token_counts AS (
+                SELECT lang AS label, token, COUNT(*) AS cnt
+                FROM train_tok GROUP BY 1, 2
+            ),
+            class_tokens AS (
+                SELECT lang AS label, COUNT(*) AS n_class
+                FROM train_tok GROUP BY 1
+            ),
+            doc_counts AS (
+                SELECT lang AS label, COUNT(*) AS n_docs
+                FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1
+            ),
+            totals AS (
+                SELECT COUNT(*) AS n_total FROM documents
+                WHERE doc_id % 5 <> 0
+            ),
+            vocab AS (SELECT COUNT(DISTINCT token) AS v FROM train_tok),
+            class_stats AS (
+                SELECT d.label,
+                       ln(CAST(d.n_docs AS DOUBLE))
+                         - ln(CAST(t.n_total AS DOUBLE)) AS log_prior,
+                       COALESCE(c.n_class, 0) AS n_class, v.v
+                FROM doc_counts d
+                LEFT JOIN class_tokens c USING (label), totals t, vocab v
+            ),
+            tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf FROM tok
+                WHERE doc_id % 5 = 0 GROUP BY 1, 2
+            ),
+            doc_stats AS (
+                SELECT doc_id, SUM(tf) AS n_doc FROM tf GROUP BY 1
+            ),
+            matched AS (
+                SELECT tf.doc_id, tc.label,
+                       SUM(tf.tf * ln(CAST(tc.cnt AS DOUBLE) + 1.0)) AS m
+                FROM tf JOIN token_counts tc USING (token)
+                GROUP BY 1, 2
+            ),
+            scores AS (
+                SELECT d.doc_id, c.label,
+                       ROUND(c.log_prior + COALESCE(m.m, 0.0)
+                             - COALESCE(ds.n_doc, 0)
+                               * ln(CAST(c.n_class AS DOUBLE)
+                                    + CAST(c.v AS DOUBLE)), 6) AS score
+                FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+                CROSS JOIN class_stats c
+                LEFT JOIN doc_stats ds USING (doc_id)
+                LEFT JOIN matched m
+                       ON m.doc_id = d.doc_id AND m.label = c.label
+            ),
+            ranked AS (
+                SELECT doc_id, label, score,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, label ASC)
+                           AS rn
+                FROM scores
+            )
+            SELECT r.doc_id, r.label AS pred_label, r.score,
+                   d.lang AS true_label
+            FROM ranked r JOIN documents d USING (doc_id)
+            WHERE r.rn = 1
         """,
         # chunk i starts at i*(200-50); last chunk short; empty doc -> one
         # empty chunk; starts stop at len-overlap-1 (no fully-contained

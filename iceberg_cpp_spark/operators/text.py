@@ -266,6 +266,53 @@ def chunk_documents(df: DataFrame, chunk_chars: int = 1000,
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
 
 
+def paragraph_dedup(df: DataFrame, max_doc_freq: int = 2,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Cross-corpus repeated-paragraph removal (the boilerplate scrub
+    step of web-scale pipelines — nav bars, cookie banners, license
+    footers repeat across sites while real prose does not). Documents
+    split on blank lines; a paragraph whose NORMALIZED form (lowercase,
+    whitespace collapsed) appears in more than ``max_doc_freq``
+    DISTINCT documents is dropped from every document; survivors are
+    reassembled in original order. Returns (id_col, text, n_paras,
+    n_kept) — a fully-boilerplate document survives with empty text,
+    never silently vanishes.
+
+    Plan at scale: one posexplode (no shuffle), one hash aggregation
+    for corpus-global paragraph frequency (the inherent shuffle), one
+    anti-join on the frequency key, one groupBy(id) to reassemble.
+    Pure Column expressions end-to-end — no UDFs, no driver state;
+    paragraph keys are md5 digests so the aggregation carries 32-byte
+    keys, not paragraph bodies."""
+    if max_doc_freq < 1:
+        raise ValueError(f"max_doc_freq must be >= 1, got {max_doc_freq}")
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n[\t ]*\n"))
+        .alias("para_idx", "para"))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("para")), r"\s+", " "))
+    paras = (paras.withColumn("pkey", F.md5(norm))
+             .filter(F.length(norm) > 0))  # blank-run artifacts
+    banned = (paras.groupBy("pkey")
+              .agg(F.countDistinct(id_col).alias("df_count"))
+              .filter(F.col("df_count") > max_doc_freq)
+              .select("pkey"))
+    kept = paras.join(banned, "pkey", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws("\n\n", F.transform(
+            F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+            lambda s: s["para"])).alias("text"),
+        F.count("*").alias("n_kept"))
+    totals = paras.groupBy(id_col).agg(F.count("*").alias("n_paras"))
+    return (df.select(id_col).join(totals, id_col, "left")
+            .join(rebuilt, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce(F.col("text"), F.lit("")).alias("text"),
+                    F.coalesce(F.col("n_paras"), F.lit(0)).alias("n_paras"),
+                    F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept")))
+
+
 def token_frequency_stats(df: DataFrame, freq_source: Optional[DataFrame] = None,
                           text_col: str = "text",
                           id_col: str = "doc_id",

@@ -5,7 +5,8 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from iceberg_cpp_spark.operators import dedup, multimodal, similarity, text
+from iceberg_cpp_spark.operators import (classify, dedup, multimodal,
+                                          similarity, text)
 
 
 @pytest.fixture(scope="module")
@@ -566,7 +567,82 @@ class TestSimilarity:
         assert len(brute & ivf) >= 0.8 * len(brute)
 
 
+class TestNaiveBayes:
+    def test_hand_derived_scores(self, spark):
+        """Golden check against pen-and-paper smoothed log-posteriors:
+        train A='x x y', B='z z' (V=3, N_A=3, N_B=2, priors 1/2 each);
+        score doc 'x z q' (q unseen):
+          score_A = ln(.5) + 1*ln(2+1) - 3*ln(3+3) = -4.969813
+          score_B = ln(.5) + 1*ln(2+1) - 3*ln(2+3) = -4.422849
+        → predicts B. A zero-token doc scores priors only; the equal
+        priors tie breaks to the lexically-smaller label A."""
+        train = spark.createDataFrame(
+            [("A", "x x y"), ("B", "z z")], "label string, text string")
+        model = classify.train_nb(train)
+        test = spark.createDataFrame(
+            [(1, "x z q"), (2, "??")], "doc_id long, text string")
+        scores = {(r["doc_id"], r["label"]): r["score"]
+                  for r in classify.nb_scores(model, test).collect()}
+        assert scores[(1, "A")] == pytest.approx(-4.969813, abs=1e-6)
+        assert scores[(1, "B")] == pytest.approx(-4.422849, abs=1e-6)
+        assert scores[(2, "A")] == scores[(2, "B")] == pytest.approx(
+            -0.693147, abs=1e-6)
+        pred = {r["doc_id"]: r["pred_label"]
+                for r in classify.nb_predict(model, test).collect()}
+        assert pred == {1: "B", 2: "A"}
+
+    def test_separable_corpus_recovers_labels(self, spark):
+        """A vocabulary-disjoint corpus must classify its own training
+        split perfectly — an end-to-end sanity pin on the smoothing
+        algebra (a sign error or swapped denominator breaks this)."""
+        rows = []
+        for i in range(30):
+            rows.append((i, "spam" if i % 2 else "ham",
+                         ("buy now cheap " if i % 2 else
+                          "meeting notes agenda ") * (1 + i % 3)))
+        df = spark.createDataFrame(rows, "doc_id long, label string, text string")
+        model = classify.train_nb(df)
+        out = classify.nb_predict(model, df).join(
+            df.select("doc_id", "label"), "doc_id")
+        bad = out.filter(F.col("pred_label") != F.col("label")).count()
+        assert bad == 0
+
+
 class TestText:
+    def test_paragraph_dedup(self, spark):
+        """Repeated-boilerplate paragraphs drop corpus-wide; survivors
+        reassemble in order; a fully-boilerplate doc keeps its row with
+        empty text; within-doc repetition alone never triggers a drop
+        (frequency is DISTINCT docs)."""
+        bp = "Accept cookies to continue."
+        df = spark.createDataFrame([
+            (1, f"Unique intro one.\n\n{bp}\n\nUnique body one."),
+            (2, f"{bp}\n \nUnique body two."),
+            (3, f"Unique three A.\n\n{bp}"),
+            (4, bp),                       # fully boilerplate
+            (5, "Solo doc.\n\nSolo doc."),  # repeated only WITHIN one doc
+            (6, ""),
+        ], "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               text.paragraph_dedup(df, max_doc_freq=2).collect()}
+        assert out[1]["text"] == "Unique intro one.\n\nUnique body one."
+        assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 2
+        assert out[2]["text"] == "Unique body two."
+        assert out[3]["text"] == "Unique three A."
+        assert out[4]["text"] == "" and out[4]["n_kept"] == 0
+        assert out[4]["n_paras"] == 1
+        assert out[5]["text"] == "Solo doc.\n\nSolo doc."
+        assert out[6]["text"] == "" and out[6]["n_paras"] == 0
+        # case/whitespace variants of the boilerplate normalize together
+        df2 = spark.createDataFrame([
+            (1, "ACCEPT   cookies to continue.\n\nKeep me."),
+            (2, "accept cookies  to continue."),
+            (3, "Accept cookies to continue.\n\nAlso keep."),
+        ], "doc_id long, text string")
+        out2 = {r["doc_id"]: r["text"] for r in
+                text.paragraph_dedup(df2, max_doc_freq=2).collect()}
+        assert out2 == {1: "Keep me.", 2: "", 3: "Also keep."}
+
     def test_token_count(self, spark):
         df = spark.createDataFrame(
             [(1, "one two three"), (2, ""), (3, "   "), (4, "single")],

@@ -63,13 +63,15 @@ def test_driver_cap_window_composition():
         "ice_datasource",   # datasource registration demo (ice_pyds_scan exercises the python-datasource plane, ice_large_scan the jvm-union plane, both in-window; displaced for ice_orc_data)
         "ice_orc_write",    # write.format.default=orc leg (ice_orc_data in-window covers the ORC scan/need_meta read planes)
         "ice_partition_stats",  # partition-statistics file write+readback (ice_partition_pruned in-window covers the partition metadata it aggregates; ice_analyze_ndv covers the sibling table-stats pointer flow)
+        "text_paragraph_dedup",  # repeated-boilerplate paragraph scrub (dedup_exact in-window covers the hash-groupBy dedup core; text_chunking covers the explode/reassemble plumbing)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without
     # deciding its window (in-cap, extras, or tail) fails here with an
     # actionable message (VERDICT r07 item 8).
     relational_tail = [
-        "agg_rollup", "q12_shipping_modes", "window_top_orders",
+        "agg_rollup", "q3_shipping_priority", "q12_shipping_modes",
+        "window_top_orders",
         "join_semi_anti", "q2_min_cost_supplier",
         "q4_order_priority", "q5_local_supplier", "q6_forecast_revenue",
         "q7_volume_shipping", "q8_market_share", "q9_product_type_profit",
