@@ -1925,6 +1925,22 @@ def classify_nb_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("lang").alias("true_label")))
 
 
+def retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse lexical retrieval (operators/retrieval.py bm25_topk —
+    Lucene-variant BM25): query strings are 60-char prefixes of every
+    97th document, searched over the full corpus, top-5 per query.
+    Oracle: independent ANSI-SQL re-derivation of the same formula;
+    scores round at 1e-6 before ranking in both engines and ties break
+    on doc_id, so result lists are order-stable across libm builds."""
+    from iceberg_cpp_spark.operators import retrieval as rt
+
+    docs = _t(spark, sf_dir, "documents")
+    q = (docs.filter(F.col("doc_id") % 97 == 3)
+         .select(F.col("doc_id").alias("query_id"),
+                 F.expr("substring(text, 1, 60)").alias("query_text")))
+    return rt.bm25_topk(docs, q, k=5)
+
+
 def text_token_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-frequency features (operators/text.py
     token_frequency_stats) — the integer-safe core of a unigram-LM
@@ -2431,7 +2447,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup_minhash,
         "dedup_embedding": dedup_embedding,
         "dedup_transitive": dedup_transitive,
-        "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "text_stats": text_stats,
         "text_quality": text_quality,
@@ -2444,6 +2459,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": stream_sessionize,
         # trained-classifier family (r10: first driver row)
         "classify_nb_lang": classify_nb_lang,
+        # sparse lexical retrieval (r10: first driver row; ann_topk
+        # displaced to extras — ann_ivf_topk keeps the dense-ANN
+        # machinery in-window and PQ/brute variants stay judge-run)
+        "retrieval_bm25": retrieval_bm25,
         # relational representatives (4; q3 displaced to the judge-run
         # tail for classify_nb_lang — ORDER+LIMIT+join stays covered
         # in-window by events_window_agg/range_join and q3 itself has
@@ -2510,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_contamination": text_contamination,
         "text_pii_redact": text_pii_redact,
+        "ann_topk": ann_topk,
         "ann_pq_topk": ann_pq_topk,
         "sample_pack": sample_pack,
         "dedup_cross_corpus": dedup_cross_corpus,
@@ -3793,6 +3813,66 @@ def oracle_sql() -> dict[str, str]:
                    d.lang AS true_label
             FROM ranked r JOIN documents d USING (doc_id)
             WHERE r.rn = 1
+        """,
+        # independent SQL re-derivation of Lucene-variant BM25:
+        # idf = ln(1 + (N - df + .5)/(df + .5)); tf part with k1=1.2,
+        # b=.75; ROUND(…, 6) before ranking, ties on doc_id ASC.
+        "retrieval_bm25": """
+            WITH tok AS (
+                SELECT doc_id, u.t AS token
+                FROM documents,
+                     LATERAL (SELECT unnest(string_split_regex(
+                                  lower(text), '[^a-z0-9]+')) AS t) u
+                WHERE length(u.t) > 0
+            ),
+            tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf
+                FROM tok GROUP BY 1, 2
+            ),
+            doc_len AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+                SELECT COUNT(*) AS n_docs,
+                       AVG(CAST(COALESCE(dl.dl, 0) AS DOUBLE)) AS avgdl
+                FROM documents d LEFT JOIN doc_len dl USING (doc_id)
+            ),
+            df_t AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            qtok AS (
+                SELECT doc_id AS query_id, u.t AS token
+                FROM (SELECT doc_id, substring(text, 1, 60) AS qt
+                      FROM documents WHERE doc_id % 97 = 3) q,
+                     LATERAL (SELECT unnest(string_split_regex(
+                                  lower(qt), '[^a-z0-9]+')) AS t) u
+                WHERE length(u.t) > 0
+            ),
+            qterms AS (
+                SELECT query_id, token, COUNT(*) AS qtf
+                FROM qtok GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT q.query_id, tf.doc_id,
+                       ROUND(SUM(q.qtf
+                           * ln(1.0 + (s.n_docs - d.df + 0.5)
+                                      / (d.df + 0.5))
+                           * (tf.tf * 2.2)
+                             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                                      / s.avgdl))), 6)
+                           AS score
+                FROM tf
+                JOIN qterms q USING (token)
+                JOIN df_t d USING (token)
+                JOIN doc_len dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats s
+                GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT query_id, doc_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC,
+                                                   doc_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
+            FROM ranked WHERE rank <= 5
         """,
         # chunk i starts at i*(200-50); last chunk short; empty doc -> one
         # empty chunk; starts stop at len-overlap-1 (no fully-contained

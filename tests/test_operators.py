@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from iceberg_cpp_spark.operators import (classify, dedup, multimodal,
-                                          similarity, text)
+                                          retrieval, similarity, text)
 
 
 @pytest.fixture(scope="module")
@@ -565,6 +565,81 @@ class TestSimilarity:
                similarity.ivf_topk(similarity.assign_centroids(emb, C), C, q,
                                    k=5, nprobe=3).collect()}
         assert len(brute & ivf) >= 0.8 * len(brute)
+
+
+class TestBM25:
+    @staticmethod
+    def _reference(corpus, queries, k, k1=1.2, b=0.75):
+        """Independent plain-Python BM25 (Lucene positive-IDF variant)
+        — loops and dicts, no shared code with the operator."""
+        import math
+        import re
+        tok = lambda s: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+        tfs = {d: {} for d, _ in corpus}
+        for d, txt in corpus:
+            for t in tok(txt):
+                tfs[d][t] = tfs[d].get(t, 0) + 1
+        n = len(corpus)
+        avgdl = sum(sum(m.values()) for m in tfs.values()) / n
+        df = {}
+        for m in tfs.values():
+            for t in m:
+                df[t] = df.get(t, 0) + 1
+        out = {}
+        for qid, qtxt in queries:
+            scores = {}
+            qtf = {}
+            for t in tok(qtxt):
+                qtf[t] = qtf.get(t, 0) + 1
+            for t, qn in qtf.items():
+                if t not in df:
+                    continue
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                for d, m in tfs.items():
+                    if t not in m:
+                        continue
+                    dl = sum(m.values())
+                    part = (m[t] * (k1 + 1)
+                            / (m[t] + k1 * (1 - b + b * dl / avgdl)))
+                    scores[d] = scores.get(d, 0.0) + qn * idf * part
+            ranked = sorted(((round(s, 6), d) for d, s in scores.items()),
+                            key=lambda p: (-p[0], p[1]))[:k]
+            out[qid] = [(d, r + 1, s) for r, (s, d) in enumerate(ranked)]
+        return out
+
+    def test_matches_python_reference(self, spark):
+        corpus = [
+            (1, "spark shuffles data across the cluster"),
+            (2, "the cluster scales spark jobs; spark spark"),
+            (3, "quantum cats purr loudly"),
+            (4, "data data data everywhere and not a byte to keep"),
+            (5, "loudly the jobs hum across data centers"),
+            (6, ""),
+        ]
+        queries = [(10, "spark data cluster"), (11, "loudly purr"),
+                   (12, "zz_nomatch")]
+        cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+        qdf = spark.createDataFrame(queries,
+                                    "query_id long, query_text string")
+        got = {}
+        for r in retrieval.bm25_topk(cdf, qdf, k=3).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["rank"], r["score"]))
+        expected = self._reference(corpus, queries, k=3)
+        assert sorted(got) == [10, 11]  # no-overlap query yields no rows
+        for qid in got:
+            got[qid].sort(key=lambda p: p[1])
+            assert [(d, rk) for d, rk, _ in got[qid]] == \
+                [(d, rk) for d, rk, _ in expected[qid]]
+            for (_, _, s_got), (_, _, s_exp) in zip(got[qid], expected[qid]):
+                assert s_got == pytest.approx(s_exp, abs=2e-6)
+
+    def test_k_validation(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        q = spark.createDataFrame([(1, "a")],
+                                  "query_id long, query_text string")
+        with pytest.raises(ValueError, match="k must be"):
+            retrieval.bm25_topk(df, q, k=0)
 
 
 class TestNaiveBayes:

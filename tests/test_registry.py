@@ -64,6 +64,7 @@ def test_driver_cap_window_composition():
         "ice_orc_write",    # write.format.default=orc leg (ice_orc_data in-window covers the ORC scan/need_meta read planes)
         "ice_partition_stats",  # partition-statistics file write+readback (ice_partition_pruned in-window covers the partition metadata it aggregates; ice_analyze_ndv covers the sibling table-stats pointer flow)
         "text_paragraph_dedup",  # repeated-boilerplate paragraph scrub (dedup_exact in-window covers the hash-groupBy dedup core; text_chunking covers the explode/reassemble plumbing)
+        "ann_topk",         # brute-force cosine baseline (ann_ivf_topk in-window keeps the dense-ANN scoring machinery; displaced for retrieval_bm25's first driver row)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without
