@@ -165,6 +165,11 @@ class SetSnapshotRef(TableUpdate):
     ref_name: str
     snapshot_id: int
     type: str = "branch"
+    # retention policy riding on the ref (REST SetSnapshotRefUpdate
+    # optional fields; overrides the history.expire.* table defaults)
+    min_snapshots_to_keep: Optional[int] = None
+    max_snapshot_age_ms: Optional[int] = None
+    max_ref_age_ms: Optional[int] = None
     action = "set-snapshot-ref"
 
     def apply_to(self, b):
@@ -172,7 +177,23 @@ class SetSnapshotRef(TableUpdate):
         if m.snapshot_by_id(self.snapshot_id) is None:
             raise ValueError(f"snapshot not found: {self.snapshot_id}")
         refs = dict(m.refs)
-        refs[self.ref_name] = SnapshotRef(self.snapshot_id, type=self.type)
+        # moving a ref's head must not silently reset its retention
+        # policy (Java SnapshotProducer copies it from the base ref):
+        # explicit fields win, otherwise the existing ref's carry over
+        old = m.refs.get(self.ref_name)
+        inherit = old if (old is not None and old.type == self.type) else None
+
+        def _pick(new, attr):
+            return new if new is not None else (
+                getattr(inherit, attr) if inherit is not None else None)
+
+        refs[self.ref_name] = SnapshotRef(
+            self.snapshot_id, type=self.type,
+            min_snapshots_to_keep=_pick(self.min_snapshots_to_keep,
+                                        "min_snapshots_to_keep"),
+            max_snapshot_age_ms=_pick(self.max_snapshot_age_ms,
+                                      "max_snapshot_age_ms"),
+            max_ref_age_ms=_pick(self.max_ref_age_ms, "max_ref_age_ms"))
         out = {"refs": refs}
         if self.ref_name == MAIN_BRANCH:
             out["current_snapshot_id"] = self.snapshot_id
@@ -342,8 +363,15 @@ class TableMetadataBuilder:
     def set_branch_snapshot(self, snapshot_id: int, branch: str = MAIN_BRANCH):
         return self.apply(SetSnapshotRef(branch, snapshot_id, type="branch"))
 
-    def set_ref(self, name: str, snapshot_id: int, type: str = "branch"):
-        return self.apply(SetSnapshotRef(name, snapshot_id, type=type))
+    def set_ref(self, name: str, snapshot_id: int, type: str = "branch",
+                min_snapshots_to_keep: Optional[int] = None,
+                max_snapshot_age_ms: Optional[int] = None,
+                max_ref_age_ms: Optional[int] = None):
+        return self.apply(SetSnapshotRef(
+            name, snapshot_id, type=type,
+            min_snapshots_to_keep=min_snapshots_to_keep,
+            max_snapshot_age_ms=max_snapshot_age_ms,
+            max_ref_age_ms=max_ref_age_ms))
 
     def remove_ref(self, name: str):
         return self.apply(RemoveSnapshotRef(name))
@@ -425,6 +453,12 @@ def update_to_json(u: TableUpdate) -> dict:
     elif isinstance(u, SetSnapshotRef):
         j.update({"ref-name": u.ref_name, "snapshot-id": u.snapshot_id,
                   "type": u.type})
+        if u.min_snapshots_to_keep is not None:
+            j["min-snapshots-to-keep"] = u.min_snapshots_to_keep
+        if u.max_snapshot_age_ms is not None:
+            j["max-snapshot-age-ms"] = u.max_snapshot_age_ms
+        if u.max_ref_age_ms is not None:
+            j["max-ref-age-ms"] = u.max_ref_age_ms
     elif isinstance(u, RemoveSnapshots):
         j["snapshot-ids"] = list(u.snapshot_ids)
     elif isinstance(u, RemoveSnapshotRef):
@@ -474,7 +508,11 @@ def update_from_json(j: dict) -> TableUpdate:
         return AddSnapshot(Snapshot.from_json(j["snapshot"]))
     if a == "set-snapshot-ref":
         return SetSnapshotRef(j["ref-name"], j["snapshot-id"],
-                              type=j.get("type", "branch"))
+                              type=j.get("type", "branch"),
+                              min_snapshots_to_keep=j.get(
+                                  "min-snapshots-to-keep"),
+                              max_snapshot_age_ms=j.get("max-snapshot-age-ms"),
+                              max_ref_age_ms=j.get("max-ref-age-ms"))
     if a == "remove-snapshots":
         return RemoveSnapshots(j["snapshot-ids"])
     if a == "remove-snapshot-ref":

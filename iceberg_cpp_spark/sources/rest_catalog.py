@@ -81,8 +81,12 @@ def synthesize_updates(base: TableMetadata, new: TableMetadata) -> list[up.Table
         ups.append(up.AddSnapshot(s))
     for name, ref in new.refs.items():
         old = base.refs.get(name)
-        if old is None or old.snapshot_id != ref.snapshot_id or old.type != ref.type:
-            ups.append(up.SetSnapshotRef(name, ref.snapshot_id, type=ref.type))
+        if old != ref:  # snapshot move, type change, OR retention edit
+            ups.append(up.SetSnapshotRef(
+                name, ref.snapshot_id, type=ref.type,
+                min_snapshots_to_keep=ref.min_snapshots_to_keep,
+                max_snapshot_age_ms=ref.max_snapshot_age_ms,
+                max_ref_age_ms=ref.max_ref_age_ms))
     for name in base.refs:
         if name not in new.refs:
             ups.append(up.RemoveSnapshotRef(name))

@@ -2963,33 +2963,104 @@ class IceTable:
 
     # --- snapshot maintenance + refs (M7/M9) ------------------------------
     def expire_snapshots(self, older_than_ms: Optional[int] = None,
-                         keep_last: int = 1) -> "IceTable":
+                         keep_last: int = 1,
+                         now_ms: Optional[int] = None) -> "IceTable":
         """Remove unreachable old snapshots from metadata (RemoveSnapshots
-        update). Keeps every snapshot referenced by a branch/tag, plus the
-        ``keep_last`` most recent."""
+        update), honoring per-ref retention policy (SnapshotRef
+        min-snapshots-to-keep / max-snapshot-age-ms / max-ref-age-ms,
+        falling back to the ``history.expire.*`` table properties —
+        the spec's snapshot-retention semantics, which the reference
+        models in snapshot.h:64-118 but never enforces):
+
+        1. non-main refs whose referenced snapshot is older than the
+           effective max-ref-age-ms are REMOVED in the same commit;
+        2. each surviving branch retains its head's ancestor chain up
+           to min-snapshots-to-keep (default 1 = head only) plus every
+           ancestor younger than max-snapshot-age-ms (default: no
+           age-based ancestor retention);
+        3. tags retain exactly their snapshot;
+        4. of the rest, snapshots outside the ``keep_last`` most recent
+           (and older than ``older_than_ms``, when given) are dropped.
+
+        ``now_ms`` injects the clock for deterministic tests. With no
+        retention fields/properties set, behavior is exactly the
+        pre-retention contract (ref heads + keep_last + older_than)."""
+        import time as _time
+
         meta = self.metadata
-        referenced = {r.snapshot_id for r in meta.refs.values()}
+        now = now_ms if now_ms is not None else int(_time.time() * 1000)
+        props = meta.properties or {}
+
+        def _prop_int(key: str) -> Optional[int]:
+            v = props.get(key)
+            return int(v) if v is not None else None
+
+        snaps = {s.snapshot_id: s for s in meta.snapshots}
+        # 1. ref expiry (never main)
+        expired_refs = []
+        for name, r in meta.refs.items():
+            if name == MAIN_BRANCH:
+                continue
+            limit = (r.max_ref_age_ms
+                     if r.max_ref_age_ms is not None
+                     else _prop_int("history.expire.max-ref-age-ms"))
+            s = snaps.get(r.snapshot_id)
+            if limit is not None and s is not None \
+                    and now - s.timestamp_ms > limit:
+                expired_refs.append(name)
+        # 2-3. retained set from surviving refs
+        referenced: set[int] = set()
         if meta.current_snapshot_id is not None:
             referenced.add(meta.current_snapshot_id)
+        for name, r in meta.refs.items():
+            if name in expired_refs:
+                continue
+            referenced.add(r.snapshot_id)
+            if r.type != "branch":
+                continue
+            min_keep = (r.min_snapshots_to_keep
+                        if r.min_snapshots_to_keep is not None
+                        else _prop_int("history.expire.min-snapshots-to-keep")
+                        or 1)
+            max_age = (r.max_snapshot_age_ms
+                       if r.max_snapshot_age_ms is not None
+                       else _prop_int("history.expire.max-snapshot-age-ms"))
+            kept, sid = 0, r.snapshot_id
+            while sid is not None and sid in snaps:
+                s = snaps[sid]
+                if kept < min_keep or (
+                        max_age is not None
+                        and now - s.timestamp_ms <= max_age):
+                    referenced.add(sid)
+                    kept += 1
+                    sid = s.parent_snapshot_id
+                else:
+                    break
+        # 4. global keep_last / older_than sweep
         by_time = sorted(meta.snapshots, key=lambda s: s.timestamp_ms, reverse=True)
         keep = referenced | {s.snapshot_id for s in by_time[:keep_last]}
         drop = [s.snapshot_id for s in meta.snapshots
                 if s.snapshot_id not in keep
                 and (older_than_ms is None or s.timestamp_ms < older_than_ms)]
-        if not drop:
+        if not drop and not expired_refs:
             return self
         from iceberg_cpp_spark.core.updates import TableMetadataBuilder
 
         b = TableMetadataBuilder.build_from(meta)
-        b.remove_snapshots(drop)
+        for name in expired_refs:
+            b.remove_ref(name)
+        if drop:
+            b.remove_snapshots(drop)
         new_meta, _u, reqs = b.build()
         return self._commit(new_meta, MAIN_BRANCH, meta.current_snapshot(), requirements=reqs)
 
-    def create_branch(self, name: str, snapshot_id: Optional[int] = None) -> "IceTable":
-        return self._set_ref(name, snapshot_id, "branch")
+    def create_branch(self, name: str, snapshot_id: Optional[int] = None,
+                      **retention) -> "IceTable":
+        return self._set_ref(name, snapshot_id, "branch", **retention)
 
-    def create_tag(self, name: str, snapshot_id: Optional[int] = None) -> "IceTable":
-        return self._set_ref(name, snapshot_id, "tag")
+    def create_tag(self, name: str, snapshot_id: Optional[int] = None,
+                   **retention) -> "IceTable":
+        return self._set_ref(name, snapshot_id, "tag", **retention)
 
     def remove_ref(self, name: str) -> "IceTable":
         from iceberg_cpp_spark.core.updates import TableMetadataBuilder
@@ -3000,7 +3071,10 @@ class IceTable:
         new_meta, _u, reqs = b.build()
         return self._commit(new_meta, MAIN_BRANCH, meta.current_snapshot(), requirements=reqs)
 
-    def _set_ref(self, name: str, snapshot_id: Optional[int], type: str) -> "IceTable":
+    def _set_ref(self, name: str, snapshot_id: Optional[int], type: str,
+                 min_snapshots_to_keep: Optional[int] = None,
+                 max_snapshot_age_ms: Optional[int] = None,
+                 max_ref_age_ms: Optional[int] = None) -> "IceTable":
         from iceberg_cpp_spark.core.updates import TableMetadataBuilder
 
         meta = self.metadata
@@ -3008,7 +3082,10 @@ class IceTable:
         if sid is None:
             raise ValueError("table has no snapshot to reference")
         b = TableMetadataBuilder.build_from(meta)
-        b.set_ref(name, sid, type=type)
+        b.set_ref(name, sid, type=type,
+                  min_snapshots_to_keep=min_snapshots_to_keep,
+                  max_snapshot_age_ms=max_snapshot_age_ms,
+                  max_ref_age_ms=max_ref_age_ms)
         new_meta, _u, reqs = b.build()
         return self._commit(new_meta, name, meta.current_snapshot(), requirements=reqs)
 

@@ -133,6 +133,42 @@ class TestSynthesizeUpdates:
         for u in ups:
             assert up.update_from_json(up.update_to_json(u)).action == u.action
 
+    def test_diff_carries_ref_retention(self, rest):
+        """A retention-policy edit on an UNMOVED ref must synthesize a
+        set-snapshot-ref action that carries the retention fields
+        through the wire format — the REST spec's SetSnapshotRefUpdate
+        optional fields (dropping them would silently reset branch
+        retention on every REST commit)."""
+        import dataclasses
+
+        from iceberg_cpp_spark.core import updates as up
+        from iceberg_cpp_spark.core.metadata import Snapshot, SnapshotRef
+
+        cat, loc = rest
+        cat.create_namespace("dbr")
+        base = cat.create_table("dbr.s", SCHEMA,
+                                location=os.path.join(loc, "rr"))
+        snap = Snapshot(snapshot_id=7, sequence_number=1, timestamp_ms=1,
+                        manifest_list="/x/ml.avro",
+                        summary={"operation": "append"})
+        ref = SnapshotRef(7, type="branch", min_snapshots_to_keep=4,
+                          max_snapshot_age_ms=1000, max_ref_age_ms=2000)
+        with_ref = dataclasses.replace(
+            base, snapshots=[snap], refs={"audit": ref})
+        ups = synthesize_updates(base, with_ref)
+        sets = [u for u in ups if isinstance(u, up.SetSnapshotRef)]
+        assert len(sets) == 1 and sets[0].min_snapshots_to_keep == 4
+        wire = up.update_from_json(up.update_to_json(sets[0]))
+        assert (wire.min_snapshots_to_keep, wire.max_snapshot_age_ms,
+                wire.max_ref_age_ms) == (4, 1000, 2000)
+        # retention-only edit (same snapshot) still diffs
+        relaxed = dataclasses.replace(
+            with_ref, refs={"audit": dataclasses.replace(
+                ref, min_snapshots_to_keep=9)})
+        again = [u for u in synthesize_updates(with_ref, relaxed)
+                 if isinstance(u, up.SetSnapshotRef)]
+        assert len(again) == 1 and again[0].min_snapshots_to_keep == 9
+
     def test_diff_covers_partition_statistics(self, rest):
         """A REST-committed compute_partition_statistics must not lose
         its pointer: the base→new diff synthesizes set/remove

@@ -319,6 +319,73 @@ class TestTableMaintenance:
         assert len(t.snapshots()) == 1
         assert t.to_df().count() == 15  # current data untouched
 
+    def test_ref_retention_policy(self, spark, lineitem, tmp_loc):
+        """Spec snapshot-retention semantics (snapshot.h:64-118 models
+        the fields; enforcement is ours): a branch's
+        min-snapshots-to-keep retains its head's ancestors through an
+        aggressive expire; max-snapshot-age-ms retains young ancestors
+        beyond the min; a tag past max-ref-age-ms is removed and its
+        snapshot becomes expirable; retention survives branch-head
+        moves (commits must not reset policy)."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "rr"),
+                            schema_from_spark(lineitem.schema))
+        for _ in range(4):
+            t = t.append(lineitem.limit(2))
+        snaps = [s.snapshot_id for s in t.snapshots()]  # oldest..newest
+        now = max(s.timestamp_ms for s in t.snapshots()) + 10_000
+
+        # tag the oldest snapshot with a 1ms ref age: expired at `now`
+        t = t.create_tag("old-tag", snaps[0], max_ref_age_ms=1)
+        # branch at head keeping 3 ancestors regardless of age
+        t = t.create_branch("audit", snaps[3], min_snapshots_to_keep=3)
+        t = t.expire_snapshots(keep_last=1, now_ms=now)
+        kept = {s.snapshot_id for s in t.snapshots()}
+        assert "old-tag" not in t.metadata.refs, "stale tag must expire"
+        assert snaps[0] not in kept, "tag gone -> its snapshot expirable"
+        assert {snaps[1], snaps[2], snaps[3]} <= kept, (
+            "min-snapshots-to-keep=3 retains the head's ancestor chain")
+
+        # age-based ancestor retention: fresh branch keeping only 1 by
+        # count but everything younger than a wide age window
+        t2 = IceTable.create(spark, os.path.join(tmp_loc, "rr2"),
+                             schema_from_spark(lineitem.schema))
+        for _ in range(3):
+            t2 = t2.append(lineitem.limit(2))
+        s2 = [s.snapshot_id for s in t2.snapshots()]
+        now2 = max(s.timestamp_ms for s in t2.snapshots()) + 10_000
+        t2 = t2.create_branch("fresh", s2[2], min_snapshots_to_keep=1,
+                              max_snapshot_age_ms=3_600_000)
+        t2 = t2.expire_snapshots(keep_last=1, now_ms=now2)
+        assert {s.snapshot_id for s in t2.snapshots()} == set(s2), (
+            "max-snapshot-age-ms retains the whole young ancestor chain")
+
+        # policy survives a branch-head move (append to the branch)
+        t2 = t2.append(lineitem.limit(2), branch="fresh")
+        r = t2.metadata.refs["fresh"]
+        assert r.min_snapshots_to_keep == 1
+        assert r.max_snapshot_age_ms == 3_600_000
+
+    def test_ref_retention_defaults_unchanged(self, spark, lineitem,
+                                              tmp_loc):
+        """With no retention fields or history.expire.* properties the
+        pre-retention contract holds exactly: ref heads + keep_last,
+        nothing else retained, no refs removed."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        t = IceTable.create(spark, os.path.join(tmp_loc, "rd"),
+                            schema_from_spark(lineitem.schema))
+        for _ in range(3):
+            t = t.append(lineitem.limit(2))
+        snaps = [s.snapshot_id for s in t.snapshots()]
+        t = t.create_tag("pin", snaps[0])
+        t = t.expire_snapshots(keep_last=1)
+        assert {s.snapshot_id for s in t.snapshots()} == {snaps[0], snaps[2]}
+        assert "pin" in t.metadata.refs
+
     def test_expire_drops_stats_pointers(self, spark, lineitem, tmp_loc):
         """Expiring a snapshot removes its statistics AND
         partition-statistics pointers (spec: stats files belong to a
