@@ -641,6 +641,40 @@ class TestBM25:
         with pytest.raises(ValueError, match="k must be"):
             retrieval.bm25_topk(df, q, k=0)
 
+    def test_randomized_against_reference(self, spark):
+        """Seeded random corpus (Zipf-ish vocab, variable doc lengths,
+        punctuation noise) vs the independent Python reference — one
+        Spark round-trip, full-output equality on ranks."""
+        import random
+        rng = random.Random(20260815)
+        vocab = [f"w{i}" for i in range(30)]
+        corpus = []
+        for d in range(40):
+            n = rng.randint(0, 25)
+            words = [vocab[min(int(rng.expovariate(0.2)), 29)]
+                     for _ in range(n)]
+            sep = [" ", "  ", ", ", ".\n"]
+            corpus.append((d, "".join(w + rng.choice(sep) for w in words)))
+        queries = [(100 + i, " ".join(
+            vocab[rng.randrange(30)] for _ in range(rng.randint(1, 4))))
+            for i in range(6)]
+        cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+        qdf = spark.createDataFrame(queries,
+                                    "query_id long, query_text string")
+        got = {}
+        for r in retrieval.bm25_topk(cdf, qdf, k=4).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["score"]))
+        expected = self._reference(corpus, queries, k=4)
+        assert set(got) == {q for q, hits in expected.items() if hits}
+        for qid, hits in got.items():
+            hits.sort()
+            exp = [(rk, d) for d, rk, _ in expected[qid]]
+            assert [(rk, d) for rk, d, _ in hits] == exp
+            for (_, _, s_got), (_, _, s_exp) in zip(
+                    hits, expected[qid]):
+                assert s_got == pytest.approx(s_exp, abs=2e-6)
+
 
 class TestNaiveBayes:
     def test_hand_derived_scores(self, spark):
@@ -681,6 +715,58 @@ class TestNaiveBayes:
             df.select("doc_id", "label"), "doc_id")
         bad = out.filter(F.col("pred_label") != F.col("label")).count()
         assert bad == 0
+
+    def test_randomized_against_reference(self, spark):
+        """Seeded random labeled corpus vs an independent plain-Python
+        posterior (loops + math.log, no shared code): per-(doc, label)
+        scores AND argmax labels must agree."""
+        import math
+        import random
+        import re
+        rng = random.Random(97)
+        vocab = [f"t{i}" for i in range(25)]
+        labels = ["a", "b", "c"]
+        rows = [(d, rng.choice(labels),
+                 " ".join(vocab[rng.randrange(25)]
+                          for _ in range(rng.randint(0, 15))))
+                for d in range(50)]
+        train = [r for r in rows if r[0] % 3 != 0]
+        test = [r for r in rows if r[0] % 3 == 0]
+        tok = lambda s: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+        cnt, n_class, n_docs = {}, {}, {}
+        vocab_seen = set()
+        for _, lbl, txt in train:
+            n_docs[lbl] = n_docs.get(lbl, 0) + 1
+            for t in tok(txt):
+                cnt[(lbl, t)] = cnt.get((lbl, t), 0) + 1
+                n_class[lbl] = n_class.get(lbl, 0) + 1
+                vocab_seen.add(t)
+        V, total = len(vocab_seen), len(train)
+        exp_scores, exp_pred = {}, {}
+        for d, _, txt in test:
+            toks = tok(txt)
+            best = None
+            for lbl in sorted(n_docs):
+                s = math.log(n_docs[lbl] / total)
+                for t in toks:
+                    s += math.log(cnt.get((lbl, t), 0) + 1)
+                s -= len(toks) * math.log(n_class.get(lbl, 0) + V)
+                s = round(s, 6)
+                exp_scores[(d, lbl)] = s
+                if best is None or s > best[0]:
+                    best = (s, lbl)
+            exp_pred[d] = best[1]
+        df = spark.createDataFrame(rows, "doc_id long, label string, text string")
+        model = classify.train_nb(df.filter(F.col("doc_id") % 3 != 0))
+        tdf = df.filter(F.col("doc_id") % 3 == 0)
+        got_scores = {(r["doc_id"], r["label"]): r["score"]
+                      for r in classify.nb_scores(model, tdf).collect()}
+        assert set(got_scores) == set(exp_scores)
+        for k in exp_scores:
+            assert got_scores[k] == pytest.approx(exp_scores[k], abs=2e-6)
+        got_pred = {r["doc_id"]: r["pred_label"]
+                    for r in classify.nb_predict(model, tdf).collect()}
+        assert got_pred == exp_pred
 
 
 class TestText:
