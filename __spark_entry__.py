@@ -1941,6 +1941,31 @@ def retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.bm25_topk(docs, q, k=5)
 
 
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality scoring (operators/lm.py
+    bigram_cross_entropy): an add-0.5-smoothed bigram LM trained on the
+    corpus itself scores every >=2-token document's cross-entropy in
+    nats/bigram. Counting is all-integer; the only float surface is one
+    ln + one mean, rounded at 1e-6 in both engines."""
+    from iceberg_cpp_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    return lm.bigram_cross_entropy(docs)
+
+
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
+    hashed unigram+bigram features (md5 buckets, engine-portable),
+    add-1-smoothed target/raw log-ratios with target = the English
+    slice, Gumbel top-50 with md5-derived noise — the selection is
+    deterministic, repartition-stable, and reproducible in ANSI SQL."""
+    from iceberg_cpp_spark.operators import dsir
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir.dsir_resample(docs, docs.filter(F.col("lang") == "en"),
+                              k=50, n_buckets=1024)
+
+
 def text_token_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token-frequency features (operators/text.py
     token_frequency_stats) — the integer-safe core of a unigram-LM
@@ -2539,6 +2564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_merge_schema": ice_merge_schema,
         "ice_metadata_tables": ice_metadata_tables,
         "multimodal_frames": multimodal_frames,
+        # r10: LM-perplexity quality scoring + DSIR importance resampling
+        "text_lm_perplexity": text_lm_perplexity,
+        "sample_dsir": sample_dsir,
     }
 
 
@@ -3873,6 +3901,83 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
             FROM ranked WHERE rank <= 5
+        """,
+        # add-0.5 bigram LM, trained and scored on the corpus:
+        # p(w2|w1) = (c2+.5)/(c1+.5*(V+1)); ce = -AVG(ln p) at 1e-6.
+        # Tokenization = words(): TRIM(LOWER), whitespace split.
+        "text_lm_perplexity": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS w
+              FROM documents WHERE TRIM(LOWER(text)) <> ''),
+            big AS (
+              SELECT doc_id,
+                     unnest(list_transform(list_slice(w, 1, len(w)-1),
+                                           (x, i) -> x)) AS w1,
+                     unnest(list_transform(list_slice(w, 1, len(w)-1),
+                                           (x, i) -> w[i+1])) AS w2
+              FROM tok WHERE len(w) >= 2),
+            uc AS (
+              SELECT _w, COUNT(*) AS c1
+              FROM (SELECT unnest(w) AS _w FROM tok) GROUP BY _w),
+            bc AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2),
+            v AS (SELECT COUNT(*) AS nv FROM uc)
+            SELECT b.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   ROUND(-AVG(LN((bc.c2 + 0.5)
+                                 / (uc.c1 + 0.5*(v.nv+1)))), 6)
+                     AS cross_entropy
+            FROM big b JOIN bc USING (w1, w2)
+            JOIN uc ON b.w1 = uc._w CROSS JOIN v
+            GROUP BY b.doc_id
+        """,
+        # DSIR: hashed unigram+bigram buckets (md5 32-bit prefix mod
+        # 1024 — byte-identical to Spark's conv(substring(md5,1,8),16,10)),
+        # add-1 target/raw log-ratio per bucket (target = lang 'en'),
+        # per-doc Σλ rounded at 1e-6, + Gumbel(-ln(-ln u)) noise from
+        # md5('dsir|'||doc_id), rounded again, top-50 by (score, doc_id).
+        "sample_dsir": r"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     regexp_split_to_array(TRIM(LOWER(text)), '\s+') AS w
+              FROM documents WHERE TRIM(LOWER(text)) <> ''),
+            feat AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(f), 1, 8))::BIGINT % 1024 AS b
+              FROM (
+                SELECT doc_id, lang, unnest(w) AS f FROM tok
+                UNION ALL
+                SELECT doc_id, lang,
+                       unnest(list_transform(list_slice(w, 1, len(w)-1),
+                                             (x, i) -> x || ' ' || w[i+1]))
+                         AS f
+                FROM tok WHERE len(w) >= 2)),
+            rawc AS (SELECT b, COUNT(*) AS cr FROM feat GROUP BY b),
+            tgtc AS (SELECT b, COUNT(*) AS ct
+                     FROM feat WHERE lang = 'en' GROUP BY b),
+            tot AS (
+              SELECT (SELECT SUM(cr) FROM rawc) AS nr,
+                     (SELECT COALESCE(SUM(ct), 0) FROM tgtc) AS nt),
+            lam AS (
+              SELECT r.b,
+                     LN((COALESCE(t.ct, 0) + 1.0) / (tot.nt + 1024.0))
+                       - LN((r.cr + 1.0) / (tot.nr + 1024.0)) AS lam
+              FROM rawc r LEFT JOIN tgtc t USING (b) CROSS JOIN tot),
+            wts AS (
+              SELECT f.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_features,
+                     ROUND(SUM(lam.lam), 6) AS log_weight
+              FROM feat f JOIN lam USING (b)
+              GROUP BY f.doc_id)
+            SELECT doc_id, n_features,
+                   ROUND(log_weight
+                         - LN(-LN(((('0x' || substr(md5('dsir|'
+                                     || CAST(doc_id AS VARCHAR)), 1, 8))
+                                     ::BIGINT + 0.5) / 4294967296.0))), 6)
+                     AS score
+            FROM wts
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 50
         """,
         # chunk i starts at i*(200-50); last chunk short; empty doc -> one
         # empty chunk; starts stop at len-overlap-1 (no fully-contained

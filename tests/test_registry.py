@@ -65,6 +65,8 @@ def test_driver_cap_window_composition():
         "ice_partition_stats",  # partition-statistics file write+readback (ice_partition_pruned in-window covers the partition metadata it aggregates; ice_analyze_ndv covers the sibling table-stats pointer flow)
         "text_paragraph_dedup",  # repeated-boilerplate paragraph scrub (dedup_exact in-window covers the hash-groupBy dedup core; text_chunking covers the explode/reassemble plumbing)
         "ann_topk",         # brute-force cosine baseline (ann_ivf_topk in-window keeps the dense-ANN scoring machinery; displaced for retrieval_bm25's first driver row)
+        "text_lm_perplexity",  # bigram-LM cross-entropy scoring (text_token_familiarity in-window covers the unigram-familiarity counting core; classify_nb_lang the trained-model scoring flow)
+        "sample_dsir",      # DSIR importance resampling (retrieval_bm25 in-window covers broadcast-scored ranking; the md5 hash-decision machinery is pinned by the sample_* tail rows and test_lm_dsir.py's cross-engine reference)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without
