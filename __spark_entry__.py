@@ -1123,6 +1123,39 @@ def ice_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 VARIANT column end-to-end (the reference pins its
+    type enum at v2 — type_fwd.h:34 'Iceberg V3 types are not currently
+    supported'; this exceeds it): order facts packed into a variant via
+    parse_json, written to a format-version-3 table, thinned with a
+    deletion-vector delete, scanned back JVM-side and aggregated over
+    try_variant_get extractions. Variant columns resolve by name (Spark
+    drops variant group field ids on rewrite) and are fenced out of
+    every pyarrow plane — see tests/test_variant.py."""
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    df = o.select(
+        "o_orderkey",
+        F.parse_json(F.concat(
+            F.lit('{"st": "'), F.col("o_orderstatus"),
+            F.lit('", "k": '), F.col("o_orderkey").cast("string"),
+            F.lit("}"))).alias("payload"))
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_variant_"), "t")
+    t = IceTable.create(spark, loc, schema_from_spark(df.schema),
+                        properties={"format-version": "3"})
+    t = t.append(df)
+    t = t.delete_where(ex.lt(ex.Reference("o_orderkey"), 10_000),
+                       mode="deletion-vector")
+    out = t.to_df().select(
+        F.try_variant_get("payload", "$.st", "string").alias("st"),
+        F.try_variant_get("payload", "$.k", "long").alias("k"))
+    return out.groupBy("st").agg(F.count("*").alias("n"),
+                                 F.sum("k").alias("sum_k"))
+
+
 def ice_avro_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-Avro manifest interop: table commits write Iceberg-spec Avro
     manifests + manifest lists (pure-Python avro container codec); scan
@@ -2567,6 +2600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: LM-perplexity quality scoring + DSIR importance resampling
         "text_lm_perplexity": text_lm_perplexity,
         "sample_dsir": sample_dsir,
+        # r10: v3 variant type (exceeds the reference's v2-pinned enum)
+        "ice_variant": ice_variant,
     }
 
 
@@ -3901,6 +3936,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
             FROM ranked WHERE rank <= 5
+        """,
+        # v3 variant: the oracle recomputes the same aggregate straight
+        # from orders (the variant pack/extract must be value-neutral)
+        "ice_variant": """
+            SELECT o_orderstatus AS st,
+                   COUNT(*) AS n,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS sum_k
+            FROM orders
+            WHERE o_orderkey % 50 = 0 AND NOT (o_orderkey < 10000)
+            GROUP BY o_orderstatus
         """,
         # add-0.5 bigram LM, trained and scored on the corpus:
         # p(w2|w1) = (c2+.5)/(c1+.5*(V+1)); ce = -AVG(ln p) at 1e-6.

@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     # r10 additions: ORC interop leg and the real animated-GIF decoder
     "ice_orc_data",
     "multimodal_gif_frames",
+    # r10: v3 variant plane (JVM metrics aggregation + DV scan + extract)
+    "ice_variant",
 ]
 
 # min-of-N runs per query; override with SPARK_GRAFT_BENCH_RUNS

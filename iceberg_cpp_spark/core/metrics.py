@@ -254,3 +254,122 @@ def collect_orc_metrics(spark, paths: list[str]) -> dict[str, dict]:
     return {r["path"]: {"record_count": r["record_count"],
                         "file_size_in_bytes": r["file_size_in_bytes"], **empty}
             for r in rows}
+
+
+def schema_has_variant(schema: it.Schema) -> bool:
+    """True when any field (top-level or nested) is an Iceberg v3
+    ``variant`` — such files are unreadable by pyarrow (unrecognized
+    Thrift LogicalType in the footer), so metrics must come from the
+    JVM path (``collect_metrics_spark``)."""
+
+    def walk(t: it.IcebergType) -> bool:
+        if isinstance(t, it.VariantType):
+            return True
+        if isinstance(t, (it.StructType, it.Schema)):
+            return any(walk(f.field_type) for f in t.fields)
+        if isinstance(t, it.ListType):
+            return walk(t.element_type)
+        if isinstance(t, it.MapType):
+            return walk(t.key_type) or walk(t.value_type)
+        return False
+
+    return any(walk(f.field_type) for f in schema.fields)
+
+
+# types whose min/max Spark aggregates convert cleanly through
+# literals.to_bytes (uuid rides its Spark string representation, same
+# ordering the parquet-footer path uses)
+_BOUNDABLE = (it.BooleanType, it.IntegerType, it.LongType, it.FloatType,
+              it.DoubleType, it.DecimalType, it.DateType, it.TimestampType,
+              it.TimestampTzType, it.TimeType, it.StringType, it.UuidType,
+              it.BinaryType, it.FixedType)
+
+
+def collect_metrics_spark(spark, paths: list[str], schema: it.Schema) -> dict[str, dict]:
+    """Variant-safe metrics harvest: ONE JVM aggregation job over the
+    just-written files, grouped by ``_metadata.file_path``. Used when
+    the schema contains a v3 variant column (pyarrow cannot even open
+    those footers). Costs a columnar pass over the new files instead of
+    a footer read — executor-distributed, append-sized, never
+    table-sized. Differences from the footer path, by design:
+
+    - bounds are EXACT min/max (tighter than footer truncation) for
+      top-level orderable primitives; nested struct leaves get no
+      bounds (footer path reads them via dotted paths);
+    - variant columns get value/null counts and NO bounds (the spec
+      assigns variant no bounds);
+    - ``column_sizes`` is empty (requires the footer);
+    - timestamptz bounds aggregate as ``unix_micros`` longs, so they
+      are session-timezone-proof.
+    """
+    from pyspark.sql import functions as F
+
+    from iceberg_cpp_spark.core import types as ty
+
+    spark_schema = ty.to_spark_schema(schema)
+    df = (spark.read.schema(spark_schema).parquet(*paths)
+          .withColumn("_fp", F.regexp_replace(
+              F.col("_metadata.file_path"), "^file:(//)?", "")))
+
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    plan: list[tuple[int, it.IcebergType, bool, bool]] = []  # fid, t, bounded, nan
+    for f in schema.fields:
+        c = F.col(f.name)
+        fid, t = f.field_id, f.field_type
+        aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"_null_{fid}"))
+        bounded = isinstance(t, _BOUNDABLE)
+        nan = isinstance(t, (it.FloatType, it.DoubleType))
+        if bounded:
+            if isinstance(t, it.TimestampTzType):
+                aggs.append(F.unix_micros(F.min(c)).alias(f"_lo_{fid}"))
+                aggs.append(F.unix_micros(F.max(c)).alias(f"_hi_{fid}"))
+            elif nan:
+                # spec: NaN is not a usable bound — aggregate over the
+                # non-NaN slice only
+                nn = F.when(~F.isnan(c), c)
+                aggs.append(F.min(nn).alias(f"_lo_{fid}"))
+                aggs.append(F.max(nn).alias(f"_hi_{fid}"))
+            else:
+                aggs.append(F.min(c).alias(f"_lo_{fid}"))
+                aggs.append(F.max(c).alias(f"_hi_{fid}"))
+        if nan:
+            aggs.append(F.sum(F.isnan(c).cast("long")).alias(f"_nan_{fid}"))
+        plan.append((fid, t, bounded, nan))
+
+    out: dict[str, dict] = {}
+    for r in df.groupBy("_fp").agg(*aggs).collect():
+        n = r["_n"]
+        m = {
+            "record_count": n,
+            "file_size_in_bytes": os.path.getsize(r["_fp"]),
+            "column_sizes": {},
+            "value_counts": {}, "null_value_counts": {},
+            "nan_value_counts": {},
+            "lower_bounds": {}, "upper_bounds": {},
+        }
+        for fid, t, bounded, nan in plan:
+            m["value_counts"][fid] = n
+            m["null_value_counts"][fid] = r[f"_null_{fid}"] or 0
+            if nan:
+                m["nan_value_counts"][fid] = r[f"_nan_{fid}"] or 0
+            if bounded:
+                lo, hi = r[f"_lo_{fid}"], r[f"_hi_{fid}"]
+                if lo is not None and hi is not None:
+                    try:
+                        m["lower_bounds"][fid] = to_bytes(lo, t)
+                        m["upper_bounds"][fid] = to_bytes(hi, t)
+                    except Exception:
+                        m["lower_bounds"].pop(fid, None)
+                        m["upper_bounds"].pop(fid, None)
+        out[r["_fp"]] = m
+    # a written-but-empty file contributes no groupBy row — synthesize
+    # a zero-record entry so the caller's record_count==0 skip applies
+    # (same contract as the footer path, which reads num_rows=0)
+    for p in paths:
+        if p not in out:
+            out[p] = {"record_count": 0,
+                      "file_size_in_bytes": os.path.getsize(p),
+                      "column_sizes": {}, "value_counts": {},
+                      "null_value_counts": {}, "nan_value_counts": {},
+                      "lower_bounds": {}, "upper_bounds": {}}
+    return out

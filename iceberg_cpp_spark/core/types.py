@@ -105,6 +105,18 @@ class UuidType(_Singleton):
     _NAME = "uuid"
 
 
+class VariantType(_Singleton):
+    """Iceberg v3 ``variant`` — semi-structured value (spec: Variant
+    encoding, metadata+value binary pair). The reference pins its enum
+    at v2 ("Iceberg V3 types are not currently supported",
+    type_fwd.h:34); this engine maps it onto Spark 4's native
+    VariantType, so reads/writes/shredding stay JVM-side. Variant
+    columns carry no bounds, cannot be partition/sort/filter sources,
+    and require format-version 3."""
+
+    _NAME = "variant"
+
+
 class DecimalType(IcebergType):
     def __init__(self, precision: int, scale: int):
         if not (0 < precision <= 38):
@@ -233,9 +245,10 @@ _PRIMITIVES: dict[str, IcebergType] = {
     "string": StringType(),
     "binary": BinaryType(),
     "uuid": UuidType(),
+    "variant": VariantType(),
 }
 
-_UNSUPPORTED_V3 = {"timestamp_ns", "timestamptz_ns", "variant", "geometry", "geography", "unknown"}
+_UNSUPPORTED_V3 = {"timestamp_ns", "timestamptz_ns", "geometry", "geography", "unknown"}
 
 
 def type_from_json(j: Any) -> IcebergType:
@@ -427,6 +440,8 @@ def to_spark_type(t: IcebergType) -> T.DataType:
         return T.StringType()
     if isinstance(t, (BinaryType, FixedType)):
         return T.BinaryType()
+    if isinstance(t, VariantType):
+        return T.VariantType()
     if isinstance(t, Schema) or isinstance(t, StructType):
         return T.StructType([_to_spark_field(f) for f in t.fields])
     if isinstance(t, ListType):
@@ -439,6 +454,17 @@ def to_spark_type(t: IcebergType) -> T.DataType:
 
 def _to_spark_field(f: NestedField) -> T.StructField:
     md: dict[str, Any] = {FIELD_ID_KEY: f.field_id, PARQUET_FIELD_ID_KEY: f.field_id}
+    if isinstance(f.field_type, VariantType):
+        # variant columns resolve BY NAME: Spark's parquet writer drops
+        # the field id from a variant group when the column was itself
+        # read from parquet (observed on 4.1 — fresh writes keep it, a
+        # compaction/CoW rewrite loses it), so an id-resolved read would
+        # silently null every variant after the first rewrite. Keeping
+        # parquet.field.id OFF the read schema makes Spark match the
+        # column by name on every file, stamped or not. rename_column /
+        # historical-name reuse are fenced in table.py (same hazard
+        # class as the id-less ORC leg).
+        md.pop(PARQUET_FIELD_ID_KEY)
     if f.doc:
         md[DOC_KEY] = f.doc
     if isinstance(f.field_type, (TimeType, UuidType, FixedType)):
@@ -496,6 +522,8 @@ def from_spark_type(dt: T.DataType, next_id: Iterator[int]) -> IcebergType:
         return StringType()
     if isinstance(dt, T.BinaryType):
         return BinaryType()
+    if isinstance(dt, T.VariantType):
+        return VariantType()
     if isinstance(dt, T.StructType):
         return StructType([
             NestedField(next(next_id), f.name, from_spark_type(f.dataType, next_id), not f.nullable)

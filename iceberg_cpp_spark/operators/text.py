@@ -266,6 +266,70 @@ def chunk_documents(df: DataFrame, chunk_chars: int = 1000,
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
 
 
+def duplicate_span_scrub(df: DataFrame, window: int = 50,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Exact-substring deduplication at TOKEN-WINDOW granularity —
+    the ExactSubstr operation of Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (ACL 2022), re-expressed for
+    Spark: every ``window``-token span whose md5 appears MORE THAN ONCE
+    in the corpus (any doc, including the same doc) is removed from all
+    its occurrences; the survivors are reassembled in order. Paper uses
+    a suffix array; a corpus-global rolling-window hash count finds the
+    same ≥window-token repeats (modulo md5 collisions) with two ordinary
+    shuffles — no suffix array to build, shard, or merge at 100 TB.
+
+    Returns ``(id_col, n_tokens, n_removed, scrubbed)``; docs shorter
+    than ``window`` tokens pass through unchanged (n_removed 0), empty
+    docs yield an empty ``scrubbed``.
+
+    Scale shape: the exploded window stream carries (doc_id, pos,
+    32-byte md5) — token text never enters the wide shuffle; duplicate
+    hashes come from ONE map-side-combined count; dup-start marks shuffle
+    back on the hash join and fold to one array per doc. The final mask
+    is a JVM higher-order filter: O(tokens x dup_starts_per_doc) with no
+    Python in the loop. Dup spans cluster (a repeated paragraph yields a
+    RUN of starts), so dup_starts per doc stays near the number of
+    repeated regions, not token count."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2 tokens: {window}")
+    c = F.col(text_col)
+    toks = df.select(F.col(id_col), words(c).alias("_w"))
+    # md5 of every window-token slice, positions 0-based
+    n_win = F.size(F.col("_w")) - (window - 1)
+    winh = (toks.filter(F.size("_w") >= window)
+            .select(
+                id_col,
+                F.posexplode(F.transform(
+                    F.sequence(F.lit(1), n_win),
+                    lambda i: F.md5(F.concat_ws(
+                        " ", F.slice(F.col("_w"), i, window)))))
+                .alias("_pos", "_h")))
+    dup = (winh.groupBy("_h").agg(F.count("*").alias("_c"))
+           .filter(F.col("_c") > 1).select("_h"))
+    starts = (winh.join(dup, "_h")
+              .groupBy(id_col)
+              .agg(F.array_sort(F.collect_set("_pos")).alias("_starts")))
+    out = (toks.join(starts, id_col, "left")
+           .select(
+               id_col,
+               F.size("_w").cast("long").alias("n_tokens"),
+               F.filter(
+                   F.transform(F.col("_w"),
+                               lambda x, i: F.struct(x.alias("t"),
+                                                     i.alias("i"))),
+                   lambda s: ~F.exists(
+                       F.coalesce(F.col("_starts"),
+                                  F.array().cast("array<integer>")),
+                       lambda v: (v <= s["i"]) & (s["i"] < v + window)))
+               .alias("_kept")))
+    return out.select(
+        id_col, "n_tokens",
+        (F.col("n_tokens") - F.size("_kept")).cast("long").alias("n_removed"),
+        F.concat_ws(" ", F.transform(F.col("_kept"), lambda s: s["t"]))
+        .alias("scrubbed"))
+
+
 def paragraph_dedup(df: DataFrame, max_doc_freq: int = 2,
                     text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:

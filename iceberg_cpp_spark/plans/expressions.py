@@ -178,6 +178,11 @@ class Reference:
         f = schema.find_field(self.name, case_sensitive)
         if f is None:
             raise ValueError(f"cannot bind reference, column not found: {self.name}")
+        if isinstance(f.field_type, it.VariantType):
+            raise ValueError(
+                f"cannot bind predicate to variant column {self.name!r}: "
+                "v3 variant has no comparable literal form — filter on "
+                "an extracted (shredded) column instead")
         full_name = schema.name_of(f.field_id) or self.name
         return BoundReference(f, full_name)
 

@@ -212,6 +212,11 @@ class Catalog:
         fv = int(props.pop("format-version", 2))
         if fv not in (1, 2, 3):
             raise ValueError(f"unsupported format-version: {fv}")
+        from iceberg_cpp_spark.core.metrics import schema_has_variant
+        if fv < 3 and schema_has_variant(schema):
+            raise ValueError(
+                "variant columns require format-version 3 (pass "
+                "properties={'format-version': '3'} at create)")
         return TableMetadata(
             format_version=fv,
             table_uuid=new_table_uuid(),

@@ -780,6 +780,16 @@ class IcebergCppDataSource(DataSource):
         # declared schema == arrow-round-tripped schema, and arrow drops
         # Spark metadata.
         scan = _make_scan(_load_table(self.options), self.options)
+        from iceberg_cpp_spark.core.metrics import schema_has_variant
+
+        if schema_has_variant(scan.read_schema()):
+            # this source decodes with pyarrow, which cannot open
+            # variant-bearing parquet — fail here with a clear message
+            # instead of a Thrift LogicalType error mid-scan
+            raise NotImplementedError(
+                "the icecpp Python DataSource cannot read tables with "
+                "variant columns (pyarrow has no variant decoder); use "
+                "IceTable.load(...).to_df() — the JVM plane reads them")
         return it.strip_field_metadata(it.to_spark_schema(scan.read_schema()))
 
     def reader(self, schema) -> IcebergCppReader:

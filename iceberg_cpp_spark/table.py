@@ -52,7 +52,10 @@ from iceberg_cpp_spark.core.metadata import (
     read_table_metadata,
     write_table_metadata,
 )
-from iceberg_cpp_spark.core.metrics import collect_metrics, collect_orc_metrics
+from iceberg_cpp_spark.core.metrics import (collect_metrics,
+                                            collect_metrics_spark,
+                                            collect_orc_metrics,
+                                            schema_has_variant)
 from iceberg_cpp_spark.plans import expressions as ex
 from iceberg_cpp_spark.plans import pruning
 from iceberg_cpp_spark.plans.spark_compiler import to_spark_column
@@ -556,6 +559,12 @@ class TableScan:
                         f"name-mapping aliases with {sorted(bad)} data "
                         "files are not supported; compact the table to "
                         "materialize field IDs first")
+                if schema_has_variant(schema):
+                    # same pyarrow boundary: variant footers don't open
+                    raise NotImplementedError(
+                        "name-mapping aliases on tables with variant "
+                        "columns are not supported; compact the table "
+                        "to materialize field IDs first")
                 return self._to_df_via_datasource(spark, schema)
             # imported (ID-less) files present: resolve columns by name —
             # strip field-id metadata RECURSIVELY (a struct field keeping
@@ -584,6 +593,7 @@ class TableScan:
                     "engine.read.large-scan-strategy", "jvm-union")
                 == "python-datasource"
                 and not avro_tasks and not orc_tasks
+                and not schema_has_variant(schema)
                 and not self._with_meta_cols and not self._include_deleted):
             return self._to_df_via_datasource(spark, schema)
         deletes = self.plan_deletes() if tasks else []
@@ -1704,6 +1714,10 @@ class IceTable:
             f = schema.find_field(c)
             if f is None:
                 raise ValueError(f"equality column not in schema: {c}")
+            if isinstance(f.field_type, it.VariantType):
+                raise ValueError(
+                    f"variant column {c!r} cannot be an equality-delete "
+                    "key (variant values have no total equality)")
             eq_ids.append(f.field_id)
         del_dir = self.location_provider().new_delete_dir()
         keys.distinct().repartition(1).write.mode("overwrite").parquet(del_dir)
@@ -2078,7 +2092,10 @@ class IceTable:
         if snap is None:
             raise ValueError("no snapshot to analyze")
         schema = self.schema()
-        cols = [f for f in schema.fields if f.field_type.is_primitive]
+        # variant excluded: no total order/equality, so NDV over the raw
+        # value is undefined (and approx_count_distinct rejects it)
+        cols = [f for f in schema.fields if f.field_type.is_primitive
+                and not isinstance(f.field_type, it.VariantType)]
         df = self.to_df()
         aggs = []
         for f in cols:
@@ -2489,6 +2506,13 @@ class IceTable:
         schema = self.schema()
         if self.spec().fields:
             raise ValueError("add_files supports unpartitioned tables only")
+        if schema_has_variant(schema):
+            # the import path verifies/harvests with pyarrow, which
+            # cannot open variant-bearing parquet footers — and foreign
+            # variant encodings are unverifiable without a decode pass
+            raise NotImplementedError(
+                "add_files into tables with variant columns is not "
+                "supported; write through the engine (append) instead")
         mapping = nm.NameMapping.from_schema(schema, aliases)
         new_files: list[mf.DataFile] = []
         any_parquet = False
@@ -2558,8 +2582,19 @@ class IceTable:
         location = self.metadata.location
         write_dir = self.location_provider().new_data_dir()
         # align to the table schema and stamp parquet field IDs
-        # (schema_util.h field-ID resolution depends on files carrying IDs)
-        spark_fields = it.to_spark_schema(schema).fields
+        # (schema_util.h field-ID resolution depends on files carrying IDs).
+        # Variant fields: to_spark_schema keeps parquet.field.id OFF the
+        # READ schema (by-name resolution — Spark's writer drops variant
+        # group ids on rewrite), but fresh writes re-stamp it here so
+        # engine-written files stay spec-shaped where Spark honors it.
+        spark_fields = []
+        for sf in it.to_spark_schema(schema).fields:
+            if (isinstance(sf.dataType, T.VariantType)
+                    and it.PARQUET_FIELD_ID_KEY not in sf.metadata):
+                md = dict(sf.metadata)
+                md[it.PARQUET_FIELD_ID_KEY] = md[it.FIELD_ID_KEY]
+                sf = T.StructField(sf.name, sf.dataType, sf.nullable, md)
+            spark_fields.append(sf)
         incoming = set(df.columns)
         extra = incoming - {sf.name for sf in spark_fields}
         if extra:
@@ -2636,6 +2671,12 @@ class IceTable:
         # field-ids in their writer schema; parquet remains the
         # performance default — the Avro leg exists for interop.
         fmt = self.properties().get("write.format.default", "parquet")
+        if fmt in ("orc", "avro") and schema_has_variant(schema):
+            raise NotImplementedError(
+                f"variant columns are parquet-only "
+                f"(write.format.default={fmt!r}); the v3 spec defines "
+                "variant storage for parquet, and the ORC/Avro legs "
+                "have no variant encoding")
         if fmt == "orc":
             writer.mode("overwrite").orc(write_dir)
         elif fmt == "avro":
@@ -2662,6 +2703,11 @@ class IceTable:
         paths.sort()
         if fmt == "orc":
             metrics = collect_orc_metrics(self.spark, paths)
+        elif schema_has_variant(schema):
+            # pyarrow cannot open footers of variant-bearing files
+            # (unrecognized Thrift LogicalType) — harvest exact stats
+            # with one JVM aggregation over the new files instead
+            metrics = collect_metrics_spark(self.spark, paths, schema)
         else:
             metrics = collect_metrics(self.spark, paths, schema)
         out: list[mf.DataFile] = []
@@ -3132,6 +3178,13 @@ class IceTable:
         f = schema.find_field(old)
         if f is None:
             raise ValueError(f"column not found: {old}")
+        if isinstance(f.field_type, it.VariantType):
+            # variant columns resolve by NAME (see types._to_spark_field):
+            # a rename would silently null them in every existing file
+            raise ValueError(
+                f"cannot rename variant column {old!r}: variant columns "
+                f"resolve by name — run rewrite_data_files() after "
+                f"changing the schema instead, or copy into a new column")
         orc = self._live_orc_files()
         if orc:
             raise ValueError(
@@ -3159,6 +3212,22 @@ class IceTable:
         schema = self.schema()
         if schema.find_field(name) is not None:
             raise ValueError(f"column exists: {name}")
+        if isinstance(field_type, it.VariantType):
+            if self.metadata.format_version < 3:
+                raise ValueError(
+                    "variant columns require format-version 3 "
+                    "(upgrade_format_version(3) first)")
+            # by-name resolution hazard (types._to_spark_field): a
+            # historical column of the same name may still exist in
+            # live files; resolving the NEW variant field by name would
+            # resurrect its old values. Metadata-scale check.
+            if any(fl.name == name for s in self.metadata.schemas
+                   for fl in s.fields):
+                raise ValueError(
+                    f"cannot add variant column {name!r}: a historical "
+                    f"schema used that name and variant columns resolve "
+                    f"by name — pick a fresh name or run "
+                    f"rewrite_data_files() first")
         orc = self._live_orc_files()
         if orc:
             # ORC files resolve by name: an old file that carries a
@@ -3220,6 +3289,11 @@ class IceTable:
             src = schema.find_field_by_id(pf.source_id)
             if src is None:
                 raise ValueError(f"partition source field not found: {pf.source_id}")
+            if isinstance(src.field_type, it.VariantType):
+                raise ValueError(
+                    f"variant column {src.name!r} cannot be a partition "
+                    "source (v3 spec: variant is not a valid transform "
+                    "source type)")
             fid = pf.field_id
             if not fid:
                 fid = next_fid
