@@ -1974,6 +1974,18 @@ def retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.bm25_topk(docs, q, k=5)
 
 
+def text_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup at token-window granularity (operators/
+    text.py duplicate_span_scrub; Lee et al. ACL 2022 ExactSubstr):
+    every 8-token span repeated anywhere in the corpus is removed from
+    ALL occurrences, survivors reassembled in order. Rolling md5 window
+    counts replace the paper's suffix array — two ordinary shuffles."""
+    from iceberg_cpp_spark.operators import text as tx
+
+    docs = _t(spark, sf_dir, "documents")
+    return tx.duplicate_span_scrub(docs, window=8)
+
+
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality scoring (operators/lm.py
     bigram_cross_entropy): an add-0.5-smoothed bigram LM trained on the
@@ -2602,6 +2614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_dsir": sample_dsir,
         # r10: v3 variant type (exceeds the reference's v2-pinned enum)
         "ice_variant": ice_variant,
+        # r10: exact-substring span scrub (Lee et al. ExactSubstr)
+        "text_span_scrub": text_span_scrub,
     }
 
 
@@ -3946,6 +3960,42 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_orderkey % 50 = 0 AND NOT (o_orderkey < 10000)
             GROUP BY o_orderstatus
+        """,
+        # ExactSubstr scrub: 0-based window starts in Spark vs 1-based
+        # DuckDB lambdas — self-consistent per engine, invisible in the
+        # output. array_to_string([]) is NULL in DuckDB → COALESCE ''.
+        "text_span_scrub": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN TRIM(LOWER(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(TRIM(LOWER(text)),
+                                                     '\s+') END AS w
+              FROM documents),
+            winh AS (
+              SELECT doc_id,
+                     unnest(list_transform(list_slice(w, 1, len(w) - 7),
+                                           (x, i) -> i)) AS pos1,
+                     unnest(list_transform(list_slice(w, 1, len(w) - 7),
+                            (x, i) -> md5(array_to_string(
+                                list_slice(w, i, i + 7), ' ')))) AS h
+              FROM tok WHERE len(w) >= 8),
+            dup AS (SELECT h FROM winh GROUP BY h HAVING COUNT(*) > 1),
+            starts AS (
+              SELECT doc_id, list(DISTINCT pos1) AS ss
+              FROM winh JOIN dup USING (h) GROUP BY doc_id),
+            scrub AS (
+              SELECT t.doc_id, len(w) AS n_tokens,
+                     list_filter(w, (x, i) ->
+                         len(list_filter(COALESCE(s.ss, []),
+                                         v -> v <= i AND i < v + 8)) = 0)
+                       AS kept
+              FROM tok t LEFT JOIN starts s USING (doc_id))
+            SELECT doc_id,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+                   COALESCE(array_to_string(kept, ' '), '') AS scrubbed
+            FROM scrub
         """,
         # add-0.5 bigram LM, trained and scored on the corpus:
         # p(w2|w1) = (c2+.5)/(c1+.5*(V+1)); ce = -AVG(ln p) at 1e-6.

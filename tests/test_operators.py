@@ -1264,3 +1264,74 @@ class TestSampling:
             sampling.hash_sample(docs, 1.5)
         with _pt.raises(ValueError):
             sampling.weighted_mix([docs], [0.5, 0.5])
+
+
+class TestSpanScrub:
+    """duplicate_span_scrub vs an independent plain-Python ExactSubstr
+    reference (dict-counted window hashes, no shared code)."""
+
+    @staticmethod
+    def _reference(corpus, window):
+        import hashlib
+
+        toks = {d: (t.strip().lower().split() if t.strip() else [])
+                for d, t in corpus}
+        counts = {}
+        for ws in toks.values():
+            for i in range(len(ws) - window + 1):
+                h = hashlib.md5(" ".join(ws[i:i + window]).encode()).hexdigest()
+                counts[h] = counts.get(h, 0) + 1
+        out = {}
+        for d, ws in toks.items():
+            dead = set()
+            for i in range(len(ws) - window + 1):
+                h = hashlib.md5(" ".join(ws[i:i + window]).encode()).hexdigest()
+                if counts[h] > 1:
+                    dead.update(range(i, i + window))
+            kept = [w for i, w in enumerate(ws) if i not in dead]
+            out[d] = (len(ws), len(ws) - len(kept), " ".join(kept))
+        return out
+
+    def _check(self, spark, corpus, window):
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_tokens"], r["n_removed"], r["scrubbed"])
+               for r in text.duplicate_span_scrub(df, window=window).collect()}
+        exp = self._reference(corpus, window)
+        assert got == exp
+
+    def test_cross_doc_and_within_doc_repeats(self, spark):
+        shared = "one two three four"
+        corpus = [
+            (1, f"intro {shared} tail words here"),
+            (2, f"other head {shared} closing"),
+            (3, "unique text that repeats nothing at all today"),
+            (4, "loop loop loop loop loop loop loop loop loop"),  # self-repeat
+            (5, "short doc"),   # below window -> untouched
+            (6, ""),            # empty -> empty scrubbed
+        ]
+        self._check(spark, corpus, window=4)
+        # and the specific semantics: doc 3 untouched, doc 5 untouched
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               text.duplicate_span_scrub(df, window=4).collect()}
+        assert got[3]["n_removed"] == 0
+        assert got[5]["scrubbed"] == "short doc"
+        assert got[6]["scrubbed"] == "" and got[6]["n_tokens"] == 0
+        assert got[4]["n_removed"] == 9  # fully self-repeating
+        assert shared not in got[1]["scrubbed"]
+        assert shared not in got[2]["scrubbed"]
+
+    def test_window_validation(self, spark):
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="window must be"):
+            text.duplicate_span_scrub(df, window=1)
+
+    def test_randomized_against_reference(self, spark):
+        import random
+
+        rng = random.Random(20260815)
+        vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> real repeats
+        corpus = [(d, " ".join(rng.choice(vocab)
+                               for _ in range(rng.randint(0, 25))))
+                  for d in range(40)]
+        self._check(spark, corpus, window=3)

@@ -68,6 +68,7 @@ def test_driver_cap_window_composition():
         "text_lm_perplexity",  # bigram-LM cross-entropy scoring (text_token_familiarity in-window covers the unigram-familiarity counting core; classify_nb_lang the trained-model scoring flow)
         "sample_dsir",      # DSIR importance resampling (retrieval_bm25 in-window covers broadcast-scored ranking; the md5 hash-decision machinery is pinned by the sample_* tail rows and test_lm_dsir.py's cross-engine reference)
         "ice_variant",      # v3 variant type end-to-end (ice_deletion_vector in-window covers the DV scan plane it rides; the variant-specific planes are pinned by tests/test_variant.py incl. the rewrite field-id regression)
+        "text_span_scrub",  # ExactSubstr window scrub (text_paragraph_dedup extras row covers the corpus-global-frequency + reassembly shape at paragraph granularity; the window machinery is pinned by TestText span-scrub tests with an independent Python reference)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without
