@@ -1156,6 +1156,46 @@ def ice_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.sum("k").alias("sum_k"))
 
 
+def ice_ns_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 NANOSECOND timestamps (the reference's TimeUnit enum
+    stops at µs — type_fwd.h:56-58; this exceeds it): event times recast
+    to ns-precision longs (with a sub-µs component no µs type can hold),
+    written to a format-version-3 table partitioned by day(ts_ns), scan
+    pruned on an ns predicate, aggregated per day. The oracle re-derives
+    the same longs from raw events — any double rounding or µs
+    truncation in the engine breaks the hash match."""
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core import types as ity
+    from iceberg_cpp_spark.core.metadata import PartitionField, PartitionSpec
+    from iceberg_cpp_spark.functions import transforms as tr
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000
+         + F.col("event_id") % 1000).alias("ts_ns"))
+    sch = ity.Schema([
+        ity.NestedField(1, "event_id", ity.LongType(), True),
+        ity.NestedField(2, "ts_ns", ity.TimestampTzNsType(), False),
+    ])
+    spec = PartitionSpec([PartitionField(2, 1000, "d", tr.DAY)], spec_id=0)
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_ns_"), "t")
+    t = IceTable.create(spark, loc, sch, spec=spec,
+                        properties={"format-version": "3"})
+    t = t.append(df)
+    cut = 1_705_276_800_000_000_000  # 2024-01-15T00:00:00Z in ns
+    scan = t.scan(filter=ex.gt_eq(ex.Reference("ts_ns"), cut)).to_df()
+    # exact integer day bucket: a double division would round ~1.7e18
+    # nanos at 256 ns granularity and could flip day-boundary rows
+    day = F.expr("ts_ns div 86400000000000")
+    return (scan.groupBy(day.alias("d"))
+            .agg(F.count("*").alias("n"),
+                 F.min("ts_ns").alias("min_ns"),
+                 F.max("ts_ns").alias("max_ns"),
+                 F.sum(F.col("ts_ns") % 1000).alias("sum_subus")))
+
+
 def ice_avro_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-Avro manifest interop: table commits write Iceberg-spec Avro
     manifests + manifest lists (pure-Python avro container codec); scan
@@ -2616,6 +2656,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_variant": ice_variant,
         # r10: exact-substring span scrub (Lee et al. ExactSubstr)
         "text_span_scrub": text_span_scrub,
+        # r10: v3 nanosecond timestamps (exceeds the reference's µs-only
+        # TimeUnit enum)
+        "ice_ns_timestamps": ice_ns_timestamps,
     }
 
 
@@ -3950,6 +3993,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
             FROM ranked WHERE rank <= 5
+        """,
+        # v3 ns timestamps: longs re-derived from raw events with exact
+        # integer arithmetic in both engines (// is floor-div in DuckDB;
+        # `div` in Spark — all values positive so they agree)
+        "ice_ns_timestamps": """
+            WITH ns AS (
+              SELECT event_id,
+                     epoch_us(ts) * 1000 + event_id % 1000 AS ts_ns
+              FROM events)
+            SELECT ts_ns // 86400000000000 AS d,
+                   COUNT(*) AS n,
+                   MIN(ts_ns) AS min_ns,
+                   MAX(ts_ns) AS max_ns,
+                   CAST(SUM(ts_ns % 1000) AS BIGINT) AS sum_subus
+            FROM ns
+            WHERE ts_ns >= 1705276800000000000
+            GROUP BY 1
         """,
         # v3 variant: the oracle recomputes the same aggregate straight
         # from orders (the variant pack/extract must be value-neutral)

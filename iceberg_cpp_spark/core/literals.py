@@ -50,7 +50,8 @@ def to_bytes(value: Any, t: it.IcebergType) -> bytes:
         return b"\x01" if value else b"\x00"
     if isinstance(t, it.IntegerType):
         return struct.pack("<i", int(value))
-    if isinstance(t, (it.LongType, it.TimeType)):
+    if isinstance(t, (it.LongType, it.TimeType, it.TimestampNsType,
+                      it.TimestampTzNsType)):
         return struct.pack("<q", int(value))
     if isinstance(t, it.FloatType):
         return struct.pack("<f", float(value))
@@ -83,7 +84,8 @@ def from_bytes(data: bytes, t: it.IcebergType) -> Any:
         return data != b"\x00"
     if isinstance(t, it.IntegerType):
         return struct.unpack("<i", data)[0]
-    if isinstance(t, (it.LongType, it.TimeType)):
+    if isinstance(t, (it.LongType, it.TimeType, it.TimestampNsType,
+                      it.TimestampTzNsType)):
         return struct.unpack("<q", data)[0]
     if isinstance(t, it.FloatType):
         return struct.unpack("<f", data)[0]
@@ -164,7 +166,8 @@ def cast(value: Any, src: it.IcebergType, dst: it.IcebergType) -> Any:
             return v
         if isinstance(dst, (it.FloatType, it.DoubleType)):
             return float(value)
-        if isinstance(dst, (it.TimeType, it.TimestampType, it.TimestampTzType)):
+        if isinstance(dst, (it.TimeType, it.TimestampType, it.TimestampTzType,
+                            it.TimestampNsType, it.TimestampTzNsType)):
             return int(value)
         if isinstance(dst, it.DecimalType):
             return Decimal(int(value)).quantize(Decimal(1).scaleb(-dst.scale))

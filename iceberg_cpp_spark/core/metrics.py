@@ -282,7 +282,8 @@ def schema_has_variant(schema: it.Schema) -> bool:
 _BOUNDABLE = (it.BooleanType, it.IntegerType, it.LongType, it.FloatType,
               it.DoubleType, it.DecimalType, it.DateType, it.TimestampType,
               it.TimestampTzType, it.TimeType, it.StringType, it.UuidType,
-              it.BinaryType, it.FixedType)
+              it.BinaryType, it.FixedType, it.TimestampNsType,
+              it.TimestampTzNsType)
 
 
 def collect_metrics_spark(spark, paths: list[str], schema: it.Schema) -> dict[str, dict]:

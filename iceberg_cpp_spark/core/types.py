@@ -105,6 +105,26 @@ class UuidType(_Singleton):
     _NAME = "uuid"
 
 
+class TimestampNsType(_Singleton):
+    """Iceberg v3 ``timestamp_ns`` — nanoseconds since epoch, no zone.
+    The reference pins its TimeUnit enum at microseconds
+    (type_fwd.h:56-58 "In Iceberg V3 nanoseconds are also supported");
+    this engine exceeds that slot. Spark has no nanosecond timestamp, so
+    the column rides as LongType (nanos since epoch, engine-tagged via
+    ``iceberg.type`` metadata — the TimeType pattern): exact storage,
+    correct ordering for predicates/bounds, int64 spec encoding."""
+
+    _NAME = "timestamp_ns"
+
+
+class TimestampTzNsType(_Singleton):
+    """Iceberg v3 ``timestamptz_ns`` — UTC-adjusted nanoseconds since
+    epoch. Same LongType engine-tagged representation as
+    ``timestamp_ns`` (see that docstring)."""
+
+    _NAME = "timestamptz_ns"
+
+
 class VariantType(_Singleton):
     """Iceberg v3 ``variant`` — semi-structured value (spec: Variant
     encoding, metadata+value binary pair). The reference pins its enum
@@ -246,9 +266,14 @@ _PRIMITIVES: dict[str, IcebergType] = {
     "binary": BinaryType(),
     "uuid": UuidType(),
     "variant": VariantType(),
+    "timestamp_ns": TimestampNsType(),
+    "timestamptz_ns": TimestampTzNsType(),
 }
 
-_UNSUPPORTED_V3 = {"timestamp_ns", "timestamptz_ns", "geometry", "geography", "unknown"}
+_UNSUPPORTED_V3 = {"geometry", "geography", "unknown"}
+
+# v3-only primitives: tables carrying them must be format-version >= 3
+V3_ONLY_TYPES = (VariantType, TimestampNsType, TimestampTzNsType)
 
 
 def type_from_json(j: Any) -> IcebergType:
@@ -388,6 +413,29 @@ class Schema(StructType):
 # Iceberg ↔ Spark type mapping (SURVEY.md §1.2 table)
 # --------------------------------------------------------------------------
 
+def schema_v3_types(schema: "Schema") -> set:
+    """Names of v3-only primitive types used anywhere in the schema
+    (top-level or nested) — tables carrying any must be
+    format-version >= 3."""
+    found: set = set()
+
+    def walk(t: IcebergType) -> None:
+        if isinstance(t, V3_ONLY_TYPES):
+            found.add(t.to_json())
+        elif isinstance(t, (StructType, Schema)):
+            for f in t.fields:
+                walk(f.field_type)
+        elif isinstance(t, ListType):
+            walk(t.element_type)
+        elif isinstance(t, MapType):
+            walk(t.key_type)
+            walk(t.value_type)
+
+    for f in schema.fields:
+        walk(f.field_type)
+    return found
+
+
 def max_assigned_field_id(fields) -> int:
     """Highest field id assigned ANYWHERE in the given fields, including
     list element ids and map key/value ids (which Schema's name index —
@@ -432,6 +480,8 @@ def to_spark_type(t: IcebergType) -> T.DataType:
         return T.DateType()
     if isinstance(t, TimeType):
         return T.LongType()  # µs of day, engine-tagged
+    if isinstance(t, (TimestampNsType, TimestampTzNsType)):
+        return T.LongType()  # ns since epoch, engine-tagged (v3)
     if isinstance(t, TimestampType):
         return T.TimestampNTZType()
     if isinstance(t, TimestampTzType):
@@ -467,7 +517,8 @@ def _to_spark_field(f: NestedField) -> T.StructField:
         md.pop(PARQUET_FIELD_ID_KEY)
     if f.doc:
         md[DOC_KEY] = f.doc
-    if isinstance(f.field_type, (TimeType, UuidType, FixedType)):
+    if isinstance(f.field_type, (TimeType, UuidType, FixedType,
+                                 TimestampNsType, TimestampTzNsType)):
         md[ENGINE_TYPE_KEY] = f.field_type.to_json()
     return T.StructField(f.name, to_spark_type(f.field_type), nullable=not f.required, metadata=md)
 

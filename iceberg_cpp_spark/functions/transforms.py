@@ -43,7 +43,9 @@ from iceberg_cpp_spark.functions import murmur3
 MICROS_PER_HOUR = 3_600_000_000
 MICROS_PER_DAY = 86_400_000_000
 
-_TEMPORAL = (it.DateType, it.TimestampType, it.TimestampTzType)
+_TEMPORAL = (it.DateType, it.TimestampType, it.TimestampTzType,
+             it.TimestampNsType, it.TimestampTzNsType)
+_NS = (it.TimestampNsType, it.TimestampTzNsType)
 
 
 def _unique_memo(series: "pd.Series", fn):
@@ -154,7 +156,8 @@ class BucketTransform(Transform):
         return isinstance(
             source_type,
             (it.IntegerType, it.LongType, it.DecimalType, it.DateType, it.TimeType,
-             it.TimestampType, it.TimestampTzType, it.StringType, it.UuidType,
+             it.TimestampType, it.TimestampTzType, it.TimestampNsType,
+             it.TimestampTzNsType, it.StringType, it.UuidType,
              it.FixedType, it.BinaryType),
         )
 
@@ -173,6 +176,11 @@ class BucketTransform(Transform):
             return murmur3.hash_long(days)
         if isinstance(source_type, (it.TimestampType, it.TimestampTzType)):
             return murmur3.hash_long(_to_micros(v))
+        if isinstance(source_type, _NS):
+            # spec Appendix B: timestamp_ns buckets by the MICROSECOND
+            # value (floor division) so a ns and a µs column of the same
+            # instant land in the same bucket
+            return murmur3.hash_long(int(v) // 1000)
         if isinstance(source_type, it.StringType):
             return murmur3.hash_bytes(str(v).encode("utf-8"))
         if isinstance(source_type, it.UuidType):
@@ -189,7 +197,8 @@ class BucketTransform(Transform):
 
     def spark_column(self, col, source_type):
         n = self.num_buckets
-        if isinstance(source_type, (it.IntegerType, it.LongType, it.TimeType)):
+        if isinstance(source_type, (it.IntegerType, it.LongType, it.TimeType)
+                      ) or isinstance(source_type, _NS):
             @pandas_udf(ST.IntegerType())
             def _bucket_long(s: pd.Series) -> pd.Series:
                 mask = s.notna()
@@ -199,6 +208,13 @@ class BucketTransform(Transform):
                     out[mask] = ((h.astype(np.int64) & 0x7FFFFFFF) % n).astype("int32")
                 return out
 
+            if isinstance(source_type, _NS):
+                # spec Appendix B: ns timestamps bucket by the FLOOR-µs
+                # value. Exact long floor-div via decimal (a double
+                # division would corrupt int64 nanos past 2^53)
+                return _bucket_long(
+                    F.floor(col.cast("decimal(38,0)") / F.lit(1000))
+                    .cast("long"))
             return _bucket_long(col.cast("long"))
         if isinstance(source_type, it.DateType):
             @pandas_udf(ST.IntegerType())
@@ -360,11 +376,24 @@ class _TemporalTransform(Transform):
             days = v if isinstance(v, int) else (self._as_date(v) - EPOCH_DATE).days
             d = EPOCH_DATE + dt.timedelta(days=days)
             return d.year, d.month, days, 0
-        micros = _to_micros(v) if not isinstance(v, int) else v
+        if isinstance(source_type, _NS):
+            micros = int(v) // 1000
+        else:
+            micros = _to_micros(v) if not isinstance(v, int) else v
         days = micros // MICROS_PER_DAY
         hours = micros // MICROS_PER_HOUR
         d = EPOCH_DATE + dt.timedelta(days=days)
         return d.year, d.month, days, hours
+
+
+def _ns_to_ts(col: Column, source_type: it.IcebergType) -> Column:
+    """v3 ns timestamps ride as long nanos; temporal transforms convert
+    to a µs TimestampType column first (exact decimal floor-div — double
+    division would corrupt int64 nanos past 2^53)."""
+    if isinstance(source_type, _NS):
+        return F.timestamp_micros(
+            F.floor(col.cast("decimal(38,0)") / F.lit(1000)).cast("long"))
+    return col
 
 
 class YearTransform(_TemporalTransform):
@@ -377,6 +406,7 @@ class YearTransform(_TemporalTransform):
         return y - 1970
 
     def spark_column(self, col, source_type):
+        col = _ns_to_ts(col, source_type)
         return (F.year(col) - F.lit(1970)).cast("int")
 
 
@@ -390,6 +420,7 @@ class MonthTransform(_TemporalTransform):
         return (y - 1970) * 12 + (m - 1)
 
     def spark_column(self, col, source_type):
+        col = _ns_to_ts(col, source_type)
         return ((F.year(col) - F.lit(1970)) * 12 + F.month(col) - F.lit(1)).cast("int")
 
 
@@ -403,6 +434,7 @@ class DayTransform(_TemporalTransform):
         return days
 
     def spark_column(self, col, source_type):
+        col = _ns_to_ts(col, source_type)
         return F.datediff(F.to_date(col), F.lit("1970-01-01")).cast("int")
 
 
@@ -416,6 +448,7 @@ class HourTransform(_TemporalTransform):
         return hours
 
     def spark_column(self, col, source_type):
+        col = _ns_to_ts(col, source_type)
         return F.floor(F.unix_micros(col.cast("timestamp")) / F.lit(MICROS_PER_HOUR)).cast("int")
 
 

@@ -212,10 +212,11 @@ class Catalog:
         fv = int(props.pop("format-version", 2))
         if fv not in (1, 2, 3):
             raise ValueError(f"unsupported format-version: {fv}")
-        from iceberg_cpp_spark.core.metrics import schema_has_variant
-        if fv < 3 and schema_has_variant(schema):
+        from iceberg_cpp_spark.core.types import schema_v3_types
+        v3 = schema_v3_types(schema)
+        if fv < 3 and v3:
             raise ValueError(
-                "variant columns require format-version 3 (pass "
+                f"{sorted(v3)} columns require format-version 3 (pass "
                 "properties={'format-version': '3'} at create)")
         return TableMetadata(
             format_version=fv,

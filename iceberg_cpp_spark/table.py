@@ -3212,17 +3212,19 @@ class IceTable:
         schema = self.schema()
         if schema.find_field(name) is not None:
             raise ValueError(f"column exists: {name}")
-        if isinstance(field_type, it.VariantType):
+        if isinstance(field_type, it.V3_ONLY_TYPES):
             if self.metadata.format_version < 3:
                 raise ValueError(
-                    "variant columns require format-version 3 "
-                    "(upgrade_format_version(3) first)")
-            # by-name resolution hazard (types._to_spark_field): a
+                    f"{field_type.to_json()} columns require "
+                    "format-version 3 (upgrade_format_version(3) first)")
+            # by-name resolution hazard (types._to_spark_field), VARIANT
+            # only — ns timestamps ride LongType with field ids: a
             # historical column of the same name may still exist in
             # live files; resolving the NEW variant field by name would
             # resurrect its old values. Metadata-scale check.
-            if any(fl.name == name for s in self.metadata.schemas
-                   for fl in s.fields):
+            if isinstance(field_type, it.VariantType) and any(
+                    fl.name == name for s in self.metadata.schemas
+                    for fl in s.fields):
                 raise ValueError(
                     f"cannot add variant column {name!r}: a historical "
                     f"schema used that name and variant columns resolve "

@@ -69,6 +69,7 @@ def test_driver_cap_window_composition():
         "sample_dsir",      # DSIR importance resampling (retrieval_bm25 in-window covers broadcast-scored ranking; the md5 hash-decision machinery is pinned by the sample_* tail rows and test_lm_dsir.py's cross-engine reference)
         "ice_variant",      # v3 variant type end-to-end (ice_deletion_vector in-window covers the DV scan plane it rides; the variant-specific planes are pinned by tests/test_variant.py incl. the rewrite field-id regression)
         "text_span_scrub",  # ExactSubstr window scrub (text_paragraph_dedup extras row covers the corpus-global-frequency + reassembly shape at paragraph granularity; the window machinery is pinned by TestText span-scrub tests with an independent Python reference)
+        "ice_ns_timestamps",  # v3 ns timestamps (ice_partition_pruned in-window covers partition pruning; ns-specific exactness/transform parity pinned by tests/test_ns_timestamps.py incl. the 2^53 double-rounding pin)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without
