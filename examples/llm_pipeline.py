@@ -2,9 +2,11 @@
 composition a 100 TB curation job runs, expressed start-to-finish with
 this repo's operators —
 
-  quality filter → language filter → repetition filter → exact dedup →
-  MinHash near-dedup → benchmark-contamination screen → PII redaction →
-  deterministic corpus split → sequence packing → Iceberg table commit
+  quality filter → language filter → repetition filter → exact-substring
+  span scrub → LM-perplexity filter → exact dedup → MinHash near-dedup →
+  benchmark-contamination screen → DSIR importance selection → PII
+  redaction → deterministic corpus split → sequence packing → Iceberg
+  table commit
 
 Every step is a declarative DataFrame transform (Catalyst plans the
 whole chain; nothing materializes until the final write), and every
@@ -52,6 +54,25 @@ def main() -> None:
                                     <= 0.2 * F.col("n_grams2")))
                       .select("doc_id"), "doc_id", "left_semi"))
 
+    # 2b. exact-substring scrub (Lee et al. ExactSubstr): corpus-wide
+    #     repeated 8-token spans removed from every occurrence BEFORE
+    #     near-dedup, so boilerplate can't glue unrelated docs together
+    scrubbed = tx.duplicate_span_scrub(kept, window=8)
+    kept = (kept.drop("text")
+            .join(scrubbed.select("doc_id",
+                                  F.col("scrubbed").alias("text")),
+                  "doc_id"))
+
+    # 2c. CCNet-style LM-perplexity gate: an add-k bigram model trained
+    #     on the corpus itself scores each doc; the most surprising
+    #     quartile (boilerplate residue, gibberish, OOD) is dropped
+    from iceberg_cpp_spark.operators import lm
+
+    ce = lm.bigram_cross_entropy(kept)
+    cut = ce.approxQuantile("cross_entropy", [0.75], 0.01)[0]
+    kept = kept.join(ce.filter(F.col("cross_entropy") <= cut)
+                     .select("doc_id"), "doc_id", "left_semi")
+
     # 3. exact then MinHash near-dedup (one shuffle each, no O(n²))
     kept = dedup.exact_dedup(kept)
     kept = dedup.minhash_lsh_dedup(kept)
@@ -62,6 +83,17 @@ def main() -> None:
                              bench, n=4)
     kept = (kept.join(bench, "doc_id", "left_anti")
             .join(dirty.select("doc_id"), "doc_id", "left_anti"))
+
+    # 4b. DSIR importance selection toward an in-domain target (the
+    #     English slice stands in for a curated target corpus): hashed
+    #     n-gram log-ratios + seeded Gumbel top-k — deterministic,
+    #     repartition-stable, resumable
+    from iceberg_cpp_spark.operators import dsir
+
+    target = docs.filter(F.col("lang") == "en")
+    want = max(50, int(kept.count() * 0.8))
+    chosen = dsir.dsir_resample(kept, target, k=want, n_buckets=1024)
+    kept = kept.join(chosen.select("doc_id"), "doc_id", "left_semi")
 
     # 5. PII scrub + stable split + REAL token counts (trained BPE)
     #    + sequence packing

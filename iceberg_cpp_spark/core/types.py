@@ -29,7 +29,11 @@ ENGINE_TYPE_KEY = "iceberg.type"  # tags types Spark can't represent (time/uuid/
 class IcebergType:
     """Base class; subclasses are value-compared."""
 
+    @property
     def is_primitive(self) -> bool:
+        # property, not method: call sites test `t.is_primitive` as an
+        # attribute — a bound method there is always truthy (r10 fix;
+        # the metrics field map silently skipped struct-leaf bounds)
         return not isinstance(self, (StructType, ListType, MapType))
 
     def __eq__(self, other: object) -> bool:
@@ -123,6 +127,18 @@ class TimestampTzNsType(_Singleton):
     ``timestamp_ns`` (see that docstring)."""
 
     _NAME = "timestamptz_ns"
+
+
+class UnknownType(_Singleton):
+    """Iceberg v3 ``unknown`` — a column whose type could not be
+    determined; every value is null by definition (spec: always
+    optional, readable as null, convertible to any type later). Rides
+    as an engine-tagged all-null StringType column; the writer enforces
+    the all-null invariant with a per-row JVM guard (zero cost on null)
+    and predicate binding folds is_null -> TRUE, everything else ->
+    FALSE before any file is touched."""
+
+    _NAME = "unknown"
 
 
 class VariantType(_Singleton):
@@ -268,12 +284,14 @@ _PRIMITIVES: dict[str, IcebergType] = {
     "variant": VariantType(),
     "timestamp_ns": TimestampNsType(),
     "timestamptz_ns": TimestampTzNsType(),
+    "unknown": UnknownType(),
 }
 
-_UNSUPPORTED_V3 = {"geometry", "geography", "unknown"}
+_UNSUPPORTED_V3 = {"geometry", "geography"}
 
 # v3-only primitives: tables carrying them must be format-version >= 3
-V3_ONLY_TYPES = (VariantType, TimestampNsType, TimestampTzNsType)
+V3_ONLY_TYPES = (VariantType, TimestampNsType, TimestampTzNsType,
+                 UnknownType)
 
 
 def type_from_json(j: Any) -> IcebergType:
@@ -482,6 +500,8 @@ def to_spark_type(t: IcebergType) -> T.DataType:
         return T.LongType()  # µs of day, engine-tagged
     if isinstance(t, (TimestampNsType, TimestampTzNsType)):
         return T.LongType()  # ns since epoch, engine-tagged (v3)
+    if isinstance(t, UnknownType):
+        return T.StringType()  # all-null by invariant, engine-tagged (v3)
     if isinstance(t, TimestampType):
         return T.TimestampNTZType()
     if isinstance(t, TimestampTzType):
@@ -518,7 +538,8 @@ def _to_spark_field(f: NestedField) -> T.StructField:
     if f.doc:
         md[DOC_KEY] = f.doc
     if isinstance(f.field_type, (TimeType, UuidType, FixedType,
-                                 TimestampNsType, TimestampTzNsType)):
+                                 TimestampNsType, TimestampTzNsType,
+                                 UnknownType)):
         md[ENGINE_TYPE_KEY] = f.field_type.to_json()
     return T.StructField(f.name, to_spark_type(f.field_type), nullable=not f.required, metadata=md)
 

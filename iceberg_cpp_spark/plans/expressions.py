@@ -290,6 +290,16 @@ class UnboundPredicate(Expression):
         col_type = bterm.field_type
         op = self.op
 
+        # v3 unknown: every value is null by invariant — fold without
+        # touching data (is_null TRUE, not_null FALSE, any comparison /
+        # IN / startswith FALSE under three-valued logic). NaN ops fall
+        # through to the float-only type check below.
+        if (isinstance(col_type, it.UnknownType)
+                and op not in (Op.IS_NAN, Op.NOT_NAN)):
+            if op == Op.IS_NULL:
+                return ALWAYS_TRUE
+            return ALWAYS_FALSE
+
         # unary (predicate.cc:141-176)
         if op in (Op.IS_NULL, Op.NOT_NULL, Op.IS_NAN, Op.NOT_NAN):
             if op == Op.IS_NULL and bterm.field.required and bterm.transform is None:

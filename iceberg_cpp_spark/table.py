@@ -1714,10 +1714,10 @@ class IceTable:
             f = schema.find_field(c)
             if f is None:
                 raise ValueError(f"equality column not in schema: {c}")
-            if isinstance(f.field_type, it.VariantType):
+            if isinstance(f.field_type, (it.VariantType, it.UnknownType)):
                 raise ValueError(
-                    f"variant column {c!r} cannot be an equality-delete "
-                    "key (variant values have no total equality)")
+                    f"{f.field_type.to_json()} column {c!r} cannot be an "
+                    "equality-delete key (no usable equality)")
             eq_ids.append(f.field_id)
         del_dir = self.location_provider().new_delete_dir()
         keys.distinct().repartition(1).write.mode("overwrite").parquet(del_dir)
@@ -2620,6 +2620,17 @@ class IceTable:
                     continue
                 raise ValueError(
                     f"DataFrame is missing required column: {sf.name}")
+            f = schema.find_field(sf.name)
+            if f is not None and isinstance(f.field_type, it.UnknownType):
+                # v3 unknown invariant: every value is null. Enforced
+                # per row JVM-side — zero cost when null, and a non-null
+                # value fails the write job instead of silently landing
+                cols.append(
+                    F.when(F.col(sf.name).isNotNull(), F.raise_error(F.lit(
+                        f"unknown-typed column {sf.name!r} must be null")))
+                    .otherwise(F.lit(None)).cast(sf.dataType)
+                    .alias(sf.name, metadata=sf.metadata))
+                continue
             cols.append(F.col(sf.name).cast(sf.dataType)
                         .alias(sf.name, metadata=sf.metadata))
         df = df.select(cols)
@@ -3291,11 +3302,11 @@ class IceTable:
             src = schema.find_field_by_id(pf.source_id)
             if src is None:
                 raise ValueError(f"partition source field not found: {pf.source_id}")
-            if isinstance(src.field_type, it.VariantType):
+            if isinstance(src.field_type, (it.VariantType, it.UnknownType)):
                 raise ValueError(
-                    f"variant column {src.name!r} cannot be a partition "
-                    "source (v3 spec: variant is not a valid transform "
-                    "source type)")
+                    f"{src.field_type.to_json()} column {src.name!r} "
+                    "cannot be a partition source (v3 spec: not a valid "
+                    "transform source type)")
             fid = pf.field_id
             if not fid:
                 fid = next_fid

@@ -154,3 +154,60 @@ class TestNsTable:
                 hi = from_bytes(e.data_file.upper_bounds[1],
                                 it.TimestampTzNsType())
                 assert (lo, hi) == (vals[0], vals[1])
+
+
+class TestUnknownType:
+    """v3 ``unknown`` — always-null column (spec: always optional,
+    readable as null). Rides as engine-tagged all-null string; binding
+    folds predicates before any file is touched."""
+
+    def _table(self, spark, loc):
+        sch = it.Schema([
+            it.NestedField(1, "id", it.LongType(), True),
+            it.NestedField(2, "mystery", it.UnknownType(), False),
+        ])
+        return IceTable.create(spark, loc, sch,
+                               properties={"format-version": "3"})
+
+    def test_serde_and_v3_gate(self, spark, tmp_loc):
+        assert isinstance(it.type_from_json("unknown"), it.UnknownType)
+        assert it.UnknownType().to_json() == "unknown"
+        sch = it.Schema([it.NestedField(1, "u", it.UnknownType(), False)])
+        with pytest.raises(ValueError, match="format-version 3"):
+            IceTable.create(spark, f"{tmp_loc}/bad", sch)
+
+    def test_reads_null_with_or_without_column(self, spark, tmp_loc):
+        t = self._table(spark, f"{tmp_loc}/t")
+        # append WITHOUT the column -> optional null-fill
+        t = t.append(spark.range(3).select("id"))
+        # append WITH an all-null column -> allowed
+        t = t.append(spark.range(3, 5).select(
+            "id", F.lit(None).cast("string").alias("mystery")))
+        rows = t.to_df().collect()
+        assert len(rows) == 5
+        assert all(r["mystery"] is None for r in rows)
+
+    def test_non_null_write_fails(self, spark, tmp_loc):
+        t = self._table(spark, f"{tmp_loc}/t")
+        bad = spark.range(2).select("id", F.lit("x").alias("mystery"))
+        with pytest.raises(Exception, match="must be null"):
+            t.append(bad)
+
+    def test_predicates_fold_at_bind(self, spark, tmp_loc):
+        t = self._table(spark, f"{tmp_loc}/t")
+        t = t.append(spark.range(4).select("id"))
+        assert t.scan(filter=ex.is_null(ex.Reference("mystery"))) \
+                .to_df().count() == 4
+        # not_null / eq fold to FALSE: no files planned at all
+        assert t.scan(filter=ex.not_null(ex.Reference("mystery"))) \
+                .plan_files() == []
+        assert t.scan(filter=ex.eq(ex.Reference("mystery"), "x")) \
+                .plan_files() == []
+
+    def test_partition_and_eq_delete_fences(self, spark, tmp_loc):
+        t = self._table(spark, f"{tmp_loc}/t")
+        with pytest.raises(ValueError, match="partition source"):
+            t.update_spec([PartitionField(2, 0, "p", tr.IDENTITY)])
+        keys = spark.createDataFrame([("x",)], "mystery string")
+        with pytest.raises(ValueError, match="equality-delete key"):
+            t.delete_by_keys(keys)
