@@ -1196,6 +1196,131 @@ def ice_ns_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("ts_ns") % 1000).alias("sum_subus")))
 
 
+def _geo_point_udf():
+    """Vectorized (x, y) doubles → 2D WKB point bytes (test-data prep
+    for the geo rows; one numpy byte-matrix per batch, no per-row
+    struct.pack)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from iceberg_cpp_spark.core import wkb as wkb_mod
+
+    header = np.frombuffer(wkb_mod.point_wkb(0.0, 0.0)[:5], dtype=np.uint8)
+
+    def to_wkb(x, y):
+        n = len(x)
+        arr = np.empty((n, 21), dtype=np.uint8)
+        arr[:, :5] = header
+        arr[:, 5:13] = np.ascontiguousarray(
+            x.to_numpy(np.float64)).view(np.uint8).reshape(n, 8)
+        arr[:, 13:21] = np.ascontiguousarray(
+            y.to_numpy(np.float64)).view(np.uint8).reshape(n, 8)
+        b = arr.tobytes()
+        return pd.Series([b[i * 21:(i + 1) * 21] for i in range(n)])
+
+    to_wkb.__annotations__ = {"x": pd.Series, "y": pd.Series,
+                              "return": pd.Series}
+    return pandas_udf(to_wkb, "binary")
+
+
+def _geo_diag_udf():
+    """Vectorized box corners → 2-point WKB linestring (a box's diagonal
+    — its envelope IS the box; test-data prep for the spatial join)."""
+    import struct as _struct
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from iceberg_cpp_spark.core import wkb as wkb_mod
+
+    head = _struct.pack("<BII", 1, wkb_mod.LINESTRING, 2)
+
+    def to_wkb(x1, y1, x2, y2):
+        return pd.Series([
+            head + _struct.pack("<dddd", a, b, c, d)
+            for a, b, c, d in zip(x1, y1, x2, y2)])
+
+    to_wkb.__annotations__ = {"x1": pd.Series, "y1": pd.Series,
+                              "x2": pd.Series, "y2": pd.Series,
+                              "return": pd.Series}
+    return pandas_udf(to_wkb, "binary")
+
+
+def ice_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v3 geometry type end-to-end (the reference's enum stops
+    at v2 — type_fwd.h:34): deterministic planar points derived from
+    events ride as WKB in a format-version-3 table, writes are
+    range-clustered on x so per-file envelope bounds (spec WKB bound
+    points) prune files, and the scan filters with ``st_intersects``
+    (file-level bbox pruning + Arrow-batched row envelope test). The
+    oracle re-derives the same box filter with plain arithmetic on the
+    raw events — integer aggregates, so any envelope/bounds slip breaks
+    the hash."""
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core import types as ity
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id", "event_type",
+        ((F.col("event_id") % 3600) / 10.0 - 180.0).alias("x"),
+        ((F.col("event_id") * 7 % 1700) / 10.0 - 85.0).alias("y"))
+    geom = _geo_point_udf()(F.col("x"), F.col("y"))
+    df = (pts.withColumn("geom", geom)
+          .repartitionByRange(8, "x")
+          .select("event_id", "event_type", "geom"))
+
+    sch = ity.Schema([
+        ity.NestedField(1, "event_id", ity.LongType(), True),
+        ity.NestedField(2, "event_type", ity.StringType(), False),
+        ity.NestedField(3, "geom", ity.GeometryType(), False),
+    ])
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_geo_"), "t")
+    t = IceTable.create(spark, loc, sch,
+                        properties={"format-version": "3"})
+    t = t.append(df)
+    box = (-30.0, -10.0, 40.0, 50.0)
+    scan = t.scan(filter=ex.st_intersects(ex.Reference("geom"), box))
+    return (scan.to_df()
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("event_id").alias("sum_eid"))
+            .orderBy("event_type"))
+
+
+def geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial join (operators/spatial.py bbox_join):
+    event points vs nation-derived boxes meet through ONE equi-join on
+    grid-cell keys — geometries land in every cell their envelope
+    overlaps (one cell for points), and the reference-point rule emits
+    each matching pair exactly once with NO distinct() shuffle. The
+    oracle re-derives the join as plain interval arithmetic."""
+    from iceberg_cpp_spark.operators import spatial
+
+    ev = _t(spark, sf_dir, "events")
+    pts = (ev.select(
+        "event_id",
+        ((F.col("event_id") % 3600) / 10.0 - 180.0).alias("x"),
+        ((F.col("event_id") * 7 % 1700) / 10.0 - 85.0).alias("y"))
+        .withColumn("geom", _geo_point_udf()(F.col("x"), F.col("y")))
+        .select("event_id", "geom"))
+    na = _t(spark, sf_dir, "nation")
+    boxes = (na.select(
+        "n_name",
+        (F.col("n_nationkey") * 14.0 - 175.0).alias("xlo"),
+        (F.col("n_nationkey") * 6.0 - 75.0).alias("ylo"))
+        .withColumn("geom", _geo_diag_udf()(
+            F.col("xlo"), F.col("ylo"),
+            F.col("xlo") + 10.0, F.col("ylo") + 12.0))
+        .select("n_name", "geom"))
+    j = spatial.bbox_join(pts, boxes, cell=10.0)
+    return (j.groupBy("n_name")
+            .agg(F.count("*").alias("n"),
+                 F.sum("event_id").alias("sum_eid"))
+            .orderBy("n_name"))
+
+
 def ice_avro_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-Avro manifest interop: table commits write Iceberg-spec Avro
     manifests + manifest lists (pure-Python avro container codec); scan
@@ -2659,6 +2784,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: v3 nanosecond timestamps (exceeds the reference's µs-only
         # TimeUnit enum)
         "ice_ns_timestamps": ice_ns_timestamps,
+        # r10: v3 geometry type (WKB + envelope bounds + st_intersects
+        # file pruning — exceeds the reference's v2-pinned enum)
+        "ice_geo_bbox": ice_geo_bbox,
+        # r10: grid-bucketed spatial join (no cartesian, no distinct)
+        "geo_bbox_join": geo_bbox_join,
     }
 
 
@@ -4010,6 +4140,42 @@ def oracle_sql() -> dict[str, str]:
             FROM ns
             WHERE ts_ns >= 1705276800000000000
             GROUP BY 1
+        """,
+        # v3 geometry: the oracle re-derives the bbox filter with plain
+        # arithmetic on raw events — the engine's WKB encode, envelope
+        # bounds, file pruning and row envelope test must all agree
+        "ice_geo_bbox": """
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_eid
+            FROM events
+            WHERE ((event_id % 3600) / 10.0 - 180.0) BETWEEN -30.0 AND 40.0
+              AND ((event_id * 7 % 1700) / 10.0 - 85.0) BETWEEN -10.0 AND 50.0
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        # spatial join: the oracle re-derives the envelope join as plain
+        # interval arithmetic (points vs boxes; closed intervals match
+        # the engine's closed-box envelope semantics)
+        "geo_bbox_join": """
+            WITH pts AS (
+              SELECT event_id,
+                     (event_id % 3600) / 10.0 - 180.0 AS x,
+                     (event_id * 7 % 1700) / 10.0 - 85.0 AS y
+              FROM events),
+            boxes AS (
+              SELECT n_name,
+                     n_nationkey * 14.0 - 175.0 AS xlo,
+                     n_nationkey * 6.0 - 75.0 AS ylo
+              FROM nation)
+            SELECT n_name,
+                   COUNT(*) AS n,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_eid
+            FROM pts JOIN boxes
+              ON x BETWEEN xlo AND xlo + 10.0
+             AND y BETWEEN ylo AND ylo + 12.0
+            GROUP BY n_name
+            ORDER BY n_name
         """,
         # v3 variant: the oracle recomputes the same aggregate straight
         # from orders (the variant pack/extract must be value-neutral)

@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "multimodal_gif_frames",
     # r10: v3 variant plane (JVM metrics aggregation + DV scan + extract)
     "ice_variant",
+    # r10: v3 geometry plane (WKB encode UDF + envelope bounds harvest
+    # + st_intersects file pruning + Arrow-batched row envelope filter)
+    "ice_geo_bbox",
 ]
 
 # min-of-N runs per query; override with SPARK_GRAFT_BENCH_RUNS

@@ -67,8 +67,9 @@ def to_bytes(value: Any, t: it.IcebergType) -> bytes:
     if isinstance(t, it.UuidType):
         u = value if isinstance(value, uuid_mod.UUID) else uuid_mod.UUID(str(value))
         return u.bytes
-    if isinstance(t, (it.BinaryType, it.FixedType)):
-        return bytes(value)
+    if isinstance(t, (it.BinaryType, it.FixedType, it.GeometryType,
+                      it.GeographyType)):
+        return bytes(value)  # geo: WKB (bounds are WKB points)
     if isinstance(t, it.DecimalType):
         unscaled = int(Decimal(value).scaleb(t.scale).to_integral_value())
         return _minimal_big_endian(unscaled)
@@ -99,7 +100,8 @@ def from_bytes(data: bytes, t: it.IcebergType) -> Any:
         return data.decode("utf-8")
     if isinstance(t, it.UuidType):
         return uuid_mod.UUID(bytes=data)
-    if isinstance(t, (it.BinaryType, it.FixedType)):
+    if isinstance(t, (it.BinaryType, it.FixedType, it.GeometryType,
+                      it.GeographyType)):
         return data
     if isinstance(t, it.DecimalType):
         unscaled = int.from_bytes(data, "big", signed=True)

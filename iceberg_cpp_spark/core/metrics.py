@@ -20,6 +20,7 @@ import math
 import os
 from typing import Any, Iterable, Iterator, Optional
 
+import numpy as np
 import pyarrow.parquet as pq
 
 from iceberg_cpp_spark.core import types as it
@@ -88,6 +89,13 @@ def file_metrics(path: str, fields: dict[str, tuple[int, it.IcebergType]]) -> di
             column_sizes[fid] = column_sizes.get(fid, 0) + col.total_compressed_size
             value_counts[fid] = value_counts.get(fid, 0) + col.num_values
             st = col.statistics
+            if isinstance(t, it.GEO_TYPES):
+                # geo bounds are envelope WKB points, not byte-lexical
+                # min/max — harvested from the data pages below
+                if st is not None and st.null_count is not None:
+                    null_counts[fid] = null_counts.get(fid, 0) + st.null_count
+                bounds_ok[fid] = False
+                continue
             if st is None:
                 bounds_ok[fid] = False
                 continue
@@ -116,6 +124,27 @@ def file_metrics(path: str, fields: dict[str, tuple[int, it.IcebergType]]) -> di
         if not ok:
             lowers.pop(fid, None)
             uppers.pop(fid, None)
+    # v3 geospatial bounds: per-file planar envelope, encoded as the
+    # spec's WKB bound points (lower=(xmin,ymin), upper=(xmax,ymax)).
+    # Costs a columnar read of ONLY the geo columns of the new file
+    # (append-sized, distributed past DISTRIBUTED_THRESHOLD with the
+    # rest of the harvest). Top-level columns only — nested geo keeps
+    # counts but no bounds.
+    geo_cols = [(name, fid, t) for name, (fid, t) in fields.items()
+                if isinstance(t, it.GEO_TYPES) and "." not in name]
+    if geo_cols:
+        from iceberg_cpp_spark.core import wkb
+
+        tbl = pq.read_table(path, columns=[n for n, _, _ in geo_cols])
+        for name, fid, t in geo_cols:
+            vals = tbl.column(name).to_pylist()
+            envs = wkb.envelopes_np(vals)
+            if not bool((~np.isnan(envs[:, 0])).any()):
+                continue  # all null/empty: no bounds
+            lowers[fid] = wkb.point_wkb(float(np.nanmin(envs[:, 0])),
+                                        float(np.nanmin(envs[:, 1])))
+            uppers[fid] = wkb.point_wkb(float(np.nanmax(envs[:, 2])),
+                                        float(np.nanmax(envs[:, 3])))
     by_id = {fid: t for _, (fid, t) in fields.items()}
     for fid, v in lowers.items():
         try:

@@ -153,6 +153,53 @@ class VariantType(_Singleton):
     _NAME = "variant"
 
 
+DEFAULT_CRS = "OGC:CRS84"
+DEFAULT_EDGE_ALGORITHM = "spherical"
+
+
+class GeometryType(IcebergType):
+    """Iceberg v3 ``geometry(C)`` — planar-edge geospatial value, WKB
+    encoded, CRS ``C`` (default OGC:CRS84). The reference pins its enum
+    at v2 (type_fwd.h:34); this engine exceeds that slot: values ride
+    as engine-tagged BinaryType WKB (byte-for-byte pass-through),
+    bounds are spec WKB points (lower=(xmin,ymin), upper=(xmax,ymax))
+    harvested by core/metrics.py via core/wkb.py, and
+    ``st_intersects`` predicates prune files through those bounds.
+    Geospatial columns cannot be partition/sort/equality-delete/
+    identifier sources and require format-version 3."""
+
+    def __init__(self, crs: str = DEFAULT_CRS):
+        self.crs = crs
+
+    def to_json(self) -> str:
+        return ("geometry" if self.crs == DEFAULT_CRS
+                else f"geometry({self.crs})")
+
+
+class GeographyType(IcebergType):
+    """Iceberg v3 ``geography(C, A)`` — non-planar edges interpolated
+    by algorithm ``A`` (default spherical) in CRS ``C`` (default
+    OGC:CRS84). Same engine-tagged WKB representation as
+    ``GeometryType``; bound x-ranges may wrap the antimeridian
+    (lower.x > upper.x), which the file-level evaluator honors
+    piecewise (core/wkb.py file_bounds_intersect). This engine's
+    row-level ``st_intersects`` uses the planar envelope of the stored
+    coordinates — exact for points, conservative-in-x for edge
+    geometries that cross the antimeridian."""
+
+    def __init__(self, crs: str = DEFAULT_CRS,
+                 algorithm: str = DEFAULT_EDGE_ALGORITHM):
+        self.crs = crs
+        self.algorithm = algorithm
+
+    def to_json(self) -> str:
+        if self.crs == DEFAULT_CRS and self.algorithm == DEFAULT_EDGE_ALGORITHM:
+            return "geography"
+        if self.algorithm == DEFAULT_EDGE_ALGORITHM:
+            return f"geography({self.crs})"
+        return f"geography({self.crs}, {self.algorithm})"
+
+
 class DecimalType(IcebergType):
     def __init__(self, precision: int, scale: int):
         if not (0 < precision <= 38):
@@ -285,13 +332,17 @@ _PRIMITIVES: dict[str, IcebergType] = {
     "timestamp_ns": TimestampNsType(),
     "timestamptz_ns": TimestampTzNsType(),
     "unknown": UnknownType(),
+    "geometry": GeometryType(),
+    "geography": GeographyType(),
 }
-
-_UNSUPPORTED_V3 = {"geometry", "geography"}
 
 # v3-only primitives: tables carrying them must be format-version >= 3
 V3_ONLY_TYPES = (VariantType, TimestampNsType, TimestampTzNsType,
-                 UnknownType)
+                 UnknownType, GeometryType, GeographyType)
+
+# types with no total order: never partition/sort/equality-delete/
+# identifier sources, and ordered comparison predicates are invalid
+GEO_TYPES = (GeometryType, GeographyType)
 
 
 def type_from_json(j: Any) -> IcebergType:
@@ -306,8 +357,16 @@ def type_from_json(j: Any) -> IcebergType:
         if j.startswith("fixed"):
             inner = j[j.index("[") + 1 : j.index("]")]
             return FixedType(int(inner))
-        if j in _UNSUPPORTED_V3:
-            raise ValueError(f"unsupported type (v3/unsupported in reference too): {j}")
+        if j.startswith("geometry("):
+            return GeometryType(j[j.index("(") + 1 : j.rindex(")")].strip())
+        if j.startswith("geography("):
+            inner = j[j.index("(") + 1 : j.rindex(")")]
+            parts = [p.strip() for p in inner.split(",")]
+            if len(parts) == 1:
+                return GeographyType(parts[0])
+            if len(parts) == 2:
+                return GeographyType(parts[0], parts[1])
+            raise ValueError(f"malformed geography type: {j}")
         raise ValueError(f"unknown primitive type: {j}")
     t = j.get("type")
     if t == "struct":
@@ -502,6 +561,8 @@ def to_spark_type(t: IcebergType) -> T.DataType:
         return T.LongType()  # ns since epoch, engine-tagged (v3)
     if isinstance(t, UnknownType):
         return T.StringType()  # all-null by invariant, engine-tagged (v3)
+    if isinstance(t, GEO_TYPES):
+        return T.BinaryType()  # WKB pass-through, engine-tagged (v3)
     if isinstance(t, TimestampType):
         return T.TimestampNTZType()
     if isinstance(t, TimestampTzType):
@@ -539,7 +600,7 @@ def _to_spark_field(f: NestedField) -> T.StructField:
         md[DOC_KEY] = f.doc
     if isinstance(f.field_type, (TimeType, UuidType, FixedType,
                                  TimestampNsType, TimestampTzNsType,
-                                 UnknownType)):
+                                 UnknownType, GeometryType, GeographyType)):
         md[ENGINE_TYPE_KEY] = f.field_type.to_json()
     return T.StructField(f.name, to_spark_type(f.field_type), nullable=not f.required, metadata=md)
 

@@ -51,6 +51,9 @@ class Op:
     OR = "or"
     STARTS_WITH = "starts_with"
     NOT_STARTS_WITH = "not_starts_with"
+    # v3 geospatial (envelope semantics; literal = (xmin,ymin,xmax,ymax))
+    ST_INTERSECTS = "st_intersects"
+    ST_DISJOINT = "st_disjoint"
 
 
 _NEGATIONS = {
@@ -68,7 +71,11 @@ _NEGATIONS = {
     Op.NOT_IN: Op.IN,
     Op.STARTS_WITH: Op.NOT_STARTS_WITH,
     Op.NOT_STARTS_WITH: Op.STARTS_WITH,
+    Op.ST_INTERSECTS: Op.ST_DISJOINT,
+    Op.ST_DISJOINT: Op.ST_INTERSECTS,
 }
+
+_GEO_OPS = (Op.ST_INTERSECTS, Op.ST_DISJOINT)
 
 
 class Expression:
@@ -300,6 +307,33 @@ class UnboundPredicate(Expression):
                 return ALWAYS_TRUE
             return ALWAYS_FALSE
 
+        # v3 geospatial: ST ops bind only to geometry/geography, ordered
+        # comparisons never do (geo has no total order — the spec gives
+        # these columns point bounds, not value bounds)
+        if op in _GEO_OPS:
+            if not isinstance(col_type, it.GEO_TYPES):
+                raise ValueError(
+                    f"{op} requires a geometry/geography column, "
+                    f"got {col_type!r}")
+            if bterm.transform is not None:
+                raise ValueError(f"{op} cannot apply to a transform term")
+            bbox = self.literals[0] if self.literals else None
+            try:
+                xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"{op} literal must be a (xmin, ymin, xmax, ymax) "
+                    f"box, got {bbox!r}") from None
+            if xmin > xmax or ymin > ymax:
+                raise ValueError(f"degenerate query box: {bbox!r}")
+            return BoundPredicate(op, bterm, [(xmin, ymin, xmax, ymax)])
+        if (isinstance(col_type, it.GEO_TYPES)
+                and op not in (Op.IS_NULL, Op.NOT_NULL)):
+            raise ValueError(
+                f"{op} is not valid on geospatial column "
+                f"{bterm.field.name!r} (WKB values have no total order; "
+                "use st_intersects/st_disjoint)")
+
         # unary (predicate.cc:141-176)
         if op in (Op.IS_NULL, Op.NOT_NULL, Op.IS_NAN, Op.NOT_NAN):
             if op == Op.IS_NULL and bterm.field.required and bterm.transform is None:
@@ -452,6 +486,16 @@ class BoundPredicate(Expression):
             return value is not None and not math.isnan(value)
         if value is None:
             return False
+        if op in _GEO_OPS:
+            from iceberg_cpp_spark.core import wkb
+
+            env = wkb.envelope(bytes(value))
+            if env is None:  # empty geometry intersects nothing
+                return op == Op.ST_DISJOINT
+            xmin, ymin, xmax, ymax = self.literal
+            hit = (env[0] <= xmax and env[2] >= xmin
+                   and env[1] <= ymax and env[3] >= ymin)
+            return hit if op == Op.ST_INTERSECTS else not hit
         cmp_v = to_comparable(value, self.term.bref.field_type if self.term.transform is None else self.term.field_type)
         if op == Op.LT:
             return cmp_v < self.literal
@@ -572,6 +616,18 @@ def starts_with(term: Term, prefix: str) -> UnboundPredicate:
 
 def not_starts_with(term: Term, prefix: str) -> UnboundPredicate:
     return UnboundPredicate(Op.NOT_STARTS_WITH, term, [prefix])
+
+
+def st_intersects(term: Term, bbox) -> UnboundPredicate:
+    """Envelope-intersects for v3 geometry/geography columns; ``bbox``
+    is (xmin, ymin, xmax, ymax) in the column's CRS."""
+    return UnboundPredicate(Op.ST_INTERSECTS, term,
+                            [tuple(bbox) if bbox is not None else None])
+
+
+def st_disjoint(term: Term, bbox) -> UnboundPredicate:
+    return UnboundPredicate(Op.ST_DISJOINT, term,
+                            [tuple(bbox) if bbox is not None else None])
 
 
 def bucket(term: Term, n: int) -> TransformTerm:

@@ -416,6 +416,26 @@ class InclusiveMetricsEvaluator:
         if all_null():
             return ROWS_CANNOT_MATCH
         v = p.literal
+        if op in (ex.Op.ST_INTERSECTS, ex.Op.ST_DISJOINT):
+            # geo bounds are WKB points (lower=(xmin,ymin),
+            # upper=(xmax,ymax); geography x may wrap the antimeridian)
+            if lower is None or upper is None:
+                return ROWS_MIGHT_MATCH
+            from iceberg_cpp_spark.core import wkb
+
+            hit = wkb.file_bounds_intersect(lower, upper, v)
+            if op == ex.Op.ST_INTERSECTS:
+                # file box disjoint from query box → no row intersects
+                return ROWS_MIGHT_MATCH if hit else ROWS_CANNOT_MATCH
+            # ST_DISJOINT: only an entirely-contained file box (every
+            # row envelope inside the query box → every row intersects)
+            # can be pruned; wrapped geography boxes stay conservative
+            lx, ly = wkb.parse_point(lower)
+            ux, uy = wkb.parse_point(upper)
+            xmin, ymin, xmax, ymax = v
+            contained = (lx <= ux and xmin <= lx and ux <= xmax
+                         and ymin <= ly and uy <= ymax)
+            return ROWS_CANNOT_MATCH if contained else ROWS_MIGHT_MATCH
         if op == ex.Op.LT:
             if lower is not None and not _is_nan(lower) and lower >= v:
                 return ROWS_CANNOT_MATCH

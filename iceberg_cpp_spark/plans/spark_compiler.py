@@ -88,7 +88,33 @@ def _compile(expr: ex.Expression) -> Column:
             return col.startswith(expr.literal)
         if op == ex.Op.NOT_STARTS_WITH:
             return ~col.startswith(expr.literal)
+        if op in (ex.Op.ST_INTERSECTS, ex.Op.ST_DISJOINT):
+            hit = _st_intersects_udf(tuple(expr.literal))(col)
+            return hit if op == ex.Op.ST_INTERSECTS else ~hit
     raise ValueError(f"cannot compile expression: {expr!r}")
+
+
+def _st_intersects_udf(bbox: tuple):
+    """Arrow-batched envelope test for the geo row filter: numpy fast
+    path for uniform 2D-point batches (core/wkb.py envelopes_np), no
+    per-row Python there. Null WKB → null (three-valued logic, like
+    every other predicate on a null value)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from iceberg_cpp_spark.core import wkb
+
+    # annotations must be live types (not strings) for Spark's
+    # pandas-UDF signature inference — hence the def-then-decorate shape
+    def hit(vals):
+        envs = wkb.envelopes_np(vals.tolist())
+        mask = wkb.intersects_mask(envs, bbox)
+        out = pd.Series(mask, index=vals.index, dtype="object")
+        out[vals.isna()] = None
+        return out.astype("boolean")
+
+    hit.__annotations__ = {"vals": pd.Series, "return": pd.Series}
+    return pandas_udf(hit, "boolean")
 
 
 def _py_lit(v: Any, t: it.IcebergType) -> Any:

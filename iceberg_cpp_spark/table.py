@@ -1714,7 +1714,8 @@ class IceTable:
             f = schema.find_field(c)
             if f is None:
                 raise ValueError(f"equality column not in schema: {c}")
-            if isinstance(f.field_type, (it.VariantType, it.UnknownType)):
+            if isinstance(f.field_type, (it.VariantType, it.UnknownType,
+                                         *it.GEO_TYPES)):
                 raise ValueError(
                     f"{f.field_type.to_json()} column {c!r} cannot be an "
                     "equality-delete key (no usable equality)")
@@ -2045,6 +2046,16 @@ class IceTable:
             target_file_count = max(1, -(-live // int(target_file_size_bytes)))
         df = branch_scan().to_df()
         if zorder_by:
+            schema = self.schema()
+            for c in zorder_by:
+                zf = schema.find_field(c)
+                if zf is not None and isinstance(
+                        zf.field_type, (it.VariantType, it.UnknownType,
+                                        *it.GEO_TYPES)):
+                    # the z-code double cast would null these silently
+                    raise ValueError(
+                        f"{zf.field_type.to_json()} column {c!r} cannot "
+                        "be a z-order dimension (no numeric projection)")
             df = self._zorder(df, zorder_by, target_file_count or 8)
         elif target_file_count:
             df = df.repartition(target_file_count)
@@ -2794,6 +2805,9 @@ class IceTable:
             src = schema.find_field_by_id(sf.source_id)
             if src is None:
                 continue
+            if isinstance(src.field_type, (it.VariantType, it.UnknownType,
+                                           *it.GEO_TYPES)):
+                continue  # no meaningful order — skip, keep other keys
             c = sf.transform.spark_column(F.col(src.name), src.field_type)
             c = c.asc_nulls_first() if sf.direction == "asc" else c.desc_nulls_last()
             if sf.null_order == "nulls-last" and sf.direction == "asc":
@@ -3302,7 +3316,8 @@ class IceTable:
             src = schema.find_field_by_id(pf.source_id)
             if src is None:
                 raise ValueError(f"partition source field not found: {pf.source_id}")
-            if isinstance(src.field_type, (it.VariantType, it.UnknownType)):
+            if isinstance(src.field_type, (it.VariantType, it.UnknownType,
+                                           *it.GEO_TYPES)):
                 raise ValueError(
                     f"{src.field_type.to_json()} column {src.name!r} "
                     "cannot be a partition source (v3 spec: not a valid "

@@ -70,6 +70,8 @@ def test_driver_cap_window_composition():
         "ice_variant",      # v3 variant type end-to-end (ice_deletion_vector in-window covers the DV scan plane it rides; the variant-specific planes are pinned by tests/test_variant.py incl. the rewrite field-id regression)
         "text_span_scrub",  # ExactSubstr window scrub (text_paragraph_dedup extras row covers the corpus-global-frequency + reassembly shape at paragraph granularity; the window machinery is pinned by TestText span-scrub tests with an independent Python reference)
         "ice_ns_timestamps",  # v3 ns timestamps (ice_partition_pruned in-window covers partition pruning; ns-specific exactness/transform parity pinned by tests/test_ns_timestamps.py incl. the 2^53 double-rounding pin)
+        "ice_geo_bbox",     # v3 geometry + st_intersects (ice_partition_pruned in-window covers metadata pruning; WKB envelope math, bound points, wraparound and fences pinned by tests/test_geo.py golden vectors)
+        "geo_bbox_join",    # grid-bucketed spatial join (range_join_events in-window covers interval-join shapes; the cell-explode + reference-point dedup machinery pinned by TestSpatialJoin incl. the emitted-once multi-cell pair)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without
