@@ -66,6 +66,18 @@ DISTRIBUTED_PLAN_THRESHOLD = 2048
 _PART_PREFIX = "_p_"  # write-side partition dir columns (keeps user cols in files)
 
 
+class ValidationError(Exception):
+    """A CAS retry found the refreshed base INCOMPATIBLE with this
+    operation's read set (Iceberg's ValidationException): a file this
+    commit rewrites/drops was removed by a concurrent commit, a
+    concurrent delete landed on one of those files, or a full-replace
+    (compaction) raced any commit at all. Rebasing would silently
+    duplicate rows or lose the concurrent writer's deletes, so the
+    operation aborts instead — re-run it against the current table.
+    Deliberately NOT a CommitFailedError: the retry loop must not spin
+    on a conflict that refreshing cannot fix."""
+
+
 class LocationProvider:
     """Data/delete/metadata file path layout (location_provider.h:29-54).
     Override to customize layout (e.g. object-store key salting, where a
@@ -1281,6 +1293,17 @@ class IceTable:
             s.use_ref(branch)
         return s
 
+    def _branch_head_id(self, branch: str) -> Optional[int]:
+        """Snapshot id a DML op PLANS against (same resolution as
+        `_commit_files_once`'s parent) — passed to `_commit_files` as
+        ``read_snapshot_id`` so a CAS retry can tell whether its rebase
+        base moved and run the conflict validation."""
+        ref = self.metadata.ref(branch)
+        if ref is not None:
+            return ref.snapshot_id
+        cur = self.metadata.current_snapshot()
+        return cur.snapshot_id if cur else None
+
     def to_df(self) -> DataFrame:
         return self.scan().to_df()
 
@@ -1459,7 +1482,8 @@ class IceTable:
         new_files = self._write_data_files(kept)
         return self._commit_files(
             new_files, operation=DataOperation.OVERWRITE, branch=branch,
-            carry_existing=True, drop_paths=affected)
+            carry_existing=True, drop_paths=affected,
+            read_snapshot_id=self._branch_head_id(branch))
 
     def update_where(self, expr: ex.Expression, assignments: dict,
                      branch: str = MAIN_BRANCH) -> "IceTable":
@@ -1495,7 +1519,8 @@ class IceTable:
         new_files = self._write_data_files(updated)
         return self._commit_files(
             new_files, operation=DataOperation.OVERWRITE, branch=branch,
-            carry_existing=True, drop_paths=affected)
+            carry_existing=True, drop_paths=affected,
+            read_snapshot_id=self._branch_head_id(branch))
 
     def _read_paths_rows(self, paths, scan: "TableScan",
                          with_meta: bool) -> DataFrame:
@@ -1653,11 +1678,13 @@ class IceTable:
             include_old_only=True, live=live_df)
         if not shard_rows:
             return self._commit_files([], operation=DataOperation.REPLACE,
-                                      branch=branch, drop_paths=drop)
+                                      branch=branch, drop_paths=drop,
+                                      read_snapshot_id=self._branch_head_id(branch))
         return self._commit_files(
             _dv_data_files(shard_rows), operation=DataOperation.REPLACE,
             branch=branch, drop_paths=drop,
-            drop_dv_for={r["file_path"] for r in shard_rows})
+            drop_dv_for={r["file_path"] for r in shard_rows},
+            read_snapshot_id=self._branch_head_id(branch))
 
     def rewrite_equality_deletes(self, branch: str = MAIN_BRANCH) -> "IceTable":
         """Maintenance: materialize accumulated equality-delete matches
@@ -1696,13 +1723,15 @@ class IceTable:
             live=live_df)
         if not shard_rows:
             return self._commit_files([], operation=DataOperation.REPLACE,
-                                      branch=branch, drop_paths=drop)
+                                      branch=branch, drop_paths=drop,
+                                      read_snapshot_id=self._branch_head_id(branch))
         # old parquet pos-delete files and superseded DVs are dropped
         # alongside the eq files — the merged DV covers all of them
         return self._commit_files(
             _dv_data_files(shard_rows), operation=DataOperation.REPLACE,
             branch=branch, drop_paths=drop,
-            drop_dv_for={r["file_path"] for r in shard_rows})
+            drop_dv_for={r["file_path"] for r in shard_rows},
+            read_snapshot_id=self._branch_head_id(branch))
 
     def delete_by_keys(self, keys: DataFrame, branch: str = MAIN_BRANCH) -> "IceTable":
         """Equality delete: every row matching any key tuple (on the key
@@ -1907,7 +1936,8 @@ class IceTable:
             return self._commit_files(
                 new_files, operation=DataOperation.OVERWRITE, branch=branch,
                 carry_existing=True, drop_paths=affected,
-                summary_extras=summary_extras, pre_check=pre_check)
+                summary_extras=summary_extras, pre_check=pre_check,
+                read_snapshot_id=self._branch_head_id(branch))
         finally:
             last.unpersist()
 
@@ -2012,7 +2042,8 @@ class IceTable:
         return self._commit_files(
             new_files, operation=DataOperation.OVERWRITE, branch=branch,
             carry_existing=True, drop_paths=affected,
-            summary_extras=summary_extras, pre_check=pre_check)
+            summary_extras=summary_extras, pre_check=pre_check,
+            read_snapshot_id=self._branch_head_id(branch))
 
     def rewrite_data_files(self, target_file_count: Optional[int] = None,
                            branch: str = MAIN_BRANCH,
@@ -2061,7 +2092,8 @@ class IceTable:
             df = df.repartition(target_file_count)
         new_files = self._write_data_files(df)
         return self._commit_files(new_files, operation=DataOperation.REPLACE,
-                                  branch=branch, carry_existing=False)
+                                  branch=branch, carry_existing=False,
+                                  read_snapshot_id=self._branch_head_id(branch))
 
     def _zorder(self, df: DataFrame, cols: list, n_parts: int,
                 bits: int = 8) -> DataFrame:
@@ -2822,7 +2854,8 @@ class IceTable:
                       drop_paths: Optional[set] = None,
                       drop_dv_for: Optional[set] = None,
                       summary_extras: Optional[dict] = None,
-                      pre_check=None) -> "IceTable":
+                      pre_check=None,
+                      read_snapshot_id: Optional[int] = None) -> "IceTable":
         """Optimistic-concurrency commit with retry (reference
         commit.retry.*, table_properties.h:80-85): on CAS conflict the
         metadata is refreshed and the snapshot REBUILT against the new
@@ -2847,7 +2880,8 @@ class IceTable:
             try:
                 return self._commit_files_once(
                     new_files, operation, branch, carry_existing, drop_paths,
-                    drop_dv_for, summary_extras)
+                    drop_dv_for, summary_extras,
+                    read_snapshot_id=read_snapshot_id)
             except (CommitFailedError, FileExistsError) as e:
                 last = e
                 if attempt == retries:
@@ -2856,11 +2890,94 @@ class IceTable:
                 self.refresh()
         raise last
 
+    def _validate_rebase(self, parent, read_snapshot_id: int,
+                         drop_paths: Optional[set],
+                         drop_dv_for: Optional[set], carry_existing: bool,
+                         operation: str) -> None:
+        """Snapshot-isolation conflict checks for a commit retrying
+        against a base that moved past the snapshot it planned on
+        (Iceberg's validateDataFilesExist / validateNoNewDeleteFiles).
+        Metadata-scale: ONE pass over the refreshed base's manifests,
+        and only on the conflict path (a first-attempt commit whose CAS
+        succeeds never gets here).
+
+        - full replace (``carry_existing=False``, compaction): ANY
+          concurrent commit conflicts — the rebuilt snapshot would carry
+          only this commit's output and erase the concurrent writer's.
+        - rewrites (``drop_paths``): every dropped file must still be
+          live (a concurrently compacted/deleted file means our rewrite
+          of its rows would duplicate or resurrect them), and no delete
+          file newer than our read snapshot may target a dropped file
+          (rewriting without applying it would silently lose that
+          delete). Position/equality delete files don't name their
+          targets at manifest level, so any NEW one conflicts
+          conservatively; DVs name targets exactly.
+        Concurrent APPENDs of unrelated files rebase fine (snapshot
+        isolation; serializable-style phantom detection is the caller's
+        re-read, as in Iceberg)."""
+        meta = self.metadata
+        if not carry_existing:
+            raise ValidationError(
+                f"{operation} replaces the whole branch content but a "
+                f"concurrent commit moved the head past snapshot "
+                f"{read_snapshot_id} — rebasing would erase it; re-run "
+                "against the current table")
+        if not drop_paths and not drop_dv_for:
+            return  # pure appends/new-delete commits rebase safely
+        drop_paths = drop_paths or set()
+        drop_dv_for = drop_dv_for or set()
+        read_snap = meta.snapshot_by_id(read_snapshot_id)
+        # expired read snapshot: its sequence number is unknowable, so
+        # treat every existing delete as "new" (conservative)
+        read_seq = read_snap.sequence_number if read_snap else -1
+        schema = self.schema()
+        live: set = set()
+        new_delete_conflicts: list[str] = []
+        for m in mf.read_manifest_list(parent.manifest_list):
+            spec = meta.spec_by_id(m.partition_spec_id) or self.spec()
+            for e in mf.read_manifest(m.manifest_path, spec, schema,
+                                      manifest=m):
+                if not e.is_live:
+                    continue
+                f = e.data_file
+                # maintenance folds drop DELETE files too - count every
+                # live path so their drop_paths validate correctly
+                live.add(f.file_path)
+                if f.content == mf.CONTENT_DATA:
+                    continue
+                seq = e.sequence_number if e.sequence_number is not None else 0
+                if seq <= read_seq:
+                    continue
+                ref = f.referenced_data_file
+                # a new delete landing on a file we rewrite (drop_paths)
+                # OR on a file whose DV we replace (drop_dv_for - a
+                # concurrently rewritten DV would be dropped in favor of
+                # ours, built without its bits) conflicts; ref-less
+                # (pos/eq parquet) delete files conflict conservatively,
+                # their targets being invisible at manifest level
+                if ref is None or ref in drop_paths or ref in drop_dv_for:
+                    new_delete_conflicts.append(f.file_path)
+        missing = set(drop_paths) - live
+        if missing:
+            raise ValidationError(
+                f"{operation} rewrites {len(missing)} file(s) that a "
+                f"concurrent commit removed (e.g. "
+                f"{sorted(missing)[0]!r}) — rebasing would duplicate or "
+                "resurrect their rows; re-run against the current table")
+        if new_delete_conflicts:
+            raise ValidationError(
+                f"{operation} rewrites files targeted by "
+                f"{len(new_delete_conflicts)} delete file(s) committed "
+                f"after its read snapshot (e.g. "
+                f"{sorted(new_delete_conflicts)[0]!r}) — rebasing would "
+                "lose those deletes; re-run against the current table")
+
     def _commit_files_once(self, new_files: list[mf.DataFile], operation: str,
                            branch: str = MAIN_BRANCH, carry_existing: bool = True,
                            drop_paths: Optional[set] = None,
                            drop_dv_for: Optional[set] = None,
-                           summary_extras: Optional[dict] = None) -> "IceTable":
+                           summary_extras: Optional[dict] = None,
+                           read_snapshot_id: Optional[int] = None) -> "IceTable":
         meta = self.metadata
         schema = self.schema()
         spec = self.spec()
@@ -2906,6 +3023,13 @@ class IceTable:
         branch_ref = meta.ref(branch)
         parent = (meta.snapshot_by_id(branch_ref.snapshot_id) if branch_ref
                   else meta.current_snapshot())
+        if (read_snapshot_id is not None and parent is not None
+                and parent.snapshot_id != read_snapshot_id):
+            # CAS retry rebased onto a moved branch head: make sure the
+            # rebase is SAFE before rebuilding manifests (snapshot-
+            # isolation conflict detection; Iceberg ValidationException)
+            self._validate_rebase(parent, read_snapshot_id, drop_paths,
+                                  drop_dv_for, carry_existing, operation)
         if carry_existing and parent is not None:
             def _dropped(e: mf.ManifestEntry) -> bool:
                 if drop_paths and e.data_file.file_path in drop_paths:

@@ -713,3 +713,136 @@ class TestMultiProcessCommitRace:
                     live.add(e.data_file.file_path)
         assert live == {f"/fake/w{w}/f{i}.parquet"
                         for w in range(nproc) for i in range(per)}
+
+
+class TestRebaseValidation:
+    # module-level imports above don't carry these
+
+    """Snapshot-isolation conflict checks on CAS retry (Iceberg's
+    ValidationException): a stale handle whose rewrite races a
+    concurrent commit must ABORT instead of silently rebasing into
+    duplicated rows, resurrected rows, or lost deletes."""
+
+    def _table(self, spark, loc, n=8, files=2):
+        from iceberg_cpp_spark import IceTable
+
+        sch = it.Schema([
+            it.NestedField(1, "id", it.LongType(), True),
+            it.NestedField(2, "v", it.LongType(), False),
+        ])
+        t = IceTable.create(spark, loc, sch,
+                            properties={"format-version": "3"})
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") * 10).alias("v"))
+        return t.append(df.repartition(files, "id"))
+
+    def test_stale_delete_vs_concurrent_compaction_aborts(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.plans import expressions as ex
+        from iceberg_cpp_spark.table import ValidationError
+
+        loc = f"{tmp_loc}/t"
+        t = self._table(spark, loc)
+        stale = IceTable.load(spark, loc)
+        t.rewrite_data_files(target_file_count=1)  # rewrites every file
+        with pytest.raises(ValidationError, match="concurrent commit removed"):
+            stale.delete_where(ex.eq(ex.Reference("id"), 1))
+        # the conflict aborted cleanly: nothing was lost or duplicated
+        fresh = IceTable.load(spark, loc)
+        assert fresh.to_df().count() == 8
+        assert fresh.to_df().filter(F.col("id") == 1).count() == 1
+
+    def test_stale_rewrite_vs_concurrent_dv_delete_aborts(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.plans import expressions as ex
+        from iceberg_cpp_spark.table import ValidationError
+
+        loc = f"{tmp_loc}/t"
+        t = self._table(spark, loc, files=1)
+        stale = IceTable.load(spark, loc)
+        t.delete_where(ex.eq(ex.Reference("id"), 3), mode="deletion-vector")
+        with pytest.raises(ValidationError, match="lose those deletes"):
+            stale.update_where(ex.eq(ex.Reference("id"), 5), {"v": 999})
+        fresh = IceTable.load(spark, loc)
+        assert fresh.to_df().count() == 7  # DV delete survived
+        assert fresh.to_df().filter(F.col("id") == 3).count() == 0
+
+    def test_stale_rewrite_vs_disjoint_append_rebases(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        loc = f"{tmp_loc}/t"
+        t = self._table(spark, loc)
+        stale = IceTable.load(spark, loc)
+        t.append(t.spark.range(100, 104).select(
+            F.col("id"), (F.col("id") * 10).alias("v")))
+        # a concurrent APPEND of unrelated files is a safe rebase
+        stale = stale.delete_where(ex.eq(ex.Reference("id"), 1))
+        fresh = IceTable.load(spark, loc)
+        assert fresh.to_df().count() == 8 - 1 + 4
+        assert fresh.to_df().filter(F.col("id") == 1).count() == 0
+        assert fresh.to_df().filter(F.col("id") == 101).count() == 1
+
+    def test_stale_compaction_vs_any_commit_aborts(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.plans import expressions as ex
+        from iceberg_cpp_spark.table import ValidationError
+
+        loc = f"{tmp_loc}/t"
+        t = self._table(spark, loc)
+        stale = IceTable.load(spark, loc)
+        t.append(t.spark.range(100, 102).select(
+            F.col("id"), (F.col("id") * 10).alias("v")))
+        with pytest.raises(ValidationError, match="erase"):
+            stale.rewrite_data_files(target_file_count=1)
+        fresh = IceTable.load(spark, loc)
+        assert fresh.to_df().count() == 10  # append survived
+
+    def test_merge_into_vs_concurrent_compaction_aborts(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.plans import expressions as ex
+        from iceberg_cpp_spark.table import ValidationError
+
+        loc = f"{tmp_loc}/t"
+        t = self._table(spark, loc)
+        stale = IceTable.load(spark, loc)
+        t.rewrite_data_files(target_file_count=1)
+        src = spark.range(2).select(F.col("id"), F.lit(777).alias("v"))
+        with pytest.raises(ValidationError, match="concurrent commit removed"):
+            stale.merge_into(src, on=["id"])
+        fresh = IceTable.load(spark, loc)
+        assert fresh.to_df().filter(F.col("v") == 777).count() == 0
+
+    def test_stale_dv_fold_vs_concurrent_dv_rewrite_aborts(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.plans import expressions as ex
+        from iceberg_cpp_spark.table import ValidationError
+
+        loc = f"{tmp_loc}/t"
+        t = self._table(spark, loc, files=1)
+        t = t.delete_where(ex.eq(ex.Reference("id"), 2), mode="merge-on-read")
+        stale = IceTable.load(spark, loc)
+        # concurrent DV delete on the same data file the fold will
+        # re-vector: folding from the stale read would drop that DV
+        t.delete_where(ex.eq(ex.Reference("id"), 4), mode="deletion-vector")
+        with pytest.raises(ValidationError, match="lose those deletes"):
+            stale.rewrite_position_deletes()
+        fresh = IceTable.load(spark, loc)
+        assert fresh.to_df().count() == 6  # both deletes intact
+
+    def test_stale_dv_fold_vs_disjoint_append_rebases(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        loc = f"{tmp_loc}/t"
+        t = self._table(spark, loc, files=1)
+        t = t.delete_where(ex.eq(ex.Reference("id"), 2), mode="merge-on-read")
+        stale = IceTable.load(spark, loc)
+        t.append(t.spark.range(100, 103).select(
+            F.col("id"), (F.col("id") * 10).alias("v")))
+        # dropping the folded delete FILES must validate against all
+        # live paths (not just data files) — this rebase is safe
+        stale = stale.rewrite_position_deletes()
+        fresh = IceTable.load(spark, loc)
+        assert fresh.to_df().count() == 7 + 3
+        assert fresh.to_df().filter(F.col("id") == 2).count() == 0
