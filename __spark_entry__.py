@@ -1321,6 +1321,46 @@ def geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("n_name"))
 
 
+def ice_view_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg View spec v1 (the reference has NO view surface — its
+    only 'view' hits are std::string_view): a spec view over an
+    IceTable scan, replaced to a second version with a new schema, then
+    BOTH versions queried — current via the swapped pointer, v1 via
+    view time travel. The oracle recomputes both aggregations straight
+    from lineitem, so version routing, metadata serde and the SQL
+    representations must all round-trip."""
+    from iceberg_cpp_spark.core import types as ity
+    from iceberg_cpp_spark.views import IceView
+
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "viewspec")
+    t.append(li)
+    t.create_or_replace_view("ice_vs_li")
+    sch1 = ity.Schema([
+        ity.NestedField(1, "rf", ity.StringType(), False),
+        ity.NestedField(2, "n", ity.LongType(), False),
+    ], schema_id=0)
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_view_"), "v")
+    v = IceView.create(
+        loc,
+        "SELECT l_returnflag AS rf, COUNT(*) AS n FROM ice_vs_li "
+        "GROUP BY l_returnflag", sch1)
+    sch2 = ity.Schema([
+        ity.NestedField(1, "rf", ity.StringType(), False),
+        ity.NestedField(2, "ls", ity.StringType(), False),
+        ity.NestedField(3, "n", ity.LongType(), False),
+    ])
+    v = v.replace(
+        "SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS n "
+        "FROM ice_vs_li GROUP BY l_returnflag, l_linestatus", schema=sch2)
+    v1 = (v.to_df(spark, version_id=1)
+          .select(F.lit("v1").alias("ver"), "rf",
+                  F.lit("").alias("ls"), "n"))
+    v2 = (v.to_df(spark)
+          .select(F.lit("v2").alias("ver"), "rf", "ls", "n"))
+    return v1.unionByName(v2).orderBy("ver", "rf", "ls")
+
+
 def ice_avro_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-Avro manifest interop: table commits write Iceberg-spec Avro
     manifests + manifest lists (pure-Python avro container codec); scan
@@ -2789,6 +2829,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_geo_bbox": ice_geo_bbox,
         # r10: grid-bucketed spatial join (no cartesian, no distinct)
         "geo_bbox_join": geo_bbox_join,
+        # r10: Iceberg View spec v1 (versioned views + time travel —
+        # the reference has no view surface at all)
+        "ice_view_spec": ice_view_spec,
     }
 
 
@@ -4153,6 +4196,19 @@ def oracle_sql() -> dict[str, str]:
               AND ((event_id * 7 % 1700) / 10.0 - 85.0) BETWEEN -10.0 AND 50.0
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        # View spec: both view versions recomputed straight from lineitem
+        "ice_view_spec": """
+            WITH agg1 AS (
+              SELECT l_returnflag AS rf, '' AS ls, COUNT(*) AS n
+              FROM lineitem GROUP BY l_returnflag),
+            agg2 AS (
+              SELECT l_returnflag AS rf, l_linestatus AS ls, COUNT(*) AS n
+              FROM lineitem GROUP BY l_returnflag, l_linestatus)
+            SELECT 'v1' AS ver, rf, ls, n FROM agg1
+            UNION ALL
+            SELECT 'v2' AS ver, rf, ls, n FROM agg2
+            ORDER BY ver, rf, ls
         """,
         # spatial join: the oracle re-derives the envelope join as plain
         # interval arithmetic (points vs boxes; closed intervals match

@@ -41,6 +41,10 @@ class NoSuchTableError(Exception):
     pass
 
 
+class NoSuchViewError(Exception):
+    pass
+
+
 class NoSuchNamespaceError(Exception):
     pass
 
@@ -495,4 +499,45 @@ class FileSystemCatalog(Catalog):
             shutil.rmtree(d, ignore_errors=True)
         else:
             shutil.rmtree(os.path.join(d, "metadata"), ignore_errors=True)
+        return True
+
+    # views (Iceberg View spec; the reference has no view surface) ---------
+    def _view_hint(self, ident: str) -> str:
+        from iceberg_cpp_spark.views import IceView
+
+        return os.path.join(self._table_dir(ident), "metadata", IceView.HINT)
+
+    def view_exists(self, ident: str) -> bool:
+        return os.path.exists(self._view_hint(ident))
+
+    def list_views(self, ns: str) -> list:
+        d = self._ns_dir(ns)
+        if not os.path.isdir(d):
+            return []
+        return [f"{ns}.{t}" for t in sorted(os.listdir(d))
+                if self.view_exists(f"{ns}.{t}")]
+
+    def create_view(self, ident: str, sql: str, schema, dialect="spark",
+                    properties=None):
+        from iceberg_cpp_spark.views import IceView
+
+        if self.view_exists(ident) or self.table_exists(ident):
+            raise AlreadyExistsError(ident)
+        return IceView.create(self._table_dir(ident), sql, schema,
+                              dialect=dialect, properties=properties,
+                              default_namespace=ident.split(".")[:-1])
+
+    def load_view(self, ident: str):
+        from iceberg_cpp_spark.views import IceView
+
+        if not self.view_exists(ident):
+            raise NoSuchViewError(ident)
+        return IceView.load(self._table_dir(ident))
+
+    def drop_view(self, ident: str) -> bool:
+        if not self.view_exists(ident):
+            return False
+        import shutil
+
+        shutil.rmtree(self._table_dir(ident), ignore_errors=True)
         return True

@@ -27,6 +27,7 @@ import json
 import threading
 import urllib.error
 import urllib.request
+import uuid
 from typing import Optional
 
 from iceberg_cpp_spark.core import updates as up
@@ -231,6 +232,89 @@ class RestCatalog(Catalog):
         j = self._request("POST", f"/v1/namespaces/{ns}/tables/{name}", body)
         return j["metadata-location"]
 
+    # -- views (Iceberg View spec + REST catalog view routes; the
+    # reference's REST stub has neither) ---------------------------------
+    def list_views(self, ns):
+        j = self._request("GET", f"/v1/namespaces/{ns}/views")
+        return [f"{'.'.join(i['namespace'])}.{i['name']}"
+                for i in j.get("identifiers", [])]
+
+    def create_view(self, ident, sql, schema, dialect="spark",
+                    properties=None, location=None):
+        from iceberg_cpp_spark.views import SQLRepresentation, ViewVersion
+
+        ns, name = self._split(ident)
+        version = ViewVersion(
+            version_id=1, schema_id=schema.schema_id or 0,
+            timestamp_ms=int(__import__("time").time() * 1000),
+            summary={"operation": "create"},
+            representations=[SQLRepresentation(sql, dialect)],
+            default_namespace=ns.split("."))
+        body = {
+            "name": name,
+            "location": location,
+            "schema": dict(schema.to_json(),
+                           **{"schema-id": schema.schema_id or 0}),
+            "view-version": version.to_json(),
+            "properties": properties or {},
+        }
+        j = self._request("POST", f"/v1/namespaces/{ns}/views", body)
+        return self._view_from(j)
+
+    def load_view(self, ident):
+        ns, name = self._split(ident)
+        return self._view_from(
+            self._request("GET", f"/v1/namespaces/{ns}/views/{name}"))
+
+    def replace_view(self, ident, sql, schema=None, dialect="spark"):
+        """CREATE OR REPLACE through the REST commit route: assert the
+        view uuid, add a version, swap current — the spec's view update
+        actions."""
+        from iceberg_cpp_spark.views import SQLRepresentation, ViewVersion
+
+        ns, name = self._split(ident)
+        cur = self.load_view(ident)
+        meta = cur.metadata
+        new_vid = max(v.version_id for v in meta.versions) + 1
+        updates = []
+        if schema is not None:
+            schema_id = max((s.schema_id for s in meta.schemas),
+                            default=-1) + 1
+            schema.schema_id = schema_id
+            updates.append({"action": "add-schema",
+                            "schema": dict(schema.to_json(),
+                                           **{"schema-id": schema_id})})
+        else:
+            schema_id = meta.current_version().schema_id
+        version = ViewVersion(
+            version_id=new_vid, schema_id=schema_id,
+            timestamp_ms=int(__import__("time").time() * 1000),
+            summary={"operation": "replace"},
+            representations=[SQLRepresentation(sql, dialect)],
+            default_namespace=meta.current_version().default_namespace)
+        updates.append({"action": "add-view-version",
+                        "view-version": version.to_json()})
+        updates.append({"action": "set-current-view-version",
+                        "view-version-id": new_vid})
+        body = {
+            "requirements": [{"type": "assert-view-uuid",
+                              "uuid": meta.view_uuid}],
+            "updates": updates,
+        }
+        j = self._request("POST", f"/v1/namespaces/{ns}/views/{name}", body)
+        return self._view_from(j)
+
+    def drop_view(self, ident):
+        ns, name = self._split(ident)
+        self._request("DELETE", f"/v1/namespaces/{ns}/views/{name}")
+
+    @staticmethod
+    def _view_from(j):
+        from iceberg_cpp_spark.views import IceView, ViewMetadata
+
+        return IceView(ViewMetadata.from_json(j["metadata"]),
+                       j.get("metadata-location") or "")
+
 
 # ---------------------------------------------------------------------------
 # Conformance server (in-memory; for tests and local development)
@@ -245,6 +329,10 @@ def serve_rest_catalog(port: int = 0):
     lock = threading.Lock()
     namespaces: dict[str, dict] = {}
     tables: dict[tuple[str, str], dict] = {}  # -> {"metadata", "version"}
+    views: dict[tuple[str, str], dict] = {}   # -> {"metadata", "version"}
+
+    def _vloc(meta, version: int) -> str:
+        return f"{meta.location}/metadata/v{version}.metadata.json"
 
     def _loc(meta: TableMetadata, version: int) -> str:
         return f"{meta.location}/metadata/v{version}.metadata.json"
@@ -297,6 +385,18 @@ def serve_rest_catalog(port: int = 0):
                     return self._send(200, {
                         "metadata-location": _loc(t["metadata"], t["version"]),
                         "metadata": t["metadata"].to_json()})
+                if len(parts) == 4 and parts[3] == "views":
+                    ns = parts[2]
+                    idents = [{"namespace": k[0].split("."), "name": k[1]}
+                              for k in sorted(views) if k[0] == ns]
+                    return self._send(200, {"identifiers": idents})
+                if len(parts) == 5 and parts[3] == "views":
+                    v = views.get((parts[2], parts[4]))
+                    if v is None:
+                        return self._error(404, f"view not found: {parts[4]}")
+                    return self._send(200, {
+                        "metadata-location": _vloc(v["metadata"], v["version"]),
+                        "metadata": v["metadata"].to_json()})
             self._error(404, "no route")
 
         def do_DELETE(self):
@@ -306,13 +406,18 @@ def serve_rest_catalog(port: int = 0):
                     ns = parts[2]
                     if ns not in namespaces:
                         return self._error(404, f"namespace not found: {ns}")
-                    if any(k[0] == ns for k in tables):
+                    if any(k[0] == ns for k in tables) or any(
+                            k[0] == ns for k in views):
                         return self._error(409, f"namespace not empty: {ns}")
                     del namespaces[ns]
                     return self._send(204)
                 if len(parts) == 5 and parts[3] == "tables":
                     if tables.pop((parts[2], parts[4]), None) is None:
                         return self._error(404, f"table not found: {parts[4]}")
+                    return self._send(204)
+                if len(parts) == 5 and parts[3] == "views":
+                    if views.pop((parts[2], parts[4]), None) is None:
+                        return self._error(404, f"view not found: {parts[4]}")
                     return self._send(204)
             self._error(404, "no route")
 
@@ -367,6 +472,75 @@ def serve_rest_catalog(port: int = 0):
                     return self._send(200, {
                         "metadata-location": _loc(meta, 1),
                         "metadata": meta.to_json()})
+                if len(parts) == 4 and parts[3] == "views":
+                    from iceberg_cpp_spark.views import (ViewMetadata,
+                                                         ViewVersion)
+
+                    ns = parts[2]
+                    if ns not in namespaces:
+                        return self._error(404, f"namespace not found: {ns}")
+                    key = (ns, body["name"])
+                    if key in views or key in tables:
+                        return self._error(409, f"view exists: {body['name']}")
+                    version = ViewVersion.from_json(body["view-version"])
+                    sch = Schema.from_json(body["schema"])
+                    meta = ViewMetadata(
+                        view_uuid=str(uuid.uuid4()),
+                        location=(body.get("location")
+                                  or f"/tmp/rest-wh/{ns}/{body['name']}"),
+                        schemas=[sch], current_version_id=version.version_id,
+                        versions=[version],
+                        version_log=[{"timestamp-ms": version.timestamp_ms,
+                                      "version-id": version.version_id}],
+                        properties=body.get("properties") or {})
+                    views[key] = {"metadata": meta, "version": 1}
+                    return self._send(200, {
+                        "metadata-location": _vloc(meta, 1),
+                        "metadata": meta.to_json()})
+                if len(parts) == 5 and parts[3] == "views":
+                    from iceberg_cpp_spark.views import (ViewMetadata,
+                                                         ViewVersion,
+                                                         _trim_history)
+
+                    key = (parts[2], parts[4])
+                    v = views.get(key)
+                    if v is None:
+                        return self._error(404, f"view not found: {parts[4]}")
+                    meta = v["metadata"]
+                    for rj in body.get("requirements", []):
+                        if (rj.get("type") == "assert-view-uuid"
+                                and rj.get("uuid") != meta.view_uuid):
+                            return self._error(
+                                409, f"view uuid changed: {meta.view_uuid}")
+                    new = ViewMetadata.from_json(meta.to_json())
+                    try:
+                        for uj in body.get("updates", []):
+                            act = uj.get("action")
+                            if act == "add-schema":
+                                new.schemas.append(
+                                    Schema.from_json(uj["schema"]))
+                            elif act == "add-view-version":
+                                vv = ViewVersion.from_json(uj["view-version"])
+                                new.versions.append(vv)
+                                new.version_log.append(
+                                    {"timestamp-ms": vv.timestamp_ms,
+                                     "version-id": vv.version_id})
+                            elif act == "set-current-view-version":
+                                new.current_version_id = uj["view-version-id"]
+                            elif act == "set-properties":
+                                new.properties.update(uj.get("updates") or {})
+                            else:
+                                return self._error(
+                                    400, f"unknown view update: {act}")
+                        new.current_version()  # validates the swap target
+                    except (ValueError, KeyError) as e:
+                        return self._error(400, str(e))
+                    _trim_history(new)
+                    v["metadata"] = new
+                    v["version"] += 1
+                    return self._send(200, {
+                        "metadata-location": _vloc(new, v["version"]),
+                        "metadata": new.to_json()})
                 if len(parts) == 5 and parts[3] == "tables":
                     key = (parts[2], parts[4])
                     t = tables.get(key)

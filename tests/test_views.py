@@ -1,0 +1,184 @@
+"""Iceberg View spec (v1) — versioned SQL views.
+
+The reference has no view surface (its only 'view' hits are
+std::string_view); iceberg_cpp_spark/views.py exceeds it with the
+published View spec: spec metadata JSON, immutable versions with SQL
+representations, version log, history trimming, CAS'd replace, view
+time travel, and filesystem + REST catalog integration."""
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_cpp_spark import IceTable
+from iceberg_cpp_spark.core import types as it
+from iceberg_cpp_spark.sources.catalog import (AlreadyExistsError,
+                                               CommitFailedError,
+                                               FileSystemCatalog,
+                                               NoSuchViewError)
+from iceberg_cpp_spark.views import (IceView, SQLRepresentation,
+                                     ViewMetadata, ViewVersion)
+
+
+def _schema():
+    return it.Schema([it.NestedField(1, "n", it.LongType(), True)],
+                     schema_id=0)
+
+
+class TestViewMetadata:
+    def test_json_roundtrip(self, tmp_loc):
+        v = IceView.create(f"{tmp_loc}/v", "SELECT 1 AS n", _schema(),
+                           properties={"k": "1"})
+        j = v.metadata.to_json()
+        assert j["format-version"] == 1
+        assert j["current-version-id"] == 1
+        assert j["versions"][0]["representations"][0] == {
+            "type": "sql", "sql": "SELECT 1 AS n", "dialect": "spark"}
+        rt = ViewMetadata.from_json(json.loads(json.dumps(j)))
+        assert rt.view_uuid == v.metadata.view_uuid
+        assert rt.current_version().representations[0].sql == "SELECT 1 AS n"
+        assert rt.properties == {"k": "1"}
+
+    def test_unknown_format_version_raises(self):
+        with pytest.raises(ValueError, match="format-version"):
+            ViewMetadata.from_json({"format-version": 2})
+
+    def test_history_trimming_keeps_recent_and_current(self, tmp_loc):
+        v = IceView.create(f"{tmp_loc}/v", "SELECT 0 AS n", _schema(),
+                           properties={"version.history.num-entries": "3"})
+        for i in range(1, 7):
+            v = v.replace(f"SELECT {i} AS n")
+        ids = sorted(x.version_id for x in v.metadata.versions)
+        assert ids == [5, 6, 7]          # most recent 3 of 7
+        assert v.metadata.current_version_id == 7
+        assert [e["version-id"] for e in v.metadata.version_log] == [5, 6, 7]
+
+    def test_version_log_tracks_swaps(self, tmp_loc):
+        v = IceView.create(f"{tmp_loc}/v", "SELECT 0 AS n", _schema())
+        v = v.replace("SELECT 1 AS n")
+        assert [e["version-id"] for e in v.metadata.version_log] == [1, 2]
+        assert v.metadata.current_version().summary["operation"] == "replace"
+        assert v.metadata.version_by_id(1).summary["operation"] == "create"
+
+
+class TestViewFilesystemProtocol:
+    def test_create_load_replace_time_travel(self, spark, tmp_loc):
+        spark.range(6).createOrReplaceTempView("vt_base")
+        v = IceView.create(f"{tmp_loc}/v",
+                           "SELECT COUNT(*) AS n FROM vt_base", _schema())
+        assert v.to_df(spark).collect()[0]["n"] == 6
+        v = v.replace("SELECT COUNT(*) * 10 AS n FROM vt_base")
+        assert v.to_df(spark).collect()[0]["n"] == 60
+        assert v.to_df(spark, version_id=1).collect()[0]["n"] == 6
+        loaded = IceView.load(f"{tmp_loc}/v")
+        assert loaded.metadata.current_version_id == 2
+        assert len(loaded.metadata.versions) == 2
+
+    def test_concurrent_replace_cas(self, tmp_loc):
+        v = IceView.create(f"{tmp_loc}/v", "SELECT 1 AS n", _schema())
+        stale = IceView.load(f"{tmp_loc}/v")
+        v.replace("SELECT 2 AS n")
+        with pytest.raises((CommitFailedError, FileExistsError)):
+            stale.replace("SELECT 3 AS n")
+        assert IceView.load(f"{tmp_loc}/v").sql_for("spark") == "SELECT 2 AS n"
+
+    def test_missing_dialect_raises(self, tmp_loc):
+        v = IceView.create(f"{tmp_loc}/v", "SELECT 1", _schema(),
+                           dialect="trino")
+        with pytest.raises(ValueError, match="no 'spark' representation"):
+            v.sql_for("spark")
+
+    def test_replace_with_new_schema(self, tmp_loc):
+        v = IceView.create(f"{tmp_loc}/v", "SELECT 1 AS n", _schema())
+        sch2 = it.Schema([it.NestedField(1, "n", it.LongType(), True),
+                          it.NestedField(2, "m", it.LongType(), True)])
+        v = v.replace("SELECT 1 AS n, 2 AS m", schema=sch2)
+        assert v.metadata.schema().field_by_name("m") is not None
+        assert len(v.metadata.schemas) == 2
+
+    def test_load_non_view_raises(self, tmp_loc):
+        with pytest.raises(FileNotFoundError):
+            IceView.load(f"{tmp_loc}/nope")
+
+
+class TestViewFilesystemCatalog:
+    def test_crud_and_table_disjointness(self, spark, tmp_loc):
+        cat = FileSystemCatalog(f"{tmp_loc}/wh")
+        cat.create_namespace("ns")
+        t = cat.create_table("ns.t", _schema())
+        v = cat.create_view("ns.v", "SELECT 1 AS n", _schema())
+        assert cat.list_views("ns") == ["ns.v"]
+        assert cat.list_tables("ns") == ["ns.t"]  # views not listed
+        assert cat.view_exists("ns.v") and not cat.view_exists("ns.t")
+        loaded = cat.load_view("ns.v")
+        assert loaded.metadata.view_uuid == v.metadata.view_uuid
+        with pytest.raises(AlreadyExistsError):
+            cat.create_view("ns.v", "SELECT 2", _schema())
+        with pytest.raises(AlreadyExistsError):
+            cat.create_view("ns.t", "SELECT 2", _schema())  # name is a table
+        assert cat.drop_view("ns.v")
+        assert cat.list_views("ns") == []
+        with pytest.raises(NoSuchViewError):
+            cat.load_view("ns.v")
+
+    def test_view_over_ice_table(self, spark, tmp_loc):
+        cat = FileSystemCatalog(f"{tmp_loc}/wh")
+        cat.create_namespace("ns")
+        sch = it.Schema([it.NestedField(1, "id", it.LongType(), True)])
+        t = IceTable.create(spark, f"{tmp_loc}/wh/ns/data_t", sch)
+        t = t.append(spark.range(5).select("id"))
+        t.create_or_replace_view("vt_data")
+        v = cat.create_view(
+            "ns.agg_v", "SELECT COUNT(*) AS n FROM vt_data", _schema())
+        assert v.to_df(spark).collect()[0]["n"] == 5
+
+
+class TestViewRestCatalog:
+    @pytest.fixture()
+    def cat(self):
+        from iceberg_cpp_spark.sources.rest_catalog import (
+            RestCatalog, serve_rest_catalog)
+
+        server, uri = serve_rest_catalog()
+        c = RestCatalog(uri)
+        c.create_namespace("ns")
+        yield c
+        server.shutdown()
+
+    def test_create_load_list_drop(self, cat):
+        v = cat.create_view("ns.v", "SELECT 1 AS n", _schema())
+        assert v.metadata.current_version_id == 1
+        assert cat.list_views("ns") == ["ns.v"]
+        loaded = cat.load_view("ns.v")
+        assert loaded.metadata.view_uuid == v.metadata.view_uuid
+        cat.drop_view("ns.v")
+        assert cat.list_views("ns") == []
+
+    def test_replace_appends_version_and_swaps(self, cat):
+        cat.create_view("ns.v", "SELECT 1 AS n", _schema())
+        v2 = cat.replace_view("ns.v", "SELECT 2 AS n")
+        assert v2.metadata.current_version_id == 2
+        assert v2.sql_for("spark", version_id=1) == "SELECT 1 AS n"
+        assert v2.sql_for("spark") == "SELECT 2 AS n"
+
+    def test_replace_with_schema_adds_schema(self, cat):
+        cat.create_view("ns.v", "SELECT 1 AS n", _schema())
+        sch2 = it.Schema([it.NestedField(1, "n", it.LongType(), True),
+                          it.NestedField(2, "m", it.LongType(), True)])
+        v2 = cat.replace_view("ns.v", "SELECT 1 AS n, 2 AS m", schema=sch2)
+        assert len(v2.metadata.schemas) == 2
+        assert v2.metadata.schema().field_by_name("m") is not None
+
+    def test_uuid_requirement_conflict_409(self, cat):
+        cat.create_view("ns.v", "SELECT 1 AS n", _schema())
+        body = {"requirements": [{"type": "assert-view-uuid",
+                                  "uuid": "wrong-uuid"}],
+                "updates": []}
+        with pytest.raises(CommitFailedError, match="uuid"):
+            cat._request("POST", "/v1/namespaces/ns/views/v", body)
+
+    def test_view_name_collides_with_table_409(self, cat):
+        cat.create_table("ns.t", _schema())
+        with pytest.raises(Exception, match="exists"):
+            cat.create_view("ns.t", "SELECT 1", _schema())
