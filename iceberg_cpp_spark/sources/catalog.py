@@ -501,6 +501,39 @@ class FileSystemCatalog(Catalog):
             shutil.rmtree(os.path.join(d, "metadata"), ignore_errors=True)
         return True
 
+    def rename_table(self, src: str, dst: str) -> None:
+        """Directory catalogs CANNOT rename: the identifier IS the
+        path, and manifests/data files hold absolute paths under it, so
+        a move breaks every pointer (the exact reason Iceberg's
+        HadoopCatalog forbids rename). Loud error, not silent breakage;
+        pointer-mapping catalogs (RestCatalog) support it."""
+        raise NotImplementedError(
+            "FileSystemCatalog cannot rename: the table directory is the "
+            "identifier and metadata holds absolute paths under it — use "
+            "a pointer-mapping catalog (e.g. RestCatalog), or "
+            "register_table under the new name after relocating data")
+
+    def rename_view(self, src: str, dst: str) -> None:
+        """Views hold no data paths, only SQL — a directory move IS
+        safe for them, except the view metadata 'location' field, which
+        is rewritten to the new path in a fresh CAS'd version."""
+        from iceberg_cpp_spark.views import IceView
+
+        if not self.view_exists(src):
+            raise NoSuchViewError(src)
+        if self.table_exists(dst) or self.view_exists(dst):
+            raise AlreadyExistsError(dst)
+        dst_ns = ".".join(dst.split(".")[:-1])
+        if dst_ns and not self.namespace_exists(dst_ns):
+            raise NoSuchNamespaceError(dst_ns)
+        os.rename(self._table_dir(src), self._table_dir(dst))
+        v = IceView.load(self._table_dir(dst))
+        v.metadata.location = self._table_dir(dst)
+        base = int(os.path.basename(v.metadata_location).split(".")[0][1:])
+        loc = IceView._metadata_path(self._table_dir(dst), base + 1)
+        IceView._write(v.metadata, loc, exclusive=True)
+        IceView._write_hint(self._table_dir(dst), base + 1, expected=base)
+
     # views (Iceberg View spec; the reference has no view surface) ---------
     def _view_hint(self, ident: str) -> str:
         from iceberg_cpp_spark.views import IceView

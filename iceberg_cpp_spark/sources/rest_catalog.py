@@ -232,6 +232,20 @@ class RestCatalog(Catalog):
         j = self._request("POST", f"/v1/namespaces/{ns}/tables/{name}", body)
         return j["metadata-location"]
 
+    def rename_table(self, src: str, dst: str) -> None:
+        sns, sname = self._split(src)
+        dns, dname = self._split(dst)
+        self._request("POST", "/v1/tables/rename", {
+            "source": {"namespace": sns.split("."), "name": sname},
+            "destination": {"namespace": dns.split("."), "name": dname}})
+
+    def rename_view(self, src: str, dst: str) -> None:
+        sns, sname = self._split(src)
+        dns, dname = self._split(dst)
+        self._request("POST", "/v1/views/rename", {
+            "source": {"namespace": sns.split("."), "name": sname},
+            "destination": {"namespace": dns.split("."), "name": dname}})
+
     # -- views (Iceberg View spec + REST catalog view routes; the
     # reference's REST stub has neither) ---------------------------------
     def list_views(self, ns):
@@ -425,6 +439,23 @@ def serve_rest_catalog(port: int = 0):
             parts = self._route()
             body = self._body()
             with lock:
+                if parts in (["v1", "tables", "rename"],
+                             ["v1", "views", "rename"]):
+                    store = tables if parts[1] == "tables" else views
+                    sk = (".".join(body["source"]["namespace"]),
+                          body["source"]["name"])
+                    dk = (".".join(body["destination"]["namespace"]),
+                          body["destination"]["name"])
+                    if sk not in store:
+                        return self._error(
+                            404, f"{parts[1][:-1]} not found: {sk[1]}")
+                    if dk in tables or dk in views:
+                        return self._error(409, f"exists: {dk[1]}")
+                    if dk[0] not in namespaces:
+                        return self._error(
+                            404, f"namespace not found: {dk[0]}")
+                    store[dk] = store.pop(sk)
+                    return self._send(204)
                 if parts == ["v1", "namespaces"]:
                     ns = ".".join(body["namespace"])
                     if ns in namespaces:

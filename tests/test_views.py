@@ -182,3 +182,46 @@ class TestViewRestCatalog:
         cat.create_table("ns.t", _schema())
         with pytest.raises(Exception, match="exists"):
             cat.create_view("ns.t", "SELECT 1", _schema())
+
+
+class TestRename:
+    def test_fs_table_rename_refuses_loudly(self, tmp_loc):
+        cat = FileSystemCatalog(f"{tmp_loc}/wh")
+        cat.create_namespace("ns")
+        cat.create_table("ns.t", _schema())
+        with pytest.raises(NotImplementedError, match="identifier"):
+            cat.rename_table("ns.t", "ns.t2")
+
+    def test_fs_view_rename_moves_and_rewrites_location(self, tmp_loc):
+        cat = FileSystemCatalog(f"{tmp_loc}/wh")
+        cat.create_namespace("ns")
+        cat.create_view("ns.v", "SELECT 1 AS n", _schema())
+        cat.rename_view("ns.v", "ns.v2")
+        assert cat.list_views("ns") == ["ns.v2"]
+        v = cat.load_view("ns.v2")
+        assert v.metadata.location.endswith("/ns/v2")
+        assert v.sql_for("spark") == "SELECT 1 AS n"
+        with pytest.raises(NoSuchViewError):
+            cat.load_view("ns.v")
+
+    def test_rest_rename_table_and_view(self):
+        from iceberg_cpp_spark.sources.rest_catalog import (
+            RestCatalog, serve_rest_catalog)
+
+        server, uri = serve_rest_catalog()
+        try:
+            cat = RestCatalog(uri)
+            cat.create_namespace("ns")
+            cat.create_table("ns.t", _schema())
+            cat.rename_table("ns.t", "ns.t2")
+            assert cat.list_tables("ns") == ["ns.t2"]
+            cat.create_view("ns.v", "SELECT 1 AS n", _schema())
+            cat.rename_view("ns.v", "ns.v2")
+            assert cat.list_views("ns") == ["ns.v2"]
+            # collisions 409 / missing 404 surface as errors
+            with pytest.raises(Exception, match="exists"):
+                cat.rename_table("ns.t2", "ns.v2")
+            with pytest.raises(Exception, match="not found"):
+                cat.rename_table("ns.gone", "ns.x")
+        finally:
+            server.shutdown()
