@@ -402,4 +402,45 @@ def collect_metrics_spark(spark, paths: list[str], schema: it.Schema) -> dict[st
                       "column_sizes": {}, "value_counts": {},
                       "null_value_counts": {}, "nan_value_counts": {},
                       "lower_bounds": {}, "upper_bounds": {}}
+
+    # geo bounds can't come from a JVM aggregation (envelope needs WKB
+    # parsing) — one extra Arrow-batched pass over ONLY the geo columns
+    # fills them in, so variant+geo tables keep st_intersects pruning
+    geo = [f for f in schema.fields if isinstance(f.field_type, it.GEO_TYPES)]
+    if geo:
+        import pandas as pd
+
+        from iceberg_cpp_spark.core import wkb
+
+        names = [f.name for f in geo]
+        fids = [f.field_id for f in geo]
+
+        def envs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            row = {"_fp": [pdf["_fp"].iloc[0]]}
+            for name in names:
+                e = wkb.envelopes_np(pdf[name].tolist())
+                ok = ~np.isnan(e[:, 0])
+                if ok.any():
+                    row[f"_b_{name}"] = [json.dumps([
+                        float(np.nanmin(e[:, 0])), float(np.nanmin(e[:, 1])),
+                        float(np.nanmax(e[:, 2])), float(np.nanmax(e[:, 3]))])]
+                else:
+                    row[f"_b_{name}"] = [None]
+            return pd.DataFrame(row)
+
+        out_schema = "_fp string, " + ", ".join(
+            f"_b_{n} string" for n in names)
+        rows = (df.select("_fp", *names).groupBy("_fp")
+                .applyInPandas(envs, schema=out_schema).collect())
+        for r in rows:
+            m = out.get(r["_fp"])
+            if m is None:
+                continue
+            for name, fid in zip(names, fids):
+                b = r[f"_b_{name}"]
+                if b is None:
+                    continue
+                xmin, ymin, xmax, ymax = json.loads(b)
+                m["lower_bounds"][fid] = wkb.point_wkb(xmin, ymin)
+                m["upper_bounds"][fid] = wkb.point_wkb(xmax, ymax)
     return out

@@ -394,3 +394,82 @@ class TestSpatialJoin:
             "pid long, geom binary")
         got = spatial.bbox_filter(pts, (1.0, 1.0, 3.0, 3.0))
         assert sorted(r["pid"] for r in got.collect()) == [1, 2, 3]
+
+
+class TestWkbProperties:
+    """Property pins: the vectorized fast path and the generic parser
+    must agree, and envelopes must equal plain numpy min/max."""
+
+    def test_random_point_envelopes_match_minmax(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        finite = st.floats(allow_nan=False, allow_infinity=False,
+                           width=64, min_value=-1e15, max_value=1e15)
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.lists(st.tuples(finite, finite), min_size=1, max_size=40))
+        def check(pts):
+            import numpy as np
+
+            vals = [_pt(x, y) for x, y in pts]
+            envs = wkb.envelopes_np(vals)
+            xs = np.array([x for x, _ in pts])
+            ys = np.array([y for _, y in pts])
+            assert np.allclose(envs[:, 0], xs) and np.allclose(envs[:, 1], ys)
+            # a multipoint of the same points must have the min/max box
+            mp = struct.pack("<BII", 1, wkb.MULTIPOINT, len(pts)) + b"".join(vals)
+            env = wkb.envelope(mp)
+            assert env == (xs.min(), ys.min(), xs.max(), ys.max())
+
+        check()
+
+    def test_mixed_endianness_agrees(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        finite = st.floats(allow_nan=False, allow_infinity=False,
+                           width=64, min_value=-1e6, max_value=1e6)
+
+        @settings(max_examples=100, deadline=None)
+        @given(finite, finite)
+        def check(x, y):
+            le = struct.pack("<BIdd", 1, wkb.POINT, x, y)
+            be = struct.pack(">BIdd", 0, wkb.POINT, x, y)
+            assert wkb.envelope(le) == wkb.envelope(be)
+            assert wkb.parse_point(le) == wkb.parse_point(be)
+
+        check()
+
+
+class TestGeoWithVariantMetrics:
+    def test_variant_plus_geo_table_keeps_geo_bounds(self, spark, tmp_loc):
+        """A variant column forces the JVM metrics plane (pyarrow can't
+        open those footers); the geo envelope pass must still fill WKB
+        bound points so st_intersects pruning works."""
+        import iceberg_cpp_spark.core.manifests as mf
+
+        sch = it.Schema([
+            it.NestedField(1, "id", it.LongType(), True),
+            it.NestedField(2, "payload", it.VariantType(), False),
+            it.NestedField(3, "geom", it.GeometryType(), False),
+        ])
+        t = IceTable.create(spark, f"{tmp_loc}/t", sch,
+                            properties={"format-version": "3"})
+        rows = [(i, '{"k": %d}' % i, _pt(float(i * 10), 1.0))
+                for i in range(4)]
+        df = (spark.createDataFrame(rows, "id long, pj string, geom binary")
+              .select("id", F.expr("parse_json(pj)").alias("payload"),
+                      "geom").coalesce(1))
+        t = t.append(df)
+        snap = t.current_snapshot()
+        e = [e for m in mf.read_manifest_list(snap.manifest_list)
+             for e in mf.read_manifest(m.manifest_path, t.spec(),
+                                       t.schema(), manifest=m)][0]
+        assert wkb.parse_point(e.data_file.lower_bounds[3]) == (0.0, 1.0)
+        assert wkb.parse_point(e.data_file.upper_bounds[3]) == (30.0, 1.0)
+        assert t.scan(filter=ex.st_intersects(
+            ex.Reference("geom"), (100.0, 0.0, 200.0, 2.0))).plan_files() == []
+        got = t.scan(filter=ex.st_intersects(
+            ex.Reference("geom"), (5.0, 0.0, 25.0, 2.0))).to_df()
+        assert sorted(r["id"] for r in got.collect()) == [1, 2]
