@@ -1361,6 +1361,52 @@ def ice_view_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionByName(v2).orderBy("ver", "rf", "ls")
 
 
+def ice_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension maintenance (operators/scd.py — the
+    close-AND-insert pattern plain MERGE can't express): customers load
+    as an SCD2 dimension, one update batch changes every 7th key's
+    balance and inserts a shifted new-key set, then the dimension is
+    audited per (is_current, batch). Copy-on-write touches only files
+    holding matched current rows; the oracle re-derives the full
+    post-batch dimension from raw customer with set arithmetic."""
+    import datetime as _dt
+
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core import types as ity
+    from iceberg_cpp_spark.operators import scd
+
+    ts1 = _dt.datetime(2024, 1, 1)
+    ts2 = _dt.datetime(2024, 2, 1)
+    cust = _t(spark, sf_dir, "customer")
+    rows = cust.select(
+        F.col("c_custkey").cast("long").alias("k"),
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("bal"))
+    src_sch = ity.Schema([
+        ity.NestedField(1, "k", ity.LongType(), True),
+        ity.NestedField(2, "bal", ity.LongType(), False),
+    ])
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_scd2_"), "t")
+    t = IceTable.create(spark, loc, scd.scd2_schema(src_sch),
+                        properties={"format-version": "3"})
+    t = t.append(scd.scd2_init(rows, ts1).repartition(4, "k"))
+    upd = (rows.filter(F.col("k") % 7 == 0)
+           .select("k", (F.col("bal") + 12345).alias("bal"))
+           .unionByName(rows.filter(F.col("k") % 97 == 0)
+                        .select((F.col("k") + 10_000_000).alias("k"),
+                                F.lit(555).alias("bal"))))
+    t = scd.scd2_apply(t, upd, key=["k"], effective=ts2)
+    df = t.to_df()
+    batch = F.when(F.col(scd.VALID_FROM) == F.lit(ts1).cast("timestamp"),
+                   F.lit(1)).otherwise(F.lit(2))
+    return (df.groupBy(F.col(scd.IS_CURRENT).alias("cur"),
+                       batch.alias("batch"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("bal").alias("sum_bal"),
+                 F.sum(F.when(F.col(scd.VALID_TO).isNull(), 0)
+                       .otherwise(1)).alias("n_closed"))
+            .orderBy("cur", "batch"))
+
+
 def ice_avro_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-Avro manifest interop: table commits write Iceberg-spec Avro
     manifests + manifest lists (pure-Python avro container codec); scan
@@ -2832,6 +2878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: Iceberg View spec v1 (versioned views + time travel —
         # the reference has no view surface at all)
         "ice_view_spec": ice_view_spec,
+        # r10: SCD Type 2 dimension maintenance (close-and-insert)
+        "ice_scd2_dimension": ice_scd2_dimension,
     }
 
 
@@ -4196,6 +4244,28 @@ def oracle_sql() -> dict[str, str]:
               AND ((event_id * 7 % 1700) / 10.0 - 85.0) BETWEEN -10.0 AND 50.0
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        # SCD2: the post-batch dimension re-derived from raw customer
+        # with set arithmetic (floor() keeps the cents conversion
+        # identical across engines; CAST would round in DuckDB)
+        "ice_scd2_dimension": """
+            WITH base AS (
+              SELECT c_custkey AS k,
+                     CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS bal
+              FROM customer),
+            dim AS (
+              SELECT FALSE AS cur, 1 AS batch, bal, 1 AS closed
+                FROM base WHERE k % 7 = 0
+              UNION ALL
+              SELECT TRUE, 1, bal, 0 FROM base WHERE k % 7 <> 0
+              UNION ALL
+              SELECT TRUE, 2, bal + 12345, 0 FROM base WHERE k % 7 = 0
+              UNION ALL
+              SELECT TRUE, 2, 555, 0 FROM base WHERE k % 97 = 0)
+            SELECT cur, batch, COUNT(*) AS n,
+                   CAST(SUM(bal) AS BIGINT) AS sum_bal,
+                   CAST(SUM(closed) AS BIGINT) AS n_closed
+            FROM dim GROUP BY cur, batch ORDER BY cur, batch
         """,
         # View spec: both view versions recomputed straight from lineitem
         "ice_view_spec": """
