@@ -35,6 +35,128 @@ _DRIVER_THREADS = 16
 _PATHS_PER_TASK = 64
 
 
+def parse_metrics_mode(s: str):
+    """``write.metadata.metrics.*`` value → mode tuple: ("none",),
+    ("counts",), ("truncate", n) or ("full",) (reference declares the
+    property + default, table_properties.h:234-235, with no write path
+    behind it — this implements it)."""
+    v = (s or "").strip().lower()
+    if v in ("none", "counts", "full"):
+        return (v,)
+    if v.startswith("truncate(") and v.endswith(")"):
+        n = int(v[len("truncate("):-1])
+        if n <= 0:
+            raise ValueError(f"truncate length must be positive: {s}")
+        return ("truncate", n)
+    raise ValueError(f"unknown metrics mode: {s!r}")
+
+
+def metrics_modes(schema: it.Schema,
+                  properties: dict) -> dict[int, tuple]:
+    """Per-field-id metrics mode from table properties: the
+    ``write.metadata.metrics.default`` mode (spec default truncate(16))
+    overridden per column by ``write.metadata.metrics.column.<name>``
+    (top-level or dotted nested name)."""
+    default = parse_metrics_mode(
+        properties.get("write.metadata.metrics.default", "truncate(16)"))
+    out = {fid: default for _, (fid, _t) in _field_map(schema).items()}
+    prefix = "write.metadata.metrics.column."
+    for k, v in properties.items():
+        if not k.startswith(prefix):
+            continue
+        name = k[len(prefix):]
+        f = schema.find_field(name)
+        if f is None:
+            raise ValueError(f"metrics mode for unknown column: {name}")
+        out[f.field_id] = parse_metrics_mode(v)
+    return out
+
+
+_MAX_CODE_POINT = 0x10FFFF
+
+
+def truncate_lower_str(s: str, n: int) -> str:
+    return s[:n]  # a prefix is <= the original: valid lower bound
+
+
+def truncate_upper_str(s: str, n: int):
+    """Shortest n-code-point string >= s: prefix with the last
+    non-maximal code point incremented (skipping the surrogate block).
+    None when no such string exists (all-max prefix) — keep the full
+    value then."""
+    if len(s) <= n:
+        return s
+    p = list(s[:n])
+    for i in range(len(p) - 1, -1, -1):
+        cp = ord(p[i])
+        if cp >= _MAX_CODE_POINT:
+            continue
+        nxt = cp + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000
+        return "".join(p[:i]) + chr(nxt)
+    return None
+
+
+def truncate_lower_bytes(b: bytes, n: int) -> bytes:
+    return bytes(b[:n])
+
+
+def truncate_upper_bytes(b: bytes, n: int):
+    if len(b) <= n:
+        return bytes(b)
+    p = bytearray(b[:n])
+    for i in range(len(p) - 1, -1, -1):
+        if p[i] != 0xFF:
+            return bytes(p[:i]) + bytes([p[i] + 1])
+    return None
+
+
+def apply_metrics_modes(m: dict, modes: Optional[dict],
+                        by_id: dict) -> None:
+    """Post-process one file's metrics dict in place per the column
+    modes (bounds already spec-encoded as bytes): none drops counts and
+    bounds, counts drops bounds, truncate(n) shortens string/binary
+    bounds while keeping them valid inclusive bounds (lower = prefix <=
+    min; upper = incremented prefix >= max, full value kept when no
+    incrementable prefix exists). Numeric/temporal bounds are
+    fixed-width — truncate leaves them alone, as the spec does."""
+    if not modes:
+        return
+    for fid, mode in modes.items():
+        if mode == ("full",):
+            continue
+        if mode == ("none",):
+            for key in ("value_counts", "null_value_counts",
+                        "nan_value_counts", "lower_bounds", "upper_bounds"):
+                m[key].pop(fid, None)
+            continue
+        if mode == ("counts",):
+            m["lower_bounds"].pop(fid, None)
+            m["upper_bounds"].pop(fid, None)
+            continue
+        n = mode[1]
+        t = by_id.get(fid)
+        lo = m["lower_bounds"].get(fid)
+        hi = m["upper_bounds"].get(fid)
+        if isinstance(t, it.StringType):
+            if lo is not None:
+                m["lower_bounds"][fid] = truncate_lower_str(
+                    lo.decode("utf-8", errors="replace"), n).encode()
+            if hi is not None:
+                up = truncate_upper_str(
+                    hi.decode("utf-8", errors="replace"), n)
+                if up is not None:
+                    m["upper_bounds"][fid] = up.encode()
+        elif isinstance(t, it.BinaryType):
+            if lo is not None:
+                m["lower_bounds"][fid] = truncate_lower_bytes(lo, n)
+            if hi is not None:
+                up = truncate_upper_bytes(hi, n)
+                if up is not None:
+                    m["upper_bounds"][fid] = up
+
+
 def _field_map(schema: it.Schema) -> dict[str, tuple[int, it.IcebergType]]:
     """Column path → (field_id, iceberg type): top-level primitives plus
     struct leaves as dotted paths (parquet ``path_in_schema`` shape), so
@@ -65,9 +187,11 @@ def _stat_value(v: Any, t: it.IcebergType) -> Any:
     return v
 
 
-def file_metrics(path: str, fields: dict[str, tuple[int, it.IcebergType]]) -> dict:
+def file_metrics(path: str, fields: dict[str, tuple[int, it.IcebergType]],
+                 modes=None) -> dict:
     """Read one Parquet footer → Iceberg metrics dict (bounds spec-encoded
-    as bytes keyed by field id)."""
+    as bytes keyed by field id), post-processed per the column metrics
+    modes (write.metadata.metrics.*)."""
     meta = pq.ParquetFile(path).metadata
     column_sizes: dict[int, int] = {}
     value_counts: dict[int, int] = {}
@@ -156,7 +280,7 @@ def file_metrics(path: str, fields: dict[str, tuple[int, it.IcebergType]]) -> di
             upper_bounds[fid] = to_bytes(v, by_id[fid])
         except Exception:
             pass
-    return {
+    out = {
         "record_count": meta.num_rows,
         "file_size_in_bytes": os.path.getsize(path),
         "column_sizes": column_sizes,
@@ -166,6 +290,8 @@ def file_metrics(path: str, fields: dict[str, tuple[int, it.IcebergType]]) -> di
         "lower_bounds": lower_bounds,
         "upper_bounds": upper_bounds,
     }
+    apply_metrics_modes(out, modes, by_id)
+    return out
 
 
 def _raw_stat_value(raw: Any, t: it.IcebergType) -> Any:
@@ -190,8 +316,8 @@ def _lt(a: Any, b: Any) -> bool:
         return False
 
 
-def _metrics_json(path: str, fields) -> str:
-    m = file_metrics(path, fields)
+def _metrics_json(path: str, fields, modes=None) -> str:
+    m = file_metrics(path, fields, modes)
     enc = dict(m)
     enc["lower_bounds"] = {k: v.hex() for k, v in m["lower_bounds"].items()}
     enc["upper_bounds"] = {k: v.hex() for k, v in m["upper_bounds"].items()}
@@ -207,18 +333,20 @@ def _decode_metrics_json(s: str) -> dict:
     return m
 
 
-def collect_metrics(spark, paths: list[str], schema: it.Schema) -> dict[str, dict]:
+def collect_metrics(spark, paths: list[str], schema: it.Schema,
+                    modes=None) -> dict[str, dict]:
     """Metrics for every path. Driver-side for small appends; shipped to
     executors (Arrow-batched ``mapInPandas``) past DISTRIBUTED_THRESHOLD
     so scan-plan metadata work never bottlenecks on the driver."""
     fields = _field_map(schema)
     if spark is None or len(paths) <= DISTRIBUTED_THRESHOLD:
         if len(paths) <= 8:
-            return {p: file_metrics(p, fields) for p in paths}
+            return {p: file_metrics(p, fields, modes) for p in paths}
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(_DRIVER_THREADS) as ex:
-            return dict(zip(paths, ex.map(lambda p: file_metrics(p, fields), paths)))
+            return dict(zip(paths, ex.map(
+                lambda p: file_metrics(p, fields, modes), paths)))
 
     import pandas as pd
 
@@ -226,7 +354,8 @@ def collect_metrics(spark, paths: list[str], schema: it.Schema) -> dict[str, dic
         for b in batches:
             yield pd.DataFrame({
                 "path": b["path"],
-                "metrics_json": [_metrics_json(p, fields) for p in b["path"]],
+                "metrics_json": [_metrics_json(p, fields, modes)
+                                 for p in b["path"]],
             })
 
     pdf = spark.createDataFrame([(p,) for p in paths], "path string")
@@ -315,7 +444,8 @@ _BOUNDABLE = (it.BooleanType, it.IntegerType, it.LongType, it.FloatType,
               it.TimestampTzNsType)
 
 
-def collect_metrics_spark(spark, paths: list[str], schema: it.Schema) -> dict[str, dict]:
+def collect_metrics_spark(spark, paths: list[str], schema: it.Schema,
+                          modes=None) -> dict[str, dict]:
     """Variant-safe metrics harvest: ONE JVM aggregation job over the
     just-written files, grouped by ``_metadata.file_path``. Used when
     the schema contains a v3 variant column (pyarrow cannot even open
@@ -443,4 +573,8 @@ def collect_metrics_spark(spark, paths: list[str], schema: it.Schema) -> dict[st
                 xmin, ymin, xmax, ymax = json.loads(b)
                 m["lower_bounds"][fid] = wkb.point_wkb(xmin, ymin)
                 m["upper_bounds"][fid] = wkb.point_wkb(xmax, ymax)
+    if modes:
+        by_id2 = {f.field_id: f.field_type for f in schema.fields}
+        for m in out.values():
+            apply_metrics_modes(m, modes, by_id2)
     return out

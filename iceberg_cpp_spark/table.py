@@ -2755,15 +2755,20 @@ class IceTable:
                 if fn.endswith(ext):
                     paths.append(os.path.join(root, fn))
         paths.sort()
+        from iceberg_cpp_spark.core.metrics import metrics_modes
+
+        modes = metrics_modes(schema, self.properties())
         if fmt == "orc":
             metrics = collect_orc_metrics(self.spark, paths)
         elif schema_has_variant(schema):
             # pyarrow cannot open footers of variant-bearing files
             # (unrecognized Thrift LogicalType) — harvest exact stats
             # with one JVM aggregation over the new files instead
-            metrics = collect_metrics_spark(self.spark, paths, schema)
+            metrics = collect_metrics_spark(self.spark, paths, schema,
+                                            modes=modes)
         else:
-            metrics = collect_metrics(self.spark, paths, schema)
+            metrics = collect_metrics(self.spark, paths, schema,
+                                      modes=modes)
         out: list[mf.DataFile] = []
         for p in paths:
             m = metrics[p]

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from iceberg_cpp_spark import IceTable
 from iceberg_cpp_spark.core.metadata import PartitionField, PartitionSpec
+from iceberg_cpp_spark.core import types as it
 from iceberg_cpp_spark.core.types import schema_from_spark
 from iceberg_cpp_spark.functions import transforms as tr
 from iceberg_cpp_spark.plans import expressions as ex
@@ -1178,3 +1179,115 @@ class TestCdcApplyValidation:
         t.apply_changes(ch, on=["id"], seq_col="_seq")
         got = {r["id"]: r["v"] for r in t.to_df().collect()}
         assert got[1] == -1  # seq=2 'U' wins over seq=1 'D'
+
+
+class TestMetricsModes:
+    """write.metadata.metrics.* (the reference declares the property +
+    truncate(16) default, table_properties.h:234-235, with no write
+    path behind it — this engine implements it): bounds stay VALID
+    inclusive bounds after truncation, so pruning is never wrong."""
+
+    def test_parse_and_default(self):
+        from iceberg_cpp_spark.core.metrics import (metrics_modes,
+                                                    parse_metrics_mode)
+
+        assert parse_metrics_mode("none") == ("none",)
+        assert parse_metrics_mode("counts") == ("counts",)
+        assert parse_metrics_mode("full") == ("full",)
+        assert parse_metrics_mode("truncate(8)") == ("truncate", 8)
+        with pytest.raises(ValueError):
+            parse_metrics_mode("truncate(0)")
+        with pytest.raises(ValueError):
+            parse_metrics_mode("bogus")
+        sch = it.Schema([it.NestedField(1, "s", it.StringType(), True)])
+        assert metrics_modes(sch, {}) == {1: ("truncate", 16)}
+        assert metrics_modes(sch, {
+            "write.metadata.metrics.column.s": "full"}) == {1: ("full",)}
+        with pytest.raises(ValueError, match="unknown column"):
+            metrics_modes(sch, {"write.metadata.metrics.column.zzz": "full"})
+
+    def test_truncate_upper_invariants(self):
+        from iceberg_cpp_spark.core.metrics import (truncate_upper_bytes,
+                                                    truncate_upper_str)
+
+        assert truncate_upper_str("abcdefgh", 3) == "abd"
+        assert truncate_upper_str("ab", 3) == "ab"
+        # last code point maximal -> increment an earlier one
+        assert truncate_upper_str("a" + chr(0x10FFFF) * 2, 2) == "b"
+        # ALL maximal -> no upper exists
+        assert truncate_upper_str(chr(0x10FFFF) * 4, 2) is None
+        # surrogate block skipped
+        assert truncate_upper_str(chr(0xD7FF) * 3, 1) == chr(0xE000)
+        assert truncate_upper_bytes(b"ab\xff\xff", 3) == b"ac"
+        assert truncate_upper_bytes(b"\xff\xff\xff", 2) is None
+
+    def test_truncation_invariants_random(self):
+        import random
+
+        from iceberg_cpp_spark.core.metrics import (truncate_lower_str,
+                                                    truncate_upper_str)
+
+        rng = random.Random(42)
+        alphabet = "abzZ09éπ🦀" + chr(0x10FFFF)
+        for _ in range(500):
+            s = "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(1, 30)))
+            n = rng.randint(1, 8)
+            assert truncate_lower_str(s, n) <= s
+            up = truncate_upper_str(s, n)
+            if up is not None:
+                assert up >= s and len(up) <= n
+
+    def test_table_bounds_truncated_and_pruning_correct(self, spark, tmp_loc):
+        import iceberg_cpp_spark.core.manifests as mf
+        from iceberg_cpp_spark.core.literals import from_bytes
+
+        sch = it.Schema([
+            it.NestedField(1, "id", it.LongType(), True),
+            it.NestedField(2, "s", it.StringType(), False),
+        ])
+        t = IceTable.create(spark, f"{tmp_loc}/t", sch)
+        rows = [(i, f"prefix-{chr(97 + i)}-{'x' * 40}") for i in range(4)]
+        t = t.append(spark.createDataFrame(rows, "id long, s string")
+                     .coalesce(1))
+        snap = t.current_snapshot()
+        e = [e for m in mf.read_manifest_list(snap.manifest_list)
+             for e in mf.read_manifest(m.manifest_path, t.spec(),
+                                       t.schema(), manifest=m)][0]
+        lo = from_bytes(e.data_file.lower_bounds[2], it.StringType())
+        hi = from_bytes(e.data_file.upper_bounds[2], it.StringType())
+        assert len(lo) <= 16 and len(hi) <= 16     # truncate(16) default
+        assert lo <= min(r[1] for r in rows)
+        assert hi >= max(r[1] for r in rows)
+        # pruning with truncated bounds: miss prunes, hit survives
+        assert t.scan(filter=ex.eq(ex.Reference("s"), "zzz")) \
+                .plan_files() == []
+        assert t.scan(filter=ex.eq(ex.Reference("s"), rows[2][1])) \
+                .to_df().count() == 1
+        assert t.scan(filter=ex.starts_with(ex.Reference("s"), "prefix-c")) \
+                .to_df().count() == 1
+
+    def test_counts_and_none_modes(self, spark, tmp_loc):
+        import iceberg_cpp_spark.core.manifests as mf
+
+        sch = it.Schema([
+            it.NestedField(1, "id", it.LongType(), True),
+            it.NestedField(2, "s", it.StringType(), False),
+        ])
+        t = IceTable.create(
+            spark, f"{tmp_loc}/t", sch,
+            properties={"write.metadata.metrics.column.s": "counts",
+                        "write.metadata.metrics.column.id": "none"})
+        t = t.append(spark.createDataFrame([(1, "a"), (2, None)],
+                                           "id long, s string").coalesce(1))
+        snap = t.current_snapshot()
+        e = [e for m in mf.read_manifest_list(snap.manifest_list)
+             for e in mf.read_manifest(m.manifest_path, t.spec(),
+                                       t.schema(), manifest=m)][0]
+        f = e.data_file
+        assert 2 not in f.lower_bounds and 2 not in f.upper_bounds
+        assert f.null_value_counts.get(2) == 1     # counts kept for s
+        assert 1 not in f.lower_bounds and 1 not in f.value_counts  # none
+        # un-bounded columns never mis-prune: both scans stay correct
+        assert t.scan(filter=ex.eq(ex.Reference("id"), 1)).to_df().count() == 1
+        assert t.scan(filter=ex.is_null(ex.Reference("s"))).to_df().count() == 1
