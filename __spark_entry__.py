@@ -1123,6 +1123,27 @@ def ice_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with write.merge.mode=merge-on-read (the reference
+    declares the property with no write path): matched rows become
+    position deletes + new-version data files — target files are never
+    rewritten, so merge cost tracks matched rows, not matched-file
+    bytes. Same oracle as the CoW merge: results must be
+    mode-invariant."""
+    li = _t(spark, sf_dir, "lineitem")
+    t = _fresh_table(spark, sf_dir, li, "mormrg")
+    t.append(li)
+    upd = li.filter("l_orderkey <= 100").withColumn("l_returnflag", F.lit("Z"))
+    ins = upd.withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000)
+    t.merge_into(upd.unionByName(ins), on=["l_orderkey", "l_linenumber"],
+                 mode="merge-on-read")
+    return (
+        t.to_df().groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+    )
+
+
 def ice_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v3 VARIANT column end-to-end (the reference pins its
     type enum at v2 — type_fwd.h:34 'Iceberg V3 types are not currently
@@ -2880,6 +2901,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_view_spec": ice_view_spec,
         # r10: SCD Type 2 dimension maintenance (close-and-insert)
         "ice_scd2_dimension": ice_scd2_dimension,
+        # r10: merge-on-read MERGE (write.merge.mode) — same oracle as
+        # the CoW merge: results must be mode-invariant
+        "ice_mor_merge": ice_mor_merge,
     }
 
 
@@ -3561,6 +3585,35 @@ def oracle_sql() -> dict[str, str]:
         "ice_sorted_write": """
             SELECT l_returnflag, COUNT(*) AS n FROM lineitem
             WHERE l_orderkey < 100 GROUP BY l_returnflag
+        """,
+        "ice_mor_merge": """
+            WITH upd AS (
+              SELECT * REPLACE ('Z' AS l_returnflag)
+              FROM lineitem WHERE l_orderkey <= 100),
+            ins AS (
+              SELECT * REPLACE (l_orderkey + 10000000 AS l_orderkey,
+                                'Z' AS l_returnflag)
+              FROM lineitem WHERE l_orderkey <= 100),
+            src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+            kept AS (
+              SELECT t.* FROM lineitem t
+              ANTI JOIN src s
+                ON s.l_orderkey = t.l_orderkey
+               AND s.l_linenumber = t.l_linenumber),
+            updated AS (
+              SELECT s.* FROM lineitem t
+              JOIN src s ON s.l_orderkey = t.l_orderkey
+                        AND s.l_linenumber = t.l_linenumber),
+            inserted AS (
+              SELECT s.* FROM src s
+              ANTI JOIN lineitem t
+                ON s.l_orderkey = t.l_orderkey
+               AND s.l_linenumber = t.l_linenumber),
+            merged AS (SELECT * FROM kept UNION ALL SELECT * FROM updated
+                       UNION ALL SELECT * FROM inserted)
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM merged GROUP BY l_returnflag
         """,
         "ice_merge_into": """
             WITH upd AS (

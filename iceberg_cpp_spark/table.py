@@ -83,11 +83,25 @@ class LocationProvider:
     Override to customize layout (e.g. object-store key salting, where a
     hash prefix spreads load across S3 partitions)."""
 
-    def __init__(self, table_location: str):
+    def __init__(self, table_location: str, properties: Optional[dict] = None):
         self.table_location = table_location
+        self.properties = properties or {}
+        # write.object-storage.enabled (table_properties parity): object
+        # stores throttle per key prefix, so data paths gain a short
+        # hash component to spread load across S3/GCS partitions; with
+        # write.object-storage.partitioned-paths=false the layout is
+        # pure-hash (no partition dirs in keys). write.data.path
+        # relocates the data root entirely (e.g. a different bucket).
+        self._object_storage = (self.properties.get(
+            "write.object-storage.enabled", "false") == "true")
+        self._data_root = self.properties.get(
+            "write.data.path") or os.path.join(table_location, "data")
 
     def new_data_dir(self) -> str:
-        return os.path.join(self.table_location, "data", uuid_mod.uuid4().hex)
+        h = uuid_mod.uuid4().hex
+        if self._object_storage:
+            return os.path.join(self._data_root, h[:4], h)
+        return os.path.join(self._data_root, h)
 
     def new_delete_dir(self) -> str:
         return os.path.join(self.table_location, "deletes", uuid_mod.uuid4().hex)
@@ -1247,7 +1261,8 @@ class IceTable:
         return self.metadata.current_snapshot()
 
     def location_provider(self) -> LocationProvider:
-        return LocationProvider(self.metadata.location)
+        return LocationProvider(self.metadata.location,
+                                properties=self.properties())
 
     def _manifest_version(self) -> int:
         """Manifest/manifest-list layout version for spec-Avro output,
@@ -1450,7 +1465,7 @@ class IceTable:
                                   branch=branch, carry_existing=False)
 
     def delete_where(self, expr: ex.Expression, branch: str = MAIN_BRANCH,
-                     mode: str = "copy-on-write") -> "IceTable":
+                     mode: Optional[str] = None) -> "IceTable":
         """Row-level delete (the reference errors on any delete —
         table_scan.cc:288-291; this goes beyond it).
 
@@ -1463,10 +1478,14 @@ class IceTable:
         write merges them), so scan-side work stays one bitmap probe
         per row however many deletes have accumulated.
         """
+        mode = mode or self.properties().get("write.delete.mode",
+                                              "copy-on-write")
         if mode == "merge-on-read":
             return self._position_delete(expr, branch)
         if mode == "deletion-vector":
             return self._vector_delete(expr, branch)
+        if mode != "copy-on-write":
+            raise ValueError(f"unknown delete mode: {mode!r}")
         schema = self.schema()
         affected = {t.file_path
                     for t in self._branch_scan(branch, filter=expr).plan_files()}
@@ -1486,7 +1505,8 @@ class IceTable:
             read_snapshot_id=self._branch_head_id(branch))
 
     def update_where(self, expr: ex.Expression, assignments: dict,
-                     branch: str = MAIN_BRANCH) -> "IceTable":
+                     branch: str = MAIN_BRANCH,
+                     mode: Optional[str] = None) -> "IceTable":
         """Row-level UPDATE — ``UPDATE t SET col = expr WHERE pred``
         (completes the DML triad with delete_where and merge_into;
         beyond the reference, which has no write path). Copy-on-write:
@@ -1501,6 +1521,12 @@ class IceTable:
                 raise ValueError(
                     f"unknown column: {name}" if schema.find_field(name) is None
                     else f"only top-level columns can be assigned: {name}")
+        mode = mode or self.properties().get("write.update.mode",
+                                              "copy-on-write")
+        if mode == "merge-on-read":
+            return self._mor_update(expr, assignments, branch)
+        if mode != "copy-on-write":
+            raise ValueError(f"unknown update mode: {mode!r}")
         affected = {t.file_path
                     for t in self._branch_scan(branch, filter=expr).plan_files()}
         if not affected:
@@ -1572,6 +1598,121 @@ class IceTable:
             df = scan._apply_deletes(df, tasks, deletes, schema)
             df = df.drop("_file", "_pos")
         return df
+
+    def _mor_merge(self, src, keys, on, cols, when_matched,
+                   when_not_matched, branch, summary_extras,
+                   pre_check) -> "IceTable":
+        """Merge-on-read MERGE (``write.merge.mode=merge-on-read``):
+        matched target rows become position deletes; their replacement
+        versions (source rows, one per matched target row — duplicate
+        target keys each produce a version, matching the CoW
+        semantics) and the not-matched inserts land as new data files.
+        No target file is rewritten — merge cost tracks matched rows,
+        not matched-file bytes. One snapshot; rebase validation keeps
+        the referenced files live."""
+        tgt = (self._branch_scan(branch).with_metadata_columns().to_df()
+               .select("_file", "_pos", *on))
+        matched = (tgt.join(keys, on, "left_semi")
+                   .localCheckpoint(eager=True)
+                   if when_matched is not None else None)
+        inserts = (src.join(tgt.select(*on), on, "left_anti")
+                   if when_not_matched == "insert" else None)
+
+        new_files: list = []
+        del_files: list = []
+        require_live: set = set()
+        if matched is not None and not matched.isEmpty():
+            pos = matched.select(
+                F.regexp_replace(F.col("_file"), "^file:(//)?", "")
+                .alias("file_path"), F.col("_pos").alias("pos"))
+            del_dir = self.location_provider().new_delete_dir()
+            pos.repartition(1).sortWithinPartitions("file_path", "pos") \
+                .write.mode("overwrite").parquet(del_dir)
+            del_files = self._delete_dir_files(
+                del_dir, mf.CONTENT_POSITION_DELETES, [])
+            require_live = {self._plain_path(r["file_path"]) for r in
+                            pos.select("file_path").distinct().collect()}
+            if when_matched == "update":
+                versions = matched.select(*on).join(src, on, "inner") \
+                                  .select(*cols)
+                new_files += self._write_data_files(versions)
+        if inserts is not None:
+            new_files += self._write_data_files(inserts)
+        if not new_files and not del_files:
+            return self
+        return self._commit_files(
+            new_files + del_files, operation=DataOperation.OVERWRITE,
+            branch=branch, summary_extras=summary_extras,
+            pre_check=pre_check, require_live=require_live or None,
+            read_snapshot_id=self._branch_head_id(branch))
+
+    def _mor_update(self, expr: ex.Expression, assignments: dict,
+                    branch: str) -> "IceTable":
+        """Merge-on-read UPDATE (``write.update.mode=merge-on-read``):
+        matched rows become position deletes on their ORIGINAL files
+        plus fresh data files carrying the updated versions — no file
+        rewrite, so update cost tracks the MATCHED row count, not the
+        matched-file bytes (the streaming/CDC-friendly shape; scans pay
+        the usual pos-delete anti-join until a DV fold). One snapshot
+        carries both sides. Isolation is snapshot-level: a rebase
+        validates the referenced files are still live (a concurrently
+        compacted file would orphan our deletes while the new versions
+        duplicate its rows)."""
+        schema = self.schema()
+        fscan = self._branch_scan(branch, filter=expr)
+        affected = [t.file_path for t in fscan.plan_files()]
+        if not affected:
+            return self
+        pred = to_spark_column(expr, schema)
+        # deterministic matched set: feeds BOTH the delete rows and the
+        # new versions (the merge_into materialization rule)
+        matched = (self._read_paths_rows(affected, fscan, with_meta=True)
+                   .filter(pred).localCheckpoint(eager=True))
+        pos = matched.select(
+            F.regexp_replace(F.col("_file"), "^file:(//)?", "")
+            .alias("file_path"),
+            F.col("_pos").alias("pos"))
+        del_dir = self.location_provider().new_delete_dir()
+        pos.repartition(1).sortWithinPartitions("file_path", "pos") \
+            .write.mode("overwrite").parquet(del_dir)
+        del_files = self._delete_dir_files(del_dir,
+                                           mf.CONTENT_POSITION_DELETES, [])
+        updated = matched.select(*[
+            (F.when(F.lit(True), assignments[c.name]
+                    if isinstance(assignments[c.name], Column)
+                    else F.lit(assignments[c.name]))
+             .cast(it.to_spark_type(c.field_type)).alias(c.name))
+            if c.name in assignments else F.col(c.name)
+            for c in schema.fields
+        ])
+        new_files = self._write_data_files(updated)
+        if not del_files and not new_files:
+            return self
+        return self._commit_files(
+            new_files + del_files, operation=DataOperation.OVERWRITE,
+            branch=branch, require_live=set(affected),
+            read_snapshot_id=self._branch_head_id(branch))
+
+    def _delete_dir_files(self, del_dir: str, content: int,
+                          equality_ids: list) -> list:
+        """DataFile entries for the parquet files of a just-written
+        delete directory (shared by the MoR DML paths)."""
+        import pyarrow.parquet as _pq
+
+        paths = sorted(
+            os.path.join(r, fn) for r, _d, fs in os.walk(del_dir)
+            for fn in fs if fn.endswith(".parquet"))
+        files = []
+        for p in paths:
+            meta = _pq.ParquetFile(p).metadata
+            if meta.num_rows == 0:
+                continue
+            files.append(mf.DataFile(
+                content=content, file_path=p, file_format="parquet",
+                partition={}, record_count=meta.num_rows,
+                file_size_in_bytes=os.path.getsize(p),
+                equality_ids=list(equality_ids)))
+        return files
 
     def _position_delete(self, expr: ex.Expression, branch: str) -> "IceTable":
         """Write (file_path, pos) tuples of matching rows as a
@@ -1946,7 +2087,8 @@ class IceTable:
                    when_not_matched: Optional[str] = "insert",
                    branch: str = MAIN_BRANCH,
                    summary_extras: Optional[dict] = None,
-                   pre_check=None) -> "IceTable":
+                   pre_check=None,
+                   mode: Optional[str] = None) -> "IceTable":
         """MERGE INTO (upsert) — ``MERGE INTO t USING s ON t.k = s.k
         WHEN MATCHED THEN UPDATE SET * | DELETE
         WHEN NOT MATCHED THEN INSERT *``. Beyond the reference (which
@@ -1981,6 +2123,14 @@ class IceTable:
         # source's upstream lineage per consuming job.
         src = source.select(*cols).localCheckpoint(eager=True)
         keys = src.select(*on).distinct()
+        mode = mode or self.properties().get("write.merge.mode",
+                                             "copy-on-write")
+        if mode == "merge-on-read":
+            return self._mor_merge(src, keys, on, cols, when_matched,
+                                   when_not_matched, branch,
+                                   summary_extras, pre_check)
+        if mode != "copy-on-write":
+            raise ValueError(f"unknown merge mode: {mode!r}")
 
         # ONE projection of the target feeds BOTH the affected-file
         # discovery and the insert anti-join (VERDICT r06 item 8: two
@@ -2713,6 +2863,26 @@ class IceTable:
         max_records = self.properties().get("write.target-max-records-per-file")
         if max_records:
             writer = writer.option("maxRecordsPerFile", int(max_records))
+        # write.parquet.* knobs (table_properties parity — the reference
+        # declares them with no writer behind them): codec/level map to
+        # Spark's parquet writer options, row-group size to the parquet
+        # block size. zstd is the spec default; "none" → uncompressed.
+        props = self.properties()
+        codec = props.get("write.parquet.compression-codec")
+        if codec:
+            writer = writer.option(
+                "compression",
+                "uncompressed" if codec.lower() == "none" else codec.lower())
+        level = props.get("write.parquet.compression-level")
+        if level:
+            writer = writer.option("parquet.compression.codec.zstd.level",
+                                   int(level))
+        rg = props.get("write.parquet.row-group-size-bytes")
+        if rg:
+            writer = writer.option("parquet.block.size", int(rg))
+        pagesz = props.get("write.parquet.page-size-bytes")
+        if pagesz:
+            writer = writer.option("parquet.page.size", int(pagesz))
         # write.format.default (table_properties parity; the reference
         # enumerates {parquet, orc, avro} in file_format.h — all three
         # are writable here). ORC rides Spark's native JVM writer; ORC
@@ -2860,7 +3030,8 @@ class IceTable:
                       drop_dv_for: Optional[set] = None,
                       summary_extras: Optional[dict] = None,
                       pre_check=None,
-                      read_snapshot_id: Optional[int] = None) -> "IceTable":
+                      read_snapshot_id: Optional[int] = None,
+                      require_live: Optional[set] = None) -> "IceTable":
         """Optimistic-concurrency commit with retry (reference
         commit.retry.*, table_properties.h:80-85): on CAS conflict the
         metadata is refreshed and the snapshot REBUILT against the new
@@ -2886,7 +3057,8 @@ class IceTable:
                 return self._commit_files_once(
                     new_files, operation, branch, carry_existing, drop_paths,
                     drop_dv_for, summary_extras,
-                    read_snapshot_id=read_snapshot_id)
+                    read_snapshot_id=read_snapshot_id,
+                    require_live=require_live)
             except (CommitFailedError, FileExistsError) as e:
                 last = e
                 if attempt == retries:
@@ -2898,7 +3070,8 @@ class IceTable:
     def _validate_rebase(self, parent, read_snapshot_id: int,
                          drop_paths: Optional[set],
                          drop_dv_for: Optional[set], carry_existing: bool,
-                         operation: str) -> None:
+                         operation: str,
+                         require_live: Optional[set] = None) -> None:
         """Snapshot-isolation conflict checks for a commit retrying
         against a base that moved past the snapshot it planned on
         (Iceberg's validateDataFilesExist / validateNoNewDeleteFiles).
@@ -2927,10 +3100,14 @@ class IceTable:
                 f"concurrent commit moved the head past snapshot "
                 f"{read_snapshot_id} — rebasing would erase it; re-run "
                 "against the current table")
-        if not drop_paths and not drop_dv_for:
+        if not drop_paths and not drop_dv_for and not require_live:
             return  # pure appends/new-delete commits rebase safely
         drop_paths = drop_paths or set()
         drop_dv_for = drop_dv_for or set()
+        # require_live: files this commit's NEW delete entries reference
+        # (MoR DML) — they must still exist, but concurrent deletes on
+        # them coexist fine (both apply), so they skip the delete check
+        require_live = require_live or set()
         read_snap = meta.snapshot_by_id(read_snapshot_id)
         # expired read snapshot: its sequence number is unknowable, so
         # treat every existing delete as "new" (conservative)
@@ -2962,7 +3139,7 @@ class IceTable:
                 # their targets being invisible at manifest level
                 if ref is None or ref in drop_paths or ref in drop_dv_for:
                     new_delete_conflicts.append(f.file_path)
-        missing = set(drop_paths) - live
+        missing = (set(drop_paths) | require_live) - live
         if missing:
             raise ValidationError(
                 f"{operation} rewrites {len(missing)} file(s) that a "
@@ -2977,12 +3154,74 @@ class IceTable:
                 f"{sorted(new_delete_conflicts)[0]!r}) — rebasing would "
                 "lose those deletes; re-run against the current table")
 
+    def _maybe_merge_manifests(self, carried: list, meta, schema,
+                               snapshot_id: int, meta_dir: str,
+                               mfmt: str, mver: int) -> list:
+        """Automatic small-manifest merging at commit time (reference
+        commit.manifest-merge.enabled / commit.manifest.min-count-to-
+        merge / commit.manifest.target-size-bytes — declared at
+        table_properties.h with no write path behind them; this
+        implements the commit-side merge so planning cost tracks DATA
+        size, not commit count, without waiting for a manual
+        rewrite_manifests). Per (content, spec) group: when at least
+        min-count manifests are each under target-size, their live
+        entries consolidate into target-sized manifests (EXISTING
+        status, sequence numbers preserved — the rewrite_manifests
+        entry contract). Only CARRIED manifests merge; this commit's
+        new manifest keeps its ADDED entries intact for changelog /
+        incremental readers."""
+        props = meta.properties
+        if props.get("commit.manifest-merge.enabled", "true") != "true":
+            return carried
+        min_count = int(props.get("commit.manifest.min-count-to-merge",
+                                  "100"))
+        target = int(props.get("commit.manifest.target-size-bytes",
+                               str(8 * 1024 * 1024)))
+        by_group: dict[tuple, list] = {}
+        for m in carried:
+            by_group.setdefault((m.content, m.partition_spec_id),
+                                []).append(m)
+        out: list = []
+        for (content, spec_id), group in sorted(by_group.items()):
+            small = [m for m in group if (m.manifest_length or 0) < target]
+            if len(small) < min_count:
+                out.extend(group)
+                continue
+            out.extend(m for m in group if m not in small)
+            spec = meta.spec_by_id(spec_id) or self.spec()
+            writer = None
+            acc = 0
+            for m in small:
+                for e in mf.read_manifest(m.manifest_path, spec, schema,
+                                          manifest=m):
+                    if not e.is_live:
+                        continue
+                    if writer is None:
+                        writer = mf.ManifestWriter(
+                            self.location_provider().new_manifest_path(
+                                meta_dir, ext=mfmt),
+                            spec, schema, snapshot_id, content=content,
+                            format=mfmt, version=mver)
+                    writer.add(mf.ManifestEntry(
+                        status=mf.STATUS_EXISTING, data_file=e.data_file,
+                        snapshot_id=e.snapshot_id,
+                        sequence_number=e.sequence_number,
+                        file_sequence_number=e.file_sequence_number))
+                acc += m.manifest_length or 0
+                if acc >= target and writer is not None:
+                    out.append(writer.close())
+                    writer, acc = None, 0
+            if writer is not None:
+                out.append(writer.close())
+        return out
+
     def _commit_files_once(self, new_files: list[mf.DataFile], operation: str,
                            branch: str = MAIN_BRANCH, carry_existing: bool = True,
                            drop_paths: Optional[set] = None,
                            drop_dv_for: Optional[set] = None,
                            summary_extras: Optional[dict] = None,
-                           read_snapshot_id: Optional[int] = None) -> "IceTable":
+                           read_snapshot_id: Optional[int] = None,
+                           require_live: Optional[set] = None) -> "IceTable":
         meta = self.metadata
         schema = self.schema()
         spec = self.spec()
@@ -3034,7 +3273,8 @@ class IceTable:
             # rebase is SAFE before rebuilding manifests (snapshot-
             # isolation conflict detection; Iceberg ValidationException)
             self._validate_rebase(parent, read_snapshot_id, drop_paths,
-                                  drop_dv_for, carry_existing, operation)
+                                  drop_dv_for, carry_existing, operation,
+                                  require_live=require_live)
         if carry_existing and parent is not None:
             def _dropped(e: mf.ManifestEntry) -> bool:
                 if drop_paths and e.data_file.file_path in drop_paths:
@@ -3068,6 +3308,9 @@ class IceTable:
                         carried.append(w.close())
                 else:
                     carried.append(m)
+
+        carried = self._maybe_merge_manifests(
+            carried, meta, schema, snapshot_id, meta_dir, mfmt, mver)
 
         manifest_list = self.location_provider().new_manifest_list_path(
             meta_dir, snapshot_id, ext=mfmt)
@@ -3136,13 +3379,30 @@ class IceTable:
         if new_next != next_row_id:
             b.set_properties({"engine.next-row-id": str(new_next)})
         new_meta, _updates, reqs = b.build()
-        new_meta = dc_replace(
-            new_meta,
-            metadata_log=meta.metadata_log + [
-                {"timestamp-ms": meta.last_updated_ms, "metadata-file": self.metadata_location}
-            ],
-        )
-        return self._commit(new_meta, branch, parent, requirements=reqs)
+        # metadata-log retention (table_properties parity —
+        # write.metadata.previous-versions-max, spec default 100): the
+        # log is bounded so a long-lived table's metadata JSON doesn't
+        # grow one entry per commit forever; with
+        # write.metadata.delete-after-commit.enabled the files of
+        # trimmed entries are deleted after a successful commit.
+        keep = int(meta.properties.get(
+            "write.metadata.previous-versions-max", "100"))
+        log = meta.metadata_log + [
+            {"timestamp-ms": meta.last_updated_ms,
+             "metadata-file": self.metadata_location}]
+        trimmed = log[:-keep] if keep > 0 and len(log) > keep else []
+        new_meta = dc_replace(new_meta, metadata_log=log[-keep:]
+                              if keep > 0 else [])
+        out = self._commit(new_meta, branch, parent, requirements=reqs)
+        if (trimmed and meta.properties.get(
+                "write.metadata.delete-after-commit.enabled",
+                "false") == "true"):
+            for e in trimmed:
+                try:
+                    os.remove(e["metadata-file"])
+                except OSError:
+                    pass  # already gone / non-local: harmless
+        return out
 
     def _commit(self, new_meta: TableMetadata, branch: str, parent: Optional[Snapshot],
                 requirements: Optional[list] = None) -> "IceTable":

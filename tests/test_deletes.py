@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from iceberg_cpp_spark import IceTable
 from iceberg_cpp_spark.core import manifests as mf
 from iceberg_cpp_spark.core.types import schema_from_spark
+from iceberg_cpp_spark.core import types as it
 from iceberg_cpp_spark.plans import expressions as ex
 
 
@@ -324,3 +325,108 @@ class TestEqDeleteScaling:
         snap = li_table.current_snapshot().snapshot_id
         t2 = li_table.rewrite_equality_deletes()
         assert t2.current_snapshot().snapshot_id == snap
+
+
+class TestMorDml:
+    """Merge-on-read UPDATE / MERGE (write.update.mode /
+    write.merge.mode = merge-on-read — the reference declares the
+    properties with no write path): matched rows become position
+    deletes + new-version data files; target files are never
+    rewritten."""
+
+    def _table(self, spark, loc, props=None, n=8):
+        sch = it.Schema([
+            it.NestedField(1, "k", it.LongType(), True),
+            it.NestedField(2, "v", it.LongType(), False),
+        ])
+        t = IceTable.create(spark, loc, sch, properties=props or {})
+        return t.append(spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+            .coalesce(1))
+
+    def test_mor_update_values_and_file_survival(self, spark, tmp_loc):
+        t = self._table(spark, f"{tmp_loc}/t",
+                        {"write.update.mode": "merge-on-read"})
+        before = {f.file_path for f in t.scan().plan_files()}
+        t = t.update_where(ex.lt(ex.Reference("k"), 3), {"v": 777})
+        got = {r["k"]: r["v"] for r in t.to_df().collect()}
+        assert got == {0: 777, 1: 777, 2: 777, 3: 30, 4: 40,
+                       5: 50, 6: 60, 7: 70}
+        after = {f.file_path for f in t.scan().plan_files()}
+        assert before <= after  # nothing rewritten
+        # time travel: pre-update snapshot unchanged
+        snaps = t.snapshots()
+        old = t.scan(snapshot_id=snaps[-2].snapshot_id).to_df()
+        assert {r["k"]: r["v"] for r in old.collect()}[0] == 0
+
+    def test_mor_update_folds_to_dvs(self, spark, tmp_loc):
+        t = self._table(spark, f"{tmp_loc}/t",
+                        {"format-version": "3"})
+        t = t.update_where(ex.eq(ex.Reference("k"), 1), {"v": 111},
+                           mode="merge-on-read")
+        t = t.rewrite_position_deletes()
+        got = {r["k"]: r["v"] for r in t.to_df().collect()}
+        assert got[1] == 111 and len(got) == 8
+
+    def test_mor_merge_upsert(self, spark, tmp_loc):
+        t = self._table(spark, f"{tmp_loc}/t",
+                        {"write.merge.mode": "merge-on-read"})
+        before = {f.file_path for f in t.scan().plan_files()}
+        src = spark.createDataFrame([(1, 111), (9, 999)], "k long, v long")
+        t = t.merge_into(src, on=["k"])
+        got = {r["k"]: r["v"] for r in t.to_df().collect()}
+        assert got[1] == 111 and got[9] == 999 and got[0] == 0
+        assert len(got) == 9
+        assert before <= {f.file_path for f in t.scan().plan_files()}
+
+    def test_mor_merge_duplicate_target_keys_each_version(self, spark, tmp_loc):
+        t = self._table(spark, f"{tmp_loc}/t", n=4)
+        # duplicate key 2 in the TARGET (two rows with k=2)
+        t = t.append(spark.createDataFrame([(2, 20)], "k long, v long")
+                     .coalesce(1))
+        src = spark.createDataFrame([(2, 222)], "k long, v long")
+        t = t.merge_into(src, on=["k"], mode="merge-on-read")
+        hits = t.to_df().filter("k = 2").collect()
+        assert len(hits) == 2 and all(r["v"] == 222 for r in hits)
+
+    def test_mor_merge_delete_mode_and_insert_only(self, spark, tmp_loc):
+        t = self._table(spark, f"{tmp_loc}/t")
+        t = t.merge_into(
+            spark.createDataFrame([(0, 0)], "k long, v long"),
+            on=["k"], when_matched="delete", when_not_matched=None,
+            mode="merge-on-read")
+        assert sorted(r["k"] for r in t.to_df().collect()) == list(range(1, 8))
+        # no matches, insert only
+        t = t.merge_into(
+            spark.createDataFrame([(50, 500)], "k long, v long"),
+            on=["k"], mode="merge-on-read")
+        assert t.to_df().filter("k = 50").count() == 1
+
+    def test_mor_update_race_vs_compaction_aborts(self, spark, tmp_loc):
+        from iceberg_cpp_spark.table import ValidationError
+
+        t = self._table(spark, f"{tmp_loc}/t")
+        stale = IceTable.load(spark, f"{tmp_loc}/t")
+        t.rewrite_data_files(target_file_count=1)
+        with pytest.raises(ValidationError, match="concurrent commit removed"):
+            stale.update_where(ex.eq(ex.Reference("k"), 1), {"v": 1},
+                               mode="merge-on-read")
+
+    def test_unknown_modes_raise(self, spark, tmp_loc):
+        t = self._table(spark, f"{tmp_loc}/t")
+        with pytest.raises(ValueError, match="unknown update mode"):
+            t.update_where(ex.eq(ex.Reference("k"), 1), {"v": 1},
+                           mode="bogus")
+        with pytest.raises(ValueError, match="unknown merge mode"):
+            t.merge_into(spark.createDataFrame([(1, 1)], "k long, v long"),
+                         on=["k"], mode="bogus")
+        with pytest.raises(ValueError, match="unknown delete mode"):
+            t.delete_where(ex.eq(ex.Reference("k"), 1), mode="bogus")
+
+    def test_delete_mode_property_default(self, spark, tmp_loc):
+        t = self._table(spark, f"{tmp_loc}/t",
+                        {"write.delete.mode": "merge-on-read"})
+        before = {f.file_path for f in t.scan().plan_files()}
+        t = t.delete_where(ex.eq(ex.Reference("k"), 0))
+        assert t.to_df().count() == 7
+        assert before <= {f.file_path for f in t.scan().plan_files()}

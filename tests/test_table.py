@@ -1291,3 +1291,65 @@ class TestMetricsModes:
         # un-bounded columns never mis-prune: both scans stay correct
         assert t.scan(filter=ex.eq(ex.Reference("id"), 1)).to_df().count() == 1
         assert t.scan(filter=ex.is_null(ex.Reference("s"))).to_df().count() == 1
+
+
+class TestWriteProperties:
+    """write.parquet.*, write.metadata.previous-versions-max /
+    delete-after-commit, write.object-storage.enabled, write.data.path
+    — declared by the reference (table_properties.h) with no write path
+    behind them; implemented here."""
+
+    def test_parquet_compression_codec(self, spark, tmp_loc):
+        import pyarrow.parquet as pq
+
+        sch = it.Schema([it.NestedField(1, "id", it.LongType(), True)])
+        t = IceTable.create(
+            spark, f"{tmp_loc}/t", sch,
+            properties={"write.parquet.compression-codec": "gzip"})
+        t = t.append(spark.range(10).select("id").coalesce(1))
+        f = t.scan().plan_files()[0]
+        md = pq.ParquetFile(f.file_path).metadata
+        assert md.row_group(0).column(0).compression == "GZIP"
+
+    def test_metadata_log_retention_and_delete(self, spark, tmp_loc):
+        sch = it.Schema([it.NestedField(1, "id", it.LongType(), True)])
+        t = IceTable.create(
+            spark, f"{tmp_loc}/t", sch,
+            properties={
+                "write.metadata.previous-versions-max": "2",
+                "write.metadata.delete-after-commit.enabled": "true"})
+        locs = []
+        for i in range(5):
+            locs.append(t.metadata_location)
+            t = t.append(spark.range(i, i + 1).select("id").coalesce(1))
+        assert len(t.metadata.metadata_log) == 2
+        kept = {e["metadata-file"] for e in t.metadata.metadata_log}
+        for loc in locs:
+            if loc in kept or loc == t.metadata_location:
+                assert os.path.exists(loc)
+            else:
+                assert not os.path.exists(loc)  # trimmed AND deleted
+        assert t.to_df().count() == 5
+
+    def test_object_storage_layout(self, spark, tmp_loc):
+        sch = it.Schema([it.NestedField(1, "id", it.LongType(), True)])
+        t = IceTable.create(
+            spark, f"{tmp_loc}/t", sch,
+            properties={"write.object-storage.enabled": "true"})
+        t = t.append(spark.range(3).select("id").coalesce(1))
+        f = t.scan().plan_files()[0]
+        rel = os.path.relpath(f.file_path, f"{tmp_loc}/t/data")
+        parts = rel.split(os.sep)
+        assert len(parts[0]) == 4  # 4-hex spread prefix
+        assert t.to_df().count() == 3
+
+    def test_write_data_path_override(self, spark, tmp_loc):
+        sch = it.Schema([it.NestedField(1, "id", it.LongType(), True)])
+        alt = f"{tmp_loc}/elsewhere"
+        t = IceTable.create(
+            spark, f"{tmp_loc}/t", sch,
+            properties={"write.data.path": alt})
+        t = t.append(spark.range(3).select("id").coalesce(1))
+        f = t.scan().plan_files()[0]
+        assert f.file_path.startswith(alt)
+        assert t.to_df().count() == 3

@@ -846,3 +846,92 @@ class TestRebaseValidation:
         fresh = IceTable.load(spark, loc)
         assert fresh.to_df().count() == 7 + 3
         assert fresh.to_df().filter(F.col("id") == 2).count() == 0
+
+
+class TestCommitManifestMerge:
+    """commit.manifest-merge.* (reference declares them with no write
+    path): small carried manifests consolidate AT COMMIT once min-count
+    accumulate, so planning cost tracks data size, not commit count."""
+
+    def _table(self, spark, loc, props=None):
+        from iceberg_cpp_spark import IceTable
+
+        sch = it.Schema([it.NestedField(1, "id", it.LongType(), True)])
+        return IceTable.create(spark, loc, sch, properties=props or {})
+
+    def _manifests(self, t):
+        import iceberg_cpp_spark.core.manifests as mf
+
+        return list(mf.read_manifest_list(t.current_snapshot().manifest_list))
+
+    def test_merges_past_min_count(self, spark, tmp_loc):
+        from pyspark.sql import functions as F
+
+        t = self._table(spark, f"{tmp_loc}/t",
+                        {"commit.manifest.min-count-to-merge": "4"})
+        for i in range(7):
+            t = t.append(spark.range(i * 10, i * 10 + 10)
+                         .select(F.col("id")).coalesce(1))
+        assert len(self._manifests(t)) < 7
+        assert t.to_df().count() == 70
+        # every value still present exactly once
+        assert t.to_df().distinct().count() == 70
+
+    def test_default_threshold_means_no_merge_at_toy_scale(self, spark, tmp_loc):
+        from pyspark.sql import functions as F
+
+        t = self._table(spark, f"{tmp_loc}/t")
+        for i in range(5):
+            t = t.append(spark.range(i, i + 1).select(F.col("id"))
+                         .coalesce(1))
+        assert len(self._manifests(t)) == 5  # min-count 100 untouched
+
+    def test_disabled_flag(self, spark, tmp_loc):
+        from pyspark.sql import functions as F
+
+        t = self._table(spark, f"{tmp_loc}/t",
+                        {"commit.manifest-merge.enabled": "false",
+                         "commit.manifest.min-count-to-merge": "2"})
+        for i in range(5):
+            t = t.append(spark.range(i, i + 1).select(F.col("id"))
+                         .coalesce(1))
+        assert len(self._manifests(t)) == 5
+
+    def test_merge_preserves_row_lineage_and_time_travel(self, spark, tmp_loc):
+        from pyspark.sql import functions as F
+
+        t = self._table(spark, f"{tmp_loc}/t",
+                        {"commit.manifest.min-count-to-merge": "3",
+                         "format-version": "3"})
+        snaps = []
+        for i in range(6):
+            t = t.append(spark.range(i * 5, i * 5 + 5)
+                         .select(F.col("id")).coalesce(1))
+            snaps.append(t.current_snapshot().snapshot_id)
+        # _row_id assignment survives merging (EXISTING entries keep
+        # their first_row_id through consolidation)
+        ids = sorted(r["_row_id"] for r in
+                     t.scan().with_metadata_columns().to_df()
+                     .select("_row_id").collect())
+        assert ids == list(range(30))
+        # time travel to a pre-merge snapshot still reads its own list
+        early = t.scan(snapshot_id=snaps[1]).to_df()
+        assert early.count() == 10
+
+    def test_merge_keeps_delete_manifests_applied(self, spark, tmp_loc):
+        from pyspark.sql import functions as F
+
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        t = self._table(spark, f"{tmp_loc}/t",
+                        {"commit.manifest.min-count-to-merge": "3"})
+        for i in range(4):
+            t = t.append(spark.range(i * 5, i * 5 + 5)
+                         .select(F.col("id")).coalesce(1))
+        t = t.delete_where(ex.lt(ex.Reference("id"), 3),
+                           mode="merge-on-read")
+        for i in range(4, 8):
+            t = t.append(spark.range(i * 5, i * 5 + 5)
+                         .select(F.col("id")).coalesce(1))
+        assert t.to_df().count() == 40 - 3
+        assert t.to_df().filter("id < 3").count() == 0
