@@ -1144,6 +1144,37 @@ def ice_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_wap_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (write.wap.enabled — declared by the
+    reference with no write path): a staged append is invisible to the
+    branch, auditable by snapshot id, and published with a metadata-only
+    cherry-pick. The returned audit trail (row counts before staging /
+    while staged / after publish) is recomputed by the oracle from raw
+    orders."""
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core.types import schema_from_spark
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    base = o.filter(F.col("o_orderkey") % 3 == 0)
+    staged_rows = o.filter(F.col("o_orderkey") % 3 == 1)
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_wap_"), "t")
+    t = IceTable.create(spark, loc, schema_from_spark(base.schema),
+                        properties={"write.wap.enabled": "true"})
+    t = t.append(base)
+    before = t.to_df().count()
+    t = t.append(staged_rows, wap_id="audit-batch-7")
+    while_staged = t.to_df().count()
+    audit = t.scan(
+        snapshot_id=t.wap_snapshot("audit-batch-7").snapshot_id
+    ).to_df().count()
+    t = t.publish_wap("audit-batch-7")
+    after = t.to_df().count()
+    return spark.createDataFrame(
+        [(int(before), int(while_staged), int(audit), int(after))],
+        "before_stage long, while_staged long, audit_view long, "
+        "after_publish long")
+
+
 def ice_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v3 VARIANT column end-to-end (the reference pins its
     type enum at v2 — type_fwd.h:34 'Iceberg V3 types are not currently
@@ -2904,6 +2935,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: merge-on-read MERGE (write.merge.mode) — same oracle as
         # the CoW merge: results must be mode-invariant
         "ice_mor_merge": ice_mor_merge,
+        # r10: write-audit-publish staging flow
+        "ice_wap_flow": ice_wap_flow,
     }
 
 
@@ -3585,6 +3618,13 @@ def oracle_sql() -> dict[str, str]:
         "ice_sorted_write": """
             SELECT l_returnflag, COUNT(*) AS n FROM lineitem
             WHERE l_orderkey < 100 GROUP BY l_returnflag
+        """,
+        "ice_wap_flow": """
+            SELECT CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS before_stage,
+                   CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS while_staged,
+                   CAST(SUM(CASE WHEN o_orderkey % 3 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS audit_view,
+                   CAST(SUM(CASE WHEN o_orderkey % 3 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS after_publish
+            FROM orders
         """,
         "ice_mor_merge": """
             WITH upd AS (

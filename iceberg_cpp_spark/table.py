@@ -1420,7 +1420,8 @@ class IceTable:
     # there, implemented here) --------------------------------------------
     def append(self, df: DataFrame, branch: str = MAIN_BRANCH,
                summary_extras: Optional[dict] = None,
-               pre_check=None, merge_schema: bool = False) -> "IceTable":
+               pre_check=None, merge_schema: bool = False,
+               wap_id: Optional[str] = None) -> "IceTable":
         """AppendFiles: write parquet → footer metrics → manifest →
         manifest list (carrying prior manifests) → snapshot → CAS commit.
         ``summary_extras`` adds caller keys to the snapshot summary (e.g.
@@ -1437,7 +1438,7 @@ class IceTable:
         new_files = self._write_data_files(df)
         return self._commit_files(new_files, operation=DataOperation.APPEND,
                                   branch=branch, summary_extras=summary_extras,
-                                  pre_check=pre_check)
+                                  pre_check=pre_check, wap_id=wap_id)
 
     def _merge_write_schema(self, df: DataFrame) -> None:
         """Add ``df``'s unknown columns to the table schema as optional
@@ -2626,6 +2627,24 @@ class IceTable:
             raise ValueError(f"snapshot not found: {snapshot_id}")
         return self._set_ref(branch, snapshot_id, "branch")
 
+    def wap_snapshot(self, wap_id: str):
+        """The staged snapshot carrying ``wap.id == wap_id`` (staged =
+        committed to metadata without advancing any ref), or None."""
+        for sn in self.metadata.snapshots:
+            if sn.summary.get("wap.id") == str(wap_id):
+                return sn
+        return None
+
+    def publish_wap(self, wap_id: str, branch: str = MAIN_BRANCH) -> "IceTable":
+        """Write-audit-publish publish step: cherry-pick the staged
+        snapshot with this wap.id onto ``branch`` (after the audit
+        passed). Double publish is refused by cherry_pick's
+        source-snapshot-id guard."""
+        sn = self.wap_snapshot(wap_id)
+        if sn is None:
+            raise ValueError(f"no staged snapshot with wap.id {wap_id!r}")
+        return self.cherry_pick(sn.snapshot_id, branch=branch)
+
     def cherry_pick(self, snapshot_id: int, branch: str = MAIN_BRANCH) -> "IceTable":
         """Re-apply one APPEND snapshot's added data files on top of the
         current ``branch`` head (Iceberg's cherrypick_snapshot — the
@@ -3031,7 +3050,8 @@ class IceTable:
                       summary_extras: Optional[dict] = None,
                       pre_check=None,
                       read_snapshot_id: Optional[int] = None,
-                      require_live: Optional[set] = None) -> "IceTable":
+                      require_live: Optional[set] = None,
+                      wap_id: Optional[str] = None) -> "IceTable":
         """Optimistic-concurrency commit with retry (reference
         commit.retry.*, table_properties.h:80-85): on CAS conflict the
         metadata is refreshed and the snapshot REBUILT against the new
@@ -3058,7 +3078,7 @@ class IceTable:
                     new_files, operation, branch, carry_existing, drop_paths,
                     drop_dv_for, summary_extras,
                     read_snapshot_id=read_snapshot_id,
-                    require_live=require_live)
+                    require_live=require_live, wap_id=wap_id)
             except (CommitFailedError, FileExistsError) as e:
                 last = e
                 if attempt == retries:
@@ -3221,10 +3241,25 @@ class IceTable:
                            drop_dv_for: Optional[set] = None,
                            summary_extras: Optional[dict] = None,
                            read_snapshot_id: Optional[int] = None,
-                           require_live: Optional[set] = None) -> "IceTable":
+                           require_live: Optional[set] = None,
+                           wap_id: Optional[str] = None) -> "IceTable":
         meta = self.metadata
         schema = self.schema()
         spec = self.spec()
+        if wap_id is not None:
+            # write-audit-publish staging (reference declares
+            # write.wap.enabled, table_properties.h, with no write path):
+            # the snapshot lands in metadata WITHOUT advancing the branch
+            # ref; publish_wap / cherry_pick makes it visible after audit
+            if meta.properties.get("write.wap.enabled", "false") != "true":
+                raise ValueError(
+                    "write.wap.enabled is not set on this table — staged "
+                    "(WAP) commits need it")
+            for sn in meta.snapshots:
+                if sn.summary.get("wap.id") == wap_id:
+                    raise ValueError(
+                        f"wap.id {wap_id!r} is already staged or "
+                        f"published (snapshot {sn.snapshot_id})")
         snapshot_id = random.getrandbits(62)
         seq = meta.last_sequence_number + 1
         now_ms = int(time.time() * 1000)
@@ -3353,6 +3388,8 @@ class IceTable:
         }
         if summary_extras:
             summary.update({str(k): str(v) for k, v in summary_extras.items()})
+        if wap_id is not None:
+            summary["wap.id"] = str(wap_id)
         snap = Snapshot(
             snapshot_id=snapshot_id,
             sequence_number=seq,
@@ -3368,7 +3405,8 @@ class IceTable:
 
         b = TableMetadataBuilder.build_from(meta)
         b.add_snapshot(snap)
-        b.set_ref(branch, snapshot_id)
+        if wap_id is None:
+            b.set_ref(branch, snapshot_id)
         # advance past BOTH the explicitly-assigned new-file spans (rid)
         # and any spans the list writer reserved for writer-unassigned
         # manifests (inheritance-dependent foreign manifests) — spec rule:

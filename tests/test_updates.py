@@ -935,3 +935,65 @@ class TestCommitManifestMerge:
                          .select(F.col("id")).coalesce(1))
         assert t.to_df().count() == 40 - 3
         assert t.to_df().filter("id < 3").count() == 0
+
+
+class TestWriteAuditPublish:
+    """write.wap.enabled (declared by the reference with no write path):
+    staged commits land in metadata without advancing the branch ref;
+    publish_wap cherry-picks them after the audit."""
+
+    def _table(self, spark, loc):
+        from iceberg_cpp_spark import IceTable
+
+        sch = it.Schema([it.NestedField(1, "id", it.LongType(), True)])
+        t = IceTable.create(spark, loc, sch,
+                            properties={"write.wap.enabled": "true"})
+        return t.append(spark.range(5).select("id").coalesce(1))
+
+    def test_stage_audit_publish(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+
+        t = self._table(spark, f"{tmp_loc}/t")
+        t = t.append(spark.range(100, 103).select("id").coalesce(1),
+                     wap_id="audit-1")
+        assert t.to_df().count() == 5          # staged rows invisible
+        staged = t.wap_snapshot("audit-1")
+        assert staged is not None
+        # the AUDIT reads the staged snapshot directly
+        audit = t.scan(snapshot_id=staged.snapshot_id).to_df()
+        assert audit.count() == 8
+        t = t.publish_wap("audit-1")
+        assert t.to_df().count() == 8
+        # a fresh reader sees the published state
+        assert IceTable.load(spark, f"{tmp_loc}/t").to_df().count() == 8
+
+    def test_double_publish_and_dup_wap_refused(self, spark, tmp_loc):
+        t = self._table(spark, f"{tmp_loc}/t")
+        t = t.append(spark.range(10, 12).select("id").coalesce(1),
+                     wap_id="w1")
+        t = t.publish_wap("w1")
+        with pytest.raises(ValueError, match="already"):
+            t.publish_wap("w1")
+        with pytest.raises(ValueError, match="already staged or published"):
+            t.append(t.spark.range(1).select("id"), wap_id="w1")
+        with pytest.raises(ValueError, match="no staged snapshot"):
+            t.publish_wap("never-staged")
+
+    def test_wap_requires_property(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+
+        sch = it.Schema([it.NestedField(1, "id", it.LongType(), True)])
+        t = IceTable.create(spark, f"{tmp_loc}/plain", sch)
+        with pytest.raises(ValueError, match="write.wap.enabled"):
+            t.append(spark.range(1).select("id"), wap_id="x")
+
+    def test_concurrent_commits_dont_see_staged(self, spark, tmp_loc):
+        t = self._table(spark, f"{tmp_loc}/t")
+        t = t.append(spark.range(100, 105).select("id").coalesce(1),
+                     wap_id="w2")
+        # a normal append AFTER staging: branch advances past the staged
+        # snapshot's parent; publish still lands the staged files on top
+        t = t.append(spark.range(200, 202).select("id").coalesce(1))
+        assert t.to_df().count() == 7
+        t = t.publish_wap("w2")
+        assert t.to_df().count() == 12
