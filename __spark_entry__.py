@@ -1144,6 +1144,27 @@ def ice_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations (operators/expectations.py
+    — the dbt-test / Great-Expectations pattern a curation pipeline
+    runs before promoting a batch): aggregate rules fuse into ONE scan
+    of orders, uniqueness is one groupBy, the FK check one anti-join
+    against customer. The oracle recomputes every violation count with
+    plain SQL."""
+    from iceberg_cpp_spark.operators import expectations as ql
+
+    o = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return ql.check(o, [
+        ql.not_null("o_orderdate"),
+        ql.unique("o_orderkey"),
+        ql.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        ql.in_range("o_totalprice", 0.0, 400000.0),
+        ql.matches("o_orderpriority", "^[1-5]-"),
+        ql.references("o_custkey", cust, "c_custkey"),
+    ])
+
+
 def ice_wap_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-audit-publish (write.wap.enabled — declared by the
     reference with no write path): a staged append is invisible to the
@@ -2937,6 +2958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_mor_merge": ice_mor_merge,
         # r10: write-audit-publish staging flow
         "ice_wap_flow": ice_wap_flow,
+        # r10: declarative data-quality expectations
+        "quality_expectations": quality_expectations,
     }
 
 
@@ -3618,6 +3641,62 @@ def oracle_sql() -> dict[str, str]:
         "ice_sorted_write": """
             SELECT l_returnflag, COUNT(*) AS n FROM lineitem
             WHERE l_orderkey < 100 GROUP BY l_returnflag
+        """,
+        "quality_expectations": """
+            WITH t AS (SELECT COUNT(*) AS total FROM orders)
+            SELECT * FROM (
+              SELECT 'not_null(o_orderdate)' AS rule, 'o_orderdate' AS col,
+                     CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT) AS violations,
+                     CAST(total AS BIGINT) AS total,
+                     (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) = 0 AS passed
+              FROM t
+              UNION ALL
+              SELECT 'unique(o_orderkey)', 'o_orderkey',
+                     CAST(COALESCE((SELECT SUM(n) FROM (
+                        SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+                        HAVING COUNT(*) > 1)), 0) AS BIGINT),
+                     CAST(total AS BIGINT),
+                     COALESCE((SELECT SUM(n) FROM (
+                        SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+                        HAVING COUNT(*) > 1)), 0) = 0
+              FROM t
+              UNION ALL
+              SELECT 'accepted_values(o_orderstatus)', 'o_orderstatus',
+                     CAST((SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NOT NULL
+                           AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT),
+                     CAST(total AS BIGINT),
+                     (SELECT COUNT(*) FROM orders WHERE o_orderstatus IS NOT NULL
+                      AND o_orderstatus NOT IN ('O','F','P')) = 0
+              FROM t
+              UNION ALL
+              SELECT 'in_range(o_totalprice)', 'o_totalprice',
+                     CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice IS NOT NULL
+                           AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)) AS BIGINT),
+                     CAST(total AS BIGINT),
+                     (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NOT NULL
+                      AND (o_totalprice < 0.0 OR o_totalprice > 400000.0)) = 0
+              FROM t
+              UNION ALL
+              SELECT 'matches(o_orderpriority)', 'o_orderpriority',
+                     CAST((SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NOT NULL
+                           AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) AS BIGINT),
+                     CAST(total AS BIGINT),
+                     (SELECT COUNT(*) FROM orders WHERE o_orderpriority IS NOT NULL
+                      AND NOT regexp_matches(o_orderpriority, '^[1-5]-')) = 0
+              FROM t
+              UNION ALL
+              SELECT 'references(o_custkey)', 'o_custkey',
+                     CAST((SELECT COUNT(*) FROM orders o
+                           WHERE o.o_custkey IS NOT NULL
+                           AND NOT EXISTS (SELECT 1 FROM customer c
+                                           WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+                     CAST(total AS BIGINT),
+                     (SELECT COUNT(*) FROM orders o
+                      WHERE o.o_custkey IS NOT NULL
+                      AND NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey)) = 0
+              FROM t)
+            ORDER BY rule
         """,
         "ice_wap_flow": """
             SELECT CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS before_stage,

@@ -76,6 +76,7 @@ def test_driver_cap_window_composition():
         "ice_scd2_dimension",  # SCD Type 2 maintenance (ice_merge_into in-window covers the matched-file CoW machinery it rides; close-and-insert semantics pinned by tests/test_scd.py incl. the noop/null-safe/untouched-file pins)
         "ice_mor_merge",    # merge-on-read MERGE (ice_merge_into in-window covers CoW; ice_mor_delete in-window covers the pos-delete scan plane; MoR DML semantics pinned by TestMorDml incl. the duplicate-key and race pins)
         "ice_wap_flow",     # write-audit-publish staging (ice_rollback_cherry_pick in-window covers the cherry-pick publish primitive; staging invariants pinned by TestWriteAuditPublish)
+        "quality_expectations",  # data-quality rules (q-family in-window covers the aggregate/join shapes the rules compile to; rule semantics pinned by tests/test_expectations.py)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without
