@@ -60,7 +60,9 @@ def scd2_init(rows: DataFrame, effective) -> DataFrame:
 
 def scd2_apply(table, updates: DataFrame, key: list[str], effective,
                tracked: Optional[list[str]] = None,
-               branch: str = "main"):
+               branch: str = "main",
+               summary_extras: Optional[dict] = None,
+               pre_check=None):
     """Apply one update batch to an SCD2 dimension table.
 
     - key absent from the dimension → insert a new current row;
@@ -124,7 +126,9 @@ def scd2_apply(table, updates: DataFrame, key: list[str], effective,
         new_files = table._write_data_files(inserts)
         return table._commit_files(
             new_files, operation=DataOperation.APPEND, branch=branch,
-            summary_extras={"scd2.batch": "insert-only"})
+            summary_extras={"scd2.batch": "insert-only",
+                            **(summary_extras or {})},
+            pre_check=pre_check)
 
     closing_keys = changed.select(*key).localCheckpoint(eager=True)
     affected_df = table._read_files_with_deletes(affected, branch=branch)
@@ -149,5 +153,7 @@ def scd2_apply(table, updates: DataFrame, key: list[str], effective,
     return table._commit_files(
         new_files, operation=DataOperation.OVERWRITE, branch=branch,
         carry_existing=True, drop_paths=affected,
-        summary_extras={"scd2.batch": "close-and-insert"},
+        summary_extras={"scd2.batch": "close-and-insert",
+                        **(summary_extras or {})},
+        pre_check=pre_check,
         read_snapshot_id=table._branch_head_id(branch))

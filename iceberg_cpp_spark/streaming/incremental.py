@@ -204,6 +204,52 @@ def append_stream(stream_df, table: IceTable, checkpoint_dir: str,
     return writer.start()
 
 
+def scd2_stream(stream_df, table: IceTable, key: list[str],
+                checkpoint_dir: str, effective_col: str,
+                tracked=None, trigger_available_now: bool = True):
+    """Streaming SCD Type 2 sink: each micro-batch versions the
+    dimension through operators/scd.scd2_apply — changed keys close
+    their current row and insert the new version, one snapshot per
+    batch.
+
+    ``effective_col`` is an event-time column in the stream: the
+    batch's effective timestamp is its MAX, so a checkpoint replay
+    re-derives the identical timestamp (no wall clock — the scd2
+    determinism rule). Within a batch, the LATEST row per key (by
+    ``effective_col``) wins. Replayed batches are skipped via the same
+    snapshot-summary watermark as append_stream."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iceberg_cpp_spark.operators import scd
+
+    state: dict = {}
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sid = state.setdefault("sid", _stream_id(checkpoint_dir))
+        fresh = lambda: batch_id > _last_committed_batch(table, sid)
+        table.refresh()
+        if not fresh():
+            return
+        eff = batch_df.agg(F.max(effective_col)).collect()[0][0]
+        w = Window.partitionBy(*key).orderBy(F.col(effective_col).desc())
+        deduped = (batch_df.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn", effective_col))
+        scd.scd2_apply(table, deduped, key=key, effective=eff,
+                       tracked=tracked, summary_extras={
+                           "streaming.source-id": sid,
+                           "streaming.batch-id": str(batch_id)},
+                       pre_check=fresh)
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch) \
+        .option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def upsert_stream(stream_df, table: IceTable, on: list[str],
                   checkpoint_dir: str,
                   trigger_available_now: bool = True):

@@ -113,3 +113,48 @@ class TestScd2:
         with pytest.raises(ValueError, match="scd2_init"):
             scd.scd2_apply(t, t.spark.range(1).select(
                 F.col("id").alias("k")), key=["k"], effective=TS2)
+
+
+class TestScd2Stream:
+    def test_streaming_sink_versions_dimension(self, spark, tmp_loc):
+        import os
+
+        from iceberg_cpp_spark.streaming.incremental import scd2_stream
+
+        src_sch = it.Schema([
+            it.NestedField(1, "k", it.LongType(), True),
+            it.NestedField(2, "v", it.LongType(), False),
+        ])
+        t = IceTable.create(spark, f"{tmp_loc}/dim", scd.scd2_schema(src_sch),
+                            properties={"format-version": "3"})
+        t = t.append(scd.scd2_init(
+            spark.range(4).select(F.col("id").alias("k"),
+                                  (F.col("id") * 10).alias("v")), TS1))
+        # stream: k=1 changes twice in one batch (latest wins), k=9 new
+        rows = [(1, 100, TS2), (1, 101, dt.datetime(2024, 2, 2)),
+                (9, 900, TS2), (2, 20, TS2)]
+        srcdir = os.path.join(tmp_loc, "scd_src")
+        spark.createDataFrame(rows, "k long, v long, ts timestamp") \
+            .write.parquet(srcdir)
+        stream = spark.readStream.schema("k long, v long, ts timestamp") \
+            .parquet(srcdir)
+        q = scd2_stream(stream, t, key=["k"],
+                        checkpoint_dir=os.path.join(tmp_loc, "ckpt"),
+                        effective_col="ts")
+        q.awaitTermination(300)
+        t.refresh()
+        df = t.to_df()
+        cur = {r["k"]: r["v"] for r in df.filter("_is_current").collect()}
+        assert cur[1] == 101 and cur[9] == 900 and cur[2] == 20
+        hist = df.filter("k = 1 and not _is_current").collect()
+        assert len(hist) == 1 and hist[0]["v"] == 10
+        # batch effective ts = max event time in the batch
+        assert hist[0]["_valid_to"] == dt.datetime(2024, 2, 2)
+        # replay of the same source is a no-op (summary watermark)
+        snap_before = t.current_snapshot().snapshot_id
+        q2 = scd2_stream(stream, t, key=["k"],
+                         checkpoint_dir=os.path.join(tmp_loc, "ckpt"),
+                         effective_col="ts")
+        q2.awaitTermination(300)
+        t.refresh()
+        assert t.current_snapshot().snapshot_id == snap_before
