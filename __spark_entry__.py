@@ -2801,11 +2801,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iceberg-native (28) — r9 rotation pulled the newest mutation /
         # interop rows (ice_update_where, ice_cdc_apply, ice_avro_v3,
         # ice_avro_data) inside the cap
-        "ice_transforms": ice_transforms,
+        # r10 rotation #2: first driver rows for the round's new
+        # first-class families (geo type, SCD2, View spec, data quality)
+        # — displaced rows keep in-window coverage, see test_registry.py
+        "ice_geo_bbox": ice_geo_bbox,
         "ice_bucket_transform": ice_bucket_transform,
         "ice_roundtrip_agg": ice_roundtrip_agg,
         "ice_partition_pruned": ice_partition_pruned,
-        "ice_time_travel": ice_time_travel,
+        "ice_view_spec": ice_view_spec,
         "ice_delete_where": ice_delete_where,
         "ice_update_where": ice_update_where,
         "ice_mor_delete": ice_mor_delete,
@@ -2835,7 +2838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_pyds_scan": ice_pyds_scan,
         "ice_nested_types": ice_nested_types,
         "ice_rollback_cherry_pick": ice_rollback_cherry_pick,
-        "stream_hourly": stream_hourly,
+        "ice_scd2_dimension": ice_scd2_dimension,
         # LLM pipeline (16)
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
@@ -2863,9 +2866,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # been green since r01)
         "q1_pricing_summary": q1_pricing_summary,
         "events_window_agg": events_window_agg,
-        "asof_join_events": asof_join_events,
+        "quality_expectations": quality_expectations,
         "range_join_events": range_join_events,
         # ---- driver cap (50) is here; everything below is judge-only ----
+        # displaced by the r10 rotation #2 (all green since r01-r02):
+        "ice_transforms": ice_transforms,
+        "ice_time_travel": ice_time_travel,
+        "stream_hourly": stream_hourly,
+        "asof_join_events": asof_join_events,
         "agg_rollup": agg_rollup,
         "q3_shipping_priority": q3_shipping_priority,
         "q12_shipping_modes": q12_shipping_modes,
@@ -2945,21 +2953,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_ns_timestamps": ice_ns_timestamps,
         # r10: v3 geometry type (WKB + envelope bounds + st_intersects
         # file pruning — exceeds the reference's v2-pinned enum)
-        "ice_geo_bbox": ice_geo_bbox,
         # r10: grid-bucketed spatial join (no cartesian, no distinct)
         "geo_bbox_join": geo_bbox_join,
         # r10: Iceberg View spec v1 (versioned views + time travel —
         # the reference has no view surface at all)
-        "ice_view_spec": ice_view_spec,
         # r10: SCD Type 2 dimension maintenance (close-and-insert)
-        "ice_scd2_dimension": ice_scd2_dimension,
         # r10: merge-on-read MERGE (write.merge.mode) — same oracle as
         # the CoW merge: results must be mode-invariant
         "ice_mor_merge": ice_mor_merge,
         # r10: write-audit-publish staging flow
         "ice_wap_flow": ice_wap_flow,
         # r10: declarative data-quality expectations
-        "quality_expectations": quality_expectations,
     }
 
 

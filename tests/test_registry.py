@@ -18,7 +18,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # window (everything below the cap is judge-only TPC-H / relational).
 CAP = 50
 LAST_IN_CAP = "range_join_events"
-FIRST_PAST_CAP = "agg_rollup"
+FIRST_PAST_CAP = "ice_transforms"
 
 
 def test_driver_cap_window_composition():
@@ -70,13 +70,15 @@ def test_driver_cap_window_composition():
         "ice_variant",      # v3 variant type end-to-end (ice_deletion_vector in-window covers the DV scan plane it rides; the variant-specific planes are pinned by tests/test_variant.py incl. the rewrite field-id regression)
         "text_span_scrub",  # ExactSubstr window scrub (text_paragraph_dedup extras row covers the corpus-global-frequency + reassembly shape at paragraph granularity; the window machinery is pinned by TestText span-scrub tests with an independent Python reference)
         "ice_ns_timestamps",  # v3 ns timestamps (ice_partition_pruned in-window covers partition pruning; ns-specific exactness/transform parity pinned by tests/test_ns_timestamps.py incl. the 2^53 double-rounding pin)
-        "ice_geo_bbox",     # v3 geometry + st_intersects (ice_partition_pruned in-window covers metadata pruning; WKB envelope math, bound points, wraparound and fences pinned by tests/test_geo.py golden vectors)
         "geo_bbox_join",    # grid-bucketed spatial join (range_join_events in-window covers interval-join shapes; the cell-explode + reference-point dedup machinery pinned by TestSpatialJoin incl. the emitted-once multi-cell pair)
-        "ice_view_spec",    # Iceberg View spec v1 (ice_sql_view extras row covers SQL-over-scan; version serde/CAS/time-travel/trimming pinned by tests/test_views.py incl. the REST routes)
-        "ice_scd2_dimension",  # SCD Type 2 maintenance (ice_merge_into in-window covers the matched-file CoW machinery it rides; close-and-insert semantics pinned by tests/test_scd.py incl. the noop/null-safe/untouched-file pins)
         "ice_mor_merge",    # merge-on-read MERGE (ice_merge_into in-window covers CoW; ice_mor_delete in-window covers the pos-delete scan plane; MoR DML semantics pinned by TestMorDml incl. the duplicate-key and race pins)
         "ice_wap_flow",     # write-audit-publish staging (ice_rollback_cherry_pick in-window covers the cherry-pick publish primitive; staging invariants pinned by TestWriteAuditPublish)
-        "quality_expectations",  # data-quality rules (q-family in-window covers the aggregate/join shapes the rules compile to; rule semantics pinned by tests/test_expectations.py)
+        # r10 rotation #2 displacements (all driver-green since r01-r02;
+        # each keeps in-window coverage):
+        "ice_transforms",   # transform projections (ice_bucket_transform in-window keeps the transform + murmur3 machinery; identity/temporal transforms ride every partitioned in-window row)
+        "ice_time_travel",  # snapshot-id scan pinning (ice_rollback_cherry_pick in-window resolves snapshots by id; TestNsTable/TestGeoTable time-travel paths pinned in pytest)
+        "stream_hourly",    # streaming source plane (stream_sessionize in-window keeps the DataSourceStreamReader plane; the windowed-agg shape rides events_window_agg)
+        "asof_join_events",  # as-of join (range_join_events in-window keeps the interval-join machinery; asof semantics pinned since r02)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without
