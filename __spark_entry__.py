@@ -1362,6 +1362,28 @@ def ice_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def geo_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash cell aggregation (functions/geohash.py — pure JVM Column
+    arithmetic, no UDF): event points bucket into precision-4 geohash
+    cells; the oracle re-derives the SAME base32 encoding with
+    generated integer-arithmetic SQL, so the quantize + interleave +
+    alphabet mapping must agree bit-for-bit with the public geohash
+    standard (pinned separately against textbook bisection in
+    tests/test_geo.py)."""
+    from iceberg_cpp_spark.functions.geohash import geohash_column
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") % 3600) / 10.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 7 % 1700) / 10.0 - 85.0).alias("lat"))
+    gh = geohash_column(F.col("lon"), F.col("lat"), 4)
+    return (pts.groupBy(gh.alias("gh"))
+            .agg(F.count("*").alias("n"),
+                 F.sum("event_id").alias("sum_eid"))
+            .orderBy("gh"))
+
+
 def geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed spatial join (operators/spatial.py bbox_join):
     event points vs nation-derived boxes meet through ONE equi-join on
@@ -2955,6 +2977,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # file pruning — exceeds the reference's v2-pinned enum)
         # r10: grid-bucketed spatial join (no cartesian, no distinct)
         "geo_bbox_join": geo_bbox_join,
+        # r10: geohash cells as pure Column arithmetic
+        "geo_geohash_cells": geo_geohash_cells,
         # r10: Iceberg View spec v1 (versioned views + time travel —
         # the reference has no view surface at all)
         # r10: SCD Type 2 dimension maintenance (close-and-insert)
@@ -4459,6 +4483,25 @@ def oracle_sql() -> dict[str, str]:
         # spatial join: the oracle re-derives the envelope join as plain
         # interval arithmetic (points vs boxes; closed intervals match
         # the engine's closed-box envelope semantics)
+        "geo_geohash_cells": """
+            WITH pts AS (
+              SELECT event_id,
+                     (event_id % 3600) / 10.0 - 180.0 AS lon,
+                     (event_id * 7 % 1700) / 10.0 - 85.0 AS lat
+              FROM events),
+            q AS (
+              SELECT event_id,
+                     CAST(FLOOR((LEAST(GREATEST(lon, -180.0), 179.9999999) + 180.0)
+                          / 360.0 * 1024) AS BIGINT) AS lon_q,
+                     CAST(FLOOR((LEAST(GREATEST(lat, -90.0), 89.9999999) + 90.0)
+                          / 180.0 * 1024) AS BIGINT) AS lat_q
+              FROM pts),
+            zt AS (SELECT event_id, (((lon_q >> 9) & 1) * 524288) + (((lat_q >> 9) & 1) * 262144) + (((lon_q >> 8) & 1) * 131072) + (((lat_q >> 8) & 1) * 65536) + (((lon_q >> 7) & 1) * 32768) + (((lat_q >> 7) & 1) * 16384) + (((lon_q >> 6) & 1) * 8192) + (((lat_q >> 6) & 1) * 4096) + (((lon_q >> 5) & 1) * 2048) + (((lat_q >> 5) & 1) * 1024) + (((lon_q >> 4) & 1) * 512) + (((lat_q >> 4) & 1) * 256) + (((lon_q >> 3) & 1) * 128) + (((lat_q >> 3) & 1) * 64) + (((lon_q >> 2) & 1) * 32) + (((lat_q >> 2) & 1) * 16) + (((lon_q >> 1) & 1) * 8) + (((lat_q >> 1) & 1) * 4) + (((lon_q >> 0) & 1) * 2) + (((lat_q >> 0) & 1) * 1) AS z FROM q)
+            SELECT substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((z >> 15) & 31) AS INT) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((z >> 10) & 31) AS INT) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((z >> 5) & 31) AS INT) + 1, 1) || substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((z >> 0) & 31) AS INT) + 1, 1) AS gh,
+                   COUNT(*) AS n,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_eid
+            FROM zt GROUP BY 1 ORDER BY gh
+        """,
         "geo_bbox_join": """
             WITH pts AS (
               SELECT event_id,

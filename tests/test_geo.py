@@ -54,6 +54,30 @@ def _pt(x, y):
     return wkb.point_wkb(x, y)
 
 
+def _geo_pts(lon, lat):
+    """(lon, lat) Columns -> WKB point Column (test helper; Arrow-batched)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    header = np.frombuffer(wkb.point_wkb(0.0, 0.0)[:5], dtype=np.uint8)
+
+    def to_wkb(x, y):
+        n = len(x)
+        arr = np.empty((n, 21), dtype=np.uint8)
+        arr[:, :5] = header
+        arr[:, 5:13] = np.ascontiguousarray(
+            x.to_numpy(np.float64)).view(np.uint8).reshape(n, 8)
+        arr[:, 13:21] = np.ascontiguousarray(
+            y.to_numpy(np.float64)).view(np.uint8).reshape(n, 8)
+        b = arr.tobytes()
+        return pd.Series([b[i * 21:(i + 1) * 21] for i in range(n)])
+
+    to_wkb.__annotations__ = {'x': pd.Series, 'y': pd.Series,
+                              'return': pd.Series}
+    return pandas_udf(to_wkb, 'binary')(lon, lat)
+
+
 class TestWkb:
     def test_point_golden(self):
         assert wkb.point_wkb(1.0, 2.0) == _POINT_1_2
@@ -473,3 +497,121 @@ class TestGeoWithVariantMetrics:
         got = t.scan(filter=ex.st_intersects(
             ex.Reference("geom"), (5.0, 0.0, 25.0, 2.0))).to_df()
         assert sorted(r["id"] for r in got.collect()) == [1, 2]
+
+
+class TestGeohash:
+    """functions/geohash.py — standard base32 geohash as pure JVM
+    Column arithmetic, pinned against public vectors and a textbook
+    bisection reference."""
+
+    def test_public_vectors(self):
+        from iceberg_cpp_spark.functions.geohash import geohash_py
+
+        assert geohash_py(-5.60302734375, 42.60498046875, 5) == "ezs42"
+        assert geohash_py(139.76608, 35.68123, 6) == "xn76ur"  # Tokyo
+        assert geohash_py(0.0, 0.0, 1) == "s"
+
+    def test_matches_textbook_bisection(self):
+        import random
+
+        from iceberg_cpp_spark.functions.geohash import ALPHABET, geohash_py
+
+        def textbook(lat, lon, precision):
+            lat_i, lon_i = (-90.0, 90.0), (-180.0, 180.0)
+            bits, even = [], True
+            while len(bits) < precision * 5:
+                if even:
+                    mid = (lon_i[0] + lon_i[1]) / 2
+                    if lon >= mid:
+                        bits.append(1); lon_i = (mid, lon_i[1])
+                    else:
+                        bits.append(0); lon_i = (lon_i[0], mid)
+                else:
+                    mid = (lat_i[0] + lat_i[1]) / 2
+                    if lat >= mid:
+                        bits.append(1); lat_i = (mid, lat_i[1])
+                    else:
+                        bits.append(0); lat_i = (lat_i[0], mid)
+                even = not even
+            return "".join(
+                ALPHABET[int("".join(map(str, bits[k * 5:k * 5 + 5])), 2)]
+                for k in range(precision))
+
+        rng = random.Random(7)
+        for _ in range(300):
+            lon = rng.uniform(-180, 179.99)
+            lat = rng.uniform(-90, 89.99)
+            p = rng.randint(1, 9)
+            assert geohash_py(lon, lat, p) == textbook(lat, lon, p)
+
+    def test_spark_column_matches_python(self, spark):
+        from iceberg_cpp_spark.functions.geohash import (geohash_column,
+                                                         geohash_py)
+
+        rows = [(i, -180.0 + (i * 37 % 3600) / 10.0,
+                 -90.0 + (i * 13 % 1800) / 10.0) for i in range(200)]
+        df = spark.createDataFrame(rows, "i long, lon double, lat double")
+        got = {r["i"]: r["gh"] for r in df.select(
+            "i", geohash_column(F.col("lon"), F.col("lat"), 6).alias("gh")
+        ).collect()}
+        for i, lon, lat in rows:
+            assert got[i] == geohash_py(lon, lat, 6), (i, lon, lat)
+        # nulls propagate
+        n = spark.createDataFrame([(None, 1.0)], "lon double, lat double")
+        assert n.select(geohash_column(F.col("lon"), F.col("lat"), 4)
+                        .alias("g")).collect()[0]["g"] is None
+
+    def test_bbox_and_covers(self):
+        from iceberg_cpp_spark.functions.geohash import (geohash_bbox,
+                                                         geohash_covers,
+                                                         geohash_py)
+
+        lo_x, lo_y, hi_x, hi_y = geohash_bbox("ezs42")
+        assert lo_x <= -5.60302734375 <= hi_x
+        assert lo_y <= 42.60498046875 <= hi_y
+        covers = geohash_covers((-6.0, 42.0, -5.0, 43.0), 3)
+        # every point of the box must hash into a covered prefix
+        import random
+
+        rng = random.Random(1)
+        cs = set(covers)
+        for _ in range(100):
+            lon = rng.uniform(-6.0, -5.0)
+            lat = rng.uniform(42.0, 43.0)
+            assert geohash_py(lon, lat, 3) in cs
+        with pytest.raises(ValueError, match="cells"):
+            geohash_covers((-180, -90, 180, 90), 8, max_cells=10)
+
+    def test_partition_pruning_via_geohash(self, spark, tmp_loc):
+        from iceberg_cpp_spark.core.metadata import (PartitionField,
+                                                     PartitionSpec)
+        from iceberg_cpp_spark.functions import transforms as tr
+        from iceberg_cpp_spark.functions.geohash import (geohash_column,
+                                                         geohash_covers)
+
+        sch = it.Schema([
+            it.NestedField(1, "id", it.LongType(), True),
+            it.NestedField(2, "gh", it.StringType(), False),
+            it.NestedField(3, "geom", it.GeometryType(), False),
+        ])
+        spec = PartitionSpec(
+            [PartitionField(2, 1000, "ghp", tr.truncate(2))], spec_id=0)
+        t = IceTable.create(spark, f"{tmp_loc}/t", sch, spec=spec,
+                            properties={"format-version": "3"})
+        rows = spark.createDataFrame(
+            [(i, -180.0 + i * 36.0, 10.0) for i in range(10)],
+            "id long, lon double, lat double")
+        df = rows.select(
+            "id", geohash_column(F.col("lon"), F.col("lat"), 6).alias("gh"),
+            _geo_pts(F.col("lon"), F.col("lat")).alias("geom"))
+        t = t.append(df)
+        box = (-10.0, 0.0, 50.0, 20.0)
+        covers = geohash_covers(box, 2)
+        pruned = t.scan(filter=ex.in_(ex.truncate(ex.Reference("gh"), 2),
+                                      covers)).plan_files()
+        assert 0 < len(pruned) < len(t.scan().plan_files())
+        got = (t.scan(filter=ex.in_(ex.truncate(ex.Reference("gh"), 2),
+                                    covers)
+                      & ex.st_intersects(ex.Reference("geom"), box))
+               .to_df().select("id").collect())
+        assert sorted(r["id"] for r in got) == [5, 6]  # lon 0 and 36

@@ -71,6 +71,7 @@ def test_driver_cap_window_composition():
         "text_span_scrub",  # ExactSubstr window scrub (text_paragraph_dedup extras row covers the corpus-global-frequency + reassembly shape at paragraph granularity; the window machinery is pinned by TestText span-scrub tests with an independent Python reference)
         "ice_ns_timestamps",  # v3 ns timestamps (ice_partition_pruned in-window covers partition pruning; ns-specific exactness/transform parity pinned by tests/test_ns_timestamps.py incl. the 2^53 double-rounding pin)
         "geo_bbox_join",    # grid-bucketed spatial join (range_join_events in-window covers interval-join shapes; the cell-explode + reference-point dedup machinery pinned by TestSpatialJoin incl. the emitted-once multi-cell pair)
+        "geo_geohash_cells",  # geohash Column encoding (ice_geo_bbox in-window covers the geo scan plane; the encoder is pinned bit-for-bit against textbook bisection + public vectors in TestGeohash, incl. the partition-pruning flow)
         "ice_mor_merge",    # merge-on-read MERGE (ice_merge_into in-window covers CoW; ice_mor_delete in-window covers the pos-delete scan plane; MoR DML semantics pinned by TestMorDml incl. the duplicate-key and race pins)
         "ice_wap_flow",     # write-audit-publish staging (ice_rollback_cherry_pick in-window covers the cherry-pick publish primitive; staging invariants pinned by TestWriteAuditPublish)
         # r10 rotation #2 displacements (all driver-green since r01-r02;
