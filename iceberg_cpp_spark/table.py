@@ -3386,6 +3386,27 @@ class IceTable:
             "added-equality-deletes": str(eq_dels),
             "total-delete-files": str(total_del_files),
         }
+        # write.summary.partition-limit (table_properties parity): the
+        # count of changed partitions always lands in the summary; the
+        # per-partition breakdown only below the limit (default 0 =
+        # disabled, matching Iceberg — unbounded per-partition rows
+        # would bloat metadata on high-cardinality specs)
+        if spec.fields and new_data:
+            parts = {}
+            for f in new_data:
+                key = "/".join(f"{k}={v}" for k, v in
+                               sorted((f.partition or {}).items()))
+                p0 = parts.setdefault(key, {"files": 0, "records": 0})
+                p0["files"] += 1
+                p0["records"] += f.record_count
+            summary["changed-partition-count"] = str(len(parts))
+            limit = int(meta.properties.get(
+                "write.summary.partition-limit", "0"))
+            if 0 < len(parts) <= limit:
+                for key, agg in sorted(parts.items()):
+                    summary[f"partitions.{key}"] = (
+                        f"added-data-files={agg['files']},"
+                        f"added-records={agg['records']}")
         if summary_extras:
             summary.update({str(k): str(v) for k, v in summary_extras.items()})
         if wap_id is not None:

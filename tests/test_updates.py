@@ -997,3 +997,34 @@ class TestWriteAuditPublish:
         assert t.to_df().count() == 7
         t = t.publish_wap("w2")
         assert t.to_df().count() == 12
+
+
+class TestPartitionSummaries:
+    def test_changed_partition_count_and_limit(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.metadata import (PartitionField,
+                                                     PartitionSpec)
+
+        sch = it.Schema([
+            it.NestedField(1, "id", it.LongType(), True),
+            it.NestedField(2, "cat", it.StringType(), False),
+        ])
+        spec = PartitionSpec([PartitionField(2, 1000, "cat", tr.IDENTITY)],
+                             spec_id=0)
+        t = IceTable.create(spark, f"{tmp_loc}/t", sch, spec=spec,
+                            properties={"write.summary.partition-limit": "4"})
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "id long, cat string")
+        t = t.append(df)
+        summ = t.current_snapshot().summary
+        assert summ["changed-partition-count"] == "2"
+        assert "partitions.cat=a" in summ and "partitions.cat=b" in summ
+        assert "added-records=2" in summ["partitions.cat=a"]
+        # over the limit: count only, no per-partition rows
+        t2 = IceTable.create(
+            spark, f"{tmp_loc}/t2", sch, spec=spec,
+            properties={"write.summary.partition-limit": "1"})
+        t2 = t2.append(df)
+        s2 = t2.current_snapshot().summary
+        assert s2["changed-partition-count"] == "2"
+        assert not any(k.startswith("partitions.") for k in s2)
