@@ -132,9 +132,6 @@ def scd2_apply(table, updates: DataFrame, key: list[str], effective,
 
     closing_keys = changed.select(*key).localCheckpoint(eager=True)
     affected_df = table._read_files_with_deletes(affected, branch=branch)
-    hit = F.lit(True)
-    for c in key:
-        hit = hit & F.expr(f"`{c}` <=> `_k_{c}`")
     keyed = closing_keys.select(*[F.col(c).alias(f"_k_{c}") for c in key])
     rewritten = (affected_df.join(
         F.broadcast(keyed),
