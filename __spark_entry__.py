@@ -1502,6 +1502,38 @@ def ice_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("cur", "batch"))
 
 
+def ice_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view (mview.py — view + storage table with
+    snapshot-based freshness, the Iceberg MV direction): an aggregation
+    over an IceTable materializes into a storage table; a source append
+    makes it STALE (stale reads serve the old result at warehouse
+    speed); to_df(allow_stale=False) refreshes. The oracle recomputes
+    all three phases from raw lineitem."""
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.mview import IceMaterializedView
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag")
+    even = li.filter(F.col("l_orderkey") % 2 == 0)
+    odd = li.filter(F.col("l_orderkey") % 2 == 1)
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_mv_"), "t")
+    src = IceTable.create(spark, os.path.join(loc, "src"),
+                          schema_from_spark(even.schema))
+    src = src.append(even)
+    mv = IceMaterializedView.create(
+        spark, os.path.join(loc, "mv"),
+        "SELECT l_returnflag AS rf, COUNT(*) AS n FROM mv_src "
+        "GROUP BY l_returnflag", {"mv_src": src})
+    p1 = mv.to_df().select(F.lit("fresh_even").alias("phase"), "rf", "n")
+    src = src.append(odd)
+    mv.sources["mv_src"] = src
+    p2 = mv.to_df().select(F.lit("stale_even").alias("phase"), "rf", "n")
+    p3 = (mv.to_df(allow_stale=False)
+          .select(F.lit("refreshed_all").alias("phase"), "rf", "n"))
+    return p1.unionByName(p2).unionByName(p3).orderBy("phase", "rf")
+
+
 def ice_avro_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spec-Avro manifest interop: table commits write Iceberg-spec Avro
     manifests + manifest lists (pure-Python avro container codec); scan
@@ -2979,6 +3011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_bbox_join": geo_bbox_join,
         # r10: geohash cells as pure Column arithmetic
         "geo_geohash_cells": geo_geohash_cells,
+        # r10: materialized view (storage table + snapshot freshness)
+        "ice_materialized_view": ice_materialized_view,
         # r10: Iceberg View spec v1 (versioned views + time travel —
         # the reference has no view surface at all)
         # r10: SCD Type 2 dimension maintenance (close-and-insert)
@@ -4483,6 +4517,18 @@ def oracle_sql() -> dict[str, str]:
         # spatial join: the oracle re-derives the envelope join as plain
         # interval arithmetic (points vs boxes; closed intervals match
         # the engine's closed-box envelope semantics)
+        "ice_materialized_view": """
+            WITH even AS (
+              SELECT l_returnflag AS rf, COUNT(*) AS n
+              FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+            allrows AS (
+              SELECT l_returnflag AS rf, COUNT(*) AS n
+              FROM lineitem GROUP BY 1)
+            SELECT 'fresh_even' AS phase, rf, n FROM even
+            UNION ALL SELECT 'stale_even', rf, n FROM even
+            UNION ALL SELECT 'refreshed_all', rf, n FROM allrows
+            ORDER BY phase, rf
+        """,
         "geo_geohash_cells": """
             WITH pts AS (
               SELECT event_id,

@@ -264,6 +264,19 @@ class IceView:
         self._write_hint(meta.location, base + 1, expected=base)
         return IceView(new_meta, loc)
 
+    def update_properties(self, updates: dict) -> "IceView":
+        """Commit a metadata version that only changes properties (no
+        new view version — CREATE OR REPLACE is ``replace``). Used by
+        the materialized-view refresh state."""
+        new_meta = ViewMetadata.from_json(self.metadata.to_json())
+        new_meta.properties.update({str(k): str(v)
+                                    for k, v in updates.items()})
+        base = int(os.path.basename(self.metadata_location).split(".")[0][1:])
+        loc = self._metadata_path(self.metadata.location, base + 1)
+        self._write(new_meta, loc, exclusive=True)
+        self._write_hint(self.metadata.location, base + 1, expected=base)
+        return IceView(new_meta, loc)
+
     # -- execution --------------------------------------------------------
     def sql_for(self, dialect: str = "spark",
                 version_id: Optional[int] = None) -> str:

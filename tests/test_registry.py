@@ -74,6 +74,7 @@ def test_driver_cap_window_composition():
         "geo_geohash_cells",  # geohash Column encoding (ice_geo_bbox in-window covers the geo scan plane; the encoder is pinned bit-for-bit against textbook bisection + public vectors in TestGeohash, incl. the partition-pruning flow)
         "ice_mor_merge",    # merge-on-read MERGE (ice_merge_into in-window covers CoW; ice_mor_delete in-window covers the pos-delete scan plane; MoR DML semantics pinned by TestMorDml incl. the duplicate-key and race pins)
         "ice_wap_flow",     # write-audit-publish staging (ice_rollback_cherry_pick in-window covers the cherry-pick publish primitive; staging invariants pinned by TestWriteAuditPublish)
+        "ice_materialized_view",  # MV storage + freshness (ice_view_spec in-window covers view metadata; ice_roundtrip_agg the storage write path; staleness semantics pinned by TestMaterializedView)
         # r10 rotation #2 displacements (all driver-green since r01-r02;
         # each keeps in-window coverage):
         "ice_transforms",   # transform projections (ice_bucket_transform in-window keeps the transform + murmur3 machinery; identity/temporal transforms ride every partitioned in-window row)

@@ -225,3 +225,77 @@ class TestRename:
                 cat.rename_table("ns.gone", "ns.x")
         finally:
             server.shutdown()
+
+
+class TestMaterializedView:
+    """mview.py — view + storage table with snapshot-based freshness
+    (the Iceberg materialized-view direction)."""
+
+    def _src(self, spark, loc, n=6):
+        sch = it.Schema([it.NestedField(1, "k", it.LongType(), True),
+                         it.NestedField(2, "v", it.LongType(), False)])
+        t = IceTable.create(spark, loc, sch)
+        return t.append(spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("v")))
+
+    def test_create_refresh_staleness(self, spark, tmp_loc):
+        from iceberg_cpp_spark.mview import IceMaterializedView
+
+        src = self._src(spark, f"{tmp_loc}/src")
+        mv = IceMaterializedView.create(
+            spark, f"{tmp_loc}/mv",
+            "SELECT v, COUNT(*) AS n FROM src_t GROUP BY v",
+            {"src_t": src})
+        assert mv.is_fresh()
+        assert {(r["v"], r["n"]) for r in mv.to_df().collect()} == {
+            (0, 2), (1, 2), (2, 2)}
+        # no-op refresh: same storage snapshot, no job
+        snap0 = mv.storage.current_snapshot().snapshot_id
+        assert mv.refresh().storage.current_snapshot().snapshot_id == snap0
+        # source moves -> stale; stale read serves the OLD result
+        src = src.append(spark.range(6, 12).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("v")))
+        mv.sources["src_t"] = src
+        assert not mv.is_fresh()
+        assert sum(r["n"] for r in mv.to_df().collect()) == 6
+        # allow_stale=False refreshes first
+        assert sum(r["n"] for r in
+                   mv.to_df(allow_stale=False).collect()) == 12
+        assert mv.is_fresh()
+
+    def test_load_and_not_mv_error(self, spark, tmp_loc):
+        from iceberg_cpp_spark.mview import IceMaterializedView
+
+        src = self._src(spark, f"{tmp_loc}/src")
+        IceMaterializedView.create(
+            spark, f"{tmp_loc}/mv",
+            "SELECT COUNT(*) AS n FROM src_t", {"src_t": src})
+        mv = IceMaterializedView.load(spark, f"{tmp_loc}/mv",
+                                      {"src_t": src})
+        assert mv.to_df().collect()[0]["n"] == 6
+        # the refresh state is readable from plain view metadata
+        assert any(k.startswith("refresh.") for k in
+                   mv.view.metadata.properties)
+        plain = IceView.create(f"{tmp_loc}/plainv", "SELECT 1 AS n",
+                               _schema())
+        with pytest.raises(ValueError, match="not a materialized view"):
+            IceMaterializedView.load(spark, f"{tmp_loc}/plainv",
+                                     {"src_t": src})
+
+    def test_multi_source_freshness(self, spark, tmp_loc):
+        from iceberg_cpp_spark.mview import IceMaterializedView
+
+        a = self._src(spark, f"{tmp_loc}/a")
+        b = self._src(spark, f"{tmp_loc}/b", n=3)
+        mv = IceMaterializedView.create(
+            spark, f"{tmp_loc}/mv",
+            "SELECT (SELECT COUNT(*) FROM a_t) + "
+            "(SELECT COUNT(*) FROM b_t) AS n",
+            {"a_t": a, "b_t": b})
+        assert mv.to_df().collect()[0]["n"] == 9
+        b = b.append(spark.range(100, 101).select(
+            F.col("id").alias("k"), F.lit(0).alias("v")))
+        mv.sources["b_t"] = b
+        assert not mv.is_fresh()   # ONE source moving is enough
+        mv = mv.refresh()
+        assert mv.to_df().collect()[0]["n"] == 10
