@@ -2921,6 +2921,13 @@ class IceTable:
                 "variant storage for parquet, and the ORC/Avro legs "
                 "have no variant encoding")
         if fmt == "orc":
+            # write.orc.* knobs (declared by the reference with no
+            # writer): codec maps to Spark's ORC writer option
+            ocodec = props.get("write.orc.compression-codec")
+            if ocodec:
+                writer = writer.option(
+                    "compression",
+                    "none" if ocodec.lower() == "none" else ocodec.lower())
             writer.mode("overwrite").orc(write_dir)
         elif fmt == "avro":
             if spec.fields:

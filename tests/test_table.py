@@ -1353,3 +1353,16 @@ class TestWriteProperties:
         f = t.scan().plan_files()[0]
         assert f.file_path.startswith(alt)
         assert t.to_df().count() == 3
+
+    def test_orc_compression_codec(self, spark, tmp_loc):
+        import pyarrow.orc as po
+
+        sch = it.Schema([it.NestedField(1, "id", it.LongType(), True)])
+        t = IceTable.create(
+            spark, f"{tmp_loc}/torc", sch,
+            properties={"write.format.default": "orc",
+                        "write.orc.compression-codec": "snappy"})
+        t = t.append(spark.range(10).select("id").coalesce(1))
+        f = t.scan().plan_files()[0]
+        assert po.ORCFile(f.file_path).compression.upper() == "SNAPPY"
+        assert t.to_df().count() == 10
