@@ -158,9 +158,26 @@ class RestCatalog(Catalog):
         self._request("POST", "/v1/namespaces",
                       {"namespace": ns.split("."), "properties": properties or {}})
 
+    PAGE_SIZE = 1000  # client-side paging bound for list endpoints
+
+    def _paged(self, path: str, key: str) -> list:
+        """Drain a paginated list endpoint (REST spec pageToken /
+        next-page-token) — a 10^5-table namespace never arrives as one
+        response body."""
+        out, token = [], None
+        while True:
+            q = f"?pageSize={self.PAGE_SIZE}"
+            if token:
+                q += f"&pageToken={token}"
+            j = self._request("GET", path + q)
+            out.extend(j.get(key, []))
+            token = j.get("next-page-token")
+            if not token:
+                return out
+
     def list_namespaces(self, parent=""):
-        j = self._request("GET", "/v1/namespaces")
-        names = [".".join(n) for n in j.get("namespaces", [])]
+        names = [".".join(n)
+                 for n in self._paged("/v1/namespaces", "namespaces")]
         if parent:
             names = [n for n in names if n.startswith(parent + ".")]
         return sorted(names)
@@ -188,7 +205,8 @@ class RestCatalog(Catalog):
         return ns or "default", name
 
     def list_tables(self, ns):
-        j = self._request("GET", f"/v1/namespaces/{ns}/tables")
+        j = {"identifiers": self._paged(
+            f"/v1/namespaces/{ns}/tables", "identifiers")}
         return sorted(f"{'.'.join(i['namespace'])}.{i['name']}"
                       for i in j.get("identifiers", []))
 
@@ -249,7 +267,8 @@ class RestCatalog(Catalog):
     # -- views (Iceberg View spec + REST catalog view routes; the
     # reference's REST stub has neither) ---------------------------------
     def list_views(self, ns):
-        j = self._request("GET", f"/v1/namespaces/{ns}/views")
+        j = {"identifiers": self._paged(
+            f"/v1/namespaces/{ns}/views", "identifiers")}
         return [f"{'.'.join(i['namespace'])}.{i['name']}"
                 for i in j.get("identifiers", [])]
 
@@ -373,14 +392,34 @@ def serve_rest_catalog(port: int = 0):
         def _route(self):
             return [p for p in self.path.split("?")[0].split("/") if p]
 
+        def _page(self, items: list) -> dict:
+            """REST spec pagination: pageToken is the offset into the
+            sorted listing, pageSize bounds the page; next-page-token
+            appears only when more remain."""
+            from urllib.parse import parse_qs, urlsplit
+
+            q = parse_qs(urlsplit(self.path).query)
+            start = int(q.get("pageToken", ["0"])[0] or 0)
+            size = int(q.get("pageSize", ["0"])[0] or 0)
+            if size <= 0:
+                return {"items": items, "next": None}
+            page = items[start:start + size]
+            nxt = (str(start + size)
+                   if start + size < len(items) else None)
+            return {"items": page, "next": nxt}
+
         def do_GET(self):
             parts = self._route()
             with lock:
                 if parts == ["v1", "config"]:
                     return self._send(200, {"defaults": {}, "overrides": {}})
                 if parts == ["v1", "namespaces"]:
-                    return self._send(200, {"namespaces": [
-                        ns.split(".") for ns in sorted(namespaces)]})
+                    pg = self._page([ns.split(".")
+                                     for ns in sorted(namespaces)])
+                    body = {"namespaces": pg["items"]}
+                    if pg["next"]:
+                        body["next-page-token"] = pg["next"]
+                    return self._send(200, body)
                 if len(parts) == 3 and parts[:2] == ["v1", "namespaces"]:
                     ns = parts[2]
                     if ns not in namespaces:
@@ -391,7 +430,11 @@ def serve_rest_catalog(port: int = 0):
                     ns = parts[2]
                     idents = [{"namespace": k[0].split("."), "name": k[1]}
                               for k in sorted(tables) if k[0] == ns]
-                    return self._send(200, {"identifiers": idents})
+                    pg = self._page(idents)
+                    body = {"identifiers": pg["items"]}
+                    if pg["next"]:
+                        body["next-page-token"] = pg["next"]
+                    return self._send(200, body)
                 if len(parts) == 5 and parts[3] == "tables":
                     t = tables.get((parts[2], parts[4]))
                     if t is None:
@@ -403,7 +446,11 @@ def serve_rest_catalog(port: int = 0):
                     ns = parts[2]
                     idents = [{"namespace": k[0].split("."), "name": k[1]}
                               for k in sorted(views) if k[0] == ns]
-                    return self._send(200, {"identifiers": idents})
+                    pg = self._page(idents)
+                    body = {"identifiers": pg["items"]}
+                    if pg["next"]:
+                        body["next-page-token"] = pg["next"]
+                    return self._send(200, body)
                 if len(parts) == 5 and parts[3] == "views":
                     v = views.get((parts[2], parts[4]))
                     if v is None:
