@@ -2485,6 +2485,7 @@ class IceTable:
         data/delete prefixes for the candidate set; orphans are the
         anti-join. Below it, a driver walk — no job overhead on small
         tables."""
+        self._check_gc_enabled("remove_orphan_files")
         meta = self.metadata
         cur = meta.current_snapshot()
         total = 0
@@ -3488,6 +3489,17 @@ class IceTable:
         return self
 
     # --- snapshot maintenance + refs (M7/M9) ------------------------------
+    def _check_gc_enabled(self, op: str) -> None:
+        """gc.enabled=false (table_properties parity) fences the
+        destructive maintenance ops — the Iceberg guard for tables whose
+        files are referenced externally (e.g. cloned metadata, external
+        indexes): deleting 'unreachable' files would corrupt those
+        readers, so the op refuses loudly instead."""
+        if self.properties().get("gc.enabled", "true") == "false":
+            raise ValueError(
+                f"{op} is disabled on this table (gc.enabled=false — its "
+                "files may be referenced outside this metadata tree)")
+
     def expire_snapshots(self, older_than_ms: Optional[int] = None,
                          keep_last: int = 1,
                          now_ms: Optional[int] = None) -> "IceTable":
@@ -3511,6 +3523,7 @@ class IceTable:
         ``now_ms`` injects the clock for deterministic tests. With no
         retention fields/properties set, behavior is exactly the
         pre-retention contract (ref heads + keep_last + older_than)."""
+        self._check_gc_enabled("expire_snapshots")
         import time as _time
 
         meta = self.metadata

@@ -1028,3 +1028,20 @@ class TestPartitionSummaries:
         s2 = t2.current_snapshot().summary
         assert s2["changed-partition-count"] == "2"
         assert not any(k.startswith("partitions.") for k in s2)
+
+
+class TestGcEnabled:
+    def test_gc_disabled_fences_maintenance(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+
+        sch = it.Schema([it.NestedField(1, "id", it.LongType(), True)])
+        t = IceTable.create(spark, f"{tmp_loc}/t", sch,
+                            properties={"gc.enabled": "false"})
+        t = t.append(spark.range(3).select("id"))
+        with pytest.raises(ValueError, match="gc.enabled"):
+            t.expire_snapshots(keep_last=1)
+        with pytest.raises(ValueError, match="gc.enabled"):
+            t.remove_orphan_files(older_than_ms=0)
+        # re-enable -> works again
+        t = t.update_properties({"gc.enabled": "true"})
+        t.expire_snapshots(keep_last=1)
