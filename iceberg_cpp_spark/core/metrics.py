@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import warnings
 from typing import Any, Iterable, Iterator, Optional
 
 import numpy as np
@@ -67,7 +68,14 @@ def metrics_modes(schema: it.Schema,
         name = k[len(prefix):]
         f = schema.find_field(name)
         if f is None:
-            raise ValueError(f"metrics mode for unknown column: {name}")
+            # Iceberg ignores metrics properties naming columns absent
+            # from the current schema (drop_column/rename_column leave
+            # stale keys behind) — a raise here would brick every
+            # subsequent write to the table
+            warnings.warn(
+                f"ignoring metrics mode for unknown column: {name}",
+                stacklevel=2)
+            continue
         out[f.field_id] = parse_metrics_mode(v)
     return out
 

@@ -101,16 +101,21 @@ def scd2_apply(table, updates: DataFrame, key: list[str], effective,
             f"duplicate key in SCD2 update batch: "
             f"{tuple(dup[0][c] for c in key)}")
 
+    # discovery joins NULL-SAFELY on the keys (a NULL key is a valid
+    # dimension member and must version like any other); match detection
+    # uses `_file` — never null on the dimension side — not a key column
     cur = (table._branch_scan(branch).with_metadata_columns().to_df()
            .filter(F.col(IS_CURRENT))
-           .select("_file", *key, *[F.col(c).alias(f"_cur_{c}")
-                                    for c in tracked]))
+           .select("_file", *[F.col(c).alias(f"_ck_{c}") for c in key],
+                   *[F.col(c).alias(f"_cur_{c}") for c in tracked]))
 
     changed_expr = None
     for c in tracked:
         ne = ~F.expr(f"`{c}` <=> `_cur_{c}`")
         changed_expr = ne if changed_expr is None else (changed_expr | ne)
-    joined = src.join(cur, key, "left").localCheckpoint(eager=True)
+    joined = (src.join(cur, on=[F.expr(f"`{c}` <=> `_ck_{c}`")
+                                for c in key], how="left")
+              .localCheckpoint(eager=True))
     new_keys = joined.filter(F.col("_file").isNull()).select(*src_cols)
     changed = joined.filter(F.col("_file").isNotNull()
                             & (changed_expr if changed_expr is not None
@@ -132,13 +137,18 @@ def scd2_apply(table, updates: DataFrame, key: list[str], effective,
 
     closing_keys = changed.select(*key).localCheckpoint(eager=True)
     affected_df = table._read_files_with_deletes(affected, branch=branch)
-    keyed = closing_keys.select(*[F.col(c).alias(f"_k_{c}") for c in key])
+    # `_matched` marker: a key column can legitimately be NULL, so
+    # "did the null-safe join match" must come from an always-non-null
+    # column on the keyed side, not from a key's null-ness
+    keyed = closing_keys.select(
+        *[F.col(c).alias(f"_k_{c}") for c in key],
+        F.lit(True).alias("_matched"))
     rewritten = (affected_df.join(
         F.broadcast(keyed),
         on=[F.expr(f"`{c}` <=> `_k_{c}`") for c in key], how="left")
         .withColumn(
             "_close",
-            F.col(IS_CURRENT) & F.col(f"_k_{key[0]}").isNotNull())
+            F.col(IS_CURRENT) & F.coalesce(F.col("_matched"), F.lit(False)))
         .select(*[c for c in src_cols],
                 F.col(VALID_FROM),
                 F.when(F.col("_close"), eff)

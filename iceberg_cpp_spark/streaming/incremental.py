@@ -235,8 +235,14 @@ def scd2_stream(stream_df, table: IceTable, key: list[str],
             return
         eff = batch_df.agg(F.max(effective_col)).collect()[0][0]
         w = Window.partitionBy(*key).orderBy(F.col(effective_col).desc())
+        # the event-time column is often ALSO a dimension attribute
+        # (e.g. updated_at) — only strip it when the dimension schema
+        # doesn't carry it, else scd2_apply's projection would miss it
+        dim_cols = {f.name for f in table.schema().fields}
+        drop_cols = (["_rn"] if effective_col in dim_cols
+                     else ["_rn", effective_col])
         deduped = (batch_df.withColumn("_rn", F.row_number().over(w))
-                   .filter(F.col("_rn") == 1).drop("_rn", effective_col))
+                   .filter(F.col("_rn") == 1).drop(*drop_cols))
         scd.scd2_apply(table, deduped, key=key, effective=eff,
                        tracked=tracked, summary_extras={
                            "streaming.source-id": sid,

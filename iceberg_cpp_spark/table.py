@@ -1776,10 +1776,21 @@ class IceTable:
         if not shard_rows:
             return self
         touched = {r["file_path"] for r in shard_rows}
-        replaced = set(old_ptrs) & touched
+        # drop_dv_for covers EVERY touched file, not just the ones that
+        # had a DV at plan time: our new vector supersedes the file's DV
+        # state as of the read snapshot, so on a CAS retry a DV that a
+        # concurrent writer committed for the same data file is a
+        # conflict (_validate_rebase aborts — rebasing would discard its
+        # delete bits, built into neither vector). For the untouched
+        # carry path the extra members are no-ops (no DV references
+        # them). require_live aborts if the data file itself was
+        # concurrently compacted away (our bits would target a dead
+        # path while its rows live on elsewhere).
         return self._commit_files(_dv_data_files(shard_rows),
                                   operation=DataOperation.DELETE,
-                                  branch=branch, drop_dv_for=replaced)
+                                  branch=branch, drop_dv_for=touched,
+                                  require_live=touched,
+                                  read_snapshot_id=self._branch_head_id(branch))
 
     def rewrite_position_deletes(self, branch: str = MAIN_BRANCH) -> "IceTable":
         """Maintenance: fold accumulated parquet position-delete files
@@ -3255,6 +3266,9 @@ class IceTable:
         schema = self.schema()
         spec = self.spec()
         if wap_id is not None:
+            # summaries store str(wap_id); normalize so a non-string id
+            # (int 7) can't bypass the duplicate-stage guard below
+            wap_id = str(wap_id)
             # write-audit-publish staging (reference declares
             # write.wap.enabled, table_properties.h, with no write path):
             # the snapshot lands in metadata WITHOUT advancing the branch

@@ -89,6 +89,29 @@ class TestScd2:
         t = scd.scd2_apply(t, upd, key=["k"], effective=TS3)
         assert t.current_snapshot().snapshot_id == before
 
+    def test_null_key_versions_like_any_other(self, spark, tmp_loc):
+        # a NULL key is a valid dimension member: a changed update for
+        # it must CLOSE the current null-key row and insert the new
+        # version — exactly one is_current row for the null key after
+        t = _dim(spark, f"{tmp_loc}/t")
+        t = scd.scd2_apply(t, spark.createDataFrame(
+            [(None, 1, "a")], "k long, v long, w string"),
+            key=["k"], effective=TS2)  # first sight: plain insert
+        assert t.to_df().filter("k is null").count() == 1
+        t = scd.scd2_apply(t, spark.createDataFrame(
+            [(None, 2, "a")], "k long, v long, w string"),
+            key=["k"], effective=TS3)  # changed: close + insert
+        nk = t.to_df().filter("k is null").orderBy("_valid_from").collect()
+        assert [r["v"] for r in nk] == [1, 2]
+        assert [r["_is_current"] for r in nk] == [False, True]
+        assert nk[0]["_valid_to"] == TS3
+        # unchanged null-key batch is a no-op (null-safe discovery)
+        before = t.current_snapshot().snapshot_id
+        t = scd.scd2_apply(t, spark.createDataFrame(
+            [(None, 2, "a")], "k long, v long, w string"),
+            key=["k"], effective=TS3)
+        assert t.current_snapshot().snapshot_id == before
+
     def test_duplicate_batch_key_raises(self, spark, tmp_loc):
         t = _dim(spark, f"{tmp_loc}/t")
         upd = spark.createDataFrame([(1, 5, "a"), (1, 6, "a")],
@@ -158,3 +181,37 @@ class TestScd2Stream:
         q2.awaitTermination(300)
         t.refresh()
         assert t.current_snapshot().snapshot_id == snap_before
+
+    def test_effective_col_as_dimension_attribute(self, spark, tmp_loc):
+        # the event-time column doubling as a dimension attribute (the
+        # common updated_at shape) must survive the batch projection
+        import os
+
+        from iceberg_cpp_spark.streaming.incremental import scd2_stream
+
+        src_sch = it.Schema([
+            it.NestedField(1, "k", it.LongType(), True),
+            it.NestedField(2, "v", it.LongType(), False),
+            it.NestedField(3, "ts", it.TimestampType(), False),
+        ])
+        t = IceTable.create(spark, f"{tmp_loc}/dim", scd.scd2_schema(src_sch),
+                            properties={"format-version": "3"})
+        t = t.append(scd.scd2_init(
+            spark.createDataFrame([(1, 10, TS1)],
+                                  "k long, v long, ts timestamp"), TS1))
+        srcdir = os.path.join(tmp_loc, "scd_src")
+        spark.createDataFrame([(1, 11, TS2), (2, 20, TS2)],
+                              "k long, v long, ts timestamp") \
+            .write.parquet(srcdir)
+        stream = spark.readStream.schema("k long, v long, ts timestamp") \
+            .parquet(srcdir)
+        q = scd2_stream(stream, t, key=["k"],
+                        checkpoint_dir=os.path.join(tmp_loc, "ckpt"),
+                        effective_col="ts")
+        q.awaitTermination(300)
+        t.refresh()
+        cur = {r["k"]: (r["v"], r["ts"])
+               for r in t.to_df().filter("_is_current").collect()}
+        assert cur[1] == (11, TS2) and cur[2] == (20, TS2)
+        closed = t.to_df().filter("not _is_current").collect()
+        assert len(closed) == 1 and closed[0]["ts"] == TS1

@@ -1203,8 +1203,13 @@ class TestMetricsModes:
         assert metrics_modes(sch, {}) == {1: ("truncate", 16)}
         assert metrics_modes(sch, {
             "write.metadata.metrics.column.s": "full"}) == {1: ("full",)}
-        with pytest.raises(ValueError, match="unknown column"):
-            metrics_modes(sch, {"write.metadata.metrics.column.zzz": "full"})
+        # a stale property naming a dropped/renamed column must NOT
+        # brick the write path — Iceberg ignores unknown-column metrics
+        # properties (warn, keep the defaults for real columns)
+        with pytest.warns(UserWarning, match="unknown column"):
+            assert metrics_modes(
+                sch, {"write.metadata.metrics.column.zzz": "full"}
+            ) == {1: ("truncate", 16)}
 
     def test_truncate_upper_invariants(self):
         from iceberg_cpp_spark.core.metrics import (truncate_upper_bytes,
@@ -1291,6 +1296,21 @@ class TestMetricsModes:
         # un-bounded columns never mis-prune: both scans stay correct
         assert t.scan(filter=ex.eq(ex.Reference("id"), 1)).to_df().count() == 1
         assert t.scan(filter=ex.is_null(ex.Reference("s"))).to_df().count() == 1
+
+    def test_stale_column_property_does_not_brick_writes(self, spark, tmp_loc):
+        # drop a column whose metrics property stays behind — every
+        # subsequent append must still succeed (warn-and-ignore)
+        sch = it.Schema([
+            it.NestedField(1, "id", it.LongType(), True),
+            it.NestedField(2, "s", it.StringType(), False),
+        ])
+        t = IceTable.create(
+            spark, f"{tmp_loc}/t", sch,
+            properties={"write.metadata.metrics.column.s": "full"})
+        t = t.append(spark.createDataFrame([(1, "a")], "id long, s string"))
+        t = t.drop_column("s")
+        t = t.append(spark.createDataFrame([(2,)], "id long"))
+        assert t.to_df().count() == 2
 
 
 class TestWriteProperties:

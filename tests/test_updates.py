@@ -767,6 +767,45 @@ class TestRebaseValidation:
         assert fresh.to_df().count() == 7  # DV delete survived
         assert fresh.to_df().filter(F.col("id") == 3).count() == 0
 
+    def test_stale_dv_delete_vs_concurrent_dv_delete_aborts(self, spark, tmp_loc):
+        # two writers build DVs for the SAME data file from the same
+        # base; each vector supersedes the file's DV state, so the loser
+        # of the CAS must abort (rebasing would discard the winner's
+        # delete bits), even though the loser saw NO prior DV at plan
+        # time (drop_dv_for covers every touched file, not just replaced)
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.plans import expressions as ex
+        from iceberg_cpp_spark.table import ValidationError
+
+        loc = f"{tmp_loc}/t"
+        t = self._table(spark, loc, files=1)
+        stale = IceTable.load(spark, loc)
+        t.delete_where(ex.eq(ex.Reference("id"), 3), mode="deletion-vector")
+        with pytest.raises(ValidationError, match="lose those deletes"):
+            stale.delete_where(ex.eq(ex.Reference("id"), 5),
+                               mode="deletion-vector")
+        fresh = IceTable.load(spark, loc)
+        assert fresh.to_df().count() == 7  # winner's delete intact
+        assert fresh.to_df().filter(F.col("id") == 3).count() == 0
+        assert fresh.to_df().filter(F.col("id") == 5).count() == 1
+
+    def test_stale_dv_delete_vs_concurrent_compaction_aborts(self, spark, tmp_loc):
+        # the data file our DV targets was compacted away concurrently:
+        # its rows live on in a new file our bitmap doesn't reference
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.plans import expressions as ex
+        from iceberg_cpp_spark.table import ValidationError
+
+        loc = f"{tmp_loc}/t"
+        t = self._table(spark, loc, files=2)
+        stale = IceTable.load(spark, loc)
+        t.rewrite_data_files(target_file_count=1)
+        with pytest.raises(ValidationError, match="concurrent commit removed"):
+            stale.delete_where(ex.eq(ex.Reference("id"), 1),
+                               mode="deletion-vector")
+        fresh = IceTable.load(spark, loc)
+        assert fresh.to_df().count() == 8  # nothing lost, nothing deleted
+
     def test_stale_rewrite_vs_disjoint_append_rebases(self, spark, tmp_loc):
         from iceberg_cpp_spark import IceTable
         from iceberg_cpp_spark.plans import expressions as ex
@@ -978,6 +1017,19 @@ class TestWriteAuditPublish:
             t.append(t.spark.range(1).select("id"), wap_id="w1")
         with pytest.raises(ValueError, match="no staged snapshot"):
             t.publish_wap("never-staged")
+
+    def test_non_string_wap_id_hits_duplicate_guard(self, spark, tmp_loc):
+        # summaries store str(wap_id); an int id must not bypass the
+        # duplicate-stage guard via a str-vs-int comparison mismatch
+        t = self._table(spark, f"{tmp_loc}/t")
+        t = t.append(spark.range(10, 12).select("id").coalesce(1),
+                     wap_id=7)
+        with pytest.raises(ValueError, match="already staged or published"):
+            t.append(t.spark.range(1).select("id"), wap_id=7)
+        with pytest.raises(ValueError, match="already staged or published"):
+            t.append(t.spark.range(1).select("id"), wap_id="7")
+        t = t.publish_wap(7)
+        assert t.to_df().count() == 7
 
     def test_wap_requires_property(self, spark, tmp_loc):
         from iceberg_cpp_spark import IceTable
