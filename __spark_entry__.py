@@ -2852,82 +2852,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # of them gets a driver correctness row; redundant relational variants
     # (2nd-tier TPC-H, scalar/setop demos) sit past the cap.
     return {
-        # iceberg-native (28) — r9 rotation pulled the newest mutation /
-        # interop rows (ice_update_where, ice_cdc_apply, ice_avro_v3,
-        # ice_avro_data) inside the cap
-        # r10 rotation #2: first driver rows for the round's new
-        # first-class families (geo type, SCD2, View spec, data quality)
-        # — displaced rows keep in-window coverage, see test_registry.py
+        # NOTE: dict order matters — the driver checks the FIRST 50 only.
+        # r11 rotation #3 (VERDICT r10 task 1): first driver rows for
+        # every r10 family that previously had only judge-side oracle
+        # runs (v3 variant / ns timestamps, materialized view, MoR
+        # MERGE, WAP staging, ORC write leg, partition statistics,
+        # spatial join + geohash, span scrub, LM perplexity, DSIR,
+        # paragraph dedup, SemDeDup, incremental minhash). The 15
+        # displaced rows (all driver-green since r01–r09) keep
+        # in-window family coverage — justifications live in
+        # tests/test_registry.py judge_only_extras.
         "ice_geo_bbox": ice_geo_bbox,
-        "ice_bucket_transform": ice_bucket_transform,
-        "ice_roundtrip_agg": ice_roundtrip_agg,
+        "ice_variant": ice_variant,
+        "ice_ns_timestamps": ice_ns_timestamps,
         "ice_partition_pruned": ice_partition_pruned,
         "ice_view_spec": ice_view_spec,
-        "ice_delete_where": ice_delete_where,
+        "ice_materialized_view": ice_materialized_view,
         "ice_update_where": ice_update_where,
         "ice_mor_delete": ice_mor_delete,
+        "ice_mor_merge": ice_mor_merge,
         "ice_deletion_vector": ice_deletion_vector,
         "ice_row_lineage": ice_row_lineage,
-        "ice_incremental_read": ice_incremental_read,
-        "ice_equality_delete": ice_equality_delete,
-        "ice_schema_evolution": ice_schema_evolution,
-        "ice_metadata_columns": ice_metadata_columns,
+        "ice_changelog": ice_changelog,
+        "ice_cdc_apply": ice_cdc_apply,
         "ice_add_files": ice_add_files,
-        "ice_avro_data": ice_avro_data,
+        "ice_avro_v3": ice_avro_v3,
+        "ice_orc_data": ice_orc_data,
+        "ice_orc_write": ice_orc_write,
         "ice_compaction": ice_compaction,
         "ice_maintenance_lifecycle": ice_maintenance_lifecycle,
         "ice_merge_into": ice_merge_into,
-        "ice_cdc_apply": ice_cdc_apply,
-        "ice_avro_v3": ice_avro_v3,
         "ice_partition_evolution": ice_partition_evolution,
-        "ice_changelog": ice_changelog,
-        "ice_orc_data": ice_orc_data,
-        "ice_zorder": ice_zorder,
-        # r10 rotation (VERDICT r09 task 3): first-ever driver rows for
-        # the large-N scan strategies, nested types, snapshot-ref
-        # management, and the new real-GIF decoder; displaced rows (all
-        # with operator coverage remaining in-window) moved to the
-        # judge-only extras — see tests/test_registry.py
+        "ice_partition_stats": ice_partition_stats,
+        "ice_wap_flow": ice_wap_flow,
         "ice_large_scan": ice_large_scan,
         "ice_pyds_scan": ice_pyds_scan,
         "ice_nested_types": ice_nested_types,
         "ice_rollback_cherry_pick": ice_rollback_cherry_pick,
         "ice_scd2_dimension": ice_scd2_dimension,
-        # LLM pipeline (16)
+        # LLM pipeline (18)
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
-        "dedup_embedding": dedup_embedding,
-        "dedup_transitive": dedup_transitive,
+        "dedup_semantic": dedup_semantic,
+        "dedup_incremental": dedup_incremental,
         "ann_ivf_topk": ann_ivf_topk,
         "text_stats": text_stats,
-        "text_quality": text_quality,
         "text_token_familiarity": text_token_familiarity,
-        "multimodal_metadata": multimodal_metadata,
+        "text_span_scrub": text_span_scrub,
+        "text_lm_perplexity": text_lm_perplexity,
+        "text_paragraph_dedup": text_paragraph_dedup,
+        "sample_dsir": sample_dsir,
         "multimodal_png_real": multimodal_png_real,
         "multimodal_gif_frames": multimodal_gif_frames,
-        "multimodal_audio": multimodal_audio,
-        "embedding_clusters": embedding_clusters,
         "stream_sessionize": stream_sessionize,
-        # trained-classifier family (r10: first driver row)
         "classify_nb_lang": classify_nb_lang,
-        # sparse lexical retrieval (r10: first driver row; ann_topk
-        # displaced to extras — ann_ivf_topk keeps the dense-ANN
-        # machinery in-window and PQ/brute variants stay judge-run)
         "retrieval_bm25": retrieval_bm25,
-        # relational representatives (4; q3 displaced to the judge-run
-        # tail for classify_nb_lang — ORDER+LIMIT+join stays covered
-        # in-window by events_window_agg/range_join and q3 itself has
-        # been green since r01)
+        "geo_bbox_join": geo_bbox_join,
+        "geo_geohash_cells": geo_geohash_cells,
+        # relational representatives (4)
         "q1_pricing_summary": q1_pricing_summary,
         "events_window_agg": events_window_agg,
         "quality_expectations": quality_expectations,
         "range_join_events": range_join_events,
         # ---- driver cap (50) is here; everything below is judge-only ----
-        # displaced by the r10 rotation #2 (all green since r01-r02):
         "ice_transforms": ice_transforms,
         "ice_time_travel": ice_time_travel,
         "stream_hourly": stream_hourly,
         "asof_join_events": asof_join_events,
+        # displaced by the r11 rotation #3 (driver-green r01–r10):
+        "ice_bucket_transform": ice_bucket_transform,
+        "ice_roundtrip_agg": ice_roundtrip_agg,
+        "ice_delete_where": ice_delete_where,
+        "ice_equality_delete": ice_equality_delete,
+        "ice_schema_evolution": ice_schema_evolution,
+        "ice_metadata_columns": ice_metadata_columns,
+        "ice_avro_data": ice_avro_data,
+        "ice_zorder": ice_zorder,
+        "ice_incremental_read": ice_incremental_read,
+        "dedup_embedding": dedup_embedding,
+        "dedup_transitive": dedup_transitive,
+        "text_quality": text_quality,
+        "multimodal_audio": multimodal_audio,
+        "multimodal_metadata": multimodal_metadata,
+        "embedding_clusters": embedding_clusters,
+        # long-standing judge-only extras + relational tail:
         "agg_rollup": agg_rollup,
         "q3_shipping_priority": q3_shipping_priority,
         "q12_shipping_modes": q12_shipping_modes,
@@ -2937,13 +2945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_avro_manifests": ice_avro_manifests,
         "ice_sorted_write": ice_sorted_write,
         "ice_datasource": ice_datasource,
-        "ice_orc_write": ice_orc_write,
-        "ice_partition_stats": ice_partition_stats,
-        "text_paragraph_dedup": text_paragraph_dedup,
         "dedup_minhash_verified": dedup_minhash_verified,
         "dedup_simhash": dedup_simhash,
-        "dedup_semantic": dedup_semantic,
-        "dedup_incremental": dedup_incremental,
         "ngram_jaccard": ngram_jaccard,
         "multimodal_decode": multimodal_decode,
         "sessionize_events": sessionize_events,
@@ -2995,33 +2998,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_merge_schema": ice_merge_schema,
         "ice_metadata_tables": ice_metadata_tables,
         "multimodal_frames": multimodal_frames,
-        # r10: LM-perplexity quality scoring + DSIR importance resampling
-        "text_lm_perplexity": text_lm_perplexity,
-        "sample_dsir": sample_dsir,
-        # r10: v3 variant type (exceeds the reference's v2-pinned enum)
-        "ice_variant": ice_variant,
-        # r10: exact-substring span scrub (Lee et al. ExactSubstr)
-        "text_span_scrub": text_span_scrub,
-        # r10: v3 nanosecond timestamps (exceeds the reference's µs-only
-        # TimeUnit enum)
-        "ice_ns_timestamps": ice_ns_timestamps,
-        # r10: v3 geometry type (WKB + envelope bounds + st_intersects
-        # file pruning — exceeds the reference's v2-pinned enum)
-        # r10: grid-bucketed spatial join (no cartesian, no distinct)
-        "geo_bbox_join": geo_bbox_join,
-        # r10: geohash cells as pure Column arithmetic
-        "geo_geohash_cells": geo_geohash_cells,
-        # r10: materialized view (storage table + snapshot freshness)
-        "ice_materialized_view": ice_materialized_view,
-        # r10: Iceberg View spec v1 (versioned views + time travel —
-        # the reference has no view surface at all)
-        # r10: SCD Type 2 dimension maintenance (close-and-insert)
-        # r10: merge-on-read MERGE (write.merge.mode) — same oracle as
-        # the CoW merge: results must be mode-invariant
-        "ice_mor_merge": ice_mor_merge,
-        # r10: write-audit-publish staging flow
-        "ice_wap_flow": ice_wap_flow,
-        # r10: declarative data-quality expectations
     }
 
 
