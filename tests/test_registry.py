@@ -54,27 +54,36 @@ def test_driver_cap_window_composition():
         # driver rows — each displaced operator keeps in-window coverage:
         "ice_avro_manifests",  # Avro manifest read/write (ice_avro_v3 + ice_avro_data in-window)
         "ice_sorted_write",  # sorted-write ordering (ice_zorder sort rewrite in-window)
-        "dedup_simhash",    # hamming-bucket dedup (dedup_minhash + dedup_embedding LSH in-window)
-        "dedup_semantic",   # SemDeDup cluster-prune (dedup_embedding in-window shares the grouped-cosine machinery)
-        "dedup_incremental",  # store-backed incremental LSH (dedup_minhash in-window shares the banding; ice_merge_into in-window covers the store MERGE)
+        "dedup_simhash",    # hamming-bucket dedup (dedup_minhash LSH in-window; dedup_embedding extras row pins the embedding-LSH leg)
         "ngram_jaccard",    # n-gram Jaccard pairs (dedup_minhash shingle-Jaccard in-window)
         "multimodal_decode",  # fake-decode plumbing (multimodal_png_real + multimodal_gif_frames real decodes in-window)
         "sessionize_events",  # batch sessionization (stream_sessionize in-window; r02 hash-flap cause pinned by test_no_hugeint_oracle_columns)
         "ice_datasource",   # datasource registration demo (ice_pyds_scan exercises the python-datasource plane, ice_large_scan the jvm-union plane, both in-window; displaced for ice_orc_data)
-        "ice_orc_write",    # write.format.default=orc leg (ice_orc_data in-window covers the ORC scan/need_meta read planes)
-        "ice_partition_stats",  # partition-statistics file write+readback (ice_partition_pruned in-window covers the partition metadata it aggregates; ice_analyze_ndv covers the sibling table-stats pointer flow)
-        "text_paragraph_dedup",  # repeated-boilerplate paragraph scrub (dedup_exact in-window covers the hash-groupBy dedup core; text_chunking covers the explode/reassemble plumbing)
         "ann_topk",         # brute-force cosine baseline (ann_ivf_topk in-window keeps the dense-ANN scoring machinery; displaced for retrieval_bm25's first driver row)
-        "text_lm_perplexity",  # bigram-LM cross-entropy scoring (text_token_familiarity in-window covers the unigram-familiarity counting core; classify_nb_lang the trained-model scoring flow)
-        "sample_dsir",      # DSIR importance resampling (retrieval_bm25 in-window covers broadcast-scored ranking; the md5 hash-decision machinery is pinned by the sample_* tail rows and test_lm_dsir.py's cross-engine reference)
-        "ice_variant",      # v3 variant type end-to-end (ice_deletion_vector in-window covers the DV scan plane it rides; the variant-specific planes are pinned by tests/test_variant.py incl. the rewrite field-id regression)
-        "text_span_scrub",  # ExactSubstr window scrub (text_paragraph_dedup extras row covers the corpus-global-frequency + reassembly shape at paragraph granularity; the window machinery is pinned by TestText span-scrub tests with an independent Python reference)
-        "ice_ns_timestamps",  # v3 ns timestamps (ice_partition_pruned in-window covers partition pruning; ns-specific exactness/transform parity pinned by tests/test_ns_timestamps.py incl. the 2^53 double-rounding pin)
-        "geo_bbox_join",    # grid-bucketed spatial join (range_join_events in-window covers interval-join shapes; the cell-explode + reference-point dedup machinery pinned by TestSpatialJoin incl. the emitted-once multi-cell pair)
-        "geo_geohash_cells",  # geohash Column encoding (ice_geo_bbox in-window covers the geo scan plane; the encoder is pinned bit-for-bit against textbook bisection + public vectors in TestGeohash, incl. the partition-pruning flow)
-        "ice_mor_merge",    # merge-on-read MERGE (ice_merge_into in-window covers CoW; ice_mor_delete in-window covers the pos-delete scan plane; MoR DML semantics pinned by TestMorDml incl. the duplicate-key and race pins)
-        "ice_wap_flow",     # write-audit-publish staging (ice_rollback_cherry_pick in-window covers the cherry-pick publish primitive; staging invariants pinned by TestWriteAuditPublish)
-        "ice_materialized_view",  # MV storage + freshness (ice_view_spec in-window covers view metadata; ice_roundtrip_agg the storage write path; staleness semantics pinned by TestMaterializedView)
+        # r11 rotation (VERDICT r10 task 1): the r10-rotation extras that
+        # moved INTO the window this round (ice_variant, text_span_scrub,
+        # ice_ns_timestamps, geo_bbox_join, geo_geohash_cells, ice_mor_merge,
+        # ice_wap_flow, ice_materialized_view, ice_orc_write,
+        # ice_partition_stats, text_lm_perplexity, sample_dsir,
+        # dedup_semantic, dedup_incremental, text_paragraph_dedup) were
+        # pruned from this set; the 15 rows below are the long-green
+        # (driver-green since r01-r09) queries they displaced — each keeps
+        # in-window coverage of its underlying operator:
+        "ice_bucket_transform",  # bucket-transform partition pruning (ice_partition_pruned in-window keeps file pruning; Appendix-B murmur3 vectors pinned in TestTransforms)
+        "ice_roundtrip_agg",  # write→scan→agg roundtrip (ice_compaction + ice_add_files in-window keep the write plane; every in-window ice_* scans what it wrote)
+        "ice_delete_where",  # CoW DELETE WHERE (ice_update_where in-window keeps the CoW rewrite plane; ice_mor_delete the delete-scan plane)
+        "ice_equality_delete",  # equality-delete apply (ice_mor_delete in-window keeps the MoR delete-apply scan; eq-delete fold/batching pinned by TestEqualityDeletes)
+        "ice_schema_evolution",  # field-id add/rename/drop projection (ice_add_files in-window keeps name-mapping + field-id projection; evolution matrix pinned by TestSchemaEvolution)
+        "ice_metadata_columns",  # _file/_pos/_deleted metadata columns (ice_row_lineage in-window keeps the metadata-column projection plane incl. _row_id)
+        "ice_avro_data",    # avro data-file scan (ice_avro_v3 in-window keeps the pure-python Avro read/write plane end-to-end)
+        "ice_zorder",       # z-order rewrite (ice_compaction in-window keeps the rewrite-files plane; z-value interleave pinned by TestZorder)
+        "ice_incremental_read",  # snapshot-range incremental scan (ice_changelog + ice_cdc_apply in-window keep the incremental/CDC plane)
+        "dedup_embedding",  # embedding-LSH near-dup (dedup_semantic in-window keeps grouped-cosine; dedup_minhash the banded-LSH plane)
+        "dedup_transitive",  # connected-components closure (dedup_minhash in-window keeps pair generation; iterative closure pinned by TestDedupTransitive)
+        "text_quality",     # Gopher-style quality gates (text_stats in-window keeps the tokenless column-expr stats plane)
+        "multimodal_audio",  # WAV synth+decode (multimodal_png_real in-window keeps the real-codec mapInPandas plane; WAV codec pinned by TestWavCodec)
+        "multimodal_metadata",  # container metadata sniff (multimodal_png_real + multimodal_gif_frames in-window keep the binary-column decode plane)
+        "embedding_clusters",  # k-means-lite cluster assign (ann_ivf_topk in-window keeps the centroid-assign machinery it shares)
         # r10 rotation #2 displacements (all driver-green since r01-r02;
         # each keeps in-window coverage):
         "ice_transforms",   # transform projections (ice_bucket_transform in-window keeps the transform + murmur3 machinery; identity/temporal transforms ride every partitioned in-window row)
