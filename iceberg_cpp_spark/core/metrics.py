@@ -373,7 +373,7 @@ def collect_metrics(spark, paths: list[str], schema: it.Schema,
     return {r["path"]: _decode_metrics_json(r["metrics_json"]) for r in rows}
 
 
-def _orc_file_metrics(path: str) -> dict:
+def _orc_counts_only(path: str) -> dict:
     import pyarrow.orc as po
 
     return {
@@ -384,42 +384,109 @@ def _orc_file_metrics(path: str) -> dict:
     }
 
 
-def collect_orc_metrics(spark, paths: list[str]) -> dict[str, dict]:
+def _orc_file_metrics(path: str, fields=None, modes=None) -> dict:
+    """One ORC file → Iceberg metrics dict with real per-column bounds,
+    harvested from the footer's ColumnStatistics protobuf
+    (core/orc_footer.py) — a tail read, no stripes touched. Falls back
+    to counts-only (the pre-r12 behavior: pruning conservatively keeps
+    the file) on footers this parser can't decode."""
+    if not fields:
+        return _orc_counts_only(path)
+    from iceberg_cpp_spark.core import orc_footer as of
+
+    try:
+        footer = of.read_footer(path)
+        ids = of.column_ids(footer.types)
+    except Exception:
+        return _orc_counts_only(path)
+    nrows = int(footer.number_of_rows)
+    column_sizes: dict[int, int] = {}
+    value_counts: dict[int, int] = {}
+    null_counts: dict[int, int] = {}
+    lowers: dict[int, Any] = {}
+    uppers: dict[int, Any] = {}
+    by_id = {fid: t for _, (fid, t) in fields.items()}
+    for name, (fid, t) in fields.items():
+        tid = ids.get(name)
+        if tid is None or tid >= len(footer.statistics):
+            continue
+        st = footer.statistics[tid]
+        # Iceberg value_counts include nulls (parquet num_values shape);
+        # ORC numberOfValues counts non-null — the difference, from any
+        # nesting level, is the null count (parquet def-level semantics)
+        value_counts[fid] = nrows
+        if st.number_of_values is not None:
+            null_counts[fid] = nrows - int(st.number_of_values)
+        if st.bytes_on_disk:
+            column_sizes[fid] = int(st.bytes_on_disk)
+        lo, hi = of.stat_bounds(st, t)
+        if lo is None or hi is None:
+            continue
+        if isinstance(t, (it.FloatType, it.DoubleType)) and (
+                math.isnan(lo) or math.isnan(hi)):
+            continue  # NaN is not a usable bound (spec: bounds skip NaN)
+        try:
+            lowers[fid] = to_bytes(lo, t)
+            uppers[fid] = to_bytes(hi, t)
+        except Exception:
+            pass
+    out = {
+        "record_count": nrows,
+        "file_size_in_bytes": os.path.getsize(path),
+        "column_sizes": column_sizes,
+        "value_counts": value_counts,
+        "null_value_counts": null_counts,
+        "nan_value_counts": {},
+        "lower_bounds": lowers,
+        "upper_bounds": uppers,
+    }
+    apply_metrics_modes(out, modes, by_id)
+    return out
+
+
+def collect_orc_metrics(spark, paths: list[str],
+                        schema: Optional[it.Schema] = None,
+                        modes=None) -> dict[str, dict]:
     """Footer harvest for ORC data files (``write.format.default=orc``).
-    pyarrow.orc exposes row counts but no per-column statistics, so ORC
-    DataFile entries carry record_count + file size only — partition
-    pruning still applies; metrics pruning conservatively keeps the
-    files (same contract as the add_files ORC import leg). Mirrors
-    ``collect_metrics``'s driver/executor crossover."""
+    Reads each file's ColumnStatistics from the ORC footer protobuf so
+    DataFile entries carry the same record/value/null counts and
+    spec-encoded lower/upper bounds as the parquet path (reference
+    metrics.h:33-42 is format-agnostic). Mirrors ``collect_metrics``'s
+    driver/executor crossover; files whose footers can't be decoded
+    (exotic codec) degrade to counts-only — pruning keeps them."""
+    fields = _field_map(schema) if schema is not None else None
     if spark is None or len(paths) <= DISTRIBUTED_THRESHOLD:
         if len(paths) <= 8:
-            return {p: _orc_file_metrics(p) for p in paths}
+            return {p: _orc_file_metrics(p, fields, modes) for p in paths}
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(_DRIVER_THREADS) as ex:
-            return dict(zip(paths, ex.map(_orc_file_metrics, paths)))
+            return dict(zip(paths, ex.map(
+                lambda p: _orc_file_metrics(p, fields, modes), paths)))
 
     import pandas as pd
 
     def harvest(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for b in batches:
-            counts, sizes = [], []
-            for p in b["path"]:
-                m = _orc_file_metrics(p)
-                counts.append(m["record_count"])
-                sizes.append(m["file_size_in_bytes"])
-            yield pd.DataFrame({"path": b["path"], "record_count": counts,
-                                "file_size_in_bytes": sizes})
+            yield pd.DataFrame({
+                "path": b["path"],
+                "metrics_json": [_orc_metrics_json(p, fields, modes)
+                                 for p in b["path"]],
+            })
 
     pdf = spark.createDataFrame([(p,) for p in paths], "path string")
     rows = pdf.repartition(max(1, len(paths) // _PATHS_PER_TASK)).mapInPandas(
-        harvest, schema="path string, record_count long, file_size_in_bytes long"
+        harvest, schema="path string, metrics_json string"
     ).collect()
-    empty = {"column_sizes": {}, "value_counts": {}, "null_value_counts": {},
-             "nan_value_counts": {}, "lower_bounds": {}, "upper_bounds": {}}
-    return {r["path"]: {"record_count": r["record_count"],
-                        "file_size_in_bytes": r["file_size_in_bytes"], **empty}
-            for r in rows}
+    return {r["path"]: _decode_metrics_json(r["metrics_json"]) for r in rows}
+
+
+def _orc_metrics_json(path: str, fields, modes=None) -> str:
+    m = _orc_file_metrics(path, fields, modes)
+    enc = dict(m)
+    enc["lower_bounds"] = {k: v.hex() for k, v in m["lower_bounds"].items()}
+    enc["upper_bounds"] = {k: v.hex() for k, v in m["upper_bounds"].items()}
+    return json.dumps(enc)
 
 
 def schema_has_variant(schema: it.Schema) -> bool:

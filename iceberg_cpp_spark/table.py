@@ -2749,10 +2749,24 @@ class IceTable:
                 if not any(fld.name in file_names for fld in schema.fields):
                     raise ValueError(
                         f"no columns of {p} map into the table schema")
+                # footer ColumnStatistics → bounds for columns whose
+                # names match the table schema directly (alias-mapped
+                # columns keep counts-only: pruning stays conservative)
+                from iceberg_cpp_spark.core.metrics import (_field_map,
+                                                            _orc_file_metrics,
+                                                            metrics_modes)
+
+                m = _orc_file_metrics(p, _field_map(schema),
+                                      metrics_modes(schema,
+                                                    self.properties()))
                 new_files.append(mf.DataFile(
                     content=mf.CONTENT_DATA, file_path=p, file_format="orc",
-                    partition={}, record_count=int(f.nrows),
-                    file_size_in_bytes=os.path.getsize(p)))
+                    partition={}, record_count=m["record_count"],
+                    file_size_in_bytes=m["file_size_in_bytes"],
+                    value_counts=m["value_counts"],
+                    null_value_counts=m["null_value_counts"],
+                    lower_bounds=m["lower_bounds"],
+                    upper_bounds=m["upper_bounds"]))
                 continue
             if av.is_avro(p):
                 # header + block-count pass only — no record decode on
@@ -2967,7 +2981,8 @@ class IceTable:
 
         modes = metrics_modes(schema, self.properties())
         if fmt == "orc":
-            metrics = collect_orc_metrics(self.spark, paths)
+            metrics = collect_orc_metrics(self.spark, paths, schema,
+                                          modes=modes)
         elif schema_has_variant(schema):
             # pyarrow cannot open footers of variant-bearing files
             # (unrecognized Thrift LogicalType) — harvest exact stats

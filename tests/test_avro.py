@@ -755,7 +755,8 @@ class TestAvroDataFiles:
     def test_orc_write_format_default(self, spark, tmp_loc, lineitem):
         """``write.format.default=orc``: append/overwrite emit ORC data
         files through Spark's native JVM writer (footer harvest via
-        collect_orc_metrics — counts + sizes, no bounds), scans ride
+        collect_orc_metrics — counts, sizes AND column bounds from the
+        ORC footer protobuf, see tests/test_orc_metrics.py), scans ride
         the JVM ORC leg with pushdown, MoR deletes use the need_meta
         pyarrow leg, and flipping the property back to parquet yields a
         mixed-format table that still scans correctly."""
