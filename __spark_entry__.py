@@ -1416,6 +1416,49 @@ def geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("n_name"))
 
 
+def geo_exact_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT st_intersects with a WKB polygon literal (core/geom.py —
+    the r10-task-3 kernel): event points on an INTEGER lattice (so
+    both the crossing-number kernel and the oracle's half-plane
+    arithmetic are float-exact, boundary rows included identically)
+    ride a v3 geometry table; the scan filters with a triangle whose
+    envelope admits ~2x the rows the triangle does, so any fallback to
+    envelope semantics breaks the hash. File pruning still runs on the
+    triangle's envelope (pinned by tests/test_geom_exact.py)."""
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core import geom
+    from iceberg_cpp_spark.core import types as ity
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id", "event_type",
+        (F.col("event_id") % 360 - 180).cast("double").alias("x"),
+        (F.col("event_id") * 7 % 170 - 85).cast("double").alias("y"))
+    df = (pts.withColumn("geom", _geo_point_udf()(F.col("x"), F.col("y")))
+          .repartitionByRange(8, "x")
+          .select("event_id", "event_type", "geom"))
+
+    sch = ity.Schema([
+        ity.NestedField(1, "event_id", ity.LongType(), True),
+        ity.NestedField(2, "event_type", ity.StringType(), False),
+        ity.NestedField(3, "geom", ity.GeometryType(), False),
+    ])
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_geoex_"), "t")
+    t = IceTable.create(spark, loc, sch,
+                        properties={"format-version": "3"})
+    t = t.append(df)
+    # right triangle (-30,-10) (40,-10) (-30,50): inside ⇔
+    # y >= -10 AND x >= -30 AND 6x + 7y <= 170 (the oracle's form)
+    tri = geom.polygon_wkb([(-30.0, -10.0), (40.0, -10.0), (-30.0, 50.0)])
+    scan = t.scan(filter=ex.st_intersects(ex.Reference("geom"), tri))
+    return (scan.to_df()
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("event_id").alias("sum_eid"))
+            .orderBy("event_type"))
+
+
 def ice_view_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg View spec v1 (the reference has NO view surface — its
     only 'view' hits are std::string_view): a spec view over an
@@ -2998,6 +3041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_merge_schema": ice_merge_schema,
         "ice_metadata_tables": ice_metadata_tables,
         "multimodal_frames": multimodal_frames,
+        "geo_exact_filter": geo_exact_filter,
     }
 
 
@@ -4523,6 +4567,20 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    CAST(SUM(event_id) AS BIGINT) AS sum_eid
             FROM zt GROUP BY 1 ORDER BY gh
+        """,
+        "geo_exact_filter": """
+            WITH pts AS (
+              SELECT event_id, event_type,
+                     CAST(event_id % 360 - 180 AS DOUBLE) AS x,
+                     CAST(event_id * 7 % 170 - 85 AS DOUBLE) AS y
+              FROM events)
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_eid
+            FROM pts
+            WHERE y >= -10 AND x >= -30 AND 6 * x + 7 * y <= 170
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "geo_bbox_join": """
             WITH pts AS (

@@ -318,12 +318,20 @@ class UnboundPredicate(Expression):
             if bterm.transform is not None:
                 raise ValueError(f"{op} cannot apply to a transform term")
             bbox = self.literals[0] if self.literals else None
+            if isinstance(bbox, (bytes, bytearray)):
+                # exact mode: literal is a WKB POLYGON/MULTIPOLYGON —
+                # validate it parses now (fail at bind, not mid-scan);
+                # pruning derives the envelope, rows get the exact kernel
+                from iceberg_cpp_spark.core import geom
+
+                geom.parse_query_polygons(bytes(bbox))
+                return BoundPredicate(op, bterm, [bytes(bbox)])
             try:
                 xmin, ymin, xmax, ymax = (float(v) for v in bbox)
             except (TypeError, ValueError):
                 raise ValueError(
                     f"{op} literal must be a (xmin, ymin, xmax, ymax) "
-                    f"box, got {bbox!r}") from None
+                    f"box or a WKB polygon, got {bbox!r}") from None
             if xmin > xmax or ymin > ymax:
                 raise ValueError(f"degenerate query box: {bbox!r}")
             return BoundPredicate(op, bterm, [(xmin, ymin, xmax, ymax)])
@@ -492,6 +500,12 @@ class BoundPredicate(Expression):
             env = wkb.envelope(bytes(value))
             if env is None:  # empty geometry intersects nothing
                 return op == Op.ST_DISJOINT
+            if isinstance(self.literal, (bytes, bytearray)):
+                from iceberg_cpp_spark.core import geom
+
+                hit = geom.wkb_intersects_polygons(
+                    bytes(value), geom.parse_query_polygons(self.literal))
+                return hit if op == Op.ST_INTERSECTS else not hit
             xmin, ymin, xmax, ymax = self.literal
             hit = (env[0] <= xmax and env[2] >= xmin
                    and env[1] <= ymax and env[3] >= ymin)
@@ -618,16 +632,23 @@ def not_starts_with(term: Term, prefix: str) -> UnboundPredicate:
     return UnboundPredicate(Op.NOT_STARTS_WITH, term, [prefix])
 
 
-def st_intersects(term: Term, bbox) -> UnboundPredicate:
-    """Envelope-intersects for v3 geometry/geography columns; ``bbox``
-    is (xmin, ymin, xmax, ymax) in the column's CRS."""
+def st_intersects(term: Term, query) -> UnboundPredicate:
+    """Intersects for v3 geometry/geography columns. ``query`` is
+    either an (xmin, ymin, xmax, ymax) box in the column's CRS
+    (envelope semantics) or a WKB POLYGON / MULTIPOLYGON (EXACT,
+    boundary-inclusive PostGIS ST_Intersects semantics — core/geom.py;
+    file pruning still runs on the polygon's envelope)."""
+    if isinstance(query, (bytes, bytearray)):
+        return UnboundPredicate(Op.ST_INTERSECTS, term, [bytes(query)])
     return UnboundPredicate(Op.ST_INTERSECTS, term,
-                            [tuple(bbox) if bbox is not None else None])
+                            [tuple(query) if query is not None else None])
 
 
-def st_disjoint(term: Term, bbox) -> UnboundPredicate:
+def st_disjoint(term: Term, query) -> UnboundPredicate:
+    if isinstance(query, (bytes, bytearray)):
+        return UnboundPredicate(Op.ST_DISJOINT, term, [bytes(query)])
     return UnboundPredicate(Op.ST_DISJOINT, term,
-                            [tuple(bbox) if bbox is not None else None])
+                            [tuple(query) if query is not None else None])
 
 
 def bucket(term: Term, n: int) -> TransformTerm:

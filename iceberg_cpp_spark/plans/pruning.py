@@ -423,10 +423,22 @@ class InclusiveMetricsEvaluator:
                 return ROWS_MIGHT_MATCH
             from iceberg_cpp_spark.core import wkb
 
+            exact = isinstance(v, (bytes, bytearray))
+            if exact:
+                # exact polygon literal: prune with its envelope — a
+                # file box disjoint from the envelope is disjoint from
+                # the polygon inside it
+                from iceberg_cpp_spark.core import geom
+
+                v = geom._query_envelope(geom.parse_query_polygons(v))
             hit = wkb.file_bounds_intersect(lower, upper, v)
             if op == ex.Op.ST_INTERSECTS:
                 # file box disjoint from query box → no row intersects
                 return ROWS_MIGHT_MATCH if hit else ROWS_CANNOT_MATCH
+            if exact:
+                # a file box inside the polygon's ENVELOPE may still
+                # miss the polygon itself — never prune exact disjoint
+                return ROWS_MIGHT_MATCH
             # ST_DISJOINT: only an entirely-contained file box (every
             # row envelope inside the query box → every row intersects)
             # can be pruned; wrapped geography boxes stay conservative

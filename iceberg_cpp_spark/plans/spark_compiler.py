@@ -89,7 +89,10 @@ def _compile(expr: ex.Expression) -> Column:
         if op == ex.Op.NOT_STARTS_WITH:
             return ~col.startswith(expr.literal)
         if op in (ex.Op.ST_INTERSECTS, ex.Op.ST_DISJOINT):
-            hit = _st_intersects_udf(tuple(expr.literal))(col)
+            if isinstance(expr.literal, (bytes, bytearray)):
+                hit = _st_exact_udf(bytes(expr.literal))(col)
+            else:
+                hit = _st_intersects_udf(tuple(expr.literal))(col)
             return hit if op == ex.Op.ST_INTERSECTS else ~hit
     raise ValueError(f"cannot compile expression: {expr!r}")
 
@@ -109,6 +112,25 @@ def _st_intersects_udf(bbox: tuple):
     def hit(vals):
         envs = wkb.envelopes_np(vals.tolist())
         mask = wkb.intersects_mask(envs, bbox)
+        out = pd.Series(mask, index=vals.index, dtype="object")
+        out[vals.isna()] = None
+        return out.astype("boolean")
+
+    hit.__annotations__ = {"vals": pd.Series, "return": pd.Series}
+    return pandas_udf(hit, "boolean")
+
+
+def _st_exact_udf(query_wkb: bytes):
+    """Arrow-batched EXACT st_intersects (core/geom.py): vectorized
+    crossing-number test for point batches, envelope-prefiltered
+    per-row edge/vertex kernel otherwise. Null WKB → null."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from iceberg_cpp_spark.core import geom
+
+    def hit(vals):
+        mask = geom.intersects_exact_mask(vals.tolist(), query_wkb)
         out = pd.Series(mask, index=vals.index, dtype="object")
         out[vals.isna()] = None
         return out.astype("boolean")

@@ -84,6 +84,9 @@ def test_driver_cap_window_composition():
         "multimodal_audio",  # WAV synth+decode (multimodal_png_real in-window keeps the real-codec mapInPandas plane; WAV codec pinned by TestWavCodec)
         "multimodal_metadata",  # container metadata sniff (multimodal_png_real + multimodal_gif_frames in-window keep the binary-column decode plane)
         "embedding_clusters",  # k-means-lite cluster assign (ann_ivf_topk in-window keeps the centroid-assign machinery it shares)
+        # r12 additions (new operators; driver-window rotation deferred
+        # to keep the window stable two rounds in a row):
+        "geo_exact_filter",  # exact WKB-polygon st_intersects (ice_geo_bbox in-window covers the v3 geo scan + envelope-pruning plane; the exact kernel is pinned by tests/test_geom_exact.py PostGIS goldens)
         # r10 rotation #2 displacements (all driver-green since r01-r02;
         # each keeps in-window coverage):
         "ice_transforms",   # transform projections (ice_bucket_transform in-window keeps the transform + murmur3 machinery; identity/temporal transforms ride every partitioned in-window row)
