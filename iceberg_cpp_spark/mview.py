@@ -8,10 +8,19 @@ warehouse-speed scans of the storage table; ``refresh()`` recomputes
 only when some source moved past its recorded snapshot — a no-op
 refresh costs one metadata comparison, no jobs.
 
-The refresh is a FULL recomputation committed as one ``overwrite``
-snapshot of the storage table (simple, always correct for any SQL);
-incremental maintenance for restricted shapes can layer on the CDC
-changelog later. Staleness state lives in the view's properties
+Refresh strategy: when the view SQL is a single-source GROUP BY over
+distributive aggregates (COUNT/SUM/MIN/MAX) and the source only
+APPENDED since the last refresh, ``refresh()`` applies the INCREMENTAL
+maintenance step — it scans ONLY the files added since the recorded
+snapshot (streaming/incremental.py), re-runs the view SQL over that
+delta to get per-group partials, and merges them into the storage
+table with the aggregate's merge function (count/sum → SUM, min → MIN,
+max → MAX). At 100 TB this is the difference between re-scanning the
+corpus and reading one append. Everything else — multi-source SQL,
+joins, HAVING/DISTINCT/windows, non-distributive aggregates, or a
+source history containing deletes/overwrites — falls back to the FULL
+recomputation committed as one ``overwrite`` snapshot (always correct
+for any SQL). Staleness state lives in the view's properties
 (``materialization.table``, ``refresh.<name>.snapshot-id``) so any
 engine reading the view metadata can see how fresh the data is.
 """
@@ -19,6 +28,7 @@ engine reading the view metadata can see how fresh the data is.
 from __future__ import annotations
 
 import os
+import re
 from typing import Optional
 
 from iceberg_cpp_spark.core.types import Schema, schema_from_spark
@@ -29,6 +39,82 @@ MATERIALIZATION_TABLE = "materialization.table"
 _REFRESH_PREFIX = "refresh."
 
 
+# ---------------------------------------------------------------------------
+# Incremental-shape classifier: the restricted SQL grammar whose results
+# can be maintained from an append-only delta. Anything it rejects takes
+# the always-correct full-recompute path — never a wrong answer, only a
+# slower one.
+# ---------------------------------------------------------------------------
+
+_REJECT = re.compile(
+    r"\b(join|having|distinct|limit|union|intersect|except|over)\b|"
+    r"\(\s*select\b", re.I)
+_SHAPE = re.compile(
+    r"^\s*select\s+(?P<items>.+?)\s+from\s+(?P<src>[A-Za-z_]\w*)\s*"
+    r"(?:where\s+(?P<where>.+?)\s*)?"
+    r"group\s+by\s+(?P<keys>.+?)\s*(?:order\s+by\s+(?P<order>.+?)\s*)?$",
+    re.I | re.S)
+_AGG_ITEM = re.compile(
+    r"^(?P<fn>count|sum|min|max)\s*\((?P<arg>[^()]*|\*)\)\s+as\s+"
+    r"(?P<alias>[A-Za-z_]\w*)$", re.I | re.S)
+_KEY_ITEM = re.compile(
+    r"^(?P<expr>[A-Za-z_][\w.]*)(?:\s+as\s+(?P<alias>[A-Za-z_]\w*))?$",
+    re.I)
+
+# merge function per distributive aggregate: how two partials combine
+_MERGE = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+
+def _split_top(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+def classify_incremental(sql: str, source_names) -> Optional[dict]:
+    """None unless ``sql`` is a single-source GROUP BY over
+    COUNT/SUM/MIN/MAX (each aggregate aliased); otherwise
+    ``{"source", "keys": [output key cols], "merge": {col: fn}}``.
+    ORDER BY is tolerated (re-applied after the merge)."""
+    if _REJECT.search(sql):
+        return None
+    m = _SHAPE.match(sql.strip().rstrip(";"))
+    if not m or m.group("src") not in source_names:
+        return None
+    keys, merge = [], {}
+    group_exprs = {e.strip().lower() for e in _split_top(m.group("keys"))}
+    for i, item in enumerate(_split_top(m.group("items"))):
+        am = _AGG_ITEM.match(item)
+        if am:
+            merge[am.group("alias")] = _MERGE[am.group("fn").lower()]
+            continue
+        km = _KEY_ITEM.match(item)
+        if not km:
+            return None  # computed select item: full recompute
+        alias = km.group("alias") or km.group("expr").split(".")[-1]
+        # a bare select item must be one of the GROUP BY expressions
+        # (or its 1-based position)
+        if (km.group("expr").lower() not in group_exprs
+                and str(i + 1) not in group_exprs):
+            return None
+        keys.append(alias)
+    if not merge:
+        return None
+    return {"source": m.group("src"), "keys": keys, "merge": merge,
+            "order": (m.group("order") or "").strip() or None}
+
+
 class IceMaterializedView:
     """Handle pairing the view metadata with its storage table."""
 
@@ -36,6 +122,7 @@ class IceMaterializedView:
         self.spark = spark
         self.view = view
         self.sources = dict(sources)
+        self.last_refresh_mode: Optional[str] = None
 
     # -- lifecycle ----------------------------------------------------------
     @classmethod
@@ -86,17 +173,90 @@ class IceMaterializedView:
             props.get(f"{_REFRESH_PREFIX}{name}.snapshot-id") == sid
             for name, sid in self._source_state().items())
 
+    def _appends_only(self, table: IceTable, from_sid: int,
+                      to_sid: int) -> bool:
+        """True iff every snapshot from ``to_sid`` back to (exclusive)
+        ``from_sid`` is an append on the same ancestry line — the
+        precondition for maintaining distributive aggregates from the
+        added files alone."""
+        md = table.metadata
+        sid = to_sid
+        while sid is not None and sid != from_sid:
+            snap = md.snapshot_by_id(sid)
+            if snap is None or (snap.operation or "") != "append":
+                return False
+            sid = snap.parent_snapshot_id
+        return sid == from_sid
+
+    def _refresh_incremental(self, plan: dict, from_sid: int,
+                             to_sid: int) -> bool:
+        """Apply the append delta to the storage table. Returns False
+        when the delta shape can't be applied (caller falls back to
+        full recompute)."""
+        from pyspark.sql import functions as F
+
+        from iceberg_cpp_spark.streaming.incremental import incremental_read
+
+        src = self.sources[plan["source"]]
+        delta = incremental_read(src, from_sid, to_sid)
+        # run the view SQL against the DELTA under a private name (the
+        # source's own temp-view binding is never touched)
+        delta_name = "__mv_delta__"
+        delta.createOrReplaceTempView(delta_name)
+        sql = re.sub(rf"(\bfrom\s+){re.escape(plan['source'])}\b",
+                     rf"\g<1>{delta_name}",
+                     self.view.sql_for("spark"), flags=re.I)
+        delta_agg = self.spark.sql(sql)
+        current = self.storage.to_df()
+        agg_cols = [
+            getattr(F, fn)(c).alias(c)
+            for c, fn in plan["merge"].items()]
+        merged = (current.unionByName(delta_agg)
+                  .groupBy(*plan["keys"]).agg(*agg_cols))
+        # pin the storage schema: re-summed decimals widen their
+        # precision; counts stay long — cast back to what the first
+        # materialization declared
+        merged = merged.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name)
+              for f in current.schema.fields])
+        self.storage = self.storage.overwrite(merged)
+        return True
+
     def refresh(self, force: bool = False) -> "IceMaterializedView":
-        """Recompute the storage table when any source moved past its
-        recorded snapshot (or ``force``); otherwise a metadata-only
-        no-op. One overwrite snapshot per actual refresh."""
+        """Bring the storage table up to date when any source moved
+        past its recorded snapshot (or ``force``); otherwise a
+        metadata-only no-op. Incremental maintenance (scan ONLY the
+        appended files, merge per-group partials) when the SQL is a
+        single-source distributive GROUP BY and the source history
+        since the last refresh is append-only; full recompute
+        otherwise. One overwrite snapshot per actual refresh.
+        ``last_refresh_mode`` records what ran ("noop" | "incremental"
+        | "full")."""
         state = self._source_state()
         if not force and self.is_fresh():
+            self.last_refresh_mode = "noop"
             return self
-        for name, t in self.sources.items():
-            t.create_or_replace_view(name)
-        result = self.spark.sql(self.view.sql_for("spark"))
-        self.storage = self.storage.overwrite(result)
+        did_incremental = False
+        plan = (classify_incremental(self.view.sql_for("spark"),
+                                     set(self.sources))
+                if not force and len(self.sources) == 1 else None)
+        if plan is not None:
+            props = self.view.metadata.properties
+            rec = props.get(f"{_REFRESH_PREFIX}{plan['source']}.snapshot-id")
+            from_sid = int(rec) if rec and rec != "0" else None
+            to_sid = int(state[plan["source"]])
+            if (from_sid is not None and to_sid
+                    and self._appends_only(self.sources[plan["source"]],
+                                           from_sid, to_sid)):
+                did_incremental = self._refresh_incremental(
+                    plan, from_sid, to_sid)
+        if not did_incremental:
+            for name, t in self.sources.items():
+                t.create_or_replace_view(name)
+            result = self.spark.sql(self.view.sql_for("spark"))
+            self.storage = self.storage.overwrite(result)
+        self.last_refresh_mode = (
+            "incremental" if did_incremental else "full")
         self.view = self.view.update_properties({
             f"{_REFRESH_PREFIX}{name}.snapshot-id": sid
             for name, sid in state.items()})
