@@ -221,6 +221,71 @@ def bench_plan_50k(spark) -> dict[str, float]:
     return {"ice_plan_50k": round(best, 3)}
 
 
+def bench_plan_200k(spark) -> dict[str, float]:
+    """Planning beyond 10^5 files (VERDICT r10 task 6): 200k synthetic
+    manifest entries through plan_files_df — the UNCOLLECTED plan plane.
+    Times (a) a full-plan aggregate (file count + byte sum, zero
+    FileScanTasks materialized) and (b) a bounds-filtered plan collect
+    of the 100 surviving entries. Asserts the driver RSS grows < 256
+    MiB across both — the point of the plane is that 200k (and
+    therefore 10^6+) entries never exist as Python objects."""
+    import resource
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core import manifests as mfs
+    from iceberg_cpp_spark.core import types as itt
+    from iceberg_cpp_spark.plans import expressions as ex
+    from iceberg_cpp_spark.table import DataOperation
+
+    schema = itt.Schema(
+        [itt.NestedField(1, "id", itt.LongType(), required=True)]
+        + [itt.NestedField(i, f"c{i}", itt.LongType())
+           for i in range(2, 9)], schema_id=0)
+    root = tempfile.mkdtemp(prefix="bench_plan200_")
+    t = IceTable.create(spark, os.path.join(root, "t"), schema)
+    n = 200_000
+    all_ids = list(range(1, 9))
+    files = [mfs.DataFile(
+        content=mfs.CONTENT_DATA, file_path=f"/fake/data/f{i:06d}.parquet",
+        file_format="parquet", partition={}, record_count=100,
+        file_size_in_bytes=10_000,
+        value_counts={f: 100 for f in all_ids},
+        null_value_counts={f: 0 for f in all_ids},
+        lower_bounds={f: (i * 100).to_bytes(8, "little")
+                      for f in all_ids},
+        upper_bounds={f: (i * 100 + 99).to_bytes(8, "little")
+                      for f in all_ids},
+    ) for i in range(n)]
+    t._commit_files(files, operation=DataOperation.APPEND)
+    del files
+
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB
+    best = None
+    for i in range(3):  # warm + best-of-2
+        t0 = time.time()
+        agg = (t.scan().plan_files_df()
+               .agg(F.count("*").alias("files"),
+                    F.sum("file_size_in_bytes").alias("bytes"))
+               .collect()[0])
+        pruned = (t.scan(filter=ex.lt(ex.Reference("id"), 100 * 100))
+                  .plan_files_df().collect())
+        el = time.time() - t0
+        assert agg["files"] == n and len(pruned) == 100
+        if i > 0:
+            best = el if best is None else min(best, el)
+    rss_delta_mib = (resource.getrusage(
+        resource.RUSAGE_SELF).ru_maxrss - rss0) / 1024.0
+    assert rss_delta_mib < 256, (
+        f"plan_files_df grew driver RSS by {rss_delta_mib:.0f} MiB at "
+        "200k entries — the plan is leaking onto the driver")
+    shutil.rmtree(root, ignore_errors=True)
+    return {"ice_plan_200k": round(best, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -251,6 +316,7 @@ def main() -> None:
     results.update(bench_scan_planes(spark, sf_dir))
     results.update(bench_jpeg_codec(spark, sf_dir))
     results.update(bench_plan_50k(spark))
+    results.update(bench_plan_200k(spark))
     print(json.dumps({
         "metric": "bench_suite_seconds",
         "value": total,

@@ -263,10 +263,13 @@ class TableScan:
         return s or meta.schema()
 
     # --- planning (table_scan.cc:264-296 + the TODO:280 pruning) --------
-    def plan_files(self) -> list[FileScanTask]:
+    def _pruned_manifests(self):
+        """Shared planning prefix: manifest-list read + manifest-level
+        pruning via PartitionFieldSummary bounds. None when the scan is
+        empty (no snapshot / nothing survives)."""
         snap = self.snapshot()
         if snap is None:
-            return []
+            return None
         schema = self.read_schema()
         meta = self._table.metadata
         bound = (
@@ -276,7 +279,6 @@ class TableScan:
         )
 
         manifest_files = mf.read_manifest_list(snap.manifest_list)
-        # manifest-level pruning via PartitionFieldSummary bounds
         surviving: list[mf.ManifestFile] = []
         projected_by_spec: dict[int, ex.Expression] = {}
         for m in manifest_files:
@@ -291,13 +293,64 @@ class TableScan:
             if pruning.evaluate_partition_summaries(proj, spec, schema, m.partitions):
                 surviving.append(m)
         if not surviving:
-            return []
-
-        total_files = sum(m.added_files_count + m.existing_files_count for m in surviving)
+            return None
         evaluator = pruning.InclusiveMetricsEvaluator(schema, bound, self._case_sensitive)
+        return surviving, meta, schema, projected_by_spec, evaluator
+
+    def plan_files(self) -> list[FileScanTask]:
+        pruned = self._pruned_manifests()
+        if pruned is None:
+            return []
+        surviving, meta, schema, projected_by_spec, evaluator = pruned
+        total_files = sum(m.added_files_count + m.existing_files_count for m in surviving)
         if total_files <= DISTRIBUTED_PLAN_THRESHOLD or self._table.spark is None:
             return self._plan_files_driver(surviving, meta, schema, projected_by_spec, evaluator)
         return self._plan_files_distributed(surviving, meta, schema, projected_by_spec, evaluator)
+
+    PLAN_DF_SCHEMA = ("file_path string, file_format string, "
+                      "record_count long, file_size_in_bytes long, "
+                      "partition_json string, sequence_number long, "
+                      "first_row_id long, spec_id int")
+
+    def plan_files_df(self) -> DataFrame:
+        """The scan plan AS A DATAFRAME — planning beyond 10^5 files.
+
+        ``plan_files()`` materializes one Python FileScanTask per
+        surviving file on the driver; at 10^6-10^7 files (a 100 TB
+        table at 128 MiB) that list alone is GBs of driver heap. This
+        plane keeps the whole plan distributed: manifests are read as
+        DataFrames (parquet manifests by the JVM reader, Avro manifests
+        decoded in executors), partition pruning runs as JVM Columns,
+        metrics evaluation in executors — nothing is collected. Consume
+        it with aggregations (file counts, bytes, per-partition
+        rollups), joins, or ``toLocalIterator()`` for bounded-memory
+        batch processing. Columns: ``PLAN_DF_SCHEMA``."""
+        spark = self._table.spark
+        if spark is None:
+            raise ValueError("plan_files_df requires a SparkSession")
+        pruned = self._pruned_manifests()
+        if pruned is None:
+            return spark.createDataFrame([], self.PLAN_DF_SCHEMA)
+        surviving, meta, schema, projected_by_spec, evaluator = pruned
+        legs: list[DataFrame] = []
+        by_spec: dict[int, list[mf.ManifestFile]] = {}
+        for m in surviving:
+            by_spec.setdefault(m.partition_spec_id, []).append(m)
+        for spec_id, group in by_spec.items():
+            spec = meta.spec_by_id(spec_id) or PartitionSpec.unpartitioned()
+            proj = projected_by_spec[spec_id]
+            avro_group = [m for m in group if m.manifest_path.endswith(".avro")]
+            pq_group = [m for m in group if not m.manifest_path.endswith(".avro")]
+            if avro_group:
+                legs.append(self._plan_avro_spec_df(
+                    avro_group, spec, schema, proj, evaluator)
+                    .withColumn("spec_id", F.lit(spec_id)))
+            if pq_group:
+                legs.append(self._plan_spec_df(
+                    spec_id, pq_group, spec, schema, proj, evaluator)
+                    .withColumn("spec_id", F.lit(spec_id)))
+        from functools import reduce
+        return reduce(DataFrame.unionByName, legs)
 
     def _plan_files_driver(self, manifests, meta, schema, projected_by_spec, evaluator):
         tasks: list[FileScanTask] = []
@@ -319,17 +372,12 @@ class TableScan:
         """Scale path: manifests for each spec read as ONE DataFrame;
         partition pruning as Columns (JVM-side), metrics evaluation in
         executors via mapInPandas; only surviving file metadata is
-        collected. Keeps 10^5-file scan planning off the driver."""
-        import pandas as pd
-
-        spark = self._table.spark
+        collected. Keeps 10^5-file scan planning off the driver. (For
+        plans that should never collect at all, see plan_files_df.)"""
         tasks: list[FileScanTask] = []
         by_spec: dict[int, list[mf.ManifestFile]] = {}
         for m in manifests:
             by_spec.setdefault(m.partition_spec_id, []).append(m)
-        out_schema = ("file_path string, file_format string, record_count long, "
-                      "file_size_in_bytes long, partition_json string, "
-                      "sequence_number long, first_row_id long")
 
         for spec_id, group in by_spec.items():
             spec = meta.spec_by_id(spec_id) or PartitionSpec.unpartitioned()
@@ -341,100 +389,8 @@ class TableScan:
                     avro_group, spec, schema, proj, evaluator))
             if not group:
                 continue
-            df = spark.read.parquet(*[m.manifest_path for m in group])
-            df = df.filter(
-                (F.col("status") != mf.STATUS_DELETED) & (F.col("content") == mf.CONTENT_DATA)
-            )
-            if spec.fields and "partition" in df.columns:
-                df = df.filter(pruning.partition_expr_to_column(proj, "partition"))
-
-            if isinstance(evaluator.expr, ex.TrueExp):
-                # unfiltered scan: the metrics evaluator is vacuous
-                # (ROWS_MIGHT_MATCH for every non-empty file), so skip
-                # the per-row Python stats pass entirely — the whole
-                # plan stays JVM-side column selection + collect
-                frid = (F.col("first_row_id").cast("long")
-                        if "first_row_id" in df.columns
-                        else F.lit(None).cast("long"))
-                rows = (df.filter(F.col("record_count") > 0)
-                        .select("file_path", "file_format", "record_count",
-                                "file_size_in_bytes", "partition_json",
-                                F.coalesce(F.col("sequence_number"),
-                                           F.lit(0)).alias("sequence_number"),
-                                frid.alias("first_row_id"))
-                        .collect())
-                for r in rows:
-                    tasks.append(FileScanTask(
-                        file_path=r["file_path"],
-                        file_format=r["file_format"],
-                        record_count=r["record_count"],
-                        file_size_in_bytes=r["file_size_in_bytes"],
-                        partition=mf.partition_from_json(
-                            r["partition_json"], spec, schema),
-                        spec_id=spec_id,
-                        sequence_number=r["sequence_number"] or 0,
-                        first_row_id=r["first_row_id"],
-                    ))
-                continue
-
-            ev = evaluator
-            ref_ids = pruning.referenced_field_ids(evaluator.expr)
-
-            def survive(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-                for b in batches:
-                    # fast path: numpy boolean algebra over the whole
-                    # batch when every predicate is vectorizable (the
-                    # common numeric/temporal comparisons); scalar
-                    # fallback keeps full semantics for the rest
-                    vec = pruning.batch_metrics_keep(ev.expr, b, len(b))
-                    if vec is not None:
-                        keep = vec.tolist()
-                        out = b.loc[keep, ["file_path", "file_format",
-                                           "record_count",
-                                           "file_size_in_bytes",
-                                           "partition_json",
-                                           "sequence_number"]]
-                        out["sequence_number"] = \
-                            out["sequence_number"].fillna(0)
-                        out["first_row_id"] = (
-                            b.loc[keep, "first_row_id"].astype("Int64")
-                            if "first_row_id" in b
-                            else pd.array([None] * len(out), dtype="Int64"))
-                        yield out
-                        continue
-                    keep = []
-                    for i in range(len(b)):
-                        stats = {
-                            "record_count": b["record_count"].iloc[i],
-                            "value_counts": _subset_dict(
-                                b["value_counts"].iloc[i], ref_ids),
-                            "null_value_counts": _subset_dict(
-                                b["null_value_counts"].iloc[i], ref_ids),
-                            "nan_value_counts": _subset_dict(
-                                b["nan_value_counts"].iloc[i], ref_ids),
-                            "lower_bounds": _subset_dict(
-                                b["lower_bounds"].iloc[i], ref_ids),
-                            "upper_bounds": _subset_dict(
-                                b["upper_bounds"].iloc[i], ref_ids),
-                        }
-                        keep.append(bool(ev.eval(stats)))
-                    out = b.loc[keep, ["file_path", "file_format", "record_count",
-                                       "file_size_in_bytes", "partition_json",
-                                       "sequence_number"]]
-                    out["sequence_number"] = out["sequence_number"].fillna(0)
-                    out["first_row_id"] = (
-                        b.loc[keep, "first_row_id"].astype("Int64")
-                        if "first_row_id" in b
-                        else pd.array([None] * len(out), dtype="Int64"))
-                    yield out
-
-            cols = ["file_path", "file_format", "record_count", "file_size_in_bytes",
-                    "partition_json", "sequence_number", "value_counts",
-                    "null_value_counts", "nan_value_counts", "lower_bounds",
-                    "upper_bounds"]
-            if "first_row_id" in df.columns:  # absent in pre-lineage manifests
-                cols.append("first_row_id")
-            rows = df.select(*cols).mapInPandas(survive, schema=out_schema).collect()
+            rows = self._plan_spec_df(
+                spec_id, group, spec, schema, proj, evaluator).collect()
             for r in rows:
                 tasks.append(
                     FileScanTask(
@@ -450,10 +406,123 @@ class TableScan:
                 )
         return tasks
 
+    def _plan_spec_df(self, spec_id, group, spec, schema, proj,
+                      evaluator) -> DataFrame:
+        """One spec's surviving-files plan as an UNCOLLECTED DataFrame
+        (parquet-manifest leg): JVM manifest read + Column partition
+        pruning; metrics evaluation via mapInPandas only when the scan
+        has a filter (unfiltered plans stay pure JVM)."""
+        import pandas as pd
+
+        spark = self._table.spark
+        out_schema = ("file_path string, file_format string, record_count long, "
+                      "file_size_in_bytes long, partition_json string, "
+                      "sequence_number long, first_row_id long")
+        df = spark.read.parquet(*[m.manifest_path for m in group])
+        df = df.filter(
+            (F.col("status") != mf.STATUS_DELETED) & (F.col("content") == mf.CONTENT_DATA)
+        )
+        if spec.fields and "partition" in df.columns:
+            df = df.filter(pruning.partition_expr_to_column(proj, "partition"))
+
+        if isinstance(evaluator.expr, ex.TrueExp):
+            # unfiltered scan: the metrics evaluator is vacuous
+            # (ROWS_MIGHT_MATCH for every non-empty file), so skip
+            # the per-row Python stats pass entirely — the whole
+            # plan stays JVM-side column selection
+            frid = (F.col("first_row_id").cast("long")
+                    if "first_row_id" in df.columns
+                    else F.lit(None).cast("long"))
+            return (df.filter(F.col("record_count") > 0)
+                    .select("file_path", "file_format", "record_count",
+                            "file_size_in_bytes", "partition_json",
+                            F.coalesce(F.col("sequence_number"),
+                                       F.lit(0)).alias("sequence_number"),
+                            frid.alias("first_row_id")))
+
+        ev = evaluator
+        ref_ids = pruning.referenced_field_ids(evaluator.expr)
+
+        def survive(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            for b in batches:
+                # fast path: numpy boolean algebra over the whole
+                # batch when every predicate is vectorizable (the
+                # common numeric/temporal comparisons); scalar
+                # fallback keeps full semantics for the rest
+                vec = pruning.batch_metrics_keep(ev.expr, b, len(b))
+                if vec is not None:
+                    keep = vec.tolist()
+                    out = b.loc[keep, ["file_path", "file_format",
+                                       "record_count",
+                                       "file_size_in_bytes",
+                                       "partition_json",
+                                       "sequence_number"]]
+                    out["sequence_number"] = \
+                        out["sequence_number"].fillna(0)
+                    out["first_row_id"] = (
+                        b.loc[keep, "first_row_id"].astype("Int64")
+                        if "first_row_id" in b
+                        else pd.array([None] * len(out), dtype="Int64"))
+                    yield out
+                    continue
+                keep = []
+                for i in range(len(b)):
+                    stats = {
+                        "record_count": b["record_count"].iloc[i],
+                        "value_counts": _subset_dict(
+                            b["value_counts"].iloc[i], ref_ids),
+                        "null_value_counts": _subset_dict(
+                            b["null_value_counts"].iloc[i], ref_ids),
+                        "nan_value_counts": _subset_dict(
+                            b["nan_value_counts"].iloc[i], ref_ids),
+                        "lower_bounds": _subset_dict(
+                            b["lower_bounds"].iloc[i], ref_ids),
+                        "upper_bounds": _subset_dict(
+                            b["upper_bounds"].iloc[i], ref_ids),
+                    }
+                    keep.append(bool(ev.eval(stats)))
+                out = b.loc[keep, ["file_path", "file_format", "record_count",
+                                   "file_size_in_bytes",
+                                   "partition_json",
+                                   "sequence_number"]]
+                out["sequence_number"] = out["sequence_number"].fillna(0)
+                out["first_row_id"] = (
+                    b.loc[keep, "first_row_id"].astype("Int64")
+                    if "first_row_id" in b
+                    else pd.array([None] * len(out), dtype="Int64"))
+                yield out
+
+        cols = ["file_path", "file_format", "record_count", "file_size_in_bytes",
+                "partition_json", "sequence_number", "value_counts",
+                "null_value_counts", "nan_value_counts", "lower_bounds",
+                "upper_bounds"]
+        if "first_row_id" in df.columns:  # absent in pre-lineage manifests
+            cols.append("first_row_id")
+        return df.select(*cols).mapInPandas(survive, schema=out_schema)
+
     def _plan_avro_distributed(self, group, spec, schema, proj, evaluator):
+        rows = self._plan_avro_spec_df(
+            group, spec, schema, proj, evaluator).collect()
+        return [
+            FileScanTask(
+                file_path=r["file_path"],
+                file_format=r["file_format"],
+                record_count=r["record_count"],
+                file_size_in_bytes=r["file_size_in_bytes"],
+                partition=mf.partition_from_json(r["partition_json"], spec, schema),
+                spec_id=spec.spec_id,
+                sequence_number=r["sequence_number"] or 0,
+                first_row_id=r["first_row_id"],
+            )
+            for r in rows
+        ]
+
+    def _plan_avro_spec_df(self, group, spec, schema, proj,
+                           evaluator) -> DataFrame:
         """Avro manifests (spec format / external tables) decoded in
         EXECUTORS via the pure-Python reader — one task per manifest, so
-        10^4 external manifests plan in parallel, not on the driver."""
+        10^4 external manifests plan in parallel, not on the driver.
+        Returns the UNCOLLECTED surviving-files DataFrame."""
         import pandas as pd
 
         spark = self._table.spark
@@ -500,21 +569,8 @@ class TableScan:
                 yield out
 
         n_parts = max(1, min(len(group), 256))
-        rows = (pay_df.repartition(n_parts)
-                .mapInPandas(decode, schema=out_schema).collect())
-        return [
-            FileScanTask(
-                file_path=r["file_path"],
-                file_format=r["file_format"],
-                record_count=r["record_count"],
-                file_size_in_bytes=r["file_size_in_bytes"],
-                partition=mf.partition_from_json(r["partition_json"], spec, schema),
-                spec_id=spec_id,
-                sequence_number=r["sequence_number"] or 0,
-                first_row_id=r["first_row_id"],
-            )
-            for r in rows
-        ]
+        return pay_df.repartition(n_parts).mapInPandas(
+            decode, schema=out_schema)
 
     def _task(self, f: mf.DataFile, spec_id: int, seq: int = 0) -> FileScanTask:
         return FileScanTask(
