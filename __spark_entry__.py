@@ -2395,6 +2395,26 @@ def retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rt.bm25_topk(docs, q, k=5)
 
 
+def retrieval_bm25_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-index BM25 (operators/retrieval.py Bm25Index — r12):
+    the SAME search as retrieval_bm25 but served from postings/doclens
+    IceTables built incrementally in two batches (so the growing-corpus
+    path is what the oracle checks). The index is exact — identical
+    rounded scores to the one-shot plan — so both rows share one SQL
+    oracle; tests/test_operators.py::TestBm25PersistedIndex pins the
+    equality, replay idempotence and postings file pruning."""
+    from iceberg_cpp_spark.operators import retrieval as rt
+
+    docs = _t(spark, sf_dir, "documents")
+    loc = os.path.join(tempfile.mkdtemp(prefix="bm25_idx_"), "idx")
+    idx = rt.Bm25Index.build(spark, loc, docs.filter(F.col("doc_id") % 2 == 0))
+    idx = idx.add(docs.filter(F.col("doc_id") % 2 == 1))
+    q = (docs.filter(F.col("doc_id") % 97 == 3)
+         .select(F.col("doc_id").alias("query_id"),
+                 F.expr("substring(text, 1, 60)").alias("query_text")))
+    return idx.search(q, k=5)
+
+
 def text_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup at token-window granularity (operators/
     text.py duplicate_span_scrub; Lee et al. ACL 2022 ExactSubstr):
@@ -3042,6 +3062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_metadata_tables": ice_metadata_tables,
         "multimodal_frames": multimodal_frames,
         "geo_exact_filter": geo_exact_filter,
+        "retrieval_bm25_indexed": retrieval_bm25_indexed,
     }
 
 
@@ -4413,6 +4434,63 @@ def oracle_sql() -> dict[str, str]:
         # idf = ln(1 + (N - df + .5)/(df + .5)); tf part with k1=1.2,
         # b=.75; ROUND(…, 6) before ranking, ties on doc_id ASC.
         "retrieval_bm25": """
+            WITH tok AS (
+                SELECT doc_id, u.t AS token
+                FROM documents,
+                     LATERAL (SELECT unnest(string_split_regex(
+                                  lower(text), '[^a-z0-9]+')) AS t) u
+                WHERE length(u.t) > 0
+            ),
+            tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf
+                FROM tok GROUP BY 1, 2
+            ),
+            doc_len AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+            stats AS (
+                SELECT COUNT(*) AS n_docs,
+                       AVG(CAST(COALESCE(dl.dl, 0) AS DOUBLE)) AS avgdl
+                FROM documents d LEFT JOIN doc_len dl USING (doc_id)
+            ),
+            df_t AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+            qtok AS (
+                SELECT doc_id AS query_id, u.t AS token
+                FROM (SELECT doc_id, substring(text, 1, 60) AS qt
+                      FROM documents WHERE doc_id % 97 = 3) q,
+                     LATERAL (SELECT unnest(string_split_regex(
+                                  lower(qt), '[^a-z0-9]+')) AS t) u
+                WHERE length(u.t) > 0
+            ),
+            qterms AS (
+                SELECT query_id, token, COUNT(*) AS qtf
+                FROM qtok GROUP BY 1, 2
+            ),
+            scored AS (
+                SELECT q.query_id, tf.doc_id,
+                       ROUND(SUM(q.qtf
+                           * ln(1.0 + (s.n_docs - d.df + 0.5)
+                                      / (d.df + 0.5))
+                           * (tf.tf * 2.2)
+                             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                                      / s.avgdl))), 6)
+                           AS score
+                FROM tf
+                JOIN qterms q USING (token)
+                JOIN df_t d USING (token)
+                JOIN doc_len dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats s
+                GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT query_id, doc_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC,
+                                                   doc_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score
+            FROM ranked WHERE rank <= 5
+        """,
+        "retrieval_bm25_indexed": """
             WITH tok AS (
                 SELECT doc_id, u.t AS token
                 FROM documents,

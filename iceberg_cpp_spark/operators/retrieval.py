@@ -87,3 +87,160 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(query_id_col, id_col, "rank", "score"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted BM25 index (VERDICT r10 task 6): the one-shot bm25_topk
+# recomputes tf/df for every query batch — corpus-linear per CALL. A
+# pipeline that decontaminates against the same corpus repeatedly (or
+# grows it between sweeps) wants the postings persisted once, the same
+# store pattern as dedup.minhash_build_store.
+# ---------------------------------------------------------------------------
+
+_POSTINGS_SCHEMA = "token string, doc_id long, tf long"
+_DOCLEN_SCHEMA = "doc_id long, dl long"
+
+
+class Bm25Index:
+    """Two IceTables under one location: ``postings`` (token, doc_id,
+    tf — range-clustered on token so per-file bounds prune postings
+    reads down to the query's terms) and ``doclens`` (doc_id, dl; one
+    row per corpus doc INCLUDING zero-token docs, so N and avgdl derive
+    exactly from a cheap aggregate). df(token) is the posting-list
+    length, counted from the postings the query touches anyway — no
+    third table to keep consistent.
+
+    Scale: search cost tracks the QUERY's posting lists (token bounds
+    prune the rest of the postings table), not the corpus; ``add``
+    cost tracks the new batch. Snapshots make index updates atomic and
+    time-travelable like any other table."""
+
+    def __init__(self, spark, postings, doclens):
+        self.spark = spark
+        self.postings = postings
+        self.doclens = doclens
+
+    # -- lifecycle --------------------------------------------------------
+    @classmethod
+    def build(cls, spark, location: str, corpus: DataFrame,
+              text_col: str = "text", id_col: str = "doc_id",
+              buckets: int = 32) -> "Bm25Index":
+        import os
+
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.table import IceTable
+
+        postings = IceTable.create(
+            spark, os.path.join(location, "postings"),
+            schema_from_spark(
+                spark.createDataFrame([], _POSTINGS_SCHEMA).schema))
+        doclens = IceTable.create(
+            spark, os.path.join(location, "doclens"),
+            schema_from_spark(
+                spark.createDataFrame([], _DOCLEN_SCHEMA).schema))
+        idx = cls(spark, postings, doclens)
+        return idx.add(corpus, text_col=text_col, id_col=id_col,
+                       buckets=buckets)
+
+    @classmethod
+    def load(cls, spark, location: str) -> "Bm25Index":
+        import os
+
+        from iceberg_cpp_spark.table import IceTable
+
+        return cls(spark,
+                   IceTable.load(spark, os.path.join(location, "postings")),
+                   IceTable.load(spark, os.path.join(location, "doclens")))
+
+    # -- maintenance --------------------------------------------------------
+    def add(self, new_docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id", buckets: int = 32) -> "Bm25Index":
+        """Index a new batch: one tf aggregation over the batch, two
+        appends. Re-submitted doc ids are skipped (anti-join against
+        doclens) so a replayed batch is a no-op, not a double-count."""
+        docs = new_docs.select(F.col(id_col).alias("doc_id"),
+                               F.col(text_col).alias("text"))
+        docs = docs.join(self.doclens.to_df().select("doc_id"),
+                         "doc_id", "left_anti")
+        tf = (docs.select("doc_id",
+                          F.explode(_tokens(F.col("text"))).alias("token"))
+              .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+        dl = (docs.select("doc_id")
+              .join(tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+                    "doc_id", "left").na.fill({"dl": 0}))
+        # range-cluster postings on token: per-file token bounds make
+        # search prune straight to the query's posting lists
+        self.postings = self.postings.append(
+            tf.select("token", "doc_id", "tf")
+            .repartitionByRange(buckets, "token"))
+        self.doclens = self.doclens.append(dl.select("doc_id", "dl"))
+        return self
+
+    # -- search -------------------------------------------------------------
+    def search(self, queries: DataFrame, k: int = 10,
+               k1: float = 1.2, b: float = 0.75,
+               query_text_col: str = "query_text",
+               query_id_col: str = "query_id") -> DataFrame:
+        """Identical semantics (and identical rounded scores) to the
+        one-shot ``bm25_topk`` — pinned by tests — but reading the
+        persisted postings instead of re-aggregating the corpus."""
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        qterms = (queries.select(
+            F.col(query_id_col),
+            F.explode(_tokens(F.col(query_text_col))).alias("token"))
+            .groupBy(query_id_col, "token").agg(F.count("*").alias("qtf")))
+        doclen_df = self.doclens.to_df()
+        stats = doclen_df.agg(
+            F.count("*").alias("n_docs"),
+            F.avg(F.col("dl").cast("double")).alias("avgdl"))
+        # postings restricted to the query's tokens. The query set is
+        # small by construction: its distinct tokens collect to the
+        # driver and push into the SCAN as an IN filter, so file-level
+        # token bounds (range-clustered at write) prune whole posting
+        # files and the parquet reader gets the pushed predicate. Past
+        # the cap the plan keeps the full scan + semi-join (still
+        # corpus-linear, never wrong).
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        toks = [r["token"]
+                for r in qterms.select("token").distinct().limit(10001)
+                .collect()]
+        if len(toks) <= 10000:
+            tf = self.postings.scan(
+                filter=ex.in_(ex.Reference("token"), toks)).to_df()
+        else:
+            tf = (self.postings.to_df()
+                  .join(F.broadcast(qterms.select("token").distinct()),
+                        "token", "left_semi"))
+        df_t = tf.groupBy("token").agg(
+            F.countDistinct("doc_id").alias("df"))
+        joined = (tf.join(F.broadcast(qterms), "token")
+                  .join(F.broadcast(df_t), "token")
+                  .join(doclen_df, "doc_id")
+                  .crossJoin(F.broadcast(stats)))
+        idf = F.log(F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5)))
+        tf_part = (F.col("tf") * (F.lit(k1) + 1.0)
+                   / (F.col("tf") + F.lit(k1)
+                      * (F.lit(1.0 - b)
+                         + F.lit(b) * F.col("dl") / F.col("avgdl"))))
+        scored = (joined
+                  .withColumn("part", F.col("qtf") * idf * tf_part)
+                  .groupBy(query_id_col, "doc_id")
+                  .agg(F.round(F.sum("part"), SCORE_DECIMALS).alias("score")))
+        w = Window.partitionBy(query_id_col).orderBy(
+            F.col("score").desc(), F.col("doc_id").asc())
+        return (scored.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k)
+                .select(query_id_col, "doc_id", "rank", "score"))
+
+
+def build_bm25_index(spark, location: str, corpus: DataFrame,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     buckets: int = 32) -> Bm25Index:
+    """Functional alias for ``Bm25Index.build`` (the
+    minhash_build_store-shaped entry point)."""
+    return Bm25Index.build(spark, location, corpus, text_col=text_col,
+                           id_col=id_col, buckets=buckets)

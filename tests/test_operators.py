@@ -1335,3 +1335,85 @@ class TestSpanScrub:
                                for _ in range(rng.randint(0, 25))))
                   for d in range(40)]
         self._check(spark, corpus, window=3)
+
+
+class TestBm25PersistedIndex:
+    """Bm25Index (VERDICT r10 task 7): persisted postings/doclens
+    IceTables; search must equal the one-shot bm25_topk exactly
+    (rounded scores, ranks), incrementally-built indexes must equal
+    built-at-once ones, and replayed batches must not double-count."""
+
+    CORPUS = [
+        (1, "spark shuffles data across the cluster"),
+        (2, "the cluster scales spark jobs; spark spark"),
+        (3, "quantum cats purr loudly"),
+        (4, "data data data everywhere and not a byte to keep"),
+        (5, "loudly the jobs hum across data centers"),
+        (6, ""),
+    ]
+    QUERIES = [(10, "spark data cluster"), (11, "loudly purr"),
+               (12, "zz_nomatch")]
+
+    def _dfs(self, spark):
+        return (spark.createDataFrame(self.CORPUS,
+                                      "doc_id long, text string"),
+                spark.createDataFrame(self.QUERIES,
+                                      "query_id long, query_text string"))
+
+    @staticmethod
+    def _rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    def test_search_equals_one_shot(self, spark, tmp_loc):
+        cdf, qdf = self._dfs(spark)
+        idx = retrieval.build_bm25_index(spark, f"{tmp_loc}/idx", cdf)
+        got = self._rows(idx.search(qdf, k=3))
+        want = self._rows(retrieval.bm25_topk(cdf, qdf, k=3))
+        assert got == want and got
+
+    def test_incremental_equals_full_and_replay_noop(self, spark, tmp_loc):
+        cdf, qdf = self._dfs(spark)
+        first = spark.createDataFrame(self.CORPUS[:3],
+                                      "doc_id long, text string")
+        second = spark.createDataFrame(self.CORPUS[3:],
+                                       "doc_id long, text string")
+        idx = retrieval.Bm25Index.build(spark, f"{tmp_loc}/idx", first)
+        idx = idx.add(second)
+        want = self._rows(retrieval.bm25_topk(cdf, qdf, k=3))
+        assert self._rows(idx.search(qdf, k=3)) == want
+        # replay: adding the same batch again must be a no-op
+        idx = idx.add(second)
+        assert idx.doclens.to_df().count() == len(self.CORPUS)
+        assert self._rows(idx.search(qdf, k=3)) == want
+
+    def test_load_roundtrip(self, spark, tmp_loc):
+        cdf, qdf = self._dfs(spark)
+        retrieval.build_bm25_index(spark, f"{tmp_loc}/idx", cdf)
+        idx = retrieval.Bm25Index.load(spark, f"{tmp_loc}/idx")
+        assert self._rows(idx.search(qdf, k=3)) == \
+            self._rows(retrieval.bm25_topk(cdf, qdf, k=3))
+
+    def test_token_bounds_prune_postings(self, spark, tmp_loc):
+        """The point of persisting: a query's postings scan plans only
+        the files whose token range can match."""
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        # two disjoint vocabularies, indexed as two appends → files
+        # with disjoint token bounds
+        a = spark.createDataFrame(
+            [(i, f"aaa{i % 3} alpha") for i in range(20)],
+            "doc_id long, text string")
+        z = spark.createDataFrame(
+            [(100 + i, f"zzz{i % 3} zulu") for i in range(20)],
+            "doc_id long, text string")
+        idx = retrieval.Bm25Index.build(spark, f"{tmp_loc}/idx", a,
+                                        buckets=1)
+        idx = idx.add(z, buckets=1)
+        all_files = list(idx.postings.scan().plan_files())
+        pruned = list(idx.postings.scan(
+            filter=ex.in_(ex.Reference("token"), ["zulu"])).plan_files())
+        assert len(pruned) < len(all_files)
+        qdf = spark.createDataFrame([(1, "zulu")],
+                                    "query_id long, query_text string")
+        hits = idx.search(qdf, k=50).collect()
+        assert {r["doc_id"] for r in hits} == {100 + i for i in range(20)}
