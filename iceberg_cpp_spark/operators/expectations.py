@@ -166,3 +166,55 @@ def violations_df(data, rule: Rule) -> DataFrame:
                 .join(parent, F.col(rule.column) == F.col("_pk"),
                       "left_anti"))
     raise ValueError(f"unknown rule kind: {rule.kind}")
+
+
+# ---------------------------------------------------------------------------
+# Expectations → write-audit-publish curation gate (VERDICT r10 task 8):
+# the X18+X19 composition a promotion pipeline runs — stage the batch as
+# a WAP snapshot (no reader sees it), audit the STAGED TABLE STATE with
+# the rules, publish on pass, leave main untouched on fail.
+# ---------------------------------------------------------------------------
+
+@dataclass
+class GateResult:
+    """Outcome of one gated batch. ``table`` is the post-publish handle
+    when ``published`` (main advanced by cherry-pick), else the
+    pre-gate handle whose metadata carries the staged snapshot —
+    inspect it with ``table.scan(snapshot_id=staged_snapshot_id)`` and
+    ``violations_df`` on the failing rules, then either fix + retry
+    under a new wap id or expire the staged snapshot."""
+    table: Any
+    report: DataFrame
+    published: bool
+    wap_id: str
+    staged_snapshot_id: int
+
+    def failed_rules(self) -> list[str]:
+        return [r["rule"] for r in self.report.collect()
+                if not r["passed"]]
+
+
+def expectations_wap_gate(table, batch: DataFrame, rules: list[Rule],
+                          wap_id: Optional[str] = None) -> GateResult:
+    """Stage ``batch`` on ``table`` under ``wap_id``, audit the staged
+    snapshot's TABLE STATE (not just the batch — so e.g. ``unique``
+    catches cross-batch duplicates) with ``rules``, and publish the
+    snapshot to main only when every rule passes.
+
+    Readers never observe an unaudited batch: the staged snapshot
+    lives in metadata without moving any ref until the cherry-pick,
+    and a failed audit leaves main bit-for-bit unchanged. The audit is
+    the same fused one-scan ``check`` used standalone; publish is
+    metadata-only (no data rewritten)."""
+    import uuid
+
+    wid = wap_id or uuid.uuid4().hex[:16]
+    staged = table.append(batch, wap_id=wid)
+    sn = staged.wap_snapshot(wid)
+    staged_df = staged.scan(snapshot_id=sn.snapshot_id).to_df()
+    report = check(staged_df, rules)
+    ok = all(r["passed"] for r in report.collect())
+    if ok:
+        return GateResult(staged.publish_wap(wid), report, True, wid,
+                          sn.snapshot_id)
+    return GateResult(staged, report, False, wid, sn.snapshot_id)
