@@ -1229,6 +1229,45 @@ def ice_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  F.sum("k").alias("sum_k"))
 
 
+def ice_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variant SHREDDING (core/shredding.py — r12): the table declares
+    write.variant.shred.payload = "$.k:long, $.st:string", so appends
+    materialize typed shadow columns whose per-file stats land in the
+    manifests under deterministic synthetic field ids; the scan filters
+    with ex.variant_get("payload", "$.k", "long") < N — files prune on
+    the recorded bounds (writes are range-clustered on o_orderkey, so
+    the predicate keeps a strict subset of files) and surviving rows
+    filter through Spark's native try_variant_get. The oracle re-derives
+    the same filter+aggregate from raw orders."""
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    df = o.select(
+        "o_orderkey",
+        F.parse_json(F.concat(
+            F.lit('{"st": "'), F.col("o_orderstatus"),
+            F.lit('", "k": '), F.col("o_orderkey").cast("string"),
+            F.lit("}"))).alias("payload"))
+    loc = os.path.join(tempfile.mkdtemp(prefix="ice_vshred_"), "t")
+    t = IceTable.create(
+        spark, loc, schema_from_spark(df.schema),
+        properties={"format-version": "3",
+                    "write.variant.shred.payload": "$.k:long, $.st:string"})
+    t = t.append(df.repartitionByRange(8, "o_orderkey"))
+    thr = o.agg(F.max("o_orderkey")).collect()[0][0] // 2
+    scan = t.scan(filter=ex.lt(ex.variant_get("payload", "$.k", "long"),
+                               int(thr)))
+    assert len(list(scan.plan_files())) < len(list(t.scan().plan_files())), \
+        "shred bounds failed to prune"
+    out = scan.to_df().select(
+        F.try_variant_get("payload", "$.st", "string").alias("st"),
+        F.try_variant_get("payload", "$.k", "long").alias("k"))
+    return out.groupBy("st").agg(F.count("*").alias("n"),
+                                 F.sum("k").alias("sum_k"))
+
+
 def ice_ns_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v3 NANOSECOND timestamps (the reference's TimeUnit enum
     stops at µs — type_fwd.h:56-58; this exceeds it): event times recast
@@ -3063,6 +3102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": multimodal_frames,
         "geo_exact_filter": geo_exact_filter,
         "retrieval_bm25_indexed": retrieval_bm25_indexed,
+        "ice_variant_shred": ice_variant_shred,
     }
 
 
@@ -4688,6 +4728,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(o_orderkey) AS BIGINT) AS sum_k
             FROM orders
             WHERE o_orderkey % 50 = 0 AND NOT (o_orderkey < 10000)
+            GROUP BY o_orderstatus
+        """,
+        "ice_variant_shred": """
+            SELECT o_orderstatus AS st,
+                   COUNT(*) AS n,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS sum_k
+            FROM orders
+            WHERE o_orderkey % 20 = 0
+              AND o_orderkey < CAST(FLOOR(
+                  (SELECT MAX(o_orderkey) FROM orders
+                   WHERE o_orderkey % 20 = 0) / 2.0) AS BIGINT)
             GROUP BY o_orderstatus
         """,
         # ExactSubstr scrub: 0-based window starts in Spark vs 1-based

@@ -520,7 +520,7 @@ _BOUNDABLE = (it.BooleanType, it.IntegerType, it.LongType, it.FloatType,
 
 
 def collect_metrics_spark(spark, paths: list[str], schema: it.Schema,
-                          modes=None) -> dict[str, dict]:
+                          modes=None, shreds=None) -> dict[str, dict]:
     """Variant-safe metrics harvest: ONE JVM aggregation job over the
     just-written files, grouped by ``_metadata.file_path``. Used when
     the schema contains a v3 variant column (pyarrow cannot even open
@@ -542,15 +542,30 @@ def collect_metrics_spark(spark, paths: list[str], schema: it.Schema,
     from iceberg_cpp_spark.core import types as ty
 
     spark_schema = ty.to_spark_schema(schema)
-    df = (spark.read.schema(spark_schema).parquet(*paths)
+    # shredded variant extractions live as extra physical columns in
+    # the just-written files: widen the read schema so their stats
+    # aggregate under the synthetic shred field ids
+    read_schema = spark_schema
+    shred_cols: list[tuple[str, int, it.IcebergType]] = []
+    for s in (shreds or []):
+        from pyspark.sql import types as T
+
+        sub = ty.to_spark_schema(it.Schema(
+            [it.NestedField(1, "x", s.field_type)], schema_id=0))
+        read_schema = T.StructType(
+            list(read_schema.fields)
+            + [T.StructField(s.shadow_name, sub.fields[0].dataType, True)])
+        shred_cols.append((s.shadow_name, s.field_id, s.field_type))
+    df = (spark.read.schema(read_schema).parquet(*paths)
           .withColumn("_fp", F.regexp_replace(
               F.col("_metadata.file_path"), "^file:(//)?", "")))
 
     aggs = [F.count(F.lit(1)).alias("_n")]
     plan: list[tuple[int, it.IcebergType, bool, bool]] = []  # fid, t, bounded, nan
-    for f in schema.fields:
-        c = F.col(f.name)
-        fid, t = f.field_id, f.field_type
+    agg_fields = ([(f.name, f.field_id, f.field_type)
+                   for f in schema.fields] + shred_cols)
+    for name, fid, t in agg_fields:
+        c = F.col(name)
         aggs.append(F.sum(F.isnull(c).cast("long")).alias(f"_null_{fid}"))
         bounded = isinstance(t, _BOUNDABLE)
         nan = isinstance(t, (it.FloatType, it.DoubleType))

@@ -218,6 +218,87 @@ class BoundReference:
         return f"bound_ref({self.full_name}#{self.field_id})"
 
 
+class VariantGetTerm:
+    """Unbound ``variant_get(column, path, type)`` term — predicates on
+    an extracted (shredded) variant path. Binds against the VARIANT
+    column (bypassing the no-total-order fence, since the extraction
+    has a declared primitive type) to a synthetic field id derived
+    deterministically from (source fid, path, type) — the id the
+    write-side shredder records bounds under (core/shredding.py), so
+    the metrics evaluator prunes files like any real column."""
+
+    def __init__(self, name: str, path: str, type_name: str):
+        from iceberg_cpp_spark.core.shredding import _TYPES
+
+        self.name = name
+        self.path = path
+        self.type_name = type_name.lower()
+        if self.type_name not in _TYPES:
+            raise ValueError(
+                f"unsupported variant_get type {type_name!r} "
+                f"(one of {sorted(_TYPES)})")
+        if not path.startswith("$"):
+            raise ValueError(f"variant path must start with '$': {path!r}")
+
+    def bind(self, schema: it.Schema,
+             case_sensitive: bool = True) -> "BoundVariantGetTerm":
+        from iceberg_cpp_spark.core.shredding import _TYPES, shred_field_id
+
+        f = schema.find_field(self.name, case_sensitive)
+        if f is None:
+            raise ValueError(
+                f"cannot bind variant_get, column not found: {self.name}")
+        if not isinstance(f.field_type, it.VariantType):
+            raise ValueError(
+                f"variant_get requires a variant column, "
+                f"{self.name!r} is {f.field_type!r}")
+        fid = shred_field_id(f.field_id, self.path, self.type_name)
+        synthetic = it.NestedField(fid, f"{self.name}[{self.path}]",
+                                   _TYPES[self.type_name], required=False)
+        return BoundVariantGetTerm(synthetic, self.name, self.path,
+                                   self.type_name)
+
+    def __repr__(self):
+        return f"variant_get({self.name}, {self.path}, {self.type_name})"
+
+
+class BoundVariantGetTerm:
+    def __init__(self, field: it.NestedField, source_name: str,
+                 path: str, type_name: str):
+        self.field = field
+        self.source_name = source_name
+        self.path = path
+        self.type_name = type_name
+
+    @property
+    def field_id(self) -> int:
+        return self.field.field_id
+
+    @property
+    def field_type(self) -> it.IcebergType:
+        return self.field.field_type
+
+    @property
+    def full_name(self) -> str:
+        return self.field.name
+
+    @property
+    def transform(self) -> None:
+        return None
+
+    def __repr__(self):
+        return f"bound_variant_get({self.source_name}{self.path}#{self.field_id})"
+
+
+def variant_get(name, path: str, type_name: str) -> VariantGetTerm:
+    """Term factory: ``ex.lt(ex.variant_get("payload", "$.k", "long"),
+    100)`` — prunable when the table declares the matching shred path
+    (write.variant.shred.payload), correct either way."""
+    if isinstance(name, Reference):
+        name = name.name
+    return VariantGetTerm(name, path, type_name)
+
+
 class TransformTerm:
     """Unbound transform-of-column term, e.g. Equal(bucket(16, 'id'), 5)
     (UnboundTransform, term.h:196)."""
@@ -510,7 +591,12 @@ class BoundPredicate(Expression):
             hit = (env[0] <= xmax and env[2] >= xmin
                    and env[1] <= ymax and env[3] >= ymin)
             return hit if op == Op.ST_INTERSECTS else not hit
-        cmp_v = to_comparable(value, self.term.bref.field_type if self.term.transform is None else self.term.field_type)
+        # term.field_type is the comparison type for every term kind:
+        # the column type for references, the transform RESULT type for
+        # transform terms (pyvalue above already applied the transform),
+        # the declared extraction type for variant_get terms. (The old
+        # `term.bref` access crashed on plain BoundReference.)
+        cmp_v = to_comparable(value, self.term.field_type)
         if op == Op.LT:
             return cmp_v < self.literal
         if op == Op.LT_EQ:

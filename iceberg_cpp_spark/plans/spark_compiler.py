@@ -26,6 +26,11 @@ def _term_column(term) -> tuple[Column, it.IcebergType]:
     if isinstance(term, ex.BoundTransformTerm):
         src = F.col(term.full_name)
         return term.transform_.spark_column(src, term.bref.field_type), term.field_type
+    if isinstance(term, ex.BoundVariantGetTerm):
+        # JVM-native extraction (codegen); NULL for missing/uncastable
+        # paths — three-valued logic like any other null
+        return (F.try_variant_get(F.col(term.source_name), term.path,
+                                  term.type_name), term.field_type)
     raise ValueError(f"not a bound term: {term!r}")
 
 

@@ -2928,6 +2928,20 @@ class IceTable:
             cols.append(F.col(sf.name).cast(sf.dataType)
                         .alias(sf.name, metadata=sf.metadata))
         df = df.select(cols)
+        # variant shredding (core/shredding.py): materialize the
+        # declared typed extractions as shadow columns in the written
+        # parquet files — not part of the table schema (schema-projected
+        # scans never see them), but their stats land in the DataFile
+        # under deterministic synthetic field ids so variant_get
+        # predicates prune files
+        from iceberg_cpp_spark.core import shredding as shred_mod
+
+        shreds = shred_mod.shred_fields(schema, self.properties())
+        if shreds and self.properties().get(
+                "write.format.default", "parquet") == "parquet":
+            df = shred_mod.shadow_columns(df, shreds)
+        else:
+            shreds = []
         part_names: list[str] = []
         if spec.fields:
             # transforms as derived columns (prefixed so data files keep
@@ -3042,9 +3056,11 @@ class IceTable:
         elif schema_has_variant(schema):
             # pyarrow cannot open footers of variant-bearing files
             # (unrecognized Thrift LogicalType) — harvest exact stats
-            # with one JVM aggregation over the new files instead
+            # with one JVM aggregation over the new files instead;
+            # shredded extractions ride the same aggregation so their
+            # bounds land under the synthetic shred field ids
             metrics = collect_metrics_spark(self.spark, paths, schema,
-                                            modes=modes)
+                                            modes=modes, shreds=shreds)
         else:
             metrics = collect_metrics(self.spark, paths, schema,
                                       modes=modes)

@@ -88,6 +88,7 @@ def test_driver_cap_window_composition():
         # to keep the window stable two rounds in a row):
         "geo_exact_filter",  # exact WKB-polygon st_intersects (ice_geo_bbox in-window covers the v3 geo scan + envelope-pruning plane; the exact kernel is pinned by tests/test_geom_exact.py PostGIS goldens)
         "retrieval_bm25_indexed",  # persisted BM25 index (retrieval_bm25 in-window covers the scoring plan; index==one-shot equality, replay idempotence and postings pruning pinned by TestBm25PersistedIndex)
+        "ice_variant_shred",  # variant shredding (ice_variant in-window covers the variant scan/DV plane; shred bounds/pruning/CoW-reshred pinned by TestVariantShredding, and the row itself asserts pruning before returning)
         # r10 rotation #2 displacements (all driver-green since r01-r02;
         # each keeps in-window coverage):
         "ice_transforms",   # transform projections (ice_bucket_transform in-window keeps the transform + murmur3 machinery; identity/temporal transforms ride every partitioned in-window row)

@@ -209,3 +209,145 @@ class TestVariantType:
                    if r["_change_type"] == "delete"}
         assert inserts == {(i, i) for i in range(10)}
         assert deletes == {(0, 0), (1, 1)}
+
+
+class TestVariantShredding:
+    """Variant shredding (VERDICT r10 task 5): declared shred paths
+    write typed shadow columns whose stats land in the manifests under
+    deterministic synthetic field ids; variant_get predicates prune
+    files and filter rows JVM-side; scans never see the shadows."""
+
+    def _table(self, spark, loc, n=1000):
+        df = spark.range(0, n).select(
+            F.col("id").alias("k"),
+            F.parse_json(F.concat(
+                F.lit('{"a": '), F.col("id").cast("string"),
+                F.lit(', "s": "v'), (F.col("id") % 7).cast("string"),
+                F.lit('"}'))).alias("payload"))
+        t = IceTable.create(
+            spark, loc, schema_from_spark(df.schema),
+            properties={"format-version": "3",
+                        "write.variant.shred.payload":
+                        "$.a:long, $.s:string"})
+        return t.append(df.repartitionByRange(4, "k")), df
+
+    def test_bounds_in_manifests(self, spark, tmp_loc):
+        import struct
+
+        import iceberg_cpp_spark.core.manifests as mf
+        from iceberg_cpp_spark.core.shredding import shred_field_id
+
+        t, _ = self._table(spark, f"{tmp_loc}/t")
+        fid_a = shred_field_id(2, "$.a", "long")
+        fid_s = shred_field_id(2, "$.s", "string")
+        seen = 0
+        for m in mf.read_manifest_list(t.current_snapshot().manifest_list):
+            for e in mf.read_manifest(m.manifest_path, t.metadata.spec(),
+                                      t.schema(), manifest=m):
+                f = e.data_file
+                lo = struct.unpack("<q", f.lower_bounds[fid_a])[0]
+                hi = struct.unpack("<q", f.upper_bounds[fid_a])[0]
+                assert 0 <= lo <= hi <= 999
+                assert f.lower_bounds[fid_s].decode().startswith("v")
+                assert f.value_counts[fid_a] == f.record_count
+                assert f.null_value_counts[fid_a] == 0
+                seen += 1
+        assert seen == 4
+
+    def test_prune_and_filter(self, spark, tmp_loc):
+        t, _ = self._table(spark, f"{tmp_loc}/t")
+        term = ex.variant_get("payload", "$.a", "long")
+        scan = t.scan(filter=ex.lt(term, 100))
+        assert len(list(scan.plan_files())) == 1  # 3 of 4 files pruned
+        got = scan.to_df()
+        assert got.count() == 100
+        assert got.agg(F.max("k")).collect()[0][0] == 99
+        # string path prunes nothing (all files carry v0..v6) but
+        # filters correctly
+        s_scan = t.scan(filter=ex.eq(
+            ex.variant_get("payload", "$.s", "string"), "v3"))
+        assert len(list(s_scan.plan_files())) == 4
+        assert s_scan.to_df().count() == len(
+            [i for i in range(1000) if i % 7 == 3])
+
+    def test_shadows_invisible_to_scans(self, spark, tmp_loc):
+        t, _ = self._table(spark, f"{tmp_loc}/t")
+        assert t.to_df().columns == ["k", "payload"]
+        assert t.scan(columns=["k"]).to_df().columns == ["k"]
+
+    def test_cow_rewrite_reshreds(self, spark, tmp_loc):
+        """A CoW delete rewrites files through the same writer — the
+        surviving rows' shadows (and bounds) must be regenerated."""
+        t, _ = self._table(spark, f"{tmp_loc}/t")
+        t = t.delete_where(ex.lt(ex.Reference("k"), 250))
+        term = ex.variant_get("payload", "$.a", "long")
+        scan = t.scan(filter=ex.lt(term, 500))
+        files = list(scan.plan_files())
+        assert len(files) < len(list(t.scan().plan_files()))
+        assert scan.to_df().count() == 250  # 250..499
+        # far-out predicate prunes everything
+        none = t.scan(filter=ex.gt_eq(term, 10_000))
+        assert not list(none.plan_files())
+
+    def test_predeclaration_files_stay_conservative(self, spark, tmp_loc):
+        """Files written BEFORE the shred declaration carry no bounds
+        for the synthetic id — they are always kept, never wrong."""
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            F.parse_json(F.concat(F.lit('{"a": '),
+                                  F.col("id").cast("string"),
+                                  F.lit("}"))).alias("payload"))
+        t = IceTable.create(spark, f"{tmp_loc}/t",
+                            schema_from_spark(df.schema),
+                            properties={"format-version": "3"})
+        t = t.append(df.coalesce(1))
+        t = t.update_properties(
+            {"write.variant.shred.payload": "$.a:long"})
+        t = t.append(df.select("k", "payload")
+                     .withColumn("k", F.col("k") + 1000)
+                     .coalesce(1))
+        term = ex.variant_get("payload", "$.a", "long")
+        scan = t.scan(filter=ex.gt_eq(term, 50))
+        # both files survive planning (old one has no bounds)
+        assert len(list(scan.plan_files())) == 2
+        assert scan.to_df().count() == 100  # 50..99 from each append
+
+    def test_filter_works_without_shredding(self, spark, tmp_loc):
+        df = spark.range(0, 50).select(
+            F.col("id").alias("k"),
+            F.parse_json(F.concat(F.lit('{"a": '),
+                                  F.col("id").cast("string"),
+                                  F.lit("}"))).alias("payload"))
+        t = IceTable.create(spark, f"{tmp_loc}/t",
+                            schema_from_spark(df.schema),
+                            properties={"format-version": "3"})
+        t = t.append(df)
+        got = t.scan(filter=ex.lt(
+            ex.variant_get("payload", "$.a", "long"), 10)).to_df()
+        assert got.count() == 10
+
+    def test_spec_validation(self, spark, tmp_loc):
+        from iceberg_cpp_spark.core.shredding import shred_fields
+
+        t, df = self._table(spark, f"{tmp_loc}/t")
+        sch = t.schema()
+        with pytest.raises(ValueError, match="unknown column"):
+            shred_fields(sch, {"write.variant.shred.nope": "$.a:long"})
+        with pytest.raises(ValueError, match="non-variant"):
+            shred_fields(sch, {"write.variant.shred.k": "$.a:long"})
+        with pytest.raises(ValueError, match="unsupported shred type"):
+            shred_fields(sch, {"write.variant.shred.payload": "$.a:blob"})
+        with pytest.raises(ValueError, match="must start with"):
+            shred_fields(sch, {"write.variant.shred.payload": "a:long"})
+        with pytest.raises(ValueError, match="variant_get requires"):
+            t.scan(filter=ex.lt(
+                ex.variant_get("k", "$.a", "long"), 1)).plan_files()
+
+    def test_bound_term_test_path(self, spark, tmp_loc):
+        """BoundPredicate.test on a variant_get term (metrics-evaluator
+        row path) compares in the declared type."""
+        t, _ = self._table(spark, f"{tmp_loc}/t")
+        bound = ex.lt(ex.variant_get("payload", "$.a", "long"),
+                      100).bind(t.schema())
+        assert bound.test(50) is True
+        assert bound.test(500) is False
