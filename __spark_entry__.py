@@ -2955,73 +2955,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (2nd-tier TPC-H, scalar/setop demos) sit past the cap.
     return {
         # NOTE: dict order matters — the driver checks the FIRST 50 only.
-        # r11 rotation #3 (VERDICT r10 task 1): first driver rows for
-        # every r10 family that previously had only judge-side oracle
-        # runs (v3 variant / ns timestamps, materialized view, MoR
-        # MERGE, WAP staging, ORC write leg, partition statistics,
-        # spatial join + geohash, span scrub, LM perplexity, DSIR,
-        # paragraph dedup, SemDeDup, incremental minhash). The 15
-        # displaced rows (all driver-green since r01–r09) keep
-        # in-window family coverage — justifications live in
-        # tests/test_registry.py judge_only_extras.
+        # r12 rotation #4 (VERDICT r11 task 10): first driver rows for the
+        # 16-query never-driver tail (ice_eq_fold, ice_analyze_ndv,
+        # ice_merge_schema, ice_metadata_tables, ann_pq_topk,
+        # text_contamination/_rolling_fp/_repetition/_pii_redact/_chunking/
+        # _bpe_tokens, dedup_cross_corpus, sample_stratified/_split/_pack,
+        # multimodal_frames) and the three r12 operators (geo_exact_filter,
+        # retrieval_bm25_indexed, ice_variant_shred). The 19 displaced rows
+        # are all driver-green (most since r01-r09, the rest in r11); their
+        # in-window-coverage justifications live in tests/test_registry.py
+        # judge_only_extras — updated in THIS commit, per the r11 lesson.
         "ice_geo_bbox": ice_geo_bbox,
-        "ice_variant": ice_variant,
-        "ice_ns_timestamps": ice_ns_timestamps,
+        "geo_exact_filter": geo_exact_filter,
+        "ice_variant_shred": ice_variant_shred,
         "ice_partition_pruned": ice_partition_pruned,
-        "ice_view_spec": ice_view_spec,
-        "ice_materialized_view": ice_materialized_view,
-        "ice_update_where": ice_update_where,
+        "ice_eq_fold": ice_eq_fold,
+        "ice_analyze_ndv": ice_analyze_ndv,
+        "ice_merge_schema": ice_merge_schema,
+        "ice_metadata_tables": ice_metadata_tables,
         "ice_mor_delete": ice_mor_delete,
-        "ice_mor_merge": ice_mor_merge,
         "ice_deletion_vector": ice_deletion_vector,
-        "ice_row_lineage": ice_row_lineage,
         "ice_changelog": ice_changelog,
         "ice_cdc_apply": ice_cdc_apply,
         "ice_add_files": ice_add_files,
         "ice_avro_v3": ice_avro_v3,
         "ice_orc_data": ice_orc_data,
-        "ice_orc_write": ice_orc_write,
         "ice_compaction": ice_compaction,
         "ice_maintenance_lifecycle": ice_maintenance_lifecycle,
         "ice_merge_into": ice_merge_into,
         "ice_partition_evolution": ice_partition_evolution,
-        "ice_partition_stats": ice_partition_stats,
-        "ice_wap_flow": ice_wap_flow,
         "ice_large_scan": ice_large_scan,
         "ice_pyds_scan": ice_pyds_scan,
         "ice_nested_types": ice_nested_types,
         "ice_rollback_cherry_pick": ice_rollback_cherry_pick,
         "ice_scd2_dimension": ice_scd2_dimension,
-        # LLM pipeline (18)
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
-        "dedup_semantic": dedup_semantic,
-        "dedup_incremental": dedup_incremental,
+        "dedup_cross_corpus": dedup_cross_corpus,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_pq_topk": ann_pq_topk,
         "text_stats": text_stats,
         "text_token_familiarity": text_token_familiarity,
+        "text_contamination": text_contamination,
+        "text_rolling_fp": text_rolling_fp,
+        "text_repetition": text_repetition,
+        "text_pii_redact": text_pii_redact,
+        "text_chunking": text_chunking,
+        "text_bpe_tokens": text_bpe_tokens,
+        "sample_stratified": sample_stratified,
+        "sample_split": sample_split,
+        "sample_pack": sample_pack,
+        "multimodal_png_real": multimodal_png_real,
+        "multimodal_gif_frames": multimodal_gif_frames,
+        "multimodal_frames": multimodal_frames,
+        "stream_sessionize": stream_sessionize,
+        "classify_nb_lang": classify_nb_lang,
+        "retrieval_bm25": retrieval_bm25,
+        "retrieval_bm25_indexed": retrieval_bm25_indexed,
+        "q1_pricing_summary": q1_pricing_summary,
+        "events_window_agg": events_window_agg,
+        "range_join_events": range_join_events,
+        # ---- past the driver cap (judge-only) ----
+        "ice_variant": ice_variant,
+        "ice_ns_timestamps": ice_ns_timestamps,
+        "ice_view_spec": ice_view_spec,
+        "ice_materialized_view": ice_materialized_view,
+        "ice_update_where": ice_update_where,
+        "ice_mor_merge": ice_mor_merge,
+        "ice_row_lineage": ice_row_lineage,
+        "ice_orc_write": ice_orc_write,
+        "ice_partition_stats": ice_partition_stats,
+        "ice_wap_flow": ice_wap_flow,
+        "dedup_semantic": dedup_semantic,
+        "dedup_incremental": dedup_incremental,
         "text_span_scrub": text_span_scrub,
         "text_lm_perplexity": text_lm_perplexity,
         "text_paragraph_dedup": text_paragraph_dedup,
         "sample_dsir": sample_dsir,
-        "multimodal_png_real": multimodal_png_real,
-        "multimodal_gif_frames": multimodal_gif_frames,
-        "stream_sessionize": stream_sessionize,
-        "classify_nb_lang": classify_nb_lang,
-        "retrieval_bm25": retrieval_bm25,
         "geo_bbox_join": geo_bbox_join,
         "geo_geohash_cells": geo_geohash_cells,
-        # relational representatives (4)
-        "q1_pricing_summary": q1_pricing_summary,
-        "events_window_agg": events_window_agg,
         "quality_expectations": quality_expectations,
-        "range_join_events": range_join_events,
-        # ---- driver cap (50) is here; everything below is judge-only ----
         "ice_transforms": ice_transforms,
         "ice_time_travel": ice_time_travel,
         "stream_hourly": stream_hourly,
         "asof_join_events": asof_join_events,
-        # displaced by the r11 rotation #3 (driver-green r01–r10):
         "ice_bucket_transform": ice_bucket_transform,
         "ice_roundtrip_agg": ice_roundtrip_agg,
         "ice_delete_where": ice_delete_where,
@@ -3037,7 +3054,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio": multimodal_audio,
         "multimodal_metadata": multimodal_metadata,
         "embedding_clusters": embedding_clusters,
-        # long-standing judge-only extras + relational tail:
         "agg_rollup": agg_rollup,
         "q3_shipping_priority": q3_shipping_priority,
         "q12_shipping_modes": q12_shipping_modes,
@@ -3083,26 +3099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_listagg": agg_listagg,
         "agg_percentile": agg_percentile,
         "events_sliding_window": events_sliding_window,
-        "ice_eq_fold": ice_eq_fold,
-        "sample_stratified": sample_stratified,
-        "sample_split": sample_split,
-        "text_rolling_fp": text_rolling_fp,
-        "text_repetition": text_repetition,
-        "text_contamination": text_contamination,
-        "text_pii_redact": text_pii_redact,
         "ann_topk": ann_topk,
-        "ann_pq_topk": ann_pq_topk,
-        "sample_pack": sample_pack,
-        "dedup_cross_corpus": dedup_cross_corpus,
-        "text_chunking": text_chunking,
-        "text_bpe_tokens": text_bpe_tokens,
-        "ice_analyze_ndv": ice_analyze_ndv,
-        "ice_merge_schema": ice_merge_schema,
-        "ice_metadata_tables": ice_metadata_tables,
-        "multimodal_frames": multimodal_frames,
-        "geo_exact_filter": geo_exact_filter,
-        "retrieval_bm25_indexed": retrieval_bm25_indexed,
-        "ice_variant_shred": ice_variant_shred,
     }
 
 

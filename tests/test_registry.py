@@ -18,7 +18,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # window (everything below the cap is judge-only TPC-H / relational).
 CAP = 50
 LAST_IN_CAP = "range_join_events"
-FIRST_PAST_CAP = "ice_transforms"
+FIRST_PAST_CAP = "ice_variant"
 
 
 def test_driver_cap_window_composition():
@@ -32,69 +32,61 @@ def test_driver_cap_window_composition():
     # except declared judge-only EXTRAS whose underlying operators are
     # already exercised by an in-window query
     judge_only_extras = {
-        "ice_eq_fold",      # eq-delete batching/fold (ice_equality_delete in-window)
-        "text_rolling_fp",  # rolling-hash fp (text_stats fingerprint in-window)
-        "text_repetition",  # Gopher repetition stats (text_quality in-window)
-        "text_contamination",  # benchmark n-gram screen (dedup_minhash shingle-Jaccard in-window)
-        "text_pii_redact",  # PII scrub (text_stats/text_quality in-window)
-        "ann_pq_topk",      # PQ compression path (ann_ivf_topk in-window)
-        "dedup_cross_corpus",  # cross-corpus LSH (dedup_minhash in-window)
-        "text_chunking",    # char chunking (text_stats in-window)
-        "text_bpe_tokens",  # trained BPE counts (text_stats in-window)
-        "ice_analyze_ndv",  # ANALYZE/Puffin NDV readback (ice_roundtrip_agg write path in-window)
-        "ice_merge_schema",  # write-side mergeSchema evolution (ice_schema_evolution in-window)
-        "ice_metadata_tables",  # entries/history/refs metadata tables (ice_metadata_columns + ice_time_travel in-window)
-        "multimodal_frames",  # fake video frame-sampler plumbing (multimodal_gif_frames real frames in-window)
-        "ice_sql_view",     # SQL temp-view surface (ice_datasource in-window covers the datasource it binds)
+        # --- operators whose machinery is pinned by an in-window row +
+        # --- dedicated pytest suites (stable extras since r03-r10):
+        "ice_sql_view",     # SQL temp-view surface (ice_datasource extras row binds the same datasource; ice_pyds_scan in-window)
         "ice_typed_columns",  # typed-primitive scan (decimal/date/ts columns exercised by most in-window ice queries)
         "dedup_minhash_verified",  # LSH + Jaccard verify pass (dedup_minhash in-window)
-        # r10 rotation (VERDICT r09 task 3): displaced so ice_large_scan,
-        # ice_pyds_scan, ice_nested_types, ice_rollback_cherry_pick,
-        # text_token_familiarity, multimodal_gif_frames get their first
-        # driver rows — each displaced operator keeps in-window coverage:
-        "ice_avro_manifests",  # Avro manifest read/write (ice_avro_v3 + ice_avro_data in-window)
-        "ice_sorted_write",  # sorted-write ordering (ice_zorder sort rewrite in-window)
-        "dedup_simhash",    # hamming-bucket dedup (dedup_minhash LSH in-window; dedup_embedding extras row pins the embedding-LSH leg)
+        "ice_avro_manifests",  # Avro manifest read/write (ice_avro_v3 in-window)
+        "ice_sorted_write",  # sorted-write ordering (ice_compaction sort rewrite in-window; z-interleave pinned by TestZorder)
+        "dedup_simhash",    # hamming-bucket dedup (dedup_minhash + dedup_cross_corpus LSH in-window)
         "ngram_jaccard",    # n-gram Jaccard pairs (dedup_minhash shingle-Jaccard in-window)
         "multimodal_decode",  # fake-decode plumbing (multimodal_png_real + multimodal_gif_frames real decodes in-window)
         "sessionize_events",  # batch sessionization (stream_sessionize in-window; r02 hash-flap cause pinned by test_no_hugeint_oracle_columns)
-        "ice_datasource",   # datasource registration demo (ice_pyds_scan exercises the python-datasource plane, ice_large_scan the jvm-union plane, both in-window; displaced for ice_orc_data)
-        "ann_topk",         # brute-force cosine baseline (ann_ivf_topk in-window keeps the dense-ANN scoring machinery; displaced for retrieval_bm25's first driver row)
-        # r11 rotation (VERDICT r10 task 1): the r10-rotation extras that
-        # moved INTO the window this round (ice_variant, text_span_scrub,
-        # ice_ns_timestamps, geo_bbox_join, geo_geohash_cells, ice_mor_merge,
-        # ice_wap_flow, ice_materialized_view, ice_orc_write,
-        # ice_partition_stats, text_lm_perplexity, sample_dsir,
-        # dedup_semantic, dedup_incremental, text_paragraph_dedup) were
-        # pruned from this set; the 15 rows below are the long-green
-        # (driver-green since r01-r09) queries they displaced — each keeps
-        # in-window coverage of its underlying operator:
-        "ice_bucket_transform",  # bucket-transform partition pruning (ice_partition_pruned in-window keeps file pruning; Appendix-B murmur3 vectors pinned in TestTransforms)
-        "ice_roundtrip_agg",  # write→scan→agg roundtrip (ice_compaction + ice_add_files in-window keep the write plane; every in-window ice_* scans what it wrote)
-        "ice_delete_where",  # CoW DELETE WHERE (ice_update_where in-window keeps the CoW rewrite plane; ice_mor_delete the delete-scan plane)
-        "ice_equality_delete",  # equality-delete apply (ice_mor_delete in-window keeps the MoR delete-apply scan; eq-delete fold/batching pinned by TestEqualityDeletes)
-        "ice_schema_evolution",  # field-id add/rename/drop projection (ice_add_files in-window keeps name-mapping + field-id projection; evolution matrix pinned by TestSchemaEvolution)
-        "ice_metadata_columns",  # _file/_pos/_deleted metadata columns (ice_row_lineage in-window keeps the metadata-column projection plane incl. _row_id)
-        "ice_avro_data",    # avro data-file scan (ice_avro_v3 in-window keeps the pure-python Avro read/write plane end-to-end)
-        "ice_zorder",       # z-order rewrite (ice_compaction in-window keeps the rewrite-files plane; z-value interleave pinned by TestZorder)
-        "ice_incremental_read",  # snapshot-range incremental scan (ice_changelog + ice_cdc_apply in-window keep the incremental/CDC plane)
-        "dedup_embedding",  # embedding-LSH near-dup (dedup_semantic in-window keeps grouped-cosine; dedup_minhash the banded-LSH plane)
-        "dedup_transitive",  # connected-components closure (dedup_minhash in-window keeps pair generation; iterative closure pinned by TestDedupTransitive)
-        "text_quality",     # Gopher-style quality gates (text_stats in-window keeps the tokenless column-expr stats plane)
-        "multimodal_audio",  # WAV synth+decode (multimodal_png_real in-window keeps the real-codec mapInPandas plane; WAV codec pinned by TestWavCodec)
-        "multimodal_metadata",  # container metadata sniff (multimodal_png_real + multimodal_gif_frames in-window keep the binary-column decode plane)
-        "embedding_clusters",  # k-means-lite cluster assign (ann_ivf_topk in-window keeps the centroid-assign machinery it shares)
-        # r12 additions (new operators; driver-window rotation deferred
-        # to keep the window stable two rounds in a row):
-        "geo_exact_filter",  # exact WKB-polygon st_intersects (ice_geo_bbox in-window covers the v3 geo scan + envelope-pruning plane; the exact kernel is pinned by tests/test_geom_exact.py PostGIS goldens)
-        "retrieval_bm25_indexed",  # persisted BM25 index (retrieval_bm25 in-window covers the scoring plan; index==one-shot equality, replay idempotence and postings pruning pinned by TestBm25PersistedIndex)
-        "ice_variant_shred",  # variant shredding (ice_variant in-window covers the variant scan/DV plane; shred bounds/pruning/CoW-reshred pinned by TestVariantShredding, and the row itself asserts pruning before returning)
-        # r10 rotation #2 displacements (all driver-green since r01-r02;
-        # each keeps in-window coverage):
-        "ice_transforms",   # transform projections (ice_bucket_transform in-window keeps the transform + murmur3 machinery; identity/temporal transforms ride every partitioned in-window row)
-        "ice_time_travel",  # snapshot-id scan pinning (ice_rollback_cherry_pick in-window resolves snapshots by id; TestNsTable/TestGeoTable time-travel paths pinned in pytest)
-        "stream_hourly",    # streaming source plane (stream_sessionize in-window keeps the DataSourceStreamReader plane; the windowed-agg shape rides events_window_agg)
-        "asof_join_events",  # as-of join (range_join_events in-window keeps the interval-join machinery; asof semantics pinned since r02)
+        "ice_datasource",   # datasource registration demo (ice_pyds_scan python-datasource plane + ice_large_scan jvm-union plane in-window)
+        "ann_topk",         # brute-force cosine baseline (ann_ivf_topk + ann_pq_topk in-window keep the dense-ANN scoring machinery)
+        # --- r10 rotation #2 displacements (driver-green since r01-r02):
+        "ice_transforms",   # transform projections (ice_partition_evolution in-window keeps the transform + murmur3 machinery)
+        "ice_time_travel",  # snapshot-id scan pinning (ice_rollback_cherry_pick in-window resolves snapshots by id)
+        "stream_hourly",    # streaming source plane (stream_sessionize in-window keeps the DataSourceStreamReader plane)
+        "asof_join_events",  # as-of join (range_join_events in-window keeps the interval-join machinery)
+        # --- r11 rotation displacements (driver-green r01-r09):
+        "ice_bucket_transform",  # bucket-transform pruning (ice_partition_pruned in-window; Appendix-B vectors in TestTransforms)
+        "ice_roundtrip_agg",  # write-scan-agg roundtrip (every in-window ice_* row scans what it wrote)
+        "ice_delete_where",  # CoW DELETE WHERE (ice_merge_into in-window keeps the CoW rewrite plane; ice_mor_delete the delete-scan plane)
+        "ice_equality_delete",  # equality-delete apply (ice_mor_delete in-window; ice_eq_fold NOW in-window covers eq-delete folding)
+        "ice_schema_evolution",  # field-id evolution projection (ice_add_files in-window keeps name-mapping; ice_merge_schema NOW in-window covers write-side evolution)
+        "ice_metadata_columns",  # _file/_pos metadata columns (ice_metadata_tables NOW in-window; ice_deletion_vector in-window rides _pos)
+        "ice_avro_data",    # avro data-file scan (ice_avro_v3 in-window keeps the pure-python Avro plane end-to-end)
+        "ice_zorder",       # z-order rewrite (ice_compaction in-window keeps the rewrite-files plane)
+        "ice_incremental_read",  # snapshot-range incremental scan (ice_changelog + ice_cdc_apply in-window)
+        "dedup_embedding",  # embedding-LSH near-dup (dedup_minhash + dedup_cross_corpus in-window keep banded LSH)
+        "dedup_transitive",  # connected-components closure (dedup_minhash in-window keeps pair generation; closure pinned by TestDedupTransitive)
+        "text_quality",     # Gopher quality gates (text_stats + text_repetition in-window keep the column-expr stats plane)
+        "multimodal_audio",  # WAV synth+decode (multimodal_png_real in-window keeps the real-codec mapInPandas plane; WAV pinned by TestWavCodec)
+        "multimodal_metadata",  # container metadata sniff (multimodal_png_real + multimodal_frames in-window)
+        "embedding_clusters",  # k-means-lite assign (ann_ivf_topk in-window keeps the centroid-assign machinery)
+        # --- r12 rotation #4 displacements (driver-green in r11's window,
+        # --- most also earlier; each keeps in-window operator coverage):
+        "ice_variant",      # v3 variant scan/DV plane (ice_variant_shred in-window scans variant payloads; ice_deletion_vector in-window keeps the DV plane; variant serde pinned by TestVariantType)
+        "ice_ns_timestamps",  # v3 ns timestamps (ice_partition_pruned in-window keeps partition pruning; ns exactness pinned by tests/test_ns_timestamps.py)
+        "ice_view_spec",    # view spec v1 (ice_metadata_tables in-window reads view-adjacent metadata; spec serde pinned by TestIceView)
+        "ice_materialized_view",  # MV storage + freshness (ice_rollback_cherry_pick in-window keeps the storage-commit plane; MV + incremental refresh pinned by TestMaterializedView/TestIncrementalMvRefresh)
+        "ice_update_where",  # CoW UPDATE WHERE (ice_merge_into in-window keeps the CoW matched-file rewrite plane; pinned by TestUpdateWhere)
+        "ice_mor_merge",    # merge-on-read MERGE (ice_merge_into in-window covers CoW; ice_mor_delete the pos-delete scan plane; MoR DML pinned by TestMorDml)
+        "ice_row_lineage",  # v3 row lineage (_row_id rides the metadata-column plane ice_metadata_tables + ice_deletion_vector keep in-window; pinned by TestRowLineage)
+        "ice_orc_write",    # ORC write leg (ice_orc_data in-window keeps the ORC scan planes; ORC bounds harvest pinned by tests/test_orc_metrics.py)
+        "ice_partition_stats",  # partition-statistics files (ice_partition_pruned in-window covers the partition metadata; ice_analyze_ndv in-window the stats-pointer flow)
+        "ice_wap_flow",     # WAP staging (ice_rollback_cherry_pick in-window keeps cherry-pick publish; staging + the expectations gate pinned by TestWriteAuditPublish/TestExpectationsWapGate)
+        "dedup_semantic",   # SemDeDup cluster-prune (ann_ivf_topk in-window keeps centroid assignment; dedup_cross_corpus in-window the LSH plane)
+        "dedup_incremental",  # store-backed incremental LSH (dedup_minhash in-window keeps banding; ice_merge_into in-window the store MERGE)
+        "text_span_scrub",  # ExactSubstr window scrub (text_rolling_fp in-window keeps the rolling-hash machinery; span scrub pinned by TestText)
+        "text_lm_perplexity",  # bigram-LM scoring (text_token_familiarity in-window keeps the counting core; classify_nb_lang the trained-model flow)
+        "text_paragraph_dedup",  # boilerplate paragraph scrub (dedup_exact in-window keeps hash-groupBy dedup; text_chunking in-window the explode/reassemble plumbing)
+        "sample_dsir",      # DSIR resampling (sample_stratified/_split/_pack in-window keep the hash-decision sampling plane; cross-engine reference in test_lm_dsir.py)
+        "geo_bbox_join",    # grid-bucketed spatial join (geo_exact_filter + ice_geo_bbox in-window keep the geo planes; join pinned by TestSpatialJoin)
+        "geo_geohash_cells",  # geohash encoding (ice_geo_bbox in-window keeps the geo scan plane; encoder pinned bit-for-bit by TestGeohash)
+        "quality_expectations",  # expectations checker (the fused one-scan check runs inside TestExpectations + the in-window-adjacent WAP gate tests; driver-green r09-r11)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without
@@ -114,8 +106,7 @@ def test_driver_cap_window_composition():
         "q22_global_sales_opportunity", "agg_cube", "agg_stats",
         "conditional_agg", "window_running_sum", "set_ops", "sort_limit",
         "scalar_functions", "unpivot", "agg_listagg", "agg_percentile",
-        "events_sliding_window", "sample_stratified", "sample_split",
-        "sample_pack",
+        "events_sliding_window",
     ]
     past_cap = names[CAP:]
     unplaced = [n for n in past_cap
