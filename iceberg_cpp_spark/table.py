@@ -2998,6 +2998,28 @@ class IceTable:
         pagesz = props.get("write.parquet.page-size-bytes")
         if pagesz:
             writer = writer.option("parquet.page.size", int(pagesz))
+        # write.parquet.bloom-filter-* (declared by the reference with
+        # no writer behind them, table_properties.h:143-148; its reader
+        # also leaves bloom row-group filtering TODO at
+        # parquet_reader.cc:221): per-column enable/fpp map onto
+        # parquet-mr's '#column' writer options; Spark's scan then
+        # skips row groups on pushed point predicates for free.
+        # Sized via write.parquet.bloom-filter-max-bytes.
+        _BF_ON = "write.parquet.bloom-filter-enabled.column."
+        _BF_FPP = "write.parquet.bloom-filter-fpp.column."
+        for k, v in props.items():
+            if k.startswith(_BF_ON):
+                writer = writer.option(
+                    f"parquet.bloom.filter.enabled#{k[len(_BF_ON):]}",
+                    str(v).lower())
+            elif k.startswith(_BF_FPP):
+                writer = writer.option(
+                    f"parquet.bloom.filter.fpp#{k[len(_BF_FPP):]}",
+                    float(v))
+        bf_max = props.get("write.parquet.bloom-filter-max-bytes")
+        if bf_max:
+            writer = writer.option("parquet.bloom.filter.max.bytes",
+                                   int(bf_max))
         # write.format.default (table_properties parity; the reference
         # enumerates {parquet, orc, avro} in file_format.h — all three
         # are writable here). ORC rides Spark's native JVM writer; ORC
@@ -3024,6 +3046,14 @@ class IceTable:
                 writer = writer.option(
                     "compression",
                     "none" if ocodec.lower() == "none" else ocodec.lower())
+            # write.orc.bloom.filter.* (reference declares them with no
+            # writer, table_properties.h:165-167)
+            obf = props.get("write.orc.bloom.filter.columns")
+            if obf:
+                writer = writer.option("orc.bloom.filter.columns", obf)
+            ofpp = props.get("write.orc.bloom.filter.fpp")
+            if ofpp:
+                writer = writer.option("orc.bloom.filter.fpp", float(ofpp))
             writer.mode("overwrite").orc(write_dir)
         elif fmt == "avro":
             if spec.fields:

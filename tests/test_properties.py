@@ -289,3 +289,70 @@ class TestGifLzwProperties:
         idx = ([0, 1] * 40000) + list(range(4)) * 5000
         out = _lzw_decode(2, _lzw_encode(2, idx), max_out=len(idx) + 1)
         assert out == idx
+
+
+class TestBloomFilterProperties:
+    """write.parquet.bloom-filter-* / write.orc.bloom.filter.* — the
+    reference declares these with no writer behind them
+    (table_properties.h:143-148, 165-167) and leaves reader bloom
+    row-group filtering TODO (parquet_reader.cc:221). Here they map
+    onto the Spark/parquet-mr and ORC writer options; verification
+    reads the footers back through the JVM."""
+
+    def test_parquet_bloom_written_for_declared_column(self, spark, tmp_loc):
+        from pyspark.sql import functions as F
+
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        df = spark.range(0, 20000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("u"), F.col("id")).alias("s"))
+        t = IceTable.create(
+            spark, f"{tmp_loc}/t", schema_from_spark(df.schema),
+            properties={
+                "write.parquet.bloom-filter-enabled.column.s": "true",
+                "write.parquet.bloom-filter-fpp.column.s": "0.01",
+                "write.parquet.bloom-filter-max-bytes": "131072"})
+        t = t.append(df.coalesce(1))
+        p = [f.file_path for f in t.scan().plan_files()][0]
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        footer = jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+            conf, jvm.org.apache.hadoop.fs.Path(p))
+        offs = {c.getPath().toDotString(): c.getBloomFilterOffset()
+                for c in footer.getBlocks().get(0).getColumns()}
+        assert offs["s"] > 0, "declared column must carry a bloom filter"
+        assert offs["k"] == -1, "undeclared column must not"
+        # point lookup stays correct through the scan path
+        got = t.scan(filter=ex.eq(ex.Reference("s"), "u12345")).to_df()
+        assert got.count() == 1
+
+    def test_orc_bloom_option_applies(self, spark, tmp_loc):
+        from pyspark.sql import functions as F
+
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        df = spark.range(0, 5000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("u"), F.col("id")).alias("s"))
+        t = IceTable.create(
+            spark, f"{tmp_loc}/t", schema_from_spark(df.schema),
+            properties={"write.format.default": "orc",
+                        "write.orc.bloom.filter.columns": "s",
+                        "write.orc.bloom.filter.fpp": "0.02"})
+        t = t.append(df.coalesce(1))
+        files = list(t.scan().plan_files())
+        assert {x.file_format for x in files} == {"orc"}
+        assert t.to_df().count() == 5000
+        # a same-data table WITHOUT the bloom property writes smaller
+        # files (the filter bytes are real)
+        t2 = IceTable.create(
+            spark, f"{tmp_loc}/t2", schema_from_spark(df.schema),
+            properties={"write.format.default": "orc"})
+        t2 = t2.append(df.coalesce(1))
+        sz = sum(x.file_size_in_bytes for x in files)
+        sz2 = sum(x.file_size_in_bytes for x in t2.scan().plan_files())
+        assert sz > sz2
