@@ -1672,8 +1672,13 @@ class IceTable:
         matched = (tgt.join(keys, on, "left_semi")
                    .localCheckpoint(eager=True)
                    if when_matched is not None else None)
-        inserts = (src.join(tgt.select(*on), on, "left_anti")
-                   if when_not_matched == "insert" else None)
+        # matched holds exactly src ∩ tgt keys: anti-join the SMALL
+        # matched-key set when it exists instead of re-scanning the
+        # target (r12 — same single-pass rule as the CoW path)
+        inserts = (src.join(
+            matched.select(*on).distinct() if matched is not None
+            else tgt.select(*on), on, "left_anti")
+            if when_not_matched == "insert" else None)
 
         new_files: list = []
         del_files: list = []
@@ -2201,35 +2206,46 @@ class IceTable:
             raise ValueError(f"unknown merge mode: {mode!r}")
 
         # ONE projection of the target feeds BOTH the affected-file
-        # discovery and the insert anti-join (VERDICT r06 item 8: two
-        # independent tgt references each re-scanned the table — a whole
-        # extra key-column pass at 100 TB). The projection reads only the
-        # key columns + _metadata (parquet column pruning); it is
-        # materialized (localCheckpoint) only when both consumers exist,
-        # so a single-consumer merge stays one lazy scan.
+        # discovery and the insert anti-join (VERDICT r06 item 8). The
+        # projection reads only the key columns + _metadata (parquet
+        # column pruning) and stays LAZY — _merge_into_impl checkpoints
+        # only the source-bounded MATCHED join result, never this
+        # table-sized key projection (r12: the old whole-table
+        # (_file, key) localCheckpoint materialized every key in the
+        # table — seconds at sf0.1, unboundedly worse at 100 TB).
         # _file is a URI (file:/... or file:///...); manifests store plain paths
         tgt_keys = (self._branch_scan(branch).with_metadata_columns()
                     .to_df().select("_file", *on))
-        if when_matched is not None and when_not_matched == "insert":
-            tgt_keys = tgt_keys.localCheckpoint(eager=True)
-
         return self._merge_into_impl(
             src, keys, tgt_keys, on, cols, when_matched,
             when_not_matched, branch, summary_extras, pre_check)
 
     def _merge_into_impl(self, src, keys, tgt_keys, on, cols, when_matched,
                          when_not_matched, branch, summary_extras, pre_check):
-        # 1) which files contain a matched key?
-        affected = (
-            set() if when_matched is None else {
-                self._plain_path(r["_file"])
-                for r in tgt_keys.join(keys, on, "left_semi")
-                                 .select("_file").distinct().collect()
-            })
+        # 1) matched target rows (one column-pruned pass over the
+        # target). The join RESULT is matched-rows-sized — bounded by
+        # the source for upsert workloads — so checkpointing it is
+        # cheap and pins one consistent view for both consumers
+        matched = None
+        if when_matched is not None:
+            matched = tgt_keys.join(keys, on, "left_semi")
+            if when_not_matched == "insert":
+                matched = matched.localCheckpoint(eager=True)
+            affected = {self._plain_path(r["_file"]) for r in
+                        matched.select("_file").distinct().collect()}
+        else:
+            affected = set()
 
-        # 2) inserts = source keys absent from the WHOLE table
-        inserts = (src.join(tgt_keys.select(*on), on, "left_anti")
-                   if when_not_matched == "insert" else None)
+        # 2) inserts = source keys absent from the WHOLE table. The
+        # matched set already holds exactly src ∩ tgt keys, so when it
+        # exists the anti-join runs against that SMALL set instead of
+        # re-scanning the target
+        if when_not_matched == "insert":
+            inserts = src.join(
+                matched.select(*on).distinct() if matched is not None
+                else tgt_keys.select(*on), on, "left_anti")
+        else:
+            inserts = None
 
         if not affected:
             if inserts is not None:
