@@ -175,3 +175,83 @@ class TestExactScanPredicate:
         assert bound.test(wkb.point_wkb(4, 4)) is True
         assert bound.test(wkb.point_wkb(6, 6)) is False  # bbox-only = True
         assert bound.test(wkb.point_wkb(5, 5)) is True   # boundary
+
+
+class TestRandomizedCrossCheck:
+    """Property-style sweep: the vectorized crossing-number kernel vs an
+    INDEPENDENT scalar reference (different formulation — signed
+    half-plane walk with explicit on-segment checks) over random
+    integer-lattice points and polygons. Integer coordinates keep every
+    orientation test exact in float64, so the two implementations must
+    agree bit-for-bit, boundary rows included."""
+
+    @staticmethod
+    def _ref_point_in_polygon(px, py, rings):
+        # independent reference: per-ring even-odd via explicit edge
+        # walk, written against the textbook description (not shared
+        # with core/geom.py)
+        def on_seg(x1, y1, x2, y2):
+            if (x2 - x1) * (py - y1) != (y2 - y1) * (px - x1):
+                return False
+            return (min(x1, x2) <= px <= max(x1, x2)
+                    and min(y1, y2) <= py <= max(y1, y2))
+
+        inside = False
+        for ring in rings:
+            pts = [(float(x), float(y)) for x, y in ring]
+            if pts[0] != pts[-1]:
+                pts.append(pts[0])
+            for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+                if on_seg(x1, y1, x2, y2):
+                    return True
+                if (y1 <= py < y2) or (y2 <= py < y1):
+                    t = (py - y1) / (y2 - y1)
+                    if px < x1 + t * (x2 - x1):
+                        inside = not inside
+        return inside
+
+    def test_random_lattice_agreement(self):
+        import random
+
+        rng = random.Random(20260815)
+        for trial in range(30):
+            # random simple-ish polygon: convex hull of random lattice
+            # points (hull => simple, non-degenerate)
+            raw = {(rng.randint(-15, 15), rng.randint(-15, 15))
+                   for _ in range(rng.randint(4, 12))}
+            pts = sorted(raw)
+            if len(pts) < 3:
+                continue
+
+            def cross(o, a, b):
+                return ((a[0] - o[0]) * (b[1] - o[1])
+                        - (a[1] - o[1]) * (b[0] - o[0]))
+
+            lower, upper = [], []
+            for p in pts:
+                while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+                    lower.pop()
+                lower.append(p)
+            for p in reversed(pts):
+                while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+                    upper.pop()
+                upper.append(p)
+            hull = lower[:-1] + upper[:-1]
+            if len(hull) < 3:
+                continue
+            poly = geom.polygon_wkb([(float(x), float(y)) for x, y in hull])
+            polys = geom.parse_query_polygons(poly)
+            qx = np.array([rng.randint(-20, 20) for _ in range(200)], float)
+            qy = np.array([rng.randint(-20, 20) for _ in range(200)], float)
+            got = geom.points_in_polygons(qx, qy, polys)
+            rings = [np.array([[float(x), float(y)] for x, y in hull])]
+            for i in range(len(qx)):
+                want = self._ref_point_in_polygon(qx[i], qy[i], rings)
+                assert bool(got[i]) == want, (
+                    f"trial {trial}: point ({qx[i]},{qy[i]}) vs hull "
+                    f"{hull}: kernel={bool(got[i])} reference={want}")
+            # batch entry agrees with the point kernel
+            vals = [wkb.point_wkb(float(x), float(y))
+                    for x, y in zip(qx, qy)]
+            mask = geom.intersects_exact_mask(vals, poly)
+            assert mask.tolist() == got.tolist()
