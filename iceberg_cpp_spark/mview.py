@@ -92,6 +92,15 @@ def classify_incremental(sql: str, source_names) -> Optional[dict]:
     m = _SHAPE.match(sql.strip().rstrip(";"))
     if not m or m.group("src") not in source_names:
         return None
+    # the incremental refresh rewrites only the FROM clause to point at
+    # the delta view — a qualified reference like ``WHERE src.k > 2``
+    # would keep reading the ORIGINAL binding, so any other occurrence
+    # of the source name disqualifies the shape (full recompute)
+    src = m.group("src")
+    without_from = re.sub(rf"\bfrom\s+{re.escape(src)}\b", " ",
+                          sql, flags=re.I)
+    if re.search(rf"\b{re.escape(src)}\b", without_from, re.I):
+        return None
     keys, merge = [], {}
     group_exprs = {e.strip().lower() for e in _split_top(m.group("keys"))}
     for i, item in enumerate(_split_top(m.group("items"))):

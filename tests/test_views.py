@@ -438,3 +438,24 @@ class TestIncrementalMvRefresh:
         mv = mv.refresh()
         assert mv.last_refresh_mode == "full"
         assert mv.to_df().collect()[0]["n"] == 12
+
+    def test_qualified_source_reference_falls_back(self, spark, tmp_loc):
+        """``WHERE src_t.k >= 4`` keeps naming the source outside the
+        FROM clause — the incremental rewrite can't redirect it, so the
+        classifier must refuse and refresh() must full-recompute
+        (correctly)."""
+        from iceberg_cpp_spark.mview import (IceMaterializedView,
+                                             classify_incremental)
+
+        sql = ("SELECT v, COUNT(*) AS n FROM src_t "
+               "WHERE src_t.k >= 4 GROUP BY v")
+        assert classify_incremental(sql, {"src_t"}) is None
+        src = self._src(spark, f"{tmp_loc}/src")
+        mv = IceMaterializedView.create(spark, f"{tmp_loc}/mv", sql,
+                                        {"src_t": src})
+        src = src.append(spark.range(6, 10).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("v")))
+        mv.sources["src_t"] = src
+        mv = mv.refresh()
+        assert mv.last_refresh_mode == "full"
+        assert sum(r["n"] for r in mv.to_df().collect()) == 6
