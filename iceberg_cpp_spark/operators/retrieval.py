@@ -213,6 +213,13 @@ class Bm25Index:
             tf = (self.postings.to_df()
                   .join(F.broadcast(qterms.select("token").distinct()),
                         "token", "left_semi"))
+        # the two add() appends (postings, then doclens) are separate
+        # commits: a crash between them makes the replayed batch
+        # re-append identical postings rows (doclens can never
+        # duplicate — it gates the replay). MAX over the duplicate rows
+        # restores the exact tf, so a torn replay is harmless; the
+        # aggregate runs on the token-pruned slice only
+        tf = tf.groupBy("token", "doc_id").agg(F.max("tf").alias("tf"))
         df_t = tf.groupBy("token").agg(
             F.countDistinct("doc_id").alias("df"))
         joined = (tf.join(F.broadcast(qterms), "token")

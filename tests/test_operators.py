@@ -1417,3 +1417,28 @@ class TestBm25PersistedIndex:
                                     "query_id long, query_text string")
         hits = idx.search(qdf, k=50).collect()
         assert {r["doc_id"] for r in hits} == {100 + i for i in range(20)}
+
+    def test_torn_add_replay_is_harmless(self, spark, tmp_loc):
+        """Crash-between-appends simulation: postings landed but
+        doclens did not, then the batch replays. The duplicate postings
+        rows must not change any score (search dedups per
+        (token, doc_id) with MAX)."""
+        cdf, qdf = self._dfs(spark)
+        first = spark.createDataFrame(self.CORPUS[:3],
+                                      "doc_id long, text string")
+        second = spark.createDataFrame(self.CORPUS[3:],
+                                       "doc_id long, text string")
+        idx = retrieval.Bm25Index.build(spark, f"{tmp_loc}/idx", first)
+        # torn add: append the postings of `second` WITHOUT doclens
+        docs = second.select("doc_id", "text")
+        from iceberg_cpp_spark.operators.retrieval import _tokens
+        tf = (docs.select("doc_id",
+                          F.explode(_tokens(F.col("text"))).alias("token"))
+              .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+        idx.postings = idx.postings.append(
+            tf.select("token", "doc_id", "tf"))
+        # replay the full batch — anti-join sees no doclens rows, so
+        # postings duplicate exactly
+        idx = idx.add(second)
+        want = self._rows(retrieval.bm25_topk(cdf, qdf, k=3))
+        assert self._rows(idx.search(qdf, k=3)) == want
