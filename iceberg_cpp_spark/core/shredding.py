@@ -105,7 +105,14 @@ def parse_shred_spec(column: str, source_fid: int, spec: str) -> list[ShredField
 
 def shred_fields(schema: it.Schema, properties: dict) -> list[ShredField]:
     """Every declared shred path of this table, validated against the
-    schema (the named column must exist and be a variant)."""
+    schema. A property naming a column that is no longer in the schema
+    (drop_column / rename_column leave stale keys behind) warns and is
+    skipped — raising here would brick every subsequent write to the
+    table (the same contract as stale write.metadata.metrics.*
+    properties); a property naming an existing NON-variant column is a
+    declaration error and still raises."""
+    import warnings
+
     out: list[ShredField] = []
     for k, v in sorted(properties.items()):
         if not k.startswith(PROPERTY_PREFIX):
@@ -113,7 +120,10 @@ def shred_fields(schema: it.Schema, properties: dict) -> list[ShredField]:
         col = k[len(PROPERTY_PREFIX):]
         f = schema.find_field(col)
         if f is None:
-            raise ValueError(f"shred property names unknown column: {col}")
+            warnings.warn(
+                f"ignoring shred property for unknown column: {col}",
+                stacklevel=2)
+            continue
         if not isinstance(f.field_type, it.VariantType):
             raise ValueError(
                 f"shred property names non-variant column: {col} "

@@ -331,8 +331,11 @@ class TestVariantShredding:
 
         t, df = self._table(spark, f"{tmp_loc}/t")
         sch = t.schema()
-        with pytest.raises(ValueError, match="unknown column"):
-            shred_fields(sch, {"write.variant.shred.nope": "$.a:long"})
+        # stale property (column dropped/renamed): warn-and-skip — a
+        # raise would brick every subsequent write (metrics_modes rule)
+        with pytest.warns(UserWarning, match="unknown column"):
+            assert shred_fields(
+                sch, {"write.variant.shred.nope": "$.a:long"}) == []
         with pytest.raises(ValueError, match="non-variant"):
             shred_fields(sch, {"write.variant.shred.k": "$.a:long"})
         with pytest.raises(ValueError, match="unsupported shred type"):
