@@ -62,6 +62,8 @@ from iceberg_cpp_spark.plans.spark_compiler import to_spark_column
 
 # below this many live files, scan planning stays on the driver
 DISTRIBUTED_PLAN_THRESHOLD = 2048
+# add_files footer harvest moves to executors past this path count
+ADD_FILES_DISTRIBUTED_THRESHOLD = 2048
 
 _PART_PREFIX = "_p_"  # write-side partition dir columns (keeps user cols in files)
 
@@ -2810,6 +2812,12 @@ class IceTable:
                 "add_files into tables with variant columns is not "
                 "supported; write through the engine (append) instead")
         mapping = nm.NameMapping.from_schema(schema, aliases)
+        if self.spark is not None and len(paths) > ADD_FILES_DISTRIBUTED_THRESHOLD:
+            # 10^5-file imports: per-file footer reads are ~ms each but
+            # SERIAL on the driver — ship the path list to executors
+            # (same crossover rule as the scan-side metrics harvest)
+            return self._add_files_distributed(paths, schema, mapping,
+                                               branch)
         new_files: list[mf.DataFile] = []
         any_parquet = False
         for p in paths:
@@ -2884,6 +2892,124 @@ class IceTable:
                 "engine.read.name-based": "true",  # files lack IDs → by-name
             })
         return self._commit_files(new_files, operation=DataOperation.APPEND, branch=branch)
+
+    def _add_files_distributed(self, paths, schema, mapping,
+                               branch) -> "IceTable":
+        """add_files scale path: format sniff + schema-mapping
+        validation + footer metrics harvested IN EXECUTORS (Arrow-
+        batched mapInPandas over the path list); the driver receives
+        one JSON metrics row per file. Identical semantics to the
+        driver loop, including loud per-path mapping errors."""
+        import pandas as pd
+
+        from iceberg_cpp_spark.core.metrics import (_decode_metrics_json,
+                                                    _field_map,
+                                                    metrics_modes)
+
+        modes = metrics_modes(schema, self.properties())
+        orc_fields = _field_map(schema)
+        schema_ref = schema
+        mapping_ref = mapping
+
+        def harvest(batches: Iterable["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+            import json as _json
+
+            import pyarrow.parquet as _pq
+
+            from iceberg_cpp_spark.core import avro as _av
+            from iceberg_cpp_spark.core import name_mapping as _nm
+            from iceberg_cpp_spark.core.metrics import (_metrics_json,
+                                                        _orc_metrics_json)
+
+            for b in batches:
+                fmts, metas, errs = [], [], []
+                for p in b["path"]:
+                    try:
+                        if _is_orc(p):
+                            import pyarrow.orc as _po
+
+                            names = set(_po.ORCFile(p).schema.names)
+                            if not any(f.name in names
+                                       for f in schema_ref.fields):
+                                raise ValueError(
+                                    f"no columns of {p} map into the "
+                                    "table schema")
+                            fmts.append("orc")
+                            metas.append(_orc_metrics_json(
+                                p, orc_fields, modes))
+                        elif _av.is_avro(p):
+                            ws = _av.avro_file_schema(p)
+                            wf = ws.get("fields")
+                            if wf is None:
+                                raise ValueError(
+                                    f"Avro writer schema of {p} is not "
+                                    f"a record (type={ws.get('type')!r})")
+                            names = {f["name"] for f in wf}
+                            ids = {f.get("field-id") for f in wf} - {None}
+                            if not any(f.name in names or f.field_id in ids
+                                       for f in schema_ref.fields):
+                                raise ValueError(
+                                    f"no columns of {p} map into the "
+                                    "table schema")
+                            fmts.append("avro")
+                            metas.append(_json.dumps({
+                                "record_count": _av.avro_record_count(p),
+                                "file_size_in_bytes": os.path.getsize(p),
+                                "column_sizes": {}, "value_counts": {},
+                                "null_value_counts": {},
+                                "nan_value_counts": {},
+                                "lower_bounds": {}, "upper_bounds": {}}))
+                        else:
+                            cols = _nm.arrow_leaf_paths(_pq.read_schema(p))
+                            fields = _nm.apply_to_file_columns(
+                                mapping_ref, cols, schema_ref)
+                            if not fields:
+                                raise ValueError(
+                                    f"no columns of {p} map into the "
+                                    "table schema")
+                            fmts.append("parquet")
+                            metas.append(_metrics_json(p, fields, modes))
+                        errs.append(None)
+                    except Exception as exc:  # surfaced on the driver
+                        fmts.append("error")
+                        metas.append(None)
+                        errs.append(f"{p}: {exc}")
+                yield pd.DataFrame({"path": b["path"], "fmt": fmts,
+                                    "metrics_json": metas, "err": errs})
+
+        pdf = self.spark.createDataFrame([(p,) for p in paths], "path string")
+        rows = pdf.repartition(max(1, len(paths) // 64)).mapInPandas(
+            harvest,
+            schema="path string, fmt string, metrics_json string, err string"
+        ).collect()
+        errors = [r["err"] for r in rows if r["err"]]
+        if errors:
+            raise ValueError(errors[0])
+        from iceberg_cpp_spark.core import name_mapping as nm
+
+        new_files: list[mf.DataFile] = []
+        any_parquet = False
+        for r in sorted(rows, key=lambda x: x["path"]):
+            m = _decode_metrics_json(r["metrics_json"])
+            any_parquet = any_parquet or r["fmt"] == "parquet"
+            new_files.append(mf.DataFile(
+                content=mf.CONTENT_DATA, file_path=r["path"],
+                file_format=r["fmt"], partition={},
+                record_count=m["record_count"],
+                file_size_in_bytes=m["file_size_in_bytes"],
+                column_sizes=m["column_sizes"],
+                value_counts=m["value_counts"],
+                null_value_counts=m["null_value_counts"],
+                nan_value_counts=m["nan_value_counts"],
+                lower_bounds=m["lower_bounds"],
+                upper_bounds=m["upper_bounds"]))
+        if any_parquet:
+            self.update_properties({
+                nm.PROPERTY_KEY: mapping.to_json_string(),
+                "engine.read.name-based": "true",
+            })
+        return self._commit_files(new_files, operation=DataOperation.APPEND,
+                                  branch=branch)
 
     # --- write internals -------------------------------------------------
     def _write_data_files(self, df: DataFrame) -> list[mf.DataFile]:

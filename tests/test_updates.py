@@ -1097,3 +1097,98 @@ class TestGcEnabled:
         # re-enable -> works again
         t = t.update_properties({"gc.enabled": "true"})
         t.expire_snapshots(keep_last=1)
+
+
+class TestAddFilesDistributed:
+    """add_files scale path (r12): past ADD_FILES_DISTRIBUTED_THRESHOLD
+    the format sniff + mapping validation + footer harvest run in
+    executors; results must be IDENTICAL to the driver loop."""
+
+    def _mk_files(self, tmp_loc, n=6):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        paths = []
+        for i in range(n):
+            p = os.path.join(tmp_loc, f"f{i}.parquet")
+            pq.write_table(pa.table({
+                "id": [i * 10 + 1, i * 10 + 2],
+                "data": [f"a{i}", f"b{i}"]}), p)
+            paths.append(p)
+        return paths
+
+    def test_distributed_equals_driver(self, spark, tmp_loc, monkeypatch):
+        import iceberg_cpp_spark.table as tbl
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        paths = self._mk_files(tmp_loc)
+        t1 = IceTable.create(spark, os.path.join(tmp_loc, "t1"), _schema())
+        t1 = t1.add_files(paths)                      # driver loop
+        monkeypatch.setattr(tbl, "ADD_FILES_DISTRIBUTED_THRESHOLD", 2)
+        t2 = IceTable.create(spark, os.path.join(tmp_loc, "t2"), _schema())
+        t2 = t2.add_files(paths)                      # executor path
+        def entries(t):
+            import iceberg_cpp_spark.core.manifests as mf
+
+            out = set()
+            for m in mf.read_manifest_list(
+                    t.current_snapshot().manifest_list):
+                for e in mf.read_manifest(m.manifest_path,
+                                          t.metadata.spec(), t.schema(),
+                                          manifest=m):
+                    f = e.data_file
+                    out.add((os.path.basename(f.file_path),
+                             f.file_format, f.record_count,
+                             tuple(sorted(f.lower_bounds.items())),
+                             tuple(sorted(f.upper_bounds.items())),
+                             tuple(sorted(f.null_value_counts.items()))))
+            return out
+
+        assert entries(t1) == entries(t2)
+        assert t2.to_df().count() == 12
+        # bounds drive pruning identically
+        assert len(t2.scan(filter=ex.lt(ex.Reference("id"), 10))
+                   .plan_files()) == 1
+        # name mapping installed on both
+        assert t2.properties().get("engine.read.name-based") == "true"
+
+    def test_distributed_mapping_error_is_loud(self, spark, tmp_loc,
+                                               monkeypatch):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import iceberg_cpp_spark.table as tbl
+        from iceberg_cpp_spark import IceTable
+
+        paths = self._mk_files(tmp_loc, n=3)
+        bad = os.path.join(tmp_loc, "unmappable.parquet")
+        pq.write_table(pa.table({"zz": [1]}), bad)
+        monkeypatch.setattr(tbl, "ADD_FILES_DISTRIBUTED_THRESHOLD", 2)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "t"), _schema())
+        with pytest.raises(ValueError, match="unmappable"):
+            t.add_files(paths + [bad])
+
+    def test_distributed_mixed_formats(self, spark, tmp_loc, monkeypatch):
+        import pyarrow as pa
+        import pyarrow.orc as po
+
+        import iceberg_cpp_spark.table as tbl
+        from iceberg_cpp_spark import IceTable
+
+        paths = self._mk_files(tmp_loc, n=3)
+        orcp = os.path.join(tmp_loc, "x.orc")
+        po.write_table(pa.table({"id": [900, 901],
+                                 "data": ["q", "r"]}), orcp)
+        monkeypatch.setattr(tbl, "ADD_FILES_DISTRIBUTED_THRESHOLD", 2)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "t"), _schema())
+        t = t.add_files(paths + [orcp])
+        files = list(t.scan().plan_files())
+        assert {x.file_format for x in files} == {"parquet", "orc"}
+        assert t.to_df().count() == 8
+        # the ORC import carries bounds too (r12 footer reader)
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        pruned = t.scan(filter=ex.gt_eq(ex.Reference("id"), 900))
+        assert len(list(pruned.plan_files())) == 1
+        assert pruned.to_df().count() == 2
