@@ -1455,6 +1455,67 @@ def geo_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("n_name"))
 
 
+def _geo_tri_udf():
+    """Vectorized right-triangle WKB polygons from (xlo, ylo, w, h):
+    vertices (xlo,ylo) (xlo+w,ylo) (xlo,ylo+h) — test-data prep for the
+    exact point-in-polygon join."""
+    import struct as _struct
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from iceberg_cpp_spark.core import wkb as wkb_mod
+
+    head = _struct.pack("<BII", 1, wkb_mod.POLYGON, 1)
+
+    def to_wkb(xlo, ylo, w, h):
+        out = []
+        for x, y, ww, hh in zip(xlo, ylo, w, h):
+            ring = [(x, y), (x + ww, y), (x, y + hh), (x, y)]
+            out.append(head + _struct.pack("<I", len(ring))
+                       + b"".join(_struct.pack("<dd", a, b)
+                                  for a, b in ring))
+        return pd.Series(out)
+
+    to_wkb.__annotations__ = {"xlo": pd.Series, "ylo": pd.Series,
+                              "w": pd.Series, "h": pd.Series,
+                              "return": pd.Series}
+    return pandas_udf(to_wkb, "binary")
+
+
+def geo_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT point-in-polygon join (operators/spatial.py pip_join —
+    r12): integer-lattice event points vs nation-derived right
+    TRIANGLES meet through the grid-bucketed envelope join, then every
+    candidate pair is verified with the boundary-inclusive exact kernel
+    — the triangles cover half their bounding boxes, so an
+    envelope-only join would roughly double the pair count and break
+    the hash. The oracle re-derives the join with integer half-plane
+    arithmetic (exact in float64 on both engines, boundary included)."""
+    from iceberg_cpp_spark.operators import spatial
+
+    ev = _t(spark, sf_dir, "events")
+    pts = (ev.select(
+        "event_id",
+        (F.col("event_id") % 360 - 180).cast("double").alias("x"),
+        (F.col("event_id") * 7 % 170 - 85).cast("double").alias("y"))
+        .withColumn("geom", _geo_point_udf()(F.col("x"), F.col("y")))
+        .select("event_id", "geom"))
+    na = _t(spark, sf_dir, "nation")
+    tris = (na.select(
+        "n_name",
+        (F.col("n_nationkey") * 14 - 175).cast("double").alias("xlo"),
+        (F.col("n_nationkey") * 6 - 75).cast("double").alias("ylo"))
+        .withColumn("geom", _geo_tri_udf()(
+            F.col("xlo"), F.col("ylo"), F.lit(10.0), F.lit(12.0)))
+        .select("n_name", "geom"))
+    j = spatial.pip_join(pts, tris, cell=10.0)
+    return (j.groupBy("n_name")
+            .agg(F.count("*").alias("n"),
+                 F.sum("event_id").alias("sum_eid"))
+            .orderBy("n_name"))
+
+
 def geo_exact_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT st_intersects with a WKB polygon literal (core/geom.py —
     the r10-task-3 kernel): event points on an INTEGER lattice (so
@@ -3100,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentile": agg_percentile,
         "events_sliding_window": events_sliding_window,
         "ann_topk": ann_topk,
+        "geo_pip_join": geo_pip_join,
     }
 
 
@@ -4696,6 +4758,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE y >= -10 AND x >= -30 AND 6 * x + 7 * y <= 170
             GROUP BY event_type
             ORDER BY event_type
+        """,
+        "geo_pip_join": """
+            WITH pts AS (
+              SELECT event_id,
+                     CAST(event_id % 360 - 180 AS DOUBLE) AS x,
+                     CAST(event_id * 7 % 170 - 85 AS DOUBLE) AS y
+              FROM events),
+            tris AS (
+              SELECT n_name,
+                     CAST(n_nationkey * 14 - 175 AS DOUBLE) AS xlo,
+                     CAST(n_nationkey * 6 - 75 AS DOUBLE) AS ylo
+              FROM nation)
+            SELECT n_name,
+                   COUNT(*) AS n,
+                   CAST(SUM(event_id) AS BIGINT) AS sum_eid
+            FROM pts JOIN tris
+              ON x >= xlo AND y >= ylo
+             AND 12 * (x - xlo) + 10 * (y - ylo) <= 120
+            GROUP BY n_name
+            ORDER BY n_name
         """,
         "geo_bbox_join": """
             WITH pts AS (

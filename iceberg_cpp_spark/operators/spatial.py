@@ -125,3 +125,56 @@ def bbox_filter(df: DataFrame, bbox: tuple, geom_col: str = "geom") -> DataFrame
                       & (env["xmin"] <= xmax) & (env["xmax"] >= xmin)
                       & (env["ymin"] <= ymax) & (env["ymax"] >= ymin)
                       ).drop(e)
+
+
+def _exact_pair_udf():
+    """Arrow-batched exact intersects over (left_wkb, right_wkb) pairs
+    (core/geom.py kernel). The right side's parsed polygons are cached
+    per batch keyed by the raw bytes — in a typical points-in-regions
+    join the region set is small, so each polygon parses once per
+    batch, and point rows take the vectorized-ish scalar test with the
+    envelope prefilter already done by the candidate join."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from iceberg_cpp_spark.core import geom
+
+    def hit(l_vals, r_vals):
+        cache: dict = {}
+        out = []
+        for lv, rv in zip(l_vals, r_vals):
+            if lv is None or rv is None:
+                out.append(None)
+                continue
+            key = bytes(rv)
+            polys = cache.get(key)
+            if polys is None:
+                polys = cache[key] = geom.parse_query_polygons(key)
+            out.append(geom.wkb_intersects_polygons(bytes(lv), polys))
+        return pd.Series(out, dtype="boolean")
+
+    hit.__annotations__ = {"l_vals": pd.Series, "r_vals": pd.Series,
+                           "return": pd.Series}
+    return pandas_udf(hit, "boolean")
+
+
+def pip_join(points: DataFrame, regions: DataFrame,
+             points_geom: str = "geom", regions_geom: str = "geom",
+             cell: float = 1.0,
+             suffixes: tuple[str, str] = ("_l", "_r")) -> DataFrame:
+    """EXACT point/geometry-in-polygon join: candidates meet through
+    the grid-bucketed envelope join (never a cartesian), then each
+    surviving pair is verified with the exact boundary-inclusive
+    kernel (core/geom.py — PostGIS ST_Intersects semantics). The
+    region side must be POLYGON/MULTIPOLYGON WKB.
+
+    Scale: the envelope join bounds the candidate set; the exact pass
+    costs one Arrow-batched kernel call over candidates only, with
+    region geometries parsed once per (batch, region)."""
+    gl = points_geom + suffixes[0] if points_geom == regions_geom \
+        else points_geom
+    gr = regions_geom + suffixes[1] if points_geom == regions_geom \
+        else regions_geom
+    cand = bbox_join(points, regions, points_geom, regions_geom,
+                     cell=cell, suffixes=suffixes)
+    return cand.filter(_exact_pair_udf()(F.col(gl), F.col(gr)))

@@ -615,3 +615,54 @@ class TestGeohash:
                       & ex.st_intersects(ex.Reference("geom"), box))
                .to_df().select("id").collect())
         assert sorted(r["id"] for r in got) == [5, 6]  # lon 0 and 36
+
+
+class TestPipJoin:
+    """pip_join (r12): exact point-in-polygon join — envelope
+    candidates verified by the boundary-inclusive kernel."""
+
+    def _mk(self, spark):
+        from iceberg_cpp_spark.core import geom, wkb
+
+        # two triangles: hypotenuses exclude the upper-right halves
+        tris = spark.createDataFrame(
+            [("t1", geom.polygon_wkb([(0, 0), (10, 0), (0, 10)])),
+             ("t2", geom.polygon_wkb([(100, 0), (110, 0), (100, 10)]))],
+            "name string, geom binary")
+        pts = spark.createDataFrame(
+            [(1, wkb.point_wkb(2.0, 2.0)),     # inside t1
+             (2, wkb.point_wkb(8.0, 8.0)),     # in t1's bbox, outside
+             (3, wkb.point_wkb(5.0, 5.0)),     # on t1's hypotenuse
+             (4, wkb.point_wkb(101.0, 1.0)),   # inside t2
+             (5, wkb.point_wkb(109.0, 9.0)),   # in t2's bbox, outside
+             (6, wkb.point_wkb(50.0, 50.0))],  # nowhere
+            "pid long, geom binary")
+        return pts, tris
+
+    def test_exact_pairs_only(self, spark):
+        from iceberg_cpp_spark.operators import spatial
+
+        pts, tris = self._mk(spark)
+        got = {(r["pid"], r["name"]) for r in
+               spatial.pip_join(pts, tris, cell=10.0).collect()}
+        assert got == {(1, "t1"), (3, "t1"), (4, "t2")}
+        # the envelope join alone would also pair 2 and 5
+        env = {(r["pid"], r["name"]) for r in
+               spatial.bbox_join(pts, tris, cell=10.0).collect()}
+        assert {(2, "t1"), (5, "t2")} <= env
+
+    def test_polygon_left_side(self, spark):
+        """Left side need not be points — any WKB the kernel walks."""
+        from iceberg_cpp_spark.core import geom
+        from iceberg_cpp_spark.operators import spatial
+
+        polys = spark.createDataFrame(
+            [(1, geom.polygon_wkb([(1, 1), (3, 1), (3, 3), (1, 3)])),
+             (2, geom.polygon_wkb([(8, 8), (9, 8), (9, 9), (8, 9)]))],
+            "pid long, geom binary")
+        tris = spark.createDataFrame(
+            [("t1", geom.polygon_wkb([(0, 0), (10, 0), (0, 10)]))],
+            "name string, geom binary")
+        got = {(r["pid"], r["name"]) for r in
+               spatial.pip_join(polys, tris, cell=10.0).collect()}
+        assert got == {(1, "t1")}  # square 2 sits past the hypotenuse
