@@ -665,6 +665,7 @@ def collect_metrics_spark(spark, paths: list[str], schema: it.Schema,
                 m["upper_bounds"][fid] = wkb.point_wkb(xmax, ymax)
     if modes:
         by_id2 = {f.field_id: f.field_type for f in schema.fields}
+        by_id2.update({s.field_id: s.field_type for s in (shreds or [])})
         for m in out.values():
             apply_metrics_modes(m, modes, by_id2)
     return out

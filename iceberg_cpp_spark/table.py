@@ -3231,6 +3231,16 @@ class IceTable:
             # with one JVM aggregation over the new files instead;
             # shredded extractions ride the same aggregation so their
             # bounds land under the synthetic shred field ids
+            if shreds and modes:
+                # shred subcolumns follow the table's DEFAULT metrics
+                # mode (truncate(16) unless overridden) — long string
+                # extractions must not bloat manifests
+                from iceberg_cpp_spark.core.metrics import parse_metrics_mode
+
+                default_mode = parse_metrics_mode(self.properties().get(
+                    "write.metadata.metrics.default", "truncate(16)"))
+                modes = {**modes,
+                         **{s.field_id: default_mode for s in shreds}}
             metrics = collect_metrics_spark(self.spark, paths, schema,
                                             modes=modes, shreds=shreds)
         else:

@@ -354,3 +354,44 @@ class TestVariantShredding:
                       100).bind(t.schema())
         assert bound.test(50) is True
         assert bound.test(500) is False
+
+    def test_shred_bounds_follow_default_metrics_mode(self, spark, tmp_loc):
+        """truncate(4) default: long string extractions keep VALID
+        truncated bounds (prefix lower, incremented-prefix upper);
+        counts mode strips shred bounds entirely."""
+        from iceberg_cpp_spark.core.literals import from_bytes
+        from iceberg_cpp_spark.core.shredding import shred_field_id
+        import iceberg_cpp_spark.core.manifests as mf
+
+        def bounds_of(t, fid):
+            for m in mf.read_manifest_list(
+                    t.current_snapshot().manifest_list):
+                for e in mf.read_manifest(m.manifest_path,
+                                          t.metadata.spec(), t.schema(),
+                                          manifest=m):
+                    return (e.data_file.lower_bounds.get(fid),
+                            e.data_file.upper_bounds.get(fid))
+
+        df = spark.range(0, 50).select(
+            F.col("id").alias("k"),
+            F.parse_json(F.concat(
+                F.lit('{"s": "longvalue'), F.col("id").cast("string"),
+                F.lit('"}'))).alias("payload"))
+        fid = shred_field_id(2, "$.s", "string")
+        t = IceTable.create(
+            spark, f"{tmp_loc}/t1", schema_from_spark(df.schema),
+            properties={"format-version": "3",
+                        "write.variant.shred.payload": "$.s:string",
+                        "write.metadata.metrics.default": "truncate(4)"})
+        t = t.append(df.coalesce(1))
+        lo, hi = bounds_of(t, fid)
+        assert from_bytes(lo, it.StringType()) == "long"   # prefix
+        assert from_bytes(hi, it.StringType()) == "lonh"   # incremented
+        t2 = IceTable.create(
+            spark, f"{tmp_loc}/t2", schema_from_spark(df.schema),
+            properties={"format-version": "3",
+                        "write.variant.shred.payload": "$.s:string",
+                        "write.metadata.metrics.default": "counts"})
+        t2 = t2.append(df.coalesce(1))
+        lo2, hi2 = bounds_of(t2, fid)
+        assert lo2 is None and hi2 is None
