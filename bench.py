@@ -65,6 +65,14 @@ BENCH_QUERIES = [
     "multimodal_gif_frames",
     # r10: v3 variant plane (JVM metrics aggregation + DV scan + extract)
     "ice_variant",
+    # r12 additions: exact geometry (file-pruned polygon filter + the
+    # point-in-polygon join), variant shredding (shadow-column write +
+    # synthetic-id pruning), persisted BM25 (two-batch index build +
+    # token-pruned search)
+    "geo_exact_filter",
+    "geo_pip_join",
+    "ice_variant_shred",
+    "retrieval_bm25_indexed",
     # r10: v3 geometry plane (WKB encode UDF + envelope bounds harvest
     # + st_intersects file pruning + Arrow-batched row envelope filter)
     "ice_geo_bbox",
