@@ -225,3 +225,57 @@ class TestOrcBoundsPruning:
         assert len(pruned) == 1
         assert t.scan(filter=ex.eq(ex.Reference("name"), "mmm-7")) \
                 .to_df().count() == 1
+
+
+class TestOrcFooterRandomized:
+    """Property-style roundtrip: random typed pyarrow tables → ORC →
+    footer decode must reproduce the exact min/max/null-count that
+    pyarrow computes from the data (zigzag negatives, unicode strings,
+    int64 extremes, all-null and single-row shapes)."""
+
+    def test_random_roundtrips(self, tmp_loc):
+        import random
+
+        import pyarrow as pa
+        import pyarrow.orc as po
+
+        rng = random.Random(20260815)
+        for trial in range(25):
+            n = rng.choice([1, 2, 17, 300])
+            ints = [rng.choice([None, rng.randint(-2**62, 2**62)])
+                    for _ in range(n)]
+            dbls = [rng.choice([None, rng.uniform(-1e12, 1e12)])
+                    for _ in range(n)]
+            strs = [rng.choice([None, "", "é" * rng.randint(1, 5),
+                                chr(0x10000 + rng.randint(0, 100)),
+                                f"k{rng.randint(0, 9)}"])
+                    for _ in range(n)]
+            t = pa.table({"i": pa.array(ints, pa.int64()),
+                          "d": pa.array(dbls, pa.float64()),
+                          "s": pa.array(strs, pa.string())})
+            p = os.path.join(tmp_loc, f"r{trial}.orc")
+            po.write_table(t, p)
+            footer = of.read_footer(p)
+            assert footer.number_of_rows == n
+            ids = of.column_ids(footer.types)
+
+            live_i = [v for v in ints if v is not None]
+            live_d = [v for v in dbls if v is not None]
+            live_s = [v for v in strs if v is not None]
+            st_i = footer.statistics[ids["i"]]
+            st_d = footer.statistics[ids["d"]]
+            st_s = footer.statistics[ids["s"]]
+            assert st_i.number_of_values == len(live_i)
+            assert st_d.number_of_values == len(live_d)
+            assert st_s.number_of_values == len(live_s)
+            lo, hi = of.stat_bounds(st_i, it.LongType())
+            if live_i:
+                assert (lo, hi) == (min(live_i), max(live_i))
+            lo, hi = of.stat_bounds(st_d, it.DoubleType())
+            if live_d:
+                assert lo == pytest.approx(min(live_d))
+                assert hi == pytest.approx(max(live_d))
+            lo, hi = of.stat_bounds(st_s, it.StringType())
+            if live_s and lo is not None:
+                # ORC may omit string stats; when present they're exact
+                assert (lo, hi) == (min(live_s), max(live_s))
