@@ -66,9 +66,20 @@ def bm25_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.explode(_tokens(F.col(query_text_col))).alias("token"))
         .groupBy(query_id_col, "token").agg(F.count("*").alias("qtf")))
     # postings join: broadcast the small query-term side over corpus tf
+    return _score_and_rank(
+        tf, F.broadcast(df_t.join(qterms.select("token").distinct(),
+                                  "token")),
+        doc_len, stats, qterms, k, k1, b, query_id_col, id_col)
+
+
+def _score_and_rank(tf, df_t, doc_len, stats, qterms, k, k1, b,
+                    query_id_col, id_col):
+    """The one BM25 scoring plan both entry points share (so the
+    persisted index can never drift from the one-shot path): postings ⋈
+    query terms ⋈ df ⋈ doc lengths × (N, avgdl), scored, rounded,
+    ranked per query."""
     joined = (tf.join(F.broadcast(qterms), "token")
-              .join(F.broadcast(df_t.join(
-                  qterms.select("token").distinct(), "token")), "token")
+              .join(df_t, "token")
               .join(doc_len, id_col)
               .crossJoin(F.broadcast(stats)))
     idf = F.log(F.lit(1.0)
@@ -222,26 +233,8 @@ class Bm25Index:
         tf = tf.groupBy("token", "doc_id").agg(F.max("tf").alias("tf"))
         df_t = tf.groupBy("token").agg(
             F.countDistinct("doc_id").alias("df"))
-        joined = (tf.join(F.broadcast(qterms), "token")
-                  .join(F.broadcast(df_t), "token")
-                  .join(doclen_df, "doc_id")
-                  .crossJoin(F.broadcast(stats)))
-        idf = F.log(F.lit(1.0)
-                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5)))
-        tf_part = (F.col("tf") * (F.lit(k1) + 1.0)
-                   / (F.col("tf") + F.lit(k1)
-                      * (F.lit(1.0 - b)
-                         + F.lit(b) * F.col("dl") / F.col("avgdl"))))
-        scored = (joined
-                  .withColumn("part", F.col("qtf") * idf * tf_part)
-                  .groupBy(query_id_col, "doc_id")
-                  .agg(F.round(F.sum("part"), SCORE_DECIMALS).alias("score")))
-        w = Window.partitionBy(query_id_col).orderBy(
-            F.col("score").desc(), F.col("doc_id").asc())
-        return (scored.withColumn("rank", F.row_number().over(w))
-                .filter(F.col("rank") <= k)
-                .select(query_id_col, "doc_id", "rank", "score"))
+        return _score_and_rank(tf, F.broadcast(df_t), doclen_df, stats,
+                               qterms, k, k1, b, query_id_col, "doc_id")
 
 
 def build_bm25_index(spark, location: str, corpus: DataFrame,
