@@ -395,3 +395,27 @@ class TestVariantShredding:
         t2 = t2.append(df.coalesce(1))
         lo2, hi2 = bounds_of(t2, fid)
         assert lo2 is None and hi2 is None
+
+    def test_variant_get_in_and_null_predicates(self, spark, tmp_loc):
+        """The full predicate vocabulary binds on variant_get terms:
+        IN prunes on bounds like EQ; IS_NULL matches rows whose path is
+        missing or uncastable (try_variant_get null semantics)."""
+        df = spark.range(0, 100).select(
+            F.col("id").alias("k"),
+            F.parse_json(F.when(
+                F.col("id") % 10 == 0, F.lit('{"other": 1}')).otherwise(
+                F.concat(F.lit('{"a": '), F.col("id").cast("string"),
+                         F.lit("}")))).alias("payload"))
+        t = IceTable.create(
+            spark, f"{tmp_loc}/t", schema_from_spark(df.schema),
+            properties={"format-version": "3",
+                        "write.variant.shred.payload": "$.a:long"})
+        t = t.append(df.coalesce(1))
+        term = ex.variant_get("payload", "$.a", "long")
+        got = t.scan(filter=ex.in_(term, [5, 7, 9999])).to_df()
+        assert {r["k"] for r in got.collect()} == {5, 7}
+        # every 10th row has no $.a → NULL extraction
+        assert t.scan(filter=ex.UnboundPredicate(
+            ex.Op.IS_NULL, term)).to_df().count() == 10
+        assert t.scan(filter=ex.UnboundPredicate(
+            ex.Op.NOT_NULL, term)).to_df().count() == 90
