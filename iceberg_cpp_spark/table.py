@@ -2093,6 +2093,12 @@ class IceTable:
                 raise ValueError(f"key not in table schema: {c}")
         if op_col not in changes.columns:
             raise ValueError(f"changes missing op column: {op_col}")
+        # persist the RAW batch before anything evaluates it: the op
+        # validation, (optional) dup probe and the dedup window each
+        # consume the batch — without the cache every one replays the
+        # batch's entire upstream lineage (r12: the validation job alone
+        # re-ran a full CDC-staging aggregation)
+        changes = changes.persist()
         # NULL op must fail validation too: with plain isin the predicate
         # is NULL (three-valued logic) and the row would slip through —
         # then downstream it is dropped from upserts but kept in
@@ -2101,6 +2107,7 @@ class IceTable:
                              | F.col(op_col).isNull()) \
                      .select(op_col).limit(1).collect()
         if bad:
+            changes.unpersist()
             raise ValueError(
                 f"op column {op_col} must be 'I'/'U'/'D', saw: {bad[0][0]!r}")
         if seq_col is None:
@@ -2111,6 +2118,7 @@ class IceTable:
                    .filter(F.col("count") > 1).limit(1).collect())
             if dup:
                 key = tuple(dup[0][c] for c in on)
+                changes.unpersist()
                 raise ValueError(
                     f"batch carries multiple ops for key {key!r}; pass "
                     "seq_col to define last-write-wins order")
@@ -2156,6 +2164,7 @@ class IceTable:
                 read_snapshot_id=self._branch_head_id(branch))
         finally:
             last.unpersist()
+            changes.unpersist()
 
     def merge_into(self, source: DataFrame, on: list[str],
                    when_matched: Optional[str] = "update",
