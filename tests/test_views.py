@@ -459,3 +459,31 @@ class TestIncrementalMvRefresh:
         mv = mv.refresh()
         assert mv.last_refresh_mode == "full"
         assert sum(r["n"] for r in mv.to_df().collect()) == 6
+
+    def test_randomized_incremental_equals_full(self, spark, tmp_loc):
+        """Property sweep: random append sequences (varying sizes,
+        skewed keys, negative values, all-new and all-repeat groups)
+        maintained incrementally must equal a forced full recompute
+        after every step."""
+        import random
+
+        from iceberg_cpp_spark.mview import IceMaterializedView
+
+        rng = random.Random(20260815)
+        src = self._src(spark, f"{tmp_loc}/src", lo=0, hi=5)
+        mv = IceMaterializedView.create(
+            spark, f"{tmp_loc}/mv", self.SQL, {"src_t": src})
+        base = 100
+        for step in range(4):
+            n = rng.randint(1, 12)
+            rows = [(rng.choice([base + i, rng.randint(-50, 0)]),
+                     rng.randint(0, 2)) for i in range(n)]
+            base += 100
+            src = src.append(spark.createDataFrame(rows, "k long, v long"))
+            mv.sources["src_t"] = src
+            mv = mv.refresh()
+            assert mv.last_refresh_mode == "incremental", f"step {step}"
+            inc = {tuple(r) for r in mv.to_df().collect()}
+            full = {tuple(r) for r in
+                    mv.refresh(force=True).to_df().collect()}
+            assert inc == full, f"step {step}: {inc ^ full}"
