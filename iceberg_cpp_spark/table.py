@@ -1399,18 +1399,12 @@ class IceTable:
 
     def partitions_df(self) -> DataFrame:
         """Per-partition row/file counts (the `partitions` metadata
-        table): aggregated from manifest entries, no data read."""
-        tasks = self.scan().plan_files()
-        rows = [(mf.partition_to_json(t.partition,
-                                      self.metadata.spec_by_id(t.spec_id)
-                                      or PartitionSpec.unpartitioned(),
-                                      self.schema()),
-                 t.spec_id, t.record_count, t.file_size_in_bytes)
-                for t in tasks]
-        df = self.spark.createDataFrame(
-            rows, "partition string, spec_id int, record_count long, "
-                  "file_size_in_bytes long")
-        return (df.groupBy("partition", "spec_id")
+        table): aggregated from manifest entries, no data read. Rides
+        the UNCOLLECTED plan plane (r12 plan_files_df), so a 10^6-file
+        table rolls up without driver-side FileScanTasks."""
+        return (self.scan().plan_files_df()
+                .withColumnRenamed("partition_json", "partition")
+                .groupBy("partition", "spec_id")
                 .agg(F.count("*").alias("file_count"),
                      F.sum("record_count").alias("record_count"),
                      F.sum("file_size_in_bytes").alias("total_size_bytes")))
