@@ -474,9 +474,12 @@ def manifest_list_from_avro(path_or_bytes) -> list:
             added_files_count=g(504, 0),
             existing_files_count=g(505, 0),
             deleted_files_count=g(506, 0),
-            added_rows_count=g(512, 0),
-            existing_rows_count=g(513, 0),
-            deleted_rows_count=g(514, 0),
+            # row counts are OPTIONAL in the v1 spec: absence must stay
+            # visible (None) — a silent 0 would make metadata-only
+            # COUNT(*) undercount foreign tables
+            added_rows_count=g(512, None),
+            existing_rows_count=g(513, None),
+            deleted_rows_count=g(514, None),
             partitions=summaries,
             first_row_id=g(520),
             key_metadata=g(519),

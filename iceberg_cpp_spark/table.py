@@ -951,11 +951,28 @@ class TableScan:
 
     def count(self) -> int:
         """COUNT(*). Unfiltered, delete-free scans are answered from
-        manifest record counts alone — zero data I/O, the metadata-only
-        count every table format owes its users at 100 TB. Filters or
-        live deletes fall back to the real scan."""
+        metadata alone — zero data I/O, the metadata-only count every
+        table format owes its users at 100 TB. The MANIFEST LIST's
+        added/existing row counts answer it in O(#manifests) without
+        opening a single manifest (r12); entries are only walked when a
+        manifest predates those summaries. Filters or live deletes fall
+        back to the real scan."""
         if (isinstance(self._filter, ex.TrueExp) and self._limit is None
                 and not self.plan_deletes()):
+            snap = self.snapshot()
+            if snap is None:
+                return 0
+            total = 0
+            for m in mf.read_manifest_list(snap.manifest_list):
+                if m.content != mf.MANIFEST_CONTENT_DATA:
+                    continue
+                if (m.added_rows_count is None
+                        or m.existing_rows_count is None):
+                    total = None  # pre-summary manifest: walk entries
+                    break
+                total += m.added_rows_count + m.existing_rows_count
+            if total is not None:
+                return total
             return sum(t.record_count for t in self.plan_files())
         return self.to_df().count()
 
@@ -3658,8 +3675,9 @@ class IceTable:
         carried_dels = [m for m in carried if m.content == mf.MANIFEST_CONTENT_DELETES]
         added_records = sum(f.record_count for f in new_data)
         added_size = sum(f.file_size_in_bytes for f in new_files)
-        total_records = added_records + sum(m.added_rows_count + m.existing_rows_count
-                                            for m in carried_data)
+        total_records = added_records + sum(
+            (m.added_rows_count or 0) + (m.existing_rows_count or 0)
+            for m in carried_data)  # None on foreign v1 lists: summary-only
         total_files = len(new_data) + sum(m.added_files_count + m.existing_files_count
                                           for m in carried_data)
         pos_dels = sum(f.record_count for f in new_dels

@@ -1386,3 +1386,53 @@ class TestWriteProperties:
         f = t.scan().plan_files()[0]
         assert po.ORCFile(f.file_path).compression.upper() == "SNAPPY"
         assert t.to_df().count() == 10
+
+
+class TestMetadataOnlyCount:
+    """count() answers unfiltered delete-free scans from the MANIFEST
+    LIST's row summaries — O(#manifests), zero manifest opens (r12)."""
+
+    def test_count_matches_data(self, spark, tmp_loc, lineitem):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        li = lineitem.limit(300)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "t"),
+                            schema_from_spark(li.schema))
+        t = t.append(li)
+        t = t.append(li.limit(100))
+        assert t.scan().count() == 400
+        # filtered / deleted scans take the real path and stay correct
+        t = t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                           mode="merge-on-read")
+        assert t.scan().count() == t.to_df().count()
+
+    def test_none_rowcounts_fall_back_to_entries(self, spark, tmp_loc,
+                                                 lineitem):
+        """A manifest-list entry without row summaries (optional in the
+        v1 spec — foreign writers) forces the entry walk, never a
+        silent 0."""
+        import iceberg_cpp_spark.core.manifests as mf
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        li = lineitem.limit(50)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "t"),
+                            schema_from_spark(li.schema))
+        t = t.append(li)
+        real = mf.read_manifest_list
+
+        def stripped(path):
+            out = real(path)
+            for m in out:
+                m.added_rows_count = None
+                m.existing_rows_count = None
+            return out
+
+        orig = mf.read_manifest_list
+        mf.read_manifest_list = stripped
+        try:
+            assert t.scan().count() == 50  # entry-walk fallback
+        finally:
+            mf.read_manifest_list = orig
