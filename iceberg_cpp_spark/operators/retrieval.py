@@ -109,6 +109,9 @@ def _score_and_rank(tf, df_t, doc_len, stats, qterms, k, k1, b,
 # ---------------------------------------------------------------------------
 
 _POSTINGS_SCHEMA = "token string, doc_id long, tf long"
+# search() pushes the query's distinct tokens into the postings scan as
+# an IN filter; past this many tokens it keeps the full-scan semi-join
+MAX_SCAN_PUSHDOWN_TOKENS = 10_000
 _DOCLEN_SCHEMA = "doc_id long, dl long"
 
 
@@ -214,10 +217,11 @@ class Bm25Index:
         # corpus-linear, never wrong).
         from iceberg_cpp_spark.plans import expressions as ex
 
+        cap = MAX_SCAN_PUSHDOWN_TOKENS
         toks = [r["token"]
-                for r in qterms.select("token").distinct().limit(10001)
+                for r in qterms.select("token").distinct().limit(cap + 1)
                 .collect()]
-        if len(toks) <= 10000:
+        if len(toks) <= cap:
             tf = self.postings.scan(
                 filter=ex.in_(ex.Reference("token"), toks)).to_df()
         else:

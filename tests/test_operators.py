@@ -1442,3 +1442,15 @@ class TestBm25PersistedIndex:
         idx = idx.add(second)
         want = self._rows(retrieval.bm25_topk(cdf, qdf, k=3))
         assert self._rows(idx.search(qdf, k=3)) == want
+
+    def test_wide_query_set_semi_join_fallback(self, spark, tmp_loc,
+                                               monkeypatch):
+        """Past MAX_SCAN_PUSHDOWN_TOKENS the search keeps the full-scan
+        semi-join instead of the IN pushdown — results identical."""
+        from iceberg_cpp_spark.operators import retrieval as rt
+
+        cdf, qdf = self._dfs(spark)
+        idx = rt.build_bm25_index(spark, f"{tmp_loc}/idx", cdf)
+        want = self._rows(idx.search(qdf, k=3))
+        monkeypatch.setattr(rt, "MAX_SCAN_PUSHDOWN_TOKENS", 2)
+        assert self._rows(idx.search(qdf, k=3)) == want
