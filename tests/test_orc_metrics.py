@@ -279,3 +279,26 @@ class TestOrcFooterRandomized:
             if live_s and lo is not None:
                 # ORC may omit string stats; when present they're exact
                 assert (lo, hi) == (min(live_s), max(live_s))
+
+
+class TestDistributedOrcHarvest:
+    def test_executor_leg_equals_driver(self, spark, tmp_loc, monkeypatch):
+        """Past DISTRIBUTED_THRESHOLD the ORC harvest ships to
+        executors (mapInPandas + metrics JSON); results must equal the
+        driver loop byte-for-byte."""
+        import iceberg_cpp_spark.core.metrics as metrics
+
+        sch = _ice_schema()
+        paths = []
+        for i in range(4):
+            df = spark.range(i * 10, i * 10 + 10).select(
+                F.col("id").cast("int").alias("i"),
+                F.concat(F.lit("k"), F.col("id")).alias("s"),
+                F.col("id").alias("nul"))
+            out = os.path.join(tmp_loc, f"d{i}")
+            df.coalesce(1).write.mode("overwrite").orc(out)
+            paths.extend(glob.glob(out + "/*.orc"))
+        driver = collect_orc_metrics(None, paths, sch)
+        monkeypatch.setattr(metrics, "DISTRIBUTED_THRESHOLD", 1)
+        dist = collect_orc_metrics(spark, paths, sch)
+        assert driver == dist
