@@ -104,3 +104,24 @@ class TestPlanFilesDf:
         # ("p1" → "7031"); the round-trip is covered by _parity above
         assert rows and all(r["partition_json"] == '{"cat": "7031"}'
                             for r in rows)
+
+    def test_parity_mixed_manifest_formats(self, spark, tmp_loc):
+        """A manifest-format flip mid-history leaves parquet AND Avro
+        manifests in one snapshot; both legs must union."""
+        t = _mk(spark, os.path.join(tmp_loc, "tm"), parts=2)
+        t = t.update_properties(
+            {"write.metadata.manifest-format": "avro"})
+        df = spark.range(900, 950).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("c"), (F.col("id") % 4)).alias("cat"),
+            (F.col("id") * 0.5).alias("v"))
+        t = t.append(df.coalesce(1))
+        import iceberg_cpp_spark.core.manifests as mf
+
+        kinds = {m.manifest_path.rsplit(".", 1)[-1]
+                 for m in mf.read_manifest_list(
+                     t.current_snapshot().manifest_list)}
+        assert kinds == {"parquet", "avro"}, kinds
+        n = _parity(t.scan())
+        assert n == 3
+        _parity(t.scan(filter=ex.gt_eq(ex.Reference("k"), 900)))
