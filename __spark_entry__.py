@@ -3068,7 +3068,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_pack": sample_pack,
         "multimodal_png_real": multimodal_png_real,
         "multimodal_gif_frames": multimodal_gif_frames,
-        "multimodal_frames": multimodal_frames,
+        # r13 rotation #5: geo_pip_join was the ONE registered query with
+        # no driver row in any round (VERDICT r12 item 1) — swapped in for
+        # multimodal_frames (driver-green r12; the real-codec mapInPandas
+        # plane stays in-window via the png/gif rows).
+        "geo_pip_join": geo_pip_join,
         "stream_sessionize": stream_sessionize,
         "classify_nb_lang": classify_nb_lang,
         "retrieval_bm25": retrieval_bm25,
@@ -3113,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_transitive": dedup_transitive,
         "text_quality": text_quality,
         "multimodal_audio": multimodal_audio,
+        "multimodal_frames": multimodal_frames,
         "multimodal_metadata": multimodal_metadata,
         "embedding_clusters": embedding_clusters,
         "agg_rollup": agg_rollup,
@@ -3161,7 +3166,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_percentile": agg_percentile,
         "events_sliding_window": events_sliding_window,
         "ann_topk": ann_topk,
-        "geo_pip_join": geo_pip_join,
     }
 
 

@@ -9,7 +9,9 @@ only when some source moved past its recorded snapshot — a no-op
 refresh costs one metadata comparison, no jobs.
 
 Refresh strategy: when the view SQL is a single-source GROUP BY over
-distributive aggregates (COUNT/SUM/MIN/MAX) and the source only
+distributive aggregates (COUNT/SUM/MIN/MAX, plus AVG decomposed into
+(SUM, COUNT) partials stored in the storage table and divided back at
+read time; an optional WHERE applies to the delta) and the source only
 APPENDED since the last refresh, ``refresh()`` applies the INCREMENTAL
 maintenance step — it scans ONLY the files added since the recorded
 snapshot (streaming/incremental.py), re-runs the view SQL over that
@@ -55,7 +57,7 @@ _SHAPE = re.compile(
     r"group\s+by\s+(?P<keys>.+?)\s*(?:order\s+by\s+(?P<order>.+?)\s*)?$",
     re.I | re.S)
 _AGG_ITEM = re.compile(
-    r"^(?P<fn>count|sum|min|max)\s*\((?P<arg>[^()]*|\*)\)\s+as\s+"
+    r"^(?P<fn>count|sum|min|max|avg)\s*\((?P<arg>[^()]*|\*)\)\s+as\s+"
     r"(?P<alias>[A-Za-z_]\w*)$", re.I | re.S)
 _KEY_ITEM = re.compile(
     r"^(?P<expr>[A-Za-z_][\w.]*)(?:\s+as\s+(?P<alias>[A-Za-z_]\w*))?$",
@@ -84,9 +86,22 @@ def _split_top(s: str) -> list[str]:
 
 def classify_incremental(sql: str, source_names) -> Optional[dict]:
     """None unless ``sql`` is a single-source GROUP BY over
-    COUNT/SUM/MIN/MAX (each aggregate aliased); otherwise
-    ``{"source", "keys": [output key cols], "merge": {col: fn}}``.
-    ORDER BY is tolerated (re-applied after the merge)."""
+    COUNT/SUM/MIN/MAX/AVG (each aggregate aliased); otherwise
+    ``{"source", "keys": [output key cols], "merge": {col: fn},
+    "avg": {alias: arg}, "storage_sql": rewritten SQL or None}``.
+    ORDER BY is tolerated (re-applied after the merge).
+
+    AVG is not itself distributive, but decomposes into the (SUM,
+    COUNT) pair which is: the plan stores ``<alias>__sum`` and
+    ``<alias>__cnt`` partial columns in the storage table (via
+    ``storage_sql``) and the read path divides them back. A WHERE
+    clause is delta-safe for an append-only history — it simply
+    applies to the delta before aggregation — so it is accepted.
+
+    Every GROUP BY expression must surface as a select key item (by
+    text or 1-based ordinal): otherwise the merged re-group by the
+    OUTPUT keys alone would collapse groups the original SQL kept
+    distinct (e.g. ``SELECT count(*) AS n FROM src GROUP BY k``)."""
     if _REJECT.search(sql):
         return None
     m = _SHAPE.match(sql.strip().rstrip(";"))
@@ -101,26 +116,58 @@ def classify_incremental(sql: str, source_names) -> Optional[dict]:
                           sql, flags=re.I)
     if re.search(rf"\b{re.escape(src)}\b", without_from, re.I):
         return None
-    keys, merge = [], {}
-    group_exprs = {e.strip().lower() for e in _split_top(m.group("keys"))}
+    keys, merge, avgs, storage_items = [], {}, {}, []
+    group_exprs = [e.strip().lower() for e in _split_top(m.group("keys"))]
+    matched: set = set()
     for i, item in enumerate(_split_top(m.group("items"))):
         am = _AGG_ITEM.match(item)
         if am:
-            merge[am.group("alias")] = _MERGE[am.group("fn").lower()]
+            fn, alias = am.group("fn").lower(), am.group("alias")
+            if fn == "avg":
+                arg = am.group("arg").strip()
+                if arg == "*":
+                    return None  # avg(*) isn't SQL
+                avgs[alias] = arg
+                for suffix, sfn in ((f"{alias}__sum", "sum"),
+                                    (f"{alias}__cnt", "count")):
+                    if suffix in merge:
+                        return None  # partial-column name collision
+                    merge[suffix] = "sum"
+                    storage_items.append(f"{sfn}({arg}) AS {suffix}")
+            else:
+                if alias in merge:
+                    return None
+                merge[alias] = _MERGE[fn]
+                storage_items.append(item)
             continue
         km = _KEY_ITEM.match(item)
         if not km:
             return None  # computed select item: full recompute
         alias = km.group("alias") or km.group("expr").split(".")[-1]
         # a bare select item must be one of the GROUP BY expressions
-        # (or its 1-based position)
-        if (km.group("expr").lower() not in group_exprs
-                and str(i + 1) not in group_exprs):
+        # (or its 1-based position) — and collectively the key items
+        # must COVER every GROUP BY expression
+        hits = [j for j, g in enumerate(group_exprs)
+                if g == km.group("expr").lower() or g == str(i + 1)]
+        if not hits:
             return None
+        matched.update(hits)
         keys.append(alias)
-    if not merge:
+        storage_items.append(item)
+    if not merge or len(matched) != len(group_exprs):
         return None
+    storage_sql = None
+    if avgs:
+        # storage holds (sum, count) partials instead of the avg value;
+        # ORDER BY is dropped (storage is a table — order isn't kept,
+        # and the original clause may reference the avg alias)
+        storage_sql = "SELECT " + ", ".join(storage_items)
+        storage_sql += f" FROM {src}"
+        if m.group("where"):
+            storage_sql += f" WHERE {m.group('where')}"
+        storage_sql += f" GROUP BY {m.group('keys')}"
     return {"source": m.group("src"), "keys": keys, "merge": merge,
+            "avg": avgs, "storage_sql": storage_sql,
             "order": (m.group("order") or "").strip() or None}
 
 
@@ -132,6 +179,21 @@ class IceMaterializedView:
         self.view = view
         self.sources = dict(sources)
         self.last_refresh_mode: Optional[str] = None
+        # classification is a pure function of (SQL, source names), so
+        # it is recomputed identically on load() — no persisted state.
+        # When it carries AVG partials the storage table ALWAYS holds
+        # the partial columns (even across full recomputes), so the
+        # incremental merge and the read-path division stay valid.
+        self._plan = (classify_incremental(view.sql_for("spark"),
+                                           set(sources))
+                      if len(sources) == 1 else None)
+
+    def _storage_sql(self) -> str:
+        """The SQL whose result the storage table holds: the view SQL,
+        or its AVG→(SUM,COUNT)-partials rewrite when the plan has one."""
+        if self._plan and self._plan["storage_sql"]:
+            return self._plan["storage_sql"]
+        return self.view.sql_for("spark")
 
     # -- lifecycle ----------------------------------------------------------
     @classmethod
@@ -144,16 +206,20 @@ class IceMaterializedView:
         resolution contract as plain spec views)."""
         for name, t in sources.items():
             t.create_or_replace_view(name)
-        result = spark.sql(sql)
-        schema = schema_from_spark(result.schema)
+        schema = schema_from_spark(spark.sql(sql).schema)
         storage_loc = os.path.join(location, "storage")
         props = dict(properties or {})
         props[MATERIALIZATION_TABLE] = storage_loc
         view = IceView.create(location, sql, schema, dialect=dialect,
                               properties=props)
-        storage = IceTable.create(spark, storage_loc, schema)
         mv = cls(spark, view, sources)
-        mv.storage = storage
+        # the storage table's schema follows the STORAGE SQL (AVG plans
+        # store (sum, count) partials; the view schema keeps the
+        # user-facing avg column)
+        storage_schema = (
+            schema if mv._storage_sql() == sql
+            else schema_from_spark(spark.sql(mv._storage_sql()).schema))
+        mv.storage = IceTable.create(spark, storage_loc, storage_schema)
         return mv.refresh()
 
     @classmethod
@@ -214,7 +280,7 @@ class IceMaterializedView:
         delta.createOrReplaceTempView(delta_name)
         sql = re.sub(rf"(\bfrom\s+){re.escape(plan['source'])}\b",
                      rf"\g<1>{delta_name}",
-                     self.view.sql_for("spark"), flags=re.I)
+                     self._storage_sql(), flags=re.I)
         delta_agg = self.spark.sql(sql)
         current = self.storage.to_df()
         agg_cols = [
@@ -246,9 +312,7 @@ class IceMaterializedView:
             self.last_refresh_mode = "noop"
             return self
         did_incremental = False
-        plan = (classify_incremental(self.view.sql_for("spark"),
-                                     set(self.sources))
-                if not force and len(self.sources) == 1 else None)
+        plan = self._plan if not force else None
         if plan is not None:
             props = self.view.metadata.properties
             rec = props.get(f"{_REFRESH_PREFIX}{plan['source']}.snapshot-id")
@@ -262,7 +326,9 @@ class IceMaterializedView:
         if not did_incremental:
             for name, t in self.sources.items():
                 t.create_or_replace_view(name)
-            result = self.spark.sql(self.view.sql_for("spark"))
+            # full recompute runs the STORAGE SQL so an AVG plan's
+            # partial columns survive forced / fallback recomputes
+            result = self.spark.sql(self._storage_sql())
             self.storage = self.storage.overwrite(result)
         self.last_refresh_mode = (
             "incremental" if did_incremental else "full")
@@ -275,7 +341,25 @@ class IceMaterializedView:
     def to_df(self, allow_stale: bool = True):
         """The materialized result (storage-table scan — warehouse
         speed). ``allow_stale=False`` refreshes first when a source
-        moved."""
+        moved. For an AVG plan the storage table holds (sum, count)
+        partials; the division back to the view's avg column happens
+        here, cast to the view schema's declared type."""
         if not allow_stale and not self.is_fresh():
             self.refresh()
-        return self.storage.to_df()
+        df = self.storage.to_df()
+        if self._plan and self._plan["avg"]:
+            from pyspark.sql import functions as F
+
+            from iceberg_cpp_spark.core.types import to_spark_type
+
+            avgs = self._plan["avg"]
+            cols = []
+            for f in self.view.metadata.schema().fields:
+                if f.name in avgs:
+                    cols.append(
+                        (F.col(f"{f.name}__sum") / F.col(f"{f.name}__cnt"))
+                        .cast(to_spark_type(f.field_type)).alias(f.name))
+                else:
+                    cols.append(F.col(f.name))
+            df = df.select(*cols)
+        return df

@@ -20,6 +20,7 @@ can be pruned distributed when a table has many files.
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 from typing import Any, Optional
 
 from pyspark.sql import Column
@@ -360,6 +361,16 @@ def referenced_field_ids(e: ex.Expression) -> set:
     return out
 
 
+@lru_cache(maxsize=64)
+def _polygon_envelope(query_wkb: bytes) -> tuple:
+    """Envelope of an exact WKB polygon literal, memoized by the
+    literal bytes: parsed once per distinct polygon, not once per file
+    evaluation (O(#files) re-parses otherwise)."""
+    from iceberg_cpp_spark.core import geom
+
+    return geom._query_envelope(geom.parse_query_polygons(query_wkb))
+
+
 class InclusiveMetricsEvaluator:
     """Decides rows_might_match from a data file's column statistics:
     record_count, value_counts, null_value_counts, nan_value_counts,
@@ -427,10 +438,11 @@ class InclusiveMetricsEvaluator:
             if exact:
                 # exact polygon literal: prune with its envelope — a
                 # file box disjoint from the envelope is disjoint from
-                # the polygon inside it
-                from iceberg_cpp_spark.core import geom
-
-                v = geom._query_envelope(geom.parse_query_polygons(v))
+                # the polygon inside it. Memoized by the literal bytes:
+                # this evaluator runs once PER FILE (and per manifest
+                # row in the mapInPandas fallback), and the polygon
+                # never changes within a scan.
+                v = _polygon_envelope(bytes(v))
             hit = wkb.file_bounds_intersect(lower, upper, v)
             if op == ex.Op.ST_INTERSECTS:
                 # file box disjoint from query box → no row intersects

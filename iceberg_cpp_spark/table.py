@@ -2110,71 +2110,77 @@ class IceTable:
         # batch's entire upstream lineage (r12: the validation job alone
         # re-ran a full CDC-staging aggregation)
         changes = changes.persist()
-        # NULL op must fail validation too: with plain isin the predicate
-        # is NULL (three-valued logic) and the row would slip through —
-        # then downstream it is dropped from upserts but kept in
-        # all_keys, silently DELETING the key instead of erroring.
-        bad = changes.filter(~F.col(op_col).isin("I", "U", "D")
-                             | F.col(op_col).isNull()) \
-                     .select(op_col).limit(1).collect()
-        if bad:
-            changes.unpersist()
-            raise ValueError(
-                f"op column {op_col} must be 'I'/'U'/'D', saw: {bad[0][0]!r}")
-        if seq_col is None:
-            # one aggregation over the batch (metadata-scale vs the
-            # rewrite it gates): duplicate keys without an ordering
-            # column have no deterministic winner — refuse.
-            dup = (changes.groupBy(*on).count()
-                   .filter(F.col("count") > 1).limit(1).collect())
-            if dup:
-                key = tuple(dup[0][c] for c in on)
-                changes.unpersist()
-                raise ValueError(
-                    f"batch carries multiple ops for key {key!r}; pass "
-                    "seq_col to define last-write-wins order")
-        from pyspark.sql.window import Window
-
-        order = (F.col(seq_col) if seq_col
-                 else F.monotonically_increasing_id()).desc()
-        w = Window.partitionBy(*on).orderBy(order)
-        # persist the deduped batch: it feeds the affected-file discovery
-        # AND the rewrite union — without caching, each job replays the
-        # window plus the batch's ENTIRE upstream lineage (at scale: a
-        # re-read of whatever staging source produced the CDC feed).
-        # persist() keeps lineage, so an executor loss recomputes instead
-        # of failing (unlike localCheckpoint).
-        last = (changes.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1).drop("_rn").persist())
         try:
-            cols = [f.name for f in schema.fields]
-            upserts = last.filter(F.col(op_col) != "D").select(*cols)
-            all_keys = last.select(*on).distinct()
+            # NULL op must fail validation too: with plain isin the
+            # predicate is NULL (three-valued logic) and the row would
+            # slip through — then downstream it is dropped from upserts
+            # but kept in all_keys, silently DELETING the key instead of
+            # erroring.
+            bad = changes.filter(~F.col(op_col).isin("I", "U", "D")
+                                 | F.col(op_col).isNull()) \
+                         .select(op_col).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"op column {op_col} must be 'I'/'U'/'D', saw: "
+                    f"{bad[0][0]!r}")
+            if seq_col is None:
+                # one aggregation over the batch (metadata-scale vs the
+                # rewrite it gates): duplicate keys without an ordering
+                # column have no deterministic winner — refuse.
+                dup = (changes.groupBy(*on).count()
+                       .filter(F.col("count") > 1).limit(1).collect())
+                if dup:
+                    key = tuple(dup[0][c] for c in on)
+                    raise ValueError(
+                        f"batch carries multiple ops for key {key!r}; "
+                        "pass seq_col to define last-write-wins order")
+            from pyspark.sql.window import Window
 
-            tgt = self._branch_scan(branch).with_metadata_columns().to_df()
-            affected = {
-                self._plain_path(r["_file"])
-                for r in tgt.select("_file", *on).join(all_keys, on, "left_semi")
-                            .select("_file").distinct().collect()
-            }
-            if not affected:
-                new_files = self._write_data_files(upserts)
-                if new_files:
-                    return self._commit_files(
-                        new_files, operation=DataOperation.APPEND, branch=branch,
-                        summary_extras=summary_extras, pre_check=pre_check)
-                return self
-            affected_df = self._read_files_with_deletes(affected, branch=branch)
-            rewritten = affected_df.join(all_keys, on, "left_anti") \
-                                   .unionByName(upserts)
-            new_files = self._write_data_files(rewritten)
-            return self._commit_files(
-                new_files, operation=DataOperation.OVERWRITE, branch=branch,
-                carry_existing=True, drop_paths=affected,
-                summary_extras=summary_extras, pre_check=pre_check,
-                read_snapshot_id=self._branch_head_id(branch))
+            order = (F.col(seq_col) if seq_col
+                     else F.monotonically_increasing_id()).desc()
+            w = Window.partitionBy(*on).orderBy(order)
+            # persist the deduped batch: it feeds the affected-file
+            # discovery AND the rewrite union — without caching, each
+            # job replays the window plus the batch's ENTIRE upstream
+            # lineage (at scale: a re-read of whatever staging source
+            # produced the CDC feed). persist() keeps lineage, so an
+            # executor loss recomputes instead of failing (unlike
+            # localCheckpoint).
+            last = (changes.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).drop("_rn").persist())
+            try:
+                cols = [f.name for f in schema.fields]
+                upserts = last.filter(F.col(op_col) != "D").select(*cols)
+                all_keys = last.select(*on).distinct()
+
+                tgt = self._branch_scan(branch).with_metadata_columns().to_df()
+                affected = {
+                    self._plain_path(r["_file"])
+                    for r in tgt.select("_file", *on)
+                                .join(all_keys, on, "left_semi")
+                                .select("_file").distinct().collect()
+                }
+                if not affected:
+                    new_files = self._write_data_files(upserts)
+                    if new_files:
+                        return self._commit_files(
+                            new_files, operation=DataOperation.APPEND,
+                            branch=branch, summary_extras=summary_extras,
+                            pre_check=pre_check)
+                    return self
+                affected_df = self._read_files_with_deletes(
+                    affected, branch=branch)
+                rewritten = affected_df.join(all_keys, on, "left_anti") \
+                                       .unionByName(upserts)
+                new_files = self._write_data_files(rewritten)
+                return self._commit_files(
+                    new_files, operation=DataOperation.OVERWRITE,
+                    branch=branch, carry_existing=True, drop_paths=affected,
+                    summary_extras=summary_extras, pre_check=pre_check,
+                    read_snapshot_id=self._branch_head_id(branch))
+            finally:
+                last.unpersist()
         finally:
-            last.unpersist()
             changes.unpersist()
 
     def merge_into(self, source: DataFrame, on: list[str],
@@ -3002,14 +3008,19 @@ class IceTable:
             harvest,
             schema="path string, fmt string, metrics_json string, err string"
         ).collect()
-        errors = [r["err"] for r in rows if r["err"]]
-        if errors:
-            raise ValueError(errors[0])
+        # the collect order is partition-arbitrary: restore the CALLER's
+        # path order so both the first-error choice and the committed
+        # DataFile order match the driver-side loop exactly
+        by_path = {r["path"]: r for r in rows}
+        ordered = [by_path[p] for p in paths]
+        first_err = next((r["err"] for r in ordered if r["err"]), None)
+        if first_err:
+            raise ValueError(first_err)
         from iceberg_cpp_spark.core import name_mapping as nm
 
         new_files: list[mf.DataFile] = []
         any_parquet = False
-        for r in sorted(rows, key=lambda x: x["path"]):
+        for r in ordered:
             m = _decode_metrics_json(r["metrics_json"])
             any_parquet = any_parquet or r["fmt"] == "parquet"
             new_files.append(mf.DataFile(

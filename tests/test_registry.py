@@ -87,8 +87,9 @@ def test_driver_cap_window_composition():
         "geo_bbox_join",    # grid-bucketed spatial join (geo_exact_filter + ice_geo_bbox in-window keep the geo planes; join pinned by TestSpatialJoin)
         "geo_geohash_cells",  # geohash encoding (ice_geo_bbox in-window keeps the geo scan plane; encoder pinned bit-for-bit by TestGeohash)
         "quality_expectations",  # expectations checker (the fused one-scan check runs inside TestExpectations + the in-window-adjacent WAP gate tests; driver-green r09-r11)
-        # --- r12 additions landed after the rotation:
-        "geo_pip_join",     # exact point-in-polygon join (geo_exact_filter in-window covers the exact kernel; geo_bbox_join extras row the grid join; pair exactness pinned by TestPipJoin)
+        # --- r13 rotation #5 displacement (geo_pip_join — the one query
+        # --- never driver-checked — swapped INTO the window in its place):
+        "multimodal_frames",  # fake frame-sampler plumbing (multimodal_png_real + multimodal_gif_frames in-window keep the real-codec mapInPandas plane; driver-green r12)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without

@@ -1169,6 +1169,39 @@ class TestAddFilesDistributed:
         with pytest.raises(ValueError, match="unmappable"):
             t.add_files(paths + [bad])
 
+    def test_distributed_error_and_order_match_driver(self, spark, tmp_loc,
+                                                      monkeypatch):
+        """The distributed harvest collects in partition-arbitrary
+        order; the commit must still (a) raise the error of the FIRST
+        bad path in INPUT order and (b) register DataFiles in caller
+        path order — both exactly like the driver loop."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import iceberg_cpp_spark.core.manifests as mf
+        import iceberg_cpp_spark.table as tbl
+        from iceberg_cpp_spark import IceTable
+
+        monkeypatch.setattr(tbl, "ADD_FILES_DISTRIBUTED_THRESHOLD", 2)
+        paths = self._mk_files(tmp_loc, n=4)
+        bad1 = os.path.join(tmp_loc, "zz_first_bad.parquet")
+        bad2 = os.path.join(tmp_loc, "aa_second_bad.parquet")
+        for b in (bad1, bad2):
+            pq.write_table(pa.table({"zz": [1]}), b)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "t"), _schema())
+        # bad1 comes FIRST in input order though bad2 sorts first
+        with pytest.raises(ValueError, match="zz_first_bad"):
+            t.add_files([paths[0], bad1, paths[1], bad2])
+        # caller order ≠ sorted order: committed entries keep caller order
+        unsorted = [paths[2], paths[0], paths[3], paths[1]]
+        t = t.add_files(unsorted)
+        entries = []
+        for m in mf.read_manifest_list(t.current_snapshot().manifest_list):
+            for e in mf.read_manifest(m.manifest_path, t.metadata.spec(),
+                                      t.schema(), manifest=m):
+                entries.append(e.data_file.file_path)
+        assert entries == unsorted
+
     def test_distributed_mixed_formats(self, spark, tmp_loc, monkeypatch):
         import pyarrow as pa
         import pyarrow.orc as po

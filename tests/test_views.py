@@ -328,8 +328,15 @@ class TestIncrementalMvRefresh:
         where = cl("SELECT v, COUNT(*) AS n FROM src_t WHERE k > 2 "
                    "GROUP BY v", {"src_t"})
         assert where is not None
+        # AVG decomposes to (SUM, COUNT) partials in the storage SQL
+        avg = cl("SELECT v, AVG(k) AS a FROM src_t GROUP BY v",
+                 {"src_t"})
+        assert avg["avg"] == {"a": "k"}
+        assert avg["merge"] == {"a__sum": "sum", "a__cnt": "sum"}
+        assert "sum(k) AS a__sum" in avg["storage_sql"]
+        assert "count(k) AS a__cnt" in avg["storage_sql"]
         # rejections: each must fall back to full recompute
-        assert cl("SELECT v, AVG(k) AS a FROM src_t GROUP BY v",
+        assert cl("SELECT v, AVG(*) AS a FROM src_t GROUP BY v",
                   {"src_t"}) is None
         assert cl("SELECT v, COUNT(*) AS n FROM src_t GROUP BY v "
                   "HAVING COUNT(*) > 1", {"src_t"}) is None
@@ -343,6 +350,12 @@ class TestIncrementalMvRefresh:
                   "GROUP BY v + 1", {"src_t"}) is None  # computed key
         assert cl("SELECT v FROM src_t GROUP BY v", {"src_t"}) is None
         # no aggregate at all: nothing to merge
+        # GROUP BY expressions NOT surfaced as select keys: the merged
+        # re-group by output keys alone would collapse distinct groups
+        assert cl("SELECT COUNT(*) AS n FROM src_t GROUP BY k",
+                  {"src_t"}) is None
+        assert cl("SELECT v, COUNT(*) AS n FROM src_t GROUP BY v, k",
+                  {"src_t"}) is None
 
     def test_incremental_scans_only_new_files(self, spark, tmp_loc):
         """The r10-task-4 'done' bar: after a pure append, refresh()
@@ -421,6 +434,79 @@ class TestIncrementalMvRefresh:
         mv = mv.refresh()
         assert mv.last_refresh_mode == "incremental"
         assert sum(r["n"] for r in mv.to_df().collect()) == 6  # k in 4..9
+
+    def test_avg_incremental_scans_only_new_files(self, spark, tmp_loc):
+        """AVG maintained via (SUM, COUNT) partials: after a pure
+        append the refresh must not touch pre-existing data files
+        (proven by deleting them), and to_df() must serve the exact
+        avg over the merged history."""
+        from iceberg_cpp_spark.mview import IceMaterializedView
+
+        sql = ("SELECT v, AVG(k) AS avg_k, COUNT(*) AS n "
+               "FROM src_t WHERE k >= 1 GROUP BY v")
+        src = self._src(spark, f"{tmp_loc}/src")
+        mv = IceMaterializedView.create(
+            spark, f"{tmp_loc}/mv", sql, {"src_t": src})
+        # storage holds partials, the view serves the avg column
+        assert set(mv.storage.to_df().columns) == {
+            "v", "avg_k__sum", "avg_k__cnt", "n"}
+        assert set(mv.to_df().columns) == {"v", "avg_k", "n"}
+        old_files = [f.file_path for f in src.scan().plan_files()]
+        src = src.append(spark.range(6, 12).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("v")))
+        mv.sources["src_t"] = src
+        for p in old_files:
+            os.remove(p)
+        mv = mv.refresh()
+        assert mv.last_refresh_mode == "incremental"
+        got = {r["v"]: (r["avg_k"], r["n"])
+               for r in mv.to_df().collect()}
+        # k in 1..11 grouped by k % 3 (k=0 filtered by WHERE)
+        assert got == {0: ((3 + 6 + 9) / 3, 3),
+                       1: ((1 + 4 + 7 + 10) / 4, 4),
+                       2: ((2 + 5 + 8 + 11) / 4, 4)}
+
+    def test_avg_forced_full_keeps_partials(self, spark, tmp_loc):
+        """force=True recomputes through the storage SQL so the
+        partial columns survive and later increments stay valid;
+        load() reclassifies from the SQL alone."""
+        from iceberg_cpp_spark.mview import IceMaterializedView
+
+        sql = "SELECT v, AVG(k) AS avg_k FROM src_t GROUP BY v"
+        src = self._src(spark, f"{tmp_loc}/src")
+        mv = IceMaterializedView.create(
+            spark, f"{tmp_loc}/mv", sql, {"src_t": src})
+        mv = mv.refresh(force=True)
+        assert mv.last_refresh_mode == "full"
+        assert "avg_k__sum" in mv.storage.to_df().columns
+        mv = IceMaterializedView.load(spark, f"{tmp_loc}/mv",
+                                      {"src_t": mv.sources["src_t"]})
+        src = mv.sources["src_t"].append(spark.range(6, 9).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("v")))
+        mv.sources["src_t"] = src
+        mv = mv.refresh()
+        assert mv.last_refresh_mode == "incremental"
+        got = {r["v"]: r["avg_k"] for r in mv.to_df().collect()}
+        assert got == {0: (0 + 3 + 6) / 3, 1: (1 + 4 + 7) / 3,
+                       2: (2 + 5 + 8) / 3}
+
+    def test_uncovered_group_key_full_recompute(self, spark, tmp_loc):
+        """`GROUP BY k` with no k select item must NOT take the
+        incremental path (the output re-group would collapse all
+        groups into one row) — full recompute, correct contents."""
+        from iceberg_cpp_spark.mview import IceMaterializedView
+
+        sql = "SELECT COUNT(*) AS n FROM src_t GROUP BY k"
+        src = self._src(spark, f"{tmp_loc}/src")  # k 0..5 distinct
+        mv = IceMaterializedView.create(
+            spark, f"{tmp_loc}/mv", sql, {"src_t": src})
+        src = src.append(spark.range(6, 9).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("v")))
+        mv.sources["src_t"] = src
+        mv = mv.refresh()
+        assert mv.last_refresh_mode == "full"
+        rows = mv.to_df().collect()
+        assert len(rows) == 9 and all(r["n"] == 1 for r in rows)
 
     def test_multi_source_stays_full(self, spark, tmp_loc):
         from iceberg_cpp_spark.mview import IceMaterializedView
