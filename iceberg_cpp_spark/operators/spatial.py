@@ -128,30 +128,36 @@ def bbox_filter(df: DataFrame, bbox: tuple, geom_col: str = "geom") -> DataFrame
 
 
 def _exact_pair_udf():
-    """Arrow-batched exact intersects over (left_wkb, right_wkb) pairs
-    (core/geom.py kernel). The right side's parsed polygons are cached
-    per batch keyed by the raw bytes — in a typical points-in-regions
-    join the region set is small, so each polygon parses once per
-    batch, and point rows take the vectorized-ish scalar test with the
-    envelope prefilter already done by the candidate join."""
+    """Arrow-batched exact intersects over (left_wkb, right_wkb) pairs.
+
+    The batch is GROUPED by the right-side region bytes and each group
+    runs through ``geom.intersects_exact_mask`` — the same vectorized
+    kernel the scan filter uses: the region parses once per (batch,
+    region), and point lefts (the overwhelmingly common case) take a
+    numpy crossing-number test over the whole group with NO per-row
+    Python; only non-point lefts pay the per-row edge/vertex kernel."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     from iceberg_cpp_spark.core import geom
 
     def hit(l_vals, r_vals):
-        cache: dict = {}
-        out = []
-        for lv, rv in zip(l_vals, r_vals):
-            if lv is None or rv is None:
-                out.append(None)
-                continue
-            key = bytes(rv)
-            polys = cache.get(key)
-            if polys is None:
-                polys = cache[key] = geom.parse_query_polygons(key)
-            out.append(geom.wkb_intersects_polygons(bytes(lv), polys))
-        return pd.Series(out, dtype="boolean")
+        n = len(l_vals)
+        res = np.full(n, None, dtype=object)
+        lv = l_vals.to_numpy()
+        valid = l_vals.notna().to_numpy() & r_vals.notna().to_numpy()
+        if valid.any():
+            keys = pd.Series(
+                [bytes(v) if ok else None
+                 for v, ok in zip(r_vals.to_numpy(), valid)])
+            for region, pos in keys[valid].groupby(
+                    keys[valid], sort=False).groups.items():
+                idx = np.asarray(pos)
+                mask = geom.intersects_exact_mask(
+                    [lv[i] for i in idx], region)
+                res[idx] = mask.astype(object)
+        return pd.Series(res, dtype="boolean")
 
     hit.__annotations__ = {"l_vals": pd.Series, "r_vals": pd.Series,
                            "return": pd.Series}
@@ -169,8 +175,9 @@ def pip_join(points: DataFrame, regions: DataFrame,
     region side must be POLYGON/MULTIPOLYGON WKB.
 
     Scale: the envelope join bounds the candidate set; the exact pass
-    costs one Arrow-batched kernel call over candidates only, with
-    region geometries parsed once per (batch, region)."""
+    groups each Arrow batch by region and runs the vectorized
+    crossing-number kernel over the group's point array (regions parse
+    once per (batch, region); only non-point lefts pay per-row math)."""
     gl = points_geom + suffixes[0] if points_geom == regions_geom \
         else points_geom
     gr = regions_geom + suffixes[1] if points_geom == regions_geom \

@@ -666,3 +666,34 @@ class TestPipJoin:
         got = {(r["pid"], r["name"]) for r in
                spatial.pip_join(polys, tris, cell=10.0).collect()}
         assert got == {(1, "t1")}  # square 2 sits past the hypotenuse
+
+    def test_grouped_kernel_mixed_batch(self, spark):
+        """The r13 exact pass groups each Arrow batch by region bytes
+        and runs the vectorized kernel per group: one batch mixing
+        point and polygon lefts across TWO regions plus null rows must
+        produce exactly the per-row answers."""
+        from iceberg_cpp_spark.core import geom, wkb
+        from iceberg_cpp_spark.operators import spatial
+        from pyspark.sql import functions as F
+
+        t1 = geom.polygon_wkb([(0, 0), (10, 0), (0, 10)])
+        t2 = geom.polygon_wkb([(100, 0), (110, 0), (100, 10)])
+        sq_in = geom.polygon_wkb([(1, 1), (3, 1), (3, 3), (1, 3)])
+        sq_out = geom.polygon_wkb([(8, 8), (9, 8), (9, 9), (8, 9)])
+        rows = [
+            (1, wkb.point_wkb(2.0, 2.0), t1, True),
+            (2, wkb.point_wkb(8.0, 8.0), t1, False),
+            (3, sq_in, t1, True),
+            (4, sq_out, t1, False),
+            (5, wkb.point_wkb(101.0, 1.0), t2, True),
+            (6, wkb.point_wkb(109.0, 9.0), t2, False),
+            (7, None, t1, None),
+            (8, wkb.point_wkb(2.0, 2.0), None, None),
+        ]
+        df = spark.createDataFrame(
+            [(i, l, r) for i, l, r, _ in rows],
+            "pid long, l binary, r binary")
+        got = {r["pid"]: r["hit"] for r in df.withColumn(
+            "hit", spatial._exact_pair_udf()(F.col("l"), F.col("r"))
+        ).collect()}
+        assert got == {i: want for i, _, _, want in rows}
