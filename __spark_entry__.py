@@ -1123,6 +1123,32 @@ def ice_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ice_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-action Transaction (reference transaction.h:31-51 —
+    Transaction::NewAppend/CommitTransaction declared there, never
+    implemented; type_fwd.h:153-157): an append, two DELETE WHEREs
+    (one hitting the PENDING append) and a property update accumulate
+    on a working copy and publish with ONE atomic metadata commit —
+    readers see all of it or none of it."""
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    o = _t(spark, sf_dir, "orders")
+    t = _fresh_table(spark, sf_dir, o, "txn")
+    t = t.append(o)
+    txn = t.new_transaction()
+    txn.append(o.withColumn("o_orderkey",
+                            F.col("o_orderkey") + F.lit(10_000_000)))
+    txn.delete_where(ex.lt(ex.Reference("o_orderkey"), 100))
+    txn.delete_where(ex.gt(ex.Reference("o_orderkey"), 10_001_000))
+    txn.update_properties({"txn.demo": "r13"})
+    t = txn.commit()
+    return (t.to_df().groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_dec("o_totalprice")).cast("double")
+                 .alias("sum_price"))
+            .orderBy("o_orderstatus"))
+
+
 def ice_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO with write.merge.mode=merge-on-read (the reference
     declares the property with no write path): matched rows become
@@ -3075,7 +3101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_pip_join": geo_pip_join,
         "stream_sessionize": stream_sessionize,
         "classify_nb_lang": classify_nb_lang,
-        "retrieval_bm25": retrieval_bm25,
+        # r13: multi-action Transaction (append + deletes + props, one
+        # atomic commit) — in-window in place of retrieval_bm25 (the
+        # indexed row below keeps the full BM25 machinery in-window)
+        "ice_transaction": ice_transaction,
         "retrieval_bm25_indexed": retrieval_bm25_indexed,
         "q1_pricing_summary": q1_pricing_summary,
         "events_window_agg": events_window_agg,
@@ -3118,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "multimodal_audio": multimodal_audio,
         "multimodal_frames": multimodal_frames,
+        "retrieval_bm25": retrieval_bm25,
         "multimodal_metadata": multimodal_metadata,
         "embedding_clusters": embedding_clusters,
         "agg_rollup": agg_rollup,
@@ -3939,6 +3969,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, COUNT(*) AS n,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM merged GROUP BY l_returnflag
+        """,
+        "ice_transaction": """
+            WITH ins AS (
+              SELECT * REPLACE (o_orderkey + 10000000 AS o_orderkey)
+              FROM orders),
+            all_rows AS (
+              SELECT * FROM orders UNION ALL SELECT * FROM ins),
+            kept AS (
+              SELECT * FROM all_rows
+              WHERE o_orderkey >= 100 AND o_orderkey <= 10001000)
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price
+            FROM kept GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "ice_merge_into": """
             WITH upd AS (

@@ -1295,6 +1295,10 @@ def _subset_dict(v: Any, ref_ids) -> dict:
 class IceTable:
     """table.h:35-130 — identifier + metadata + location (+ catalog)."""
 
+    # set on a Transaction's working copy only: commits defer the
+    # metadata-pointer move to Transaction.commit() (transaction.py)
+    _txn = None
+
     def __init__(self, identifier: str, metadata: TableMetadata,
                  metadata_location: str, catalog=None,
                  spark: Optional[SparkSession] = None):
@@ -1487,6 +1491,18 @@ class IceTable:
 
     # --- write path (W4/W5/W6; reference transaction.h — unimplemented
     # there, implemented here) --------------------------------------------
+    def new_transaction(self, branch: str = MAIN_BRANCH):
+        """Open a multi-action transaction (reference transaction.h:31-51
+        Transaction::NewAppend/CommitTransaction — declared there, never
+        implemented; type_fwd.h:153-157). Actions run eagerly against a
+        private working copy (data files written, pending snapshots
+        chained) and publish atomically with ONE metadata-pointer CAS at
+        ``commit()``; concurrent-writer conflicts rebase with batch-level
+        validation. See iceberg_cpp_spark/transaction.py."""
+        from iceberg_cpp_spark.transaction import Transaction
+
+        return Transaction(self, branch)
+
     def append(self, df: DataFrame, branch: str = MAIN_BRANCH,
                summary_extras: Optional[dict] = None,
                pre_check=None, merge_schema: bool = False,
@@ -3386,6 +3402,19 @@ class IceTable:
 
         from iceberg_cpp_spark.sources.catalog import CommitFailedError
 
+        if self._txn is not None:
+            # transaction mode: evaluate pre_check once against the
+            # working state, record the op for conflict rebase, apply it
+            # to the pending chain (no CAS here — Transaction.commit()
+            # publishes the whole chain with one pointer move)
+            if pre_check is not None and not pre_check():
+                return self
+            return self._txn._record_file_op(self, dict(
+                new_files=new_files, operation=operation, branch=branch,
+                carry_existing=carry_existing, drop_paths=drop_paths,
+                drop_dv_for=drop_dv_for, summary_extras=summary_extras,
+                read_snapshot_id=read_snapshot_id,
+                require_live=require_live, wap_id=wap_id))
         retries = int(self.properties().get("commit.retry.num-retries", "4"))
         backoff_ms = int(self.properties().get("commit.retry.min-wait-ms", "100"))
         last: Exception = None
@@ -3788,6 +3817,27 @@ class IceTable:
 
     def _commit(self, new_meta: TableMetadata, branch: str, parent: Optional[Snapshot],
                 requirements: Optional[list] = None) -> "IceTable":
+        if self._txn is not None:
+            # transaction mode: accumulate in memory; the pointer moves
+            # once, at Transaction.commit(). Only transaction-aware paths
+            # (the _commit_files hook, Transaction.update_properties) may
+            # land here — anything else would silently vanish from the
+            # conflict-rebase log, so it fails loudly instead.
+            if not self._txn._recording:
+                raise ValueError(
+                    "this operation is not transaction-aware — run it "
+                    "outside the transaction (supported inside: append/"
+                    "overwrite/delete_where/merge_into/apply_changes/"
+                    "update_properties and the other _commit_files-based "
+                    "DML)")
+            ml = new_meta.metadata_log
+            if ml and any(e["metadata-file"] == ml[-1]["metadata-file"]
+                          for e in ml[:-1]):
+                # every deferred op logs the SAME base metadata file —
+                # keep its first occurrence only
+                new_meta = dc_replace(new_meta, metadata_log=ml[:-1])
+            self.metadata = new_meta
+            return self
         if self.catalog is not None:
             from iceberg_cpp_spark.sources.catalog import AssertRefSnapshotId
 
@@ -4140,6 +4190,10 @@ class IceTable:
         return self
 
     def refresh(self) -> "IceTable":
+        if self._txn is not None:
+            # mid-transaction the working copy IS the truth: reloading
+            # from disk would wipe the pending snapshot chain
+            return self
         if self.catalog is not None:
             self.metadata, self.metadata_location = self.catalog.load_metadata(self.identifier)
         else:

@@ -1,0 +1,225 @@
+"""Multi-action table transactions: several DML / property updates in
+ONE atomic commit.
+
+Reference parity: ``transaction.h:31-51`` declares
+``Transaction::table() / NewAppend() / CommitTransaction()`` but the
+reference never implements it (``type_fwd.h:153-157``: AppendFiles is
+declared absent). This module delivers the semantics Spark-side and
+goes past the declared surface: any number of appends, CoW/MoR
+deletes, merges, overwrites and property changes accumulate on a
+PRIVATE working copy of the table — each action becomes one snapshot
+in a pending chain, its data and manifest files written eagerly
+(invisible until the metadata pointer moves) — then ``commit()``
+publishes the whole chain with ONE metadata-pointer CAS. Readers see
+all of it or none of it; ``transaction.h``'s NewAppend+CommitTransaction
+pair maps to ``txn.append(df)`` + ``txn.commit()``.
+
+Conflict handling (CommitFailedException parity): the final CAS
+asserts the branch head is still the snapshot the transaction started
+from. When a concurrent writer moved it, the batch is REBASED — one
+``_validate_rebase`` pass checks the union of the transaction's
+rewritten/required paths against the fresh head (the single-commit
+conflict rules applied across the batch; the transaction's own added
+files are excluded since the rebuilt chain re-adds them), then the
+snapshot chain is rebuilt against the new base with every DATA FILE
+REUSED (only manifests rewrite) and the CAS retries.
+``commit.retry.*`` table properties bound the attempts.
+
+Scale shape: action-time work (data-file writes, rewrite planning) is
+all distributed Spark jobs — the transaction only defers the
+metadata-pointer move, which is O(1). A rebase replays manifest
+authoring only; no data moves twice.
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+import time as _time
+from typing import Optional
+
+MAIN_BRANCH = "main"
+
+
+class Transaction:
+    """Accumulates table updates on a working copy; ``commit()``
+    publishes them atomically. Single-branch by design — the one CAS
+    asserts one ref. Use through ``IceTable.new_transaction()``."""
+
+    def __init__(self, table, branch: str = MAIN_BRANCH):
+        if getattr(table, "_txn", None) is not None:
+            raise ValueError("table handle is already inside a transaction")
+        self.branch = branch
+        self.base = table
+        self._closed = False
+        self._recording = False
+        # ordered action log for conflict rebase:
+        # ("files", _commit_files_once params) | ("props", (updates, removals))
+        self._log: list[tuple] = []
+        ref = table.metadata.ref(branch)
+        self._base_sid: Optional[int] = (
+            ref.snapshot_id if ref else table.metadata.current_snapshot_id)
+        self.working = copy.copy(table)
+        self.working._txn = self
+
+    # -- reference Transaction::table() ---------------------------------
+    def table(self):
+        """The transaction's working view of the table: scans here see
+        the pending (uncommitted) chain — ``transaction.h:37`` parity."""
+        return self.working
+
+    # -- actions ----------------------------------------------------------
+    def _check_open(self) -> None:
+        if self._closed:
+            raise ValueError("transaction already committed or abandoned")
+
+    def append(self, df, **kw) -> "Transaction":
+        self._check_open()
+        self.working.append(df, branch=self.branch, **kw)
+        return self
+
+    def overwrite(self, df) -> "Transaction":
+        self._check_open()
+        self.working.overwrite(df, branch=self.branch)
+        return self
+
+    def delete_where(self, expr, **kw) -> "Transaction":
+        self._check_open()
+        self.working.delete_where(expr, branch=self.branch, **kw)
+        return self
+
+    def merge_into(self, source, on, **kw) -> "Transaction":
+        self._check_open()
+        self.working.merge_into(source, on, branch=self.branch, **kw)
+        return self
+
+    def apply_changes(self, changes, on, **kw) -> "Transaction":
+        self._check_open()
+        self.working.apply_changes(changes, on, branch=self.branch, **kw)
+        return self
+
+    def update_properties(self, updates: Optional[dict] = None,
+                          removals: Optional[list] = None) -> "Transaction":
+        self._check_open()
+        self._log.append(("props", (dict(updates or {}),
+                                    list(removals or []))))
+        self._recording = True
+        try:
+            self.working.update_properties(updates, removals)
+        finally:
+            self._recording = False
+        return self
+
+    # -- hook target (called by IceTable._commit_files in txn mode) ------
+    def _record_file_op(self, table, params: dict):
+        self._check_open()
+        if params["branch"] != self.branch:
+            raise ValueError(
+                f"transaction is bound to branch {self.branch!r}; "
+                f"got an operation on {params['branch']!r}")
+        self._log.append(("files", params))
+        self._recording = True
+        try:
+            return table._commit_files_once(**params)
+        finally:
+            self._recording = False
+
+    # -- publish ----------------------------------------------------------
+    def commit(self):
+        """Publish the accumulated chain with one CAS; rebase + retry
+        on conflict (``commit.retry.*``). Returns the committed
+        IceTable handle. No-op transactions return the base table."""
+        self._check_open()
+        from iceberg_cpp_spark.sources.catalog import CommitFailedError
+
+        if not self._log:
+            self._closed = True
+            self.working._txn = None
+            return self.base
+        retries = int(self.base.properties().get(
+            "commit.retry.num-retries", "4"))
+        backoff_ms = int(self.base.properties().get(
+            "commit.retry.min-wait-ms", "100"))
+        last: Exception = None
+        for attempt in range(retries + 1):
+            try:
+                out = self._publish()
+                self._closed = True
+                self.working._txn = None
+                return out
+            except (CommitFailedError, FileExistsError) as e:
+                last = e
+                if attempt == retries:
+                    break
+                _time.sleep(min(backoff_ms * (2 ** attempt), 60_000) / 1000.0)
+                self._rebase()
+        raise last
+
+    def _publish(self):
+        from iceberg_cpp_spark.core.metadata import write_table_metadata
+        from iceberg_cpp_spark.sources.catalog import AssertRefSnapshotId
+
+        new_meta = self.working.metadata
+        t = self.base
+        if t.catalog is not None:
+            reqs = [AssertRefSnapshotId(self.branch, self._base_sid)]
+            loc = t.catalog.commit_table(t.identifier, reqs, new_meta)
+        else:
+            # filesystem CAS: exclusive-create of the next version file —
+            # a concurrent commit took it first → FileExistsError → rebase
+            base_name = os.path.basename(t.metadata_location)
+            version = (int(base_name.split(".")[0][1:])
+                       if base_name.startswith("v") else 0)
+            loc = os.path.join(new_meta.location, "metadata",
+                               f"v{version + 1}.metadata.json")
+            write_table_metadata(new_meta, loc, exclusive=True)
+        t.metadata = new_meta
+        t.metadata_location = loc
+        return t
+
+    def _rebase(self):
+        """Concurrent commit won the CAS: validate the batch against
+        the fresh head, then rebuild the snapshot chain on top of it
+        (data files reused; manifests re-authored)."""
+        fresh = self.base.refresh()
+        ref = fresh.metadata.ref(self.branch)
+        head_sid = (ref.snapshot_id if ref
+                    else fresh.metadata.current_snapshot_id)
+        file_ops = [p for kind, p in self._log if kind == "files"]
+        txn_added = {f.file_path for p in file_ops for f in p["new_files"]}
+        drop_paths = set().union(*(p.get("drop_paths") or set()
+                                   for p in file_ops)) - txn_added
+        drop_dv_for = set().union(*(p.get("drop_dv_for") or set()
+                                    for p in file_ops)) - txn_added
+        require_live = set().union(*(p.get("require_live") or set()
+                                     for p in file_ops)) - txn_added
+        carry = all(p.get("carry_existing", True) for p in file_ops)
+        parent = (fresh.metadata.snapshot_by_id(head_sid)
+                  if head_sid is not None else None)
+        if parent is not None and head_sid != self._base_sid:
+            # batch-level snapshot-isolation check: every path any op
+            # rewrites must still be live on the fresh head, no newer
+            # delete may target them, and a whole-content replace
+            # conflicts with ANY concurrent commit (ValidationError)
+            fresh._validate_rebase(
+                parent, self._base_sid if self._base_sid is not None else -1,
+                drop_paths or None, drop_dv_for or None, carry,
+                "transaction", require_live=require_live or None)
+        self._base_sid = head_sid
+        self.working = copy.copy(fresh)
+        self.working._txn = self
+        self._recording = True
+        try:
+            for kind, p in self._log:
+                if kind == "files":
+                    q = dict(p)
+                    # per-op read-snapshot validation is superseded by
+                    # the batch validation above (the original read ids
+                    # don't exist in the rebuilt chain)
+                    q["read_snapshot_id"] = None
+                    self.working._commit_files_once(**q)
+                else:
+                    updates, removals = p
+                    self.working.update_properties(updates, removals)
+        finally:
+            self._recording = False

@@ -90,6 +90,8 @@ def test_driver_cap_window_composition():
         # --- r13 rotation #5 displacement (geo_pip_join — the one query
         # --- never driver-checked — swapped INTO the window in its place):
         "multimodal_frames",  # fake frame-sampler plumbing (multimodal_png_real + multimodal_gif_frames in-window keep the real-codec mapInPandas plane; driver-green r12)
+        # --- r13 displacement for the new ice_transaction in-window row:
+        "retrieval_bm25",   # one-shot BM25 (retrieval_bm25_indexed in-window keeps the full scoring + index machinery incl. the one-shot kernel; driver-green r12)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without

@@ -1,0 +1,173 @@
+"""Multi-action Transaction (reference transaction.h:31-51 — declared
+there, unimplemented; type_fwd.h:153-157): several DML / property ops
+accumulate on a working copy and publish atomically with ONE
+metadata-pointer CAS; concurrent-writer conflicts rebase with
+batch-level validation."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_cpp_spark.core import types as it
+from iceberg_cpp_spark.plans import expressions as ex
+from iceberg_cpp_spark.table import IceTable, ValidationError
+
+
+def _schema():
+    return it.Schema([
+        it.NestedField(1, "id", it.LongType(), True),
+        it.NestedField(2, "data", it.StringType(), False),
+    ])
+
+
+def _df(spark, lo, hi, tag="x"):
+    return spark.range(lo, hi).select(
+        F.col("id"), F.concat(F.lit(tag), F.col("id")).alias("data"))
+
+
+def _meta_versions(loc):
+    return sorted(glob.glob(os.path.join(loc, "metadata", "*.metadata.json")))
+
+
+class TestTransaction:
+    def test_append_delete_props_one_atomic_commit(self, spark, tmp_loc):
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        t = t.append(_df(spark, 0, 10))
+        base_versions = _meta_versions(f"{tmp_loc}/t")
+        base_snaps = len(t.metadata.snapshots)
+
+        txn = t.new_transaction()
+        txn.append(_df(spark, 10, 20, tag="y"))
+        txn.delete_where(ex.lt(ex.Reference("id"), 3))
+        txn.update_properties({"pipeline.run": "r13"})
+        # nothing visible yet: no new metadata file, a fresh loader
+        # still reads the pre-transaction contents
+        assert _meta_versions(f"{tmp_loc}/t") == base_versions
+        assert IceTable.load(spark, f"{tmp_loc}/t").to_df().count() == 10
+        # ...but the transaction's own view sees the pending chain
+        assert txn.table().to_df().count() == 17
+
+        out = txn.commit()
+        # exactly ONE new metadata version carries the whole chain
+        assert len(_meta_versions(f"{tmp_loc}/t")) == len(base_versions) + 1
+        assert len(out.metadata.snapshots) == base_snaps + 2
+        got = {r["id"] for r in out.to_df().collect()}
+        assert got == set(range(3, 20))
+        assert out.properties()["pipeline.run"] == "r13"
+        fresh = IceTable.load(spark, f"{tmp_loc}/t")
+        assert fresh.to_df().count() == 17
+
+    def test_intra_transaction_delete_sees_pending_append(self, spark,
+                                                          tmp_loc):
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        t = t.append(_df(spark, 0, 5))
+        txn = t.new_transaction()
+        txn.append(_df(spark, 100, 105, tag="y"))
+        # deletes rows that only exist in the PENDING append
+        txn.delete_where(ex.gt_eq(ex.Reference("id"), 103))
+        out = txn.commit()
+        assert {r["id"] for r in out.to_df().collect()} == (
+            set(range(0, 5)) | {100, 101, 102})
+
+    def test_concurrent_append_rebases(self, spark, tmp_loc):
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        t = t.append(_df(spark, 0, 5))
+        txn = t.new_transaction()
+        txn.append(_df(spark, 10, 15, tag="y"))
+        txn.delete_where(ex.eq(ex.Reference("id"), 0))
+        # concurrent writer wins the next version file
+        other = IceTable.load(spark, f"{tmp_loc}/t")
+        other.append(_df(spark, 100, 103, tag="z"))
+        out = txn.commit()  # CAS fails once, rebases, retries
+        got = {r["id"] for r in out.to_df().collect()}
+        assert got == ({1, 2, 3, 4} | set(range(10, 15))
+                       | {100, 101, 102})
+        # the rebuilt chain sits ON TOP of the concurrent commit
+        fresh = IceTable.load(spark, f"{tmp_loc}/t")
+        assert {r["id"] for r in fresh.to_df().collect()} == got
+
+    def test_concurrent_rewrite_of_deleted_file_conflicts(self, spark,
+                                                          tmp_loc):
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        t = t.append(_df(spark, 0, 10))
+        txn = t.new_transaction()
+        txn.delete_where(ex.lt(ex.Reference("id"), 3))  # rewrites file(s)
+        other = IceTable.load(spark, f"{tmp_loc}/t")
+        other.rewrite_data_files()  # compaction replaces those files
+        with pytest.raises(ValidationError, match="concurrent"):
+            txn.commit()
+
+    def test_whole_replace_conflicts_with_any_commit(self, spark, tmp_loc):
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        t = t.append(_df(spark, 0, 5))
+        txn = t.new_transaction()
+        txn.overwrite(_df(spark, 50, 55, tag="w"))
+        other = IceTable.load(spark, f"{tmp_loc}/t")
+        other.append(_df(spark, 100, 101, tag="z"))
+        with pytest.raises(ValidationError, match="erase"):
+            txn.commit()
+
+    def test_closed_and_empty_transactions(self, spark, tmp_loc):
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        t = t.append(_df(spark, 0, 3))
+        txn = t.new_transaction()
+        assert txn.commit() is t  # empty txn: no-op, no new version
+        with pytest.raises(ValueError, match="already committed"):
+            txn.append(_df(spark, 3, 4))
+        with pytest.raises(ValueError, match="already committed"):
+            txn.commit()
+
+    def test_non_transaction_aware_op_fails_loudly(self, spark, tmp_loc):
+        """Ops that commit metadata outside the _commit_files plane
+        (spec evolution, snapshot expiry, refs) can't be rebase-replayed
+        — they must refuse inside a transaction, not silently vanish
+        from the conflict log."""
+        from iceberg_cpp_spark.functions import transforms as tr
+
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        t = t.append(_df(spark, 0, 3))
+        txn = t.new_transaction()
+        txn.append(_df(spark, 3, 6, tag="y"))
+        with pytest.raises(ValueError, match="not transaction-aware"):
+            txn.table().create_branch("audit")
+        # the transaction itself is still committable afterwards
+        out = txn.commit()
+        assert out.to_df().count() == 6
+
+    def test_branch_mismatch_refused(self, spark, tmp_loc):
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        t = t.append(_df(spark, 0, 3))
+        t = t.create_branch("audit")
+        txn = t.new_transaction()
+        with pytest.raises(ValueError, match="bound to branch"):
+            txn.table().append(_df(spark, 3, 4), branch="audit")
+
+    def test_nested_transaction_refused(self, spark, tmp_loc):
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        txn = t.new_transaction()
+        with pytest.raises(ValueError, match="already inside"):
+            txn.table().new_transaction()
+        txn.commit()
+
+    def test_rebase_replays_merge_and_props(self, spark, tmp_loc):
+        """A mixed merge_into + update_properties transaction survives
+        a concurrent append: replay preserves op order and reuses the
+        written data files."""
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        t = t.append(_df(spark, 0, 5))
+        txn = t.new_transaction()
+        src = spark.createDataFrame(
+            [(2, "upd2"), (7, "new7")], "id long, data string")
+        txn.merge_into(src, on=["id"])
+        txn.update_properties({"stage": "merged"})
+        other = IceTable.load(spark, f"{tmp_loc}/t")
+        other.append(_df(spark, 100, 102, tag="z"))
+        out = txn.commit()
+        got = {r["id"]: r["data"] for r in out.to_df().collect()}
+        assert got[2] == "upd2" and got[7] == "new7"
+        assert {100, 101} <= set(got)
+        assert out.properties()["stage"] == "merged"
