@@ -294,6 +294,53 @@ def bench_plan_200k(spark) -> dict[str, float]:
     return {"ice_plan_200k": round(best, 3)}
 
 
+def bench_commit_1m(spark) -> dict[str, float]:
+    """Committing 10^6 data files in ONE snapshot (VERDICT r12 task 1):
+    synthetic descriptors stay a DataFrame end-to-end — commit_files_df
+    authors manifest shards in executors and the driver collects only
+    pointer rows. Asserts the driver RSS grows < 256 MiB: a 10^6-long
+    DataFile list would cost GBs. Also asserts the committed snapshot's
+    summary counts and that a filtered plan over the result stays on the
+    uncollected plane."""
+    import resource
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iceberg_cpp_spark import IceTable
+    from iceberg_cpp_spark.core import types as itt
+
+    schema = itt.Schema(
+        [itt.NestedField(1, "id", itt.LongType(), required=True)],
+        schema_id=0)
+    root = tempfile.mkdtemp(prefix="bench_commit1m_")
+    n = 1_000_000
+    t = IceTable.create(spark, os.path.join(root, "t"), schema)
+    desc = spark.range(n).select(
+        F.concat(F.lit("/fake/data/part-"), F.col("id"),
+                 F.lit(".parquet")).alias("file_path"),
+        F.lit(100).cast("long").alias("record_count"),
+        F.lit(10_000).cast("long").alias("file_size_in_bytes"))
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB
+    t0 = time.time()
+    t = t.commit_files_df(desc)
+    el = time.time() - t0
+    rss_delta_mib = (resource.getrusage(
+        resource.RUSAGE_SELF).ru_maxrss - rss0) / 1024.0
+    s = t.current_snapshot().summary
+    assert s["added-data-files"] == str(n) and s["total-records"] == str(n * 100)
+    files = (t.scan().plan_files_df()
+             .agg(F.count("*").alias("files")).collect()[0]["files"])
+    assert files == n
+    assert rss_delta_mib < 256, (
+        f"commit_files_df grew driver RSS by {rss_delta_mib:.0f} MiB at "
+        "10^6 files — the commit is materializing file entries on the "
+        "driver")
+    shutil.rmtree(root, ignore_errors=True)
+    return {"ice_commit_1m": round(el, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -325,6 +372,7 @@ def main() -> None:
     results.update(bench_jpeg_codec(spark, sf_dir))
     results.update(bench_plan_50k(spark))
     results.update(bench_plan_200k(spark))
+    results.update(bench_commit_1m(spark))
     print(json.dumps({
         "metric": "bench_suite_seconds",
         "value": total,

@@ -68,6 +68,12 @@ ADD_FILES_DISTRIBUTED_THRESHOLD = 2048
 _PART_PREFIX = "_p_"  # write-side partition dir columns (keeps user cols in files)
 
 
+class StaleRowIdSpanError(Exception):
+    """Executor-authored manifests baked v3 row-id spans against an
+    engine.next-row-id that a concurrent commit advanced — the shards
+    must be re-authored (commit_files_df handles this internally)."""
+
+
 class ValidationError(Exception):
     """A CAS retry found the refreshed base INCOMPATIBLE with this
     operation's read set (Iceberg's ValidationException): a file this
@@ -3058,6 +3064,205 @@ class IceTable:
         return self._commit_files(new_files, operation=DataOperation.APPEND,
                                   branch=branch)
 
+    def commit_files_df(self, files_df: DataFrame, branch: str = MAIN_BRANCH,
+                        summary_extras: Optional[dict] = None) -> "IceTable":
+        """APPEND a very large set of data files described by a
+        DataFrame — the executor-side manifest-authoring plane that
+        closes the last driver-bound write boundary (a single ~10^6-file
+        commit through ``_commit_files``' Python list would be
+        driver-memory-bound; reference analogue manifest_writer.h:36-158
+        is single-process too).
+
+        ``files_df`` columns: ``file_path`` (required), ``record_count``,
+        ``file_size_in_bytes`` (required longs), optional ``file_format``
+        ('parquet' default), ``partition_json`` ('{}' default) and
+        ``metrics_json`` (hex-bound JSON, core/metrics._metrics_json
+        shape) for column bounds.
+
+        Scale shape: descriptors shard by path hash
+        (``engine.commit.manifest-shard-entries``, default 25k); each
+        shard's manifest is authored INSIDE an executor by the ordinary
+        ManifestWriter (applyInPandas) with NULL snapshot/sequence
+        numbers on every entry — InheritableMetadata fills them from
+        the manifest-list row at read time — so the driver collects only
+        O(#manifests) pointer rows and a CAS retry restamps the LIST
+        without touching any shard. v3 tables bake explicit row-id
+        spans per shard; if a concurrent commit moves engine.next-row-id
+        the spans are stale and the shards re-author (rare, conflict
+        path only). Driver memory stays flat in #files."""
+        import json as _json
+        import time as _time
+
+        import pandas as pd
+
+        from iceberg_cpp_spark.sources.catalog import CommitFailedError
+
+        if self.spec().fields:
+            # partition values ride partition_json untyped; identity
+            # specs would need per-field typing — same restriction as
+            # add_files, and the 10^6-file registration use case is
+            # unpartitioned imports
+            raise ValueError(
+                "commit_files_df supports unpartitioned tables only")
+        required = {"file_path", "record_count", "file_size_in_bytes"}
+        missing = required - set(files_df.columns)
+        if missing:
+            raise ValueError(f"files_df missing columns: {sorted(missing)}")
+        df = files_df
+        if "file_format" not in df.columns:
+            df = df.withColumn("file_format", F.lit("parquet"))
+        if "metrics_json" not in df.columns:
+            df = df.withColumn("metrics_json", F.lit(None).cast("string"))
+        df = df.select(
+            F.col("file_path").cast("string"),
+            F.col("file_format").cast("string"),
+            F.col("record_count").cast("long"),
+            F.col("file_size_in_bytes").cast("long"),
+            F.col("metrics_json").cast("string"))
+
+        spec, schema = self.spec(), self.schema()
+        mfmt = self.properties().get("write.metadata.manifest-format",
+                                     "parquet")
+        mver = self._manifest_version()
+        meta_dir = os.path.join(self.metadata.location, "metadata")
+        shard_entries = int(self.properties().get(
+            "engine.commit.manifest-shard-entries", "25000"))
+
+        df = df.persist()
+        sharded = None
+        try:
+            totals = df.agg(
+                F.count("*").alias("n"),
+                F.sum("record_count").alias("rows"),
+                F.sum("file_size_in_bytes").alias("bytes")).collect()[0]
+            n_files = totals["n"] or 0
+            if n_files == 0:
+                return self
+            added_size = int(totals["bytes"] or 0)
+            n_shards = max(1, -(-n_files // shard_entries))
+            sharded = df.withColumn(
+                "_shard",
+                (F.abs(F.xxhash64("file_path")) % n_shards).cast("int"))
+            sharded = sharded.persist()
+
+            def author_manifests(next_row_id: Optional[int]) -> list:
+                """One applyInPandas pass: each shard group becomes one
+                manifest written in-executor; returns ManifestFile
+                pointer objects (driver memory O(#shards))."""
+                bases: dict[int, int] = {}
+                if next_row_id is not None:
+                    per = {r["_shard"]: r["rows"] for r in
+                           sharded.groupBy("_shard")
+                                  .agg(F.sum("record_count").alias("rows"))
+                                  .collect()}
+                    acc = next_row_id
+                    for s in sorted(per):
+                        bases[s] = acc
+                        acc += int(per[s])
+
+                def author(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                    from iceberg_cpp_spark.core import manifests as mfx
+                    from iceberg_cpp_spark.core.metrics import (
+                        _decode_metrics_json)
+
+                    shard = int(pdf["_shard"].iloc[0])
+                    pdf = pdf.sort_values("file_path")
+                    path = os.path.join(
+                        meta_dir,
+                        f"manifest-{uuid_mod.uuid4().hex}.{mfmt}")
+                    w = mfx.ManifestWriter(path, spec, schema,
+                                           snapshot_id=0, format=mfmt,
+                                           version=mver)
+                    rid = bases.get(shard)
+                    for row in pdf.itertuples(index=False):
+                        m = (_decode_metrics_json(row.metrics_json)
+                             if row.metrics_json else {})
+                        f = mfx.DataFile(
+                            content=mfx.CONTENT_DATA,
+                            file_path=row.file_path,
+                            file_format=row.file_format,
+                            partition={},
+                            record_count=int(row.record_count),
+                            file_size_in_bytes=int(row.file_size_in_bytes),
+                            column_sizes=m.get("column_sizes", {}),
+                            value_counts=m.get("value_counts", {}),
+                            null_value_counts=m.get("null_value_counts", {}),
+                            nan_value_counts=m.get("nan_value_counts", {}),
+                            lower_bounds=m.get("lower_bounds", {}),
+                            upper_bounds=m.get("upper_bounds", {}),
+                            first_row_id=rid)
+                        if rid is not None:
+                            rid += int(row.record_count)
+                        # null snapshot/sequence: inherited from the
+                        # manifest-list row (read_manifest), so a CAS
+                        # retry restamps the list without rewriting this
+                        w.add(mfx.ManifestEntry(status=mfx.STATUS_ADDED,
+                                                data_file=f,
+                                                snapshot_id=None,
+                                                sequence_number=None))
+                    mf_out = w.close()
+                    return pd.DataFrame([{
+                        "manifest_path": mf_out.manifest_path,
+                        "manifest_length": mf_out.manifest_length,
+                        "added_files_count": mf_out.added_files_count,
+                        "added_rows_count": mf_out.added_rows_count,
+                        "first_row_id": mf_out.first_row_id,
+                    }])
+
+                rows = (sharded.groupBy("_shard").applyInPandas(
+                    author,
+                    schema=("manifest_path string, manifest_length long, "
+                            "added_files_count long, added_rows_count long, "
+                            "first_row_id long")).collect())
+                return [mf.ManifestFile(
+                    manifest_path=r["manifest_path"],
+                    manifest_length=r["manifest_length"],
+                    partition_spec_id=spec.spec_id,
+                    content=mf.MANIFEST_CONTENT_DATA,
+                    added_files_count=int(r["added_files_count"]),
+                    added_rows_count=int(r["added_rows_count"]),
+                    first_row_id=(int(r["first_row_id"])
+                                  if r["first_row_id"] is not None else None),
+                ) for r in rows]
+
+            def current_next_row_id() -> Optional[int]:
+                if mver < 3:
+                    return None
+                return int(self.metadata.properties.get(
+                    "engine.next-row-id", "0"))
+
+            prebuilt = author_manifests(current_next_row_id())
+            retries = int(self.properties().get(
+                "commit.retry.num-retries", "4"))
+            backoff_ms = int(self.properties().get(
+                "commit.retry.min-wait-ms", "100"))
+            last: Exception = None
+            for attempt in range(retries + 1):
+                try:
+                    return self._commit_files_once(
+                        [], operation=DataOperation.APPEND, branch=branch,
+                        summary_extras=summary_extras,
+                        prebuilt_data_manifests=prebuilt,
+                        prebuilt_added_size=added_size)
+                except StaleRowIdSpanError as e:
+                    # concurrent commit moved the v3 row-id counter:
+                    # shards carry stale spans — re-author (conflict
+                    # path only; data files are untouched)
+                    last = e
+                    prebuilt = author_manifests(current_next_row_id())
+                except (CommitFailedError, FileExistsError) as e:
+                    last = e
+                    if attempt == retries:
+                        break
+                    _time.sleep(min(backoff_ms * (2 ** attempt),
+                                    60_000) / 1000.0)
+                    self.refresh()
+            raise last
+        finally:
+            if sharded is not None:
+                sharded.unpersist()
+            df.unpersist()
+
     # --- write internals -------------------------------------------------
     def _write_data_files(self, df: DataFrame) -> list[mf.DataFile]:
         schema = self.schema()
@@ -3590,7 +3795,9 @@ class IceTable:
                            summary_extras: Optional[dict] = None,
                            read_snapshot_id: Optional[int] = None,
                            require_live: Optional[set] = None,
-                           wap_id: Optional[str] = None) -> "IceTable":
+                           wap_id: Optional[str] = None,
+                           prebuilt_data_manifests: Optional[list] = None,
+                           prebuilt_added_size: int = 0) -> "IceTable":
         meta = self.metadata
         schema = self.schema()
         spec = self.spec()
@@ -3629,10 +3836,31 @@ class IceTable:
         # metadata JSON layout predates v3's top-level next-row-id.
         next_row_id = int(meta.properties.get("engine.next-row-id", "0"))
         rid = next_row_id
+        new_manifests: list[mf.ManifestFile] = []
+        if prebuilt_data_manifests is not None:
+            # executor-authored manifests (commit_files_df): entries are
+            # on disk with null snapshot/sequence numbers (inheritance),
+            # so per-attempt identity lives ONLY on the manifest-list row
+            # — stamp this attempt's snapshot/sequence here. v3 row-id
+            # spans were baked at author time against engine.next-row-id;
+            # a moved counter (concurrent commit) makes them stale and
+            # the caller must re-author.
+            if mver >= 3:
+                bases = [m.first_row_id for m in prebuilt_data_manifests
+                         if m.first_row_id is not None]
+                if bases and min(bases) != next_row_id:
+                    raise StaleRowIdSpanError(
+                        f"authored row-id base {min(bases)} != current "
+                        f"next-row-id {next_row_id}")
+                rid = next_row_id + sum(m.added_rows_count
+                                        for m in prebuilt_data_manifests)
+            new_manifests = [
+                dc_replace(m, sequence_number=seq, min_sequence_number=seq,
+                           added_snapshot_id=snapshot_id)
+                for m in prebuilt_data_manifests]
         for f in new_data:
             f.first_row_id = rid
             rid += f.record_count
-        new_manifests: list[mf.ManifestFile] = []
         if new_data:
             writer = mf.ManifestWriter(
                 self.location_provider().new_manifest_path(meta_dir, ext=mfmt),
@@ -3713,12 +3941,18 @@ class IceTable:
 
         carried_data = [m for m in carried if m.content == mf.MANIFEST_CONTENT_DATA]
         carried_dels = [m for m in carried if m.content == mf.MANIFEST_CONTENT_DELETES]
-        added_records = sum(f.record_count for f in new_data)
-        added_size = sum(f.file_size_in_bytes for f in new_files)
+        if prebuilt_data_manifests is not None:
+            n_added_files = sum(m.added_files_count for m in new_manifests)
+            added_records = sum(m.added_rows_count for m in new_manifests)
+            added_size = prebuilt_added_size
+        else:
+            n_added_files = len(new_data)
+            added_records = sum(f.record_count for f in new_data)
+            added_size = sum(f.file_size_in_bytes for f in new_files)
         total_records = added_records + sum(
             (m.added_rows_count or 0) + (m.existing_rows_count or 0)
             for m in carried_data)  # None on foreign v1 lists: summary-only
-        total_files = len(new_data) + sum(m.added_files_count + m.existing_files_count
+        total_files = n_added_files + sum(m.added_files_count + m.existing_files_count
                                           for m in carried_data)
         pos_dels = sum(f.record_count for f in new_dels
                        if f.content == mf.CONTENT_POSITION_DELETES)
@@ -3728,7 +3962,7 @@ class IceTable:
                                               for m in carried_dels)
         summary = {  # snapshot.h:121-216 standard keys
             "operation": operation,
-            "added-data-files": str(len(new_data)),
+            "added-data-files": str(n_added_files),
             "added-records": str(added_records),
             "added-files-size": str(added_size),
             "total-data-files": str(total_files),
