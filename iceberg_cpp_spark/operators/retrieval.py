@@ -190,6 +190,26 @@ class Bm25Index:
         self.doclens = self.doclens.append(dl.select("doc_id", "dl"))
         return self
 
+    def remove(self, doc_ids: DataFrame, id_col: str = "doc_id") -> "Bm25Index":
+        """Delete documents from the index: EQUALITY DELETES keyed by
+        doc_id on both IceTables. The corpus statistics shrink exactly —
+        N/avgdl derive from live doclens rows, df(t) is counted from
+        live postings — so search-after-remove equals a one-shot
+        ``bm25_topk`` over the reduced corpus (pinned by tests).
+
+        doclens deletes FIRST: a torn crash between the two commits can
+        then never surface a removed doc in results (scoring inner-joins
+        doclens), and replaying the remove converges — equality deletes
+        of already-deleted keys are no-ops, so the operation is
+        replay-idempotent. A removed id can be re-indexed later via
+        ``add`` (the doclens replay gate sees it as absent). Delete-file
+        accumulation folds via the tables' ordinary
+        ``rewrite_equality_deletes`` maintenance."""
+        keys = doc_ids.select(F.col(id_col).alias("doc_id")).distinct()
+        self.doclens = self.doclens.delete_by_keys(keys)
+        self.postings = self.postings.delete_by_keys(keys)
+        return self
+
     # -- search -------------------------------------------------------------
     def search(self, queries: DataFrame, k: int = 10,
                k1: float = 1.2, b: float = 0.75,

@@ -1443,6 +1443,53 @@ class TestBm25PersistedIndex:
         want = self._rows(retrieval.bm25_topk(cdf, qdf, k=3))
         assert self._rows(idx.search(qdf, k=3)) == want
 
+    def test_remove_equals_one_shot_on_reduced_corpus(self, spark,
+                                                      tmp_loc):
+        """Document deletion (VERDICT r12 task 6): equality deletes on
+        both tables shrink N/avgdl/df exactly — search-after-remove
+        equals a one-shot bm25_topk over the reduced corpus; replaying
+        the remove is a no-op; a removed id can be re-indexed."""
+        cdf, qdf = self._dfs(spark)
+        idx = retrieval.build_bm25_index(spark, f"{tmp_loc}/idx", cdf)
+        gone = spark.createDataFrame([(2,), (4,)], "doc_id long")
+        idx = idx.remove(gone)
+        reduced = spark.createDataFrame(
+            [r for r in self.CORPUS if r[0] not in (2, 4)],
+            "doc_id long, text string")
+        want = self._rows(retrieval.bm25_topk(reduced, qdf, k=3))
+        assert self._rows(idx.search(qdf, k=3)) == want
+        assert idx.doclens.to_df().count() == len(self.CORPUS) - 2
+        # replay-idempotent
+        idx = idx.remove(gone)
+        assert self._rows(idx.search(qdf, k=3)) == want
+        # a removed doc re-indexes (the doclens replay gate sees it gone)
+        idx = idx.add(spark.createDataFrame([self.CORPUS[1]],
+                                            "doc_id long, text string"))
+        full = self._rows(retrieval.bm25_topk(
+            spark.createDataFrame(
+                [r for r in self.CORPUS if r[0] != 4],
+                "doc_id long, text string"), qdf, k=3))
+        assert self._rows(idx.search(qdf, k=3)) == full
+
+    def test_torn_remove_never_surfaces_removed_doc(self, spark, tmp_loc):
+        """Crash between the two delete commits: doclens row gone,
+        postings rows still live. The removed doc must not appear in
+        results (scoring inner-joins doclens) and the replayed remove
+        converges to the reduced-corpus scores."""
+        cdf, qdf = self._dfs(spark)
+        idx = retrieval.build_bm25_index(spark, f"{tmp_loc}/idx", cdf)
+        gone = spark.createDataFrame([(1,)], "doc_id long")
+        # torn: only the doclens leg of remove() ran
+        idx.doclens = idx.doclens.delete_by_keys(gone)
+        assert not any(
+            r["doc_id"] == 1 for r in idx.search(qdf, k=10).collect())
+        idx = idx.remove(gone)  # replay converges
+        reduced = spark.createDataFrame(
+            [r for r in self.CORPUS if r[0] != 1],
+            "doc_id long, text string")
+        assert (self._rows(idx.search(qdf, k=3))
+                == self._rows(retrieval.bm25_topk(reduced, qdf, k=3)))
+
     def test_wide_query_set_semi_join_fallback(self, spark, tmp_loc,
                                                monkeypatch):
         """Past MAX_SCAN_PUSHDOWN_TOKENS the search keeps the full-scan
