@@ -500,13 +500,32 @@ class TableScan:
                     else pd.array([None] * len(out), dtype="Int64"))
                 yield out
 
-        cols = ["file_path", "file_format", "record_count", "file_size_in_bytes",
-                "partition_json", "sequence_number", "value_counts",
-                "null_value_counts", "nan_value_counts", "lower_bounds",
-                "upper_bounds"]
+        cols = ["file_path", "file_format", "record_count",
+                "file_size_in_bytes", "partition_json", "sequence_number"]
+        # trim the metric maps to the REFERENCED field ids JVM-side
+        # before they cross into Python: a wide table's manifests carry
+        # bounds for every column, the predicate needs a handful — the
+        # Arrow payload (and any shuffle below) shrinks accordingly
+        ids = sorted(ref_ids)
+        for c in ("value_counts", "null_value_counts", "nan_value_counts",
+                  "lower_bounds", "upper_bounds"):
+            cols.append(
+                F.map_filter(c, lambda k, v: k.isin(ids)).alias(c)
+                if ids else F.col(c))
         if "first_row_id" in df.columns:  # absent in pre-lineage manifests
-            cols.append("first_row_id")
-        return df.select(*cols).mapInPandas(survive, schema=out_schema)
+            cols.append(F.col("first_row_id"))
+        sel = df.select(*cols)
+        # a single large manifest reads as ONE input partition, which
+        # would serialize the whole metrics pass on one python worker —
+        # spread big entry counts (known from the manifest-list rows,
+        # no job) across the cluster first
+        est = sum((m.added_files_count or 0) + (m.existing_files_count or 0)
+                  for m in group)
+        target = min(spark.sparkContext.defaultParallelism,
+                     max(1, est // 8000))
+        if target > len(group):
+            sel = sel.repartition(target)
+        return sel.mapInPandas(survive, schema=out_schema)
 
     def _plan_avro_distributed(self, group, spec, schema, proj, evaluator):
         rows = self._plan_avro_spec_df(
