@@ -3116,28 +3116,30 @@ class IceTable:
 
         from iceberg_cpp_spark.sources.catalog import CommitFailedError
 
-        if self.spec().fields:
-            # partition values ride partition_json untyped; identity
-            # specs would need per-field typing — same restriction as
-            # add_files, and the 10^6-file registration use case is
-            # unpartitioned imports
-            raise ValueError(
-                "commit_files_df supports unpartitioned tables only")
         required = {"file_path", "record_count", "file_size_in_bytes"}
         missing = required - set(files_df.columns)
         if missing:
             raise ValueError(f"files_df missing columns: {sorted(missing)}")
+        if self.spec().fields and "partition_json" not in files_df.columns:
+            raise ValueError(
+                "partitioned table: files_df needs a partition_json "
+                "column (hex-value JSON keyed by partition field name — "
+                "the manifests.partition_to_json shape, the same format "
+                "plan_files_df emits)")
         df = files_df
         if "file_format" not in df.columns:
             df = df.withColumn("file_format", F.lit("parquet"))
         if "metrics_json" not in df.columns:
             df = df.withColumn("metrics_json", F.lit(None).cast("string"))
+        if "partition_json" not in df.columns:
+            df = df.withColumn("partition_json", F.lit("{}"))
         df = df.select(
             F.col("file_path").cast("string"),
             F.col("file_format").cast("string"),
             F.col("record_count").cast("long"),
             F.col("file_size_in_bytes").cast("long"),
-            F.col("metrics_json").cast("string"))
+            F.col("metrics_json").cast("string"),
+            F.col("partition_json").cast("string"))
 
         spec, schema = self.spec(), self.schema()
         mfmt = self.properties().get("write.metadata.manifest-format",
@@ -3185,7 +3187,10 @@ class IceTable:
                         _decode_metrics_json)
 
                     shard = int(pdf["_shard"].iloc[0])
-                    pdf = pdf.sort_values("file_path")
+                    # cluster the manifest by partition so its entries
+                    # (and any range maintenance later) stay coherent;
+                    # file-level partition pruning is exact regardless
+                    pdf = pdf.sort_values(["partition_json", "file_path"])
                     path = os.path.join(
                         meta_dir,
                         f"manifest-{uuid_mod.uuid4().hex}.{mfmt}")
@@ -3200,7 +3205,8 @@ class IceTable:
                             content=mfx.CONTENT_DATA,
                             file_path=row.file_path,
                             file_format=row.file_format,
-                            partition={},
+                            partition=mfx.partition_from_json(
+                                row.partition_json, spec, schema),
                             record_count=int(row.record_count),
                             file_size_in_bytes=int(row.file_size_in_bytes),
                             column_sizes=m.get("column_sizes", {}),

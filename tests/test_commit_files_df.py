@@ -156,7 +156,7 @@ class TestCommitFilesDf:
                    if e.data_file.file_path in set(paths)]
         assert all(e.data_file.first_row_id is not None for e in entries)
 
-    def test_empty_and_partitioned_refusals(self, spark, tmp_loc):
+    def test_empty_and_missing_column_refusals(self, spark, tmp_loc):
         t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
         empty = spark.createDataFrame(
             [], "file_path string, record_count long, "
@@ -170,11 +170,57 @@ class TestCommitFilesDf:
                                                      PartitionSpec)
 
         pspec = PartitionSpec(spec_id=0, fields=[PartitionField(
-            source_id=1, field_id=1000, name="id_p",
+            source_id=2, field_id=1000, name="data",
             transform=tr.IdentityTransform())])
         tp = IceTable.create(spark, f"{tmp_loc}/tp", _schema(), spec=pspec)
-        with pytest.raises(ValueError, match="unpartitioned"):
+        with pytest.raises(ValueError, match="partition_json"):
             tp.commit_files_df(empty)
+
+    def test_partitioned_descriptors_prune_and_read(self, spark, tmp_loc):
+        """Partitioned plane: descriptors carry partition_json (the
+        partition_to_json hex shape) — committed entries land with
+        TYPED partition values, so partition pruning at plan time and
+        reads both work."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from iceberg_cpp_spark.core import name_mapping as nm
+        from iceberg_cpp_spark.core.metadata import (PartitionField,
+                                                     PartitionSpec)
+        from iceberg_cpp_spark.functions import transforms as tr
+
+        pspec = PartitionSpec(spec_id=0, fields=[PartitionField(
+            source_id=2, field_id=1000, name="data",
+            transform=tr.IdentityTransform())])
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema(), spec=pspec)
+        t = t.update_properties({
+            nm.PROPERTY_KEY:
+                nm.NameMapping.from_schema(t.schema()).to_json_string(),
+            "engine.read.name-based": "true",
+            "engine.commit.manifest-shard-entries": "2"})
+        rows = []
+        for part in ("a", "b", "c"):
+            for j in range(2):
+                p = os.path.join(tmp_loc, f"{part}{j}.parquet")
+                ids = [ord(part) * 100 + j * 10, ord(part) * 100 + j * 10 + 1]
+                pq.write_table(pa.table({
+                    "id": ids, "data": [part, part]}), p)
+                pj = mf.partition_to_json({"data": part}, pspec, t.schema())
+                rows.append((p, 2, os.path.getsize(p), pj))
+        desc = spark.createDataFrame(
+            rows, "file_path string, record_count long, "
+                  "file_size_in_bytes long, partition_json string")
+        t = t.commit_files_df(desc)
+        assert t.to_df().count() == 12
+        pruned = t.scan(filter=ex.eq(ex.Reference("data"), "b"))
+        assert len(pruned.plan_files()) == 2
+        got = {r["id"] for r in pruned.to_df().collect()}
+        assert got == {ord("b") * 100, ord("b") * 100 + 1,
+                       ord("b") * 100 + 10, ord("b") * 100 + 11}
+        # entries carry typed partition values (not raw hex)
+        entries = _all_entries(t)
+        assert {e.data_file.partition["data"] for e in entries} == {
+            "a", "b", "c"}
 
     def test_synthetic_descriptors_metadata_only(self, spark, tmp_loc):
         """The 10^6-file bench shape in miniature: purely synthetic

@@ -153,6 +153,30 @@ class TestTransaction:
             txn.table().new_transaction()
         txn.commit()
 
+    def test_catalog_backed_transaction(self, spark, tmp_loc):
+        """Catalog path: the one publish CAS goes through
+        catalog.commit_table with an AssertRefSnapshotId on the txn's
+        base; a concurrent catalog commit fails it once and the rebase
+        retries (same semantics as the filesystem exclusive-create)."""
+        from iceberg_cpp_spark.sources.catalog import FileSystemCatalog
+
+        cat = FileSystemCatalog(f"{tmp_loc}/wh")
+        cat.create_namespace("db")
+        cat.create_table("db.t", _schema())
+        t = cat.load_table("db.t", spark=spark)
+        t = t.append(_df(spark, 0, 5))
+        txn = t.new_transaction()
+        txn.append(_df(spark, 10, 13, tag="y"))
+        txn.delete_where(ex.eq(ex.Reference("id"), 1))
+        # concurrent writer through the catalog
+        other = cat.load_table("db.t", spark=spark)
+        other.append(_df(spark, 100, 102, tag="z"))
+        out = txn.commit()
+        got = {r["id"] for r in out.to_df().collect()}
+        assert got == {0, 2, 3, 4, 10, 11, 12, 100, 101}
+        fresh = cat.load_table("db.t", spark=spark)
+        assert {r["id"] for r in fresh.to_df().collect()} == got
+
     def test_rebase_replays_merge_and_props(self, spark, tmp_loc):
         """A mixed merge_into + update_properties transaction survives
         a concurrent append: replay preserves op order and reuses the
