@@ -18,11 +18,15 @@ snapshot (streaming/incremental.py), re-runs the view SQL over that
 delta to get per-group partials, and merges them into the storage
 table with the aggregate's merge function (count/sum → SUM, min → MIN,
 max → MAX). At 100 TB this is the difference between re-scanning the
-corpus and reading one append. Everything else — multi-source SQL,
-joins, HAVING/DISTINCT/windows, non-distributive aggregates, or a
-source history containing deletes/overwrites — falls back to the FULL
-recomputation committed as one ``overwrite`` snapshot (always correct
-for any SQL). Staleness state lives in the view's properties
+corpus and reading one append. A history WITH deletes/overwrites can
+still be maintained incrementally when every aggregate is RETRACTABLE
+(COUNT/SUM/AVG partials — all merge by SUM — plus a COUNT(*) column to
+detect dead groups): the CDC changelog supplies the insert/delete row
+delta (cost tracks the CHANGED files), the delete side's partials
+negate, and groups whose count reaches zero drop. Everything else —
+multi-source SQL, joins, HAVING/DISTINCT/windows, MIN/MAX over a
+deleting history, rollbacks — falls back to the FULL recomputation
+committed as one ``overwrite`` snapshot (always correct for any SQL). Staleness state lives in the view's properties
 (``materialization.table``, ``refresh.<name>.snapshot-id``) so any
 engine reading the view metadata can see how fresh the data is.
 """
@@ -117,6 +121,7 @@ def classify_incremental(sql: str, source_names) -> Optional[dict]:
     if re.search(rf"\b{re.escape(src)}\b", without_from, re.I):
         return None
     keys, merge, avgs, storage_items = [], {}, {}, []
+    count_star: Optional[str] = None
     group_exprs = [e.strip().lower() for e in _split_top(m.group("keys"))]
     matched: set = set()
     for i, item in enumerate(_split_top(m.group("items"))):
@@ -139,6 +144,9 @@ def classify_incremental(sql: str, source_names) -> Optional[dict]:
                     return None
                 merge[alias] = _MERGE[fn]
                 storage_items.append(item)
+                if (fn == "count" and am.group("arg").strip() == "*"
+                        and count_star is None):
+                    count_star = alias
             continue
         km = _KEY_ITEM.match(item)
         if not km:
@@ -166,8 +174,16 @@ def classify_incremental(sql: str, source_names) -> Optional[dict]:
         if m.group("where"):
             storage_sql += f" WHERE {m.group('where')}"
         storage_sql += f" GROUP BY {m.group('keys')}"
+    # retraction support: COUNT/SUM/AVG partials all merge by SUM, so a
+    # DELETE-containing source history can be maintained by NEGATING the
+    # deleted rows' partials — but only a COUNT(*) column can tell a
+    # dead group (drop the row) from a zero-sum one (keep it); MIN/MAX
+    # are not retractable (the deleted value may have BEEN the min)
+    retractable = (count_star is not None
+                   and all(fn == "sum" for fn in merge.values()))
     return {"source": m.group("src"), "keys": keys, "merge": merge,
             "avg": avgs, "storage_sql": storage_sql,
+            "count_star": count_star, "retractable": retractable,
             "order": (m.group("order") or "").strip() or None}
 
 
@@ -297,6 +313,54 @@ class IceMaterializedView:
         self.storage = self.storage.overwrite(merged)
         return True
 
+    def _refresh_retract(self, plan: dict, from_sid: int,
+                         to_sid: int) -> bool:
+        """Delete-containing history, retractable aggregates (all
+        partials merge by SUM + a COUNT(*) column to detect dead
+        groups): pull the INSERT/DELETE row delta from the CDC
+        changelog — cost tracks the CHANGED files, not the corpus —
+        aggregate each side with the storage SQL, NEGATE the delete
+        side's partials, merge, and drop groups whose count reaches 0
+        (a full recompute would not emit them). Returns False when the
+        range isn't ancestry-connected (rollback in history): caller
+        full-recomputes."""
+        from pyspark.sql import functions as F
+
+        from iceberg_cpp_spark.streaming.changelog import changes
+
+        src = self.sources[plan["source"]]
+        try:
+            delta = changes(src, from_sid, to_sid)
+        except ValueError:
+            return False  # non-ancestor range (rollback/cherry-pick)
+        meta_cols = ["_change_type", "_commit_snapshot_id",
+                     "_change_ordinal"]
+        sql_tpl = re.sub(
+            rf"(\bfrom\s+){re.escape(plan['source'])}\b",
+            r"\g<1>__mv_delta__", self._storage_sql(), flags=re.I)
+        sides = []
+        for kind, sign in (("insert", 1), ("delete", -1)):
+            rows = (delta.filter(F.col("_change_type") == kind)
+                    .drop(*meta_cols))
+            rows.createOrReplaceTempView("__mv_delta__")
+            agg = self.spark.sql(sql_tpl)
+            if sign < 0:
+                agg = agg.select(
+                    *[(-F.col(c)).alias(c) if c in plan["merge"]
+                      else F.col(c) for c in agg.columns])
+            sides.append(agg)
+        current = self.storage.to_df()
+        agg_cols = [getattr(F, fn)(c).alias(c)
+                    for c, fn in plan["merge"].items()]
+        merged = (current.unionByName(sides[0]).unionByName(sides[1])
+                  .groupBy(*plan["keys"]).agg(*agg_cols)
+                  .filter(F.col(plan["count_star"]) > 0))
+        merged = merged.select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name)
+              for f in current.schema.fields])
+        self.storage = self.storage.overwrite(merged)
+        return True
+
     def refresh(self, force: bool = False) -> "IceMaterializedView":
         """Bring the storage table up to date when any source moved
         past its recorded snapshot (or ``force``); otherwise a
@@ -311,27 +375,32 @@ class IceMaterializedView:
         if not force and self.is_fresh():
             self.last_refresh_mode = "noop"
             return self
-        did_incremental = False
+        mode = None
         plan = self._plan if not force else None
         if plan is not None:
             props = self.view.metadata.properties
             rec = props.get(f"{_REFRESH_PREFIX}{plan['source']}.snapshot-id")
             from_sid = int(rec) if rec and rec != "0" else None
             to_sid = int(state[plan["source"]])
-            if (from_sid is not None and to_sid
-                    and self._appends_only(self.sources[plan["source"]],
-                                           from_sid, to_sid)):
-                did_incremental = self._refresh_incremental(
-                    plan, from_sid, to_sid)
-        if not did_incremental:
+            if from_sid is not None and to_sid:
+                if self._appends_only(self.sources[plan["source"]],
+                                      from_sid, to_sid):
+                    if self._refresh_incremental(plan, from_sid, to_sid):
+                        mode = "incremental"
+                elif plan["retractable"]:
+                    # deletes in the history: retractable aggregates
+                    # maintain from the changelog's +/- row delta
+                    if self._refresh_retract(plan, from_sid, to_sid):
+                        mode = "incremental-retract"
+        if mode is None:
             for name, t in self.sources.items():
                 t.create_or_replace_view(name)
             # full recompute runs the STORAGE SQL so an AVG plan's
             # partial columns survive forced / fallback recomputes
             result = self.spark.sql(self._storage_sql())
             self.storage = self.storage.overwrite(result)
-        self.last_refresh_mode = (
-            "incremental" if did_incremental else "full")
+            mode = "full"
+        self.last_refresh_mode = mode
         self.view = self.view.update_properties({
             f"{_REFRESH_PREFIX}{name}.snapshot-id": sid
             for name, sid in state.items()})

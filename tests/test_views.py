@@ -508,6 +508,88 @@ class TestIncrementalMvRefresh:
         rows = mv.to_df().collect()
         assert len(rows) == 9 and all(r["n"] == 1 for r in rows)
 
+    RETRACT_SQL = ("SELECT v, COUNT(*) AS n, SUM(k) AS sum_k, "
+                   "AVG(k) AS avg_k FROM src_t GROUP BY v")
+
+    def test_retract_refresh_scans_only_changed_files(self, spark,
+                                                      tmp_loc):
+        """Deletes in the history + retractable aggregates: refresh
+        pulls the changelog's +/- delta — proven delta-only by removing
+        the UNTOUCHED batch's files from disk — and matches the exact
+        recompute."""
+        from iceberg_cpp_spark.mview import IceMaterializedView
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        src = self._src(spark, f"{tmp_loc}/src")           # k 0..5
+        mv = IceMaterializedView.create(
+            spark, f"{tmp_loc}/mv", self.RETRACT_SQL, {"src_t": src})
+        b1_files = [f.file_path for f in src.scan().plan_files()]
+        src = src.append(spark.range(10, 16).select(       # second file
+            F.col("id").alias("k"), (F.col("id") % 3).alias("v")))
+        mv.sources["src_t"] = src
+        mv = mv.refresh()
+        assert mv.last_refresh_mode == "incremental"
+        # CoW delete rewrites ONLY the second batch's file
+        src = src.delete_where(ex.gt_eq(ex.Reference("k"), 14))
+        mv.sources["src_t"] = src
+        for p in b1_files:  # untouched by the delete: delta never reads
+            os.remove(p)
+        mv = mv.refresh()
+        assert mv.last_refresh_mode == "incremental-retract"
+        got = {r["v"]: (r["n"], r["sum_k"], r["avg_k"])
+               for r in mv.to_df().collect()}
+        ks = [k for k in list(range(6)) + list(range(10, 14))]
+        want = {}
+        for v in (0, 1, 2):
+            grp = [k for k in ks if k % 3 == v]
+            want[v] = (len(grp), sum(grp), sum(grp) / len(grp))
+        assert got == want
+
+    def test_retract_drops_dead_groups(self, spark, tmp_loc):
+        from iceberg_cpp_spark.mview import IceMaterializedView
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        src = self._src(spark, f"{tmp_loc}/src")  # v = k % 3, k 0..5
+        mv = IceMaterializedView.create(
+            spark, f"{tmp_loc}/mv", self.RETRACT_SQL, {"src_t": src})
+        src = src.delete_where(ex.eq(ex.Reference("v"), 1))
+        mv.sources["src_t"] = src
+        mv = mv.refresh()
+        assert mv.last_refresh_mode == "incremental-retract"
+        got = {r["v"] for r in mv.to_df().collect()}
+        assert got == {0, 2}  # group v=1 died and must NOT linger
+        # and the values equal a forced full recompute
+        inc = {tuple(r) for r in mv.to_df().collect()}
+        assert {tuple(r) for r in
+                mv.refresh(force=True).to_df().collect()} == inc
+
+    def test_retract_needs_count_star(self, spark, tmp_loc):
+        """SUM-only views can't tell a dead group from a zero-sum one —
+        deletes force the full recompute."""
+        from iceberg_cpp_spark.mview import (IceMaterializedView,
+                                             classify_incremental)
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        sql = "SELECT v, SUM(k) AS sum_k FROM src_t GROUP BY v"
+        assert not classify_incremental(sql, {"src_t"})["retractable"]
+        src = self._src(spark, f"{tmp_loc}/src")
+        mv = IceMaterializedView.create(
+            spark, f"{tmp_loc}/mv", sql, {"src_t": src})
+        src = src.delete_where(ex.eq(ex.Reference("k"), 1))
+        mv.sources["src_t"] = src
+        mv = mv.refresh()
+        assert mv.last_refresh_mode == "full"
+        got = {r["v"]: r["sum_k"] for r in mv.to_df().collect()}
+        assert got == {0: 0 + 3, 1: 4, 2: 2 + 5}
+
+    def test_retract_minmax_still_full(self, spark, tmp_loc):
+        """MIN/MAX aren't retractable (the deleted value may have been
+        the extreme) — the existing full fallback stays."""
+        from iceberg_cpp_spark.mview import classify_incremental
+
+        plan = classify_incremental(self.SQL, {"src_t"})
+        assert plan is not None and not plan["retractable"]
+
     def test_multi_source_stays_full(self, spark, tmp_loc):
         from iceberg_cpp_spark.mview import IceMaterializedView
 
