@@ -3257,6 +3257,19 @@ class IceTable:
                     "engine.next-row-id", "0"))
 
             prebuilt = author_manifests(current_next_row_id())
+            if self._txn is not None:
+                # transaction mode: the authored shards join the txn's
+                # pending chain through the ordinary file-op log (a
+                # conflict rebase restamps the list; a v3 row-id-counter
+                # move during rebase surfaces as StaleRowIdSpanError —
+                # loud, re-run the transaction)
+                return self._txn._record_file_op(self, dict(
+                    new_files=[], operation=DataOperation.APPEND,
+                    branch=branch, carry_existing=True, drop_paths=None,
+                    drop_dv_for=None, summary_extras=summary_extras,
+                    read_snapshot_id=None, require_live=None,
+                    wap_id=None, prebuilt_data_manifests=prebuilt,
+                    prebuilt_added_size=added_size))
             retries = int(self.properties().get(
                 "commit.retry.num-retries", "4"))
             backoff_ms = int(self.properties().get(
@@ -4256,6 +4269,12 @@ class IceTable:
                           removals: Optional[list] = None) -> "IceTable":
         from iceberg_cpp_spark.core.updates import TableMetadataBuilder
 
+        if self._txn is not None and not self._txn._recording:
+            # transaction mode: route through the txn's action log so a
+            # conflict rebase replays the property change too (ops like
+            # add_files set properties internally — they must not trip
+            # the not-transaction-aware guard)
+            return self._txn._record_props(self, updates, removals)
         meta = self.metadata
         b = TableMetadataBuilder.build_from(meta)
         if updates:

@@ -98,19 +98,33 @@ class Transaction:
         self.working.apply_changes(changes, on, branch=self.branch, **kw)
         return self
 
+    def add_files(self, paths, **kw) -> "Transaction":
+        self._check_open()
+        self.working.add_files(paths, branch=self.branch, **kw)
+        return self
+
+    def commit_files_df(self, files_df, **kw) -> "Transaction":
+        self._check_open()
+        self.working.commit_files_df(files_df, branch=self.branch, **kw)
+        return self
+
     def update_properties(self, updates: Optional[dict] = None,
                           removals: Optional[list] = None) -> "Transaction":
+        self._check_open()
+        self.working.update_properties(updates, removals)
+        return self
+
+    # -- hook targets (called by IceTable in txn mode) --------------------
+    def _record_props(self, table, updates, removals):
         self._check_open()
         self._log.append(("props", (dict(updates or {}),
                                     list(removals or []))))
         self._recording = True
         try:
-            self.working.update_properties(updates, removals)
+            return table.update_properties(updates, removals)
         finally:
             self._recording = False
-        return self
 
-    # -- hook target (called by IceTable._commit_files in txn mode) ------
     def _record_file_op(self, table, params: dict):
         self._check_open()
         if params["branch"] != self.branch:

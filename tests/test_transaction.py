@@ -153,6 +153,42 @@ class TestTransaction:
             txn.table().new_transaction()
         txn.commit()
 
+    def test_add_files_and_commit_files_df_in_transaction(self, spark,
+                                                          tmp_loc):
+        """The import planes compose with transactions: add_files (and
+        its internal name-mapping property update) and the
+        executor-authored commit_files_df both join the pending chain
+        and publish atomically — and survive a concurrent-append
+        rebase."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        paths = []
+        for i in range(3):
+            p = os.path.join(tmp_loc, f"imp{i}.parquet")
+            pq.write_table(pa.table({"id": [500 + i], "data": [f"i{i}"]}),
+                           p)
+            paths.append(p)
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        t = t.append(_df(spark, 0, 3))
+        txn = t.new_transaction()
+        txn.add_files(paths)
+        desc = spark.createDataFrame(
+            [(p, 1, os.path.getsize(p)) for p in paths[:1]],
+            "file_path string, record_count long, file_size_in_bytes long")
+        # synthetic second registration of imp0 via the executor plane
+        txn.commit_files_df(desc.withColumn(
+            "file_path", F.concat(F.col("file_path"), F.lit(""))))
+        base_count = IceTable.load(spark, f"{tmp_loc}/t").to_df().count()
+        assert base_count == 3  # nothing visible mid-txn
+        other = IceTable.load(spark, f"{tmp_loc}/t")
+        other.append(_df(spark, 100, 102, tag="z"))
+        out = txn.commit()  # rebase replays add_files + shard pointers
+        got = [r["id"] for r in out.to_df().collect()]
+        assert sorted(got) == sorted(
+            [0, 1, 2, 100, 101, 500, 500, 501, 502])
+        assert out.properties().get("engine.read.name-based") == "true"
+
     def test_catalog_backed_transaction(self, spark, tmp_loc):
         """Catalog path: the one publish CAS goes through
         catalog.commit_table with an AssertRefSnapshotId on the txn's
