@@ -2055,12 +2055,47 @@ class IceTable:
         mfmt = meta.properties.get("write.metadata.manifest-format", "parquet")
         snapshot_id = random.getrandbits(62)
 
-        by_group: dict[tuple, list] = {}
-        for m in mf.read_manifest_list(snap.manifest_list):
-            spec = meta.spec_by_id(m.partition_spec_id) or PartitionSpec.unpartitioned()
-            for e in mf.read_manifest(m.manifest_path, spec, schema, manifest=m):
-                if e.is_live:
-                    by_group.setdefault((m.partition_spec_id, m.content), []).append(e)
+        manifests = list(mf.read_manifest_list(snap.manifest_list))
+        total = sum((m.added_files_count or 0) + (m.existing_files_count or 0)
+                    for m in manifests)
+        threshold = int(meta.properties.get(
+            "engine.maintenance.rewrite-manifests-distributed-threshold",
+            "100000"))
+        # executor path: past the threshold the per-entry work (decode,
+        # re-author) runs in executors — the driver never materializes
+        # the entry set (same boundary-closure as commit_files_df).
+        # Spec-Avro containers keep the driver loop (their decode plane
+        # is per-task Python anyway and rewrites to avro stay rare).
+        use_dist = (self.spark is not None and total > threshold
+                    and mfmt != "avro"
+                    and not any(m.manifest_path.endswith(".avro")
+                                for m in manifests))
+        if use_dist:
+            new_manifests = self._rewrite_manifests_distributed(
+                manifests, meta, schema, meta_dir, mfmt, snapshot_id,
+                entries_per_manifest)
+        else:
+            by_group: dict[tuple, list] = {}
+            for m in manifests:
+                spec = meta.spec_by_id(m.partition_spec_id) or PartitionSpec.unpartitioned()
+                for e in mf.read_manifest(m.manifest_path, spec, schema, manifest=m):
+                    if e.is_live:
+                        by_group.setdefault((m.partition_spec_id, m.content), []).append(e)
+            new_manifests = []
+            for (spec_id, content), entries in sorted(by_group.items()):
+                spec = meta.spec_by_id(spec_id) or PartitionSpec.unpartitioned()
+                for i in range(0, len(entries), entries_per_manifest):
+                    w = mf.ManifestWriter(
+                        self.location_provider().new_manifest_path(meta_dir, ext=mfmt),
+                        spec, schema, snapshot_id, content=content, format=mfmt,
+                        version=self._manifest_version())
+                    for e in entries[i:i + entries_per_manifest]:
+                        w.add(mf.ManifestEntry(
+                            status=mf.STATUS_EXISTING, data_file=e.data_file,
+                            snapshot_id=e.snapshot_id,
+                            sequence_number=e.sequence_number,
+                            file_sequence_number=e.file_sequence_number))
+                    new_manifests.append(w.close())
 
         lw = mf.ManifestListWriter(
             self.location_provider().new_manifest_list_path(
@@ -2070,20 +2105,8 @@ class IceTable:
             version=self._manifest_version(),
             next_row_id=(int(meta.properties.get("engine.next-row-id", "0"))
                          if self._manifest_version() >= 3 else None))
-        for (spec_id, content), entries in sorted(by_group.items()):
-            spec = meta.spec_by_id(spec_id) or PartitionSpec.unpartitioned()
-            for i in range(0, len(entries), entries_per_manifest):
-                w = mf.ManifestWriter(
-                    self.location_provider().new_manifest_path(meta_dir, ext=mfmt),
-                    spec, schema, snapshot_id, content=content, format=mfmt,
-                    version=self._manifest_version())
-                for e in entries[i:i + entries_per_manifest]:
-                    w.add(mf.ManifestEntry(
-                        status=mf.STATUS_EXISTING, data_file=e.data_file,
-                        snapshot_id=e.snapshot_id,
-                        sequence_number=e.sequence_number,
-                        file_sequence_number=e.file_sequence_number))
-                lw.add(w.close())
+        for m in new_manifests:
+            lw.add(m)
         lw.close()
 
         new_snap = Snapshot(
@@ -2110,6 +2133,172 @@ class IceTable:
                 {"engine.next-row-id": str(lw.assigned_next_row_id)})
         new_meta, _u, reqs = b.build()
         return self._commit(new_meta, branch, snap, requirements=reqs)
+
+    def _rewrite_manifests_distributed(self, manifests, meta, schema,
+                                       meta_dir: str, mfmt: str,
+                                       snapshot_id: int,
+                                       entries_per_manifest: int) -> list:
+        """rewrite_manifests past the distributed threshold: per
+        (spec, content) group the live entries are read as a DataFrame
+        (mergeSchema bridges container-era column differences), the
+        snapshot/sequence inheritance of each source manifest is
+        resolved from a broadcast {manifest → (snapshot, seq)} map, and
+        consolidated manifests are authored INSIDE executors
+        (applyInPandas, ordinary ManifestWriter) — the driver collects
+        only O(#manifests) pointer rows. 10^6-entry maintenance never
+        builds a Python entry list."""
+        import json as _json
+
+        import pandas as pd
+
+        spark = self.spark
+        mver = self._manifest_version()
+        ptr_schema = ("manifest_path string, manifest_length long, "
+                      "sequence_number long, min_sequence_number long, "
+                      "existing_files_count long, existing_rows_count long, "
+                      "partitions_json string, first_row_id long")
+        out: list[mf.ManifestFile] = []
+        for spec_id, content in sorted({(m.partition_spec_id, m.content)
+                                        for m in manifests}):
+            group = [m for m in manifests
+                     if m.partition_spec_id == spec_id
+                     and m.content == content]
+            spec = meta.spec_by_id(spec_id) or PartitionSpec.unpartitioned()
+            inherit = {os.path.basename(m.manifest_path):
+                       (m.added_snapshot_id, m.sequence_number)
+                       for m in group}
+            est = sum((m.added_files_count or 0)
+                      + (m.existing_files_count or 0) for m in group)
+            n_shards = max(1, -(-est // entries_per_manifest))
+
+            # plain closure: applyInPandas requires a 1-arg function,
+            # and the collect below runs inside this loop iteration so
+            # the captured spec/content/inherit are the right ones
+            def author(pdf):
+                from iceberg_cpp_spark.core import manifests as mfx
+
+                have = set(pdf.columns)
+
+                def g(row, name):
+                    if name not in have:
+                        return None
+                    v = getattr(row, name)
+                    return None if v is None or (
+                        isinstance(v, float) and v != v) else v
+
+                def as_dict(v):
+                    return dict(v) if v is not None and len(v) else {}
+
+                pdf = pdf.sort_values(["partition_json", "file_path"])
+                path = os.path.join(
+                    meta_dir, f"manifest-{uuid_mod.uuid4().hex}.{mfmt}")
+                w = mfx.ManifestWriter(path, spec, schema, snapshot_id,
+                                       content=content, format=mfmt,
+                                       version=mver)
+                for row in pdf.itertuples(index=False):
+                    src_snap, src_seq = inherit[
+                        os.path.basename(str(row.srcpath))]
+                    status = int(row.status)
+                    snap_id = g(row, "snapshot_id")
+                    seq = g(row, "sequence_number")
+                    fseq = g(row, "file_sequence_number")
+                    # read_manifest's InheritableMetadata rule
+                    snap_id = int(snap_id) if snap_id is not None else src_snap
+                    if seq is None and status != mfx.STATUS_EXISTING:
+                        seq = src_seq
+                    if fseq is None and status != mfx.STATUS_EXISTING:
+                        fseq = src_seq
+                    frid = g(row, "first_row_id")
+                    f = mfx.DataFile(
+                        content=int(row.content),
+                        file_path=row.file_path,
+                        file_format=row.file_format,
+                        partition=mfx.partition_from_json(
+                            row.partition_json, spec, schema),
+                        record_count=int(row.record_count),
+                        file_size_in_bytes=int(row.file_size_in_bytes),
+                        column_sizes=as_dict(g(row, "column_sizes")),
+                        value_counts=as_dict(g(row, "value_counts")),
+                        null_value_counts=as_dict(
+                            g(row, "null_value_counts")),
+                        nan_value_counts=as_dict(
+                            g(row, "nan_value_counts")),
+                        lower_bounds=as_dict(g(row, "lower_bounds")),
+                        upper_bounds=as_dict(g(row, "upper_bounds")),
+                        split_offsets=list(g(row, "split_offsets") or []),
+                        equality_ids=list(g(row, "equality_ids") or []),
+                        sort_order_id=(int(g(row, "sort_order_id"))
+                                       if g(row, "sort_order_id") is not None
+                                       else None),
+                        referenced_data_file=g(row, "referenced_data_file"),
+                        content_offset=(int(g(row, "content_offset"))
+                                        if g(row, "content_offset") is not None
+                                        else None),
+                        content_size_in_bytes=(
+                            int(g(row, "content_size_in_bytes"))
+                            if g(row, "content_size_in_bytes") is not None
+                            else None),
+                        first_row_id=(int(frid) if frid is not None
+                                      else None))
+                    w.add(mfx.ManifestEntry(
+                        status=mfx.STATUS_EXISTING, data_file=f,
+                        snapshot_id=snap_id,
+                        sequence_number=(int(seq) if seq is not None
+                                         else None),
+                        file_sequence_number=(int(fseq) if fseq is not None
+                                              else None)))
+                mf_out = w.close()
+                parts = _json.dumps([
+                    {"contains_null": s.contains_null,
+                     "contains_nan": s.contains_nan,
+                     "lower_bound": (s.lower_bound.hex()
+                                     if s.lower_bound else None),
+                     "upper_bound": (s.upper_bound.hex()
+                                     if s.upper_bound else None)}
+                    for s in mf_out.partitions])
+                return pd.DataFrame([{
+                    "manifest_path": mf_out.manifest_path,
+                    "manifest_length": mf_out.manifest_length,
+                    "sequence_number": mf_out.sequence_number,
+                    "min_sequence_number": mf_out.min_sequence_number,
+                    "existing_files_count": mf_out.existing_files_count,
+                    "existing_rows_count": mf_out.existing_rows_count,
+                    "partitions_json": parts,
+                    "first_row_id": mf_out.first_row_id,
+                }])
+
+            df = (spark.read.option("mergeSchema", "true")
+                  .parquet(*[m.manifest_path for m in group])
+                  .withColumn("srcpath", F.col("_metadata.file_path"))
+                  .filter(F.col("status") != mf.STATUS_DELETED)
+                  .withColumn("_shard",
+                              (F.abs(F.xxhash64("file_path")) % n_shards)
+                              .cast("int")))
+            for r in sorted(df.groupBy("_shard")
+                            .applyInPandas(author, schema=ptr_schema)
+                            .collect(), key=lambda x: x["manifest_path"]):
+                out.append(mf.ManifestFile(
+                    manifest_path=r["manifest_path"],
+                    manifest_length=r["manifest_length"],
+                    partition_spec_id=spec_id,
+                    content=content,
+                    sequence_number=r["sequence_number"] or 0,
+                    min_sequence_number=r["min_sequence_number"] or 0,
+                    added_snapshot_id=snapshot_id,
+                    existing_files_count=int(r["existing_files_count"]),
+                    existing_rows_count=int(r["existing_rows_count"]),
+                    partitions=[mf.PartitionFieldSummary(
+                        contains_null=p["contains_null"],
+                        contains_nan=p["contains_nan"],
+                        lower_bound=(bytes.fromhex(p["lower_bound"])
+                                     if p["lower_bound"] else None),
+                        upper_bound=(bytes.fromhex(p["upper_bound"])
+                                     if p["upper_bound"] else None))
+                        for p in _json.loads(r["partitions_json"])],
+                    first_row_id=(int(r["first_row_id"])
+                                  if r["first_row_id"] is not None
+                                  else None)))
+        return out
 
     @staticmethod
     def _plain_path(p: str) -> str:

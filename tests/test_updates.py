@@ -624,6 +624,79 @@ class TestTableMaintenance:
         assert t.scan(snapshot_id=old_snap).to_df().count() == n0
         assert t.current_snapshot().summary["operation"] == "replace"
 
+    def test_rewrite_manifests_distributed_equals_driver(
+            self, spark, lineitem, tmp_loc):
+        """Past the distributed threshold the consolidation is authored
+        in executors — the resulting entry set (every DataFile field,
+        inherited snapshot/sequence numbers, partition values) must be
+        IDENTICAL to the driver loop's, and deletes/time-travel must
+        keep working."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core import manifests as mf
+        from iceberg_cpp_spark.core.metadata import (PartitionField,
+                                                     PartitionSpec)
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        schema = schema_from_spark(lineitem.schema)
+        f = schema.find_field("l_linenumber")
+        spec = PartitionSpec([PartitionField(f.field_id, 1000, "ln",
+                                             tr.IdentityTransform())])
+
+        t = IceTable.create(
+            spark, os.path.join(tmp_loc, "rm_dist"), schema, spec=spec,
+            properties={"engine.maintenance."
+                        "rewrite-manifests-distributed-threshold": "0"})
+        for i in range(1, 4):
+            t = t.append(lineitem.filter(F.col("l_linenumber") == i))
+        # a delete manifest + position deletes ride along too
+        t = t.delete_where(ex.eq(ex.Reference("l_linenumber"), 2),
+                           mode="merge-on-read")
+        n0 = t.to_df().count()
+
+        def entries(tt):
+            out = []
+            for m in mf.read_manifest_list(tt.current_snapshot().manifest_list):
+                pspec = tt.metadata.spec_by_id(m.partition_spec_id)
+                for e in mf.read_manifest(m.manifest_path, pspec,
+                                          tt.schema(), manifest=m):
+                    if not e.is_live:
+                        continue
+                    df = e.data_file
+                    out.append((
+                        df.file_path, df.content, df.file_format,
+                        tuple(sorted(df.partition.items())),
+                        df.record_count, e.snapshot_id,
+                        e.sequence_number, df.first_row_id,
+                        tuple(sorted(df.lower_bounds.items())),
+                        tuple(sorted(df.upper_bounds.items())),
+                        tuple(sorted(df.value_counts.items())),
+                        tuple(sorted(df.null_value_counts.items()))))
+            return sorted(out)
+
+        before = entries(t)
+        t = t.rewrite_manifests(entries_per_manifest=2)  # executor path
+        # every DataFile field, the inherited snapshot ids and the
+        # sequence numbers survive the executor re-authoring EXACTLY
+        assert entries(t) == before
+        assert all(e.status == mf.STATUS_EXISTING
+                   for m in mf.read_manifest_list(
+                       t.current_snapshot().manifest_list)
+                   for e in mf.read_manifest(
+                       m.manifest_path,
+                       t.metadata.spec_by_id(m.partition_spec_id),
+                       t.schema(), manifest=m))
+        assert t.to_df().count() == n0
+        # MoR deletes still apply after the distributed rewrite
+        assert t.to_df().filter(F.col("l_linenumber") == 2).count() == 0
+        # consolidation happened (data + delete groups) + pruning works
+        assert len(mf.read_manifest_list(
+            t.current_snapshot().manifest_list)) >= 2
+        pruned = t.scan(filter=ex.eq(ex.Reference("l_linenumber"), 1))
+        assert pruned.to_df().count() > 0
+        assert (len(pruned.plan_files())
+                < len(t.scan().plan_files()))
+
     def test_partitions_df(self, spark, lineitem, tmp_loc):
         from iceberg_cpp_spark import IceTable
         from iceberg_cpp_spark.core.metadata import PartitionField, PartitionSpec
