@@ -2712,43 +2712,85 @@ class IceTable:
                 ufields[pf.field_id] = (
                     pf.name, pf.transform.result_type(src.field_type))
         ordered = [ufields[k] for k in sorted(ufields)]
-        # manifest-metadata pass (entries only — same driver contract as
-        # entries_df/partitions_df; the per-entry rows are aggregated
-        # down to per-partition rows before anything is materialized)
+
+        def _zero() -> dict:
+            return {
+                "data_record_count": 0, "data_file_count": 0,
+                "total_data_file_size_in_bytes": 0,
+                "position_delete_record_count": 0,
+                "position_delete_file_count": 0,
+                "equality_delete_record_count": 0,
+                "equality_delete_file_count": 0,
+            }
+
+        def _apply(a: dict, c: int, files: int, recs: int,
+                   size: int) -> None:
+            if c == mf.CONTENT_DATA:
+                a["data_record_count"] += recs
+                a["data_file_count"] += files
+                a["total_data_file_size_in_bytes"] += size
+            elif c == mf.CONTENT_POSITION_DELETES:
+                # v3 deletion vectors are position deletes too
+                a["position_delete_record_count"] += recs
+                a["position_delete_file_count"] += files
+            elif c == mf.CONTENT_EQUALITY_DELETES:
+                a["equality_delete_record_count"] += recs
+                a["equality_delete_file_count"] += files
+
+        manifests = list(mf.read_manifest_list(snap.manifest_list))
+        total = sum((m.added_files_count or 0)
+                    + (m.existing_files_count or 0) for m in manifests)
+        threshold = int(meta.properties.get(
+            "engine.maintenance.rewrite-manifests-distributed-threshold",
+            "100000"))
         agg: dict[tuple, dict] = {}
-        for m in mf.read_manifest_list(snap.manifest_list):
-            spec = (meta.spec_by_id(m.partition_spec_id)
-                    or PartitionSpec.unpartitioned())
-            for e in mf.read_manifest(m.manifest_path, spec, schema,
-                                      manifest=m):
-                if not e.is_live:
-                    continue
-                part = e.data_file.partition or {}
-                key = (tuple(part.get(n) for n, _t in ordered),
-                       m.partition_spec_id)
-                a = agg.setdefault(key, {
-                    "data_record_count": 0, "data_file_count": 0,
-                    "total_data_file_size_in_bytes": 0,
-                    "position_delete_record_count": 0,
-                    "position_delete_file_count": 0,
-                    "equality_delete_record_count": 0,
-                    "equality_delete_file_count": 0,
-                })
-                c = e.data_file.content
-                if c == mf.CONTENT_DATA:
-                    a["data_record_count"] += e.data_file.record_count
-                    a["data_file_count"] += 1
-                    a["total_data_file_size_in_bytes"] += \
-                        e.data_file.file_size_in_bytes
-                elif c == mf.CONTENT_POSITION_DELETES:
-                    # v3 deletion vectors are position deletes too
-                    a["position_delete_record_count"] += \
-                        e.data_file.record_count
-                    a["position_delete_file_count"] += 1
-                elif c == mf.CONTENT_EQUALITY_DELETES:
-                    a["equality_delete_record_count"] += \
-                        e.data_file.record_count
-                    a["equality_delete_file_count"] += 1
+        if (self.spark is not None and total > threshold
+                and not any(m.manifest_path.endswith(".avro")
+                            for m in manifests)):
+            # distributed pass: entries aggregate to per-(partition,
+            # content) rows IN EXECUTORS (one groupBy per spec group) —
+            # the driver decodes only O(#partitions) collected rows, so
+            # 10^6-entry stats never walk entries in Python
+            for spec_id in sorted({m.partition_spec_id
+                                   for m in manifests}):
+                spec = (meta.spec_by_id(spec_id)
+                        or PartitionSpec.unpartitioned())
+                paths = [m.manifest_path for m in manifests
+                         if m.partition_spec_id == spec_id]
+                rows = (self.spark.read.option("mergeSchema", "true")
+                        .parquet(*paths)
+                        .filter(F.col("status") != mf.STATUS_DELETED)
+                        .groupBy("partition_json", "content")
+                        .agg(F.count("*").alias("files"),
+                             F.sum("record_count").alias("recs"),
+                             F.sum("file_size_in_bytes").alias("bytes"))
+                        .collect())
+                for r in rows:
+                    part = mf.partition_from_json(r["partition_json"],
+                                                  spec, schema)
+                    key = (tuple(part.get(n) for n, _t in ordered),
+                           spec_id)
+                    _apply(agg.setdefault(key, _zero()),
+                           int(r["content"]), int(r["files"]),
+                           int(r["recs"]), int(r["bytes"]))
+        else:
+            # driver pass (small tables / spec-Avro manifests): same
+            # contract as entries_df — per-entry rows aggregate on the
+            # fly, memory stays O(#partitions)
+            for m in manifests:
+                spec = (meta.spec_by_id(m.partition_spec_id)
+                        or PartitionSpec.unpartitioned())
+                for e in mf.read_manifest(m.manifest_path, spec, schema,
+                                          manifest=m):
+                    if not e.is_live:
+                        continue
+                    part = e.data_file.partition or {}
+                    key = (tuple(part.get(n) for n, _t in ordered),
+                           m.partition_spec_id)
+                    _apply(agg.setdefault(key, _zero()),
+                           e.data_file.content, 1,
+                           e.data_file.record_count,
+                           e.data_file.file_size_in_bytes)
         rows = sorted(agg.items(),
                       key=lambda kv: (tuple(
                           (v is None, v) for v in kv[0][0]), kv[0][1]))

@@ -399,6 +399,42 @@ class TestPartitionStatistics:
         with pytest.raises(ValueError, match="partition statistics"):
             t2.partition_statistics_df()
 
+    def test_partition_stats_distributed_equals_driver(self, spark,
+                                                       lineitem, tmp_loc):
+        """Past the distributed threshold the per-partition aggregation
+        runs as an executor groupBy — the written stats file must be
+        byte-identical in content to the driver pass."""
+        li = lineitem.limit(400)
+        schema = schema_from_spark(li.schema)
+        rf = schema.find_field("l_returnflag")
+        spec = PartitionSpec([PartitionField(rf.field_id, 1000, "rf",
+                                             tr.IdentityTransform())])
+
+        def build(name, props):
+            t = IceTable.create(spark, os.path.join(tmp_loc, name),
+                                schema, spec=spec, properties=props)
+            t = t.append(li)
+            t = t.delete_where(ex.gt(ex.Reference("l_quantity"), 40.0),
+                               mode="merge-on-read")
+            return t.compute_partition_statistics()
+
+        td = build("ps_drv", None)
+        tx = build("ps_dist",
+                   {"engine.maintenance."
+                    "rewrite-manifests-distributed-threshold": "0"})
+        cols = [c for c in td.partition_statistics_df().columns
+                if c != "last_updated_at"]
+        rows_d = [tuple(r[c] for c in cols)
+                  for r in td.partition_statistics_df().collect()]
+        rows_x = [tuple(r[c] for c in cols)
+                  for r in tx.partition_statistics_df().collect()]
+        # same partitions, same counts, same ORDER (sorted file)
+        def scrub(rows):
+            return [tuple(v for i, v in enumerate(r)
+                          if cols[i] != "last_updated_snapshot_id")
+                    for r in rows]
+        assert scrub(rows_d) == scrub(rows_x) and rows_d
+
     def test_partition_stats_across_spec_evolution(self, spark, lineitem,
                                                    tmp_loc):
         """After partition evolution the stats file keys rows by the
