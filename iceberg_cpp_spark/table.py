@@ -1491,18 +1491,54 @@ class IceTable:
             rows, "made_current_at_ms long, snapshot_id long, "
                   "is_current_ancestor boolean")
 
+    ENTRIES_DF_SCHEMA = ("status int, snapshot_id long, "
+                         "sequence_number long, file_path string, "
+                         "content int, record_count long")
+
     def entries_df(self) -> DataFrame:
         """Manifest entries of the current snapshot (the `entries`
         metadata table): one row per (manifest, data/delete file) with
-        status and sequence numbers — metadata-scale, no data read."""
+        status and sequence numbers — metadata-scale, no data read.
+        Past the distributed threshold the manifests are read as
+        DataFrames with snapshot/sequence inheritance filled by a
+        broadcast join on the source manifest — the rows never
+        materialize on the driver (10^6-entry listings stay lazy)."""
         snap = self.current_snapshot()
         if snap is None:
-            return self.spark.createDataFrame(
-                [], "status int, snapshot_id long, sequence_number long, "
-                    "file_path string, content int, record_count long")
+            return self.spark.createDataFrame([], self.ENTRIES_DF_SCHEMA)
+        manifests = list(mf.read_manifest_list(snap.manifest_list))
+        total = sum((m.added_files_count or 0)
+                    + (m.existing_files_count or 0) for m in manifests)
+        threshold = int(self.metadata.properties.get(
+            "engine.maintenance.rewrite-manifests-distributed-threshold",
+            "100000"))
+        if (self.spark is not None and manifests and total > threshold
+                and not any(m.manifest_path.endswith(".avro")
+                            for m in manifests)):
+            inh = self.spark.createDataFrame(
+                [(os.path.basename(m.manifest_path),
+                  m.added_snapshot_id, m.sequence_number)
+                 for m in manifests], "mkey string, m_snap long, m_seq long")
+            df = (self.spark.read.option("mergeSchema", "true")
+                  .parquet(*[m.manifest_path for m in manifests])
+                  .withColumn("mkey", F.element_at(
+                      F.split(F.col("_metadata.file_path"), "/"), -1))
+                  .join(F.broadcast(inh), "mkey"))
+            seq = F.when(
+                F.col("status") != mf.STATUS_EXISTING,
+                F.coalesce("sequence_number", "m_seq")
+            ).otherwise(F.col("sequence_number"))
+            return df.select(
+                F.col("status").cast("int").alias("status"),
+                F.coalesce("snapshot_id", "m_snap").cast("long")
+                .alias("snapshot_id"),
+                seq.cast("long").alias("sequence_number"),
+                F.col("file_path"),
+                F.col("content").cast("int").alias("content"),
+                F.col("record_count").cast("long").alias("record_count"))
         rows = []
         schema = self.schema()
-        for m in mf.read_manifest_list(snap.manifest_list):
+        for m in manifests:
             spec = (self.metadata.spec_by_id(m.partition_spec_id)
                     or PartitionSpec.unpartitioned())
             for e in mf.read_manifest(m.manifest_path, spec, schema,
@@ -1510,9 +1546,7 @@ class IceTable:
                 rows.append((e.status, e.snapshot_id, e.sequence_number,
                              e.data_file.file_path, e.data_file.content,
                              e.data_file.record_count))
-        return self.spark.createDataFrame(
-            rows, "status int, snapshot_id long, sequence_number long, "
-                  "file_path string, content int, record_count long")
+        return self.spark.createDataFrame(rows, self.ENTRIES_DF_SCHEMA)
 
     # --- write path (W4/W5/W6; reference transaction.h — unimplemented
     # there, implemented here) --------------------------------------------
