@@ -1703,6 +1703,19 @@ class IceTable:
 
         schema = self.schema()
         spark_schema = it.to_spark_schema(schema)
+        if self.properties().get("engine.read.name-based") == "true":
+            # imported (field-ID-less) files in a rewrite input: resolve
+            # by NAME exactly like the scan plane — a field-ID-carrying
+            # read schema makes Spark demand IDs from the file. Aliased
+            # mappings can't resolve through a flat by-name read, so the
+            # rewrite refuses loudly instead of nulling the column.
+            if scan._mapping_has_aliases():
+                raise NotImplementedError(
+                    "copy-on-write rewrites over name-mapping ALIASES "
+                    "are not supported; compact the table "
+                    "(rewrite_data_files) to materialize field IDs "
+                    "first")
+            spark_schema = it.strip_field_metadata(spark_schema)
         fmt = {t.file_path: t.file_format for t in scan.plan_files()}
         pq = sorted(p for p in paths
                     if fmt.get(p, "parquet") not in ("avro", "orc"))

@@ -1275,6 +1275,24 @@ class TestAddFilesDistributed:
                 entries.append(e.data_file.file_path)
         assert entries == unsorted
 
+    def test_cow_dml_over_imported_files(self, spark, tmp_loc):
+        """r13 regression: copy-on-write DELETE/MERGE over field-ID-less
+        imported files must resolve the rewrite READ by name (the same
+        rule as the scan plane) instead of demanding parquet field ids."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        paths = self._mk_files(tmp_loc, n=3)  # ids i*10+1, i*10+2
+        t = IceTable.create(spark, os.path.join(tmp_loc, "t"), _schema())
+        t = t.add_files(paths)
+        t = t.delete_where(ex.lt(ex.Reference("id"), 10))
+        assert {r["id"] for r in t.to_df().collect()} == {11, 12, 21, 22}
+        src = spark.createDataFrame([(11, "upd"), (99, "new")],
+                                    "id long, data string")
+        t = t.merge_into(src, on=["id"])
+        got = {r["id"]: r["data"] for r in t.to_df().collect()}
+        assert got[11] == "upd" and got[99] == "new" and len(got) == 5
+
     def test_distributed_mixed_formats(self, spark, tmp_loc, monkeypatch):
         import pyarrow as pa
         import pyarrow.orc as po
