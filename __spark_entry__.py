@@ -1149,6 +1149,44 @@ def ice_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus"))
 
 
+def ice_bulk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-authored commit plane (commit_files_df — manifest
+    shards written by applyInPandas, driver holds pointer rows only;
+    the 10^6-file shape is pinned by the ice_commit_1m bench) composed
+    with a transaction: register loose parquet shards + quarantine
+    DELETE + lineage stamp, atomically visible."""
+    import pyarrow.parquet as papq
+
+    from iceberg_cpp_spark.core import name_mapping as nm
+    from iceberg_cpp_spark.plans import expressions as ex
+
+    o = _t(spark, sf_dir, "orders")
+    t = _fresh_table(spark, sf_dir, o, "bulk")
+    shards = os.path.join(tempfile.mkdtemp(prefix="ice_bulk_"), "in")
+    o.repartition(8).write.parquet(shards)
+    paths = sorted(os.path.join(shards, f) for f in os.listdir(shards)
+                   if f.endswith(".parquet"))
+    desc = spark.createDataFrame(
+        [(p, papq.read_metadata(p).num_rows, os.path.getsize(p))
+         for p in paths],
+        "file_path string, record_count long, file_size_in_bytes long")
+    t = t.update_properties({
+        nm.PROPERTY_KEY:
+            nm.NameMapping.from_schema(t.schema()).to_json_string(),
+        "engine.read.name-based": "true",
+        "engine.commit.manifest-shard-entries": "3"})
+    txn = t.new_transaction()
+    txn.commit_files_df(desc)
+    txn.delete_where(ex.lt(ex.Reference("o_orderkey"), 100))
+    txn.update_properties({"ingest.batch": "r13"})
+    t = txn.commit()
+    return (t.to_df().groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_dec("o_totalprice")).cast("double")
+                 .alias("sum_price"))
+            .orderBy("o_orderstatus"))
+
+
 def ice_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO with write.merge.mode=merge-on-read (the reference
     declares the property with no write path): matched rows become
@@ -3110,6 +3148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": events_window_agg,
         "range_join_events": range_join_events,
         # ---- past the driver cap (judge-only) ----
+        "ice_bulk_ingest": ice_bulk_ingest,
         "ice_variant": ice_variant,
         "ice_ns_timestamps": ice_ns_timestamps,
         "ice_view_spec": ice_view_spec,
@@ -3969,6 +4008,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, COUNT(*) AS n,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM merged GROUP BY l_returnflag
+        """,
+        "ice_bulk_ingest": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price
+            FROM orders WHERE o_orderkey >= 100
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "ice_transaction": """
             WITH ins AS (

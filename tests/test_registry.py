@@ -18,7 +18,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # window (everything below the cap is judge-only TPC-H / relational).
 CAP = 50
 LAST_IN_CAP = "range_join_events"
-FIRST_PAST_CAP = "ice_variant"
+FIRST_PAST_CAP = "ice_bulk_ingest"
 
 
 def test_driver_cap_window_composition():
@@ -92,6 +92,8 @@ def test_driver_cap_window_composition():
         "multimodal_frames",  # fake frame-sampler plumbing (multimodal_png_real + multimodal_gif_frames in-window keep the real-codec mapInPandas plane; driver-green r12)
         # --- r13 displacement for the new ice_transaction in-window row:
         "retrieval_bm25",   # one-shot BM25 (retrieval_bm25_indexed in-window keeps the full scoring + index machinery incl. the one-shot kernel; driver-green r12)
+        # --- r13 addition landed past the cap:
+        "ice_bulk_ingest",  # executor-authored commit plane + transaction composition (ice_transaction in-window keeps the txn plane; the 10^6-file shape is bench-pinned by ice_commit_1m and TestCommitFilesDf)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without
