@@ -213,6 +213,50 @@ class TestTransaction:
         fresh = cat.load_table("db.t", spark=spark)
         assert {r["id"] for r in fresh.to_df().collect()} == got
 
+    def test_randomized_txn_equals_sequential(self, spark, tmp_loc):
+        """Property sweep: a random op sequence applied inside ONE
+        transaction must produce exactly the table contents of the same
+        ops committed one-by-one (the transaction only changes
+        ATOMICITY, never results)."""
+        import random
+
+        rng = random.Random(20260815)
+        t1 = IceTable.create(spark, f"{tmp_loc}/t1", _schema())
+        t2 = IceTable.create(spark, f"{tmp_loc}/t2", _schema())
+        t1 = t1.append(_df(spark, 0, 8))
+        t2 = t2.append(_df(spark, 0, 8))
+        base = 100
+        ops = []
+        for _ in range(6):
+            kind = rng.choice(["append", "delete", "merge"])
+            if kind == "append":
+                lo = base
+                hi = base + rng.randint(1, 6)
+                base += 50
+                ops.append(("append", lo, hi))
+            elif kind == "delete":
+                ops.append(("delete", rng.randint(0, base)))
+            else:
+                k = rng.randint(0, 7)
+                ops.append(("merge", k))
+        txn = t1.new_transaction()
+        for op in ops:
+            if op[0] == "append":
+                txn.append(_df(spark, op[1], op[2], tag="a"))
+                t2 = t2.append(_df(spark, op[1], op[2], tag="a"))
+            elif op[0] == "delete":
+                txn.delete_where(ex.lt(ex.Reference("id"), op[1]))
+                t2 = t2.delete_where(ex.lt(ex.Reference("id"), op[1]))
+            else:
+                src = spark.createDataFrame(
+                    [(op[1], f"m{op[1]}")], "id long, data string")
+                txn.merge_into(src, on=["id"])
+                t2 = t2.merge_into(src, on=["id"])
+        t1 = txn.commit()
+        rows1 = sorted(tuple(r) for r in t1.to_df().collect())
+        rows2 = sorted(tuple(r) for r in t2.to_df().collect())
+        assert rows1 == rows2, ops
+
     def test_rebase_replays_merge_and_props(self, spark, tmp_loc):
         """A mixed merge_into + update_properties transaction survives
         a concurrent append: replay preserves op order and reuses the

@@ -628,6 +628,43 @@ class TestIncrementalMvRefresh:
         assert mv.last_refresh_mode == "full"
         assert sum(r["n"] for r in mv.to_df().collect()) == 6
 
+    def test_randomized_retract_equals_full(self, spark, tmp_loc):
+        """Property sweep over a MIXED append/delete history: the
+        retraction-maintained MV must equal a forced full recompute
+        after every step (group deaths, re-births, delete-only and
+        append-only steps all occur in the sequence)."""
+        import random
+
+        from iceberg_cpp_spark.mview import IceMaterializedView
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        rng = random.Random(20260815)
+        src = self._src(spark, f"{tmp_loc}/src", lo=0, hi=6)
+        mv = IceMaterializedView.create(
+            spark, f"{tmp_loc}/mv", self.RETRACT_SQL, {"src_t": src})
+        base = 100
+        for step in range(5):
+            if rng.random() < 0.5:
+                n = rng.randint(1, 8)
+                rows = [(base + i, rng.randint(0, 2)) for i in range(n)]
+                base += 100
+                src = src.append(
+                    spark.createDataFrame(rows, "k long, v long"))
+            else:
+                live = [r["k"] for r in src.to_df().collect()]
+                if not live:
+                    continue
+                cut = rng.choice(live)
+                src = src.delete_where(ex.gt_eq(ex.Reference("k"), cut))
+            mv.sources["src_t"] = src
+            mv = mv.refresh()
+            assert mv.last_refresh_mode in (
+                "incremental", "incremental-retract"), f"step {step}"
+            inc = {tuple(r) for r in mv.to_df().collect()}
+            full = {tuple(r) for r in
+                    mv.refresh(force=True).to_df().collect()}
+            assert inc == full, f"step {step}: {inc ^ full}"
+
     def test_randomized_incremental_equals_full(self, spark, tmp_loc):
         """Property sweep: random append sequences (varying sizes,
         skewed keys, negative values, all-new and all-repeat groups)
