@@ -31,6 +31,7 @@ from iceberg_cpp_spark.core import types as it
 from iceberg_cpp_spark.streaming.incremental import (
     _snapshot_file_formats,
     read_data_paths,
+    snapshot_diff_files,
 )
 from iceberg_cpp_spark.table import IceTable
 
@@ -49,6 +50,8 @@ def _delete_files(table: IceTable, snapshot_id: Optional[int]) -> set[str]:
     schema = table.schema()
     meta = table.metadata
     for m in mf.read_manifest_list(snap.manifest_list):
+        if m.content == mf.MANIFEST_CONTENT_DATA:
+            continue  # position deletes live in DELETE manifests only
         spec = meta.spec_by_id(m.partition_spec_id)
         for e in mf.read_manifest(m.manifest_path, spec, schema, manifest=m):
             if (e.is_live and e.data_file.content == mf.CONTENT_POSITION_DELETES
@@ -74,6 +77,8 @@ def _dv_pointers(table: IceTable, snapshot_id: Optional[int]) -> DvPointers:
     schema = table.schema()
     meta = table.metadata
     for m in mf.read_manifest_list(snap.manifest_list):
+        if m.content == mf.MANIFEST_CONTENT_DATA:
+            continue  # DVs live in DELETE manifests only
         spec = meta.spec_by_id(m.partition_spec_id)
         for e in mf.read_manifest(m.manifest_path, spec, schema, manifest=m):
             d = e.data_file
@@ -144,13 +149,14 @@ def changes(table: IceTable, from_snapshot_id: Optional[int] = None,
     parts: list[DataFrame] = []
     prev_id = from_snapshot_id
     for ordinal, snap in enumerate(chain):
-        prev_fmts = _snapshot_file_formats(table, prev_id)
-        cur_fmts = _snapshot_file_formats(table, snap.snapshot_id)
-        fmts = {**prev_fmts, **cur_fmts}
-        before = set(prev_fmts)
-        after = set(cur_fmts)
-        added = sorted(after - before)
-        removed = sorted(before - after)
+        # manifest-level diff: only manifests that CHANGED between the
+        # two snapshots decode (r13 — an append commit over a 10^6-file
+        # table reads one new manifest, never two full table listings)
+        added_m, removed_m = snapshot_diff_files(table, prev_id,
+                                                 snap.snapshot_id)
+        added = sorted(added_m)
+        removed = sorted(removed_m)
+        fmts = {**removed_m, **added_m}
         new_pos_deletes = sorted(
             _delete_files(table, snap.snapshot_id) - _delete_files(table, prev_id))
         prev_dvs = _dv_pointers(table, prev_id)
@@ -161,6 +167,13 @@ def changes(table: IceTable, from_snapshot_id: Optional[int] = None,
         # since _rows already masks the prev vector).
         changed_dvs = {p: ptr for p, ptr in cur_dvs.items()
                        if prev_dvs.get(p) != ptr}
+        after: set = set()
+        if new_pos_deletes or changed_dvs:
+            # only delete-carrying commits need the full live map (fmt
+            # lookup + liveness for files their delete rows reference)
+            cur_fmts = _snapshot_file_formats(table, snap.snapshot_id)
+            fmts = {**removed_m, **cur_fmts}
+            after = set(cur_fmts)
 
         def tag(df: DataFrame, kind: str) -> DataFrame:
             return df.select(
@@ -204,7 +217,12 @@ def changes(table: IceTable, from_snapshot_id: Optional[int] = None,
                     .select(F.regexp_replace(F.col("file_path"),
                                              "^file:(//)?", "")
                             .alias("file_path"), "pos"))
-            live = sorted(after)
+            # the semi-join below can only hit rows of files the delete
+            # rows REFERENCE — read those, not the whole live set (the
+            # referenced list is bounded by the delete batch)
+            ref = {r["file_path"] for r in
+                   dels.select("file_path").distinct().collect()}
+            live = sorted(ref & after)
             if live:
                 data = _rows(live, True)
                 hit = data.join(

@@ -51,6 +51,52 @@ def _snapshot_files(table: IceTable, snapshot_id: Optional[int]) -> set[str]:
     return set(_snapshot_file_formats(table, snapshot_id))
 
 
+def _manifest_map(table: IceTable, snapshot_id: Optional[int]) -> dict:
+    if snapshot_id is None:
+        return {}
+    snap = table.metadata.snapshot_by_id(snapshot_id)
+    if snap is None:
+        raise ValueError(f"snapshot not found: {snapshot_id}")
+    return {m.manifest_path: m
+            for m in mf.read_manifest_list(snap.manifest_list)}
+
+
+def _entries_fmt(table: IceTable, manifests) -> dict[str, str]:
+    out: dict[str, str] = {}
+    schema = table.schema()
+    meta = table.metadata
+    for m in manifests:
+        if m.content != mf.MANIFEST_CONTENT_DATA:
+            continue
+        spec = meta.spec_by_id(m.partition_spec_id)
+        for e in mf.read_manifest(m.manifest_path, spec, schema,
+                                  manifest=m):
+            if e.is_live and e.data_file.content == mf.CONTENT_DATA:
+                out[e.data_file.file_path] = (
+                    e.data_file.file_format or "parquet").lower()
+    return out
+
+
+def snapshot_diff_files(table: IceTable, prev_id: Optional[int],
+                        cur_id: Optional[int]
+                        ) -> tuple[dict[str, str], dict[str, str]]:
+    """(added, removed) as {data file path: format} between two
+    snapshots — decoding entries of CHANGED manifests only. Manifests
+    are immutable files, so one present in BOTH snapshots cannot
+    contribute to the diff; an append over a 10^6-file table decodes
+    ONE new manifest instead of walking the whole table twice (the
+    boundary the full `_snapshot_file_formats` walk has)."""
+    pm = _manifest_map(table, prev_id)
+    cm = _manifest_map(table, cur_id)
+    prev_only = [m for p, m in pm.items() if p not in cm]
+    cur_only = [m for p, m in cm.items() if p not in pm]
+    a = _entries_fmt(table, cur_only)
+    r = _entries_fmt(table, prev_only)
+    added = {p: f for p, f in a.items() if p not in r}
+    removed = {p: f for p, f in r.items() if p not in a}
+    return added, removed
+
+
 def read_data_paths(table: IceTable, paths: list[str],
                     fmts: dict[str, str], spark_schema,
                     need_meta: bool = False) -> DataFrame:
@@ -120,10 +166,11 @@ def incremental_read(table: IceTable, from_snapshot_id: Optional[int],
     reading only the NEW files, not a diff of row sets."""
     to_id = to_snapshot_id if to_snapshot_id is not None else (
         table.current_snapshot().snapshot_id if table.current_snapshot() else None)
-    cur = _snapshot_file_formats(table, to_id)
-    new_files = sorted(set(cur) - _snapshot_files(table, from_snapshot_id))
+    # manifest-level diff: only CHANGED manifests decode (an append on a
+    # 10^6-file table reads one small manifest, not the whole listing)
+    added, _removed = snapshot_diff_files(table, from_snapshot_id, to_id)
     spark_schema = it.to_spark_schema(table.schema())
-    return read_data_paths(table, new_files, cur, spark_schema)
+    return read_data_paths(table, sorted(added), added, spark_schema)
 
 
 def _stream_id(checkpoint_dir: str) -> str:
