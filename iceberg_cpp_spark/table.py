@@ -1447,13 +1447,58 @@ class IceTable:
         """Per-partition row/file counts (the `partitions` metadata
         table): aggregated from manifest entries, no data read. Rides
         the UNCOLLECTED plan plane (r12 plan_files_df), so a 10^6-file
-        table rolls up without driver-side FileScanTasks."""
-        return (self.scan().plan_files_df()
-                .withColumnRenamed("partition_json", "partition")
-                .groupBy("partition", "spec_id")
-                .agg(F.count("*").alias("file_count"),
-                     F.sum("record_count").alias("record_count"),
-                     F.sum("file_size_in_bytes").alias("total_size_bytes")))
+        table rolls up without driver-side FileScanTasks. The
+        ``partition`` column is the TYPED unified partition struct
+        (every partition field of every spec, absent fields null —
+        the Iceberg `partitions` table shape); decoding runs per
+        aggregated row, O(#partitions), via an Arrow-batched UDF."""
+        agg = (self.scan().plan_files_df()
+               .groupBy("partition_json", "spec_id")
+               .agg(F.count("*").alias("file_count"),
+                    F.sum("record_count").alias("record_count"),
+                    F.sum("file_size_in_bytes").alias("total_size_bytes")))
+        meta = self.metadata
+        schema = self.schema()
+        ufields: dict[int, tuple] = {}
+        for s in meta.partition_specs:
+            for pf in s.fields:
+                src = schema.find_field_by_id(pf.source_id)
+                if src is None:
+                    continue
+                ufields[pf.field_id] = (
+                    pf.name, pf.transform.result_type(src.field_type))
+        ordered = [ufields[k] for k in sorted(ufields)]
+        if not ordered:  # unpartitioned: no partition column
+            return agg.drop("partition_json")
+        specs = {s.spec_id: s for s in meta.partition_specs}
+        out_type = T.StructType([
+            T.StructField(n, it.to_spark_type(t)) for n, t in ordered])
+
+        def decode(batches):
+            import pandas as pd
+
+            from iceberg_cpp_spark.core.manifests import partition_from_json
+
+            for b in batches:
+                parts = []
+                for pj, sid in zip(b["partition_json"], b["spec_id"]):
+                    spec = specs.get(int(sid))
+                    vals = (partition_from_json(pj, spec, schema)
+                            if spec is not None else {})
+                    parts.append({n: vals.get(n) for n, _t in ordered})
+                o = b.drop(columns=["partition_json"])
+                o["partition"] = parts
+                yield o
+
+        out_schema = T.StructType(
+            [T.StructField("spec_id", T.IntegerType()),
+             T.StructField("file_count", T.LongType()),
+             T.StructField("record_count", T.LongType()),
+             T.StructField("total_size_bytes", T.LongType()),
+             T.StructField("partition", out_type)])
+        return agg.mapInPandas(decode, schema=out_schema).select(
+            "partition", "spec_id", "file_count", "record_count",
+            "total_size_bytes")
 
     def snapshots_df(self) -> DataFrame:
         rows = [

@@ -714,6 +714,14 @@ class TestTableMaintenance:
         n_parts = lineitem.select("l_linenumber").distinct().count()
         assert pdf.count() == n_parts
         assert pdf.agg(F.sum("record_count")).first()[0] == lineitem.count()
+        # the partition column is the TYPED struct (r13), matching the
+        # per-value source counts exactly
+        got = {r["partition"]["ln"]: r["record_count"]
+               for r in pdf.collect()}
+        want = {r["l_linenumber"]: r["n"] for r in
+                lineitem.groupBy("l_linenumber")
+                .agg(F.count("*").alias("n")).collect()}
+        assert got == want
 
 
 def _race_worker(args):
