@@ -101,6 +101,36 @@ class TestTables:
         b.append(li.subtract(li.limit(60)).limit(40))  # stale base -> 409 -> rebase
         assert cat.load_table("db.c", spark=spark).to_df().count() == 100
 
+    def test_multi_snapshot_transaction_via_rest(self, spark, rest,
+                                                 lineitem):
+        """A multi-action Transaction publishes a CHAIN of snapshots in
+        one REST commit — synthesize_updates must emit one add-snapshot
+        per pending snapshot (sequence-ordered) plus the ref move, and
+        the server-applied result must match the working state."""
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        cat, loc = rest
+        cat.create_namespace("db")
+        li = lineitem.limit(100)
+        cat.create_table("db.tx", schema_from_spark(li.schema),
+                         location=os.path.join(loc, "tx"))
+        t = cat.load_table("db.tx", spark=spark)
+        t = t.append(li.limit(40))
+        txn = t.new_transaction()
+        txn.append(li.subtract(li.limit(40)).limit(30))
+        txn.delete_where(ex.gt(ex.Reference("l_quantity"), 45.0))
+        txn.update_properties({"txn.rest": "yes"})
+        out = txn.commit()
+        fresh = cat.load_table("db.tx", spark=spark)
+        assert len(fresh.metadata.snapshots) == 3  # base + 2 txn snaps
+        assert fresh.to_df().count() == out.to_df().count()
+        assert fresh.properties()["txn.rest"] == "yes"
+        want = li.limit(40).unionByName(
+            li.subtract(li.limit(40)).limit(30)).filter(
+            "l_quantity <= 45.0").count()
+        assert fresh.to_df().count() == want
+
     def test_register_table(self, spark, rest, lineitem):
         from iceberg_cpp_spark import IceTable
         from iceberg_cpp_spark.core.types import schema_from_spark
