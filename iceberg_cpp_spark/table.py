@@ -3432,7 +3432,6 @@ class IceTable:
         spans per shard; if a concurrent commit moves engine.next-row-id
         the spans are stale and the shards re-author (rare, conflict
         path only). Driver memory stays flat in #files."""
-        import json as _json
         import time as _time
 
         import pandas as pd
