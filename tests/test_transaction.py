@@ -213,6 +213,48 @@ class TestTransaction:
         fresh = cat.load_table("db.t", spark=spark)
         assert {r["id"] for r in fresh.to_df().collect()} == got
 
+    def test_branch_transaction_leaves_main_untouched(self, spark,
+                                                      tmp_loc):
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        t = t.append(_df(spark, 0, 5))
+        t = t.create_branch("dev")
+        txn = t.new_transaction(branch="dev")
+        txn.append(_df(spark, 10, 13, tag="d"))
+        txn.delete_where(ex.eq(ex.Reference("id"), 0))
+        out = txn.commit()
+        assert {r["id"] for r in out.to_df().collect()} == set(range(5))
+        dev = out.scan().use_ref("dev").to_df()
+        assert {r["id"] for r in dev.collect()} == {1, 2, 3, 4, 10, 11, 12}
+
+    def test_wap_staging_inside_transaction(self, spark, tmp_loc):
+        """A WAP-staged append rides the pending chain without moving
+        the ref; after the atomic publish it stays invisible until
+        publish_wap cherry-picks it."""
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema(),
+                            properties={"write.wap.enabled": "true"})
+        t = t.append(_df(spark, 0, 3))
+        txn = t.new_transaction()
+        txn.append(_df(spark, 10, 12, tag="w"), wap_id="w1")
+        txn.append(_df(spark, 20, 22, tag="n"))
+        out = txn.commit()
+        assert {r["id"] for r in out.to_df().collect()} == {0, 1, 2, 20, 21}
+        out = out.publish_wap("w1")
+        assert {r["id"] for r in out.to_df().collect()} == {
+            0, 1, 2, 10, 11, 20, 21}
+
+    def test_mor_and_dv_deletes_inside_transaction(self, spark, tmp_loc):
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        t = t.append(_df(spark, 0, 10))
+        txn = t.new_transaction()
+        txn.delete_where(ex.lt(ex.Reference("id"), 3),
+                         mode="merge-on-read")
+        txn.delete_where(ex.gt(ex.Reference("id"), 7),
+                         mode="deletion-vector")
+        txn.append(_df(spark, 100, 102, tag="n"))
+        out = txn.commit()
+        assert {r["id"] for r in out.to_df().collect()} == {
+            3, 4, 5, 6, 7, 100, 101}
+
     def test_randomized_txn_equals_sequential(self, spark, tmp_loc):
         """Property sweep: a random op sequence applied inside ONE
         transaction must produce exactly the table contents of the same

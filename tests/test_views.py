@@ -628,6 +628,29 @@ class TestIncrementalMvRefresh:
         assert mv.last_refresh_mode == "full"
         assert sum(r["n"] for r in mv.to_df().collect()) == 6
 
+    def test_retract_over_transaction_chain(self, spark, tmp_loc):
+        """A source maintained by a multi-action TRANSACTION (one
+        publish carrying an append + a delete snapshot) refreshes
+        through the retraction path and matches the recompute."""
+        from iceberg_cpp_spark.mview import IceMaterializedView
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        src = self._src(spark, f"{tmp_loc}/src")  # k 0..5, v = k % 3
+        mv = IceMaterializedView.create(
+            spark, f"{tmp_loc}/mv", self.RETRACT_SQL, {"src_t": src})
+        txn = src.new_transaction()
+        txn.append(spark.range(10, 13).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("v")))
+        txn.delete_where(ex.eq(ex.Reference("k"), 1))
+        src = txn.commit()
+        mv.sources["src_t"] = src
+        mv = mv.refresh()
+        assert mv.last_refresh_mode == "incremental-retract"
+        inc = {tuple(r) for r in mv.to_df().collect()}
+        assert {tuple(r) for r in
+                mv.refresh(force=True).to_df().collect()} == inc
+        assert sum(r["n"] for r in mv.to_df().collect()) == 8
+
     def test_randomized_retract_equals_full(self, spark, tmp_loc):
         """Property sweep over a MIXED append/delete history: the
         retraction-maintained MV must equal a forced full recompute
