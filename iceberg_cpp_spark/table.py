@@ -68,6 +68,77 @@ ADD_FILES_DISTRIBUTED_THRESHOLD = 2048
 _PART_PREFIX = "_p_"  # write-side partition dir columns (keeps user cols in files)
 
 
+def _author_manifest_vectorized(pdf, path: str, spec_id: int,
+                                rid_base):
+    """Executor-side manifest author, vectorized: builds the manifest
+    parquet's arrow table directly from a descriptor batch — the fast
+    path for the bulk-registration shape (unpartitioned, no per-column
+    metrics), where the per-row DataFile/ManifestEntry construction of
+    the general ManifestWriter path dominates a 10^6-file commit.
+    Entry-set equality with ManifestWriter is test-pinned. Returns the
+    one pointer row the shard author contract expects."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    from iceberg_cpp_spark.core.manifests import manifest_arrow_schema
+
+    n = len(pdf)
+    rc = pdf["record_count"].to_numpy(dtype=np.int64)
+    if rid_base is not None:
+        # frid[i] = rid_base + sum(rc[:i]) — contiguous v3 row-id spans
+        frid = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            np.cumsum(rc[:-1], out=frid[1:])
+        frid += int(rid_base)
+        frid_arr = pa.array(frid, pa.int64())
+    else:
+        frid_arr = pa.nulls(n, pa.int64())
+    sch = manifest_arrow_schema()
+
+    def nulls(name):
+        return pa.nulls(n, sch.field(name).type)
+
+    cols = {
+        "status": pa.array(np.full(n, mf.STATUS_ADDED, dtype=np.int32)),
+        "snapshot_id": nulls("snapshot_id"),          # inherited
+        "sequence_number": nulls("sequence_number"),  # inherited
+        "file_sequence_number": nulls("file_sequence_number"),
+        "content": pa.array(np.full(n, mf.CONTENT_DATA, dtype=np.int32)),
+        "file_path": pa.array(pdf["file_path"], pa.string()),
+        "file_format": pa.array(pdf["file_format"], pa.string()),
+        "spec_id": pa.array(np.full(n, spec_id, dtype=np.int32)),
+        "partition_json": pa.array(pdf["partition_json"], pa.string()),
+        "record_count": pa.array(rc, pa.int64()),
+        "file_size_in_bytes": pa.array(
+            pdf["file_size_in_bytes"].to_numpy(dtype=np.int64), pa.int64()),
+        "column_sizes": nulls("column_sizes"),
+        "value_counts": nulls("value_counts"),
+        "null_value_counts": nulls("null_value_counts"),
+        "nan_value_counts": nulls("nan_value_counts"),
+        "lower_bounds": nulls("lower_bounds"),
+        "upper_bounds": nulls("upper_bounds"),
+        "split_offsets": nulls("split_offsets"),
+        "equality_ids": nulls("equality_ids"),
+        "sort_order_id": nulls("sort_order_id"),
+        "referenced_data_file": nulls("referenced_data_file"),
+        "content_offset": nulls("content_offset"),
+        "content_size_in_bytes": nulls("content_size_in_bytes"),
+        "first_row_id": frid_arr,
+    }
+    table = pa.Table.from_arrays([cols[f] for f in sch.names], schema=sch)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    papq.write_table(table, path, compression="zstd")
+    return pd.DataFrame([{
+        "manifest_path": path,
+        "manifest_length": os.path.getsize(path),
+        "added_files_count": n,
+        "added_rows_count": int(rc.sum()),
+        "first_row_id": (int(rid_base) if rid_base is not None else None),
+    }])
+
+
 class StaleRowIdSpanError(Exception):
     """Executor-authored manifests baked v3 row-id spans against an
     engine.next-row-id that a concurrent commit advanced — the shards
@@ -3516,6 +3587,16 @@ class IceTable:
                     path = os.path.join(
                         meta_dir,
                         f"manifest-{uuid_mod.uuid4().hex}.{mfmt}")
+                    if (mfmt == "parquet" and not spec.fields
+                            and not pdf["metrics_json"].notna().any()):
+                        # vectorized fast path for the bulk-registration
+                        # shape (no per-column metrics, unpartitioned):
+                        # the manifest arrow table builds straight from
+                        # the batch — no per-row Python objects.
+                        # Entry-set equality with ManifestWriter is
+                        # pinned by test_fast_path_equals_writer.
+                        return _author_manifest_vectorized(
+                            pdf, path, spec.spec_id, bases.get(shard))
                     w = mfx.ManifestWriter(path, spec, schema,
                                            snapshot_id=0, format=mfmt,
                                            version=mver)

@@ -222,6 +222,60 @@ class TestCommitFilesDf:
         assert {e.data_file.partition["data"] for e in entries} == {
             "a", "b", "c"}
 
+    def test_fast_path_equals_writer(self, spark, tmp_loc):
+        """The vectorized author (unpartitioned, metrics-less batches)
+        must produce manifests whose READ-BACK entries equal the
+        general ManifestWriter path exactly — including v3 row-id
+        spans and inheritance-ready null snapshot/sequence ids."""
+        import pandas as pd
+
+        from iceberg_cpp_spark.core.manifests import (ManifestEntry,
+                                                      ManifestWriter)
+        from iceberg_cpp_spark.core.metadata import PartitionSpec
+        from iceberg_cpp_spark.table import _author_manifest_vectorized
+
+        spec = PartitionSpec.unpartitioned()
+        schema = _schema()
+        pdf = pd.DataFrame({
+            "file_path": [f"/fake/f{i}.parquet" for i in range(7)],
+            "file_format": ["parquet"] * 7,
+            "record_count": [10 * (i + 1) for i in range(7)],
+            "file_size_in_bytes": [1000 + i for i in range(7)],
+            "metrics_json": [None] * 7,
+            "partition_json": ["{}"] * 7,
+        })
+        fast = os.path.join(tmp_loc, "fast.parquet")
+        slow = os.path.join(tmp_loc, "slow.parquet")
+        ptr = _author_manifest_vectorized(pdf, fast, 0, 500)
+        w = ManifestWriter(slow, spec, schema, snapshot_id=0,
+                           format="parquet", version=3)
+        rid = 500
+        for r in pdf.itertuples(index=False):
+            f = mf.DataFile(content=mf.CONTENT_DATA,
+                            file_path=r.file_path,
+                            file_format=r.file_format, partition={},
+                            record_count=r.record_count,
+                            file_size_in_bytes=r.file_size_in_bytes,
+                            first_row_id=rid)
+            rid += r.record_count
+            w.add(ManifestEntry(status=mf.STATUS_ADDED, data_file=f,
+                                snapshot_id=None, sequence_number=None))
+        slow_mf = w.close()
+
+        def norm(path):
+            return [(e.status, e.snapshot_id, e.sequence_number,
+                     e.data_file.file_path, e.data_file.record_count,
+                     e.data_file.file_size_in_bytes,
+                     e.data_file.first_row_id,
+                     e.data_file.column_sizes, e.data_file.lower_bounds)
+                    for e in mf.read_manifest(path, spec, schema)]
+
+        assert norm(fast) == norm(slow)
+        row = ptr.iloc[0]
+        assert row["added_files_count"] == slow_mf.added_files_count
+        assert row["added_rows_count"] == slow_mf.added_rows_count
+        assert row["first_row_id"] == slow_mf.first_row_id == 500
+
     def test_synthetic_descriptors_metadata_only(self, spark, tmp_loc):
         """The 10^6-file bench shape in miniature: purely synthetic
         descriptors (no physical files) commit fine — planning and
