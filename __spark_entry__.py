@@ -1153,8 +1153,11 @@ def ice_bulk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executor-authored commit plane (commit_files_df — manifest
     shards written by applyInPandas, driver holds pointer rows only;
     the 10^6-file shape is pinned by the ice_commit_1m bench) composed
-    with a transaction: register loose parquet shards + quarantine
-    DELETE + lineage stamp, atomically visible."""
+    with a transaction: register loose parquet DATA shards AND an
+    existing POSITION-DELETE file (content column, r14 — a migration
+    carries its delete files along) in one descriptor DataFrame, then
+    quarantine DELETE + lineage stamp, all atomically visible. The
+    pos-delete applies to same-commit data (data_seq <= delete_seq)."""
     import pyarrow.parquet as papq
 
     from iceberg_cpp_spark.core import name_mapping as nm
@@ -1162,14 +1165,31 @@ def ice_bulk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders")
     t = _fresh_table(spark, sf_dir, o, "bulk")
-    shards = os.path.join(tempfile.mkdtemp(prefix="ice_bulk_"), "in")
-    o.repartition(8).write.parquet(shards)
-    paths = sorted(os.path.join(shards, f) for f in os.listdir(shards)
+    root = tempfile.mkdtemp(prefix="ice_bulk_")
+    shards = os.path.join(root, "in")
+    o.filter("o_orderkey % 10 != 3").repartition(8).write.parquet(shards)
+    # one SORTED single-file segment: physical row position == rank by
+    # o_orderkey, so a position-delete of the first k rows kills exactly
+    # the keys < 15000 — SQL-expressible for the oracle
+    seg_dir = os.path.join(root, "seg")
+    seg = o.filter("o_orderkey % 10 = 3")
+    seg.coalesce(1).sortWithinPartitions("o_orderkey").write.parquet(seg_dir)
+    k = seg.filter("o_orderkey < 15000").count()
+    paths = sorted(os.path.join(d, f) for d in (shards, seg_dir)
+                   for f in os.listdir(d) if f.endswith(".parquet"))
+    seg_path = next(p for p in paths if p.startswith(seg_dir))
+    pd_dir = os.path.join(root, "pdel")
+    (spark.range(k).select(F.lit(seg_path).alias("file_path"),
+                           F.col("id").alias("pos"))
+     .coalesce(1).sortWithinPartitions("pos").write.parquet(pd_dir))
+    pd_path = next(os.path.join(pd_dir, f) for f in sorted(os.listdir(pd_dir))
                    if f.endswith(".parquet"))
     desc = spark.createDataFrame(
-        [(p, papq.read_metadata(p).num_rows, os.path.getsize(p))
-         for p in paths],
-        "file_path string, record_count long, file_size_in_bytes long")
+        [(p, papq.read_metadata(p).num_rows, os.path.getsize(p), "data")
+         for p in paths]
+        + [(pd_path, k, os.path.getsize(pd_path), "position-deletes")],
+        "file_path string, record_count long, file_size_in_bytes long, "
+        "content string")
     t = t.update_properties({
         nm.PROPERTY_KEY:
             nm.NameMapping.from_schema(t.schema()).to_json_string(),
@@ -1178,7 +1198,7 @@ def ice_bulk_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     txn = t.new_transaction()
     txn.commit_files_df(desc)
     txn.delete_where(ex.lt(ex.Reference("o_orderkey"), 100))
-    txn.update_properties({"ingest.batch": "r13"})
+    txn.update_properties({"ingest.batch": "r14"})
     t = txn.commit()
     return (t.to_df().groupBy("o_orderstatus")
             .agg(F.count("*").alias("n"),
@@ -3146,9 +3166,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_bm25_indexed": retrieval_bm25_indexed,
         "q1_pricing_summary": q1_pricing_summary,
         "events_window_agg": events_window_agg,
-        "range_join_events": range_join_events,
-        # ---- past the driver cap (judge-only) ----
+        # r14 rotation #6: ice_bulk_ingest was the last registry query
+        # never checked by the DRIVER's oracle (judge-checked r13) —
+        # swapped in for range_join_events (driver-green r13 + prior;
+        # pure-relational interval join, moved to the relational tail).
+        # The r14 row additionally registers a position-delete file
+        # through the new commit_files_df content column.
         "ice_bulk_ingest": ice_bulk_ingest,
+        # ---- past the driver cap (judge-only) ----
+        "range_join_events": range_join_events,
         "ice_variant": ice_variant,
         "ice_ns_timestamps": ice_ns_timestamps,
         "ice_view_spec": ice_view_spec,
@@ -4010,10 +4036,17 @@ def oracle_sql() -> dict[str, str]:
             FROM merged GROUP BY l_returnflag
         """,
         "ice_bulk_ingest": """
+            -- registered position-deletes = anti-join against the rows
+            -- they kill (sorted segment, first k positions = keys
+            -- %10==3 below 15000); the txn DELETE drops keys < 100
+            WITH killed AS (
+              SELECT o_orderkey FROM orders
+              WHERE o_orderkey % 10 = 3 AND o_orderkey < 15000)
             SELECT o_orderstatus, COUNT(*) AS n,
                    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                      AS sum_price
-            FROM orders WHERE o_orderkey >= 100
+            FROM orders o ANTI JOIN killed d USING (o_orderkey)
+            WHERE o.o_orderkey >= 100
             GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "ice_transaction": """

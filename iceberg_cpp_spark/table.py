@@ -133,8 +133,10 @@ def _author_manifest_vectorized(pdf, path: str, spec_id: int,
     return pd.DataFrame([{
         "manifest_path": path,
         "manifest_length": os.path.getsize(path),
+        "content": mf.MANIFEST_CONTENT_DATA,
         "added_files_count": n,
         "added_rows_count": int(rc.sum()),
+        "partitions_json": "[]",  # fast path is unpartitioned-only
         "first_row_id": (int(rid_base) if rid_base is not None else None),
     }])
 
@@ -3490,7 +3492,18 @@ class IceTable:
         ``file_size_in_bytes`` (required longs), optional ``file_format``
         ('parquet' default), ``partition_json`` ('{}' default) and
         ``metrics_json`` (hex-bound JSON, core/metrics._metrics_json
-        shape) for column bounds.
+        shape) for column bounds. A migration with existing delete files
+        may add a ``content`` column ('data' default,
+        'position-deletes', 'equality-deletes'); delete descriptors may
+        also carry ``referenced_data_file`` (pos-deletes scoped to one
+        data file) and ``equality_ids_json`` (JSON int list of equality
+        field IDs). Delete shards are authored into
+        MANIFEST_CONTENT_DELETES manifests in the SAME one-CAS commit;
+        their entries inherit the commit's sequence number from the
+        manifest-list row, so registered position deletes apply to data
+        files registered in this commit (data_seq <= delete_seq) and
+        equality deletes apply strictly to OLDER sequence numbers —
+        standard Iceberg v2 semantics.
 
         Scale shape: descriptors shard by path hash
         (``engine.commit.manifest-shard-entries``, default 25k); each
@@ -3503,6 +3516,7 @@ class IceTable:
         spans per shard; if a concurrent commit moves engine.next-row-id
         the spans are stale and the shards re-author (rare, conflict
         path only). Driver memory stays flat in #files."""
+        import json as _json
         import time as _time
 
         import pandas as pd
@@ -3526,13 +3540,32 @@ class IceTable:
             df = df.withColumn("metrics_json", F.lit(None).cast("string"))
         if "partition_json" not in df.columns:
             df = df.withColumn("partition_json", F.lit("{}"))
+        if "content" not in df.columns:
+            df = df.withColumn("content", F.lit("data"))
+        if "referenced_data_file" not in df.columns:
+            df = df.withColumn("referenced_data_file",
+                               F.lit(None).cast("string"))
+        if "equality_ids_json" not in df.columns:
+            df = df.withColumn("equality_ids_json",
+                               F.lit(None).cast("string"))
+        # normalize content names to entry codes JVM-side; an unknown
+        # value surfaces as a loud error below rather than a silent data
+        # classification
         df = df.select(
             F.col("file_path").cast("string"),
             F.col("file_format").cast("string"),
             F.col("record_count").cast("long"),
             F.col("file_size_in_bytes").cast("long"),
             F.col("metrics_json").cast("string"),
-            F.col("partition_json").cast("string"))
+            F.col("partition_json").cast("string"),
+            F.when(F.col("content") == "data", F.lit(mf.CONTENT_DATA))
+             .when(F.col("content") == "position-deletes",
+                   F.lit(mf.CONTENT_POSITION_DELETES))
+             .when(F.col("content") == "equality-deletes",
+                   F.lit(mf.CONTENT_EQUALITY_DELETES))
+             .otherwise(F.lit(-1)).cast("int").alias("_content"),
+            F.col("referenced_data_file").cast("string"),
+            F.col("equality_ids_json").cast("string"))
 
         spec, schema = self.spec(), self.schema()
         mfmt = self.properties().get("write.metadata.manifest-format",
@@ -3545,15 +3578,53 @@ class IceTable:
         df = df.persist()
         sharded = None
         try:
+            is_data = F.col("_content") == mf.CONTENT_DATA
             totals = df.agg(
                 F.count("*").alias("n"),
-                F.sum("record_count").alias("rows"),
-                F.sum("file_size_in_bytes").alias("bytes")).collect()[0]
+                F.sum(F.when(is_data, 1).otherwise(0)).alias("n_data"),
+                F.sum(F.when(F.col("_content") < 0, 1).otherwise(0))
+                 .alias("n_bad"),
+                F.sum(F.when(is_data, F.col("record_count")).otherwise(0))
+                 .alias("rows"),
+                F.sum(F.when(is_data, F.col("file_size_in_bytes"))
+                       .otherwise(0)).alias("bytes"),
+                F.sum(F.when(F.col("_content")
+                             == mf.CONTENT_POSITION_DELETES,
+                             F.col("record_count")).otherwise(0))
+                 .alias("pos_del_rows"),
+                F.sum(F.when(F.col("_content")
+                             == mf.CONTENT_POSITION_DELETES, 1).otherwise(0))
+                 .alias("n_pos"),
+                F.sum(F.when(F.col("_content")
+                             == mf.CONTENT_EQUALITY_DELETES,
+                             F.col("record_count")).otherwise(0))
+                 .alias("eq_del_rows")).collect()[0]
             n_files = totals["n"] or 0
             if n_files == 0:
                 return self
+            if (totals["n_bad"] or 0) > 0:
+                raise ValueError(
+                    "files_df.content must be one of 'data', "
+                    "'position-deletes', 'equality-deletes'")
+            n_deletes = n_files - int(totals["n_data"] or 0)
+            if (totals["n_pos"] or 0) > 0 and mver >= 3:
+                raise ValueError(
+                    "format v3 forbids new position-delete FILES "
+                    "(deletion vectors replace them, spec v3); register "
+                    "them on a v2 table or convert to DVs first")
+            prebuilt_counts = {
+                "added_data_files": int(totals["n_data"] or 0),
+                "added_records": int(totals["rows"] or 0),
+                "added_files_size": int(totals["bytes"] or 0),
+                "added_delete_files": n_deletes,
+                "added_pos_deletes": int(totals["pos_del_rows"] or 0),
+                "added_eq_deletes": int(totals["eq_del_rows"] or 0),
+            }
             added_size = int(totals["bytes"] or 0)
             n_shards = max(1, -(-n_files // shard_entries))
+            # a manifest is uniformly data OR deletes (its manifest-list
+            # row carries ONE content code), so the shard key includes
+            # the entry content
             sharded = df.withColumn(
                 "_shard",
                 (F.abs(F.xxhash64("file_path")) % n_shards).cast("int"))
@@ -3565,8 +3636,10 @@ class IceTable:
                 pointer objects (driver memory O(#shards))."""
                 bases: dict[int, int] = {}
                 if next_row_id is not None:
+                    # row-id spans cover DATA rows only (delete files
+                    # carry no row lineage)
                     per = {r["_shard"]: r["rows"] for r in
-                           sharded.groupBy("_shard")
+                           sharded.filter(is_data).groupBy("_shard")
                                   .agg(F.sum("record_count").alias("rows"))
                                   .collect()}
                     acc = next_row_id
@@ -3575,11 +3648,14 @@ class IceTable:
                         acc += int(per[s])
 
                 def author(pdf: "pd.DataFrame") -> "pd.DataFrame":
+                    import json as _json
+
                     from iceberg_cpp_spark.core import manifests as mfx
                     from iceberg_cpp_spark.core.metrics import (
                         _decode_metrics_json)
 
                     shard = int(pdf["_shard"].iloc[0])
+                    entry_content = int(pdf["_content"].iloc[0])
                     # cluster the manifest by partition so its entries
                     # (and any range maintenance later) stay coherent;
                     # file-level partition pruning is exact regardless
@@ -3588,6 +3664,7 @@ class IceTable:
                         meta_dir,
                         f"manifest-{uuid_mod.uuid4().hex}.{mfmt}")
                     if (mfmt == "parquet" and not spec.fields
+                            and entry_content == mfx.CONTENT_DATA
                             and not pdf["metrics_json"].notna().any()):
                         # vectorized fast path for the bulk-registration
                         # shape (no per-column metrics, unpartitioned):
@@ -3597,15 +3674,28 @@ class IceTable:
                         # pinned by test_fast_path_equals_writer.
                         return _author_manifest_vectorized(
                             pdf, path, spec.spec_id, bases.get(shard))
+                    m_content = (mfx.MANIFEST_CONTENT_DATA
+                                 if entry_content == mfx.CONTENT_DATA
+                                 else mfx.MANIFEST_CONTENT_DELETES)
                     w = mfx.ManifestWriter(path, spec, schema,
                                            snapshot_id=0, format=mfmt,
+                                           content=m_content,
                                            version=mver)
-                    rid = bases.get(shard)
+                    rid = (bases.get(shard)
+                           if entry_content == mfx.CONTENT_DATA else None)
                     for row in pdf.itertuples(index=False):
                         m = (_decode_metrics_json(row.metrics_json)
                              if row.metrics_json else {})
+                        # arrow nulls can surface as NaN in pandas —
+                        # only a real string is a value
+                        eq_ids = (_json.loads(row.equality_ids_json)
+                                  if isinstance(row.equality_ids_json, str)
+                                  else [])
+                        ref_df = (row.referenced_data_file
+                                  if isinstance(row.referenced_data_file,
+                                                str) else None)
                         f = mfx.DataFile(
-                            content=mfx.CONTENT_DATA,
+                            content=entry_content,
                             file_path=row.file_path,
                             file_format=row.file_format,
                             partition=mfx.partition_from_json(
@@ -3618,6 +3708,8 @@ class IceTable:
                             nan_value_counts=m.get("nan_value_counts", {}),
                             lower_bounds=m.get("lower_bounds", {}),
                             upper_bounds=m.get("upper_bounds", {}),
+                            equality_ids=[int(i) for i in eq_ids],
+                            referenced_data_file=ref_df,
                             first_row_id=rid)
                         if rid is not None:
                             rid += int(row.record_count)
@@ -3629,26 +3721,46 @@ class IceTable:
                                                 snapshot_id=None,
                                                 sequence_number=None))
                     mf_out = w.close()
+                    parts = _json.dumps([
+                        {"contains_null": s.contains_null,
+                         "contains_nan": s.contains_nan,
+                         "lower_bound": (s.lower_bound.hex()
+                                         if s.lower_bound else None),
+                         "upper_bound": (s.upper_bound.hex()
+                                         if s.upper_bound else None)}
+                        for s in mf_out.partitions])
                     return pd.DataFrame([{
                         "manifest_path": mf_out.manifest_path,
                         "manifest_length": mf_out.manifest_length,
+                        "content": m_content,
                         "added_files_count": mf_out.added_files_count,
                         "added_rows_count": mf_out.added_rows_count,
+                        "partitions_json": parts,
                         "first_row_id": mf_out.first_row_id,
                     }])
 
-                rows = (sharded.groupBy("_shard").applyInPandas(
+                rows = (sharded.groupBy("_content", "_shard").applyInPandas(
                     author,
                     schema=("manifest_path string, manifest_length long, "
+                            "content int, "
                             "added_files_count long, added_rows_count long, "
+                            "partitions_json string, "
                             "first_row_id long")).collect())
                 return [mf.ManifestFile(
                     manifest_path=r["manifest_path"],
                     manifest_length=r["manifest_length"],
                     partition_spec_id=spec.spec_id,
-                    content=mf.MANIFEST_CONTENT_DATA,
+                    content=int(r["content"]),
                     added_files_count=int(r["added_files_count"]),
                     added_rows_count=int(r["added_rows_count"]),
+                    partitions=[mf.PartitionFieldSummary(
+                        contains_null=p["contains_null"],
+                        contains_nan=p["contains_nan"],
+                        lower_bound=(bytes.fromhex(p["lower_bound"])
+                                     if p["lower_bound"] else None),
+                        upper_bound=(bytes.fromhex(p["upper_bound"])
+                                     if p["upper_bound"] else None))
+                        for p in _json.loads(r["partitions_json"])],
                     first_row_id=(int(r["first_row_id"])
                                   if r["first_row_id"] is not None else None),
                 ) for r in rows]
@@ -3672,7 +3784,8 @@ class IceTable:
                     drop_dv_for=None, summary_extras=summary_extras,
                     read_snapshot_id=None, require_live=None,
                     wap_id=None, prebuilt_data_manifests=prebuilt,
-                    prebuilt_added_size=added_size))
+                    prebuilt_added_size=added_size,
+                    prebuilt_counts=prebuilt_counts))
             retries = int(self.properties().get(
                 "commit.retry.num-retries", "4"))
             backoff_ms = int(self.properties().get(
@@ -3684,7 +3797,8 @@ class IceTable:
                         [], operation=DataOperation.APPEND, branch=branch,
                         summary_extras=summary_extras,
                         prebuilt_data_manifests=prebuilt,
-                        prebuilt_added_size=added_size)
+                        prebuilt_added_size=added_size,
+                        prebuilt_counts=prebuilt_counts)
                 except StaleRowIdSpanError as e:
                     # concurrent commit moved the v3 row-id counter:
                     # shards carry stale spans — re-author (conflict
@@ -4238,7 +4352,9 @@ class IceTable:
                            require_live: Optional[set] = None,
                            wap_id: Optional[str] = None,
                            prebuilt_data_manifests: Optional[list] = None,
-                           prebuilt_added_size: int = 0) -> "IceTable":
+                           prebuilt_added_size: int = 0,
+                           prebuilt_counts: Optional[dict] = None
+                           ) -> "IceTable":
         meta = self.metadata
         schema = self.schema()
         spec = self.spec()
@@ -4293,8 +4409,11 @@ class IceTable:
                     raise StaleRowIdSpanError(
                         f"authored row-id base {min(bases)} != current "
                         f"next-row-id {next_row_id}")
-                rid = next_row_id + sum(m.added_rows_count
-                                        for m in prebuilt_data_manifests)
+                # delete manifests carry no row lineage: the counter
+                # advances by DATA rows only
+                rid = next_row_id + sum(
+                    m.added_rows_count for m in prebuilt_data_manifests
+                    if m.content == mf.MANIFEST_CONTENT_DATA)
             new_manifests = [
                 dc_replace(m, sequence_number=seq, min_sequence_number=seq,
                            added_snapshot_id=snapshot_id)
@@ -4383,8 +4502,10 @@ class IceTable:
         carried_data = [m for m in carried if m.content == mf.MANIFEST_CONTENT_DATA]
         carried_dels = [m for m in carried if m.content == mf.MANIFEST_CONTENT_DELETES]
         if prebuilt_data_manifests is not None:
-            n_added_files = sum(m.added_files_count for m in new_manifests)
-            added_records = sum(m.added_rows_count for m in new_manifests)
+            new_data_mfs = [m for m in new_manifests
+                            if m.content == mf.MANIFEST_CONTENT_DATA]
+            n_added_files = sum(m.added_files_count for m in new_data_mfs)
+            added_records = sum(m.added_rows_count for m in new_data_mfs)
             added_size = prebuilt_added_size
         else:
             n_added_files = len(new_data)
@@ -4395,12 +4516,22 @@ class IceTable:
             for m in carried_data)  # None on foreign v1 lists: summary-only
         total_files = n_added_files + sum(m.added_files_count + m.existing_files_count
                                           for m in carried_data)
+        # prebuilt delete shards (commit_files_df content column): file
+        # counts come from the authored pointers; the pos/eq ROW split
+        # isn't on ManifestFile, so the caller aggregates it executor-side
+        pc = prebuilt_counts or {}
+        prebuilt_del_files = sum(
+            m.added_files_count for m in (prebuilt_data_manifests or [])
+            if m.content == mf.MANIFEST_CONTENT_DELETES)
+        n_del_files = len(new_dels) + prebuilt_del_files
         pos_dels = sum(f.record_count for f in new_dels
-                       if f.content == mf.CONTENT_POSITION_DELETES)
+                       if f.content == mf.CONTENT_POSITION_DELETES
+                       ) + int(pc.get("added_pos_deletes", 0))
         eq_dels = sum(f.record_count for f in new_dels
-                      if f.content == mf.CONTENT_EQUALITY_DELETES)
-        total_del_files = len(new_dels) + sum(m.added_files_count + m.existing_files_count
-                                              for m in carried_dels)
+                      if f.content == mf.CONTENT_EQUALITY_DELETES
+                      ) + int(pc.get("added_eq_deletes", 0))
+        total_del_files = n_del_files + sum(m.added_files_count + m.existing_files_count
+                                            for m in carried_dels)
         summary = {  # snapshot.h:121-216 standard keys
             "operation": operation,
             "added-data-files": str(n_added_files),
@@ -4408,7 +4539,7 @@ class IceTable:
             "added-files-size": str(added_size),
             "total-data-files": str(total_files),
             "total-records": str(total_records),
-            "added-delete-files": str(len(new_dels)),
+            "added-delete-files": str(n_del_files),
             "added-position-deletes": str(pos_dels),
             "added-equality-deletes": str(eq_dels),
             "total-delete-files": str(total_del_files),

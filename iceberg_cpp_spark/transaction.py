@@ -201,6 +201,17 @@ class Transaction:
                     else fresh.metadata.current_snapshot_id)
         file_ops = [p for kind, p in self._log if kind == "files"]
         txn_added = {f.file_path for p in file_ops for f in p["new_files"]}
+        candidates = set().union(
+            *(p.get("drop_paths") or set() for p in file_ops),
+            *(p.get("drop_dv_for") or set() for p in file_ops),
+            *(p.get("require_live") or set() for p in file_ops))
+        # commit_files_df ops register files only as prebuilt manifest
+        # pointers (new_files=[]): a later op in the SAME txn that
+        # rewrites those files must not demand them live on the fresh
+        # head (the replay re-adds them). Resolve only the candidate
+        # paths — bounded by the later ops' matched files, never the
+        # bulk registration size.
+        txn_added |= self._prebuilt_added(file_ops, candidates - txn_added)
         drop_paths = set().union(*(p.get("drop_paths") or set()
                                    for p in file_ops)) - txn_added
         drop_dv_for = set().union(*(p.get("drop_dv_for") or set()
@@ -237,3 +248,44 @@ class Transaction:
                     self.working.update_properties(updates, removals)
         finally:
             self._recording = False
+
+    def _prebuilt_added(self, file_ops: list, candidates: set) -> set:
+        """Which of ``candidates`` (paths a later op in this txn
+        rewrites/requires) were registered by this txn's
+        ``commit_files_df`` prebuilt manifest shards. Conflict-rebase
+        path only; the shard manifests are filtered executor-side (a
+        semi-join against the candidate set), so driver memory is
+        bounded by |candidates|, not the bulk-registration size."""
+        if not candidates:
+            return set()
+        shard_mfs = [m for p in file_ops
+                     for m in (p.get("prebuilt_data_manifests") or [])]
+        if not shard_mfs:
+            return set()
+        hits: set = set()
+        pq = [m.manifest_path for m in shard_mfs
+              if m.manifest_path.endswith(".parquet")]
+        others = [m for m in shard_mfs
+                  if not m.manifest_path.endswith(".parquet")]
+        if pq:
+            from pyspark.sql import functions as F
+
+            spark = self.base.spark
+            cand_df = spark.createDataFrame(
+                [(c,) for c in sorted(candidates)], "p string")
+            rows = (spark.read.option("mergeSchema", "true").parquet(*pq)
+                    .select("file_path")
+                    .join(F.broadcast(cand_df),
+                          F.col("file_path") == F.col("p"), "left_semi")
+                    .distinct().collect())
+            hits.update(r["file_path"] for r in rows)
+        if others:
+            from iceberg_cpp_spark.core import manifests as mfx
+
+            spec, schema = self.base.spec(), self.base.schema()
+            for m in others:
+                for e in mfx.read_manifest(m.manifest_path, spec, schema,
+                                           manifest=m):
+                    if e.data_file.file_path in candidates:
+                        hits.add(e.data_file.file_path)
+        return hits

@@ -293,3 +293,147 @@ class TestCommitFilesDf:
         assert len(t.scan().plan_files()) == 1000
         # metadata-only COUNT comes straight from the list row summaries
         assert int(t.current_snapshot().summary["total-records"]) == 100000
+
+
+class TestCommitFilesDfDeletes:
+    """content column (r14): a migration registers existing DATA and
+    DELETE files in ONE one-CAS commit — delete shards land in
+    MANIFEST_CONTENT_DELETES manifests whose entries inherit the
+    commit's sequence number, so standard v2 apply rules hold
+    (pos-deletes hit same-seq data; eq-deletes hit strictly older)."""
+
+    def _name_mapped(self, spark, tmp_loc, name="t"):
+        from iceberg_cpp_spark.core import name_mapping as nm
+
+        t = IceTable.create(spark, f"{tmp_loc}/{name}", _schema())
+        return t.update_properties({
+            nm.PROPERTY_KEY:
+                nm.NameMapping.from_schema(t.schema()).to_json_string(),
+            "engine.read.name-based": "true",
+            "engine.commit.manifest-shard-entries": "2"})
+
+    def test_data_plus_pos_deletes_one_commit(self, spark, tmp_loc):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        paths = _mk_parquet(tmp_loc, 4)  # file i holds ids i*10+1, i*10+2
+        t = self._name_mapped(spark, tmp_loc)
+        dp = os.path.join(tmp_loc, "pd0.parquet")
+        pq.write_table(pa.table({
+            "file_path": [paths[0], paths[2]],
+            "pos": pa.array([0, 1], pa.int64())}), dp)
+        rows = ([(p, 2, os.path.getsize(p), "data", None)
+                 for p in paths]
+                + [(dp, 2, os.path.getsize(dp), "position-deletes",
+                    None)])
+        desc = spark.createDataFrame(
+            rows, "file_path string, record_count long, "
+                  "file_size_in_bytes long, content string, "
+                  "referenced_data_file string")
+        t = t.commit_files_df(desc)
+        # f0 pos0 (id 1) and f2 pos1 (id 22) are dead IN THE SAME COMMIT
+        assert sorted(r["id"] for r in t.to_df().collect()) == [
+            2, 11, 12, 21, 31, 32]
+        s = t.current_snapshot().summary
+        assert s["added-data-files"] == "4"
+        assert s["added-records"] == "8"
+        assert s["added-delete-files"] == "1"
+        assert s["added-position-deletes"] == "2"
+        assert s["added-equality-deletes"] == "0"
+        assert s["total-delete-files"] == "1"
+        mfs = list(mf.read_manifest_list(t.current_snapshot().manifest_list))
+        dels = [m for m in mfs if m.content == mf.MANIFEST_CONTENT_DELETES]
+        assert len(dels) == 1
+        es = mf.read_manifest(dels[0].manifest_path, t.metadata.spec(),
+                              t.schema(), manifest=dels[0])
+        assert [e.data_file.content for e in es] == [
+            mf.CONTENT_POSITION_DELETES]
+        snap = t.current_snapshot()
+        assert es[0].sequence_number == snap.sequence_number
+
+    def test_eq_delete_registered_applies_to_older(self, spark, tmp_loc):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        t = t.append(spark.range(4).select(
+            F.col("id"),
+            F.concat(F.lit("v"), F.col("id")).alias("data")))
+        dp = os.path.join(tmp_loc, "eq0.parquet")
+        pq.write_table(pa.table({"data": ["v1", "v3"]}), dp)
+        desc = spark.createDataFrame(
+            [(dp, 2, os.path.getsize(dp), "equality-deletes", "[2]")],
+            "file_path string, record_count long, "
+            "file_size_in_bytes long, content string, "
+            "equality_ids_json string")
+        t = t.commit_files_df(desc)
+        assert sorted(r["data"] for r in t.to_df().collect()) == [
+            "v0", "v2"]
+        s = t.current_snapshot().summary
+        assert s["added-equality-deletes"] == "2"
+        assert s["added-data-files"] == "0"
+        mfs = list(mf.read_manifest_list(t.current_snapshot().manifest_list))
+        dels = [m for m in mfs if m.content == mf.MANIFEST_CONTENT_DELETES]
+        es = mf.read_manifest(dels[0].manifest_path, t.metadata.spec(),
+                              t.schema(), manifest=dels[0])
+        assert es[0].data_file.equality_ids == [2]
+
+    def test_content_guards(self, spark, tmp_loc):
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        bad = spark.createDataFrame(
+            [("/x.parquet", 1, 10, "bogus")],
+            "file_path string, record_count long, "
+            "file_size_in_bytes long, content string")
+        with pytest.raises(ValueError, match="content must be one of"):
+            t.commit_files_df(bad)
+        t3 = IceTable.create(spark, f"{tmp_loc}/t3", _schema(),
+                             properties={"format-version": "3"})
+        pd_desc = spark.createDataFrame(
+            [("/pd.parquet", 1, 10, "position-deletes")],
+            "file_path string, record_count long, "
+            "file_size_in_bytes long, content string")
+        with pytest.raises(ValueError, match="v3 forbids"):
+            t3.commit_files_df(pd_desc)
+
+    def test_shard_pointer_partition_summaries(self, spark, tmp_loc):
+        """ADVICE r13: executor-authored shard pointers carry the
+        manifest's PartitionFieldSummary rows, so manifest-LIST-level
+        pruning works on partitioned bulk registrations (entry-level
+        pruning was already exact)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from iceberg_cpp_spark.core import name_mapping as nm
+        from iceberg_cpp_spark.core.metadata import (PartitionField,
+                                                     PartitionSpec)
+        from iceberg_cpp_spark.functions import transforms as tr
+
+        pspec = PartitionSpec(spec_id=0, fields=[PartitionField(
+            source_id=2, field_id=1000, name="data",
+            transform=tr.IdentityTransform())])
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema(), spec=pspec)
+        t = t.update_properties({
+            nm.PROPERTY_KEY:
+                nm.NameMapping.from_schema(t.schema()).to_json_string(),
+            "engine.read.name-based": "true",
+            "engine.commit.manifest-shard-entries": "2"})
+        rows = []
+        for i, part in enumerate(("a", "b", "c", "d")):
+            p = os.path.join(tmp_loc, f"p{part}.parquet")
+            pq.write_table(pa.table({"id": [i], "data": [part]}), p)
+            pj = mf.partition_to_json({"data": part}, pspec, t.schema())
+            rows.append((p, 1, os.path.getsize(p), pj))
+        desc = spark.createDataFrame(
+            rows, "file_path string, record_count long, "
+                  "file_size_in_bytes long, partition_json string")
+        t = t.commit_files_df(desc)
+        mfs = list(mf.read_manifest_list(t.current_snapshot().manifest_list))
+        assert len(mfs) >= 2
+        for m in mfs:
+            assert len(m.partitions) == 1
+            assert m.partitions[0].lower_bound is not None
+            assert m.partitions[0].upper_bound is not None
+        # list-level pruning: at least one shard manifest's summary
+        # excludes 'a' entirely
+        lowers = {m.partitions[0].lower_bound for m in mfs}
+        assert len(lowers) >= 2

@@ -317,3 +317,43 @@ class TestTransaction:
         assert got[2] == "upd2" and got[7] == "new7"
         assert {100, 101} <= set(got)
         assert out.properties()["stage"] == "merged"
+
+
+class TestTransactionBulkRegister:
+    def test_rebase_after_bulk_register_then_delete(self, spark, tmp_loc):
+        """ADVICE r13 (medium): commit_files_df registers files as
+        prebuilt shard pointers (new_files=[]); a later delete_where in
+        the SAME txn puts those paths in drop/require sets. A conflict
+        rebase must recognize them as txn-added (the replay re-adds
+        them) instead of demanding them live on the fresh head and
+        raising a spurious ValidationError."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from iceberg_cpp_spark.core import name_mapping as nm
+
+        paths = []
+        for i in range(4):
+            p = os.path.join(tmp_loc, f"bulk{i}.parquet")
+            pq.write_table(pa.table({"id": [1000 + i],
+                                     "data": [f"b{i}"]}), p)
+            paths.append(p)
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        t = t.append(_df(spark, 0, 3))
+        t = t.update_properties({
+            nm.PROPERTY_KEY:
+                nm.NameMapping.from_schema(t.schema()).to_json_string(),
+            "engine.read.name-based": "true",
+            "engine.commit.manifest-shard-entries": "2"})
+        txn = t.new_transaction()
+        desc = spark.createDataFrame(
+            [(p, 1, os.path.getsize(p)) for p in paths],
+            "file_path string, record_count long, file_size_in_bytes long")
+        txn.commit_files_df(desc)
+        # rows that exist ONLY in the bulk-registered files
+        txn.delete_where(ex.gt_eq(ex.Reference("id"), 1002))
+        other = IceTable.load(spark, f"{tmp_loc}/t")
+        other.append(_df(spark, 100, 102, tag="z"))
+        out = txn.commit()  # CAS fails once; rebase must NOT raise
+        got = sorted(r["id"] for r in out.to_df().collect())
+        assert got == [0, 1, 2, 100, 101, 1000, 1001]
