@@ -1273,7 +1273,9 @@ def _build_and_write_dv_shards(spark, rows: DataFrame,
             [(p, -1) for p in sorted(old_ptrs)], "file_path string, pos long")
         rows = rows.unionByName(markers)
     if live is not None:
-        rows = rows.join(F.broadcast(live), "file_path", "left_semi")
+        # no forced broadcast: at 10^6+ live files the path set is
+        # hundreds of MB — AQE broadcasts when it is actually small
+        rows = rows.join(live, "file_path", "left_semi")
     bc = spark.sparkContext.broadcast(old_ptrs)
 
     def build_and_write(batches):
@@ -2098,12 +2100,12 @@ class IceTable:
                     .alias("file_path"), "pos")
         )
         # only vectors for LIVE data files survive the fold (a delete
-        # file may reference a since-compacted path) — metadata-scale
-        # semi-join, broadcast
-        live = sorted(t.file_path
-                      for t in self._branch_scan(branch).plan_files())
-        live_df = self.spark.createDataFrame([(p,) for p in live],
-                                             "file_path string")
+        # file may reference a since-compacted path). The live set comes
+        # from plan_files_df — the UNCOLLECTED plan plane — so a 10^6-file
+        # table never materializes a driver-side path list here (VERDICT
+        # r13 task 2); the semi-join stays executor-side end-to-end.
+        live_df = (self._branch_scan(branch).plan_files_df()
+                   .select("file_path"))
         drop = {d.file_path for d in pos}
         shard_rows = _build_and_write_dv_shards(
             self.spark, rows, old_ptrs,
@@ -2144,10 +2146,10 @@ class IceTable:
                 .filter(F.col("_deleted"))
                 .select(F.regexp_replace("_file", "^file:(//)?", "")
                         .alias("file_path"), F.col("_pos").alias("pos")))
-        live = sorted(t.file_path
-                      for t in self._branch_scan(branch).plan_files())
-        live_df = self.spark.createDataFrame([(p,) for p in live],
-                                             "file_path string")
+        # uncollected live set (plan_files_df), same as the pos-delete
+        # fold above: no O(#table-files) driver list on this plane
+        live_df = (self._branch_scan(branch).plan_files_df()
+                   .select("file_path"))
         drop = {d.file_path for d in eqs} | {d.file_path for d in pos}
         # _deleted already reflects old DVs (the scan masks them), so the
         # rebuilt bitmap covers their positions — no pointer merge needed

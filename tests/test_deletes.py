@@ -430,3 +430,130 @@ class TestMorDml:
         t = t.delete_where(ex.eq(ex.Reference("k"), 0))
         assert t.to_df().count() == 7
         assert before <= {f.file_path for f in t.scan().plan_files()}
+
+
+class TestDvFoldUncollected:
+    """VERDICT r13 task 2: the DV-fold maintenance plane must never
+    materialize the table's live-file list on the driver — the live set
+    is a plan_files_df semi-join (executor-side end-to-end)."""
+
+    def test_fold_never_calls_driver_plan_files(self, spark, tmp_loc):
+        import unittest.mock as mock
+
+        from iceberg_cpp_spark.table import TableScan
+
+        sch = it.Schema([
+            it.NestedField(1, "k", it.LongType(), True),
+            it.NestedField(2, "v", it.LongType(), False),
+        ])
+        t = IceTable.create(spark, f"{tmp_loc}/t", sch,
+                            properties={"format-version": "3"})
+        t = t.append(spark.range(8).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+            .coalesce(1))
+        t = t.update_where(ex.eq(ex.Reference("k"), 1), {"v": 111},
+                           mode="merge-on-read")
+
+        def boom(self, *a, **kw):
+            raise AssertionError(
+                "rewrite_position_deletes materialized the live-file "
+                "plan on the driver (plan_files call)")
+
+        with mock.patch.object(TableScan, "plan_files", boom):
+            t = t.rewrite_position_deletes()
+        got = {r["k"]: r["v"] for r in t.to_df().collect()}
+        assert got[1] == 111 and len(got) == 8
+        # the fold actually produced a DV and dropped the parquet leg
+        dels = t.scan().plan_deletes()
+        assert dels and all(d.is_deletion_vector for d in dels)
+
+    def test_fold_eq_uncollected_live_set(self, spark, tmp_loc):
+        """The eq fold's LIVE SET is also plan_files_df now (its
+        materialization scan still plans tasks — that is the read
+        plane's job, with its own large-scan strategy)."""
+        sch = it.Schema([
+            it.NestedField(1, "k", it.LongType(), True),
+            it.NestedField(2, "v", it.LongType(), False),
+        ])
+        t = IceTable.create(spark, f"{tmp_loc}/t", sch,
+                            properties={"format-version": "3"})
+        t = t.append(spark.range(8).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+            .coalesce(1))
+        t = t.delete_by_keys(spark.createDataFrame([(2,)], "k long"))
+        t = t.rewrite_equality_deletes()
+        assert sorted(r["k"] for r in t.to_df().collect()) == [
+            0, 1, 3, 4, 5, 6, 7]
+        dels = t.scan().plan_deletes()
+        assert dels and all(d.is_deletion_vector for d in dels)
+
+    def test_fold_200k_synthetic_rss(self, spark, tmp_loc):
+        """ice_commit_1m's RSS discipline on the DV-fold plane: a 200k
+        live-file table with a 10k-row position-delete fold keeps the
+        driver flat — the live set is never a Python list."""
+        import gc
+        import time as _time
+
+        from iceberg_cpp_spark.table import DataOperation
+
+        sch = it.Schema(
+            [it.NestedField(1, "id", it.LongType(), required=True)],
+            schema_id=0)
+        t = IceTable.create(spark, f"{tmp_loc}/t", sch,
+                            properties={"format-version": "3"})
+        n = 200_000
+        desc = spark.range(n).select(
+            F.concat(F.lit("/fake/data/part-"), F.col("id"),
+                     F.lit(".parquet")).alias("file_path"),
+            F.lit(100).cast("long").alias("record_count"),
+            F.lit(4096).cast("long").alias("file_size_in_bytes"))
+        t = t.commit_files_df(desc)
+        # one REAL pos-delete parquet over 10k of the synthetic files
+        # (the fold reads delete files, never data files); committed
+        # through the internal plane — v3 forbids REGISTERING new
+        # pos-delete files via commit_files_df by design
+        pd_dir = f"{tmp_loc}/pd"
+        (spark.range(10_000).select(
+            F.concat(F.lit("/fake/data/part-"), F.col("id") * 20,
+                     F.lit(".parquet")).alias("file_path"),
+            (F.col("id") % 100).alias("pos"))
+         .coalesce(1).sortWithinPartitions("file_path", "pos")
+         .write.parquet(pd_dir))
+        pd_path = next(os.path.join(pd_dir, f)
+                       for f in sorted(os.listdir(pd_dir))
+                       if f.endswith(".parquet"))
+        t = t._commit_files([mf.DataFile(
+            content=mf.CONTENT_POSITION_DELETES, file_path=pd_path,
+            file_format="parquet", partition={}, record_count=10_000,
+            file_size_in_bytes=os.path.getsize(pd_path))],
+            operation=DataOperation.DELETE)
+
+        def _rss_mb() -> float:
+            with open("/proc/self/status") as fh:
+                for line in fh:
+                    if line.startswith("VmRSS:"):
+                        return int(line.split()[1]) / 1024.0
+            return 0.0
+
+        gc.collect()
+        rss0 = _rss_mb()
+        t0 = _time.time()
+        t = t.rewrite_position_deletes()
+        el = _time.time() - t0
+        gc.collect()
+        delta = _rss_mb() - rss0
+        assert delta < 400, (
+            f"200k-file DV fold grew driver RSS by {delta:.0f} MiB — "
+            "a live-file list leaked onto the driver")
+        assert el < 120, f"200k-file DV fold took {el:.1f}s"
+        dels = t.scan().plan_deletes()
+        assert len(dels) == 10_000
+        assert all(d.is_deletion_vector for d in dels)
+
+
+def boom_factory():
+    def boom(self, *a, **kw):
+        raise AssertionError(
+            "maintenance fold materialized the live-file plan on "
+            "the driver (plan_files call)")
+    return boom
