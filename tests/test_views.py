@@ -404,7 +404,10 @@ class TestIncrementalMvRefresh:
         assert mv.last_refresh_mode == "full"
         assert {tuple(r) for r in mv.to_df().collect()} == inc
 
-    def test_delete_in_history_falls_back_to_full(self, spark, tmp_loc):
+    def test_delete_in_history_group_targeted(self, spark, tmp_loc):
+        """MIN/MAX views through a delete used to FULL-recompute; since
+        r14 they take the group-targeted recompute path (the exact
+        result is unchanged — pinned here)."""
         from iceberg_cpp_spark.mview import IceMaterializedView
         from iceberg_cpp_spark.plans import expressions as ex
 
@@ -416,7 +419,7 @@ class TestIncrementalMvRefresh:
         src = src.delete_where(ex.eq(ex.Reference("k"), 1))
         mv.sources["src_t"] = src
         mv = mv.refresh()
-        assert mv.last_refresh_mode == "full"
+        assert mv.last_refresh_mode == "incremental-retract-groups"
         got = {r["v"]: r["n"] for r in mv.to_df().collect()}
         assert got == {0: 3, 1: 2, 2: 3}  # k=1 gone
 
@@ -564,8 +567,11 @@ class TestIncrementalMvRefresh:
                 mv.refresh(force=True).to_df().collect()} == inc
 
     def test_retract_needs_count_star(self, spark, tmp_loc):
-        """SUM-only views can't tell a dead group from a zero-sum one —
-        deletes force the full recompute."""
+        """SUM-only views can't tell a dead group from a zero-sum one,
+        so they are NOT retractable via negated partials — since r14
+        deletes route them through the group-targeted recompute (which
+        re-aggregates affected groups from the source, so dead groups
+        vanish exactly)."""
         from iceberg_cpp_spark.mview import (IceMaterializedView,
                                              classify_incremental)
         from iceberg_cpp_spark.plans import expressions as ex
@@ -578,17 +584,19 @@ class TestIncrementalMvRefresh:
         src = src.delete_where(ex.eq(ex.Reference("k"), 1))
         mv.sources["src_t"] = src
         mv = mv.refresh()
-        assert mv.last_refresh_mode == "full"
+        assert mv.last_refresh_mode == "incremental-retract-groups"
         got = {r["v"]: r["sum_k"] for r in mv.to_df().collect()}
         assert got == {0: 0 + 3, 1: 4, 2: 2 + 5}
 
-    def test_retract_minmax_still_full(self, spark, tmp_loc):
-        """MIN/MAX aren't retractable (the deleted value may have been
-        the extreme) — the existing full fallback stays."""
+    def test_retract_minmax_not_retractable(self, spark, tmp_loc):
+        """MIN/MAX aren't retractable via negated partials (the deleted
+        value may have been the extreme) — they classify as
+        non-retractable and take the group-targeted path instead."""
         from iceberg_cpp_spark.mview import classify_incremental
 
         plan = classify_incremental(self.SQL, {"src_t"})
         assert plan is not None and not plan["retractable"]
+        assert plan["key_cols"] == ["v"]
 
     def test_multi_source_stays_full(self, spark, tmp_loc):
         from iceberg_cpp_spark.mview import IceMaterializedView
@@ -715,3 +723,128 @@ class TestIncrementalMvRefresh:
             full = {tuple(r) for r in
                     mv.refresh(force=True).to_df().collect()}
             assert inc == full, f"step {step}: {inc ^ full}"
+
+
+class TestMvRetractGroups:
+    """MIN/MAX through a deleting history (VERDICT r13 task 5): the
+    refresh recomputes ONLY the affected groups — the changed rows'
+    group keys push into the source scan as a file-pruning predicate —
+    instead of a full recompute."""
+
+    MINMAX_SQL = ("SELECT v, MIN(k) AS min_k, MAX(k) AS max_k, "
+                  "COUNT(*) AS n FROM src_t GROUP BY v")
+
+    def _part_src(self, spark, loc):
+        from iceberg_cpp_spark.core.metadata import (PartitionField,
+                                                     PartitionSpec)
+        from iceberg_cpp_spark.functions import transforms as tr
+
+        sch = it.Schema([it.NestedField(1, "k", it.LongType(), True),
+                         it.NestedField(2, "v", it.LongType(), False)])
+        spec = PartitionSpec(spec_id=0, fields=[PartitionField(
+            source_id=2, field_id=1000, name="v",
+            transform=tr.IdentityTransform())])
+        t = IceTable.create(spark, loc, sch, spec=spec)
+        return t.append(spark.range(0, 6).select(
+            F.col("id").alias("k"), (F.col("id") % 3).alias("v")))
+
+    def test_minmax_delete_scans_only_affected_group(self, spark,
+                                                     tmp_loc):
+        """Proven group-pruned the hard way: the files of the UNTOUCHED
+        partition are removed from disk before the refresh — a full
+        (or unpruned) recompute would crash. (The k=4 CoW delete
+        rewrites the v=1 AND v=2 files — their k-bounds both admit 4 —
+        so v=0 is the provably-unread partition.)"""
+        from iceberg_cpp_spark.mview import IceMaterializedView
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        src = self._part_src(spark, f"{tmp_loc}/src")  # v=k%3, k 0..5
+        mv = IceMaterializedView.create(
+            spark, f"{tmp_loc}/mv", self.MINMAX_SQL, {"src_t": src})
+        src = src.delete_where(ex.eq(ex.Reference("k"), 4))
+        mv.sources["src_t"] = src
+        for f in src.scan().plan_files():
+            if f.partition.get("v") == 0:
+                os.remove(f.file_path)
+        mv = mv.refresh()
+        assert mv.last_refresh_mode == "incremental-retract-groups"
+        got = {r["v"]: (r["min_k"], r["max_k"], r["n"])
+               for r in mv.to_df().collect()}
+        assert got == {0: (0, 3, 2), 1: (1, 1, 1), 2: (2, 5, 2)}
+
+    def test_minmax_group_dies_and_null_keys(self, spark, tmp_loc):
+        """An affected group left EMPTY vanishes (full-recompute
+        parity), and NULL group keys take the null-safe path."""
+        from iceberg_cpp_spark.mview import IceMaterializedView
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        sch = it.Schema([it.NestedField(1, "k", it.LongType(), True),
+                         it.NestedField(2, "v", it.LongType(), False)])
+        t = IceTable.create(spark, f"{tmp_loc}/src", sch)
+        t = t.append(spark.createDataFrame(
+            [(0, 0), (1, 0), (2, 1), (3, None), (4, None)],
+            "k long, v long"))
+        mv = IceMaterializedView.create(
+            spark, f"{tmp_loc}/mv", self.MINMAX_SQL, {"src_t": t})
+        # kill ALL of group v=1 and one row of the NULL group
+        t = t.delete_where(ex.or_(ex.eq(ex.Reference("v"), 1),
+                                  ex.eq(ex.Reference("k"), 4)))
+        mv.sources["src_t"] = t
+        mv = mv.refresh()
+        assert mv.last_refresh_mode == "incremental-retract-groups"
+        got = {r["v"]: (r["min_k"], r["max_k"], r["n"])
+               for r in mv.to_df().collect()}
+        assert got == {0: (0, 1, 2), None: (3, 3, 1)}
+
+    def test_minmax_matches_full_recompute_property(self, spark,
+                                                    tmp_loc):
+        """Randomized mixed append/delete history: the group-targeted
+        path must equal a forced full recompute after every step."""
+        import random
+
+        from iceberg_cpp_spark.mview import IceMaterializedView
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        rng = random.Random(14)
+        src = self._part_src(spark, f"{tmp_loc}/src")
+        mv = IceMaterializedView.create(
+            spark, f"{tmp_loc}/mv", self.MINMAX_SQL, {"src_t": src})
+        nxt = 100
+        for step in range(5):
+            if rng.random() < 0.5:
+                src = src.append(spark.range(nxt, nxt + 4).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") % 3).alias("v")))
+                nxt += 4
+            else:
+                live = [r["k"] for r in src.to_df().collect()]
+                kill = rng.choice(live)
+                src = src.delete_where(ex.eq(ex.Reference("k"), kill))
+            mv.sources["src_t"] = src
+            mv = mv.refresh()
+            assert mv.last_refresh_mode in (
+                "incremental", "incremental-retract-groups"), f"step {step}"
+            got = sorted(tuple(r) for r in mv.to_df().collect())
+            src.create_or_replace_view("src_t")
+            want = sorted(tuple(r) for r in
+                          spark.sql(self.MINMAX_SQL).collect())
+            assert got == want, f"step {step}"
+
+    def test_keyless_minmax_keeps_full_recompute(self, spark, tmp_loc):
+        """Group-key-less shape (key not selected): classifier rejects
+        it, refresh stays the always-correct full recompute."""
+        from iceberg_cpp_spark.mview import (IceMaterializedView,
+                                             classify_incremental)
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        sql = "SELECT MIN(k) AS min_k FROM src_t GROUP BY v"
+        assert classify_incremental(sql, {"src_t"}) is None
+        src = self._part_src(spark, f"{tmp_loc}/src")
+        mv = IceMaterializedView.create(
+            spark, f"{tmp_loc}/mv", sql, {"src_t": src})
+        src = src.delete_where(ex.eq(ex.Reference("k"), 4))
+        mv.sources["src_t"] = src
+        mv = mv.refresh()
+        assert mv.last_refresh_mode == "full"
+        assert sorted(r["min_k"] for r in mv.to_df().collect()) == [
+            0, 1, 2]
