@@ -3036,6 +3036,14 @@ class IceTable:
         anti-join. Below it, a driver walk — no job overhead on small
         tables."""
         self._check_gc_enabled("remove_orphan_files")
+        if self._txn is not None:
+            # a txn's pending files are referenced by the WORKING
+            # metadata, but physical deletion is not transactional (no
+            # rollback on abort) and a working-copy view of "orphan" is
+            # semantically confused — refuse loudly, run it on the base
+            raise ValueError(
+                "remove_orphan_files is not transaction-aware — run it "
+                "on the base table outside the transaction")
         meta = self.metadata
         cur = meta.current_snapshot()
         total = 0

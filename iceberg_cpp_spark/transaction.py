@@ -108,6 +108,35 @@ class Transaction:
         self.working.commit_files_df(files_df, branch=self.branch, **kw)
         return self
 
+    def update_where(self, expr, assignments: dict, **kw) -> "Transaction":
+        self._check_open()
+        self.working.update_where(expr, assignments, branch=self.branch,
+                                  **kw)
+        return self
+
+    def delete_by_keys(self, keys) -> "Transaction":
+        self._check_open()
+        self.working.delete_by_keys(keys, branch=self.branch)
+        return self
+
+    def rewrite_data_files(self, **kw) -> "Transaction":
+        """Compaction joins the pending chain. REPLACE semantics apply
+        batch-wide on a conflict rebase: any concurrent commit raises
+        ValidationError (the compacted output may not reflect it)."""
+        self._check_open()
+        self.working.rewrite_data_files(branch=self.branch, **kw)
+        return self
+
+    def rewrite_position_deletes(self) -> "Transaction":
+        self._check_open()
+        self.working.rewrite_position_deletes(branch=self.branch)
+        return self
+
+    def rewrite_equality_deletes(self) -> "Transaction":
+        self._check_open()
+        self.working.rewrite_equality_deletes(branch=self.branch)
+        return self
+
     def update_properties(self, updates: Optional[dict] = None,
                           removals: Optional[list] = None) -> "Transaction":
         self._check_open()

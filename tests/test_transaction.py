@@ -357,3 +357,119 @@ class TestTransactionBulkRegister:
         out = txn.commit()  # CAS fails once; rebase must NOT raise
         got = sorted(r["id"] for r in out.to_df().collect())
         assert got == [0, 1, 2, 100, 101, 1000, 1001]
+
+
+class TestTransactionSurface:
+    """VERDICT r13 task 4: every public mutator's transaction behavior
+    is pinned — COMPOSE for the _commit_files-based DML/maintenance
+    planes (explicit Transaction methods), REFUSE LOUDLY for
+    metadata-plane ops and physical-delete maintenance. No silent
+    base-table commit from a working copy."""
+
+    def _seeded(self, spark, tmp_loc, props=None):
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema(),
+                            properties=props or {})
+        return t.append(_df(spark, 0, 6))
+
+    def test_update_where_composes(self, spark, tmp_loc):
+        t = self._seeded(spark, tmp_loc)
+        txn = t.new_transaction()
+        txn.append(_df(spark, 10, 12, tag="y"))
+        txn.update_where(ex.lt(ex.Reference("id"), 2), {"data": "zz"})
+        assert IceTable.load(spark, f"{tmp_loc}/t").to_df().count() == 6
+        out = txn.commit()
+        got = {r["id"]: r["data"] for r in out.to_df().collect()}
+        assert got[0] == "zz" and got[1] == "zz" and len(got) == 8
+        # the pending append's rows were visible to the update
+        assert got[10] == "y10"
+
+    def test_update_where_updates_pending_rows(self, spark, tmp_loc):
+        t = self._seeded(spark, tmp_loc)
+        txn = t.new_transaction()
+        txn.append(_df(spark, 100, 102, tag="y"))
+        txn.update_where(ex.gt_eq(ex.Reference("id"), 100), {"data": "u"})
+        out = txn.commit()
+        got = {r["id"]: r["data"] for r in out.to_df().collect()}
+        assert got[100] == "u" and got[101] == "u"
+
+    def test_delete_by_keys_composes(self, spark, tmp_loc):
+        t = self._seeded(spark, tmp_loc)
+        txn = t.new_transaction()
+        txn.append(_df(spark, 10, 13, tag="y"))
+        # equality delete lands AFTER the append in the chain: it
+        # applies to the pending rows too (seq ordering inside the txn)
+        txn.delete_by_keys(spark.createDataFrame([(1,), (11,)], "id long"))
+        out = txn.commit()
+        assert sorted(r["id"] for r in out.to_df().collect()) == [
+            0, 2, 3, 4, 5, 10, 12]
+
+    def test_rewrite_data_files_composes(self, spark, tmp_loc):
+        t = self._seeded(spark, tmp_loc)
+        t = t.append(_df(spark, 6, 12))
+        txn = t.new_transaction()
+        txn.append(_df(spark, 100, 103, tag="y"))
+        txn.rewrite_data_files(target_file_count=1)
+        out = txn.commit()
+        assert out.to_df().count() == 15
+        assert len(out.scan().plan_files()) == 1  # compacted w/ pending
+
+    def test_rewrite_data_files_conflicts_with_any_commit(self, spark,
+                                                          tmp_loc):
+        t = self._seeded(spark, tmp_loc)
+        txn = t.new_transaction()
+        txn.rewrite_data_files(target_file_count=1)
+        other = IceTable.load(spark, f"{tmp_loc}/t")
+        other.append(_df(spark, 100, 102, tag="z"))
+        with pytest.raises(ValidationError):
+            txn.commit()  # whole-content replace vs concurrent append
+
+    def test_rewrite_position_deletes_composes(self, spark, tmp_loc):
+        t = self._seeded(spark, tmp_loc, {"format-version": "3"})
+        v0 = len(_meta_versions(f"{tmp_loc}/t"))
+        txn = t.new_transaction()
+        txn.delete_where(ex.eq(ex.Reference("id"), 2),
+                         mode="merge-on-read")
+        txn.rewrite_position_deletes()
+        out = txn.commit()
+        assert len(_meta_versions(f"{tmp_loc}/t")) == v0 + 1  # ONE CAS
+        assert sorted(r["id"] for r in out.to_df().collect()) == [
+            0, 1, 3, 4, 5]
+        dels = out.scan().plan_deletes()
+        assert dels and all(d.is_deletion_vector for d in dels)
+
+    def test_rewrite_equality_deletes_composes(self, spark, tmp_loc):
+        t = self._seeded(spark, tmp_loc, {"format-version": "3"})
+        txn = t.new_transaction()
+        txn.delete_by_keys(spark.createDataFrame([(3,)], "id long"))
+        txn.rewrite_equality_deletes()
+        out = txn.commit()
+        assert sorted(r["id"] for r in out.to_df().collect()) == [
+            0, 1, 2, 4, 5]
+        dels = out.scan().plan_deletes()
+        assert dels and all(d.is_deletion_vector for d in dels)
+
+    def test_metadata_plane_ops_refuse_loudly(self, spark, tmp_loc):
+        """expire_snapshots / refs / rollback / spec evolution /
+        orphan cleanup would either vanish from the rebase log or
+        delete files non-transactionally — all must raise, and the
+        BASE table must stay untouched."""
+        t = self._seeded(spark, tmp_loc)
+        t = t.append(_df(spark, 6, 9))
+        txn = t.new_transaction()
+        txn.append(_df(spark, 100, 102, tag="y"))
+        w = txn.table()
+        with pytest.raises(ValueError, match="not transaction-aware"):
+            w.expire_snapshots(keep_last=1)
+        with pytest.raises(ValueError, match="not transaction-aware"):
+            w.create_branch("audit")
+        with pytest.raises(ValueError, match="not transaction-aware"):
+            w.rollback_to(t.snapshots()[0].snapshot_id)
+        with pytest.raises(ValueError, match="not transaction-aware"):
+            w.update_spec([])
+        with pytest.raises(ValueError,
+                           match="not transaction-aware"):
+            w.remove_orphan_files(dry_run=True)
+        # the failed calls left no base commit and the txn still works
+        assert IceTable.load(spark, f"{tmp_loc}/t").to_df().count() == 9
+        out = txn.commit()
+        assert out.to_df().count() == 11
