@@ -2048,6 +2048,42 @@ def ice_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def ice_sql_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thin SQL ENTRY POINT (sql.py IceSqlEngine, r14 — VERDICT r13
+    task 8): ``eng.sql("SELECT ... FROM ice.db.tbl")`` resolves catalog
+    identifiers to engine scans and spec-view SQL, registers temp views
+    and delegates to spark.sql. Here the q1 pricing-summary shape runs
+    through one SQL string against a catalog-registered lineitem copy
+    READ VIA A SPEC VIEW (db.shipped), so catalog resolution, view-SQL
+    recursion and the table scan plane are all on the measured path."""
+    from iceberg_cpp_spark import IceSqlEngine
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.sources.catalog import FileSystemCatalog
+
+    li = _t(spark, sf_dir, "lineitem")
+    cat = FileSystemCatalog(os.path.join(
+        tempfile.mkdtemp(prefix="ice_sqleng_"), "wh"))
+    cat.create_namespace("db")
+    cat.create_table("db.li", schema_from_spark(li.schema))
+    t = cat.load_table("db.li", spark=spark)
+    t.append(li)
+    cat.create_view(
+        "db.shipped",
+        "SELECT * FROM ice.db.li "
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'",
+        schema_from_spark(li.schema))
+    eng = IceSqlEngine(spark, cat)
+    return eng.sql("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+               COUNT(*) AS count_order
+        FROM ice.db.shipped
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """)
+
+
 def ice_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """z-order compaction: rewrite clustered on (l_orderkey, l_partkey),
     then a filtered aggregate — results must be unchanged by the rewrite
@@ -3220,6 +3256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_shipping_modes": q12_shipping_modes,
         "window_top_orders": window_top_orders,
         "ice_sql_view": ice_sql_view,
+        "ice_sql_engine": ice_sql_engine,
         "ice_typed_columns": ice_typed_columns,
         "ice_avro_manifests": ice_avro_manifests,
         "ice_sorted_write": ice_sorted_write,
@@ -4151,6 +4188,16 @@ def oracle_sql() -> dict[str, str]:
                                   l_linestatus) AS rnk
               FROM lineitem GROUP BY l_returnflag, l_linestatus)
             WHERE rnk <= 2
+        """,
+        "ice_sql_engine": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
         """,
         "ice_zorder": """
             SELECT l_returnflag, COUNT(*) AS n,

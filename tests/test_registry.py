@@ -35,6 +35,7 @@ def test_driver_cap_window_composition():
         # --- operators whose machinery is pinned by an in-window row +
         # --- dedicated pytest suites (stable extras since r03-r10):
         "ice_sql_view",     # SQL temp-view surface (ice_datasource extras row binds the same datasource; ice_pyds_scan in-window)
+        "ice_sql_engine",   # r14 thin SQL front end (catalog-resolved identifiers → the SAME IceTable scan plane every in-window ice_* row exercises; resolution/masking/view-recursion pinned by tests/test_sql_engine.py; rotation #7 candidate)
         "ice_typed_columns",  # typed-primitive scan (decimal/date/ts columns exercised by most in-window ice queries)
         "dedup_minhash_verified",  # LSH + Jaccard verify pass (dedup_minhash in-window)
         "ice_avro_manifests",  # Avro manifest read/write (ice_avro_v3 in-window)

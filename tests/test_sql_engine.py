@@ -1,0 +1,104 @@
+"""Thin SQL front end (VERDICT r13 task 8): catalog identifiers
+resolve to engine scans / spec views, everything else is spark.sql.
+The reference exposes only a C++ API; this is the Spark-user surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_cpp_spark import IceSqlEngine, IceTable
+from iceberg_cpp_spark.core import types as it
+from iceberg_cpp_spark.plans import expressions as ex
+from iceberg_cpp_spark.sources.catalog import FileSystemCatalog
+
+
+def _schema():
+    return it.Schema([
+        it.NestedField(1, "id", it.LongType(), True),
+        it.NestedField(2, "data", it.StringType(), False),
+    ])
+
+
+@pytest.fixture()
+def cat(spark, tmp_loc):
+    c = FileSystemCatalog(f"{tmp_loc}/wh")
+    c.create_namespace("db")
+    c.create_table("db.t", _schema())
+    t = c.load_table("db.t", spark=spark)
+    t.append(spark.range(6).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("data")))
+    c.create_table("db.dim", _schema())
+    d = c.load_table("db.dim", spark=spark)
+    d.append(spark.createDataFrame(
+        [(0, "even"), (1, "odd")], "id long, data string"))
+    return c
+
+
+class TestIceSqlEngine:
+    def test_basic_select(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        got = eng.sql(
+            "SELECT count(*) AS n, sum(id) AS s FROM ice.db.t "
+            "WHERE id >= 2").collect()[0]
+        assert (got["n"], got["s"]) == (4, 2 + 3 + 4 + 5)
+
+    def test_join_and_repeated_identifier(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        got = eng.sql("""
+            SELECT d.data AS parity, count(*) AS n
+            FROM ice.db.t t JOIN ice.db.dim d ON t.id % 2 = d.id
+            WHERE t.id < 4 AND t.id IN (SELECT id FROM ice.db.t)
+            GROUP BY d.data ORDER BY parity
+        """).collect()
+        assert [(r["parity"], r["n"]) for r in got] == [
+            ("even", 2), ("odd", 2)]
+
+    def test_literals_never_bind(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        got = eng.sql(
+            "SELECT 'ice.db.missing' AS s, count(*) AS n "
+            "FROM ice.db.t").collect()[0]
+        assert got["s"] == "ice.db.missing" and got["n"] == 6
+
+    def test_unknown_identifier_loud(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="no such table or view"):
+            eng.sql("SELECT * FROM ice.db.nope")
+
+    def test_sees_engine_deletes(self, spark, cat):
+        """The binding is an IceTable scan: MoR deletes, schema
+        evolution, snapshot state all apply — not a raw parquet read."""
+        t = cat.load_table("db.t", spark=spark)
+        t.delete_where(ex.lt(ex.Reference("id"), 2))
+        eng = IceSqlEngine(spark, cat)
+        got = eng.sql(
+            "SELECT min(id) AS lo FROM ice.db.t").collect()[0]
+        assert got["lo"] == 2
+
+    def test_spec_view_resolves_recursively(self, spark, cat):
+        sch = it.Schema([it.NestedField(1, "id", it.LongType(), True)],
+                        schema_id=0)
+        cat.create_view("db.big", "SELECT id FROM ice.db.t WHERE id >= 3",
+                        sch)
+        cat.create_view("db.bigger",
+                        "SELECT id FROM ice.db.big WHERE id >= 4", sch)
+        eng = IceSqlEngine(spark, cat)
+        got = eng.sql("SELECT count(*) AS n FROM ice.db.bigger"
+                      ).collect()[0]
+        assert got["n"] == 2  # ids 4, 5
+
+    def test_custom_catalog_name_and_one_shot(self, spark, cat):
+        from iceberg_cpp_spark.sql import sql as one_shot
+
+        got = one_shot(spark, cat,
+                       "SELECT count(*) AS n FROM lake.db.t",
+                       catalog_name="lake").collect()[0]
+        assert got["n"] == 6
+        # the default prefix does NOT bind other dotted names: a plain
+        # Spark temp view keeps working alongside
+        spark.range(3).createOrReplaceTempView("plain")
+        eng = IceSqlEngine(spark, cat)
+        got = eng.sql("SELECT (SELECT count(*) FROM plain) AS a, "
+                      "count(*) AS n FROM ice.db.t").collect()[0]
+        assert (got["a"], got["n"]) == (3, 6)
