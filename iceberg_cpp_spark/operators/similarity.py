@@ -88,7 +88,20 @@ def train_centroids(corpus: DataFrame, ncentroids: int = 16,
     practice the first file): on a 100 TB time- or source-partitioned
     corpus that trains centroids on one shard and silently collapses
     recall (VERDICT r4). Without an id column the vector's own string
-    form is hashed instead."""
+    form is hashed instead.
+
+    ``sample_rows`` is the ONE driver-side materialization in the ANN
+    plane, so it is capped: past 1M sampled vectors (~GBs of float64 at
+    typical dims, plus the O(sample x ncentroids) distance matrix) the
+    call refuses instead of OOMing the driver mid-job."""
+    _MAX_SAMPLE = 1_000_000
+    if sample_rows > _MAX_SAMPLE:
+        raise ValueError(
+            f"sample_rows={sample_rows} exceeds the driver-safe cap "
+            f"({_MAX_SAMPLE}): centroid training materializes the "
+            "sample (and an O(sample x ncentroids) distance matrix) on "
+            "the driver — train on a bounded sample; assignment is "
+            "distributed regardless")
     X = _uniform_sample(corpus, vec_col, sample_rows, id_col)
     rs = np.random.RandomState(_SEED)
     C = X[rs.choice(len(X), size=min(ncentroids, len(X)), replace=False)]

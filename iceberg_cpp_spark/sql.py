@@ -10,7 +10,10 @@ bindings, and the rest — joins, CTEs, windows, the whole SQL surface —
 is ``spark.sql``. Nothing re-implements SQL; the engine contributes
 exactly what Spark cannot know: snapshot resolution, schema evolution,
 delete-file application, partition/metrics pruning (all inside the
-IceTable scan the temp view wraps) and view-spec SQL resolution.
+IceTable scan the temp view wraps), view-spec SQL resolution, and time
+travel — ``FROM ice.db.t VERSION AS OF <snapshot_id>`` or
+``TIMESTAMP AS OF '<ts>'`` (FOR SYSTEM_VERSION / FOR SYSTEM_TIME
+spellings accepted) binds the scan to the historical snapshot.
 
 Scale shape: a binding is one ``TableScan.to_df()`` DataFrame — the
 same lazy, pruned, distributed plan every other entry point gets; the
@@ -24,9 +27,19 @@ import re
 from typing import Optional
 
 # <catalog>.<part>(.<part>)+ — at least catalog.ns.name; parts after
-# the catalog prefix form the identifier (namespace levels + name)
+# the catalog prefix form the identifier (namespace levels + name).
+# An optional time-travel clause binds the identifier to a historical
+# snapshot: `VERSION AS OF <snapshot_id>` / `TIMESTAMP AS OF '<ts>'`
+# (with the usual FOR SYSTEM_VERSION / FOR SYSTEM_TIME spellings); the
+# timestamp literal appears MASKED (\\x00N\\x00) because literals are
+# stashed before matching.
 _IDENT = re.compile(
-    r"\b(?P<cat>[A-Za-z_]\w*)\.(?P<rest>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)")
+    r"\b(?P<cat>[A-Za-z_]\w*)\.(?P<rest>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)"
+    r"(?:\s+(?:for\s+)?(?:system_version|version)\s+as\s+of\s+"
+    r"(?P<ver>\d+)"
+    r"|\s+(?:for\s+)?(?:system_time|timestamp)\s+as\s+of\s+"
+    r"(?P<ts>\x00\d+\x00))?",
+    re.I)
 # single- and double-quoted SQL literals (with '' escapes); masked so a
 # path like 'ice.db.t' inside a string never binds
 _LITERAL = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"")
@@ -59,30 +72,50 @@ class IceSqlEngine:
                 "(circular view definition?)")
         masked, lits = self._mask(query)
         out = masked
-        bound: dict[str, str] = {}
+        bound: dict[tuple, str] = {}
         # right-to-left so span replacement never shifts earlier matches
         for m in reversed(list(_IDENT.finditer(masked))):
             if m.group("cat") != self.catalog_name:
                 continue
             ident = m.group("rest")
-            view = bound.get(ident)
+            ver = int(m.group("ver")) if m.group("ver") else None
+            ts = (self._unmask(m.group("ts"), lits)
+                  if m.group("ts") else None)
+            key = (ident, ver, ts)
+            view = bound.get(key)
             if view is None:
-                view = self._bind(ident, depth)
-                bound[ident] = view
+                view = self._bind(ident, depth, snapshot_id=ver,
+                                  as_of=ts)
+                bound[key] = view
             out = out[:m.start()] + view + out[m.end():]
         return self.spark.sql(self._unmask(out, lits))
 
-    def _bind(self, ident: str, depth: int) -> str:
+    def _bind(self, ident: str, depth: int,
+              snapshot_id: Optional[int] = None,
+              as_of: Optional[str] = None) -> str:
         """Resolve one catalog identifier to a temp-view name: tables
         become IceTable scans (snapshot/schema/delete resolution all
-        engine-side); spec views resolve their CURRENT version's SQL
-        recursively (it may reference catalog identifiers itself)."""
+        engine-side — time travel binds the scan to the named snapshot
+        or the snapshot current AS OF the timestamp); spec views resolve
+        their CURRENT version's SQL recursively (it may reference
+        catalog identifiers itself)."""
         safe = ident.replace(".", "_")
         name = f"__ice_sql_{safe}"
+        if snapshot_id is not None:
+            name += f"_v{snapshot_id}"
+        elif as_of is not None:
+            name += f"_t{abs(hash(as_of)) % 10**8}"
         if self.catalog.table_exists(ident):
             t = self.catalog.load_table(ident, spark=self.spark)
-            t.scan().to_df().createOrReplaceTempView(name)
+            scan = t.scan(snapshot_id=snapshot_id)
+            if as_of is not None:
+                scan = scan.as_of(self._parse_ts_ms(as_of))
+            scan.to_df().createOrReplaceTempView(name)
             return name
+        if snapshot_id is not None or as_of is not None:
+            raise ValueError(
+                f"time travel applies to tables; {ident!r} is not a "
+                f"table in catalog {self.catalog_name!r}")
         if hasattr(self.catalog, "view_exists") \
                 and self.catalog.view_exists(ident):
             v = self.catalog.load_view(ident)
@@ -98,6 +131,25 @@ class IceSqlEngine:
         raise ValueError(
             f"no such table or view in catalog "
             f"{self.catalog_name!r}: {ident!r}")
+
+    @staticmethod
+    def _parse_ts_ms(lit: str) -> int:
+        """``TIMESTAMP AS OF`` literal → epoch millis. The quoted
+        string parses as ISO (date or timestamp), interpreted as UTC
+        when it carries no zone — snapshot timestamps are UTC epoch
+        millis, so the comparison is zone-stable."""
+        from datetime import datetime, timezone
+
+        s = lit.strip().strip("'\"").replace("''", "'")
+        try:
+            dt = datetime.fromisoformat(s)
+        except ValueError as e:
+            raise ValueError(
+                f"cannot parse TIMESTAMP AS OF literal {lit!r}: {e}"
+            ) from None
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return int(dt.timestamp() * 1000)
 
     @staticmethod
     def _mask(query: str) -> tuple[str, list[str]]:

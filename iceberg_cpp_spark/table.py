@@ -3824,6 +3824,10 @@ class IceTable:
                     self.refresh()
             raise last
         finally:
+            # NOTE: the persisted descriptor frames must outlive the
+            # whole retry loop — a StaleRowIdSpanError re-author (and a
+            # txn conflict rebase) re-reads `sharded`; unpersisting any
+            # earlier would silently recompute the input lineage
             if sharded is not None:
                 sharded.unpersist()
             df.unpersist()
@@ -4353,6 +4357,46 @@ class IceTable:
                 out.append(writer.close())
         return out
 
+    def _affected_manifests(self, manifests: list,
+                            drop_paths: Optional[set],
+                            drop_dv_for: Optional[set]) -> Optional[set]:
+        """Which carried manifests can contain a dropped entry — the
+        executor-side discovery pass for large-table delete commits.
+        Returns None below the threshold (caller decodes every manifest
+        driver-side, cheaper than a Spark job for small tables) or a
+        SUPERSET of the affected manifest paths: parquet manifests are
+        scanned as one column-pruned Spark read semi-matched against
+        the drop targets; non-parquet (imported Avro) manifests are
+        conservatively included. A manifest outside the set provably
+        holds no dropped path and carries by pointer, undecoded."""
+        threshold = int(self.properties().get(
+            "engine.commit.carry-filter-distributed-threshold", "100000"))
+        est = sum((m.added_files_count or 0) + (m.existing_files_count or 0)
+                  for m in manifests)
+        if self.spark is None or est < threshold:
+            return None
+        targets = sorted(set(drop_paths or ()) | set(drop_dv_for or ()))
+        if not targets:
+            return None
+        pq = [m.manifest_path for m in manifests
+              if m.manifest_path.endswith(".parquet")]
+        out = {m.manifest_path for m in manifests
+               if not m.manifest_path.endswith(".parquet")}
+        if pq:
+            tgt = self.spark.createDataFrame(
+                [(p,) for p in targets], "t string")
+            rows = (self.spark.read.option("mergeSchema", "true")
+                    .parquet(*pq)
+                    .select("file_path", "referenced_data_file",
+                            F.col("_metadata.file_path").alias("_src"))
+                    .join(F.broadcast(tgt),
+                          (F.col("file_path") == F.col("t"))
+                          | (F.col("referenced_data_file") == F.col("t")),
+                          "inner")
+                    .select("_src").distinct().collect())
+            out.update(re.sub("^file:(//)?", "", r["_src"]) for r in rows)
+        return out
+
     def _commit_files_once(self, new_files: list[mf.DataFile], operation: str,
                            branch: str = MAIN_BRANCH, carry_existing: bool = True,
                            drop_paths: Optional[set] = None,
@@ -4471,8 +4515,19 @@ class IceTable:
                 return bool(ref and ((drop_dv_for and ref in drop_dv_for)
                                      or (drop_paths and ref in drop_paths)))
 
-            for m in mf.read_manifest_list(parent.manifest_list):
-                if drop_paths or drop_dv_for:
+            all_mfs = list(mf.read_manifest_list(parent.manifest_list))
+            # past the threshold, an executor-side pass names the
+            # manifests that actually CONTAIN a dropped path, so the
+            # driver decodes only those instead of every carried entry
+            # (O(#affected-entries), not O(#table-entries), per delete)
+            affected: Optional[set] = None
+            if drop_paths or drop_dv_for:
+                affected = self._affected_manifests(
+                    all_mfs, drop_paths, drop_dv_for)
+            for m in all_mfs:
+                if (drop_paths or drop_dv_for) and (
+                        affected is None
+                        or m.manifest_path in affected):
                     pspec = meta.spec_by_id(m.partition_spec_id) or spec
                     entries = mf.read_manifest(m.manifest_path, pspec, schema, manifest=m)
                     keep = [e for e in entries

@@ -437,3 +437,68 @@ class TestCommitFilesDfDeletes:
         # excludes 'a' entirely
         lowers = {m.partitions[0].lower_bound for m in mfs}
         assert len(lowers) >= 2
+
+
+class TestCarryFilterDistributed:
+    """r14: past `engine.commit.carry-filter-distributed-threshold`, a
+    delete commit discovers WHICH carried manifests contain a dropped
+    path executor-side and decodes only those on the driver — the
+    carry pass goes O(#affected-entries), not O(#table-entries)."""
+
+    def _bulk_table(self, spark, tmp_loc, n=9):
+        from iceberg_cpp_spark.core import name_mapping as nm
+
+        paths = _mk_parquet(tmp_loc, n)
+        t = IceTable.create(spark, f"{tmp_loc}/t", _schema())
+        t = t.update_properties({
+            nm.PROPERTY_KEY:
+                nm.NameMapping.from_schema(t.schema()).to_json_string(),
+            "engine.read.name-based": "true",
+            "engine.commit.manifest-shard-entries": "3"})
+        return t.commit_files_df(_descriptors(spark, paths, t.schema())), paths
+
+    def test_discovery_names_exactly_the_affected_manifests(self, spark,
+                                                            tmp_loc):
+        t, paths = self._bulk_table(spark, tmp_loc)
+        mfs = list(mf.read_manifest_list(t.current_snapshot().manifest_list))
+        assert len(mfs) >= 3
+        expected = {m.manifest_path for m in mfs
+                    if any(e.data_file.file_path == paths[0]
+                           for e in mf.read_manifest(
+                               m.manifest_path, t.metadata.spec(),
+                               t.schema(), manifest=m))}
+        # below the threshold: None (driver decodes everything — no
+        # Spark job overhead on small tables)
+        assert t._affected_manifests(mfs, {paths[0]}, None) is None
+        t = t.update_properties(
+            {"engine.commit.carry-filter-distributed-threshold": "1"})
+        aff = t._affected_manifests(mfs, {paths[0]}, None)
+        assert aff == expected and len(aff) < len(mfs)
+        # drop_dv_for probes referenced_data_file too (no DVs here →
+        # only non-parquet conservatism could add paths; none exist)
+        assert t._affected_manifests(mfs, None, {paths[0]}) == expected
+
+    def test_filtered_and_driver_carry_agree(self, spark, tmp_loc):
+        """Same delete against the same content, one commit with the
+        executor discovery forced on, one with it off: identical scan
+        results, identical live entry sets, untouched shard manifests
+        carried by POINTER in both."""
+        outs = []
+        for sub, thr in (("a", "1"), ("b", "999999999")):
+            loc = f"{tmp_loc}/{sub}"
+            os.makedirs(loc)
+            t, paths = self._bulk_table(spark, loc)
+            before = {m.manifest_path for m in mf.read_manifest_list(
+                t.current_snapshot().manifest_list)}
+            t = t.update_properties(
+                {"engine.commit.carry-filter-distributed-threshold": thr})
+            t = t.delete_where(ex.lt(ex.Reference("id"), 11))  # f0 only
+            after = {m.manifest_path for m in mf.read_manifest_list(
+                t.current_snapshot().manifest_list)}
+            # untouched shards carried by pointer (>= 2 of 3+ shards)
+            assert len(before & after) >= len(before) - 1
+            rows = sorted(tuple(r) for r in t.to_df().collect())
+            live = sorted(os.path.basename(e.data_file.file_path)
+                          for e in _all_entries(t) if e.is_live)
+            outs.append((rows, live))
+        assert outs[0] == outs[1]

@@ -530,6 +530,17 @@ class TestSimilarity:
         assert len(exact & rer) >= 0.6 * len(exact)
         assert len(exact & rer) >= len(exact & approx)
 
+    def test_centroid_sample_cap_is_loud(self, spark):
+        """The ONE driver-side materialization in the ANN plane is the
+        training sample — raising sample_rows past the memory-safe cap
+        must refuse loudly instead of OOMing the driver mid-job."""
+        import pandas as pd
+
+        emb = spark.createDataFrame(
+            pd.DataFrame([(0, [0.0] * 4)], columns=["vec_id", "embedding"]))
+        with pytest.raises(ValueError, match="driver-safe cap"):
+            similarity.train_centroids(emb, sample_rows=1_000_001)
+
     def test_centroid_sample_survives_degenerate_first_rows(self, spark):
         """VERDICT r4 item 2: the training sample must be uniform over
         the corpus, not `.limit()` (= first file). Corpus layout: the

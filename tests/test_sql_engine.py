@@ -102,3 +102,52 @@ class TestIceSqlEngine:
         got = eng.sql("SELECT (SELECT count(*) FROM plain) AS a, "
                       "count(*) AS n FROM ice.db.t").collect()[0]
         assert (got["a"], got["n"]) == (3, 6)
+
+
+class TestSqlTimeTravel:
+    def test_version_as_of(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        first = t.current_snapshot().snapshot_id
+        t.append(spark.createDataFrame([(100, "new")],
+                                       "id long, data string"))
+        got = eng.sql(
+            f"SELECT count(*) AS n FROM ice.db.t "
+            f"VERSION AS OF {first}").collect()[0]
+        assert got["n"] == 6
+        now = eng.sql("SELECT count(*) AS n FROM ice.db.t").collect()[0]
+        assert now["n"] == 7
+        # both bindings usable in ONE query
+        both = eng.sql(f"""
+            SELECT (SELECT count(*) FROM ice.db.t
+                    FOR SYSTEM_VERSION AS OF {first}) AS old_n,
+                   count(*) AS new_n
+            FROM ice.db.t""").collect()[0]
+        assert (both["old_n"], both["new_n"]) == (6, 7)
+
+    def test_timestamp_as_of(self, spark, cat):
+        from datetime import datetime, timezone
+
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        ts_ms = t.current_snapshot().timestamp_ms
+        t.append(spark.createDataFrame([(100, "new")],
+                                       "id long, data string"))
+        # exact-millisecond literal of the FIRST snapshot: as_of is a
+        # <= comparison, so this pins snapshot 1 without racing the
+        # second commit's wall clock
+        lit = datetime.fromtimestamp(
+            ts_ms / 1000, tz=timezone.utc).strftime(
+            "%Y-%m-%d %H:%M:%S.%f")
+        got = eng.sql(
+            f"SELECT count(*) AS n FROM ice.db.t "
+            f"TIMESTAMP AS OF '{lit}'").collect()[0]
+        assert got["n"] == 6
+
+    def test_time_travel_on_view_is_loud(self, spark, cat):
+        sch = it.Schema([it.NestedField(1, "id", it.LongType(), True)],
+                        schema_id=0)
+        cat.create_view("db.v", "SELECT id FROM ice.db.t", sch)
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="time travel applies"):
+            eng.sql("SELECT * FROM ice.db.v VERSION AS OF 1")
