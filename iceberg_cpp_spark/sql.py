@@ -43,6 +43,13 @@ _IDENT = re.compile(
 # single- and double-quoted SQL literals (with '' escapes); masked so a
 # path like 'ice.db.t' inside a string never binds
 _LITERAL = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"")
+# write statements against a catalog table: INSERT INTO appends,
+# INSERT OVERWRITE replaces; the body (SELECT/VALUES/CTE) resolves
+# through the same read path
+_INSERT = re.compile(
+    r"^\s*insert\s+(?P<mode>into|overwrite)\s+(?:table\s+)?"
+    r"(?P<cat>[A-Za-z_]\w*)\.(?P<rest>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)"
+    r"\s+(?P<body>.+)$", re.I | re.S)
 
 
 class IceSqlEngine:
@@ -61,8 +68,45 @@ class IceSqlEngine:
 
     def sql(self, query: str):
         """Resolve ``<catalog_name>.`` identifiers and run the query.
-        Returns the Spark DataFrame (lazy, as spark.sql does)."""
+        Reads return the Spark DataFrame (lazy, as spark.sql does).
+        ``INSERT INTO <cat>.<ns>.<tbl> <select|values>`` appends and
+        ``INSERT OVERWRITE`` replaces — one engine snapshot each; both
+        return an empty ``num_affected_rows``-shaped frame (DML result
+        convention; counting would force an extra job)."""
+        m = _INSERT.match(query.strip().rstrip(";"))
+        if m and m.group("cat") == self.catalog_name:
+            return self._insert(m.group("rest"), m.group("mode").lower(),
+                                m.group("body"))
         return self._sql(query, depth=0)
+
+    def _insert(self, ident: str, mode: str, body: str):
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        from iceberg_cpp_spark.core.types import to_spark_schema
+
+        if not self.catalog.table_exists(ident):
+            raise ValueError(
+                f"INSERT target is not a table in catalog "
+                f"{self.catalog_name!r}: {ident!r}")
+        t = self.catalog.load_table(ident, spark=self.spark)
+        df = self._sql(body, depth=0)
+        tgt = to_spark_schema(t.schema())
+        if len(df.columns) != len(tgt.fields):
+            raise ValueError(
+                f"INSERT column count {len(df.columns)} != table "
+                f"{ident!r} column count {len(tgt.fields)}")
+        # Spark INSERT semantics: positional with casts to the target
+        aligned = df.select(
+            *[F.col(c).cast(f.dataType).alias(f.name)
+              for c, f in zip(df.columns, tgt.fields)])
+        if mode == "into":
+            t.append(aligned)
+        else:
+            t.overwrite(aligned)
+        return self.spark.createDataFrame(
+            [], T.StructType([T.StructField("num_affected_rows",
+                                            T.LongType())]))
 
     # -- internals ---------------------------------------------------------
     def _sql(self, query: str, depth: int):

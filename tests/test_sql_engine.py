@@ -151,3 +151,34 @@ class TestSqlTimeTravel:
         eng = IceSqlEngine(spark, cat)
         with pytest.raises(ValueError, match="time travel applies"):
             eng.sql("SELECT * FROM ice.db.v VERSION AS OF 1")
+
+
+class TestSqlInsert:
+    def test_insert_into_values_and_select(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("INSERT INTO ice.db.t VALUES (100, 'x'), (101, 'y')")
+        got = eng.sql("SELECT count(*) AS n FROM ice.db.t").collect()[0]
+        assert got["n"] == 8
+        # SELECT body reading another catalog table, with casts
+        eng.sql("INSERT INTO ice.db.t "
+                "SELECT id + 200, upper(data) FROM ice.db.dim")
+        rows = {(r["id"], r["data"])
+                for r in eng.sql("SELECT id, data FROM ice.db.t "
+                                 "WHERE id >= 200").collect()}
+        assert rows == {(200, "EVEN"), (201, "ODD")}
+        # append = one snapshot each, time-travel still sees history
+        t = cat.load_table("db.t", spark=spark)
+        assert len(t.snapshots()) == 3
+
+    def test_insert_overwrite(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("INSERT OVERWRITE ice.db.dim VALUES (9, 'only')")
+        rows = eng.sql("SELECT id, data FROM ice.db.dim").collect()
+        assert [(r["id"], r["data"]) for r in rows] == [(9, "only")]
+
+    def test_insert_guards(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="not a table"):
+            eng.sql("INSERT INTO ice.db.nope VALUES (1, 'a')")
+        with pytest.raises(ValueError, match="column count"):
+            eng.sql("INSERT INTO ice.db.t VALUES (1)")
