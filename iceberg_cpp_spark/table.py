@@ -4255,9 +4255,23 @@ class IceTable:
         # treat every existing delete as "new" (conservative)
         read_seq = read_snap.sequence_number if read_snap else -1
         schema = self.schema()
+        manifests = list(mf.read_manifest_list(parent.manifest_list))
+        est = sum((m.added_files_count or 0) + (m.existing_files_count or 0)
+                  for m in manifests)
+        thr = int(self.properties().get(
+            "engine.commit.carry-filter-distributed-threshold", "100000"))
+        if (self.spark is not None and manifests and est >= thr
+                and all(m.manifest_path.endswith(".parquet")
+                        for m in manifests)):
+            # past the threshold the fresh head's live set would be a
+            # 10^6-element driver set — run both checks as executor
+            # jobs instead (conflict path only, bounded collects)
+            return self._validate_rebase_distributed(
+                manifests, read_seq, drop_paths, drop_dv_for,
+                require_live, operation)
         live: set = set()
         new_delete_conflicts: list[str] = []
-        for m in mf.read_manifest_list(parent.manifest_list):
+        for m in manifests:
             spec = meta.spec_by_id(m.partition_spec_id) or self.spec()
             for e in mf.read_manifest(m.manifest_path, spec, schema,
                                       manifest=m):
@@ -4294,6 +4308,61 @@ class IceTable:
                 f"{len(new_delete_conflicts)} delete file(s) committed "
                 f"after its read snapshot (e.g. "
                 f"{sorted(new_delete_conflicts)[0]!r}) — rebasing would "
+                "lose those deletes; re-run against the current table")
+
+    def _validate_rebase_distributed(self, manifests: list, read_seq: int,
+                                     drop_paths: set, drop_dv_for: set,
+                                     require_live: set,
+                                     operation: str) -> None:
+        """The _validate_rebase checks as Spark jobs — same semantics,
+        flat driver memory: liveness of the commit's rewritten/required
+        paths is an anti-join of the (bounded) target set against the
+        fresh head's live entries, and the new-delete conflict scan is
+        a filtered aggregate with the entries_df sequence-inheritance
+        expression. Raises the SAME ValidationError messages as the
+        driver pass (parity is test-pinned)."""
+        inh = self.spark.createDataFrame(
+            [(os.path.basename(m.manifest_path), m.sequence_number)
+             for m in manifests], "mkey string, m_seq long")
+        df = (self.spark.read.option("mergeSchema", "true")
+              .parquet(*[m.manifest_path for m in manifests])
+              .withColumn("mkey", F.element_at(
+                  F.split(F.col("_metadata.file_path"), "/"), -1))
+              .join(F.broadcast(inh), "mkey")
+              .filter(F.col("status") != mf.STATUS_DELETED))
+        need = sorted(set(drop_paths) | set(require_live))
+        if need:
+            nd = self.spark.createDataFrame([(p,) for p in need],
+                                            "p string")
+            missing = [r["p"] for r in
+                       nd.join(df.select("file_path"),
+                               nd.p == F.col("file_path"),
+                               "left_anti").collect()]
+            if missing:
+                raise ValidationError(
+                    f"{operation} rewrites {len(missing)} file(s) that a "
+                    f"concurrent commit removed (e.g. "
+                    f"{sorted(missing)[0]!r}) — rebasing would duplicate "
+                    "or resurrect their rows; re-run against the current "
+                    "table")
+        seq = F.when(F.col("status") != mf.STATUS_EXISTING,
+                     F.coalesce("sequence_number", "m_seq")
+                     ).otherwise(F.col("sequence_number"))
+        targets = sorted(set(drop_paths) | set(drop_dv_for))
+        cond = F.col("referenced_data_file").isNull()
+        if targets:
+            cond = cond | F.col("referenced_data_file").isin(targets)
+        agg = (df.filter(F.col("content") != mf.CONTENT_DATA)
+               .filter(F.coalesce(seq, F.lit(0)) > read_seq)
+               .filter(cond)
+               .agg(F.count("*").alias("n"),
+                    F.min("file_path").alias("ex")).collect()[0])
+        if (agg["n"] or 0) > 0:
+            raise ValidationError(
+                f"{operation} rewrites files targeted by "
+                f"{agg['n']} delete file(s) committed "
+                f"after its read snapshot (e.g. "
+                f"{agg['ex']!r}) — rebasing would "
                 "lose those deletes; re-run against the current table")
 
     def _maybe_merge_manifests(self, carried: list, meta, schema,

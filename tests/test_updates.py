@@ -1324,3 +1324,68 @@ class TestAddFilesDistributed:
         pruned = t.scan(filter=ex.gt_eq(ex.Reference("id"), 900))
         assert len(list(pruned.plan_files())) == 1
         assert pruned.to_df().count() == 2
+
+
+class TestRebaseValidationDistributed:
+    """r14: past the carry-filter threshold the SAME conflict checks
+    run as executor jobs (_validate_rebase_distributed) — no driver
+    live-set at 10^6 files. Forced on here (threshold 1): identical
+    ValidationError messages, identical safe-rebase outcomes."""
+
+    def _table(self, spark, loc, n=8, files=2):
+        from iceberg_cpp_spark import IceTable
+
+        sch = it.Schema([
+            it.NestedField(1, "id", it.LongType(), True),
+            it.NestedField(2, "v", it.LongType(), False),
+        ])
+        t = IceTable.create(spark, loc, sch, properties={
+            "format-version": "3",
+            "engine.commit.carry-filter-distributed-threshold": "1"})
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") * 10).alias("v"))
+        return t.append(df.repartition(files, "id"))
+
+    def test_delete_vs_compaction_aborts(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.plans import expressions as ex
+        from iceberg_cpp_spark.table import ValidationError
+
+        loc = f"{tmp_loc}/t"
+        t = self._table(spark, loc)
+        stale = IceTable.load(spark, loc)
+        t.rewrite_data_files(target_file_count=1)
+        with pytest.raises(ValidationError,
+                           match="concurrent commit removed"):
+            stale.delete_where(ex.eq(ex.Reference("id"), 1))
+        fresh = IceTable.load(spark, loc)
+        assert fresh.to_df().count() == 8
+
+    def test_rewrite_vs_new_dv_aborts(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.plans import expressions as ex
+        from iceberg_cpp_spark.table import ValidationError
+
+        loc = f"{tmp_loc}/t"
+        t = self._table(spark, loc, files=1)
+        stale = IceTable.load(spark, loc)
+        t.delete_where(ex.eq(ex.Reference("id"), 3),
+                       mode="deletion-vector")
+        with pytest.raises(ValidationError, match="lose those deletes"):
+            stale.update_where(ex.eq(ex.Reference("id"), 5), {"v": 999})
+        fresh = IceTable.load(spark, loc)
+        assert fresh.to_df().count() == 7
+        assert fresh.to_df().filter(F.col("id") == 3).count() == 0
+
+    def test_disjoint_append_rebases(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        loc = f"{tmp_loc}/t"
+        t = self._table(spark, loc)
+        stale = IceTable.load(spark, loc)
+        t.append(spark.range(100, 103).select(
+            F.col("id"), (F.col("id") * 10).alias("v")))
+        out = stale.delete_where(ex.eq(ex.Reference("id"), 1))
+        assert sorted(r["id"] for r in out.to_df().collect()) == [
+            0, 2, 3, 4, 5, 6, 7, 100, 101, 102]
