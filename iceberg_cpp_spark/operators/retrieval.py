@@ -181,13 +181,29 @@ class Bm25Index:
               .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
         dl = (docs.select("doc_id")
               .join(tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
-                    "doc_id", "left").na.fill({"dl": 0}))
-        # range-cluster postings on token: per-file token bounds make
-        # search prune straight to the query's posting lists
-        self.postings = self.postings.append(
-            tf.select("token", "doc_id", "tf")
-            .repartitionByRange(buckets, "token"))
-        self.doclens = self.doclens.append(dl.select("doc_id", "dl"))
+                    "doc_id", "left").na.fill({"dl": 0})).persist()
+        try:
+            b = dl.agg(F.count("*").alias("n"),
+                       F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
+                       ).collect()[0]
+            # range-cluster postings on token: per-file token bounds make
+            # search prune straight to the query's posting lists
+            self.postings = self.postings.append(
+                tf.select("token", "doc_id", "tf")
+                .repartitionByRange(buckets, "token"))
+            pn, ps = self._stats_pair()
+            # cumulative corpus stats ride the doclens commit's SUMMARY
+            # — atomic with the rows they describe, so search never
+            # rescans the doclens table for N/avgdl (at 10^9 docs that
+            # scan per query set is the scale killer). A crash between
+            # the two appends is covered by the doclens replay gate.
+            self.doclens = self.doclens.append(
+                dl.select("doc_id", "dl"),
+                summary_extras={
+                    "bm25.n-docs": str(pn + int(b["n"])),
+                    "bm25.total-dl": str(ps + int(b["s"]))})
+        finally:
+            dl.unpersist()
         return self
 
     def remove(self, doc_ids: DataFrame, id_col: str = "doc_id") -> "Bm25Index":
@@ -206,9 +222,39 @@ class Bm25Index:
         accumulation folds via the tables' ordinary
         ``rewrite_equality_deletes`` maintenance."""
         keys = doc_ids.select(F.col(id_col).alias("doc_id")).distinct()
-        self.doclens = self.doclens.delete_by_keys(keys)
-        self.postings = self.postings.delete_by_keys(keys)
+        keys = keys.persist()
+        try:
+            r = (self.doclens.to_df()
+                 .join(keys, "doc_id", "left_semi")
+                 .agg(F.count("*").alias("n"),
+                      F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))
+                 .collect()[0])
+            pn, ps = self._stats_pair()
+            self.doclens = self.doclens.delete_by_keys(
+                keys, summary_extras={
+                    "bm25.n-docs": str(pn - int(r["n"])),
+                    "bm25.total-dl": str(ps - int(r["s"]))})
+            self.postings = self.postings.delete_by_keys(keys)
+        finally:
+            keys.unpersist()
         return self
+
+    def _stats_pair(self) -> tuple:
+        """(n_docs, total_dl) of the CURRENT doclens snapshot: from the
+        snapshot summary when this index's write paths stamped it (the
+        common case), else one aggregate over the live rows (foreign
+        edits / pre-r14 indexes — correct, just not O(1))."""
+        snap = self.doclens.current_snapshot()
+        if snap is None:
+            return 0, 0
+        s = snap.summary or {}
+        if "bm25.n-docs" in s and "bm25.total-dl" in s:
+            return int(s["bm25.n-docs"]), int(s["bm25.total-dl"])
+        r = (self.doclens.to_df()
+             .agg(F.count("*").alias("n"),
+                  F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))
+             .collect()[0])
+        return int(r["n"]), int(r["s"])
 
     # -- search -------------------------------------------------------------
     def search(self, queries: DataFrame, k: int = 10,
@@ -225,9 +271,19 @@ class Bm25Index:
             F.explode(_tokens(F.col(query_text_col))).alias("token"))
             .groupBy(query_id_col, "token").agg(F.count("*").alias("qtf")))
         doclen_df = self.doclens.to_df()
-        stats = doclen_df.agg(
-            F.count("*").alias("n_docs"),
-            F.avg(F.col("dl").cast("double")).alias("avgdl"))
+        # N/avgdl from the doclens snapshot SUMMARY (stamped atomically
+        # by add/remove) — zero doclens scans per search; the integer
+        # total/count division equals Spark's avg() exactly, so scores
+        # stay bit-identical to the aggregate path. Fallback: aggregate.
+        n_docs, total_dl = self._stats_pair()
+        if n_docs > 0:
+            stats = self.spark.createDataFrame(
+                [(n_docs, total_dl / n_docs)],
+                "n_docs long, avgdl double")
+        else:
+            stats = doclen_df.agg(
+                F.count("*").alias("n_docs"),
+                F.avg(F.col("dl").cast("double")).alias("avgdl"))
         # postings restricted to the query's tokens. The query set is
         # small by construction: its distinct tokens collect to the
         # driver and push into the SCAN as an IN filter, so file-level

@@ -2168,10 +2168,14 @@ class IceTable:
             drop_dv_for={r["file_path"] for r in shard_rows},
             read_snapshot_id=self._branch_head_id(branch))
 
-    def delete_by_keys(self, keys: DataFrame, branch: str = MAIN_BRANCH) -> "IceTable":
+    def delete_by_keys(self, keys: DataFrame, branch: str = MAIN_BRANCH,
+                       summary_extras: Optional[dict] = None) -> "IceTable":
         """Equality delete: every row matching any key tuple (on the key
         DataFrame's columns) is deleted. Applies to data files with a
-        sequence number below the delete's (new appends unaffected)."""
+        sequence number below the delete's (new appends unaffected).
+        ``summary_extras`` rides the delete snapshot's summary (e.g.
+        the BM25 index's cumulative corpus stats — atomic with the
+        delete, so readers never see stats of a different snapshot)."""
         schema = self.schema()
         eq_ids = []
         for c in keys.columns:
@@ -2186,10 +2190,14 @@ class IceTable:
             eq_ids.append(f.field_id)
         del_dir = self.location_provider().new_delete_dir()
         keys.distinct().repartition(1).write.mode("overwrite").parquet(del_dir)
-        return self._commit_delete_files(del_dir, mf.CONTENT_EQUALITY_DELETES, eq_ids, branch)
+        return self._commit_delete_files(del_dir, mf.CONTENT_EQUALITY_DELETES,
+                                         eq_ids, branch,
+                                         summary_extras=summary_extras)
 
     def _commit_delete_files(self, del_dir: str, content: int,
-                             equality_ids: list[int], branch: str) -> "IceTable":
+                             equality_ids: list[int], branch: str,
+                             summary_extras: Optional[dict] = None
+                             ) -> "IceTable":
         paths = sorted(
             os.path.join(r, fn) for r, _d, fs in os.walk(del_dir)
             for fn in fs if fn.endswith(".parquet"))
@@ -2204,7 +2212,9 @@ class IceTable:
                 equality_ids=list(equality_ids)))
         if not files:
             return self
-        return self._commit_files(files, operation=DataOperation.DELETE, branch=branch)
+        return self._commit_files(files, operation=DataOperation.DELETE,
+                                  branch=branch,
+                                  summary_extras=summary_extras)
 
     def rewrite_manifests(self, entries_per_manifest: int = 100_000,
                           branch: str = MAIN_BRANCH) -> "IceTable":
