@@ -1512,3 +1512,57 @@ class TestBm25PersistedIndex:
         want = self._rows(idx.search(qdf, k=3))
         monkeypatch.setattr(rt, "MAX_SCAN_PUSHDOWN_TOKENS", 2)
         assert self._rows(idx.search(qdf, k=3)) == want
+
+
+class TestBm25SummaryStats:
+    """r14: N/avgdl ride the doclens snapshot summary (O(1) at search
+    time). The stamped values must equal the aggregate exactly through
+    add AND remove, and a summary-less doclens (foreign append) must
+    fall back to the aggregate with identical scores."""
+
+    def _mk(self, spark, tmp_loc):
+        corpus = spark.createDataFrame(
+            TestBm25PersistedIndex.CORPUS, "doc_id long, text string")
+        return retrieval.build_bm25_index(spark, f"{tmp_loc}/idx", corpus)
+
+    def test_summary_tracks_aggregate(self, spark, tmp_loc):
+        from pyspark.sql import functions as F
+
+        idx = self._mk(spark, tmp_loc)
+
+        def agg_pair(i):
+            r = (i.doclens.to_df()
+                 .agg(F.count("*").alias("n"),
+                      F.coalesce(F.sum("dl"), F.lit(0)).alias("s"))
+                 .collect()[0])
+            return int(r["n"]), int(r["s"])
+
+        s = idx.doclens.current_snapshot().summary
+        assert (int(s["bm25.n-docs"]), int(s["bm25.total-dl"])) \
+            == agg_pair(idx) == idx._stats_pair()
+        idx = idx.add(spark.createDataFrame(
+            [(7, "seven new tokens for the corpus here")],
+            "doc_id long, text string"))
+        assert idx._stats_pair() == agg_pair(idx)
+        idx = idx.remove(spark.createDataFrame([(2,), (4,)],
+                                               "doc_id long"))
+        s = idx.doclens.current_snapshot().summary
+        assert "bm25.n-docs" in s  # extras rode the DELETE commit
+        assert idx._stats_pair() == agg_pair(idx)
+
+    def test_foreign_doclens_append_falls_back(self, spark, tmp_loc):
+        idx = self._mk(spark, tmp_loc)
+        qdf = spark.createDataFrame(TestBm25PersistedIndex.QUERIES,
+                                    "query_id long, query_text string")
+        # a raw table append WITHOUT the index's write path: the new
+        # snapshot's summary has no bm25.* keys
+        idx.doclens = idx.doclens.append(spark.createDataFrame(
+            [(99, 3)], "doc_id long, dl long"))
+        assert "bm25.n-docs" not in (
+            idx.doclens.current_snapshot().summary or {})
+        # _stats_pair falls back to the exact aggregate (7 docs now)
+        n, tot = idx._stats_pair()
+        assert n == 7
+        # and search still runs correctly off the aggregate path
+        got = sorted(tuple(r) for r in idx.search(qdf, k=2).collect())
+        assert got  # non-empty, no crash
