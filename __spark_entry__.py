@@ -2084,6 +2084,56 @@ def ice_sql_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def ice_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML front end (sql.py + plans/sql_parser.py, r14): DELETE
+    FROM / UPDATE ... SET / MERGE INTO run as SQL STRINGS against a
+    catalog table — the WHERE clauses parse through the restricted
+    SQL-predicate grammar into the engine Expression DSL (so SQL
+    deletes ride the same pruned metadata plane as the Python API),
+    SET values are full Spark scalar expressions, and the MERGE source
+    is a subquery that itself reads the catalog table."""
+    from iceberg_cpp_spark import IceSqlEngine
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.sources.catalog import FileSystemCatalog
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = (li.groupBy("l_orderkey", "l_linenumber")
+            .agg(F.max("l_quantity").alias("l_quantity"),
+                 F.max("l_returnflag").alias("l_returnflag")))
+    cat = FileSystemCatalog(os.path.join(
+        tempfile.mkdtemp(prefix="ice_sqldml_"), "wh"))
+    cat.create_namespace("db")
+    cat.create_table("db.d", schema_from_spark(base.schema))
+    cat.load_table("db.d", spark=spark).append(base)
+    eng = IceSqlEngine(spark, cat)
+    eng.sql("DELETE FROM ice.db.d WHERE l_returnflag = 'R'")
+    eng.sql("UPDATE ice.db.d SET l_quantity = l_quantity + 100 "
+            "WHERE l_returnflag = 'A'")
+    eng.sql("""
+        MERGE INTO ice.db.d t USING (
+            SELECT l_orderkey, l_linenumber,
+                   l_quantity * 2 AS l_quantity,
+                   'M' AS l_returnflag
+            FROM ice.db.d
+            WHERE l_returnflag = 'N' AND l_orderkey <= 2000
+            UNION ALL
+            SELECT l_orderkey + 50000000 AS l_orderkey, l_linenumber,
+                   l_quantity, 'Z' AS l_returnflag
+            FROM ice.db.d WHERE l_orderkey <= 100
+        ) s ON t.l_orderkey = s.l_orderkey
+           AND t.l_linenumber = s.l_linenumber
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    return eng.sql("""
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+        FROM ice.db.d
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """)
+
+
 def ice_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """z-order compaction: rewrite clustered on (l_orderkey, l_partkey),
     then a filtered aggregate — results must be unchanged by the rewrite
@@ -3201,7 +3251,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_transaction": ice_transaction,
         "retrieval_bm25_indexed": retrieval_bm25_indexed,
         "q1_pricing_summary": q1_pricing_summary,
-        "events_window_agg": events_window_agg,
+        # r14 rotation #7: ice_sql_dml is NEW this round (SQL
+        # DELETE/UPDATE/MERGE through the predicate parser) — in-window
+        # in place of events_window_agg (driver-green r13 + r02;
+        # plain relational windowed agg — q1 keeps the agg machinery
+        # in-window, stream_sessionize the streaming plane).
+        "ice_sql_dml": ice_sql_dml,
         # r14 rotation #6: ice_bulk_ingest was the last registry query
         # never checked by the DRIVER's oracle (judge-checked r13) —
         # swapped in for range_join_events (driver-green r13 + prior;
@@ -3210,6 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # through the new commit_files_df content column.
         "ice_bulk_ingest": ice_bulk_ingest,
         # ---- past the driver cap (judge-only) ----
+        "events_window_agg": events_window_agg,
         "range_join_events": range_join_events,
         "ice_variant": ice_variant,
         "ice_ns_timestamps": ice_ns_timestamps,
@@ -4198,6 +4254,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "ice_sql_dml": """
+            WITH base AS (
+              SELECT l_orderkey, l_linenumber,
+                     max(l_quantity) AS l_quantity,
+                     max(l_returnflag) AS l_returnflag
+              FROM lineitem GROUP BY l_orderkey, l_linenumber
+            ),
+            afterdel AS (
+              SELECT * FROM base
+              WHERE l_returnflag <> 'R' OR l_returnflag IS NULL
+            ),
+            afterupd AS (
+              SELECT l_orderkey, l_linenumber,
+                     CASE WHEN l_returnflag = 'A' THEN l_quantity + 100
+                          ELSE l_quantity END AS l_quantity,
+                     l_returnflag
+              FROM afterdel
+            ),
+            src AS (
+              SELECT l_orderkey, l_linenumber,
+                     l_quantity * 2 AS l_quantity, 'M' AS l_returnflag
+              FROM afterupd
+              WHERE l_returnflag = 'N' AND l_orderkey <= 2000
+              UNION ALL
+              SELECT l_orderkey + 50000000, l_linenumber, l_quantity, 'Z'
+              FROM afterupd WHERE l_orderkey <= 100
+            ),
+            final AS (
+              SELECT a.* FROM afterupd a
+              WHERE NOT EXISTS (
+                SELECT 1 FROM src s
+                WHERE s.l_orderkey = a.l_orderkey
+                  AND s.l_linenumber = a.l_linenumber)
+              UNION ALL
+              SELECT * FROM src
+            )
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+            FROM final GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "ice_zorder": """
             SELECT l_returnflag, COUNT(*) AS n,

@@ -15,6 +15,17 @@ travel — ``FROM ice.db.t VERSION AS OF <snapshot_id>`` or
 ``TIMESTAMP AS OF '<ts>'`` (FOR SYSTEM_VERSION / FOR SYSTEM_TIME
 spellings accepted) binds the scan to the historical snapshot.
 
+r14 adds the write statements: ``INSERT INTO / INSERT OVERWRITE``,
+``DELETE FROM ... WHERE``, ``UPDATE ... SET ... WHERE``, ``MERGE INTO
+... USING ... ON ... WHEN [NOT] MATCHED THEN UPDATE SET * | DELETE |
+INSERT *``, ``CREATE TABLE ... AS SELECT`` and ``DROP TABLE``. WHERE
+clauses parse through :mod:`plans.sql_parser` into the engine
+Expression DSL — NOT into a Spark Column — so a SQL delete prunes
+files/partitions exactly like the Python API; SET values are full
+Spark scalar expressions (Spark's parser owns them); each statement
+maps onto the corresponding IceTable mutation (one commit per
+statement, CAS + retry semantics unchanged).
+
 Scale shape: a binding is one ``TableScan.to_df()`` DataFrame — the
 same lazy, pruned, distributed plan every other entry point gets; the
 rewrite itself is O(query text). Identifiers inside string literals
@@ -50,6 +61,43 @@ _INSERT = re.compile(
     r"^\s*insert\s+(?P<mode>into|overwrite)\s+(?:table\s+)?"
     r"(?P<cat>[A-Za-z_]\w*)\.(?P<rest>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)"
     r"\s+(?P<body>.+)$", re.I | re.S)
+# row-level DML / DDL (all matched against MASKED text, so literals
+# containing keywords never split a clause). The WHERE body parses
+# through plans.sql_parser into the engine Expression DSL — that is
+# what keeps SQL deletes on the pruned metadata plane.
+_IDENT_TAIL = r"(?P<cat>[A-Za-z_]\w*)\.(?P<rest>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)"
+_DELETE = re.compile(
+    r"^\s*delete\s+from\s+" + _IDENT_TAIL +
+    r"(?:\s+where\s+(?P<pred>.+))?\s*$", re.I | re.S)
+_UPDATE = re.compile(
+    r"^\s*update\s+" + _IDENT_TAIL + r"\s+set\s+(?P<set>.+?)"
+    r"(?:\s+where\s+(?P<pred>.+))?\s*$", re.I | re.S)
+_MERGE_HEAD = re.compile(
+    r"^\s*merge\s+into\s+" + _IDENT_TAIL +
+    r"(?:\s+(?:as\s+)?(?P<tal>[A-Za-z_]\w*))?\s+using\s+", re.I)
+_MERGE_CLAUSE = re.compile(
+    r"\s*when\s+(?P<not>not\s+)?matched\s+then\s+"
+    r"(?P<act>update\s+set\s+\*|delete|insert\s+\*)\s*", re.I)
+_ON_EQ = re.compile(
+    r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*"
+    r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$")
+_CTAS = re.compile(
+    r"^\s*create\s+table\s+(?P<ine>if\s+not\s+exists\s+)?" + _IDENT_TAIL +
+    r"\s+as\s+(?P<body>.+)$", re.I | re.S)
+_DROP = re.compile(
+    r"^\s*drop\s+table\s+(?P<ie>if\s+exists\s+)?" + _IDENT_TAIL +
+    r"\s*$", re.I)
+_SHOW_TABLES = re.compile(
+    r"^\s*show\s+tables\s+in\s+(?P<cat>[A-Za-z_]\w*)"
+    r"(?:\.(?P<ns>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*))?\s*$", re.I)
+_SHOW_NS = re.compile(
+    r"^\s*show\s+namespaces\s+in\s+(?P<cat>[A-Za-z_]\w*)"
+    r"(?:\.(?P<ns>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*))?\s*$", re.I)
+_DESCRIBE = re.compile(
+    r"^\s*describe\s+(?:table\s+)?" + _IDENT_TAIL + r"\s*$", re.I)
+# suffixes of `<table>.<metadata table>` (Iceberg's SQL convention)
+_META_TABLES = ("files", "manifests", "partitions", "snapshots",
+                "refs", "history", "entries")
 
 
 class IceSqlEngine:
@@ -73,11 +121,276 @@ class IceSqlEngine:
         ``INSERT OVERWRITE`` replaces — one engine snapshot each; both
         return an empty ``num_affected_rows``-shaped frame (DML result
         convention; counting would force an extra job)."""
-        m = _INSERT.match(query.strip().rstrip(";"))
+        q = query.strip().rstrip(";")
+        m = _INSERT.match(q)
         if m and m.group("cat") == self.catalog_name:
             return self._insert(m.group("rest"), m.group("mode").lower(),
                                 m.group("body"))
+        out = self._dml(q)
+        if out is not None:
+            return out
         return self._sql(query, depth=0)
+
+    def _dml(self, q: str):
+        """Row-level DML / DDL against catalog tables. Returns None
+        when ``q`` is not one of the handled statements (the caller
+        falls through to the read path). All clause splitting happens
+        on MASKED text so keywords inside string literals are inert;
+        the captured pieces unmask before use."""
+        masked, lits = self._mask(q)
+
+        m = _DELETE.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            return self._delete(m, lits)
+        m = _UPDATE.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            return self._update(m, lits)
+        m = _MERGE_HEAD.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            return self._merge(m, masked, lits)
+        m = _CTAS.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            return self._ctas(m, lits)
+        m = _DROP.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            return self._drop(m)
+        m = _SHOW_TABLES.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            return self._show_tables(m.group("ns"))
+        m = _SHOW_NS.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            return self._show_namespaces(m.group("ns") or "")
+        m = _DESCRIBE.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            return self._describe(m.group("rest"))
+        return None
+
+    def _show_tables(self, ns: Optional[str]):
+        from pyspark.sql import types as T
+
+        namespaces = ([ns] if ns
+                      else self.catalog.list_namespaces() or [])
+        # list_tables returns fully-qualified identifiers; SHOW TABLES
+        # reports the bare table name next to its namespace
+        rows = [(n, t.rsplit(".", 1)[-1]) for n in namespaces
+                for t in sorted(self.catalog.list_tables(n))]
+        return self.spark.createDataFrame(
+            rows, T.StructType([
+                T.StructField("namespace", T.StringType(), False),
+                T.StructField("tableName", T.StringType(), False)]))
+
+    def _show_namespaces(self, parent: str):
+        from pyspark.sql import types as T
+
+        rows = [(n,) for n in sorted(self.catalog.list_namespaces(parent))]
+        return self.spark.createDataFrame(
+            rows, T.StructType([
+                T.StructField("namespace", T.StringType(), False)]))
+
+    def _describe(self, ident: str):
+        from pyspark.sql import types as T
+
+        import json as _json
+
+        t = self._load(ident, "DESCRIBE")
+        # to_json is a string for primitives, a dict for nested types
+        rows = [(f.name,
+                 tj if isinstance(tj := f.field_type.to_json(), str)
+                 else _json.dumps(tj),
+                 not f.required)
+                for f in t.schema().fields]
+        return self.spark.createDataFrame(
+            rows, T.StructType([
+                T.StructField("col_name", T.StringType(), False),
+                T.StructField("data_type", T.StringType(), False),
+                T.StructField("nullable", T.BooleanType(), False)]))
+
+    def _dml_result(self):
+        from pyspark.sql import types as T
+
+        return self.spark.createDataFrame(
+            [], T.StructType([T.StructField("num_affected_rows",
+                                            T.LongType())]))
+
+    def _load(self, ident: str, stmt: str):
+        if not self.catalog.table_exists(ident):
+            raise ValueError(
+                f"{stmt} target is not a table in catalog "
+                f"{self.catalog_name!r}: {ident!r}")
+        return self.catalog.load_table(ident, spark=self.spark)
+
+    def _where_expr(self, pred: Optional[str], lits: list):
+        from iceberg_cpp_spark.plans import expressions as ex
+        from iceberg_cpp_spark.plans.sql_parser import parse_predicate
+
+        if pred is None:
+            return ex.ALWAYS_TRUE
+        return parse_predicate(self._unmask(pred, lits))
+
+    def _delete(self, m: "re.Match", lits: list):
+        t = self._load(m.group("rest"), "DELETE")
+        t.delete_where(self._where_expr(m.group("pred"), lits))
+        return self._dml_result()
+
+    def _update(self, m: "re.Match", lits: list):
+        from pyspark.sql import functions as F
+
+        from iceberg_cpp_spark.core.types import to_spark_schema
+
+        t = self._load(m.group("rest"), "UPDATE")
+        # the VALUES are full Spark scalar expressions (arithmetic,
+        # CASE, functions) — update_where applies them over the rewrite
+        # frame, so Spark's parser is the right owner. F.expr defers
+        # parsing until the Column is USED and a no-match update never
+        # uses it — analyze eagerly against an EMPTY frame with the
+        # table's columns (no job) so a typo is loud even when zero
+        # files match
+        chk = self.spark.createDataFrame([], to_spark_schema(t.schema()))
+        assignments = {}
+        for piece in self._split_top(m.group("set")):
+            am = re.match(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", piece, re.S)
+            if am is None:
+                raise ValueError(
+                    f"cannot parse SET assignment: "
+                    f"{self._unmask(piece, lits)!r}")
+            val = self._unmask(am.group(2), lits)
+            chk.selectExpr(f"({val}) AS __chk")
+            assignments[am.group(1)] = F.expr(val)
+        t.update_where(self._where_expr(m.group("pred"), lits),
+                       assignments)
+        return self._dml_result()
+
+    def _merge(self, m: "re.Match", masked: str, lits: list):
+        ident, t_alias = m.group("rest"), m.group("tal")
+        rest = masked[m.end():]
+        # source: a parenthesized subquery or a table/view name
+        if rest.lstrip().startswith("("):
+            rest = rest.lstrip()
+            depth, i = 0, 0
+            for i, ch in enumerate(rest):
+                depth += (ch == "(") - (ch == ")")
+                if depth == 0:
+                    break
+            if depth != 0:
+                raise ValueError("unbalanced parens in MERGE source")
+            src_text, rest = rest[1:i], rest[i + 1:]
+        else:
+            sm = re.match(r"\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)", rest)
+            if sm is None:
+                raise ValueError("cannot parse MERGE USING source")
+            src_text, rest = f"SELECT * FROM {sm.group(1)}", rest[sm.end():]
+        am = re.match(r"\s*(?:as\s+)?([A-Za-z_]\w*)?\s*on\s+", rest, re.I)
+        if am is None:
+            raise ValueError("MERGE needs ON after the USING source")
+        s_alias, rest = am.group(1), rest[am.end():]
+        # condition runs to the first WHEN (masked text: literals inert)
+        wm = re.search(r"\bwhen\b", rest, re.I)
+        if wm is None:
+            raise ValueError("MERGE needs at least one WHEN clause")
+        cond, clauses = rest[:wm.start()], rest[wm.start():]
+        on = self._merge_on_keys(cond, ident, t_alias, s_alias, lits)
+
+        when_matched = when_not_matched = None
+        pos = 0
+        for cm in _MERGE_CLAUSE.finditer(clauses):
+            if cm.start() != pos:
+                break
+            act = re.sub(r"\s+", " ", cm.group("act").lower())
+            if cm.group("not"):
+                if act != "insert *":
+                    raise ValueError(
+                        "WHEN NOT MATCHED supports only INSERT *")
+                when_not_matched = "insert"
+            else:
+                if act == "delete":
+                    when_matched = "delete"
+                elif act == "update set *":
+                    when_matched = "update"
+                else:
+                    raise ValueError(
+                        "WHEN MATCHED supports UPDATE SET * or DELETE")
+            pos = cm.end()
+        if pos != len(clauses):
+            raise ValueError(
+                "unsupported MERGE clause (only WHEN MATCHED THEN "
+                "UPDATE SET * | DELETE and WHEN NOT MATCHED THEN "
+                f"INSERT * are supported): "
+                f"{self._unmask(clauses[pos:], lits).strip()!r}")
+
+        t = self._load(ident, "MERGE")
+        src_df = self._sql(self._unmask(src_text, lits), depth=0)
+        t.merge_into(src_df, on=on, when_matched=when_matched,
+                     when_not_matched=when_not_matched)
+        return self._dml_result()
+
+    def _merge_on_keys(self, cond: str, ident: str,
+                       t_alias: Optional[str], s_alias: Optional[str],
+                       lits: list) -> list[str]:
+        """ON must be an AND of ``t.k = s.k`` equalities with the SAME
+        column name on both sides — that is merge_into's key contract
+        (general ON conditions need a join, not an upsert)."""
+        t_names = {a for a in (t_alias, ident.rsplit(".", 1)[-1]) if a}
+        s_names = {s_alias} if s_alias else set()
+        keys = []
+        for part in re.split(r"\band\b", cond, flags=re.I):
+            em = _ON_EQ.match(part)
+            if em is None:
+                raise ValueError(
+                    f"MERGE ON must be AND-ed `t.key = s.key` "
+                    f"equalities; got {self._unmask(part, lits).strip()!r}")
+            la, lc, ra, rc = em.groups()
+            if lc != rc:
+                raise ValueError(
+                    f"MERGE ON compares different columns "
+                    f"({lc!r} vs {rc!r}); merge keys must be the same "
+                    "column name on both sides")
+            if t_names and {la, ra} & t_names == set() and s_names \
+                    and {la, ra} & s_names == set():
+                raise ValueError(
+                    f"MERGE ON aliases {la!r}/{ra!r} match neither "
+                    f"side ({t_names} / {s_names})")
+            keys.append(lc)
+        return keys
+
+    def _ctas(self, m: "re.Match", lits: list):
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        ident = m.group("rest")
+        if self.catalog.table_exists(ident):
+            if m.group("ine"):
+                return self._dml_result()
+            raise ValueError(
+                f"CREATE TABLE target already exists: {ident!r} "
+                "(use IF NOT EXISTS)")
+        df = self._sql(self._unmask(m.group("body"), lits), depth=0)
+        self.catalog.create_table(ident, schema_from_spark(df.schema))
+        self.catalog.load_table(ident, spark=self.spark).append(df)
+        return self._dml_result()
+
+    def _drop(self, m: "re.Match"):
+        ident = m.group("rest")
+        if not self.catalog.table_exists(ident):
+            if m.group("ie"):
+                return self._dml_result()
+            raise ValueError(f"no such table: {ident!r}")
+        self.catalog.drop_table(ident)
+        return self._dml_result()
+
+    @staticmethod
+    def _split_top(text: str) -> list[str]:
+        """Split on commas at paren depth 0 (text is masked, so commas
+        inside string literals are already inert)."""
+        out, depth, start = [], 0, 0
+        for i, ch in enumerate(text):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                out.append(text[start:i])
+                start = i + 1
+        out.append(text[start:])
+        return out
 
     def _insert(self, ident: str, mode: str, body: str):
         from pyspark.sql import functions as F
@@ -160,6 +473,18 @@ class IceSqlEngine:
             raise ValueError(
                 f"time travel applies to tables; {ident!r} is not a "
                 f"table in catalog {self.catalog_name!r}")
+        # `<table>.<metadata table>` (Iceberg SQL convention):
+        # ice.db.t.snapshots / files / partitions / ... — only when no
+        # real table shadows the dotted name (checked above)
+        if "." in ident:
+            # (time travel on a metadata table already raised above)
+            parent, last = ident.rsplit(".", 1)
+            if last.lower() in _META_TABLES \
+                    and self.catalog.table_exists(parent):
+                t = self.catalog.load_table(parent, spark=self.spark)
+                getattr(t, f"{last.lower()}_df")() \
+                    .createOrReplaceTempView(name)
+                return name
         if hasattr(self.catalog, "view_exists") \
                 and self.catalog.view_exists(ident):
             v = self.catalog.load_view(ident)

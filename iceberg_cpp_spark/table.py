@@ -2629,7 +2629,12 @@ class IceTable:
         # which a batch DML retry handles. Same reason Delta
         # materializes MERGE sources. Also saves one replay of the
         # source's upstream lineage per consuming job.
-        src = source.select(*cols).localCheckpoint(eager=True)
+        # a delete-only merge consumes nothing but the keys — demanding
+        # the full column set would force callers to pad a key feed
+        # with NULLs just to delete by it
+        need_cols = when_matched == "update" or when_not_matched == "insert"
+        src = source.select(*(cols if need_cols else on)) \
+                    .localCheckpoint(eager=True)
         keys = src.select(*on).distinct()
         mode = mode or self.properties().get("write.merge.mode",
                                              "copy-on-write")

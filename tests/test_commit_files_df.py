@@ -436,16 +436,28 @@ class TestCommitFilesDfDeletes:
             rows, "file_path string, record_count long, "
                   "file_size_in_bytes long, partition_json string")
         t = t.commit_files_df(desc)
+        # shards are xxhash64(file_path) % 2 over random-tmp paths, so
+        # the grouping varies per run — compute the EXPECTED per-shard
+        # partition bounds with the same hash and pin them exactly
+        from pyspark.sql import functions as F
+        shard_of = {
+            r["p"]: r["s"]
+            for r in spark.createDataFrame([(r[0], r[3]) for r in rows],
+                                           "p string, pj string")
+            .select("p", (F.abs(F.xxhash64("p")) % 2).alias("s")).collect()}
+        part_of = dict(zip((r[0] for r in rows), ("a", "b", "c", "d")))
+        groups: dict[int, list] = {}
+        for p, s in shard_of.items():
+            groups.setdefault(s, []).append(part_of[p])
+        expected = {(min(v).encode(), max(v).encode())
+                    for v in groups.values()}
         mfs = list(mf.read_manifest_list(t.current_snapshot().manifest_list))
-        assert len(mfs) >= 2
+        assert len(mfs) == len(groups)
         for m in mfs:
             assert len(m.partitions) == 1
-            assert m.partitions[0].lower_bound is not None
-            assert m.partitions[0].upper_bound is not None
-        # list-level pruning: at least one shard manifest's summary
-        # excludes 'a' entirely
-        lowers = {m.partitions[0].lower_bound for m in mfs}
-        assert len(lowers) >= 2
+        got = {(bytes(m.partitions[0].lower_bound),
+                bytes(m.partitions[0].upper_bound)) for m in mfs}
+        assert got == expected
 
 
 class TestCarryFilterDistributed:

@@ -18,7 +18,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # window (everything below the cap is judge-only TPC-H / relational).
 CAP = 50
 LAST_IN_CAP = "ice_bulk_ingest"
-FIRST_PAST_CAP = "range_join_events"
+FIRST_PAST_CAP = "events_window_agg"
 
 
 def test_driver_cap_window_composition():
@@ -35,7 +35,7 @@ def test_driver_cap_window_composition():
         # --- operators whose machinery is pinned by an in-window row +
         # --- dedicated pytest suites (stable extras since r03-r10):
         "ice_sql_view",     # SQL temp-view surface (ice_datasource extras row binds the same datasource; ice_pyds_scan in-window)
-        "ice_sql_engine",   # r14 thin SQL front end (catalog-resolved identifiers → the SAME IceTable scan plane every in-window ice_* row exercises; resolution/masking/view-recursion pinned by tests/test_sql_engine.py; rotation #7 candidate)
+        "ice_sql_engine",   # thin SQL reads (rotation #7 put ice_sql_dml in-window — same resolution/masking plane PLUS the DML statements; view-SQL recursion stays pinned by tests/test_sql_engine.py)
         "ice_typed_columns",  # typed-primitive scan (decimal/date/ts columns exercised by most in-window ice queries)
         "dedup_minhash_verified",  # LSH + Jaccard verify pass (dedup_minhash in-window)
         "ice_avro_manifests",  # Avro manifest read/write (ice_avro_v3 in-window)
@@ -96,6 +96,9 @@ def test_driver_cap_window_composition():
         # (r14 rotation #6 swapped ice_bulk_ingest INTO the window — it
         # was the last never-driver-checked query — displacing
         # range_join_events to the relational tail below.)
+        # --- r14 rotation #7 displacement (ice_sql_dml — NEW SQL
+        # --- DELETE/UPDATE/MERGE front end — swapped into the window):
+        "events_window_agg",  # plain relational windowed agg over events (driver-green r13 + r02; q1_pricing_summary in-window keeps the agg machinery, stream_sessionize the streaming plane)
     }
     # Every past-cap query that is NOT a judge-only extra must be on this
     # explicit relational tail.  Adding a new queries() entry without

@@ -182,3 +182,165 @@ class TestSqlInsert:
             eng.sql("INSERT INTO ice.db.nope VALUES (1, 'a')")
         with pytest.raises(ValueError, match="column count"):
             eng.sql("INSERT INTO ice.db.t VALUES (1)")
+
+
+class TestSqlDml:
+    """DELETE / UPDATE / MERGE / CTAS / DROP (r14): the WHERE clause
+    parses through plans.sql_parser into the Expression DSL, so SQL
+    deletes ride the SAME pruned metadata plane as the Python API."""
+
+    def test_delete_where_prunes_untouched_files(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        # second append with a disjoint id range: the delete must carry
+        # the first append's files untouched (the predicate reached
+        # plan_files, not just the scan)
+        t = cat.load_table("db.t", spark=spark)
+        first = {f.file_path for f in t.scan().plan_files()}
+        t.append(spark.createDataFrame(
+            [(50, "hi"), (51, "hi")], "id long, data string"))
+        eng.sql("DELETE FROM ice.db.t WHERE id >= 50 AND data LIKE 'h%'")
+        t2 = cat.load_table("db.t", spark=spark)
+        after = {f.file_path for f in t2.scan().plan_files()}
+        assert sorted(r["id"] for r in
+                      eng.sql("SELECT id FROM ice.db.t").collect()) \
+            == [0, 1, 2, 3, 4, 5]
+        # the first append's files survived byte-identical; the second
+        # append's files are gone entirely
+        assert after == first
+
+    def test_delete_without_where_empties_table(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("DELETE FROM ice.db.dim")
+        assert eng.sql("SELECT * FROM ice.db.dim").count() == 0
+
+    def test_update_with_spark_expressions(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("UPDATE ice.db.t SET data = upper(data) "
+                "WHERE id BETWEEN 1 AND 2")
+        rows = {r["id"]: r["data"]
+                for r in eng.sql("SELECT * FROM ice.db.t").collect()}
+        assert rows[1] == "V1" and rows[2] == "V2" and rows[3] == "v3"
+
+    def test_update_bad_expression_loud_even_on_no_match(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        from pyspark.errors import AnalysisException, ParseException
+
+        with pytest.raises(ParseException):
+            eng.sql("UPDATE ice.db.t SET data = 1 WHEN x WHERE id < 0")
+        with pytest.raises(AnalysisException):
+            eng.sql("UPDATE ice.db.t SET data = no_such_col WHERE id < 0")
+
+    def test_merge_upsert_and_delete(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("""
+            MERGE INTO ice.db.t t USING (
+                SELECT * FROM VALUES (2, 'merged'), (100, 'new')
+                    AS v(id, data)
+            ) s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+            WHEN NOT MATCHED THEN INSERT *
+        """)
+        rows = {r["id"]: r["data"]
+                for r in eng.sql("SELECT * FROM ice.db.t").collect()}
+        assert rows[2] == "merged" and rows[100] == "new" and len(rows) == 7
+        # delete-only merge: key-only source is enough
+        eng.sql("MERGE INTO ice.db.t t USING (SELECT 100 AS id) s "
+                "ON t.id = s.id WHEN MATCHED THEN DELETE")
+        assert eng.sql(
+            "SELECT * FROM ice.db.t WHERE id = 100").count() == 0
+
+    def test_merge_using_catalog_table(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("MERGE INTO ice.db.t t USING ice.db.dim d ON t.id = d.id "
+                "WHEN MATCHED THEN UPDATE SET *")
+        rows = {r["id"]: r["data"]
+                for r in eng.sql("SELECT * FROM ice.db.t").collect()}
+        assert rows[0] == "even" and rows[1] == "odd" and rows[2] == "v2"
+
+    def test_merge_guards(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="different columns"):
+            eng.sql("MERGE INTO ice.db.t t USING ice.db.dim d "
+                    "ON t.id = d.data WHEN MATCHED THEN DELETE")
+        with pytest.raises(ValueError, match="unsupported MERGE clause"):
+            eng.sql("MERGE INTO ice.db.t t USING ice.db.dim d "
+                    "ON t.id = d.id "
+                    "WHEN MATCHED THEN UPDATE SET data = 'x'")
+        with pytest.raises(ValueError, match="ON"):
+            eng.sql("MERGE INTO ice.db.t t USING ice.db.dim d "
+                    "WHEN MATCHED THEN DELETE")
+
+    def test_ctas_and_drop(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("CREATE TABLE ice.db.small AS "
+                "SELECT id, upper(data) AS data FROM ice.db.t WHERE id < 2")
+        got = {(r["id"], r["data"]) for r in
+               eng.sql("SELECT * FROM ice.db.small").collect()}
+        assert got == {(0, "V0"), (1, "V1")}
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql("CREATE TABLE ice.db.small AS SELECT 1 AS x")
+        # idempotent spelling
+        eng.sql("CREATE TABLE IF NOT EXISTS ice.db.small AS "
+                "SELECT 1 AS x")
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.small") \
+            .collect()[0]["n"] == 2
+        eng.sql("DROP TABLE ice.db.small")
+        assert not cat.table_exists("db.small")
+        eng.sql("DROP TABLE IF EXISTS ice.db.small")
+        with pytest.raises(ValueError, match="no such table"):
+            eng.sql("DROP TABLE ice.db.small")
+
+    def test_keywords_inside_literals_are_inert(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("UPDATE ice.db.t SET data = ' where when and ' "
+                "WHERE id = 0")
+        got = eng.sql("SELECT data FROM ice.db.t WHERE id = 0") \
+            .collect()[0]["data"]
+        assert got == " where when and "
+
+    def test_dml_on_foreign_catalog_prefix_falls_through(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        # not our catalog name: the engine must not intercept it
+        with pytest.raises(Exception):
+            eng.sql("DELETE FROM other.db.t WHERE id = 1")
+
+
+class TestSqlMetadataAndUtility:
+    """Metadata tables via SQL (`ice.db.t.snapshots` — the Iceberg SQL
+    convention) plus SHOW TABLES / SHOW NAMESPACES / DESCRIBE (r14)."""
+
+    def test_metadata_tables_bind(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("INSERT INTO ice.db.t VALUES (50, 'x')")
+        snaps = eng.sql("SELECT snapshot_id, operation "
+                        "FROM ice.db.t.snapshots").collect()
+        assert [s["operation"] for s in snaps] == ["append", "append"]
+        assert eng.sql("SELECT * FROM ice.db.t.history").count() == 2
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t.files") \
+            .collect()[0]["n"] >= 1
+        # metadata and data tables compose in one query
+        got = eng.sql("""
+            SELECT s.operation, count(*) AS n
+            FROM ice.db.t.snapshots s CROSS JOIN ice.db.t
+            GROUP BY s.operation
+        """).collect()[0]
+        assert got["operation"] == "append" and got["n"] == 14
+
+    def test_metadata_table_time_travel_is_loud(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="time travel"):
+            eng.sql("SELECT * FROM ice.db.t.snapshots VERSION AS OF 1")
+
+    def test_show_and_describe(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        rows = eng.sql("SHOW TABLES IN ice.db").collect()
+        assert {(r["namespace"], r["tableName"]) for r in rows} \
+            == {("db", "t"), ("db", "dim")}
+        assert [r["namespace"] for r in
+                eng.sql("SHOW NAMESPACES IN ice").collect()] == ["db"]
+        desc = eng.sql("DESCRIBE ice.db.t").collect()
+        assert [(r["col_name"], r["data_type"], r["nullable"])
+                for r in desc] == [("id", "long", False),
+                                   ("data", "string", True)]
+        with pytest.raises(ValueError, match="not a table"):
+            eng.sql("DESCRIBE ice.db.nope")
