@@ -77,9 +77,15 @@ def _score_and_rank(tf, df_t, doc_len, stats, qterms, k, k1, b,
     """The one BM25 scoring plan both entry points share (so the
     persisted index can never drift from the one-shot path): postings ⋈
     query terms ⋈ df ⋈ doc lengths × (N, avgdl), scored, rounded,
-    ranked per query."""
-    joined = (tf.join(F.broadcast(qterms), "token")
-              .join(df_t, "token")
+    ranked per query. ``df_t=None`` means ``tf`` already carries its
+    ``df`` column (the indexed search computes it as a window over the
+    token-pruned slice — one scan instead of re-aggregating the
+    postings; the one-shot path keeps the broadcast join because its
+    corpus-sized tf must not be window-shuffled whole)."""
+    joined = tf.join(F.broadcast(qterms), "token")
+    if df_t is not None:
+        joined = joined.join(df_t, "token")
+    joined = (joined
               .join(doc_len, id_col)
               .crossJoin(F.broadcast(stats)))
     idf = F.log(F.lit(1.0)
@@ -311,9 +317,14 @@ class Bm25Index:
         # restores the exact tf, so a torn replay is harmless; the
         # aggregate runs on the token-pruned slice only
         tf = tf.groupBy("token", "doc_id").agg(F.max("tf").alias("tf"))
-        df_t = tf.groupBy("token").agg(
-            F.countDistinct("doc_id").alias("df"))
-        return _score_and_rank(tf, F.broadcast(df_t), doclen_df, stats,
+        # df as a window over the deduped slice: (token, doc_id) is
+        # unique after the MAX, so count-per-token IS countDistinct —
+        # one pass over the token-pruned postings instead of a second
+        # scan + aggregate + broadcast join (the slice is query-token-
+        # bounded, so the window shuffle is small by construction)
+        tf = tf.withColumn(
+            "df", F.count("*").over(Window.partitionBy("token")))
+        return _score_and_rank(tf, None, doclen_df, stats,
                                qterms, k, k1, b, query_id_col, "doc_id")
 
 

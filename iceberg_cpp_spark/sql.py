@@ -95,6 +95,22 @@ _SHOW_NS = re.compile(
     r"(?:\.(?P<ns>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*))?\s*$", re.I)
 _DESCRIBE = re.compile(
     r"^\s*describe\s+(?:table\s+)?" + _IDENT_TAIL + r"\s*$", re.I)
+_ALTER = re.compile(
+    r"^\s*alter\s+table\s+" + _IDENT_TAIL + r"\s+(?P<body>.+)$",
+    re.I | re.S)
+# CALL <catalog>.system.<procedure>(named => args) — the Spark-Iceberg
+# stored-procedure convention for maintenance operations
+_CALL = re.compile(
+    r"^\s*call\s+(?P<cat>[A-Za-z_]\w*)\.system\.(?P<proc>[A-Za-z_]\w*)"
+    r"\s*\((?P<args>.*)\)\s*$", re.I | re.S)
+# SQL type spellings accepted by ALTER TABLE ADD COLUMN, normalized to
+# Iceberg type names (types.type_from_json owns the rest: decimal(p,s))
+_SQL_TYPE_ALIASES = {
+    "bigint": "long", "integer": "int", "smallint": "int",
+    "tinyint": "int", "varchar": "string", "text": "string",
+    "real": "float", "bool": "boolean", "timestamp_ntz": "timestamp",
+    "timestamp_ltz": "timestamptz",
+}
 # suffixes of `<table>.<metadata table>` (Iceberg's SQL convention)
 _META_TABLES = ("files", "manifests", "partitions", "snapshots",
                 "refs", "history", "entries")
@@ -163,7 +179,207 @@ class IceSqlEngine:
         m = _DESCRIBE.match(masked)
         if m and m.group("cat") == self.catalog_name:
             return self._describe(m.group("rest"))
+        m = _ALTER.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            return self._alter(m.group("rest"), m.group("body"), lits)
+        m = _CALL.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            return self._call(m.group("proc").lower(),
+                              m.group("args"), lits)
         return None
+
+    # -- ALTER TABLE ---------------------------------------------------------
+    def _alter(self, ident: str, body: str, lits: list):
+        from iceberg_cpp_spark.core.types import type_from_json
+
+        t = self._load(ident, "ALTER TABLE")
+        b = body.strip()
+        if m := re.match(r"^add\s+column\s+(?P<name>[A-Za-z_]\w*)\s+"
+                         r"(?P<type>.+?)\s*$", b, re.I | re.S):
+            raw = m.group("type").strip().lower()
+            raw = _SQL_TYPE_ALIASES.get(raw, raw)
+            t.add_column(m.group("name"), type_from_json(raw))
+            return self._dml_result()
+        if m := re.match(r"^rename\s+column\s+(?P<old>[A-Za-z_]\w*)\s+"
+                         r"to\s+(?P<new>[A-Za-z_]\w*)\s*$", b, re.I):
+            t.rename_column(m.group("old"), m.group("new"))
+            return self._dml_result()
+        if m := re.match(r"^drop\s+column\s+(?P<name>[A-Za-z_]\w*)\s*$",
+                         b, re.I):
+            t.drop_column(m.group("name"))
+            return self._dml_result()
+        if m := re.match(r"^set\s+tblproperties\s*\((?P<kv>.*)\)\s*$",
+                         b, re.I | re.S):
+            t.update_properties(self._prop_pairs(m.group("kv"), lits))
+            return self._dml_result()
+        if m := re.match(r"^unset\s+tblproperties\s*\((?P<ks>.*)\)\s*$",
+                         b, re.I | re.S):
+            keys = [self._str_lit(k, lits)
+                    for k in self._split_top(m.group("ks"))]
+            t.update_properties(removals=keys)
+            return self._dml_result()
+        if m := re.match(r"^rename\s+to\s+(?P<cat>[A-Za-z_]\w*)\."
+                         r"(?P<rest>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)\s*$",
+                         b, re.I):
+            if m.group("cat") != self.catalog_name:
+                raise ValueError(
+                    "RENAME TO must stay inside catalog "
+                    f"{self.catalog_name!r}")
+            self.catalog.rename_table(ident, m.group("rest"))
+            return self._dml_result()
+        if m := re.match(r"^create\s+(?P<kind>branch|tag)\s+"
+                         r"(?P<name>[A-Za-z_]\w*)"
+                         r"(?:\s+as\s+of\s+version\s+(?P<ver>\d+))?\s*$",
+                         b, re.I):
+            sid = int(m.group("ver")) if m.group("ver") else None
+            if m.group("kind").lower() == "branch":
+                t.create_branch(m.group("name"), snapshot_id=sid)
+            else:
+                t.create_tag(m.group("name"), snapshot_id=sid)
+            return self._dml_result()
+        if m := re.match(r"^drop\s+(?:branch|tag)\s+"
+                         r"(?P<name>[A-Za-z_]\w*)\s*$", b, re.I):
+            t.remove_ref(m.group("name"))
+            return self._dml_result()
+        raise ValueError(
+            f"unsupported ALTER TABLE clause: "
+            f"{self._unmask(b, lits)!r} (supported: ADD COLUMN, "
+            "RENAME COLUMN ... TO, DROP COLUMN, SET/UNSET "
+            "TBLPROPERTIES, RENAME TO, CREATE/DROP BRANCH|TAG)")
+
+    def _prop_pairs(self, kv: str, lits: list) -> dict:
+        out = {}
+        for piece in self._split_top(kv):
+            pm = re.match(r"^\s*(\x00\d+\x00)\s*=\s*(\x00\d+\x00)\s*$",
+                          piece)
+            if pm is None:
+                raise ValueError(
+                    f"TBLPROPERTIES takes 'key' = 'value' pairs; got "
+                    f"{self._unmask(piece, lits)!r}")
+            out[self._str_lit(pm.group(1), lits)] = \
+                self._str_lit(pm.group(2), lits)
+        return out
+
+    def _str_lit(self, token: str, lits: list) -> str:
+        s = self._unmask(token.strip(), lits).strip()
+        if len(s) < 2 or s[0] not in "'\"" or s[-1] != s[0]:
+            raise ValueError(f"expected a quoted string, got {s!r}")
+        return s[1:-1].replace("''", "'")
+
+    # -- CALL <catalog>.system.<proc>(...) -----------------------------------
+    def _call(self, proc: str, args_text: str, lits: list):
+        from pyspark.sql import types as T
+
+        kwargs = self._call_args(args_text, lits)
+        ident = kwargs.pop("table", None)
+        if ident is None:
+            raise ValueError(
+                f"CALL {proc} needs a table => 'ns.name' argument")
+        t = self._load(ident, f"CALL {proc}")
+
+        def snap_frame(t2) -> "object":
+            s = t2.current_snapshot()
+            return self.spark.createDataFrame(
+                [(s.snapshot_id if s else None,)],
+                T.StructType([T.StructField("current_snapshot_id",
+                                            T.LongType())]))
+
+        if proc == "expire_snapshots":
+            before = len(t.snapshots())
+            t2 = t.expire_snapshots(
+                older_than_ms=kwargs.pop("older_than_ms", None),
+                keep_last=int(kwargs.pop("retain_last", 1)))
+            self._no_extra(proc, kwargs)
+            return self.spark.createDataFrame(
+                [(before - len(t2.snapshots()),)],
+                T.StructType([T.StructField("deleted_snapshots_count",
+                                            T.LongType(), False)]))
+        if proc == "remove_orphan_files":
+            removed = t.remove_orphan_files(
+                older_than_ms=kwargs.pop("older_than_ms", None),
+                dry_run=bool(kwargs.pop("dry_run", False)))
+            self._no_extra(proc, kwargs)
+            return self.spark.createDataFrame(
+                [(p,) for p in removed] or [],
+                T.StructType([T.StructField("orphan_file_location",
+                                            T.StringType(), False)]))
+        if proc == "rewrite_data_files":
+            zo = kwargs.pop("zorder_by", None)
+            tfc = kwargs.pop("target_file_count", None)
+            tfs = kwargs.pop("target_file_size_bytes", None)
+            self._no_extra(proc, kwargs)
+            return snap_frame(t.rewrite_data_files(
+                target_file_count=int(tfc) if tfc is not None else None,
+                target_file_size_bytes=(int(tfs) if tfs is not None
+                                        else None),
+                zorder_by=([c.strip() for c in zo.split(",")]
+                           if zo else None)))
+        if proc == "rewrite_manifests":
+            self._no_extra(proc, kwargs)
+            return snap_frame(t.rewrite_manifests())
+        if proc == "rewrite_position_deletes":
+            self._no_extra(proc, kwargs)
+            return snap_frame(t.rewrite_position_deletes())
+        if proc == "rewrite_equality_deletes":
+            self._no_extra(proc, kwargs)
+            return snap_frame(t.rewrite_equality_deletes())
+        def require(key: str):
+            if key not in kwargs:
+                raise ValueError(f"CALL {proc} needs {key} => ...")
+            return kwargs.pop(key)
+
+        if proc == "rollback_to_snapshot":
+            sid = require("snapshot_id")
+            self._no_extra(proc, kwargs)
+            return snap_frame(t.rollback_to(int(sid)))
+        if proc == "cherrypick_snapshot":
+            sid = require("snapshot_id")
+            self._no_extra(proc, kwargs)
+            return snap_frame(t.cherry_pick(int(sid)))
+        if proc == "publish_wap":
+            wap = require("wap_id")
+            self._no_extra(proc, kwargs)
+            return snap_frame(t.publish_wap(str(wap)))
+        raise ValueError(
+            f"unknown procedure: {self.catalog_name}.system.{proc} "
+            "(supported: expire_snapshots, remove_orphan_files, "
+            "rewrite_data_files, rewrite_manifests, "
+            "rewrite_position_deletes, rewrite_equality_deletes, "
+            "rollback_to_snapshot, cherrypick_snapshot, publish_wap)")
+
+    @staticmethod
+    def _no_extra(proc: str, kwargs: dict) -> None:
+        if kwargs:
+            raise ValueError(
+                f"unknown argument(s) for {proc}: {sorted(kwargs)}")
+
+    def _call_args(self, text: str, lits: list) -> dict:
+        """``name => value`` pairs; values are quoted strings, numbers,
+        or true/false."""
+        out: dict = {}
+        if not text.strip():
+            return out
+        for piece in self._split_top(text):
+            pm = re.match(r"^\s*([A-Za-z_]\w*)\s*=>\s*(.+?)\s*$",
+                          piece, re.S)
+            if pm is None:
+                raise ValueError(
+                    f"CALL arguments are name => value; got "
+                    f"{self._unmask(piece, lits)!r}")
+            name, val = pm.group(1).lower(), pm.group(2)
+            if re.fullmatch(r"\x00\d+\x00", val):
+                out[name] = self._str_lit(val, lits)
+            elif val.lower() in ("true", "false"):
+                out[name] = val.lower() == "true"
+            elif re.fullmatch(r"-?\d+", val):
+                out[name] = int(val)
+            elif re.fullmatch(r"-?\d+\.\d+", val):
+                out[name] = float(val)
+            else:
+                raise ValueError(
+                    f"cannot parse CALL argument value: "
+                    f"{self._unmask(val, lits)!r}")
+        return out
 
     def _show_tables(self, ns: Optional[str]):
         from pyspark.sql import types as T

@@ -344,3 +344,90 @@ class TestSqlMetadataAndUtility:
                                    ("data", "string", True)]
         with pytest.raises(ValueError, match="not a table"):
             eng.sql("DESCRIBE ice.db.nope")
+
+
+class TestSqlAlterAndCall:
+    """ALTER TABLE evolution/refs clauses and CALL <cat>.system.<proc>
+    maintenance procedures (r14) — each maps onto the corresponding
+    IceTable method; unknown clauses/procs/arguments refuse loudly."""
+
+    def test_alter_columns_and_properties(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("ALTER TABLE ice.db.t ADD COLUMN score DOUBLE")
+        eng.sql("ALTER TABLE ice.db.t RENAME COLUMN data TO label")
+        desc = [(r["col_name"], r["data_type"]) for r in
+                eng.sql("DESCRIBE ice.db.t").collect()]
+        assert desc == [("id", "long"), ("label", "string"),
+                        ("score", "double")]
+        # old rows read the new column as null through SQL
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t "
+                       "WHERE score IS NULL").collect()[0]["n"] == 6
+        eng.sql("ALTER TABLE ice.db.t SET TBLPROPERTIES "
+                "('foo' = 'bar', 'x' = '1')")
+        t = cat.load_table("db.t", spark=spark)
+        assert t.properties()["foo"] == "bar"
+        eng.sql("ALTER TABLE ice.db.t UNSET TBLPROPERTIES ('foo')")
+        assert "foo" not in cat.load_table("db.t", spark=spark) \
+            .properties()
+        eng.sql("ALTER TABLE ice.db.t DROP COLUMN score")
+        assert [r["col_name"] for r in
+                eng.sql("DESCRIBE ice.db.t").collect()] == ["id", "label"]
+        with pytest.raises(ValueError, match="unsupported ALTER"):
+            eng.sql("ALTER TABLE ice.db.t CLUSTER BY id")
+
+    def test_alter_refs(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        sid = cat.load_table("db.t", spark=spark) \
+            .current_snapshot().snapshot_id
+        eng.sql("ALTER TABLE ice.db.t CREATE BRANCH audit")
+        eng.sql(f"ALTER TABLE ice.db.t CREATE TAG v1 "
+                f"AS OF VERSION {sid}")
+        refs = cat.load_table("db.t", spark=spark).metadata.refs
+        assert refs["audit"].type == "branch"
+        assert refs["v1"].type == "tag" and refs["v1"].snapshot_id == sid
+        eng.sql("ALTER TABLE ice.db.t DROP BRANCH audit")
+        assert "audit" not in cat.load_table("db.t", spark=spark) \
+            .metadata.refs
+
+    def test_call_maintenance_procs(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("INSERT INTO ice.db.t VALUES (100, 'x')")
+        got = eng.sql("CALL ice.system.rewrite_manifests("
+                      "table => 'db.t')").collect()
+        assert got[0]["current_snapshot_id"] is not None
+        got = eng.sql("CALL ice.system.rewrite_data_files("
+                      "table => 'db.t', target_file_count => 1)")
+        assert got.collect()[0]["current_snapshot_id"] is not None
+        assert len(cat.load_table("db.t", spark=spark)
+                   .scan().plan_files()) == 1
+        got = eng.sql("CALL ice.system.expire_snapshots("
+                      "table => 'db.t', retain_last => 1)").collect()
+        assert got[0]["deleted_snapshots_count"] >= 1
+        # orphan listing after expiry, dry run: returns locations only
+        orphans = eng.sql("CALL ice.system.remove_orphan_files("
+                          "table => 'db.t', dry_run => true)")
+        assert orphans.columns == ["orphan_file_location"]
+
+    def test_call_rollback(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        first = t.current_snapshot().snapshot_id
+        eng.sql("INSERT INTO ice.db.t VALUES (100, 'x')")
+        got = eng.sql(f"CALL ice.system.rollback_to_snapshot("
+                      f"table => 'db.t', snapshot_id => {first})")
+        assert got.collect()[0]["current_snapshot_id"] == first
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t") \
+            .collect()[0]["n"] == 6
+
+    def test_call_guards(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="unknown procedure"):
+            eng.sql("CALL ice.system.nope(table => 'db.t')")
+        with pytest.raises(ValueError, match="unknown argument"):
+            eng.sql("CALL ice.system.rewrite_manifests("
+                    "table => 'db.t', bogus => 1)")
+        with pytest.raises(ValueError, match="needs snapshot_id"):
+            eng.sql("CALL ice.system.rollback_to_snapshot("
+                    "table => 'db.t')")
+        with pytest.raises(ValueError, match="needs a table"):
+            eng.sql("CALL ice.system.rewrite_manifests()")
