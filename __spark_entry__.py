@@ -936,11 +936,17 @@ def ice_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity for flag-A keys, inserts for brand-new keys — per-key
     last-change-wins by an explicit sequence column."""
     # synthetic lineitem keys are NOT unique — build a deterministic
-    # unique-key base first (CDC tables have unique keys by definition)
+    # unique-key base first (CDC tables have unique keys by definition).
+    # Checkpoint it: the base feeds the append AND all three change
+    # branches — without materialization each consumer re-runs the
+    # dedup aggregation (4 shuffles of lineitem for one logical pass;
+    # exactly the staging-materialization discipline apply_changes
+    # itself applies to its batch)
     li = (_t(spark, sf_dir, "lineitem")
           .groupBy("l_orderkey", "l_linenumber")
           .agg(F.max("l_quantity").alias("l_quantity"),
-               F.max("l_returnflag").alias("l_returnflag")))
+               F.max("l_returnflag").alias("l_returnflag"))
+          .localCheckpoint(eager=True))
     t = _fresh_table(spark, sf_dir, li, "cdc")
     t.append(li)
     dels = (li.filter(F.col("l_returnflag") == "R")
