@@ -49,7 +49,9 @@ _IDENT = re.compile(
     r"(?:\s+(?:for\s+)?(?:system_version|version)\s+as\s+of\s+"
     r"(?P<ver>\d+)"
     r"|\s+(?:for\s+)?(?:system_time|timestamp)\s+as\s+of\s+"
-    r"(?P<ts>\x00\d+\x00))?",
+    r"(?P<ts>\x00\d+\x00)"
+    r"|\s+changes\s+(?:between\s+(?P<cfrom>\d+)\s+and\s+(?P<cto>\d+)"
+    r"|since\s+(?P<csince>\d+)))?",
     re.I)
 # single- and double-quoted SQL literals (with '' escapes); masked so a
 # path like 'ice.db.t' inside a string never binds
@@ -654,37 +656,59 @@ class IceSqlEngine:
             ver = int(m.group("ver")) if m.group("ver") else None
             ts = (self._unmask(m.group("ts"), lits)
                   if m.group("ts") else None)
-            key = (ident, ver, ts)
+            chg = None
+            if m.group("csince"):
+                chg = (int(m.group("csince")), None)
+            elif m.group("cfrom"):
+                chg = (int(m.group("cfrom")), int(m.group("cto")))
+            key = (ident, ver, ts, chg)
             view = bound.get(key)
             if view is None:
                 view = self._bind(ident, depth, snapshot_id=ver,
-                                  as_of=ts)
+                                  as_of=ts, changes=chg)
                 bound[key] = view
             out = out[:m.start()] + view + out[m.end():]
         return self.spark.sql(self._unmask(out, lits))
 
     def _bind(self, ident: str, depth: int,
               snapshot_id: Optional[int] = None,
-              as_of: Optional[str] = None) -> str:
+              as_of: Optional[str] = None,
+              changes: Optional[tuple] = None) -> str:
         """Resolve one catalog identifier to a temp-view name: tables
         become IceTable scans (snapshot/schema/delete resolution all
         engine-side — time travel binds the scan to the named snapshot
-        or the snapshot current AS OF the timestamp); spec views resolve
-        their CURRENT version's SQL recursively (it may reference
-        catalog identifiers itself)."""
+        or the snapshot current AS OF the timestamp; ``CHANGES SINCE
+        <id>`` / ``CHANGES BETWEEN <id> AND <id>`` binds the CDC
+        changelog rows for that snapshot range instead); spec views
+        resolve their CURRENT version's SQL recursively (it may
+        reference catalog identifiers itself)."""
         safe = ident.replace(".", "_")
         name = f"__ice_sql_{safe}"
         if snapshot_id is not None:
             name += f"_v{snapshot_id}"
         elif as_of is not None:
             name += f"_t{abs(hash(as_of)) % 10**8}"
+        elif changes is not None:
+            name += f"_c{changes[0]}_{changes[1] or 'head'}"
         if self.catalog.table_exists(ident):
             t = self.catalog.load_table(ident, spark=self.spark)
+            if changes is not None:
+                from iceberg_cpp_spark.streaming.changelog import \
+                    changes as table_changes
+
+                table_changes(t, from_snapshot_id=changes[0],
+                              to_snapshot_id=changes[1]) \
+                    .createOrReplaceTempView(name)
+                return name
             scan = t.scan(snapshot_id=snapshot_id)
             if as_of is not None:
                 scan = scan.as_of(self._parse_ts_ms(as_of))
             scan.to_df().createOrReplaceTempView(name)
             return name
+        if changes is not None:
+            raise ValueError(
+                f"CHANGES applies to tables; {ident!r} is not a "
+                f"table in catalog {self.catalog_name!r}")
         if snapshot_id is not None or as_of is not None:
             raise ValueError(
                 f"time travel applies to tables; {ident!r} is not a "

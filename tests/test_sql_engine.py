@@ -431,3 +431,39 @@ class TestSqlAlterAndCall:
                     "table => 'db.t')")
         with pytest.raises(ValueError, match="needs a table"):
             eng.sql("CALL ice.system.rewrite_manifests()")
+
+
+class TestSqlChanges:
+    """CDC reads through SQL: ``FROM ice.db.t CHANGES SINCE <id>`` /
+    ``CHANGES BETWEEN <a> AND <b>`` bind the changelog rows (r14)."""
+
+    def test_changes_since_and_between(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        s1 = t.current_snapshot().snapshot_id
+        eng.sql("INSERT INTO ice.db.t VALUES (100, 'x')")
+        s2 = cat.load_table("db.t", spark=spark) \
+            .current_snapshot().snapshot_id
+        eng.sql("DELETE FROM ice.db.t WHERE id = 0")
+        got = [(r["_change_type"], r["id"]) for r in
+               eng.sql(f"SELECT _change_type, id FROM ice.db.t "
+                       f"CHANGES SINCE {s1} "
+                       f"ORDER BY _change_ordinal, id").collect()]
+        assert got == [("insert", 100), ("delete", 0)]
+        got = [(r["_change_type"], r["id"]) for r in
+               eng.sql(f"SELECT _change_type, id FROM ice.db.t "
+                       f"CHANGES BETWEEN {s1} AND {s2}").collect()]
+        assert got == [("insert", 100)]
+        # changelog and current state compose in one query
+        n = eng.sql(f"SELECT count(*) AS n FROM ice.db.t "
+                    f"CHANGES SINCE {s1} c JOIN ice.db.t x "
+                    f"ON c.id = x.id").collect()[0]["n"]
+        assert n == 1  # id 0 was deleted; id 100 still live
+
+    def test_changes_on_view_is_loud(self, spark, cat):
+        sch = it.Schema([it.NestedField(1, "id", it.LongType(), True)],
+                        schema_id=0)
+        cat.create_view("db.cv", "SELECT id FROM ice.db.t", sch)
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="CHANGES applies"):
+            eng.sql("SELECT * FROM ice.db.cv CHANGES SINCE 1")
