@@ -135,10 +135,14 @@ class IceSqlEngine:
     def sql(self, query: str):
         """Resolve ``<catalog_name>.`` identifiers and run the query.
         Reads return the Spark DataFrame (lazy, as spark.sql does).
-        ``INSERT INTO <cat>.<ns>.<tbl> <select|values>`` appends and
-        ``INSERT OVERWRITE`` replaces — one engine snapshot each; both
+        Write statements — INSERT INTO/OVERWRITE, DELETE FROM,
+        UPDATE ... SET, MERGE INTO, CREATE TABLE AS SELECT, DROP
+        TABLE, ALTER TABLE, CALL <cat>.system.<proc> — map onto the
+        corresponding IceTable mutation (one snapshot + CAS each) and
         return an empty ``num_affected_rows``-shaped frame (DML result
-        convention; counting would force an extra job)."""
+        convention; counting would force an extra job) or a small
+        procedure-result frame. SHOW TABLES / SHOW NAMESPACES /
+        DESCRIBE return metadata frames."""
         q = query.strip().rstrip(";")
         m = _INSERT.match(q)
         if m and m.group("cat") == self.catalog_name:
