@@ -1096,42 +1096,112 @@ class TableScan:
                and not d.is_deletion_vector]
         eqs = [d for d in deletes if d.content == mf.CONTENT_EQUALITY_DELETES]
         if dvs:
-            # Broadcast {data_file → (puffin_path, offset, length)}
-            # POINTERS, never bytes: each executor reads + decodes only
-            # the blobs for files it actually scans (lru per worker) and
-            # tests row positions vectorized — no join, no shuffle, no
-            # driver I/O pass over the blobs, broadcast size O(#files ×
-            # ~100B) instead of O(total bitmap bytes).  Same pattern as
-            # the DataSource plane (sources/spark_datasource.py
-            # partitions()/read path).
-            pointers = {d.referenced_data_file:
-                        (d.file_path, d.content_offset or 0,
-                         d.content_size_in_bytes or 0) for d in dvs}
-            bc = spark.sparkContext.broadcast(pointers)
+            # Two planes, gated by TOTAL DV CARDINALITY (a metadata
+            # field — no blob is opened to decide):
+            #
+            # 1. JOIN plane (cardinality ≤ engine.read.dv-join-max-
+            #    positions, default 10^6): executors decode the blobs
+            #    ONCE into (file, pos) rows — a bounded frame by the
+            #    gate — and the scan applies them as a broadcast
+            #    anti-join. The big side stays entirely inside
+            #    whole-stage codegen: no Arrow round-trip of every
+            #    scanned row through a Python probe, which at a small
+            #    delete fraction costs O(table) for O(deletes) of work.
+            # 2. PROBE plane (cardinality unknown or over the cap):
+            #    broadcast {data_file → (puffin_path, offset, length)}
+            #    POINTERS, never bytes — each executor reads + decodes
+            #    only the blobs for files it actually scans (lru per
+            #    worker) and tests positions vectorized. No join, no
+            #    shuffle, broadcast size O(#files × ~100B): the right
+            #    shape when the bitmaps themselves are too big to ship
+            #    as rows. Same pattern as the DataSource plane.
+            counts = [d.record_count for d in dvs]
+            dv_cap = int(self._table.properties().get(
+                "engine.read.dv-join-max-positions", "1000000"))
+            if None not in counts and sum(counts) <= dv_cap:
+                ptr_rows = [(d.referenced_data_file, d.file_path,
+                             int(d.content_offset or 0),
+                             int(d.content_size_in_bytes or 0))
+                            for d in dvs]
+                ptr_df = spark.createDataFrame(
+                    ptr_rows,
+                    "file_path string, puffin string, off long, ln long")
 
-            @F.pandas_udf("boolean")
-            def _dv_dead(file_s, pos_s):
-                import numpy as np
-                import pandas as pd
+                def _explode_dv(it):
+                    import numpy as np
+                    import pandas as pd
 
-                from iceberg_cpp_spark.core.puffin import (
-                    _decode_dv_pointer_cached)
+                    from iceberg_cpp_spark.core.puffin import (
+                        _decode_dv_pointer_cached)
 
-                files = file_s.str.replace(r"^file:(//)?", "", regex=True).to_numpy()
-                dead = np.zeros(len(files), dtype=bool)
-                positions = pos_s.to_numpy(dtype=np.int64)
-                for fp in pd.unique(files):
-                    ptr = bc.value.get(fp)
-                    if ptr is None:
-                        continue
-                    arr = _decode_dv_pointer_cached(*ptr)
-                    m = files == fp
-                    dead[m] = np.isin(positions[m].astype(np.uint64), arr)
-                return pd.Series(dead)
+                    for pdf in it:
+                        for r in pdf.itertuples(index=False):
+                            arr = _decode_dv_pointer_cached(
+                                r.puffin, r.off, r.ln)
+                            yield pd.DataFrame(
+                                {"file_path": np.full(len(arr),
+                                                      r.file_path,
+                                                      dtype=object),
+                                 "pos": arr.astype(np.int64)})
 
-            hit = _dv_dead(F.col("_file"), F.col("_pos"))
-            df = (df.withColumn("_deleted", F.col("_deleted") | hit) if tag
-                  else df.filter(~hit))
+                nparts = max(1, min(len(ptr_rows),
+                                    spark.sparkContext.defaultParallelism))
+                dv_dels = (ptr_df.repartition(nparts)
+                           .mapInPandas(_explode_dv,
+                                        "file_path string, pos long"))
+                norm_file = F.regexp_replace(
+                    F.col("_file"), "^file:(//)?", "")
+                if tag:
+                    # distinct: a left join must never fan out a row
+                    # (mirrors the parquet position-delete tag path)
+                    marked = broadcast(
+                        dv_dels.distinct().withColumn("_dv_hit",
+                                                      F.lit(True)))
+                    df = (df.join(
+                            marked,
+                            (norm_file == marked["file_path"])
+                            & (df["_pos"] == marked["pos"]), "left")
+                          .withColumn(
+                              "_deleted",
+                              F.col("_deleted")
+                              | F.coalesce("_dv_hit", F.lit(False)))
+                          .drop("file_path", "pos", "_dv_hit"))
+                else:
+                    df = df.join(
+                        broadcast(dv_dels),
+                        (norm_file == dv_dels["file_path"])
+                        & (df["_pos"] == dv_dels["pos"]), "left_anti")
+            else:
+                pointers = {d.referenced_data_file:
+                            (d.file_path, d.content_offset or 0,
+                             d.content_size_in_bytes or 0) for d in dvs}
+                bc = spark.sparkContext.broadcast(pointers)
+
+                @F.pandas_udf("boolean")
+                def _dv_dead(file_s, pos_s):
+                    import numpy as np
+                    import pandas as pd
+
+                    from iceberg_cpp_spark.core.puffin import (
+                        _decode_dv_pointer_cached)
+
+                    files = file_s.str.replace(
+                        r"^file:(//)?", "", regex=True).to_numpy()
+                    dead = np.zeros(len(files), dtype=bool)
+                    positions = pos_s.to_numpy(dtype=np.int64)
+                    for fp in pd.unique(files):
+                        ptr = bc.value.get(fp)
+                        if ptr is None:
+                            continue
+                        arr = _decode_dv_pointer_cached(*ptr)
+                        m = files == fp
+                        dead[m] = np.isin(positions[m].astype(np.uint64),
+                                          arr)
+                    return pd.Series(dead)
+
+                hit = _dv_dead(F.col("_file"), F.col("_pos"))
+                df = (df.withColumn("_deleted", F.col("_deleted") | hit)
+                      if tag else df.filter(~hit))
         if pos:
             # normalize both sides to plain paths (spec paths carry no
             # file:/ scheme) so spec-compliant external position deletes

@@ -310,12 +310,28 @@ class TestEqDeleteScaling:
         t = t.rewrite_equality_deletes()
         dels = t.scan().plan_deletes()
         assert all(d.is_deletion_vector for d in dels), dels
+        # post-fold scan: the eq-delete join PER COMMIT is gone. Under
+        # the r14 cardinality gate the folded DVs apply as ONE
+        # broadcast anti-join of executor-decoded positions (big side
+        # fully JVM — no Python probe of every row); above the gate
+        # (cap=0 here) the pointer-probe plane with ZERO joins.
         after_df = t.to_df()
         plan = after_df._jdf.queryExecution().optimizedPlan().toString()
-        assert plan.count("Join") == 0, plan
+        assert plan.count("Join") == 1, plan
+        assert "ArrowEvalPython" not in plan
         after = sorted(r["l_orderkey"] for r in
                        after_df.select("l_orderkey").collect())
         assert before == after
+        probe_t = t.update_properties(
+            {"engine.read.dv-join-max-positions": "0"})
+        probe_df = probe_t.to_df()
+        pplan = probe_df._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        assert pplan.count("Join") == 0, pplan
+        assert sorted(r["l_orderkey"] for r in
+                      probe_df.select("l_orderkey").collect()) == before
+        t = probe_t.update_properties(
+            removals=["engine.read.dv-join-max-positions"])
         # appends after the fold are untouched by the old deletes
         t = t.append(lineitem.filter("l_orderkey = 3"))
         assert t.to_df().filter("l_orderkey = 3").count() == \
