@@ -47,7 +47,7 @@ from typing import Optional
 _IDENT = re.compile(
     r"\b(?P<cat>[A-Za-z_]\w*)\.(?P<rest>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)"
     r"(?:\s+(?:for\s+)?(?:system_version|version)\s+as\s+of\s+"
-    r"(?P<ver>\d+)"
+    r"(?P<ver>\d+|\x00\d+\x00)"
     r"|\s+(?:for\s+)?(?:system_time|timestamp)\s+as\s+of\s+"
     r"(?P<ts>\x00\d+\x00)"
     r"|\s+changes\s+(?:between\s+(?P<cfrom>\d+)\s+and\s+(?P<cto>\d+)"
@@ -657,7 +657,14 @@ class IceSqlEngine:
             if m.group("cat") != self.catalog_name:
                 continue
             ident = m.group("rest")
-            ver = int(m.group("ver")) if m.group("ver") else None
+            ver = ref = None
+            if vg := m.group("ver"):
+                # a quoted VERSION AS OF literal names a branch/tag
+                # (the Iceberg SQL convention); digits pin a snapshot
+                ver = (int(vg) if vg.isdigit()
+                       else None)
+                if ver is None:
+                    ref = self._str_lit(vg, lits)
             ts = (self._unmask(m.group("ts"), lits)
                   if m.group("ts") else None)
             chg = None
@@ -665,17 +672,18 @@ class IceSqlEngine:
                 chg = (int(m.group("csince")), None)
             elif m.group("cfrom"):
                 chg = (int(m.group("cfrom")), int(m.group("cto")))
-            key = (ident, ver, ts, chg)
+            key = (ident, ver, ref, ts, chg)
             view = bound.get(key)
             if view is None:
                 view = self._bind(ident, depth, snapshot_id=ver,
-                                  as_of=ts, changes=chg)
+                                  ref=ref, as_of=ts, changes=chg)
                 bound[key] = view
             out = out[:m.start()] + view + out[m.end():]
         return self.spark.sql(self._unmask(out, lits))
 
     def _bind(self, ident: str, depth: int,
               snapshot_id: Optional[int] = None,
+              ref: Optional[str] = None,
               as_of: Optional[str] = None,
               changes: Optional[tuple] = None) -> str:
         """Resolve one catalog identifier to a temp-view name: tables
@@ -690,6 +698,8 @@ class IceSqlEngine:
         name = f"__ice_sql_{safe}"
         if snapshot_id is not None:
             name += f"_v{snapshot_id}"
+        elif ref is not None:
+            name += f"_r{abs(hash(ref)) % 10**8}"
         elif as_of is not None:
             name += f"_t{abs(hash(as_of)) % 10**8}"
         elif changes is not None:
@@ -705,6 +715,11 @@ class IceSqlEngine:
                     .createOrReplaceTempView(name)
                 return name
             scan = t.scan(snapshot_id=snapshot_id)
+            if ref is not None:
+                if t.metadata.ref(ref) is None:
+                    raise ValueError(
+                        f"no such branch or tag on {ident!r}: {ref!r}")
+                scan = scan.use_ref(ref)
             if as_of is not None:
                 scan = scan.as_of(self._parse_ts_ms(as_of))
             scan.to_df().createOrReplaceTempView(name)
@@ -713,7 +728,8 @@ class IceSqlEngine:
             raise ValueError(
                 f"CHANGES applies to tables; {ident!r} is not a "
                 f"table in catalog {self.catalog_name!r}")
-        if snapshot_id is not None or as_of is not None:
+        if snapshot_id is not None or ref is not None \
+                or as_of is not None:
             raise ValueError(
                 f"time travel applies to tables; {ident!r} is not a "
                 f"table in catalog {self.catalog_name!r}")

@@ -467,3 +467,19 @@ class TestSqlChanges:
         eng = IceSqlEngine(spark, cat)
         with pytest.raises(ValueError, match="CHANGES applies"):
             eng.sql("SELECT * FROM ice.db.cv CHANGES SINCE 1")
+
+    def test_version_as_of_ref_name(self, spark, cat):
+        """Quoted VERSION AS OF names a branch or tag (the Iceberg SQL
+        convention); digits pin a snapshot id."""
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("ALTER TABLE ice.db.t CREATE TAG stable")
+        eng.sql("ALTER TABLE ice.db.t CREATE BRANCH dev")
+        eng.sql("INSERT INTO ice.db.t VALUES (100, 'after-tag')")
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t "
+                       "VERSION AS OF 'stable'").collect()[0]["n"] == 6
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t "
+                       "VERSION AS OF 'dev'").collect()[0]["n"] == 6
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t") \
+            .collect()[0]["n"] == 7
+        with pytest.raises(ValueError, match="no such branch or tag"):
+            eng.sql("SELECT * FROM ice.db.t VERSION AS OF 'nope'")
