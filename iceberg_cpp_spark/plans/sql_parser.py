@@ -20,8 +20,12 @@ represent (the reference's expression surface, ``expression.h``):
             | term [NOT] IN '(' literal (',' literal)* ')'
             | term [NOT] BETWEEN literal AND literal
             | term [NOT] LIKE 'prefix%'               -- prefix-only
-    term   := column | year|month|day|hour '(' column ')'
+    term   := column
             | bucket '(' column ',' N ')' | truncate '(' column ',' W ')'
+            -- year/month/day/hour are REFUSED: the Iceberg transform
+            -- yields ordinals since 1970, Spark's function the
+            -- calendar value — a silent mismatch; range predicates on
+            -- the column prune temporal partitions identically
     literal:= 'str' | number | TRUE | FALSE
             | DATE 'yyyy-mm-dd' | TIMESTAMP 'iso'
 
@@ -58,8 +62,13 @@ _TOKEN = re.compile(r"""
 
 _KEYWORDS = {"and", "or", "not", "in", "between", "is", "null", "nan",
              "true", "false", "like", "date", "timestamp"}
-_TRANSFORMS_1 = {"year": tr.YearTransform, "month": tr.MonthTransform,
-                 "day": tr.DayTransform, "hour": tr.HourTransform}
+# year/month/day/hour are REFUSED, not parsed: the Iceberg transforms
+# yield ordinals since 1970 while the same spelling in Spark SQL is
+# the calendar function — `year(ts) = 2020` would silently compare
+# 2020 against ordinal 50 and match nothing. A plain range predicate
+# on the column prunes temporal partitions identically (inclusive
+# projection), so nothing is lost by refusing.
+_TEMPORAL_REFUSED = {"year", "month", "day", "hour"}
 _TRANSFORMS_2 = {"bucket": tr.BucketTransform,
                  "truncate": tr.TruncateTransform}
 _CMP = {"=": ex.eq, "!=": ex.not_eq, "<>": ex.not_eq, "<": ex.lt,
@@ -233,14 +242,16 @@ class _Parser:
                 f"in {self.text!r}")
         name = t[1]
         low = name.lower()
-        if self._peek() == ("op", "(") and (low in _TRANSFORMS_1
-                                            or low in _TRANSFORMS_2):
+        if self._peek() == ("op", "(") and low in _TEMPORAL_REFUSED:
+            raise SqlParseError(
+                f"{low}(col) is ambiguous here: Spark's {low}() is the "
+                f"calendar function but Iceberg's {low} transform "
+                "yields ordinals since 1970 — write a range predicate "
+                "on the column instead (it prunes temporal partitions "
+                "identically)")
+        if self._peek() == ("op", "(") and low in _TRANSFORMS_2:
             self.i += 1
             col = self._dotted_name()
-            if low in _TRANSFORMS_1:
-                self._expect_op(")")
-                return ex.TransformTerm(_TRANSFORMS_1[low](),
-                                        ex.Reference(col))
             self._expect_op(",")
             n = self._next()
             if n[0] != "num" or "." in n[1]:

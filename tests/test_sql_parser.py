@@ -91,12 +91,18 @@ class TestParsePredicate:
         assert same(parse_predicate("bucket(id, 16) = 3"),
                     ex.eq(ex.TransformTerm(tr.BucketTransform(16),
                                            ex.Reference("id")), 3))
-        assert same(parse_predicate("year(ts) = 2020"),
-                    ex.eq(ex.TransformTerm(tr.YearTransform(),
-                                           ex.Reference("ts")), 2020))
         assert same(parse_predicate("truncate(s, 4) = 'abcd'"),
                     ex.eq(ex.TransformTerm(tr.TruncateTransform(4),
                                            ex.Reference("s")), "abcd"))
+
+    def test_temporal_transforms_refused(self):
+        # Iceberg's year transform yields ordinals since 1970; Spark's
+        # year() the calendar value — parsing either meaning silently
+        # would mismatch the other, so the grammar refuses
+        for text in ("year(ts) = 2020", "month(ts) = 5",
+                     "day(ts) = 100", "hour(ts) <= 3"):
+            with pytest.raises(SqlParseError, match="ambiguous"):
+                parse_predicate(text)
 
     def test_nested_column_names(self):
         assert same(parse_predicate("addr.city = 'Oslo'"),
@@ -112,7 +118,6 @@ class TestParsePredicate:
         "a =",                    # dangling operator
         "a BETWEEN 1",            # missing AND
         "a IS 3",                 # IS without NULL/NAN
-        "year(ts, 2) = 1",        # arity
         "bucket(id) = 1",         # arity
         "a = 1 extra",            # trailing input
         "AND a = 1",              # keyword as term

@@ -70,7 +70,7 @@ def _leaf(draw):
         ["num_cmp", "str_cmp", "date_cmp", "ts_cmp", "bool_cmp",
          "in", "not_in", "between", "like", "not_like",
          "null", "not_null", "nan", "not_nan",
-         "bucket", "truncate", "temporal", "flipped"]))
+         "bucket", "truncate", "flipped"]))
     op = draw(st.sampled_from(list(_CMP)))
     if kind == "num_cmp":
         col, v = draw(st.sampled_from(
@@ -135,19 +135,12 @@ def _leaf(draw):
         return (ex.eq(ex.TransformTerm(tr.BucketTransform(n),
                                        ex.Reference(_LONG)), lit),
                 f"bucket({_LONG}, {n}) = {lit}")
-    if kind == "truncate":
-        w = draw(st.integers(min_value=1, max_value=64))
-        lit = draw(_strings)
-        return (ex.eq(ex.TransformTerm(tr.TruncateTransform(w),
-                                       ex.Reference(_STRING)), lit),
-                f"truncate({_STRING}, {w}) = {_render_lit(lit)}")
-    # temporal transforms
-    name, t = draw(st.sampled_from(
-        [("year", tr.YearTransform), ("month", tr.MonthTransform),
-         ("day", tr.DayTransform), ("hour", tr.HourTransform)]))
-    lit = draw(st.integers(min_value=0, max_value=10_000))
-    return (ex.eq(ex.TransformTerm(t(), ex.Reference(_TS)), lit),
-            f"{name}({_TS}) = {lit}")
+    # kind == "truncate"
+    w = draw(st.integers(min_value=1, max_value=64))
+    lit = draw(_strings)
+    return (ex.eq(ex.TransformTerm(tr.TruncateTransform(w),
+                                   ex.Reference(_STRING)), lit),
+            f"truncate({_STRING}, {w}) = {_render_lit(lit)}")
 
 
 @st.composite
