@@ -62,6 +62,9 @@ _LITERAL = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"")
 _INSERT = re.compile(
     r"^\s*insert\s+(?P<mode>into|overwrite)\s+(?:table\s+)?"
     r"(?P<cat>[A-Za-z_]\w*)\.(?P<rest>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)"
+    # optional named-column list: strictly an identifier list, so a
+    # parenthesized subquery body never matches it
+    r"(?:\s*\((?P<cols>\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*)\))?"
     r"\s+(?P<body>.+)$", re.I | re.S)
 # row-level DML / DDL (all matched against MASKED text, so literals
 # containing keywords never split a clause). The WHERE body parses
@@ -147,7 +150,7 @@ class IceSqlEngine:
         m = _INSERT.match(q)
         if m and m.group("cat") == self.catalog_name:
             return self._insert(m.group("rest"), m.group("mode").lower(),
-                                m.group("body"))
+                                m.group("body"), cols=m.group("cols"))
         out = self._dml(q)
         if out is not None:
             return out
@@ -614,7 +617,8 @@ class IceSqlEngine:
         out.append(text[start:])
         return out
 
-    def _insert(self, ident: str, mode: str, body: str):
+    def _insert(self, ident: str, mode: str, body: str,
+                cols: Optional[str] = None):
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -627,14 +631,49 @@ class IceSqlEngine:
         t = self.catalog.load_table(ident, spark=self.spark)
         df = self._sql(body, depth=0)
         tgt = to_spark_schema(t.schema())
-        if len(df.columns) != len(tgt.fields):
-            raise ValueError(
-                f"INSERT column count {len(df.columns)} != table "
-                f"{ident!r} column count {len(tgt.fields)}")
-        # Spark INSERT semantics: positional with casts to the target
-        aligned = df.select(
-            *[F.col(c).cast(f.dataType).alias(f.name)
-              for c, f in zip(df.columns, tgt.fields)])
+        if cols is not None:
+            # named-column INSERT: listed columns take the body's
+            # values positionally; missing columns take the field's
+            # write-default (v3) or NULL — required columns without a
+            # default refuse
+            names = [c.strip() for c in cols.split(",")]
+            top = {f.name: f for f in t.schema().fields}
+            if len(set(names)) != len(names):
+                raise ValueError(f"duplicate INSERT column in {names}")
+            for n in names:
+                if n not in top:
+                    raise ValueError(
+                        f"INSERT column {n!r} not in table {ident!r}")
+            if len(df.columns) != len(names):
+                raise ValueError(
+                    f"INSERT column list has {len(names)} names but "
+                    f"the body produces {len(df.columns)} columns")
+            by_name = dict(zip(names, df.columns))
+            sel = []
+            for sf, f in zip(tgt.fields, t.schema().fields):
+                if f.name in by_name:
+                    sel.append(F.col(by_name[f.name])
+                               .cast(sf.dataType).alias(f.name))
+                elif f.write_default is not None:
+                    sel.append(F.lit(f.write_default)
+                               .cast(sf.dataType).alias(f.name))
+                elif f.required:
+                    raise ValueError(
+                        f"required column {f.name!r} missing from the "
+                        "INSERT column list and has no write-default")
+                else:
+                    sel.append(F.lit(None).cast(sf.dataType)
+                               .alias(f.name))
+            aligned = df.select(*sel)
+        else:
+            if len(df.columns) != len(tgt.fields):
+                raise ValueError(
+                    f"INSERT column count {len(df.columns)} != table "
+                    f"{ident!r} column count {len(tgt.fields)}")
+            # Spark INSERT semantics: positional with casts
+            aligned = df.select(
+                *[F.col(c).cast(f.dataType).alias(f.name)
+                  for c, f in zip(df.columns, tgt.fields)])
         if mode == "into":
             t.append(aligned)
         else:

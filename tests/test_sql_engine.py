@@ -483,3 +483,44 @@ class TestSqlChanges:
             .collect()[0]["n"] == 7
         with pytest.raises(ValueError, match="no such branch or tag"):
             eng.sql("SELECT * FROM ice.db.t VERSION AS OF 'nope'")
+
+
+class TestSqlInsertNamedColumns:
+    def test_named_columns_and_null_fill(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("INSERT INTO ice.db.t (data, id) VALUES ('named', 300)")
+        row = eng.sql("SELECT * FROM ice.db.t WHERE id = 300") \
+            .collect()[0]
+        assert (row["id"], row["data"]) == (300, "named")
+        # missing OPTIONAL column fills NULL
+        eng.sql("INSERT INTO ice.db.t (id) VALUES (301)")
+        row = eng.sql("SELECT * FROM ice.db.t WHERE id = 301") \
+            .collect()[0]
+        assert row["data"] is None
+
+    def test_named_columns_write_default(self, spark, cat):
+        from iceberg_cpp_spark.core import types as it
+
+        t = cat.load_table("db.t", spark=spark)
+        t.add_column("src", it.StringType(), default="backfill")
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("INSERT INTO ice.db.t (id, data) VALUES (400, 'd')")
+        row = eng.sql("SELECT * FROM ice.db.t WHERE id = 400") \
+            .collect()[0]
+        assert row["src"] == "backfill"
+
+    def test_named_columns_guards(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="not in table"):
+            eng.sql("INSERT INTO ice.db.t (nope) VALUES (1)")
+        with pytest.raises(ValueError, match="required column"):
+            eng.sql("INSERT INTO ice.db.t (data) VALUES ('x')")
+        with pytest.raises(ValueError, match="duplicate"):
+            eng.sql("INSERT INTO ice.db.t (id, id) VALUES (1, 2)")
+        with pytest.raises(ValueError, match="body produces"):
+            eng.sql("INSERT INTO ice.db.t (id) VALUES (1, 2)")
+        # a parenthesized SUBQUERY body is not a column list
+        eng.sql("INSERT INTO ice.db.t (SELECT id + 500, data "
+                "FROM ice.db.dim)")
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t "
+                       "WHERE id >= 500").collect()[0]["n"] == 2
