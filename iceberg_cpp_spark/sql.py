@@ -88,7 +88,18 @@ _ON_EQ = re.compile(
     r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$")
 _CTAS = re.compile(
     r"^\s*create\s+table\s+(?P<ine>if\s+not\s+exists\s+)?" + _IDENT_TAIL +
-    r"\s+as\s+(?P<body>.+)$", re.I | re.S)
+    r"(?:\s*\((?P<coldefs>[^()]*(?:\([^()]*\)[^()]*)*)\))?"
+    r"(?:\s+partitioned\s+by\s*"
+    r"\((?P<parts>[^()]*(?:\([^()]*\)[^()]*)*)\))?"
+    r"(?:\s+as\s+(?P<body>.+))?\s*$", re.I | re.S)
+# PARTITIONED BY entries use the Iceberg DDL spelling: col,
+# years/months/days/hours(col), bucket(N, col), truncate(W, col)
+_PART_FIELD = re.compile(
+    r"^\s*(?:(?P<col>[A-Za-z_]\w*)"
+    r"|(?P<tfn>years?|months?|days?|hours?)\s*\(\s*"
+    r"(?P<tcol>[A-Za-z_]\w*)\s*\)"
+    r"|(?P<nfn>bucket|truncate)\s*\(\s*(?P<n>\d+)\s*,\s*"
+    r"(?P<ncol>[A-Za-z_]\w*)\s*\))\s*$", re.I)
 _DROP = re.compile(
     r"^\s*drop\s+table\s+(?P<ie>if\s+exists\s+)?" + _IDENT_TAIL +
     r"\s*$", re.I)
@@ -578,19 +589,89 @@ class IceSqlEngine:
         return keys
 
     def _ctas(self, m: "re.Match", lits: list):
-        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.core import types as it
+        from iceberg_cpp_spark.core.types import (schema_from_spark,
+                                                  type_from_json)
 
         ident = m.group("rest")
+        coldefs, body = m.group("coldefs"), m.group("body")
+        if (coldefs is None) == (body is None):
+            raise ValueError(
+                "CREATE TABLE takes a column list OR an AS SELECT "
+                "body (exactly one)")
         if self.catalog.table_exists(ident):
             if m.group("ine"):
                 return self._dml_result()
             raise ValueError(
                 f"CREATE TABLE target already exists: {ident!r} "
                 "(use IF NOT EXISTS)")
-        df = self._sql(self._unmask(m.group("body"), lits), depth=0)
-        self.catalog.create_table(ident, schema_from_spark(df.schema))
-        self.catalog.load_table(ident, spark=self.spark).append(df)
+        if coldefs is not None:
+            fields = []
+            for i, piece in enumerate(self._split_top(coldefs)):
+                cm = re.match(
+                    r"^\s*([A-Za-z_]\w*)\s+(.+?)"
+                    r"(?:\s+(?P<nn>not\s+null))?\s*$",
+                    piece, re.I | re.S)
+                if cm is None:
+                    raise ValueError(
+                        f"cannot parse column definition: {piece!r}")
+                raw = re.sub(r"\s+", "", cm.group(2)).lower()
+                raw = _SQL_TYPE_ALIASES.get(raw, raw)
+                fields.append(it.NestedField(
+                    i + 1, cm.group(1), type_from_json(raw),
+                    required=bool(cm.group("nn"))))
+            schema = it.Schema(fields, schema_id=0)
+            df = None
+        else:
+            df = self._sql(self._unmask(body, lits), depth=0)
+            schema = schema_from_spark(df.schema)
+        spec = (self._partition_spec(m.group("parts"), schema)
+                if m.group("parts") else None)
+        self.catalog.create_table(ident, schema, spec=spec)
+        if df is not None:
+            self.catalog.load_table(ident, spark=self.spark).append(df)
         return self._dml_result()
+
+    def _partition_spec(self, parts: str, schema):
+        from iceberg_cpp_spark.core.metadata import (PartitionField,
+                                                     PartitionSpec)
+        from iceberg_cpp_spark.functions import transforms as tr
+
+        fields = []
+        for i, piece in enumerate(self._split_top(parts)):
+            pm = _PART_FIELD.match(piece)
+            if pm is None:
+                raise ValueError(
+                    f"cannot parse PARTITIONED BY entry: {piece!r} "
+                    "(supported: col, years/months/days/hours(col), "
+                    "bucket(N, col), truncate(W, col))")
+            if pm.group("col"):
+                col, t, suffix = pm.group("col"), \
+                    tr.IdentityTransform(), None
+            elif pm.group("tfn"):
+                col = pm.group("tcol")
+                base = pm.group("tfn").lower().rstrip("s")
+                t = {"year": tr.YearTransform,
+                     "month": tr.MonthTransform,
+                     "day": tr.DayTransform,
+                     "hour": tr.HourTransform}[base]()
+                suffix = base
+            else:
+                col = pm.group("ncol")
+                n = int(pm.group("n"))
+                t = (tr.BucketTransform(n)
+                     if pm.group("nfn").lower() == "bucket"
+                     else tr.TruncateTransform(n))
+                suffix = pm.group("nfn").lower()
+            f = schema.find_field(col)
+            if f is None:
+                raise ValueError(
+                    f"PARTITIONED BY references unknown column: {col!r}")
+            name = col if suffix is None else f"{col}_{suffix}"
+            fields.append(PartitionField(
+                source_id=f.field_id, field_id=1000 + i, name=name,
+                transform=t))
+        return PartitionSpec(fields)
 
     def _drop(self, m: "re.Match"):
         ident = m.group("rest")

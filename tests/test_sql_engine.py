@@ -524,3 +524,61 @@ class TestSqlInsertNamedColumns:
                 "FROM ice.db.dim)")
         assert eng.sql("SELECT count(*) AS n FROM ice.db.t "
                        "WHERE id >= 500").collect()[0]["n"] == 2
+
+
+class TestSqlCreateTableDdl:
+    """CREATE TABLE with explicit column definitions and the Iceberg
+    PARTITIONED BY transform spellings (years/months/days/hours(col),
+    bucket(N, col), truncate(W, col), bare col = identity)."""
+
+    def test_create_with_columns_and_partitioning(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("""
+            CREATE TABLE ice.db.e (
+                id BIGINT NOT NULL, name STRING,
+                amount DECIMAL(10,2), ts TIMESTAMP
+            ) PARTITIONED BY (days(ts), bucket(8, id))
+        """)
+        t = cat.load_table("db.e", spark=spark)
+        assert [(f.name, f.field_type.to_json(), f.required)
+                for f in t.schema().fields] == [
+            ("id", "long", True), ("name", "string", False),
+            ("amount", "decimal(10, 2)", False),
+            ("ts", "timestamp", False)]
+        assert [(p.name, p.transform.name)
+                for p in t.metadata.spec().fields] == [
+            ("ts_day", "day"), ("id_bucket", "bucket[8]")]
+        eng.sql("INSERT INTO ice.db.e VALUES "
+                "(1, 'a', 10.50, TIMESTAMP '2020-01-02T03:00:00'), "
+                "(9, 'b', 2.25, TIMESTAMP '2021-06-01T00:00:00')")
+        # partition pruning through the DDL-declared spec
+        from iceberg_cpp_spark.plans import expressions as ex
+        import datetime as dt
+
+        t = cat.load_table("db.e", spark=spark)
+        pruned = t.scan(filter=ex.lt(
+            ex.Reference("ts"), dt.datetime(2020, 6, 1))).plan_files()
+        assert len(pruned) == 1
+
+    def test_ctas_partitioned(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("CREATE TABLE ice.db.byname PARTITIONED BY (data) "
+                "AS SELECT id, data FROM ice.db.dim")
+        t = cat.load_table("db.byname", spark=spark)
+        assert [(p.name, p.transform.name)
+                for p in t.metadata.spec().fields] == [
+            ("data", "identity")]
+        assert t.to_df().count() == 2
+
+    def test_create_table_guards(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="exactly one"):
+            eng.sql("CREATE TABLE ice.db.g (id BIGINT) AS SELECT 1")
+        with pytest.raises(ValueError, match="exactly one"):
+            eng.sql("CREATE TABLE ice.db.g")
+        with pytest.raises(ValueError, match="unknown column"):
+            eng.sql("CREATE TABLE ice.db.g PARTITIONED BY (zz) "
+                    "AS SELECT 1 AS a")
+        with pytest.raises(ValueError, match="PARTITIONED BY entry"):
+            eng.sql("CREATE TABLE ice.db.g (id BIGINT) "
+                    "PARTITIONED BY (substr(id, 1))")
