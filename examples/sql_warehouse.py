@@ -1,0 +1,103 @@
+"""The SQL front end, end to end: a Spark user's view of the engine.
+
+Everything below is plain SQL strings against an ``IceSqlEngine`` —
+catalog DDL with Iceberg partition transforms, named-column inserts,
+the DML triad (pruned DELETE / UPDATE / MERGE), time travel by
+snapshot, timestamp, branch or tag, CDC reads, metadata tables, and
+maintenance procedures. Every statement maps onto the same IceTable
+planes the Python API uses (one snapshot + CAS each; WHERE clauses
+parse into the Expression DSL so deletes prune files, never full-scan).
+
+Run: ``python examples/sql_warehouse.py``
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from iceberg_cpp_spark import IceSqlEngine  # noqa: E402
+from iceberg_cpp_spark.session import get_spark
+from iceberg_cpp_spark.sources.catalog import FileSystemCatalog
+
+
+def main() -> None:
+    spark = get_spark(master="local[4]", shuffle_partitions=4)
+    wh = tempfile.mkdtemp(prefix="sql_wh_")
+    cat = FileSystemCatalog(f"{wh}/warehouse")
+    cat.create_namespace("sales")
+    eng = IceSqlEngine(spark, cat)  # identifiers bind as ice.sales.*
+
+    # DDL: explicit columns + Iceberg partition transforms
+    eng.sql("""
+        CREATE TABLE ice.sales.orders (
+            order_id BIGINT NOT NULL,
+            region   STRING,
+            amount   DECIMAL(10,2),
+            ts       TIMESTAMP
+        ) PARTITIONED BY (days(ts), bucket(4, order_id))
+    """)
+
+    # positional and named-column inserts
+    eng.sql("""
+        INSERT INTO ice.sales.orders VALUES
+            (1, 'EU', 10.50, TIMESTAMP '2024-01-01T08:00:00'),
+            (2, 'US', 20.00, TIMESTAMP '2024-01-02T09:00:00'),
+            (3, 'EU', 7.25,  TIMESTAMP '2024-01-02T10:30:00')
+    """)
+    eng.sql("INSERT INTO ice.sales.orders (order_id, region) "
+            "VALUES (4, 'APAC')")  # amount/ts fill NULL
+
+    # snapshot ids are random — the LATEST one is the max sequence
+    first = eng.sql(
+        "SELECT snapshot_id AS s FROM ice.sales.orders.snapshots "
+        "ORDER BY sequence_number DESC LIMIT 1").collect()[0]["s"]
+    eng.sql("ALTER TABLE ice.sales.orders CREATE TAG day1")
+
+    # the DML triad — the DELETE's WHERE parses into the Expression
+    # DSL, so only files that can contain EU rows are rewritten
+    eng.sql("DELETE FROM ice.sales.orders WHERE region = 'EU' "
+            "AND amount < 10")
+    eng.sql("UPDATE ice.sales.orders SET amount = amount * 1.1 "
+            "WHERE region = 'US'")
+    eng.sql("""
+        MERGE INTO ice.sales.orders t USING (
+            SELECT 2 AS order_id, 'US' AS region,
+                   CAST(99.99 AS DECIMAL(10,2)) AS amount,
+                   TIMESTAMP '2024-01-02T09:00:00' AS ts
+            UNION ALL
+            SELECT 5, 'EU', CAST(15.00 AS DECIMAL(10,2)),
+                   TIMESTAMP '2024-01-03T11:00:00'
+        ) s ON t.order_id = s.order_id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+
+    print("current state:")
+    eng.sql("SELECT * FROM ice.sales.orders ORDER BY order_id").show()
+    print("as of the day1 tag:")
+    eng.sql("SELECT count(*) AS n FROM ice.sales.orders "
+            "VERSION AS OF 'day1'").show()
+    print(f"changes since snapshot {first}:")
+    eng.sql(f"SELECT _change_type, order_id FROM ice.sales.orders "
+            f"CHANGES SINCE {first} "
+            f"ORDER BY _change_ordinal, order_id, _change_type").show()
+
+    # maintenance through CALL procedures
+    eng.sql("CALL ice.system.rewrite_data_files("
+            "table => 'sales.orders', target_file_count => 2)")
+    eng.sql("CALL ice.system.expire_snapshots("
+            "table => 'sales.orders', retain_last => 2)")
+    print("history after maintenance:")
+    eng.sql("SELECT snapshot_id, operation "
+            "FROM ice.sales.orders.snapshots").show(truncate=False)
+
+    spark.stop()
+    shutil.rmtree(wh, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
