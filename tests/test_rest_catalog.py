@@ -273,3 +273,26 @@ class TestPagination:
             assert "ns" in cat.list_namespaces()
         finally:
             server.shutdown()
+
+
+class TestSqlOverRest:
+    """The SQL front end against the REST catalog: RENAME TO (the one
+    statement FileSystemCatalog refuses — identifiers ARE directories
+    there) plus the read/DML surface through a pointer-mapping
+    catalog (r14)."""
+
+    def test_rename_to_and_dml(self, rest, spark):
+        from iceberg_cpp_spark import IceSqlEngine
+
+        cat, loc = rest
+        cat.create_namespace("db")
+        cat.create_table("db.t", SCHEMA, location=os.path.join(loc, "t"))
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("INSERT INTO ice.db.t VALUES (1, 'a'), (2, 'b')")
+        eng.sql("DELETE FROM ice.db.t WHERE id = 1")
+        eng.sql("ALTER TABLE ice.db.t RENAME TO ice.db.t2")
+        assert not cat.table_exists("db.t")
+        rows = eng.sql("SELECT id, name FROM ice.db.t2").collect()
+        assert [(r["id"], r["name"]) for r in rows] == [(2, "b")]
+        with pytest.raises(ValueError, match="no such table"):
+            eng.sql("SELECT * FROM ice.db.t")
