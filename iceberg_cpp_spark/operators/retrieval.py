@@ -182,9 +182,13 @@ class Bm25Index:
                                F.col(text_col).alias("text"))
         docs = docs.join(self.doclens.to_df().select("doc_id"),
                          "doc_id", "left_anti")
+        # persist tf: it feeds BOTH the doclens aggregation and the
+        # postings append — unpersisted, the batch tokenizes (explode +
+        # groupBy over every document) twice
         tf = (docs.select("doc_id",
                           F.explode(_tokens(F.col("text"))).alias("token"))
-              .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+              .groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+              ).persist()
         dl = (docs.select("doc_id")
               .join(tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
                     "doc_id", "left").na.fill({"dl": 0})).persist()
@@ -210,6 +214,7 @@ class Bm25Index:
                     "bm25.total-dl": str(ps + int(b["s"]))})
         finally:
             dl.unpersist()
+            tf.unpersist()
         return self
 
     def remove(self, doc_ids: DataFrame, id_col: str = "doc_id") -> "Bm25Index":
