@@ -782,6 +782,19 @@ class TableScan:
         dflt = [f for f in schema.fields if f.initial_default is not None]
         if not tasks:
             df = spark.createDataFrame([], spark_schema)
+            if self._with_meta_cols:
+                # a zero-file scan must still carry the metadata
+                # columns a caller asked for — merge/CDC discovery
+                # selects _file on EMPTY tables (first batch into a
+                # fresh table) and an unresolved-column error there is
+                # a crash, not a no-op
+                for c, tpe in (("_file", "string"), ("_pos", "long"),
+                               ("_spec_id", "int"),
+                               ("_partition", "string"),
+                               ("_row_id", "long"),
+                               ("_last_updated_sequence_number",
+                                "long")):
+                    df = df.withColumn(c, F.lit(None).cast(tpe))
         else:
             # _metadata is a per-relation hidden column: it does not
             # resolve through a Union, so legs materialize _file/_pos

@@ -1495,3 +1495,44 @@ class TestMetadataOnlyCount:
             assert t.scan().count() == 50  # entry-walk fallback
         finally:
             mf.read_manifest_list = orig
+
+
+class TestDmlOnEmptyTable:
+    """Regression (r14, found by the random SQL-DML model sweep):
+    merge/CDC discovery selects _file from the target scan — a
+    ZERO-FILE table's empty frame must still carry the requested
+    metadata columns, or the first batch into a fresh table crashes
+    with an unresolved-column error instead of appending."""
+
+    def _empty(self, spark, tmp_loc, name):
+        sch = it.Schema([
+            it.NestedField(1, "k", it.LongType(), True),
+            it.NestedField(2, "v", it.StringType()),
+        ])
+        return IceTable.create(spark, f"{tmp_loc}/{name}", sch)
+
+    def test_merge_into_empty_table_inserts(self, spark, tmp_loc):
+        t = self._empty(spark, tmp_loc, "m")
+        src = spark.createDataFrame([(1, "a"), (2, "b")],
+                                    "k long, v string")
+        t = t.merge_into(src, on=["k"])
+        assert sorted((r["k"], r["v"]) for r in t.to_df().collect()) \
+            == [(1, "a"), (2, "b")]
+
+    def test_apply_changes_on_empty_table(self, spark, tmp_loc):
+        t = self._empty(spark, tmp_loc, "c")
+        batch = spark.createDataFrame(
+            [(1, "a", "I", 1), (2, "b", "U", 1), (3, "x", "D", 1)],
+            "k long, v string, _op string, _seq int")
+        t = t.apply_changes(batch, on=["k"], op_col="_op",
+                            seq_col="_seq")
+        assert sorted((r["k"], r["v"]) for r in t.to_df().collect()) \
+            == [(1, "a"), (2, "b")]
+
+    def test_empty_scan_carries_metadata_columns(self, spark, tmp_loc):
+        t = self._empty(spark, tmp_loc, "e")
+        df = t.scan().with_metadata_columns().to_df()
+        for c in ("_file", "_pos", "_spec_id", "_partition",
+                  "_row_id", "_last_updated_sequence_number"):
+            assert c in df.columns, c
+        assert df.count() == 0
