@@ -103,6 +103,12 @@ _PART_FIELD = re.compile(
 _DROP = re.compile(
     r"^\s*drop\s+table\s+(?P<ie>if\s+exists\s+)?" + _IDENT_TAIL +
     r"\s*$", re.I)
+_CVIEW = re.compile(
+    r"^\s*create\s+(?P<rep>or\s+replace\s+)?view\s+" + _IDENT_TAIL +
+    r"\s+as\s+(?P<body>.+)$", re.I | re.S)
+_DROP_VIEW = re.compile(
+    r"^\s*drop\s+view\s+(?P<ie>if\s+exists\s+)?" + _IDENT_TAIL +
+    r"\s*$", re.I)
 _SHOW_TABLES = re.compile(
     r"^\s*show\s+tables\s+in\s+(?P<cat>[A-Za-z_]\w*)"
     r"(?:\.(?P<ns>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*))?\s*$", re.I)
@@ -190,6 +196,12 @@ class IceSqlEngine:
         m = _DROP.match(masked)
         if m and m.group("cat") == self.catalog_name:
             return self._drop(m)
+        m = _CVIEW.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            return self._create_view(m, lits)
+        m = _DROP_VIEW.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            return self._drop_view(m)
         m = _SHOW_TABLES.match(masked)
         if m and m.group("cat") == self.catalog_name:
             return self._show_tables(m.group("ns"))
@@ -680,6 +692,37 @@ class IceSqlEngine:
                 return self._dml_result()
             raise ValueError(f"no such table: {ident!r}")
         self.catalog.drop_table(ident)
+        return self._dml_result()
+
+    def _create_view(self, m: "re.Match", lits: list):
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        ident = m.group("rest")
+        # the STORED SQL keeps its catalog identifiers — resolution
+        # stays dynamic (the view tracks its sources' current state);
+        # running the body once here only derives the declared schema
+        body = self._unmask(m.group("body"), lits).strip()
+        schema = schema_from_spark(self._sql(body, depth=0).schema)
+        if hasattr(self.catalog, "view_exists") \
+                and self.catalog.view_exists(ident):
+            if not m.group("rep"):
+                raise ValueError(
+                    f"view already exists: {ident!r} "
+                    "(use CREATE OR REPLACE VIEW)")
+            self.catalog.load_view(ident).replace(body, schema=schema)
+            return self._dml_result()
+        self.catalog.create_view(ident, body, schema)
+        return self._dml_result()
+
+    def _drop_view(self, m: "re.Match"):
+        ident = m.group("rest")
+        exists = hasattr(self.catalog, "view_exists") \
+            and self.catalog.view_exists(ident)
+        if not exists:
+            if m.group("ie"):
+                return self._dml_result()
+            raise ValueError(f"no such view: {ident!r}")
+        self.catalog.drop_view(ident)
         return self._dml_result()
 
     @staticmethod

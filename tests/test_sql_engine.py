@@ -582,3 +582,33 @@ class TestSqlCreateTableDdl:
         with pytest.raises(ValueError, match="PARTITIONED BY entry"):
             eng.sql("CREATE TABLE ice.db.g (id BIGINT) "
                     "PARTITIONED BY (substr(id, 1))")
+
+
+class TestSqlViewDdl:
+    """CREATE [OR REPLACE] VIEW / DROP VIEW through SQL (r14): the
+    stored SQL keeps its catalog identifiers, so resolution stays
+    dynamic — the view reflects its sources' CURRENT state."""
+
+    def test_create_query_replace_drop(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("CREATE VIEW ice.db.big AS "
+                "SELECT id, data FROM ice.db.t WHERE id >= 3")
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.big") \
+            .collect()[0]["n"] == 3
+        # dynamic: new source rows show through
+        eng.sql("INSERT INTO ice.db.t VALUES (50, 'x')")
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.big") \
+            .collect()[0]["n"] == 4
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql("CREATE VIEW ice.db.big AS SELECT 1 AS x")
+        eng.sql("CREATE OR REPLACE VIEW ice.db.big AS "
+                "SELECT id FROM ice.db.t WHERE id >= 50")
+        assert eng.sql("SELECT * FROM ice.db.big").collect()[0]["id"] \
+            == 50
+        # replace kept version history on the spec view
+        assert len(cat.load_view("db.big").metadata.versions) == 2
+        eng.sql("DROP VIEW ice.db.big")
+        assert not cat.view_exists("db.big")
+        eng.sql("DROP VIEW IF EXISTS ice.db.big")
+        with pytest.raises(ValueError, match="no such view"):
+            eng.sql("DROP VIEW ice.db.big")
