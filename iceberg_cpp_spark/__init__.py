@@ -40,6 +40,6 @@ from iceberg_cpp_spark.core.types import (
 from iceberg_cpp_spark.core.metadata import TableMetadata, Snapshot, PartitionSpec, PartitionField, SortOrder, SortField
 from iceberg_cpp_spark.sources.catalog import InMemoryCatalog, FileSystemCatalog
 from iceberg_cpp_spark.sql import IceSqlEngine
-from iceberg_cpp_spark.table import IceTable
+from iceberg_cpp_spark.table import IceTable, MatchedClause, NotMatchedClause
 
 __version__ = "0.1.0"

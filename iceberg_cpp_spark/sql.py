@@ -37,6 +37,9 @@ from __future__ import annotations
 import re
 from typing import Optional
 
+# one identifier part: a plain name or a backtick-quoted part (quoted
+# parts pass through to the catalog verbatim — dashes, reserved words)
+_PART = r"(?:[A-Za-z_]\w*|`[^`]+`)"
 # <catalog>.<part>(.<part>)+ — at least catalog.ns.name; parts after
 # the catalog prefix form the identifier (namespace levels + name).
 # An optional time-travel clause binds the identifier to a historical
@@ -45,7 +48,7 @@ from typing import Optional
 # timestamp literal appears MASKED (\\x00N\\x00) because literals are
 # stashed before matching.
 _IDENT = re.compile(
-    r"\b(?P<cat>[A-Za-z_]\w*)\.(?P<rest>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)"
+    r"\b(?P<cat>[A-Za-z_]\w*)\." + rf"(?P<rest>{_PART}(?:\.{_PART})+)"
     r"(?:\s+(?:for\s+)?(?:system_version|version)\s+as\s+of\s+"
     r"(?P<ver>\d+|\x00\d+\x00)"
     r"|\s+(?:for\s+)?(?:system_time|timestamp)\s+as\s+of\s+"
@@ -53,15 +56,12 @@ _IDENT = re.compile(
     r"|\s+changes\s+(?:between\s+(?P<cfrom>\d+)\s+and\s+(?P<cto>\d+)"
     r"|since\s+(?P<csince>\d+)))?",
     re.I)
-# single- and double-quoted SQL literals (with '' escapes); masked so a
-# path like 'ice.db.t' inside a string never binds
-_LITERAL = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"")
 # write statements against a catalog table: INSERT INTO appends,
 # INSERT OVERWRITE replaces; the body (SELECT/VALUES/CTE) resolves
 # through the same read path
 _INSERT = re.compile(
     r"^\s*insert\s+(?P<mode>into|overwrite)\s+(?:table\s+)?"
-    r"(?P<cat>[A-Za-z_]\w*)\.(?P<rest>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)"
+    r"(?P<cat>[A-Za-z_]\w*)\." + rf"(?P<rest>{_PART}(?:\.{_PART})+)"
     # optional named-column list: strictly an identifier list, so a
     # parenthesized subquery body never matches it
     r"(?:\s*\((?P<cols>\s*[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*\s*)\))?"
@@ -70,7 +70,8 @@ _INSERT = re.compile(
 # containing keywords never split a clause). The WHERE body parses
 # through plans.sql_parser into the engine Expression DSL — that is
 # what keeps SQL deletes on the pruned metadata plane.
-_IDENT_TAIL = r"(?P<cat>[A-Za-z_]\w*)\.(?P<rest>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)"
+_IDENT_TAIL = (r"(?P<cat>[A-Za-z_]\w*)\."
+               + rf"(?P<rest>{_PART}(?:\.{_PART})+)")
 _DELETE = re.compile(
     r"^\s*delete\s+from\s+" + _IDENT_TAIL +
     r"(?:\s+where\s+(?P<pred>.+))?\s*$", re.I | re.S)
@@ -80,9 +81,11 @@ _UPDATE = re.compile(
 _MERGE_HEAD = re.compile(
     r"^\s*merge\s+into\s+" + _IDENT_TAIL +
     r"(?:\s+(?:as\s+)?(?P<tal>[A-Za-z_]\w*))?\s+using\s+", re.I)
-_MERGE_CLAUSE = re.compile(
-    r"\s*when\s+(?P<not>not\s+)?matched\s+then\s+"
-    r"(?P<act>update\s+set\s+\*|delete|insert\s+\*)\s*", re.I)
+_MERGE_WHEN_HEAD = re.compile(
+    r"^\s*when\s+(?P<not>not\s+)?matched\b", re.I)
+_MERGE_INSERT_ACT = re.compile(
+    r"^insert\s*\((?P<cols>[^()]*)\)\s*values\s*\((?P<vals>.+)\)\s*$",
+    re.I | re.S)
 _ON_EQ = re.compile(
     r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*"
     r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$")
@@ -151,8 +154,16 @@ class IceSqlEngine:
         self.spark = spark
         self.catalog = catalog
         self.catalog_name = catalog_name
+        # per-statement stack of temp views created by _bind; the
+        # public sql() drops them once the statement resolves (Spark
+        # analyzes eagerly — the returned DataFrame's plan holds the
+        # resolved relations, not the view names), so repeated
+        # eng.sql() calls never grow the session catalog
+        self._created_views: list[list[str]] = []
+        # transaction scope of the statement being executed (sql(txn=))
+        self._active_txn = None
 
-    def sql(self, query: str):
+    def sql(self, query: str, txn=None):
         """Resolve ``<catalog_name>.`` identifiers and run the query.
         Reads return the Spark DataFrame (lazy, as spark.sql does).
         Write statements — INSERT INTO/OVERWRITE, DELETE FROM,
@@ -162,16 +173,63 @@ class IceSqlEngine:
         return an empty ``num_affected_rows``-shaped frame (DML result
         convention; counting would force an extra job) or a small
         procedure-result frame. SHOW TABLES / SHOW NAMESPACES /
-        DESCRIBE return metadata frames."""
-        q = query.strip().rstrip(";")
-        m = _INSERT.match(q)
-        if m and m.group("cat") == self.catalog_name:
-            return self._insert(m.group("rest"), m.group("mode").lower(),
-                                m.group("body"), cols=m.group("cols"))
-        out = self._dml(q)
-        if out is not None:
-            return out
-        return self._sql(query, depth=0)
+        DESCRIBE return metadata frames.
+
+        ``txn``: a ``new_transaction()`` handle scopes the statement to
+        the transaction's working copy — DML against the transaction's
+        table accumulates on the pending chain (published as ONE CAS by
+        ``txn.commit()``, exactly like the Python mutators), reads of
+        that table see the pending chain, and statements that cannot
+        compose into one table CAS (DDL, CALL procedures, DML on other
+        tables) refuse loudly."""
+        # one mask/unmask round-trip strips comments (literals restore
+        # verbatim) so `-- note` / `/* note */` text can never bind an
+        # identifier, hide a clause, or defeat the statement match
+        masked0, lits0 = self._mask(query)
+        q = self._unmask(masked0, lits0).strip().rstrip(";").strip()
+        created: list[str] = []
+        self._created_views.append(created)
+        prev_txn, self._active_txn = self._active_txn, txn
+        try:
+            m = _INSERT.match(q)
+            if m and m.group("cat") == self.catalog_name:
+                return self._insert(self._clean_ident(m.group("rest")),
+                                    m.group("mode").lower(),
+                                    m.group("body"), cols=m.group("cols"))
+            out = self._dml(q)
+            if out is not None:
+                return out
+            return self._sql(q, depth=0)
+        finally:
+            self._active_txn = prev_txn
+            self._created_views.pop()
+            for v in created:
+                try:
+                    self.spark.catalog.dropTempView(v)
+                except Exception:
+                    pass
+
+    def _no_txn(self, stmt: str) -> None:
+        """Statements that cannot compose into the transaction's single
+        table CAS refuse loudly rather than silently escaping it."""
+        if self._active_txn is not None:
+            raise ValueError(
+                f"{stmt} cannot run inside a table transaction (it "
+                "does not compose into the transaction's single "
+                "metadata CAS); run it outside txn scope")
+
+    def _txn_table(self, ident: str, stmt: str):
+        """The transaction's working table when ``ident`` names it;
+        raises when the statement targets a DIFFERENT table (a write
+        outside the transaction would silently break its atomicity)."""
+        txn = self._active_txn
+        tid = getattr(txn.base, "identifier", None)
+        if tid != ident:
+            raise ValueError(
+                f"transaction is bound to table {tid!r}; {stmt} "
+                f"targets {ident!r} — one transaction composes writes "
+                "to ONE table")
+        return txn.table()
 
     def _dml(self, q: str):
         """Row-level DML / DDL against catalog tables. Returns None
@@ -210,10 +268,10 @@ class IceSqlEngine:
             return self._show_namespaces(m.group("ns") or "")
         m = _DESCRIBE.match(masked)
         if m and m.group("cat") == self.catalog_name:
-            return self._describe(m.group("rest"))
+            return self._describe(self._clean_ident(m.group("rest")))
         m = _ALTER.match(masked)
         if m and m.group("cat") == self.catalog_name:
-            return self._alter(m.group("rest"), m.group("body"), lits)
+            return self._alter(self._clean_ident(m.group("rest")), m.group("body"), lits)
         m = _CALL.match(masked)
         if m and m.group("cat") == self.catalog_name:
             return self._call(m.group("proc").lower(),
@@ -257,7 +315,8 @@ class IceSqlEngine:
                 raise ValueError(
                     "RENAME TO must stay inside catalog "
                     f"{self.catalog_name!r}")
-            self.catalog.rename_table(ident, m.group("rest"))
+            self._no_txn("ALTER TABLE ... RENAME TO")
+            self.catalog.rename_table(ident, self._clean_ident(m.group("rest")))
             return self._dml_result()
         if m := re.match(r"^create\s+(?P<kind>branch|tag)\s+"
                          r"(?P<name>[A-Za-z_]\w*)"
@@ -461,6 +520,8 @@ class IceSqlEngine:
                                             T.LongType())]))
 
     def _load(self, ident: str, stmt: str):
+        if self._active_txn is not None:
+            return self._txn_table(ident, stmt)
         if not self.catalog.table_exists(ident):
             raise ValueError(
                 f"{stmt} target is not a table in catalog "
@@ -476,7 +537,7 @@ class IceSqlEngine:
         return parse_predicate(self._unmask(pred, lits))
 
     def _delete(self, m: "re.Match", lits: list):
-        t = self._load(m.group("rest"), "DELETE")
+        t = self._load(self._clean_ident(m.group("rest")), "DELETE")
         t.delete_where(self._where_expr(m.group("pred"), lits))
         return self._dml_result()
 
@@ -485,7 +546,7 @@ class IceSqlEngine:
 
         from iceberg_cpp_spark.core.types import to_spark_schema
 
-        t = self._load(m.group("rest"), "UPDATE")
+        t = self._load(self._clean_ident(m.group("rest")), "UPDATE")
         # the VALUES are full Spark scalar expressions (arithmetic,
         # CASE, functions) — update_where applies them over the rewrite
         # frame, so Spark's parser is the right owner. F.expr defers
@@ -509,9 +570,10 @@ class IceSqlEngine:
         return self._dml_result()
 
     def _merge(self, m: "re.Match", masked: str, lits: list):
-        ident, t_alias = m.group("rest"), m.group("tal")
+        ident, t_alias = self._clean_ident(m.group("rest")), m.group("tal")
         rest = masked[m.end():]
         # source: a parenthesized subquery or a table/view name
+        src_name = None
         if rest.lstrip().startswith("("):
             rest = rest.lstrip()
             depth, i = 0, 0
@@ -527,58 +589,214 @@ class IceSqlEngine:
             if sm is None:
                 raise ValueError("cannot parse MERGE USING source")
             src_text, rest = f"SELECT * FROM {sm.group(1)}", rest[sm.end():]
+            src_name = sm.group(1).rsplit(".", 1)[-1]
         am = re.match(r"\s*(?:as\s+)?([A-Za-z_]\w*)?\s*on\s+", rest, re.I)
         if am is None:
             raise ValueError("MERGE needs ON after the USING source")
-        s_alias, rest = am.group(1), rest[am.end():]
-        # condition runs to the first WHEN (masked text: literals inert)
-        wm = re.search(r"\bwhen\b", rest, re.I)
-        if wm is None:
+        s_alias, rest = am.group(1) or src_name, rest[am.end():]
+        # condition runs to the first depth-0 WHEN (masked text:
+        # literals inert; a WHEN inside a parenthesized subexpression
+        # never splits the clause)
+        w = self._find_kw(rest, "when")
+        if w is None:
             raise ValueError("MERGE needs at least one WHEN clause")
-        cond, clauses = rest[:wm.start()], rest[wm.start():]
-        on = self._merge_on_keys(cond, ident, t_alias, s_alias, lits)
-
-        when_matched = when_not_matched = None
-        pos = 0
-        for cm in _MERGE_CLAUSE.finditer(clauses):
-            if cm.start() != pos:
-                break
-            act = re.sub(r"\s+", " ", cm.group("act").lower())
-            if cm.group("not"):
-                if act != "insert *":
-                    raise ValueError(
-                        "WHEN NOT MATCHED supports only INSERT *")
-                when_not_matched = "insert"
-            else:
-                if act == "delete":
-                    when_matched = "delete"
-                elif act == "update set *":
-                    when_matched = "update"
-                else:
-                    raise ValueError(
-                        "WHEN MATCHED supports UPDATE SET * or DELETE")
-            pos = cm.end()
-        if pos != len(clauses):
-            raise ValueError(
-                "unsupported MERGE clause (only WHEN MATCHED THEN "
-                "UPDATE SET * | DELETE and WHEN NOT MATCHED THEN "
-                f"INSERT * are supported): "
-                f"{self._unmask(clauses[pos:], lits).strip()!r}")
-
+        cond, clauses = rest[:w[0]], rest[w[0]:]
+        t_names = {a for a in (t_alias, ident.rsplit(".", 1)[-1]) if a}
+        s_names = {s_alias} if s_alias else set()
+        on = self._merge_on_keys(cond, t_names, s_names, lits)
+        matched, not_matched = self._parse_merge_clauses(
+            clauses, t_names, s_names, lits)
         t = self._load(ident, "MERGE")
         src_df = self._sql(self._unmask(src_text, lits), depth=0)
-        t.merge_into(src_df, on=on, when_matched=when_matched,
-                     when_not_matched=when_not_matched)
+        t.merge_into(src_df, on=on, when_matched=matched,
+                     when_not_matched=not_matched)
         return self._dml_result()
 
-    def _merge_on_keys(self, cond: str, ident: str,
-                       t_alias: Optional[str], s_alias: Optional[str],
+    @staticmethod
+    def _find_kw(text: str, kw: str):
+        """(start, end) of the first paren-depth-0 occurrence of the
+        keyword, or None. Runs on masked text (literals inert)."""
+        depth = 0
+        for m in re.finditer(r"[()]|\b" + kw + r"\b", text, re.I):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                return m.start(), m.end()
+        return None
+
+    def _parse_merge_clauses(self, text: str, t_names: set,
+                             s_names: set, lits: list):
+        """WHEN clause list → (MatchedClause list, NotMatchedClause
+        list). Supported actions (Spark-Iceberg MERGE surface):
+        ``UPDATE SET *`` / ``UPDATE SET col = expr, ...`` / ``DELETE``
+        on MATCHED, ``INSERT *`` / ``INSERT (cols) VALUES (exprs)`` on
+        NOT MATCHED; every clause takes an optional ``AND <condition>``.
+        Clause ordering rules (first-wins, conditionless-last) are
+        enforced by merge_into."""
+        starts, depth = [], 0
+        for mm in re.finditer(r"[()]|\bwhen\b", text, re.I):
+            tok = mm.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                starts.append(mm.start())
+        if not starts or text[:starts[0]].strip():
+            raise ValueError(
+                f"unsupported MERGE clause: "
+                f"{self._unmask(text, lits).strip()!r}")
+        matched, not_matched = [], []
+        for a, b in zip(starts, starts[1:] + [len(text)]):
+            seg = text[a:b]
+            hm = _MERGE_WHEN_HEAD.match(seg)
+            if hm is None:
+                raise ValueError(
+                    f"unsupported MERGE clause: "
+                    f"{self._unmask(seg, lits).strip()!r}")
+            body = seg[hm.end():]
+            th = self._find_kw(body, "then")
+            if th is None:
+                raise ValueError("MERGE WHEN clause needs THEN")
+            cond_part, act = body[:th[0]].strip(), body[th[1]:].strip()
+            is_not = bool(hm.group("not"))
+            cond = None
+            if cond_part:
+                cm = re.match(r"^and\s+(?P<c>.+)$", cond_part,
+                              re.I | re.S)
+                if cm is None:
+                    raise ValueError(
+                        f"expected AND <condition> before THEN; got "
+                        f"{self._unmask(cond_part, lits).strip()!r}")
+                cond = self._requal(cm.group("c"), t_names, s_names,
+                                    lits, allow_target=not is_not)
+            if is_not:
+                not_matched.append(self._parse_insert_action(
+                    act, cond, t_names, s_names, lits))
+            else:
+                matched.append(self._parse_matched_action(
+                    act, cond, t_names, s_names, lits))
+        return matched, not_matched
+
+    def _parse_matched_action(self, act: str, cond, t_names: set,
+                              s_names: set, lits: list):
+        from iceberg_cpp_spark.table import MatchedClause
+
+        if re.fullmatch(r"delete", act, re.I):
+            return MatchedClause("delete", condition=cond)
+        if re.fullmatch(r"update\s+set\s+\*", act, re.I):
+            return MatchedClause("update", condition=cond)
+        um = re.match(r"^update\s+set\s+(?P<set>.+)$", act, re.I | re.S)
+        if um is None:
+            raise ValueError(
+                "WHEN MATCHED supports UPDATE SET * | UPDATE SET col = "
+                f"expr, ... | DELETE; got "
+                f"{self._unmask(act, lits).strip()!r}")
+        assignments: dict = {}
+        for piece in self._split_top(um.group("set")):
+            am = re.match(r"^\s*(?:([A-Za-z_]\w*)\s*\.\s*)?"
+                          r"([A-Za-z_]\w*)\s*=\s*(.+)$", piece, re.S)
+            if am is None:
+                raise ValueError(
+                    f"cannot parse SET assignment: "
+                    f"{self._unmask(piece, lits).strip()!r}")
+            qual, col, val = am.groups()
+            if qual is not None and qual not in t_names:
+                raise ValueError(
+                    f"SET target must be a target column; got "
+                    f"{qual}.{col}")
+            if col in assignments:
+                raise ValueError(f"duplicate SET target: {col!r}")
+            assignments[col] = self._requal(val, t_names, s_names, lits)
+        return MatchedClause("update", condition=cond,
+                             assignments=assignments)
+
+    def _parse_insert_action(self, act: str, cond, t_names: set,
+                             s_names: set, lits: list):
+        from iceberg_cpp_spark.table import NotMatchedClause
+
+        if re.fullmatch(r"insert\s+\*", act, re.I):
+            return NotMatchedClause(condition=cond)
+        im = _MERGE_INSERT_ACT.match(act)
+        if im is None:
+            raise ValueError(
+                "WHEN NOT MATCHED supports INSERT * | INSERT (cols) "
+                f"VALUES (exprs); got "
+                f"{self._unmask(act, lits).strip()!r}")
+        cols = [c.strip() for c in im.group("cols").split(",")]
+        vals = self._split_top(im.group("vals"))
+        if len(cols) != len(vals):
+            raise ValueError(
+                f"INSERT lists {len(cols)} columns but "
+                f"{len(vals)} values")
+        values: dict = {}
+        for c, v in zip(cols, vals):
+            cm = re.match(r"^(?:([A-Za-z_]\w*)\s*\.\s*)?"
+                          r"([A-Za-z_]\w*)$", c)
+            if cm is None:
+                raise ValueError(f"bad INSERT column name: {c!r}")
+            qual, col = cm.groups()
+            if qual is not None and qual not in t_names:
+                raise ValueError(
+                    f"INSERT column must be a target column; got "
+                    f"{qual}.{col}")
+            if col in values:
+                raise ValueError(f"duplicate INSERT column: {col!r}")
+            values[col] = self._requal(v, t_names, s_names, lits,
+                                       allow_target=False)
+        return NotMatchedClause(condition=cond, values=values)
+
+    def _requal(self, text: str, t_names: set, s_names: set,
+                lits: list, allow_target: bool = True) -> str:
+        """Rewrite the statement's table aliases to merge_into's
+        canonical ``t.`` / ``s.`` qualifiers — ONE pass, so swapped
+        aliases (target aliased ``s``, source aliased ``t``) never
+        double-rewrite. Unknown qualifiers pass through (struct field
+        access, function namespaces). Returns the UNMASKED expression
+        string merge_into evaluates."""
+        def sub(mm):
+            q = mm.group(1)
+            if q in t_names:
+                if not allow_target:
+                    raise ValueError(
+                        "WHEN NOT MATCHED expressions cannot reference "
+                        f"the target ({q!r})")
+                return "t."
+            if q in s_names:
+                return "s."
+            return mm.group(0)
+
+        out = re.sub(r"\b([A-Za-z_]\w*)\s*\.", sub, text)
+        return self._unmask(out, lits).strip()
+
+    def _merge_on_keys(self, cond: str, t_names: set, s_names: set,
                        lits: list) -> list[str]:
         """ON must be an AND of ``t.k = s.k`` equalities with the SAME
         column name on both sides — that is merge_into's key contract
-        (general ON conditions need a join, not an upsert)."""
-        t_names = {a for a in (t_alias, ident.rsplit(".", 1)[-1]) if a}
-        s_names = {s_alias} if s_alias else set()
+        (general ON conditions need a join, not an upsert). Each
+        equality must compare the TARGET side to the SOURCE side —
+        ``t.k = t.k`` is a degenerate no-op, not a key (ADVICE r14)."""
+        def side(q: str) -> str:
+            if q in t_names and q in s_names:
+                raise ValueError(
+                    f"MERGE ON qualifier {q!r} is ambiguous (matches "
+                    "both target and source)")
+            if q in t_names:
+                return "t"
+            if q in s_names:
+                return "s"
+            if not s_names:
+                # subquery source without an alias: an unknown
+                # qualifier can only mean the source
+                return "s"
+            raise ValueError(
+                f"MERGE ON qualifier {q!r} matches neither the target "
+                f"({sorted(t_names)}) nor the source "
+                f"({sorted(s_names)})")
+
         keys = []
         for part in re.split(r"\band\b", cond, flags=re.I):
             em = _ON_EQ.match(part)
@@ -592,20 +810,20 @@ class IceSqlEngine:
                     f"MERGE ON compares different columns "
                     f"({lc!r} vs {rc!r}); merge keys must be the same "
                     "column name on both sides")
-            if t_names and {la, ra} & t_names == set() and s_names \
-                    and {la, ra} & s_names == set():
+            if {side(la), side(ra)} != {"t", "s"}:
                 raise ValueError(
-                    f"MERGE ON aliases {la!r}/{ra!r} match neither "
-                    f"side ({t_names} / {s_names})")
+                    "MERGE ON equality must compare the target to the "
+                    f"source; got {la}.{lc} = {ra}.{rc}")
             keys.append(lc)
         return keys
 
     def _ctas(self, m: "re.Match", lits: list):
+        self._no_txn("CREATE TABLE")
         from iceberg_cpp_spark.core import types as it
         from iceberg_cpp_spark.core.types import (schema_from_spark,
                                                   type_from_json)
 
-        ident = m.group("rest")
+        ident = self._clean_ident(m.group("rest"))
         coldefs, body = m.group("coldefs"), m.group("body")
         if (coldefs is None) == (body is None):
             raise ValueError(
@@ -686,7 +904,8 @@ class IceSqlEngine:
         return PartitionSpec(fields)
 
     def _drop(self, m: "re.Match"):
-        ident = m.group("rest")
+        self._no_txn("DROP TABLE")
+        ident = self._clean_ident(m.group("rest"))
         if not self.catalog.table_exists(ident):
             if m.group("ie"):
                 return self._dml_result()
@@ -695,9 +914,10 @@ class IceSqlEngine:
         return self._dml_result()
 
     def _create_view(self, m: "re.Match", lits: list):
+        self._no_txn("CREATE VIEW")
         from iceberg_cpp_spark.core.types import schema_from_spark
 
-        ident = m.group("rest")
+        ident = self._clean_ident(m.group("rest"))
         # the STORED SQL keeps its catalog identifiers — resolution
         # stays dynamic (the view tracks its sources' current state);
         # running the body once here only derives the declared schema
@@ -715,7 +935,8 @@ class IceSqlEngine:
         return self._dml_result()
 
     def _drop_view(self, m: "re.Match"):
-        ident = m.group("rest")
+        self._no_txn("DROP VIEW")
+        ident = self._clean_ident(m.group("rest"))
         exists = hasattr(self.catalog, "view_exists") \
             and self.catalog.view_exists(ident)
         if not exists:
@@ -748,11 +969,7 @@ class IceSqlEngine:
 
         from iceberg_cpp_spark.core.types import to_spark_schema
 
-        if not self.catalog.table_exists(ident):
-            raise ValueError(
-                f"INSERT target is not a table in catalog "
-                f"{self.catalog_name!r}: {ident!r}")
-        t = self.catalog.load_table(ident, spark=self.spark)
+        t = self._load(ident, "INSERT")
         df = self._sql(body, depth=0)
         tgt = to_spark_schema(t.schema())
         if cols is not None:
@@ -819,7 +1036,7 @@ class IceSqlEngine:
         for m in reversed(list(_IDENT.finditer(masked))):
             if m.group("cat") != self.catalog_name:
                 continue
-            ident = m.group("rest")
+            ident = self._clean_ident(m.group("rest"))
             ver = ref = None
             if vg := m.group("ver"):
                 # a quoted VERSION AS OF literal names a branch/tag
@@ -857,25 +1074,37 @@ class IceSqlEngine:
         changelog rows for that snapshot range instead); spec views
         resolve their CURRENT version's SQL recursively (it may
         reference catalog identifiers itself)."""
-        safe = ident.replace(".", "_")
-        name = f"__ice_sql_{safe}"
-        if snapshot_id is not None:
-            name += f"_v{snapshot_id}"
-        elif ref is not None:
-            name += f"_r{abs(hash(ref)) % 10**8}"
-        elif as_of is not None:
-            name += f"_t{abs(hash(as_of)) % 10**8}"
-        elif changes is not None:
-            name += f"_c{changes[0]}_{changes[1] or 'head'}"
+        import hashlib
+
+        # injective naming (ADVICE r14): the readable flattened prefix
+        # can collide (`db.t.snapshots` vs `db.t_snapshots`, nested
+        # namespaces) — a digest of the RAW identifier + time-travel
+        # pin disambiguates, deterministic across processes
+        raw = "|".join((ident, str(snapshot_id), str(ref), str(as_of),
+                        str(changes)))
+        digest = hashlib.sha1(raw.encode()).hexdigest()[:10]
+        safe = re.sub(r"\W", "_", ident)
+        name = f"__ice_sql_{safe}_{digest}"
+        txn = self._active_txn
+        if txn is not None \
+                and ident == getattr(txn.base, "identifier", None):
+            if (snapshot_id, ref, as_of, changes) != (None,) * 4:
+                raise ValueError(
+                    "time travel / CHANGES cannot bind inside a "
+                    "transaction scope (pending snapshots are not "
+                    "addressable until commit)")
+            # reads of the transaction's table see the PENDING chain
+            self._register_view(txn.table().scan().to_df(), name)
+            return name
         if self.catalog.table_exists(ident):
             t = self.catalog.load_table(ident, spark=self.spark)
             if changes is not None:
                 from iceberg_cpp_spark.streaming.changelog import \
                     changes as table_changes
 
-                table_changes(t, from_snapshot_id=changes[0],
-                              to_snapshot_id=changes[1]) \
-                    .createOrReplaceTempView(name)
+                self._register_view(
+                    table_changes(t, from_snapshot_id=changes[0],
+                                  to_snapshot_id=changes[1]), name)
                 return name
             scan = t.scan(snapshot_id=snapshot_id)
             if ref is not None:
@@ -885,7 +1114,7 @@ class IceSqlEngine:
                 scan = scan.use_ref(ref)
             if as_of is not None:
                 scan = scan.as_of(self._parse_ts_ms(as_of))
-            scan.to_df().createOrReplaceTempView(name)
+            self._register_view(scan.to_df(), name)
             return name
         if changes is not None:
             raise ValueError(
@@ -905,8 +1134,8 @@ class IceSqlEngine:
             if last.lower() in _META_TABLES \
                     and self.catalog.table_exists(parent):
                 t = self.catalog.load_table(parent, spark=self.spark)
-                getattr(t, f"{last.lower()}_df")() \
-                    .createOrReplaceTempView(name)
+                self._register_view(
+                    getattr(t, f"{last.lower()}_df")(), name)
                 return name
         if hasattr(self.catalog, "view_exists") \
                 and self.catalog.view_exists(ident):
@@ -918,11 +1147,18 @@ class IceSqlEngine:
                        if version.representations else None)
             if rep is None:
                 raise ValueError(f"view {ident!r} has no SQL representation")
-            self._sql(rep.sql, depth + 1).createOrReplaceTempView(name)
+            self._register_view(self._sql(rep.sql, depth + 1), name)
             return name
         raise ValueError(
             f"no such table or view in catalog "
             f"{self.catalog_name!r}: {ident!r}")
+
+    def _register_view(self, df, name: str) -> None:
+        """Create the binding temp view and record it on the current
+        statement's cleanup list (dropped when sql() resolves)."""
+        df.createOrReplaceTempView(name)
+        if self._created_views:
+            self._created_views[-1].append(name)
 
     @staticmethod
     def _parse_ts_ms(lit: str) -> int:
@@ -944,14 +1180,88 @@ class IceSqlEngine:
         return int(dt.timestamp() * 1000)
 
     @staticmethod
+    def _clean_ident(rest: str) -> str:
+        """Matched identifier text → catalog identifier: backtick
+        quotes drop (quoted parts pass through verbatim — dashes,
+        reserved words); a dot INSIDE a quoted part is refused (the
+        catalog's dotted-string identifiers can't carry it)."""
+        if "`" not in rest:
+            return rest
+        parts = []
+        for p in re.findall(r"`[^`]+`|[A-Za-z_]\w*", rest):
+            if p.startswith("`"):
+                inner = p[1:-1]
+                if "." in inner:
+                    raise ValueError(
+                        f"quoted identifier part cannot contain a dot "
+                        f"(catalog identifiers are dot-separated): {p}")
+                parts.append(inner)
+            else:
+                parts.append(p)
+        return ".".join(parts)
+
+    @staticmethod
     def _mask(query: str) -> tuple[str, list[str]]:
+        """Stash string literals as ``\\x00N\\x00`` placeholders and
+        BLANK OUT SQL comments (``-- line`` and nested ``/* block */``)
+        so neither can bind an identifier or split a DML clause.
+        Backtick-quoted identifier regions copy through atomically (a
+        quote or ``--`` inside backticks is part of the name, not a
+        literal or comment). One left-to-right scan — a quote inside a
+        comment never opens a literal and a ``--`` inside a literal
+        never opens a comment."""
         lits: list[str] = []
-
-        def stash(m: "re.Match") -> str:
-            lits.append(m.group(0))
-            return f"\x00{len(lits) - 1}\x00"
-
-        return _LITERAL.sub(stash, query), lits
+        out: list[str] = []
+        i, n = 0, len(query)
+        while i < n:
+            ch = query[i]
+            if ch in "'\"":
+                j = i + 1
+                closed = False
+                while j < n:
+                    if query[j] == ch:
+                        if j + 1 < n and query[j + 1] == ch:
+                            j += 2  # '' / "" escape
+                            continue
+                        closed = True
+                        break
+                    j += 1
+                if not closed:
+                    raise ValueError(
+                        f"unterminated string literal starting at "
+                        f"offset {i}: {query[i:i + 20]!r}...")
+                lits.append(query[i:j + 1])
+                out.append(f"\x00{len(lits) - 1}\x00")
+                i = j + 1
+            elif ch == "`":
+                j = query.find("`", i + 1)
+                if j == -1:
+                    raise ValueError(
+                        f"unterminated backtick identifier at offset "
+                        f"{i}: {query[i:i + 20]!r}...")
+                out.append(query[i:j + 1])
+                i = j + 1
+            elif ch == "-" and query.startswith("--", i):
+                j = query.find("\n", i)
+                out.append(" ")
+                i = n if j == -1 else j  # keep the newline
+            elif ch == "/" and query.startswith("/*", i):
+                depth, j = 1, i + 2
+                while j < n and depth:
+                    if query.startswith("/*", j):
+                        depth, j = depth + 1, j + 2
+                    elif query.startswith("*/", j):
+                        depth, j = depth - 1, j + 2
+                    else:
+                        j += 1
+                if depth:
+                    raise ValueError("unterminated /* comment in SQL")
+                out.append(" ")
+                i = j
+            else:
+                out.append(ch)
+                i += 1
+        return "".join(out), lits
 
     @staticmethod
     def _unmask(query: str, lits: list[str]) -> str:

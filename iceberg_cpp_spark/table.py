@@ -68,6 +68,106 @@ ADD_FILES_DISTRIBUTED_THRESHOLD = 2048
 _PART_PREFIX = "_p_"  # write-side partition dir columns (keeps user cols in files)
 
 
+@dataclass(frozen=True)
+class MatchedClause:
+    """One ``WHEN MATCHED [AND <condition>] THEN <action>`` clause of a
+    column-level MERGE (Spark-Iceberg MERGE semantics; the reference
+    declares but never implements a write path, transaction.h:31-51).
+
+    ``condition`` and ``assignments`` values are Spark SQL expression
+    strings (or Columns) evaluated over the matched join frame with the
+    TARGET row aliased ``t`` and the SOURCE row aliased ``s`` — e.g.
+    ``condition="s.op = 'D'"``, ``assignments={"v": "t.v + s.delta"}``.
+    ``action`` is ``"update"`` or ``"delete"``; ``assignments=None`` on
+    an update means UPDATE SET * (every column from the source).
+    Clauses apply in order — the FIRST clause whose condition holds
+    wins for a row; a matched row where no clause applies is kept
+    unchanged. A conditionless clause must be last of its group (later
+    clauses would be unreachable)."""
+
+    action: str
+    condition: Optional[Any] = None
+    assignments: Optional[dict] = None
+
+
+@dataclass(frozen=True)
+class NotMatchedClause:
+    """``WHEN NOT MATCHED [AND <condition>] THEN INSERT`` clause.
+    ``condition`` and ``values`` reference SOURCE columns (bare or
+    ``s.``-qualified). ``values=None`` means INSERT *; otherwise a
+    ``{column: expression}`` dict — unlisted columns take the field's
+    write-default (v3) or NULL, and a required column without a default
+    refuses. A source row where no insert clause applies is NOT
+    inserted."""
+
+    condition: Optional[Any] = None
+    values: Optional[dict] = None
+
+
+def _normalize_merge_clauses(when_matched, when_not_matched):
+    """Normalize merge_into's when_matched/when_not_matched (strings,
+    None, or clause lists) to validated clause lists."""
+    if isinstance(when_matched, (list, tuple)):
+        m_cl = list(when_matched)
+    elif when_matched is None:
+        m_cl = []
+    elif when_matched in ("update", "delete"):
+        m_cl = [MatchedClause(when_matched)]
+    else:
+        raise ValueError(
+            "when_matched must be 'update', 'delete', None, or a list "
+            f"of MatchedClause; got {when_matched!r}")
+    if isinstance(when_not_matched, (list, tuple)):
+        nm_cl = list(when_not_matched)
+    elif when_not_matched is None:
+        nm_cl = []
+    elif when_not_matched == "insert":
+        nm_cl = [NotMatchedClause()]
+    else:
+        raise ValueError(
+            "when_not_matched must be 'insert', None, or a list of "
+            f"NotMatchedClause; got {when_not_matched!r}")
+    for cl in m_cl:
+        if not isinstance(cl, MatchedClause):
+            raise ValueError(f"expected MatchedClause, got {cl!r}")
+        if cl.action not in ("update", "delete"):
+            raise ValueError(
+                f"MatchedClause action must be 'update' or 'delete'; "
+                f"got {cl.action!r}")
+        if cl.action == "delete" and cl.assignments is not None:
+            raise ValueError("a DELETE clause takes no assignments")
+    for cl in nm_cl:
+        if not isinstance(cl, NotMatchedClause):
+            raise ValueError(f"expected NotMatchedClause, got {cl!r}")
+    if not m_cl and not nm_cl:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    # a conditionless clause catches everything — later clauses of the
+    # same group are unreachable (Spark refuses this shape too)
+    for group, name in ((m_cl, "WHEN MATCHED"),
+                        (nm_cl, "WHEN NOT MATCHED")):
+        for i, cl in enumerate(group[:-1]):
+            if cl.condition is None:
+                raise ValueError(
+                    f"{name} clause {i + 1} has no condition, making "
+                    f"clause {i + 2} unreachable; only the last "
+                    f"{name} clause may omit AND <condition>")
+    return m_cl, nm_cl
+
+
+def _simple_merge_shape(m_cl: list, nm_cl: list):
+    """Map clause lists that are exactly the legacy string shapes back
+    onto the string fast path (key-pruned target read); None when the
+    general clause plan is required."""
+    if any(cl.condition is not None or cl.assignments is not None
+           for cl in m_cl) or len(m_cl) > 1:
+        return None
+    if any(cl.condition is not None or cl.values is not None
+           for cl in nm_cl) or len(nm_cl) > 1:
+        return None
+    return (m_cl[0].action if m_cl else None,
+            "insert" if nm_cl else None)
+
+
 def _author_manifest_vectorized(pdf, path: str, spec_id: int,
                                 rid_base):
     """Executor-side manifest author, vectorized: builds the manifest
@@ -1166,19 +1266,26 @@ class TableScan:
                     F.col("_file"), "^file:(//)?", "")
                 if tag:
                     # distinct: a left join must never fan out a row
-                    # (mirrors the parquet position-delete tag path)
+                    # (mirrors the parquet position-delete tag path).
+                    # The joined side renames to reserved `_dv_*` names
+                    # BEFORE joining — .drop() by name drops EVERY
+                    # column with that name, so bare file_path/pos
+                    # would silently eat a user column spelled the
+                    # same way (ADVICE r14).
                     marked = broadcast(
-                        dv_dels.distinct().withColumn("_dv_hit",
-                                                      F.lit(True)))
+                        dv_dels.distinct()
+                        .withColumnRenamed("file_path", "_dv_file")
+                        .withColumnRenamed("pos", "_dv_pos")
+                        .withColumn("_dv_hit", F.lit(True)))
                     df = (df.join(
                             marked,
-                            (norm_file == marked["file_path"])
-                            & (df["_pos"] == marked["pos"]), "left")
+                            (norm_file == marked["_dv_file"])
+                            & (df["_pos"] == marked["_dv_pos"]), "left")
                           .withColumn(
                               "_deleted",
                               F.col("_deleted")
                               | F.coalesce("_dv_hit", F.lit(False)))
-                          .drop("file_path", "pos", "_dv_hit"))
+                          .drop("_dv_file", "_dv_pos", "_dv_hit"))
                 else:
                     df = df.join(
                         broadcast(dv_dels),
@@ -2691,7 +2798,29 @@ class IceTable:
         update/insert. Scale shape: file discovery is a key+_file
         semi-join with parquet column pruning (only the key columns and
         ``_metadata`` are read); unmatched files are untouched.
+
+        Column-level actions and clause predicates: pass LISTS of
+        :class:`MatchedClause` / :class:`NotMatchedClause` instead of
+        the strings — ``WHEN MATCHED AND s.op = 'D' THEN DELETE``,
+        ``WHEN MATCHED THEN UPDATE SET v = t.v + s.delta``, ``WHEN NOT
+        MATCHED AND s.op <> 'D' THEN INSERT (k, v) VALUES (s.k, s.v)``
+        all express. Clause conditions/values see the target as ``t``
+        and the source as ``s``; the source may carry EXTRA columns
+        (the CDC op column) and need only hold the full table columns
+        when a SET * / INSERT * clause is present. Simple clause shapes
+        collapse onto the string fast path (key-pruned target read).
         """
+        if isinstance(when_matched, (list, tuple)) \
+                or isinstance(when_not_matched, (list, tuple)):
+            m_cl, nm_cl = _normalize_merge_clauses(when_matched,
+                                                   when_not_matched)
+            simple = _simple_merge_shape(m_cl, nm_cl)
+            if simple is None:
+                return self._merge_clauses(
+                    source, on, m_cl, nm_cl, branch=branch,
+                    summary_extras=summary_extras, pre_check=pre_check,
+                    mode=mode)
+            when_matched, when_not_matched = simple
         if when_matched not in ("update", "delete", None):
             raise ValueError("when_matched must be 'update', 'delete', or None")
         if when_not_matched not in ("insert", None):
@@ -2800,6 +2929,279 @@ class IceTable:
             new_files, operation=DataOperation.OVERWRITE, branch=branch,
             carry_existing=True, drop_paths=affected,
             summary_extras=summary_extras, pre_check=pre_check,
+            read_snapshot_id=self._branch_head_id(branch))
+
+    # -- column-level MERGE (clause lists) ---------------------------------
+    @staticmethod
+    def _clause_col(value) -> Column:
+        """Expression string / Column / literal → Column."""
+        if isinstance(value, Column):
+            return value
+        if isinstance(value, str):
+            return F.expr(value)
+        return F.lit(value)
+
+    def _clause_act(self, clauses: list, base: Optional[Column]) -> Column:
+        """``__act`` selector: index of the FIRST clause whose condition
+        holds for the row, else -1 (SQL MERGE clause-order semantics; a
+        NULL condition is unknown → the clause does not apply and
+        evaluation falls through)."""
+        act = base
+        for i, cl in enumerate(clauses):
+            cond = (F.lit(True) if cl.condition is None
+                    else self._clause_col(cl.condition))
+            act = (F.when(cond, F.lit(i)) if act is None
+                   else act.when(cond, F.lit(i)))
+        return act.otherwise(F.lit(-1))
+
+    def _validate_merge_clause_exprs(self, src_schema, matched: list,
+                                     not_matched: list, schema) -> None:
+        """Analyze every clause expression against EMPTY frames shaped
+        like the real join (no Spark job) so a typo is loud even when
+        zero rows match — the same rule update_where follows."""
+        chk_t = self.spark.createDataFrame(
+            [], it.to_spark_schema(schema)).alias("t")
+        chk_s = self.spark.createDataFrame([], src_schema).alias("s")
+        jd = chk_t.crossJoin(chk_s)
+        for i, cl in enumerate(matched):
+            if cl.condition is not None:
+                jd.select(self._clause_col(cl.condition))
+            for k, v in (cl.assignments or {}).items():
+                if schema.find_field(k) is None:
+                    raise ValueError(
+                        f"WHEN MATCHED clause {i + 1} SET target not "
+                        f"in table schema: {k!r}")
+                jd.select(self._clause_col(v))
+        for i, cl in enumerate(not_matched):
+            if cl.condition is not None:
+                chk_s.select(self._clause_col(cl.condition))
+            for k, v in (cl.values or {}).items():
+                if schema.find_field(k) is None:
+                    raise ValueError(
+                        f"WHEN NOT MATCHED clause {i + 1} INSERT "
+                        f"column not in table schema: {k!r}")
+                chk_s.select(self._clause_col(v))
+
+    def _merge_clauses(self, source: DataFrame, on: list[str],
+                       matched: list, not_matched: list,
+                       branch: str, summary_extras: Optional[dict],
+                       pre_check, mode: Optional[str]) -> "IceTable":
+        """General MERGE plan for conditional / column-level clauses.
+
+        Copy-on-write shape: file discovery stays the key+_file
+        semi-join (clause conditions can't prune files without reading
+        them — a matched row no clause touches rewrites unchanged);
+        the rewrite joins the affected files' FULL rows to the source
+        (aliases ``t``/``s``), picks each row's winning clause with one
+        chained-when ``__act`` column, drops delete-winners, and folds
+        assignments per column. Merge-on-read shape: matched rows
+        become position deletes + new version files; the target scan
+        carries all columns (conditions may read any ``t.`` column)."""
+        schema = self.schema()
+        cols = [f.name for f in schema.fields]
+        for c in on:
+            if schema.find_field(c) is None:
+                raise ValueError(f"merge key not in table schema: {c}")
+            if c not in source.columns:
+                raise ValueError(f"merge key not in source: {c}")
+        for r in ("__act", "__merge_m"):
+            if r in source.columns or r in cols:
+                raise ValueError(f"column name {r!r} is reserved by MERGE")
+        star = (any(cl.assignments is None for cl in matched
+                    if cl.action == "update")
+                or any(cl.values is None for cl in not_matched))
+        if star:
+            miss = [c for c in cols if c not in source.columns]
+            if miss:
+                raise ValueError(
+                    "UPDATE SET * / INSERT * needs every table column "
+                    f"in the source; missing: {miss}")
+        self._validate_merge_clause_exprs(source.schema, matched,
+                                          not_matched, schema)
+        # determinism: one materialized source feeds discovery + rewrite
+        # (the merge_into materialization rule)
+        src = source.localCheckpoint(eager=True)
+        keys = src.select(*on).distinct()
+        mode = mode or self.properties().get("write.merge.mode",
+                                             "copy-on-write")
+        if mode == "merge-on-read":
+            return self._mor_merge_clauses(
+                src, keys, on, matched, not_matched, schema, branch,
+                summary_extras, pre_check)
+        if mode != "copy-on-write":
+            raise ValueError(f"unknown merge mode: {mode!r}")
+
+        tgt_keys = (self._branch_scan(branch).with_metadata_columns()
+                    .to_df().select("_file", *on))
+        mk = None
+        affected: set = set()
+        if matched:
+            mk = tgt_keys.join(keys, on, "left_semi")
+            if not_matched:
+                mk = mk.localCheckpoint(eager=True)
+            affected = {self._plain_path(r["_file"]) for r in
+                        mk.select("_file").distinct().collect()}
+        inserts = None
+        if not_matched:
+            anti = (mk.select(*on).distinct() if mk is not None
+                    else tgt_keys.select(*on))
+            inserts = self._clause_insert_rows(
+                src.join(anti, on, "left_anti"), not_matched, schema)
+        if not affected:
+            if inserts is not None:
+                new_files = self._write_data_files(inserts)
+                if new_files:
+                    return self._commit_files(
+                        new_files, operation=DataOperation.APPEND,
+                        branch=branch, summary_extras=summary_extras,
+                        pre_check=pre_check)
+            return self
+        affected_df = self._read_files_with_deletes(affected, branch=branch)
+        jd = self._clause_matched_join(affected_df, src, on, matched,
+                                       how="left")
+        del_idx = [i for i, cl in enumerate(matched)
+                   if cl.action == "delete"]
+        if del_idx:
+            jd = jd.filter(~F.col("__act").isin(del_idx))
+        merged = jd.select(*self._clause_update_cols(matched, schema))
+        if inserts is not None:
+            merged = merged.unionByName(inserts)
+        new_files = self._write_data_files(merged)
+        return self._commit_files(
+            new_files, operation=DataOperation.OVERWRITE, branch=branch,
+            carry_existing=True, drop_paths=affected,
+            summary_extras=summary_extras, pre_check=pre_check,
+            read_snapshot_id=self._branch_head_id(branch))
+
+    def _clause_matched_join(self, tgt_df: DataFrame, src: DataFrame,
+                             on: list[str], matched: list,
+                             how: str) -> DataFrame:
+        """Target rows joined to the source on the merge keys (aliases
+        ``t``/``s``) with the winning-clause ``__act`` column. ``left``
+        keeps unmatched target rows (__act = -1, the CoW keep path);
+        ``inner`` keeps matched rows only (the MoR delta path)."""
+        t_a = tgt_df.alias("t")
+        s_a = src.withColumn("__merge_m", F.lit(True)).alias("s")
+        jcond = F.lit(True)
+        for k in on:
+            jcond = jcond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+        jd = t_a.join(s_a, jcond, how)
+        base = (F.when(F.col("__merge_m").isNull(), F.lit(-1))
+                if how == "left" else None)
+        return jd.withColumn("__act", self._clause_act(matched, base))
+
+    def _clause_update_cols(self, matched: list, schema) -> list:
+        """Output columns of the matched-rows rewrite: per column, a
+        when-chain over the update clauses falling back to the target's
+        value (keep). Assignments cast to the column's table type."""
+        outs = []
+        for f in schema.fields:
+            out = F.col(f"t.{f.name}")
+            spark_t = it.to_spark_type(f.field_type)
+            for i, cl in enumerate(matched):
+                if cl.action != "update":
+                    continue
+                if cl.assignments is None:
+                    val = F.col(f"s.{f.name}")
+                elif f.name in cl.assignments:
+                    val = self._clause_col(
+                        cl.assignments[f.name]).cast(spark_t)
+                else:
+                    continue  # this clause keeps the column
+                out = F.when(F.col("__act") == F.lit(i), val).otherwise(out)
+            outs.append(out.alias(f.name))
+        return outs
+
+    def _clause_insert_rows(self, base: DataFrame, not_matched: list,
+                            schema) -> DataFrame:
+        """NOT MATCHED source rows → insert rows: first applicable
+        insert clause wins; rows no clause accepts are not inserted.
+        Unlisted columns take the write-default / NULL (required
+        without a default refuses — at plan time, rows or not)."""
+        rows = (base.alias("s")
+                .withColumn("__act", self._clause_act(not_matched, None))
+                .filter(F.col("__act") >= 0))
+        outs = []
+        for f in schema.fields:
+            spark_t = it.to_spark_type(f.field_type)
+            out = None
+            for i, cl in enumerate(not_matched):
+                if cl.values is None:
+                    val = F.col(f"s.{f.name}")
+                elif f.name in cl.values:
+                    val = self._clause_col(cl.values[f.name])
+                elif f.write_default is not None:
+                    val = F.lit(f.write_default)
+                elif f.required:
+                    raise ValueError(
+                        f"required column {f.name!r} missing from WHEN "
+                        f"NOT MATCHED clause {i + 1}'s INSERT list and "
+                        "has no write-default")
+                else:
+                    val = F.lit(None)
+                val = val.cast(spark_t)
+                out = (F.when(F.col("__act") == F.lit(i), val)
+                       if out is None
+                       else out.when(F.col("__act") == F.lit(i), val))
+            outs.append(out.alias(f.name))
+        return rows.select(*outs)
+
+    def _mor_merge_clauses(self, src, keys, on: list[str], matched: list,
+                           not_matched: list, schema, branch: str,
+                           summary_extras: Optional[dict],
+                           pre_check) -> "IceTable":
+        """Merge-on-read clause MERGE: rows whose winning clause is an
+        update or delete become position deletes; update winners also
+        write new version files; inserts append. The target scan reads
+        ALL columns (clause conditions may reference any ``t.`` column)
+        but only matched rows survive the join — cost tracks matched
+        rows, not matched-file bytes."""
+        new_files: list = []
+        del_files: list = []
+        require_live: set = set()
+        mk_keys = None
+        if matched:
+            tgt = self._branch_scan(branch).with_metadata_columns().to_df()
+            jd_all = self._clause_matched_join(tgt, src, on, matched,
+                                               how="inner")
+            # matched keys for the insert anti-join come from the FULL
+            # matched set — a matched row no clause touches is still
+            # MATCHED (never inserted)
+            jd_all = jd_all.localCheckpoint(eager=True)
+            mk_keys = jd_all.select(
+                *[F.col(f"t.{k}").alias(k) for k in on]).distinct()
+            jd = jd_all.filter(F.col("__act") >= 0)
+            if not jd.isEmpty():
+                pos = jd.select(
+                    F.regexp_replace(F.col("t._file"), "^file:(//)?", "")
+                    .alias("file_path"),
+                    F.col("t._pos").alias("pos"))
+                del_dir = self.location_provider().new_delete_dir()
+                pos.repartition(1).sortWithinPartitions("file_path", "pos") \
+                    .write.mode("overwrite").parquet(del_dir)
+                del_files = self._delete_dir_files(
+                    del_dir, mf.CONTENT_POSITION_DELETES, [])
+                require_live = {self._plain_path(r["file_path"]) for r in
+                                pos.select("file_path").distinct().collect()}
+                upd_idx = [i for i, cl in enumerate(matched)
+                           if cl.action == "update"]
+                if upd_idx:
+                    versions = (jd.filter(F.col("__act").isin(upd_idx))
+                                .select(*self._clause_update_cols(
+                                    matched, schema)))
+                    new_files += self._write_data_files(versions)
+        if not_matched:
+            anti = (mk_keys if mk_keys is not None
+                    else self._branch_scan(branch).to_df().select(*on))
+            inserts = self._clause_insert_rows(
+                src.join(anti, on, "left_anti"), not_matched, schema)
+            new_files += self._write_data_files(inserts)
+        if not new_files and not del_files:
+            return self
+        return self._commit_files(
+            new_files + del_files, operation=DataOperation.OVERWRITE,
+            branch=branch, summary_extras=summary_extras,
+            pre_check=pre_check, require_live=require_live or None,
             read_snapshot_id=self._branch_head_id(branch))
 
     def rewrite_data_files(self, target_file_count: Optional[int] = None,

@@ -358,6 +358,31 @@ class TestDeletionVectorTable:
             "AND NOT (l_returnflag = 'A' AND l_linestatus = 'F')").count()
         assert n_live_tagged == expect_live
 
+    def test_include_deleted_keeps_user_file_path_pos_columns(
+            self, spark, tmp_loc):
+        """Regression (ADVICE r14): the DV join-plane tag path joins an
+        exploded (file, position) frame into the scan; a USER column
+        named `file_path` or `pos` must survive — the joined side now
+        uses reserved `_dv_*` names, so .drop() can't eat user data."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        df = spark.range(50).selectExpr(
+            "id", "concat('path_', id) AS file_path", "id * 2 AS pos")
+        t = IceTable.create(spark, os.path.join(tmp_loc, "tdvcols"),
+                            schema_from_spark(df.schema))
+        t.append(df)
+        t = t.delete_where(ex.lt(ex.Reference("id"), 10),
+                           mode="deletion-vector")
+        tagged = t.scan().include_deleted().to_df()
+        assert {"file_path", "pos"} <= set(tagged.columns)
+        assert tagged.count() == 50
+        assert tagged.filter("_deleted").count() == 10
+        # user column VALUES intact on both live and dead rows
+        assert tagged.filter("file_path <> concat('path_', id) "
+                             "OR pos <> id * 2").count() == 0
+
     def test_dv_roundtrips_through_avro_manifests(self, spark, tmp_loc, lineitem):
         from iceberg_cpp_spark import IceTable
         from iceberg_cpp_spark.core.types import schema_from_spark

@@ -262,13 +262,64 @@ class TestSqlDml:
         with pytest.raises(ValueError, match="different columns"):
             eng.sql("MERGE INTO ice.db.t t USING ice.db.dim d "
                     "ON t.id = d.data WHEN MATCHED THEN DELETE")
-        with pytest.raises(ValueError, match="unsupported MERGE clause"):
-            eng.sql("MERGE INTO ice.db.t t USING ice.db.dim d "
-                    "ON t.id = d.id "
-                    "WHEN MATCHED THEN UPDATE SET data = 'x'")
         with pytest.raises(ValueError, match="ON"):
             eng.sql("MERGE INTO ice.db.t t USING ice.db.dim d "
                     "WHEN MATCHED THEN DELETE")
+        # ADVICE r14: each ON equality must compare target to source —
+        # `t.id = t.id` is a degenerate no-op, not a key
+        with pytest.raises(ValueError, match="must compare the target"):
+            eng.sql("MERGE INTO ice.db.t t USING ice.db.dim d "
+                    "ON t.id = t.id WHEN MATCHED THEN DELETE")
+        with pytest.raises(ValueError, match="neither"):
+            eng.sql("MERGE INTO ice.db.t t USING ice.db.dim d "
+                    "ON bogus.id = d.id WHEN MATCHED THEN DELETE")
+        # duplicate unconditional WHEN MATCHED clauses: the first makes
+        # the second unreachable — refuse loudly, never last-wins
+        with pytest.raises(ValueError, match="unreachable"):
+            eng.sql("MERGE INTO ice.db.t t USING ice.db.dim d "
+                    "ON t.id = d.id WHEN MATCHED THEN UPDATE SET * "
+                    "WHEN MATCHED THEN DELETE")
+
+    def test_merge_column_level_actions(self, spark, cat):
+        """r15: WHEN MATCHED [AND cond] THEN UPDATE SET col = expr /
+        WHEN NOT MATCHED THEN INSERT (cols) VALUES (exprs) — the
+        canonical CDC-upsert shape (VERDICT r14 task 1)."""
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("""
+            MERGE INTO ice.db.t t USING (
+                SELECT * FROM VALUES (1, 'del', 'D'), (2, 'upd', 'U'),
+                    (200, 'new', 'I'), (201, 'skip', 'D')
+                    AS v(id, data, op)
+            ) s ON t.id = s.id
+            WHEN MATCHED AND s.op = 'D' THEN DELETE
+            WHEN MATCHED THEN UPDATE SET data = concat(t.data, '+', s.data)
+            WHEN NOT MATCHED AND s.op <> 'D' THEN
+                INSERT (id, data) VALUES (s.id, upper(s.data))
+        """)
+        rows = {r["id"]: r["data"]
+                for r in eng.sql("SELECT * FROM ice.db.t").collect()}
+        assert 1 not in rows and 201 not in rows
+        assert rows[2] == "v2+upd" and rows[200] == "NEW"
+        assert rows[3] == "v3"  # untouched
+
+    def test_merge_conditional_update_and_set_qualifiers(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        # SET target may be t-qualified; values mix t./s. references
+        eng.sql("MERGE INTO ice.db.t t USING (SELECT 2 AS id, 'X' AS d) s"
+                " ON t.id = s.id"
+                " WHEN MATCHED AND t.data = 'v2' THEN"
+                " UPDATE SET t.data = s.d")
+        rows = {r["id"]: r["data"]
+                for r in eng.sql("SELECT * FROM ice.db.t").collect()}
+        assert rows[2] == "X"
+        with pytest.raises(ValueError, match="duplicate SET target"):
+            eng.sql("MERGE INTO ice.db.t t USING (SELECT 2 AS id) s "
+                    "ON t.id = s.id WHEN MATCHED THEN "
+                    "UPDATE SET data = 'a', data = 'b'")
+        with pytest.raises(ValueError, match="cannot reference"):
+            eng.sql("MERGE INTO ice.db.t t USING (SELECT 2 AS id, 'x' "
+                    "AS data) s ON t.id = s.id WHEN NOT MATCHED THEN "
+                    "INSERT (id, data) VALUES (s.id, t.data)")
 
     def test_ctas_and_drop(self, spark, cat):
         eng = IceSqlEngine(spark, cat)
@@ -612,3 +663,144 @@ class TestSqlViewDdl:
         eng.sql("DROP VIEW IF EXISTS ice.db.big")
         with pytest.raises(ValueError, match="no such view"):
             eng.sql("DROP VIEW ice.db.big")
+
+
+class TestSqlHygiene:
+    """r15: comment masking, injective temp-view naming with cleanup,
+    backtick-quoted identifier parts (VERDICT r14 tasks 4-6)."""
+
+    def test_comments_are_inert(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        # a comment naming a NON-EXISTENT table must not bind or error
+        assert eng.sql("SELECT count(*) AS n -- ice.db.nope\n"
+                       "FROM ice.db.t /* ice.db.also_nope */") \
+            .collect()[0]["n"] == 6
+        # '--' inside a string literal is NOT a comment
+        assert eng.sql("SELECT '--x' AS s FROM ice.db.t LIMIT 1") \
+            .collect()[0]["s"] == "--x"
+        # nested block comments (Spark supports them; so do we)
+        assert eng.sql("SELECT /* a /* nested */ b */ count(*) AS n "
+                       "FROM ice.db.t").collect()[0]["n"] == 6
+        with pytest.raises(ValueError, match="unterminated"):
+            eng.sql("SELECT 1 /* oops")
+
+    def test_comment_cannot_hide_dml_clause(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        # the commented-out WHERE must NOT apply; the real one must
+        eng.sql("DELETE FROM ice.db.dim /* WHERE id = 0 */ WHERE id = 1")
+        assert [r["id"] for r in
+                eng.sql("SELECT id FROM ice.db.dim").collect()] == [0]
+        # a trailing line comment after the statement is fine
+        eng.sql("DELETE FROM ice.db.dim WHERE id = 0; -- done")
+        assert eng.sql("SELECT * FROM ice.db.dim").count() == 0
+
+    def test_no_temp_view_growth(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+
+        def ice_views():
+            return [t.name for t in spark.catalog.listTables()
+                    if t.name.startswith("__ice_sql_")]
+
+        for _ in range(3):
+            df = eng.sql("SELECT t.id FROM ice.db.t t "
+                         "JOIN ice.db.dim d ON t.id = d.id")
+            # the returned frame stays usable after view cleanup
+            # (spark.sql analyzes eagerly)
+            assert df.count() == 2
+        assert ice_views() == []
+
+    def test_view_names_injective(self, spark, cat):
+        """ADVICE r14: `db.t.snapshots` (metadata table) and a real
+        table `db.t_snapshots` flatten to the same name — the digest
+        suffix must keep them distinct inside ONE query."""
+        eng = IceSqlEngine(spark, cat)
+        cat.create_table("db.t_snapshots", _schema())
+        tt = cat.load_table("db.t_snapshots", spark=spark)
+        tt.append(spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, data string"))
+        row = eng.sql(
+            "SELECT (SELECT count(*) FROM ice.db.t.snapshots) AS ns, "
+            "(SELECT count(*) FROM ice.db.t_snapshots) AS nt").collect()[0]
+        assert row["ns"] == 1 and row["nt"] == 3
+
+    def test_backtick_identifiers(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("CREATE TABLE ice.db.`my-table` (id BIGINT, data STRING)")
+        assert cat.table_exists("db.my-table")
+        eng.sql("INSERT INTO ice.db.`my-table` VALUES (1, 'x'), (2, 'y')")
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.`my-table`") \
+            .collect()[0]["n"] == 2
+        eng.sql("DELETE FROM ice.db.`my-table` WHERE id = 1")
+        assert [r["id"] for r in eng.sql(
+            "SELECT id FROM ice.db.`my-table`").collect()] == [2]
+        eng.sql("DROP TABLE ice.db.`my-table`")
+        assert not cat.table_exists("db.my-table")
+        with pytest.raises(ValueError, match="cannot contain a dot"):
+            eng.sql("SELECT * FROM ice.db.`a.b`")
+
+
+class TestSqlTransaction:
+    """r15: txn-scoped SQL — multiple DML statements accumulate on a
+    new_transaction() working copy and publish as ONE CAS, exactly
+    like the Python mutators (VERDICT r14 task 7)."""
+
+    def test_two_dml_one_cas(self, spark, cat):
+        import glob
+        import os
+
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        meta_glob = os.path.join(t.location(), "metadata",
+                                 "*.metadata.json*")
+        before_meta = len(glob.glob(meta_glob))
+        txn = t.new_transaction()
+        eng.sql("INSERT INTO ice.db.t VALUES (100, 'x')", txn=txn)
+        eng.sql("DELETE FROM ice.db.t WHERE id = 0", txn=txn)
+        # txn-scoped reads see the pending chain ...
+        inside = eng.sql("SELECT id FROM ice.db.t WHERE id >= 100",
+                         txn=txn).count()
+        assert inside == 1
+        # ... the committed table does not, yet
+        assert eng.sql("SELECT id FROM ice.db.t WHERE id >= 100") \
+            .count() == 0
+        txn.commit()
+        rows = sorted(r["id"] for r in
+                      eng.sql("SELECT id FROM ice.db.t").collect())
+        assert rows == [1, 2, 3, 4, 5, 100]
+        # one snapshot per statement on the chain, ONE metadata CAS
+        t2 = cat.load_table("db.t", spark=spark)
+        assert len(t2.snapshots()) == 3
+        assert len(glob.glob(meta_glob)) == before_meta + 1
+
+    def test_merge_composes_in_txn(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        txn = t.new_transaction()
+        eng.sql("UPDATE ice.db.t SET data = 'zz' WHERE id = 5", txn=txn)
+        eng.sql("MERGE INTO ice.db.t t USING (SELECT 5 AS id, 'm' AS d) s"
+                " ON t.id = s.id"
+                " WHEN MATCHED AND t.data = 'zz' THEN UPDATE SET data = s.d",
+                txn=txn)
+        txn.commit()
+        rows = {r["id"]: r["data"]
+                for r in eng.sql("SELECT * FROM ice.db.t").collect()}
+        # the merge saw the txn's pending update ('zz'), so its
+        # condition matched and rewrote to 'm'
+        assert rows[5] == "m"
+
+    def test_non_composable_statements_refuse(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        txn = t.new_transaction()
+        with pytest.raises(ValueError, match="cannot run inside"):
+            eng.sql("CREATE TABLE ice.db.zz (id BIGINT)", txn=txn)
+        with pytest.raises(ValueError, match="cannot run inside"):
+            eng.sql("DROP TABLE ice.db.dim", txn=txn)
+        with pytest.raises(ValueError, match="composes writes to ONE"):
+            eng.sql("DELETE FROM ice.db.dim WHERE id = 0", txn=txn)
+        with pytest.raises(ValueError, match="time travel"):
+            eng.sql("SELECT * FROM ice.db.t VERSION AS OF 1", txn=txn)
+        # the txn is still usable after the refusals
+        eng.sql("INSERT INTO ice.db.t VALUES (7, 'ok')", txn=txn)
+        txn.commit()
+        assert eng.sql("SELECT * FROM ice.db.t WHERE id = 7").count() == 1
