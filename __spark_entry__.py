@@ -2097,7 +2097,11 @@ def ice_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-predicate grammar into the engine Expression DSL (so SQL
     deletes ride the same pruned metadata plane as the Python API),
     SET values are full Spark scalar expressions, and the MERGE source
-    is a subquery that itself reads the catalog table."""
+    is a subquery that itself reads the catalog table. The second
+    MERGE (r15) is the CDC-upsert shape: clause predicates and
+    column-level actions — WHEN MATCHED AND s.op = 'D' THEN DELETE,
+    WHEN MATCHED THEN UPDATE SET col = expr (mixing t./s. references),
+    WHEN NOT MATCHED AND cond THEN INSERT (cols) VALUES (exprs)."""
     from iceberg_cpp_spark import IceSqlEngine
     from iceberg_cpp_spark.core.types import schema_from_spark
     from iceberg_cpp_spark.sources.catalog import FileSystemCatalog
@@ -2130,6 +2134,29 @@ def ice_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND t.l_linenumber = s.l_linenumber
         WHEN MATCHED THEN UPDATE SET *
         WHEN NOT MATCHED THEN INSERT *
+    """)
+    # CDC feed against the post-merge state: delete the 'Z' inserts,
+    # fold each 'M' row's own quantity back into itself (flag 'C'),
+    # and land brand-new 'I' rows through a column-list INSERT
+    eng.sql("""
+        MERGE INTO ice.db.d t USING (
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN l_returnflag = 'Z' THEN 'D' ELSE 'U' END
+                     AS op,
+                   l_quantity AS delta
+            FROM ice.db.d WHERE l_returnflag IN ('Z', 'M')
+            UNION ALL
+            SELECT l_orderkey + 90000000 AS l_orderkey, l_linenumber,
+                   'I' AS op, l_quantity AS delta
+            FROM ice.db.d WHERE l_returnflag = 'M'
+        ) s ON t.l_orderkey = s.l_orderkey
+           AND t.l_linenumber = s.l_linenumber
+        WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET
+            l_quantity = t.l_quantity + s.delta, l_returnflag = 'C'
+        WHEN NOT MATCHED AND s.op = 'I' THEN
+            INSERT (l_orderkey, l_linenumber, l_quantity, l_returnflag)
+            VALUES (s.l_orderkey, s.l_linenumber, s.delta + 1, 'I')
     """)
     return eng.sql("""
         SELECT l_returnflag, COUNT(*) AS n,
@@ -3256,7 +3283,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # indexed row below keeps the full BM25 machinery in-window)
         "ice_transaction": ice_transaction,
         "retrieval_bm25_indexed": retrieval_bm25_indexed,
-        "q1_pricing_summary": q1_pricing_summary,
+        # r15 rotation #8: ice_sql_engine was (with ice_sql_view) the
+        # last registry row never driver-oracle-checked (judge-green
+        # r14) — in-window in place of q1_pricing_summary
+        # (driver-green since r01; it IS the q1 agg shape this row runs
+        # through one SQL string + spec-view recursion, so the agg
+        # machinery stays in-window; q1 moves to the relational tail).
+        "ice_sql_engine": ice_sql_engine,
         # r14 rotation #7: ice_sql_dml is NEW this round (SQL
         # DELETE/UPDATE/MERGE through the predicate parser) — in-window
         # in place of events_window_agg (driver-green r13 + r02;
@@ -3313,12 +3346,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_bm25": retrieval_bm25,
         "multimodal_metadata": multimodal_metadata,
         "embedding_clusters": embedding_clusters,
+        # r15 rotation #8 displacement: the pure-relational q1 agg
+        # (driver-green since r01) — ice_sql_engine in-window runs the
+        # same aggregation through the SQL front end.
+        "q1_pricing_summary": q1_pricing_summary,
         "agg_rollup": agg_rollup,
         "q3_shipping_priority": q3_shipping_priority,
         "q12_shipping_modes": q12_shipping_modes,
         "window_top_orders": window_top_orders,
         "ice_sql_view": ice_sql_view,
-        "ice_sql_engine": ice_sql_engine,
         "ice_typed_columns": ice_typed_columns,
         "ice_avro_manifests": ice_avro_manifests,
         "ice_sorted_write": ice_sorted_write,
@@ -4296,10 +4332,26 @@ def oracle_sql() -> dict[str, str]:
                   AND s.l_linenumber = a.l_linenumber)
               UNION ALL
               SELECT * FROM src
+            ),
+            -- second MERGE (r15 clause-level actions): 'Z' rows
+            -- deleted, 'M' rows get their own quantity folded back in
+            -- (flag 'C'), new 'I' rows inserted at key + 90000000
+            final2 AS (
+              SELECT l_orderkey, l_linenumber,
+                     CASE WHEN l_returnflag = 'M' THEN l_quantity * 2
+                          ELSE l_quantity END AS l_quantity,
+                     CASE WHEN l_returnflag = 'M' THEN 'C'
+                          ELSE l_returnflag END AS l_returnflag
+              FROM final
+              WHERE l_returnflag <> 'Z' OR l_returnflag IS NULL
+              UNION ALL
+              SELECT l_orderkey + 90000000, l_linenumber,
+                     l_quantity + 1, 'I'
+              FROM final WHERE l_returnflag = 'M'
             )
             SELECT l_returnflag, COUNT(*) AS n,
                    CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
-            FROM final GROUP BY l_returnflag ORDER BY l_returnflag
+            FROM final2 GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "ice_zorder": """
             SELECT l_returnflag, COUNT(*) AS n,

@@ -92,6 +92,7 @@ _ON_EQ = re.compile(
 _CTAS = re.compile(
     r"^\s*create\s+table\s+(?P<ine>if\s+not\s+exists\s+)?" + _IDENT_TAIL +
     r"(?:\s*\((?P<coldefs>[^()]*(?:\([^()]*\)[^()]*)*)\))?"
+    r"(?:\s+using\s+(?P<using>[A-Za-z_]\w*))?"
     r"(?:\s+partitioned\s+by\s*"
     r"\((?P<parts>[^()]*(?:\([^()]*\)[^()]*)*)\))?"
     r"(?:\s+as\s+(?P<body>.+))?\s*$", re.I | re.S)
@@ -119,7 +120,10 @@ _SHOW_NS = re.compile(
     r"^\s*show\s+namespaces\s+in\s+(?P<cat>[A-Za-z_]\w*)"
     r"(?:\.(?P<ns>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*))?\s*$", re.I)
 _DESCRIBE = re.compile(
-    r"^\s*describe\s+(?:table\s+)?" + _IDENT_TAIL + r"\s*$", re.I)
+    r"^\s*describe\s+(?:table\s+)?(?P<ext>extended\s+)?"
+    + _IDENT_TAIL + r"\s*$", re.I)
+_SHOW_CREATE = re.compile(
+    r"^\s*show\s+create\s+table\s+" + _IDENT_TAIL + r"\s*$", re.I)
 _ALTER = re.compile(
     r"^\s*alter\s+table\s+" + _IDENT_TAIL + r"\s+(?P<body>.+)$",
     re.I | re.S)
@@ -266,9 +270,13 @@ class IceSqlEngine:
         m = _SHOW_NS.match(masked)
         if m and m.group("cat") == self.catalog_name:
             return self._show_namespaces(m.group("ns") or "")
+        m = _SHOW_CREATE.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            return self._show_create(self._clean_ident(m.group("rest")))
         m = _DESCRIBE.match(masked)
         if m and m.group("cat") == self.catalog_name:
-            return self._describe(self._clean_ident(m.group("rest")))
+            return self._describe(self._clean_ident(m.group("rest")),
+                                  extended=bool(m.group("ext")))
         m = _ALTER.match(masked)
         if m and m.group("cat") == self.catalog_name:
             return self._alter(self._clean_ident(m.group("rest")), m.group("body"), lits)
@@ -494,7 +502,7 @@ class IceSqlEngine:
             rows, T.StructType([
                 T.StructField("namespace", T.StringType(), False)]))
 
-    def _describe(self, ident: str):
+    def _describe(self, ident: str, extended: bool = False):
         from pyspark.sql import types as T
 
         import json as _json
@@ -506,11 +514,103 @@ class IceSqlEngine:
                  else _json.dumps(tj),
                  not f.required)
                 for f in t.schema().fields]
+        if extended:
+            # the operator-facing metadata a migration engineer reads
+            # first: spec (DDL transform spellings), sort order,
+            # current snapshot, properties (VERDICT r14 task 8)
+            md = t.metadata
+            snap = t.current_snapshot()
+            spec_ddl = self._spec_ddl(t.spec(), t.schema())
+            so = t.sort_order()
+            sort_ddl = ", ".join(
+                f"{self._sort_field_ddl(f, t.schema())}"
+                for f in so.fields) if not so.is_unsorted else ""
+            rows += [
+                ("", "", False),
+                ("# Detailed Table Information", "", False),
+                ("Format Version", str(md.format_version), False),
+                ("Table UUID", str(md.table_uuid), False),
+                ("Location", md.location, False),
+                ("Current Snapshot ID",
+                 str(snap.snapshot_id) if snap else "", False),
+                ("Current Schema ID", str(md.current_schema_id), False),
+                ("Partition Spec",
+                 f"({spec_ddl})" if spec_ddl else "(unpartitioned)",
+                 False),
+                ("Sort Order", sort_ddl or "(unsorted)", False),
+                ("Snapshot Count", str(len(md.snapshots)), False),
+                ("Properties", _json.dumps(t.properties(),
+                                           sort_keys=True), False),
+            ]
         return self.spark.createDataFrame(
             rows, T.StructType([
                 T.StructField("col_name", T.StringType(), False),
                 T.StructField("data_type", T.StringType(), False),
                 T.StructField("nullable", T.BooleanType(), False)]))
+
+    # Iceberg type name → SQL DDL spelling (inverse of
+    # _SQL_TYPE_ALIASES; unlisted names upper-case through: DATE,
+    # UUID, DECIMAL(p,s), FIXED[n], ...)
+    _DDL_TYPES = {"long": "BIGINT", "timestamptz": "TIMESTAMP_LTZ"}
+
+    def _sql_type_ddl(self, field_type) -> str:
+        import json as _json
+
+        tj = field_type.to_json()
+        if not isinstance(tj, str):
+            return _json.dumps(tj)  # nested types: the spec JSON
+        return self._DDL_TYPES.get(tj, tj.upper())
+
+    @staticmethod
+    def _transform_ddl(transform, col: str) -> str:
+        """spec transform → PARTITIONED BY DDL spelling (the inverse
+        of _PART_FIELD): identity→col, bucket[N]→bucket(N, col),
+        truncate[W]→truncate(W, col), year→years(col), ..."""
+        s = str(transform)
+        if s == "identity":
+            return col
+        if m := re.fullmatch(r"(bucket|truncate)\[(\d+)\]", s):
+            return f"{m.group(1)}({m.group(2)}, {col})"
+        if s in ("year", "month", "day", "hour"):
+            return f"{s}s({col})"
+        return f"{s}({col})"  # void / unknown: non-DDL, still readable
+
+    def _spec_ddl(self, spec, schema) -> str:
+        parts = []
+        for f in spec.fields:
+            src = schema.find_field_by_id(f.source_id)
+            col = src.name if src is not None else f"<{f.source_id}>"
+            parts.append(self._transform_ddl(f.transform, col))
+        return ", ".join(parts)
+
+    def _sort_field_ddl(self, f, schema) -> str:
+        src = schema.find_field_by_id(f.source_id)
+        col = src.name if src is not None else f"<{f.source_id}>"
+        return (f"{self._transform_ddl(f.transform, col)} "
+                f"{f.direction.upper()} "
+                f"{f.null_order.upper().replace('-', ' ')}")
+
+    def _show_create(self, ident: str):
+        from pyspark.sql import types as T
+
+        t = self._load(ident, "SHOW CREATE TABLE")
+        cols = ",\n".join(
+            f"  {f.name} {self._sql_type_ddl(f.field_type)}"
+            + (" NOT NULL" if f.required else "")
+            for f in t.schema().fields)
+        stmt = (f"CREATE TABLE {self.catalog_name}.{ident} (\n{cols})\n"
+                "USING iceberg")
+        spec_ddl = self._spec_ddl(t.spec(), t.schema())
+        if spec_ddl:
+            stmt += f"\nPARTITIONED BY ({spec_ddl})"
+        props = t.properties()
+        if props:
+            kv = ",\n".join(
+                f"  '{k}' = '{v}'" for k, v in sorted(props.items()))
+            stmt += f"\nTBLPROPERTIES (\n{kv})"
+        return self.spark.createDataFrame(
+            [(stmt,)], T.StructType([
+                T.StructField("createtab_stmt", T.StringType(), False)]))
 
     def _dml_result(self):
         from pyspark.sql import types as T
@@ -824,6 +924,10 @@ class IceSqlEngine:
                                                   type_from_json)
 
         ident = self._clean_ident(m.group("rest"))
+        if m.group("using") and m.group("using").lower() != "iceberg":
+            raise ValueError(
+                f"CREATE TABLE ... USING {m.group('using')!r}: this "
+                "catalog only creates iceberg tables")
         coldefs, body = m.group("coldefs"), m.group("body")
         if (coldefs is None) == (body is None):
             raise ValueError(

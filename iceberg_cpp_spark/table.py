@@ -4043,6 +4043,12 @@ class IceTable:
                 "column (hex-value JSON keyed by partition field name — "
                 "the manifests.partition_to_json shape, the same format "
                 "plan_files_df emits)")
+        # descriptors WITHOUT a content column are all data files — the
+        # bulk-registration hot shape skips the per-row content CASE,
+        # the conditional totals aggregation, and the content shard key
+        # (r15: the r14 delete-descriptor generality cost the 10^6-file
+        # bench ~25% on a shape that never uses it)
+        has_deletes = "content" in files_df.columns
         df = files_df
         if "file_format" not in df.columns:
             df = df.withColumn("file_format", F.lit("parquet"))
@@ -4050,8 +4056,6 @@ class IceTable:
             df = df.withColumn("metrics_json", F.lit(None).cast("string"))
         if "partition_json" not in df.columns:
             df = df.withColumn("partition_json", F.lit("{}"))
-        if "content" not in df.columns:
-            df = df.withColumn("content", F.lit("data"))
         if "referenced_data_file" not in df.columns:
             df = df.withColumn("referenced_data_file",
                                F.lit(None).cast("string"))
@@ -4061,6 +4065,14 @@ class IceTable:
         # normalize content names to entry codes JVM-side; an unknown
         # value surfaces as a loud error below rather than a silent data
         # classification
+        content_code = (
+            F.when(F.col("content") == "data", F.lit(mf.CONTENT_DATA))
+             .when(F.col("content") == "position-deletes",
+                   F.lit(mf.CONTENT_POSITION_DELETES))
+             .when(F.col("content") == "equality-deletes",
+                   F.lit(mf.CONTENT_EQUALITY_DELETES))
+             .otherwise(F.lit(-1))
+            if has_deletes else F.lit(mf.CONTENT_DATA))
         df = df.select(
             F.col("file_path").cast("string"),
             F.col("file_format").cast("string"),
@@ -4068,12 +4080,7 @@ class IceTable:
             F.col("file_size_in_bytes").cast("long"),
             F.col("metrics_json").cast("string"),
             F.col("partition_json").cast("string"),
-            F.when(F.col("content") == "data", F.lit(mf.CONTENT_DATA))
-             .when(F.col("content") == "position-deletes",
-                   F.lit(mf.CONTENT_POSITION_DELETES))
-             .when(F.col("content") == "equality-deletes",
-                   F.lit(mf.CONTENT_EQUALITY_DELETES))
-             .otherwise(F.lit(-1)).cast("int").alias("_content"),
+            content_code.cast("int").alias("_content"),
             F.col("referenced_data_file").cast("string"),
             F.col("equality_ids_json").cast("string"))
 
@@ -4089,26 +4096,36 @@ class IceTable:
         sharded = None
         try:
             is_data = F.col("_content") == mf.CONTENT_DATA
-            totals = df.agg(
-                F.count("*").alias("n"),
-                F.sum(F.when(is_data, 1).otherwise(0)).alias("n_data"),
-                F.sum(F.when(F.col("_content") < 0, 1).otherwise(0))
-                 .alias("n_bad"),
-                F.sum(F.when(is_data, F.col("record_count")).otherwise(0))
-                 .alias("rows"),
-                F.sum(F.when(is_data, F.col("file_size_in_bytes"))
-                       .otherwise(0)).alias("bytes"),
-                F.sum(F.when(F.col("_content")
-                             == mf.CONTENT_POSITION_DELETES,
-                             F.col("record_count")).otherwise(0))
-                 .alias("pos_del_rows"),
-                F.sum(F.when(F.col("_content")
-                             == mf.CONTENT_POSITION_DELETES, 1).otherwise(0))
-                 .alias("n_pos"),
-                F.sum(F.when(F.col("_content")
-                             == mf.CONTENT_EQUALITY_DELETES,
-                             F.col("record_count")).otherwise(0))
-                 .alias("eq_del_rows")).collect()[0]
+            if has_deletes:
+                totals = df.agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.when(is_data, 1).otherwise(0)).alias("n_data"),
+                    F.sum(F.when(F.col("_content") < 0, 1).otherwise(0))
+                     .alias("n_bad"),
+                    F.sum(F.when(is_data, F.col("record_count"))
+                           .otherwise(0)).alias("rows"),
+                    F.sum(F.when(is_data, F.col("file_size_in_bytes"))
+                           .otherwise(0)).alias("bytes"),
+                    F.sum(F.when(F.col("_content")
+                                 == mf.CONTENT_POSITION_DELETES,
+                                 F.col("record_count")).otherwise(0))
+                     .alias("pos_del_rows"),
+                    F.sum(F.when(F.col("_content")
+                                 == mf.CONTENT_POSITION_DELETES, 1)
+                           .otherwise(0)).alias("n_pos"),
+                    F.sum(F.when(F.col("_content")
+                                 == mf.CONTENT_EQUALITY_DELETES,
+                                 F.col("record_count")).otherwise(0))
+                     .alias("eq_del_rows")).collect()[0]
+            else:
+                # all-data shape: one unconditional pass
+                t0 = df.agg(
+                    F.count("*").alias("n"),
+                    F.sum("record_count").alias("rows"),
+                    F.sum("file_size_in_bytes").alias("bytes")).collect()[0]
+                totals = {"n": t0["n"], "n_data": t0["n"], "n_bad": 0,
+                          "rows": t0["rows"], "bytes": t0["bytes"],
+                          "pos_del_rows": 0, "n_pos": 0, "eq_del_rows": 0}
             n_files = totals["n"] or 0
             if n_files == 0:
                 return self
@@ -4134,7 +4151,7 @@ class IceTable:
             n_shards = max(1, -(-n_files // shard_entries))
             # a manifest is uniformly data OR deletes (its manifest-list
             # row carries ONE content code), so the shard key includes
-            # the entry content
+            # the entry content when delete descriptors are present
             sharded = df.withColumn(
                 "_shard",
                 (F.abs(F.xxhash64("file_path")) % n_shards).cast("int"))
@@ -4249,7 +4266,9 @@ class IceTable:
                         "first_row_id": mf_out.first_row_id,
                     }])
 
-                rows = (sharded.groupBy("_content", "_shard").applyInPandas(
+                group_keys = (["_content", "_shard"] if has_deletes
+                              else ["_shard"])
+                rows = (sharded.groupBy(*group_keys).applyInPandas(
                     author,
                     schema=("manifest_path string, manifest_length long, "
                             "content int, "

@@ -35,7 +35,9 @@ def test_driver_cap_window_composition():
         # --- operators whose machinery is pinned by an in-window row +
         # --- dedicated pytest suites (stable extras since r03-r10):
         "ice_sql_view",     # SQL temp-view surface (ice_datasource extras row binds the same datasource; ice_pyds_scan in-window)
-        "ice_sql_engine",   # thin SQL reads (rotation #7 put ice_sql_dml in-window — same resolution/masking plane PLUS the DML statements; view-SQL recursion stays pinned by tests/test_sql_engine.py)
+        # (r15 rotation #8 swapped ice_sql_engine INTO the window — it
+        # was, with ice_sql_view, the last row never driver-checked —
+        # displacing q1_pricing_summary to the relational tail below.)
         "ice_typed_columns",  # typed-primitive scan (decimal/date/ts columns exercised by most in-window ice queries)
         "dedup_minhash_verified",  # LSH + Jaccard verify pass (dedup_minhash in-window)
         "ice_avro_manifests",  # Avro manifest read/write (ice_avro_v3 in-window)
@@ -123,6 +125,10 @@ def test_driver_cap_window_composition():
         # driver-green r13 and prior windows; the interval-join
         # machinery it shares with asof_join_events is pytest-pinned.
         "range_join_events",
+        # r15 rotation #8 displacement: pure-relational agg, driver-
+        # green since r01; ice_sql_engine in-window runs the same q1
+        # aggregation through the SQL front end + spec-view recursion.
+        "q1_pricing_summary",
     ]
     past_cap = names[CAP:]
     unplaced = [n for n in past_cap

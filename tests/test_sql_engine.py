@@ -804,3 +804,65 @@ class TestSqlTransaction:
         eng.sql("INSERT INTO ice.db.t VALUES (7, 'ok')", txn=txn)
         txn.commit()
         assert eng.sql("SELECT * FROM ice.db.t WHERE id = 7").count() == 1
+
+
+class TestDescribeExtended:
+    """r15: DESCRIBE [TABLE] EXTENDED and SHOW CREATE TABLE — the
+    operator-facing metadata surface (VERDICT r14 task 8)."""
+
+    @pytest.fixture()
+    def part_cat(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("CREATE TABLE ice.db.p (id BIGINT NOT NULL, ts TIMESTAMP,"
+                " data STRING) PARTITIONED BY (days(ts), bucket(4, id))")
+        eng.sql("ALTER TABLE ice.db.p SET TBLPROPERTIES "
+                "('write.merge.mode' = 'merge-on-read')")
+        return cat
+
+    def test_describe_extended_golden(self, spark, part_cat):
+        eng = IceSqlEngine(spark, part_cat)
+        rows = {r["col_name"]: r["data_type"] for r in
+                eng.sql("DESCRIBE EXTENDED ice.db.p").collect()}
+        assert rows["id"] == "long" and rows["ts"] == "timestamp"
+        t0 = part_cat.load_table("db.p", spark=spark)
+        assert rows["Format Version"] == str(t0.metadata.format_version)
+        assert rows["Partition Spec"] == "(days(ts), bucket(4, id))"
+        assert rows["Sort Order"] == "(unsorted)"
+        assert "write.merge.mode" in rows["Properties"]
+        assert rows["Current Snapshot ID"] == ""  # no data yet
+        t = part_cat.load_table("db.p", spark=spark)
+        assert rows["Location"] == t.location()
+        # plain DESCRIBE keeps the column-only shape
+        plain = eng.sql("DESCRIBE ice.db.p").collect()
+        assert [r["col_name"] for r in plain] == ["id", "ts", "data"]
+
+    def test_show_create_table_golden(self, spark, part_cat):
+        eng = IceSqlEngine(spark, part_cat)
+        stmt = eng.sql("SHOW CREATE TABLE ice.db.p") \
+            .collect()[0]["createtab_stmt"]
+        assert stmt == (
+            "CREATE TABLE ice.db.p (\n"
+            "  id BIGINT NOT NULL,\n"
+            "  ts TIMESTAMP,\n"
+            "  data STRING)\n"
+            "USING iceberg\n"
+            "PARTITIONED BY (days(ts), bucket(4, id))\n"
+            "TBLPROPERTIES (\n"
+            "  'write.merge.mode' = 'merge-on-read')")
+
+    def test_show_create_round_trips(self, spark, part_cat):
+        """The emitted statement RUNS and reproduces schema + spec."""
+        eng = IceSqlEngine(spark, part_cat)
+        stmt = eng.sql("SHOW CREATE TABLE ice.db.p") \
+            .collect()[0]["createtab_stmt"]
+        stmt2 = stmt.replace("ice.db.p", "ice.db.p2", 1) \
+            .replace("TBLPROPERTIES", "XX", 1).split("\nXX")[0]
+        eng.sql(stmt2)
+        a = part_cat.load_table("db.p", spark=spark)
+        b = part_cat.load_table("db.p2", spark=spark)
+        assert [(f.name, str(f.field_type), f.required)
+                for f in a.schema().fields] == \
+            [(f.name, str(f.field_type), f.required)
+             for f in b.schema().fields]
+        assert [str(f.transform) for f in a.spec().fields] == \
+            [str(f.transform) for f in b.spec().fields]
