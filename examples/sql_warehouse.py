@@ -2,8 +2,10 @@
 
 Everything below is plain SQL strings against an ``IceSqlEngine`` —
 catalog DDL with Iceberg partition transforms, named-column inserts,
-the DML triad (pruned DELETE / UPDATE / MERGE), time travel by
-snapshot, timestamp, branch or tag, CDC reads, metadata tables, and
+the DML triad (pruned DELETE / UPDATE / MERGE incl. the r15 CDC-upsert
+clause shape), transaction-scoped statements (several DML published as
+ONE CAS), time travel by snapshot, timestamp, branch or tag, CDC
+reads, metadata tables, DESCRIBE EXTENDED / SHOW CREATE TABLE, and
 maintenance procedures. Every statement maps onto the same IceTable
 planes the Python API uses (one snapshot + CAS each; WHERE clauses
 parse into the Expression DSL so deletes prune files, never full-scan).
@@ -76,8 +78,36 @@ def main() -> None:
         WHEN NOT MATCHED THEN INSERT *
     """)
 
+    # r15: the CDC-upsert MERGE — clause predicates + column-level
+    # actions; the op column drives delete/update/insert per row
+    eng.sql("""
+        MERGE INTO ice.sales.orders t USING (
+            SELECT 4 AS order_id, 'D' AS op, 0.0 AS delta
+            UNION ALL SELECT 5, 'U', 5.00
+            UNION ALL SELECT 6, 'I', 42.00
+        ) s ON t.order_id = s.order_id
+        WHEN MATCHED AND s.op = 'D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET amount = t.amount + s.delta
+        WHEN NOT MATCHED AND s.op = 'I' THEN
+            INSERT (order_id, region, amount)
+            VALUES (s.order_id, 'NEW', s.delta)
+    """)
+
+    # r15: several statements, ONE atomic commit (txn-scoped SQL)
+    t = cat.load_table("sales.orders", spark=spark)
+    txn = t.new_transaction()
+    eng.sql("INSERT INTO ice.sales.orders (order_id, region) "
+            "VALUES (7, 'EU')", txn=txn)
+    eng.sql("DELETE FROM ice.sales.orders WHERE order_id = 6", txn=txn)
+    txn.commit()
+
     print("current state:")
     eng.sql("SELECT * FROM ice.sales.orders ORDER BY order_id").show()
+    print("DESCRIBE EXTENDED:")
+    eng.sql("DESCRIBE EXTENDED ice.sales.orders").show(truncate=False)
+    print("SHOW CREATE TABLE:")
+    print(eng.sql("SHOW CREATE TABLE ice.sales.orders")
+          .collect()[0]["createtab_stmt"])
     print("as of the day1 tag:")
     eng.sql("SELECT count(*) AS n FROM ice.sales.orders "
             "VERSION AS OF 'day1'").show()

@@ -40,6 +40,8 @@ from __future__ import annotations
 
 import os
 import re
+import uuid
+from contextlib import contextmanager
 from typing import Optional
 
 from iceberg_cpp_spark.core.types import Schema, schema_from_spark
@@ -294,6 +296,22 @@ class IceMaterializedView:
             sid = snap.parent_snapshot_id
         return sid == from_sid
 
+    @contextmanager
+    def _delta_view(self):
+        """A per-refresh UNIQUE delta view name, dropped when the
+        refresh step resolves (ADVICE r14: the fixed `__mv_delta__`
+        name accumulated in the session catalog and could collide
+        across interleaved refreshes). spark.sql analyzes eagerly, so
+        frames built against the name stay valid after the drop."""
+        name = f"__mv_delta_{uuid.uuid4().hex[:10]}"
+        try:
+            yield name
+        finally:
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+
     def _refresh_incremental(self, plan: dict, from_sid: int,
                              to_sid: int) -> bool:
         """Apply the append delta to the storage table. Returns False
@@ -307,12 +325,12 @@ class IceMaterializedView:
         delta = incremental_read(src, from_sid, to_sid)
         # run the view SQL against the DELTA under a private name (the
         # source's own temp-view binding is never touched)
-        delta_name = "__mv_delta__"
-        delta.createOrReplaceTempView(delta_name)
-        sql = re.sub(rf"(\bfrom\s+){re.escape(plan['source'])}\b",
-                     rf"\g<1>{delta_name}",
-                     self._storage_sql(), flags=re.I)
-        delta_agg = self.spark.sql(sql)
+        with self._delta_view() as delta_name:
+            delta.createOrReplaceTempView(delta_name)
+            sql = re.sub(rf"(\bfrom\s+){re.escape(plan['source'])}\b",
+                         rf"\g<1>{delta_name}",
+                         self._storage_sql(), flags=re.I)
+            delta_agg = self.spark.sql(sql)
         current = self.storage.to_df()
         agg_cols = [
             getattr(F, fn)(c).alias(c)
@@ -350,20 +368,21 @@ class IceMaterializedView:
             return False  # non-ancestor range (rollback/cherry-pick)
         meta_cols = ["_change_type", "_commit_snapshot_id",
                      "_change_ordinal"]
-        sql_tpl = re.sub(
-            rf"(\bfrom\s+){re.escape(plan['source'])}\b",
-            r"\g<1>__mv_delta__", self._storage_sql(), flags=re.I)
         sides = []
-        for kind, sign in (("insert", 1), ("delete", -1)):
-            rows = (delta.filter(F.col("_change_type") == kind)
-                    .drop(*meta_cols))
-            rows.createOrReplaceTempView("__mv_delta__")
-            agg = self.spark.sql(sql_tpl)
-            if sign < 0:
-                agg = agg.select(
-                    *[(-F.col(c)).alias(c) if c in plan["merge"]
-                      else F.col(c) for c in agg.columns])
-            sides.append(agg)
+        with self._delta_view() as delta_name:
+            sql_tpl = re.sub(
+                rf"(\bfrom\s+){re.escape(plan['source'])}\b",
+                rf"\g<1>{delta_name}", self._storage_sql(), flags=re.I)
+            for kind, sign in (("insert", 1), ("delete", -1)):
+                rows = (delta.filter(F.col("_change_type") == kind)
+                        .drop(*meta_cols))
+                rows.createOrReplaceTempView(delta_name)
+                agg = self.spark.sql(sql_tpl)
+                if sign < 0:
+                    agg = agg.select(
+                        *[(-F.col(c)).alias(c) if c in plan["merge"]
+                          else F.col(c) for c in agg.columns])
+                sides.append(agg)
         current = self.storage.to_df()
         agg_cols = [getattr(F, fn)(c).alias(c)
                     for c, fn in plan["merge"].items()]
@@ -406,27 +425,29 @@ class IceMaterializedView:
             return False  # non-ancestor range (rollback/cherry-pick)
         meta_cols = ["_change_type", "_commit_snapshot_id",
                      "_change_ordinal"]
-        sql_tpl = re.sub(
-            rf"(\bfrom\s+){re.escape(plan['source'])}\b",
-            r"\g<1>__mv_delta__", self._storage_sql(), flags=re.I)
-        delta.drop(*meta_cols).createOrReplaceTempView("__mv_delta__")
-        affected = (self.spark.sql(sql_tpl)
-                    .select(*plan["keys"]).distinct())
-        keys_rows = affected.collect()  # O(#changed groups)
-        if not keys_rows:
-            return True  # nothing changed under the WHERE clause
-        flt = None
-        for col, alias in zip(plan["key_cols"], plan["keys"]):
-            vals = {r[alias] for r in keys_rows}
-            non_null = [v for v in vals if v is not None]
-            c = ex.in_(ex.Reference(col), non_null) if non_null else None
-            if len(non_null) != len(vals):
-                nc = ex.is_null(ex.Reference(col))
-                c = nc if c is None else ex.or_(c, nc)
-            flt = c if flt is None else ex.and_(flt, c)
-        scan_df = src.scan(filter=flt).to_df()
-        scan_df.createOrReplaceTempView("__mv_delta__")
-        regrouped = self.spark.sql(sql_tpl)
+        with self._delta_view() as delta_name:
+            sql_tpl = re.sub(
+                rf"(\bfrom\s+){re.escape(plan['source'])}\b",
+                rf"\g<1>{delta_name}", self._storage_sql(), flags=re.I)
+            delta.drop(*meta_cols).createOrReplaceTempView(delta_name)
+            affected = (self.spark.sql(sql_tpl)
+                        .select(*plan["keys"]).distinct())
+            keys_rows = affected.collect()  # O(#changed groups)
+            if not keys_rows:
+                return True  # nothing changed under the WHERE clause
+            flt = None
+            for col, alias in zip(plan["key_cols"], plan["keys"]):
+                vals = {r[alias] for r in keys_rows}
+                non_null = [v for v in vals if v is not None]
+                c = (ex.in_(ex.Reference(col), non_null)
+                     if non_null else None)
+                if len(non_null) != len(vals):
+                    nc = ex.is_null(ex.Reference(col))
+                    c = nc if c is None else ex.or_(c, nc)
+                flt = c if flt is None else ex.and_(flt, c)
+            scan_df = src.scan(filter=flt).to_df()
+            scan_df.createOrReplaceTempView(delta_name)
+            regrouped = self.spark.sql(sql_tpl)
         # collected keys → a fresh bounded frame (immune to the temp-view
         # rebind above), broadcast into both joins
         aff = self.spark.createDataFrame(

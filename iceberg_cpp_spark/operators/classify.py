@@ -85,7 +85,8 @@ def train_nb(df: DataFrame, text_col: str = "text",
     class_stats = (doc_counts
                    .join(class_tokens, "label", "left")
                    .na.fill({"n_class_tokens": 0})
-                   .crossJoin(total).crossJoin(vocab)
+                   .crossJoin(F.broadcast(total))
+                   .crossJoin(F.broadcast(vocab))
                    .select(
                        "label",
                        (F.log(F.col("n_docs").cast("double"))

@@ -26,6 +26,15 @@ Spark scalar expressions (Spark's parser owns them); each statement
 maps onto the corresponding IceTable mutation (one commit per
 statement, CAS + retry semantics unchanged).
 
+r15 widens the surface: MERGE clause predicates and column-level
+actions (``WHEN MATCHED AND s.op = 'D' THEN DELETE``, ``UPDATE SET
+col = expr``, ``INSERT (cols) VALUES (exprs)`` — the CDC-upsert
+shape); transaction-scoped statements (``eng.sql(stmt, txn=txn)``
+composes DML on a ``new_transaction()`` working copy into ONE CAS);
+``DESCRIBE EXTENDED`` / ``SHOW CREATE TABLE``; SQL comments stripped
+safely (never bind, never hide a clause); backtick-quoted identifier
+parts; injective per-statement temp-view names dropped on resolve.
+
 Scale shape: a binding is one ``TableScan.to_df()`` DataFrame — the
 same lazy, pruned, distributed plan every other entry point gets; the
 rewrite itself is O(query text). Identifiers inside string literals
@@ -107,6 +116,8 @@ _PART_FIELD = re.compile(
 _DROP = re.compile(
     r"^\s*drop\s+table\s+(?P<ie>if\s+exists\s+)?" + _IDENT_TAIL +
     r"\s*$", re.I)
+_TRUNCATE = re.compile(
+    r"^\s*truncate\s+table\s+" + _IDENT_TAIL + r"\s*$", re.I)
 _CVIEW = re.compile(
     r"^\s*create\s+(?P<rep>or\s+replace\s+)?view\s+" + _IDENT_TAIL +
     r"\s+as\s+(?P<body>.+)$", re.I | re.S)
@@ -258,6 +269,18 @@ class IceSqlEngine:
         m = _DROP.match(masked)
         if m and m.group("cat") == self.catalog_name:
             return self._drop(m)
+        m = _TRUNCATE.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            # TRUNCATE = unconditional row delete: ONE metadata-plane
+            # snapshot (no file is read or rewritten), history kept —
+            # time travel to the pre-truncate snapshot still works.
+            # Composes into a transaction like any delete.
+            from iceberg_cpp_spark.plans import expressions as ex
+
+            t = self._load(self._clean_ident(m.group("rest")),
+                           "TRUNCATE TABLE")
+            t.delete_where(ex.ALWAYS_TRUE)
+            return self._dml_result()
         m = _CVIEW.match(masked)
         if m and m.group("cat") == self.catalog_name:
             return self._create_view(m, lits)

@@ -866,3 +866,28 @@ class TestDescribeExtended:
              for f in b.schema().fields]
         assert [str(f.transform) for f in a.spec().fields] == \
             [str(f.transform) for f in b.spec().fields]
+
+
+class TestSqlTruncate:
+    def test_truncate_table(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        pre = t.current_snapshot().snapshot_id
+        eng.sql("TRUNCATE TABLE ice.db.t")
+        assert eng.sql("SELECT * FROM ice.db.t").count() == 0
+        # metadata-plane: history kept, pre-truncate snapshot readable
+        assert eng.sql(
+            f"SELECT * FROM ice.db.t VERSION AS OF {pre}").count() == 6
+        with pytest.raises(ValueError, match="not a table"):
+            eng.sql("TRUNCATE TABLE ice.db.nope")
+
+    def test_truncate_composes_in_txn(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        txn = t.new_transaction()
+        eng.sql("TRUNCATE TABLE ice.db.t", txn=txn)
+        eng.sql("INSERT INTO ice.db.t VALUES (1, 'fresh')", txn=txn)
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t").collect()[0]["n"] == 6
+        txn.commit()
+        rows = eng.sql("SELECT id, data FROM ice.db.t").collect()
+        assert [(r["id"], r["data"]) for r in rows] == [(1, "fresh")]

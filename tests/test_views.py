@@ -403,6 +403,11 @@ class TestIncrementalMvRefresh:
         mv = mv.refresh(force=True)
         assert mv.last_refresh_mode == "full"
         assert {tuple(r) for r in mv.to_df().collect()} == inc
+        # r15 (ADVICE r14): delta temp views are unique-named AND
+        # dropped once the refresh resolves — no session-catalog growth
+        leftovers = [t.name for t in spark.catalog.listTables()
+                     if t.name.startswith("__mv_delta")]
+        assert leftovers == []
 
     def test_delete_in_history_group_targeted(self, spark, tmp_loc):
         """MIN/MAX views through a delete used to FULL-recompute; since
