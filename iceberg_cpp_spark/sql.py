@@ -363,11 +363,75 @@ class IceSqlEngine:
                          r"(?P<name>[A-Za-z_]\w*)\s*$", b, re.I):
             t.remove_ref(m.group("name"))
             return self._dml_result()
+        if m := re.match(r"^add\s+partition\s+field\s+(?P<f>.+)$",
+                         b, re.I | re.S):
+            # partition evolution (metadata-only; existing files keep
+            # their spec, scans prune per spec_id)
+            f, tf, name = self._part_entry(m.group("f").strip(),
+                                           t.schema())
+            from iceberg_cpp_spark.core.metadata import PartitionField
+
+            spec = t.spec()
+            if any(pf.source_id == f.field_id
+                   and str(pf.transform) == str(tf)
+                   for pf in spec.fields):
+                raise ValueError(
+                    f"partition field already exists: "
+                    f"{m.group('f').strip()!r}")
+            t.update_spec(list(spec.fields) + [PartitionField(
+                source_id=f.field_id, field_id=0, name=name,
+                transform=tf)])
+            return self._dml_result()
+        if m := re.match(r"^drop\s+partition\s+field\s+(?P<f>.+)$",
+                         b, re.I | re.S):
+            f, tf, _name = self._part_entry(m.group("f").strip(),
+                                            t.schema())
+            spec = t.spec()
+            keep = [pf for pf in spec.fields
+                    if not (pf.source_id == f.field_id
+                            and str(pf.transform) == str(tf))]
+            if len(keep) == len(spec.fields):
+                raise ValueError(
+                    f"no such partition field: {m.group('f').strip()!r}")
+            t.update_spec(keep)
+            return self._dml_result()
+        if re.match(r"^write\s+unordered\s*$", b, re.I):
+            t.replace_sort_order([])
+            return self._dml_result()
+        if m := re.match(r"^write\s+ordered\s+by\s+(?P<list>.+)$",
+                         b, re.I | re.S):
+            t.replace_sort_order(
+                self._sort_fields(m.group("list"), t.schema()))
+            return self._dml_result()
         raise ValueError(
             f"unsupported ALTER TABLE clause: "
             f"{self._unmask(b, lits)!r} (supported: ADD COLUMN, "
             "RENAME COLUMN ... TO, DROP COLUMN, SET/UNSET "
-            "TBLPROPERTIES, RENAME TO, CREATE/DROP BRANCH|TAG)")
+            "TBLPROPERTIES, RENAME TO, CREATE/DROP BRANCH|TAG, "
+            "ADD/DROP PARTITION FIELD, WRITE ORDERED BY / UNORDERED)")
+
+    def _sort_fields(self, text: str, schema) -> list:
+        """``WRITE ORDERED BY`` list → SortFields. Each entry is a
+        partition-transform spelling or bare column, with optional
+        ASC|DESC and NULLS FIRST|LAST (Iceberg defaults: ASC → NULLS
+        FIRST, DESC → NULLS LAST)."""
+        from iceberg_cpp_spark.core.metadata import SortField
+
+        out = []
+        for piece in self._split_top(text):
+            sm = re.match(
+                r"^\s*(?P<term>.+?)(?:\s+(?P<dir>asc|desc))?"
+                r"(?:\s+nulls\s+(?P<n>first|last))?\s*$",
+                piece, re.I | re.S)
+            f, tf, _name = self._part_entry(sm.group("term").strip(),
+                                            schema)
+            direction = (sm.group("dir") or "asc").lower()
+            nulls = (sm.group("n") or
+                     ("first" if direction == "asc" else "last")).lower()
+            out.append(SortField(
+                source_id=f.field_id, transform=tf,
+                direction=direction, null_order=f"nulls-{nulls}"))
+        return out
 
     def _prop_pairs(self, kv: str, lits: list) -> dict:
         out = {}
@@ -989,42 +1053,50 @@ class IceSqlEngine:
             self.catalog.load_table(ident, spark=self.spark).append(df)
         return self._dml_result()
 
+    def _part_entry(self, piece: str, schema):
+        """One partition-field DDL entry (the Iceberg spelling: col,
+        years/months/days/hours(col), bucket(N, col), truncate(W, col))
+        → (source NestedField, Transform, derived field name)."""
+        from iceberg_cpp_spark.functions import transforms as tr
+
+        pm = _PART_FIELD.match(piece)
+        if pm is None:
+            raise ValueError(
+                f"cannot parse partition field entry: {piece!r} "
+                "(supported: col, years/months/days/hours(col), "
+                "bucket(N, col), truncate(W, col))")
+        if pm.group("col"):
+            col, t, suffix = pm.group("col"), \
+                tr.IdentityTransform(), None
+        elif pm.group("tfn"):
+            col = pm.group("tcol")
+            base = pm.group("tfn").lower().rstrip("s")
+            t = {"year": tr.YearTransform,
+                 "month": tr.MonthTransform,
+                 "day": tr.DayTransform,
+                 "hour": tr.HourTransform}[base]()
+            suffix = base
+        else:
+            col = pm.group("ncol")
+            n = int(pm.group("n"))
+            t = (tr.BucketTransform(n)
+                 if pm.group("nfn").lower() == "bucket"
+                 else tr.TruncateTransform(n))
+            suffix = pm.group("nfn").lower()
+        f = schema.find_field(col)
+        if f is None:
+            raise ValueError(
+                f"partition field references unknown column: {col!r}")
+        name = col if suffix is None else f"{col}_{suffix}"
+        return f, t, name
+
     def _partition_spec(self, parts: str, schema):
         from iceberg_cpp_spark.core.metadata import (PartitionField,
                                                      PartitionSpec)
-        from iceberg_cpp_spark.functions import transforms as tr
 
         fields = []
         for i, piece in enumerate(self._split_top(parts)):
-            pm = _PART_FIELD.match(piece)
-            if pm is None:
-                raise ValueError(
-                    f"cannot parse PARTITIONED BY entry: {piece!r} "
-                    "(supported: col, years/months/days/hours(col), "
-                    "bucket(N, col), truncate(W, col))")
-            if pm.group("col"):
-                col, t, suffix = pm.group("col"), \
-                    tr.IdentityTransform(), None
-            elif pm.group("tfn"):
-                col = pm.group("tcol")
-                base = pm.group("tfn").lower().rstrip("s")
-                t = {"year": tr.YearTransform,
-                     "month": tr.MonthTransform,
-                     "day": tr.DayTransform,
-                     "hour": tr.HourTransform}[base]()
-                suffix = base
-            else:
-                col = pm.group("ncol")
-                n = int(pm.group("n"))
-                t = (tr.BucketTransform(n)
-                     if pm.group("nfn").lower() == "bucket"
-                     else tr.TruncateTransform(n))
-                suffix = pm.group("nfn").lower()
-            f = schema.find_field(col)
-            if f is None:
-                raise ValueError(
-                    f"PARTITIONED BY references unknown column: {col!r}")
-            name = col if suffix is None else f"{col}_{suffix}"
+            f, t, name = self._part_entry(piece, schema)
             fields.append(PartitionField(
                 source_id=f.field_id, field_id=1000 + i, name=name,
                 transform=t))

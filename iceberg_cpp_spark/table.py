@@ -5634,6 +5634,39 @@ class IceTable:
         return self._commit(new_meta, MAIN_BRANCH, meta.current_snapshot(),
                             requirements=reqs)
 
+    def replace_sort_order(self, fields: list) -> "IceTable":
+        """Sort-order evolution (reference sort_order.h declares the
+        model; no mutator exists there): register a new SortOrder and
+        make it the default for FUTURE writes — existing files keep
+        their sort_order_id, no data rewrite (the metadata-only shape
+        partition evolution follows). ``fields`` are SortFields; empty
+        list = unsorted (order id 0). Writes cluster by the new order
+        from the next append on (``_apply_sort_order``)."""
+        from iceberg_cpp_spark.core.updates import TableMetadataBuilder
+
+        meta = self.metadata
+        schema = self.schema()
+        for f in fields:
+            if schema.find_field_by_id(f.source_id) is None:
+                raise ValueError(
+                    f"sort source field not found: {f.source_id}")
+            if f.direction not in ("asc", "desc"):
+                raise ValueError(f"bad sort direction: {f.direction!r}")
+            if f.null_order not in ("nulls-first", "nulls-last"):
+                raise ValueError(f"bad null order: {f.null_order!r}")
+        if not fields:
+            target = SortOrder([], order_id=SortOrder.UNSORTED_ORDER_ID)
+        else:
+            target = SortOrder(list(fields), order_id=max(
+                (s.order_id for s in meta.sort_orders), default=0) + 1)
+        b = TableMetadataBuilder.build_from(meta)
+        if all(s.order_id != target.order_id for s in meta.sort_orders):
+            b.add_sort_order(target)
+        b.set_default_sort_order(target.order_id)
+        new_meta, _u, reqs = b.build()
+        return self._commit(new_meta, MAIN_BRANCH, meta.current_snapshot(),
+                            requirements=reqs)
+
     def _evolve_schema(self, fields: list, last_column_id: Optional[int] = None) -> "IceTable":
         meta = self.metadata
         old = self.schema()

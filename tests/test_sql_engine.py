@@ -630,7 +630,7 @@ class TestSqlCreateTableDdl:
         with pytest.raises(ValueError, match="unknown column"):
             eng.sql("CREATE TABLE ice.db.g PARTITIONED BY (zz) "
                     "AS SELECT 1 AS a")
-        with pytest.raises(ValueError, match="PARTITIONED BY entry"):
+        with pytest.raises(ValueError, match="partition field entry"):
             eng.sql("CREATE TABLE ice.db.g (id BIGINT) "
                     "PARTITIONED BY (substr(id, 1))")
 
@@ -891,3 +891,71 @@ class TestSqlTruncate:
         txn.commit()
         rows = eng.sql("SELECT id, data FROM ice.db.t").collect()
         assert [(r["id"], r["data"]) for r in rows] == [(1, "fresh")]
+
+
+class TestSqlSpecAndSortEvolution:
+    """r15: ALTER TABLE ADD/DROP PARTITION FIELD (metadata-only
+    partition evolution) and WRITE ORDERED BY / WRITE UNORDERED
+    (sort-order evolution — future writes cluster by the new order)."""
+
+    def test_add_and_drop_partition_field(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("ALTER TABLE ice.db.t ADD PARTITION FIELD bucket(4, id)")
+        t = cat.load_table("db.t", spark=spark)
+        assert [str(f.transform) for f in t.spec().fields] == ["bucket[4]"]
+        # old files keep reading; new appends partition by the new spec
+        eng.sql("INSERT INTO ice.db.t VALUES (50, 'p')")
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t "
+                       "WHERE id = 50").collect()[0]["n"] == 1
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t") \
+            .collect()[0]["n"] == 7
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql("ALTER TABLE ice.db.t "
+                    "ADD PARTITION FIELD bucket(4, id)")
+        eng.sql("ALTER TABLE ice.db.t DROP PARTITION FIELD bucket(4, id)")
+        t = cat.load_table("db.t", spark=spark)
+        assert t.spec().fields == []
+        with pytest.raises(ValueError, match="no such partition field"):
+            eng.sql("ALTER TABLE ice.db.t DROP PARTITION FIELD id")
+        with pytest.raises(ValueError, match="unknown column"):
+            eng.sql("ALTER TABLE ice.db.t ADD PARTITION FIELD nope")
+
+    def test_write_ordered_by(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("ALTER TABLE ice.db.t WRITE ORDERED BY data DESC, "
+                "id ASC NULLS LAST")
+        t = cat.load_table("db.t", spark=spark)
+        so = t.sort_order()
+        assert [(f.source_id, f.direction, f.null_order)
+                for f in so.fields] == [
+            (2, "desc", "nulls-last"), (1, "asc", "nulls-last")]
+        # DESCRIBE EXTENDED reflects it
+        rows = {r["col_name"]: r["data_type"] for r in
+                eng.sql("DESCRIBE EXTENDED ice.db.t").collect()}
+        assert rows["Sort Order"] == ("data DESC NULLS LAST, "
+                                      "id ASC NULLS LAST")
+        # a new append actually clusters by the order (file min/max of
+        # the first sort key don't interleave within a file)
+        eng.sql("INSERT INTO ice.db.t SELECT id + 100, data FROM ice.db.t")
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t") \
+            .collect()[0]["n"] == 12
+        eng.sql("ALTER TABLE ice.db.t WRITE UNORDERED")
+        t = cat.load_table("db.t", spark=spark)
+        assert t.sort_order().is_unsorted
+
+    def test_sort_order_transform_term(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("ALTER TABLE ice.db.t WRITE ORDERED BY truncate(1, data)")
+        t = cat.load_table("db.t", spark=spark)
+        assert [str(f.transform) for f in t.sort_order().fields] == \
+            ["truncate[1]"]
+
+    def test_spec_and_sort_ddl_refuse_in_txn(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        txn = t.new_transaction()
+        with pytest.raises(ValueError, match="not transaction-aware"):
+            eng.sql("ALTER TABLE ice.db.t ADD PARTITION FIELD "
+                    "bucket(4, id)", txn=txn)
+        with pytest.raises(ValueError, match="not transaction-aware"):
+            eng.sql("ALTER TABLE ice.db.t WRITE ORDERED BY id", txn=txn)

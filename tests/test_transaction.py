@@ -466,6 +466,8 @@ class TestTransactionSurface:
             w.rollback_to(t.snapshots()[0].snapshot_id)
         with pytest.raises(ValueError, match="not transaction-aware"):
             w.update_spec([])
+        with pytest.raises(ValueError, match="not transaction-aware"):
+            w.replace_sort_order([])
         with pytest.raises(ValueError,
                            match="not transaction-aware"):
             w.remove_orphan_files(dry_run=True)
