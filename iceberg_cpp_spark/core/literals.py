@@ -87,10 +87,16 @@ def from_bytes(data: bytes, t: it.IcebergType) -> Any:
         return struct.unpack("<i", data)[0]
     if isinstance(t, (it.LongType, it.TimeType, it.TimestampNsType,
                       it.TimestampTzNsType)):
+        # 4-byte buffer: a bound written before an int→long promotion
+        # (manifests keep the write-time encoding; decode by length)
+        if len(data) == 4:
+            return struct.unpack("<i", data)[0]
         return struct.unpack("<q", data)[0]
     if isinstance(t, it.FloatType):
         return struct.unpack("<f", data)[0]
     if isinstance(t, it.DoubleType):
+        if len(data) == 4:  # float→double promotion (see above)
+            return struct.unpack("<f", data)[0]
         return struct.unpack("<d", data)[0]
     if isinstance(t, it.DateType):
         return struct.unpack("<i", data)[0]

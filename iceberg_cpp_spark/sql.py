@@ -329,6 +329,23 @@ class IceSqlEngine:
                          b, re.I):
             t.drop_column(m.group("name"))
             return self._dml_result()
+        if m := re.match(r"^alter\s+column\s+(?P<name>[A-Za-z_]\w*)\s+"
+                         r"type\s+(?P<type>.+?)\s*$", b, re.I | re.S):
+            raw = re.sub(r"\s+", "", m.group("type")).lower()
+            raw = _SQL_TYPE_ALIASES.get(raw, raw)
+            t.update_column_type(m.group("name"), type_from_json(raw))
+            return self._dml_result()
+        if m := re.match(r"^alter\s+column\s+(?P<name>[A-Za-z_]\w*)\s+"
+                         r"drop\s+not\s+null\s*$", b, re.I):
+            t.make_column_optional(m.group("name"))
+            return self._dml_result()
+        if re.match(r"^alter\s+column\s+[A-Za-z_]\w*\s+set\s+not\s+null"
+                    r"\s*$", b, re.I):
+            raise ValueError(
+                "ALTER COLUMN ... SET NOT NULL is not allowed: "
+                "optional -> required would claim existing rows are "
+                "non-null without checking them (Iceberg forbids it); "
+                "validate with expectations and rewrite instead")
         if m := re.match(r"^set\s+tblproperties\s*\((?P<kv>.*)\)\s*$",
                          b, re.I | re.S):
             t.update_properties(self._prop_pairs(m.group("kv"), lits))
@@ -406,9 +423,10 @@ class IceSqlEngine:
         raise ValueError(
             f"unsupported ALTER TABLE clause: "
             f"{self._unmask(b, lits)!r} (supported: ADD COLUMN, "
-            "RENAME COLUMN ... TO, DROP COLUMN, SET/UNSET "
-            "TBLPROPERTIES, RENAME TO, CREATE/DROP BRANCH|TAG, "
-            "ADD/DROP PARTITION FIELD, WRITE ORDERED BY / UNORDERED)")
+            "RENAME COLUMN ... TO, DROP COLUMN, ALTER COLUMN ... TYPE "
+            "| DROP NOT NULL, SET/UNSET TBLPROPERTIES, RENAME TO, "
+            "CREATE/DROP BRANCH|TAG, ADD/DROP PARTITION FIELD, "
+            "WRITE ORDERED BY / UNORDERED)")
 
     def _sort_fields(self, text: str, schema) -> list:
         """``WRITE ORDERED BY`` list → SortFields. Each entry is a

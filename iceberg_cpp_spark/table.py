@@ -5634,6 +5634,56 @@ class IceTable:
         return self._commit(new_meta, MAIN_BRANCH, meta.current_snapshot(),
                             requirements=reqs)
 
+    def update_column_type(self, name: str,
+                           new_type: it.IcebergType) -> "IceTable":
+        """Type promotion (Iceberg schema-evolution rules; reference
+        schema.h declares the schema model only): ``int → long``,
+        ``float → double``, ``decimal(P,S) → decimal(P'>P,S)``.
+        Metadata-only — the field keeps its ID, old files read through
+        Spark's parquet type widening (and the Avro/ORC legs' by-id
+        projection), so a 100 TB column widens without a rewrite.
+        Anything outside the promotion lattice refuses loudly (a
+        narrowing or cross-family change would corrupt old files'
+        values)."""
+        schema = self.schema()
+        f = schema.find_field(name)
+        if f is None:
+            raise ValueError(f"no such column: {name!r}")
+        old = f.field_type
+        ok = ((isinstance(old, it.IntegerType)
+               and isinstance(new_type, it.LongType))
+              or (isinstance(old, it.FloatType)
+                  and isinstance(new_type, it.DoubleType))
+              or (isinstance(old, it.DecimalType)
+                  and isinstance(new_type, it.DecimalType)
+                  and new_type.scale == old.scale
+                  and new_type.precision > old.precision))
+        if not ok:
+            raise ValueError(
+                f"invalid type promotion for {name!r}: "
+                f"{old.to_json()} -> {new_type.to_json()} (allowed: "
+                "int -> long, float -> double, decimal(P,S) -> "
+                "decimal(P'>P,S))")
+        fields = [dc_replace(x, field_type=new_type)
+                  if x.field_id == f.field_id else x
+                  for x in schema.fields]
+        return self._evolve_schema(fields)
+
+    def make_column_optional(self, name: str) -> "IceTable":
+        """``required → optional`` (always safe; the reverse would
+        claim existing rows are non-null without checking them, which
+        Iceberg forbids — use expectations + a rewrite instead)."""
+        schema = self.schema()
+        f = schema.find_field(name)
+        if f is None:
+            raise ValueError(f"no such column: {name!r}")
+        if not f.required:
+            return self
+        fields = [dc_replace(x, required=False)
+                  if x.field_id == f.field_id else x
+                  for x in schema.fields]
+        return self._evolve_schema(fields)
+
     def replace_sort_order(self, fields: list) -> "IceTable":
         """Sort-order evolution (reference sort_order.h declares the
         model; no mutator exists there): register a new SortOrder and

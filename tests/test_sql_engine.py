@@ -959,3 +959,48 @@ class TestSqlSpecAndSortEvolution:
                     "bucket(4, id)", txn=txn)
         with pytest.raises(ValueError, match="not transaction-aware"):
             eng.sql("ALTER TABLE ice.db.t WRITE ORDERED BY id", txn=txn)
+
+
+class TestSqlTypePromotion:
+    """r15: ALTER COLUMN ... TYPE — Iceberg promotion rules, metadata
+    only; old files read widened through Spark's parquet type widening."""
+
+    def test_int_to_long_reads_old_files(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("CREATE TABLE ice.db.pr (k INT, f REAL, d DECIMAL(5,2))")
+        eng.sql("INSERT INTO ice.db.pr VALUES (7, 1.5, 9.25)")
+        eng.sql("ALTER TABLE ice.db.pr ALTER COLUMN k TYPE BIGINT")
+        eng.sql("ALTER TABLE ice.db.pr ALTER COLUMN f TYPE DOUBLE")
+        eng.sql("ALTER TABLE ice.db.pr ALTER COLUMN d TYPE DECIMAL(10,2)")
+        t = cat.load_table("db.pr", spark=spark)
+        assert [str(f.field_type.to_json())
+                for f in t.schema().fields] == \
+            ["long", "double", "decimal(10, 2)"]
+        # the field IDs survived the promotion (evolution, not re-add)
+        assert [f.field_id for f in t.schema().fields] == [1, 2, 3]
+        row = eng.sql("SELECT * FROM ice.db.pr").collect()[0]
+        assert (row["k"], row["f"], float(row["d"])) == (7, 1.5, 9.25)
+        # post-promotion writes mix with pre-promotion files
+        eng.sql("INSERT INTO ice.db.pr VALUES (8000000000, 2.5, 100.00)")
+        assert eng.sql("SELECT sum(k) AS s FROM ice.db.pr") \
+            .collect()[0]["s"] == 8000000007
+
+    def test_invalid_promotions_refuse(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("CREATE TABLE ice.db.pr2 (k BIGINT, s STRING)")
+        for bad in ["ALTER COLUMN k TYPE INT",        # narrowing
+                    "ALTER COLUMN s TYPE BIGINT",     # cross-family
+                    "ALTER COLUMN k TYPE STRING"]:
+            with pytest.raises(ValueError, match="invalid type promotion"):
+                eng.sql(f"ALTER TABLE ice.db.pr2 {bad}")
+        with pytest.raises(ValueError, match="no such column"):
+            eng.sql("ALTER TABLE ice.db.pr2 ALTER COLUMN zz TYPE BIGINT")
+
+    def test_drop_not_null_and_set_not_null(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("CREATE TABLE ice.db.pr3 (k BIGINT NOT NULL, s STRING)")
+        eng.sql("ALTER TABLE ice.db.pr3 ALTER COLUMN k DROP NOT NULL")
+        t = cat.load_table("db.pr3", spark=spark)
+        assert not t.schema().find_field("k").required
+        with pytest.raises(ValueError, match="SET NOT NULL is not"):
+            eng.sql("ALTER TABLE ice.db.pr3 ALTER COLUMN s SET NOT NULL")

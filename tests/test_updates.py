@@ -1389,3 +1389,80 @@ class TestRebaseValidationDistributed:
         out = stale.delete_where(ex.eq(ex.Reference("id"), 1))
         assert sorted(r["id"] for r in out.to_df().collect()) == [
             0, 2, 3, 4, 5, 6, 7, 100, 101, 102]
+
+
+class TestTypePromotion:
+    """r15: update_column_type — Iceberg promotion lattice, metadata
+    only. The hazard pins: OLD manifests keep write-time bound
+    encodings (4-byte int bounds under a now-long column decode by
+    LENGTH in literals.from_bytes), partition-source promotion keeps
+    pruning, and pre-promotion equality deletes keep applying."""
+
+    def test_old_bounds_decode_and_prune(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        sch = it.Schema([it.NestedField(1, "k", it.IntegerType(), False)])
+        t = IceTable.create(spark, f"{tmp_loc}/t", sch)
+        t.append(spark.createDataFrame([(1,), (2,)], "k int")
+                 .repartition(1))
+        t.append(spark.createDataFrame([(100,), (200,)], "k int")
+                 .repartition(1))
+        t = t.update_column_type("k", it.LongType())
+        scan = t.scan(filter=ex.lt(ex.Reference("k"), 10))
+        # metrics pruning still works on the 4-byte pre-promotion bounds
+        assert len(scan.plan_files()) == 1
+        assert sorted(r["k"] for r in scan.to_df().collect()) == [1, 2]
+        # float→double bounds likewise
+        sch2 = it.Schema([it.NestedField(1, "f", it.FloatType(), False)])
+        t2 = IceTable.create(spark, f"{tmp_loc}/t2", sch2)
+        t2.append(spark.createDataFrame([(1.5,)], "f float"))
+        t2 = t2.update_column_type("f", it.DoubleType())
+        assert t2.scan(filter=ex.gt(ex.Reference("f"), 1.0)) \
+            .to_df().count() == 1
+
+    def test_partition_source_promotion_prunes(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        sch = it.Schema([it.NestedField(1, "k", it.IntegerType(), False),
+                         it.NestedField(2, "v", it.StringType(), False)])
+        spec = PartitionSpec([PartitionField(1, 1000, "k",
+                                             tr.IdentityTransform())])
+        t = IceTable.create(spark, f"{tmp_loc}/tp", sch, spec=spec)
+        t.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                       "k int, v string"))
+        t = t.update_column_type("k", it.LongType())
+        t = t.append(spark.createDataFrame([(3, "c")], "k long, v string"))
+        scan = t.scan(filter=ex.gt(ex.Reference("k"), 1))
+        assert sorted(r["k"] for r in scan.to_df().collect()) == [2, 3]
+        # partition pruning dropped the k=1 file (old-spec encoding)
+        assert len(scan.plan_files()) == 2
+
+    def test_eq_deletes_survive_promotion(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+
+        sch = it.Schema([it.NestedField(1, "k", it.IntegerType(), False),
+                         it.NestedField(2, "v", it.StringType(), False)])
+        t = IceTable.create(spark, f"{tmp_loc}/te", sch)
+        t.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                       "k int, v string"))
+        t = t.delete_by_keys(spark.createDataFrame([(1,)], "k int"))
+        t = t.update_column_type("k", it.LongType())
+        assert sorted(r["k"] for r in t.to_df().collect()) == [2]
+
+    def test_promotion_guards(self, spark, tmp_loc):
+        from iceberg_cpp_spark import IceTable
+
+        sch = it.Schema([it.NestedField(1, "k", it.LongType(), False),
+                         it.NestedField(2, "d", it.DecimalType(10, 2),
+                                        False)])
+        t = IceTable.create(spark, f"{tmp_loc}/tg", sch)
+        with pytest.raises(ValueError, match="invalid type promotion"):
+            t.update_column_type("k", it.IntegerType())
+        with pytest.raises(ValueError, match="invalid type promotion"):
+            t.update_column_type("d", it.DecimalType(12, 3))  # scale change
+        with pytest.raises(ValueError, match="invalid type promotion"):
+            t.update_column_type("d", it.DecimalType(8, 2))  # narrowing
+        t2 = t.update_column_type("d", it.DecimalType(20, 2))
+        assert t2.schema().find_field("d").field_type.precision == 20
