@@ -2971,18 +2971,27 @@ def ice_analyze_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ice_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write-side schema evolution round-trip (VERDICT r06 task 6b):
-    append(merge_schema=True) adds a new column mid-table; pre-evolution
-    rows read back NULL for it (projected by field id,
-    table.py append/_commit_files + core/updates.py AddSchema). Output:
-    2 rows per key, sum of coalesce(new_col, -1) separates the old-row
-    NULL from the new-row value."""
+    """Write-side schema evolution round-trip (VERDICT r06 task 6b)
+    plus r15 TYPE PROMOTION: append(merge_schema=True) adds r_extra as
+    INT mid-table (pre-evolution rows read NULL, projected by field
+    id); update_column_type widens it to LONG (metadata-only — the
+    int-encoded files stay); a third append lands values past int
+    range. ONE scan then crosses files with NO r_extra, INT r_extra
+    and LONG r_extra — Spark's parquet type widening + the by-id
+    projection must agree. Output: 3 rows per key,
+    sum(coalesce(r_extra, -1)) = 2*key*10 + 4294967295."""
+    from iceberg_cpp_spark.core import types as itt
+
     region = _t(spark, sf_dir, "region")
     t = _fresh_table(spark, sf_dir, region, "msch")
     t.append(region)
     extra = region.withColumn(
-        "r_extra", (F.col("r_regionkey") * 10).cast("long"))
-    t.append(extra, merge_schema=True)
+        "r_extra", (F.col("r_regionkey") * 10).cast("int"))
+    t = t.append(extra, merge_schema=True)
+    t = t.update_column_type("r_extra", itt.LongType())
+    t.append(region.withColumn(
+        "r_extra",
+        (F.col("r_regionkey") * 10 + F.lit(4294967296)).cast("long")))
     return (t.to_df().groupBy("r_regionkey")
             .agg(F.count("*").cast("long").alias("n"),
                  F.sum(F.coalesce(F.col("r_extra"), F.lit(-1)))
@@ -5352,8 +5361,9 @@ def oracle_sql() -> dict[str, str]:
         # merge_schema roundtrip: 2 rows per key (one pre-evolution, NULL
         # extra → -1; one post-evolution, extra = key*10)
         "ice_merge_schema": """
-            SELECT r_regionkey, CAST(2 AS BIGINT) AS n,
-                   CAST(r_regionkey * 10 - 1 AS BIGINT) AS sum_extra
+            SELECT r_regionkey, CAST(3 AS BIGINT) AS n,
+                   CAST(2 * (r_regionkey * 10) + 4294967295 AS BIGINT)
+                     AS sum_extra
             FROM region ORDER BY r_regionkey
         """,
         # entries/history invariants: file counts pinned by repartition,

@@ -1004,3 +1004,31 @@ class TestSqlTypePromotion:
         assert not t.schema().find_field("k").required
         with pytest.raises(ValueError, match="SET NOT NULL is not"):
             eng.sql("ALTER TABLE ice.db.pr3 ALTER COLUMN s SET NOT NULL")
+
+
+class TestCommentInjectionEquivalence:
+    def test_random_comment_injection_preserves_results(self, spark, cat):
+        """Property: injecting line/block comments at random token
+        boundaries never changes a query's result (comments are
+        stripped in the same scan that masks literals)."""
+        import random
+
+        rng = random.Random(3)
+        eng = IceSqlEngine(spark, cat)
+        base = ("SELECT t.id, upper(t.data) AS u FROM ice.db.t t "
+                "WHERE t.id >= 1 AND t.data LIKE 'v%' ORDER BY t.id")
+        want = [tuple(r) for r in eng.sql(base).collect()]
+        assert want  # non-trivial
+        for trial in range(6):
+            tokens = base.split(" ")
+            out = []
+            for tok in tokens:
+                out.append(tok)
+                r = rng.random()
+                if r < 0.15:
+                    out.append("/* ice.db.bogus 'quote */")
+                elif r < 0.25:
+                    out.append("-- ice.db.other\n")
+            q = " ".join(out)
+            got = [tuple(r) for r in eng.sql(q).collect()]
+            assert got == want, f"trial {trial} diverged for: {q!r}"
