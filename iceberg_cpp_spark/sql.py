@@ -346,6 +346,28 @@ class IceSqlEngine:
                 "optional -> required would claim existing rows are "
                 "non-null without checking them (Iceberg forbids it); "
                 "validate with expectations and rewrite instead")
+        if m := re.match(r"^alter\s+column\s+(?P<name>[A-Za-z_]\w*)\s+"
+                         r"set\s+default\s+(?P<val>.+?)\s*$",
+                         b, re.I | re.S):
+            t.update_column_default(
+                m.group("name"), self._sql_literal(m.group("val"), lits))
+            return self._dml_result()
+        if m := re.match(r"^alter\s+column\s+(?P<name>[A-Za-z_]\w*)\s+"
+                         r"drop\s+default\s*$", b, re.I):
+            t.update_column_default(m.group("name"), None)
+            return self._dml_result()
+        if m := re.match(r"^set\s+identifier\s+fields\s+(?P<cols>.+?)\s*$",
+                         b, re.I | re.S):
+            names = [c.strip() for c in m.group("cols").split(",")]
+            for n in names:
+                if not re.fullmatch(r"[A-Za-z_]\w*", n):
+                    raise ValueError(
+                        f"bad identifier field name: {n!r}")
+            t.set_identifier_fields(names)
+            return self._dml_result()
+        if re.match(r"^drop\s+identifier\s+fields\s*$", b, re.I):
+            t.set_identifier_fields([])
+            return self._dml_result()
         if m := re.match(r"^set\s+tblproperties\s*\((?P<kv>.*)\)\s*$",
                          b, re.I | re.S):
             t.update_properties(self._prop_pairs(m.group("kv"), lits))
@@ -424,8 +446,9 @@ class IceSqlEngine:
             f"unsupported ALTER TABLE clause: "
             f"{self._unmask(b, lits)!r} (supported: ADD COLUMN, "
             "RENAME COLUMN ... TO, DROP COLUMN, ALTER COLUMN ... TYPE "
-            "| DROP NOT NULL, SET/UNSET TBLPROPERTIES, RENAME TO, "
-            "CREATE/DROP BRANCH|TAG, ADD/DROP PARTITION FIELD, "
+            "| DROP NOT NULL | SET/DROP DEFAULT, SET/UNSET "
+            "TBLPROPERTIES, RENAME TO, CREATE/DROP BRANCH|TAG, "
+            "ADD/DROP PARTITION FIELD, SET/DROP IDENTIFIER FIELDS, "
             "WRITE ORDERED BY / UNORDERED)")
 
     def _sort_fields(self, text: str, schema) -> list:
@@ -469,6 +492,25 @@ class IceSqlEngine:
         if len(s) < 2 or s[0] not in "'\"" or s[-1] != s[0]:
             raise ValueError(f"expected a quoted string, got {s!r}")
         return s[1:-1].replace("''", "'")
+
+    def _sql_literal(self, token: str, lits: list):
+        """A plain SQL literal (masked text): quoted string, integer,
+        float, TRUE/FALSE, or NULL."""
+        v = token.strip()
+        if re.fullmatch(r"\x00\d+\x00", v):
+            return self._str_lit(v, lits)
+        low = v.lower()
+        if low == "null":
+            return None
+        if low in ("true", "false"):
+            return low == "true"
+        if re.fullmatch(r"-?\d+", v):
+            return int(v)
+        if re.fullmatch(r"-?\d+\.\d+", v):
+            return float(v)
+        raise ValueError(
+            f"expected a literal (string/number/bool/NULL), got "
+            f"{self._unmask(v, lits)!r}")
 
     # -- CALL <catalog>.system.<proc>(...) -----------------------------------
     def _call(self, proc: str, args_text: str, lits: list):
@@ -643,6 +685,9 @@ class IceSqlEngine:
                  f"({spec_ddl})" if spec_ddl else "(unpartitioned)",
                  False),
                 ("Sort Order", sort_ddl or "(unsorted)", False),
+                ("Identifier Fields",
+                 ", ".join(t.identifier_field_names()) or "(none)",
+                 False),
                 ("Snapshot Count", str(len(md.snapshots)), False),
                 ("Properties", _json.dumps(t.properties(),
                                            sort_keys=True), False),

@@ -2780,7 +2780,7 @@ class IceTable:
         finally:
             changes.unpersist()
 
-    def merge_into(self, source: DataFrame, on: list[str],
+    def merge_into(self, source: DataFrame, on: Optional[list[str]] = None,
                    when_matched: Optional[str] = "update",
                    when_not_matched: Optional[str] = "insert",
                    branch: str = MAIN_BRANCH,
@@ -2809,7 +2809,17 @@ class IceTable:
         (the CDC op column) and need only hold the full table columns
         when a SET * / INSERT * clause is present. Simple clause shapes
         collapse onto the string fast path (key-pruned target read).
+
+        ``on=None`` defaults to the table's identifier fields
+        (``set_identifier_fields``) — the spec's row-identity metadata
+        as the natural upsert key.
         """
+        if on is None:
+            on = self.identifier_field_names()
+            if not on:
+                raise ValueError(
+                    "merge_into needs `on` key columns (or set the "
+                    "table's identifier fields first)")
         if isinstance(when_matched, (list, tuple)) \
                 or isinstance(when_not_matched, (list, tuple)):
             m_cl, nm_cl = _normalize_merge_clauses(when_matched,
@@ -5588,9 +5598,62 @@ class IceTable:
 
     def drop_column(self, name: str) -> "IceTable":
         schema = self.schema()
-        if schema.find_field(name) is None:
+        f = schema.find_field(name)
+        if f is None:
             raise ValueError(f"column not found: {name}")
+        if f.field_id in schema.identifier_field_ids:
+            raise ValueError(
+                f"cannot drop identifier field {name!r}; clear it "
+                "first (set_identifier_fields without it)")
         fields = [x for x in schema.fields if x.name != name]
+        return self._evolve_schema(fields)
+
+    def set_identifier_fields(self, names: list[str]) -> "IceTable":
+        """Row-identity metadata (spec: ``schema.identifier-field-ids``
+        — the reference's schema.h carries the ids, no mutator): names
+        the columns that uniquely identify a row; ``merge_into`` /
+        ``delete_by_keys`` use them as the DEFAULT key set when ``on``
+        / key columns are omitted. Spec rules enforced: identifier
+        fields must be required primitives, not float/double. Empty
+        list clears. Metadata-only."""
+        schema = self.schema()
+        ids = []
+        for n in names:
+            f = schema.find_field(n)
+            if f is None:
+                raise ValueError(f"no such column: {n!r}")
+            if isinstance(f.field_type, (it.FloatType, it.DoubleType)):
+                raise ValueError(
+                    f"identifier field cannot be float/double: {n!r}")
+            if isinstance(f.field_type, (it.StructType, it.ListType,
+                                         it.MapType)):
+                raise ValueError(
+                    f"identifier field must be a primitive: {n!r}")
+            if not f.required:
+                raise ValueError(
+                    f"identifier field must be required (NOT NULL): "
+                    f"{n!r}")
+            ids.append(f.field_id)
+        return self._evolve_schema(list(schema.fields),
+                                   identifier_field_ids=ids)
+
+    def identifier_field_names(self) -> list[str]:
+        schema = self.schema()
+        return [schema.name_of(i) for i in schema.identifier_field_ids]
+
+    def update_column_default(self, name: str, value) -> "IceTable":
+        """Set/clear the WRITE default of an existing column (v3
+        defaults: the value stamped when a writer omits the column).
+        The initial-default — what pre-existing rows read — is
+        immutable after add_column per the spec, so only write_default
+        moves here. ``value=None`` clears."""
+        schema = self.schema()
+        f = schema.find_field(name)
+        if f is None:
+            raise ValueError(f"no such column: {name!r}")
+        fields = [dc_replace(x, write_default=value)
+                  if x.field_id == f.field_id else x
+                  for x in schema.fields]
         return self._evolve_schema(fields)
 
     def update_spec(self, fields: list) -> "IceTable":
@@ -5717,10 +5780,17 @@ class IceTable:
         return self._commit(new_meta, MAIN_BRANCH, meta.current_snapshot(),
                             requirements=reqs)
 
-    def _evolve_schema(self, fields: list, last_column_id: Optional[int] = None) -> "IceTable":
+    def _evolve_schema(self, fields: list, last_column_id: Optional[int] = None,
+                       identifier_field_ids: Optional[list[int]] = None) -> "IceTable":
         meta = self.metadata
         old = self.schema()
-        new_schema = it.Schema(fields, schema_id=max(s.schema_id for s in meta.schemas) + 1)
+        if identifier_field_ids is None:
+            # carry row-identity metadata through unrelated evolutions
+            # (drop_column refuses to drop an identifier field, so the
+            # carried ids always resolve)
+            identifier_field_ids = list(old.identifier_field_ids)
+        new_schema = it.Schema(fields, schema_id=max(s.schema_id for s in meta.schemas) + 1,
+                               identifier_field_ids=identifier_field_ids)
         new_meta = dc_replace(
             meta,
             schemas=meta.schemas + [new_schema],

@@ -88,7 +88,7 @@ class Transaction:
         self.working.delete_where(expr, branch=self.branch, **kw)
         return self
 
-    def merge_into(self, source, on, **kw) -> "Transaction":
+    def merge_into(self, source, on=None, **kw) -> "Transaction":
         self._check_open()
         self.working.merge_into(source, on, branch=self.branch, **kw)
         return self

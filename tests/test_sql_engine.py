@@ -1032,3 +1032,60 @@ class TestCommentInjectionEquivalence:
             q = " ".join(out)
             got = [tuple(r) for r in eng.sql(q).collect()]
             assert got == want, f"trial {trial} diverged for: {q!r}"
+
+
+class TestIdentifierFieldsAndDefaults:
+    """r15: SET/DROP IDENTIFIER FIELDS (row-identity metadata → the
+    default MERGE key) and ALTER COLUMN SET/DROP DEFAULT (v3 write
+    defaults on existing columns)."""
+
+    def test_identifier_fields_ddl_and_default_merge_key(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("ALTER TABLE ice.db.t SET IDENTIFIER FIELDS id")
+        t = cat.load_table("db.t", spark=spark)
+        assert t.identifier_field_names() == ["id"]
+        rows = {r["col_name"]: r["data_type"] for r in
+                eng.sql("DESCRIBE EXTENDED ice.db.t").collect()}
+        assert rows["Identifier Fields"] == "id"
+        # merge WITHOUT on: keys default to the identifier fields
+        src = spark.createDataFrame([(2, "via-id"), (300, "new")],
+                                    "id long, data string")
+        t = t.merge_into(src)
+        got = {r["id"]: r["data"] for r in t.to_df().collect()}
+        assert got[2] == "via-id" and got[300] == "new"
+        # dropping an identifier column refuses; clearing unblocks it
+        with pytest.raises(ValueError, match="identifier field"):
+            t.drop_column("id")
+        eng.sql("ALTER TABLE ice.db.t DROP IDENTIFIER FIELDS")
+        t = cat.load_table("db.t", spark=spark)
+        assert t.identifier_field_names() == []
+        with pytest.raises(ValueError, match="needs `on`"):
+            t.merge_into(src)
+
+    def test_identifier_field_rules(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        # data is optional in the fixture schema → refuses
+        with pytest.raises(ValueError, match="must be required"):
+            eng.sql("ALTER TABLE ice.db.t SET IDENTIFIER FIELDS data")
+        eng.sql("CREATE TABLE ice.db.fi (k BIGINT NOT NULL, "
+                "f DOUBLE NOT NULL)")
+        with pytest.raises(ValueError, match="float/double"):
+            eng.sql("ALTER TABLE ice.db.fi SET IDENTIFIER FIELDS f")
+        with pytest.raises(ValueError, match="no such column"):
+            eng.sql("ALTER TABLE ice.db.fi SET IDENTIFIER FIELDS zz")
+
+    def test_set_default_applies_to_named_insert(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("ALTER TABLE ice.db.t ALTER COLUMN data SET DEFAULT 'dflt'")
+        eng.sql("INSERT INTO ice.db.t (id) VALUES (77)")
+        assert eng.sql("SELECT data FROM ice.db.t WHERE id = 77") \
+            .collect()[0]["data"] == "dflt"
+        eng.sql("ALTER TABLE ice.db.t ALTER COLUMN data DROP DEFAULT")
+        eng.sql("INSERT INTO ice.db.t (id) VALUES (78)")
+        assert eng.sql("SELECT data FROM ice.db.t WHERE id = 78") \
+            .collect()[0]["data"] is None
+        # identifier metadata and defaults survive other evolutions
+        eng.sql("ALTER TABLE ice.db.t SET IDENTIFIER FIELDS id")
+        eng.sql("ALTER TABLE ice.db.t ADD COLUMN extra BIGINT")
+        t = cat.load_table("db.t", spark=spark)
+        assert t.identifier_field_names() == ["id"]
