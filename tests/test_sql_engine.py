@@ -1089,3 +1089,12 @@ class TestIdentifierFieldsAndDefaults:
         eng.sql("ALTER TABLE ice.db.t ADD COLUMN extra BIGINT")
         t = cat.load_table("db.t", spark=spark)
         assert t.identifier_field_names() == ["id"]
+
+
+def test_explain_passes_through(spark, cat):
+    """EXPLAIN works for free: identifiers rewrite anywhere in the
+    text, Spark owns the statement."""
+    eng = IceSqlEngine(spark, cat)
+    plan = eng.sql("EXPLAIN SELECT count(*) FROM ice.db.t "
+                   "WHERE id > 1").collect()[0][0]
+    assert "Physical Plan" in plan
