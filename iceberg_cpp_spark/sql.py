@@ -778,6 +778,26 @@ class IceSqlEngine:
                 f"{self.catalog_name!r}: {ident!r}")
         return self.catalog.load_table(ident, spark=self.spark)
 
+    def _split_branch(self, ident: str):
+        """``<table>.branch_<name>`` (the Spark-Iceberg suffix
+        convention) → (table ident, branch name) when the dotted name
+        is not itself a table and its parent is. DML against the
+        suffix commits to that branch; main is untouched (the WAP
+        shape). Returns (ident, None) otherwise."""
+        if "." in ident and not self.catalog.table_exists(ident):
+            parent, last = ident.rsplit(".", 1)
+            if last.startswith("branch_") and len(last) > 7 \
+                    and self.catalog.table_exists(parent):
+                br = last[len("branch_"):]
+                t = self.catalog.load_table(parent, spark=self.spark)
+                if t.metadata.ref(br) is None:
+                    # a typo'd suffix must not silently CREATE a branch
+                    # on write (CREATE BRANCH first)
+                    raise ValueError(
+                        f"no such branch on {parent!r}: {br!r}")
+                return parent, br
+        return ident, None
+
     def _where_expr(self, pred: Optional[str], lits: list):
         from iceberg_cpp_spark.plans import expressions as ex
         from iceberg_cpp_spark.plans.sql_parser import parse_predicate
@@ -787,8 +807,11 @@ class IceSqlEngine:
         return parse_predicate(self._unmask(pred, lits))
 
     def _delete(self, m: "re.Match", lits: list):
-        t = self._load(self._clean_ident(m.group("rest")), "DELETE")
-        t.delete_where(self._where_expr(m.group("pred"), lits))
+        ident, branch = self._split_branch(
+            self._clean_ident(m.group("rest")))
+        t = self._load(ident, "DELETE")
+        kw = {"branch": branch} if branch else {}
+        t.delete_where(self._where_expr(m.group("pred"), lits), **kw)
         return self._dml_result()
 
     def _update(self, m: "re.Match", lits: list):
@@ -796,7 +819,9 @@ class IceSqlEngine:
 
         from iceberg_cpp_spark.core.types import to_spark_schema
 
-        t = self._load(self._clean_ident(m.group("rest")), "UPDATE")
+        ident, branch = self._split_branch(
+            self._clean_ident(m.group("rest")))
+        t = self._load(ident, "UPDATE")
         # the VALUES are full Spark scalar expressions (arithmetic,
         # CASE, functions) — update_where applies them over the rewrite
         # frame, so Spark's parser is the right owner. F.expr defers
@@ -815,12 +840,14 @@ class IceSqlEngine:
             val = self._unmask(am.group(2), lits)
             chk.selectExpr(f"({val}) AS __chk")
             assignments[am.group(1)] = F.expr(val)
+        kw = {"branch": branch} if branch else {}
         t.update_where(self._where_expr(m.group("pred"), lits),
-                       assignments)
+                       assignments, **kw)
         return self._dml_result()
 
     def _merge(self, m: "re.Match", masked: str, lits: list):
         ident, t_alias = self._clean_ident(m.group("rest")), m.group("tal")
+        ident, branch = self._split_branch(ident)
         rest = masked[m.end():]
         # source: a parenthesized subquery or a table/view name
         src_name = None
@@ -858,8 +885,9 @@ class IceSqlEngine:
             clauses, t_names, s_names, lits)
         t = self._load(ident, "MERGE")
         src_df = self._sql(self._unmask(src_text, lits), depth=0)
+        kw = {"branch": branch} if branch else {}
         t.merge_into(src_df, on=on, when_matched=matched,
-                     when_not_matched=not_matched)
+                     when_not_matched=not_matched, **kw)
         return self._dml_result()
 
     @staticmethod
@@ -1231,6 +1259,7 @@ class IceSqlEngine:
 
         from iceberg_cpp_spark.core.types import to_spark_schema
 
+        ident, branch = self._split_branch(ident)
         t = self._load(ident, "INSERT")
         df = self._sql(body, depth=0)
         tgt = to_spark_schema(t.schema())
@@ -1277,10 +1306,11 @@ class IceSqlEngine:
             aligned = df.select(
                 *[F.col(c).cast(f.dataType).alias(f.name)
                   for c, f in zip(df.columns, tgt.fields)])
+        kw = {"branch": branch} if branch else {}
         if mode == "into":
-            t.append(aligned)
+            t.append(aligned, **kw)
         else:
-            t.overwrite(aligned)
+            t.overwrite(aligned, **kw)
         return self.spark.createDataFrame(
             [], T.StructType([T.StructField("num_affected_rows",
                                             T.LongType())]))
@@ -1387,6 +1417,16 @@ class IceSqlEngine:
             raise ValueError(
                 f"time travel applies to tables; {ident!r} is not a "
                 f"table in catalog {self.catalog_name!r}")
+        # `<table>.branch_<name>` (Spark-Iceberg suffix convention):
+        # read the branch head — the suffix twin of VERSION AS OF 'name'
+        parent_b, br = self._split_branch(ident)
+        if br is not None:
+            t = self.catalog.load_table(parent_b, spark=self.spark)
+            if t.metadata.ref(br) is None:
+                raise ValueError(
+                    f"no such branch on {parent_b!r}: {br!r}")
+            self._register_view(t.scan().use_ref(br).to_df(), name)
+            return name
         # `<table>.<metadata table>` (Iceberg SQL convention):
         # ice.db.t.snapshots / files / partitions / ... — only when no
         # real table shadows the dotted name (checked above)

@@ -1098,3 +1098,53 @@ def test_explain_passes_through(spark, cat):
     plan = eng.sql("EXPLAIN SELECT count(*) FROM ice.db.t "
                    "WHERE id > 1").collect()[0][0]
     assert "Physical Plan" in plan
+
+
+class TestSqlBranchSuffix:
+    """r15: `<table>.branch_<name>` targets (the Spark-Iceberg suffix
+    convention) — DML commits to the branch, reads bind its head, main
+    is untouched (the WAP shape through plain SQL)."""
+
+    def test_branch_dml_and_read(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("ALTER TABLE ice.db.t CREATE BRANCH audit")
+        eng.sql("INSERT INTO ice.db.t.branch_audit VALUES (900, 'staged')")
+        eng.sql("DELETE FROM ice.db.t.branch_audit WHERE id = 0")
+        eng.sql("UPDATE ice.db.t.branch_audit SET data = upper(data) "
+                "WHERE id = 1")
+        eng.sql("""
+            MERGE INTO ice.db.t.branch_audit t
+            USING (SELECT 2 AS id, 'm' AS d) s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET data = s.d
+        """)
+        # the branch sees all four statements...
+        got = {r["id"]: r["data"] for r in eng.sql(
+            "SELECT * FROM ice.db.t.branch_audit").collect()}
+        assert got[900] == "staged" and 0 not in got
+        assert got[1] == "V1" and got[2] == "m"
+        # ...main saw none of it
+        main = {r["id"]: r["data"]
+                for r in eng.sql("SELECT * FROM ice.db.t").collect()}
+        assert 900 not in main and main[0] == "v0" and main[1] == "v1"
+        # suffix and VERSION AS OF 'name' agree
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t "
+                       "VERSION AS OF 'audit'").collect()[0]["n"] == \
+            eng.sql("SELECT count(*) AS n FROM ice.db.t.branch_audit"
+                    ).collect()[0]["n"]
+
+    def test_unknown_branch_is_loud(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="no such branch"):
+            eng.sql("SELECT * FROM ice.db.t.branch_nope")
+        # a real table named like the suffix wins over the convention
+        cat.create_table("db.branch_x", _schema())
+        tt = cat.load_table("db.branch_x", spark=spark)
+        tt.append(spark.createDataFrame([(1, "real")],
+                                        "id long, data string"))
+        assert eng.sql("SELECT data FROM ice.db.branch_x") \
+            .collect()[0]["data"] == "real"
+
+    def test_write_to_unknown_branch_is_loud(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="no such branch"):
+            eng.sql("INSERT INTO ice.db.t.branch_typo VALUES (1, 'x')")
