@@ -586,12 +586,26 @@ class IceSqlEngine:
             wap = require("wap_id")
             self._no_extra(proc, kwargs)
             return snap_frame(t.publish_wap(str(wap)))
+        if proc == "fast_forward":
+            br, to = str(require("branch")), str(require("to"))
+            self._no_extra(proc, kwargs)
+            prev = t.metadata.ref(br)
+            t2 = t.fast_forward(br, to)
+            return self.spark.createDataFrame(
+                [(br, prev.snapshot_id if prev else None,
+                  t2.metadata.ref(br).snapshot_id)],
+                T.StructType([
+                    T.StructField("branch_updated", T.StringType(),
+                                  False),
+                    T.StructField("previous_ref", T.LongType()),
+                    T.StructField("updated_ref", T.LongType(), False)]))
         raise ValueError(
             f"unknown procedure: {self.catalog_name}.system.{proc} "
             "(supported: expire_snapshots, remove_orphan_files, "
             "rewrite_data_files, rewrite_manifests, "
             "rewrite_position_deletes, rewrite_equality_deletes, "
-            "rollback_to_snapshot, cherrypick_snapshot, publish_wap)")
+            "rollback_to_snapshot, cherrypick_snapshot, publish_wap, "
+            "fast_forward)")
 
     @staticmethod
     def _no_extra(proc: str, kwargs: dict) -> None:

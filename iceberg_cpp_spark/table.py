@@ -3696,6 +3696,30 @@ class IceTable:
             raise ValueError(f"snapshot not found: {snapshot_id}")
         return self._set_ref(branch, snapshot_id, "branch")
 
+    def fast_forward(self, branch: str, to: str) -> "IceTable":
+        """``CALL system.fast_forward`` parity: move ref ``branch`` to
+        the head of ref ``to`` iff branch's current head is an ANCESTOR
+        of to's head (a branch that doesn't exist yet is created at
+        to's head). Pure metadata pointer move — the natural publish
+        step after staging DML on a branch. A diverged pair refuses:
+        use cherry_pick / set_current_snapshot deliberately."""
+        meta = self.metadata
+        to_ref = meta.ref(to)
+        if to_ref is None:
+            raise ValueError(f"no such ref: {to!r}")
+        cur = meta.ref(branch)
+        if cur is not None:
+            if cur.snapshot_id == to_ref.snapshot_id:
+                return self
+            anc = {s.snapshot_id for s in self._ancestry(to)}
+            if cur.snapshot_id not in anc:
+                raise ValueError(
+                    f"cannot fast-forward {branch!r}: its head "
+                    f"{cur.snapshot_id} is not an ancestor of {to!r}; "
+                    "use cherry_pick / set_current_snapshot for "
+                    "diverged refs")
+        return self._set_ref(branch, to_ref.snapshot_id, "branch")
+
     def wap_snapshot(self, wap_id: str):
         """The staged snapshot carrying ``wap.id == wap_id`` (staged =
         committed to metadata without advancing any ref), or None."""

@@ -1148,3 +1148,28 @@ class TestSqlBranchSuffix:
         eng = IceSqlEngine(spark, cat)
         with pytest.raises(ValueError, match="no such branch"):
             eng.sql("INSERT INTO ice.db.t.branch_typo VALUES (1, 'x')")
+
+    def test_fast_forward_publishes_branch(self, spark, cat):
+        """Stage on a branch, audit, publish: CALL fast_forward moves
+        main to the branch head iff main is its ancestor."""
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("ALTER TABLE ice.db.t CREATE BRANCH stage")
+        eng.sql("INSERT INTO ice.db.t.branch_stage VALUES (901, 'wap')")
+        assert eng.sql("SELECT * FROM ice.db.t WHERE id = 901") \
+            .count() == 0
+        row = eng.sql("CALL ice.system.fast_forward(table => 'db.t', "
+                      "branch => 'main', to => 'stage')").collect()[0]
+        assert row["branch_updated"] == "main"
+        assert eng.sql("SELECT data FROM ice.db.t WHERE id = 901") \
+            .collect()[0]["data"] == "wap"
+        # DIVERGED refs refuse in both directions: advance each ref
+        # past the common head independently
+        eng.sql("INSERT INTO ice.db.t VALUES (902, 'ahead')")
+        eng.sql("INSERT INTO ice.db.t.branch_stage VALUES (903, 'side')")
+        for br, to in (("main", "stage"), ("stage", "main")):
+            with pytest.raises(ValueError, match="not an ancestor"):
+                eng.sql(f"CALL ice.system.fast_forward(table => 'db.t', "
+                        f"branch => '{br}', to => '{to}')")
+        with pytest.raises(ValueError, match="no such ref"):
+            eng.sql("CALL ice.system.fast_forward(table => 'db.t', "
+                    "branch => 'main', to => 'nope')")
