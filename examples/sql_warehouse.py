@@ -101,6 +101,15 @@ def main() -> None:
     eng.sql("DELETE FROM ice.sales.orders WHERE order_id = 6", txn=txn)
     txn.commit()
 
+    # r15: stage on a branch, audit, publish with fast_forward
+    eng.sql("ALTER TABLE ice.sales.orders CREATE BRANCH staging")
+    eng.sql("INSERT INTO ice.sales.orders.branch_staging "
+            "VALUES (8, 'EU', 1.00, TIMESTAMP '2024-01-04T00:00:00')")
+    assert eng.sql("SELECT * FROM ice.sales.orders WHERE order_id = 8"
+                   ).count() == 0          # invisible on main
+    eng.sql("CALL ice.system.fast_forward(table => 'sales.orders', "
+            "branch => 'main', to => 'staging')")
+
     print("current state:")
     eng.sql("SELECT * FROM ice.sales.orders ORDER BY order_id").show()
     print("DESCRIBE EXTENDED:")

@@ -1466,3 +1466,18 @@ class TestTypePromotion:
             t.update_column_type("d", it.DecimalType(8, 2))  # narrowing
         t2 = t.update_column_type("d", it.DecimalType(20, 2))
         assert t2.schema().find_field("d").field_type.precision == 20
+
+    @pytest.mark.parametrize("fmt", ["avro", "orc"])
+    def test_promotion_across_python_decode_legs(self, spark, tmp_loc, fmt):
+        """Avro/ORC data files decode in Python executors (by-id
+        projection) — int files under a promoted long schema must
+        widen there too, not just on the parquet JVM leg."""
+        from iceberg_cpp_spark import IceTable
+
+        sch = it.Schema([it.NestedField(1, "k", it.IntegerType(), False)])
+        t = IceTable.create(spark, f"{tmp_loc}/{fmt}", sch,
+                            properties={"write.format.default": fmt})
+        t.append(spark.createDataFrame([(1,), (2,)], "k int"))
+        t = t.update_column_type("k", it.LongType())
+        assert t.to_df().schema.simpleString() == "struct<k:bigint>"
+        assert sorted(r["k"] for r in t.to_df().collect()) == [1, 2]
