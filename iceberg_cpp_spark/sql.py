@@ -277,9 +277,11 @@ class IceSqlEngine:
             # Composes into a transaction like any delete.
             from iceberg_cpp_spark.plans import expressions as ex
 
-            t = self._load(self._clean_ident(m.group("rest")),
-                           "TRUNCATE TABLE")
-            t.delete_where(ex.ALWAYS_TRUE)
+            ident, branch = self._split_branch(
+                self._clean_ident(m.group("rest")))
+            t = self._load(ident, "TRUNCATE TABLE")
+            kw = {"branch": branch} if branch else {}
+            t.delete_where(ex.ALWAYS_TRUE, **kw)
             return self._dml_result()
         m = _CVIEW.match(masked)
         if m and m.group("cat") == self.catalog_name:
@@ -417,6 +419,13 @@ class IceSqlEngine:
                 raise ValueError(
                     f"partition field already exists: "
                     f"{m.group('f').strip()!r}")
+            if any(pf.name == name for pf in spec.fields):
+                # bucket(4, k) and bucket(8, k) both derive 'k_bucket'
+                # — two same-named fields make an invalid spec whose
+                # failure would otherwise surface at the NEXT append
+                raise ValueError(
+                    f"partition field name collision: {name!r} is "
+                    "already a field of the current spec")
             t.update_spec(list(spec.fields) + [PartitionField(
                 source_id=f.field_id, field_id=0, name=name,
                 transform=tf)])
@@ -464,6 +473,9 @@ class IceSqlEngine:
                 r"^\s*(?P<term>.+?)(?:\s+(?P<dir>asc|desc))?"
                 r"(?:\s+nulls\s+(?P<n>first|last))?\s*$",
                 piece, re.I | re.S)
+            if sm is None:
+                raise ValueError(
+                    f"cannot parse WRITE ORDERED BY entry: {piece!r}")
             f, tf, _name = self._part_entry(sm.group("term").strip(),
                                             schema)
             direction = (sm.group("dir") or "asc").lower()
@@ -905,19 +917,34 @@ class IceSqlEngine:
         return self._dml_result()
 
     @staticmethod
-    def _find_kw(text: str, kw: str):
-        """(start, end) of the first paren-depth-0 occurrence of the
-        keyword, or None. Runs on masked text (literals inert)."""
-        depth = 0
-        for m in re.finditer(r"[()]|\b" + kw + r"\b", text, re.I):
-            tok = m.group(0)
+    def _kw_positions(text: str, kw: str) -> list:
+        """(start, end) pairs of the keyword at paren depth 0 AND
+        outside any CASE ... END expression — so a clause condition or
+        SET value may contain an unparenthesized CASE whose WHEN/THEN
+        never split the MERGE clause structure. Runs on masked text
+        (literals inert)."""
+        out, depth, case_depth = [], 0, 0
+        for m in re.finditer(r"[()]|\b(?:case|end|when|then)\b",
+                             text, re.I):
+            tok = m.group(0).lower()
             if tok == "(":
                 depth += 1
             elif tok == ")":
                 depth -= 1
             elif depth == 0:
-                return m.start(), m.end()
-        return None
+                if tok == "case":
+                    case_depth += 1
+                elif tok == "end":
+                    case_depth = max(0, case_depth - 1)
+                elif tok == kw and case_depth == 0:
+                    out.append((m.start(), m.end()))
+        return out
+
+    def _find_kw(self, text: str, kw: str):
+        """First depth-0, CASE-free occurrence of the keyword, or
+        None."""
+        hits = self._kw_positions(text, kw)
+        return hits[0] if hits else None
 
     def _parse_merge_clauses(self, text: str, t_names: set,
                              s_names: set, lits: list):
@@ -928,15 +955,7 @@ class IceSqlEngine:
         NOT MATCHED; every clause takes an optional ``AND <condition>``.
         Clause ordering rules (first-wins, conditionless-last) are
         enforced by merge_into."""
-        starts, depth = [], 0
-        for mm in re.finditer(r"[()]|\bwhen\b", text, re.I):
-            tok = mm.group(0)
-            if tok == "(":
-                depth += 1
-            elif tok == ")":
-                depth -= 1
-            elif depth == 0:
-                starts.append(mm.start())
+        starts = [s for s, _e in self._kw_positions(text, "when")]
         if not starts or text[:starts[0]].strip():
             raise ValueError(
                 f"unsupported MERGE clause: "

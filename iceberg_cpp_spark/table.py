@@ -3653,15 +3653,6 @@ class IceTable:
         orphans = cand.join(ref, "p", "left_anti")
         return sorted(r["p"] for r in orphans.select("p").collect())
 
-    def fast_forward(self, branch: str, to_branch: str) -> "IceTable":
-        """Write-audit-publish: point ``branch`` (e.g. main) at
-        ``to_branch``'s head — publishing audited staged commits without
-        rewriting anything."""
-        ref = self.metadata.ref(to_branch)
-        if ref is None:
-            raise ValueError(f"ref not found: {to_branch}")
-        return self._set_ref(branch, ref.snapshot_id, "branch")
-
     def _ancestry(self, branch: str):
         """Snapshots from ``branch``'s head up the parent chain."""
         ref = self.metadata.ref(branch)
@@ -5670,11 +5661,22 @@ class IceTable:
         defaults: the value stamped when a writer omits the column).
         The initial-default — what pre-existing rows read — is
         immutable after add_column per the spec, so only write_default
-        moves here. ``value=None`` clears."""
+        moves here. ``value=None`` clears. The literal must CAST
+        cleanly to the column's type — a default Spark would cast to
+        NULL at write time ('lots' on a BIGINT column) refuses HERE
+        instead of silently writing NULL later."""
         schema = self.schema()
         f = schema.find_field(name)
         if f is None:
             raise ValueError(f"no such column: {name!r}")
+        if value is not None and self.spark is not None:
+            probe = self.spark.createDataFrame([(1,)], "x int").select(
+                F.lit(value).try_cast(it.to_spark_type(f.field_type))
+                .alias("d")).collect()[0]["d"]
+            if probe is None:
+                raise ValueError(
+                    f"default {value!r} does not cast to column "
+                    f"{name!r}'s type {f.field_type.to_json()}")
         fields = [dc_replace(x, write_default=value)
                   if x.field_id == f.field_id else x
                   for x in schema.fields]
@@ -5764,6 +5766,12 @@ class IceTable:
         f = schema.find_field(name)
         if f is None:
             raise ValueError(f"no such column: {name!r}")
+        if f.field_id in schema.identifier_field_ids:
+            # identifier fields must stay required (spec rule —
+            # set_identifier_fields enforces it on the way in)
+            raise ValueError(
+                f"cannot make identifier field {name!r} optional; "
+                "clear it from the identifier fields first")
         if not f.required:
             return self
         fields = [dc_replace(x, required=False)

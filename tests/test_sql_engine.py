@@ -1173,3 +1173,55 @@ class TestSqlBranchSuffix:
         with pytest.raises(ValueError, match="no such ref"):
             eng.sql("CALL ice.system.fast_forward(table => 'db.t', "
                     "branch => 'main', to => 'nope')")
+
+
+class TestReviewRegressionPins:
+    """r15 review findings, pinned: CASE WHEN inside MERGE clauses,
+    identifier/default invariants, partition-name collisions, branch
+    TRUNCATE, malformed ORDERED BY entries."""
+
+    def test_case_when_inside_merge_clauses(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("""
+            MERGE INTO ice.db.t t USING (
+                SELECT * FROM VALUES (1, 'A'), (2, 'B') AS v(id, op)
+            ) s ON t.id = s.id
+            WHEN MATCHED AND CASE WHEN s.op = 'A' THEN true
+                                  ELSE false END THEN
+                UPDATE SET data = CASE WHEN s.op = 'A' THEN 'hit'
+                                       ELSE 'miss' END
+        """)
+        rows = {r["id"]: r["data"]
+                for r in eng.sql("SELECT * FROM ice.db.t").collect()}
+        assert rows[1] == "hit" and rows[2] == "v2"  # clause 1 only
+
+    def test_identifier_field_cannot_go_nullable(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("ALTER TABLE ice.db.t SET IDENTIFIER FIELDS id")
+        with pytest.raises(ValueError, match="identifier field"):
+            eng.sql("ALTER TABLE ice.db.t ALTER COLUMN id DROP NOT NULL")
+
+    def test_default_must_cast_to_column_type(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="does not cast"):
+            eng.sql("ALTER TABLE ice.db.t ALTER COLUMN id "
+                    "SET DEFAULT 'lots'")
+
+    def test_partition_field_name_collision(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("ALTER TABLE ice.db.t ADD PARTITION FIELD bucket(4, id)")
+        with pytest.raises(ValueError, match="name collision"):
+            eng.sql("ALTER TABLE ice.db.t "
+                    "ADD PARTITION FIELD bucket(8, id)")
+
+    def test_truncate_branch_suffix(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("ALTER TABLE ice.db.t CREATE BRANCH wip")
+        eng.sql("TRUNCATE TABLE ice.db.t.branch_wip")
+        assert eng.sql("SELECT * FROM ice.db.t.branch_wip").count() == 0
+        assert eng.sql("SELECT * FROM ice.db.t").count() == 6
+
+    def test_malformed_ordered_by_is_loud(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="ORDERED BY entry"):
+            eng.sql("ALTER TABLE ice.db.t WRITE ORDERED BY id,")

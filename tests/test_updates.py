@@ -513,8 +513,15 @@ class TestTableMaintenance:
         assert t.scan().use_ref("audit").to_df().count() == 15
         t.fast_forward("main", "audit")
         assert t.to_df().count() == 15              # published
-        with pytest.raises(ValueError, match="ref not found"):
+        with pytest.raises(ValueError, match="no such ref"):
             t.fast_forward("main", "nope")
+        # r15: fast_forward is now ancestry-VALIDATED — a diverged pair
+        # refuses instead of silently dropping the target's commits
+        t.create_branch("side")
+        t.append(lineitem.limit(2), branch="side")
+        t.append(lineitem.limit(1))  # main moves past the branch point
+        with pytest.raises(ValueError, match="not an ancestor"):
+            t.fast_forward("main", "side")
 
     def test_rollback_to_snapshot(self, spark, lineitem, tmp_loc):
         """rollback_to: main points back at an earlier snapshot; later
