@@ -115,7 +115,7 @@ _PART_FIELD = re.compile(
     r"(?P<ncol>[A-Za-z_]\w*)\s*\))\s*$", re.I)
 _DROP = re.compile(
     r"^\s*drop\s+table\s+(?P<ie>if\s+exists\s+)?" + _IDENT_TAIL +
-    r"\s*$", re.I)
+    r"(?P<purge>\s+purge)?\s*$", re.I)
 _TRUNCATE = re.compile(
     r"^\s*truncate\s+table\s+" + _IDENT_TAIL + r"\s*$", re.I)
 _CVIEW = re.compile(
@@ -123,6 +123,14 @@ _CVIEW = re.compile(
     r"\s+as\s+(?P<body>.+)$", re.I | re.S)
 _DROP_VIEW = re.compile(
     r"^\s*drop\s+view\s+(?P<ie>if\s+exists\s+)?" + _IDENT_TAIL +
+    r"\s*$", re.I)
+_CREATE_NS = re.compile(
+    r"^\s*create\s+namespace\s+(?P<ine>if\s+not\s+exists\s+)?"
+    r"(?P<cat>[A-Za-z_]\w*)\.(?P<ns>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)"
+    r"\s*$", re.I)
+_DROP_NS = re.compile(
+    r"^\s*drop\s+namespace\s+(?P<ie>if\s+exists\s+)?"
+    r"(?P<cat>[A-Za-z_]\w*)\.(?P<ns>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)"
     r"\s*$", re.I)
 _SHOW_TABLES = re.compile(
     r"^\s*show\s+tables\s+in\s+(?P<cat>[A-Za-z_]\w*)"
@@ -289,6 +297,28 @@ class IceSqlEngine:
         m = _DROP_VIEW.match(masked)
         if m and m.group("cat") == self.catalog_name:
             return self._drop_view(m)
+        m = _CREATE_NS.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            self._no_txn("CREATE NAMESPACE")
+            ns = m.group("ns")
+            if self.catalog.namespace_exists(ns):
+                if m.group("ine"):
+                    return self._dml_result()
+                raise ValueError(
+                    f"namespace already exists: {ns!r} "
+                    "(use IF NOT EXISTS)")
+            self.catalog.create_namespace(ns)
+            return self._dml_result()
+        m = _DROP_NS.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            self._no_txn("DROP NAMESPACE")
+            ns = m.group("ns")
+            if not self.catalog.namespace_exists(ns):
+                if m.group("ie"):
+                    return self._dml_result()
+                raise ValueError(f"no such namespace: {ns!r}")
+            self.catalog.drop_namespace(ns)
+            return self._dml_result()
         m = _SHOW_TABLES.match(masked)
         if m and m.group("cat") == self.catalog_name:
             return self._show_tables(m.group("ns"))
@@ -1233,7 +1263,9 @@ class IceSqlEngine:
             if m.group("ie"):
                 return self._dml_result()
             raise ValueError(f"no such table: {ident!r}")
-        self.catalog.drop_table(ident)
+        # PURGE also deletes the data directory (plain DROP keeps data,
+        # the Iceberg/Spark convention)
+        self.catalog.drop_table(ident, purge=bool(m.group("purge")))
         return self._dml_result()
 
     def _create_view(self, m: "re.Match", lits: list):

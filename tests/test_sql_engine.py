@@ -1225,3 +1225,22 @@ class TestReviewRegressionPins:
         eng = IceSqlEngine(spark, cat)
         with pytest.raises(ValueError, match="ORDERED BY entry"):
             eng.sql("ALTER TABLE ice.db.t WRITE ORDERED BY id,")
+
+
+def test_create_and_drop_namespace(spark, cat):
+    eng = IceSqlEngine(spark, cat)
+    eng.sql("CREATE NAMESPACE ice.db2")
+    assert cat.namespace_exists("db2")
+    eng.sql("CREATE NAMESPACE IF NOT EXISTS ice.db2")
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE NAMESPACE ice.db2")
+    eng.sql("CREATE TABLE ice.db2.t2 (id BIGINT)")
+    with pytest.raises(ValueError, match="not empty"):
+        eng.sql("DROP NAMESPACE ice.db2")
+    # plain DROP keeps the data dir (Iceberg convention); PURGE removes
+    eng.sql("DROP TABLE ice.db2.t2 PURGE")
+    eng.sql("DROP NAMESPACE ice.db2")
+    assert not cat.namespace_exists("db2")
+    eng.sql("DROP NAMESPACE IF EXISTS ice.db2")
+    with pytest.raises(ValueError, match="no such namespace"):
+        eng.sql("DROP NAMESPACE ice.db2")
