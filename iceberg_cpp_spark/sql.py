@@ -862,12 +862,32 @@ class IceSqlEngine:
             return ex.ALWAYS_TRUE
         return parse_predicate(self._unmask(pred, lits))
 
+    # `col IN (SELECT ...)` — the keyed-delete shape; maps onto a
+    # delete-only MERGE so discovery stays the key semi-join (the
+    # general subquery predicate still refuses: not prunable)
+    _IN_SUBQUERY = re.compile(
+        r"^\s*(?:[A-Za-z_]\w*\s*\.\s*)?(?P<col>[A-Za-z_]\w*)\s+in\s*"
+        r"\((?P<sub>\s*select\b.+)\)\s*$", re.I | re.S)
+
     def _delete(self, m: "re.Match", lits: list):
         ident, branch = self._split_branch(
             self._clean_ident(m.group("rest")))
         t = self._load(ident, "DELETE")
         kw = {"branch": branch} if branch else {}
-        t.delete_where(self._where_expr(m.group("pred"), lits), **kw)
+        pred = m.group("pred")
+        if pred is not None and (sq := self._IN_SUBQUERY.match(pred)):
+            keys = self._sql(self._unmask(sq.group("sub"), lits),
+                             depth=0)
+            if len(keys.columns) != 1:
+                raise ValueError(
+                    "DELETE ... IN (subquery) needs a one-column "
+                    f"subquery; got {len(keys.columns)} columns")
+            col = sq.group("col")
+            t.merge_into(keys.toDF(col), on=[col],
+                         when_matched="delete", when_not_matched=None,
+                         **kw)
+            return self._dml_result()
+        t.delete_where(self._where_expr(pred, lits), **kw)
         return self._dml_result()
 
     def _update(self, m: "re.Match", lits: list):

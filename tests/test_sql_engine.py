@@ -1244,3 +1244,28 @@ def test_create_and_drop_namespace(spark, cat):
     eng.sql("DROP NAMESPACE IF EXISTS ice.db2")
     with pytest.raises(ValueError, match="no such namespace"):
         eng.sql("DROP NAMESPACE ice.db2")
+
+
+def test_delete_where_in_subquery(spark, cat):
+    """DELETE ... WHERE col IN (SELECT ...) maps onto the delete-only
+    MERGE: keyed discovery stays the semi-join, untouched files are
+    carried, and duplicate/NULL subquery keys behave like SQL IN."""
+    eng = IceSqlEngine(spark, cat)
+    eng.sql("DELETE FROM ice.db.t WHERE id IN "
+            "(SELECT id FROM ice.db.dim WHERE data = 'odd')")
+    assert sorted(r["id"] for r in
+                  eng.sql("SELECT id FROM ice.db.t").collect()) == \
+        [0, 2, 3, 4, 5]
+    # qualified column + duplicates + NULLs in the subquery
+    eng.sql("DELETE FROM ice.db.t WHERE t.id IN (SELECT x FROM VALUES "
+            "(2), (2), (CAST(NULL AS BIGINT)) AS v(x))")
+    assert sorted(r["id"] for r in
+                  eng.sql("SELECT id FROM ice.db.t").collect()) == \
+        [0, 3, 4, 5]
+    with pytest.raises(ValueError, match="one-column"):
+        eng.sql("DELETE FROM ice.db.t WHERE id IN "
+                "(SELECT id, data FROM ice.db.dim)")
+    # general subquery predicates still refuse loudly (not prunable)
+    with pytest.raises(ValueError):
+        eng.sql("DELETE FROM ice.db.t WHERE EXISTS "
+                "(SELECT 1 FROM ice.db.dim)")
