@@ -138,6 +138,8 @@ _SHOW_TABLES = re.compile(
 _SHOW_NS = re.compile(
     r"^\s*show\s+namespaces\s+in\s+(?P<cat>[A-Za-z_]\w*)"
     r"(?:\.(?P<ns>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*))?\s*$", re.I)
+_SHOW_PROPS = re.compile(
+    r"^\s*show\s+tblproperties\s+" + _IDENT_TAIL + r"\s*$", re.I)
 _DESCRIBE = re.compile(
     r"^\s*describe\s+(?:table\s+)?(?P<ext>extended\s+)?"
     + _IDENT_TAIL + r"\s*$", re.I)
@@ -325,6 +327,17 @@ class IceSqlEngine:
         m = _SHOW_NS.match(masked)
         if m and m.group("cat") == self.catalog_name:
             return self._show_namespaces(m.group("ns") or "")
+        m = _SHOW_PROPS.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            from pyspark.sql import types as T
+
+            t = self._load(self._clean_ident(m.group("rest")),
+                           "SHOW TBLPROPERTIES")
+            return self.spark.createDataFrame(
+                sorted(t.properties().items()),
+                T.StructType([
+                    T.StructField("key", T.StringType(), False),
+                    T.StructField("value", T.StringType(), False)]))
         m = _SHOW_CREATE.match(masked)
         if m and m.group("cat") == self.catalog_name:
             return self._show_create(self._clean_ident(m.group("rest")))

@@ -1269,3 +1269,11 @@ def test_delete_where_in_subquery(spark, cat):
     with pytest.raises(ValueError):
         eng.sql("DELETE FROM ice.db.t WHERE EXISTS "
                 "(SELECT 1 FROM ice.db.dim)")
+
+
+def test_show_tblproperties(spark, cat):
+    eng = IceSqlEngine(spark, cat)
+    eng.sql("ALTER TABLE ice.db.t SET TBLPROPERTIES ('a.b' = 'c')")
+    props = {r["key"]: r["value"] for r in
+             eng.sql("SHOW TBLPROPERTIES ice.db.t").collect()}
+    assert props["a.b"] == "c"
