@@ -930,7 +930,27 @@ class IceSqlEngine:
             chk.selectExpr(f"({val}) AS __chk")
             assignments[am.group(1)] = F.expr(val)
         kw = {"branch": branch} if branch else {}
-        t.update_where(self._where_expr(m.group("pred"), lits),
+        pred = m.group("pred")
+        if pred is not None and (sq := self._IN_SUBQUERY.match(pred)):
+            # keyed-update shape: same delete-only-MERGE mapping as
+            # DELETE ... IN (subquery) — an update-only clause keeps
+            # discovery on the key semi-join
+            from iceberg_cpp_spark.table import MatchedClause
+
+            keys = self._sql(self._unmask(sq.group("sub"), lits),
+                             depth=0)
+            if len(keys.columns) != 1:
+                raise ValueError(
+                    "UPDATE ... IN (subquery) needs a one-column "
+                    f"subquery; got {len(keys.columns)} columns")
+            col = sq.group("col")
+            t.merge_into(
+                keys.toDF(col), on=[col],
+                when_matched=[MatchedClause("update",
+                                            assignments=assignments)],
+                when_not_matched=None, **kw)
+            return self._dml_result()
+        t.update_where(self._where_expr(pred, lits),
                        assignments, **kw)
         return self._dml_result()
 

@@ -1277,3 +1277,15 @@ def test_show_tblproperties(spark, cat):
     props = {r["key"]: r["value"] for r in
              eng.sql("SHOW TBLPROPERTIES ice.db.t").collect()}
     assert props["a.b"] == "c"
+
+
+def test_update_where_in_subquery(spark, cat):
+    eng = IceSqlEngine(spark, cat)
+    eng.sql("UPDATE ice.db.t SET data = concat(data, '!') WHERE id IN "
+            "(SELECT id FROM ice.db.dim)")
+    rows = {r["id"]: r["data"]
+            for r in eng.sql("SELECT * FROM ice.db.t").collect()}
+    assert rows[0] == "v0!" and rows[1] == "v1!" and rows[2] == "v2"
+    with pytest.raises(ValueError, match="one-column"):
+        eng.sql("UPDATE ice.db.t SET data = 'x' WHERE id IN "
+                "(SELECT id, data FROM ice.db.dim)")
