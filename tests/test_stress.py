@@ -40,7 +40,7 @@ class TestRandomizedMixedDml:
 
         for step in range(14):
             op = rng.choice(
-                ["append", "delete", "merge", "update",
+                ["append", "delete", "merge", "clause_merge", "update",
                  "compact", "rewrite_manifests"])
             if op == "append":
                 n = rng.randint(1, 6)
@@ -65,6 +65,38 @@ class TestRandomizedMixedDml:
                     spark.createDataFrame(src, "id long, data string"),
                     on=["id"], mode=mode)
                 model.update({k: v for k, v in src})
+            elif op == "clause_merge" and model:
+                # r15 column-level MERGE in the cross-mode interleaving:
+                # op-driven delete / delta update / conditional insert
+                from iceberg_cpp_spark.table import (MatchedClause,
+                                                     NotMatchedClause)
+
+                keys = rng.sample(sorted(model), k=min(3, len(model)))
+                new_k = next_id
+                next_id += 1
+                src = [(k, rng.choice("DU"), f"c{k}") for k in keys]
+                src.append((new_k, "I", f"c{new_k}"))
+                mode = rng.choice([None, "merge-on-read"])
+                t = t.merge_into(
+                    spark.createDataFrame(src, "id long, op string, "
+                                               "tag string"),
+                    on=["id"],
+                    when_matched=[
+                        MatchedClause("delete", condition="s.op = 'D'"),
+                        MatchedClause("update",
+                                      assignments={"data": "s.tag"})],
+                    when_not_matched=[NotMatchedClause(
+                        condition="s.op = 'I'",
+                        values={"id": "s.id", "data": "upper(s.tag)"})],
+                    mode=mode)
+                for k, sop, tag in src:
+                    if k in model:
+                        if sop == "D":
+                            del model[k]
+                        else:
+                            model[k] = tag
+                    elif sop == "I":
+                        model[k] = tag.upper()
             elif op == "update" and model:
                 cut = rng.choice(sorted(model))
                 t = t.update_where(
