@@ -31,9 +31,17 @@ actions (``WHEN MATCHED AND s.op = 'D' THEN DELETE``, ``UPDATE SET
 col = expr``, ``INSERT (cols) VALUES (exprs)`` — the CDC-upsert
 shape); transaction-scoped statements (``eng.sql(stmt, txn=txn)``
 composes DML on a ``new_transaction()`` working copy into ONE CAS);
-``DESCRIBE EXTENDED`` / ``SHOW CREATE TABLE``; SQL comments stripped
-safely (never bind, never hide a clause); backtick-quoted identifier
-parts; injective per-statement temp-view names dropped on resolve.
+``DESCRIBE EXTENDED`` / ``SHOW CREATE TABLE`` / ``SHOW
+TBLPROPERTIES``; ``TRUNCATE TABLE``; ``CREATE/DROP NAMESPACE`` and
+``DROP TABLE ... PURGE``; schema/spec/sort evolution DDL (``ALTER
+COLUMN ... TYPE`` promotions, ``ADD/DROP PARTITION FIELD``, ``WRITE
+ORDERED BY``, ``SET IDENTIFIER FIELDS``, ``SET DEFAULT``);
+branch-suffixed targets (``ice.db.t.branch_<name>`` DML/reads + CALL
+fast_forward publish); keyed subquery DML (``DELETE/UPDATE ... WHERE
+col IN (SELECT ...)`` on the merge semi-join plane); SQL comments
+stripped safely (never bind, never hide a clause); backtick-quoted
+identifier parts; injective per-statement temp-view names dropped on
+resolve.
 
 Scale shape: a binding is one ``TableScan.to_df()`` DataFrame — the
 same lazy, pruned, distributed plan every other entry point gets; the
