@@ -296,3 +296,37 @@ class TestSqlOverRest:
         assert [(r["id"], r["name"]) for r in rows] == [(2, "b")]
         with pytest.raises(ValueError, match="no such table"):
             eng.sql("SELECT * FROM ice.db.t")
+
+    def test_r15_statements_over_rest(self, rest, spark):
+        """r15 surface through the pointer catalog: namespace DDL,
+        txn-scoped SQL (one REST commit), branch staging + publish."""
+        import os as _os
+
+        from iceberg_cpp_spark import IceSqlEngine
+
+        cat, loc = rest
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("CREATE NAMESPACE ice.r15")
+        assert cat.namespace_exists("r15")
+        cat.create_table("r15.t", SCHEMA,
+                         location=_os.path.join(loc, "r15t"))
+        eng.sql("INSERT INTO ice.r15.t VALUES (1, 'a'), (2, 'b')")
+        # txn: two statements, one REST commit
+        t = cat.load_table("r15.t", spark=spark)
+        txn = t.new_transaction()
+        eng.sql("INSERT INTO ice.r15.t VALUES (3, 'c')", txn=txn)
+        eng.sql("DELETE FROM ice.r15.t WHERE id = 1", txn=txn)
+        txn.commit()
+        assert sorted(r["id"] for r in eng.sql(
+            "SELECT id FROM ice.r15.t").collect()) == [2, 3]
+        # branch staging + fast_forward publish
+        eng.sql("ALTER TABLE ice.r15.t CREATE BRANCH stage")
+        eng.sql("INSERT INTO ice.r15.t.branch_stage VALUES (9, 'z')")
+        assert eng.sql("SELECT * FROM ice.r15.t WHERE id = 9").count() == 0
+        eng.sql("CALL ice.system.fast_forward(table => 'r15.t', "
+                "branch => 'main', to => 'stage')")
+        assert eng.sql("SELECT * FROM ice.r15.t WHERE id = 9").count() == 1
+        # conditional-clause MERGE
+        eng.sql("MERGE INTO ice.r15.t t USING (SELECT 9 AS id, 'D' AS op)"
+                " s ON t.id = s.id WHEN MATCHED AND s.op = 'D' THEN DELETE")
+        assert eng.sql("SELECT * FROM ice.r15.t WHERE id = 9").count() == 0
