@@ -2167,6 +2167,50 @@ def ice_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def ice_sql_branch_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Branch staging THROUGH SQL (r15): DML against the
+    `<table>.branch_<name>` suffix commits to the branch (main
+    untouched), reads of the suffix bind the branch head, and CALL
+    ice.system.fast_forward publishes with an ancestor-validated
+    metadata pointer move. The returned audit trail (main / branch
+    counts at each phase) is recomputed by the oracle from raw
+    orders."""
+    from iceberg_cpp_spark import IceSqlEngine
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.sources.catalog import FileSystemCatalog
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    base = o.filter(F.col("o_orderkey") % 3 == 0)
+    cat = FileSystemCatalog(os.path.join(
+        tempfile.mkdtemp(prefix="ice_sqlbr_"), "wh"))
+    cat.create_namespace("db")
+    cat.create_table("db.t", schema_from_spark(base.schema))
+    cat.load_table("db.t", spark=spark).append(base)
+    eng = IceSqlEngine(spark, cat)
+    eng.sql("ALTER TABLE ice.db.t CREATE BRANCH stage")
+    base.filter(F.col("o_orderkey") % 2 == 0) \
+        .createOrReplaceTempView("__stage_feed")
+    eng.sql("INSERT INTO ice.db.t.branch_stage "
+            "SELECT o_orderkey + 1000000000, 'S' FROM __stage_feed")
+    eng.sql("DELETE FROM ice.db.t.branch_stage "
+            "WHERE o_orderstatus = 'F' AND o_orderkey < 1000000000")
+    main_while_staged = eng.sql(
+        "SELECT count(*) AS n FROM ice.db.t").collect()[0]["n"]
+    branch_view = eng.sql(
+        "SELECT count(*) AS n FROM ice.db.t.branch_stage"
+    ).collect()[0]["n"]
+    eng.sql("CALL ice.system.fast_forward(table => 'db.t', "
+            "branch => 'main', to => 'stage')")
+    after = eng.sql("SELECT o_orderstatus AS st, count(*) AS n "
+                    "FROM ice.db.t GROUP BY o_orderstatus")
+    return (after.withColumn(
+                "main_while_staged",
+                F.lit(int(main_while_staged)).cast("long"))
+            .withColumn("branch_while_staged",
+                        F.lit(int(branch_view)).cast("long"))
+            .orderBy("st"))
+
+
 def ice_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """z-order compaction: rewrite clustered on (l_orderkey, l_partkey),
     then a filtered aggregate — results must be unchanged by the rewrite
@@ -3325,6 +3369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_orc_write": ice_orc_write,
         "ice_partition_stats": ice_partition_stats,
         "ice_wap_flow": ice_wap_flow,
+        "ice_sql_branch_flow": ice_sql_branch_flow,
         "dedup_semantic": dedup_semantic,
         "dedup_incremental": dedup_incremental,
         "text_span_scrub": text_span_scrub,
@@ -4149,6 +4194,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN o_orderkey % 3 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS audit_view,
                    CAST(SUM(CASE WHEN o_orderkey % 3 IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS after_publish
             FROM orders
+        """,
+        "ice_sql_branch_flow": """
+            WITH base AS (
+              SELECT o_orderkey, o_orderstatus FROM orders
+              WHERE o_orderkey % 3 = 0
+            ),
+            staged AS (
+              SELECT o_orderkey + 1000000000 AS o_orderkey,
+                     'S' AS o_orderstatus
+              FROM base WHERE o_orderkey % 2 = 0
+            ),
+            branch AS (
+              SELECT * FROM (SELECT * FROM base
+                             UNION ALL SELECT * FROM staged)
+              WHERE NOT (o_orderstatus = 'F'
+                         AND o_orderkey < 1000000000)
+            )
+            SELECT o_orderstatus AS st, CAST(COUNT(*) AS BIGINT) AS n,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM base)
+                     AS main_while_staged,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM branch)
+                     AS branch_while_staged
+            FROM branch GROUP BY o_orderstatus ORDER BY st
         """,
         "ice_mor_merge": """
             WITH upd AS (

@@ -81,6 +81,7 @@ def test_driver_cap_window_composition():
         "ice_orc_write",    # ORC write leg (ice_orc_data in-window keeps the ORC scan planes; ORC bounds harvest pinned by tests/test_orc_metrics.py)
         "ice_partition_stats",  # partition-statistics files (ice_partition_pruned in-window covers the partition metadata; ice_analyze_ndv in-window the stats-pointer flow)
         "ice_wap_flow",     # WAP staging (ice_rollback_cherry_pick in-window keeps cherry-pick publish; staging + the expectations gate pinned by TestWriteAuditPublish/TestExpectationsWapGate)
+        "ice_sql_branch_flow",  # r15 branch-suffix SQL staging + fast_forward publish (ice_sql_dml in-window keeps the SQL DML plane; branch refs ride ice_rollback_cherry_pick's in-window ref machinery; pinned by TestSqlBranchSuffix + TestSqlOverRest)
         "dedup_semantic",   # SemDeDup cluster-prune (ann_ivf_topk in-window keeps centroid assignment; dedup_cross_corpus in-window the LSH plane)
         "dedup_incremental",  # store-backed incremental LSH (dedup_minhash in-window keeps banding; ice_merge_into in-window the store MERGE)
         "text_span_scrub",  # ExactSubstr window scrub (text_rolling_fp in-window keeps the rolling-hash machinery; span scrub pinned by TestText)
