@@ -229,9 +229,13 @@ class RestCatalog(Catalog):
         j = self._request("POST", f"/v1/namespaces/{ns}/tables", body)
         return TableMetadata.from_json(j["metadata"])
 
-    def drop_table(self, ident):
+    def drop_table(self, ident, purge: bool = False):
+        # purgeRequested is the spec's query flag; servers that ignore
+        # it still drop the pointer (REST owns file cleanup policy)
         ns, name = self._split(ident)
-        self._request("DELETE", f"/v1/namespaces/{ns}/tables/{name}")
+        suffix = "?purgeRequested=true" if purge else ""
+        self._request("DELETE",
+                      f"/v1/namespaces/{ns}/tables/{name}{suffix}")
 
     def register_table(self, ident, metadata_location):
         ns, name = self._split(ident)

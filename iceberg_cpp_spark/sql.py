@@ -134,11 +134,11 @@ _DROP_VIEW = re.compile(
     r"\s*$", re.I)
 _CREATE_NS = re.compile(
     r"^\s*create\s+namespace\s+(?P<ine>if\s+not\s+exists\s+)?"
-    r"(?P<cat>[A-Za-z_]\w*)\.(?P<ns>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)"
+    r"(?P<cat>[A-Za-z_]\w*)\." + rf"(?P<ns>{_PART}(?:\.{_PART})*)"
     r"\s*$", re.I)
 _DROP_NS = re.compile(
     r"^\s*drop\s+namespace\s+(?P<ie>if\s+exists\s+)?"
-    r"(?P<cat>[A-Za-z_]\w*)\.(?P<ns>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)"
+    r"(?P<cat>[A-Za-z_]\w*)\." + rf"(?P<ns>{_PART}(?:\.{_PART})*)"
     r"\s*$", re.I)
 _SHOW_TABLES = re.compile(
     r"^\s*show\s+tables\s+in\s+(?P<cat>[A-Za-z_]\w*)"
@@ -310,7 +310,7 @@ class IceSqlEngine:
         m = _CREATE_NS.match(masked)
         if m and m.group("cat") == self.catalog_name:
             self._no_txn("CREATE NAMESPACE")
-            ns = m.group("ns")
+            ns = self._clean_ident(m.group("ns"))
             if self.catalog.namespace_exists(ns):
                 if m.group("ine"):
                     return self._dml_result()
@@ -322,7 +322,7 @@ class IceSqlEngine:
         m = _DROP_NS.match(masked)
         if m and m.group("cat") == self.catalog_name:
             self._no_txn("DROP NAMESPACE")
-            ns = m.group("ns")
+            ns = self._clean_ident(m.group("ns"))
             if not self.catalog.namespace_exists(ns):
                 if m.group("ie"):
                     return self._dml_result()
@@ -886,9 +886,48 @@ class IceSqlEngine:
     # `col IN (SELECT ...)` — the keyed-delete shape; maps onto a
     # delete-only MERGE so discovery stays the key semi-join (the
     # general subquery predicate still refuses: not prunable)
-    _IN_SUBQUERY = re.compile(
-        r"^\s*(?:[A-Za-z_]\w*\s*\.\s*)?(?P<col>[A-Za-z_]\w*)\s+in\s*"
-        r"\((?P<sub>\s*select\b.+)\)\s*$", re.I | re.S)
+    # prefix of the keyed-subquery DML shape; the shape check proper
+    # lives in _in_subquery_keys (the '(' must close at the predicate's
+    # END, so compound predicates fall through to the refusing parser)
+    _IN_SUBQUERY_HEAD = re.compile(
+        r"^\s*(?:(?P<qual>[A-Za-z_]\w*)\s*\.\s*)?(?P<col>[A-Za-z_]\w*)"
+        r"\s+in\s*\(", re.I)
+
+    def _in_subquery_keys(self, pred: Optional[str], lits: list,
+                          ident: str, stmt: str):
+        """``col IN (SELECT ...)`` as the WHOLE predicate → (col,
+        deduped one-column keys DataFrame), else None (the caller's
+        normal predicate parser — and its loud refusals — own
+        everything else). A qualifier must name the target table; a
+        nested column (``addr.zip``) or foreign qualifier falls
+        through rather than silently binding a top-level column.
+        Keys dedupe (MERGE cardinality) — SQL IN semantics are
+        set-based anyway."""
+        if pred is None:
+            return None
+        hm = self._IN_SUBQUERY_HEAD.match(pred)
+        if hm is None:
+            return None
+        if hm.group("qual") is not None \
+                and hm.group("qual") != ident.rsplit(".", 1)[-1]:
+            return None
+        i = hm.end() - 1  # at '('
+        depth, j = 0, i
+        for j in range(i, len(pred)):
+            depth += (pred[j] == "(") - (pred[j] == ")")
+            if depth == 0:
+                break
+        if depth != 0 or pred[j + 1:].strip():
+            return None  # unbalanced or trailing text: not this shape
+        sub = pred[i + 1:j]
+        if not re.match(r"^\s*select\b", sub, re.I):
+            return None
+        keys = self._sql(self._unmask(sub, lits), depth=0)
+        if len(keys.columns) != 1:
+            raise ValueError(
+                f"{stmt} ... IN (subquery) needs a one-column "
+                f"subquery; got {len(keys.columns)} columns")
+        return hm.group("col"), keys.toDF(hm.group("col")).distinct()
 
     def _delete(self, m: "re.Match", lits: list):
         ident, branch = self._split_branch(
@@ -896,17 +935,11 @@ class IceSqlEngine:
         t = self._load(ident, "DELETE")
         kw = {"branch": branch} if branch else {}
         pred = m.group("pred")
-        if pred is not None and (sq := self._IN_SUBQUERY.match(pred)):
-            keys = self._sql(self._unmask(sq.group("sub"), lits),
-                             depth=0)
-            if len(keys.columns) != 1:
-                raise ValueError(
-                    "DELETE ... IN (subquery) needs a one-column "
-                    f"subquery; got {len(keys.columns)} columns")
-            col = sq.group("col")
-            t.merge_into(keys.toDF(col), on=[col],
-                         when_matched="delete", when_not_matched=None,
-                         **kw)
+        if (sq := self._in_subquery_keys(pred, lits, ident,
+                                         "DELETE")) is not None:
+            col, keys = sq
+            t.merge_into(keys, on=[col], when_matched="delete",
+                         when_not_matched=None, **kw)
             return self._dml_result()
         t.delete_where(self._where_expr(pred, lits), **kw)
         return self._dml_result()
@@ -927,37 +960,41 @@ class IceSqlEngine:
         # table's columns (no job) so a typo is loud even when zero
         # files match
         chk = self.spark.createDataFrame([], to_spark_schema(t.schema()))
-        assignments = {}
+        raw: list[tuple[str, str]] = []  # (target col, MASKED value)
         for piece in self._split_top(m.group("set")):
             am = re.match(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", piece, re.S)
             if am is None:
                 raise ValueError(
                     f"cannot parse SET assignment: "
                     f"{self._unmask(piece, lits)!r}")
-            val = self._unmask(am.group(2), lits)
-            chk.selectExpr(f"({val}) AS __chk")
-            assignments[am.group(1)] = F.expr(val)
+            chk.selectExpr(
+                f"({self._unmask(am.group(2), lits)}) AS __chk")
+            raw.append((am.group(1), am.group(2)))
         kw = {"branch": branch} if branch else {}
         pred = m.group("pred")
-        if pred is not None and (sq := self._IN_SUBQUERY.match(pred)):
-            # keyed-update shape: same delete-only-MERGE mapping as
-            # DELETE ... IN (subquery) — an update-only clause keeps
-            # discovery on the key semi-join
+        if (sq := self._in_subquery_keys(pred, lits, ident,
+                                         "UPDATE")) is not None:
+            # keyed-update shape: update-only clause MERGE keeps
+            # discovery on the key semi-join. Bare references to the
+            # KEY column requalify to `t.` on the MASKED text (the
+            # source frame carries the same-named key, which would
+            # otherwise make the reference ambiguous in the join)
             from iceberg_cpp_spark.table import MatchedClause
 
-            keys = self._sql(self._unmask(sq.group("sub"), lits),
-                             depth=0)
-            if len(keys.columns) != 1:
-                raise ValueError(
-                    "UPDATE ... IN (subquery) needs a one-column "
-                    f"subquery; got {len(keys.columns)} columns")
-            col = sq.group("col")
+            col, keys = sq
+            requal = re.compile(
+                rf"(?<![\w.]){re.escape(col)}(?![\w.(])")
+            assignments = {
+                name: self._unmask(requal.sub(f"t.{col}", mv), lits)
+                for name, mv in raw}
             t.merge_into(
-                keys.toDF(col), on=[col],
+                keys, on=[col],
                 when_matched=[MatchedClause("update",
                                             assignments=assignments)],
                 when_not_matched=None, **kw)
             return self._dml_result()
+        assignments = {name: F.expr(self._unmask(mv, lits))
+                       for name, mv in raw}
         t.update_where(self._where_expr(pred, lits),
                        assignments, **kw)
         return self._dml_result()

@@ -330,3 +330,7 @@ class TestSqlOverRest:
         eng.sql("MERGE INTO ice.r15.t t USING (SELECT 9 AS id, 'D' AS op)"
                 " s ON t.id = s.id WHEN MATCHED AND s.op = 'D' THEN DELETE")
         assert eng.sql("SELECT * FROM ice.r15.t WHERE id = 9").count() == 0
+        # second-review pin: SQL DROP TABLE passes purge= — the REST
+        # catalog must accept it (it crashed before the fix)
+        eng.sql("DROP TABLE ice.r15.t")
+        assert not cat.table_exists("r15.t")

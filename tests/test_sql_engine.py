@@ -1289,3 +1289,40 @@ def test_update_where_in_subquery(spark, cat):
     with pytest.raises(ValueError, match="one-column"):
         eng.sql("UPDATE ice.db.t SET data = 'x' WHERE id IN "
                 "(SELECT id, data FROM ice.db.dim)")
+
+
+class TestSecondReviewPins:
+    """Second-review findings (r15): subquery-DML edges + REST drop."""
+
+    def test_update_in_subquery_key_ref_and_duplicates(self, spark, cat):
+        # duplicate subquery keys must NOT duplicate target rows, and
+        # SET values may reference the key column bare
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("UPDATE ice.db.t SET data = concat('k', cast(id AS "
+                "string)) WHERE id IN (SELECT x FROM VALUES (2), (2) "
+                "AS v(x))")
+        rows = [(r["id"], r["data"]) for r in eng.sql(
+            "SELECT * FROM ice.db.t WHERE id = 2").collect()]
+        assert rows == [(2, "k2")]
+        assert eng.sql("SELECT * FROM ice.db.t").count() == 6
+
+    def test_compound_in_subquery_falls_through_loudly(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError):
+            eng.sql("DELETE FROM ice.db.t WHERE id IN (SELECT id FROM "
+                    "ice.db.dim) OR id IN (SELECT id FROM ice.db.dim)")
+
+    def test_foreign_qualifier_falls_through(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        # bogus qualifier / nested path must NOT silently bind a
+        # top-level column — the restricted parser refuses instead
+        with pytest.raises(ValueError):
+            eng.sql("DELETE FROM ice.db.t WHERE x.id IN "
+                    "(SELECT id FROM ice.db.dim)")
+
+    def test_backtick_namespace(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("CREATE NAMESPACE ice.`my-ns`")
+        assert cat.namespace_exists("my-ns")
+        eng.sql("DROP NAMESPACE ice.`my-ns`")
+        assert not cat.namespace_exists("my-ns")
