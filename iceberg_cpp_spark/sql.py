@@ -41,7 +41,13 @@ fast_forward publish); keyed subquery DML (``DELETE/UPDATE ... WHERE
 col IN (SELECT ...)`` on the merge semi-join plane); SQL comments
 stripped safely (never bind, never hide a clause); backtick-quoted
 identifier parts; injective per-statement temp-view names dropped on
-resolve.
+resolve; ``SHOW PARTITIONS`` / ``SHOW VIEWS``; the metadata/import
+procedures ``ancestors_of``, ``add_files`` (register existing files,
+no rewrite), ``register_table`` (point the catalog at an existing
+metadata JSON), ``create_changelog_view`` (CDC rows between
+snapshots as a queryable session view), ``snapshot`` (zero-copy
+clone via ``IceTable.snapshot_to`` — shared data files, gc-guarded),
+``compute_table_stats`` and ``compute_partition_stats``.
 
 Scale shape: a binding is one ``TableScan.to_df()`` DataFrame — the
 same lazy, pruned, distributed plan every other entry point gets; the
@@ -51,6 +57,7 @@ are left untouched (literals are masked before matching).
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Optional
 
@@ -153,6 +160,11 @@ _DESCRIBE = re.compile(
     + _IDENT_TAIL + r"\s*$", re.I)
 _SHOW_CREATE = re.compile(
     r"^\s*show\s+create\s+table\s+" + _IDENT_TAIL + r"\s*$", re.I)
+_SHOW_PARTS = re.compile(
+    r"^\s*show\s+partitions\s+" + _IDENT_TAIL + r"\s*$", re.I)
+_SHOW_VIEWS = re.compile(
+    r"^\s*show\s+views\s+in\s+(?P<cat>[A-Za-z_]\w*)"
+    r"(?:\.(?P<ns>[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*))?\s*$", re.I)
 _ALTER = re.compile(
     r"^\s*alter\s+table\s+" + _IDENT_TAIL + r"\s+(?P<body>.+)$",
     re.I | re.S)
@@ -349,6 +361,18 @@ class IceSqlEngine:
         m = _SHOW_CREATE.match(masked)
         if m and m.group("cat") == self.catalog_name:
             return self._show_create(self._clean_ident(m.group("rest")))
+        m = _SHOW_PARTS.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            # the `partitions` metadata table shape (typed partition
+            # struct + per-partition rollups); rides the uncollected
+            # plan plane, so a 10^6-file table answers without driver
+            # FileScanTasks
+            t = self._load(self._clean_ident(m.group("rest")),
+                           "SHOW PARTITIONS")
+            return t.partitions_df()
+        m = _SHOW_VIEWS.match(masked)
+        if m and m.group("cat") == self.catalog_name:
+            return self._show_views(m.group("ns"))
         m = _DESCRIBE.match(masked)
         if m and m.group("cat") == self.catalog_name:
             return self._describe(self._clean_ident(m.group("rest")),
@@ -580,6 +604,21 @@ class IceSqlEngine:
         from pyspark.sql import types as T
 
         kwargs = self._call_args(args_text, lits)
+
+        def require(key: str):
+            if key not in kwargs:
+                raise ValueError(f"CALL {proc} needs {key} => ...")
+            return kwargs.pop(key)
+
+        if proc == "register_table":
+            # the one procedure whose table must NOT exist yet: point
+            # the catalog at an existing metadata JSON (catalog move /
+            # disaster recovery; metadata-only, no data touched)
+            return self._call_register_table(require, kwargs)
+        if proc == "snapshot":
+            # zero-copy clone: table => the NEW table (must not
+            # exist), source_table => the existing one
+            return self._call_snapshot(require, kwargs)
         ident = kwargs.pop("table", None)
         if ident is None:
             raise ValueError(
@@ -632,11 +671,6 @@ class IceSqlEngine:
         if proc == "rewrite_equality_deletes":
             self._no_extra(proc, kwargs)
             return snap_frame(t.rewrite_equality_deletes())
-        def require(key: str):
-            if key not in kwargs:
-                raise ValueError(f"CALL {proc} needs {key} => ...")
-            return kwargs.pop(key)
-
         if proc == "rollback_to_snapshot":
             sid = require("snapshot_id")
             self._no_extra(proc, kwargs)
@@ -662,13 +696,151 @@ class IceSqlEngine:
                                   False),
                     T.StructField("previous_ref", T.LongType()),
                     T.StructField("updated_ref", T.LongType(), False)]))
+        if proc == "ancestors_of":
+            # metadata-only parent-chain walk (the Spark-Iceberg
+            # ancestors_of shape: newest first)
+            sid = kwargs.pop("snapshot_id", None)
+            self._no_extra(proc, kwargs)
+            cur = (t.metadata.snapshot_by_id(int(sid))
+                   if sid is not None else t.current_snapshot())
+            if sid is not None and cur is None:
+                raise ValueError(f"snapshot not found: {sid}")
+            rows = []
+            while cur is not None:
+                rows.append((cur.snapshot_id, cur.timestamp_ms))
+                cur = (t.metadata.snapshot_by_id(cur.parent_snapshot_id)
+                       if cur.parent_snapshot_id is not None else None)
+            return self.spark.createDataFrame(
+                rows, T.StructType([
+                    T.StructField("snapshot_id", T.LongType(), False),
+                    T.StructField("timestamp_ms", T.LongType(),
+                                  False)]))
+        if proc == "add_files":
+            # register existing files without rewriting them. source
+            # is a directory or glob; the listing is a driver glob
+            # (metadata scale — one path string per file), while the
+            # format sniff + footer harvest distribute past the
+            # add_files executor threshold (2048 paths).
+            import glob as _glob
+
+            src = str(require("source"))
+            self._no_extra(proc, kwargs)
+            pattern = (os.path.join(src, "**", "*")
+                       if os.path.isdir(src) else src)
+            paths = sorted(
+                p for p in _glob.glob(pattern, recursive=True)
+                if os.path.isfile(p)
+                and not os.path.basename(p).startswith(("_", ".")))
+            if not paths:
+                raise ValueError(
+                    f"CALL add_files found no files under {src!r}")
+            t.add_files(paths)
+            return self.spark.createDataFrame(
+                [(len(paths),)], T.StructType([
+                    T.StructField("added_files_count", T.LongType(),
+                                  False)]))
+        if proc == "compute_table_stats":
+            # NDV statistics into a Puffin file, registered on the
+            # current snapshot (SetStatistics); one aggregation job
+            self._no_extra(proc, kwargs)
+            t2 = t.compute_statistics()
+            entry = t2.metadata.statistics[-1]
+            return self.spark.createDataFrame(
+                [(entry["statistics-path"],)], T.StructType([
+                    T.StructField("statistics_file", T.StringType(),
+                                  False)]))
+        if proc == "compute_partition_stats":
+            # per-partition rollups from manifest metadata only
+            self._no_extra(proc, kwargs)
+            t2 = t.compute_partition_statistics()
+            entry = t2.metadata.partition_statistics[-1]
+            return self.spark.createDataFrame(
+                [(entry["statistics-path"],)], T.StructType([
+                    T.StructField("statistics_file", T.StringType(),
+                                  False)]))
+        if proc == "create_changelog_view":
+            # the Spark-Iceberg CDC entry point: change rows between
+            # two snapshots, registered as a session temp view the
+            # caller queries with plain SQL. The view OUTLIVES the
+            # statement (user-facing; not auto-dropped like the
+            # engine's internal binding views).
+            from iceberg_cpp_spark.streaming.changelog import changes
+
+            name = kwargs.pop("changelog_view", None) or \
+                f"{ident.rsplit('.', 1)[-1]}_changes"
+            start = kwargs.pop("start_snapshot_id", None)
+            end = kwargs.pop("end_snapshot_id", None)
+            net = bool(kwargs.pop("net_changes", False))
+            self._no_extra(proc, kwargs)
+            df = changes(
+                t, from_snapshot_id=(int(start) if start is not None
+                                     else None),
+                to_snapshot_id=int(end) if end is not None else None,
+                net=net)
+            df.createOrReplaceTempView(name)
+            return self.spark.createDataFrame(
+                [(name,)], T.StructType([
+                    T.StructField("changelog_view", T.StringType(),
+                                  False)]))
         raise ValueError(
             f"unknown procedure: {self.catalog_name}.system.{proc} "
             "(supported: expire_snapshots, remove_orphan_files, "
             "rewrite_data_files, rewrite_manifests, "
             "rewrite_position_deletes, rewrite_equality_deletes, "
             "rollback_to_snapshot, cherrypick_snapshot, publish_wap, "
-            "fast_forward)")
+            "fast_forward, ancestors_of, add_files, "
+            "create_changelog_view, register_table, snapshot, "
+            "compute_table_stats, compute_partition_stats)")
+
+    def _call_snapshot(self, require, kwargs: dict):
+        from pyspark.sql import types as T
+
+        self._no_txn("CALL snapshot")
+        src_ident = self._clean_ident(str(require("source_table")))
+        dst_ident = self._clean_ident(str(require("table")))
+        location = kwargs.pop("location", None)
+        self._no_extra("snapshot", kwargs)
+        if not self.catalog.table_exists(src_ident):
+            raise ValueError(
+                f"CALL snapshot source_table does not exist: "
+                f"{src_ident!r}")
+        src = self.catalog.load_table(src_ident, spark=self.spark)
+        clone = src.snapshot_to(self.catalog, dst_ident,
+                                location=(str(location)
+                                          if location else None))
+        s = clone.current_snapshot()
+        files = int(s.summary.get("total-data-files", 0)) if s else 0
+        return self.spark.createDataFrame(
+            [(files,)], T.StructType([
+                T.StructField("imported_files_count", T.LongType(),
+                              False)]))
+
+    def _call_register_table(self, require, kwargs: dict):
+        from pyspark.sql import types as T
+
+        self._no_txn("CALL register_table")
+        ident = self._clean_ident(str(require("table")))
+        mloc = str(require("metadata_file"))
+        self._no_extra("register_table", kwargs)
+        if self.catalog.table_exists(ident):
+            raise ValueError(
+                f"CALL register_table target already exists: {ident!r}")
+        self.catalog.register_table(ident, mloc)
+        t = self.catalog.load_table(ident, spark=self.spark)
+        s = t.current_snapshot()
+        summary = dict(s.summary or {}) if s else {}
+
+        def _n(key):
+            v = summary.get(key)
+            return int(v) if v is not None else None
+
+        return self.spark.createDataFrame(
+            [(s.snapshot_id if s else None, _n("total-records"),
+              _n("total-data-files"))],
+            T.StructType([
+                T.StructField("current_snapshot_id", T.LongType()),
+                T.StructField("total_records_count", T.LongType()),
+                T.StructField("total_data_files_count", T.LongType())]))
 
     @staticmethod
     def _no_extra(proc: str, kwargs: dict) -> None:
@@ -717,6 +889,22 @@ class IceSqlEngine:
             rows, T.StructType([
                 T.StructField("namespace", T.StringType(), False),
                 T.StructField("tableName", T.StringType(), False)]))
+
+    def _show_views(self, ns: Optional[str]):
+        from pyspark.sql import types as T
+
+        lister = getattr(self.catalog, "list_views", None)
+        if lister is None:
+            raise ValueError(
+                f"catalog {self.catalog_name!r} does not support views")
+        namespaces = ([ns] if ns
+                      else self.catalog.list_namespaces() or [])
+        rows = [(n, v.rsplit(".", 1)[-1]) for n in namespaces
+                for v in sorted(lister(n))]
+        return self.spark.createDataFrame(
+            rows, T.StructType([
+                T.StructField("namespace", T.StringType(), False),
+                T.StructField("viewName", T.StringType(), False)]))
 
     def _show_namespaces(self, parent: str):
         from pyspark.sql import types as T

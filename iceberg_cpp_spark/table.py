@@ -4014,6 +4014,160 @@ class IceTable:
         return self._commit_files(new_files, operation=DataOperation.APPEND,
                                   branch=branch)
 
+    def snapshot_to(self, catalog, ident: str,
+                    location: Optional[str] = None) -> "IceTable":
+        """Zero-copy table CLONE (the Spark-Iceberg ``snapshot``
+        procedure shape): create ``ident`` in ``catalog`` with this
+        table's current schema, partition spec, sort order and
+        properties, then register every live data file of the current
+        snapshot into it WITHOUT copying or rewriting anything. The
+        clone shares data files by absolute path and diverges on its
+        own metadata chain from then on — writes land under the
+        clone's location; the source never sees them.
+
+        The clone is stamped ``gc.enabled=false`` so its GC operations
+        (expire_snapshots, remove_orphan_files) can never delete files
+        the SOURCE still references — the same guard Spark's snapshot
+        procedure applies. Flip the property only after the clone's
+        file set has fully diverged (full compaction).
+
+        Scale shape: descriptors are built from the manifests as
+        DataFrames — parquet manifests by the JVM reader with the
+        metrics maps re-encoded to metrics_json inside codegen (column
+        bounds survive, so pruning on the clone matches the source),
+        Avro manifests decoded in executors — and land through
+        commit_files_df's executor-sharded manifest authoring: a
+        10^6-file clone never materializes a file list on the driver.
+
+        Loud boundaries: a source with live DELETE files / DVs refuses
+        (a clone that dropped them would resurrect rows — fold with
+        rewrite_position_deletes / rewrite_data_files first), and a
+        source whose live files span MULTIPLE partition specs refuses
+        (descriptors decode under the clone's single current spec)."""
+        from functools import reduce as _reduce
+
+        snap = self.current_snapshot()
+        manifests = (list(mf.read_manifest_list(snap.manifest_list))
+                     if snap is not None else [])
+        if any(m.content == mf.MANIFEST_CONTENT_DELETES
+               for m in manifests):
+            raise ValueError(
+                "snapshot_to: source has live delete files or deletion "
+                "vectors; fold them first (rewrite_position_deletes / "
+                "rewrite_equality_deletes / rewrite_data_files) — a "
+                "zero-copy clone cannot carry them and silently "
+                "dropping deletes would resurrect rows")
+        cur_spec = self.spec()
+        if any(m.partition_spec_id != cur_spec.spec_id
+               for m in manifests):
+            raise ValueError(
+                "snapshot_to: live files span multiple partition specs "
+                f"(current spec {cur_spec.spec_id}); compact with "
+                "rewrite_data_files first so every file carries the "
+                "current spec")
+        props = dict(self.properties())
+        props["gc.enabled"] = "false"
+        so = self.sort_order()
+        catalog.create_table(
+            ident, self.schema(),
+            spec=cur_spec if cur_spec.fields else None,
+            sort_order=so if so.fields else None,
+            properties=props, location=location)
+        target = catalog.load_table(ident, spark=self.spark)
+        if not manifests:
+            return target
+        legs: list[DataFrame] = []
+        pq_group = [m for m in manifests
+                    if not m.manifest_path.endswith(".avro")]
+        av_group = [m for m in manifests
+                    if m.manifest_path.endswith(".avro")]
+        desc_schema = ("file_path string, file_format string, "
+                       "record_count long, file_size_in_bytes long, "
+                       "partition_json string, metrics_json string")
+        if pq_group:
+            def _counts(c: str):
+                empty = F.map_from_arrays(
+                    F.array().cast("array<int>"),
+                    F.array().cast("array<bigint>"))
+                return F.coalesce(F.col(c), empty).alias(c)
+
+            def _hexed(c: str):
+                empty = F.map_from_arrays(
+                    F.array().cast("array<int>"),
+                    F.array().cast("array<binary>"))
+                return F.transform_values(
+                    F.coalesce(F.col(c), empty),
+                    lambda _k, v: F.lower(F.hex(v))).alias(c)
+
+            metrics = F.to_json(F.struct(
+                _counts("column_sizes"), _counts("value_counts"),
+                _counts("null_value_counts"),
+                _counts("nan_value_counts"),
+                _hexed("lower_bounds"), _hexed("upper_bounds")))
+            df = self.spark.read.parquet(
+                *[m.manifest_path for m in pq_group])
+            legs.append(
+                df.filter((F.col("status") != mf.STATUS_DELETED)
+                          & (F.col("content") == mf.CONTENT_DATA))
+                  .select("file_path", "file_format", "record_count",
+                          "file_size_in_bytes", "partition_json",
+                          metrics.alias("metrics_json")))
+        if av_group:
+            spec, schema = cur_spec, self.schema()
+            n_parts = min(len(av_group),
+                          self.spark.sparkContext.defaultParallelism)
+
+            def decode(batches):
+                import json as _json
+
+                import pandas as pd
+
+                from iceberg_cpp_spark.core import manifests as mfx
+
+                cols = ["file_path", "file_format", "record_count",
+                        "file_size_in_bytes", "partition_json",
+                        "metrics_json"]
+                for b in batches:
+                    rows = []
+                    for p in b["manifest_path"]:
+                        for e in mfx.read_manifest(p, spec, schema):
+                            f = e.data_file
+                            if (not e.is_live
+                                    or f.content != mfx.CONTENT_DATA):
+                                continue
+                            enc = {
+                                "column_sizes": f.column_sizes,
+                                "value_counts": f.value_counts,
+                                "null_value_counts":
+                                    f.null_value_counts,
+                                "nan_value_counts": f.nan_value_counts,
+                                "lower_bounds": {
+                                    k: v.hex() for k, v
+                                    in f.lower_bounds.items()},
+                                "upper_bounds": {
+                                    k: v.hex() for k, v
+                                    in f.upper_bounds.items()}}
+                            rows.append((
+                                f.file_path,
+                                f.file_format or "parquet",
+                                int(f.record_count),
+                                int(f.file_size_in_bytes),
+                                mfx.partition_to_json(
+                                    f.partition, spec, schema),
+                                _json.dumps(enc)))
+                    yield pd.DataFrame(rows, columns=cols)
+
+            paths_df = self.spark.createDataFrame(
+                [(m.manifest_path,) for m in av_group],
+                "manifest_path string").repartition(n_parts)
+            legs.append(paths_df.mapInPandas(decode,
+                                             schema=desc_schema))
+        desc = _reduce(DataFrame.unionByName, legs)
+        return target.commit_files_df(
+            desc, summary_extras={
+                "snapshot-source-table": self.identifier or "",
+                "snapshot-source-snapshot-id": str(snap.snapshot_id)})
+
     def commit_files_df(self, files_df: DataFrame, branch: str = MAIN_BRANCH,
                         summary_extras: Optional[dict] = None) -> "IceTable":
         """APPEND a very large set of data files described by a

@@ -1,0 +1,173 @@
+"""Zero-copy table clone (IceTable.snapshot_to + CALL
+ice.system.snapshot): the Spark-Iceberg snapshot-procedure shape over
+the executor-sharded commit_files_df plane. A clone shares data files
+by path, keeps column bounds (pruning parity), diverges on write, and
+can never GC the source's files (gc.enabled=false)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_cpp_spark import IceSqlEngine
+from iceberg_cpp_spark.core import types as it
+from iceberg_cpp_spark.core.metadata import (PartitionField,
+                                             PartitionSpec)
+from iceberg_cpp_spark.functions.transforms import from_string
+from iceberg_cpp_spark.plans import expressions as ex
+from iceberg_cpp_spark.sources.catalog import FileSystemCatalog
+
+
+def _schema():
+    return it.Schema([
+        it.NestedField(1, "id", it.LongType(), True),
+        it.NestedField(2, "data", it.StringType(), False),
+    ])
+
+
+@pytest.fixture()
+def cat(spark, tmp_loc):
+    c = FileSystemCatalog(f"{tmp_loc}/wh")
+    c.create_namespace("db")
+    return c
+
+
+def _fill(spark, t, lo, hi):
+    t.append(spark.range(lo, hi).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("data")))
+    return t
+
+
+class TestSnapshotTo:
+    def test_zero_copy_and_divergence(self, spark, cat):
+        cat.create_table("db.src", _schema())
+        src = _fill(spark, cat.load_table("db.src", spark=spark), 0, 6)
+        src = _fill(spark, src, 6, 12)
+        clone = src.snapshot_to(cat, "db.clone")
+        # same rows, SAME data files (nothing copied)
+        assert clone.to_df().count() == 12
+        src_paths = {f.file_path for f in src.scan().plan_files()}
+        cl_paths = {f.file_path for f in clone.scan().plan_files()}
+        assert cl_paths == src_paths
+        # provenance in the summary
+        s = clone.current_snapshot()
+        assert s.summary["snapshot-source-table"] == "db.src"
+        assert int(s.summary["snapshot-source-snapshot-id"]) == \
+            src.current_snapshot().snapshot_id
+        # divergence: writes to the clone never touch the source
+        clone = _fill(spark, clone, 100, 103)
+        assert clone.to_df().count() == 15
+        assert cat.load_table("db.src", spark=spark) \
+            .to_df().count() == 12
+        # the source sees no new files
+        assert {f.file_path for f in
+                cat.load_table("db.src", spark=spark)
+                .scan().plan_files()} == src_paths
+
+    def test_clone_cannot_gc_source_files(self, spark, cat):
+        cat.create_table("db.src", _schema())
+        src = _fill(spark, cat.load_table("db.src", spark=spark), 0, 4)
+        clone = src.snapshot_to(cat, "db.clone")
+        with pytest.raises(ValueError, match="gc.enabled"):
+            clone.expire_snapshots()
+        with pytest.raises(ValueError, match="gc.enabled"):
+            clone.remove_orphan_files()
+
+    def test_bounds_survive_pruning_parity(self, spark, cat):
+        cat.create_table("db.src", _schema())
+        src = cat.load_table("db.src", spark=spark)
+        # two appends with disjoint id ranges -> distinct file bounds
+        src = _fill(spark, src, 0, 5)
+        src = _fill(spark, src, 1000, 1005)
+        clone = src.snapshot_to(cat, "db.clone")
+        pred = ex.gt(ex.Reference("id"), 500)
+        n_src = len(src.scan(filter=pred).plan_files())
+        n_clone = len(clone.scan(filter=pred).plan_files())
+        n_all = len(clone.scan().plan_files())
+        assert n_clone == n_src < n_all  # metrics pruning carried over
+        got = sorted(r["id"] for r in
+                     clone.scan(filter=pred).to_df().collect())
+        assert got == list(range(1000, 1005))
+
+    def test_partitioned_clone(self, spark, cat):
+        spec = PartitionSpec([PartitionField(
+            source_id=1, field_id=1000, name="id_bucket",
+            transform=from_string("bucket[4]"))])
+        cat.create_table("db.psrc", _schema(), spec=spec)
+        src = _fill(spark, cat.load_table("db.psrc", spark=spark),
+                    0, 20)
+        clone = src.snapshot_to(cat, "db.pclone")
+        assert clone.spec().fields[0].name == "id_bucket"
+        assert clone.to_df().count() == 20
+        # partition pruning on the clone: bucket filter keeps a strict
+        # subset of files
+        pred = ex.eq(ex.Reference("id"), 7)
+        assert len(clone.scan(filter=pred).plan_files()) < \
+            len(clone.scan().plan_files())
+        assert [r["id"] for r in
+                clone.scan(filter=pred).to_df().collect()] == [7]
+
+    def test_avro_manifest_source(self, spark, cat):
+        cat.create_table(
+            "db.asrc", _schema(),
+            properties={"write.metadata.manifest-format": "avro"})
+        src = _fill(spark, cat.load_table("db.asrc", spark=spark),
+                    0, 8)
+        clone = src.snapshot_to(cat, "db.aclone")
+        assert clone.to_df().count() == 8
+        assert {f.file_path for f in clone.scan().plan_files()} == \
+            {f.file_path for f in src.scan().plan_files()}
+        # bounds survived the executor decode leg too
+        pred = ex.gt(ex.Reference("id"), 100)
+        assert clone.scan(filter=pred).to_df().count() == 0
+
+    def test_delete_carrying_source_refuses(self, spark, cat):
+        cat.create_table("db.dsrc", _schema())
+        src = _fill(spark, cat.load_table("db.dsrc", spark=spark),
+                    0, 8)
+        src = src.delete_where(ex.eq(ex.Reference("id"), 3),
+                               mode="merge-on-read")
+        with pytest.raises(ValueError, match="delete files"):
+            src.snapshot_to(cat, "db.dclone")
+
+    def test_multi_spec_source_refuses(self, spark, cat):
+        cat.create_table("db.msrc", _schema())
+        src = _fill(spark, cat.load_table("db.msrc", spark=spark),
+                    0, 4)
+        src = src.update_spec([PartitionField(
+            source_id=1, field_id=0, name="id_bucket",
+            transform=from_string("bucket[4]"))])
+        src = _fill(spark, src, 4, 8)
+        with pytest.raises(ValueError, match="multiple partition"):
+            src.snapshot_to(cat, "db.mclone")
+
+    def test_empty_source_clones_empty(self, spark, cat):
+        cat.create_table("db.esrc", _schema())
+        src = cat.load_table("db.esrc", spark=spark)
+        clone = src.snapshot_to(cat, "db.eclone")
+        assert clone.to_df().count() == 0
+        assert clone.current_snapshot() is None
+
+
+class TestSnapshotSql:
+    def test_call_snapshot_and_stats(self, spark, cat):
+        cat.create_table("db.src", _schema())
+        _fill(spark, cat.load_table("db.src", spark=spark), 0, 6)
+        eng = IceSqlEngine(spark, cat)
+        got = eng.sql("CALL ice.system.snapshot(source_table => "
+                      "'db.src', table => 'db.clone')").collect()[0]
+        assert got["imported_files_count"] >= 1
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.clone") \
+            .collect()[0]["n"] == 6
+        with pytest.raises(ValueError, match="does not exist"):
+            eng.sql("CALL ice.system.snapshot(source_table => "
+                    "'db.nope', table => 'db.c2')")
+        # stats procedures register statistics files on the snapshot
+        p = eng.sql("CALL ice.system.compute_table_stats("
+                    "table => 'db.src')").collect()[0]
+        assert p["statistics_file"].endswith(".puffin")
+        t = cat.load_table("db.src", spark=spark)
+        assert t.ndv("id") is not None and t.ndv("id") >= 5
+        p = eng.sql("CALL ice.system.compute_partition_stats("
+                    "table => 'db.src')").collect()[0]
+        assert p["statistics_file"].endswith(".parquet")

@@ -1326,3 +1326,120 @@ class TestSecondReviewPins:
         assert cat.namespace_exists("my-ns")
         eng.sql("DROP NAMESPACE ice.`my-ns`")
         assert not cat.namespace_exists("my-ns")
+
+
+class TestSqlProceduresR15:
+    """ancestors_of / register_table / add_files /
+    create_changelog_view + SHOW PARTITIONS / SHOW VIEWS."""
+
+    def test_ancestors_of(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("INSERT INTO ice.db.t VALUES (100, 'x')")
+        rows = eng.sql(
+            "CALL ice.system.ancestors_of(table => 'db.t')").collect()
+        t = cat.load_table("db.t", spark=spark)
+        assert [r["snapshot_id"] for r in rows][0] == \
+            t.current_snapshot().snapshot_id
+        assert len(rows) == 2  # fixture append + the INSERT
+        assert rows[0]["timestamp_ms"] >= rows[1]["timestamp_ms"]
+        older = rows[1]["snapshot_id"]
+        got = eng.sql(f"CALL ice.system.ancestors_of(table => 'db.t', "
+                      f"snapshot_id => {older})").collect()
+        assert [r["snapshot_id"] for r in got] == [older]
+        with pytest.raises(ValueError, match="snapshot not found"):
+            eng.sql("CALL ice.system.ancestors_of(table => 'db.t', "
+                    "snapshot_id => 12345)")
+
+    def test_register_table(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        got = eng.sql(
+            f"CALL ice.system.register_table(table => 'db.t2', "
+            f"metadata_file => '{t.metadata_location}')").collect()[0]
+        assert got["current_snapshot_id"] == \
+            t.current_snapshot().snapshot_id
+        assert got["total_records_count"] == 6
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t2") \
+            .collect()[0]["n"] == 6
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql(f"CALL ice.system.register_table(table => 'db.t', "
+                    f"metadata_file => '{t.metadata_location}')")
+
+    def test_add_files(self, spark, cat, tmp_loc):
+        src = f"{tmp_loc}/loose"
+        spark.range(4).select(
+            F.col("id"), F.lit("ext").alias("data")) \
+            .repartition(2).write.parquet(src)
+        eng = IceSqlEngine(spark, cat)
+        got = eng.sql(f"CALL ice.system.add_files(table => 'db.t', "
+                      f"source => '{src}')").collect()[0]
+        assert got["added_files_count"] >= 1
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t") \
+            .collect()[0]["n"] == 10
+        import os as _os
+        empty = f"{tmp_loc}/empty_dir"
+        _os.makedirs(empty, exist_ok=True)
+        with pytest.raises(ValueError, match="no files"):
+            eng.sql(f"CALL ice.system.add_files(table => 'db.t', "
+                    f"source => '{empty}')")
+
+    def test_create_changelog_view(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        first = t.current_snapshot().snapshot_id
+        eng.sql("INSERT INTO ice.db.t VALUES (100, 'x')")
+        eng.sql("DELETE FROM ice.db.t WHERE id = 0")
+        name = eng.sql(
+            f"CALL ice.system.create_changelog_view(table => 'db.t', "
+            f"changelog_view => 'tchg', start_snapshot_id => {first})"
+        ).collect()[0]["changelog_view"]
+        assert name == "tchg"
+        # the view OUTLIVES the CALL statement and is plain-SQL
+        # queryable in the session
+        got = {(r["_change_type"], r["id"]) for r in spark.sql(
+            "SELECT _change_type, id FROM tchg").collect()}
+        assert ("insert", 100) in got
+        assert ("delete", 0) in got
+        spark.catalog.dropTempView("tchg")
+        # default view name: <table>_changes
+        name = eng.sql(
+            "CALL ice.system.create_changelog_view(table => 'db.t')"
+        ).collect()[0]["changelog_view"]
+        assert name == "t_changes"
+        assert spark.sql("SELECT count(*) AS n FROM t_changes") \
+            .collect()[0]["n"] > 0
+        spark.catalog.dropTempView("t_changes")
+
+    def test_show_partitions(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        # unpartitioned: per-spec rollup rows, no partition column
+        got = eng.sql("SHOW PARTITIONS ice.db.t").collect()
+        assert sum(r["record_count"] for r in got) == 6
+        assert "partition" not in got[0].asDict()
+        eng.sql("CREATE TABLE ice.db.pt PARTITIONED BY "
+                "(bucket(4, id)) AS SELECT id, data FROM ice.db.t")
+        rows = eng.sql("SHOW PARTITIONS ice.db.pt").collect()
+        assert sum(r["record_count"] for r in rows) == 6
+        assert len(rows) >= 2  # 6 ids over 4 buckets
+        assert all(r["partition"]["id_bucket"] is not None
+                   for r in rows)
+
+    def test_show_views(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        assert eng.sql("SHOW VIEWS IN ice.db").collect() == []
+        eng.sql("CREATE VIEW ice.db.v AS SELECT id FROM ice.db.t")
+        vs = eng.sql("SHOW VIEWS IN ice.db").collect()
+        assert [(r["namespace"], r["viewName"]) for r in vs] == \
+            [("db", "v")]
+        # unscoped: walks every namespace
+        vs = eng.sql("SHOW VIEWS IN ice").collect()
+        assert [r["viewName"] for r in vs] == ["v"]
+
+    def test_procedures_refuse_in_txn(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        txn = t.new_transaction()
+        with pytest.raises(ValueError, match="cannot run inside"):
+            eng.sql("CALL ice.system.register_table(table => 'db.t3', "
+                    f"metadata_file => '{t.metadata_location}')",
+                    txn=txn)
