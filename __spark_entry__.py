@@ -2211,6 +2211,46 @@ def ice_sql_branch_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("st"))
 
 
+def ice_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy clone (r15 IceTable.snapshot_to, driven here through
+    CALL ice.system.snapshot): a lineitem table clones into a second
+    catalog entry with NO data movement — descriptors ride the manifest
+    DataFrames into commit_files_df's executor-sharded authoring, with
+    the metrics maps re-encoded so the clone prunes like the source.
+    The row asserts the file sets are IDENTICAL (nothing copied) and
+    the clone's GC guard is stamped, then aggregates a metrics-filtered
+    scan of the CLONE; the oracle recomputes from raw lineitem.
+    Reference: catalog.h is CRUD-only — no clone; beyond it."""
+    from iceberg_cpp_spark import IceSqlEngine
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.plans import expressions as ex
+    from iceberg_cpp_spark.sources.catalog import FileSystemCatalog
+
+    li = _t(spark, sf_dir, "lineitem")
+    cat = FileSystemCatalog(os.path.join(
+        tempfile.mkdtemp(prefix="ice_clone_"), "wh"))
+    cat.create_namespace("db")
+    cat.create_table("db.src", schema_from_spark(li.schema))
+    src = cat.load_table("db.src", spark=spark)
+    src.append(li.filter(F.col("l_orderkey") % 2 == 0))
+    src.append(li.filter(F.col("l_orderkey") % 2 == 1))
+    eng = IceSqlEngine(spark, cat)
+    eng.sql("CALL ice.system.snapshot(source_table => 'db.src', "
+            "table => 'db.clone')")
+    clone = cat.load_table("db.clone", spark=spark)
+    assert ({f.file_path for f in clone.scan().plan_files()}
+            == {f.file_path for f in src.scan().plan_files()}), \
+        "clone copied or lost data files"
+    assert clone.properties().get("gc.enabled") == "false", \
+        "clone GC guard missing"
+    return (clone.scan(filter=ex.lt(ex.Reference("l_quantity"), 10))
+            .to_df().groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_dec("l_extendedprice")).cast("double")
+                 .alias("sum_price"))
+            .orderBy("l_returnflag"))
+
+
 def ice_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """z-order compaction: rewrite clustered on (l_orderkey, l_partkey),
     then a filtered aggregate — results must be unchanged by the rewrite
@@ -3370,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_partition_stats": ice_partition_stats,
         "ice_wap_flow": ice_wap_flow,
         "ice_sql_branch_flow": ice_sql_branch_flow,
+        "ice_snapshot_clone": ice_snapshot_clone,
         "dedup_semantic": dedup_semantic,
         "dedup_incremental": dedup_incremental,
         "text_span_scrub": text_span_scrub,
@@ -4217,6 +4258,13 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM branch)
                      AS branch_while_staged
             FROM branch GROUP BY o_orderstatus ORDER BY st
+        """,
+        "ice_snapshot_clone": """
+            SELECT l_returnflag, COUNT(*) AS n,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_price
+            FROM lineitem WHERE l_quantity < 10
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "ice_mor_merge": """
             WITH upd AS (

@@ -4067,6 +4067,10 @@ class IceTable:
                 "current spec")
         props = dict(self.properties())
         props["gc.enabled"] = "false"
+        # format-version is metadata, not a property — carry it so a v3
+        # source (row lineage, defaults, ns timestamps) clones as v3
+        props.setdefault("format-version",
+                         str(self.metadata.format_version))
         so = self.sort_order()
         catalog.create_table(
             ident, self.schema(),

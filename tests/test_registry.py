@@ -82,6 +82,7 @@ def test_driver_cap_window_composition():
         "ice_partition_stats",  # partition-statistics files (ice_partition_pruned in-window covers the partition metadata; ice_analyze_ndv in-window the stats-pointer flow)
         "ice_wap_flow",     # WAP staging (ice_rollback_cherry_pick in-window keeps cherry-pick publish; staging + the expectations gate pinned by TestWriteAuditPublish/TestExpectationsWapGate)
         "ice_sql_branch_flow",  # r15 branch-suffix SQL staging + fast_forward publish (ice_sql_dml in-window keeps the SQL DML plane; branch refs ride ice_rollback_cherry_pick's in-window ref machinery; pinned by TestSqlBranchSuffix + TestSqlOverRest)
+        "ice_snapshot_clone",  # r15 zero-copy clone via CALL ice.system.snapshot (the clone lands through commit_files_df, whose executor-sharded authoring ice_bulk_ingest keeps in-window; file-set identity + GC guard asserted in-row; pinned by tests/test_snapshot_clone.py incl. Avro/partitioned/refusal legs)
         "dedup_semantic",   # SemDeDup cluster-prune (ann_ivf_topk in-window keeps centroid assignment; dedup_cross_corpus in-window the LSH plane)
         "dedup_incremental",  # store-backed incremental LSH (dedup_minhash in-window keeps banding; ice_merge_into in-window the store MERGE)
         "text_span_scrub",  # ExactSubstr window scrub (text_rolling_fp in-window keeps the rolling-hash machinery; span scrub pinned by TestText)

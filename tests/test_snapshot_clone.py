@@ -148,6 +148,24 @@ class TestSnapshotTo:
         assert clone.to_df().count() == 0
         assert clone.current_snapshot() is None
 
+    def test_v3_and_evolved_schema_carry(self, spark, cat):
+        # non-contiguous field ids (evolution) + v3 format survive
+        cat.create_table("db.vsrc", _schema(),
+                         properties={"format-version": "3"})
+        src = _fill(spark, cat.load_table("db.vsrc", spark=spark),
+                    0, 4)
+        src = src.add_column("extra", it.LongType())
+        src = src.drop_column("data")
+        src.append(spark.createDataFrame(
+            [(50, 7)], "id long, extra long"))
+        src = cat.load_table("db.vsrc", spark=spark)
+        clone = src.snapshot_to(cat, "db.vclone")
+        assert clone.metadata.format_version == 3
+        assert [f.field_id for f in clone.schema().fields] == \
+            [f.field_id for f in src.schema().fields]
+        got = {(r["id"], r["extra"]) for r in clone.to_df().collect()}
+        assert (50, 7) in got and len(got) == 5
+
 
 class TestSnapshotSql:
     def test_call_snapshot_and_stats(self, spark, cat):
