@@ -402,6 +402,52 @@ def bench_commit_1m(spark) -> dict[str, float]:
     return {"ice_commit_1m": round(el, 3)}
 
 
+def bench_snapshot_clone(spark) -> dict[str, float]:
+    """Zero-copy clone at 200k files (r15 snapshot_to): descriptors
+    ride the manifest DataFrames into commit_files_df's executor
+    authoring, so the timed clone is pure metadata work. Asserts the
+    clone plans all 200k files and a < 256 MiB driver-RSS bound — a
+    driver-side file-list materialization would blow it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from iceberg_cpp_spark.core import types as itt
+    from iceberg_cpp_spark.sources.catalog import FileSystemCatalog
+
+    schema = itt.Schema(
+        [itt.NestedField(1, "id", itt.LongType(), required=True)],
+        schema_id=0)
+    root = tempfile.mkdtemp(prefix="bench_clone_")
+    cat = FileSystemCatalog(os.path.join(root, "wh"))
+    cat.create_namespace("db")
+    cat.create_table("db.src", schema)
+    t = cat.load_table("db.src", spark=spark)
+    n = 200_000
+    desc = spark.range(n).select(
+        F.concat(F.lit("/fake/data/part-"), F.col("id"),
+                 F.lit(".parquet")).alias("file_path"),
+        F.lit(100).cast("long").alias("record_count"),
+        F.lit(10_000).cast("long").alias("file_size_in_bytes"))
+    t = t.commit_files_df(desc)
+    rss0 = _vm_rss_mib()
+    t0 = time.time()
+    clone = t.snapshot_to(cat, "db.clone")
+    el = time.time() - t0
+    rss_delta_mib = _vm_rss_mib() - rss0
+    files = (clone.scan().plan_files_df()
+             .agg(F.count("*").alias("f")).collect()[0]["f"])
+    assert files == n
+    assert clone.properties().get("gc.enabled") == "false"
+    assert rss_delta_mib < 256, (
+        f"snapshot_to grew driver RSS by {rss_delta_mib:.0f} MiB at "
+        "200k files — the clone is materializing file entries on the "
+        "driver")
+    shutil.rmtree(root, ignore_errors=True)
+    return {"ice_clone_200k": round(el, 3)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -435,6 +481,7 @@ def main() -> None:
     results.update(bench_plan_50k(spark))
     results.update(bench_plan_200k(spark))
     results.update(bench_commit_1m(spark))
+    results.update(bench_snapshot_clone(spark))
     print(json.dumps({
         "metric": "bench_suite_seconds",
         "value": total,

@@ -727,10 +727,20 @@ class IceSqlEngine:
             self._no_extra(proc, kwargs)
             pattern = (os.path.join(src, "**", "*")
                        if os.path.isdir(src) else src)
+
+            def _hidden(p: str) -> bool:
+                # exclude any PATH COMPONENT starting with '_' or '.'
+                # below the source root (Hadoop/Iceberg convention):
+                # a crashed write's _temporary/.../part-*.parquet must
+                # never register as table data
+                rel = os.path.relpath(p, src) if os.path.isdir(src) \
+                    else os.path.basename(p)
+                return any(part.startswith(("_", "."))
+                           for part in rel.split(os.sep))
+
             paths = sorted(
                 p for p in _glob.glob(pattern, recursive=True)
-                if os.path.isfile(p)
-                and not os.path.basename(p).startswith(("_", ".")))
+                if os.path.isfile(p) and not _hidden(p))
             if not paths:
                 raise ValueError(
                     f"CALL add_files found no files under {src!r}")
@@ -825,6 +835,17 @@ class IceSqlEngine:
         if self.catalog.table_exists(ident):
             raise ValueError(
                 f"CALL register_table target already exists: {ident!r}")
+        # validate BEFORE registering: a pointer-store catalog (e.g.
+        # InMemory) does not read the file, and registering a dead
+        # pointer would leave a permanently poisoned entry ('already
+        # exists' on the retry with the corrected path)
+        from iceberg_cpp_spark.core.metadata import read_table_metadata
+        try:
+            read_table_metadata(mloc)
+        except Exception as exc:
+            raise ValueError(
+                f"CALL register_table cannot read metadata_file "
+                f"{mloc!r}: {exc}") from exc
         self.catalog.register_table(ident, mloc)
         t = self.catalog.load_table(ident, spark=self.spark)
         s = t.current_snapshot()
@@ -879,32 +900,40 @@ class IceSqlEngine:
     def _show_tables(self, ns: Optional[str]):
         from pyspark.sql import types as T
 
-        namespaces = ([ns] if ns
-                      else self.catalog.list_namespaces() or [])
         # list_tables returns fully-qualified identifiers; SHOW TABLES
         # reports the bare table name next to its namespace
-        rows = [(n, t.rsplit(".", 1)[-1]) for n in namespaces
-                for t in sorted(self.catalog.list_tables(n))]
-        return self.spark.createDataFrame(
-            rows, T.StructType([
-                T.StructField("namespace", T.StringType(), False),
-                T.StructField("tableName", T.StringType(), False)]))
+        return self._show_idents(ns, self.catalog.list_tables,
+                                 "tableName")
 
     def _show_views(self, ns: Optional[str]):
-        from pyspark.sql import types as T
-
         lister = getattr(self.catalog, "list_views", None)
         if lister is None:
             raise ValueError(
                 f"catalog {self.catalog_name!r} does not support views")
-        namespaces = ([ns] if ns
-                      else self.catalog.list_namespaces() or [])
-        rows = [(n, v.rsplit(".", 1)[-1]) for n in namespaces
-                for v in sorted(lister(n))]
+        return self._show_idents(ns, lister, "viewName")
+
+    def _all_namespaces(self) -> list:
+        """Every namespace including NESTED ones (list_namespaces is
+        one level per call) — an unscoped SHOW TABLES/VIEWS must not
+        silently omit a.b just because only 'a' is top-level."""
+        out, stack = [], [""]
+        while stack:
+            parent = stack.pop()
+            for n in self.catalog.list_namespaces(parent) or []:
+                out.append(n)
+                stack.append(n)
+        return sorted(out)
+
+    def _show_idents(self, ns: Optional[str], lister, col: str):
+        from pyspark.sql import types as T
+
+        namespaces = [ns] if ns else self._all_namespaces()
+        rows = [(n, t.rsplit(".", 1)[-1]) for n in namespaces
+                for t in sorted(lister(n))]
         return self.spark.createDataFrame(
             rows, T.StructType([
                 T.StructField("namespace", T.StringType(), False),
-                T.StructField("viewName", T.StringType(), False)]))
+                T.StructField(col, T.StringType(), False)]))
 
     def _show_namespaces(self, parent: str):
         from pyspark.sql import types as T

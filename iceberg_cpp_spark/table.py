@@ -4057,20 +4057,27 @@ class IceTable:
                 "rewrite_equality_deletes / rewrite_data_files) — a "
                 "zero-copy clone cannot carry them and silently "
                 "dropping deletes would resurrect rows")
+        if manifests and self.spark is None:
+            raise ValueError("snapshot_to requires a SparkSession on "
+                             "the source table (load with spark=)")
         cur_spec = self.spec()
-        if any(m.partition_spec_id != cur_spec.spec_id
-               for m in manifests):
+        stale_specs = sorted({m.partition_spec_id for m in manifests}
+                             - {cur_spec.spec_id})
+        if stale_specs:
             raise ValueError(
-                "snapshot_to: live files span multiple partition specs "
-                f"(current spec {cur_spec.spec_id}); compact with "
+                f"snapshot_to: live files carry partition spec(s) "
+                f"{stale_specs} but the table's current spec is "
+                f"{cur_spec.spec_id} (descriptors decode under the "
+                "clone's single current spec); compact with "
                 "rewrite_data_files first so every file carries the "
                 "current spec")
         props = dict(self.properties())
         props["gc.enabled"] = "false"
         # format-version is metadata, not a property — carry it so a v3
-        # source (row lineage, defaults, ns timestamps) clones as v3
-        props.setdefault("format-version",
-                         str(self.metadata.format_version))
+        # source (row lineage, defaults, ns timestamps) clones as v3.
+        # Force-set (not setdefault): metadata is the source of truth
+        # even when a stale 'format-version' property lingers
+        props["format-version"] = str(self.metadata.format_version)
         so = self.sort_order()
         catalog.create_table(
             ident, self.schema(),
@@ -4103,11 +4110,20 @@ class IceTable:
                     F.coalesce(F.col(c), empty),
                     lambda _k, v: F.lower(F.hex(v))).alias(c)
 
-            metrics = F.to_json(F.struct(
+            # stat-less files get NULL metrics_json (not '{}...'): the
+            # shard author's vectorized fast path keys on null metrics,
+            # and a metadata-only clone must stay on it
+            any_stats = sum(
+                F.when(F.col(c).isNull(), F.lit(0))
+                 .otherwise(F.size(F.col(c)))
+                for c in ("column_sizes", "value_counts",
+                          "null_value_counts", "nan_value_counts",
+                          "lower_bounds", "upper_bounds")) > 0
+            metrics = F.when(any_stats, F.to_json(F.struct(
                 _counts("column_sizes"), _counts("value_counts"),
                 _counts("null_value_counts"),
                 _counts("nan_value_counts"),
-                _hexed("lower_bounds"), _hexed("upper_bounds")))
+                _hexed("lower_bounds"), _hexed("upper_bounds"))))
             df = self.spark.read.parquet(
                 *[m.manifest_path for m in pq_group])
             legs.append(
@@ -4151,6 +4167,10 @@ class IceTable:
                                 "upper_bounds": {
                                     k: v.hex() for k, v
                                     in f.upper_bounds.items()}}
+                            # stat-less files: NULL keeps the shard
+                            # author's vectorized fast path
+                            mj = (_json.dumps(enc)
+                                  if any(enc.values()) else None)
                             rows.append((
                                 f.file_path,
                                 f.file_format or "parquet",
@@ -4158,7 +4178,7 @@ class IceTable:
                                 int(f.file_size_in_bytes),
                                 mfx.partition_to_json(
                                     f.partition, spec, schema),
-                                _json.dumps(enc)))
+                                mj))
                     yield pd.DataFrame(rows, columns=cols)
 
             paths_df = self.spark.createDataFrame(

@@ -138,8 +138,24 @@ class TestSnapshotTo:
             source_id=1, field_id=0, name="id_bucket",
             transform=from_string("bucket[4]"))])
         src = _fill(spark, src, 4, 8)
-        with pytest.raises(ValueError, match="multiple partition"):
+        with pytest.raises(ValueError, match="partition spec"):
             src.snapshot_to(cat, "db.mclone")
+        # spec evolution with NO writes since: same refusal, and the
+        # message names the stale spec rather than claiming "multiple"
+        cat.create_table("db.m2", _schema())
+        s2 = _fill(spark, cat.load_table("db.m2", spark=spark), 0, 4)
+        s2 = s2.update_spec([PartitionField(
+            source_id=1, field_id=0, name="id_bucket",
+            transform=from_string("bucket[4]"))])
+        with pytest.raises(ValueError, match=r"spec\(s\) \[0\]"):
+            s2.snapshot_to(cat, "db.m2clone")
+
+    def test_requires_spark_session(self, spark, cat):
+        cat.create_table("db.nsrc", _schema())
+        _fill(spark, cat.load_table("db.nsrc", spark=spark), 0, 4)
+        bare = cat.load_table("db.nsrc")  # driver-only handle
+        with pytest.raises(ValueError, match="SparkSession"):
+            bare.snapshot_to(cat, "db.nclone")
 
     def test_empty_source_clones_empty(self, spark, cat):
         cat.create_table("db.esrc", _schema())

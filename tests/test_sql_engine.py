@@ -1443,3 +1443,58 @@ class TestSqlProceduresR15:
             eng.sql("CALL ice.system.register_table(table => 'db.t3', "
                     f"metadata_file => '{t.metadata_location}')",
                     txn=txn)
+
+
+class TestSqlProcedureReviewPins:
+    """Review findings on the r15 procedure batch: hidden-path
+    add_files leak, register_table poisoning, nested-namespace SHOW."""
+
+    def test_add_files_skips_hidden_path_components(self, spark, cat,
+                                                    tmp_loc):
+        import os as _os
+        src = f"{tmp_loc}/loose2"
+        spark.range(3).select(
+            F.col("id"), F.lit("ok").alias("data")) \
+            .coalesce(1).write.parquet(src)
+        # simulate a crashed write: a valid parquet under _temporary
+        # must NOT register (only dot-prefixed names are hidden to
+        # glob; every path component must be checked)
+        stale_dir = f"{src}/_temporary/0"
+        _os.makedirs(stale_dir, exist_ok=True)
+        spark.range(100, 103).select(
+            F.col("id"), F.lit("stale").alias("data")) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(f"{stale_dir}/task")
+        eng = IceSqlEngine(spark, cat)
+        eng.sql(f"CALL ice.system.add_files(table => 'db.t', "
+                f"source => '{src}')")
+        got = eng.sql("SELECT count(*) AS n FROM ice.db.t "
+                      "WHERE data = 'stale'").collect()[0]["n"]
+        assert got == 0
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t") \
+            .collect()[0]["n"] == 9  # 6 fixture + 3 imported
+
+    def test_register_table_bad_path_leaves_no_entry(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="cannot read"):
+            eng.sql("CALL ice.system.register_table(table => 'db.r2', "
+                    "metadata_file => '/nope/v1.metadata.json')")
+        assert not cat.table_exists("db.r2")  # not poisoned
+        t = cat.load_table("db.t", spark=spark)
+        eng.sql(f"CALL ice.system.register_table(table => 'db.r2', "
+                f"metadata_file => '{t.metadata_location}')")
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.r2") \
+            .collect()[0]["n"] == 6
+
+    def test_show_walks_nested_namespaces(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        cat.create_namespace("db.inner")
+        cat.create_table("db.inner.t2", _schema())
+        eng.sql("CREATE VIEW ice.db.inner.v2 AS "
+                "SELECT id FROM ice.db.t")
+        tabs = {(r["namespace"], r["tableName"]) for r in
+                eng.sql("SHOW TABLES IN ice").collect()}
+        assert ("db.inner", "t2") in tabs and ("db", "t") in tabs
+        views = {(r["namespace"], r["viewName"]) for r in
+                 eng.sql("SHOW VIEWS IN ice").collect()}
+        assert views == {("db.inner", "v2")}
