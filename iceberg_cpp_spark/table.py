@@ -4039,24 +4039,33 @@ class IceTable:
         commit_files_df's executor-sharded manifest authoring: a
         10^6-file clone never materializes a file list on the driver.
 
-        Loud boundaries: a source with live DELETE files / DVs refuses
-        (a clone that dropped them would resurrect rows — fold with
-        rewrite_position_deletes / rewrite_data_files first), and a
-        source whose live files span MULTIPLE partition specs refuses
-        (descriptors decode under the clone's single current spec)."""
+        Merge-on-read sources clone too: parquet POSITION-DELETE files
+        ride along as delete descriptors (commit_files_df authors them
+        into delete manifests in the same one-CAS commit; data and
+        deletes share the clone's sequence number, and position deletes
+        apply at data_seq <= delete_seq, so the clone reads exactly
+        like the source).
+
+        Loud boundaries: EQUALITY deletes refuse (they apply strictly
+        to OLDER sequence numbers, so cloned alongside their data they
+        would delete nothing — fold with rewrite_equality_deletes
+        first); DELETION VECTORS refuse (puffin blob pointers have no
+        descriptor form — fold via rewrite_data_files, or they fold
+        naturally at the next compaction); Avro-format DELETE manifests
+        refuse (run rewrite_manifests first); a source whose live files
+        span MULTIPLE partition specs refuses (descriptors decode under
+        the clone's single current spec)."""
         from functools import reduce as _reduce
 
         snap = self.current_snapshot()
         manifests = (list(mf.read_manifest_list(snap.manifest_list))
                      if snap is not None else [])
-        if any(m.content == mf.MANIFEST_CONTENT_DELETES
-               for m in manifests):
+        del_group = [m for m in manifests
+                     if m.content == mf.MANIFEST_CONTENT_DELETES]
+        if any(m.manifest_path.endswith(".avro") for m in del_group):
             raise ValueError(
-                "snapshot_to: source has live delete files or deletion "
-                "vectors; fold them first (rewrite_position_deletes / "
-                "rewrite_equality_deletes / rewrite_data_files) — a "
-                "zero-copy clone cannot carry them and silently "
-                "dropping deletes would resurrect rows")
+                "snapshot_to: source has Avro-format delete manifests; "
+                "run rewrite_manifests (or fold the deletes) first")
         if manifests and self.spark is None:
             raise ValueError("snapshot_to requires a SparkSession on "
                              "the source table (load with spark=)")
@@ -4092,9 +4101,28 @@ class IceTable:
                     if not m.manifest_path.endswith(".avro")]
         av_group = [m for m in manifests
                     if m.manifest_path.endswith(".avro")]
-        desc_schema = ("file_path string, file_format string, "
-                       "record_count long, file_size_in_bytes long, "
-                       "partition_json string, metrics_json string")
+        if del_group:
+            # one small job over the DELETE manifests alone decides the
+            # two refusals (equality / DV) before anything is written
+            ddf = (self.spark.read.parquet(
+                       *[m.manifest_path for m in del_group])
+                   .filter(F.col("status") != mf.STATUS_DELETED))
+            bad = ddf.select(
+                F.max((F.col("content") == mf.CONTENT_EQUALITY_DELETES)
+                      .cast("int")).alias("eq"),
+                F.max(F.col("content_offset").isNotNull()
+                      .cast("int")).alias("dv")).collect()[0]
+            if bad["eq"]:
+                raise ValueError(
+                    "snapshot_to: source has live EQUALITY deletes — "
+                    "cloned alongside their data (one sequence number) "
+                    "they would apply to nothing; fold with "
+                    "rewrite_equality_deletes first")
+            if bad["dv"]:
+                raise ValueError(
+                    "snapshot_to: source has deletion vectors (puffin "
+                    "blob pointers have no descriptor form); fold with "
+                    "rewrite_data_files first")
         if pq_group:
             def _counts(c: str):
                 empty = F.map_from_arrays(
@@ -4126,12 +4154,20 @@ class IceTable:
                 _hexed("lower_bounds"), _hexed("upper_bounds"))))
             df = self.spark.read.parquet(
                 *[m.manifest_path for m in pq_group])
-            legs.append(
-                df.filter((F.col("status") != mf.STATUS_DELETED)
-                          & (F.col("content") == mf.CONTENT_DATA))
-                  .select("file_path", "file_format", "record_count",
-                          "file_size_in_bytes", "partition_json",
-                          metrics.alias("metrics_json")))
+            df = df.filter(F.col("status") != mf.STATUS_DELETED)
+            cols = ["file_path", "file_format", "record_count",
+                    "file_size_in_bytes", "partition_json",
+                    metrics.alias("metrics_json")]
+            if del_group:
+                cols += [
+                    F.when(F.col("content")
+                           == mf.CONTENT_POSITION_DELETES,
+                           F.lit("position-deletes"))
+                     .otherwise(F.lit("data")).alias("content"),
+                    F.col("referenced_data_file")]
+            else:
+                df = df.filter(F.col("content") == mf.CONTENT_DATA)
+            legs.append(df.select(*cols))
         if av_group:
             spec, schema = cur_spec, self.schema()
             n_parts = min(len(av_group),
@@ -4184,8 +4220,17 @@ class IceTable:
             paths_df = self.spark.createDataFrame(
                 [(m.manifest_path,) for m in av_group],
                 "manifest_path string").repartition(n_parts)
-            legs.append(paths_df.mapInPandas(decode,
-                                             schema=desc_schema))
+            av_df = paths_df.mapInPandas(
+                decode,
+                schema=("file_path string, file_format string, "
+                        "record_count long, file_size_in_bytes long, "
+                        "partition_json string, metrics_json string"))
+            if del_group:  # avro manifests are data-only here
+                av_df = (av_df
+                         .withColumn("content", F.lit("data"))
+                         .withColumn("referenced_data_file",
+                                     F.lit(None).cast("string")))
+            legs.append(av_df)
         desc = _reduce(DataFrame.unionByName, legs)
         return target.commit_files_df(
             desc, summary_extras={

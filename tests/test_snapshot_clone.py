@@ -121,14 +121,54 @@ class TestSnapshotTo:
         pred = ex.gt(ex.Reference("id"), 100)
         assert clone.scan(filter=pred).to_df().count() == 0
 
-    def test_delete_carrying_source_refuses(self, spark, cat):
+    def test_position_delete_source_clones(self, spark, cat):
+        # MoR parquet position deletes ride along as delete
+        # descriptors: the clone reads exactly like the source
         cat.create_table("db.dsrc", _schema())
         src = _fill(spark, cat.load_table("db.dsrc", spark=spark),
                     0, 8)
         src = src.delete_where(ex.eq(ex.Reference("id"), 3),
                                mode="merge-on-read")
-        with pytest.raises(ValueError, match="delete files"):
-            src.snapshot_to(cat, "db.dclone")
+        clone = src.snapshot_to(cat, "db.dclone")
+        got = sorted(r["id"] for r in clone.to_df().collect())
+        assert got == [0, 1, 2, 4, 5, 6, 7]
+        # nothing was copied: data AND delete files are shared
+        src_all = {f.file_path
+                   for f in src.scan().plan_files()}
+        cl_all = {f.file_path
+                  for f in clone.scan().plan_files()}
+        assert cl_all == src_all
+
+    def test_dv_source_refuses(self, spark, cat):
+        cat.create_table("db.vsrc2", _schema(),
+                         properties={"format-version": "3"})
+        src = _fill(spark, cat.load_table("db.vsrc2", spark=spark),
+                    0, 8)
+        src = src.delete_where(ex.eq(ex.Reference("id"), 3),
+                               mode="deletion-vector")
+        with pytest.raises(ValueError, match="deletion vectors"):
+            src.snapshot_to(cat, "db.vclone2")
+
+    def test_equality_delete_source_refuses(self, spark, cat):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        cat.create_table("db.esrc2", _schema())
+        src = _fill(spark, cat.load_table("db.esrc2", spark=spark),
+                    0, 8)
+        # register an external equality-delete file (the r14 bulk
+        # delete-descriptor path)
+        p = f"{src.location()}/eq-del.parquet"
+        pq.write_table(pa.table({"id": pa.array([5], pa.int64())}), p)
+        desc = spark.createDataFrame(
+            [(p, 1, 200, "equality-deletes", "[1]")],
+            "file_path string, record_count long, "
+            "file_size_in_bytes long, content string, "
+            "equality_ids_json string")
+        src = src.commit_files_df(desc)
+        assert sorted(r["id"] for r in src.to_df().collect()) == \
+            [0, 1, 2, 3, 4, 6, 7]
+        with pytest.raises(ValueError, match="EQUALITY deletes"):
+            src.snapshot_to(cat, "db.eclone2")
 
     def test_multi_spec_source_refuses(self, spark, cat):
         cat.create_table("db.msrc", _schema())
