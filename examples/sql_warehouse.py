@@ -134,6 +134,22 @@ def main() -> None:
     eng.sql("SELECT snapshot_id, operation "
             "FROM ice.sales.orders.snapshots").show(truncate=False)
 
+    # r15: zero-copy clone + CDC view + stats + SHOW surfaces
+    eng.sql("CALL ice.system.snapshot(source_table => 'sales.orders', "
+            "table => 'sales.orders_dev')")   # shares data files
+    print("clone rows (no data copied; clone GC is fenced off):")
+    eng.sql("SELECT count(*) AS n FROM ice.sales.orders_dev").show()
+    eng.sql("CALL ice.system.ancestors_of("
+            "table => 'sales.orders')").show(truncate=False)
+    eng.sql("CALL ice.system.create_changelog_view("
+            "table => 'sales.orders', changelog_view => 'orders_cdc')")
+    spark.sql("SELECT _change_type, count(*) AS n FROM orders_cdc "
+              "GROUP BY _change_type").show()
+    eng.sql("CALL ice.system.compute_table_stats("
+            "table => 'sales.orders')")
+    eng.sql("SHOW PARTITIONS ice.sales.orders").show(truncate=False)
+    eng.sql("SHOW VIEWS IN ice").show()
+
     spark.stop()
     shutil.rmtree(wh, ignore_errors=True)
 

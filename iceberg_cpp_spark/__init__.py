@@ -41,5 +41,6 @@ from iceberg_cpp_spark.core.metadata import TableMetadata, Snapshot, PartitionSp
 from iceberg_cpp_spark.sources.catalog import InMemoryCatalog, FileSystemCatalog
 from iceberg_cpp_spark.sql import IceSqlEngine
 from iceberg_cpp_spark.table import IceTable, MatchedClause, NotMatchedClause
+from iceberg_cpp_spark.transaction import MultiTableTransaction
 
 __version__ = "0.1.0"

@@ -254,6 +254,29 @@ class RestCatalog(Catalog):
         j = self._request("POST", f"/v1/namespaces/{ns}/tables/{name}", body)
         return j["metadata-location"]
 
+    def commit_transaction(self, changes: list) -> None:
+        """Atomic MULTI-TABLE commit (the REST CommitTransaction
+        route): ``changes`` is a list of (ident, requirements,
+        new_metadata); the server validates every table's requirements
+        and applies all updates under one lock — all tables move or
+        none do. 409 surfaces as CommitFailedError (retry/rebase is
+        the caller's job, same as commit_table)."""
+        table_changes = []
+        for ident, requirements, new_metadata in changes:
+            ns, name = self._split(ident)
+            base, _loc = self.load_metadata(ident)
+            table_changes.append({
+                "identifier": {"namespace": ns.split("."),
+                               "name": name},
+                "requirements": [up.requirement_to_json(r)
+                                 for r in requirements],
+                "updates": [up.update_to_json(u)
+                            for u in synthesize_updates(base,
+                                                        new_metadata)],
+            })
+        self._request("POST", "/v1/transactions/commit",
+                      {"table-changes": table_changes})
+
     def rename_table(self, src: str, dst: str) -> None:
         sns, sname = self._split(src)
         dns, dname = self._split(dst)
@@ -490,6 +513,43 @@ def serve_rest_catalog(port: int = 0):
             parts = self._route()
             body = self._body()
             with lock:
+                if parts == ["v1", "transactions", "commit"]:
+                    # CommitTransactionRequest: N tables move atomically
+                    # or none do — validate EVERY change first (no
+                    # mutation on any failure), then swap all under the
+                    # one store lock
+                    staged = []
+                    seen = set()
+                    for ch in body.get("table-changes", []):
+                        ident = ch.get("identifier") or {}
+                        key = (".".join(ident.get("namespace", [])),
+                               ident.get("name"))
+                        if key in seen:
+                            return self._error(
+                                400, f"duplicate table in transaction: "
+                                     f"{key[1]}")
+                        seen.add(key)
+                        t = tables.get(key)
+                        if t is None:
+                            return self._error(
+                                404, f"table not found: {key[1]}")
+                        base = t["metadata"]
+                        try:
+                            for rj in ch.get("requirements", []):
+                                up.requirement_from_json(rj).check(base)
+                            b = up.TableMetadataBuilder.build_from(base)
+                            for uj in ch.get("updates", []):
+                                up.update_from_json(uj).apply_to(b)
+                            new_meta, _u, _r = b.build()
+                        except CommitFailedError as e:
+                            return self._error(409, str(e))
+                        except (ValueError, KeyError) as e:
+                            return self._error(400, str(e))
+                        staged.append((t, new_meta))
+                    for t, new_meta in staged:
+                        t["metadata"] = new_meta
+                        t["version"] += 1
+                    return self._send(204)
                 if parts in (["v1", "tables", "rename"],
                              ["v1", "views", "rename"]):
                     store = tables if parts[1] == "tables" else views

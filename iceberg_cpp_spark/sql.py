@@ -47,7 +47,11 @@ no rewrite), ``register_table`` (point the catalog at an existing
 metadata JSON), ``create_changelog_view`` (CDC rows between
 snapshots as a queryable session view), ``snapshot`` (zero-copy
 clone via ``IceTable.snapshot_to`` — shared data files, gc-guarded),
-``compute_table_stats`` and ``compute_partition_stats``.
+``compute_table_stats`` and ``compute_partition_stats``; multi-table
+atomic SQL — ``eng.sql(stmt, txn=MultiTableTransaction(catalog))``
+composes DML on SEVERAL tables into one REST CommitTransaction (all
+tables move or none do; txn reads see enrolled tables' pending
+chains).
 
 Scale shape: a binding is one ``TableScan.to_df()`` DataFrame — the
 same lazy, pruned, distributed plan every other entry point gets; the
@@ -266,8 +270,18 @@ class IceSqlEngine:
     def _txn_table(self, ident: str, stmt: str):
         """The transaction's working table when ``ident`` names it;
         raises when the statement targets a DIFFERENT table (a write
-        outside the transaction would silently break its atomicity)."""
+        outside the transaction would silently break its atomicity).
+        A :class:`MultiTableTransaction` accepts ANY table of the
+        catalog — each target joins the atomic batch on first use."""
+        from iceberg_cpp_spark.transaction import MultiTableTransaction
+
         txn = self._active_txn
+        if isinstance(txn, MultiTableTransaction):
+            if not self.catalog.table_exists(ident):
+                raise ValueError(
+                    f"{stmt} target is not a table in catalog "
+                    f"{self.catalog_name!r}: {ident!r}")
+            return txn.table(ident, spark=self.spark)
         tid = getattr(txn.base, "identifier", None)
         if tid != ident:
             raise ValueError(
@@ -1758,16 +1772,27 @@ class IceSqlEngine:
         safe = re.sub(r"\W", "_", ident)
         name = f"__ice_sql_{safe}_{digest}"
         txn = self._active_txn
-        if txn is not None \
-                and ident == getattr(txn.base, "identifier", None):
-            if (snapshot_id, ref, as_of, changes) != (None,) * 4:
-                raise ValueError(
-                    "time travel / CHANGES cannot bind inside a "
-                    "transaction scope (pending snapshots are not "
-                    "addressable until commit)")
-            # reads of the transaction's table see the PENDING chain
-            self._register_view(txn.table().scan().to_df(), name)
-            return name
+        if txn is not None:
+            from iceberg_cpp_spark.transaction import \
+                MultiTableTransaction
+
+            pending = None
+            if isinstance(txn, MultiTableTransaction):
+                # only tables already ENROLLED bind their pending
+                # chain; reading must not silently enroll a table
+                if ident in txn._txns:
+                    pending = txn._txns[ident].table()
+            elif ident == getattr(txn.base, "identifier", None):
+                pending = txn.table()
+            if pending is not None:
+                if (snapshot_id, ref, as_of, changes) != (None,) * 4:
+                    raise ValueError(
+                        "time travel / CHANGES cannot bind inside a "
+                        "transaction scope (pending snapshots are not "
+                        "addressable until commit)")
+                # reads of the transaction's table see the PENDING chain
+                self._register_view(pending.scan().to_df(), name)
+                return name
         if self.catalog.table_exists(ident):
             t = self.catalog.load_table(ident, spark=self.spark)
             if changes is not None:

@@ -318,3 +318,110 @@ class Transaction:
                     if e.data_file.file_path in candidates:
                         hits.add(e.data_file.file_path)
         return hits
+
+
+class MultiTableTransaction:
+    """Atomic writes across SEVERAL tables of one catalog — the REST
+    catalog's CommitTransaction surface (the only Iceberg catalog kind
+    that supports multi-table atomicity; the reference declares no
+    transaction implementation at all, transaction.h:31-51).
+
+    Each participating table gets an ordinary single-table
+    :class:`Transaction` working copy, so every mutator (append,
+    delete_where, merge_into, commit_files_df, ...) composes exactly as
+    it does in a one-table transaction and all data-plane work runs as
+    normal distributed jobs. ``commit()`` gathers every table's pending
+    chain and publishes them through ONE server-side commit — all
+    tables move or none do (a consistent cut across e.g. a fact table
+    and its dimension).
+
+    Conflict handling: the server validates every table's branch-head
+    requirement under one lock; a concurrent writer on ANY table fails
+    the whole batch with CommitFailedError, each participating
+    transaction rebases onto its fresh head (single-table rebase rules
+    per table), and the batch retries under ``commit.retry.*``.
+
+    Scale shape: like the single-table transaction, only the O(#tables)
+    metadata-pointer move is deferred; nothing data-plane serializes on
+    the commit."""
+
+    def __init__(self, catalog):
+        if not hasattr(catalog, "commit_transaction"):
+            raise ValueError(
+                "catalog does not support atomic multi-table commits "
+                "(the REST CommitTransaction route); use a RestCatalog, "
+                "or single-table new_transaction()")
+        self.catalog = catalog
+        self._txns: dict[str, Transaction] = {}
+        self._closed = False
+
+    def transaction(self, ident: str, spark=None,
+                    branch: str = MAIN_BRANCH) -> Transaction:
+        """The (lazily created) single-table transaction for ``ident``;
+        repeated calls return the same handle, so several statements
+        compose on one working copy per table."""
+        if self._closed:
+            raise ValueError("multi-table transaction already "
+                             "committed or abandoned")
+        if ident not in self._txns:
+            t = self.catalog.load_table(ident, spark=spark)
+            txn = t.new_transaction(branch=branch)
+            self._txns[ident] = txn
+        return self._txns[ident]
+
+    def table(self, ident: str, spark=None):
+        """The pending working view of ``ident`` (scans see the
+        uncommitted chain), creating its transaction on first use."""
+        return self.transaction(ident, spark=spark).table()
+
+    def commit(self):
+        """Publish every participating table's chain in ONE atomic
+        catalog commit; rebase all + retry on conflict. No-op tables
+        are skipped; an all-no-op batch commits nothing."""
+        if self._closed:
+            raise ValueError("multi-table transaction already "
+                             "committed or abandoned")
+        from iceberg_cpp_spark.sources.catalog import (
+            AssertRefSnapshotId, CommitFailedError)
+
+        active = {i: x for i, x in self._txns.items() if x._log}
+        if not active:
+            self._finish()
+            return [x.base for x in self._txns.values()]
+        retries = max(int(x.base.properties().get(
+            "commit.retry.num-retries", "4")) for x in active.values())
+        backoff_ms = min(int(x.base.properties().get(
+            "commit.retry.min-wait-ms", "100")) for x in active.values())
+        last: Exception = None
+        for attempt in range(retries + 1):
+            changes = [
+                (ident,
+                 [AssertRefSnapshotId(x.branch, x._base_sid)],
+                 x.working.metadata)
+                for ident, x in active.items()]
+            try:
+                self.catalog.commit_transaction(changes)
+                out = []
+                for ident, x in self._txns.items():
+                    if ident in active:
+                        meta, loc = self.catalog.load_metadata(ident)
+                        x.base.metadata = meta
+                        x.base.metadata_location = loc
+                    out.append(x.base)
+                self._finish()
+                return out
+            except CommitFailedError as e:
+                last = e
+                if attempt == retries:
+                    break
+                _time.sleep(min(backoff_ms * (2 ** attempt),
+                                60_000) / 1000.0)
+                for x in active.values():
+                    x._rebase()
+        raise last
+
+    def _finish(self) -> None:
+        self._closed = True
+        for x in self._txns.values():
+            x._closed = True
+            x.working._txn = None

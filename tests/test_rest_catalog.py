@@ -334,3 +334,120 @@ class TestSqlOverRest:
         # catalog must accept it (it crashed before the fix)
         eng.sql("DROP TABLE ice.r15.t")
         assert not cat.table_exists("r15.t")
+
+
+class TestMultiTableTransaction:
+    """Atomic cross-table commits through the REST CommitTransaction
+    route: all tables move or none do."""
+
+    @pytest.fixture()
+    def two_tables(self, rest, spark):
+        cat, loc = rest
+        cat.create_namespace("db")
+        cat.create_table("db.a", SCHEMA, location=os.path.join(loc, "a"))
+        cat.create_table("db.b", SCHEMA, location=os.path.join(loc, "b"))
+        for n in ("a", "b"):
+            cat.load_table(f"db.{n}", spark=spark).append(
+                spark.createDataFrame([(1, n)], "id long, name string"))
+        return cat
+
+    def test_atomic_cross_table_commit(self, rest, spark, two_tables):
+        from iceberg_cpp_spark import MultiTableTransaction
+
+        cat = two_tables
+        mtx = MultiTableTransaction(cat)
+        mtx.table("db.a", spark=spark)  # working view
+        mtx.transaction("db.a", spark=spark).append(
+            spark.createDataFrame([(2, "a2")], "id long, name string"))
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        mtx.transaction("db.b", spark=spark).delete_where(
+            ex.eq(ex.Reference("id"), 1))
+        # pending chains invisible before commit
+        assert cat.load_table("db.a", spark=spark).to_df().count() == 1
+        assert cat.load_table("db.b", spark=spark).to_df().count() == 1
+        # pending views visible through the txn
+        assert mtx.table("db.a", spark=spark).to_df().count() == 2
+        mtx.commit()
+        assert cat.load_table("db.a", spark=spark).to_df().count() == 2
+        assert cat.load_table("db.b", spark=spark).to_df().count() == 0
+        with pytest.raises(ValueError, match="already committed"):
+            mtx.commit()
+
+    def test_conflict_fails_whole_batch_then_rebases(self, rest, spark,
+                                                     two_tables):
+        from iceberg_cpp_spark import MultiTableTransaction
+
+        cat = two_tables
+        mtx = MultiTableTransaction(cat)
+        mtx.transaction("db.a", spark=spark).append(
+            spark.createDataFrame([(2, "a2")], "id long, name string"))
+        mtx.transaction("db.b", spark=spark).append(
+            spark.createDataFrame([(2, "b2")], "id long, name string"))
+        # concurrent writer moves db.b's head AFTER the txn opened:
+        # the batch CAS fails once, every table rebases, retry lands
+        cat.load_table("db.b", spark=spark).append(
+            spark.createDataFrame([(9, "race")], "id long, name string"))
+        mtx.commit()
+        a = cat.load_table("db.a", spark=spark).to_df().count()
+        b_rows = {r["id"] for r in cat.load_table("db.b", spark=spark)
+                  .to_df().collect()}
+        assert a == 2
+        assert b_rows == {1, 2, 9}  # race row AND txn row both present
+
+    def test_all_or_nothing_on_server(self, rest, spark, two_tables):
+        # a requirement failure on ONE table must leave BOTH untouched:
+        # drive the route directly with a stale snapshot assertion
+        from iceberg_cpp_spark.sources.catalog import AssertRefSnapshotId
+
+        cat = two_tables
+        ma, _ = cat.load_metadata("db.a")
+        mb, _ = cat.load_metadata("db.b")
+        good_a = ma.current_snapshot_id
+        with pytest.raises(CommitFailedError):
+            cat.commit_transaction([
+                ("db.a", [AssertRefSnapshotId("main", good_a)], ma),
+                ("db.b", [AssertRefSnapshotId("main", -42)], mb),
+            ])
+        # nothing moved on either table
+        assert cat.load_metadata("db.a")[0].current_snapshot_id == good_a
+        assert cat.load_metadata("db.b")[0].current_snapshot_id == \
+            mb.current_snapshot_id
+
+    def test_filesystem_catalog_refuses(self, tmp_loc):
+        from iceberg_cpp_spark import MultiTableTransaction
+        from iceberg_cpp_spark.sources.catalog import FileSystemCatalog
+
+        with pytest.raises(ValueError, match="multi-table"):
+            MultiTableTransaction(FileSystemCatalog(f"{tmp_loc}/wh2"))
+
+    def test_sql_across_tables_one_commit(self, rest, spark,
+                                          two_tables):
+        """eng.sql(stmt, txn=mtx): DML on DIFFERENT tables composes
+        into ONE atomic REST commit; txn reads see pending chains."""
+        from iceberg_cpp_spark import IceSqlEngine, MultiTableTransaction
+
+        cat = two_tables
+        eng = IceSqlEngine(spark, cat)
+        mtx = MultiTableTransaction(cat)
+        eng.sql("INSERT INTO ice.db.a VALUES (2, 'a2')", txn=mtx)
+        eng.sql("DELETE FROM ice.db.b WHERE id = 1", txn=mtx)
+        # pending visible inside the txn scope, invisible outside
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.a",
+                       txn=mtx).collect()[0]["n"] == 2
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.a") \
+            .collect()[0]["n"] == 1
+        # a cross-table JOIN inside the scope reads both pending chains
+        n = eng.sql("SELECT count(*) AS n FROM ice.db.a a "
+                    "LEFT JOIN ice.db.b b ON a.id = b.id",
+                    txn=mtx).collect()[0]["n"]
+        assert n == 2
+        mtx.commit()
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.a") \
+            .collect()[0]["n"] == 2
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.b") \
+            .collect()[0]["n"] == 0
+        # DDL still refuses in txn scope
+        mtx2 = MultiTableTransaction(cat)
+        with pytest.raises(ValueError, match="cannot run inside"):
+            eng.sql("DROP TABLE ice.db.b", txn=mtx2)
