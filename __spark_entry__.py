@@ -2251,6 +2251,65 @@ def ice_snapshot_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("l_returnflag"))
 
 
+def ice_multi_table_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic multi-table transaction (r15 MultiTableTransaction over
+    the REST CommitTransaction route): two tables built from raw
+    orders, cross-table SQL DML composed into ONE server-side commit —
+    an insert into the facts and a delete on the dims land together.
+    The row asserts the pending chains were INVISIBLE before the batch
+    committed; the oracle recomputes the post-commit join from raw
+    orders. Reference: transaction.h:31-51 declares but never
+    implements single-table transactions; no catalog there has a
+    multi-table commit."""
+    from iceberg_cpp_spark import IceSqlEngine, MultiTableTransaction
+    from iceberg_cpp_spark.core.types import schema_from_spark
+    from iceberg_cpp_spark.sources.rest_catalog import (RestCatalog,
+                                                        serve_rest_catalog)
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus",
+                                           "o_totalprice")
+    server, uri = serve_rest_catalog()
+    try:
+        cat = RestCatalog(uri)
+        cat.create_namespace("db")
+        root = tempfile.mkdtemp(prefix="ice_mtx_")
+        facts = o.filter(F.col("o_orderkey") % 4 == 0)
+        cat.create_table("db.facts", schema_from_spark(facts.schema),
+                         location=os.path.join(root, "facts"))
+        cat.load_table("db.facts", spark=spark).append(facts)
+        dims = (o.select("o_orderstatus").distinct()
+                .withColumn("status_rank",
+                            F.length("o_orderstatus").cast("long")))
+        cat.create_table("db.dims", schema_from_spark(dims.schema),
+                         location=os.path.join(root, "dims"))
+        cat.load_table("db.dims", spark=spark).append(dims)
+        eng = IceSqlEngine(spark, cat)
+        mtx = MultiTableTransaction(cat)
+        eng.sql("INSERT INTO ice.db.facts SELECT o_orderkey + 900000000,"
+                " 'F', o_totalprice FROM ice.db.facts "
+                "WHERE o_orderkey % 8 = 0", txn=mtx)
+        eng.sql("DELETE FROM ice.db.dims WHERE o_orderstatus = 'P'",
+                txn=mtx)
+        # both pending chains invisible before the one-commit publish
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.facts "
+                       "WHERE o_orderkey >= 900000000"
+                       ).collect()[0]["n"] == 0
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.dims "
+                       "WHERE o_orderstatus = 'P'"
+                       ).collect()[0]["n"] > 0
+        mtx.commit()
+        return eng.sql("""
+            SELECT d.o_orderstatus AS status, count(*) AS n,
+                   CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_price
+            FROM ice.db.facts f
+            JOIN ice.db.dims d ON f.o_orderstatus = d.o_orderstatus
+            GROUP BY d.o_orderstatus ORDER BY status
+        """)
+    finally:
+        server.shutdown()
+
+
 def ice_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """z-order compaction: rewrite clustered on (l_orderkey, l_partkey),
     then a filtered aggregate — results must be unchanged by the rewrite
@@ -3411,6 +3470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_wap_flow": ice_wap_flow,
         "ice_sql_branch_flow": ice_sql_branch_flow,
         "ice_snapshot_clone": ice_snapshot_clone,
+        "ice_multi_table_txn": ice_multi_table_txn,
         "dedup_semantic": dedup_semantic,
         "dedup_incremental": dedup_incremental,
         "text_span_scrub": text_span_scrub,
@@ -4258,6 +4318,25 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM branch)
                      AS branch_while_staged
             FROM branch GROUP BY o_orderstatus ORDER BY st
+        """,
+        "ice_multi_table_txn": """
+            WITH facts0 AS (
+              SELECT o_orderkey, o_orderstatus, o_totalprice
+              FROM orders WHERE o_orderkey % 4 = 0),
+            ins AS (
+              SELECT o_orderkey + 900000000 AS o_orderkey,
+                     'F' AS o_orderstatus, o_totalprice
+              FROM facts0 WHERE o_orderkey % 8 = 0),
+            facts AS (SELECT * FROM facts0
+                      UNION ALL SELECT * FROM ins),
+            dims AS (SELECT DISTINCT o_orderstatus FROM orders
+                     WHERE o_orderstatus <> 'P')
+            SELECT d.o_orderstatus AS status, COUNT(*) AS n,
+                   CAST(SUM(CAST(f.o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_price
+            FROM facts f
+            JOIN dims d ON f.o_orderstatus = d.o_orderstatus
+            GROUP BY d.o_orderstatus ORDER BY status
         """,
         "ice_snapshot_clone": """
             SELECT l_returnflag, COUNT(*) AS n,

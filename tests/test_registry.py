@@ -83,6 +83,7 @@ def test_driver_cap_window_composition():
         "ice_wap_flow",     # WAP staging (ice_rollback_cherry_pick in-window keeps cherry-pick publish; staging + the expectations gate pinned by TestWriteAuditPublish/TestExpectationsWapGate)
         "ice_sql_branch_flow",  # r15 branch-suffix SQL staging + fast_forward publish (ice_sql_dml in-window keeps the SQL DML plane; branch refs ride ice_rollback_cherry_pick's in-window ref machinery; pinned by TestSqlBranchSuffix + TestSqlOverRest)
         "ice_snapshot_clone",  # r15 zero-copy clone via CALL ice.system.snapshot (the clone lands through commit_files_df, whose executor-sharded authoring ice_bulk_ingest keeps in-window; file-set identity + GC guard asserted in-row; pinned by tests/test_snapshot_clone.py incl. Avro/partitioned/refusal legs)
+        "ice_multi_table_txn",  # r15 atomic cross-table SQL DML via the REST CommitTransaction route (single-table txn composition is in-window via ice_transaction; REST commit plane pinned by test_rest_catalog.py TestMultiTableTransaction incl. conflict rebase + server all-or-nothing; in-row asserts pending invisibility pre-commit)
         "dedup_semantic",   # SemDeDup cluster-prune (ann_ivf_topk in-window keeps centroid assignment; dedup_cross_corpus in-window the LSH plane)
         "dedup_incremental",  # store-backed incremental LSH (dedup_minhash in-window keeps banding; ice_merge_into in-window the store MERGE)
         "text_span_scrub",  # ExactSubstr window scrub (text_rolling_fp in-window keeps the rolling-hash machinery; span scrub pinned by TestText)
