@@ -742,13 +742,19 @@ class IceSqlEngine:
             pattern = (os.path.join(src, "**", "*")
                        if os.path.isdir(src) else src)
 
+            # the hidden check applies below the source ROOT: the
+            # directory itself, or a glob's static prefix (everything
+            # before the first wildcard)
+            root = (src if os.path.isdir(src)
+                    else os.path.dirname(src.split("*", 1)[0])
+                    or os.sep)
+
             def _hidden(p: str) -> bool:
                 # exclude any PATH COMPONENT starting with '_' or '.'
                 # below the source root (Hadoop/Iceberg convention):
                 # a crashed write's _temporary/.../part-*.parquet must
                 # never register as table data
-                rel = os.path.relpath(p, src) if os.path.isdir(src) \
-                    else os.path.basename(p)
+                rel = os.path.relpath(p, root)
                 return any(part.startswith(("_", "."))
                            for part in rel.split(os.sep))
 
@@ -930,13 +936,17 @@ class IceSqlEngine:
         """Every namespace including NESTED ones (list_namespaces is
         one level per call) — an unscoped SHOW TABLES/VIEWS must not
         silently omit a.b just because only 'a' is top-level."""
-        out, stack = [], [""]
+        # visited-set BFS: catalogs differ on whether list_namespaces
+        # returns direct children (InMemory/FS) or all descendants
+        # (Rest) — dedup keeps the walk correct and linear either way
+        seen, stack = set(), [""]
         while stack:
             parent = stack.pop()
             for n in self.catalog.list_namespaces(parent) or []:
-                out.append(n)
-                stack.append(n)
-        return sorted(out)
+                if n not in seen:
+                    seen.add(n)
+                    stack.append(n)
+        return sorted(seen)
 
     def _show_idents(self, ns: Optional[str], lister, col: str):
         from pyspark.sql import types as T
@@ -1778,6 +1788,10 @@ class IceSqlEngine:
 
             pending = None
             if isinstance(txn, MultiTableTransaction):
+                if txn._closed:
+                    raise ValueError(
+                        "multi-table transaction already committed or "
+                        "abandoned")
                 # only tables already ENROLLED bind their pending
                 # chain; reading must not silently enroll a table
                 if ident in txn._txns:

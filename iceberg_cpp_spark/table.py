@@ -4080,6 +4080,29 @@ class IceTable:
                 "clone's single current spec); compact with "
                 "rewrite_data_files first so every file carries the "
                 "current spec")
+        if del_group:
+            # the refusals run BEFORE the target is created — a refusal
+            # must not leave a poisoned empty clone entry behind (one
+            # small job over the DELETE manifests alone decides them)
+            ddf = (self.spark.read.parquet(
+                       *[m.manifest_path for m in del_group])
+                   .filter(F.col("status") != mf.STATUS_DELETED))
+            bad = ddf.select(
+                F.max((F.col("content") == mf.CONTENT_EQUALITY_DELETES)
+                      .cast("int")).alias("eq"),
+                F.max(F.col("content_offset").isNotNull()
+                      .cast("int")).alias("dv")).collect()[0]
+            if bad["eq"]:
+                raise ValueError(
+                    "snapshot_to: source has live EQUALITY deletes — "
+                    "cloned alongside their data (one sequence number) "
+                    "they would apply to nothing; fold with "
+                    "rewrite_equality_deletes first")
+            if bad["dv"]:
+                raise ValueError(
+                    "snapshot_to: source has deletion vectors (puffin "
+                    "blob pointers have no descriptor form); fold with "
+                    "rewrite_data_files first")
         props = dict(self.properties())
         props["gc.enabled"] = "false"
         # format-version is metadata, not a property — carry it so a v3
@@ -4101,28 +4124,6 @@ class IceTable:
                     if not m.manifest_path.endswith(".avro")]
         av_group = [m for m in manifests
                     if m.manifest_path.endswith(".avro")]
-        if del_group:
-            # one small job over the DELETE manifests alone decides the
-            # two refusals (equality / DV) before anything is written
-            ddf = (self.spark.read.parquet(
-                       *[m.manifest_path for m in del_group])
-                   .filter(F.col("status") != mf.STATUS_DELETED))
-            bad = ddf.select(
-                F.max((F.col("content") == mf.CONTENT_EQUALITY_DELETES)
-                      .cast("int")).alias("eq"),
-                F.max(F.col("content_offset").isNotNull()
-                      .cast("int")).alias("dv")).collect()[0]
-            if bad["eq"]:
-                raise ValueError(
-                    "snapshot_to: source has live EQUALITY deletes — "
-                    "cloned alongside their data (one sequence number) "
-                    "they would apply to nothing; fold with "
-                    "rewrite_equality_deletes first")
-            if bad["dv"]:
-                raise ValueError(
-                    "snapshot_to: source has deletion vectors (puffin "
-                    "blob pointers have no descriptor form); fold with "
-                    "rewrite_data_files first")
         if pq_group:
             def _counts(c: str):
                 empty = F.map_from_arrays(

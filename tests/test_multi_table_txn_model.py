@@ -43,7 +43,7 @@ def rest_eng(spark, tmp_loc):
     server.shutdown()
 
 
-@pytest.mark.parametrize("seed", [3, 29])
+@pytest.mark.parametrize("seed", [3, 8, 29])
 def test_random_multi_table_batches_match_model(spark, rest_eng, seed):
     cat, eng = rest_eng
     rng = random.Random(seed)
@@ -60,8 +60,10 @@ def test_random_multi_table_batches_match_model(spark, rest_eng, seed):
     for batch in range(3):
         mtx = MultiTableTransaction(cat)
         pending = {n: dict(committed[n]) for n in ("x", "y")}
+        enrolled: set = set()
         for _step in range(rng.randint(2, 4)):
             n = rng.choice(["x", "y"])
+            enrolled.add(n)
             kind = rng.choice(["insert", "delete", "update"])
             if kind == "insert":
                 i, q = next_id[0], rng.randint(0, 9)
@@ -96,14 +98,17 @@ def test_random_multi_table_batches_match_model(spark, rest_eng, seed):
             committed[n][i] = 99
             conc[n][i] = 99
         # pending invisible outside the txn scope; txn-scope reads see
-        # the pending chain WITHOUT the concurrent row
+        # the pending chain WITHOUT the concurrent row for ENROLLED
+        # tables, and the committed state for unenrolled ones (reading
+        # never enrolls a table into the batch)
         for n in ("x", "y"):
             assert _state(eng, n) == committed[n], \
                 f"batch {batch}: pending leaked into {n} pre-commit"
             got = {r["id"]: r["qty"] for r in eng.sql(
                 f"SELECT * FROM ice.db.{n}", txn=mtx).collect()}
-            assert got == pending[n], \
-                f"batch {batch}: txn-scope read of {n} != pending model"
+            want = pending[n] if n in enrolled else committed[n]
+            assert got == want, \
+                f"batch {batch}: txn-scope read of {n} != model"
         mtx.commit()
         committed = {n: {**pending[n], **conc[n]} for n in ("x", "y")}
         for n in ("x", "y"):

@@ -451,3 +451,34 @@ class TestMultiTableTransaction:
         mtx2 = MultiTableTransaction(cat)
         with pytest.raises(ValueError, match="cannot run inside"):
             eng.sql("DROP TABLE ice.db.b", txn=mtx2)
+
+    def test_closed_mtx_refuses_reads_and_dml(self, rest, spark,
+                                              two_tables):
+        from iceberg_cpp_spark import IceSqlEngine, MultiTableTransaction
+
+        cat = two_tables
+        eng = IceSqlEngine(spark, cat)
+        mtx = MultiTableTransaction(cat)
+        eng.sql("INSERT INTO ice.db.a VALUES (2, 'a2')", txn=mtx)
+        mtx.commit()
+        # a committed handle must not serve stale working-chain reads
+        with pytest.raises(ValueError, match="already committed"):
+            eng.sql("SELECT * FROM ice.db.a", txn=mtx)
+        with pytest.raises(ValueError, match="already committed"):
+            eng.sql("INSERT INTO ice.db.a VALUES (3, 'x')", txn=mtx)
+
+    def test_show_tables_no_duplicates_nested_rest(self, rest, spark):
+        """RestCatalog.list_namespaces returns DESCENDANTS (not direct
+        children) — the SHOW walk must still list each table once."""
+        from iceberg_cpp_spark import IceSqlEngine
+
+        cat, loc = rest
+        cat.create_namespace("db")
+        cat.create_namespace("db.inner")
+        cat.create_table("db.t", SCHEMA, location=os.path.join(loc, "t"))
+        cat.create_table("db.inner.t2", SCHEMA,
+                         location=os.path.join(loc, "t2"))
+        eng = IceSqlEngine(spark, cat)
+        rows = [(r["namespace"], r["tableName"]) for r in
+                eng.sql("SHOW TABLES IN ice").collect()]
+        assert sorted(rows) == [("db", "t"), ("db.inner", "t2")]

@@ -148,6 +148,8 @@ class TestSnapshotTo:
                                mode="deletion-vector")
         with pytest.raises(ValueError, match="deletion vectors"):
             src.snapshot_to(cat, "db.vclone2")
+        # the refusal must not leave a poisoned empty clone entry
+        assert not cat.table_exists("db.vclone2")
 
     def test_equality_delete_source_refuses(self, spark, cat):
         import pyarrow as pa
@@ -169,6 +171,7 @@ class TestSnapshotTo:
             [0, 1, 2, 3, 4, 6, 7]
         with pytest.raises(ValueError, match="EQUALITY deletes"):
             src.snapshot_to(cat, "db.eclone2")
+        assert not cat.table_exists("db.eclone2")
 
     def test_multi_spec_source_refuses(self, spark, cat):
         cat.create_table("db.msrc", _schema())

@@ -1498,3 +1498,25 @@ class TestSqlProcedureReviewPins:
         views = {(r["namespace"], r["viewName"]) for r in
                  eng.sql("SHOW VIEWS IN ice").collect()}
         assert views == {("db.inner", "v2")}
+
+    def test_add_files_glob_source_skips_hidden(self, spark, cat,
+                                                tmp_loc):
+        import os as _os
+        src = f"{tmp_loc}/gsrc"
+        spark.range(2).select(
+            F.col("id"), F.lit("g").alias("data")) \
+            .coalesce(1).write.parquet(src)
+        stale = f"{src}/_temporary/1"
+        _os.makedirs(stale, exist_ok=True)
+        spark.range(500, 502).select(
+            F.col("id"), F.lit("stale").alias("data")) \
+            .coalesce(1).write.mode("overwrite").parquet(f"{stale}/t")
+        eng = IceSqlEngine(spark, cat)
+        # GLOB form: hidden components below the static prefix must
+        # still be excluded
+        eng.sql(f"CALL ice.system.add_files(table => 'db.t', "
+                f"source => '{src}/**/*.parquet')")
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t "
+                       "WHERE data = 'stale'").collect()[0]["n"] == 0
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t "
+                       "WHERE data = 'g'").collect()[0]["n"] == 2
