@@ -669,13 +669,23 @@ class IceSqlEngine:
             zo = kwargs.pop("zorder_by", None)
             tfc = kwargs.pop("target_file_count", None)
             tfs = kwargs.pop("target_file_size_bytes", None)
+            wh = kwargs.pop("where", None)
             self._no_extra(proc, kwargs)
+            expr = None
+            if wh is not None:
+                # same restricted predicate grammar as SQL DELETE —
+                # the filter selects FILES via pruning, so only
+                # prunable shapes make sense here
+                from iceberg_cpp_spark.plans.sql_parser import \
+                    parse_predicate
+                expr = parse_predicate(str(wh))
             return snap_frame(t.rewrite_data_files(
                 target_file_count=int(tfc) if tfc is not None else None,
                 target_file_size_bytes=(int(tfs) if tfs is not None
                                         else None),
                 zorder_by=([c.strip() for c in zo.split(",")]
-                           if zo else None)))
+                           if zo else None),
+                where=expr))
         if proc == "rewrite_manifests":
             self._no_extra(proc, kwargs)
             return snap_frame(t.rewrite_manifests())

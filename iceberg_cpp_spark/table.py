@@ -3217,7 +3217,8 @@ class IceTable:
     def rewrite_data_files(self, target_file_count: Optional[int] = None,
                            branch: str = MAIN_BRANCH,
                            zorder_by: Optional[list] = None,
-                           target_file_size_bytes: Optional[int] = None) -> "IceTable":
+                           target_file_size_bytes: Optional[int] = None,
+                           where: Optional[ex.Expression] = None) -> "IceTable":
         """Compaction (M9): read all live files, re-cluster, replace.
         snapshot operation = replace (snapshot.h:209).
 
@@ -3231,20 +3232,24 @@ class IceTable:
         min/max bounds stay tight on EVERY listed column and filters on
         any of them prune files. Codes are equal-width buckets from a
         distributed min/max pass; the interleave is pure JVM Column
-        arithmetic (no UDF), and the final layout is one range shuffle."""
+        arithmetic (no UDF), and the final layout is one range shuffle.
+
+        ``where``: FILE-scoped compaction (the Spark-Iceberg
+        rewrite_data_files ``where`` semantics) — the predicate selects
+        candidate FILES via partition/metrics pruning and every row of
+        a selected file rewrites (rows are never filtered out). At
+        100 TB this is the only shape that matters: one hot partition
+        compacts without touching the other 10^6 files. Candidates read
+        with their deletes APPLIED (matching position deletes / DVs
+        fold into the rewrite; the commit is an OVERWRITE that drops
+        only the candidates, so concurrent appends elsewhere rebase
+        cleanly instead of hitting the whole-table replace conflict
+        rule)."""
         # read side pins the SAME branch the replace commits to — a
         # diverged branch must be compacted from its own head, not main's
         def branch_scan() -> "TableScan":
             return self._branch_scan(branch)
 
-        if target_file_size_bytes:
-            if target_file_count:
-                raise ValueError(
-                    "pass target_file_count OR target_file_size_bytes")
-            live = sum(t.file_size_in_bytes or 0
-                       for t in branch_scan().plan_files())
-            target_file_count = max(1, -(-live // int(target_file_size_bytes)))
-        df = branch_scan().to_df()
         if zorder_by:
             schema = self.schema()
             for c in zorder_by:
@@ -3256,6 +3261,44 @@ class IceTable:
                     raise ValueError(
                         f"{zf.field_type.to_json()} column {c!r} cannot "
                         "be a z-order dimension (no numeric projection)")
+
+        if where is not None:
+            affected = {t.file_path for t in
+                        self._branch_scan(branch, filter=where)
+                        .plan_files()}
+            if not affected:
+                return self
+            if target_file_size_bytes:
+                if target_file_count:
+                    raise ValueError("pass target_file_count OR "
+                                     "target_file_size_bytes")
+                live = sum(
+                    t.file_size_in_bytes or 0
+                    for t in self._branch_scan(branch, filter=where)
+                    .plan_files())
+                target_file_count = max(
+                    1, -(-live // int(target_file_size_bytes)))
+            df = self._read_files_with_deletes(affected, branch=branch)
+            if zorder_by:
+                df = self._zorder(df, zorder_by, target_file_count or 8)
+            elif target_file_count:
+                df = df.repartition(target_file_count)
+            new_files = self._write_data_files(df)
+            return self._commit_files(
+                new_files, operation=DataOperation.OVERWRITE,
+                branch=branch, carry_existing=True,
+                drop_paths=affected,
+                read_snapshot_id=self._branch_head_id(branch))
+
+        if target_file_size_bytes:
+            if target_file_count:
+                raise ValueError(
+                    "pass target_file_count OR target_file_size_bytes")
+            live = sum(t.file_size_in_bytes or 0
+                       for t in branch_scan().plan_files())
+            target_file_count = max(1, -(-live // int(target_file_size_bytes)))
+        df = branch_scan().to_df()
+        if zorder_by:
             df = self._zorder(df, zorder_by, target_file_count or 8)
         elif target_file_count:
             df = df.repartition(target_file_count)
