@@ -1765,6 +1765,63 @@ class IceTable:
             "partition", "spec_id", "file_count", "record_count",
             "total_size_bytes")
 
+    def _all_manifest_paths(self) -> dict:
+        """{manifest_path: first snapshot_id that references it} across
+        EVERY snapshot — manifests are immutable and shared, so the
+        `all_*` tables dedup on manifest path (the Iceberg all_files /
+        all_entries convention). Driver cost is O(#snapshots ×
+        #manifests) POINTER rows; entries stay in executors."""
+        out: dict = {}
+        for s in self.metadata.snapshots:
+            for m in mf.read_manifest_list(s.manifest_list):
+                out.setdefault(m.manifest_path, s.snapshot_id)
+        return out
+
+    def all_manifests_df(self) -> DataFrame:
+        """Manifests of EVERY snapshot (the `all_manifests` metadata
+        table): one row per (snapshot, manifest) — reads only the
+        manifest LISTS, O(#snapshots) small files."""
+        snaps = self.metadata.snapshots
+        if not snaps:
+            return self.spark.createDataFrame(
+                [], "manifest_path string, reference_snapshot_id long")
+        legs = [self.spark.read.parquet(s.manifest_list)
+                .withColumn("reference_snapshot_id",
+                            F.lit(s.snapshot_id))
+                for s in snaps]
+        from functools import reduce as _reduce
+        return _reduce(lambda a, b: a.unionByName(
+            b, allowMissingColumns=True), legs)
+
+    def all_entries_df(self) -> DataFrame:
+        """Manifest entries across EVERY snapshot's manifests, deduped
+        by manifest path (the `all_entries` metadata table) — includes
+        DELETED entries with their status, unlike `entries`."""
+        paths = sorted(self._all_manifest_paths())
+        if not paths:
+            return self.spark.createDataFrame(
+                [], "status int, file_path string")
+        return (self.spark.read.option("mergeSchema", "true")
+                .parquet(*paths))
+
+    def all_files_df(self) -> DataFrame:
+        """Live data/delete file rows across EVERY snapshot's
+        manifests, deduped by manifest path (the `all_files` metadata
+        table) — a maintenance audit sees files that the CURRENT
+        snapshot no longer references."""
+        return self.all_entries_df().filter(
+            F.col("status") != mf.STATUS_DELETED)
+
+    def metadata_log_entries_df(self) -> DataFrame:
+        """The metadata-file log (the `metadata_log_entries` metadata
+        table): every previous metadata JSON plus the current one."""
+        rows = [(e.get("timestamp-ms"), e.get("metadata-file"))
+                for e in self.metadata.metadata_log]
+        rows.append((self.metadata.last_updated_ms,
+                     self.metadata_location))
+        return self.spark.createDataFrame(
+            rows, "timestamp_ms long, file string")
+
     def snapshots_df(self) -> DataFrame:
         rows = [
             (s.snapshot_id, s.parent_snapshot_id, s.sequence_number, s.timestamp_ms,

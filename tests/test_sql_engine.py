@@ -1520,3 +1520,50 @@ class TestSqlProcedureReviewPins:
                        "WHERE data = 'stale'").collect()[0]["n"] == 0
         assert eng.sql("SELECT count(*) AS n FROM ice.db.t "
                        "WHERE data = 'g'").collect()[0]["n"] == 2
+
+
+class TestAllMetadataTables:
+    """all_files / all_manifests / all_entries / metadata_log_entries:
+    history-wide metadata tables (manifest-path-deduped, the Iceberg
+    all_* convention) bound by SQL suffix."""
+
+    def test_all_files_sees_dropped_history(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        live_before = {r["file_path"] for r in t.files_df().collect()}
+        # CoW delete rewrites files: current `files` shrinks to the
+        # new set, `all_files` still lists the dropped originals
+        eng.sql("DELETE FROM ice.db.t WHERE id <= 1")
+        t = cat.load_table("db.t", spark=spark)
+        live = {r["file_path"] for r in t.files_df().collect()}
+        all_rows = {r["file_path"]
+                    for r in t.all_files_df().collect()}
+        assert live_before - live  # something was dropped
+        assert (live_before | live) <= all_rows
+        # SQL suffix binding, composable with aggregation
+        n = eng.sql("SELECT count(DISTINCT file_path) AS n "
+                    "FROM ice.db.t.all_files").collect()[0]["n"]
+        assert n == len(all_rows)
+
+    def test_all_manifests_and_entries(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("INSERT INTO ice.db.t VALUES (50, 'x')")
+        t = cat.load_table("db.t", spark=spark)
+        rows = t.all_manifests_df().select(
+            "manifest_path", "reference_snapshot_id").collect()
+        sids = {r["reference_snapshot_id"] for r in rows}
+        assert sids == {s.snapshot_id for s in t.metadata.snapshots}
+        # all_entries >= entries (history includes superseded rows)
+        n_all = eng.sql("SELECT count(*) AS n FROM "
+                        "ice.db.t.all_entries").collect()[0]["n"]
+        n_cur = eng.sql("SELECT count(*) AS n FROM "
+                        "ice.db.t.entries").collect()[0]["n"]
+        assert n_all >= n_cur > 0
+
+    def test_metadata_log_entries(self, spark, cat):
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        rows = eng.sql("SELECT * FROM ice.db.t.metadata_log_entries "
+                       "ORDER BY timestamp_ms").collect()
+        assert rows[-1]["file"] == t.metadata_location
+        assert len(rows) == len(t.metadata.metadata_log) + 1
