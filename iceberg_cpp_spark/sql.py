@@ -188,7 +188,8 @@ _SQL_TYPE_ALIASES = {
 # suffixes of `<table>.<metadata table>` (Iceberg's SQL convention)
 _META_TABLES = ("files", "manifests", "partitions", "snapshots",
                 "refs", "history", "entries", "all_files",
-                "all_manifests", "all_entries", "metadata_log_entries")
+                "all_manifests", "all_entries", "metadata_log_entries",
+                "position_deletes")
 
 
 class IceSqlEngine:

@@ -1812,6 +1812,79 @@ class IceTable:
         return self.all_entries_df().filter(
             F.col("status") != mf.STATUS_DELETED)
 
+    def position_deletes_df(self) -> DataFrame:
+        """The `position_deletes` metadata table: one row per live
+        position delete — (file_path, pos, delete_file_path). Parquet
+        position-delete files read on the JVM vectorized reader; DVs
+        decode in EXECUTORS from {puffin, offset, length} pointers
+        (the driver walks only the delete manifests and never opens a
+        blob)."""
+        out_schema = ("file_path string, pos long, "
+                      "delete_file_path string")
+        snap = self.current_snapshot()
+        if snap is None:
+            return self.spark.createDataFrame([], out_schema)
+        meta, schema = self.metadata, self.schema()
+        pd_files: list[str] = []
+        dvs: list = []
+        for m in mf.read_manifest_list(snap.manifest_list):
+            if m.content != mf.MANIFEST_CONTENT_DELETES:
+                continue
+            spec = meta.spec_by_id(m.partition_spec_id)
+            for e in mf.read_manifest(m.manifest_path, spec, schema,
+                                      manifest=m):
+                f = e.data_file
+                if (not e.is_live
+                        or f.content != mf.CONTENT_POSITION_DELETES):
+                    continue
+                if f.content_offset is not None:
+                    dvs.append(f)
+                else:
+                    pd_files.append(f.file_path)
+        legs: list[DataFrame] = []
+        if pd_files:
+            legs.append(
+                self.spark.read.parquet(*sorted(set(pd_files)))
+                .select(F.col("file_path"), F.col("pos").cast("long"),
+                        F.col("_metadata.file_path")
+                        .alias("delete_file_path")))
+        if dvs:
+            ptr_rows = [(d.referenced_data_file, d.file_path,
+                         int(d.content_offset or 0),
+                         int(d.content_size_in_bytes or 0))
+                        for d in dvs]
+            ptr_df = self.spark.createDataFrame(
+                ptr_rows,
+                "data_file string, puffin string, off long, ln long")
+
+            def _explode(it):
+                import numpy as np
+                import pandas as pd
+
+                from iceberg_cpp_spark.core.puffin import (
+                    _decode_dv_pointer_cached)
+
+                for pdf in it:
+                    for r in pdf.itertuples(index=False):
+                        arr = _decode_dv_pointer_cached(
+                            r.puffin, r.off, r.ln)
+                        yield pd.DataFrame(
+                            {"file_path": np.full(len(arr), r.data_file,
+                                                  dtype=object),
+                             "pos": arr.astype(np.int64),
+                             "delete_file_path": np.full(
+                                 len(arr), r.puffin, dtype=object)})
+
+            nparts = max(1, min(
+                len(ptr_rows),
+                self.spark.sparkContext.defaultParallelism))
+            legs.append(ptr_df.repartition(nparts)
+                        .mapInPandas(_explode, out_schema))
+        if not legs:
+            return self.spark.createDataFrame([], out_schema)
+        from functools import reduce as _reduce
+        return _reduce(DataFrame.unionByName, legs)
+
     def metadata_log_entries_df(self) -> DataFrame:
         """The metadata-file log (the `metadata_log_entries` metadata
         table): every previous metadata JSON plus the current one."""

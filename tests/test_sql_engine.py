@@ -1567,3 +1567,27 @@ class TestAllMetadataTables:
                        "ORDER BY timestamp_ms").collect()
         assert rows[-1]["file"] == t.metadata_location
         assert len(rows) == len(t.metadata.metadata_log) + 1
+
+    def test_position_deletes_table(self, spark, cat):
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        # empty before any MoR delete
+        assert t.position_deletes_df().count() == 0
+        t = t.delete_where(ex.eq(ex.Reference("id"), 2),
+                           mode="merge-on-read")
+        rows = eng.sql("SELECT * FROM ice.db.t.position_deletes "
+                       "ORDER BY file_path, pos").collect()
+        assert len(rows) == 1
+        assert rows[0]["delete_file_path"].endswith(".parquet")
+        # DV leg: fold the parquet delete into a deletion vector —
+        # same logical rows, now decoded from the puffin pointer
+        t = t.rewrite_position_deletes()
+        rows = eng.sql("SELECT * FROM ice.db.t.position_deletes "
+                       "ORDER BY file_path, pos").collect()
+        assert len(rows) == 1
+        assert rows[0]["delete_file_path"].endswith(".puffin")
+        # the deleted row's file/pos pair is consistent across legs
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t "
+                       "WHERE id = 2").collect()[0]["n"] == 0
