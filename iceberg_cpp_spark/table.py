@@ -1765,44 +1765,98 @@ class IceTable:
             "partition", "spec_id", "file_count", "record_count",
             "total_size_bytes")
 
-    def _all_manifest_paths(self) -> dict:
-        """{manifest_path: first snapshot_id that references it} across
-        EVERY snapshot — manifests are immutable and shared, so the
-        `all_*` tables dedup on manifest path (the Iceberg all_files /
-        all_entries convention). Driver cost is O(#snapshots ×
-        #manifests) POINTER rows; entries stay in executors."""
+    ALL_ENTRIES_DF_SCHEMA = (
+        "status int, snapshot_id long, sequence_number long, "
+        "file_path string, content int, record_count long, "
+        "file_size_in_bytes long")
+
+    def _all_manifests(self) -> dict:
+        """{manifest_path: ManifestFile} across EVERY snapshot —
+        manifests are immutable and shared, so the `all_*` tables
+        dedup on manifest path (the Iceberg all_files / all_entries
+        convention). Driver cost is O(#snapshots × #manifests) POINTER
+        rows; entries stay in executors."""
         out: dict = {}
         for s in self.metadata.snapshots:
             for m in mf.read_manifest_list(s.manifest_list):
-                out.setdefault(m.manifest_path, s.snapshot_id)
+                out.setdefault(m.manifest_path, m)
         return out
 
     def all_manifests_df(self) -> DataFrame:
         """Manifests of EVERY snapshot (the `all_manifests` metadata
-        table): one row per (snapshot, manifest) — reads only the
-        manifest LISTS, O(#snapshots) small files."""
-        snaps = self.metadata.snapshots
-        if not snaps:
-            return self.spark.createDataFrame(
-                [], "manifest_path string, reference_snapshot_id long")
-        legs = [self.spark.read.parquet(s.manifest_list)
-                .withColumn("reference_snapshot_id",
-                            F.lit(s.snapshot_id))
-                for s in snaps]
-        from functools import reduce as _reduce
-        return _reduce(lambda a, b: a.unionByName(
-            b, allowMissingColumns=True), legs)
+        table): one row per (snapshot, manifest). Built from the
+        manifest-LIST pointer rows (read_manifest_list is
+        format-sniffed, so Avro manifest lists work identically) —
+        O(#snapshots × #manifests) small rows, stable schema."""
+        rows = [
+            (m.manifest_path, m.manifest_length, m.partition_spec_id,
+             m.content, m.sequence_number, m.added_snapshot_id,
+             m.added_files_count, m.existing_files_count,
+             m.deleted_files_count, s.snapshot_id)
+            for s in self.metadata.snapshots
+            for m in mf.read_manifest_list(s.manifest_list)]
+        return self.spark.createDataFrame(
+            rows, "manifest_path string, manifest_length long, "
+                  "partition_spec_id int, content int, "
+                  "sequence_number long, added_snapshot_id long, "
+                  "added_files_count int, existing_files_count int, "
+                  "deleted_files_count int, reference_snapshot_id long")
 
     def all_entries_df(self) -> DataFrame:
         """Manifest entries across EVERY snapshot's manifests, deduped
         by manifest path (the `all_entries` metadata table) — includes
-        DELETED entries with their status, unlike `entries`."""
-        paths = sorted(self._all_manifest_paths())
-        if not paths:
+        DELETED entries with their status, unlike `entries`. Same
+        fixed schema and snapshot/sequence INHERITANCE as `entries`
+        (commit_files_df shards store nulls the manifest-list row
+        fills); Avro manifests decode on the driver, entries_df's
+        interop fallback."""
+        mans = self._all_manifests()
+        if not mans:
             return self.spark.createDataFrame(
-                [], "status int, file_path string")
-        return (self.spark.read.option("mergeSchema", "true")
-                .parquet(*paths))
+                [], self.ALL_ENTRIES_DF_SCHEMA)
+        pq = {p: m for p, m in mans.items() if not p.endswith(".avro")}
+        av = {p: m for p, m in mans.items() if p.endswith(".avro")}
+        legs: list[DataFrame] = []
+        if pq:
+            inh = self.spark.createDataFrame(
+                [(os.path.basename(p), m.added_snapshot_id,
+                  m.sequence_number) for p, m in pq.items()],
+                "mkey string, m_snap long, m_seq long")
+            df = (self.spark.read.option("mergeSchema", "true")
+                  .parquet(*sorted(pq))
+                  .withColumn("mkey", F.element_at(
+                      F.split(F.col("_metadata.file_path"), "/"), -1))
+                  .join(F.broadcast(inh), "mkey"))
+            seq = F.when(
+                F.col("status") != mf.STATUS_EXISTING,
+                F.coalesce("sequence_number", "m_seq")
+            ).otherwise(F.col("sequence_number"))
+            legs.append(df.select(
+                F.col("status").cast("int").alias("status"),
+                F.coalesce("snapshot_id", "m_snap").cast("long")
+                .alias("snapshot_id"),
+                seq.cast("long").alias("sequence_number"),
+                F.col("file_path"),
+                F.col("content").cast("int").alias("content"),
+                F.col("record_count").cast("long")
+                .alias("record_count"),
+                F.col("file_size_in_bytes").cast("long")
+                .alias("file_size_in_bytes")))
+        if av:
+            schema = self.schema()
+            rows = []
+            for p, m in sorted(av.items()):
+                spec = self.metadata.spec_by_id(m.partition_spec_id)
+                for e in mf.read_manifest(p, spec, schema, manifest=m):
+                    f = e.data_file
+                    rows.append((e.status, e.snapshot_id,
+                                 e.sequence_number, f.file_path,
+                                 f.content, f.record_count,
+                                 f.file_size_in_bytes))
+            legs.append(self.spark.createDataFrame(
+                rows, self.ALL_ENTRIES_DF_SCHEMA))
+        from functools import reduce as _reduce
+        return _reduce(DataFrame.unionByName, legs)
 
     def all_files_df(self) -> DataFrame:
         """Live data/delete file rows across EVERY snapshot's
@@ -1846,7 +1900,12 @@ class IceTable:
             legs.append(
                 self.spark.read.parquet(*sorted(set(pd_files)))
                 .select(F.col("file_path"), F.col("pos").cast("long"),
-                        F.col("_metadata.file_path")
+                        # normalize the reader URI to the plain path
+                        # form manifests store, so joins against
+                        # files/entries match on both delete planes
+                        F.regexp_replace(
+                            F.col("_metadata.file_path"),
+                            "^file:(//)?", "")
                         .alias("delete_file_path")))
         if dvs:
             ptr_rows = [(d.referenced_data_file, d.file_path,
@@ -3392,50 +3451,39 @@ class IceTable:
                         f"{zf.field_type.to_json()} column {c!r} cannot "
                         "be a z-order dimension (no numeric projection)")
 
+        if target_file_size_bytes and target_file_count:
+            raise ValueError(
+                "pass target_file_count OR target_file_size_bytes")
         if where is not None:
-            affected = {t.file_path for t in
-                        self._branch_scan(branch, filter=where)
-                        .plan_files()}
-            if not affected:
+            tasks = list(self._branch_scan(branch, filter=where)
+                         .plan_files())
+            if not tasks:
                 return self
+            affected = {t.file_path for t in tasks}
             if target_file_size_bytes:
-                if target_file_count:
-                    raise ValueError("pass target_file_count OR "
-                                     "target_file_size_bytes")
-                live = sum(
-                    t.file_size_in_bytes or 0
-                    for t in self._branch_scan(branch, filter=where)
-                    .plan_files())
+                live = sum(t.file_size_in_bytes or 0 for t in tasks)
                 target_file_count = max(
                     1, -(-live // int(target_file_size_bytes)))
             df = self._read_files_with_deletes(affected, branch=branch)
-            if zorder_by:
-                df = self._zorder(df, zorder_by, target_file_count or 8)
-            elif target_file_count:
-                df = df.repartition(target_file_count)
-            new_files = self._write_data_files(df)
-            return self._commit_files(
-                new_files, operation=DataOperation.OVERWRITE,
-                branch=branch, carry_existing=True,
-                drop_paths=affected,
-                read_snapshot_id=self._branch_head_id(branch))
-
-        if target_file_size_bytes:
-            if target_file_count:
-                raise ValueError(
-                    "pass target_file_count OR target_file_size_bytes")
-            live = sum(t.file_size_in_bytes or 0
-                       for t in branch_scan().plan_files())
-            target_file_count = max(1, -(-live // int(target_file_size_bytes)))
-        df = branch_scan().to_df()
+            operation, carry, drops = (DataOperation.OVERWRITE, True,
+                                       affected)
+        else:
+            if target_file_size_bytes:
+                live = sum(t.file_size_in_bytes or 0
+                           for t in branch_scan().plan_files())
+                target_file_count = max(
+                    1, -(-live // int(target_file_size_bytes)))
+            df = branch_scan().to_df()
+            operation, carry, drops = DataOperation.REPLACE, False, None
         if zorder_by:
             df = self._zorder(df, zorder_by, target_file_count or 8)
         elif target_file_count:
             df = df.repartition(target_file_count)
         new_files = self._write_data_files(df)
-        return self._commit_files(new_files, operation=DataOperation.REPLACE,
-                                  branch=branch, carry_existing=False,
-                                  read_snapshot_id=self._branch_head_id(branch))
+        return self._commit_files(
+            new_files, operation=operation, branch=branch,
+            carry_existing=carry, drop_paths=drops,
+            read_snapshot_id=self._branch_head_id(branch))
 
     def _zorder(self, df: DataFrame, cols: list, n_parts: int,
                 bits: int = 8) -> DataFrame:

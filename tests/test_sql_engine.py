@@ -1591,3 +1591,49 @@ class TestAllMetadataTables:
         # the deleted row's file/pos pair is consistent across legs
         assert eng.sql("SELECT count(*) AS n FROM ice.db.t "
                        "WHERE id = 2").collect()[0]["n"] == 0
+
+    def test_all_entries_inheritance_and_avro(self, spark, cat):
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        # commit_files_df shards store NULL snapshot/sequence; the
+        # all_entries rows must inherit from the manifest-list row
+        t = cat.load_table("db.t", spark=spark)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        p = f"{t.location()}/ext0.parquet"
+        pq.write_table(pa.table({
+            "id": pa.array([900], pa.int64()),
+            "data": pa.array(["x"])}), p)
+        desc = spark.createDataFrame(
+            [(p, 1, 300)], "file_path string, record_count long, "
+                           "file_size_in_bytes long")
+        t = t.commit_files_df(desc)
+        sid = t.current_snapshot().snapshot_id
+        row = [r for r in t.all_entries_df().collect()
+               if r["file_path"] == p]
+        assert row and row[0]["snapshot_id"] == sid
+        assert row[0]["sequence_number"] == \
+            t.current_snapshot().sequence_number
+        # Avro-manifest table: all_* must not hit the parquet reader
+        cat.create_table("db.av", it.Schema([
+            it.NestedField(1, "id", it.LongType(), True)]),
+            properties={"write.metadata.manifest-format": "avro"})
+        ta = cat.load_table("db.av", spark=spark)
+        ta.append(spark.range(3).select("id"))
+        ta = cat.load_table("db.av", spark=spark)
+        assert ta.all_manifests_df().count() >= 1
+        assert ta.all_entries_df().count() == \
+            ta.all_files_df().count() >= 1
+
+    def test_position_deletes_joins_files(self, spark, cat):
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        t = cat.load_table("db.t", spark=spark)
+        t = t.delete_where(ex.eq(ex.Reference("id"), 4),
+                           mode="merge-on-read")
+        # delete_file_path is the plain path form the manifests store
+        pd_df = t.position_deletes_df()
+        del_paths = {r["delete_file_path"] for r in pd_df.collect()}
+        mf_paths = {r["file_path"] for r in t.files_df().collect()
+                    if r["content"] != 0}
+        assert del_paths and del_paths <= mf_paths
