@@ -3407,7 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_scd2_dimension": ice_scd2_dimension,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
-        "dedup_cross_corpus": dedup_cross_corpus,
+        "ice_snapshot_clone": ice_snapshot_clone,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_pq_topk": ann_pq_topk,
         "text_stats": text_stats,
@@ -3469,7 +3469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_partition_stats": ice_partition_stats,
         "ice_wap_flow": ice_wap_flow,
         "ice_sql_branch_flow": ice_sql_branch_flow,
-        "ice_snapshot_clone": ice_snapshot_clone,
+        "dedup_cross_corpus": dedup_cross_corpus,
         "ice_multi_table_txn": ice_multi_table_txn,
         "dedup_semantic": dedup_semantic,
         "dedup_incremental": dedup_incremental,

@@ -82,7 +82,10 @@ def test_driver_cap_window_composition():
         "ice_partition_stats",  # partition-statistics files (ice_partition_pruned in-window covers the partition metadata; ice_analyze_ndv in-window the stats-pointer flow)
         "ice_wap_flow",     # WAP staging (ice_rollback_cherry_pick in-window keeps cherry-pick publish; staging + the expectations gate pinned by TestWriteAuditPublish/TestExpectationsWapGate)
         "ice_sql_branch_flow",  # r15 branch-suffix SQL staging + fast_forward publish (ice_sql_dml in-window keeps the SQL DML plane; branch refs ride ice_rollback_cherry_pick's in-window ref machinery; pinned by TestSqlBranchSuffix + TestSqlOverRest)
-        "ice_snapshot_clone",  # r15 zero-copy clone via CALL ice.system.snapshot (the clone lands through commit_files_df, whose executor-sharded authoring ice_bulk_ingest keeps in-window; file-set identity + GC guard asserted in-row; pinned by tests/test_snapshot_clone.py incl. Avro/partitioned/refusal legs)
+        # (r15 rotation #9 swapped ice_snapshot_clone INTO the window —
+        # the new zero-copy clone row had never been driver-checked —
+        # displacing dedup_cross_corpus below.)
+        "dedup_cross_corpus",  # r15 rotation #9 displacement: the same MinHash-LSH machinery as the in-window dedup_minhash, parameterized by corpus id (driver-green every round it was in-window; pinned by tests/test_dedup.py cross-corpus cases)
         "ice_multi_table_txn",  # r15 atomic cross-table SQL DML via the REST CommitTransaction route (single-table txn composition is in-window via ice_transaction; REST commit plane pinned by test_rest_catalog.py TestMultiTableTransaction incl. conflict rebase + server all-or-nothing; in-row asserts pending invisibility pre-commit)
         "dedup_semantic",   # SemDeDup cluster-prune (ann_ivf_topk in-window keeps centroid assignment; dedup_cross_corpus in-window the LSH plane)
         "dedup_incremental",  # store-backed incremental LSH (dedup_minhash in-window keeps banding; ice_merge_into in-window the store MERGE)
