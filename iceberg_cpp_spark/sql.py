@@ -701,6 +701,24 @@ class IceSqlEngine:
             sid = require("snapshot_id")
             self._no_extra(proc, kwargs)
             return snap_frame(t.rollback_to(int(sid)))
+        if proc == "rollback_to_timestamp":
+            # latest snapshot committed AT OR BEFORE the timestamp
+            # (Spark-Iceberg semantics); metadata-only
+            ts = require("timestamp")
+            self._no_extra(proc, kwargs)
+            ms = (int(ts) if isinstance(ts, int)
+                  else self._parse_ts_ms(str(ts)))
+            cands = [s for s in t.metadata.snapshots
+                     if s.timestamp_ms <= ms]
+            if not cands:
+                raise ValueError(
+                    f"no snapshot at or before {ts!r}")
+            target = max(cands, key=lambda s: s.timestamp_ms)
+            return snap_frame(t.rollback_to(target.snapshot_id))
+        if proc == "set_current_snapshot":
+            sid = require("snapshot_id")
+            self._no_extra(proc, kwargs)
+            return snap_frame(t.set_current_snapshot(int(sid)))
         if proc == "cherrypick_snapshot":
             sid = require("snapshot_id")
             self._no_extra(proc, kwargs)
@@ -832,7 +850,8 @@ class IceSqlEngine:
             "rollback_to_snapshot, cherrypick_snapshot, publish_wap, "
             "fast_forward, ancestors_of, add_files, "
             "create_changelog_view, register_table, snapshot, "
-            "compute_table_stats, compute_partition_stats)")
+            "compute_table_stats, compute_partition_stats, "
+            "rollback_to_timestamp, set_current_snapshot)")
 
     def _call_snapshot(self, require, kwargs: dict):
         from pyspark.sql import types as T

@@ -1637,3 +1637,34 @@ class TestAllMetadataTables:
         mf_paths = {r["file_path"] for r in t.files_df().collect()
                     if r["content"] != 0}
         assert del_paths and del_paths <= mf_paths
+
+    def test_rollback_to_timestamp_and_set_current(self, spark, cat):
+        from datetime import datetime, timezone
+
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        first = t.current_snapshot()
+        eng.sql("INSERT INTO ice.db.t VALUES (100, 'x')")
+        t = cat.load_table("db.t", spark=spark)
+        second = t.current_snapshot().snapshot_id
+        # a timestamp between the two commits rolls back to the first
+        ts = datetime.fromtimestamp(
+            (first.timestamp_ms + 1) / 1000.0,
+            tz=timezone.utc).isoformat()
+        got = eng.sql(f"CALL ice.system.rollback_to_timestamp("
+                      f"table => 'db.t', timestamp => '{ts}')"
+                      ).collect()[0]
+        assert got["current_snapshot_id"] == first.snapshot_id
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t"
+                       ).collect()[0]["n"] == 6
+        # roll FORWARD again (not an ancestor move: set_current)
+        got = eng.sql(f"CALL ice.system.set_current_snapshot("
+                      f"table => 'db.t', snapshot_id => {second})"
+                      ).collect()[0]
+        assert got["current_snapshot_id"] == second
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.t"
+                       ).collect()[0]["n"] == 7
+        with pytest.raises(ValueError, match="no snapshot at or"):
+            eng.sql("CALL ice.system.rollback_to_timestamp("
+                    "table => 'db.t', "
+                    "timestamp => '1990-01-01T00:00:00')")
