@@ -1693,20 +1693,59 @@ class IceTable:
 
     # --- inspection (metadata tables) ------------------------------------
     def files_df(self) -> DataFrame:
-        """Live data files as a DataFrame (one row per file)."""
+        """Live data/delete files as a DataFrame (one row per file).
+        Avro manifests (write.metadata.manifest-format=avro or foreign
+        metadata) decode on the driver into the reduced fixed schema —
+        the same interop fallback entries_df takes."""
         snap = self.current_snapshot()
         if snap is None:
             return self.spark.createDataFrame(
                 [], "file_path string, record_count long, file_size_in_bytes long")
-        paths = [m.manifest_path for m in mf.read_manifest_list(snap.manifest_list)]
+        manifests = list(mf.read_manifest_list(snap.manifest_list))
+        if any(m.manifest_path.endswith(".avro") for m in manifests):
+            schema = self.schema()
+            rows = []
+            for m in manifests:
+                spec = self.metadata.spec_by_id(m.partition_spec_id)
+                for e in mf.read_manifest(m.manifest_path, spec,
+                                          schema, manifest=m):
+                    if not e.is_live:
+                        continue
+                    f = e.data_file
+                    rows.append((e.status, e.snapshot_id,
+                                 e.sequence_number, f.file_path,
+                                 f.content, f.record_count,
+                                 f.file_size_in_bytes))
+            return self.spark.createDataFrame(
+                rows, self.ALL_ENTRIES_DF_SCHEMA)
+        paths = [m.manifest_path for m in manifests]
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         return df.filter(F.col("status") != mf.STATUS_DELETED)
 
     def manifests_df(self) -> DataFrame:
+        """Manifest-list rows of the current snapshot — built from the
+        format-sniffed pointer reader, so Avro manifest LISTS work
+        identically and the schema is stable."""
         snap = self.current_snapshot()
         if snap is None:
-            return self.spark.createDataFrame([], "manifest_path string")
-        return self.spark.read.parquet(snap.manifest_list)
+            return self.spark.createDataFrame(
+                [], "manifest_path string, manifest_length long, "
+                    "partition_spec_id int, content int, "
+                    "sequence_number long, added_snapshot_id long, "
+                    "added_files_count int, existing_files_count int, "
+                    "deleted_files_count int")
+        rows = [
+            (m.manifest_path, m.manifest_length, m.partition_spec_id,
+             m.content, m.sequence_number, m.added_snapshot_id,
+             m.added_files_count, m.existing_files_count,
+             m.deleted_files_count)
+            for m in mf.read_manifest_list(snap.manifest_list)]
+        return self.spark.createDataFrame(
+            rows, "manifest_path string, manifest_length long, "
+                  "partition_spec_id int, content int, "
+                  "sequence_number long, added_snapshot_id long, "
+                  "added_files_count int, existing_files_count int, "
+                  "deleted_files_count int")
 
     def partitions_df(self) -> DataFrame:
         """Per-partition row/file counts (the `partitions` metadata
