@@ -708,7 +708,11 @@ class IceSqlEngine:
             self._no_extra(proc, kwargs)
             ms = (int(ts) if isinstance(ts, int)
                   else self._parse_ts_ms(str(ts)))
-            cands = [s for s in t.metadata.snapshots
+            # candidates come from main's ANCESTRY (Spark-Iceberg
+            # SnapshotUtil semantics): a staged/WAP/branch snapshot or
+            # previously rolled-back lineage must never win max() and
+            # fail the ancestor-checked rollback
+            cands = [s for s in t._ancestry("main")
                      if s.timestamp_ms <= ms]
             if not cands:
                 raise ValueError(

@@ -1694,30 +1694,20 @@ class IceTable:
     # --- inspection (metadata tables) ------------------------------------
     def files_df(self) -> DataFrame:
         """Live data/delete files as a DataFrame (one row per file).
-        Avro manifests (write.metadata.manifest-format=avro or foreign
-        metadata) decode on the driver into the reduced fixed schema —
-        the same interop fallback entries_df takes."""
+        Pure-parquet metadata keeps the full raw manifest columns; any
+        Avro manifest (write.metadata.manifest-format=avro or foreign
+        metadata) routes through the mixed-format two-leg union —
+        reduced fixed schema, parquet legs still in executors. An
+        empty table returns that same fixed schema."""
         snap = self.current_snapshot()
         if snap is None:
             return self.spark.createDataFrame(
-                [], "file_path string, record_count long, file_size_in_bytes long")
+                [], self.ALL_ENTRIES_DF_SCHEMA)
         manifests = list(mf.read_manifest_list(snap.manifest_list))
         if any(m.manifest_path.endswith(".avro") for m in manifests):
-            schema = self.schema()
-            rows = []
-            for m in manifests:
-                spec = self.metadata.spec_by_id(m.partition_spec_id)
-                for e in mf.read_manifest(m.manifest_path, spec,
-                                          schema, manifest=m):
-                    if not e.is_live:
-                        continue
-                    f = e.data_file
-                    rows.append((e.status, e.snapshot_id,
-                                 e.sequence_number, f.file_path,
-                                 f.content, f.record_count,
-                                 f.file_size_in_bytes))
-            return self.spark.createDataFrame(
-                rows, self.ALL_ENTRIES_DF_SCHEMA)
+            return self._entries_union_df(
+                {m.manifest_path: m for m in manifests}
+            ).filter(F.col("status") != mf.STATUS_DELETED)
         paths = [m.manifest_path for m in manifests]
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         return df.filter(F.col("status") != mf.STATUS_DELETED)
@@ -1853,6 +1843,14 @@ class IceTable:
         if not mans:
             return self.spark.createDataFrame(
                 [], self.ALL_ENTRIES_DF_SCHEMA)
+        return self._entries_union_df(mans)
+
+    def _entries_union_df(self, mans: dict) -> DataFrame:
+        """Reduced fixed-schema entry rows (ALL_ENTRIES_DF_SCHEMA) for
+        ``{manifest_path: ManifestFile}``: parquet manifests read in
+        executors with snapshot/sequence inheritance filled from the
+        list row, Avro manifests decoded on the driver (interop, few)
+        — a MIXED-format history keeps its parquet legs distributed."""
         pq = {p: m for p, m in mans.items() if not p.endswith(".avro")}
         av = {p: m for p, m in mans.items() if p.endswith(".avro")}
         legs: list[DataFrame] = []

@@ -42,7 +42,7 @@ def test_driver_cap_window_composition():
         "dedup_minhash_verified",  # LSH + Jaccard verify pass (dedup_minhash in-window)
         "ice_avro_manifests",  # Avro manifest read/write (ice_avro_v3 in-window)
         "ice_sorted_write",  # sorted-write ordering (ice_compaction sort rewrite in-window; z-interleave pinned by TestZorder)
-        "dedup_simhash",    # hamming-bucket dedup (dedup_minhash + dedup_cross_corpus LSH in-window)
+        "dedup_simhash",    # hamming-bucket dedup (dedup_minhash in-window keeps the banded-LSH plane)
         "ngram_jaccard",    # n-gram Jaccard pairs (dedup_minhash shingle-Jaccard in-window)
         "multimodal_decode",  # fake-decode plumbing (multimodal_png_real + multimodal_gif_frames real decodes in-window)
         "sessionize_events",  # batch sessionization (stream_sessionize in-window; r02 hash-flap cause pinned by test_no_hugeint_oracle_columns)
@@ -63,7 +63,7 @@ def test_driver_cap_window_composition():
         "ice_avro_data",    # avro data-file scan (ice_avro_v3 in-window keeps the pure-python Avro plane end-to-end)
         "ice_zorder",       # z-order rewrite (ice_compaction in-window keeps the rewrite-files plane)
         "ice_incremental_read",  # snapshot-range incremental scan (ice_changelog + ice_cdc_apply in-window)
-        "dedup_embedding",  # embedding-LSH near-dup (dedup_minhash + dedup_cross_corpus in-window keep banded LSH)
+        "dedup_embedding",  # embedding-LSH near-dup (dedup_minhash in-window keeps banded LSH)
         "dedup_transitive",  # connected-components closure (dedup_minhash in-window keeps pair generation; closure pinned by TestDedupTransitive)
         "text_quality",     # Gopher quality gates (text_stats + text_repetition in-window keep the column-expr stats plane)
         "multimodal_audio",  # WAV synth+decode (multimodal_png_real in-window keeps the real-codec mapInPandas plane; WAV pinned by TestWavCodec)
@@ -87,7 +87,7 @@ def test_driver_cap_window_composition():
         # displacing dedup_cross_corpus below.)
         "dedup_cross_corpus",  # r15 rotation #9 displacement: the same MinHash-LSH machinery as the in-window dedup_minhash, parameterized by corpus id (driver-green every round it was in-window; pinned by tests/test_dedup.py cross-corpus cases)
         "ice_multi_table_txn",  # r15 atomic cross-table SQL DML via the REST CommitTransaction route (single-table txn composition is in-window via ice_transaction; REST commit plane pinned by test_rest_catalog.py TestMultiTableTransaction incl. conflict rebase + server all-or-nothing; in-row asserts pending invisibility pre-commit)
-        "dedup_semantic",   # SemDeDup cluster-prune (ann_ivf_topk in-window keeps centroid assignment; dedup_cross_corpus in-window the LSH plane)
+        "dedup_semantic",   # SemDeDup cluster-prune (ann_ivf_topk in-window keeps centroid assignment; dedup_minhash in-window the LSH plane)
         "dedup_incremental",  # store-backed incremental LSH (dedup_minhash in-window keeps banding; ice_merge_into in-window the store MERGE)
         "text_span_scrub",  # ExactSubstr window scrub (text_rolling_fp in-window keeps the rolling-hash machinery; span scrub pinned by TestText)
         "text_lm_perplexity",  # bigram-LM scoring (text_token_familiarity in-window keeps the counting core; classify_nb_lang the trained-model flow)

@@ -1668,3 +1668,44 @@ class TestAllMetadataTables:
             eng.sql("CALL ice.system.rollback_to_timestamp("
                     "table => 'db.t', "
                     "timestamp => '1990-01-01T00:00:00')")
+
+    def test_files_manifests_df_avro_and_empty(self, spark, cat):
+        # empty table: files_df returns the fixed reduced schema so
+        # the same query is valid before and after the first commit
+        cat.create_table("db.e2", _schema())
+        te = cat.load_table("db.e2", spark=spark)
+        assert te.files_df().filter("content != 0").count() == 0
+        assert te.manifests_df().count() == 0
+        # Avro-metadata table: files/manifests must not hit the
+        # parquet reader, and live counts match the scan
+        cat.create_table("db.av2", _schema(), properties={
+            "write.metadata.manifest-format": "avro"})
+        ta = cat.load_table("db.av2", spark=spark)
+        ta.append(spark.range(4).select(
+            F.col("id"), F.lit("v").alias("data")))
+        ta = cat.load_table("db.av2", spark=spark)
+        assert ta.files_df().count() == \
+            len(ta.scan().plan_files())
+        assert ta.manifests_df().count() >= 1
+        assert {r["content"] for r in ta.files_df().collect()} == {0}
+
+    def test_rollback_to_timestamp_ignores_staged(self, spark, cat):
+        from datetime import datetime, timezone
+
+        # a NEWER snapshot on a side branch must not win max(): the
+        # ancestry-scoped candidate set picks main's own lineage
+        eng = IceSqlEngine(spark, cat)
+        t = cat.load_table("db.t", spark=spark)
+        head = t.current_snapshot()
+        t.create_branch("stage")
+        t.append(spark.createDataFrame([(500, "staged")],
+                                       "id long, data string"),
+                 branch="stage")
+        t = cat.load_table("db.t", spark=spark)
+        staged_ts = max(s.timestamp_ms for s in t.metadata.snapshots)
+        ts = datetime.fromtimestamp(
+            (staged_ts + 1000) / 1000.0, tz=timezone.utc).isoformat()
+        got = eng.sql(f"CALL ice.system.rollback_to_timestamp("
+                      f"table => 'db.t', timestamp => '{ts}')"
+                      ).collect()[0]
+        assert got["current_snapshot_id"] == head.snapshot_id
