@@ -1119,7 +1119,17 @@ def ice_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     t = _fresh_table(spark, sf_dir, li, "mrg")
     t.append(li)
-    upd = li.filter("l_orderkey <= 100").withColumn("l_returnflag", F.lit("Z"))
+    # the synthetic lineitem is NOT key-unique on (l_orderkey,
+    # l_linenumber): dedupe the source deterministically (max per
+    # column, the ice_sql_dml oracle precedent) — the r16-enforced
+    # MERGE cardinality rule refuses duplicate source keys
+    key = ["l_orderkey", "l_linenumber"]
+    upd = (li.filter("l_orderkey <= 100")
+           .groupBy(*key)
+           .agg(*[F.max(c).alias(c) for c in li.columns
+                  if c not in key])
+           .select(*li.columns)
+           .withColumn("l_returnflag", F.lit("Z")))
     ins = upd.withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000)
     t.merge_into(upd.unionByName(ins), on=["l_orderkey", "l_linenumber"])
     return (
@@ -1127,6 +1137,45 @@ def ice_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"),
              F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
     )
+
+
+def ice_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-sync MERGE (r16): ``WHEN NOT MATCHED BY SOURCE`` — the
+    Spark 3.4+ / SQL:2003 leg acting on TARGET rows absent from the
+    source (the mirror-a-dimension shape; the reference declares no
+    write path at all, transaction.h:31-51). Source rows win where
+    matched (UPDATE SET *), new source keys insert, unmatched target
+    keys either DELETE (conditional, first-wins) or flag 'stale'
+    (column-level by-source UPDATE). The source is key-unique — the
+    r16-enforced MERGE cardinality rule raises otherwise."""
+    from iceberg_cpp_spark import (MatchedClause, NotMatchedBySourceClause,
+                                   NotMatchedClause)
+
+    o = _t(spark, sf_dir, "orders")
+    t = _fresh_table(spark, sf_dir, o, "sync")
+    t.append(o)
+    keep = o.filter("o_orderkey % 3 = 0") \
+            .withColumn("o_orderpriority", F.lit("synced"))
+    ins = keep.filter("o_orderkey < 1000") \
+              .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+    t.merge_into(
+        keep.unionByName(ins), on=["o_orderkey"],
+        when_matched=[MatchedClause("update")],
+        when_not_matched=[NotMatchedClause()],
+        when_not_matched_by_source=[
+            NotMatchedBySourceClause("delete",
+                                     condition="t.o_orderkey % 3 = 1"),
+            NotMatchedBySourceClause(
+                "update", assignments={"o_orderpriority": "'stale'"})])
+    return (t.to_df().groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"),
+                 F.sum(_dec("o_totalprice")).cast("double")
+                 .alias("sum_price"),
+                 F.sum((F.col("o_orderpriority") == "synced")
+                       .cast("long")).alias("n_synced"),
+                 F.sum((F.col("o_orderpriority") == "stale")
+                       .cast("long")).alias("n_stale"))
+            .orderBy("o_orderstatus"))
 
 
 def ice_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1223,7 +1272,17 @@ def ice_mor_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     t = _fresh_table(spark, sf_dir, li, "mormrg")
     t.append(li)
-    upd = li.filter("l_orderkey <= 100").withColumn("l_returnflag", F.lit("Z"))
+    # the synthetic lineitem is NOT key-unique on (l_orderkey,
+    # l_linenumber): dedupe the source deterministically (max per
+    # column, the ice_sql_dml oracle precedent) — the r16-enforced
+    # MERGE cardinality rule refuses duplicate source keys
+    key = ["l_orderkey", "l_linenumber"]
+    upd = (li.filter("l_orderkey <= 100")
+           .groupBy(*key)
+           .agg(*[F.max(c).alias(c) for c in li.columns
+                  if c not in key])
+           .select(*li.columns)
+           .withColumn("l_returnflag", F.lit("Z")))
     ins = upd.withColumn("l_orderkey", F.col("l_orderkey") + 10_000_000)
     t.merge_into(upd.unionByName(ins), on=["l_orderkey", "l_linenumber"],
                  mode="merge-on-read")
@@ -3412,14 +3471,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": ann_pq_topk,
         "text_stats": text_stats,
         "text_token_familiarity": text_token_familiarity,
-        "text_contamination": text_contamination,
         "text_rolling_fp": text_rolling_fp,
         "text_repetition": text_repetition,
         "text_pii_redact": text_pii_redact,
         "text_chunking": text_chunking,
-        "text_bpe_tokens": text_bpe_tokens,
         "sample_stratified": sample_stratified,
-        "sample_split": sample_split,
         "sample_pack": sample_pack,
         "multimodal_png_real": multimodal_png_real,
         "multimodal_gif_frames": multimodal_gif_frames,
@@ -3448,6 +3504,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plain relational windowed agg — q1 keeps the agg machinery
         # in-window, stream_sessionize the streaming plane).
         "ice_sql_dml": ice_sql_dml,
+        # r16 rotation #10: ice_sql_branch_flow and ice_multi_table_txn
+        # were the only rows never driver-oracle-checked (both r15-new,
+        # judge-green r15) — in-window in place of text_contamination
+        # and text_bpe_tokens (driver-green many rounds; the text
+        # column-expr plane stays in-window via text_stats /
+        # text_repetition / text_token_familiarity, the hashing plane
+        # via text_rolling_fp).
+        "ice_sql_branch_flow": ice_sql_branch_flow,
+        "ice_multi_table_txn": ice_multi_table_txn,
+        # r16: NEW full-sync MERGE row (WHEN NOT MATCHED BY SOURCE +
+        # the enforced cardinality rule) — in-window in place of
+        # sample_split (driver-green since r02; the md5-hash-decision
+        # sampling plane stays in-window via sample_stratified +
+        # sample_pack).
+        "ice_merge_sync": ice_merge_sync,
         # r14 rotation #6: ice_bulk_ingest was the last registry query
         # never checked by the DRIVER's oracle (judge-checked r13) —
         # swapped in for range_join_events (driver-green r13 + prior;
@@ -3468,9 +3539,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_orc_write": ice_orc_write,
         "ice_partition_stats": ice_partition_stats,
         "ice_wap_flow": ice_wap_flow,
-        "ice_sql_branch_flow": ice_sql_branch_flow,
+        # r16 rotation #10 displacements (driver-green many rounds;
+        # operator coverage kept in-window — see test_registry.py):
+        "text_contamination": text_contamination,
+        "text_bpe_tokens": text_bpe_tokens,
+        "sample_split": sample_split,
         "dedup_cross_corpus": dedup_cross_corpus,
-        "ice_multi_table_txn": ice_multi_table_txn,
         "dedup_semantic": dedup_semantic,
         "dedup_incremental": dedup_incremental,
         "text_span_scrub": text_span_scrub,
@@ -4347,12 +4421,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ice_mor_merge": """
             WITH upd AS (
-              SELECT * REPLACE ('Z' AS l_returnflag)
-              FROM lineitem WHERE l_orderkey <= 100),
+              -- deterministic source dedup (max per column): the
+              -- synthetic lineitem is not key-unique and the MERGE
+              -- cardinality rule refuses duplicate source keys (r16)
+              SELECT l_orderkey, MAX(l_partkey) AS l_partkey,
+                     MAX(l_suppkey) AS l_suppkey, l_linenumber,
+                     MAX(l_quantity) AS l_quantity,
+                     MAX(l_extendedprice) AS l_extendedprice,
+                     MAX(l_discount) AS l_discount,
+                     MAX(l_tax) AS l_tax, 'Z' AS l_returnflag,
+                     MAX(l_linestatus) AS l_linestatus,
+                     MAX(l_shipdate) AS l_shipdate
+              FROM lineitem WHERE l_orderkey <= 100
+              GROUP BY l_orderkey, l_linenumber),
             ins AS (
-              SELECT * REPLACE (l_orderkey + 10000000 AS l_orderkey,
-                                'Z' AS l_returnflag)
-              FROM lineitem WHERE l_orderkey <= 100),
+              SELECT * REPLACE (l_orderkey + 10000000 AS l_orderkey)
+              FROM upd),
             src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
             kept AS (
               SELECT t.* FROM lineitem t
@@ -4404,12 +4488,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ice_merge_into": """
             WITH upd AS (
-              SELECT * REPLACE ('Z' AS l_returnflag)
-              FROM lineitem WHERE l_orderkey <= 100),
+              -- deterministic source dedup (max per column): the
+              -- synthetic lineitem is not key-unique and the MERGE
+              -- cardinality rule refuses duplicate source keys (r16)
+              SELECT l_orderkey, MAX(l_partkey) AS l_partkey,
+                     MAX(l_suppkey) AS l_suppkey, l_linenumber,
+                     MAX(l_quantity) AS l_quantity,
+                     MAX(l_extendedprice) AS l_extendedprice,
+                     MAX(l_discount) AS l_discount,
+                     MAX(l_tax) AS l_tax, 'Z' AS l_returnflag,
+                     MAX(l_linestatus) AS l_linestatus,
+                     MAX(l_shipdate) AS l_shipdate
+              FROM lineitem WHERE l_orderkey <= 100
+              GROUP BY l_orderkey, l_linenumber),
             ins AS (
-              SELECT * REPLACE (l_orderkey + 10000000 AS l_orderkey,
-                                'Z' AS l_returnflag)
-              FROM lineitem WHERE l_orderkey <= 100),
+              SELECT * REPLACE (l_orderkey + 10000000 AS l_orderkey)
+              FROM upd),
             src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
             kept AS (
               SELECT t.* FROM lineitem t
@@ -4430,6 +4524,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, COUNT(*) AS n,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM merged GROUP BY l_returnflag
+        """,
+        "ice_merge_sync": """
+            WITH synced AS (
+              SELECT * REPLACE ('synced' AS o_orderpriority)
+              FROM orders WHERE o_orderkey % 3 = 0),
+            ins AS (
+              SELECT * REPLACE (o_orderkey + 10000000 AS o_orderkey)
+              FROM synced WHERE o_orderkey < 1000),
+            merged AS (
+              -- matched targets take the source row (UPDATE SET *),
+              -- new source keys insert, unmatched targets with
+              -- key % 3 = 1 delete (by-source clause 1), the rest
+              -- flag 'stale' (by-source clause 2)
+              SELECT * FROM synced
+              UNION ALL SELECT * FROM ins
+              UNION ALL
+              SELECT * REPLACE ('stale' AS o_orderpriority)
+              FROM orders WHERE o_orderkey % 3 = 2)
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_price,
+                   CAST(SUM(CASE WHEN o_orderpriority = 'synced'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_synced,
+                   CAST(SUM(CASE WHEN o_orderpriority = 'stale'
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_stale
+            FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "ice_avro_manifests": """
             SELECT l_linestatus, COUNT(*) AS n,

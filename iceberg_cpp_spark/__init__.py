@@ -40,7 +40,9 @@ from iceberg_cpp_spark.core.types import (
 from iceberg_cpp_spark.core.metadata import TableMetadata, Snapshot, PartitionSpec, PartitionField, SortOrder, SortField
 from iceberg_cpp_spark.sources.catalog import InMemoryCatalog, FileSystemCatalog
 from iceberg_cpp_spark.sql import IceSqlEngine
-from iceberg_cpp_spark.table import IceTable, MatchedClause, NotMatchedClause
+from iceberg_cpp_spark.table import (IceTable, MatchedClause,
+                                     NotMatchedBySourceClause,
+                                     NotMatchedClause)
 from iceberg_cpp_spark.transaction import MultiTableTransaction
 
 __version__ = "0.1.0"

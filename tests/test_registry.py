@@ -81,18 +81,23 @@ def test_driver_cap_window_composition():
         "ice_orc_write",    # ORC write leg (ice_orc_data in-window keeps the ORC scan planes; ORC bounds harvest pinned by tests/test_orc_metrics.py)
         "ice_partition_stats",  # partition-statistics files (ice_partition_pruned in-window covers the partition metadata; ice_analyze_ndv in-window the stats-pointer flow)
         "ice_wap_flow",     # WAP staging (ice_rollback_cherry_pick in-window keeps cherry-pick publish; staging + the expectations gate pinned by TestWriteAuditPublish/TestExpectationsWapGate)
-        "ice_sql_branch_flow",  # r15 branch-suffix SQL staging + fast_forward publish (ice_sql_dml in-window keeps the SQL DML plane; branch refs ride ice_rollback_cherry_pick's in-window ref machinery; pinned by TestSqlBranchSuffix + TestSqlOverRest)
+        # (r16 rotation #10 swapped ice_sql_branch_flow and
+        # ice_multi_table_txn INTO the window — the only two rows never
+        # driver-oracle-checked, both judge-green r15 — plus the NEW
+        # ice_merge_sync row; displacing the three rows below.)
+        "text_contamination",  # r16 rotation #10 displacement: n-gram contamination probe, driver-green r02-r15 (text_stats + text_repetition in-window keep the text column-expr plane; text_rolling_fp the hashing plane; pinned by TestText contamination cases)
+        "text_bpe_tokens",  # r16 rotation #10 displacement: BPE-ish token counting, driver-green r02-r15 (text_token_familiarity in-window keeps the token-counting core; byte-pair merge loop pinned by tests/test_operators.py BPE cases)
+        "sample_split",     # r16 rotation #10 displacement: hash train/val/test split, driver-green r02-r15 (sample_stratified + sample_pack in-window keep the md5-hash-decision sampling plane; split determinism pinned by TestSampling)
         # (r15 rotation #9 swapped ice_snapshot_clone INTO the window —
         # the new zero-copy clone row had never been driver-checked —
         # displacing dedup_cross_corpus below.)
         "dedup_cross_corpus",  # r15 rotation #9 displacement: the same MinHash-LSH machinery as the in-window dedup_minhash, parameterized by corpus id (driver-green every round it was in-window; pinned by tests/test_dedup.py cross-corpus cases)
-        "ice_multi_table_txn",  # r15 atomic cross-table SQL DML via the REST CommitTransaction route (single-table txn composition is in-window via ice_transaction; REST commit plane pinned by test_rest_catalog.py TestMultiTableTransaction incl. conflict rebase + server all-or-nothing; in-row asserts pending invisibility pre-commit)
         "dedup_semantic",   # SemDeDup cluster-prune (ann_ivf_topk in-window keeps centroid assignment; dedup_minhash in-window the LSH plane)
         "dedup_incremental",  # store-backed incremental LSH (dedup_minhash in-window keeps banding; ice_merge_into in-window the store MERGE)
         "text_span_scrub",  # ExactSubstr window scrub (text_rolling_fp in-window keeps the rolling-hash machinery; span scrub pinned by TestText)
         "text_lm_perplexity",  # bigram-LM scoring (text_token_familiarity in-window keeps the counting core; classify_nb_lang the trained-model flow)
         "text_paragraph_dedup",  # boilerplate paragraph scrub (dedup_exact in-window keeps hash-groupBy dedup; text_chunking in-window the explode/reassemble plumbing)
-        "sample_dsir",      # DSIR resampling (sample_stratified/_split/_pack in-window keep the hash-decision sampling plane; cross-engine reference in test_lm_dsir.py)
+        "sample_dsir",      # DSIR resampling (sample_stratified + sample_pack in-window keep the hash-decision sampling plane; cross-engine reference in test_lm_dsir.py)
         "geo_bbox_join",    # grid-bucketed spatial join (geo_exact_filter + ice_geo_bbox in-window keep the geo planes; join pinned by TestSpatialJoin)
         "geo_geohash_cells",  # geohash encoding (ice_geo_bbox in-window keeps the geo scan plane; encoder pinned bit-for-bit by TestGeohash)
         "quality_expectations",  # expectations checker (the fused one-scan check runs inside TestExpectations + the in-window-adjacent WAP gate tests; driver-green r09-r11)

@@ -395,6 +395,35 @@ class TestMultiTableTransaction:
         assert a == 2
         assert b_rows == {1, 2, 9}  # race row AND txn row both present
 
+    def test_untouched_table_skips_rebase_on_sibling_conflict(
+            self, rest, spark, two_tables):
+        """A conflict on db.b must not re-author db.a's pending chain:
+        db.a's head never moved, so its rebase is a no-op and the
+        already-authored snapshot (id + manifest list) publishes as-is
+        (VERDICT r15 item 7)."""
+        from iceberg_cpp_spark import MultiTableTransaction
+
+        cat = two_tables
+        mtx = MultiTableTransaction(cat)
+        mtx.transaction("db.a", spark=spark).append(
+            spark.createDataFrame([(2, "a2")], "id long, name string"))
+        mtx.transaction("db.b", spark=spark).append(
+            spark.createDataFrame([(2, "b2")], "id long, name string"))
+        pend_a = mtx.transaction("db.a", spark=spark).working.metadata
+        a_sid = pend_a.current_snapshot_id
+        a_mlist = pend_a.current_snapshot().manifest_list
+        # concurrent writer races db.b ONLY
+        cat.load_table("db.b", spark=spark).append(
+            spark.createDataFrame([(9, "race")], "id long, name string"))
+        mtx.commit()
+        meta_a, _ = cat.load_metadata("db.a")
+        assert meta_a.current_snapshot_id == a_sid
+        assert meta_a.current_snapshot().manifest_list == a_mlist
+        # and db.b both landed the race row and the txn row
+        b_rows = {r["id"] for r in cat.load_table("db.b", spark=spark)
+                  .to_df().collect()}
+        assert b_rows == {1, 2, 9}
+
     def test_all_or_nothing_on_server(self, rest, spark, two_tables):
         # a requirement failure on ONE table must leave BOTH untouched:
         # drive the route directly with a stale snapshot assertion

@@ -248,3 +248,92 @@ class TestSnapshotSql:
         p = eng.sql("CALL ice.system.compute_partition_stats("
                     "table => 'db.src')").collect()[0]
         assert p["statistics_file"].endswith(".parquet")
+
+
+class TestFoldDeletes:
+    """r16: ``snapshot_to(..., fold_deletes=True)`` — every refusal
+    folds on a staged source-side branch (kept for GC protection), so
+    DV/eq-delete/Avro-delete-manifest/multi-spec sources clone in one
+    call. Each refusal test above gains its fold-path green twin."""
+
+    def _assert_fold(self, cat, src, clone, expect_ids):
+        got = sorted(r["id"] for r in clone.to_df().collect())
+        assert got == expect_ids
+        # provenance records the staged fold branch, and the branch is
+        # KEPT on the source (its folded files stay GC-referenced)
+        s = clone.current_snapshot()
+        br = s.summary["snapshot-fold-branch"]
+        assert br.startswith("snapshot-fold-")
+        src = src.refresh()
+        assert src.metadata.ref(br) is not None
+        # the clone's files are the FOLDED branch's files
+        fold_sid = src.metadata.ref(br).snapshot_id
+        fold_paths = {f.file_path for f in
+                      src.scan().use_snapshot(fold_sid).plan_files()}
+        assert {f.file_path for f in clone.scan().plan_files()} == \
+            fold_paths
+
+    def test_dv_source_folds(self, spark, cat):
+        cat.create_table("db.fdv", _schema(),
+                         properties={"format-version": "3"})
+        src = _fill(spark, cat.load_table("db.fdv", spark=spark), 0, 8)
+        src = src.delete_where(ex.eq(ex.Reference("id"), 3),
+                               mode="deletion-vector")
+        clone = src.snapshot_to(cat, "db.fdvc", fold_deletes=True)
+        self._assert_fold(cat, src, clone, [0, 1, 2, 4, 5, 6, 7])
+        # the SOURCE's main branch is untouched (still DV'd, same head)
+        assert sorted(r["id"] for r in
+                      cat.load_table("db.fdv", spark=spark)
+                      .to_df().collect()) == [0, 1, 2, 4, 5, 6, 7]
+
+    def test_equality_delete_source_folds(self, spark, cat):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        cat.create_table("db.feq", _schema())
+        src = _fill(spark, cat.load_table("db.feq", spark=spark), 0, 8)
+        p = f"{src.location()}/eq-del.parquet"
+        pq.write_table(pa.table({"id": pa.array([5], pa.int64())}), p)
+        desc = spark.createDataFrame(
+            [(p, 1, 200, "equality-deletes", "[1]")],
+            "file_path string, record_count long, "
+            "file_size_in_bytes long, content string, "
+            "equality_ids_json string")
+        src = src.commit_files_df(desc)
+        clone = src.snapshot_to(cat, "db.feqc", fold_deletes=True)
+        self._assert_fold(cat, src, clone, [0, 1, 2, 3, 4, 6, 7])
+
+    def test_multi_spec_source_folds(self, spark, cat):
+        cat.create_table("db.fms", _schema())
+        src = _fill(spark, cat.load_table("db.fms", spark=spark), 0, 4)
+        src = src.update_spec([PartitionField(
+            source_id=1, field_id=0, name="id_bucket",
+            transform=from_string("bucket[4]"))])
+        src = _fill(spark, src, 4, 8)
+        clone = src.snapshot_to(cat, "db.fmsc", fold_deletes=True)
+        self._assert_fold(cat, src, clone, list(range(8)))
+
+    def test_avro_delete_manifest_source_folds(self, spark, cat):
+        # avro manifests carrying position deletes: the fold rewrites
+        # the manifests to parquet, then (deletes now visible) folds
+        # the pos-deletes are clonable as-is, so no data rewrite needed
+        cat.create_table(
+            "db.fav", _schema(),
+            properties={"write.metadata.manifest-format": "avro"})
+        src = _fill(spark, cat.load_table("db.fav", spark=spark), 0, 8)
+        src = src.delete_where(ex.eq(ex.Reference("id"), 2),
+                               mode="merge-on-read")
+        clone = src.snapshot_to(cat, "db.favc", fold_deletes=True)
+        self._assert_fold(cat, src, clone, [0, 1, 3, 4, 5, 6, 7])
+
+    def test_clean_source_pays_nothing(self, spark, cat):
+        # no blockers: fold_deletes=True must not stage a branch or
+        # rewrite anything — pure zero-copy, no fold provenance
+        cat.create_table("db.fok", _schema())
+        src = _fill(spark, cat.load_table("db.fok", spark=spark), 0, 6)
+        clone = src.snapshot_to(cat, "db.fokc", fold_deletes=True)
+        assert {f.file_path for f in clone.scan().plan_files()} == \
+            {f.file_path for f in src.scan().plan_files()}
+        assert "snapshot-fold-branch" not in \
+            clone.current_snapshot().summary
+        assert not [n for n in src.refresh().metadata.refs
+                    if n.startswith("snapshot-fold-")]

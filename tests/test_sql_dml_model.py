@@ -68,8 +68,11 @@ def _apply_random_op(rng, eng, model: dict, next_id: list) -> str:
             if gg is not None and gg.startswith(g):
                 model[k] = (gg, None if qq is None else qq + delta)
         return f"UPDATE grp {g} += {delta}"
-    # merge: upsert a mix of existing and new keys
-    up = rng.sample(sorted(model) or [0], min(2, max(1, len(model))))
+    # merge: upsert a mix of existing and new keys. Source keys must be
+    # UNIQUE (the r16-enforced MERGE cardinality rule): sample existing
+    # keys only from the model, never the [0] fallback that could
+    # collide with the fresh-id counter on an empty table
+    up = rng.sample(sorted(model), min(2, len(model)))
     new = [next_id[0], next_id[0] + 1]
     next_id[0] += 2
     src = ", ".join(f"({i}, 'm', {i % 7})" for i in up + new)
