@@ -1178,6 +1178,33 @@ def ice_merge_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderstatus"))
 
 
+def ice_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CALL ice.system.migrate`` (r16): in-place conversion of a
+    path-based parquet directory to an Iceberg table — files stay
+    where they are (zero copy, footers harvested by add_files), the
+    metadata grows beside them, and the identifier is preserved (the
+    Spark-Iceberg migrate shape; the reference has no write path,
+    transaction.h:31-51)."""
+    from iceberg_cpp_spark import IceSqlEngine
+    from iceberg_cpp_spark.sources.catalog import FileSystemCatalog
+
+    root = tempfile.mkdtemp(prefix="ice_migrate_")
+    src_dir = os.path.join(root, "legacy_supplier")
+    _t(spark, sf_dir, "supplier").repartition(4).write.parquet(src_dir)
+    cat = FileSystemCatalog(os.path.join(root, "wh"))
+    cat.create_namespace("db")
+    eng = IceSqlEngine(spark, cat)
+    eng.sql(f"CALL ice.system.migrate(table => 'db.supplier', "
+            f"source => '{src_dir}')")
+    return eng.sql("""
+        SELECT s_nationkey, count(*) AS n,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_bal
+        FROM ice.db.supplier
+        GROUP BY s_nationkey ORDER BY s_nationkey
+    """)
+
+
 def ice_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-action Transaction (reference transaction.h:31-51 —
     Transaction::NewAppend/CommitTransaction declared there, never
@@ -2216,6 +2243,19 @@ def ice_sql_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHEN NOT MATCHED AND s.op = 'I' THEN
             INSERT (l_orderkey, l_linenumber, l_quantity, l_returnflag)
             VALUES (s.l_orderkey, s.l_linenumber, s.delta + 1, 'I')
+    """)
+    # third MERGE (r16): the full-sync leg — target rows whose key the
+    # source does not carry either DELETE (conditional, first-wins) or
+    # flag 'S' through WHEN NOT MATCHED BY SOURCE (the source is a
+    # keys-only feed; by-source expressions see the target alone)
+    eng.sql("""
+        MERGE INTO ice.db.d t USING (
+            SELECT l_orderkey, l_linenumber FROM ice.db.d
+            WHERE l_returnflag IN ('C', 'I', 'A')
+        ) s ON t.l_orderkey = s.l_orderkey
+           AND t.l_linenumber = s.l_linenumber
+        WHEN NOT MATCHED BY SOURCE AND t.l_quantity < 10 THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET l_returnflag = 'S'
     """)
     return eng.sql("""
         SELECT l_returnflag, COUNT(*) AS n,
@@ -3539,6 +3579,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ice_orc_write": ice_orc_write,
         "ice_partition_stats": ice_partition_stats,
         "ice_wap_flow": ice_wap_flow,
+        # r16: in-place migrate procedure (judge-only; the add_files
+        # harvest + SQL procedure planes are in-window via ice_add_files
+        # and ice_sql_engine)
+        "ice_migrate": ice_migrate,
         # r16 rotation #10 displacements (driver-green many rounds;
         # operator coverage kept in-window — see test_registry.py):
         "text_contamination": text_contamination,
@@ -4525,6 +4569,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM merged GROUP BY l_returnflag
         """,
+        "ice_migrate": """
+            SELECT s_nationkey, COUNT(*) AS n,
+                   CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_bal
+            FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+        """,
         "ice_merge_sync": """
             WITH synced AS (
               SELECT * REPLACE ('synced' AS o_orderpriority)
@@ -4674,10 +4724,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT l_orderkey + 90000000, l_linenumber,
                      l_quantity + 1, 'I'
               FROM final WHERE l_returnflag = 'M'
+            ),
+            -- third MERGE (r16 WHEN NOT MATCHED BY SOURCE): keys
+            -- outside {C,I,A} delete when l_quantity < 10, else flag
+            -- 'S' (clause order: the conditional DELETE wins first)
+            final3 AS (
+              SELECT l_orderkey, l_linenumber, l_quantity,
+                     CASE WHEN l_returnflag IN ('C', 'I', 'A')
+                          THEN l_returnflag ELSE 'S' END
+                       AS l_returnflag
+              FROM final2
+              WHERE l_returnflag IN ('C', 'I', 'A')
+                 OR l_quantity >= 10
             )
             SELECT l_returnflag, COUNT(*) AS n,
                    CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
-            FROM final2 GROUP BY l_returnflag ORDER BY l_returnflag
+            FROM final3 GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "ice_zorder": """
             SELECT l_returnflag, COUNT(*) AS n,

@@ -427,39 +427,59 @@ class FileSystemCatalog(Catalog):
     def _hint_path(self, ident: str) -> str:
         return os.path.join(self._table_dir(ident), "metadata", "version-hint.text")
 
-    def load_metadata(self, ident):
+    def _read_hint(self, ident):
+        """(version, metadata_dir). The hint's first line is the
+        version (the Iceberg version-hint.text convention); a second
+        line, present only for CUSTOM-LOCATION tables (migrate/clone
+        with location=), points at the real metadata directory — the
+        default resolves under the warehouse table dir as before."""
         hint = self._hint_path(ident)
         if not os.path.exists(hint):
             raise NoSuchTableError(ident)
         with open(hint) as f:
-            version = int(f.read().strip())
-        loc = os.path.join(self._table_dir(ident), "metadata", f"v{version}.metadata.json")
+            lines = f.read().strip().splitlines()
+        version = int(lines[0].strip())
+        meta_dir = (lines[1].strip() if len(lines) > 1
+                    else os.path.join(self._table_dir(ident), "metadata"))
+        return version, meta_dir
+
+    def load_metadata(self, ident):
+        version, meta_dir = self._read_hint(ident)
+        loc = os.path.join(meta_dir, f"v{version}.metadata.json")
         return read_table_metadata(loc), loc
 
     def create_table(self, ident, schema, spec=None, sort_order=None, properties=None, location=None):
         if self.table_exists(ident):
             raise AlreadyExistsError(ident)
+        custom = location is not None and \
+            os.path.normpath(location) != \
+            os.path.normpath(self._table_dir(ident))
         location = location or self._table_dir(ident)
         meta = self._new_metadata(schema, spec, sort_order, properties, location)
         loc = os.path.join(location, "metadata", "v1.metadata.json")
         write_table_metadata(meta, loc)
-        self._write_hint(ident, 1, expected_current=None)
+        self._write_hint(ident, 1, expected_current=None,
+                         metadata_dir=(os.path.join(location, "metadata")
+                                       if custom else None))
         return meta
 
-    def _write_hint(self, ident: str, version: int, expected_current: Optional[int]) -> None:
+    def _write_hint(self, ident: str, version: int,
+                    expected_current: Optional[int],
+                    metadata_dir: Optional[str] = None) -> None:
         hint = self._hint_path(ident)
         os.makedirs(os.path.dirname(hint), exist_ok=True)
         # CAS: re-check the current hint immediately before replace
         if os.path.exists(hint):
             with open(hint) as f:
-                current = int(f.read().strip())
+                current = int(f.read().strip().splitlines()[0])
             if expected_current is not None and current != expected_current:
                 raise CommitFailedError(
                     f"concurrent commit: hint moved to v{current}, expected v{expected_current}"
                 )
         tmp = f"{hint}.tmp.{uuid_mod.uuid4().hex}"
         with open(tmp, "w") as f:
-            f.write(str(version))
+            f.write(str(version) if metadata_dir is None
+                    else f"{version}\n{metadata_dir}")
         os.replace(tmp, hint)
 
     def commit_table(self, ident, requirements, new_metadata):
@@ -471,19 +491,35 @@ class FileSystemCatalog(Catalog):
         for r in requirements:
             r.check(base)
         version = base_version + 1
-        loc = os.path.join(new_metadata.location, "metadata", f"v{version}.metadata.json")
+        meta_dir = os.path.join(new_metadata.location, "metadata")
+        loc = os.path.join(meta_dir, f"v{version}.metadata.json")
         try:
             # the exclusive create IS the CAS — no exists() pre-check race
             write_table_metadata(new_metadata, loc, exclusive=True)
         except FileExistsError:
             raise CommitFailedError(f"metadata version exists (concurrent writer): v{version}")
-        self._write_hint(ident, version, expected_current=base_version if base else None)
+        custom = os.path.normpath(new_metadata.location) != \
+            os.path.normpath(self._table_dir(ident))
+        self._write_hint(ident, version,
+                         expected_current=base_version if base else None,
+                         metadata_dir=meta_dir if custom else None)
         return loc
 
     def register_table(self, ident, metadata_location):
         if self.table_exists(ident):
             raise AlreadyExistsError(ident)
         meta = read_table_metadata(metadata_location)
+        base = os.path.basename(metadata_location)
+        if base.startswith("v") and base.endswith(".metadata.json"):
+            # point at the ORIGINAL metadata chain (2-line hint): later
+            # commits write v(N+1) NEXT to vN — copying the json into
+            # the warehouse dir while commits land at metadata.location
+            # would fork the version sequence (r16 migrate fix)
+            version = int(base.split(".")[0][1:])
+            self._write_hint(ident, version, expected_current=None,
+                             metadata_dir=os.path.dirname(
+                                 metadata_location))
+            return
         version = 1
         loc = os.path.join(self._table_dir(ident), "metadata", f"v{version}.metadata.json")
         write_table_metadata(meta, loc)

@@ -53,6 +53,15 @@ composes DML on SEVERAL tables into one REST CommitTransaction (all
 tables move or none do; txn reads see enrolled tables' pending
 chains).
 
+r16: ``WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET col =
+expr | DELETE`` (the Spark 3.4+ full-sync leg; expressions see the
+target only, ``BY TARGET`` accepted on the insert leg); the MERGE
+source-cardinality rule enforced (duplicate ON keys raise before any
+rewrite); ``CALL ice.system.migrate`` (in-place conversion of a
+path-based parquet/ORC directory — files unmoved, Iceberg metadata
+grows beside them, identifier preserved); nested-field DDL (``ALTER
+TABLE ... ADD COLUMN addr.zip long``, dotted RENAME/DROP COLUMN).
+
 Scale shape: a binding is one ``TableScan.to_df()`` DataFrame — the
 same lazy, pruned, distributed plan every other entry point gets; the
 rewrite itself is O(query text). Identifiers inside string literals
@@ -409,19 +418,41 @@ class IceSqlEngine:
 
         t = self._load(ident, "ALTER TABLE")
         b = body.strip()
-        if m := re.match(r"^add\s+column\s+(?P<name>[A-Za-z_]\w*)\s+"
+        # column names may be DOTTED paths (r16 nested-field DDL:
+        # ADD COLUMN addr.zip long / RENAME COLUMN addr.zip TO postal /
+        # DROP COLUMN addr.zip)
+        _colpath = r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*"
+        if m := re.match(rf"^add\s+column\s+(?P<name>{_colpath})\s+"
                          r"(?P<type>.+?)\s*$", b, re.I | re.S):
             raw = m.group("type").strip().lower()
             raw = _SQL_TYPE_ALIASES.get(raw, raw)
             t.add_column(m.group("name"), type_from_json(raw))
             return self._dml_result()
-        if m := re.match(r"^rename\s+column\s+(?P<old>[A-Za-z_]\w*)\s+"
+        if m := re.match(rf"^rename\s+column\s+(?P<old>{_colpath})\s+"
                          r"to\s+(?P<new>[A-Za-z_]\w*)\s*$", b, re.I):
             t.rename_column(m.group("old"), m.group("new"))
             return self._dml_result()
-        if m := re.match(r"^drop\s+column\s+(?P<name>[A-Za-z_]\w*)\s*$",
+        if m := re.match(rf"^drop\s+column\s+(?P<name>{_colpath})\s*$",
                          b, re.I):
             t.drop_column(m.group("name"))
+            return self._dml_result()
+        if m := re.match(r"^replace\s+columns\s*"
+                         r"\((?P<defs>[^()]*(?:\([^()]*\)[^()]*)*)\)"
+                         r"\s*$", b, re.I | re.S):
+            cols = []
+            for piece in self._split_top(m.group("defs")):
+                cm = re.match(r"^\s*([A-Za-z_]\w*)\s+(.+?)"
+                              r"(?:\s+(?P<nn>not\s+null))?\s*$",
+                              piece, re.I | re.S)
+                if cm is None:
+                    raise ValueError(
+                        f"cannot parse column definition: "
+                        f"{self._unmask(piece, lits)!r}")
+                raw = re.sub(r"\s+", "", cm.group(2)).lower()
+                raw = _SQL_TYPE_ALIASES.get(raw, raw)
+                cols.append((cm.group(1), type_from_json(raw),
+                             bool(cm.group("nn"))))
+            t.replace_columns(cols)
             return self._dml_result()
         if m := re.match(r"^alter\s+column\s+(?P<name>[A-Za-z_]\w*)\s+"
                          r"type\s+(?P<type>.+?)\s*$", b, re.I | re.S):
@@ -546,7 +577,8 @@ class IceSqlEngine:
         raise ValueError(
             f"unsupported ALTER TABLE clause: "
             f"{self._unmask(b, lits)!r} (supported: ADD COLUMN, "
-            "RENAME COLUMN ... TO, DROP COLUMN, ALTER COLUMN ... TYPE "
+            "RENAME COLUMN ... TO, DROP COLUMN, REPLACE COLUMNS, "
+            "ALTER COLUMN ... TYPE "
             "| DROP NOT NULL | SET/DROP DEFAULT, SET/UNSET "
             "TBLPROPERTIES, RENAME TO, CREATE/DROP BRANCH|TAG, "
             "ADD/DROP PARTITION FIELD, SET/DROP IDENTIFIER FIELDS, "
@@ -636,6 +668,11 @@ class IceSqlEngine:
             # zero-copy clone: table => the NEW table (must not
             # exist), source_table => the existing one
             return self._call_snapshot(require, kwargs)
+        if proc == "migrate":
+            # in-place conversion of a path-based parquet/orc/avro
+            # table: files stay where they are, the Iceberg metadata
+            # grows next to them, the identifier is the new table
+            return self._call_migrate(require, kwargs)
         ident = kwargs.pop("table", None)
         if ident is None:
             raise ValueError(
@@ -770,35 +807,9 @@ class IceSqlEngine:
             # (metadata scale — one path string per file), while the
             # format sniff + footer harvest distribute past the
             # add_files executor threshold (2048 paths).
-            import glob as _glob
-
             src = str(require("source"))
             self._no_extra(proc, kwargs)
-            pattern = (os.path.join(src, "**", "*")
-                       if os.path.isdir(src) else src)
-
-            # the hidden check applies below the source ROOT: the
-            # directory itself, or a glob's static prefix (everything
-            # before the first wildcard)
-            root = (src if os.path.isdir(src)
-                    else os.path.dirname(src.split("*", 1)[0])
-                    or os.sep)
-
-            def _hidden(p: str) -> bool:
-                # exclude any PATH COMPONENT starting with '_' or '.'
-                # below the source root (Hadoop/Iceberg convention):
-                # a crashed write's _temporary/.../part-*.parquet must
-                # never register as table data
-                rel = os.path.relpath(p, root)
-                return any(part.startswith(("_", "."))
-                           for part in rel.split(os.sep))
-
-            paths = sorted(
-                p for p in _glob.glob(pattern, recursive=True)
-                if os.path.isfile(p) and not _hidden(p))
-            if not paths:
-                raise ValueError(
-                    f"CALL add_files found no files under {src!r}")
+            paths = self._list_source_files(src, "add_files")
             t.add_files(paths)
             return self.spark.createDataFrame(
                 [(len(paths),)], T.StructType([
@@ -854,7 +865,7 @@ class IceSqlEngine:
             "rewrite_position_deletes, rewrite_equality_deletes, "
             "rollback_to_snapshot, cherrypick_snapshot, publish_wap, "
             "fast_forward, ancestors_of, add_files, "
-            "create_changelog_view, register_table, snapshot, "
+            "create_changelog_view, register_table, snapshot, migrate, "
             "compute_table_stats, compute_partition_stats, "
             "rollback_to_timestamp, set_current_snapshot)")
 
@@ -918,6 +929,104 @@ class IceSqlEngine:
                 T.StructField("current_snapshot_id", T.LongType()),
                 T.StructField("total_records_count", T.LongType()),
                 T.StructField("total_data_files_count", T.LongType())]))
+
+    @staticmethod
+    def _list_source_files(src: str, proc: str) -> list[str]:
+        """Files under a source directory or glob, excluding hidden
+        path components below the source root ('_'/'.' prefixes, the
+        Hadoop/Iceberg convention): a crashed write's
+        _temporary/.../part-*.parquet must never register as data."""
+        import glob as _glob
+
+        pattern = (os.path.join(src, "**", "*")
+                   if os.path.isdir(src) else src)
+        # the hidden check applies below the source ROOT: the
+        # directory itself, or a glob's static prefix (everything
+        # before the first wildcard)
+        root = (src if os.path.isdir(src)
+                else os.path.dirname(src.split("*", 1)[0])
+                or os.sep)
+
+        def _hidden(p: str) -> bool:
+            rel = os.path.relpath(p, root)
+            return any(part.startswith(("_", "."))
+                       for part in rel.split(os.sep))
+
+        paths = sorted(
+            p for p in _glob.glob(pattern, recursive=True)
+            if os.path.isfile(p) and not _hidden(p))
+        if not paths:
+            raise ValueError(
+                f"CALL {proc} found no files under {src!r}")
+        return paths
+
+    def _call_migrate(self, require, kwargs: dict):
+        """``CALL ice.system.migrate(table => 'db.t', source =>
+        '/path')`` — the Spark-Iceberg migrate shape: convert a
+        path-based table to Iceberg IN PLACE. The data files are
+        registered (add_files: format sniff + executor footer harvest
+        + name mapping), never moved or rewritten, and the table's
+        location defaults to the source directory itself so the
+        metadata grows alongside the data. Refuses if the identifier
+        already exists or the sniffer finds an unreadable file (the
+        add_files refusals) — a refusal never leaves a partial table
+        behind (the catalog entry is dropped on failure)."""
+        from pyspark.sql import types as T
+
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        self._no_txn("CALL migrate")
+        ident = self._clean_ident(str(require("table")))
+        src = str(require("source"))
+        location = kwargs.pop("location", None)
+        self._no_extra("migrate", kwargs)
+        if self.catalog.table_exists(ident):
+            raise ValueError(
+                f"CALL migrate target already exists: {ident!r}")
+        if not os.path.isdir(src) and "*" not in src:
+            raise ValueError(
+                f"CALL migrate source must be a directory or glob: "
+                f"{src!r}")
+        paths = self._list_source_files(src, "migrate")
+        pq_paths = [p for p in paths if p.endswith(".parquet")]
+        orc_paths = [p for p in paths if p.endswith(".orc")]
+        if pq_paths:
+            # schema from the files themselves (mergeSchema so a column
+            # added over the directory's lifetime isn't silently
+            # dropped); add_files harvests per-file metrics after
+            schema = schema_from_spark(
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*pq_paths).schema)
+        elif orc_paths:
+            schema = schema_from_spark(
+                self.spark.read.orc(*orc_paths).schema)
+        else:
+            raise ValueError(
+                "CALL migrate needs parquet or ORC files to infer the "
+                "schema from; for other layouts CREATE TABLE with an "
+                "explicit schema and CALL add_files")
+        loc = str(location) if location else (
+            src if os.path.isdir(src) else os.path.dirname(
+                src.split("*", 1)[0]))
+        self.catalog.create_table(ident, schema, location=loc,
+                                  properties={"migrate.source": src})
+        try:
+            t = self.catalog.load_table(ident, spark=self.spark)
+            t = t.add_files(paths)
+        except Exception:
+            # never leave a poisoned half-migrated entry: the retry
+            # with a corrected source must not hit 'already exists'
+            self.catalog.drop_table(ident)
+            raise
+        s = t.current_snapshot()
+        return self.spark.createDataFrame(
+            [(len(paths),
+              int(s.summary.get("total-records", 0)) if s else 0)],
+            T.StructType([
+                T.StructField("migrated_files_count", T.LongType(),
+                              False),
+                T.StructField("migrated_rows_count", T.LongType(),
+                              False)]))
 
     @staticmethod
     def _no_extra(proc: str, kwargs: dict) -> None:

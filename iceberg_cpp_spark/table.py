@@ -223,6 +223,55 @@ def _simple_merge_shape(m_cl: list, nm_cl: list):
             "insert" if nm_cl else None)
 
 
+def _rebuild_nested_fields(fields: list, segs: list, mutate) -> list:
+    """Rebuild a field list with ``mutate(child_fields) -> child_fields``
+    applied to the struct reached by walking ``segs`` (struct child
+    names; list elements and map values are stepped into implicitly, or
+    explicitly via 'element'/'value' segments — the schema name-index
+    convention). The write-side twin of the reference's nested
+    projection (schema_util.h:35-79): the read side already resolves
+    arbitrarily nested evolution by field ID, this lets the mutators
+    produce it."""
+    if not segs:
+        return mutate(list(fields))
+    head, rest = segs[0], segs[1:]
+    out, hit = [], False
+    for f in fields:
+        if f.name != head:
+            out.append(f)
+            continue
+        hit = True
+        out.append(dc_replace(
+            f, field_type=_rebuild_nested_type(f.field_type, rest,
+                                               mutate)))
+    if not hit:
+        raise ValueError(f"no such column: {head!r}")
+    return out
+
+
+def _rebuild_nested_type(t, segs: list, mutate):
+    if isinstance(t, it.StructType):
+        return it.StructType(_rebuild_nested_fields(t.fields, segs,
+                                                    mutate))
+    if isinstance(t, it.ListType):
+        if segs and segs[0] == "element":
+            segs = segs[1:]
+        return it.ListType(t.element_id,
+                           _rebuild_nested_type(t.element_type, segs,
+                                                mutate),
+                           t.element_required)
+    if isinstance(t, it.MapType):
+        if segs and segs[0] == "value":
+            segs = segs[1:]
+        return it.MapType(t.key_id, t.key_type, t.value_id,
+                          _rebuild_nested_type(t.value_type, segs,
+                                               mutate),
+                          t.value_required)
+    raise ValueError(
+        f"path segment does not reach a struct (got "
+        f"{t.to_json() if hasattr(t, 'to_json') else t!r})")
+
+
 def _author_manifest_vectorized(pdf, path: str, spec_id: int,
                                 rid_base):
     """Executor-side manifest author, vectorized: builds the manifest
@@ -6295,6 +6344,30 @@ class IceTable:
                 f"rewrite_data_files() to migrate them to parquet first")
         import dataclasses
 
+        if "." in new:
+            raise ValueError(
+                f"new name must be a bare field name, not a path: "
+                f"{new!r}")
+        if "." in old:
+            # nested rename: keep the field ID, rebuild the parent
+            # struct (the 'element'/'value' pseudo-segments are not
+            # renameable fields — the walker refuses paths through them
+            # as leaves because the parent struct has no such child)
+            parent, leaf = old.rsplit(".", 1)
+
+            def mut(kids: list) -> list:
+                if not any(x.name == leaf for x in kids):
+                    raise ValueError(f"column not found: {old}")
+                if any(x.name == new for x in kids):
+                    raise ValueError(
+                        f"column exists in {parent!r}: {new!r}")
+                return [dataclasses.replace(x, name=new)
+                        if x.name == leaf else x for x in kids]
+
+            return self._evolve_schema(_rebuild_nested_fields(
+                schema.fields, parent.split("."), mut))
+        if schema.find_field(new) is not None:
+            raise ValueError(f"column exists: {new}")
         # replace() keeps every other attribute — notably the v3
         # initial/write defaults, which a hand-rolled rebuild would drop
         fields = [dataclasses.replace(x, name=new) if x.name == old else x
@@ -6309,10 +6382,26 @@ class IceTable:
         the write-default for writers that omit the column. Old files
         are identified by sequence number (every file this engine
         writes after the add carries the column), so genuine nulls
-        written later are never masked."""
+        written later are never masked.
+
+        A DOTTED name adds a NESTED field (``addr.zip`` — the r16
+        write-side twin of the reference's nested field-ID projection,
+        schema_util.h:35-79): the parent path must reach a struct
+        (list elements / map values step in implicitly); old files
+        read the new nested field as null/default by field ID."""
         schema = self.schema()
         if schema.find_field(name) is not None:
             raise ValueError(f"column exists: {name}")
+        nested = "." in name
+        if nested:
+            # 'element'/'value' pseudo-segments name positions, not
+            # fields — strip them before probing the name index (the
+            # rebuild walker consumes them when stepping into lists/
+            # maps and raises its own error on a genuinely bad path)
+            probe = ".".join(s for s in name.split(".")[:-1]
+                             if s not in ("element", "value"))
+            if probe and schema.find_field(probe) is None:
+                raise ValueError(f"no such parent column: {probe!r}")
         if isinstance(field_type, it.V3_ONLY_TYPES):
             if self.metadata.format_version < 3:
                 raise ValueError(
@@ -6322,10 +6411,11 @@ class IceTable:
             # only — ns timestamps ride LongType with field ids: a
             # historical column of the same name may still exist in
             # live files; resolving the NEW variant field by name would
-            # resurrect its old values. Metadata-scale check.
+            # resurrect its old values. Metadata-scale check (full
+            # dotted path against each historical schema's name index).
             if isinstance(field_type, it.VariantType) and any(
-                    fl.name == name for s in self.metadata.schemas
-                    for fl in s.fields):
+                    s.find_field(name) is not None
+                    for s in self.metadata.schemas):
                 raise ValueError(
                     f"cannot add variant column {name!r}: a historical "
                     f"schema used that name and variant columns resolve "
@@ -6338,8 +6428,16 @@ class IceTable:
             # is now re-added with a NEW field id) would resurrect the
             # dropped column's values into the new field. Footer check
             # is metadata-scale and only runs on schema evolution.
+            # Nested clashes can't be probed by top-level footer names,
+            # so nested adds over live ORC files refuse outright.
             import pyarrow.orc as _po
 
+            if nested:
+                raise ValueError(
+                    f"cannot add nested column {name!r}: {len(orc)} ORC "
+                    "data file(s) resolve columns by name — run "
+                    "rewrite_data_files() to migrate them to parquet "
+                    "first")
             clash = [p for p in orc if name in _po.ORCFile(p).schema.names]
             if clash:
                 raise ValueError(
@@ -6349,9 +6447,16 @@ class IceTable:
                     f"into the new field) — run rewrite_data_files() to "
                     f"migrate them to parquet first")
         fid = self.metadata.last_column_id + 1
-        fields = list(schema.fields) + [it.NestedField(
-            fid, name, field_type, required,
-            initial_default=default, write_default=default)]
+        new_field = it.NestedField(
+            fid, name.rsplit(".", 1)[-1], field_type, required,
+            initial_default=default, write_default=default)
+        if nested:
+            parent = name.rsplit(".", 1)[0]
+            fields = _rebuild_nested_fields(
+                schema.fields, parent.split("."),
+                lambda kids: kids + [new_field])
+        else:
+            fields = list(schema.fields) + [new_field]
         # nested element/key/value/struct children may carry ids past
         # fid — last_column_id must cover every id in the new subtree,
         # INCLUDING list element / map key+value ids the schema name
@@ -6365,6 +6470,9 @@ class IceTable:
         return t
 
     def drop_column(self, name: str) -> "IceTable":
+        """Drop a column by (possibly dotted) name. A nested drop
+        (``addr.zip``) rebuilds the parent struct; readers of old
+        files simply stop projecting the dropped field ID."""
         schema = self.schema()
         f = schema.find_field(name)
         if f is None:
@@ -6373,8 +6481,102 @@ class IceTable:
             raise ValueError(
                 f"cannot drop identifier field {name!r}; clear it "
                 "first (set_identifier_fields without it)")
+        if "." in name:
+            parent, leaf = name.rsplit(".", 1)
+            if leaf in ("element", "value", "key"):
+                raise ValueError(
+                    f"cannot drop the {leaf!r} of a list/map; drop the "
+                    f"containing column {parent!r} instead")
+
+            def mut(kids: list) -> list:
+                out = [x for x in kids if x.name != leaf]
+                if not out:
+                    raise ValueError(
+                        f"cannot drop {name!r}: it is the last field "
+                        f"of struct {parent!r}; drop {parent!r} itself")
+                return out
+
+            return self._evolve_schema(_rebuild_nested_fields(
+                schema.fields, parent.split("."), mut))
         fields = [x for x in schema.fields if x.name != name]
         return self._evolve_schema(fields)
+
+    def replace_columns(self, columns: list) -> "IceTable":
+        """REPLACE COLUMNS (the Spark-Iceberg ``ALTER TABLE ... REPLACE
+        COLUMNS`` shape, r16): state the new TOP-LEVEL column list
+        wholesale. ``columns`` entries are ``(name, IcebergType)`` or
+        ``(name, IcebergType, required)`` tuples. Fields matched BY
+        NAME keep their field ID (same type, a safe promotion, or
+        required→optional — the update_column_type /
+        make_column_optional rules); names absent from the new list
+        DROP; new names get fresh IDs (old files read them as null).
+        Identifier fields cannot be dropped, and optional→required is
+        forbidden (it would claim existing rows are non-null without
+        checking them). Metadata-only; refuses over live ORC files
+        (by-name resolution could resurrect dropped columns)."""
+        schema = self.schema()
+        specs = []
+        seen: set = set()
+        for c in columns:
+            if not isinstance(c, (tuple, list)) or len(c) not in (2, 3):
+                raise ValueError(
+                    "replace_columns entries are (name, type[, "
+                    f"required]) tuples; got {c!r}")
+            name, typ = c[0], c[1]
+            req = bool(c[2]) if len(c) == 3 else False
+            if name in seen:
+                raise ValueError(f"duplicate column: {name!r}")
+            seen.add(name)
+            specs.append((name, typ, req))
+        dropped = [f for f in schema.fields if f.name not in seen]
+        for f in dropped:
+            if f.field_id in schema.identifier_field_ids:
+                raise ValueError(
+                    f"cannot drop identifier field {f.name!r}; clear "
+                    "it first (set_identifier_fields without it)")
+        if (dropped or any(schema.find_field(n) is None
+                           for n, _t, _r in specs)) \
+                and self._live_orc_files():
+            raise ValueError(
+                "cannot REPLACE COLUMNS over live ORC data files "
+                "(by-name resolution could resurrect dropped values) "
+                "— run rewrite_data_files() first")
+        fid = self.metadata.last_column_id
+        fields = []
+        for name, typ, req in specs:
+            old = schema.field_by_name(name)
+            if old is None:
+                fid += 1
+                fields.append(it.NestedField(fid, name, typ, req))
+                continue
+            if typ != old.field_type:
+                # reuse the promotion lattice: widen in place
+                ok = ((isinstance(old.field_type, it.IntegerType)
+                       and isinstance(typ, it.LongType))
+                      or (isinstance(old.field_type, it.FloatType)
+                          and isinstance(typ, it.DoubleType))
+                      or (isinstance(old.field_type, it.DecimalType)
+                          and isinstance(typ, it.DecimalType)
+                          and typ.scale == old.field_type.scale
+                          and typ.precision > old.field_type.precision))
+                if not ok:
+                    raise ValueError(
+                        f"invalid type promotion for {name!r}: "
+                        f"{old.field_type.to_json()} -> {typ.to_json()}")
+            if req and not old.required:
+                raise ValueError(
+                    f"cannot make existing column {name!r} required "
+                    "(optional -> required would claim existing rows "
+                    "are non-null without checking them)")
+            if not req and old.required \
+                    and old.field_id in schema.identifier_field_ids:
+                raise ValueError(
+                    f"identifier field {name!r} must stay required "
+                    "(NOT NULL)")
+            fields.append(dc_replace(old, field_type=typ, required=req))
+        last = it.max_assigned_field_id(fields)
+        return self._evolve_schema(fields,
+                                   last_column_id=max(fid, last))
 
     def set_identifier_fields(self, names: list[str]) -> "IceTable":
         """Row-identity metadata (spec: ``schema.identifier-field-ids``

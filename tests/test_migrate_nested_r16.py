@@ -1,0 +1,235 @@
+"""r16: the ``migrate`` procedure (in-place conversion of a path-based
+parquet table, Spark-Iceberg migrate shape) and nested-field schema
+evolution mutators (``add_column("addr.zip", ...)`` + dotted
+RENAME/DROP COLUMN — the write-side twin of the reference's nested
+field-ID projection, schema_util.h:35-79)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_cpp_spark import IceSqlEngine, IceTable
+from iceberg_cpp_spark.core import types as it
+from iceberg_cpp_spark.sources.catalog import FileSystemCatalog
+
+
+@pytest.fixture()
+def cat(spark, tmp_loc):
+    c = FileSystemCatalog(f"{tmp_loc}/wh")
+    c.create_namespace("db")
+    return c
+
+
+class TestMigrate:
+    def test_round_trip_in_place(self, spark, cat, tmp_loc):
+        src = os.path.join(tmp_loc, "legacy_orders")
+        df = spark.range(20).select(
+            F.col("id"), (F.col("id") % 3).alias("grp"))
+        df.repartition(3).write.parquet(src)
+        before = sorted(
+            os.path.join(src, f) for f in os.listdir(src)
+            if f.endswith(".parquet"))
+        mtimes = {p: os.path.getmtime(p) for p in before}
+        eng = IceSqlEngine(spark, cat)
+        got = eng.sql(f"CALL ice.system.migrate(table => 'db.legacy', "
+                      f"source => '{src}')").collect()[0]
+        assert got["migrated_files_count"] == len(before)
+        assert got["migrated_rows_count"] == 20
+        # the table reads the same rows through the Iceberg plane
+        assert eng.sql("SELECT count(*) AS n FROM ice.db.legacy") \
+            .collect()[0]["n"] == 20
+        # in place: metadata grew NEXT to the data, files untouched
+        t = cat.load_table("db.legacy", spark=spark)
+        assert t.location() == src
+        reg = {f.file_path for f in t.scan().plan_files()}
+        assert reg == set(before)
+        assert all(os.path.getmtime(p) == mtimes[p] for p in before)
+        # old reads unchanged: the raw parquet files still read as-is
+        assert spark.read.parquet(*before).count() == 20
+        assert t.properties()["migrate.source"] == src
+
+    def test_existing_table_refuses(self, spark, cat, tmp_loc):
+        src = os.path.join(tmp_loc, "legacy2")
+        spark.range(3).write.parquet(src)
+        eng = IceSqlEngine(spark, cat)
+        eng.sql(f"CALL ice.system.migrate(table => 'db.l2', "
+                f"source => '{src}')")
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql(f"CALL ice.system.migrate(table => 'db.l2', "
+                    f"source => '{src}')")
+
+    def test_failure_leaves_no_poisoned_entry(self, spark, cat,
+                                              tmp_loc):
+        # a non-table file in the directory fails the add_files sniff;
+        # the half-created catalog entry must be rolled back
+        src = os.path.join(tmp_loc, "legacy3")
+        spark.range(3).write.parquet(src)
+        with open(os.path.join(src, "notes.txt"), "w") as fh:
+            fh.write("not a data file")
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError):
+            eng.sql(f"CALL ice.system.migrate(table => 'db.l3', "
+                    f"source => '{src}')")
+        assert not cat.table_exists("db.l3")
+
+    def test_empty_source_refuses(self, spark, cat, tmp_loc):
+        src = os.path.join(tmp_loc, "legacy_empty")
+        os.makedirs(src)
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="no files"):
+            eng.sql(f"CALL ice.system.migrate(table => 'db.l4', "
+                    f"source => '{src}')")
+        assert not cat.table_exists("db.l4")
+
+
+def _nested_table(spark, tmp_loc, name="nest"):
+    df = spark.createDataFrame(
+        [(1, ("x1", 10)), (2, ("x2", 20))],
+        "id int, addr struct<street string, num int>")
+    from iceberg_cpp_spark.core.types import schema_from_spark
+
+    t = IceTable.create(spark, os.path.join(tmp_loc, name),
+                        schema_from_spark(df.schema))
+    t.append(df)
+    return t, df
+
+
+class TestNestedEvolution:
+    def test_add_nested_column_old_files_null(self, spark, tmp_loc):
+        t, df = _nested_table(spark, tmp_loc)
+        t = t.add_column("addr.zip", it.LongType())
+        # old rows read the new nested field as null (field-ID
+        # projection fills it)
+        rows = {r["id"]: r["addr"] for r in t.to_df().collect()}
+        assert rows[1]["zip"] is None and rows[1]["street"] == "x1"
+        # new writes carry it
+        t.append(spark.createDataFrame(
+            [(3, ("x3", 30, 99999))],
+            "id int, addr struct<street string, num int, zip long>"))
+        rows = {r["id"]: r["addr"] for r in t.to_df().collect()}
+        assert rows[3]["zip"] == 99999 and rows[1]["zip"] is None
+        # fresh field id registered past the old last_column_id
+        zf = t.schema().find_field("addr.zip")
+        assert zf is not None
+        assert t.metadata.last_column_id >= zf.field_id
+
+    def test_rename_nested_keeps_id_and_values(self, spark, tmp_loc):
+        t, df = _nested_table(spark, tmp_loc, "nestr")
+        old_id = t.schema().find_field("addr.num").field_id
+        t = t.rename_column("addr.num", "house_no")
+        assert t.schema().find_field("addr.num") is None
+        f = t.schema().find_field("addr.house_no")
+        assert f is not None and f.field_id == old_id
+        # old files keep resolving by field ID under the new name
+        rows = {r["id"]: r["addr"]["house_no"]
+                for r in t.to_df().collect()}
+        assert rows == {1: 10, 2: 20}
+
+    def test_drop_nested_column(self, spark, tmp_loc):
+        t, df = _nested_table(spark, tmp_loc, "nestd")
+        t = t.drop_column("addr.num")
+        assert t.schema().find_field("addr.num") is None
+        rows = {r["id"]: r["addr"].asDict() for r in t.to_df().collect()}
+        assert rows[1] == {"street": "x1"}
+
+    def test_nested_rename_collision_refuses(self, spark, tmp_loc):
+        t, _df = _nested_table(spark, tmp_loc, "nestc")
+        with pytest.raises(ValueError, match="exists"):
+            t.rename_column("addr.num", "street")
+
+    def test_add_to_missing_parent_refuses(self, spark, tmp_loc):
+        t, _df = _nested_table(spark, tmp_loc, "nestm")
+        with pytest.raises(ValueError, match="parent"):
+            t.add_column("nope.zip", it.LongType())
+
+    def test_add_through_list_element_struct(self, spark, tmp_loc):
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        df = spark.createDataFrame(
+            [(1, [("a", 1)]), (2, [("b", 2), ("c", 3)])],
+            "id int, items array<struct<sku string, qty int>>")
+        t = IceTable.create(spark, os.path.join(tmp_loc, "nestl"),
+                            schema_from_spark(df.schema))
+        t.append(df)
+        t = t.add_column("items.element.price", it.DoubleType())
+        assert t.schema().find_field("items.element.price") is not None
+        rows = {r["id"]: [e.asDict() for e in r["items"]]
+                for r in t.to_df().collect()}
+        assert rows[1] == [{"sku": "a", "qty": 1, "price": None}]
+
+    def test_sql_nested_ddl(self, spark, cat, tmp_loc):
+        t, _df = _nested_table(spark, tmp_loc, "nests")
+        # register in the catalog so the SQL engine can load it
+        cat.register_table("db.nests", t.metadata_location)
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("ALTER TABLE ice.db.nests ADD COLUMN addr.zip long")
+        eng.sql("ALTER TABLE ice.db.nests RENAME COLUMN addr.num "
+                "TO house_no")
+        t2 = cat.load_table("db.nests", spark=spark)
+        assert t2.schema().find_field("addr.zip") is not None
+        assert t2.schema().find_field("addr.house_no") is not None
+        eng.sql("ALTER TABLE ice.db.nests DROP COLUMN addr.zip")
+        t2 = cat.load_table("db.nests", spark=spark)
+        assert t2.schema().find_field("addr.zip") is None
+        got = eng.sql("SELECT addr.house_no AS hn FROM ice.db.nests "
+                      "ORDER BY id").collect()
+        assert [r["hn"] for r in got] == [10, 20]
+
+
+class TestReplaceColumns:
+    """r16: ALTER TABLE ... REPLACE COLUMNS — the whole top-level
+    column list stated at once; by-name ID preservation, promotions,
+    drops and fresh adds in ONE schema evolution."""
+
+    def _tbl(self, spark, tmp_loc, name="repl"):
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.5), (2, "b", 2.5)],
+            "id int, name string, score float")
+        t = IceTable.create(spark, os.path.join(tmp_loc, name),
+                            schema_from_spark(df.schema))
+        t.append(df)
+        return t
+
+    def test_keep_promote_drop_add(self, spark, tmp_loc):
+        t = self._tbl(spark, tmp_loc)
+        ids_before = {f.name: f.field_id for f in t.schema().fields}
+        t = t.replace_columns([
+            ("id", it.LongType()),        # int -> long promotion
+            ("name", it.StringType()),    # unchanged, ID kept
+            ("note", it.StringType()),    # fresh add (score drops)
+        ])
+        got = {f.name: f for f in t.schema().fields}
+        assert set(got) == {"id", "name", "note"}
+        assert got["id"].field_id == ids_before["id"]
+        assert got["name"].field_id == ids_before["name"]
+        assert got["note"].field_id > max(ids_before.values())
+        rows = {r["id"]: (r["name"], r["note"])
+                for r in t.to_df().collect()}
+        assert rows == {1: ("a", None), 2: ("b", None)}
+
+    def test_bad_promotion_refuses(self, spark, tmp_loc):
+        t = self._tbl(spark, tmp_loc, "repl2")
+        with pytest.raises(ValueError, match="promotion"):
+            t.replace_columns([("id", it.StringType())])
+
+    def test_optional_to_required_refuses(self, spark, tmp_loc):
+        t = self._tbl(spark, tmp_loc, "repl3")
+        with pytest.raises(ValueError, match="required"):
+            t.replace_columns([("name", it.StringType(), True)])
+
+    def test_sql_replace_columns(self, spark, cat, tmp_loc):
+        t = self._tbl(spark, tmp_loc, "repl4")
+        cat.register_table("db.repl4", t.metadata_location)
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("ALTER TABLE ice.db.repl4 REPLACE COLUMNS "
+                "(id bigint, name string, tag string)")
+        t2 = cat.load_table("db.repl4", spark=spark)
+        assert {f.name for f in t2.schema().fields} == \
+            {"id", "name", "tag"}
+        got = eng.sql("SELECT id, tag FROM ice.db.repl4 "
+                      "ORDER BY id").collect()
+        assert [(r["id"], r["tag"]) for r in got] == [(1, None),
+                                                      (2, None)]

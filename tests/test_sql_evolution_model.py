@@ -74,8 +74,10 @@ def _run_sequence(spark, tmp_loc, seed: int) -> None:
                 del model[i]
             trace.append(f"DELETE [{lo},{hi}]")
         elif kind == "merge":
-            up = rng.sample(sorted(model) or [0],
-                            min(2, max(1, len(model))))
+            # source keys must be UNIQUE (the r16-enforced MERGE
+            # cardinality rule): sample only existing model keys so the
+            # empty-table fallback can never collide with the fresh id
+            up = rng.sample(sorted(model), min(2, len(model)))
             new = [next_id[0]]
             next_id[0] += 1
             src = ", ".join(

@@ -141,11 +141,16 @@ class TestMutations:
 
     def test_merge_into_delete_mode(self, spark, lineitem, li_table):
         n0 = lineitem.count()
-        src = lineitem.filter("l_orderkey <= 100")
+        # key-distinct feed: the r16-enforced MERGE cardinality rule
+        # refuses duplicate source keys (the synthetic lineitem is not
+        # key-unique); a delete merge consumes only the keys anyway
+        src = (lineitem.filter("l_orderkey <= 100")
+               .select("l_orderkey", "l_linenumber").distinct())
         li_table.merge_into(src, on=["l_orderkey", "l_linenumber"],
                             when_matched="delete", when_not_matched=None)
+        removed = lineitem.filter("l_orderkey <= 100").count()
         got = li_table.to_df()
-        assert got.count() == n0 - src.count()
+        assert got.count() == n0 - removed
         assert got.filter("l_orderkey <= 100").count() == 0
 
     def test_merge_into_insert_only(self, spark, lineitem, li_table):
