@@ -508,14 +508,20 @@ class FileSystemCatalog(Catalog):
     def register_table(self, ident, metadata_location):
         if self.table_exists(ident):
             raise AlreadyExistsError(ident)
+        import re as _re
+
         meta = read_table_metadata(metadata_location)
         base = os.path.basename(metadata_location)
-        if base.startswith("v") and base.endswith(".metadata.json"):
+        vm = _re.fullmatch(r"v(\d+)\.metadata\.json", base)
+        if vm is not None:
             # point at the ORIGINAL metadata chain (2-line hint): later
             # commits write v(N+1) NEXT to vN — copying the json into
             # the warehouse dir while commits land at metadata.location
-            # would fork the version sequence (r16 migrate fix)
-            version = int(base.split(".")[0][1:])
+            # would fork the version sequence (r16 migrate fix).
+            # EXACT-match only: 'v0.staged.metadata.json' (stage_create)
+            # or other v-prefixed names are not chain members — they
+            # take the copy path below (review r16)
+            version = int(vm.group(1))
             self._write_hint(ident, version, expected_current=None,
                              metadata_dir=os.path.dirname(
                                  metadata_location))

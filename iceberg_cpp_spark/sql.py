@@ -1008,15 +1008,32 @@ class IceSqlEngine:
         loc = str(location) if location else (
             src if os.path.isdir(src) else os.path.dirname(
                 src.split("*", 1)[0]))
+        meta_dir = os.path.join(loc, "metadata")
+        if os.path.exists(meta_dir):
+            # a previous (possibly failed) migrate or an existing
+            # Iceberg table — creating over it would mix chains, and
+            # the failure cleanup below must only ever delete a
+            # metadata dir THIS call created
+            raise ValueError(
+                f"CALL migrate: {meta_dir!r} already exists — the "
+                "location already carries table metadata; remove it "
+                "or register_table/snapshot instead")
         self.catalog.create_table(ident, schema, location=loc,
                                   properties={"migrate.source": src})
         try:
             t = self.catalog.load_table(ident, spark=self.spark)
             t = t.add_files(paths)
         except Exception:
-            # never leave a poisoned half-migrated entry: the retry
-            # with a corrected source must not hit 'already exists'
+            # never leave a poisoned half-migrated entry OR a stray
+            # metadata dir inside the source (a leftover
+            # v1.metadata.json would be swept into the retry's
+            # add_files listing and wedge it — review r16): the dir
+            # was created by THIS call (checked above), so removing
+            # it is safe
+            import shutil as _shutil
+
             self.catalog.drop_table(ident)
+            _shutil.rmtree(meta_dir, ignore_errors=True)
             raise
         s = t.current_snapshot()
         return self.spark.createDataFrame(

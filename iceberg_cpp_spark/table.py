@@ -3368,39 +3368,59 @@ class IceTable:
         chk_s = self.spark.createDataFrame([], src_schema).alias("s")
         jd = chk_t.crossJoin(chk_s)
         for i, cl in enumerate(by_source or []):
-            try:
-                if cl.condition is not None:
-                    chk_t.select(self._clause_col(cl.condition))
-                for k, v in (cl.assignments or {}).items():
-                    if schema.find_field(k) is None:
-                        raise ValueError(
-                            f"WHEN NOT MATCHED BY SOURCE clause {i + 1}"
-                            f" SET target not in table schema: {k!r}")
+            # SET targets must be TOP-LEVEL table columns: a dotted
+            # path passes find_field but the per-column fold keys on
+            # top-level names and would silently no-op (review r16)
+            for k in (cl.assignments or {}):
+                if schema.field_by_name(k) is None:
+                    raise ValueError(
+                        f"WHEN NOT MATCHED BY SOURCE clause {i + 1} "
+                        f"SET target must be a top-level table "
+                        f"column: {k!r}")
+            exprs = list((cl.assignments or {}).values())
+            if cl.condition is not None:
+                exprs.append(cl.condition)
+            for v in exprs:
+                try:
                     chk_t.select(self._clause_col(v))
-            except ValueError:
-                raise
-            except Exception as exc:
-                raise ValueError(
-                    f"WHEN NOT MATCHED BY SOURCE clause {i + 1} must "
-                    "reference target columns only (t.-qualified or "
-                    f"bare table columns): {exc}") from exc
+                except Exception as exc:
+                    raise ValueError(
+                        f"WHEN NOT MATCHED BY SOURCE clause {i + 1} "
+                        "must reference target columns only "
+                        f"(t.-qualified or bare table columns): {exc}"
+                    ) from exc
+                # a bare name living in BOTH frames resolves on the
+                # target frame but is AMBIGUOUS on the real joined
+                # frame — analyze there too so the refusal lands
+                # before any discovery work (review r16)
+                try:
+                    jd.select(self._clause_col(v))
+                except Exception as exc:
+                    raise ValueError(
+                        f"WHEN NOT MATCHED BY SOURCE clause {i + 1} "
+                        "expression is ambiguous on the merge join "
+                        "(the source carries a same-named column) — "
+                        f"qualify with t.: {exc}") from exc
         for i, cl in enumerate(matched):
             if cl.condition is not None:
                 jd.select(self._clause_col(cl.condition))
             for k, v in (cl.assignments or {}).items():
-                if schema.find_field(k) is None:
+                if schema.field_by_name(k) is None:
+                    # top-level only (the fold keys on f.name; a
+                    # dotted target would silently no-op)
                     raise ValueError(
-                        f"WHEN MATCHED clause {i + 1} SET target not "
-                        f"in table schema: {k!r}")
+                        f"WHEN MATCHED clause {i + 1} SET target must "
+                        f"be a top-level table column: {k!r}")
                 jd.select(self._clause_col(v))
         for i, cl in enumerate(not_matched):
             if cl.condition is not None:
                 chk_s.select(self._clause_col(cl.condition))
             for k, v in (cl.values or {}).items():
-                if schema.find_field(k) is None:
+                if schema.field_by_name(k) is None:
                     raise ValueError(
                         f"WHEN NOT MATCHED clause {i + 1} INSERT "
-                        f"column not in table schema: {k!r}")
+                        f"column must be a top-level table column: "
+                        f"{k!r}")
                 chk_s.select(self._clause_col(v))
 
     def _merge_clauses(self, source: DataFrame, on: list[str],
@@ -3451,7 +3471,10 @@ class IceTable:
         # determinism: one materialized source feeds discovery + rewrite
         # (the merge_into materialization rule)
         src = source.localCheckpoint(eager=True)
-        if matched:
+        # the guard must also run for by-source-only merges: the CoW
+        # left join fans out matched KEEP rows (__act = -1) on a
+        # duplicate source key and writes every copy back (review r16)
+        if matched or by_source:
             self._guard_merge_cardinality(src, on)
         keys = src.select(*on).distinct()
         mode = mode or self.properties().get("write.merge.mode",
@@ -6452,9 +6475,20 @@ class IceTable:
             initial_default=default, write_default=default)
         if nested:
             parent = name.rsplit(".", 1)[0]
+            leaf = new_field.name
+
+            def _append(kids: list) -> list:
+                # the duplicate check must run at the ACTUAL struct:
+                # the top-level find_field(name) probe misses implicit
+                # list/map paths ('arr.x' indexes as 'arr.element.x'),
+                # and a struct with two same-named fields is corrupt
+                # (review r16)
+                if any(x.name == leaf for x in kids):
+                    raise ValueError(f"column exists: {name}")
+                return kids + [new_field]
+
             fields = _rebuild_nested_fields(
-                schema.fields, parent.split("."),
-                lambda kids: kids + [new_field])
+                schema.fields, parent.split("."), _append)
         else:
             fields = list(schema.fields) + [new_field]
         # nested element/key/value/struct children may carry ids past
@@ -6546,6 +6580,12 @@ class IceTable:
         for name, typ, req in specs:
             old = schema.field_by_name(name)
             if old is None:
+                if req:
+                    raise ValueError(
+                        f"new column {name!r} cannot be NOT NULL: "
+                        "existing rows would read it as null in a "
+                        "column the schema declares non-null — add it "
+                        "optional (or via add_column with a default)")
                 fid += 1
                 fields.append(it.NestedField(fid, name, typ, req))
                 continue

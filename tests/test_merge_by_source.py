@@ -299,3 +299,60 @@ class TestBySourceSql:
         with pytest.raises(ValueError, match="cardinality"):
             eng.sql("MERGE INTO ice.db.t t USING dup_src s ON t.k = s.k "
                     "WHEN MATCHED THEN UPDATE SET *")
+
+
+class TestReviewFindingsR16:
+    """Pins for the r16 review findings on the by-source MERGE leg."""
+
+    def test_by_source_only_duplicate_source_keys_refuse(self, spark,
+                                                         tmp_loc):
+        # CoW by-source-only: the left join fans out matched KEEP rows
+        # on a duplicate source key — the guard must cover this shape
+        t = _mk(spark, tmp_loc, name="bsdup")
+        src = spark.createDataFrame([(1,), (1,)], "k int")
+        with pytest.raises(ValueError, match="cardinality"):
+            t.merge_into(src, on=["k"], when_matched=None,
+                         when_not_matched=None,
+                         when_not_matched_by_source="delete")
+        # and the table is untouched (guard fires before any rewrite)
+        assert t.to_df().count() == 4
+
+    def test_by_source_nested_set_target_refuses(self, spark, tmp_loc):
+        # a dotted SET target would silently no-op (the fold keys on
+        # top-level names) — refuse at plan time instead
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        df = spark.createDataFrame(
+            [(1, ("x", 1))], "k int, addr struct<street string, num int>")
+        t = IceTable.create(spark, os.path.join(tmp_loc, "bsnest"),
+                            schema_from_spark(df.schema))
+        t.append(df)
+        src = spark.createDataFrame([(9,)], "k int")
+        with pytest.raises(ValueError, match="top-level"):
+            t.merge_into(src, on=["k"], when_matched=None,
+                         when_not_matched=None,
+                         when_not_matched_by_source=[
+                             NotMatchedBySourceClause(
+                                 "update",
+                                 assignments={"addr.num": "7"})])
+
+    def test_by_source_ambiguous_bare_name_refuses_early(self, spark,
+                                                         tmp_loc):
+        # bare 'v' exists in BOTH frames: resolves on the target-only
+        # probe but is ambiguous on the joined frame — must refuse at
+        # plan time, not mid-job
+        t = _mk(spark, tmp_loc, name="bsamb")
+        src = spark.createDataFrame([(1, 5.0)], "k int, v double")
+        with pytest.raises(ValueError, match="ambiguous"):
+            t.merge_into(src, on=["k"], when_matched=None,
+                         when_not_matched=None,
+                         when_not_matched_by_source=[
+                             NotMatchedBySourceClause(
+                                 "delete", condition="v < 25")])
+        # the t.-qualified spelling works
+        t = t.merge_into(src, on=["k"], when_matched=None,
+                         when_not_matched=None,
+                         when_not_matched_by_source=[
+                             NotMatchedBySourceClause(
+                                 "delete", condition="t.v < 25")])
+        assert sorted(r["k"] for r in t.to_df().collect()) == [1, 3, 4]

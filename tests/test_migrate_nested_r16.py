@@ -233,3 +233,86 @@ class TestReplaceColumns:
                       "ORDER BY id").collect()
         assert [(r["id"], r["tag"]) for r in got] == [(1, None),
                                                       (2, None)]
+
+
+class TestReviewFindingsR16:
+    """Pins for the r16 review findings on migrate / register_table /
+    nested DDL / REPLACE COLUMNS."""
+
+    def test_migrate_failure_cleans_metadata_and_retry_works(
+            self, spark, cat, tmp_loc):
+        # first attempt fails mid-add_files; the rollback must remove
+        # BOTH the catalog entry and the metadata dir it created inside
+        # the source, so the corrected retry succeeds
+        src = os.path.join(tmp_loc, "legacy_retry")
+        spark.range(5).write.parquet(src)
+        bad = os.path.join(src, "notes.csv")
+        with open(bad, "w") as fh:
+            fh.write("not,a,table\n")
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError):
+            eng.sql(f"CALL ice.system.migrate(table => 'db.r1', "
+                    f"source => '{src}')")
+        assert not cat.table_exists("db.r1")
+        assert not os.path.exists(os.path.join(src, "metadata"))
+        os.remove(bad)
+        got = eng.sql(f"CALL ice.system.migrate(table => 'db.r1', "
+                      f"source => '{src}')").collect()[0]
+        assert got["migrated_rows_count"] == 5
+
+    def test_migrate_refuses_existing_metadata_dir(self, spark, cat,
+                                                   tmp_loc):
+        src = os.path.join(tmp_loc, "legacy_meta")
+        spark.range(3).write.parquet(src)
+        os.makedirs(os.path.join(src, "metadata"))
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="already carries"):
+            eng.sql(f"CALL ice.system.migrate(table => 'db.r2', "
+                    f"source => '{src}')")
+        assert not cat.table_exists("db.r2")
+
+    def test_register_staged_metadata_not_misparsed(self, spark, cat,
+                                                    tmp_loc):
+        # v0.staged.metadata.json (stage_create_table) must take the
+        # copy path, not the vN chain fast path (which would hint at a
+        # nonexistent v0.metadata.json — a poisoned entry)
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        df = spark.createDataFrame([(1, "a")], "id long, data string")
+        meta = cat.stage_create_table(
+            "db.staged_t", schema_from_spark(df.schema))
+        staged_loc = os.path.join(meta.location, "metadata",
+                                  "v0.staged.metadata.json")
+        cat.register_table("db.staged_reg", staged_loc)
+        t = cat.load_table("db.staged_reg", spark=spark)
+        assert t.to_df().count() == 0  # loads fine, empty table
+
+    def test_add_column_implicit_element_duplicate_refuses(
+            self, spark, tmp_loc):
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        df = spark.createDataFrame(
+            [(1, [("a", 1)])],
+            "id int, items array<struct<sku string, qty int>>")
+        t = IceTable.create(spark, os.path.join(tmp_loc, "dupel"),
+                            schema_from_spark(df.schema))
+        t.append(df)
+        # 'items.qty' walks implicitly into the element struct where
+        # 'qty' already exists — must refuse, not commit a struct with
+        # two same-named fields
+        with pytest.raises(ValueError, match="exists"):
+            t.add_column("items.qty", it.LongType())
+        with pytest.raises(ValueError, match="exists"):
+            t.add_column("items.element.qty", it.LongType())
+
+    def test_replace_columns_new_not_null_refuses(self, spark,
+                                                  tmp_loc):
+        from iceberg_cpp_spark.core.types import schema_from_spark
+
+        df = spark.createDataFrame([(1, "a")], "id int, name string")
+        t = IceTable.create(spark, os.path.join(tmp_loc, "rcnn"),
+                            schema_from_spark(df.schema))
+        t.append(df)
+        with pytest.raises(ValueError, match="NOT NULL"):
+            t.replace_columns([("id", it.IntegerType()),
+                               ("brand_new", it.StringType(), True)])
