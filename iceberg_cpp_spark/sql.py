@@ -454,30 +454,30 @@ class IceSqlEngine:
                              bool(cm.group("nn"))))
             t.replace_columns(cols)
             return self._dml_result()
-        if m := re.match(r"^alter\s+column\s+(?P<name>[A-Za-z_]\w*)\s+"
+        if m := re.match(rf"^alter\s+column\s+(?P<name>{_colpath})\s+"
                          r"type\s+(?P<type>.+?)\s*$", b, re.I | re.S):
             raw = re.sub(r"\s+", "", m.group("type")).lower()
             raw = _SQL_TYPE_ALIASES.get(raw, raw)
             t.update_column_type(m.group("name"), type_from_json(raw))
             return self._dml_result()
-        if m := re.match(r"^alter\s+column\s+(?P<name>[A-Za-z_]\w*)\s+"
+        if m := re.match(rf"^alter\s+column\s+(?P<name>{_colpath})\s+"
                          r"drop\s+not\s+null\s*$", b, re.I):
             t.make_column_optional(m.group("name"))
             return self._dml_result()
-        if re.match(r"^alter\s+column\s+[A-Za-z_]\w*\s+set\s+not\s+null"
+        if re.match(rf"^alter\s+column\s+{_colpath}\s+set\s+not\s+null"
                     r"\s*$", b, re.I):
             raise ValueError(
                 "ALTER COLUMN ... SET NOT NULL is not allowed: "
                 "optional -> required would claim existing rows are "
                 "non-null without checking them (Iceberg forbids it); "
                 "validate with expectations and rewrite instead")
-        if m := re.match(r"^alter\s+column\s+(?P<name>[A-Za-z_]\w*)\s+"
+        if m := re.match(rf"^alter\s+column\s+(?P<name>{_colpath})\s+"
                          r"set\s+default\s+(?P<val>.+?)\s*$",
                          b, re.I | re.S):
             t.update_column_default(
                 m.group("name"), self._sql_literal(m.group("val"), lits))
             return self._dml_result()
-        if m := re.match(r"^alter\s+column\s+(?P<name>[A-Za-z_]\w*)\s+"
+        if m := re.match(rf"^alter\s+column\s+(?P<name>{_colpath})\s+"
                          r"drop\s+default\s*$", b, re.I):
             t.update_column_default(m.group("name"), None)
             return self._dml_result()

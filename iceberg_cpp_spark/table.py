@@ -6618,6 +6618,29 @@ class IceTable:
         return self._evolve_schema(fields,
                                    last_column_id=max(fid, last))
 
+    @staticmethod
+    def _replace_field_at(schema, name: str, fn) -> list:
+        """Rebuilt top-level field list with ``fn(field) -> field``
+        applied to the (possibly nested, dotted) field named — the
+        shared leg of the in-place mutators (type promotion, optional,
+        write-default). Top-level names take the flat path."""
+        if "." not in name:
+            return [fn(x) if x.name == name else x
+                    for x in schema.fields]
+        parent, leaf = name.rsplit(".", 1)
+        if leaf in ("element", "value", "key"):
+            raise ValueError(
+                f"cannot mutate the {leaf!r} of a list/map directly; "
+                f"name a struct field")
+
+        def mut(kids: list) -> list:
+            if not any(x.name == leaf for x in kids):
+                raise ValueError(f"no such column: {name!r}")
+            return [fn(x) if x.name == leaf else x for x in kids]
+
+        return _rebuild_nested_fields(schema.fields,
+                                      parent.split("."), mut)
+
     def set_identifier_fields(self, names: list[str]) -> "IceTable":
         """Row-identity metadata (spec: ``schema.identifier-field-ids``
         — the reference's schema.h carries the ids, no mutator): names
@@ -6660,6 +6683,13 @@ class IceTable:
         cleanly to the column's type — a default Spark would cast to
         NULL at write time ('lots' on a BIGINT column) refuses HERE
         instead of silently writing NULL later."""
+        if "." in name:
+            # the write-side default fill applies to omitted TOP-LEVEL
+            # columns only (a writer supplies nested structs whole) — a
+            # stored nested default would never be honored
+            raise ValueError(
+                f"write defaults apply to top-level columns only: "
+                f"{name!r}")
         schema = self.schema()
         f = schema.find_field(name)
         if f is None:
@@ -6672,9 +6702,8 @@ class IceTable:
                 raise ValueError(
                     f"default {value!r} does not cast to column "
                     f"{name!r}'s type {f.field_type.to_json()}")
-        fields = [dc_replace(x, write_default=value)
-                  if x.field_id == f.field_id else x
-                  for x in schema.fields]
+        fields = self._replace_field_at(
+            schema, name, lambda x: dc_replace(x, write_default=value))
         return self._evolve_schema(fields)
 
     def update_spec(self, fields: list) -> "IceTable":
@@ -6748,9 +6777,8 @@ class IceTable:
                 f"{old.to_json()} -> {new_type.to_json()} (allowed: "
                 "int -> long, float -> double, decimal(P,S) -> "
                 "decimal(P'>P,S))")
-        fields = [dc_replace(x, field_type=new_type)
-                  if x.field_id == f.field_id else x
-                  for x in schema.fields]
+        fields = self._replace_field_at(
+            schema, name, lambda x: dc_replace(x, field_type=new_type))
         return self._evolve_schema(fields)
 
     def make_column_optional(self, name: str) -> "IceTable":
@@ -6769,9 +6797,8 @@ class IceTable:
                 "clear it from the identifier fields first")
         if not f.required:
             return self
-        fields = [dc_replace(x, required=False)
-                  if x.field_id == f.field_id else x
-                  for x in schema.fields]
+        fields = self._replace_field_at(
+            schema, name, lambda x: dc_replace(x, required=False))
         return self._evolve_schema(fields)
 
     def replace_sort_order(self, fields: list) -> "IceTable":

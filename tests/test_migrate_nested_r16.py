@@ -316,3 +316,69 @@ class TestReviewFindingsR16:
         with pytest.raises(ValueError, match="NOT NULL"):
             t.replace_columns([("id", it.IntegerType()),
                                ("brand_new", it.StringType(), True)])
+
+
+class TestNestedInPlaceMutators:
+    """r16 follow-up: type promotion and DROP NOT NULL reach nested
+    fields through the same rebuild walker; write defaults stay
+    top-level (the write-side fill only sees omitted top-level
+    columns) and refuse loudly on a dotted name."""
+
+    def _tbl(self, spark, tmp_loc, name):
+        from pyspark.sql import types as T
+
+        from iceberg_cpp_spark.core import types as ity
+        from iceberg_cpp_spark.core.types import Schema
+
+        schema = Schema([
+            ity.NestedField(1, "id", ity.LongType(), True),
+            ity.NestedField(2, "addr", ity.StructType([
+                ity.NestedField(3, "num", ity.IntegerType(), True),
+                ity.NestedField(4, "street", ity.StringType()),
+            ])),
+        ])
+        t = IceTable.create(spark, os.path.join(tmp_loc, name), schema)
+        # nullability must match the required fields exactly
+        sch = T.StructType([
+            T.StructField("id", T.LongType(), False),
+            T.StructField("addr", T.StructType([
+                T.StructField("num", T.IntegerType(), False),
+                T.StructField("street", T.StringType(), True)]), True)])
+        t.append(spark.createDataFrame([(1, (10, "x"))], sch))
+        return t
+
+    def test_nested_type_promotion(self, spark, tmp_loc):
+        t = self._tbl(spark, tmp_loc, "npro")
+        t = t.update_column_type("addr.num", it.LongType())
+        f = t.schema().find_field("addr.num")
+        assert isinstance(f.field_type, it.LongType)
+        assert f.field_id == 3  # ID kept
+        assert t.to_df().collect()[0]["addr"]["num"] == 10
+        with pytest.raises(ValueError, match="promotion"):
+            t.update_column_type("addr.street", it.LongType())
+
+    def test_nested_drop_not_null(self, spark, tmp_loc):
+        t = self._tbl(spark, tmp_loc, "nopt")
+        assert t.schema().find_field("addr.num").required
+        t = t.make_column_optional("addr.num")
+        assert not t.schema().find_field("addr.num").required
+
+    def test_nested_default_refuses(self, spark, tmp_loc):
+        t = self._tbl(spark, tmp_loc, "ndef")
+        with pytest.raises(ValueError, match="top-level"):
+            t.update_column_default("addr.num", 5)
+
+    def test_sql_nested_alter_column(self, spark, cat, tmp_loc):
+        t = self._tbl(spark, tmp_loc, "nsql")
+        cat.register_table("db.nsql", t.metadata_location)
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("ALTER TABLE ice.db.nsql ALTER COLUMN addr.num "
+                "TYPE bigint")
+        eng.sql("ALTER TABLE ice.db.nsql ALTER COLUMN addr.num "
+                "DROP NOT NULL")
+        t2 = cat.load_table("db.nsql", spark=spark)
+        f = t2.schema().find_field("addr.num")
+        assert isinstance(f.field_type, it.LongType) and not f.required
+        with pytest.raises(ValueError, match="top-level"):
+            eng.sql("ALTER TABLE ice.db.nsql ALTER COLUMN addr.num "
+                    "SET DEFAULT 5")
