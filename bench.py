@@ -63,6 +63,10 @@ BENCH_QUERIES = [
     # mutation path (write/delete/maintenance regressions visible
     # round-over-round, VERDICT r03 item 5)
     "ice_merge_into",
+    # r16: the full-sync MERGE (WHEN NOT MATCHED BY SOURCE) — the CoW
+    # all-files rewrite shape plus the enforced cardinality guard stay
+    # regression-visible
+    "ice_merge_sync",
     "ice_deletion_vector",
     "ice_compaction",
     # newest operators (VERDICT r06 item 7): the bucketed pack_sequences
