@@ -424,9 +424,17 @@ class IceSqlEngine:
         _colpath = r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*"
         if m := re.match(rf"^add\s+column\s+(?P<name>{_colpath})\s+"
                          r"(?P<type>.+?)\s*$", b, re.I | re.S):
-            raw = m.group("type").strip().lower()
-            raw = _SQL_TYPE_ALIASES.get(raw, raw)
-            t.add_column(m.group("name"), type_from_json(raw))
+            from iceberg_cpp_spark.core.types import max_assigned_field_id
+
+            # nested spellings need fresh subtree ids ABOVE every id
+            # the table has assigned (add_column takes last+1 for the
+            # field itself, so the subtree starts at last+2)
+            base = max(t.metadata.last_column_id,
+                       max_assigned_field_id(t.schema().fields))
+            t.add_column(m.group("name"),
+                         self._parse_col_type(m.group("type"),
+                                              iter(range(base + 2,
+                                                         10 ** 9))))
             return self._dml_result()
         if m := re.match(rf"^rename\s+column\s+(?P<old>{_colpath})\s+"
                          r"to\s+(?P<new>[A-Za-z_]\w*)\s*$", b, re.I):
@@ -440,7 +448,7 @@ class IceSqlEngine:
                          r"\((?P<defs>[^()]*(?:\([^()]*\)[^()]*)*)\)"
                          r"\s*$", b, re.I | re.S):
             cols = []
-            for piece in self._split_top(m.group("defs")):
+            for piece in self._split_coldefs(m.group("defs")):
                 cm = re.match(r"^\s*([A-Za-z_]\w*)\s+(.+?)"
                               r"(?:\s+(?P<nn>not\s+null))?\s*$",
                               piece, re.I | re.S)
@@ -448,17 +456,25 @@ class IceSqlEngine:
                     raise ValueError(
                         f"cannot parse column definition: "
                         f"{self._unmask(piece, lits)!r}")
-                raw = re.sub(r"\s+", "", cm.group(2)).lower()
-                raw = _SQL_TYPE_ALIASES.get(raw, raw)
-                cols.append((cm.group(1), type_from_json(raw),
+                cols.append((cm.group(1), cm.group(2),
                              bool(cm.group("nn"))))
-            t.replace_columns(cols)
+            from iceberg_cpp_spark.core.types import max_assigned_field_id
+
+            # subtree ids start past last_column_id AND the new
+            # top-level ids replace_columns itself will assign
+            base = max(t.metadata.last_column_id,
+                       max_assigned_field_id(t.schema().fields))
+            ctr = iter(range(base + 1 + len(cols), 10 ** 9))
+            t.replace_columns([
+                (n, self._parse_col_type(ty, ctr), req)
+                for n, ty, req in cols])
             return self._dml_result()
         if m := re.match(rf"^alter\s+column\s+(?P<name>{_colpath})\s+"
                          r"type\s+(?P<type>.+?)\s*$", b, re.I | re.S):
-            raw = re.sub(r"\s+", "", m.group("type")).lower()
-            raw = _SQL_TYPE_ALIASES.get(raw, raw)
-            t.update_column_type(m.group("name"), type_from_json(raw))
+            # the promotion lattice is primitive-only; the shared
+            # parser still gives nested spellings a clear refusal
+            t.update_column_type(m.group("name"),
+                                 self._parse_col_type(m.group("type")))
             return self._dml_result()
         if m := re.match(rf"^alter\s+column\s+(?P<name>{_colpath})\s+"
                          r"drop\s+not\s+null\s*$", b, re.I):
@@ -1135,10 +1151,11 @@ class IceSqlEngine:
         import json as _json
 
         t = self._load(ident, "DESCRIBE")
-        # to_json is a string for primitives, a dict for nested types
+        # primitives print the Iceberg name; nested types print the
+        # runnable SQL spelling (r16 — was the spec JSON)
         rows = [(f.name,
                  tj if isinstance(tj := f.field_type.to_json(), str)
-                 else _json.dumps(tj),
+                 else self._sql_type_ddl(f.field_type).lower(),
                  not f.required)
                 for f in t.schema().fields]
         if extended:
@@ -1184,12 +1201,55 @@ class IceSqlEngine:
     _DDL_TYPES = {"long": "BIGINT", "timestamptz": "TIMESTAMP_LTZ"}
 
     def _sql_type_ddl(self, field_type) -> str:
-        import json as _json
+        """Iceberg type → the SQL DDL spelling SHOW CREATE prints and
+        _parse_col_type re-parses (r16: nested types render as
+        STRUCT<name: TYPE [NOT NULL], ...> / ARRAY<> / MAP<,> instead
+        of the spec JSON, so the statement stays runnable)."""
+        from iceberg_cpp_spark.core import types as ity
 
-        tj = field_type.to_json()
-        if not isinstance(tj, str):
-            return _json.dumps(tj)  # nested types: the spec JSON
+        t = field_type
+        if isinstance(t, ity.StructType):
+            inner = ", ".join(
+                f"{f.name}: {self._sql_type_ddl(f.field_type)}"
+                + (" NOT NULL" if f.required else "")
+                for f in t.fields)
+            return f"STRUCT<{inner}>"
+        if isinstance(t, ity.ListType):
+            return f"ARRAY<{self._sql_type_ddl(t.element_type)}>"
+        if isinstance(t, ity.MapType):
+            return (f"MAP<{self._sql_type_ddl(t.key_type)}, "
+                    f"{self._sql_type_ddl(t.value_type)}>")
+        tj = t.to_json()
         return self._DDL_TYPES.get(tj, tj.upper())
+
+    def _parse_col_type(self, text: str, counter=None):
+        """SQL type spelling → IcebergType. Primitive and
+        Iceberg-specific spellings (timestamptz, uuid, fixed[n],
+        variant, geometry...) resolve through the alias map +
+        type_from_json; nested spellings (struct<>/array<>/map<,>,
+        incl. NOT NULL on struct fields) parse through Spark's own
+        type parser and convert with nested field IDs drawn from
+        ``counter`` (callers pass a range above the table's
+        last_column_id so new subtree IDs can never collide)."""
+        from iceberg_cpp_spark.core.types import (from_spark_type,
+                                                  type_from_json)
+
+        raw = re.sub(r"\s+", "", text).lower()
+        raw = _SQL_TYPE_ALIASES.get(raw, raw)
+        try:
+            return type_from_json(raw)
+        except ValueError:
+            pass
+        from pyspark.sql.types import _parse_datatype_string
+
+        try:
+            dt = _parse_datatype_string(text)
+        except Exception as exc:
+            raise ValueError(f"cannot parse column type "
+                             f"{text.strip()!r}: {exc}") from exc
+        if counter is None:
+            counter = iter(range(10_000, 1_000_000))
+        return from_spark_type(dt, counter)
 
     @staticmethod
     def _transform_ddl(transform, col: str) -> str:
@@ -1738,8 +1798,13 @@ class IceSqlEngine:
                 f"CREATE TABLE target already exists: {ident!r} "
                 "(use IF NOT EXISTS)")
         if coldefs is not None:
+            pieces = self._split_coldefs(coldefs)
+            # nested subtree ids live above the top-level range, the
+            # schema_from_spark convention (r16: struct<>/array<>/map<>
+            # column types parse through the shared type parser)
+            ctr = iter(range(max(10_000, len(pieces) + 1), 1_000_000))
             fields = []
-            for i, piece in enumerate(self._split_top(coldefs)):
+            for i, piece in enumerate(pieces):
                 cm = re.match(
                     r"^\s*([A-Za-z_]\w*)\s+(.+?)"
                     r"(?:\s+(?P<nn>not\s+null))?\s*$",
@@ -1747,10 +1812,9 @@ class IceSqlEngine:
                 if cm is None:
                     raise ValueError(
                         f"cannot parse column definition: {piece!r}")
-                raw = re.sub(r"\s+", "", cm.group(2)).lower()
-                raw = _SQL_TYPE_ALIASES.get(raw, raw)
                 fields.append(it.NestedField(
-                    i + 1, cm.group(1), type_from_json(raw),
+                    i + 1, cm.group(1),
+                    self._parse_col_type(cm.group(2), ctr),
                     required=bool(cm.group("nn"))))
             schema = it.Schema(fields, schema_id=0)
             df = None
@@ -1857,6 +1921,29 @@ class IceSqlEngine:
             raise ValueError(f"no such view: {ident!r}")
         self.catalog.drop_view(ident)
         return self._dml_result()
+
+    @staticmethod
+    def _split_coldefs(text: str) -> list[str]:
+        """Split a column-definition list on commas outside BOTH parens
+        and angle brackets — struct<a: int, b: string> / map<k, v>
+        spellings carry commas _split_top would split on (in a coldef
+        context '<' is only ever a generic bracket, never a
+        comparison)."""
+        out, paren, angle, start = [], 0, 0, 0
+        for i, ch in enumerate(text):
+            if ch == "(":
+                paren += 1
+            elif ch == ")":
+                paren -= 1
+            elif ch == "<":
+                angle += 1
+            elif ch == ">":
+                angle = max(0, angle - 1)
+            elif ch == "," and paren == 0 and angle == 0:
+                out.append(text[start:i])
+                start = i + 1
+        out.append(text[start:])
+        return out
 
     @staticmethod
     def _split_top(text: str) -> list[str]:
