@@ -513,6 +513,34 @@ def schema_v3_types(schema: "Schema") -> set:
     return found
 
 
+def types_equal_ignoring_ids(a: IcebergType, b: IcebergType) -> bool:
+    """Structural type equality that IGNORES field/element/key/value
+    IDs: two spellings of the same nested type compare equal even when
+    their subtree IDs differ (a re-parsed DDL type carries fresh IDs).
+    Primitives fall back to value equality (decimal precision/scale,
+    fixed length, ... all participate)."""
+    if isinstance(a, StructType) and isinstance(b, StructType):
+        if len(a.fields) != len(b.fields):
+            return False
+        return all(
+            fa.name == fb.name and fa.required == fb.required
+            and types_equal_ignoring_ids(fa.field_type, fb.field_type)
+            for fa, fb in zip(a.fields, b.fields))
+    if isinstance(a, ListType) and isinstance(b, ListType):
+        return (a.element_required == b.element_required
+                and types_equal_ignoring_ids(a.element_type,
+                                             b.element_type))
+    if isinstance(a, MapType) and isinstance(b, MapType):
+        return (a.value_required == b.value_required
+                and types_equal_ignoring_ids(a.key_type, b.key_type)
+                and types_equal_ignoring_ids(a.value_type,
+                                             b.value_type))
+    if isinstance(a, (StructType, ListType, MapType)) \
+            or isinstance(b, (StructType, ListType, MapType)):
+        return False
+    return a == b
+
+
 def max_assigned_field_id(fields) -> int:
     """Highest field id assigned ANYWHERE in the given fields, including
     list element ids and map key/value ids (which Schema's name index —

@@ -30,7 +30,7 @@ from iceberg_cpp_spark.core.metadata import (
     read_table_metadata,
     write_table_metadata,
 )
-from iceberg_cpp_spark.core.types import Schema
+from iceberg_cpp_spark.core.types import Schema, max_assigned_field_id
 
 
 class CommitFailedError(Exception):
@@ -227,7 +227,11 @@ class Catalog:
             table_uuid=new_table_uuid(),
             location=location,
             last_updated_ms=int(time.time() * 1000),
-            last_column_id=schema.highest_field_id(),
+            # max_assigned_field_id, not highest_field_id: list element
+            # / map key+value ids never enter the schema's NAME index,
+            # and the spec requires last-column-id >= every assigned id
+            # (an external reader validates it; review r16)
+            last_column_id=max_assigned_field_id(schema.fields),
             schemas=[schema],
             current_schema_id=schema.schema_id,
             partition_specs=[spec],

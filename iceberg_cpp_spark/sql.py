@@ -424,17 +424,10 @@ class IceSqlEngine:
         _colpath = r"[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*"
         if m := re.match(rf"^add\s+column\s+(?P<name>{_colpath})\s+"
                          r"(?P<type>.+?)\s*$", b, re.I | re.S):
-            from iceberg_cpp_spark.core.types import max_assigned_field_id
-
-            # nested spellings need fresh subtree ids ABOVE every id
-            # the table has assigned (add_column takes last+1 for the
-            # field itself, so the subtree starts at last+2)
-            base = max(t.metadata.last_column_id,
-                       max_assigned_field_id(t.schema().fields))
             t.add_column(m.group("name"),
-                         self._parse_col_type(m.group("type"),
-                                              iter(range(base + 2,
-                                                         10 ** 9))))
+                         self._parse_col_type(
+                             m.group("type"),
+                             self._subtree_id_counter(t, 1)))
             return self._dml_result()
         if m := re.match(rf"^rename\s+column\s+(?P<old>{_colpath})\s+"
                          r"to\s+(?P<new>[A-Za-z_]\w*)\s*$", b, re.I):
@@ -458,13 +451,7 @@ class IceSqlEngine:
                         f"{self._unmask(piece, lits)!r}")
                 cols.append((cm.group(1), cm.group(2),
                              bool(cm.group("nn"))))
-            from iceberg_cpp_spark.core.types import max_assigned_field_id
-
-            # subtree ids start past last_column_id AND the new
-            # top-level ids replace_columns itself will assign
-            base = max(t.metadata.last_column_id,
-                       max_assigned_field_id(t.schema().fields))
-            ctr = iter(range(base + 1 + len(cols), 10 ** 9))
+            ctr = self._subtree_id_counter(t, len(cols))
             t.replace_columns([
                 (n, self._parse_col_type(ty, ctr), req)
                 for n, ty, req in cols])
@@ -1215,41 +1202,100 @@ class IceSqlEngine:
                 for f in t.fields)
             return f"STRUCT<{inner}>"
         if isinstance(t, ity.ListType):
-            return f"ARRAY<{self._sql_type_ddl(t.element_type)}>"
+            nn = " NOT NULL" if t.element_required else ""
+            return f"ARRAY<{self._sql_type_ddl(t.element_type)}{nn}>"
         if isinstance(t, ity.MapType):
+            nn = " NOT NULL" if t.value_required else ""
             return (f"MAP<{self._sql_type_ddl(t.key_type)}, "
-                    f"{self._sql_type_ddl(t.value_type)}>")
+                    f"{self._sql_type_ddl(t.value_type)}{nn}>")
         tj = t.to_json()
         return self._DDL_TYPES.get(tj, tj.upper())
+
+    @staticmethod
+    def _subtree_id_counter(t, reserve: int):
+        """Fresh-ID counter for nested subtrees added by DDL: starts
+        above BOTH the table's last_column_id and every id actually
+        assigned anywhere in the schema (incl. list element / map
+        key+value ids the name index never sees), leaving ``reserve``
+        slots for the mutator's own sequential top-level ids
+        (add_column takes last+1; replace_columns takes last+1..+N)."""
+        from iceberg_cpp_spark.core.types import max_assigned_field_id
+
+        base = max(t.metadata.last_column_id,
+                   max_assigned_field_id(t.schema().fields))
+        return iter(range(base + 1 + reserve, 10 ** 9))
 
     def _parse_col_type(self, text: str, counter=None):
         """SQL type spelling → IcebergType. Primitive and
         Iceberg-specific spellings (timestamptz, uuid, fixed[n],
         variant, geometry...) resolve through the alias map +
-        type_from_json; nested spellings (struct<>/array<>/map<,>,
-        incl. NOT NULL on struct fields) parse through Spark's own
-        type parser and convert with nested field IDs drawn from
+        type_from_json; nested spellings — ``struct<name: type [NOT
+        NULL], ...>``, ``array<type [NOT NULL]>``, ``map<k, v [NOT
+        NULL]>`` — parse recursively (leaves resolve through the same
+        map, so Iceberg-only types nest too) with field IDs drawn from
         ``counter`` (callers pass a range above the table's
-        last_column_id so new subtree IDs can never collide)."""
-        from iceberg_cpp_spark.core.types import (from_spark_type,
-                                                  type_from_json)
-
-        raw = re.sub(r"\s+", "", text).lower()
-        raw = _SQL_TYPE_ALIASES.get(raw, raw)
-        try:
-            return type_from_json(raw)
-        except ValueError:
-            pass
-        from pyspark.sql.types import _parse_datatype_string
-
-        try:
-            dt = _parse_datatype_string(text)
-        except Exception as exc:
-            raise ValueError(f"cannot parse column type "
-                             f"{text.strip()!r}: {exc}") from exc
+        last_column_id so new subtree IDs can never collide). The
+        element/value NOT NULL spellings are this engine's extension —
+        Spark's DDL has no element-nullability syntax — and are what
+        SHOW CREATE emits, so required list elements / map values
+        round-trip."""
         if counter is None:
             counter = iter(range(10_000, 1_000_000))
-        return from_spark_type(dt, counter)
+        return self._parse_type_rec(text, counter)
+
+    def _parse_type_rec(self, text: str, counter):
+        from iceberg_cpp_spark.core import types as ity
+        from iceberg_cpp_spark.core.types import type_from_json
+
+        s = text.strip()
+        low = re.sub(r"\s+", "", s).lower()
+        if low.startswith("struct<") and low.endswith(">"):
+            inner = s[s.index("<") + 1:s.rindex(">")]
+            fields = []
+            for piece in self._split_coldefs(inner):
+                fm = re.match(r"^\s*([A-Za-z_]\w*)\s*:\s*(.+?)"
+                              r"(?:\s+(?P<nn>not\s+null))?\s*$",
+                              piece, re.I | re.S)
+                if fm is None:
+                    raise ValueError(
+                        f"cannot parse struct field: {piece.strip()!r}"
+                        " (expected name: type [NOT NULL])")
+                fid = next(counter)
+                fields.append(ity.NestedField(
+                    fid, fm.group(1),
+                    self._parse_type_rec(fm.group(2), counter),
+                    required=bool(fm.group("nn"))))
+            return ity.StructType(fields)
+        if low.startswith("array<") and low.endswith(">"):
+            inner = s[s.index("<") + 1:s.rindex(">")]
+            em = re.match(r"^(.+?)(?:\s+(?P<nn>not\s+null))?\s*$",
+                          inner, re.I | re.S)
+            eid = next(counter)
+            return ity.ListType(
+                eid, self._parse_type_rec(em.group(1), counter),
+                element_required=bool(em.group("nn")))
+        if low.startswith("map<") and low.endswith(">"):
+            inner = s[s.index("<") + 1:s.rindex(">")]
+            parts = self._split_coldefs(inner)
+            if len(parts) != 2:
+                raise ValueError(
+                    f"map type needs exactly two type arguments: "
+                    f"{s!r}")
+            kid = next(counter)
+            kt = self._parse_type_rec(parts[0], counter)
+            vm = re.match(r"^(.+?)(?:\s+(?P<nn>not\s+null))?\s*$",
+                          parts[1], re.I | re.S)
+            vid = next(counter)
+            return ity.MapType(
+                kid, kt, vid,
+                self._parse_type_rec(vm.group(1), counter),
+                value_required=bool(vm.group("nn")))
+        raw = _SQL_TYPE_ALIASES.get(low, low)
+        try:
+            return type_from_json(raw)
+        except ValueError as exc:
+            raise ValueError(
+                f"cannot parse column type {s!r}: {exc}") from exc
 
     @staticmethod
     def _transform_ddl(transform, col: str) -> str:

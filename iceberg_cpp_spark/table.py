@@ -6516,11 +6516,11 @@ class IceTable:
                 f"cannot drop identifier field {name!r}; clear it "
                 "first (set_identifier_fields without it)")
         if "." in name:
+            # (a genuine list-element/map-value path like 'arr.element'
+            # never resolves in find_field above, so reaching here
+            # means the leaf is a real struct field — even one
+            # literally named 'element'/'value')
             parent, leaf = name.rsplit(".", 1)
-            if leaf in ("element", "value", "key"):
-                raise ValueError(
-                    f"cannot drop the {leaf!r} of a list/map; drop the "
-                    f"containing column {parent!r} instead")
 
             def mut(kids: list) -> list:
                 out = [x for x in kids if x.name != leaf]
@@ -6589,7 +6589,12 @@ class IceTable:
                 fid += 1
                 fields.append(it.NestedField(fid, name, typ, req))
                 continue
-            if typ != old.field_type:
+            if it.types_equal_ignoring_ids(typ, old.field_type):
+                # same type restated (a re-parsed nested spelling
+                # carries fresh subtree IDs — keep the STORED type so
+                # existing field IDs survive, review r16)
+                typ = old.field_type
+            elif typ != old.field_type:
                 # reuse the promotion lattice: widen in place
                 ok = ((isinstance(old.field_type, it.IntegerType)
                        and isinstance(typ, it.LongType))
@@ -6627,11 +6632,12 @@ class IceTable:
         if "." not in name:
             return [fn(x) if x.name == name else x
                     for x in schema.fields]
+        # no 'element'/'value' leaf guard needed: a genuine list
+        # element / map value path never resolves in the name index
+        # (callers find_field first), while a struct field LITERALLY
+        # named 'element'/'value' is a real field the walker reaches
+        # (review r16)
         parent, leaf = name.rsplit(".", 1)
-        if leaf in ("element", "value", "key"):
-            raise ValueError(
-                f"cannot mutate the {leaf!r} of a list/map directly; "
-                f"name a struct field")
 
         def mut(kids: list) -> list:
             if not any(x.name == leaf for x in kids):

@@ -450,3 +450,104 @@ class TestNestedSqlTypes:
         t = cat.load_table("db.nr", spark=spark)
         assert {f.name for f in t.schema().fields} == {"id", "pair"}
         assert t.schema().find_field("pair.b") is not None
+
+
+class TestReviewFindingsR16b:
+    """Pins for the second review pass (nested SQL types batch)."""
+
+    def test_replace_columns_restated_nested_keeps_ids(self, spark,
+                                                       cat):
+        # restating a nested column identically must be a no-op on its
+        # subtree IDs (a re-parsed spelling carries fresh ids — the
+        # structural compare must ignore them)
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("CREATE TABLE ice.db.rk (id bigint, "
+                "addr struct<num: int>)")
+        before = cat.load_table("db.rk").schema() \
+            .find_field("addr.num").field_id
+        eng.sql("ALTER TABLE ice.db.rk REPLACE COLUMNS "
+                "(id bigint, addr struct<num: int>)")
+        sch = cat.load_table("db.rk").schema()
+        assert sch.find_field("addr.num").field_id == before
+        # a genuinely different nested type still refuses
+        with pytest.raises(ValueError, match="promotion"):
+            eng.sql("ALTER TABLE ice.db.rk REPLACE COLUMNS "
+                    "(id bigint, addr struct<num: string>)")
+
+    def test_create_last_column_id_covers_nested_ids(self, spark, cat):
+        from iceberg_cpp_spark.core.types import max_assigned_field_id
+
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("CREATE TABLE ice.db.lci (id bigint, "
+                "tags array<string>, kv map<string, int>)")
+        t = cat.load_table("db.lci")
+        assert t.metadata.last_column_id >= \
+            max_assigned_field_id(t.schema().fields)
+
+    def test_nested_iceberg_only_leaf_round_trips(self, spark, cat):
+        # uuid/timestamptz leaves inside struct<> have no Spark DDL
+        # type — the recursive parser resolves them per leaf, and the
+        # SHOW CREATE output stays runnable
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("CREATE TABLE ice.db.uq (id bigint, "
+                "meta struct<u: uuid, ts: timestamptz>)")
+        stmt = eng.sql("SHOW CREATE TABLE ice.db.uq").collect()[0][0]
+        assert "UUID" in stmt and "TIMESTAMP_LTZ" in stmt
+        eng.sql(stmt.replace("ice.db.uq", "ice.db.uq2"))
+        assert [f.to_json() for f in
+                cat.load_table("db.uq2").schema().fields] == \
+            [f.to_json() for f in cat.load_table("db.uq").schema()
+             .fields]
+
+    def test_element_value_required_round_trips(self, spark, cat):
+        from iceberg_cpp_spark.core import types as ity
+
+        eng = IceSqlEngine(spark, cat)
+        eng.sql("CREATE TABLE ice.db.er (xs array<int NOT NULL>, "
+                "kv map<string, bigint NOT NULL>)")
+        t = cat.load_table("db.er")
+        xs = t.schema().field_by_name("xs").field_type
+        kv = t.schema().field_by_name("kv").field_type
+        assert xs.element_required and kv.value_required
+        stmt = eng.sql("SHOW CREATE TABLE ice.db.er").collect()[0][0]
+        assert "ARRAY<INT NOT NULL>" in stmt
+        assert "MAP<STRING, BIGINT NOT NULL>" in stmt
+        eng.sql(stmt.replace("ice.db.er", "ice.db.er2"))
+        t2 = cat.load_table("db.er2")
+        assert t2.schema().field_by_name("xs").field_type \
+            .element_required
+
+    def test_struct_field_named_value_mutates(self, spark, tmp_loc):
+        from iceberg_cpp_spark.core import types as ity
+        from iceberg_cpp_spark.core.types import Schema
+
+        schema = Schema([
+            ity.NestedField(1, "metrics", ity.StructType([
+                ity.NestedField(2, "value", ity.IntegerType(), True),
+            ])),
+        ])
+        t = IceTable.create(spark, os.path.join(tmp_loc, "sfnv"),
+                            schema)
+        t = t.update_column_type("metrics.value", ity.LongType())
+        f = t.schema().find_field("metrics.value")
+        assert isinstance(f.field_type, ity.LongType)
+        t = t.make_column_optional("metrics.value")
+        assert not t.schema().find_field("metrics.value").required
+        # and a fresh sibling makes the 'value' field droppable too
+        t = t.add_column("metrics.keep", ity.StringType())
+        t = t.drop_column("metrics.value")
+        assert t.schema().find_field("metrics.value") is None
+
+    def test_drop_last_struct_field_refuses(self, spark, tmp_loc):
+        from iceberg_cpp_spark.core import types as ity
+        from iceberg_cpp_spark.core.types import Schema
+
+        schema = Schema([
+            ity.NestedField(1, "m", ity.StructType([
+                ity.NestedField(2, "value", ity.IntegerType()),
+            ])),
+        ])
+        t = IceTable.create(spark, os.path.join(tmp_loc, "sfl"),
+                            schema)
+        with pytest.raises(ValueError, match="last field"):
+            t.drop_column("m.value")
