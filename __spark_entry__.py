@@ -1205,6 +1205,33 @@ def ice_migrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def ice_rtas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE OR REPLACE TABLE ... AS SELECT (r16 RTAS): the query's
+    schema and rows replace the table in ONE atomic commit — here
+    SELF-REFERENTIALLY (the replacement query aggregates the table it
+    replaces), with history kept (the pre-replace snapshot still
+    time-travels). The reference has no write path (transaction.h)."""
+    from iceberg_cpp_spark import IceSqlEngine
+    from iceberg_cpp_spark.sources.catalog import FileSystemCatalog
+
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("rtas_orders_src")
+    cat = FileSystemCatalog(os.path.join(
+        tempfile.mkdtemp(prefix="ice_rtas_"), "wh"))
+    cat.create_namespace("db")
+    eng = IceSqlEngine(spark, cat)
+    eng.sql("CREATE TABLE ice.db.r AS SELECT * FROM rtas_orders_src")
+    eng.sql("""
+        CREATE OR REPLACE TABLE ice.db.r AS
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_price
+        FROM ice.db.r GROUP BY o_orderstatus
+    """)
+    return eng.sql(
+        "SELECT * FROM ice.db.r ORDER BY o_orderstatus")
+
+
 def ice_transaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-action Transaction (reference transaction.h:31-51 —
     Transaction::NewAppend/CommitTransaction declared there, never
@@ -3583,6 +3610,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # harvest + SQL procedure planes are in-window via ice_add_files
         # and ice_sql_engine)
         "ice_migrate": ice_migrate,
+        # r16: atomic CREATE OR REPLACE TABLE AS SELECT (judge-only;
+        # the CTAS plane is in-window via ice_sql_engine's DDL and the
+        # overwrite plane via ice_merge_sync's full-file rewrite)
+        "ice_rtas": ice_rtas,
         # r16 rotation #10 displacements (driver-green many rounds;
         # operator coverage kept in-window — see test_registry.py):
         "text_contamination": text_contamination,
@@ -4568,6 +4599,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, COUNT(*) AS n,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
             FROM merged GROUP BY l_returnflag
+        """,
+        "ice_rtas": """
+            SELECT o_orderstatus, COUNT(*) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_price
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "ice_migrate": """
             SELECT s_nationkey, COUNT(*) AS n,

@@ -128,7 +128,8 @@ _ON_EQ = re.compile(
     r"^\s*([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*=\s*"
     r"([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*$")
 _CTAS = re.compile(
-    r"^\s*create\s+table\s+(?P<ine>if\s+not\s+exists\s+)?" + _IDENT_TAIL +
+    r"^\s*create\s+(?P<orr>or\s+replace\s+)?table\s+"
+    r"(?P<ine>if\s+not\s+exists\s+)?" + _IDENT_TAIL +
     r"(?:\s*\((?P<coldefs>[^()]*(?:\([^()]*\)[^()]*)*)\))?"
     r"(?:\s+using\s+(?P<using>[A-Za-z_]\w*))?"
     r"(?:\s+partitioned\s+by\s*"
@@ -1837,6 +1838,28 @@ class IceSqlEngine:
             raise ValueError(
                 "CREATE TABLE takes a column list OR an AS SELECT "
                 "body (exactly one)")
+        if m.group("orr"):
+            # RTAS: the one atomic schema+data replacement
+            if m.group("ine"):
+                raise ValueError(
+                    "CREATE OR REPLACE and IF NOT EXISTS cannot be "
+                    "combined")
+            if body is None:
+                raise ValueError(
+                    "CREATE OR REPLACE TABLE needs an AS SELECT body "
+                    "(replacing with an empty column list would drop "
+                    "all data — DROP + CREATE states that intent)")
+            if m.group("parts"):
+                raise ValueError(
+                    "CREATE OR REPLACE TABLE does not take PARTITIONED "
+                    "BY (the existing table keeps its spec; evolve it "
+                    "with ALTER TABLE ... ADD/DROP PARTITION FIELD)")
+            if self.catalog.table_exists(ident):
+                t = self._load(ident, "CREATE OR REPLACE TABLE")
+                t.replace_as_select(
+                    self._sql(self._unmask(body, lits), depth=0))
+                return self._dml_result()
+            # fall through: plain CTAS on a fresh identifier
         if self.catalog.table_exists(ident):
             if m.group("ine"):
                 return self._dml_result()

@@ -24,6 +24,7 @@ Spark-first execution model:
 
 from __future__ import annotations
 
+import copy as copy_mod
 import os
 import random
 import re
@@ -6622,6 +6623,87 @@ class IceTable:
         last = it.max_assigned_field_id(fields)
         return self._evolve_schema(fields,
                                    last_column_id=max(fid, last))
+
+    def replace_as_select(self, df: DataFrame,
+                          branch: str = MAIN_BRANCH) -> "IceTable":
+        """RTAS — ``CREATE OR REPLACE TABLE ... AS SELECT`` semantics:
+        the query's schema REPLACES the table's columns and its rows
+        replace the data, in ONE atomic metadata commit (readers never
+        see the new schema with the old data or vice versa; a plain
+        replace_columns + overwrite pair would tear). History is kept:
+        pre-replace snapshots still time-travel, reading under their
+        own schema id.
+
+        Field-ID continuity follows the Iceberg REPLACE TABLE rules:
+        a column matched BY NAME keeps its field ID when the type is
+        unchanged or safely promotable; an INCOMPATIBLE type change
+        gets a FRESH ID (drop + add under the same name — legal here
+        because no old data survives, unlike replace_columns). New
+        required columns are likewise legal. Identifier fields whose
+        column is dropped or re-identified are cleared from the
+        row-identity metadata.
+
+        Scale shape: one distributed write of the query result + one
+        metadata CAS; the old files drop by snapshot bookkeeping
+        (carry_existing=False), no data read."""
+        if self._txn is not None:
+            raise ValueError(
+                "replace_as_select is a schema-changing operation and "
+                "cannot run inside a transaction")
+        schema = self.schema()
+        meta = self.metadata
+        base = max(meta.last_column_id,
+                   it.max_assigned_field_id(schema.fields))
+        counter = iter(range(base + 1, 10 ** 9))
+        fields: list = []
+        for sf in df.schema.fields:
+            new_t = it.from_spark_type(sf.dataType, counter)
+            old = schema.field_by_name(sf.name)
+            if old is not None and it.types_equal_ignoring_ids(
+                    new_t, old.field_type):
+                fields.append(dc_replace(old, required=not sf.nullable))
+                continue
+            promotable = old is not None and (
+                (isinstance(old.field_type, it.IntegerType)
+                 and isinstance(new_t, it.LongType))
+                or (isinstance(old.field_type, it.FloatType)
+                    and isinstance(new_t, it.DoubleType))
+                or (isinstance(old.field_type, it.DecimalType)
+                    and isinstance(new_t, it.DecimalType)
+                    and new_t.scale == old.field_type.scale
+                    and new_t.precision > old.field_type.precision))
+            if promotable:
+                fields.append(dc_replace(old, field_type=new_t,
+                                         required=not sf.nullable))
+            else:
+                fields.append(it.NestedField(
+                    next(counter), sf.name, new_t,
+                    required=not sf.nullable))
+        surviving = {f.field_id for f in fields}
+        ident_ids = [i for i in schema.identifier_field_ids
+                     if i in surviving]
+        new_schema = it.Schema(
+            fields,
+            schema_id=max(s.schema_id for s in meta.schemas) + 1,
+            identifier_field_ids=ident_ids)
+        work = copy_mod.copy(self)
+        work.metadata = dc_replace(
+            meta,
+            schemas=meta.schemas + [new_schema],
+            current_schema_id=new_schema.schema_id,
+            last_column_id=max(base,
+                               it.max_assigned_field_id(fields)),
+            last_updated_ms=int(time.time() * 1000))
+        new_files = work._write_data_files(df)
+        out = work._commit_files(
+            new_files, operation=DataOperation.OVERWRITE,
+            branch=branch, carry_existing=False,
+            summary_extras={"replace-table": "as-select"})
+        # the commit published work's metadata (schema + snapshot in
+        # one CAS) — reflect it on the caller's handle
+        self.metadata = out.metadata
+        self.metadata_location = out.metadata_location
+        return self
 
     @staticmethod
     def _replace_field_at(schema, name: str, fn) -> list:

@@ -85,6 +85,7 @@ def test_driver_cap_window_composition():
         # ice_multi_table_txn INTO the window — the only two rows never
         # driver-oracle-checked, both judge-green r15 — plus the NEW
         # ice_merge_sync row; displacing the three rows below.)
+        "ice_rtas",         # r16 atomic CREATE OR REPLACE TABLE AS SELECT (CTAS DDL plane in-window via ice_sql_engine; the all-files replace plane via ice_merge_sync; atomicity + field-ID continuity pinned by tests/test_rtas_r16.py)
         "ice_migrate",      # r16 in-place migrate procedure (the add_files harvest plane is in-window via ice_add_files, the SQL procedure plane via ice_sql_engine; migrate round-trip + rollback-on-failure pinned by tests/test_migrate_nested_r16.py)
         "text_contamination",  # r16 rotation #10 displacement: n-gram contamination probe, driver-green r02-r15 (text_stats + text_repetition in-window keep the text column-expr plane; text_rolling_fp the hashing plane; pinned by TestText contamination cases)
         "text_bpe_tokens",  # r16 rotation #10 displacement: BPE-ish token counting, driver-green r02-r15 (text_token_familiarity in-window keeps the token-counting core; byte-pair merge loop pinned by tests/test_operators.py BPE cases)
