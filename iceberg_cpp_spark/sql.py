@@ -2088,7 +2088,18 @@ class IceSqlEngine:
         if mode == "into":
             t.append(aligned, **kw)
         else:
-            t.overwrite(aligned, **kw)
+            # Spark's own switch governs INSERT OVERWRITE semantics:
+            # static (default) replaces the whole table; dynamic
+            # replaces only the partitions present in the data (r16 —
+            # the idempotent-backfill shape; no-op difference on
+            # unpartitioned tables)
+            dyn = self.spark.conf.get(
+                "spark.sql.sources.partitionOverwriteMode",
+                "static").lower() == "dynamic"
+            if dyn:
+                t.overwrite_partitions(aligned, **kw)
+            else:
+                t.overwrite(aligned, **kw)
         return self.spark.createDataFrame(
             [], T.StructType([T.StructField("num_affected_rows",
                                             T.LongType())]))

@@ -2272,6 +2272,62 @@ class IceTable:
         return self._commit_files(new_files, operation=DataOperation.OVERWRITE,
                                   branch=branch, carry_existing=False)
 
+    def overwrite_partitions(self, df: DataFrame,
+                             branch: str = MAIN_BRANCH) -> "IceTable":
+        """Dynamic partition overwrite (Spark's
+        ``partitionOverwriteMode=dynamic`` INSERT OVERWRITE shape):
+        replace ONLY the partitions present in ``df``, leave every
+        other partition untouched — the idempotent-backfill pattern
+        (re-run a day's batch, only that day's files move). On an
+        unpartitioned table this is a whole-table overwrite.
+
+        Scale shape: the incoming partition set is one distinct
+        aggregation over the batch (bounded by the batch's partition
+        count, collected as pointer rows); the affected files resolve
+        by partition metadata only (no data read) via the same
+        transform values the writer derives, and the commit drops
+        exactly those files. Files still carrying an OLDER partition
+        spec refuse loudly (their tuple can't be compared under the
+        current spec without reading them — compact first)."""
+        spec = self.spec()
+        if not spec.fields:
+            return self.overwrite(df, branch=branch)
+        schema = self.schema()
+        pcols = []
+        for pf in spec.fields:
+            src = schema.find_field_by_id(pf.source_id)
+            pcols.append(pf.transform.spark_column(
+                F.col(src.name), src.field_type).alias(pf.name))
+        incoming = df.select(*pcols).distinct().collect()
+        pjsons = {mf.partition_to_json(
+            {pf.name: r[pf.name] for pf in spec.fields}, spec, schema)
+            for r in incoming}
+        plan = self._branch_scan(branch).plan_files_df() \
+            .select("file_path", "partition_json", "spec_id")
+        stale = [r["spec_id"] for r in
+                 plan.select("spec_id").distinct().collect()
+                 if r["spec_id"] != spec.spec_id]
+        if stale:
+            raise ValueError(
+                f"overwrite_partitions: live files carry partition "
+                f"spec(s) {sorted(set(stale))} older than the current "
+                f"spec {spec.spec_id} — their partitions cannot be "
+                "matched by metadata; run rewrite_data_files() first")
+        pj_df = self.spark.createDataFrame(
+            [(p,) for p in sorted(pjsons)], "pj string")
+        affected = {r["file_path"] for r in
+                    plan.join(F.broadcast(pj_df),
+                              plan["partition_json"] == pj_df["pj"],
+                              "left_semi").collect()}
+        new_files = self._write_data_files(df)
+        if not new_files and not affected:
+            return self
+        return self._commit_files(
+            new_files, operation=DataOperation.OVERWRITE, branch=branch,
+            carry_existing=True, drop_paths=affected,
+            summary_extras={"overwrite-mode": "dynamic"},
+            read_snapshot_id=self._branch_head_id(branch))
+
     def delete_where(self, expr: ex.Expression, branch: str = MAIN_BRANCH,
                      mode: Optional[str] = None) -> "IceTable":
         """Row-level delete (the reference errors on any delete —

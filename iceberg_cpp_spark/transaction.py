@@ -88,6 +88,11 @@ class Transaction:
         self.working.overwrite(df, branch=self.branch)
         return self
 
+    def overwrite_partitions(self, df) -> "Transaction":
+        self._check_open()
+        self.working.overwrite_partitions(df, branch=self.branch)
+        return self
+
     def delete_where(self, expr, **kw) -> "Transaction":
         self._check_open()
         self.working.delete_where(expr, branch=self.branch, **kw)
