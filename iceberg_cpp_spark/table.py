@@ -224,6 +224,21 @@ def _simple_merge_shape(m_cl: list, nm_cl: list):
             "insert" if nm_cl else None)
 
 
+def _is_promotable(old: "it.IcebergType", new: "it.IcebergType") -> bool:
+    """The Iceberg schema-evolution promotion lattice: int → long,
+    float → double, decimal(P,S) → decimal(P'>P,S). The ONE definition
+    shared by ALTER COLUMN TYPE, REPLACE COLUMNS and RTAS — a lattice
+    change must move all three surfaces together."""
+    return ((isinstance(old, it.IntegerType)
+             and isinstance(new, it.LongType))
+            or (isinstance(old, it.FloatType)
+                and isinstance(new, it.DoubleType))
+            or (isinstance(old, it.DecimalType)
+                and isinstance(new, it.DecimalType)
+                and new.scale == old.scale
+                and new.precision > old.precision))
+
+
 def _rebuild_nested_fields(fields: list, segs: list, mutate) -> list:
     """Rebuild a field list with ``mutate(child_fields) -> child_fields``
     applied to the struct reached by walking ``segs`` (struct child
@@ -2293,6 +2308,12 @@ class IceTable:
         if not spec.fields:
             return self.overwrite(df, branch=branch)
         schema = self.schema()
+        # the probe MUST see the same values the writer lands: align
+        # (casts, defaults) FIRST, then derive the transform columns —
+        # probing the raw frame could target different partitions than
+        # the files land in (e.g. a decimal cast changing a truncate
+        # bucket; review r16). The aligned frame also feeds the write.
+        df = self._aligned_df(df)
         pcols = []
         for pf in spec.fields:
             src = schema.find_field_by_id(pf.source_id)
@@ -2302,23 +2323,29 @@ class IceTable:
         pjsons = {mf.partition_to_json(
             {pf.name: r[pf.name] for pf in spec.fields}, spec, schema)
             for r in incoming}
+        # ONE pass over the metadata plane: the stale-spec check and
+        # the affected-files semi-join share a persisted plan frame
         plan = self._branch_scan(branch).plan_files_df() \
-            .select("file_path", "partition_json", "spec_id")
-        stale = [r["spec_id"] for r in
-                 plan.select("spec_id").distinct().collect()
-                 if r["spec_id"] != spec.spec_id]
-        if stale:
-            raise ValueError(
-                f"overwrite_partitions: live files carry partition "
-                f"spec(s) {sorted(set(stale))} older than the current "
-                f"spec {spec.spec_id} — their partitions cannot be "
-                "matched by metadata; run rewrite_data_files() first")
-        pj_df = self.spark.createDataFrame(
-            [(p,) for p in sorted(pjsons)], "pj string")
-        affected = {r["file_path"] for r in
-                    plan.join(F.broadcast(pj_df),
-                              plan["partition_json"] == pj_df["pj"],
-                              "left_semi").collect()}
+            .select("file_path", "partition_json", "spec_id").persist()
+        try:
+            stale = [r["spec_id"] for r in
+                     plan.select("spec_id").distinct().collect()
+                     if r["spec_id"] != spec.spec_id]
+            if stale:
+                raise ValueError(
+                    f"overwrite_partitions: live files carry partition "
+                    f"spec(s) {sorted(set(stale))} older than the "
+                    f"current spec {spec.spec_id} — their partitions "
+                    "cannot be matched by metadata; run "
+                    "rewrite_data_files() first")
+            pj_df = self.spark.createDataFrame(
+                [(p,) for p in sorted(pjsons)], "pj string")
+            affected = {r["file_path"] for r in
+                        plan.join(F.broadcast(pj_df),
+                                  plan["partition_json"] == pj_df["pj"],
+                                  "left_semi").collect()}
+        finally:
+            plan.unpersist()
         new_files = self._write_data_files(df)
         if not new_files and not affected:
             return self
@@ -5259,11 +5286,13 @@ class IceTable:
             df.unpersist()
 
     # --- write internals -------------------------------------------------
-    def _write_data_files(self, df: DataFrame) -> list[mf.DataFile]:
+    def _aligned_df(self, df: DataFrame) -> DataFrame:
+        """``df`` aligned to the table schema exactly as the write path
+        aligns it (casts, default/null fill, field-id metadata) — the
+        one definition, so a caller that derives values from the
+        aligned frame (overwrite_partitions' partition probe) can never
+        disagree with what the writer lands."""
         schema = self.schema()
-        spec = self.spec()
-        location = self.metadata.location
-        write_dir = self.location_provider().new_data_dir()
         # align to the table schema and stamp parquet field IDs
         # (schema_util.h field-ID resolution depends on files carrying IDs).
         # Variant fields: to_spark_schema keeps parquet.field.id OFF the
@@ -5316,7 +5345,14 @@ class IceTable:
                 continue
             cols.append(F.col(sf.name).cast(sf.dataType)
                         .alias(sf.name, metadata=sf.metadata))
-        df = df.select(cols)
+        return df.select(cols)
+
+    def _write_data_files(self, df: DataFrame) -> list[mf.DataFile]:
+        schema = self.schema()
+        spec = self.spec()
+        location = self.metadata.location
+        write_dir = self.location_provider().new_data_dir()
+        df = self._aligned_df(df)
         # variant shredding (core/shredding.py): materialize the
         # declared typed extractions as shadow columns in the written
         # parquet files — not part of the table schema (schema-projected
@@ -6652,16 +6688,7 @@ class IceTable:
                 # existing field IDs survive, review r16)
                 typ = old.field_type
             elif typ != old.field_type:
-                # reuse the promotion lattice: widen in place
-                ok = ((isinstance(old.field_type, it.IntegerType)
-                       and isinstance(typ, it.LongType))
-                      or (isinstance(old.field_type, it.FloatType)
-                          and isinstance(typ, it.DoubleType))
-                      or (isinstance(old.field_type, it.DecimalType)
-                          and isinstance(typ, it.DecimalType)
-                          and typ.scale == old.field_type.scale
-                          and typ.precision > old.field_type.precision))
-                if not ok:
+                if not _is_promotable(old.field_type, typ):
                     raise ValueError(
                         f"invalid type promotion for {name!r}: "
                         f"{old.field_type.to_json()} -> {typ.to_json()}")
@@ -6706,6 +6733,22 @@ class IceTable:
             raise ValueError(
                 "replace_as_select is a schema-changing operation and "
                 "cannot run inside a transaction")
+        if branch != MAIN_BRANCH:
+            # the schema is TABLE-global: replacing it while
+            # overwriting only one branch's data would tear every
+            # other branch (their untouched files would resolve
+            # through the new schema)
+            raise ValueError(
+                "replace_as_select operates on main only — the schema "
+                "change is table-global and a branch-scoped replace "
+                "would tear the other branches; stage on a separate "
+                "TABLE (snapshot clone) instead")
+        if len(set(df.columns)) != len(df.columns):
+            dups = sorted({c for c in df.columns
+                           if df.columns.count(c) > 1})
+            raise ValueError(
+                f"replacement query produces duplicate column "
+                f"name(s): {dups}")
         schema = self.schema()
         meta = self.metadata
         base = max(meta.last_column_id,
@@ -6719,25 +6762,32 @@ class IceTable:
                     new_t, old.field_type):
                 fields.append(dc_replace(old, required=not sf.nullable))
                 continue
-            promotable = old is not None and (
-                (isinstance(old.field_type, it.IntegerType)
-                 and isinstance(new_t, it.LongType))
-                or (isinstance(old.field_type, it.FloatType)
-                    and isinstance(new_t, it.DoubleType))
-                or (isinstance(old.field_type, it.DecimalType)
-                    and isinstance(new_t, it.DecimalType)
-                    and new_t.scale == old.field_type.scale
-                    and new_t.precision > old.field_type.precision))
-            if promotable:
+            if old is not None and _is_promotable(old.field_type,
+                                                  new_t):
                 fields.append(dc_replace(old, field_type=new_t,
                                          required=not sf.nullable))
             else:
                 fields.append(it.NestedField(
                     next(counter), sf.name, new_t,
                     required=not sf.nullable))
-        surviving = {f.field_id for f in fields}
+        # the current spec must still bind: every partition source
+        # column must survive WITH ITS FIELD ID (a dropped, renamed or
+        # incompatibly-retyped source would leave the spec dangling —
+        # the write path resolves sources by id)
+        by_id = {f.field_id: f for f in fields}
+        for pf in self.spec().fields:
+            if pf.source_id not in by_id:
+                src = schema.find_field_by_id(pf.source_id)
+                raise ValueError(
+                    f"replacement query drops or incompatibly retypes "
+                    f"partition source column "
+                    f"{src.name if src else pf.source_id!r} — keep the "
+                    "column, or drop the partition field first")
+        # identifier fields survive only while their column stays
+        # REQUIRED (the spec rule set_identifier_fields enforces)
+        surviving_req = {f.field_id for f in fields if f.required}
         ident_ids = [i for i in schema.identifier_field_ids
-                     if i in surviving]
+                     if i in surviving_req]
         new_schema = it.Schema(
             fields,
             schema_id=max(s.schema_id for s in meta.schemas) + 1,
@@ -6751,10 +6801,16 @@ class IceTable:
                                it.max_assigned_field_id(fields)),
             last_updated_ms=int(time.time() * 1000))
         new_files = work._write_data_files(df)
+        # read_snapshot_id arms the whole-replace conflict rule: ANY
+        # concurrent commit fails the CAS retry with ValidationError
+        # instead of the retry path refreshing metadata over the
+        # staged schema and silently publishing new-schema files under
+        # the old schema (review r16)
         out = work._commit_files(
             new_files, operation=DataOperation.OVERWRITE,
             branch=branch, carry_existing=False,
-            summary_extras={"replace-table": "as-select"})
+            summary_extras={"replace-table": "as-select"},
+            read_snapshot_id=self._branch_head_id(branch))
         # the commit published work's metadata (schema + snapshot in
         # one CAS) — reflect it on the caller's handle
         self.metadata = out.metadata
@@ -6907,15 +6963,7 @@ class IceTable:
         if f is None:
             raise ValueError(f"no such column: {name!r}")
         old = f.field_type
-        ok = ((isinstance(old, it.IntegerType)
-               and isinstance(new_type, it.LongType))
-              or (isinstance(old, it.FloatType)
-                  and isinstance(new_type, it.DoubleType))
-              or (isinstance(old, it.DecimalType)
-                  and isinstance(new_type, it.DecimalType)
-                  and new_type.scale == old.scale
-                  and new_type.precision > old.precision))
-        if not ok:
+        if not _is_promotable(old, new_type):
             raise ValueError(
                 f"invalid type promotion for {name!r}: "
                 f"{old.to_json()} -> {new_type.to_json()} (allowed: "

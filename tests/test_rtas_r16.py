@@ -134,3 +134,82 @@ class TestSqlOrReplace:
         with pytest.raises(ValueError, match="PARTITIONED"):
             eng.sql("CREATE OR REPLACE TABLE ice.db.r "
                     "PARTITIONED BY (id) AS SELECT 1 AS id")
+
+
+class TestRtasReviewFindings:
+    """Pins for the RTAS/dynamic-overwrite review pass."""
+
+    def test_concurrent_commit_fails_loudly_no_tear(self, spark,
+                                                    tmp_loc):
+        # a concurrent append between load and commit must fail the
+        # RTAS with a conflict error — never publish new-schema files
+        # under the old schema (the silent-tear retry path)
+        from iceberg_cpp_spark.table import ValidationError
+
+        t = _mk(spark, tmp_loc, "rtrace")
+        stale = IceTable.load(spark, os.path.dirname(
+            t.metadata_location).rsplit("/metadata", 1)[0])
+        t.append(spark.createDataFrame(
+            [(9, "c", 9.5)], "id int, name string, v float"))
+        with pytest.raises(Exception) as ei:
+            stale.replace_as_select(spark.createDataFrame(
+                [(1, 7)], "id int, rank int"))
+        assert isinstance(ei.value, (ValidationError, ValueError)) or \
+            "Commit" in type(ei.value).__name__
+        # the published table is untouched by the failed replace
+        fresh = IceTable.load(spark, os.path.dirname(
+            t.metadata_location).rsplit("/metadata", 1)[0])
+        assert set(fresh.to_df().columns) == {"id", "name", "v"}
+        assert fresh.to_df().count() == 3
+
+    def test_branch_replace_refuses(self, spark, tmp_loc):
+        t = _mk(spark, tmp_loc, "rtbr")
+        t = t.create_branch("dev")
+        with pytest.raises(ValueError, match="main only"):
+            t.replace_as_select(spark.range(1), branch="dev")
+
+    def test_duplicate_output_columns_refuse(self, spark, tmp_loc):
+        t = _mk(spark, tmp_loc, "rtdup")
+        with pytest.raises(ValueError, match="duplicate column"):
+            t.replace_as_select(
+                t.to_df().select("id", F.col("name").alias("id")))
+
+    def test_partition_source_must_survive(self, spark, tmp_loc):
+        from iceberg_cpp_spark.core.metadata import (PartitionField,
+                                                     PartitionSpec)
+        from iceberg_cpp_spark.functions.transforms import from_string
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0)], "id int, grp string, v double")
+        schema = schema_from_spark(df.schema)
+        spec = PartitionSpec(spec_id=0, fields=[PartitionField(
+            source_id=schema.find_field("grp").field_id,
+            field_id=1000, name="grp", transform=from_string("identity"))])
+        t = IceTable.create(spark, os.path.join(tmp_loc, "rtspec"),
+                            schema, spec=spec)
+        t.append(df)
+        # grp dropped -> refuse; grp retyped -> refuse (fresh id)
+        with pytest.raises(ValueError, match="partition source"):
+            t.replace_as_select(spark.createDataFrame(
+                [(1, 2.0)], "id int, v double"))
+        with pytest.raises(ValueError, match="partition source"):
+            t.replace_as_select(spark.createDataFrame(
+                [(1, 5, 2.0)], "id int, grp int, v double"))
+
+    def test_identifier_cleared_when_column_goes_optional(self, spark,
+                                                          tmp_loc):
+        from pyspark.sql import types as T
+
+        df = spark.createDataFrame(
+            [], T.StructType([
+                T.StructField("k", T.LongType(), False),
+                T.StructField("v", T.StringType(), True)]))
+        t = IceTable.create(spark, os.path.join(tmp_loc, "rtio"),
+                            schema_from_spark(df.schema))
+        t = t.set_identifier_fields(["k"])
+        # SELECT output is nullable -> k goes optional -> identifier
+        # metadata must clear (the spec requires identifiers required)
+        t = t.replace_as_select(spark.createDataFrame(
+            [(1, "a")], "k long, v string"))
+        assert t.schema().identifier_field_ids == []
+        assert not t.schema().field_by_name("k").required
