@@ -42,6 +42,18 @@ def _dec(col, p=18, s=2):
     return F.col(col).cast(f"decimal({p},{s})") if isinstance(col, str) else col.cast(f"decimal({p},{s})")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Input-skew fix for CPU-heavy opaque Python stages (optimization
+    guide §2.5): a single unsplittable parquet row group collapses the
+    scan to one task, serializing the per-payload codec work on one
+    core. Round-robin repartition to the session parallelism ONLY when
+    the scan has fewer splits — at production scale (many files/row
+    groups) this is a no-op and no shuffle is added. Results are
+    row-identical; only placement changes."""
+    n = spark.sparkContext.defaultParallelism
+    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+
+
 # ---------------------------------------------------------------------------
 # Relational surface (SURVEY §2.4 — demonstrated through the engine)
 # ---------------------------------------------------------------------------
@@ -3108,7 +3120,7 @@ def multimodal_png_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(codecs.encode_png(img))
             yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
 
-    media = docs.select("doc_id", "text").mapInPandas(
+    media = _spread(spark, docs.select("doc_id", "text")).mapInPandas(
         make, "media_id long, payload binary")
     return decode_images(media).select("media_id", "width", "height")
 
@@ -3332,7 +3344,7 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(buf.getvalue())
             yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
 
-    wavs = docs.select("doc_id", "text").mapInPandas(
+    wavs = _spread(spark, docs.select("doc_id", "text")).mapInPandas(
         make, schema="media_id long, payload binary")
     out = decode_audio(wavs)
     return out.select(
@@ -3361,7 +3373,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "media_id": b["doc_id"],
                 "payload": [(t or "").encode("utf-8") for t in b["text"]]})
 
-    media = docs.select("doc_id", "text").mapInPandas(
+    media = _spread(spark, docs.select("doc_id", "text")).mapInPandas(
         make, schema="media_id long, payload binary")
     frames = sample_frames(media, every_ms=1000, fake=True)
     return (frames.groupBy(F.col("media_id").alias("doc_id"))
@@ -3386,7 +3398,7 @@ def multimodal_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from iceberg_cpp_spark.operators.codecs import (
         decode_gif_frames, encode_gif)
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    docs = _spread(spark, _t(spark, sf_dir, "documents").select("doc_id"))
 
     def make_and_decode(batches):
         import numpy as np

