@@ -962,6 +962,26 @@ class IceSqlEngine:
         if not paths:
             raise ValueError(
                 f"CALL {proc} found no files under {src!r}")
+        # Hive-partitioned layout guard (r17, VERDICT r16 item 1): a
+        # key=value directory component means the files do NOT carry
+        # the partition column — registering them by file schema alone
+        # silently drops it (confirmed empirically in r16). Refuse
+        # loudly, naming the columns, instead of converting a table
+        # whose partition-column queries would break afterwards.
+        hive_cols: set[str] = set()
+        for p in paths:
+            for part in os.path.relpath(p, root).split(os.sep)[:-1]:
+                if "=" in part:
+                    hive_cols.add(part.split("=", 1)[0])
+        if hive_cols:
+            raise ValueError(
+                f"CALL {proc}: source {src!r} is a Hive-partitioned "
+                f"layout (key=value directories); the partition "
+                f"column(s) {sorted(hive_cols)} live in the paths, not "
+                "the files, and would be silently dropped by "
+                "registration. Rewrite the source unpartitioned "
+                "(spark.read.parquet(src).write.parquet(flat)) or "
+                "CREATE the Iceberg table and INSERT INTO it instead")
         return paths
 
     def _call_migrate(self, require, kwargs: dict):

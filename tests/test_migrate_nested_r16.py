@@ -82,6 +82,28 @@ class TestMigrate:
                     f"source => '{src}')")
         assert not cat.table_exists("db.l4")
 
+    def test_hive_partitioned_source_refuses(self, spark, cat, tmp_loc):
+        """r17 (VERDICT r16 item 1): a key=value directory layout
+        carries its partition column in the PATHS, not the files —
+        pre-r17 migrate silently dropped it (queries on the column
+        break after conversion). Now it refuses loudly, naming the
+        dropped column(s), for migrate AND add_files; no partial table
+        is left behind."""
+        src = os.path.join(tmp_loc, "legacy_hive")
+        df = spark.range(30).select(
+            F.col("id"), (F.col("id") % 3).alias("bucket_val"))
+        df.write.partitionBy("bucket_val").parquet(src)
+        eng = IceSqlEngine(spark, cat)
+        with pytest.raises(ValueError, match="bucket_val"):
+            eng.sql(f"CALL ice.system.migrate(table => 'db.lh', "
+                    f"source => '{src}')")
+        assert not cat.table_exists("db.lh")
+        # same guard on CALL add_files
+        eng.sql("CREATE TABLE ice.db.lh2 (id bigint) USING iceberg")
+        with pytest.raises(ValueError, match="bucket_val"):
+            eng.sql(f"CALL ice.system.add_files(table => 'db.lh2', "
+                    f"source => '{src}')")
+
 
 def _nested_table(spark, tmp_loc, name="nest"):
     df = spark.createDataFrame(
