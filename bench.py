@@ -452,9 +452,22 @@ def bench_snapshot_clone(spark) -> dict[str, float]:
     return {"ice_clone_200k": round(el, 3)}
 
 
+def _loadavg() -> list[float]:
+    """1/5/15-minute host load — recorded before and after the suite so
+    a contended official run is self-evident from the JSON instead of
+    requiring forensic cross-run comparison (VERDICT r16 task 5)."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except OSError:
+        return []
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    load_before = _loadavg()
+    wall_start = time.time()
 
     from iceberg_cpp_spark.session import get_spark
 
@@ -492,6 +505,12 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "sf": sf,
+        # additive measurement-context keys (the contract keys above
+        # are unchanged): host load before/after + suite wall-clock,
+        # so a contended run is visible in the record itself
+        "load_before": load_before,
+        "load_after": _loadavg(),
+        "wall_seconds": round(time.time() - wall_start, 3),
     }))
 
 
