@@ -28,6 +28,13 @@ def get_spark(app_name: str = "iceberg-cpp-spark", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash over sort-merge when its
+        # size conditions hold (optimization guide §3.1/§9): skips the
+        # per-partition sorts on mid-size equi-joins; broadcast joins
+        # and AQE skew handling are unaffected. Same join semantics,
+        # scale-independent (SMJ remains the fallback when a build
+        # side would not fit).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.parquet.fieldId.write.enabled", "true")
         .config("spark.sql.parquet.fieldId.read.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "zstd")

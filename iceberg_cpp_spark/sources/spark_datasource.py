@@ -202,23 +202,45 @@ class IcebergCppReader(DataSourceReader):
         mapping_json = props.get(nm.PROPERTY_KEY)
         # bin-pack files into ~split-target-byte partitions (first-fit
         # over the path-sorted task list — deterministic): task count
-        # tracks data volume, not file count
+        # tracks data volume, not file count. The EFFECTIVE target is
+        # Spark's own maxSplitBytes formula (r17, guide §2 "scale-
+        # adaptive partitioning"): min(target, max(openCost,
+        # bytesPerCore)) with every file charged openCost — so a table
+        # smaller than one split still fans out across the cluster
+        # (the old fixed 128 MB target packed ANY sub-128 MB table
+        # into ONE task), while at real scale bytesPerCore exceeds the
+        # target and nothing changes.
         target = int(self.options.get(
             "split-target-bytes",
             props.get("read.split.target-size", str(128 * 1024 * 1024))))
+        open_cost = int(self.options.get(
+            "open-cost-bytes",
+            props.get("read.split.open-file-cost", str(4 * 1024 * 1024))))
+        tasks = sorted(scan.plan_files(), key=lambda t: t.file_path)
+        try:
+            from pyspark.sql import SparkSession as _SS
+            _sess = _SS.getActiveSession()
+            par = (_sess.sparkContext.defaultParallelism
+                   if _sess is not None else 1)
+        except Exception:
+            par = 1
+        total = sum((t.file_size_in_bytes or 0) + open_cost for t in tasks)
+        target = min(target,
+                     max(open_cost, -(-total // max(1, par))))
         parts: list[ScanPartition] = []
         cur: list = []
         cur_bytes = 0
-        for t in sorted(scan.plan_files(), key=lambda t: t.file_path):
+        for t in tasks:
             entry = (t.file_path, t.sequence_number, dvs.get(t.file_path))
-            if cur and cur_bytes + t.file_size_in_bytes > target:
+            charged = (t.file_size_in_bytes or 0) + open_cost
+            if cur and cur_bytes + charged > target:
                 parts.append(ScanPartition(
                     files=cur, pos_delete_paths=pos, eq_deletes=eq,
                     column_defaults=defaults, field_ids=fids,
                     name_mapping_json=mapping_json))
                 cur, cur_bytes = [], 0
             cur.append(entry)
-            cur_bytes += t.file_size_in_bytes
+            cur_bytes += charged
         if cur:
             parts.append(ScanPartition(
                 files=cur, pos_delete_paths=pos, eq_deletes=eq,

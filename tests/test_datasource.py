@@ -557,7 +557,12 @@ class TestBinPacking:
         tasks = t.scan().plan_files()
         assert len(tasks) == 4
         one = IcebergCppReader({"path": loc}, None).partitions()
-        assert len(one) == 1  # 4 small files pack into one 128MB bin
+        # r17: the effective target follows Spark's maxSplitBytes
+        # formula (min(target, max(openCost, bytesPerCore)) with files
+        # charged openCost), so a tiny table fans out toward the
+        # session parallelism instead of packing into ONE 128MB bin —
+        # but never beyond one file per partition
+        assert 1 <= len(one) <= 4
         # tiny target -> one file per partition
         per_file = IcebergCppReader(
             {"path": loc, "split-target-bytes": "1"}, None).partitions()
