@@ -49,9 +49,14 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     core. Round-robin repartition to the session parallelism ONLY when
     the scan has fewer splits — at production scale (many files/row
     groups) this is a no-op and no shuffle is added. Results are
-    row-identical; only placement changes."""
-    n = spark.sparkContext.defaultParallelism
-    return df.repartition(n) if df.rdd.getNumPartitions() < n else df
+    row-identical; only placement changes. r18: the split probe reads
+    the plan's input-file metadata instead of df.rdd (ADVICE r17 — the
+    RDD conversion forced a plan analysis per query)."""
+    from iceberg_cpp_spark.operators.partitioning import (
+        spread_to_parallelism,
+    )
+
+    return spread_to_parallelism(df)
 
 
 # ---------------------------------------------------------------------------

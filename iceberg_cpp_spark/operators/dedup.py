@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from iceberg_cpp_spark.operators.partitioning import spread_to_parallelism
+
 _MERSENNE = (1 << 61) - 1
 _SEED = 42
 
@@ -171,9 +173,7 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # arrives as ONE partition and would run it single-threaded — spread
     # it across the cluster first (results are per-row, so the shuffle
     # is semantics-free; at real scale inputs are already partitioned)
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+    src = spread_to_parallelism(src)
     with_sig = src.select(F.col(id_col), sig(F.col(text_col)).alias("_sig"))
     release = None
     if materialize == "checkpoint":
@@ -224,9 +224,7 @@ def _minhash_banded(df: DataFrame, text_col: str, id_col: str,
     r = num_perm // bands
     sig = minhash_signature_udf(num_perm, shingle_width)
     src = df.select(F.col(id_col), F.col(text_col))
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+    src = spread_to_parallelism(src)
     with_sig = (src.select(F.col(id_col), sig(F.col(text_col)).alias("_sig"))
                 .localCheckpoint(eager=True))
     band_hashes = F.array(*[
@@ -380,9 +378,7 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # minhash_lsh_dedup) — compute the UDF once, 8 bytes/doc stored;
     # under-partitioned inputs spread first so the UDF parallelizes
     src = df.select(F.col(id_col), F.col(text_col))
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
-        src = src.repartition(par)
+    src = spread_to_parallelism(src)
     with_h = (src.select(F.col(id_col), sh(F.col(text_col)).alias("_sh"))
               .localCheckpoint(eager=True))
     band_vals = F.array(*[
@@ -424,12 +420,9 @@ def minhash_cross_pairs(corpus: DataFrame, benchmark: DataFrame,
     assert num_perm % bands == 0, "num_perm must divide evenly into bands"
     r = num_perm // bands
     sig = minhash_signature_udf(num_perm, shingle_width)
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-
     def banded(df: DataFrame, out_id: str) -> DataFrame:
-        src = df.select(F.col(id_col), F.col(text_col))
-        if src.rdd.getNumPartitions() < par:
-            src = src.repartition(par)
+        src = spread_to_parallelism(
+            df.select(F.col(id_col), F.col(text_col)))
         with_sig = src.select(F.col(id_col).alias(out_id),
                               sig(F.col(text_col)).alias("_sig"))
         band_hashes = F.array(*[

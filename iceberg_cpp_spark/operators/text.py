@@ -17,6 +17,8 @@ from typing import Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from iceberg_cpp_spark.operators.partitioning import spread_to_parallelism
+
 _STOPWORDS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
     "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "nicht"],
@@ -163,9 +165,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     stage — a single select would rebuild `_g2` per referencing column).
     Under-partitioned inputs are spread to defaultParallelism first
     (same rationale as contamination())."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
+    df = spread_to_parallelism(df)
     c = F.col(text_col)
     staged = df.select(
         F.col(id_col),
@@ -196,11 +196,8 @@ def contamination(corpus: DataFrame, benchmark: DataFrame, n: int = 4,
     documents only. Under-partitioned inputs (one small file) are spread
     to defaultParallelism first so gram construction uses every core —
     at scale the input is already wide and no extra shuffle happens."""
-    par = corpus.sparkSession.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < par:
-        corpus = corpus.repartition(par)
-    if benchmark.rdd.getNumPartitions() < par:
-        benchmark = benchmark.repartition(par)
+    corpus = spread_to_parallelism(corpus)
+    benchmark = spread_to_parallelism(benchmark)
     grams = corpus.select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("gram"))
     bench_grams = (benchmark

@@ -71,6 +71,79 @@ def _load_table(options):
     return IceTable.load(None, path)
 
 
+def _reader_parallelism(options) -> int:
+    """Cluster parallelism as seen from a DataSource planning hook.
+
+    Spark 4 runs ``partitions()`` in a dedicated planner Python worker
+    where no SparkSession exists (ADVICE r17), so the session probe the
+    r17 maxSplitBytes formula used silently fell back to 1 and the
+    scale-adaptive fan-out never engaged on the raw ``spark.read`` path
+    (measured: a 64-file table read as 3 tasks). Resolution order:
+
+    1. the ``default-parallelism`` read option — the engine's own scan
+       plane (`_to_df_via_datasource`) ships the live session's value;
+    2. an active session (covers environments that still plan on the
+       driver);
+    3. ``$SPARK_GRAFT_CPUS`` — the harness-level core count, inherited
+       by the planner worker's environment;
+    4. 1 (the pre-r17 behavior: one bin per 128 MB target).
+    """
+    opt = options.get("default-parallelism")
+    if opt:
+        return max(1, int(opt))
+    try:
+        from pyspark.sql import SparkSession as _SS
+        _sess = _SS.getActiveSession()
+        if _sess is not None:
+            return max(1, int(_sess.sparkContext.defaultParallelism))
+    except Exception:
+        pass
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return 1
+
+
+def _split_sizing(options, props, total_charged: int, par: int
+                  ) -> tuple[int, int]:
+    """(effective split target, open cost) — Spark's own maxSplitBytes
+    formula, ``min(target, max(openCost, bytesPerCore))``, shared by the
+    batch reader and the streaming full reader (VERDICT r17 task 5) so
+    both planes fan a sub-target table out across the cluster instead
+    of packing it into one task. ``total_charged`` must already include
+    the per-file open cost."""
+    target = int(options.get(
+        "split-target-bytes",
+        props.get("read.split.target-size", str(128 * 1024 * 1024))))
+    open_cost = int(options.get(
+        "open-cost-bytes",
+        props.get("read.split.open-file-cost", str(4 * 1024 * 1024))))
+    return (min(target, max(open_cost, -(-total_charged // max(1, par)))),
+            open_cost)
+
+
+def _pack_by_bytes(items, size_of, target: int, open_cost: int) -> list:
+    """First-fit bin packing of an ordered item list into ~target-byte
+    bins, every item charged ``open_cost`` on top of its size —
+    deterministic given the input order."""
+    bins: list = []
+    cur: list = []
+    cur_bytes = 0
+    for item in items:
+        charged = (size_of(item) or 0) + open_cost
+        if cur and cur_bytes + charged > target:
+            bins.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append(item)
+        cur_bytes += charged
+    if cur:
+        bins.append(cur)
+    return bins
+
+
 def _make_scan(table, options, flt=None):
     """Scan honoring the reader's time-travel options. Used by both
     partitions() and schema() so the FILES and the SCHEMA pin the same
@@ -209,44 +282,25 @@ class IcebergCppReader(DataSourceReader):
         # smaller than one split still fans out across the cluster
         # (the old fixed 128 MB target packed ANY sub-128 MB table
         # into ONE task), while at real scale bytesPerCore exceeds the
-        # target and nothing changes.
-        target = int(self.options.get(
-            "split-target-bytes",
-            props.get("read.split.target-size", str(128 * 1024 * 1024))))
-        open_cost = int(self.options.get(
+        # target and nothing changes. Formula + packing shared with the
+        # streaming full reader (_split_sizing/_pack_by_bytes).
+        tasks = sorted(scan.plan_files(), key=lambda t: t.file_path)
+        par = _reader_parallelism(self.options)
+        open_probe = int(self.options.get(
             "open-cost-bytes",
             props.get("read.split.open-file-cost", str(4 * 1024 * 1024))))
-        tasks = sorted(scan.plan_files(), key=lambda t: t.file_path)
-        try:
-            from pyspark.sql import SparkSession as _SS
-            _sess = _SS.getActiveSession()
-            par = (_sess.sparkContext.defaultParallelism
-                   if _sess is not None else 1)
-        except Exception:
-            par = 1
-        total = sum((t.file_size_in_bytes or 0) + open_cost for t in tasks)
-        target = min(target,
-                     max(open_cost, -(-total // max(1, par))))
-        parts: list[ScanPartition] = []
-        cur: list = []
-        cur_bytes = 0
-        for t in tasks:
-            entry = (t.file_path, t.sequence_number, dvs.get(t.file_path))
-            charged = (t.file_size_in_bytes or 0) + open_cost
-            if cur and cur_bytes + charged > target:
-                parts.append(ScanPartition(
-                    files=cur, pos_delete_paths=pos, eq_deletes=eq,
-                    column_defaults=defaults, field_ids=fids,
-                    name_mapping_json=mapping_json))
-                cur, cur_bytes = [], 0
-            cur.append(entry)
-            cur_bytes += charged
-        if cur:
-            parts.append(ScanPartition(
-                files=cur, pos_delete_paths=pos, eq_deletes=eq,
+        total = sum((t.file_size_in_bytes or 0) + open_probe for t in tasks)
+        target, open_cost = _split_sizing(self.options, props, total, par)
+        return [
+            ScanPartition(
+                files=[(t.file_path, t.sequence_number,
+                        dvs.get(t.file_path)) for t in bin_tasks],
+                pos_delete_paths=pos, eq_deletes=eq,
                 column_defaults=defaults, field_ids=fids,
-                name_mapping_json=mapping_json))
-        return parts
+                name_mapping_json=mapping_json)
+            for bin_tasks in _pack_by_bytes(
+                tasks, lambda t: t.file_size_in_bytes, target, open_cost)
+        ]
 
     def read(self, partition: ScanPartition):
         # one task reads every bin-packed file of the partition; delete
@@ -749,23 +803,23 @@ class IcebergCppFullStreamReader(DataSourceStreamReader):
         # dropped) — _pos understands both forms
         lo = IcebergCppStreamReader._pos(files, start)
         hi = IcebergCppStreamReader._pos(files, end)
-        target = int(self.options.get(
-            "split-target-bytes",
-            table.properties().get("read.split.target-size",
-                                   str(128 * 1024 * 1024))))
-        parts: list[StreamFilesPartition] = []
-        cur: list = []
-        cur_bytes = 0
-        for _q, p in files[lo:hi]:
-            sz = sizes.get(p, 0)
-            if cur and cur_bytes + sz > target:
-                parts.append(StreamFilesPartition(paths=cur))
-                cur, cur_bytes = [], 0
-            cur.append(p)
-            cur_bytes += sz
-        if cur:
-            parts.append(StreamFilesPartition(paths=cur))
-        return parts
+        # r18 (VERDICT r17 task 5): the batch reader's maxSplitBytes
+        # sizing, via the SHARED helpers — a micro-batch smaller than
+        # one split target fans out across the cluster instead of
+        # decoding serially in one task; at scale bytesPerCore exceeds
+        # the target and nothing changes
+        batch = [p for _q, p in files[lo:hi]]
+        props = table.properties()
+        par = _reader_parallelism(self.options)
+        open_probe = int(self.options.get(
+            "open-cost-bytes",
+            props.get("read.split.open-file-cost", str(4 * 1024 * 1024))))
+        total = sum(sizes.get(p) or 0 for p in batch) \
+            + open_probe * len(batch)
+        target, open_cost = _split_sizing(self.options, props, total, par)
+        return [StreamFilesPartition(paths=bin_paths)
+                for bin_paths in _pack_by_bytes(
+                    batch, lambda p: sizes.get(p), target, open_cost)]
 
     def read(self, partition: StreamFilesPartition):
         """Executor-side: same plain-file read + declared-schema cast as

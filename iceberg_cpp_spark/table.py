@@ -1292,6 +1292,13 @@ class TableScan:
         except Exception:
             pass  # already registered in this session
         reader = spark.read.format("icecpp")
+        # Spark 4 runs the DataSource's partitions() in a planner
+        # Python worker with NO session (ADVICE r17) — ship the live
+        # session's parallelism as a read option so the maxSplitBytes
+        # fan-out formula sees the real core count instead of 1
+        reader = reader.option(
+            "default-parallelism",
+            str(spark.sparkContext.defaultParallelism))
         # pin the DataSource to THIS handle's resolved snapshot: its
         # partitions() loads the table fresh from disk, and a concurrent
         # commit between handle load and scan would otherwise silently
@@ -1387,7 +1394,16 @@ class TableScan:
             counts = [d.record_count for d in dvs]
             dv_cap = int(self._table.properties().get(
                 "engine.read.dv-join-max-positions", "1000000"))
-            if None not in counts and sum(counts) <= dv_cap:
+            # r18 (ADVICE r17): the position cap bounds driver MEMORY
+            # but not driver blob-read COUNT — 10^5 tiny DVs under the
+            # position cap would serialize 10^5 blob reads on the
+            # driver that the probe plane distributes across executors.
+            # Gate on blob count too; over it, plane 2 below handles
+            # any cardinality with pointer broadcasts only.
+            dv_blob_cap = int(self._table.properties().get(
+                "engine.read.dv-join-max-blobs", "256"))
+            if (None not in counts and sum(counts) <= dv_cap
+                    and len(dvs) <= dv_blob_cap):
                 # r17 (guide §4): decode the blobs on the DRIVER. The
                 # exploded (file, pos) rows were always collected back
                 # to the driver anyway to build the broadcast relation,

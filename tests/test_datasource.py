@@ -556,13 +556,23 @@ class TestBinPacking:
             t.append(lineitem.limit(500).coalesce(1))
         tasks = t.scan().plan_files()
         assert len(tasks) == 4
-        one = IcebergCppReader({"path": loc}, None).partitions()
-        # r17: the effective target follows Spark's maxSplitBytes
-        # formula (min(target, max(openCost, bytesPerCore)) with files
-        # charged openCost), so a tiny table fans out toward the
-        # session parallelism instead of packing into ONE 128MB bin —
-        # but never beyond one file per partition
-        assert 1 <= len(one) <= 4
+        # r18 (ADVICE r17): partitions() runs in a session-less planner
+        # worker on the real read path, so parallelism arrives as the
+        # default-parallelism READ OPTION (shipped by the scan plane) —
+        # pin the fan-out through that option: 4 tiny files with
+        # parallelism 4 must land one file per bin, not one 128MB bin
+        one = IcebergCppReader(
+            {"path": loc, "default-parallelism": "4"}, None).partitions()
+        assert len(one) == 4
+        # without any parallelism signal the old one-bin packing is the
+        # documented fallback (planner worker, no option, no env)
+        env_had = os.environ.pop("SPARK_GRAFT_CPUS", None)
+        try:
+            legacy = IcebergCppReader({"path": loc}, None).partitions()
+        finally:
+            if env_had is not None:
+                os.environ["SPARK_GRAFT_CPUS"] = env_had
+        assert len(legacy) <= len(one)
         # tiny target -> one file per partition
         per_file = IcebergCppReader(
             {"path": loc, "split-target-bytes": "1"}, None).partitions()
@@ -573,6 +583,23 @@ class TestBinPacking:
         assert flat == sorted(f[0] for p in per_file for f in p.files)
         # reading the packed layout returns every row
         df = registered.read.format("icecpp").load(loc)
+        assert df.count() == 2000
+
+    def test_scan_plane_ships_parallelism_option(self, registered,
+                                                 lineitem, tmp_loc):
+        """IceTable's datasource scan plane must ship the session's
+        defaultParallelism into the reader so the planner worker's
+        maxSplitBytes formula fans a small table out (ADVICE r17)."""
+        loc = os.path.join(tmp_loc, "ship")
+        t = IceTable.create(registered, loc,
+                            schema_from_spark(lineitem.schema))
+        for _ in range(4):
+            t.append(lineitem.limit(500).coalesce(1))
+        t = t.update_properties(
+            {"engine.read.datasource-file-threshold": "1"})
+        df = t.scan().to_df()
+        par = registered.sparkContext.defaultParallelism
+        assert df.rdd.getNumPartitions() == min(4, par)
         assert df.count() == 2000
 
 
@@ -621,6 +648,27 @@ class TestFullStreamReader:
         assert sum(b.num_rows for b in batches) > 0
         # incremental window: nothing new after the head
         assert r.partitions(end, end) == []
+
+    def test_stream_batch_fans_out_via_maxsplitbytes(self, registered,
+                                                     lineitem, tmp_loc):
+        """r18 (VERDICT r17 task 5): the full reader shares the batch
+        reader's maxSplitBytes sizing — a micro-batch far under the
+        128 MB target still fans out to ~parallelism partitions instead
+        of decoding as ONE task."""
+        from iceberg_cpp_spark.sources.spark_datasource import (
+            IcebergCppFullStreamReader)
+
+        loc = os.path.join(tmp_loc, "fsf")
+        t = IceTable.create(registered, loc,
+                            schema_from_spark(lineitem.schema))
+        t.append(lineitem.limit(60).repartition(6))
+        r = IcebergCppFullStreamReader(
+            {"path": loc, "default-parallelism": "6"},
+            t.scan().to_df().schema)
+        parts = r.partitions({"seq": 0}, r.latestOffset())
+        assert len(parts) == 6  # sub-target batch → one file per core
+        covered = [p for part in parts for p in part.paths]
+        assert len(covered) == 6 and len(set(covered)) == 6
 
     def test_cap_routes_to_simple_reader(self, registered, tmp_loc,
                                          lineitem):

@@ -279,6 +279,47 @@ class TestDeletionVectorTable:
                      if d.is_deletion_vector}
         assert {c[0] for c in calls} <= live_ptrs
 
+    def test_dv_blob_count_gate_routes_to_probe_plane(self, spark,
+                                                      tmp_loc, lineitem,
+                                                      monkeypatch):
+        """r18 (ADVICE r17): the join plane is gated on BLOB COUNT too
+        (``engine.read.dv-join-max-blobs``) — many tiny DVs under the
+        position cap must not serialize one driver blob read each.
+        With the blob cap forced to 0 the probe plane takes over:
+        zero driver blob reads, identical results."""
+        from iceberg_cpp_spark import IceTable
+        from iceberg_cpp_spark.core import puffin
+        from iceberg_cpp_spark.core.types import schema_from_spark
+        from iceberg_cpp_spark.plans import expressions as ex
+
+        li = lineitem.limit(400)
+        t = IceTable.create(spark, os.path.join(tmp_loc, "tblobcap"),
+                            schema_from_spark(li.schema))
+        t.append(li)
+        t = t.delete_where(ex.eq(ex.Reference("l_returnflag"), "R"),
+                           mode="deletion-vector")
+        expect = li.filter("l_returnflag <> 'R'").count()
+
+        calls = []
+        real = puffin.read_blob
+        monkeypatch.setattr(puffin, "read_blob",
+                            lambda *a, **k: calls.append(a) or real(*a, **k))
+        t_capped = t.update_properties(
+            {"engine.read.dv-join-max-blobs": "0"})
+        puffin._decode_dv_pointer_cached.cache_clear()
+        assert t_capped.to_df().count() == expect
+        assert calls == [], f"blob-cap ignored, driver reads: {calls}"
+
+        # generous cap: small table well under → join plane reads on
+        # the driver and the result is the same (update_properties
+        # COMMITS, so flip the same table's property back up)
+        t_default = t_capped.update_properties(
+            {"engine.read.dv-join-max-blobs": "256"})
+        puffin._decode_dv_pointer_cached.cache_clear()
+        calls.clear()
+        assert t_default.to_df().count() == expect
+        assert len(calls) > 0
+
     def test_dv_writes_happen_in_executors(self, spark, tmp_loc,
                                            lineitem, monkeypatch):
         """100 TB guard (VERDICT r08 item 3): DV puffin files are written
