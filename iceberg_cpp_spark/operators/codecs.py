@@ -74,7 +74,16 @@ def _unfilter(raw: bytes, stride: int, height: int, bpp: int) -> np.ndarray:
             cur = line
         elif ftype == 2:  # Up — vectorized (no intra-row dependence)
             cur = line + prev  # uint8 wraps mod 256, per spec
-        else:  # Sub/Average/Paeth carry along x: sequential per byte
+        elif ftype == 1:
+            # Sub — vectorized (r18, guide §1.2 per-task work): the
+            # recurrence out[x] = (line[x] + out[x-bpp]) % 256 is an
+            # independent running sum per residue class mod bpp, so
+            # each class is one cumsum (int64, exact) masked to a byte
+            cur = np.empty(stride, np.uint8)
+            for r0 in range(min(bpp, stride)):
+                cur[r0::bpp] = (line[r0::bpp].astype(np.int64).cumsum()
+                                & 0xFF).astype(np.uint8)
+        else:  # Average/Paeth carry along x: sequential per byte
             cur = np.zeros(stride, np.uint8)
             li, pi = line.tolist(), prev.tolist()
             cl = cur.tolist()

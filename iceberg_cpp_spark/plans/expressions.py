@@ -759,3 +759,34 @@ def day(term: Term) -> TransformTerm:
 
 def hour(term: Term) -> TransformTerm:
     return TransformTerm(tr.HOUR, _as_ref(term))
+
+
+def referenced_names(expr) -> Optional[set]:
+    """Column names an expression predicate reads (r18, guide §4): lets
+    opaque executor-side readers (ORC/Avro need_meta legs) prune their
+    decode to the referenced columns. Returns None when any node is
+    unrecognized — callers must treat None as 'unknown, read all'."""
+    if isinstance(expr, (TrueExp, FalseExp)):
+        return set()
+    if isinstance(expr, (And, Or)):
+        l = referenced_names(expr.left)
+        r = referenced_names(expr.right)
+        return None if l is None or r is None else l | r
+    if isinstance(expr, Not):
+        return referenced_names(expr.child)
+    if isinstance(expr, (UnboundPredicate, BoundPredicate)):
+        t = expr.term
+        if isinstance(t, Reference):
+            return {t.name}
+        if isinstance(t, BoundReference):
+            return {t.full_name}
+        if isinstance(t, TransformTerm):
+            return {t.ref.name}
+        if isinstance(t, BoundTransformTerm):
+            return {t.bref.full_name}
+        if isinstance(t, VariantGetTerm):
+            return {t.name}
+        if isinstance(t, BoundVariantGetTerm):
+            return {t.source_name}
+        return None
+    return None

@@ -1252,14 +1252,21 @@ class TableScan:
 
             for b in batches:
                 for path in b["path"]:
-                    tbl = po.ORCFile(path).read()
+                    pf = po.ORCFile(path)
+                    # decode ONLY the requested columns present in the
+                    # file (r18, guide §4 — a pruned read schema must
+                    # reach the stripe decode, not just the pandas
+                    # projection); row count still comes from the file
+                    avail = [n for n in names if n in pf.schema.names]
+                    nrows = pf.nrows
+                    tbl = pf.read(columns=avail)
                     pdf = tbl.to_pandas()
                     cols = {n: (pdf[n] if n in pdf.columns
-                                else pd.Series([None] * len(pdf)))
+                                else pd.Series([None] * nrows))
                             for n in names}
                     out = pd.DataFrame(cols, columns=names)
                     out["_file"] = path
-                    out["_pos"] = range(len(pdf))
+                    out["_pos"] = range(nrows)
                     yield out
 
         pathdf = spark.createDataFrame([(p,) for p in paths], "path string")
@@ -2526,16 +2533,47 @@ class IceTable:
             carry_existing=True, drop_paths=affected,
             read_snapshot_id=self._branch_head_id(branch))
 
+    def _predicate_columns(self, expr: ex.Expression
+                           ) -> Optional[list[str]]:
+        """Top-level table columns a delete predicate reads — the
+        pruned read set for position/DV delete planning (r18, guide
+        §4). None (read everything) when any referenced name cannot be
+        mapped to a top-level column."""
+        names = ex.referenced_names(expr)
+        if not names:  # None (unknown) or empty (no refs)
+            return None
+        out: list[str] = []
+        for f in self.schema().fields:
+            for n in names:
+                if n == f.name or n.startswith(f.name + "."):
+                    out.append(f.name)
+                    break
+        # every referenced name must resolve to a kept top-level column
+        for n in names:
+            if not any(n == c or n.startswith(c + ".") for c in out):
+                return None
+        return out or None
+
     def _read_paths_rows(self, paths, scan: "TableScan",
-                         with_meta: bool) -> DataFrame:
+                         with_meta: bool,
+                         columns: Optional[list[str]] = None) -> DataFrame:
         """Rows of specific data files, format-dispatched (parquet →
         JVM vectorized reader, avro → executor-side container decode);
         with ``with_meta`` every leg carries ``_file``/``_pos``.
-        ``scan`` supplies the format map (metadata-scale plan pass)."""
+        ``scan`` supplies the format map (metadata-scale plan pass).
+        ``columns`` restricts the read to those top-level columns (r18,
+        guide §4): Catalyst prunes the parquet leg by itself, but the
+        ORC/Avro need_meta legs are OPAQUE Python maps that would
+        otherwise decode and ship every column of every row — a
+        position-delete plan only needs the predicate columns."""
         from functools import reduce
 
         schema = self.schema()
         spark_schema = it.to_spark_schema(schema)
+        if columns is not None:
+            keep = set(columns)
+            spark_schema = T.StructType(
+                [f for f in spark_schema.fields if f.name in keep])
         if self.properties().get("engine.read.name-based") == "true":
             # imported (field-ID-less) files in a rewrite input: resolve
             # by NAME exactly like the scan plane — a field-ID-carrying
@@ -2719,7 +2757,8 @@ class IceTable:
         if not affected:
             return self
         rows = (
-            self._read_paths_rows(affected, fscan, with_meta=True)
+            self._read_paths_rows(affected, fscan, with_meta=True,
+                                  columns=self._predicate_columns(expr))
             .filter(to_spark_column(expr, schema))
             .select(
                 # spec: file_path must exactly match the manifest's
@@ -2749,7 +2788,8 @@ class IceTable:
             return self
 
         rows = (
-            self._read_paths_rows(affected, fscan, with_meta=True)
+            self._read_paths_rows(affected, fscan, with_meta=True,
+                                  columns=self._predicate_columns(expr))
             .filter(to_spark_column(expr, schema))
             .select(
                 F.regexp_replace(F.col("_file"), "^file:(//)?", "")
