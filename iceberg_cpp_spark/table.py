@@ -3275,35 +3275,45 @@ class IceTable:
         # re-ran a full CDC-staging aggregation)
         changes = changes.persist()
         try:
-            # NULL op must fail validation too: with plain isin the
-            # predicate is NULL (three-valued logic) and the row would
-            # slip through — then downstream it is dropped from upserts
-            # but kept in all_keys, silently DELETING the key instead of
-            # erroring.
-            bad = changes.filter(~F.col(op_col).isin("I", "U", "D")
-                                 | F.col(op_col).isNull()) \
-                         .select(op_col).limit(1).collect()
-            if bad:
+            # ONE combinable aggregation probes the whole batch (r18,
+            # guide §1.2/§2.4 — the old shape paid a validation scan
+            # PLUS, for no-seq batches, a second dup-probe scan):
+            # per-key counts (map-side combined) reduced to the global
+            # max plus an any-invalid-op flag. NULL op must fail
+            # validation too: with plain isin the predicate is NULL
+            # (three-valued logic) and the row would slip through —
+            # then downstream it is dropped from upserts but kept in
+            # all_keys, silently DELETING the key instead of erroring.
+            bad_op = (~F.col(op_col).isin("I", "U", "D")
+                      | F.col(op_col).isNull())
+            probe = (changes.groupBy(*on)
+                     .agg(F.count(F.lit(1)).alias("__n"),
+                          F.max(bad_op).alias("__bad"))
+                     .agg(F.max("__n").alias("__mx"),
+                          F.max("__bad").alias("__anybad"))
+                     .collect()[0])
+            if probe["__anybad"]:
+                bad = changes.filter(bad_op).select(op_col) \
+                             .limit(1).collect()
                 raise ValueError(
                     f"op column {op_col} must be 'I'/'U'/'D', saw: "
                     f"{bad[0][0]!r}")
-            if seq_col is None:
-                # one aggregation over the batch (metadata-scale vs the
-                # rewrite it gates): duplicate keys without an ordering
-                # column have no deterministic winner — refuse.
+            unique_keys = (probe["__mx"] or 0) <= 1
+            if seq_col is None and not unique_keys:
+                # duplicate keys without an ordering column have no
+                # deterministic winner — refuse.
                 dup = (changes.groupBy(*on).count()
                        .filter(F.col("count") > 1).limit(1).collect())
-                if dup:
-                    key = tuple(dup[0][c] for c in on)
-                    raise ValueError(
-                        f"batch carries multiple ops for key {key!r}; "
-                        "pass seq_col to define last-write-wins order")
-            if seq_col is None:
-                # the dup probe above proved every key unique — the
-                # last-write-wins window would keep every row anyway,
-                # so skip its full shuffle+sort outright (r18, guide
-                # §2.4: remove shuffles the data's own invariants make
-                # redundant)
+                key = tuple(dup[0][c] for c in on)
+                raise ValueError(
+                    f"batch carries multiple ops for key {key!r}; "
+                    "pass seq_col to define last-write-wins order")
+            if unique_keys:
+                # the probe proved every key unique — the
+                # last-write-wins window would keep every row anyway
+                # (seq_col or not), so skip its full shuffle+sort
+                # outright (r18, guide §2.4: remove shuffles the data's
+                # own invariants make redundant)
                 last = changes
             else:
                 from pyspark.sql.window import Window
