@@ -78,26 +78,33 @@ def cdc_rewrite_pair(spark):
     changes = dels.unionByName(upds).persist()
     from pyspark.sql.window import Window
     w = Window.partitionBy(*on).orderBy(F.col("_seq").desc())
-    last = (changes.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).drop("_rn").persist())
+    # pre-r18 shape: unconditional window + distinct over its keys
+    last_before = (changes.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn").persist())
     cols = [f.name for f in t.schema().fields]
-    upserts = last.filter(F.col("_op") != "D").select(*cols)
     tgt = t._branch_scan("main").with_metadata_columns().to_df()
-    for label, all_keys in [("before", last.select(*on).distinct()),
-                            ("after", last.select(*on))]:
+    shapes = [
+        ("before", last_before, last_before.select(*on).distinct(),
+         "pre-r18: unconditional last-write-wins window + a redundant "
+         "distinct over its (already unique) keys"),
+        # r18 shape: the one-pass probe proves this batch key-unique,
+        # so the window never runs and the keys skip the distinct
+        ("after", changes, changes.select(*on),
+         "r18: key-unique batch — no window, no distinct (probe-gated)"),
+    ]
+    for label, last, all_keys, note in shapes:
+        upserts = last.filter(F.col("_op") != "D").select(*cols)
         discovery = (tgt.select("_file", *on)
                      .join(all_keys, on, "left_semi")
                      .select("_file").distinct())
         cap(discovery, f"ice_cdc_apply_discovery_{label}.txt",
-            f"apply_changes affected-file discovery ({label}: "
-            f"{'with' if label == 'before' else 'without'} the "
-            "redundant distinct over the window-deduped keys)")
+            f"apply_changes affected-file discovery ({note})")
         affected = {t._plain_path(r["_file"]) for r in discovery.collect()}
         rewritten = (t._read_files_with_deletes(affected, branch="main")
                      .join(all_keys, on, "left_anti").unionByName(upserts))
         cap(rewritten, f"ice_cdc_apply_rewrite_{label}.txt",
-            f"apply_changes rewrite plane ({label})")
-    last.unpersist()
+            f"apply_changes rewrite plane ({note})")
+    last_before.unpersist()
     changes.unpersist()
 
 
